@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place all mains/tests get their SparkSession config, so the
+  * oracle-parity knobs (UTC, nanos-as-long, AQE) are identical everywhere.
+  *
+  * Scale posture: `shuffle.partitions` defaults to the local core count;
+  * on a real cluster this is overridden by AQE coalescing
+  * (`spark.sql.adaptive.coalescePartitions.enabled` is on by default in
+  * Spark 4) so the same code runs at 100 TB without retuning here.
+  */
+object Sessions {
+  def base(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+           shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+      : SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

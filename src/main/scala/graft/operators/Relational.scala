@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import Exact._
+
+/** The relational operator sweep (SURVEY.md §2.2): every query category the
+  * reference delegates to ClickHouse, expressed Spark-first and verified
+  * against the driver's DuckDB oracle.
+  *
+  * Conventions:
+  *   - Every aggregate / computed column is aliased identically in the
+  *     DataFrame code and the oracle SQL (driver compares by column name).
+  *   - Every query ends in a total ORDER BY so row order is deterministic
+  *     on both engines.
+  *   - Double sums go through [[Exact]] decimal casts for bit parity.
+  *
+  * Scale notes are per-query in the Scaladoc; the common posture: filters
+  * and projections stay in the scan (PushedFilters/ReadSchema), small dims
+  * are broadcast, and aggregates rely on partial (map-side) aggregation —
+  * no collect(), no driver-side loops anywhere.
+  */
+object Relational {
+
+  /** Flagship: TPC-H Q1-style pricing summary. Scan → partial agg →
+    * 2-key final agg; at 100 TB this is one shuffle of ~6 grouping keys,
+    * i.e. bytes, not data — the scan dominates and prunes to 7 columns
+    * (reference capability: COUNT aggregation, `hashes_test.go:227-233`,
+    * generalized). */
+  def q01_pricing_summary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val discPrice = m(col("l_extendedprice")) * f(lit(1.0) - col("l_discount"))
+    li.filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampNTZType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(m(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice).cast(DoubleType).as("sum_disc_price"),
+        sum(discPrice * f(lit(1.0) + col("l_tax"))).cast(DoubleType).as("sum_charge"),
+        (sum(m(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Row-count conservation over every table via UNION ALL — the Spark
+    * analogue of the reference's verification scan
+    * (`SELECT COUNT(*)`, `hashes_test.go:193,229`). */
+  def q02_table_counts(spark: SparkSession, dir: String): DataFrame = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.map { t =>
+      val df = if (t == "events") Tables.events(spark, dir) else Tables.read(spark, dir, t)
+      df.agg(count(lit(1)).as("n")).select(lit(t).as("tbl"), col("n"))
+    }.reduce(_.unionAll(_)).orderBy(col("tbl"))
+  }
+
+  /** Conjunctive equality filter — the reference's existence probe
+    * (`hashes_test.go:191-203`) generalized. Predicates push to parquet. */
+  def q03_filter_conjunctive(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R" && col("l_linenumber") === 3 &&
+        col("l_quantity") === 25.0)
+      .agg(count(lit(1)).as("n"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"))
+
+  /** DELETE-by-predicate (`hashes_test.go:235-239`) re-expressed as the
+    * scalable form: left_anti join against the doomed key set. At 100 TB
+    * the delete-set is tiny relative to the fact table → Spark broadcasts
+    * it and the anti join is map-side, no shuffle of the big side. */
+  def q04_delete_antijoin(spark: SparkSession, dir: String): DataFrame = {
+    val doomed = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    Tables.orders(spark, dir)
+      .join(broadcast(doomed), col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+  }
+
+  /** Broadcast hash join: fact × small dim. part is ~200k rows at sf=100
+    * (≪ 10 MB threshold scaled up — still broadcastable with the default
+    * 10–100 MB budget); the big lineitem side never shuffles. */
+  def q05_join_broadcast(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pt = Tables.part(spark, dir)
+    li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(m(col("l_extendedprice")) * f(lit(1.0) - col("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Star join across 5 tables. orders⋈lineitem is the only real shuffle
+    * (both sides large, co-partitioned on orderkey); customer/nation/region
+    * broadcast. AQE re-plans if estimates are off. */
+  def q06_join_multi_star(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(m(col("l_extendedprice")) * f(lit(1.0) - col("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS): orders having a high-quantity line. The
+    * filter lands on the build side before the join → small build set →
+    * broadcast semi join, zero shuffle of orders. */
+  def q07_join_semi(spark: SparkSession, dir: String): DataFrame = {
+    val bigLines = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45).select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(bigLines, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+  }
+
+  /** Left-anti join (NOT EXISTS): orders with no discounted line. */
+  def q08_join_anti(spark: SparkSession, dir: String): DataFrame = {
+    val discounted = Tables.lineitem(spark, dir)
+      .filter(col("l_discount") > 0.08).select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(discounted, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+  }
+
+  private val discPriceSql =
+    s"${sqlM("l_extendedprice")} * ${sqlF("1.0 - l_discount")}"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01_pricing_summary _),
+    "q02_table_counts" -> (q02_table_counts _),
+    "q03_filter_conjunctive" -> (q03_filter_conjunctive _),
+    "q04_delete_antijoin" -> (q04_delete_antijoin _),
+    "q05_join_broadcast" -> (q05_join_broadcast _),
+    "q06_join_multi_star" -> (q06_join_multi_star _),
+    "q07_join_semi" -> (q07_join_semi _),
+    "q08_join_anti" -> (q08_join_anti _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(${sqlM("l_quantity")}) AS DOUBLE) AS sum_qty,
+         |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM($discPriceSql * ${sqlF("1.0 + l_tax")}) AS DOUBLE) AS sum_charge,
+         |  CAST(SUM(${sqlM("l_quantity")}) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  ${sqlDsum("l_extendedprice")} / COUNT(*) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_table_counts" ->
+      """SELECT tbl, n FROM (
+        |  SELECT 'region' AS tbl, COUNT(*) AS n FROM region UNION ALL
+        |  SELECT 'nation', COUNT(*) FROM nation UNION ALL
+        |  SELECT 'customer', COUNT(*) FROM customer UNION ALL
+        |  SELECT 'supplier', COUNT(*) FROM supplier UNION ALL
+        |  SELECT 'part', COUNT(*) FROM part UNION ALL
+        |  SELECT 'orders', COUNT(*) FROM orders UNION ALL
+        |  SELECT 'lineitem', COUNT(*) FROM lineitem UNION ALL
+        |  SELECT 'events', COUNT(*) FROM events UNION ALL
+        |  SELECT 'documents', COUNT(*) FROM documents UNION ALL
+        |  SELECT 'embeddings', COUNT(*) FROM embeddings)
+        |ORDER BY tbl""".stripMargin,
+    "q03_filter_conjunctive" ->
+      """SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_linenumber = 3 AND l_quantity = 25.0""".stripMargin,
+    "q04_delete_antijoin" ->
+      """SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+        |FROM orders
+        |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
+    "q05_join_broadcast" ->
+      s"""SELECT p_brand,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q06_join_multi_star" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q07_join_semi" ->
+      s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS price_sum
+         |FROM orders
+         |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)""".stripMargin,
+    "q08_join_anti" ->
+      s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS price_sum
+         |FROM orders
+         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08)""".stripMargin)
+}
