@@ -14,10 +14,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++ operators.Aggregates.queries ++
+      operators.Windows.queries ++ operators.SetOps.queries ++
+      operators.Scalars.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracle
+    operators.Relational.oracle ++ operators.Aggregates.oracle ++
+      operators.Windows.oracle ++ operators.SetOps.oracle ++
+      operators.Scalars.oracle
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import Exact._
+
+/** Aggregation surface beyond plain GROUP BY: distinct aggregates,
+  * ROLLUP / CUBE / GROUPING SETS, and the approximate-distinct scale path.
+  *
+  * Scale posture: COUNT(DISTINCT) expands to a two-phase aggregate in
+  * Spark (distinct keys shuffled once, then counted) — fine at 100 TB when
+  * the distinct key space fits a shuffle; when it doesn't, the HLL variant
+  * ([[q29_agg_approx_distinct]]) is the intended tool and is why it ships
+  * as a first-class query even though its exact values can't be
+  * oracle-compared across engines (different HLL implementations).
+  *
+  * ROLLUP/CUBE subtotal rows carry NULL grouping keys; NULL ordering
+  * differs between Spark (asc = nulls first) and DuckDB (asc = nulls
+  * last), so the grouping keys are COALESCE'd to an 'ALL' sentinel in both
+  * engines — deterministic ordering without engine-specific NULLS FIRST.
+  */
+object Aggregates {
+
+  /** Exact distinct aggregates per group. */
+  def q10_agg_distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_partkey"), col("l_suppkey")).as("n_part_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP over (returnflag, linestatus): detail + per-flag + grand total. */
+  def q11_agg_rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty_sum"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("qty_sum"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** CUBE over (status, priority): all 4 grouping combinations. */
+  def q12_agg_cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("price_sum"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Explicit GROUPING SETS via SQL (the DataFrame API exposes only
+    * rollup/cube; the SQL form covers arbitrary set lists). */
+  def q13_agg_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_gs_lineitem")
+    spark.sql(
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |       COUNT(*) AS n,
+         |       CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS qty_sum
+         |FROM graft_gs_lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** HLL approximate distinct — the 100 TB substitute for exact distinct.
+    * No cross-engine oracle (HLL sketches differ by implementation);
+    * the driver records a rows-only check and AggregatesSpec asserts the
+    * estimate lands within 5% of exact. */
+  def q29_agg_approx_distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_agg_distinct" -> (q10_agg_distinct _),
+    "q11_agg_rollup" -> (q11_agg_rollup _),
+    "q12_agg_cube" -> (q12_agg_cube _),
+    "q13_agg_grouping_sets" -> (q13_agg_grouping_sets _),
+    "q29_agg_approx_distinct" -> (q29_agg_approx_distinct _))
+
+  val oracle: Map[String, String] = Map(
+    "q10_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q11_agg_rollup" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty_sum
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q12_agg_cube" ->
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COALESCE(o_orderpriority, 'ALL') AS priority,
+         |  COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS price_sum
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY status, priority""".stripMargin,
+    "q13_agg_grouping_sets" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+         |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+         |  COUNT(*) AS n, ${sqlDsum("l_quantity")} AS qty_sum
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         |ORDER BY returnflag, linestatus""".stripMargin)
+}

@@ -133,6 +133,20 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("price_sum"))
   }
 
+  /** Theta (non-equi) join: suppliers × cheap filtered parts on an
+    * inequality. Spark plans BroadcastNestedLoopJoin with the small side
+    * broadcast; the p_size filter keeps the cross-product bounded. At
+    * 100 TB a theta join must always have a selective pre-filter or a
+    * banding rewrite (see Similarity's LSH path for the banding pattern). */
+  def q09_join_theta(spark: SparkSession, dir: String): DataFrame = {
+    val pt = Tables.part(spark, dir).filter(col("p_size") === 1)
+    val sup = Tables.supplier(spark, dir)
+    sup.join(broadcast(pt), col("s_acctbal") < col("p_retailprice"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("n_parts"), dsum(col("p_retailprice")).as("price_sum"))
+      .orderBy(col("s_name"))
+  }
+
   private val discPriceSql =
     s"${sqlM("l_extendedprice")} * ${sqlF("1.0 - l_discount")}"
 
@@ -144,7 +158,8 @@ object Relational {
     "q05_join_broadcast" -> (q05_join_broadcast _),
     "q06_join_multi_star" -> (q06_join_multi_star _),
     "q07_join_semi" -> (q07_join_semi _),
-    "q08_join_anti" -> (q08_join_anti _))
+    "q08_join_anti" -> (q08_join_anti _),
+    "q09_join_theta" -> (q09_join_theta _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -204,5 +219,10 @@ object Relational {
     "q08_join_anti" ->
       s"""SELECT COUNT(*) AS n, ${sqlDsum("o_totalprice")} AS price_sum
          |FROM orders
-         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08)""".stripMargin)
+         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.08)""".stripMargin,
+    "q09_join_theta" ->
+      s"""SELECT s_name, COUNT(*) AS n_parts, ${sqlDsum("p_retailprice")} AS price_sum
+         |FROM supplier JOIN part ON s_acctbal < p_retailprice
+         |WHERE p_size = 1
+         |GROUP BY s_name ORDER BY s_name""".stripMargin)
 }

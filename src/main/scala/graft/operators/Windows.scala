@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import Exact._
+
+/** Window-function surface: ranking, running frames, lag/lead, and
+  * global top-k.
+  *
+  * Determinism rule: every ORDER BY inside a window is a total order
+  * (ties broken by primary-key columns), otherwise rank/lag values are
+  * engine-dependent.
+  *
+  * Scale posture: a window = one shuffle on partitionBy keys + per-key
+  * sort. partitionBy keys here (returnflag, suppkey, custkey) have enough
+  * cardinality to spread; the one global pattern (top-k) deliberately
+  * avoids `Window.partitionBy()` (single-partition trap) and uses
+  * orderBy+limit, which Spark executes as per-partition top-k + driver
+  * merge (TakeOrderedAndProject) — O(k) memory, no global sort.
+  */
+object Windows {
+
+  /** row_number / rank / dense_rank: top-3 lines per return flag. */
+  def q14_window_rank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("l_returnflag"), col("rn"), col("rnk"), col("drnk"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
+  /** Running (cumulative) sum over an explicit ROWS frame, per supplier. */
+  def q15_window_running(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("running_qty", sum(m(col("l_quantity"))).over(w).cast(DoubleType))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** lag/lead across a customer's order history. */
+  def q16_window_lag_lead(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 20)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("prev_price"), col("next_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject, not a global sort. */
+  def q17_sort_topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_window_rank" -> (q14_window_rank _),
+    "q15_window_running" -> (q15_window_running _),
+    "q16_window_lag_lead" -> (q16_window_lag_lead _),
+    "q17_sort_topk" -> (q17_sort_topk _))
+
+  val oracle: Map[String, String] = Map(
+    "q14_window_rank" ->
+      """SELECT l_returnflag, rn, rnk, drnk, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))
+        |WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin,
+    "q15_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q16_window_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders WHERE o_custkey <= 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q17_sort_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+}
