@@ -9,6 +9,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.base()
+    // Uncounted warm-up: pay JVM/codegen/parquet-footer startup once so
+    // per-query numbers measure the queries, not cold-start.
+    spark.range(5000000L).selectExpr("sum(id * 2) AS s")
+      .write.format("noop").mode("overwrite").save()
+    graft.Tables.all.keys.foreach { t =>
+      graft.Tables.read(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -16,12 +16,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++ operators.Aggregates.queries ++
       operators.Windows.queries ++ operators.SetOps.queries ++
-      operators.Scalars.queries
+      operators.Scalars.queries ++ operators.StreamingQueries.queries ++
+      operators.Dedup.queries ++ operators.Similarity.queries ++
+      operators.TextAnalysis.queries ++ operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++ operators.Aggregates.oracle ++
       operators.Windows.oracle ++ operators.SetOps.oracle ++
-      operators.Scalars.oracle
+      operators.Scalars.oracle ++ operators.StreamingQueries.oracle ++
+      operators.Dedup.oracle ++ operators.Similarity.oracle ++
+      operators.TextAnalysis.oracle ++ operators.Multimodal.oracle
 }

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hash families for sketch-based dedup (MinHash, SimHash) built on
+  * Spark's codegen'd `xxhash64` — no UDFs.
+  *
+  * MinHash uses one strong base hash per shingle plus a family of
+  * universal-hash permutations h_i(x) = (a_i·x + b_i) mod p, the standard
+  * construction (Broder '97): computing 64 permutations of one 64-bit
+  * base hash is far cheaper than 64 independent string hashes, and the
+  * whole signature is per-row compute inside the scan stage.
+  */
+object HashFns {
+
+  /** Mersenne prime 2^31 - 1: modulus for the universal hash family.
+    * 31-bit so that a·h stays well inside a 64-bit long — Spark 4 runs
+    * ANSI mode and hard-errors on long overflow, which rules out the
+    * 2^61-prime construction without 128-bit math. */
+  val P: Long = 2147483647L
+
+  /** Deterministic (a_i, b_i) pairs, a_i ∈ [1, P), b_i ∈ [0, P). */
+  def hashFamily(n: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((math.abs(rnd.nextLong()) % (P - 1) + 1, math.abs(rnd.nextLong()) % P))
+  }
+
+  /** Base hash of every element of a string array column, reduced into
+    * the field [0, P). */
+  def baseHashes(arr: Column): Column =
+    transform(arr, s => pmod(xxhash64(s), lit(P)))
+
+  /** MinHash signature (array of n longs) over a string-array column.
+    * sig[i] = min over elements of ((a_i·h(x) + b_i) mod P); every
+    * intermediate < 2^62, no overflow under ANSI. */
+  def minhashSignature(arr: Column, n: Int, seed: Long = 42L): Column = {
+    val bases = baseHashes(arr)
+    val sig = hashFamily(n, seed).map { case (a, b) =>
+      array_min(transform(bases,
+        h => pmod(h * lit(a) + lit(b), lit(P))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH band hashes: split a signature into `bands` equal bands and
+    * hash each band; docs sharing any (band index, band hash) are
+    * candidate pairs. Returns an array of band hashes. */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      xxhash64(concat_ws(",",
+        transform(slice(sig, j * rowsPerBand + 1, rowsPerBand), x => x.cast(StringType))))
+    }: _*)
+
+  /** SimHash (64-bit) of a token-array column, computed per-row: for
+    * each bit, sum +1/-1 weighted by whether the token hash has that bit
+    * set, then take signs. Stays in codegen via nested higher-order
+    * functions; no explode/shuffle. */
+  def simhash(tokenArr: Column): Column = {
+    val hashes = baseHashes(tokenArr)
+    val bitCols = (0 until 64).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_.bitwiseOR(_)).as("simhash")
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast(IntegerType)
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing: media as opaque BinaryType payloads with a
+  * typed metadata struct, and a batched per-partition decode/feature
+  * pipeline.
+  *
+  * The corpus has no real media files, so payloads are derived
+  * deterministically from document text (UTF-8 bytes) and the decoder is
+  * a clearly-marked STUB — but every piece of Spark plumbing is real and
+  * is the part that matters at 100 TB:
+  *   - schema: (id, payload BINARY, meta STRUCT<format,width,height>)
+  *   - `mapPartitions` batch iteration (the Scala analogue of
+  *     `mapInPandas`: the decoder amortizes model/codec init once per
+  *     partition, then streams rows — the exact shape a real
+  *     image/audio decoder needs)
+  *   - feature output as ArrayType(FloatType), ready for the
+  *     [[Similarity]] operators downstream
+  */
+object Multimodal {
+
+  /** Typed media row (payload + metadata) and its feature output. */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte],
+      format: String, width: Int, height: Int)
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
+      format: String, feature: Array[Float], checksum: Long)
+
+  /** STUB decoder — stands in for an image/audio codec (not available in
+    * this environment). Deterministic: "features" are a 16-bin byte
+    * histogram normalized by length; checksum is a polynomial byte hash.
+    * A real deployment swaps only this function body (signature and
+    * batching stay). */
+  private def stubDecode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    // per-partition init would happen here (codec handles, model weights…)
+    rows.map { r =>
+      val hist = new Array[Float](16)
+      var check = 1125899906842597L
+      var i = 0
+      while (i < r.payload.length) {
+        val b = r.payload(i) & 0xFF
+        hist(b % 16) += 1f
+        check = check * 31 + b
+        i += 1
+      }
+      val n = math.max(r.payload.length, 1).toFloat
+      MediaFeatures(r.doc_id, r.payload.length, r.format,
+        hist.map(_ / n), check)
+    }
+  }
+
+  /** Build the media table: binary payload + metadata struct. The
+    * payload/meta derivation is oracle-checkable SQL (octet lengths). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("text/plain").as("format"),
+          (col("n_chars") % 640).cast(IntegerType).as("width"),
+          (col("n_chars") % 480).cast(IntegerType).as("height")).as("meta"))
+
+  /** Oracle-checked plumbing: payload byte accounting. */
+  def m01_multimodal_bytes(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        col("meta.format").as("format"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .orderBy(col("doc_id"))
+
+  /** The decode/feature-extract pipeline (rows-only check; MultimodalSpec
+    * asserts feature shape + determinism). */
+  def m02_multimodal_features(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .as[MediaRow]
+    media.mapPartitions(stubDecode)
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("format"),
+        size(col("feature")).as("feature_dim"),
+        element_at(col("feature"), 1).cast(DoubleType).as("f0"),
+        col("checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_multimodal_bytes" -> (m01_multimodal_bytes _),
+    "m02_multimodal_features" -> (m02_multimodal_features _))
+
+  val oracle: Map[String, String] = Map(
+    "m01_multimodal_bytes" ->
+      """SELECT doc_id,
+        |  OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+        |  'text/plain' AS format,
+        |  CAST(n_chars % 640 AS INT) AS width,
+        |  CAST(n_chars % 480 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

