@@ -19,25 +19,39 @@ object TextFns {
   /** Whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalized(text), " ")
 
-  /** Distinct word k-shingles (k consecutive tokens joined by a space) —
-    * the MinHash input unit. A document shorter than k tokens yields its
-    * whole token string as the single shingle (standard practice). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))),
-        s => length(s) > 0))
-  }
+  /** Word k-shingles (k consecutive tokens joined by a space) — the
+    * MinHash input unit. A document shorter than k tokens yields its
+    * whole token string as the single shingle (standard practice).
+    *
+    * Deliberately a multiset (no array_distinct): array_distinct is
+    * O(n²) per row — measured as the dominant dedup cost at sf0.1 —
+    * while MinHash (min over elements) and set-Jaccard via
+    * array_intersect/array_union are both multiset-insensitive. */
+  def shingles(text: Column, k: Int): Column = shinglesFromTokens(tokens(text), k)
 
-  /** Distinct character n-grams of the normalized text. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = normalized(text)
-    array_distinct(
-      filter(
-        transform(sequence(lit(0), greatest(length(t) - n, lit(0))),
-          i => t.substr(i + lit(1), lit(n))),
-        s => length(s) === n))
-  }
+  /** Shingles from an already-materialized token-array column.
+    * IMPORTANT: pass a real column (withColumn), not the tokens(…)
+    * expression — an outer expression referenced inside a higher-order
+    * lambda is re-evaluated once per array element, so inline tokens()
+    * would re-run its regexes ~n_positions times per row (measured 50 s
+    * for 5 000 docs at sf0.1; materialized: sub-second). */
+  def shinglesFromTokens(toks: Column, k: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))),
+      s => length(s) > 0)
+
+  /** Character n-grams of the normalized text (multiset — consumers
+    * needing set semantics dedupe at the postings level, where the
+    * shuffle's partial aggregation does it in O(n)). */
+  def charNgrams(text: Column, n: Int): Column =
+    charNgramsFromNormalized(normalized(text), n)
+
+  /** n-grams from an already-materialized normalized-text column (same
+    * per-element re-evaluation caveat as [[shinglesFromTokens]]). */
+  def charNgramsFromNormalized(t: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(length(t) - n, lit(0))),
+        i => t.substr(i + lit(1), lit(n))),
+      s => length(s) === n)
 }

@@ -38,8 +38,14 @@ object Dedup {
   /** Docs + MinHash signature + LSH band hashes (all per-row compute). */
   private def minhashDocs(docsRaw: DataFrame): DataFrame =
     docsRaw
-      .select(col("doc_id"), TextFns.shingles(col("text"), SHINGLE_K).as("sh"))
-      .withColumn("sig", HashFns.minhashSignature(col("sh"), MINHASH_N))
+      // tokens materialized first — see TextFns.shinglesFromTokens note
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextFns.shinglesFromTokens(col("toks"), SHINGLE_K).as("sh"))
+      // materialize base hashes once — see HashFns.minhashFromBases CSE note
+      .withColumn("mh_bases", HashFns.baseHashes(col("sh")))
+      .withColumn("sig", HashFns.minhashFromBases(col("mh_bases"), MINHASH_N))
+      .drop("mh_bases")
       .withColumn("bands", HashFns.lshBands(col("sig"), LSH_BANDS, MINHASH_N / LSH_BANDS))
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
@@ -92,7 +98,10 @@ object Dedup {
   /** Core, corpus-independent: input needs (doc_id, text). */
   def simhashDedup(docsRaw: DataFrame): DataFrame = {
     val docs = docsRaw
-      .select(col("doc_id"), HashFns.simhash(TextFns.tokens(col("text"))).as("sh64"))
+      // tokens materialized before the per-element hash transform
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), HashFns.baseHashes(col("toks")).as("tok_h"))
+      .select(col("doc_id"), HashFns.simhashFromHashes(col("tok_h")).as("sh64"))
       .withColumn("bands", array((0 until 4).map(j =>
         shiftrightunsigned(col("sh64"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .cache()
@@ -118,28 +127,44 @@ object Dedup {
 
   /** Core, corpus-independent: input needs (doc_id, text). */
   def ngramJaccardDedup(docsRaw: DataFrame): DataFrame = {
-    val docs = docsRaw
-      .select(col("doc_id"), TextFns.charNgrams(col("text"), 3).as("grams"))
-      .withColumn("n_grams", size(col("grams")))
+    val total = docsRaw.select(col("doc_id")).distinct().count()
+    // postings carry a hashed gram (8-byte key) instead of the string —
+    // at 100 TB the posting shuffle is the dominant cost and this cuts
+    // its width; xxhash64 collisions only add (rare) false candidates.
+    // (doc, gram) dedup happens here via groupBy — partial aggregation
+    // does it in O(n), replacing a per-row O(n²) array_distinct.
+    val postings = docsRaw
+      // normalized text materialized first — see TextFns note
+      .select(col("doc_id"), TextFns.normalized(col("text")).as("norm"))
+      .select(col("doc_id"),
+        explode(TextFns.charNgramsFromNormalized(col("norm"), 3)).as("gram"))
+      .groupBy(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
+      .agg(count(lit(1)).as("_dup")).drop("_dup")
       .cache()
-    val total = docs.count()
-    val postings = docs.select(col("doc_id"), col("n_grams"),
-      explode(col("grams")).as("gram"))
-    // stop-gram cap: drop grams present in >20% of docs (floor of 2 so
-    // tiny corpora don't integer-divide the cap to zero)
-    val rare = postings.withColumn("df",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
-      .filter(col("df") <= math.max(total / 5, 2L))
+    // distinct-gram count per doc (the |A| and |B| of the Jaccard)
+    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    // stop-gram cap: the pair join is quadratic in posting-list length
+    // (a gram with df=d yields d²/2 candidate pairs), so the cap must be
+    // absolute, not proportional — df ≤ min(20% of corpus, 200), floored
+    // at 2 for tiny corpora. Near-dups still share plenty of rare grams;
+    // this is the standard inverted-index skew guard at scale.
+    // df via groupBy (partial-agg shrinks map-side) beats a window count
+    // (which must sort every posting row).
+    val dfCap = math.max(math.min(total / 5, 200L), 2L)
+    val dfs = postings.groupBy(col("gram_h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+    val rare = postings.join(dfs, "gram_h")
     val shared = rare.as("l").join(rare.as("r"),
-        col("l.gram") === col("r.gram") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        col("l.n_grams").as("na"), col("r.n_grams").as("nb"))
+        col("l.gram_h") === col("r.gram_h") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .agg(count(lit(1)).as("n_shared"))
     val verified = shared
+      .join(sizes.select(col("doc_id").as("a"), col("n_grams").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_grams").as("nb")), "b")
       .withColumn("jaccard", col("n_shared").cast(DoubleType) /
         (col("na") + col("nb") - col("n_shared")))
       .filter(col("jaccard") >= 0.7)
-    perDocVerdict(docs.select("doc_id"), verified)
+    perDocVerdict(docsRaw.select("doc_id"), verified)
   }
 
   /** Embedding-cosine near-dedup: random-hyperplane (sign) LSH over the

@@ -126,7 +126,25 @@ object Scalars {
         array_max(col("embedding")).cast(DoubleType).as("emb_max"))
       .orderBy(col("vec_id"))
 
+  /** The SQL surface itself: corpus tables registered as views, the
+    * query text executed verbatim by `spark.sql` — and the oracle is the
+    * very same string (both engines speak the shared ANSI subset). */
+  val sqlPassthrough: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS qty_sum,
+      |  MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+      |FROM lineitem
+      |WHERE l_discount > 0.02
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def q30_sql_passthrough(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Schemas.registerCorpus(spark, dir)
+    spark.sql(sqlPassthrough)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_sql_passthrough" -> (q30_sql_passthrough _),
     "q21_string_fns" -> (q21_string_fns _),
     "q22_date_fns" -> (q22_date_fns _),
     "q23_hash_fns" -> (q23_hash_fns _),
@@ -137,6 +155,7 @@ object Scalars {
     "q28_array_fns" -> (q28_array_fns _))
 
   val oracle: Map[String, String] = Map(
+    "q30_sql_passthrough" -> sqlPassthrough,
     "q21_string_fns" ->
       """SELECT c_custkey,
         |  UPPER(c_name) AS name_upper,

@@ -64,19 +64,24 @@ object TextAnalysis {
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
       "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
       "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"))
-    val toks = TextFns.tokens(col("text"))
-    val scores = langStops.map { case (lang, stops) =>
-      lang -> (size(filter(toks, t => t.isin(stops: _*))).cast(DoubleType) /
-        greatest(size(toks), lit(1)))
+    // tokens and per-language scores materialized as real columns: the
+    // argmax expression references each score several times, and inline
+    // trees would re-run the tokenizer regexes for every reference
+    val withToks = docs.withColumn("_toks", TextFns.tokens(col("text")))
+    val withScores = langStops.foldLeft(withToks) { case (df, (lang, stops)) =>
+      df.withColumn(s"_score_$lang",
+        size(filter(col("_toks"), t => t.isin(stops: _*))).cast(DoubleType) /
+          greatest(size(col("_toks")), lit(1)))
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val scoreCols = langStops.map { case (lang, _) => lang -> col(s"_score_$lang") }
+    val best = greatest(scoreCols.map(_._2): _*)
     // argmax: first language whose score equals the max and is > 0
-    val pred = scores.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+    val pred = scoreCols.foldRight(lit("unknown")) { case ((lang, s), acc) =>
       when(s === best && s > 0.0, lang).otherwise(acc)
     }
-    docs
+    withScores
       .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
-        scores.head._2.as("score_en"))
+        col("_score_en").as("score_en"))
       .orderBy(col("doc_id"))
   }
 
