@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Windows.queries ++ operators.SetOps.queries ++
       operators.Scalars.queries ++ operators.StreamingQueries.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
-      operators.TextAnalysis.queries ++ operators.Multimodal.queries
+      operators.TextAnalysis.queries ++ operators.Multimodal.queries ++
+      operators.AsOf.queries ++ operators.UdxQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       operators.Windows.oracle ++ operators.SetOps.oracle ++
       operators.Scalars.oracle ++ operators.StreamingQueries.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
-      operators.TextAnalysis.oracle ++ operators.Multimodal.oracle
+      operators.TextAnalysis.oracle ++ operators.Multimodal.oracle ++
+      operators.AsOf.oracle ++ operators.UdxQueries.oracle
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFns, Udx}
+
+/** Queries exercising the user-extension tiers (SURVEY.md §2.2 UDF/UDAF
+  * row): typed Aggregator, codegen'd Catalyst Expression, plain udf. */
+object UdxQueries {
+
+  /** UDAF: quantity-weighted mean price per return flag via the
+    * WeightedMean Aggregator (fixed-point exact, merge-order-free). */
+  def u01_udaf_weighted_mean(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(Udx.WeightedMean.toColumn.name("wmean"))
+      .toDF("l_returnflag", "wmean_price")
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Custom codegen Expression: FNV-1a 64 content hash (rows-only —
+    * no DuckDB equivalent; UdxSpec checks against the reference impl). */
+  def u02_custom_expr_fnv(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("_norm", TextFns.normalized(col("text")))
+      .select(col("doc_id"), Udx.graft_fnv64(col("_norm")).as("fnv64"))
+      .orderBy(col("doc_id"))
+
+  /** Plain Scala udf: token count, oracle-checked against the regex
+    * split both engines agree on. */
+  def u03_scala_udf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), Udx.tokenCountUdf(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u01_udaf_weighted_mean" -> (u01_udaf_weighted_mean _),
+    "u02_custom_expr_fnv" -> (u02_custom_expr_fnv _),
+    "u03_scala_udf" -> (u03_scala_udf _))
+
+  val oracle: Map[String, String] = Map(
+    "u01_udaf_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS wmean_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "u03_scala_udf" ->
+      """SELECT doc_id,
+        |  LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
