@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Scalars.queries ++ operators.StreamingQueries.queries ++
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.Multimodal.queries ++
-      operators.AsOf.queries ++ operators.UdxQueries.queries
+      operators.AsOf.queries ++ operators.UdxQueries.queries ++
+      operators.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       operators.Scalars.oracle ++ operators.StreamingQueries.oracle ++
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
       operators.TextAnalysis.oracle ++ operators.Multimodal.oracle ++
-      operators.AsOf.oracle ++ operators.UdxQueries.oracle
+      operators.AsOf.oracle ++ operators.UdxQueries.oracle ++
+      operators.Skew.oracle
 }

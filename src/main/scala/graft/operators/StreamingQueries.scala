@@ -102,25 +102,37 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Built-in session windows (`session_window`, 30-min gap) — the
+    * declarative counterpart of s04's custom state machine; same oracle
+    * family. Session ids are re-derived per user by start order so the
+    * output matches the lag/cumsum SQL exactly. */
+  def s05_session_window(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sessions = Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_raw"), max(col("ts")).as("end_raw"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("start_raw"))
+    sessions
+      .withColumn("session_id", row_number().over(w))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        col("start_raw").cast(org.apache.spark.sql.types.TimestampNTZType).as("start_ts"),
+        col("end_raw").cast(org.apache.spark.sql.types.TimestampNTZType).as("end_ts"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_batcher_conservation" -> (s01_batcher_conservation _),
     "s02_batcher_disabled" -> (s02_batcher_disabled _),
     "s03_stream_windows" -> (s03_stream_windows _),
-    "s04_stream_sessions" -> (s04_stream_sessions _))
+    "s04_stream_sessions" -> (s04_stream_sessions _),
+    "s05_session_window" -> (s05_session_window _))
 
-  val oracle: Map[String, String] = Map(
-    "s01_batcher_conservation" ->
-      "SELECT COUNT(*) AS rows_written, SUM(event_id) AS event_id_sum FROM events",
-    "s02_batcher_disabled" ->
-      "SELECT CAST(0 AS BIGINT) AS rows_written",
-    "s03_stream_windows" ->
-      """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
-        |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS value_sum
-        |FROM events GROUP BY window_start, event_type
-        |ORDER BY window_start, event_type""".stripMargin,
-    "s04_stream_sessions" ->
-      """WITH o AS (
+  /** Shared session oracle: 30-min-gap sessions via lag + cumulative sum
+    * (used by both the stateful s04 and the declarative s05 — they must
+    * agree with each other and with this SQL). */
+  private val sessionOracleSql: String =
+    """WITH o AS (
         |  SELECT user_id, event_id, ts,
         |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events),
@@ -137,5 +149,19 @@ object StreamingQueries {
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |  MIN(ts) AS start_ts, MAX(ts) AS end_ts
         |FROM g GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)
+        |ORDER BY user_id, session_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s01_batcher_conservation" ->
+      "SELECT COUNT(*) AS rows_written, SUM(event_id) AS event_id_sum FROM events",
+    "s02_batcher_disabled" ->
+      "SELECT CAST(0 AS BIGINT) AS rows_written",
+    "s03_stream_windows" ->
+      """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "s04_stream_sessions" -> sessionOracleSql,
+    "s05_session_window" -> sessionOracleSql)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Source/sink format coverage (SURVEY.md §2.2 "Sinks / file formats"):
+  * csv, json, orc round-trips with explicit schemas, partitioned parquet
+  * writes with partition pruning reaching the scan. */
+class FormatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.base("local[4]", 4)
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def assertSameRows(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit = {
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("csv round-trip with explicit schema (no inference scan)") {
+    val out = tmp("fmt_csv")
+    val cust = Tables.customer(spark, dir)
+    cust.write.mode("overwrite").option("header", "true").csv(out)
+    val back = spark.read.schema(Tables.customer).option("header", "true").csv(out)
+    assertSameRows(cust, back)
+  }
+
+  test("json round-trip with explicit schema") {
+    val out = tmp("fmt_json")
+    val nat = Tables.nation(spark, dir)
+    nat.write.mode("overwrite").json(out)
+    val back = spark.read.schema(Tables.nation).json(out)
+    assertSameRows(nat, back)
+  }
+
+  test("orc round-trip preserves full lineitem including timestamps") {
+    val out = tmp("fmt_orc")
+    val li = Tables.lineitem(spark, dir)
+    li.write.mode("overwrite").orc(out)
+    assertSameRows(li, spark.read.orc(out))
+  }
+
+  test("partitioned parquet write + partition pruning reaches the scan") {
+    val out = tmp("fmt_part")
+    Tables.orders(spark, dir).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(out)
+    val q = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderstatus"), s"pruning missing in:\n$plan")
+    // only the F partition directory is read
+    val expected = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F").count()
+    assert(q.count() === expected)
+  }
+
+  test("parquet writer honors maxRecordsPerFile (the batch-size knob)") {
+    val out = tmp("fmt_cap")
+    Tables.orders(spark, dir).coalesce(1).write.mode("overwrite")
+      .option("maxRecordsPerFile", 100).parquet(out)
+    val perFile = spark.read.parquet(out)
+      .groupBy(input_file_name()).count()
+      .agg(max("count")).head().getLong(0)
+    assert(perFile <= 100)
+  }
+}
