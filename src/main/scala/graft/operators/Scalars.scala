@@ -143,8 +143,21 @@ object Scalars {
     spark.sql(sqlPassthrough)
   }
 
+  /** Map functions: construct, extract, enumerate keys. */
+  def q36_map_fns(spark: SparkSession, dir: String): DataFrame = {
+    val m = map(lit("lang"), col("lang"), lit("src"), col("source"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(m, "lang").as("lang_val"),
+        size(m).as("n_keys"),
+        concat_ws(",", map_keys(m)).as("keys_csv"),
+        concat_ws(",", map_values(m)).as("vals_csv"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_sql_passthrough" -> (q30_sql_passthrough _),
+    "q36_map_fns" -> (q36_map_fns _),
     "q21_string_fns" -> (q21_string_fns _),
     "q22_date_fns" -> (q22_date_fns _),
     "q23_hash_fns" -> (q23_hash_fns _),
@@ -156,6 +169,13 @@ object Scalars {
 
   val oracle: Map[String, String] = Map(
     "q30_sql_passthrough" -> sqlPassthrough,
+    "q36_map_fns" ->
+      """SELECT doc_id,
+        |  (MAP {'lang': lang, 'src': source}['lang'])[1] AS lang_val,
+        |  CAST(CARDINALITY(MAP {'lang': lang, 'src': source}) AS INT) AS n_keys,
+        |  ARRAY_TO_STRING(MAP_KEYS(MAP {'lang': lang, 'src': source}), ',') AS keys_csv,
+        |  ARRAY_TO_STRING(MAP_VALUES(MAP {'lang': lang, 'src': source}), ',') AS vals_csv
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q21_string_fns" ->
       """SELECT c_custkey,
         |  UPPER(c_name) AS name_upper,

@@ -38,8 +38,26 @@ object UdxQueries {
       .select(col("doc_id"), Udx.tokenCountUdf(col("text")).as("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Typed flatMap — the Scala analogue of a UDTF (one row in, many
+    * typed rows out), here sentence-splitting with ordinals. At scale
+    * this is per-row generation inside the scan stage; prefer built-in
+    * explode/posexplode when the logic is expressible as arrays. */
+  def u04_typed_flatmap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split("\\. ").iterator.zipWithIndex.map {
+          case (s, i) => (id, i + 1, s)
+        }
+      }
+      .toDF("doc_id", "idx", "sentence")
+      .orderBy(col("doc_id"), col("idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u01_udaf_weighted_mean" -> (u01_udaf_weighted_mean _),
+    "u04_typed_flatmap" -> (u04_typed_flatmap _),
     "u02_custom_expr_fnv" -> (u02_custom_expr_fnv _),
     "u03_scala_udf" -> (u03_scala_udf _))
 
@@ -52,5 +70,10 @@ object UdxQueries {
     "u03_scala_udf" ->
       """SELECT doc_id,
         |  LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS n_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "u04_typed_flatmap" ->
+      """WITH d AS (SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(text, '\. ') AS arr FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS idx, arr[i] AS sentence
+        |FROM d, UNNEST(RANGE(1, LEN(arr) + 1)) AS t(i)
+        |ORDER BY doc_id, idx""".stripMargin)
 }
