@@ -21,9 +21,14 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine functions exposed on the SQL surface too
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_fnv64", exprs => graft.functions.Udx.Fnv64Expr(exprs.head), "scala_udf")
     spark
   }
 }

@@ -82,7 +82,25 @@ object Aggregates {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact interpolated percentiles (sort-based). Cross-engine parity
+    * holds here because l_quantity is integer-valued and quartile
+    * interpolation weights are dyadic (k/4) — the interpolated values
+    * are exactly representable, so formula-ordering differences between
+    * engines cannot produce different doubles. Arbitrary p on arbitrary
+    * doubles would NOT be parity-safe; use approx_percentile at scale. */
+  def q37_percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        min(col("l_quantity")).as("qmin"),
+        max(col("l_quantity")).as("qmax"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_percentiles" -> (q37_percentiles _),
     "q10_agg_distinct" -> (q10_agg_distinct _),
     "q11_agg_rollup" -> (q11_agg_rollup _),
     "q12_agg_cube" -> (q12_agg_cube _),
@@ -90,6 +108,13 @@ object Aggregates {
     "q29_agg_approx_distinct" -> (q29_agg_approx_distinct _))
 
   val oracle: Map[String, String] = Map(
+    "q37_percentiles" ->
+      """SELECT l_returnflag,
+        |  QUANTILE_CONT(l_quantity, 0.25) AS p25,
+        |  QUANTILE_CONT(l_quantity, 0.5) AS p50,
+        |  QUANTILE_CONT(l_quantity, 0.75) AS p75,
+        |  MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q10_agg_distinct" ->
       """SELECT l_returnflag,
         |  COUNT(DISTINCT l_partkey) AS n_parts,

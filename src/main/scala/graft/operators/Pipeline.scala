@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.TextFns
+
+/** End-to-end corpus-cleaning pipeline — the composed training-data
+  * prep flow (quality gate → exact dedup keep-first → token accounting)
+  * as ONE declarative plan, so Catalyst fuses the per-row stages into a
+  * single scan pass and the only shuffles are the dedup groupBy and the
+  * keep-join.
+  *
+  * This is the flagship "a user of the reference switches to this
+  * library" demo: ingest-grade hygiene, oracle-checked.
+  */
+object Pipeline {
+
+  def p01_clean_corpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("letter_ratio",
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[a-zA-Z]", ""))).cast(DoubleType) /
+          length(col("text")))
+    val quality = docs.filter(col("letter_ratio") > 0.5 &&
+      col("n_tokens") >= 10 && col("n_tokens") <= 1000)
+    val keep = quality
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id").as("doc_id"))
+    quality.join(keep, "doc_id") // keep-first survivors
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("letter_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_clean_corpus" -> (p01_clean_corpus _))
+
+  val oracle: Map[String, String] = Map(
+    "p01_clean_corpus" ->
+      """WITH q AS (
+        |  SELECT doc_id, text, lang,
+        |    LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS n_tokens,
+        |    CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / LENGTH(text) AS letter_ratio
+        |  FROM documents),
+        |f AS (
+        |  SELECT * FROM q
+        |  WHERE letter_ratio > 0.5 AND n_tokens BETWEEN 10 AND 1000),
+        |k AS (
+        |  SELECT MIN(doc_id) AS keep_id FROM f GROUP BY SHA256(text))
+        |SELECT doc_id, lang, n_tokens, letter_ratio
+        |FROM f WHERE doc_id IN (SELECT keep_id FROM k)
+        |ORDER BY doc_id""".stripMargin)
+}
