@@ -56,10 +56,14 @@ object Dedup {
   private def lshCandidates(docs: DataFrame): DataFrame = {
     val bandRows = docs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_i", "band_h")))
-    val capped = bandRows.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band_i"), col("band_h"))))
+    // bucket-size guard via groupBy + join (partial agg, no per-bucket
+    // sort — same pattern as the n-gram inverted index): a degenerate
+    // bucket (all-identical docs) would otherwise explode quadratically
+    val smallBuckets = bandRows.groupBy(col("band_i"), col("band_h"))
+      .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") <= 1000)
+      .select(col("band_i"), col("band_h"))
+    val capped = bandRows.join(smallBuckets, Seq("band_i", "band_h"))
     capped.as("l").join(capped.as("r"),
         col("l.band_i") === col("r.band_i") &&
           col("l.band_h") === col("r.band_h") &&
@@ -105,8 +109,13 @@ object Dedup {
       .withColumn("bands", array((0 until 4).map(j =>
         shiftrightunsigned(col("sh64"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .cache()
-    val bandRows = docs.select(col("doc_id"), col("sh64"),
+    val bandRows0 = docs.select(col("doc_id"), col("sh64"),
       posexplode(col("bands")).as(Seq("band_i", "band_h")))
+    // same degenerate-bucket guard as the MinHash path
+    val smallBuckets = bandRows0.groupBy(col("band_i"), col("band_h"))
+      .agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") <= 1000)
+      .select(col("band_i"), col("band_h"))
+    val bandRows = bandRows0.join(smallBuckets, Seq("band_i", "band_h"))
     val cand = bandRows.as("l").join(bandRows.as("r"),
         col("l.band_i") === col("r.band_i") &&
           col("l.band_h") === col("r.band_h") &&

@@ -16,8 +16,13 @@ class BucketingSpec extends AnyFunSuite {
   test("bucketed tables join without any Exchange; results match unbucketed join") {
     val li = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
-    spark.sql("DROP TABLE IF EXISTS li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    // the in-memory catalog is fresh per JVM but the warehouse dir is
+    // not — drop both the table entry and its leftover location
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh, t))
+    }
     li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("li_bucketed")
     o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
