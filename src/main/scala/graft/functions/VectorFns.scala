@@ -56,4 +56,56 @@ object VectorFns {
     array((0 until tables).map { t =>
       signBucket(vec, nBits, dim, seed = 7L + t) + lit(t.toLong << 48)
     }: _*)
+
+  /** Lloyd's k-means over a driver-held sample — the IVF coarse
+    * quantizer. At 100 TB the sample (thousands of vectors) still fits
+    * the driver; the resulting centroids ship to executors as plan
+    * literals. Deterministic: init = first k sample points, fixed
+    * iteration count. */
+  def kmeans(sample: Array[Array[Float]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dim = sample.head.length
+    var centroids = sample.take(k).map(_.map(_.toDouble))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestIdx(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestIdx(v: Array[Float], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nProbe nearest centroid cells of a vector, as a column
+    * expression: per-centroid squared distances (fold arithmetic),
+    * packed into (dist, idx) structs, array_sort, take nProbe indices.
+    * Data rows use nProbe=1 (their cell); queries probe several. */
+  def nearestCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val structs = centroids.zipWithIndex.map { case (cent, i) =>
+      val centCol = typedlit(cent.toSeq)
+      val d2 = foldSum(zip_with(vec, centCol,
+        (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)))
+      struct(d2.as("dist"), lit(i).as("idx"))
+    }
+    transform(slice(array_sort(array(structs: _*)), 1, nProbe), s => s.getField("idx"))
+  }
 }

@@ -197,6 +197,25 @@ object Dedup {
     perDocVerdict(emb.select("doc_id"), verified)
   }
 
+  /** Incremental dedup — the production shape: a new snapshot (here:
+    * doc_id ≥ 250) is deduplicated against a persisted fingerprint store
+    * (doc_id < 250) via anti-join on the content fingerprint, then
+    * self-deduplicated keep-first. At 100 TB the store is a compact
+    * (fingerprint) table; the anti-join broadcasts or shuffles only
+    * 8-byte keys — never the historical corpus itself. */
+  def d06_dedup_incremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("fp", sha2(col("text"), 256))
+    val store = docs.filter(col("doc_id") < 250).select(col("fp"))
+    val fresh = docs.filter(col("doc_id") >= 250)
+    val unseen = fresh.join(store, Seq("fp"), "left_anti")
+    val keep = unseen.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    unseen.join(keep, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc verdict under keep-first policy: a doc is a duplicate iff
     * it appears as the larger id of a verified pair. */
   private def perDocVerdict(allDocs: DataFrame, verifiedPairs: DataFrame): DataFrame = {
@@ -212,10 +231,20 @@ object Dedup {
     "d02_dedup_minhash_lsh" -> (d02_dedup_minhash_lsh _),
     "d03_dedup_simhash" -> (d03_dedup_simhash _),
     "d04_dedup_ngram_jaccard" -> (d04_dedup_ngram_jaccard _),
-    "d05_dedup_embedding" -> (d05_dedup_embedding _))
+    "d05_dedup_embedding" -> (d05_dedup_embedding _),
+    "d06_dedup_incremental" -> (d06_dedup_incremental _))
 
   val oracle: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT SHA256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY SHA256(text) ORDER BY keep_id""".stripMargin)
+        |FROM documents GROUP BY SHA256(text) ORDER BY keep_id""".stripMargin,
+    "d06_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, SHA256(text) AS fp FROM documents),
+        |store AS (SELECT fp FROM d WHERE doc_id < 250),
+        |fresh AS (SELECT * FROM d WHERE doc_id >= 250),
+        |unseen AS (SELECT * FROM fresh WHERE fp NOT IN (SELECT fp FROM store)),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM unseen GROUP BY fp)
+        |SELECT doc_id, lang, n_chars FROM unseen
+        |WHERE doc_id IN (SELECT doc_id FROM keep)
+        |ORDER BY doc_id""".stripMargin)
 }

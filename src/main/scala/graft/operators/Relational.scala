@@ -147,6 +147,48 @@ object Relational {
       .orderBy(col("s_name"))
   }
 
+  /** TPC-H Q3-shaped shipping priority: top-10 unshipped BUILDING orders
+    * by revenue. Two selective filters push to the scans; the join is
+    * orderkey-coensure; top-k via TakeOrdered with a total order. */
+  def q38_shipping_priority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast(TimestampNTZType)
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(m(col("l_extendedprice")) * f(lit(1.0) - col("l_discount")))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q7-shaped nation volume: supplier-nation × customer-nation
+    * revenue per ship year. Demonstrates a 6-table plan where only
+    * lineitem⋈orders shuffles; all dims broadcast. */
+  def q39_nation_volume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(m(col("l_extendedprice")) * f(lit(1.0) - col("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("ship_year"))
+  }
+
   private val discPriceSql =
     s"${sqlM("l_extendedprice")} * ${sqlF("1.0 - l_discount")}"
 
@@ -159,7 +201,9 @@ object Relational {
     "q06_join_multi_star" -> (q06_join_multi_star _),
     "q07_join_semi" -> (q07_join_semi _),
     "q08_join_anti" -> (q08_join_anti _),
-    "q09_join_theta" -> (q09_join_theta _))
+    "q09_join_theta" -> (q09_join_theta _),
+    "q38_shipping_priority" -> (q38_shipping_priority _),
+    "q39_nation_volume" -> (q39_nation_volume _))
 
   val oracle: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -224,5 +268,29 @@ object Relational {
       s"""SELECT s_name, COUNT(*) AS n_parts, ${sqlDsum("p_retailprice")} AS price_sum
          |FROM supplier JOIN part ON s_acctbal < p_retailprice
          |WHERE p_size = 1
-         |GROUP BY s_name ORDER BY s_name""".stripMargin)
+         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q38_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q39_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  YEAR(l_shipdate) AS ship_year,
+         |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |GROUP BY supp_nation, cust_nation, ship_year
+         |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin)
 }

@@ -73,9 +73,43 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** IVF-style ANN: a k-means coarse quantizer (fit on a driver-held
+    * deterministic sample, centroids baked into the plan as literals)
+    * partitions vectors into cells; data rows index into their 1 nearest
+    * cell, queries probe the 3 nearest, exact cosine re-ranks within the
+    * probed cells. At 100 TB: the sample collect is thousands of rows,
+    * the assignment is per-row codegen arithmetic, candidates come from
+    * an equi-join on cell id — same join shape as the LSH path but with
+    * data-adaptive partitions (better for clustered corpora). */
+  def v03_sim_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    // deterministic sample for the quantizer (every 7th vector)
+    val sample = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("embedding")).as[Array[Float]].collect()
+    val centroids = VectorFns.kmeans(sample, k = 16, iters = 8)
+    val cells = emb.withColumn("cell",
+      element_at(VectorFns.nearestCells(col("embedding"), centroids, 1), 1))
+    val queries = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(VectorFns.nearestCells(col("embedding"), centroids, 3)).as("cell"))
+    val pairs = broadcast(queries)
+      .join(cells, Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_sim_bruteforce_topk" -> (v01_sim_bruteforce_topk _),
-    "v02_sim_lsh_topk" -> (v02_sim_lsh_topk _))
+    "v02_sim_lsh_topk" -> (v02_sim_lsh_topk _),
+    "v03_sim_ivf_topk" -> (v03_sim_ivf_topk _))
 
   /** DuckDB mirror of the fold-based cosine: LIST_ZIP + LIST_REDUCE fold
     * left-to-right in double — bit-identical to Spark's zip_with +

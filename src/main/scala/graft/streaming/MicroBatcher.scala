@@ -85,8 +85,18 @@ final class MicroBatcher(config: BatcherConfig, sink: BatchSink) extends Seriali
     * flush is equivalent observable behavior with less custom source
     * code — rows never reach the sink). */
   def start[T](ds: Dataset[T], checkpointDir: String): StreamingQuery =
+    startWith(ds, checkpointDir, Trigger.ProcessingTime(config.interval.toMillis))
+
+  /** Drain mode: process everything currently available in bounded
+    * micro-batches, then terminate — the batch-backfill entry point
+    * (same sink, same idempotency; `Trigger.AvailableNow`). */
+  def drain[T](ds: Dataset[T], checkpointDir: String): StreamingQuery =
+    startWith(ds, checkpointDir, Trigger.AvailableNow())
+
+  private def startWith[T](ds: Dataset[T], checkpointDir: String,
+      trigger: Trigger): StreamingQuery =
     ds.toDF().writeStream
-      .trigger(Trigger.ProcessingTime(config.interval.toMillis))
+      .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         if (config.enabled && !df.isEmpty) {

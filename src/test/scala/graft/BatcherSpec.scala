@@ -96,6 +96,17 @@ class BatcherSpec extends AnyFunSuite {
     }
   }
 
+  test("drain mode (AvailableNow) processes queued rows then terminates on its own") {
+    import spark.implicits._
+    val outDir = tmp("drain_out")
+    val ingest = new AsyncIngest[LimitHash](spark.sqlContext)
+    ingest.saveAllAsync((0 until 1234).map(i => LimitHash(s"u$i", i.toLong, null, s"h$i")))
+    val batcher = new MicroBatcher(BatcherConfig(1.hour, 500), new ParquetBatchSink(outDir))
+    val q = batcher.drain(ingest.toDS(), tmp("drain_ck"))
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(ParquetBatchSink.readAll(spark, outDir).count() === 1234L)
+  }
+
   test("disabled gate drops rows silently (hashes.go:12-15)") {
     import spark.implicits._
     val ingest = new AsyncIngest[LimitHash](spark.sqlContext, enabled = false)

@@ -69,6 +69,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF top-k returns well-formed neighbors with positive overlap vs brute force") {
+    val dir = "/root/testdata/sf0.001"
+    val bf = Similarity.v01_sim_bruteforce_topk(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.v03_sim_ivf_topk(spark, dir)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random (unclustered) vectors are IVF's worst case — 3/16 cells
+    // probed bounds attainable recall; assert sanity, not LSH-level recall
+    val recall = (bf intersect ivf).size.toDouble / bf.size
+    assert(ivf.nonEmpty && recall >= 0.2, s"ivf recall $recall")
+  }
+
   test("language ID recognizes planted languages") {
     val got = TextAnalysis.t03_text_langid(spark, "/root/testdata/sf0.001") // smoke on corpus
     assert(got.count() > 0)
