@@ -121,7 +121,28 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** Streaming exactly-once dedup: every event is fed TWICE (duplicate
+    * delivery, the at-least-once world), `dropDuplicates` on the key +
+    * watermark bounds the dedup state; the sink sees each event once.
+    * Oracle: plain COUNT(*) of the events table. */
+  def s06_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = Tables.events(spark, dir).as[Event].collect()
+    val ingest = new AsyncIngest[Event](spark.sqlContext)
+    val qname = s"graft_stream_dedup_${System.nanoTime()}"
+    val q = ingest.toDS()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+    ingest.saveAllAsync(rows.toSeq ++ rows.toSeq) // duplicate delivery
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname)
+      .agg(count(lit(1)).as("n_unique"), sum(col("event_id")).as("event_id_sum"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s06_stream_dedup" -> (s06_stream_dedup _),
     "s01_batcher_conservation" -> (s01_batcher_conservation _),
     "s02_batcher_disabled" -> (s02_batcher_disabled _),
     "s03_stream_windows" -> (s03_stream_windows _),
@@ -152,6 +173,8 @@ object StreamingQueries {
         |ORDER BY user_id, session_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s06_stream_dedup" ->
+      "SELECT COUNT(*) AS n_unique, SUM(event_id) AS event_id_sum FROM events",
     "s01_batcher_conservation" ->
       "SELECT COUNT(*) AS rows_written, SUM(event_id) AS event_id_sum FROM events",
     "s02_batcher_disabled" ->

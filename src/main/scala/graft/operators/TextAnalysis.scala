@@ -33,22 +33,22 @@ object TextAnalysis {
 
   /** Quality scoring: char-class ratios + stopword density — the usual
     * "is this natural language" heuristics. */
-  def t02_text_quality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(trim(col("text"))), "\\s+")
-    val nToks = size(toks)
-    val nStop = size(filter(toks, t => t.isin(STOPWORDS: _*)))
+  def t02_text_quality(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
+      // tokenizer and letter-count materialized once — every later
+      // reference would otherwise re-run the regex per row per reference
+      .withColumn("_toks", split(lower(trim(col("text"))), "\\s+"))
+      .withColumn("_letters", countMatches(col("text"), "[a-zA-Z]"))
+      .withColumn("_nstop", size(filter(col("_toks"), t => t.isin(STOPWORDS: _*))))
       .select(col("doc_id"),
         length(col("text")).as("text_len"),
-        countMatches(col("text"), "[a-zA-Z]").as("n_letters"),
+        col("_letters").as("n_letters"),
         countMatches(col("text"), "[0-9]").as("n_digits"),
-        (countMatches(col("text"), "[a-zA-Z]").cast(DoubleType) /
-          length(col("text"))).as("letter_ratio"),
-        nToks.as("n_tokens"),
-        nStop.as("n_stopwords"),
-        (nStop.cast(DoubleType) / nToks).as("stopword_ratio"))
+        (col("_letters").cast(DoubleType) / length(col("text"))).as("letter_ratio"),
+        size(col("_toks")).as("n_tokens"),
+        col("_nstop").as("n_stopwords"),
+        (col("_nstop").cast(DoubleType) / size(col("_toks"))).as("stopword_ratio"))
       .orderBy(col("doc_id"))
-  }
 
   /** Language ID by stopword-hit scoring against per-language function
     * word lists (the classic cheap heuristic; real systems use char

@@ -55,6 +55,35 @@ class FormatsSpec extends AnyFunSuite {
     assert(q.count() === expected)
   }
 
+  test("malformed csv: PERMISSIVE captures corrupt records, FAILFAST raises") {
+    val out = tmp("fmt_bad")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out, "bad.csv"),
+      "1,alpha\n2,beta\nnot_a_number,gamma\n3,delta\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val permissive = spark.read.schema(schema).option("mode", "PERMISSIVE").csv(out).cache()
+    assert(permissive.count() === 4)
+    assert(permissive.filter(col("_corrupt_record").isNotNull).count() === 1)
+    val failfast = spark.read
+      .schema(org.apache.spark.sql.types.StructType(schema.dropRight(1)))
+      .option("mode", "FAILFAST").csv(out)
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
+  test("Dataset.observe collects data-quality metrics in the same pass") {
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val li = Tables.lineitem(spark, dir)
+      .observe(obs, count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(9,2)")).as("qty_sum"),
+        count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
+    li.write.format("noop").mode("overwrite").save() // one pass, metrics ride along
+    val m = obs.get
+    assert(m("n").asInstanceOf[Long] === li.count())
+    assert(m("n_discounted").asInstanceOf[Long] > 0)
+  }
+
   test("parquet writer honors maxRecordsPerFile (the batch-size knob)") {
     val out = tmp("fmt_cap")
     Tables.orders(spark, dir).coalesce(1).write.mode("overwrite")
