@@ -42,10 +42,10 @@ object Dedup {
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         TextFns.shinglesFromTokens(col("toks"), SHINGLE_K).as("sh"))
-      // materialize base hashes once — see HashFns.minhashFromBases CSE note
-      .withColumn("mh_bases", HashFns.baseHashes(col("sh")))
-      .withColumn("sig", HashFns.minhashFromBases(col("mh_bases"), MINHASH_N))
-      .drop("mh_bases")
+      // hashed shingles (8-byte elements) serve both the signature and
+      // the exact-Jaccard verify — string shingle arrays never shuffle
+      .select(col("doc_id"), HashFns.baseHashes(col("sh")).as("sh_h"))
+      .withColumn("sig", HashFns.minhashFromBases(col("sh_h"), MINHASH_N))
       .withColumn("bands", HashFns.lshBands(col("sig"), LSH_BANDS, MINHASH_N / LSH_BANDS))
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
@@ -87,8 +87,8 @@ object Dedup {
     val docs = minhashDocs(docsRaw).cache()
     val cand = lshCandidates(docs)
     val verified = cand
-      .join(docs.select(col("doc_id").as("a"), col("sh").as("sh_a")), "a")
-      .join(docs.select(col("doc_id").as("b"), col("sh").as("sh_b")), "b")
+      .join(docs.select(col("doc_id").as("a"), col("sh_h").as("sh_a")), "a")
+      .join(docs.select(col("doc_id").as("b"), col("sh_h").as("sh_b")), "b")
       .filter(jaccard(col("sh_a"), col("sh_b")) >= JACCARD_T)
     perDocVerdict(docs.select("doc_id"), verified)
   }

@@ -55,15 +55,22 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .withColumn("buckets",
         VectorFns.signBuckets(col("embedding"), nBits = 5, tables = 16, dim = 64))
-    val postings = emb.select(col("vec_id"), col("embedding"),
-      explode(col("buckets")).as("bucket"))
+    val postings = emb.select(col("vec_id"), explode(col("buckets")).as("bucket"))
     val queryPost = postings.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-    val pairs = broadcast(queryPost)
+      .select(col("vec_id").as("qid"), col("bucket"))
+    // dedupe candidate (qid, nid) pairs on the bare 16-byte keys BEFORE
+    // attaching vectors — a distinct over embedding arrays would shuffle
+    // 256-byte payloads per (pair × table) instead of once per pair
+    val candidates = broadcast(queryPost)
       .join(postings, Seq("bucket"))
       .filter(col("qid") =!= col("vec_id"))
-      .select(col("qid"), col("vec_id").as("nid"), col("qe"), col("embedding"))
-      .distinct() // a pair found by several tables counts once
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val queryVecs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = candidates
+      .join(broadcast(queryVecs), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding")), "nid")
       .select(col("qid"), col("nid"),
         VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
