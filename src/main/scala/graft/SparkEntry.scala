@@ -20,7 +20,8 @@ object SparkEntry {
       operators.Dedup.queries ++ operators.Similarity.queries ++
       operators.TextAnalysis.queries ++ operators.Multimodal.queries ++
       operators.AsOf.queries ++ operators.UdxQueries.queries ++
-      operators.Skew.queries ++ operators.Pipeline.queries
+      operators.Skew.queries ++ operators.Pipeline.queries ++
+      operators.Reshape.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Dedup.oracle ++ operators.Similarity.oracle ++
       operators.TextAnalysis.oracle ++ operators.Multimodal.oracle ++
       operators.AsOf.oracle ++ operators.UdxQueries.oracle ++
-      operators.Skew.oracle ++ operators.Pipeline.oracle
+      operators.Skew.oracle ++ operators.Pipeline.oracle ++
+      operators.Reshape.oracle
 }

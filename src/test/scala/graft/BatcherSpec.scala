@@ -52,6 +52,9 @@ class BatcherSpec extends AnyFunSuite {
   test("conservation: size-dominated (long tick)") {
     assert(runConservation(2000, 2.seconds, 100, 200) === 2000L)
   }
+  test("conservation: reference-scale load (100k rows, hashes_test.go:88-92)") {
+    assert(runConservation(100000, 50.millis, 90, 5000) === 100000L)
+  }
   test("conservation: tiny loads") {
     assert(runConservation(50, 2.millis, 10, 7) === 50L)
     assert(runConservation(189, 10.millis, 6, 11) === 189L)
