@@ -58,7 +58,7 @@ object Reshape {
          |  COUNT(o_totalprice) AS n_nonnull,
          |  SUM(CAST(o_totalprice IS NULL AS BIGINT)) AS n_null,
          |  SUM(CAST(o_custkey IS NOT DISTINCT FROM NULL AS BIGINT)) AS n_nullsafe_eq_null,
-         |  CAST(SUM(${sqlM("COALESCE(o_totalprice, 0.0)")}) AS DOUBLE) AS price_sum
+         |  ${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS price_sum
          |FROM customer LEFT JOIN
          |  (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'P') o
          |  ON c_custkey = o_custkey
