@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Library integration point for sessions the engine does not itself
+  * create: `--conf spark.sql.extensions=graft.GraftExtensions` injects
+  * the engine's native expressions into any session at build time
+  * (the standard third-party-engine mechanism; [[Sessions.base]] does
+  * the same registration imperatively for sessions we build). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      FunctionIdentifier("graft_fnv64"),
+      new ExpressionInfo(classOf[functions.Udx.Fnv64Expr].getName, "graft_fnv64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        functions.Udx.Fnv64Expr(exprs.head)))
+  }
+}

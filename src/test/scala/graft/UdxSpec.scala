@@ -43,4 +43,29 @@ class UdxSpec extends AnyFunSuite {
   test("WeightedMean zero weight yields 0") {
     assert(Udx.WeightedMean.finish(Udx.WeightedMean.zero) === 0.0)
   }
+
+  test("graft_fnv64 is callable from the SQL surface (Sessions registration)") {
+    val got = spark.sql("SELECT graft_fnv64('hello world') AS h").head().getLong(0)
+    assert(got === Udx.fnv64("hello world".getBytes("UTF-8")))
+  }
+
+  test("GraftExtensions injects the function into an independently built session") {
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql("SELECT graft_fnv64('abc') AS h").head().getLong(0)
+      assert(got === Udx.fnv64("abc".getBytes("UTF-8")))
+    } finally {
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
 }
