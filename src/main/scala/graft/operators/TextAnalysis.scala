@@ -95,7 +95,22 @@ object TextAnalysis {
         size(TextFns.tokens(col("text"))).as("n_tokens"))
       .orderBy(col("doc_id"))
 
+  /** BPE-ish token estimate: word pieces / digit runs / punctuation each
+    * count as a token (the cheap regex proxy for subword tokenizers used
+    * to budget LLM training data), alongside the chars-per-token ratio. */
+  def t05_token_estimate(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("_bpeish",
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")))
+      .select(col("doc_id"),
+        col("_bpeish").as("n_tokens_bpeish"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens_ws"),
+        (length(col("text")).cast(DoubleType) /
+          greatest(col("_bpeish"), lit(1))).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t05_token_estimate" -> (t05_token_estimate _),
     "t01_text_tokens" -> (t01_text_tokens _),
     "t02_text_quality" -> (t02_text_quality _),
     "t03_text_langid" -> (t03_text_langid _),
@@ -105,6 +120,13 @@ object TextAnalysis {
     "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
   val oracle: Map[String, String] = Map(
+    "t05_token_estimate" ->
+      """SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens_bpeish,
+        |  LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS n_tokens_ws,
+        |  CAST(LENGTH(text) AS DOUBLE)
+        |    / GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t01_text_tokens" ->
       """SELECT doc_id,
         |  LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS n_tokens,
