@@ -17,16 +17,20 @@ object VectorFns {
   private def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two float-vector columns, in double. */
+  /** Dot product via higher-order functions — kept for mixed element
+    * types (float vector × double hyperplane literals). For the
+    * float×float hot path use [[DotExpr]] (native codegen loop, same
+    * numerics, no intermediate arrays). */
   def dot(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
 
-  /** Euclidean norm. */
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Euclidean norm of a float vector (native loop). */
+  def norm(a: Column): Column = sqrt(DotExpr(a, a))
 
-  /** Cosine similarity (NaN-safe: 0 when either norm is 0). */
+  /** Cosine similarity of float vectors (NaN-safe: 0 when either norm
+    * is 0). Bit-identical to the fold form — see [[DotExpr]]. */
   def cosine(a: Column, b: Column): Column = {
-    val d = dot(a, b)
+    val d = DotExpr(a, b)
     val nn = norm(a) * norm(b)
     when(nn === 0.0, 0.0).otherwise(d / nn)
   }

@@ -44,6 +44,19 @@ class UdxSpec extends AnyFunSuite {
     assert(Udx.WeightedMean.finish(Udx.WeightedMean.zero) === 0.0)
   }
 
+  test("DotExpr matches the HOF fold bit-for-bit on corpus vectors") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
+    val both = emb.crossJoin(emb.select(col("embedding").as("e2"), col("vec_id").as("v2")))
+      .limit(500)
+      .select(
+        graft.functions.DotExpr(col("embedding"), col("e2")).as("native"),
+        expr("aggregate(zip_with(embedding, e2, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (acc, p) -> acc + p)").as("fold"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("graft_fnv64 is callable from the SQL surface (Sessions registration)") {
     val got = spark.sql("SELECT graft_fnv64('hello world') AS h").head().getLong(0)
     assert(got === Udx.fnv64("hello world".getBytes("UTF-8")))
