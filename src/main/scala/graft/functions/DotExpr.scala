@@ -56,3 +56,42 @@ object DotExpr {
       org.apache.spark.sql.GraftShims.expression(a),
       org.apache.spark.sql.GraftShims.expression(b)))
 }
+
+/** Dot product of a float-vector column against a constant double plane
+  * (LSH hyperplanes, IVF centroids) — the plane rides along as a codegen
+  * reference object instead of an ArrayType literal, so the sketching
+  * loop is pure primitive arithmetic. Same left-to-right double
+  * accumulation as the HOF form. */
+case class PlaneDotExpr(child: Expression, plane: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_plane_dot"
+
+  override protected def nullSafeEval(input: Any): Any =
+    PlaneDotExpr.dot(input.asInstanceOf[ArrayData], plane)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planeRef = ctx.addReferenceObj("plane", plane, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PlaneDotExpr.dot($c, $planeRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PlaneDotExpr =
+    copy(child = newChild)
+}
+
+object PlaneDotExpr {
+  def dot(x: ArrayData, plane: Array[Double]): Double = {
+    val n = math.min(x.numElements(), plane.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * plane(i)
+      i += 1
+    }
+    acc
+  }
+
+  def apply(vec: Column, plane: Array[Double]): Column =
+    org.apache.spark.sql.GraftShims.column(PlaneDotExpr(
+      org.apache.spark.sql.GraftShims.expression(vec), plane))
+}

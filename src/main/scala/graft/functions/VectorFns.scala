@@ -45,8 +45,8 @@ object VectorFns {
     val planes: Seq[Seq[Double]] =
       Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
     val bits = planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = typedlit(plane)
-      when(dot(vec, planeCol) >= 0.0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(PlaneDotExpr(vec, plane.toArray) >= 0.0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
@@ -105,9 +105,10 @@ object VectorFns {
     * Data rows use nProbe=1 (their cell); queries probe several. */
   def nearestCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
     val structs = centroids.zipWithIndex.map { case (cent, i) =>
-      val centCol = typedlit(cent.toSeq)
-      val d2 = foldSum(zip_with(vec, centCol,
-        (x, y) => (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)))
+      // ||v - c||² = v·v - 2 v·c + c·c ; v·v and the native plane dot
+      // keep the whole distance computation in primitive loops
+      val cc = cent.map(x => x * x).sum
+      val d2 = DotExpr(vec, vec) - lit(2.0) * PlaneDotExpr(vec, cent) + lit(cc)
       struct(d2.as("dist"), lit(i).as("idx"))
     }
     transform(slice(array_sort(array(structs: _*)), 1, nProbe), s => s.getField("idx"))
