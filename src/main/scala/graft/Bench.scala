@@ -28,10 +28,22 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver captures only a bounded tail of the process output and
+    // parses the JSON line out of it — keep this line SHORT (round-1's
+    // full-name, full-precision line was ~2.7 KB and got truncated →
+    // "parsed": null). Query keys shrink to their unique id prefix
+    // (q01..q45, d01.., s01.., t01.., u01.., v01.., m01.., p01).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    println(line)
     spark.stop()
+    // Re-print after session shutdown so the line sits as close to the end
+    // of the output tail as possible (only sbt's [success] line follows).
+    println(line)
   }
 }

@@ -237,7 +237,7 @@ object Relational {
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linenumber = 3 AND l_quantity = 25.0""".stripMargin,
     "q04_delete_antijoin" ->
-      """SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+      """SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders
         |WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')""".stripMargin,
     "q05_join_broadcast" ->

@@ -56,8 +56,8 @@ object Reshape {
       s"""SELECT c_mktsegment,
          |  COUNT(*) AS n_rows,
          |  COUNT(o_totalprice) AS n_nonnull,
-         |  SUM(CAST(o_totalprice IS NULL AS BIGINT)) AS n_null,
-         |  SUM(CAST(o_custkey IS NOT DISTINCT FROM NULL AS BIGINT)) AS n_nullsafe_eq_null,
+         |  CAST(SUM(CAST(o_totalprice IS NULL AS BIGINT)) AS BIGINT) AS n_null,
+         |  CAST(SUM(CAST(o_custkey IS NOT DISTINCT FROM NULL AS BIGINT)) AS BIGINT) AS n_nullsafe_eq_null,
          |  ${sqlDsum("COALESCE(o_totalprice, 0.0)")} AS price_sum
          |FROM customer LEFT JOIN
          |  (SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'P') o

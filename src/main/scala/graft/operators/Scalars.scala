@@ -205,7 +205,7 @@ object Scalars {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q24_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(k) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
+        |  CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
         |FROM (SELECT event_type,
         |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |      FROM events)

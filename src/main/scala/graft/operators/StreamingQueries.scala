@@ -174,9 +174,9 @@ object StreamingQueries {
 
   val oracle: Map[String, String] = Map(
     "s06_stream_dedup" ->
-      "SELECT COUNT(*) AS n_unique, SUM(event_id) AS event_id_sum FROM events",
+      "SELECT COUNT(*) AS n_unique, CAST(SUM(event_id) AS BIGINT) AS event_id_sum FROM events",
     "s01_batcher_conservation" ->
-      "SELECT COUNT(*) AS rows_written, SUM(event_id) AS event_id_sum FROM events",
+      "SELECT COUNT(*) AS rows_written, CAST(SUM(event_id) AS BIGINT) AS event_id_sum FROM events",
     "s02_batcher_disabled" ->
       "SELECT CAST(0 AS BIGINT) AS rows_written",
     "s03_stream_windows" ->

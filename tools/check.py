@@ -69,6 +69,19 @@ def main():
             print(f"FAIL {name}: columns spark={list(got.columns)} oracle={list(exp.columns)}")
             n_fail += 1
             continue
+        # Dtype-kind check: the driver-side hash compare distinguishes
+        # representations the lax value compare below doesn't — observed in
+        # round 1 with DuckDB SUM(BIGINT) -> HUGEINT (object dtype) vs Spark
+        # int64. Width-only differences (int32 vs int64) DID hash-match at
+        # the driver, so compare numpy dtype kind, not full dtype.
+        def kind(s):
+            return getattr(s.dtype, "kind", "O")
+        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+                  if kind(got[c]) != kind(exp[c])]
+        if dt_bad:
+            print(f"FAIL {name}: dtype-kind mismatch (spark,oracle): {dt_bad}")
+            n_fail += 1
+            continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
             n_fail += 1
