@@ -33,14 +33,17 @@ object HashFns {
     transform(arr, s => pmod(xxhash64(s), lit(P)))
 
   /** MinHash signature from an already-materialized base-hash array
-    * column. IMPORTANT: pass a real column (via withColumn), not the
-    * [[baseHashes]] expression — Spark does not common-subexpression-
-    * eliminate the hash tree across the n array_min branches, so an
-    * inline expression would recompute xxhash64 over the array n times
-    * (measured 25 s → 9 s on the sf0.1 dedup bench).
-    * sig[i] = min over elements of ((a_i·h + b_i) mod P); every
-    * intermediate < 2^62, no overflow under ANSI. */
+    * column: sig[i] = min over elements of ((a_i·h + b_i) mod P); every
+    * intermediate < 2^62, no overflow under ANSI. Routed through the
+    * native one-pass [[SketchExprs.minhashSig]] — the HOF form below is
+    * n independent array_min(transform(...)) branches, i.e. n passes and
+    * n transient arrays per row (UdxSpec asserts the two agree). */
   def minhashFromBases(bases: Column, n: Int, seed: Long = 42L): Column =
+    SketchExprs.minhashSig(bases, n, seed)
+
+  /** Reference HOF formulation of [[minhashFromBases]] (spec cross-check
+    * for the native expression; do not use in hot paths). */
+  def minhashFromBasesHof(bases: Column, n: Int, seed: Long = 42L): Column =
     array(hashFamily(n, seed).map { case (a, b) =>
       array_min(transform(bases, h => pmod(h * lit(a) + lit(b), lit(P))))
     }: _*)
@@ -65,10 +68,14 @@ object HashFns {
     * functions; no explode/shuffle. */
   def simhash(tokenArr: Column): Column = simhashFromHashes(baseHashes(tokenArr))
 
-  /** SimHash from a materialized hash-array column (same CSE caveat as
-    * [[minhashFromBases]]: the 64 per-bit aggregates each reference the
-    * input — pass a real column). */
-  def simhashFromHashes(hashes: Column): Column = {
+  /** SimHash from a materialized hash-array column. Routed through the
+    * native one-pass [[SketchExprs.simhash]]; the 64-aggregate HOF form
+    * below is kept as the spec cross-check. */
+  def simhashFromHashes(hashes: Column): Column = SketchExprs.simhash(hashes)
+
+  /** Reference HOF formulation of [[simhashFromHashes]] (spec cross-check
+    * only — its 64-fold expression tree is JIT-hostile). */
+  def simhashFromHashesHof(hashes: Column): Column = {
     val bitCols = (0 until 64).map { b =>
       val votes = aggregate(hashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
-import graft.functions.{HashFns, TextFns, VectorFns}
+import graft.functions.{HashFns, SketchExprs, TextFns, VectorFns}
 
 /** Deduplication suite over the documents table — the training-data
   * pipeline operators, each designed for 100 TB first and verified at
@@ -48,29 +48,33 @@ object Dedup {
       .withColumn("sig", HashFns.minhashFromBases(col("sh_h"), MINHASH_N))
       .withColumn("bands", HashFns.lshBands(col("sig"), LSH_BANDS, MINHASH_N / LSH_BANDS))
 
+  /** Unordered pairs (x_i, x_j), i < j, of a sorted in-bucket element
+    * array — candidate generation WITHOUT a self-join: one groupBy
+    * shuffle builds the (size-capped) bucket, and the quadratic pair
+    * expansion happens in-row on the reduce side. Versus the
+    * count-groupBy + rejoin + self-join formulation this removes two
+    * shuffles of the exploded band rows; the cap keeps any one expanded
+    * array ≤ cap²/2 structs, the same bound the self-join had on its
+    * per-bucket output. */
+  private def bucketPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
+
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
-    * The self-join is on (band index, band hash) — a shuffle keyed by
-    * bucket, linear in corpus size for non-pathological data; a
-    * frequency cap on bucket size (count ≤ 1000) guards against a
-    * degenerate all-same-band bucket exploding quadratically at scale. */
-  private def lshCandidates(docs: DataFrame): DataFrame = {
-    val bandRows = docs.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_i", "band_h")))
-    // bucket-size guard via groupBy + join (partial agg, no per-bucket
-    // sort — same pattern as the n-gram inverted index): a degenerate
-    // bucket (all-identical docs) would otherwise explode quadratically
-    val smallBuckets = bandRows.groupBy(col("band_i"), col("band_h"))
-      .agg(count(lit(1)).as("bucket_n"))
-      .filter(col("bucket_n") <= 1000)
-      .select(col("band_i"), col("band_h"))
-    val capped = bandRows.join(smallBuckets, Seq("band_i", "band_h"))
-    capped.as("l").join(capped.as("r"),
-        col("l.band_i") === col("r.band_i") &&
-          col("l.band_h") === col("r.band_h") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    * One shuffle keyed by (band index, band hash) — linear in corpus
+    * size for non-pathological data; the bucket-size cap (≤ 1000)
+    * guards against a degenerate all-same-band bucket exploding
+    * quadratically at scale. */
+  private def lshCandidates(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_i", "band_h")))
+      .groupBy(col("band_i"), col("band_h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, 1000))
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-  }
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
@@ -109,21 +113,23 @@ object Dedup {
       .withColumn("bands", array((0 until 4).map(j =>
         shiftrightunsigned(col("sh64"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .cache()
-    val bandRows0 = docs.select(col("doc_id"), col("sh64"),
-      posexplode(col("bands")).as(Seq("band_i", "band_h")))
-    // same degenerate-bucket guard as the MinHash path
-    val smallBuckets = bandRows0.groupBy(col("band_i"), col("band_h"))
-      .agg(count(lit(1)).as("bucket_n")).filter(col("bucket_n") <= 1000)
-      .select(col("band_i"), col("band_h"))
-    val bandRows = bandRows0.join(smallBuckets, Seq("band_i", "band_h"))
-    val cand = bandRows.as("l").join(bandRows.as("r"),
-        col("l.band_i") === col("r.band_i") &&
-          col("l.band_h") === col("r.band_h") &&
-          col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
-        HashFns.hamming(col("l.sh64"), col("r.sh64")).as("dist"))
+    // Bucket by 16-bit chunk, carrying (doc_id, sh64) as the element so
+    // the Hamming verify happens in-row during pair expansion — one
+    // shuffle total, no rejoin (sort_array on structs orders by doc_id,
+    // the first field, preserving the a < b convention).
+    val verified = docs.select(
+        posexplode(col("bands")).as(Seq("band_i", "band_h")),
+        struct(col("doc_id"), col("sh64")).as("e"))
+      .groupBy(col("band_i"), col("band_h"))
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .filter(size(col("es")).between(2, 1000))
+      .select(explode(flatten(transform(col("es"), (x, i) =>
+        transform(slice(col("es"), i + lit(2), size(col("es"))), y =>
+          struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
+            HashFns.hamming(x.getField("sh64"), y.getField("sh64")).as("dist")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("p.dist").as("dist"))
+      .filter(col("dist") <= 3)
       .distinct()
-    val verified = cand.filter(col("dist") <= 3)
     perDocVerdict(docs.select("doc_id"), verified)
   }
 
@@ -136,36 +142,38 @@ object Dedup {
 
   /** Core, corpus-independent: input needs (doc_id, text). */
   def ngramJaccardDedup(docsRaw: DataFrame): DataFrame = {
-    val total = docsRaw.select(col("doc_id")).distinct().count()
-    // postings carry a hashed gram (8-byte key) instead of the string —
-    // at 100 TB the posting shuffle is the dominant cost and this cuts
-    // its width; xxhash64 collisions only add (rare) false candidates.
-    // (doc, gram) dedup happens here via groupBy — partial aggregation
-    // does it in O(n), replacing a per-row O(n²) array_distinct.
-    val postings = docsRaw
+    // Gram sets are built per-row: hash each 3-gram to 8 bytes (string
+    // grams never leave the row; xxhash64 collisions only add rare false
+    // candidates) and sorted-dedup in one native O(m log m) pass
+    // (SketchExprs.distinctLongs) — so the explode below emits set
+    // semantics directly and no (doc, gram) dedup shuffle exists at all.
+    val docs = docsRaw
       // normalized text materialized first — see TextFns note
       .select(col("doc_id"), TextFns.normalized(col("text")).as("norm"))
-      .select(col("doc_id"),
-        explode(TextFns.charNgramsFromNormalized(col("norm"), 3)).as("gram"))
-      .groupBy(col("doc_id"), xxhash64(col("gram")).as("gram_h"))
-      .agg(count(lit(1)).as("_dup")).drop("_dup")
+      .select(col("doc_id"), SketchExprs.distinctLongs(
+        transform(TextFns.charNgramsFromNormalized(col("norm"), 3),
+          g => xxhash64(g))).as("grams"))
       .cache()
+    val total = docs.count()
     // distinct-gram count per doc (the |A| and |B| of the Jaccard)
-    val sizes = postings.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    // stop-gram cap: the pair join is quadratic in posting-list length
+    val sizes = docs.select(col("doc_id"), size(col("grams")).as("n_grams"))
+    // stop-gram cap: pair expansion is quadratic in posting-list length
     // (a gram with df=d yields d²/2 candidate pairs), so the cap must be
     // absolute, not proportional — df ≤ min(20% of corpus, 200), floored
     // at 2 for tiny corpora. Near-dups still share plenty of rare grams;
     // this is the standard inverted-index skew guard at scale.
-    // df via groupBy (partial-agg shrinks map-side) beats a window count
-    // (which must sort every posting row).
     val dfCap = math.max(math.min(total / 5, 200L), 2L)
-    val dfs = postings.groupBy(col("gram_h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfCap)
-    val rare = postings.join(dfs, "gram_h")
-    val shared = rare.as("l").join(rare.as("r"),
-        col("l.gram_h") === col("r.gram_h") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+    // One shuffle keyed by gram: bucket = posting list (df-capped), pair
+    // expansion in-row, then count shared grams per pair. The old
+    // formulation (df groupBy + rejoin + self-join) shuffled the
+    // postings three times; this shuffles them once.
+    val shared = docs
+      .select(col("doc_id"), explode(col("grams")).as("gram_h"))
+      .groupBy(col("gram_h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, dfCap))
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))
     val verified = shared
       .join(sizes.select(col("doc_id").as("a"), col("n_grams").as("na")), "a")

@@ -57,6 +57,49 @@ class UdxSpec extends AnyFunSuite {
     both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("MinHashSigExpr / SimHashExpr match their HOF forms on corpus docs") {
+    import graft.functions.{HashFns, TextFns}
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(100)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), HashFns.baseHashes(col("toks")).as("h"))
+    val rows = docs.select(
+        HashFns.minhashFromBases(col("h"), 16).as("sig_native"),
+        HashFns.minhashFromBasesHof(col("h"), 16).as("sig_hof"),
+        HashFns.simhashFromHashes(col("h")).as("sh_native"),
+        HashFns.simhashFromHashesHof(col("h")).as("sh_hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
+  test("LongsDistinctExpr is sorted-unique; empty and multiset inputs") {
+    import spark.implicits._
+    import graft.functions.SketchExprs
+    val got = Seq(
+        Seq(5L, 1L, 5L, 3L, 1L, 1L),
+        Seq.empty[Long],
+        Seq(7L, 7L, 7L))
+      .toDF("a").select(SketchExprs.distinctLongs(col("a")).as("d"))
+      .collect().map(_.getSeq[Long](0))
+    assert(got(0) === Seq(1L, 3L, 5L))
+    assert(got(1) === Seq.empty[Long])
+    assert(got(2) === Seq(7L))
+  }
+
+  test("MinHashSigExpr empty input yields n nulls (array_min parity)") {
+    import spark.implicits._
+    import graft.functions.HashFns
+    val r = Seq(Seq.empty[Long]).toDF("h")
+      .select(HashFns.minhashFromBases(col("h"), 8).as("sig"),
+        HashFns.minhashFromBasesHof(col("h"), 8).as("sig_hof"))
+      .head()
+    assert(r.getSeq[Any](0) === Seq.fill(8)(null))
+    assert(r.getSeq[Any](0) === r.getSeq[Any](1))
+  }
+
   test("graft_fnv64 is callable from the SQL surface (Sessions registration)") {
     val got = spark.sql("SELECT graft_fnv64('hello world') AS h").head().getLong(0)
     assert(got === Udx.fnv64("hello world".getBytes("UTF-8")))
