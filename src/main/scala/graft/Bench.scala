@@ -4,10 +4,20 @@ package graft
   * SPARK_GRAFT_SF_DIR and prints one JSON line of per-query wall times.
   * Queries run against a noop-style full materialization (count of the
   * final result would let Spark skip result columns for some plans, so we
-  * evaluate via write to a noop sink — every operator in the plan runs). */
+  * evaluate via write to a noop sink — every operator in the plan runs).
+  *
+  * Each query runs SPARK_GRAFT_BENCH_REPS times (default 3) and reports
+  * the per-query MEDIAN — single-shot numbers at sf0.1 swing several ×
+  * on JIT/GC/page-cache noise (r1 vs r2 showed 7× jumps on unchanged
+  * code), and a median is what the regression analysis needs. A soft
+  * wall-clock budget degrades reps (never below 1) if the suite runs
+  * long, so the driver's external timeout can't truncate the output.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toInt
     val spark = Sessions.base()
     // Uncounted warm-up: pay JVM/codegen/parquet-footer startup once so
     // per-query numbers measure the queries, not cold-start.
@@ -16,17 +26,26 @@ object Bench {
     graft.Tables.all.keys.foreach { t =>
       graft.Tables.read(spark, sfDir, t).write.format("noop").mode("overwrite").save()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators may cache intermediates; drop them so queries are
-      // measured in isolation instead of under accumulated memory pressure
-      spark.catalog.clearCache()
-      name -> dt
+    val suiteT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - suiteT0) / 1e9
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = names.map { case (name, fn) =>
+      // shrink reps when past the soft budget (pro-rated by remaining
+      // queries is overkill — a simple halving keeps the tail bounded)
+      val r = if (elapsedSec > budgetSec) 1 else reps
+      val times = (0 until r).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators may cache intermediates; drop them so queries are
+        // measured in isolation instead of under accumulated memory pressure
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      name -> times(times.length / 2) // median (upper median for even n)
     }
     // The driver captures only a bounded tail of the process output and
     // parses the JSON line out of it — keep this line SHORT (round-1's
@@ -40,10 +59,14 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
-    println(line)
     spark.stop()
-    // Re-print after session shutdown so the line sits as close to the end
-    // of the output tail as possible (only sbt's [success] line follows).
+    // Sidecar copy for anything that reads files instead of stdout.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    // Printed ONCE, unprefixed (run/outputStrategy = StdoutOutput), after
+    // session shutdown so it is the last stdout line before sbt's
+    // [success] footer — the driver parses it from the output tail.
     println(line)
   }
 }
