@@ -28,9 +28,18 @@ object HashFns {
   }
 
   /** Base hash of every element of a string array column, reduced into
-    * the field [0, P). */
+    * the field [0, P). MinHash-only: the mod-P reduction exists for the
+    * universal-hash family below — anything that consumes individual
+    * BITS (SimHash) must use [[rawHashes]] instead. */
   def baseHashes(arr: Column): Column =
     transform(arr, s => pmod(xxhash64(s), lit(P)))
+
+  /** Raw full-width xxhash64 of every element — the SimHash input.
+    * Feeding the mod-P [[baseHashes]] to a 64-bit SimHash zeroes input
+    * bits 31–63, making the upper LSH bands a constant bucket for every
+    * document (a full-corpus degenerate bucket at scale). */
+  def rawHashes(arr: Column): Column =
+    transform(arr, s => xxhash64(s))
 
   /** MinHash signature from an already-materialized base-hash array
     * column: sig[i] = min over elements of ((a_i·h + b_i) mod P); every

@@ -25,16 +25,17 @@ object SketchExprs {
   import org.apache.spark.sql.GraftShims.{column, expression}
 
   /** MinHash signature: sig[i] = min over h of ((a_i·h + b_i) mod P).
-    * Empty input → array of n nulls (mirrors array_min's null-on-empty,
-    * keeping band hashes of degenerate docs identical to the HOF path). */
+    * Empty input (or all-null elements) → array of n nulls — mirrors
+    * array_min, which skips nulls and yields null on nothing left,
+    * keeping band hashes of degenerate docs identical to the HOF path. */
   def minhashSig(bases: Column, n: Int, seed: Long = 42L): Column = {
     val fam = HashFns.hashFamily(n, seed)
     column(MinHashSigExpr(expression(bases),
-      fam.map(_._1).toArray, fam.map(_._2).toArray))
+      fam.map(_._1).toIndexedSeq, fam.map(_._2).toIndexedSeq))
   }
 
   /** SimHash: sign-of-vote per bit over the element hashes, packed into
-    * one long. Empty input → votes all -1 → 0L (same as the HOF fold). */
+    * one long. Empty input → votes all 0 → 0L (same as the HOF fold). */
   def simhash(hashes: Column): Column =
     column(SimHashExpr(expression(hashes)))
 
@@ -45,17 +46,25 @@ object SketchExprs {
     column(LongsDistinctExpr(expression(arr)))
 }
 
-case class MinHashSigExpr(child: Expression, as: Array[Long], bs: Array[Long])
+/** Hash family held as IndexedSeq (value equality), so two structurally
+  * identical expressions compare equal and Catalyst's subexpression
+  * elimination / expression dedup can fire — Array fields would compare
+  * by reference and defeat both. Converted to Array once for the hot
+  * loop and the codegen reference object. */
+case class MinHashSigExpr(child: Expression, as: IndexedSeq[Long], bs: IndexedSeq[Long])
     extends UnaryExpression {
+  @transient private lazy val aArr: Array[Long] = as.toArray
+  @transient private lazy val bArr: Array[Long] = bs.toArray
+
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_minhash_sig"
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashSigExpr.sig(input.asInstanceOf[ArrayData], as, bs)
+    MinHashSigExpr.sig(input.asInstanceOf[ArrayData], aArr, bArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val aRef = ctx.addReferenceObj("as", as, "long[]")
-    val bRef = ctx.addReferenceObj("bs", bs, "long[]")
+    val aRef = ctx.addReferenceObj("as", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("bs", bArr, "long[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.MinHashSigExpr.sig($c, $aRef, $bRef)")
   }
@@ -68,19 +77,24 @@ object MinHashSigExpr {
   def sig(x: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val m = x.numElements()
     val n = as.length
-    if (m == 0) return new GenericArrayData(new Array[Any](n)) // n nulls
     val mins = Array.fill(n)(Long.MaxValue)
+    var seen = false
     var i = 0
     while (i < m) {
-      val h = x.getLong(i)
-      var j = 0
-      while (j < n) {
-        val v = (as(j) * h + bs(j)) % HashFns.P
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      // null elements are skipped, mirroring array_min in the HOF form
+      if (!x.isNullAt(i)) {
+        seen = true
+        val h = x.getLong(i)
+        var j = 0
+        while (j < n) {
+          val v = (as(j) * h + bs(j)) % HashFns.P
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }
+    if (!seen) return new GenericArrayData(new Array[Any](n)) // n nulls
     new GenericArrayData(mins)
   }
 }
@@ -105,7 +119,10 @@ object SimHashExpr {
     val votes = new Array[Int](64)
     var i = 0
     while (i < m) {
-      val h = x.getLong(i)
+      // a null element votes -1 on every bit — exactly what the HOF
+      // fold does (when(null-cond, 1).otherwise(-1)); getLong on a null
+      // slot would read garbage from UnsafeArrayData
+      val h = if (x.isNullAt(i)) 0L else x.getLong(i)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -49,32 +49,49 @@ object Dedup {
       .withColumn("bands", HashFns.lshBands(col("sig"), LSH_BANDS, MINHASH_N / LSH_BANDS))
 
   /** Unordered pairs (x_i, x_j), i < j, of a sorted in-bucket element
-    * array — candidate generation WITHOUT a self-join: one groupBy
-    * shuffle builds the (size-capped) bucket, and the quadratic pair
-    * expansion happens in-row on the reduce side. Versus the
-    * count-groupBy + rejoin + self-join formulation this removes two
-    * shuffles of the exploded band rows; the cap keeps any one expanded
-    * array ≤ cap²/2 structs, the same bound the self-join had on its
-    * per-bucket output. */
+    * array — candidate generation WITHOUT a self-join: the bucket is
+    * built by one (pre-filtered) groupBy and the quadratic pair
+    * expansion happens in-row on the reduce side. The bucket cap keeps
+    * any one expanded array ≤ cap²/2 structs. */
   private def bucketPairs(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("a"), y.as("b")))))
 
+  /** Size-capped bucket build that never MATERIALIZES a degenerate
+    * bucket: a count-only groupBy picks surviving keys (2 ≤ n ≤ cap)
+    * first — partial-agg safe, its shuffle carries (key, count), never
+    * postings — and only postings of surviving keys reach the
+    * collect_list. Without the pre-filter, a pathological key shared by
+    * the whole corpus (empty docs, boilerplate) would have to be fully
+    * collected into one reduce-side array before the size filter could
+    * discard it — an executor OOM at scale. The semi-join and the
+    * aggregation share the bucket key, so the full-data postings
+    * shuffle happens once and its partitioning is reused. */
+  private def cappedBuckets(postings: DataFrame, keys: Seq[String],
+      elem: Column, cap: Long): DataFrame = {
+    val keyCols = keys.map(col)
+    val survivors = postings.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n").between(2, cap))
+      .select(keyCols: _*)
+    postings.join(survivors, keys, "left_semi")
+      .groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(elem)).as("es"))
+  }
+
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
-    * One shuffle keyed by (band index, band hash) — linear in corpus
-    * size for non-pathological data; the bucket-size cap (≤ 1000)
-    * guards against a degenerate all-same-band bucket exploding
-    * quadratically at scale. */
-  private def lshCandidates(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_i", "band_h")))
-      .groupBy(col("band_i"), col("band_h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, 1000))
-      .select(explode(bucketPairs(col("ids"))).as("p"))
+    * Bucket key = (band index, band hash); bucket size capped at 1000
+    * via the count pre-filter (degenerate buckets are dropped before
+    * any posting list exists in memory). */
+  private def lshCandidates(docs: DataFrame): DataFrame = {
+    val postings = docs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_i", "band_h")))
+    cappedBuckets(postings, Seq("band_i", "band_h"), col("doc_id"), 1000)
+      .select(explode(bucketPairs(col("es"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
+  }
 
   private def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
@@ -106,23 +123,26 @@ object Dedup {
   /** Core, corpus-independent: input needs (doc_id, text). */
   def simhashDedup(docsRaw: DataFrame): DataFrame = {
     val docs = docsRaw
-      // tokens materialized before the per-element hash transform
+      // tokens materialized before the per-element hash transform.
+      // SimHash votes over all 64 bits, so it needs RAW xxhash64 values
+      // (rawHashes) — the mod-P baseHashes family is MinHash-only, and
+      // feeding it here would leave bits 31–63 constant: the two upper
+      // 16-bit bands would put the entire corpus in one bucket.
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), HashFns.baseHashes(col("toks")).as("tok_h"))
+      .select(col("doc_id"), HashFns.rawHashes(col("toks")).as("tok_h"))
       .select(col("doc_id"), HashFns.simhashFromHashes(col("tok_h")).as("sh64"))
       .withColumn("bands", array((0 until 4).map(j =>
         shiftrightunsigned(col("sh64"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
       .cache()
     // Bucket by 16-bit chunk, carrying (doc_id, sh64) as the element so
-    // the Hamming verify happens in-row during pair expansion — one
-    // shuffle total, no rejoin (sort_array on structs orders by doc_id,
-    // the first field, preserving the a < b convention).
-    val verified = docs.select(
-        posexplode(col("bands")).as(Seq("band_i", "band_h")),
-        struct(col("doc_id"), col("sh64")).as("e"))
-      .groupBy(col("band_i"), col("band_h"))
-      .agg(sort_array(collect_list(col("e"))).as("es"))
-      .filter(size(col("es")).between(2, 1000))
+    // the Hamming verify happens in-row during pair expansion — no
+    // rejoin (sort_array on structs orders by doc_id, the first field,
+    // preserving the a < b convention). Bucket size capped via the
+    // count pre-filter in cappedBuckets.
+    val postings = docs.select(
+      posexplode(col("bands")).as(Seq("band_i", "band_h")),
+      struct(col("doc_id"), col("sh64")).as("e"))
+    val verified = cappedBuckets(postings, Seq("band_i", "band_h"), col("e"), 1000)
       .select(explode(flatten(transform(col("es"), (x, i) =>
         transform(slice(col("es"), i + lit(2), size(col("es"))), y =>
           struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
@@ -163,16 +183,13 @@ object Dedup {
     // at 2 for tiny corpora. Near-dups still share plenty of rare grams;
     // this is the standard inverted-index skew guard at scale.
     val dfCap = math.max(math.min(total / 5, 200L), 2L)
-    // One shuffle keyed by gram: bucket = posting list (df-capped), pair
-    // expansion in-row, then count shared grams per pair. The old
-    // formulation (df groupBy + rejoin + self-join) shuffled the
-    // postings three times; this shuffles them once.
-    val shared = docs
-      .select(col("doc_id"), explode(col("grams")).as("gram_h"))
-      .groupBy(col("gram_h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, dfCap))
-      .select(explode(bucketPairs(col("ids"))).as("p"))
+    // Bucket = posting list (df-capped via the count pre-filter, so
+    // stop-grams present in most of the corpus are dropped before any
+    // posting list is materialized), pair expansion in-row, then count
+    // shared grams per pair.
+    val postings = docs.select(col("doc_id"), explode(col("grams")).as("gram_h"))
+    val shared = cappedBuckets(postings, Seq("gram_h"), col("doc_id"), dfCap)
+      .select(explode(bucketPairs(col("es"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_shared"))
     val verified = shared
@@ -197,7 +214,17 @@ object Dedup {
       .select(col("vec_id").as("doc_id"), col("embedding"))
       .withColumn("bucket", VectorFns.signBucket(col("embedding"), nBits = 12, dim = 64))
       .cache()
-    val cand = emb.as("l").join(emb.as("r"),
+    // Bucket-size cap, same rationale as every other dedup path: a hot
+    // bucket (clustered corpus — near-identical embeddings all share a
+    // sign sketch) otherwise makes the self-join quadratic. The count
+    // pre-filter shuffles only (bucket, count); vectors stay out of any
+    // collect_list entirely — the join streams them.
+    val survivors = emb.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n").between(2, 1000))
+      .select(col("bucket"))
+    val embB = emb.join(survivors, Seq("bucket"), "left_semi")
+    val cand = embB.as("l").join(embB.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         VectorFns.cosine(col("l.embedding"), col("r.embedding")).as("cos"))

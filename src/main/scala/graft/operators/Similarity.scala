@@ -91,8 +91,13 @@ object Similarity {
   def v03_sim_ivf_topk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, dir)
-    // deterministic sample for the quantizer (every 7th vector)
+    // Deterministic quantizer sample, O(1) in corpus size: every 7th
+    // vector, capped at 4096 rows. orderBy+limit plans as
+    // TakeOrderedAndProject — a per-partition top-k heap, never a
+    // global sort — so the driver holds ≤ 4096 × dim floats no matter
+    // how large the corpus is (an uncapped collect would be n/7 rows).
     val sample = emb.filter(col("vec_id") % 7 === 0)
+      .orderBy(col("vec_id")).limit(4096)
       .select(col("embedding")).as[Array[Float]].collect()
     val centroids = VectorFns.kmeans(sample, k = 16, iters = 8)
     val cells = emb.withColumn("cell",

@@ -45,6 +45,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got === Map(1L -> false, 2L -> true, 3L -> false))
   }
 
+  test("simhash LSH bands are all live over the corpus (no constant band)") {
+    import graft.functions.{HashFns, TextFns}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val total = docs.count()
+    // same sketch construction as Dedup.simhashDedup: raw 64-bit token
+    // hashes → simhash → 4 × 16-bit bands (the r2 bug fed mod-P 31-bit
+    // hashes here, which made bands 2-3 the constant bucket 0)
+    val bands = docs
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), HashFns.rawHashes(col("toks")).as("h"))
+      .select(col("doc_id"), HashFns.simhashFromHashes(col("h")).as("sh64"))
+      .select(posexplode(array((0 until 4).map(j =>
+        shiftrightunsigned(col("sh64"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band_i", "band_h")))
+    val biggest = bands.groupBy("band_i", "band_h").count()
+      .groupBy("band_i").agg(max("count").as("biggest"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(biggest.keySet === Set(0, 1, 2, 3))
+    biggest.foreach { case (bi, n) =>
+      assert(n <= total / 2, s"band $bi degenerate: biggest bucket $n of $total docs")
+    }
+  }
+
+  test("embedding dedup completes on a degenerate all-same-bucket corpus") {
+    import spark.implicits._
+    val v = Array.fill(64)(0.5f)
+    val emb = (1L to 1500L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingDedup(emb)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size === 1500)
+    // the 1500-member bucket exceeds the 1000 cap and is dropped whole:
+    // bounded memory wins over recall on pathological buckets (and no
+    // quadratic 1500²/2 pair expansion ever runs)
+    assert(got.values.forall(_ == false))
+  }
+
   test("embedding dedup finds planted near-identical vector") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)
