@@ -269,7 +269,38 @@ object Dedup {
     "d05_dedup_embedding" -> (d05_dedup_embedding _),
     "d06_dedup_incremental" -> (d06_dedup_incremental _))
 
+  /** d04 oracle: string 3-grams on the DuckDB side vs xxhash64'd grams
+    * on the Spark side share exact semantics modulo hash collisions —
+    * the 3-gram universe over [a-z0-9 ] is ~50k values, so a 64-bit
+    * collision is absent at verification scale. Mirrors the operator
+    * exactly: per-doc DISTINCT gram sets, df cap max(min(total/5,200),2)
+    * applied to candidate generation only (not to |A|/|B|), Jaccard
+    * ≥ 0.7, keep-first verdict (dup = appears as the larger id). */
+  private val ngramOracleSql: String =
+    """WITH d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id, SUBSTRING(norm, CAST(i AS INT), 3) AS g
+      |  FROM d, UNNEST(RANGE(1, GREATEST(LENGTH(norm) - 2, 1))) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+      |cap AS (SELECT GREATEST(LEAST(COUNT(*) // 5, 200), 2) AS df_cap FROM documents),
+      |good AS (SELECT g FROM grams, cap GROUP BY g, df_cap
+      |         HAVING COUNT(*) BETWEEN 2 AND df_cap),
+      |shared AS (
+      |  SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS n_shared
+      |  FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+      |  JOIN good ON good.g = ga.g
+      |  GROUP BY 1, 2),
+      |ver AS (
+      |  SELECT s.b FROM shared s
+      |  JOIN sizes sa ON sa.doc_id = s.a
+      |  JOIN sizes sb ON sb.doc_id = s.b
+      |  WHERE CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) >= 0.7)
+      |SELECT doc_id, (doc_id IN (SELECT b FROM ver)) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "d04_dedup_ngram_jaccard" -> ngramOracleSql,
     "d01_dedup_exact" ->
       """SELECT SHA256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY SHA256(text) ORDER BY keep_id""".stripMargin,

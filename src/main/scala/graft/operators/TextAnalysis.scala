@@ -119,7 +119,37 @@ object TextAnalysis {
   private val normSql =
     "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 
+  /** t03 oracle: the langid scoring is a deterministic argmax over
+    * stopword-hit ratios — int/int double division and GREATEST are
+    * bit-identical across Spark and DuckDB, and the CASE order mirrors
+    * the foldRight tie-break (en > de > fr > es). */
+  private val langidSql: String = {
+    val toks =
+      """STRING_SPLIT(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')""".stripMargin
+    def score(stops: Seq[String]): String = {
+      val inList = stops.map(s => s"'$s'").mkString(",")
+      s"CAST(LEN(LIST_FILTER(toks, t -> t IN ($inList))) AS DOUBLE) / GREATEST(LEN(toks), 1)"
+    }
+    val en = score(Seq("the", "and", "of", "to", "is", "in", "that", "it"))
+    val de = score(Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"))
+    val fr = score(Seq("le", "la", "les", "et", "est", "un", "une", "que"))
+    val es = score(Seq("el", "la", "los", "y", "es", "un", "una", "que"))
+    s"""WITH tok AS (SELECT doc_id, lang, $toks AS toks FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es FROM tok)
+       |SELECT doc_id, lang,
+       |  CASE WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) AND s_en > 0 THEN 'en'
+       |       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) AND s_de > 0 THEN 'de'
+       |       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) AND s_fr > 0 THEN 'fr'
+       |       WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) AND s_es > 0 THEN 'es'
+       |       ELSE 'unknown' END AS pred_lang,
+       |  s_en AS score_en
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t03_text_langid" -> langidSql,
     "t05_token_estimate" ->
       """SELECT doc_id,
         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens_bpeish,
