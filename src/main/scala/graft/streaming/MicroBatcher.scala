@@ -26,7 +26,22 @@ import scala.concurrent.duration._
   * flush / bounded insert size). Source-side backpressure (the 10 000-cap
   * channel, `connect.go:11`) maps to source admission control
   * (`maxOffsetsPerTrigger` / `maxFilesPerTrigger`) on rate-limitable
-  * sources.
+  * sources, and to [[AsyncIngest]]'s blocking `bufferCap` on the
+  * in-memory producer path.
+  *
+  * Tick-OR-size equivalence, stated precisely (vs `hashes.go:55-66`,
+  * which flushes mid-interval the moment the accumulator hits the cap):
+  * a ProcessingTime trigger processes EVERYTHING available at the tick,
+  * so the end-to-end latency bound is ONE interval regardless of burst
+  * size — a backlog never queues across ticks the way a fixed-cap
+  * accumulator drains a burst in n/cap sequential flushes. The cap
+  * meanwhile still bounds each write unit. So both designs guarantee
+  * (a) worst-case visibility latency = one tick and (b) bounded flush
+  * units; the reference additionally lowers AVERAGE latency under burst
+  * (early flush at cap-fill), which for an idempotent durable sink is a
+  * latency optimization, not a correctness property — and one paid for
+  * with the reference's unbounded flush count per interval. BatcherSpec
+  * ("one trigger drains an arbitrarily large burst") encodes this claim.
   *
   * 100 TB posture: each micro-batch is a distributed DataFrame — flush
   * parallelism is executor-wide, not the reference's single goroutine;
@@ -62,17 +77,75 @@ object ParquetBatchSink {
 /** The ClickHouse-shaped path (reference `hashes.go:86-98`: prepared
   * batch INSERT over the native protocol): Spark's JDBC writer with
   * `batchsize` = maxBatchCap reproduces "one prepared statement, ≤cap
-  * rows per round trip" per partition. Untested here (no database in the
-  * build environment); note that plain JDBC append is at-least-once on
-  * replay — for effectively-once against a real warehouse, stage into a
-  * batch-keyed table and MERGE, or rely on a ReplacingMergeTree-style
-  * dedup key downstream. */
+  * rows per round trip" per partition. Proven against embedded Derby
+  * (JdbcBatcherSpec). Plain JDBC append is at-least-once on replay —
+  * for effectively-once against a real warehouse use
+  * [[StagedJdbcBatchSink]] (stage + MERGE), or rely on a
+  * ReplacingMergeTree-style dedup key downstream. */
 final class JdbcBatchSink(url: String, table: String,
     properties: java.util.Properties) extends BatchSink {
   override def write(df: DataFrame, batchId: Long, maxBatchCap: Int): Unit =
     df.write.mode("append")
       .option("batchsize", maxBatchCap.toLong)
       .jdbc(url, table, properties)
+}
+
+/** Effectively-once JDBC delivery via stage-and-MERGE — the production
+  * warehouse shape the plain [[JdbcBatchSink]] Scaladoc points at.
+  * Each micro-batch is (re)staged into `<table>_stage` tagged with its
+  * batchId, MERGEd into the target (insert only rows whose key is
+  * absent), then GC'd from the stage. Replay after a crash at ANY point
+  * is safe:
+  *   - crash after staging: the replay's stage-clean removes the
+  *     half-staged rows before restaging
+  *   - crash after MERGE but before GC or offset commit (the
+  *     duplication window of plain append): re-MERGE inserts nothing —
+  *     every staged key already matches the target
+  *
+  * `keyCols` is the warehouse dedup key (the reference's tables are
+  * keyed by sha256sum the same way); within-batch duplicates collapse
+  * before staging so the MERGE's insert set is key-unique. The stage
+  * write itself uses the prepared-batch path (`batchsize` = cap), so
+  * round-trip bounds match [[JdbcBatchSink]]; the MERGE is one
+  * set-based statement on the server, not per-row traffic. */
+class StagedJdbcBatchSink(url: String, table: String,
+    keyCols: Seq[String], properties: java.util.Properties) extends BatchSink {
+  require(keyCols.nonEmpty, "effectively-once needs a dedup key")
+  private def stage = s"${table}_stage"
+
+  override def write(df: DataFrame, batchId: Long, maxBatchCap: Int): Unit = {
+    val clean = df.dropDuplicates(keyCols)
+    val cols = clean.schema.fieldNames.toSeq
+    // ensure both tables exist with the writer's own type mapping
+    // (append with 0 rows creates-if-missing, never truncates)
+    clean.limit(0).write.mode("append").jdbc(url, table, properties)
+    clean.limit(0).withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("append").jdbc(url, stage, properties)
+    // replay-clean, restage, merge, GC — each step idempotent per
+    // batchId. Column identifiers are double-quoted: Spark's JDBC
+    // writer creates case-sensitive (quoted) column names, which an
+    // unquoted identifier in hand-written SQL would not resolve.
+    def q(c: String) = "\"" + c + "\""
+    execute(s"DELETE FROM $stage WHERE ${q("batch_id")} = $batchId")
+    clean.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("append")
+      .option("batchsize", maxBatchCap.toLong)
+      .jdbc(url, stage, properties)
+    val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+    val insertCols = cols.map(q).mkString(", ")
+    val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
+    execute(
+      s"""MERGE INTO $table t USING $stage s ON ($on)
+         |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
+    execute(s"DELETE FROM $stage WHERE ${q("batch_id")} = $batchId")
+  }
+
+  private def execute(sql: String): Unit = {
+    Option(properties.getProperty("driver")).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, properties)
+    try { val st = conn.createStatement(); try st.executeUpdate(sql) finally st.close() }
+    finally conn.close()
+  }
 }
 
 /** Drives a streaming Dataset into a [[BatchSink]] under [[BatcherConfig]]

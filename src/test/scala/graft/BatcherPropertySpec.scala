@@ -45,4 +45,36 @@ class BatcherPropertySpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(5).withWorkers(1), prop)
     assert(result.passed, result.status.toString)
   }
+
+  test("bufferCap backpressure: fast producer blocks at cap, never exceeds it (connect.go:11)") {
+    import spark.implicits._
+    val cap = 10
+    val total = 60
+    val outDir = Files.createTempDirectory("bp_out").toString
+    val ingest = new AsyncIngest[LimitHash](spark.sqlContext, bufferCap = cap)
+    val batcher = new MicroBatcher(
+      BatcherConfig(100.millis, 1000), new ParquetBatchSink(outDir))
+    @volatile var maxSeen = 0
+    val producer = new Thread(() => {
+      (0 until total).foreach { i =>
+        ingest.saveAsync(LimitHash(s"u$i", i.toLong, null, s"h$i"))
+        maxSeen = math.max(maxSeen, ingest.inFlight)
+      }
+    })
+    producer.start()
+    // no consumer yet: the producer must stall at exactly cap in-flight
+    // rows (the reference producer blocks on its full channel the same way)
+    producer.join(3000)
+    assert(producer.isAlive, "producer must block once cap rows are in flight")
+    assert(ingest.inFlight === cap)
+    val q = batcher.start(ingest.toDS(),
+      Files.createTempDirectory("bp_ck").toString)
+    ingest.bindTo(q)
+    producer.join(60000)
+    assert(!producer.isAlive, "producer must finish once the query drains the buffer")
+    q.processAllAvailable()
+    q.stop()
+    assert(maxSeen <= cap, s"in-flight rows peaked at $maxSeen > cap $cap")
+    assert(ParquetBatchSink.readAll(spark, outDir).count() === total.toLong)
+  }
 }

@@ -78,6 +78,30 @@ class BatcherSpec extends AnyFunSuite {
     assert(ParquetBatchSink.readAll(spark, outDir).count() === 2500L)
   }
 
+  test("tick-OR-size parity: one trigger drains an arbitrarily large burst in cap-bounded units") {
+    import spark.implicits._
+    val outDir = tmp("burst_out")
+    val cap = 100
+    val ingest = new AsyncIngest[LimitHash](spark.sqlContext)
+    // burst of 50×cap rows queued BEFORE the first tick
+    ingest.saveAllAsync((0 until 5000).map(i => LimitHash(s"u$i", i.toLong, null, s"h$i")))
+    val batcher = new MicroBatcher(BatcherConfig(100.millis, cap), new ParquetBatchSink(outDir))
+    val q = batcher.start(ingest.toDS(), tmp("burst_ck"))
+    q.processAllAvailable()
+    q.stop()
+    // the whole backlog lands in ONE micro-batch — the latency bound is
+    // one tick independent of burst size (the reference's fixed-cap
+    // accumulator would need 50 sequential flushes); write units still ≤ cap
+    val batchDirs = Files.list(java.nio.file.Paths.get(outDir)).toArray
+      .map(_.toString).filter(_.contains("batch_id="))
+    assert(batchDirs.length === 1, s"burst spread over ${batchDirs.length} micro-batches")
+    val perFile = spark.read.parquet(s"$outDir/batch_id=*")
+      .select(input_file_name().as("f")).groupBy("f").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perFile <= cap)
+    assert(ParquetBatchSink.readAll(spark, outDir).count() === 5000L)
+  }
+
   test("golden rows: full-field retrievability, count == 1 each (hashes_test.go:191-203)") {
     import spark.implicits._
     val outDir = tmp("gold_out")
