@@ -35,10 +35,48 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test assignment — the split step of a
+    * training-data pipeline. Keyed on the CONTENT fingerprint, not the
+    * row id, for two scale-critical properties: (a) exact duplicates
+    * land in the same split (no train/test contamination via dups) and
+    * (b) assignment is stable across re-ingestion, repartitioning and
+    * incremental appends. Bucket = first two sha256 hex nibbles
+    * (0..255), thresholds 205/230 ≈ 80/10/10. Pure per-row expression:
+    * zero shuffle at any corpus size (the orderBy exists only for the
+    * oracle's row-order compare). */
+  def p02_split_assign(spark: SparkSession, dir: String): DataFrame =
+    splitAssign(Tables.documents(spark, dir))
+
+  /** Core, corpus-independent: input needs (doc_id, text). */
+  def splitAssign(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", sha2(col("text"), 256))
+      // hex nibble → int via position in the hex alphabet: the one
+      // construction that is bit-identical SQL in Spark and DuckDB
+      // (conv() exists only in Spark; from_hex only in DuckDB)
+      .withColumn("bucket",
+        (expr("instr('0123456789abcdef', substring(fp, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substring(fp, 2, 1))") - 1)
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 205, "train")
+          .when(col("bucket") < 230, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_clean_corpus" -> (p01_clean_corpus _))
+    "p01_clean_corpus" -> (p01_clean_corpus _),
+    "p02_split_assign" -> (p02_split_assign _))
 
   val oracle: Map[String, String] = Map(
+    "p02_split_assign" ->
+      """WITH f AS (SELECT doc_id, SHA256(text) AS fp FROM documents),
+        |b AS (SELECT doc_id,
+        |  (INSTR('0123456789abcdef', SUBSTRING(fp, 1, 1)) - 1) * 16 +
+        |   INSTR('0123456789abcdef', SUBSTRING(fp, 2, 1)) - 1 AS bucket FROM f)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 205 THEN 'train'
+        |       WHEN bucket < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
     "p01_clean_corpus" ->
       """WITH q AS (
         |  SELECT doc_id, text, lang,

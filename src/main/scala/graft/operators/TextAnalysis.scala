@@ -109,12 +109,50 @@ object TextAnalysis {
           greatest(col("_bpeish"), lit(1))).as("chars_per_token"))
       .orderBy(col("doc_id"))
 
+  private val URL_PAT = "https?://\\S+"
+  private val EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** PII/URL scrubbing — the redaction pass of a corpus-cleaning
+    * pipeline: URLs first (an email inside a URL must count once, as a
+    * URL), then emails; counts alongside the scrubbed text. Per-row
+    * regexp expressions in the scan stage, zero shuffle. */
+  def t06_text_scrub(spark: SparkSession, dir: String): DataFrame =
+    scrubText(Tables.documents(spark, dir))
+
+  /** Core, corpus-independent: input needs (doc_id, text). */
+  def scrubText(docs: DataFrame): DataFrame =
+    docs
+      // URL-scrubbed form materialized once: both the email count and
+      // the final text derive from it (HOF/CSE note in TextFns)
+      .withColumn("_nourl", regexp_replace(col("text"), URL_PAT, "<URL>"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(URL_PAT)).as("n_urls"),
+        regexp_count(col("_nourl"), lit(EMAIL_PAT)).as("n_emails"),
+        regexp_replace(col("_nourl"), EMAIL_PAT, "<EMAIL>").as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-wide token-3-gram frequency top-k — the n-gram statistics
+    * pass behind contamination screening and boilerplate detection. At
+    * 100 TB: per-row shingling in the scan stage, one partial-agg
+    * count shuffle on the gram, then orderBy+limit plans as
+    * TakeOrdered (per-partition top-k heap — no global sort ever
+    * materializes the full gram distribution). */
+  def t07_ngram_topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("_toks", TextFns.tokens(col("text")))
+      .select(explode(TextFns.shinglesFromTokens(col("_toks"), 3)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(100)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t05_token_estimate" -> (t05_token_estimate _),
     "t01_text_tokens" -> (t01_text_tokens _),
     "t02_text_quality" -> (t02_text_quality _),
     "t03_text_langid" -> (t03_text_langid _),
-    "t04_text_fingerprint" -> (t04_text_fingerprint _))
+    "t04_text_fingerprint" -> (t04_text_fingerprint _),
+    "t06_text_scrub" -> (t06_text_scrub _),
+    "t07_ngram_topk" -> (t07_ngram_topk _))
 
   private val normSql =
     "TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
@@ -149,6 +187,20 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t06_text_scrub" ->
+      """SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(text, 'https?://\S+')) AS INT) AS n_urls,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(REGEXP_REPLACE(text, 'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  REGEXP_REPLACE(REGEXP_REPLACE(text, 'https?://\S+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t07_ngram_topk" ->
+      s"""WITH tok AS (SELECT STRING_SPLIT($normSql, ' ') AS toks FROM documents),
+         |g AS (SELECT ARRAY_TO_STRING(toks[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS gram
+         |      FROM tok, UNNEST(RANGE(1, GREATEST(LEN(toks) - 1, 2))) t(i))
+         |SELECT gram, COUNT(*) AS n FROM g WHERE LENGTH(gram) > 0
+         |GROUP BY gram ORDER BY n DESC, gram LIMIT 100""".stripMargin,
     "t03_text_langid" -> langidSql,
     "t05_token_estimate" ->
       """SELECT doc_id,

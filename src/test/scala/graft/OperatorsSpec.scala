@@ -136,6 +136,48 @@ class OperatorsSpec extends AnyFunSuite {
     res.foreach { case (expected, pred) => assert(expected === pred) }
   }
 
+  test("text scrub redacts planted emails and URLs, counts them once each") {
+    val d = docsDf(
+      1L -> "contact alice@example.com or see https://example.com/x?y=1 for info",
+      2L -> "no pii in this one at all")
+    val got = TextAnalysis.scrubText(d).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val (urls1, emails1, clean1) = got(1L)
+    assert(urls1 === 1 && emails1 === 1)
+    assert(clean1.contains("<EMAIL>") && clean1.contains("<URL>"))
+    assert(!clean1.contains("alice@") && !clean1.contains("https://"))
+    assert(got(2L) === ((0, 0, "no pii in this one at all")))
+  }
+
+  test("split assignment is content-keyed: dups co-assign, proportions ~80/10/10") {
+    // exact duplicates must land in the same split (contamination guard)
+    val dup = Pipeline.splitAssign(docsDf(1L -> base, 2L -> base, 3L -> unrelated))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(dup(1L) === dup(2L), "identical text, identical split")
+    // corpus proportions within loose binomial bounds (205/230 of 256)
+    val frac = Pipeline.p02_split_assign(spark, "/root/testdata/sf0.001")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = frac.values.sum.toDouble
+    assert(frac("train") / total > 0.7 && frac("train") / total < 0.9, frac.toString)
+    assert(frac("val") / total > 0.04 && frac("val") / total < 0.17, frac.toString)
+    assert(frac("test") / total > 0.04 && frac("test") / total < 0.17, frac.toString)
+  }
+
+  test("corpus ngram top-k finds the planted dominant trigram") {
+    val d = docsDf(
+      1L -> "alpha beta gamma delta", // alpha beta gamma, beta gamma delta
+      2L -> "alpha beta gamma",       // alpha beta gamma
+      3L -> "zeta eta theta")
+    // route the planted frame through the same shape the operator uses
+    val grams = d
+      .withColumn("_toks", graft.functions.TextFns.tokens(col("text")))
+      .select(explode(graft.functions.TextFns.shinglesFromTokens(col("_toks"), 3)).as("gram"))
+      .groupBy("gram").count().orderBy(col("count").desc, col("gram")).collect()
+    assert(grams.head.getString(0) === "alpha beta gamma")
+    assert(grams.head.getLong(1) === 2L)
+  }
+
   test("multimodal features are deterministic and well-shaped") {
     val dir = "/root/testdata/sf0.001"
     val a = Multimodal.m02_multimodal_features(spark, dir).collect()
