@@ -24,9 +24,13 @@ object ExplainAudit {
       val pushed = "PushedFilters: \\[[^\\]]+\\]".r.findAllIn(plan).toList
       val schemas = "ReadSchema: [^\n]+".r.findAllIn(plan).toList
       val bcast = plan.split("\n").count(_.contains("BroadcastHashJoin"))
-      val codegen = plan.split("\n").count(_.contains("WholeStageCodegen"))
+      // detail-section headers "(N) Exchange" — one per operator, so
+      // tree indentation never double-counts; broadcasts excluded
+      val shuffles = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+      // FormattedMode marks codegen membership as "[codegen id : N]"
+      val codegen = "codegen id : (\\d+)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
       println(s"== audit: pushedFilters=${pushed.size} broadcastJoins=$bcast " +
-        s"codegenSpans=$codegen\n   readSchemas=${schemas.mkString(" | ")}")
+        s"shuffleExchanges=$shuffles codegenSpans=$codegen\n   readSchemas=${schemas.mkString(" | ")}")
     }
     spark.stop()
   }
