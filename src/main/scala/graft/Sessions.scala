@@ -20,6 +20,13 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // explicit 100 TB posture (defaults drift across versions):
+      // AQE splits skewed join partitions at runtime; runtime bloom
+      // filters inject a semi-join reduction on the big side of a
+      // shuffle join when the other side is selective — e.g. the
+      // candidate-pair → signature attach joins in the dedup family
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
