@@ -100,6 +100,28 @@ class UdxSpec extends AnyFunSuite {
     assert(r.getSeq[Any](0) === r.getSeq[Any](1))
   }
 
+  test("MinHashSigExpr / SimHashExpr null-element handling matches the HOF forms") {
+    import spark.implicits._
+    import graft.functions.HashFns
+    // null elements: minhash skips them (array_min semantics); simhash
+    // votes -1 on every bit (when(...).otherwise(-1) semantics)
+    val r = Seq(
+        Seq[Option[Long]](Some(11L), None, Some(42L)),
+        Seq[Option[Long]](None, None), // all-null → n nulls / 0L
+        Seq[Option[Long]](Some(7L)))
+      .toDF("h")
+      .select(HashFns.minhashFromBases(col("h"), 8).as("sig"),
+        HashFns.minhashFromBasesHof(col("h"), 8).as("sig_hof"),
+        HashFns.simhashFromHashes(col("h")).as("sh"),
+        HashFns.simhashFromHashesHof(col("h")).as("sh_hof"))
+      .collect()
+    r.foreach { row =>
+      assert(row.getSeq[Any](0) === row.getSeq[Any](1))
+      assert(row.getLong(2) === row.getLong(3))
+    }
+    assert(r(1).getSeq[Any](0) === Seq.fill(8)(null))
+  }
+
   test("graft_fnv64 is callable from the SQL surface (Sessions registration)") {
     val got = spark.sql("SELECT graft_fnv64('hello world') AS h").head().getLong(0)
     assert(got === Udx.fnv64("hello world".getBytes("UTF-8")))
