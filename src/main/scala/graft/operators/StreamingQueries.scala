@@ -141,7 +141,37 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_unique"), sum(col("event_id")).as("event_id_sum"))
   }
 
+  /** Streaming NEAR-dedup ingest: the documents table streamed in two
+    * micro-batches through [[DedupStream]] — per-batch MinHash/LSH
+    * sketching, candidate match against the persisted signature store
+    * (batch 2 sees batch 1's store), signature-agreement verify, novel
+    * sigs appended. Rows-only check (LSH is not SQL-expressible);
+    * DedupStreamSpec plants cross-batch and within-batch near-dups. */
+  def s07_stream_near_dedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    val stream = new DedupStream(
+      Files.createTempDirectory("graft_dds_store").toString,
+      Files.createTempDirectory("graft_dds_verdict").toString)
+    val ck = Files.createTempDirectory("graft_dds_ck").toString
+    val ingest = new AsyncIngest[(Long, String)](spark.sqlContext)
+    // two AvailableNow drains on one checkpoint → two deterministic
+    // micro-batches, so the cross-batch store path actually runs
+    Seq(h1, h2).foreach { half =>
+      ingest.saveAllAsync(half.toSeq)
+      val q = stream.start(ingest.toDS().toDF("doc_id", "text"), ck)
+      q.awaitTermination(120000)
+    }
+    stream.verdicts(spark)
+      .select(col("doc_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_stream_near_dedup" -> (s07_stream_near_dedup _),
     "s06_stream_dedup" -> (s06_stream_dedup _),
     "s01_batcher_conservation" -> (s01_batcher_conservation _),
     "s02_batcher_disabled" -> (s02_batcher_disabled _),
