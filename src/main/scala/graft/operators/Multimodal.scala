@@ -90,11 +90,49 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Frame sampling — the video-shaped access pattern: treat the payload
+    * as fixed-size 256-byte frames, keep every 4th, slice the frame
+    * bytes out of the BLOB. Pure per-row arithmetic + binary substring
+    * (both fully oracle-checkable, down to the sliced bytes): at 100 TB
+    * the explode multiplies rows INSIDE the scan stage and the sliced
+    * frames are the only bytes that survive projection — no shuffle, and
+    * column pruning drops the full payload right after the slice. */
+  def m03_frame_sample(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .withColumn("n_frames",
+        ceil(octet_length(col("payload")) / lit(256.0)).cast(IntegerType))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        col("payload").substr(col("frame_idx") * 256 + 1, lit(256)).as("frame"))
+      // frame content exported as hex: DuckDB can neither SUBSTRING nor
+      // slice a BLOB, but hex strings compare byte-for-byte at 2× offset
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"),
+        hex(col("frame")).as("frame_hex"),
+        octet_length(col("frame")).as("frame_bytes"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_multimodal_bytes" -> (m01_multimodal_bytes _),
-    "m02_multimodal_features" -> (m02_multimodal_features _))
+    "m02_multimodal_features" -> (m02_multimodal_features _),
+    "m03_frame_sample" -> (m03_frame_sample _))
 
   val oracle: Map[String, String] = Map(
+    "m03_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, ENCODE(text) AS payload,
+        |    CAST(CEIL(OCTET_LENGTH(ENCODE(text)) / 256.0) AS INT) AS n_frames
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, payload, n_frames, CAST(i AS INT) AS frame_idx
+        |  FROM m, UNNEST(RANGE(0, n_frames)) t(i)
+        |  WHERE n_frames > 0 AND i % 4 = 0)
+        |SELECT doc_id, frame_idx, n_frames,
+        |  SUBSTRING(HEX(payload), frame_idx * 512 + 1, 512) AS frame_hex,
+        |  CAST(LENGTH(SUBSTRING(HEX(payload), frame_idx * 512 + 1, 512)) // 2 AS INT) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "m01_multimodal_bytes" ->
       """SELECT doc_id,
         |  OCTET_LENGTH(ENCODE(text)) AS n_bytes,
