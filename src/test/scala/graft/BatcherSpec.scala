@@ -148,6 +148,27 @@ class BatcherSpec extends AnyFunSuite {
       "sink dir must stay empty when disabled")
   }
 
+  test("compaction bin-packs micro-batch output without losing or changing rows") {
+    import spark.implicits._
+    val outDir = tmp("compact_in")
+    val ingest = new AsyncIngest[LimitHash](spark.sqlContext)
+    // fast tick + tiny cap → many small files across many batch dirs
+    val batcher = new MicroBatcher(BatcherConfig(20.millis, 50), new ParquetBatchSink(outDir))
+    val q = batcher.start(ingest.toDS(), tmp("compact_ck"))
+    (0 until 5000).map(i => LimitHash(s"u$i", i.toLong, null, s"h$i"))
+      .grouped(250).foreach { c => ingest.saveAllAsync(c); Thread.sleep(5) }
+    q.processAllAvailable()
+    q.stop()
+    val compacted = tmp("compact_out")
+    val stats = graft.sources.Compaction.compact(spark, outDir, compacted,
+      targetBytes = 1L << 20)
+    assert(stats.filesBefore > stats.filesAfter,
+      s"expected fewer files, got ${stats.filesBefore} -> ${stats.filesAfter}")
+    val back = spark.read.parquet(compacted)
+    assert(back.count() === 5000L)
+    assert(back.select("amount").as[Long].collect().sorted.toSeq === (0L until 5000L))
+  }
+
   test("effectively-once: flush failure + restart does not lose or duplicate rows") {
     import spark.implicits._
     val outDir = tmp("eo_out")

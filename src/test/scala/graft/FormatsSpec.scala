@@ -93,4 +93,23 @@ class FormatsSpec extends AnyFunSuite {
       .agg(max("count")).head().getLong(0)
     assert(perFile <= 100)
   }
+
+  test("schema evolution: mergeSchema unifies batches with added columns") {
+    import spark.implicits._
+    // the ingest reality at scale: a producer adds a field mid-stream;
+    // earlier batch files lack the column, later ones carry it
+    val out = tmp("fmt_evolve")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$out/batch_id=0")
+    Seq((3L, "c", 0.5), (4L, "d", 0.7)).toDF("id", "v", "score")
+      .write.parquet(s"$out/batch_id=1")
+    val merged = spark.read.option("mergeSchema", "true")
+      .option("basePath", out).parquet(out)
+    assert(merged.columns.toSet === Set("id", "v", "score", "batch_id"))
+    val rows = merged.orderBy("id")
+      .select(col("id"), col("score")).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.take(2).forall(_.isNullAt(1)), "old batches read as null score")
+    assert(rows.drop(2).map(_.getDouble(1)).toSeq === Seq(0.5, 0.7))
+  }
 }
