@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Machine-enforced plan hygiene: the 100 TB invariants the Scaladocs
+  * claim (pushdown reaches the scan, small sides broadcast, top-k never
+  * global-sorts, scan-stage ops don't shuffle) asserted on the actual
+  * physical plans, so a regression in plan shape fails CI rather than
+  * waiting for a bench diff. Complements tools/ExplainAudit (the
+  * interactive version of the same checks). */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.base("local[4]", 4)
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.explainString(FormattedMode)
+
+  /** Detail-section headers "(N) Exchange" — one per shuffle, broadcasts
+    * not counted ("(N) BroadcastExchange" does not match). */
+  private def shuffles(p: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(p).size
+
+  test("q03: conjunctive filter is pushed to the parquet scan") {
+    val p = plan("q03_filter_conjunctive")
+    assert(p.contains("PushedFilters: ["), p.linesIterator.take(30).mkString("\n"))
+    assert("PushedFilters: \\[[^\\]]*EqualTo".r.findFirstIn(p).isDefined,
+      "equality predicates must reach the scan")
+  }
+
+  test("q01: date filter pushed; partial+final agg = exactly one data shuffle plus result sort") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: ["))
+    assert(shuffles(p) <= 2, s"q01 shuffle count grew:\n${shuffles(p)}")
+  }
+
+  test("q05: dimension joins broadcast, never shuffle the fact side per-join") {
+    val p = plan("q05_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "small dims must broadcast")
+  }
+
+  test("q17: top-k plans as TakeOrdered (per-partition heap), not a global sort") {
+    val p = plan("q17_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(shuffles(p) <= 1)
+  }
+
+  test("t07: corpus ngram top-k = one count shuffle + TakeOrdered") {
+    val p = plan("t07_ngram_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(shuffles(p) === 1, "partial-agg count must be the only shuffle")
+  }
+
+  test("scan-stage ops (t01, t02, t06, p02, m03) shuffle at most for the oracle orderBy") {
+    Seq("t01_text_tokens", "t02_text_quality", "t06_text_scrub",
+        "p02_split_assign", "m03_frame_sample").foreach { n =>
+      val s = shuffles(plan(n))
+      assert(s <= 1, s"$n: expected scan-stage-only (+result sort), got $s shuffles")
+    }
+  }
+
+  test("d01: exact dedup = one hash-agg shuffle (+ result sort)") {
+    assert(shuffles(plan("d01_dedup_exact")) <= 2)
+  }
+
+  test("v01: query set broadcasts against the corpus scan") {
+    val p = plan("v01_sim_bruteforce_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the small query set must broadcast")
+  }
+}
