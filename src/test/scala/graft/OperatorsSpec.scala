@@ -68,6 +68,19 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash + ngram dedup complete on a degenerate all-identical corpus") {
+    // 1500 identical docs: every band/gram bucket holds the whole
+    // corpus, exceeding the caps — the count pre-filter must drop the
+    // buckets BEFORE any posting list materializes, and the run must
+    // complete without the 1500²/2 pair expansion. (Exact duplicates
+    // are d01's job; the near-dup paths guarantee bounded memory first.)
+    val docs = docsDf((1L to 1500L).map(i => i -> base): _*)
+    val mh = Dedup.minhashDedup(docs).collect()
+    assert(mh.length === 1500 && mh.forall(!_.getBoolean(1)))
+    val ng = Dedup.ngramJaccardDedup(docs).collect()
+    assert(ng.length === 1500 && ng.forall(!_.getBoolean(1)))
+  }
+
   test("embedding dedup completes on a degenerate all-same-bucket corpus") {
     import spark.implicits._
     val v = Array.fill(64)(0.5f)
