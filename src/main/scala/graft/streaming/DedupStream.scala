@@ -50,9 +50,14 @@ final class DedupStream(storeDir: String, verdictDir: String,
       .select(col("doc_id"), col("sig"), col("bands"))
 
   private def readStore(spark: SparkSession, beforeBatch: Long): DataFrame = {
-    val base = new java.io.File(storeDir)
-    val parts = Option(base.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    // Hadoop FS, not java.io.File: the store is a table path, which on a
+    // real cluster is HDFS/S3 — the same code must list it there.
+    val base = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(base)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(base).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith("batch_id="))
     if (parts.isEmpty) {
       import org.apache.spark.sql.types._
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
