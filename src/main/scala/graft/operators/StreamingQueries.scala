@@ -170,7 +170,43 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Stream-stream self-join: click → purchase attribution within a
+    * 30-minute window per user, both sides watermarked (1 h) so join
+    * state is bounded — the interval condition lets Spark expire
+    * buffered rows once the watermark passes, which is what makes a
+    * stream-stream join runnable forever at 100 TB/day instead of
+    * accreting state. Inner joins emit eagerly on match, so feeding the
+    * full table and draining yields the exact batch-join result —
+    * hash-checked against the equivalent DuckDB join. */
+  def s08_stream_stream_join(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ingest = new AsyncIngest[Event](spark.sqlContext)
+    val s = ingest.toDS()
+    val clicks = s.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = s.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    val qname = s"graft_stream_join_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    Tables.events(spark, dir).as[Event].collect()
+      .grouped(20000).foreach(chunk => ingest.saveAllAsync(chunk.toSeq))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname)
+      .select(col("c_id"), col("p_id"))
+      .orderBy(col("c_id"), col("p_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s08_stream_stream_join" -> (s08_stream_stream_join _),
     "s07_stream_near_dedup" -> (s07_stream_near_dedup _),
     "s06_stream_dedup" -> (s06_stream_dedup _),
     "s01_batcher_conservation" -> (s01_batcher_conservation _),
@@ -203,6 +239,13 @@ object StreamingQueries {
         |ORDER BY user_id, session_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s08_stream_stream_join" ->
+      """SELECT c.event_id AS c_id, p.event_id AS p_id
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |ORDER BY c_id, p_id""".stripMargin,
     "s06_stream_dedup" ->
       "SELECT COUNT(*) AS n_unique, CAST(SUM(event_id) AS BIGINT) AS event_id_sum FROM events",
     "s01_batcher_conservation" ->
