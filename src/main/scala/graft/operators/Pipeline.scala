@@ -62,11 +62,67 @@ object Pipeline {
           .otherwise("test").as("split"))
       .orderBy(col("doc_id"))
 
+  /** The full corpus-prep DAG as ONE declarative plan — scrub → quality
+    * gate → exact dedup keep-first → content-keyed split → per-split
+    * token accounting. This is the "switch to this library" demo at its
+    * widest: five pipeline stages composing, everything still
+    * hash-checked against DuckDB. Plan shape at 100 TB: scrub/quality/
+    * fingerprint fuse into the scan stage; the only shuffles are the
+    * dedup groupBy, its keep-join, and the final 3-group aggregate. */
+  def p03_corpus_prep(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = TextAnalysis.scrubText(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("clean_text"))
+    val gated = scrubbed
+      .withColumn("n_tokens", size(split(trim(col("clean_text")), "\\s+")))
+      .withColumn("letter_ratio",
+        (length(col("clean_text")) -
+          length(regexp_replace(col("clean_text"), "[a-zA-Z]", ""))).cast(DoubleType) /
+          length(col("clean_text")))
+      .filter(col("letter_ratio") > 0.5 &&
+        col("n_tokens") >= 10 && col("n_tokens") <= 1000)
+    val keep = gated
+      .groupBy(sha2(col("clean_text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id").as("doc_id"))
+    splitAssign(gated.join(keep, "doc_id")
+        .select(col("doc_id"), col("clean_text").as("text"), col("n_tokens")))
+      .join(gated.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("n_tokens_sum"))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_clean_corpus" -> (p01_clean_corpus _),
-    "p02_split_assign" -> (p02_split_assign _))
+    "p02_split_assign" -> (p02_split_assign _),
+    "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p03_corpus_prep" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    REGEXP_REPLACE(REGEXP_REPLACE(text, 'https?://\S+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS clean_text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, clean_text,
+        |    LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(clean_text), '\s+')) AS n_tokens,
+        |    CAST(LENGTH(clean_text) - LENGTH(REGEXP_REPLACE(clean_text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+        |      / LENGTH(clean_text) AS letter_ratio
+        |  FROM s),
+        |f AS (SELECT * FROM g WHERE letter_ratio > 0.5 AND n_tokens BETWEEN 10 AND 1000),
+        |k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY SHA256(clean_text)),
+        |sv AS (SELECT * FROM f WHERE doc_id IN (SELECT doc_id FROM k)),
+        |b AS (SELECT doc_id, n_tokens,
+        |  (INSTR('0123456789abcdef', SUBSTRING(SHA256(clean_text), 1, 1)) - 1) * 16 +
+        |   INSTR('0123456789abcdef', SUBSTRING(SHA256(clean_text), 2, 1)) - 1 AS bucket
+        |  FROM sv)
+        |SELECT CASE WHEN bucket < 205 THEN 'train'
+        |            WHEN bucket < 230 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_sum
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     "p02_split_assign" ->
       """WITH f AS (SELECT doc_id, SHA256(text) AS fp FROM documents),
         |b AS (SELECT doc_id,

@@ -94,6 +94,31 @@ class FormatsSpec extends AnyFunSuite {
     assert(perFile <= 100)
   }
 
+  test("binaryFile + text sources: raw media/corpus files become typed frames") {
+    import spark.implicits._
+    // the real-world multimodal ingest path: media lands as FILES, and
+    // binaryFile lifts (path, length, content-bytes) into a frame the
+    // Multimodal operators consume; text does the same for raw corpora
+    val mediaDir = tmp("fmt_bin")
+    Seq("alpha" -> "a.bin", "beta-longer" -> "b.bin").foreach { case (body, name) =>
+      Files.write(java.nio.file.Paths.get(mediaDir, name), body.getBytes("UTF-8"))
+    }
+    val media = spark.read.format("binaryFile").load(mediaDir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("name"),
+        col("length"), col("content"))
+      .orderBy("name")
+      .collect()
+    assert(media.map(_.getString(0)).toSeq === Seq("a.bin", "b.bin"))
+    assert(media.map(_.getLong(1)).toSeq === Seq(5L, 11L))
+    assert(new String(media(0).getAs[Array[Byte]](2), "UTF-8") === "alpha")
+
+    val textDir = tmp("fmt_text")
+    Files.write(java.nio.file.Paths.get(textDir, "docs.txt"),
+      "line one\nline two\n".getBytes("UTF-8"))
+    val lines = spark.read.text(textDir).as[String].collect().sorted
+    assert(lines.toSeq === Seq("line one", "line two"))
+  }
+
   test("schema evolution: mergeSchema unifies batches with added columns") {
     import spark.implicits._
     // the ingest reality at scale: a producer adds a field mid-stream;
