@@ -70,11 +70,32 @@ object Windows {
       .limit(10)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
 
+  /** Time-based sliding RANGE frame: per-user trailing-hour event count
+    * and value sum — the frame mode ROWS offsets (q15) cannot express
+    * (peers join the frame by VALUE distance, not row position). The
+    * ordering column is epoch SECONDS so the 3600 bound is an exact
+    * integer in both engines; the value sum goes through the Exact
+    * decimal cast so the frame aggregation is order-independent. */
+  def q46_window_range(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600, 0)
+    Tables.events(spark, dir)
+      .filter(col("user_id") <= 20)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .withColumn("sum_last_hour", sum(m(col("value"))).over(w).cast(DoubleType))
+      .select(col("user_id"), col("event_id"), col("epoch_s"),
+        col("n_last_hour"), col("sum_last_hour"))
+      .orderBy(col("user_id"), col("epoch_s"), col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_window_rank" -> (q14_window_rank _),
     "q15_window_running" -> (q15_window_running _),
     "q16_window_lag_lead" -> (q16_window_lag_lead _),
-    "q17_sort_topk" -> (q17_sort_topk _))
+    "q17_sort_topk" -> (q17_sort_topk _),
+    "q46_window_range" -> (q46_window_range _))
 
   val oracle: Map[String, String] = Map(
     "q14_window_rank" ->
@@ -103,5 +124,18 @@ object Windows {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q17_sort_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q46_window_range" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS epoch_s,
+        |    CAST(value AS DECIMAL(9,2)) AS v
+        |  FROM events WHERE user_id <= 20)
+        |SELECT user_id, event_id, epoch_s,
+        |  COUNT(*) OVER w AS n_last_hour,
+        |  CAST(SUM(v) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, epoch_s, event_id""".stripMargin)
 }
