@@ -36,6 +36,22 @@ object Bench {
     // Passes after the first are skipped once past the soft budget
     // (every query keeps its pass-0 sample, so output is always complete).
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    // The driver captures only a bounded tail of the process output and
+    // parses the JSON line out of it — keep the line SHORT (round-1's
+    // full-name, full-precision line was ~2.7 KB and got truncated →
+    // "parsed": null). Query keys shrink to their unique id prefix
+    // (q01..q46, d01.., s01.., t01.., u01.., v01.., m01.., p01).
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def currentLine(): String = {
+      val results = names.map { case (name, _) =>
+        val ts = samples(name).sorted
+        name -> ts(ts.length / 2) // median (upper median for even n)
+      }
+      val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
+        .mkString("{", ",", "}")
+      val sfName = new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":${f3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
     for (rep <- 0 until reps if rep == 0 || elapsedSec <= budgetSec) {
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -49,29 +65,19 @@ object Bench {
         spark.catalog.clearCache()
         samples(name) = dt :: samples.getOrElse(name, Nil)
       }
+      // Emit the cumulative-median line after EVERY pass: if an external
+      // timeout kills a later pass, the output tail still ends with a
+      // complete, parseable line from the last finished pass.
+      println(currentLine())
+      System.out.flush()
     }
-    val results = names.map { case (name, _) =>
-      val ts = samples(name).sorted
-      name -> ts(ts.length / 2) // median (upper median for even n)
-    }
-    // The driver captures only a bounded tail of the process output and
-    // parses the JSON line out of it — keep this line SHORT (round-1's
-    // full-name, full-precision line was ~2.7 KB and got truncated →
-    // "parsed": null). Query keys shrink to their unique id prefix
-    // (q01..q45, d01.., s01.., t01.., u01.., v01.., m01.., p01).
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val sfName = new java.io.File(sfDir).getName
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    val line = currentLine()
     spark.stop()
     // Sidecar copy for anything that reads files instead of stdout.
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
       (line + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    // Printed ONCE, unprefixed (run/outputStrategy = StdoutOutput), after
+    // Final print, unprefixed (run/outputStrategy = StdoutOutput), after
     // session shutdown so it is the last stdout line before sbt's
     // [success] footer — the driver parses it from the output tail.
     println(line)
