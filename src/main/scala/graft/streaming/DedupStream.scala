@@ -33,6 +33,11 @@ import graft.functions.HashFns
   *   - Degenerate docs (too short to shingle → all-null signature) are
   *     passed through as novel, never bucketed — the same
   *     degenerate-bucket guard as the batch paths' count pre-filter.
+  *   - Keep-first is keyed by doc_id (the convention of the whole dedup
+  *     family): a doc is a dup iff a SMALLER id — earlier batch or same
+  *     batch — matches. With id-ordered ingestion (snapshot/append
+  *     pipelines) this equals keep-earliest-arrival; if ids arrive out
+  *     of order, the id, not arrival time, decides the survivor.
   */
 final class DedupStream(storeDir: String, verdictDir: String,
     nHashes: Int = 64, bands: Int = 16, agreeThreshold: Double = 0.75)
