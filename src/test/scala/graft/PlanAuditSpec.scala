@@ -65,6 +65,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(plan("d01_dedup_exact")) <= 2)
   }
 
+  test("q39: 6-table star keeps every dimension broadcast — only the fact pair shuffles") {
+    val p = plan("q39_nation_volume")
+    val bcast = "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size
+    assert(bcast >= 4, s"star dims must broadcast, saw $bcast broadcast joins")
+    assert(shuffles(p) <= 3, s"q39 shuffle count grew to ${shuffles(p)}")
+  }
+
   test("v01: query set broadcasts against the corpus scan") {
     val p = plan("v01_sim_bruteforce_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
