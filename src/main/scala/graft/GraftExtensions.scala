@@ -16,5 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.Udx.Fnv64Expr].getName, "graft_fnv64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.Udx.Fnv64Expr(exprs.head)))
+    // native whole-operator extension (custom logical node + exec)
+    extensions.injectPlannerStrategy(_ => plans.TopKPerGroup.Strategy)
   }
 }

@@ -90,14 +90,41 @@ object Windows {
       .orderBy(col("user_id"), col("epoch_s"), col("event_id"))
   }
 
+  /** Top-k per group via the engine's NATIVE operator
+    * ([[graft.plans.TopKPerGroup]]): custom logical node + strategy +
+    * two-phase bounded-heap physical exec — ClickHouse's `LIMIT k BY`
+    * re-expressed as a Catalyst extension. Same semantics as q14's
+    * row_number form, but the shuffle carries at most k rows per group
+    * per input partition and nothing is ever sorted (the trailing
+    * orderBy here is presentation/oracle-compare only — it runs on the
+    * already-reduced k×groups rows, not the input). */
+  def q47_topk_native(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerGroup.topKPerGroup(
+        Tables.customer(spark, dir)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal")),
+        groupCols = Seq(col("c_nationkey")),
+        orderCols = Seq(col("c_acctbal").desc, col("c_custkey").asc),
+        k = 3)
+      .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_window_rank" -> (q14_window_rank _),
+    "q47_topk_native" -> (q47_topk_native _),
     "q15_window_running" -> (q15_window_running _),
     "q16_window_lag_lead" -> (q16_window_lag_lead _),
     "q17_sort_topk" -> (q17_sort_topk _),
     "q46_window_range" -> (q46_window_range _))
 
   val oracle: Map[String, String] = Map(
+    "q47_topk_native" ->
+      """SELECT c_nationkey, c_custkey, c_acctbal
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin,
     "q14_window_rank" ->
       """SELECT l_returnflag, rn, rnk, drnk, l_orderkey, l_linenumber, l_extendedprice
         |FROM (

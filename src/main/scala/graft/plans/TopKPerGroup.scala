@@ -1,0 +1,158 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.GraftShims
+
+/** Native whole-operator extension — the (c)-tier of the engine's
+  * Catalyst integration: a custom logical node, a planner strategy and
+  * a physical operator, registered through
+  * `spark.experimental.extraStrategies` (and injectable via
+  * `graft.GraftExtensions` for `--conf spark.sql.extensions` users).
+  *
+  * Semantics: for each group (by `groupExprs`), emit the first `k` rows
+  * under `order` — SQL's `ROW_NUMBER() OVER (PARTITION BY g ORDER BY o)
+  * <= k` without materializing or sorting whole groups.
+  *
+  * Why a custom operator instead of the window form: the window plan
+  * shuffles EVERY row, then sorts every (group, order) run before the
+  * rank filter discards all but k per group. Spark's own
+  * `WindowGroupLimit` optimization (3.5+) inserts a pre-shuffle
+  * group-limit but still sorts within partitions and still runs the
+  * full Window operator after the shuffle. This operator keeps a
+  * bounded k-element heap per group on both sides of the exchange:
+  *
+  *   partial TopKPerGroupExec   — per input partition, heap per group,
+  *                                emits ≤ k rows/group/partition
+  *   Exchange(hash(groupExprs)) — inserted automatically by
+  *                                EnsureRequirements from the final
+  *                                node's requiredChildDistribution
+  *   final TopKPerGroupExec     — same algorithm on the merged stream,
+  *                                emits exactly the global top-k/group
+  *
+  * At 100 TB the shuffle carries at most k × groups × partitions rows
+  * (vs ALL rows for the window form), no sort ever runs, and memory is
+  * O(groups-per-partition × k) — the partial phase is the same trick
+  * map-side combine plays for aggregates, applied to a rank filter.
+  *
+  * Reference trigger: the reference delegates all ranking to ClickHouse
+  * (`ORDER BY ... LIMIT k BY g`, absent from its Go code — SURVEY §2.2
+  * "Sorts/limits/top-k"); this is the Spark-native equivalent of
+  * ClickHouse's `LIMIT k BY` operator.
+  */
+object TopKPerGroup {
+
+  /** Logical node: declares the semantics, carries no execution detail.
+    * `output = child.output` — the operator only filters rows. */
+  case class TopKPerGroupPlan(
+      groupExprs: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int,
+      child: LogicalPlan) extends UnaryNode {
+    require(k > 0, "topKPerGroup: k must be positive")
+    require(groupExprs.nonEmpty, "topKPerGroup: need at least one group expression")
+    override def output: Seq[Attribute] = child.output
+    override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+      copy(child = newChild)
+  }
+
+  /** Planner strategy: logical → partial/final physical pair. The
+    * exchange between them is NOT built here — the final node's
+    * required distribution lets EnsureRequirements insert (or elide,
+    * if the child is already hash-partitioned on the group keys —
+    * e.g. downstream of a groupBy on the same keys) the shuffle. */
+  object Strategy extends SparkStrategy {
+    override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+      case TopKPerGroupPlan(group, order, k, child) =>
+        TopKPerGroupExec(group, order, k, partial = false,
+          TopKPerGroupExec(group, order, k, partial = true, planLater(child))) :: Nil
+      case _ => Nil
+    }
+  }
+
+  /** Physical operator: one bounded max-heap per group key; a row is
+    * admitted if the heap is under k or the row precedes the heap's
+    * worst element under `order` (then the worst is evicted). Used for
+    * both phases — "partial" differs only in not requiring a
+    * distribution (it runs on raw scan partitions).
+    */
+  case class TopKPerGroupExec(
+      groupExprs: Seq[Expression],
+      order: Seq[SortOrder],
+      k: Int,
+      partial: Boolean,
+      child: SparkPlan) extends UnaryExecNode {
+
+    override def output: Seq[Attribute] = child.output
+    override def outputPartitioning = child.outputPartitioning
+    override def nodeName: String =
+      if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+
+    override def requiredChildDistribution: Seq[Distribution] =
+      if (partial) UnspecifiedDistribution :: Nil
+      else ClusteredDistribution(groupExprs) :: Nil
+
+    override protected def doExecute(): RDD[InternalRow] = {
+      val groupExprsLocal = groupExprs
+      val orderLocal = order
+      val childOutput = child.output
+      val kLocal = k
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
+        // BaseOrdering compares "row a sorts before row b" — the heap
+        // is a max-heap under it, so `head` is the worst retained row.
+        val cmp: Ordering[InternalRow] = RowOrdering.create(orderLocal, childOutput)
+        val heaps = scala.collection.mutable.HashMap
+          .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+        iter.foreach { row =>
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case None =>
+              val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](cmp)
+              h.enqueue(row.copy())
+              heaps.put(key.copy(), h)
+            case Some(h) =>
+              if (h.size < kLocal) h.enqueue(row.copy())
+              else if (cmp.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+          }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }, preservesPartitioning = true)
+    }
+
+    override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+      copy(child = newChild)
+  }
+
+  /** Idempotently register the strategy on a session (the imperative
+    * path for sessions not built with `spark.sql.extensions`). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(Strategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ Strategy
+
+  /** DataFrame API: top `k` rows per `groupCols` group under `orderCols`
+    * (pass `col.desc`/`col.asc` — bare columns default to ascending).
+    * Include a unique tie-break column in `orderCols` for deterministic
+    * results. */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[Column], orderCols: Seq[Column], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val analyzed = df.queryExecution.analyzed
+    val group = groupCols.map(GraftShims.catalystExpression)
+    val order = orderCols.map(GraftShims.catalystExpression).map {
+      case so: SortOrder => so
+      case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+    }
+    // Re-resolve the (unresolved) column expressions against the
+    // analyzed child so the logical node enters the planner resolved.
+    val resolved = GraftShims.ofRows(spark,
+      TopKPerGroupPlan(group, order, k, analyzed))
+    resolved
+  }
+}

@@ -10,4 +10,19 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** Eager Column → catalyst conversion. `expression(c)` returns a lazy
+    * `ColumnNodeExpression` adapter that defers conversion to the
+    * analyzer — fine inside a plan the analyzer walks, but NOT inside a
+    * custom node's expression fields that ship to executors (the
+    * adapter wraps the non-serializable internal ColumnNode, and a
+    * `.desc` column's SortOrder would stay hidden inside it). This
+    * converts through the classic ColumnNodeToExpressionConverter, so
+    * sort columns come back as real catalyst SortOrder trees. */
+  def catalystExpression(c: Column): catalyst.expressions.Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
+  /** DataFrame from a raw logical plan (custom operators build their
+    * own nodes; the public API has no constructor for that). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.TopKPerGroup
+
+/** The native TopKPerGroup operator (custom logical node + strategy +
+  * physical exec): result equivalence vs the window-function form, edge
+  * cases (ties, k ≥ group size, single group), and the physical-plan
+  * invariants the operator exists for — two heap phases around one
+  * exchange, no sort, no window. */
+class PlansSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.base("local[4]", 4)
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+  }
+
+  private def nativeTopK(df: org.apache.spark.sql.DataFrame, k: Int) =
+    TopKPerGroup.topKPerGroup(df,
+      Seq(col("c_nationkey")), Seq(col("c_acctbal").desc, col("c_custkey").asc), k)
+
+  test("native top-k matches row_number window form on the corpus") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+    for (k <- Seq(1, 3, 10)) {
+      val expected = windowTopK(cust, k).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      val got = nativeTopK(cust, k).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"k=$k")
+    }
+  }
+
+  test("ties break deterministically and k >= group size returns whole group") {
+    import spark.implicits._
+    val df = Seq(
+      (0, 1L, 5.0), (0, 2L, 5.0), (0, 3L, 5.0), (0, 4L, 1.0),
+      (1, 9L, 2.0)).toDF("c_nationkey", "c_custkey", "c_acctbal")
+    val got = nativeTopK(df, 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    // group 0: three tied 5.0s → lowest custkeys 1,2 win; group 1 has
+    // fewer rows than k → everything survives
+    assert(got === Set((0, 1L), (0, 2L), (1, 9L)))
+  }
+
+  test("plan is partial heap -> exchange -> final heap, with no sort or window") {
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+    val plan = nativeTopK(cust.repartition(4), 3).queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("TopKPerGroupPartial"), s)
+    assert(s.contains("TopKPerGroupFinal"), s)
+    assert(s.contains("Exchange"), s)
+    assert(!s.contains("WindowExec") && !s.contains("Window ("), s)
+    assert(!s.toLowerCase.contains("sort ("), s)
+    // the partial phase must run BELOW the exchange (map-side reduction):
+    // walking down from the final node we meet Exchange before Partial
+    val finalIdx = s.indexOf("TopKPerGroupFinal")
+    val exchangeIdx = s.indexOf("Exchange")
+    val partialIdx = s.indexOf("TopKPerGroupPartial")
+    assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, s)
+  }
+
+  test("partial phase bounds shuffled rows to k per group per partition") {
+    import spark.implicits._
+    // 4 partitions x 1 group x 1000 rows: the exchange must carry at
+    // most 4 * k rows, not 4000 — observable via the partial phase's
+    // own output count
+    val df = spark.range(0, 4000).select(
+        lit(0).as("g"), col("id"), rand(7).as("v"))
+      .repartition(4)
+    val topk = TopKPerGroup.topKPerGroup(df,
+      Seq(col("g")), Seq(col("v").desc, col("id").asc), 5)
+    assert(topk.count() === 5)
+    // AQE wraps the physical plan; collect from the materialized inner plan
+    val exec = topk.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val partial = exec.collect {
+      case e: TopKPerGroup.TopKPerGroupExec if e.partial => e
+    }
+    assert(partial.nonEmpty)
+    // run just the partial subplan: ≤ k rows per input partition
+    val partialCounts = partial.head.execute()
+      .mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(partialCounts.forall(_ <= 5), partialCounts.mkString(","))
+  }
+}
