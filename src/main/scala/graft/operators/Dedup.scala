@@ -251,6 +251,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination — the train/eval hygiene op every LLM
+    * pipeline runs before training: a training document is contaminated
+    * iff it shares at least one word 5-gram with any document of the
+    * evaluation benchmark. Here the "benchmark" is the deterministic
+    * doc_id % 97 == 0 slice of the corpus (standing in for a real eval
+    * set ingested separately).
+    *
+    * Scale shape: benchmark sets are tiny next to a training corpus
+    * (thousands of docs vs billions), so the benchmark's distinct gram
+    * hashes are BROADCAST — the 100 TB training side is matched in its
+    * scan stage with no shuffle of corpus grams at all; the only
+    * aggregation is the per-doc hit count on the (rare) matching rows.
+    * Gram sets are per-row hashed + deduped (same construction as d04),
+    * so string grams never leave the row. */
+  def d07_decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables.documents(spark, dir), col("doc_id") % 97 === 0)
+
+  /** Core, corpus-independent: input needs (doc_id, text); `benchPred`
+    * marks the held-out benchmark rows. */
+  def decontaminate(docsRaw: DataFrame, benchPred: Column): DataFrame = {
+    val grams = docsRaw
+      .select(col("doc_id"), benchPred.as("is_bench"),
+        TextFns.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_bench"), SketchExprs.distinctLongs(
+        transform(TextFns.shinglesFromTokens(col("toks"), 5),
+          g => xxhash64(g))).as("grams"))
+    val postings = grams.select(col("doc_id"), col("is_bench"),
+      explode(col("grams")).as("gram_h"))
+    val benchGrams = postings.filter(col("is_bench"))
+      .select(col("gram_h")).distinct()
+    val hits = postings.filter(!col("is_bench"))
+      .join(broadcast(benchGrams), Seq("gram_h"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit_grams"))
+    docsRaw.filter(!benchPred).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+        col("n_hit_grams").isNotNull.as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc verdict under keep-first policy: a doc is a duplicate iff
     * it appears as the larger id of a verified pair. */
   private def perDocVerdict(allDocs: DataFrame, verifiedPairs: DataFrame): DataFrame = {
@@ -267,7 +309,8 @@ object Dedup {
     "d03_dedup_simhash" -> (d03_dedup_simhash _),
     "d04_dedup_ngram_jaccard" -> (d04_dedup_ngram_jaccard _),
     "d05_dedup_embedding" -> (d05_dedup_embedding _),
-    "d06_dedup_incremental" -> (d06_dedup_incremental _))
+    "d06_dedup_incremental" -> (d06_dedup_incremental _),
+    "d07_decontaminate" -> (d07_decontaminate _))
 
   /** d04 oracle: string 3-grams on the DuckDB side vs xxhash64'd grams
     * on the Spark side share exact semantics modulo hash collisions —
@@ -299,8 +342,35 @@ object Dedup {
       |SELECT doc_id, (doc_id IN (SELECT b FROM ver)) AS is_dup
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** d07 oracle: string word-5-grams mirror the hashed grams exactly
+    * (same argument as d04 — 64-bit collisions absent at verification
+    * scale). The RANGE bound mirrors shinglesFromTokens: positions
+    * 1..max(len-4, 1), with the whole-token-string shingle for
+    * sub-5-token docs; empty grams (empty text) are filtered in both. */
+  private val decontaminateOracleSql: String =
+    """WITH d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents),
+      |t AS (SELECT doc_id, STRING_SPLIT(norm, ' ') AS toks FROM d),
+      |g0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    ARRAY_TO_STRING(toks[CAST(i AS INT):CAST(i AS INT) + 4], ' ') AS gm
+      |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 3, 2))) AS u(i)),
+      |g AS (SELECT * FROM g0 WHERE LENGTH(gm) > 0),
+      |bg AS (SELECT DISTINCT gm FROM g WHERE doc_id % 97 = 0),
+      |hits AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+      |  FROM g WHERE doc_id % 97 <> 0 AND gm IN (SELECT gm FROM bg)
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+      |  h.doc_id IS NOT NULL AS is_contaminated
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |WHERE d.doc_id % 97 <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d04_dedup_ngram_jaccard" -> ngramOracleSql,
+    "d07_decontaminate" -> decontaminateOracleSql,
     "d01_dedup_exact" ->
       """SELECT SHA256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY SHA256(text) ORDER BY keep_id""".stripMargin,

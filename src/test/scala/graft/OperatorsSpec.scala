@@ -130,6 +130,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.nonEmpty && recall >= 0.2, s"ivf recall $recall")
   }
 
+  test("decontamination flags a doc sharing a 5-gram with the benchmark, not others") {
+    val benchDoc = "the quick brown fox jumps over the lazy dog near the river"
+    // copies a 5-token span ("quick brown fox jumps over") → contaminated
+    val leaked = "students wrote that the quick brown fox jumps over fences daily"
+    // shares words but never 5 consecutive tokens → clean
+    val clean = "a brown dog jumps while the fox is lazy near a quick river"
+    val df = docsDf(100L -> benchDoc, 2L -> leaked, 3L -> clean)
+    val got = Dedup.decontaminate(df, col("doc_id") === 100)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(2L -> true, 3L -> false))
+    // benchmark rows themselves are excluded from the training verdict
+    assert(!got.contains(100L))
+  }
+
   test("language ID recognizes planted languages") {
     val got = TextAnalysis.t03_text_langid(spark, "/root/testdata/sf0.001") // smoke on corpus
     assert(got.count() > 0)
