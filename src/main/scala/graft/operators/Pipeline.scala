@@ -93,12 +93,68 @@ object Pipeline {
       .orderBy(col("split"))
   }
 
+  /** Sequence packing — the "concat and chunk" batching step that turns
+    * a cleaned corpus into fixed-budget training sequences: documents
+    * are concatenated in a deterministic order and the token stream is
+    * cut every `budget` tokens; a document spanning a cut appears in
+    * both sequences with its token sub-range. Output: one row per
+    * (sequence, contributing doc) with the doc-relative token span —
+    * exactly what a loader needs to materialize packed sequences.
+    *
+    * Scale design: packing is sequential by nature, so it runs per
+    * SHARD — content-keyed (sha256 high nibble, stable across
+    * re-ingestion like p02's split) — and each shard packs
+    * independently: one window cumsum per shard, parallelism = shard
+    * count (set ≫ executor count in production), no global ordering
+    * anywhere. The span arithmetic is pure integer math on the cumsum,
+    * so the whole op is one shuffle (the window partitioning). */
+  def p04_pack_sequences(spark: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(spark, dir), budget = 256)
+
+  /** Core, corpus-independent: input needs (doc_id, text). */
+  def packSequences(docs: DataFrame, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .withColumn("n_tok", size(split(trim(col("text")), "\\s+")).cast(LongType))
+      .withColumn("shard",
+        expr("instr('0123456789abcdef', substring(sha2(text, 256), 1, 1)) - 1"))
+      .withColumn("end_off", sum(col("n_tok")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+      .withColumn("seq_id",
+        explode(expr(s"sequence(start_off DIV $budget, (end_off - 1) DIV $budget)")))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (greatest(col("start_off"), col("seq_id") * budget) - col("start_off"))
+          .as("tok_begin"),
+        (least(col("end_off"), (col("seq_id") + 1) * budget) - col("start_off"))
+          .as("tok_end"))
+      .orderBy(col("shard"), col("seq_id"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p04_pack_sequences" -> (p04_pack_sequences _),
     "p01_clean_corpus" -> (p01_clean_corpus _),
     "p02_split_assign" -> (p02_split_assign _),
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p04_pack_sequences" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_tok,
+        |    INSTR('0123456789abcdef', SUBSTRING(SHA256(text), 1, 1)) - 1 AS shard
+        |  FROM documents),
+        |o AS (SELECT doc_id, shard, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+        |  FROM b),
+        |e AS (SELECT doc_id, shard, end_off, end_off - n_tok AS start_off FROM o)
+        |SELECT shard, c AS seq_id, doc_id,
+        |  GREATEST(start_off, c * 256) - start_off AS tok_begin,
+        |  LEAST(end_off, (c + 1) * 256) - start_off AS tok_end
+        |FROM e, UNNEST(RANGE(start_off // 256, (end_off - 1) // 256 + 1)) AS u(c)
+        |ORDER BY shard, seq_id, doc_id""".stripMargin,
     "p03_corpus_prep" ->
       """WITH s AS (
         |  SELECT doc_id,

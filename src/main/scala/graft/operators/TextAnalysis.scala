@@ -145,7 +145,32 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("gram"))
       .limit(100)
 
+  /** Token-window chunking — the RAG/embedding prep op: each document
+    * explodes into overlapping windows of `window` whitespace tokens
+    * with stride `stride` (overlap = window - stride). Chunk count =
+    * ceil((n - window)/stride) + 1, so the final window always reaches
+    * the end of the doc; sub-window docs yield one (short) chunk.
+    * Per-row compute + explode in the scan stage — the only data growth
+    * is the intended ~window/stride duplication factor, no shuffle. */
+  def t08_chunk_text(spark: SparkSession, dir: String): DataFrame =
+    chunkText(Tables.documents(spark, dir), window = 64, stride = 48)
+
+  /** Core, corpus-independent: input needs (doc_id, text). */
+  def chunkText(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    docs
+      .withColumn("_toks", split(trim(col("text")), "\\s+"))
+      .withColumn("chunk_id", explode(expr(
+        s"sequence(0L, (greatest(size(_toks) - $window, 0) + ${stride - 1}) DIV $stride)")))
+      // chunk slice materialized once — text and token count both read it
+      .withColumn("_chunk", slice(col("_toks"),
+        col("chunk_id") * stride + 1, lit(window)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("_chunk")).cast(LongType).as("n_chunk_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_chunk_text" -> (t08_chunk_text _),
     "t05_token_estimate" -> (t05_token_estimate _),
     "t01_text_tokens" -> (t01_text_tokens _),
     "t02_text_quality" -> (t02_text_quality _),
@@ -187,6 +212,17 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t08_chunk_text" ->
+      """WITH t AS (SELECT doc_id,
+        |  REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, i AS chunk_id,
+        |    toks[CAST(i * 48 + 1 AS INT):CAST(i * 48 + 64 AS INT)] AS chunk
+        |  FROM t, UNNEST(RANGE(0, (GREATEST(LEN(toks) - 64, 0) + 47) // 48 + 1)) AS u(i))
+        |SELECT doc_id, chunk_id,
+        |  CAST(LEN(chunk) AS BIGINT) AS n_chunk_tokens,
+        |  ARRAY_TO_STRING(chunk, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "t06_text_scrub" ->
       """SELECT doc_id,
         |  CAST(LEN(REGEXP_EXTRACT_ALL(text, 'https?://\S+')) AS INT) AS n_urls,

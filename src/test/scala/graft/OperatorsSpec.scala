@@ -144,6 +144,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!got.contains(100L))
   }
 
+  test("chunking covers every token: stride steps, full last window, short-doc single chunk") {
+    val doc20 = (1 to 20).map(i => s"w$i").mkString(" ") // < window → 1 chunk
+    val doc150 = (1 to 150).map(i => s"w$i").mkString(" ")
+    val got = TextAnalysis.chunkText(docsDf(1L -> doc20, 2L -> doc150), 64, 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc(1L).length === 1 && byDoc(1L).head._3 === 20)
+    // 150 tokens, W=64 S=48 → chunks at 0,48,96: ceil((150-64)/48)+1 = 3
+    assert(byDoc(2L).map(_._2).toSeq.sorted === Seq(0L, 1L, 2L))
+    // every token position covered; last chunk reaches the end
+    assert(byDoc(2L).find(_._2 == 2L).get._4.endsWith("w150"))
+    assert(byDoc(2L).find(_._2 == 1L).get._4.startsWith("w49")) // 48+1
+  }
+
+  test("sequence packing: spans partition each doc and fill each non-final sequence to budget") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = Pipeline.packSequences(docs, budget = 256).cache()
+    import spark.implicits._
+    // per-doc: spans sum to the doc's token count
+    val docTok = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n")).as[(Long, Long)]
+      .collect().toMap
+    val spanSums = packed.groupBy("doc_id")
+      .agg(sum(col("tok_end") - col("tok_begin")).as("s")).as[(Long, Long)]
+      .collect().toMap
+    assert(spanSums === docTok.filter { case (_, n) => n > 0 })
+    // per (shard, seq): non-final sequences carry exactly `budget` tokens
+    val seqFill = packed.groupBy("shard", "seq_id")
+      .agg(sum(col("tok_end") - col("tok_begin")).as("fill"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+    val lastSeq = seqFill.map(_._1).groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    seqFill.foreach { case ((shard, seq), fill) =>
+      if (seq < lastSeq(shard)) assert(fill === 256L, s"shard=$shard seq=$seq")
+      else assert(fill <= 256L)
+    }
+    packed.unpersist()
+  }
+
   test("language ID recognizes planted languages") {
     val got = TextAnalysis.t03_text_langid(spark, "/root/testdata/sf0.001") // smoke on corpus
     assert(got.count() > 0)
