@@ -23,8 +23,11 @@ object UdxQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Custom codegen Expression: FNV-1a 64 content hash (rows-only —
-    * no DuckDB equivalent; UdxSpec checks against the reference impl). */
+  /** Custom codegen Expression: FNV-1a 64 content hash. Oracle-checked:
+    * the normalized input is pure ASCII ([a-z0-9 ]), so DuckDB can fold
+    * FNV-1a per character with HUGEINT mod-2^64 arithmetic and match the
+    * JVM's wrapping long multiply bit-for-bit (UdxSpec additionally
+    * checks the codegen path against the reference implementation). */
   def u02_custom_expr_fnv(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("_norm", TextFns.normalized(col("text")))
@@ -62,6 +65,21 @@ object UdxQueries {
     "u03_scala_udf" -> (u03_scala_udf _))
 
   val oracle: Map[String, String] = Map(
+    "u02_custom_expr_fnv" ->
+      """WITH d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents),
+        |f AS (
+        |  SELECT doc_id, LIST_REDUCE(
+        |    LIST_PREPEND(14695981039346656037::HUGEINT,
+        |      LIST_TRANSFORM(RANGE(1, LENGTH(norm) + 1),
+        |        i -> CAST(ORD(SUBSTRING(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (h, b) -> (xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT))::HUGEINT
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS v FROM d)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+        |       THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS fnv64
+        |FROM f ORDER BY doc_id""".stripMargin,
     "u01_udaf_weighted_mean" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)
