@@ -147,6 +147,42 @@ object Relational {
       .orderBy(col("s_name"))
   }
 
+  /** Range join via BUCKETED EQUI-JOIN rewrite — the scale path for
+    * interval joins. The naive form (q09's shape) is a broadcast
+    * nested-loop over `epoch BETWEEN lo AND hi`: O(n·m) comparisons and
+    * only possible while one side broadcasts. Here both sides map to
+    * time buckets of width = the max interval width (1200 s), so an
+    * interval overlaps ≤ 2 buckets: the interval side explodes into its
+    * ≤ 2 bucket rows, the event side computes one bucket per row, and
+    * the match becomes a hash equi-join on the bucket key with the
+    * BETWEEN as residual filter — O(n + m) shuffle, no nested loop, no
+    * broadcast requirement. This is the standard interval-bucketing
+    * rewrite (cf. Databricks' range-join hint / interval joins in
+    * Flink); at sf0.01 AQE may still choose to broadcast the small
+    * exploded side — also correct, the rewrite is what makes the
+    * shuffle plan AVAILABLE at 100 TB.
+    *
+    * Query: "incident windows" — each high-value event (value > 300)
+    * opens a ±600 s window; count and sum the events inside each
+    * window. */
+  def q48_range_bucket_join(spark: SparkSession, dir: String): DataFrame = {
+    val bucketW = 1200L
+    val ev = Tables.events(spark, dir)
+      .withColumn("epoch", unix_timestamp(col("ts")))
+      .select(col("event_id"), col("epoch"), col("value"))
+    val windows = ev.filter(col("value") > 300)
+      .select(col("event_id").as("w_id"), col("epoch").as("w_epoch"),
+        (col("epoch") - 600).as("lo"), (col("epoch") + 600).as("hi"))
+      .withColumn("bucket",
+        explode(expr(s"sequence(lo DIV $bucketW, hi DIV $bucketW)")))
+    val evB = ev.withColumn("bucket", expr(s"epoch DIV $bucketW"))
+    evB.join(windows, Seq("bucket"))
+      .filter(col("epoch").between(col("lo"), col("hi")))
+      .groupBy(col("w_id"), col("w_epoch"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("value_sum"))
+      .orderBy(col("w_id"))
+  }
+
   /** TPC-H Q3-shaped shipping priority: top-10 unshipped BUILDING orders
     * by revenue. Two selective filters push to the scans; the join is
     * orderkey-coensure; top-k via TakeOrdered with a total order. */
@@ -202,6 +238,7 @@ object Relational {
     "q07_join_semi" -> (q07_join_semi _),
     "q08_join_anti" -> (q08_join_anti _),
     "q09_join_theta" -> (q09_join_theta _),
+    "q48_range_bucket_join" -> (q48_range_bucket_join _),
     "q38_shipping_priority" -> (q38_shipping_priority _),
     "q39_nation_volume" -> (q39_nation_volume _))
 
@@ -269,6 +306,16 @@ object Relational {
          |FROM supplier JOIN part ON s_acctbal < p_retailprice
          |WHERE p_size = 1
          |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "q48_range_bucket_join" ->
+      s"""WITH e AS (SELECT event_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS epoch, value
+         |  FROM events),
+         |w AS (SELECT event_id AS w_id, epoch AS w_epoch,
+         |    epoch - 600 AS lo, epoch + 600 AS hi
+         |  FROM e WHERE value > 300)
+         |SELECT w.w_id, w.w_epoch, COUNT(*) AS n_events,
+         |  ${sqlDsum("e.value")} AS value_sum
+         |FROM w JOIN e ON e.epoch BETWEEN w.lo AND w.hi
+         |GROUP BY w.w_id, w.w_epoch ORDER BY w.w_id""".stripMargin,
     "q38_shipping_priority" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
          |  CAST(SUM($discPriceSql) AS DOUBLE) AS revenue

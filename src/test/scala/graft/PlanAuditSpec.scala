@@ -72,6 +72,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(shuffles(p) <= 3, s"q39 shuffle count grew to ${shuffles(p)}")
   }
 
+  test("q48: bucketed range join plans as a hash equi-join, never a nested loop") {
+    val p = plan("q48_range_bucket_join")
+    assert(!p.contains("NestedLoop"),
+      "the bucket rewrite exists to avoid BroadcastNestedLoopJoin")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), "expected an equi-join on the bucket key")
+  }
+
+  test("q47: native top-k shuffles once and never sorts the input") {
+    val p = plan("q47_topk_native")
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"), p)
+    assert(shuffles(p) <= 2, s"partial/final heap + result sort only, got ${shuffles(p)}")
+  }
+
+  test("d07: benchmark gram set broadcasts; corpus grams never shuffle for the match") {
+    val p = plan("d07_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "benchmark grams must broadcast")
+  }
+
   test("v01: query set broadcasts against the corpus scan") {
     val p = plan("v01_sim_bruteforce_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
