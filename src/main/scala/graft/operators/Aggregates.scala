@@ -99,7 +99,32 @@ object Aggregates {
         max(col("l_quantity")).as("qmax"))
       .orderBy(col("l_returnflag"))
 
+  /** argMax / argMin aggregates (ClickHouse argMax(a, b)): the value of
+    * one column at another column's extreme, per group — here each
+    * customer's most recent order and its price. Implemented as
+    * max/min over a (key, tiebreak, payload) struct: lexicographic
+    * struct comparison makes the tie-break explicit and deterministic,
+    * which Spark's `max_by`/DuckDB's `arg_max` do NOT guarantee on
+    * ties — and it stays a plain partial-aggregatable max (one
+    * reduction per group per partition, no window, no sort). */
+  def q49_argmax(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(struct(col("o_orderdate").as("d"), col("o_orderkey").as("k")))
+          .as("_last"),
+        min(struct(col("o_orderdate").as("d"), col("o_orderkey").as("k")))
+          .as("_first"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+        col("_last.k").as("last_orderkey"),
+        col("_last.d").cast(TimestampNTZType).as("last_orderdate"),
+        col("_first.k").as("first_orderkey"),
+        col("n_orders"))
+      .orderBy(col("o_custkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_argmax" -> (q49_argmax _),
     "q37_percentiles" -> (q37_percentiles _),
     "q10_agg_distinct" -> (q10_agg_distinct _),
     "q11_agg_rollup" -> (q11_agg_rollup _),
@@ -108,6 +133,16 @@ object Aggregates {
     "q29_agg_approx_distinct" -> (q29_agg_approx_distinct _))
 
   val oracle: Map[String, String] = Map(
+    "q49_argmax" ->
+      """SELECT o_custkey,
+        |  struct_extract(MAX(struct_pack(d := o_orderdate, k := o_orderkey)), 'k')
+        |    AS last_orderkey,
+        |  CAST(struct_extract(MAX(struct_pack(d := o_orderdate, k := o_orderkey)), 'd')
+        |    AS TIMESTAMP) AS last_orderdate,
+        |  struct_extract(MIN(struct_pack(d := o_orderdate, k := o_orderkey)), 'k')
+        |    AS first_orderkey,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q37_percentiles" ->
       """SELECT l_returnflag,
         |  QUANTILE_CONT(l_quantity, 0.25) AS p25,

@@ -271,12 +271,20 @@ object Dedup {
   /** Core, corpus-independent: input needs (doc_id, text); `benchPred`
     * marks the held-out benchmark rows. */
   def decontaminate(docsRaw: DataFrame, benchPred: Column): DataFrame = {
+    // cached: the benchmark-gram branch and the corpus-postings branch
+    // both read this, and without the cache each branch re-runs the
+    // full shingle+hash scan (measured 2× the query cost at sf0.1). In
+    // a production deployment the benchmark is a separate small table,
+    // so only ITS grams would be recomputed — here both sides derive
+    // from one corpus, and the compact (doc_id, grams) form is what's
+    // worth keeping hot.
     val grams = docsRaw
       .select(col("doc_id"), benchPred.as("is_bench"),
         TextFns.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("is_bench"), SketchExprs.distinctLongs(
         transform(TextFns.shinglesFromTokens(col("toks"), 5),
           g => xxhash64(g))).as("grams"))
+      .cache()
     val postings = grams.select(col("doc_id"), col("is_bench"),
       explode(col("grams")).as("gram_h"))
     val benchGrams = postings.filter(col("is_bench"))

@@ -121,7 +121,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "v01_sim_bruteforce_topk" -> (v01_sim_bruteforce_topk _),
     "v02_sim_lsh_topk" -> (v02_sim_lsh_topk _),
-    "v03_sim_ivf_topk" -> (v03_sim_ivf_topk _))
+    "v03_sim_ivf_topk" -> (v03_sim_ivf_topk _),
+    "v04_sim_native_topk" -> (v04_sim_native_topk _))
 
   /** DuckDB mirror of the fold-based cosine: LIST_ZIP + LIST_REDUCE fold
     * left-to-right in double — bit-identical to Spark's zip_with +
@@ -134,7 +135,36 @@ object Similarity {
       |     * SQRT(LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(e.embedding,
       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), (x, y) -> x + y)))""".stripMargin
 
+  /** Exact top-k via the NATIVE TopKPerGroup operator — v01's window
+    * form shuffles every (query, candidate) pair and sorts each query's
+    * run before discarding all but k; the native operator reduces each
+    * scan partition to ≤ k rows per query BEFORE the exchange (the
+    * classic local-top-k-then-merge ANN pattern), so the shuffle
+    * carries k × queries × partitions rows regardless of corpus size.
+    * Same oracle family as v01 (modulo the rank column). */
+  def v04_sim_native_topk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pairs = broadcast(queries).join(emb, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+    graft.plans.TopKPerGroup.topKPerGroup(pairs,
+        Seq(col("qid")), Seq(col("cos").desc, col("nid").asc), K)
+      .orderBy(col("qid"), col("cos").desc, col("nid"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "v04_sim_native_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |pairs AS (
+         |  SELECT q.qid, e.vec_id AS nid, $cosSql AS cos
+         |  FROM q, embeddings e WHERE e.vec_id != q.qid)
+         |SELECT qid, nid, cos FROM (
+         |  SELECT qid, nid, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+         |  FROM pairs)
+         |WHERE rn <= $K ORDER BY qid, cos DESC, nid""".stripMargin,
     "v01_sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |pairs AS (

