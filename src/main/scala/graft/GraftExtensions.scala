@@ -16,7 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.Udx.Fnv64Expr].getName, "graft_fnv64"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         functions.Udx.Fnv64Expr(exprs.head)))
-    // native whole-operator extension (custom logical node + exec)
+    // native whole-operator extension (custom logical node + exec), plus
+    // the optimizer rule that swaps Spark's sort-based WindowGroupLimit
+    // for it on row_number()<=k patterns
     extensions.injectPlannerStrategy(_ => plans.TopKPerGroup.Strategy)
+    extensions.injectOptimizerRule(_ => plans.TopKPerGroup.NativeWindowGroupLimitRule)
   }
 }

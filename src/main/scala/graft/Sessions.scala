@@ -36,6 +36,10 @@ object Sessions {
     // engine functions exposed on the SQL surface too
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fnv64", exprs => graft.functions.Udx.Fnv64Expr(exprs.head), "scala_udf")
+    // native operator strategy + the WindowGroupLimit swap rule: every
+    // engine session executes row_number()<=k windows via the
+    // bounded-heap operator without callers opting in
+    graft.plans.TopKPerGroup.register(spark)
     spark
   }
 }

@@ -129,12 +129,47 @@ object TopKPerGroup {
       copy(child = newChild)
   }
 
-  /** Idempotently register the strategy on a session (the imperative
-    * path for sessions not built with `spark.sql.extensions`). */
-  def register(spark: SparkSession): Unit =
+  /** Optimizer rule: swap Spark's sort-based window-group-limit for
+    * the native heap operator. Spark's own `InferWindowGroupLimit`
+    * (3.5+) already does the hard safety analysis — it inserts a
+    * `WindowGroupLimit` node below a Window exactly when a
+    * `rank-like <= k` filter makes a per-group prefix sufficient. This
+    * rule piggybacks on that analysis and replaces the node (for the
+    * row_number case with real grouping) with [[TopKPerGroupPlan]]:
+    * same retained set (the k-minimal prefix per group under the window
+    * order — identical whenever the order is total, which every
+    * deterministic query has), but computed with bounded heaps on both
+    * sides of the exchange instead of per-partition sorts. The Window
+    * above then ranks only k rows per group. Users keep writing the
+    * standard `row_number().over(w) <= k` pattern; the engine swaps the
+    * execution underneath.
+    *
+    * Restricted to RowNumber: rank()/dense_rank() must retain boundary
+    * TIES beyond k, which a fixed-size heap does not hold; Spark's
+    * sort-based node keeps those paths. */
+  object NativeWindowGroupLimitRule
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case WindowGroupLimit(part, order, _: RowNumber, limit, child)
+          if part.nonEmpty && limit > 0 =>
+        TopKPerGroupPlan(part, order, limit, child)
+    }
+  }
+
+  /** Idempotently register the strategy AND the optimizer rule on a
+    * session (the imperative path for sessions not built with
+    * `spark.sql.extensions`). The two must be co-registered: the rule
+    * introduces the logical node only the strategy can plan. */
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(Strategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ Strategy
+    if (!spark.experimental.extraOptimizations.contains(NativeWindowGroupLimitRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ NativeWindowGroupLimitRule
+  }
 
   /** DataFrame API: top `k` rows per `groupCols` group under `orderCols`
     * (pass `col.desc`/`col.asc` — bare columns default to ascending).

@@ -68,6 +68,31 @@ class PlansSpec extends AnyFunSuite {
     assert(finalIdx < exchangeIdx && exchangeIdx < partialIdx, s)
   }
 
+  test("optimizer rule swaps WindowGroupLimit for the heap operator on row_number <= k") {
+    // the standard user pattern — NOT the explicit topKPerGroup API
+    val cust = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+    val windowed = windowTopK(cust, 3)
+    val s = windowed.queryExecution.executedPlan.toString
+    assert(s.contains("TopKPerGroupPartial") && s.contains("TopKPerGroupFinal"),
+      s"rule did not fire:\n$s")
+    assert(!s.contains("WindowGroupLimit"), "sort-based limiter should be replaced")
+    assert(s.contains("Window"), "the Window stays (it ranks the reduced rows)")
+    // and the rewritten plan still gives the row_number answer
+    val viaRule = windowed.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val viaApi = nativeTopK(cust, 3).collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(viaRule === viaApi)
+  }
+
+  test("rank/dense_rank filters keep Spark's sort-based limiter (ties beyond k)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    val df = Tables.customer(spark, sfDir)
+      .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("TopKPerGroup"), "heap operator must not claim rank() semantics")
+  }
+
   test("partial phase bounds shuffled rows to k per group per partition") {
     import spark.implicits._
     // 4 partitions x 1 group x 1000 rows: the exchange must carry at
