@@ -133,13 +133,44 @@ object Pipeline {
       .orderBy(col("shard"), col("seq_id"), col("doc_id"))
   }
 
+  /** Data-mixture sampling — the pretraining mixing step: downsample
+    * each language/source to its target rate (here en→50%, de→75%,
+    * rest kept) DETERMINISTICALLY, keyed on the content fingerprint
+    * (sha256 2-nibble bucket, the p02 construction) rather than rand():
+    * exact duplicates co-sample, the decision is stable across
+    * re-ingestion/repartitioning/incremental appends, and the op is a
+    * pure per-row filter — zero shuffle at any corpus size. rand()-based
+    * sampling has none of those properties and cannot be oracle-checked. */
+  def p05_mixture_sample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp", sha2(col("text"), 256))
+      .withColumn("bucket",
+        (expr("instr('0123456789abcdef', substring(fp, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substring(fp, 2, 1))") - 1)
+      .filter(col("bucket") <
+        when(col("lang") === "en", 128)
+          .when(col("lang") === "de", 192)
+          .otherwise(256))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p05_mixture_sample" -> (p05_mixture_sample _),
     "p04_pack_sequences" -> (p04_pack_sequences _),
     "p01_clean_corpus" -> (p01_clean_corpus _),
     "p02_split_assign" -> (p02_split_assign _),
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p05_mixture_sample" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    (INSTR('0123456789abcdef', SUBSTRING(SHA256(text), 1, 1)) - 1) * 16 +
+        |     INSTR('0123456789abcdef', SUBSTRING(SHA256(text), 2, 1)) - 1 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 128
+        |                    WHEN lang = 'de' THEN 192 ELSE 256 END
+        |ORDER BY doc_id""".stripMargin,
     "p04_pack_sequences" ->
       """WITH b AS (SELECT doc_id,
         |    CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_tok,

@@ -107,8 +107,44 @@ object Windows {
         k = 3)
       .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
 
+  /** Distribution-rank window family: ntile buckets, percent_rank,
+    * cume_dist — per-customer order-history position. Same shuffle
+    * shape as q14 (one window partition pass); the rank math is exact
+    * int/int double division, so it hash-matches cross-engine. */
+  def q50_window_distribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 20)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** first/last_value with IGNORE NULLS over a sparse (mostly-null)
+    * derived column — the gap-fill primitive behind
+    * last-observation-carried-forward. The last_value frame must be
+    * the full partition (default frames stop at CURRENT ROW). */
+  def q51_window_ignore_nulls(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wf = Window.partitionBy(col("l_suppkey")).orderBy(ord: _*)
+    val wAll = wf.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 5)
+      .withColumn("disc_price",
+        when(col("l_discount") > 0.05, col("l_extendedprice")))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        first(col("disc_price"), ignoreNulls = true).over(wAll).as("first_disc"),
+        last(col("disc_price"), ignoreNulls = true).over(wAll).as("last_disc"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_window_rank" -> (q14_window_rank _),
+    "q50_window_distribution" -> (q50_window_distribution _),
+    "q51_window_ignore_nulls" -> (q51_window_ignore_nulls _),
     "q47_topk_native" -> (q47_topk_native _),
     "q15_window_running" -> (q15_window_running _),
     "q16_window_lag_lead" -> (q16_window_lag_lead _),
@@ -116,6 +152,25 @@ object Windows {
     "q46_window_range" -> (q46_window_range _))
 
   val oracle: Map[String, String] = Map(
+    "q50_window_distribution" ->
+      """SELECT o_custkey, o_orderkey,
+        |  NTILE(4) OVER w AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders WHERE o_custkey <= 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q51_window_ignore_nulls" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  FIRST_VALUE(CASE WHEN l_discount > 0.05 THEN l_extendedprice END IGNORE NULLS)
+        |    OVER w AS first_disc,
+        |  LAST_VALUE(CASE WHEN l_discount > 0.05 THEN l_extendedprice END IGNORE NULLS)
+        |    OVER w AS last_disc
+        |FROM lineitem WHERE l_suppkey <= 5
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
     "q47_topk_native" ->
       """SELECT c_nationkey, c_custkey, c_acctbal
         |FROM (
