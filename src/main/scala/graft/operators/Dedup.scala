@@ -268,6 +268,18 @@ object Dedup {
   def d07_decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables.documents(spark, dir), col("doc_id") % 97 === 0)
 
+  /** Per-row hashed word-5-gram SETS for (doc_id, text [, ...]) — the
+    * shared contamination-matching unit of d07 and the streaming
+    * variant (s09). String grams never leave the row (d04's argument:
+    * xxhash64 collisions are absent at verification scale). */
+  private[graft] def wordGramSets(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_toks", TextFns.tokens(col("text")))
+      .withColumn("grams", SketchExprs.distinctLongs(
+        transform(TextFns.shinglesFromTokens(col("_toks"), 5),
+          g => xxhash64(g))))
+      .drop("_toks", "text")
+
   /** Core, corpus-independent: input needs (doc_id, text); `benchPred`
     * marks the held-out benchmark rows. */
   def decontaminate(docsRaw: DataFrame, benchPred: Column): DataFrame = {
@@ -278,12 +290,8 @@ object Dedup {
     // so only ITS grams would be recomputed — here both sides derive
     // from one corpus, and the compact (doc_id, grams) form is what's
     // worth keeping hot.
-    val grams = docsRaw
-      .select(col("doc_id"), benchPred.as("is_bench"),
-        TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("is_bench"), SketchExprs.distinctLongs(
-        transform(TextFns.shinglesFromTokens(col("toks"), 5),
-          g => xxhash64(g))).as("grams"))
+    val grams = wordGramSets(
+        docsRaw.select(col("doc_id"), benchPred.as("is_bench"), col("text")))
       .cache()
     val postings = grams.select(col("doc_id"), col("is_bench"),
       explode(col("grams")).as("gram_h"))

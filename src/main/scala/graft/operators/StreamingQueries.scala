@@ -189,6 +189,34 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming decontamination: the benchmark slice (doc_id % 97 == 0)
+    * is persisted as a gram store once; the training docs stream
+    * through [[DecontaminateStream]] in two micro-batches, each matched
+    * against the store via broadcast semi-join (stateless — no
+    * watermark, no state store). Oracle: IDENTICAL to d07's batch SQL —
+    * the streaming path must produce the batch answer exactly. */
+  def s09_stream_decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val stream = new DecontaminateStream(
+      Files.createTempDirectory("graft_dcs_store").toString,
+      Files.createTempDirectory("graft_dcs_verdict").toString)
+    stream.buildStore(docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id"), col("text")))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1)
+    val (h1, h2) = train.splitAt(train.length / 2)
+    val ck = Files.createTempDirectory("graft_dcs_ck").toString
+    val ingest = new AsyncIngest[(Long, String)](spark.sqlContext)
+    Seq(h1, h2).foreach { half =>
+      ingest.saveAllAsync(half.toSeq)
+      val q = stream.start(ingest.toDS().toDF("doc_id", "text"), ck)
+      q.awaitTermination(120000)
+    }
+    stream.verdicts(spark).orderBy(col("doc_id"))
+  }
+
   /** Stream-stream self-join: click → purchase attribution within a
     * 30-minute window per user, both sides watermarked (1 h) so join
     * state is bounded — the interval condition lets Spark expire
@@ -229,6 +257,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s08_stream_stream_join" -> (s08_stream_stream_join _),
+    "s09_stream_decontaminate" -> (s09_stream_decontaminate _),
     "s07_stream_near_dedup" -> (s07_stream_near_dedup _),
     "s06_stream_dedup" -> (s06_stream_dedup _),
     "s01_batcher_conservation" -> (s01_batcher_conservation _),
@@ -261,6 +290,9 @@ object StreamingQueries {
         |ORDER BY user_id, session_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the streaming path must reproduce the batch decontamination
+    // answer exactly — same SQL as d07
+    "s09_stream_decontaminate" -> graft.operators.Dedup.oracle("d07_decontaminate"),
     "s08_stream_stream_join" ->
       """SELECT c.event_id AS c_id, p.event_id AS p_id
         |FROM events c JOIN events p

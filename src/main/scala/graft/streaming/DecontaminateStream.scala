@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming benchmark decontamination — the ingest-time form of
+  * [[graft.operators.Dedup.decontaminate]]: training documents arrive
+  * as a stream; each micro-batch is word-5-gram-hashed per row and
+  * matched against a PERSISTED benchmark gram store; per-doc verdicts
+  * (hit count + contaminated flag) land in batch-keyed output.
+  *
+  * Scale decisions (mirroring [[DedupStream]]'s rationale):
+  *   - The benchmark store is STATIC relative to the stream (eval sets
+  *     change rarely) and tiny relative to the corpus — a compact
+  *     parquet table of distinct 8-byte gram hashes, built once by
+  *     [[buildStore]]. Each micro-batch broadcasts it; the streaming
+  *     side is matched in its scan stage, no gram shuffle.
+  *   - No streaming state at all: the match is stateless per batch, so
+  *     there is nothing to watermark or expire — the right tool is
+  *     foreachBatch + a broadcast join, not stateful operators.
+  *   - Effectively-once: verdicts are written to `batch_id=N`
+  *     directories with overwrite (the [[ParquetBatchSink]] recipe), so
+  *     a replayed batch overwrites its own first attempt.
+  */
+final class DecontaminateStream(storeDir: String, verdictDir: String)
+    extends Serializable {
+
+  /** One-time (or per-eval-set-release) setup: persist the benchmark's
+    * distinct gram hashes. Input needs (doc_id, text). */
+  def buildStore(benchmark: DataFrame): Unit =
+    graft.operators.Dedup.wordGramSets(benchmark)
+      .select(explode(col("grams")).as("gram_h")).distinct()
+      .write.mode("overwrite").parquet(storeDir)
+
+  /** Start the screening query on a (doc_id, text) stream. */
+  def start(stream: DataFrame, checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bench = spark.read.parquet(storeDir)
+        val postings = graft.operators.Dedup.wordGramSets(batch)
+          .select(col("doc_id"), explode(col("grams")).as("gram_h"))
+        val hits = postings
+          .join(broadcast(bench), Seq("gram_h"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hit_grams"))
+        batch.select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+            col("n_hit_grams").isNotNull.as("is_contaminated"))
+          .write.mode("overwrite")
+          .parquet(s"$verdictDir/batch_id=$batchId")
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** All verdicts written so far. */
+  def verdicts(spark: SparkSession): DataFrame =
+    spark.read.parquet(verdictDir)
+      .select(col("doc_id"), col("n_hit_grams"), col("is_contaminated"))
+}

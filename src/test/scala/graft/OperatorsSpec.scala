@@ -182,6 +182,33 @@ class OperatorsSpec extends AnyFunSuite {
     packed.unpersist()
   }
 
+  test("streaming decontamination reproduces the batch verdicts on planted data") {
+    import spark.implicits._
+    val benchDoc = "the quick brown fox jumps over the lazy dog near the river"
+    val leaked = "students wrote that the quick brown fox jumps over fences daily"
+    val clean = "a brown dog jumps while the fox is lazy near a quick river"
+    val df = docsDf(100L -> benchDoc, 2L -> leaked, 3L -> clean)
+    val batchVerdicts = operators.Dedup.decontaminate(df, col("doc_id") === 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val stream = new graft.streaming.DecontaminateStream(
+      java.nio.file.Files.createTempDirectory("dcs_store").toString,
+      java.nio.file.Files.createTempDirectory("dcs_verdict").toString)
+    stream.buildStore(df.filter(col("doc_id") === 100).select(col("doc_id"), col("text")))
+    val ingest = new graft.streaming.AsyncIngest[(Long, String)](spark.sqlContext)
+    val ck = java.nio.file.Files.createTempDirectory("dcs_ck").toString
+    // two micro-batches, one doc each
+    Seq(2L -> leaked, 3L -> clean).foreach { row =>
+      ingest.saveAllAsync(Seq(row))
+      val q = stream.start(ingest.toDS().toDF("doc_id", "text"), ck)
+      q.awaitTermination(60000)
+    }
+    val streamVerdicts = stream.verdicts(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamVerdicts === batchVerdicts)
+    assert(streamVerdicts.exists(v => v._1 == 2L && v._3) &&
+      streamVerdicts.exists(v => v._1 == 3L && !v._3))
+  }
+
   test("language ID recognizes planted languages") {
     val got = TextAnalysis.t03_text_langid(spark, "/root/testdata/sf0.001") // smoke on corpus
     assert(got.count() > 0)
