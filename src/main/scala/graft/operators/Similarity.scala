@@ -53,9 +53,15 @@ object Similarity {
     // ≈ 1-(1-p^5)^16 ≈ 0.77 at cosine 0.35); clustered corpora can use
     // more bits / fewer tables for the same recall at lower cost.
     val emb = Tables.embeddings(spark, dir)
-      .withColumn("buckets",
-        VectorFns.signBuckets(col("embedding"), nBits = 5, tables = 16, dim = 64))
-    val postings = emb.select(col("vec_id"), explode(col("buckets")).as("bucket"))
+    // cache = materialization boundary before the explode (NOTES_r4
+    // explode trap) AND single evaluation of the sketch: postings are
+    // read twice (query side + data side). The cached form is the
+    // compact (vec_id, 16 bucket ids) — vectors stay out of it.
+    val bucketed = emb.select(col("vec_id"),
+        VectorFns.signBuckets(col("embedding"), nBits = 5, tables = 16, dim = 64)
+          .as("buckets"))
+      .cache()
+    val postings = bucketed.select(col("vec_id"), explode(col("buckets")).as("bucket"))
     val queryPost = postings.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("bucket"))
     // dedupe candidate (qid, nid) pairs on the bare 16-byte keys BEFORE

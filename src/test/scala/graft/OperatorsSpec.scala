@@ -209,6 +209,18 @@ class OperatorsSpec extends AnyFunSuite {
       streamVerdicts.exists(v => v._1 == 3L && !v._3))
   }
 
+  test("dedup clusters: transitive closure merges chained pairs, keep-first per component") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    // chain 1-2-3 (1 and 3 never pairwise verified) + isolated pair 5-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.dedupClusters(docs, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, true),
+      (4L, 4L, false), (5L, 5L, false), (6L, 5L, true)))
+  }
+
   test("language ID recognizes planted languages") {
     val got = TextAnalysis.t03_text_langid(spark, "/root/testdata/sf0.001") // smoke on corpus
     assert(got.count() > 0)
