@@ -189,6 +189,32 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Stream-static enrichment join — ClickHouse's dictionary-join
+    * pattern: the event stream joins a broadcast static dimension
+    * (customer segment) per micro-batch, then aggregates per segment in
+    * complete mode. The static side is planned per batch (picks up dim
+    * updates between batches); no state, no watermark — the stream side
+    * never buffers for this join shape. */
+  def s10_stream_static_join(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val ingest = new AsyncIngest[Event](spark.sqlContext)
+    val qname = s"graft_stream_dim_${System.nanoTime()}"
+    val q = ingest.toDS()
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(Exact.m(col("value"))).cast(org.apache.spark.sql.types.DoubleType)
+          .as("value_sum"))
+      .writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    Tables.events(spark, dir).as[Event].collect()
+      .grouped(50000).foreach(chunk => ingest.saveAllAsync(chunk.toSeq))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname).orderBy(col("segment"))
+  }
+
   /** Streaming decontamination: the benchmark slice (doc_id % 97 == 0)
     * is persisted as a gram store once; the training docs stream
     * through [[DecontaminateStream]] in two micro-batches, each matched
@@ -258,6 +284,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s08_stream_stream_join" -> (s08_stream_stream_join _),
     "s09_stream_decontaminate" -> (s09_stream_decontaminate _),
+    "s10_stream_static_join" -> (s10_stream_static_join _),
     "s07_stream_near_dedup" -> (s07_stream_near_dedup _),
     "s06_stream_dedup" -> (s06_stream_dedup _),
     "s01_batcher_conservation" -> (s01_batcher_conservation _),
@@ -293,6 +320,12 @@ object StreamingQueries {
     // the streaming path must reproduce the batch decontamination
     // answer exactly — same SQL as d07
     "s09_stream_decontaminate" -> graft.operators.Dedup.oracle("d07_decontaminate"),
+    "s10_stream_static_join" ->
+      """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS value_sum
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY segment""".stripMargin,
     "s08_stream_stream_join" ->
       """SELECT c.event_id AS c_id, p.event_id AS p_id
         |FROM events c JOIN events p

@@ -141,8 +141,40 @@ object Windows {
       .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Time-grid resample + gap fill — ClickHouse's `ORDER BY ... WITH
+    * FILL` re-expressed: each user's event span explodes into an hourly
+    * grid (sequence over timestamps), per-hour aggregates left-join
+    * onto it, and missing hours carry the last observation forward
+    * (q51's IGNORE NULLS primitive). The in-hour "last" is a
+    * lexicographic struct max (q49's argMax form) so ties are
+    * deterministic. Scale: the grid explode is per-user in the scan
+    * stage; the only shuffles are the hourly agg and the LOCF window,
+    * both partitioned by user. */
+  def q52_resample_fill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id") <= 10)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val hourly = ev.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("hour_last"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("user_id"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+    val wLocf = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .select(col("user_id"),
+        col("hour").cast(TimestampNTZType).as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("hour_last"), ignoreNulls = true).over(wLocf).as("locf_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q14_window_rank" -> (q14_window_rank _),
+    "q52_resample_fill" -> (q52_resample_fill _),
     "q50_window_distribution" -> (q50_window_distribution _),
     "q51_window_ignore_nulls" -> (q51_window_ignore_nulls _),
     "q47_topk_native" -> (q47_topk_native _),
@@ -152,6 +184,29 @@ object Windows {
     "q46_window_range" -> (q46_window_range _))
 
   val oracle: Map[String, String] = Map(
+    "q52_resample_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+        |    DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour
+        |  FROM events WHERE user_id <= 10),
+        |hourly AS (
+        |  SELECT user_id, hour, COUNT(*) AS n_events,
+        |    struct_extract(MAX(struct_pack(ts := ts, event_id := event_id,
+        |      value := value)), 'value') AS hour_last
+        |  FROM e GROUP BY user_id, hour),
+        |bounds AS (SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi
+        |           FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |         UNNEST(GENERATE_SERIES(lo, hi, INTERVAL 1 HOUR)) AS hour
+        |         FROM bounds)
+        |SELECT g.user_id, g.hour,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  LAST_VALUE(h.hour_last IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.hour = h.hour
+        |ORDER BY g.user_id, g.hour""".stripMargin,
     "q50_window_distribution" ->
       """SELECT o_custkey, o_orderkey,
         |  NTILE(4) OVER w AS quartile,
