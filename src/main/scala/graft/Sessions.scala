@@ -27,6 +27,16 @@ object Sessions {
       // candidate-pair → signature attach joins in the dedup family
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // InferFiltersFromGenerate duplicates the generator's child
+      // expression into a pushed-down Filter (`size(expr) > 0`). For
+      // STORED array columns that prunes empty rows cheaply; every
+      // array this engine explodes is COMPUTED per row (shingles, gram
+      // sets, LSH buckets, chunk windows), so the inferred filter
+      // re-runs the whole producing chain — with HOF lambdas referencing
+      // pre-materialization inputs, i.e. per-element re-evaluation:
+      // measured 10x on word-5-gram explode at sf0.1 (NOTES_r4).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")

@@ -137,22 +137,17 @@ object TextAnalysis {
     * count shuffle on the gram, then orderBy+limit plans as
     * TakeOrdered (per-partition top-k heap — no global sort ever
     * materializes the full gram distribution). */
-  def t07_ngram_topk(spark: SparkSession, dir: String): DataFrame = {
-    // cache = materialization boundary before the explode: exploding an
-    // unmaterialized expensive array expression re-runs the shingle
-    // chain per emitted element (~3x here, ~10x on d07's 5-gram chain —
-    // NOTES_r4; a repartition does not protect, the optimizer collapses
-    // projections past it). The cached form is just the shingle arrays.
-    val shingles = Tables.documents(spark, dir)
+  def t07_ngram_topk(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .withColumn("_toks", TextFns.tokens(col("text")))
-      .select(TextFns.shinglesFromTokens(col("_toks"), 3).as("sh"))
-      .cache()
-    shingles
-      .select(explode(col("sh")).as("gram"))
+      .select(explode(TextFns.shinglesFromTokens(col("_toks"), 3)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("gram"))
       .limit(100)
-  }
+  // NOTE on exploding computed arrays: Sessions.base excludes
+  // InferFiltersFromGenerate — without that, the optimizer clones the
+  // whole shingle chain into a pushed-down `size(...) > 0` filter whose
+  // HOF lambdas then re-evaluate the tokenizer per element (NOTES_r4).
 
   /** Token-window chunking — the RAG/embedding prep op: each document
     * explodes into overlapping windows of `window` whitespace tokens

@@ -27,14 +27,11 @@ final class DecontaminateStream(storeDir: String, verdictDir: String)
     extends Serializable {
 
   /** One-time (or per-eval-set-release) setup: persist the benchmark's
-    * distinct gram hashes. Input needs (doc_id, text). The gram sets
-    * are cached before the explode — see [[start]]'s boundary note. */
-  def buildStore(benchmark: DataFrame): Unit = {
-    val g = graft.operators.Dedup.wordGramSets(benchmark).cache()
-    try g.select(explode(col("grams")).as("gram_h")).distinct()
+    * distinct gram hashes. Input needs (doc_id, text). */
+  def buildStore(benchmark: DataFrame): Unit =
+    graft.operators.Dedup.wordGramSets(benchmark)
+      .select(explode(col("grams")).as("gram_h")).distinct()
       .write.mode("overwrite").parquet(storeDir)
-    finally g.unpersist()
-  }
 
   /** Start the screening query on a (doc_id, text) stream. */
   def start(stream: DataFrame, checkpointDir: String): StreamingQuery =
@@ -44,32 +41,26 @@ final class DecontaminateStream(storeDir: String, verdictDir: String)
         val bench = spark.read.parquet(storeDir)
         // repartition(text): spreads the single-partition MemoryStream
         // batch so the shingling runs on every core (real sources
-        // arrive partitioned — then this is a cheap rebalance).
-        // cache(): a MATERIALIZATION BOUNDARY between the gram
-        // expression and the explode — exploding an unmaterialized
-        // expensive array expression re-runs the whole chain ~10×
-        // (measured at sf0.1, NOTES_r4; a repartition does NOT protect:
-        // the optimizer collapses the projection past it). The cache
-        // holds only (doc_id, 8-byte gram hashes) for ONE micro-batch
-        // and is dropped before the batch commits.
+        // arrive partitioned — then this is a cheap rebalance). The
+        // gram arrays are computed once and exploded directly —
+        // Sessions.base excludes InferFiltersFromGenerate, which would
+        // otherwise clone the gram chain into a pushed-down filter and
+        // re-run it per element (NOTES_r4).
         val n = spark.sparkContext.defaultParallelism
-        val grams = graft.operators.Dedup.wordGramSets(batch.repartition(n))
-          .cache()
-        try {
-          val postings = grams
-            .select(col("doc_id"), explode(col("grams")).as("gram_h"))
-          val hits = postings
-            .join(broadcast(bench), Seq("gram_h"), "left_semi")
-            .groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n_hit_grams"))
-          batch.select(col("doc_id"))
-            .join(hits, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
-              col("n_hit_grams").isNotNull.as("is_contaminated"))
-            .write.mode("overwrite")
-            .parquet(s"$verdictDir/batch_id=$batchId")
-        } finally grams.unpersist()
+        val postings = graft.operators.Dedup
+          .wordGramSets(batch.repartition(n))
+          .select(col("doc_id"), explode(col("grams")).as("gram_h"))
+        val hits = postings
+          .join(broadcast(bench), Seq("gram_h"), "left_semi")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_hit_grams"))
+        batch.select(col("doc_id"))
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"),
+            col("n_hit_grams").isNotNull.as("is_contaminated"))
+          .write.mode("overwrite")
+          .parquet(s"$verdictDir/batch_id=$batchId")
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
