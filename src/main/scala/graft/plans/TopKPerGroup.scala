@@ -67,10 +67,24 @@ object TopKPerGroup {
     * if the child is already hash-partitioned on the group keys —
     * e.g. downstream of a groupBy on the same keys) the shuffle. */
   object Strategy extends SparkStrategy {
+    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case TopKPerGroupPlan(group, order, k, child) =>
         TopKPerGroupExec(group, order, k, partial = false,
           TopKPerGroupExec(group, order, k, partial = true, planLater(child))) :: Nil
+      // Also claim Spark's own WindowGroupLimit (row_number form) at
+      // PLANNING time: [[NativeWindowGroupLimitRule]] swaps it in the
+      // logical plan when registered via extraOptimizations (which run
+      // after InferWindowGroupLimit), but extension-INJECTED optimizer
+      // rules run in the operator-optimization batch — before the node
+      // exists — so the `--conf spark.sql.extensions` path intercepts
+      // here instead. Injected strategies precede the built-ins, so
+      // this wins over the sort-based WindowGroupLimitExec.
+      case WindowGroupLimit(part, order, _: RowNumber, limit, child)
+          if part.nonEmpty && limit > 0 =>
+        TopKPerGroupExec(part, order, limit, partial = false,
+          TopKPerGroupExec(part, order, limit, partial = true, planLater(child))) :: Nil
       case _ => Nil
     }
   }
