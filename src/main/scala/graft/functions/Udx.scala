@@ -38,6 +38,41 @@ object Udx {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** KMV (k-minimum-values) sketch as a typed Aggregator — the
+    * bounded-state mergeable-sketch tier (the shape of HLL/theta
+    * sketches) with a twist that makes it ORACLE-CHECKABLE: the sketch
+    * state is the set of the k smallest hash values, which is a pure
+    * deterministic function of the input SET — independent of row
+    * order, partitioning and merge order (unlike HLL register layouts).
+    * KMV estimates distinct counts as (k-1)/R_k (R_k = k-th smallest
+    * normalized hash); here the FINISHED value is the sorted k-minimum
+    * hash list itself, so DuckDB can reproduce it bit-for-bit with a
+    * per-group ORDER BY hash LIMIT k — a hash-checked custom aggregate.
+    * State is O(k) per group; reduce is an insert-if-smaller into a
+    * bounded max-heap — the same partial/final two-phase shape as any
+    * Spark aggregate. */
+  final class KmvSketch(k: Int) extends Aggregator[Long, List[Long], Seq[Long]] {
+    // buffer: descending-sorted list of ≤ k smallest values (head = worst)
+    override def zero: List[Long] = Nil
+    override def reduce(b: List[Long], h: Long): List[Long] =
+      if (b.length < k) insertDesc(b, h)
+      else if (h < b.head && !b.contains(h)) insertDesc(b.tail, h)
+      else b
+    private def insertDesc(b: List[Long], h: Long): List[Long] =
+      if (b.contains(h)) b
+      else {
+        val (bigger, smaller) = b.span(_ > h)
+        bigger ::: (h :: smaller)
+      }
+    override def merge(a: List[Long], b: List[Long]): List[Long] =
+      b.foldLeft(a)(reduce)
+    override def finish(r: List[Long]): Seq[Long] = r.reverse // ascending
+    override def bufferEncoder: Encoder[List[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — reference implementation used by
     * both the interpreted and generated paths of [[Fnv64Expr]]. */
   def fnv64(bytes: Array[Byte]): Long = {

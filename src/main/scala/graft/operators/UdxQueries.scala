@@ -58,13 +58,54 @@ object UdxQueries {
       .orderBy(col("doc_id"), col("idx"))
   }
 
+  /** Custom mergeable SKETCH as a typed Aggregator: KMV (k-minimum
+    * values) of the per-doc FNV-1a content hash, per language. The
+    * sketch state (k smallest distinct hashes) is a deterministic
+    * function of the input SET — merge-order/partitioning independent —
+    * so unlike HLL this custom aggregate is hash-checked against DuckDB
+    * (per-group ORDER BY hash LIMIT k over the same FNV fold). The
+    * output is exploded to (lang, rn, h) scalar rows. */
+  def u05_kmv_sketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .withColumn("_norm", TextFns.normalized(col("text")))
+      .select(col("lang"), Udx.graft_fnv64(col("_norm")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new Udx.KmvSketch(8).toColumn.name("kmv"))
+      .toDF("lang", "kmv")
+      .select(col("lang"), posexplode(col("kmv")).as(Seq("pos", "h")))
+      .select(col("lang"), (col("pos") + 1).as("rn"), col("h"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u05_kmv_sketch" -> (u05_kmv_sketch _),
     "u01_udaf_weighted_mean" -> (u01_udaf_weighted_mean _),
     "u04_typed_flatmap" -> (u04_typed_flatmap _),
     "u02_custom_expr_fnv" -> (u02_custom_expr_fnv _),
     "u03_scala_udf" -> (u03_scala_udf _))
 
   val oracle: Map[String, String] = Map(
+    "u05_kmv_sketch" ->
+      """WITH d AS (SELECT lang, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents),
+        |f AS (
+        |  SELECT lang, LIST_REDUCE(
+        |    LIST_PREPEND(14695981039346656037::HUGEINT,
+        |      LIST_TRANSFORM(RANGE(1, LENGTH(norm) + 1),
+        |        i -> CAST(ORD(SUBSTRING(norm, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (h, b) -> (xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT))::HUGEINT
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS v FROM d),
+        |s AS (SELECT DISTINCT lang,
+        |  CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+        |       THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) AS h
+        |  FROM f),
+        |r AS (SELECT lang, h,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM s)
+        |SELECT lang, rn, h FROM r WHERE rn <= 8 ORDER BY lang, rn""".stripMargin,
     "u02_custom_expr_fnv" ->
       """WITH d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents),

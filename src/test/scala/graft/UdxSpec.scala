@@ -10,6 +10,25 @@ import graft.functions.Udx
   * the Aggregator must be merge-order-independent. */
 class UdxSpec extends AnyFunSuite {
 
+  test("KMV sketch is partitioning- and merge-order-independent, dedups, caps at k") {
+    val s = Sessions.base("local[4]", 4)
+    import s.implicits._
+    val values = Seq(50L, 10L, 40L, 10L, 30L, 20L, 60L, 20L, 70L)
+    def kmv(parts: Int): Seq[Seq[Long]] =
+      values.toDF("h").repartition(parts).as[Long]
+        .groupByKey(_ => 1).mapValues(identity)
+        .agg(new Udx.KmvSketch(4).toColumn.name("kmv"))
+        .collect().map(_._2).toSeq
+    val expected = Seq(Seq(10L, 20L, 30L, 40L)) // 4 smallest distinct
+    (1 to 4).foreach(p => assert(kmv(p) === expected, s"parts=$p"))
+    // k larger than the distinct universe → everything, ascending
+    val all = Seq(3L, 1L, 2L, 1L).toDF("h").as[Long]
+      .groupByKey(_ => 1).mapValues(identity)
+      .agg(new Udx.KmvSketch(10).toColumn.name("kmv"))
+      .collect().map(_._2).toSeq
+    assert(all === Seq(Seq(1L, 2L, 3L)))
+  }
+
   lazy val spark: SparkSession = Sessions.base("local[4]", 4)
 
   test("Fnv64Expr matches reference impl (codegen path)") {
