@@ -207,6 +207,28 @@ object Dedup {
     verified.select(col("a"), col("b"))
   }
 
+  /** Verified near-dup pairs on WORD-5-gram Jaccard ≥ `jaccardT` —
+    * same blocking+verify shape as the char-gram path, but word grams
+    * are far rarer (they survive the df cap where char grams are
+    * corpus-common), which makes this the edge set of choice for the
+    * cluster closure (d08) and the edit-distance verifier (t09). */
+  private[graft] def wordGramVerifiedPairs(docsRaw: DataFrame,
+      jaccardT: Double = 0.5): DataFrame = {
+    val docs = wordGramSets(docsRaw.select(col("doc_id"), col("text"))).cache()
+    val sizes = docs.select(col("doc_id"), size(col("grams")).as("n_grams"))
+    val postings = docs.select(col("doc_id"), explode(col("grams")).as("gram_h"))
+    val shared = cappedBuckets(postings, Seq("gram_h"), col("doc_id"), 200L)
+      .select(explode(bucketPairs(col("es"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("a"), col("n_grams").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_grams").as("nb")), "b")
+      .filter(col("n_shared").cast(DoubleType) /
+        (col("na") + col("nb") - col("n_shared")) >= jaccardT)
+      .select(col("a"), col("b"))
+  }
+
   /** Dedup CLUSTERS — transitive closure over verified near-dup pairs.
     * Pairwise verdicts alone under-delete: with A~B and B~C verified
     * but A~C just below threshold, keep-first on pairs keeps A and C.
@@ -223,7 +245,7 @@ object Dedup {
     * edge set. */
   def d08_dedup_clusters(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    dedupClusters(docs.select("doc_id"), ngramVerifiedPairs(docs))
+    dedupClusters(docs.select("doc_id"), wordGramVerifiedPairs(docs))
   }
 
   /** Core: `docs` needs (doc_id); `pairs` is the (a, b) edge set. */
@@ -393,7 +415,7 @@ object Dedup {
     * ≥ 0.7, keep-first verdict (dup = appears as the larger id). */
   /** Shared CTE chain producing the verified near-dup pair set `ver`
     * (a < b) — consumed by the d04 verdict and the d08 closure. */
-  private val ngramPairCtes: String =
+  private[operators] val ngramPairCtes: String =
     """d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
       |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents),
       |grams AS (
@@ -419,10 +441,36 @@ object Dedup {
        |SELECT doc_id, (doc_id IN (SELECT b FROM ver)) AS is_dup
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE chain producing the WORD-5-gram verified pair set `ver`
+    * (a < b, Jaccard ≥ 0.5) — mirrors [[wordGramVerifiedPairs]]; the
+    * gram construction is d07's proven string mirror. Consumed by the
+    * d08 closure and t09's edit-distance verifier. */
+  private[operators] val wordGramPairCtes: String =
+    """d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+      |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents),
+      |t AS (SELECT doc_id, STRING_SPLIT(norm, ' ') AS toks FROM d),
+      |g0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    ARRAY_TO_STRING(toks[CAST(i AS INT):CAST(i AS INT) + 4], ' ') AS gm
+      |  FROM t, UNNEST(RANGE(1, GREATEST(LEN(toks) - 3, 2))) AS u(i)),
+      |g AS (SELECT * FROM g0 WHERE LENGTH(gm) > 0),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |good AS (SELECT gm FROM g GROUP BY gm HAVING COUNT(*) BETWEEN 2 AND 200),
+      |shared AS (
+      |  SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS n_shared
+      |  FROM g ga JOIN g gb ON ga.gm = gb.gm AND ga.doc_id < gb.doc_id
+      |  JOIN good ON good.gm = ga.gm
+      |  GROUP BY 1, 2),
+      |ver AS (
+      |  SELECT s.a, s.b FROM shared s
+      |  JOIN sizes sa ON sa.doc_id = s.a
+      |  JOIN sizes sb ON sb.doc_id = s.b
+      |  WHERE CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) >= 0.5)""".stripMargin
+
   /** d08 oracle: recursive-CTE transitive closure over the same edge
     * set — min reachable doc_id per node is the cluster label. */
   private val clustersOracleSql: String =
-    s"""WITH RECURSIVE $ngramPairCtes,
+    s"""WITH RECURSIVE $wordGramPairCtes,
        |edges AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
        |reach(id, root) AS (
        |  SELECT doc_id, doc_id FROM documents

@@ -173,7 +173,31 @@ object TextAnalysis {
         array_join(col("_chunk"), " ").as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
+  /** Fuzzy matching by edit distance — the character-level verifier a
+    * cleaning pipeline runs on candidate pairs (typo'd near-dups that
+    * token-level Jaccard can miss or over-match). Exhaustive
+    * levenshtein is O(n²·len²) and unrunnable at scale, so distance is
+    * computed ONLY on pairs already blocked by the shared-rare-gram
+    * index (d04's candidate generation — the standard blocking+verify
+    * shape), and on a fixed 64-char normalized prefix so the DP cost
+    * per pair is bounded. */
+  def t09_edit_distance(spark: SparkSession, dir: String): DataFrame = {
+    val norms = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        substring(TextFns.normalized(col("text")), 1, 64).as("prefix"))
+    Dedup.wordGramVerifiedPairs(Tables.documents(spark, dir))
+      .join(norms.select(col("doc_id").as("a"), col("prefix").as("pa")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("prefix").as("pb")), "b")
+      .select(col("a"), col("b"),
+        levenshtein(col("pa"), col("pb")).as("lev"),
+        (lit(1.0) - levenshtein(col("pa"), col("pb")).cast(DoubleType) /
+          greatest(length(col("pa")), length(col("pb")), lit(1)))
+          .as("prefix_sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t09_edit_distance" -> (t09_edit_distance _),
     "t08_chunk_text" -> (t08_chunk_text _),
     "t05_token_estimate" -> (t05_token_estimate _),
     "t01_text_tokens" -> (t01_text_tokens _),
@@ -216,6 +240,20 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // same candidate CTE chain as d08 (shared rare-word-gram blocking);
+    // levenshtein is exact DP in both engines, and the similarity is an
+    // int/int double division — bit-identical
+    "t09_edit_distance" ->
+      s"""WITH ${Dedup.wordGramPairCtes},
+         |n AS (SELECT doc_id, SUBSTRING(norm, 1, 64) AS prefix FROM d)
+         |SELECT v.a, v.b,
+         |  CAST(levenshtein(na.prefix, nb.prefix) AS INT) AS lev,
+         |  1.0 - CAST(levenshtein(na.prefix, nb.prefix) AS DOUBLE)
+         |    / GREATEST(LENGTH(na.prefix), LENGTH(nb.prefix), 1) AS prefix_sim
+         |FROM ver v
+         |JOIN n na ON na.doc_id = v.a
+         |JOIN n nb ON nb.doc_id = v.b
+         |ORDER BY v.a, v.b""".stripMargin,
     "t08_chunk_text" ->
       """WITH t AS (SELECT doc_id,
         |  REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks FROM documents),
