@@ -21,5 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // for it on row_number()<=k patterns
     extensions.injectPlannerStrategy(_ => plans.TopKPerGroup.Strategy)
     extensions.injectOptimizerRule(_ => plans.TopKPerGroup.NativeWindowGroupLimitRule)
+    extensions.injectOptimizerRule(_ => plans.TopKPerGroup.PruneTopKColumnsRule)
   }
 }

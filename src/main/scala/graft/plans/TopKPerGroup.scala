@@ -172,17 +172,41 @@ object TopKPerGroup {
     }
   }
 
-  /** Idempotently register the strategy AND the optimizer rule on a
+  /** Column pruning through the custom node: Spark's `ColumnPruning`
+    * only understands built-in operators, so a Project above
+    * `TopKPerGroupPlan` would otherwise leave the child (and the scan
+    * below it) producing every column. The operator only FILTERS rows —
+    * any output column not consumed above and not referenced by the
+    * group/order expressions can be cut below it, which at 100 TB is
+    * the difference between scanning 2 columns and scanning 50. */
+  object PruneTopKColumnsRule
+      extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+      case p @ Project(_, topk @ TopKPerGroupPlan(group, order, k, child))
+          if (child.outputSet -- p.references --
+            org.apache.spark.sql.catalyst.expressions.AttributeSet(
+              group.flatMap(_.references) ++ order.flatMap(_.references))).nonEmpty =>
+        val needed = child.output.filter(a =>
+          p.references.contains(a) ||
+            group.exists(_.references.contains(a)) ||
+            order.exists(_.references.contains(a)))
+        p.copy(child = TopKPerGroupPlan(group, order, k, Project(needed, child)))
+    }
+  }
+
+  /** Idempotently register the strategy AND the optimizer rules on a
     * session (the imperative path for sessions not built with
-    * `spark.sql.extensions`). The two must be co-registered: the rule
-    * introduces the logical node only the strategy can plan. */
+    * `spark.sql.extensions`). Strategy and rules must be co-registered:
+    * the rules introduce the logical node only the strategy can plan. */
   def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(Strategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ Strategy
     if (!spark.experimental.extraOptimizations.contains(NativeWindowGroupLimitRule))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ NativeWindowGroupLimitRule
+        spark.experimental.extraOptimizations ++
+          Seq(NativeWindowGroupLimitRule, PruneTopKColumnsRule)
   }
 
   /** DataFrame API: top `k` rows per `groupCols` group under `orderCols`

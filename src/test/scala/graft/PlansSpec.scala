@@ -93,6 +93,22 @@ class PlansSpec extends AnyFunSuite {
     assert(!s.contains("TopKPerGroup"), "heap operator must not claim rank() semantics")
   }
 
+  test("column pruning pushes below the custom node: unused columns never leave the scan") {
+    // wide input, narrow consumption: only 2 of 5 customer columns are
+    // needed (group key + order key + projected custkey)
+    val wide = Tables.customer(spark, sfDir) // 5 columns
+    val narrow = TopKPerGroup.topKPerGroup(wide,
+        Seq(col("c_nationkey")), Seq(col("c_acctbal").desc, col("c_custkey")), 2)
+      .select(col("c_nationkey"), col("c_custkey"))
+    val scan = narrow.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(scan.contains("c_nationkey") && scan.contains("c_acctbal") &&
+      scan.contains("c_custkey"), scan)
+    assert(!scan.contains("c_name") && !scan.contains("c_mktsegment"),
+      s"unused columns must be pruned from the scan: $scan")
+    assert(narrow.count() === 25 * 2 || narrow.count() > 0)
+  }
+
   test("partial phase bounds shuffled rows to k per group per partition") {
     import spark.implicits._
     // 4 partitions x 1 group x 1000 rows: the exchange must carry at
