@@ -215,6 +215,51 @@ object StreamingQueries {
     spark.table(qname).orderBy(col("segment"))
   }
 
+  /** Stream-stream LEFT OUTER join — the semantically hard variant:
+    * an unmatched click can only emit its null row once the watermark
+    * proves no future purchase can match (inner results still emit
+    * eagerly). The drain feeds all real events, then far-future
+    * sentinel rows of BOTH types to advance BOTH sides' watermarks;
+    * Spark's no-data micro-batch then flushes the outer state. The
+    * unmatched marker is COALESCE(p_id, -1) so the oracle avoids the
+    * engines' opposite NULL sort orders. Oracle: the equivalent batch
+    * left join — streaming must reproduce it exactly. */
+  def s11_stream_outer_join(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val ingest = new AsyncIngest[Event](spark.sqlContext)
+    val s = ingest.toDS()
+    val clicks = s.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = s.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val qname = s"graft_stream_ojoin_${System.nanoTime()}"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    val rows = Tables.events(spark, dir).as[Event].collect()
+    ingest.saveAllAsync(rows.toSeq)
+    // sentinels: one click + one purchase far past every real event,
+    // pushing both watermarks beyond max(ts) + 1h + join window
+    val maxTs = rows.map(_.ts.getTime).max
+    val farTs = new java.sql.Timestamp(maxTs + 4L * 3600 * 1000)
+    ingest.saveAllAsync(Seq(
+      Event(-1L, farTs, -1L, "click", 0.0, "{}"),
+      Event(-2L, farTs, -1L, "purchase", 0.0, "{}")))
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname)
+      .filter(col("c_id") >= 0) // drop the sentinel click's own row
+      .select(col("c_id"), coalesce(col("p_id"), lit(-1L)).as("p_id_or_none"))
+      .orderBy(col("c_id"), col("p_id_or_none"))
+  }
+
   /** Streaming decontamination: the benchmark slice (doc_id % 97 == 0)
     * is persisted as a gram store once; the training docs stream
     * through [[DecontaminateStream]] in two micro-batches, each matched
@@ -285,6 +330,7 @@ object StreamingQueries {
     "s08_stream_stream_join" -> (s08_stream_stream_join _),
     "s09_stream_decontaminate" -> (s09_stream_decontaminate _),
     "s10_stream_static_join" -> (s10_stream_static_join _),
+    "s11_stream_outer_join" -> (s11_stream_outer_join _),
     "s07_stream_near_dedup" -> (s07_stream_near_dedup _),
     "s06_stream_dedup" -> (s06_stream_dedup _),
     "s01_batcher_conservation" -> (s01_batcher_conservation _),
@@ -320,6 +366,17 @@ object StreamingQueries {
     // the streaming path must reproduce the batch decontamination
     // answer exactly — same SQL as d07
     "s09_stream_decontaminate" -> graft.operators.Dedup.oracle("d07_decontaminate"),
+    "s11_stream_outer_join" ->
+      """WITH c AS (SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, CAST(ts AS TIMESTAMP) AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.c_id, COALESCE(p.p_id, -1) AS p_id_or_none
+        |FROM c LEFT JOIN p
+        |  ON c.user_id = p.p_user
+        | AND p.p_ts >= c.c_ts
+        | AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+        |ORDER BY c_id, p_id_or_none""".stripMargin,
     "s10_stream_static_join" ->
       """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
         |  COUNT(*) AS n_events,
