@@ -72,6 +72,24 @@ object Scalars {
         min(col("k")).as("k_min"), max(col("k")).as("k_max"))
       .orderBy(col("event_type"))
 
+  /** Spark 4 VARIANT type: parse once into the binary semi-structured
+    * format, extract typed paths with variant_get — the open-schema
+    * ingestion path (vs q24's per-access string parsing with
+    * get_json_object). At scale the parse happens once in the scan
+    * stage and the shuffle carries the compact binary variant, not
+    * JSON text; typed extraction is codegen'd. Oracle: DuckDB JSON
+    * extraction agrees on the typed values. */
+  def q54_variant_type(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        variant_get(col("v"), "$.k", "bigint").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_k"),
+        sum(col("k")).as("k_sum"),
+        (sum(col("k")).cast(DoubleType) / count(col("k"))).as("k_avg"))
+      .orderBy(col("event_type"))
+
   /** Event-time tumbling windows (batch form; the streaming form with a
     * watermark lives in graft.streaming). Output timestamps are cast to
     * NTZ so both engines emit naive microsecond timestamps. */
@@ -162,6 +180,7 @@ object Scalars {
     "q22_date_fns" -> (q22_date_fns _),
     "q23_hash_fns" -> (q23_hash_fns _),
     "q24_json_extract" -> (q24_json_extract _),
+    "q54_variant_type" -> (q54_variant_type _),
     "q25_event_windows" -> (q25_event_windows _),
     "q26_case_expr" -> (q26_case_expr _),
     "q27_math_fns" -> (q27_math_fns _),
@@ -203,6 +222,15 @@ object Scalars {
     "q23_hash_fns" ->
       """SELECT doc_id, SHA256(text) AS sha256sum, MD5(text) AS md5sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q54_variant_type" ->
+      """SELECT event_type,
+        |  CAST(COUNT(k) AS BIGINT) AS n_k,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS k_avg
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q24_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max
