@@ -249,7 +249,22 @@ object Dedup {
   }
 
   /** Core: `docs` needs (doc_id); `pairs` is the (a, b) edge set. */
-  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+  def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame =
+    dedupClustersIter(docs, pairs)._1
+
+  /** Implementation, exposing the round count for the convergence spec:
+    * each round is (1) neighbor-min propagation and (2) POINTER HALVING
+    * — l(v) ← l(l(v)), a self-join on the label forest. Halving is what
+    * turns O(component-diameter) rounds into O(log n): propagation
+    * moves the min label one hop along the graph, halving then
+    * compresses the label chains it leaves behind, so the reach roughly
+    * doubles per round (the classic shortcutting trick of parallel
+    * connectivity / MapReduce-CC algorithms). Near-dup clusters are
+    * shallow, but a pathological chain (serially-edited boilerplate)
+    * no longer costs diameter rounds. Every intermediate is
+    * localCheckpoint'ed — iterative joins otherwise grow the lineage
+    * (and the plan) without bound. */
+  private[graft] def dedupClustersIter(docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
       .cache() // re-read every iteration
@@ -257,14 +272,20 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 25) { // bound >> any real cluster diameter
+    while (changed > 0 && iter < 20) { // log2(n) + slack, not diameter
       val nbr = edges
         .join(labels.withColumnRenamed("doc_id", "a"), "a")
         .groupBy(col("b").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbr, Seq("doc_id"), "left")
+      val propagated = labels.join(nbr, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer halving: follow the label's label (always same component,
+      // labels only decrease — safe to shortcut)
+      val next = propagated.as("x")
+        .join(propagated.select(col("doc_id").as("pid"), col("label").as("plabel")),
+          col("x.label") === col("pid"))
+        .select(col("x.doc_id").as("doc_id"), col("plabel").as("label"))
         .localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).count()
@@ -272,10 +293,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    val out = labels
       .select(col("doc_id"), col("label").as("cluster_id"),
         (col("label") =!= col("doc_id")).as("is_dup"))
       .orderBy(col("doc_id"))
+    (out, iter)
   }
 
   /** Embedding-cosine near-dedup: random-hyperplane (sign) LSH over the

@@ -209,6 +209,19 @@ class OperatorsSpec extends AnyFunSuite {
       streamVerdicts.exists(v => v._1 == 3L && !v._3))
   }
 
+  test("cluster closure converges in O(log n) rounds on a 64-node chain (pointer halving)") {
+    import spark.implicits._
+    val n = 64
+    val docs = (0L until n).toDF("doc_id")
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("a", "b")
+    val (out, iters) = Dedup.dedupClustersIter(docs, pairs)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.values.toSet === Set(0L), "one chain component labeled by its min")
+    // pure neighbor-min propagation needs ~63 rounds on a 64-chain;
+    // halving must get there in O(log n)
+    assert(iters <= 10, s"expected logarithmic convergence, took $iters rounds")
+  }
+
   test("dedup clusters: transitive closure merges chained pairs, keep-first per component") {
     import spark.implicits._
     val docs = (1L to 6L).toDF("doc_id")
