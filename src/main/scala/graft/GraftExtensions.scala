@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the optimizer rule that swaps Spark's sort-based WindowGroupLimit
     // for it on row_number()<=k patterns
     extensions.injectPlannerStrategy(_ => plans.TopKPerGroup.Strategy)
+    extensions.injectPlannerStrategy(_ => plans.AsOfJoin.Strategy)
     extensions.injectOptimizerRule(_ => plans.TopKPerGroup.NativeWindowGroupLimitRule)
     extensions.injectOptimizerRule(_ => plans.TopKPerGroup.PruneTopKColumnsRule)
   }

@@ -46,10 +46,11 @@ object Sessions {
     // engine functions exposed on the SQL surface too
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_fnv64", exprs => graft.functions.Udx.Fnv64Expr(exprs.head), "scala_udf")
-    // native operator strategy + the WindowGroupLimit swap rule: every
-    // engine session executes row_number()<=k windows via the
-    // bounded-heap operator without callers opting in
+    // native operator strategies + optimizer rules: every engine
+    // session executes row_number()<=k windows via the bounded-heap
+    // operator and can plan the native as-of join
     graft.plans.TopKPerGroup.register(spark)
+    graft.plans.AsOfJoin.register(spark)
     spark
   }
 }

@@ -86,12 +86,45 @@ object AsOf {
       .orderBy(col("event_id"))
   }
 
+  /** q55: the SAME as-of semantics through the engine's NATIVE binary
+    * operator ([[graft.plans.AsOfJoin]]) — co-partitioned hash
+    * exchanges + per-partition (key, time) sorts + a streamed
+    * two-pointer merge holding one candidate row, instead of q33's
+    * union + carry-forward window over the combined stream. Same
+    * oracle as q33: the two implementations must agree exactly. */
+  def q55_asof_native(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("p_value"))
+    graft.plans.AsOfJoin.asOfJoin(errors, purchases,
+        Seq(col("user_id")), Seq(col("p_user")), col("ts"), col("p_ts"))
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast(TimestampNTZType).as("ts"),
+        col("p_ts").cast(TimestampNTZType).as("purchase_ts"),
+        col("p_value").as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_asof_native" -> (q55_asof_native _),
     "q31_join_outer" -> (q31_join_outer _),
     "q32_join_full_outer" -> (q32_join_full_outer _),
     "q33_join_asof" -> (q33_join_asof _))
 
   val oracle: Map[String, String] = Map(
+    // identical semantics, identical oracle — native operator vs q33's
+    // composition must both match DuckDB's ASOF LEFT JOIN
+    "q55_asof_native" ->
+      """SELECT e.event_id, e.user_id, e.ts,
+        |  p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |ASOF LEFT JOIN
+        |     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q31_join_outer" ->
       """SELECT c_custkey, COUNT(o_orderkey) AS n_p_orders,
         |  MAX(o_orderkey) IS NOT NULL AS has_p_order

@@ -109,6 +109,33 @@ class PlansSpec extends AnyFunSuite {
     assert(narrow.count() === 25 * 2 || narrow.count() > 0)
   }
 
+  test("native as-of join agrees with the union+window composition on the corpus") {
+    val native = SparkEntry.queries("q55_asof_native")(spark, sfDir).collect()
+    val composed = SparkEntry.queries("q33_join_asof")(spark, sfDir).collect()
+    assert(native.map(_.toSeq).toSeq === composed.map(_.toSeq).toSeq)
+    assert(native.nonEmpty)
+  }
+
+  test("native as-of join: merge plan shape, null fill before first match, exact ties") {
+    import spark.implicits._
+    import graft.plans.AsOfJoin
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 5L), (3L, 7L))
+      .toDF("k", "t") // user 3 has no right rows at all
+    val r = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 6L, "c"))
+      .toDF("rk", "rt", "v")
+    val out = AsOfJoin.asOfJoin(l, r, Seq(col("k")), Seq(col("rk")), col("t"), col("rt"))
+      .select(col("k"), col("t"), col("v"))
+      .collect().map(row => (row.getLong(0), row.getLong(1), row.getString(2))).toSet
+    // t=10 matches rt=10 (inclusive); t=20 takes the newest (rt=15);
+    // user 2's t=5 precedes rt=6 -> null; user 3 -> null
+    assert(out === Set((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, null), (3L, 7L, null)))
+    val plan = AsOfJoin.asOfJoin(l, r, Seq(col("k")), Seq(col("rk")), col("t"), col("rt"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Window") && !plan.contains("Union"),
+      "the native operator must not fall back to the composition shape")
+  }
+
   test("partial phase bounds shuffled rows to k per group per partition") {
     import spark.implicits._
     // 4 partitions x 1 group x 1000 rows: the exchange must carry at
