@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{AsOfJoin, TopKPerGroup}
+
+import scala.util.Random
+
+/** Randomized equivalence for the two native operators: whatever the
+  * data shape (skewed groups, ties, empty sides, k beyond group size),
+  * the custom physical operators must return exactly what the
+  * reference compositions return. Seeded generators — failures
+  * reproduce. */
+class PlansPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.base("local[4]", 4)
+
+  test("TopKPerGroup equals the row_number window form on 20 random datasets") {
+    import spark.implicits._
+    val rnd = new Random(4242)
+    for (trial <- 1 to 20) {
+      val nGroups = 1 + rnd.nextInt(8)
+      val nRows = 1 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(6)
+      // low-cardinality values force plenty of ties
+      val rows = (0 until nRows).map { i =>
+        (rnd.nextInt(nGroups), i.toLong, rnd.nextInt(5).toDouble)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(1 + rnd.nextInt(5))
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc, col("id"))
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+        .collect().map(_.toSeq).toSet
+      val got = TopKPerGroup.topKPerGroup(df,
+          Seq(col("g")), Seq(col("v").desc, col("id").asc), k)
+        .collect().map(_.toSeq).toSet
+      assert(got === expected, s"trial=$trial groups=$nGroups rows=$nRows k=$k")
+    }
+  }
+
+  test("native as-of join equals a per-row subquery evaluation on 20 random datasets") {
+    import spark.implicits._
+    val rnd = new Random(777)
+    for (trial <- 1 to 20) {
+      val nKeys = 1 + rnd.nextInt(5)
+      val nL = rnd.nextInt(60)
+      val nR = rnd.nextInt(60) // can be 0 → all-null fill
+      // coarse times force equal-timestamp ties on both sides
+      val lRows = (0 until nL).map(i => (rnd.nextInt(nKeys), rnd.nextInt(20).toLong, i.toLong))
+      val rRows = (0 until nR).map(i => (rnd.nextInt(nKeys), rnd.nextInt(20).toLong, 1000L + i))
+      val l = lRows.toDF("k", "t", "lid").repartition(1 + rnd.nextInt(4))
+      val r = rRows.toDF("rk", "rt", "rid").repartition(1 + rnd.nextInt(4))
+      val got = AsOfJoin.asOfJoin(l, r, Seq(col("k")), Seq(col("rk")), col("t"), col("rt"))
+        .select(col("lid"), col("rt"))
+        .collect().map(row => (row.getLong(0),
+          if (row.isNullAt(1)) -1L else row.getLong(1))).toMap
+      // reference: newest right time per left row, computed driver-side.
+      // (rt is deterministic under ties — equal rt values are equal; rid
+      // would not be, which is why the assert reads rt.)
+      val expected = lRows.map { case (k, t, lid) =>
+        val cand = rRows.filter(rr => rr._1 == k && rr._2 <= t)
+        lid -> (if (cand.isEmpty) -1L else cand.map(_._2).max)
+      }.toMap
+      assert(got === expected, s"trial=$trial keys=$nKeys nL=$nL nR=$nR")
+    }
+  }
+}
