@@ -21,7 +21,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++ operators.Multimodal.queries ++
       operators.AsOf.queries ++ operators.UdxQueries.queries ++
       operators.Skew.queries ++ operators.Pipeline.queries ++
-      operators.Reshape.queries ++ operators.Subqueries.queries
+      operators.Reshape.queries ++ operators.Subqueries.queries ++
+      operators.Behavioral.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.TextAnalysis.oracle ++ operators.Multimodal.oracle ++
       operators.AsOf.oracle ++ operators.UdxQueries.oracle ++
       operators.Skew.oracle ++ operators.Pipeline.oracle ++
-      operators.Reshape.oracle ++ operators.Subqueries.oracle
+      operators.Reshape.oracle ++ operators.Subqueries.oracle ++
+      operators.Behavioral.oracle
 }

@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.FunnelExpr
+import Exact._
+
+/** Behavioral / product-analytics operators — the ClickHouse signature
+  * family (`windowFunnel`, `retention`, `argMax`-style reports) plus the
+  * statistical-aggregate and ordered-array-agg surface, all over the
+  * `events` / TPC-H corpus and all DuckDB-oracle-checked.
+  *
+  * Scale stance shared by the family: per-ENTITY state (a user's funnel
+  * events, a user's active-day set) is collected per group — bounded by
+  * that entity's own activity, never by corpus size — and everything
+  * else is plain partial-aggregatable hash aggregation. No windows, no
+  * self-joins on the event table, no driver-side state.
+  */
+object Behavioral {
+
+  private[operators] val FUNNEL_WINDOW_US = 3L * 24 * 3600 * 1000000L // 3 days
+  private[operators] val FUNNEL_STEPS =
+    Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+
+  /** Funnel analysis (ClickHouse `windowFunnel`): per user, the deepest
+    * prefix of view → click → purchase completed in time order within a
+    * 3-day window of the chain's first event. One groupBy shuffle of
+    * (ts, step) pairs — the funnel fold itself is the native one-pass
+    * [[graft.functions.FunnelExpr]] over each user's sorted events.
+    * Users with no funnel events report level 0. */
+  def q56_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val step = when(col("event_type") === "view", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "purchase", 3)
+    val levels = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), step.as("step"))
+      .filter(col("step").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("t"), col("step")))).as("evs"))
+      .select(col("user_id"),
+        FunnelExpr.windowFunnel(col("evs"), FUNNEL_WINDOW_US, 3).as("funnel_level"))
+    ev.select(col("user_id")).distinct()
+      .join(levels, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("funnel_level"), lit(0)).as("funnel_level"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention (ClickHouse `retention`): cohort = a user's first
+    * active day; the per-user condition array [active d0, active d0+1,
+    * active d0+7, active d0+14] is evaluated against the user's OWN
+    * active-day set (collect_set per user — bounded by days, not
+    * events), then summed per cohort day. */
+  def q57_retention(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val flags = days.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), collect_set(col("d")).as("ds"))
+      .select(col("d0"),
+        array_contains(col("ds"), date_add(col("d0"), 1)).as("r1"),
+        array_contains(col("ds"), date_add(col("d0"), 7)).as("r7"),
+        array_contains(col("ds"), date_add(col("d0"), 14)).as("r14"))
+    flags.groupBy(col("d0"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("r1").cast(LongType)).as("n_day1"),
+        sum(col("r7").cast(LongType)).as("n_day7"),
+        sum(col("r14").cast(LongType)).as("n_day14"))
+      .select(col("d0").cast(TimestampNTZType).as("cohort_date"),
+        col("n_users"), col("n_day1"), col("n_day7"), col("n_day14"))
+      .orderBy(col("cohort_date"))
+  }
+
+  /** Statistical aggregates (stddev / variance / covariance / Pearson
+    * correlation) in EXACT cross-engine form: the five moment sums are
+    * accumulated as DECIMAL (associative — partial aggregation order
+    * can't change them), and the statistics are derived from those sums
+    * with an identical double-arithmetic expression tree in both engines
+    * (IEEE ops are deterministic given operands, sqrt is correctly
+    * rounded). Spark's built-in `stddev_samp`/`covar_samp`/`corr` stream
+    * co-moments in double and are order-sensitive — right at 100 TB,
+    * unverifiable bit-for-bit; BehavioralSpec pins this form to the
+    * built-ins within 1e-9 relative. */
+  def q58_stats_agg(spark: SparkSession, dir: String): DataFrame = {
+    val q = m(col("l_quantity"))
+    val p = m(col("l_extendedprice"))
+    val n = col("n").cast(DoubleType)
+    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+    val varQ = (n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / (n * (n - lit(1.0)))
+    val varP = (n * d(col("syy")) - d(col("sy")) * d(col("sy"))) / (n * (n - lit(1.0)))
+    val covQP = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / (n * (n - lit(1.0)))
+    val corrQP = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+      (sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+        sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("sx"), sum(p).as("sy"),
+        sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (d(col("sx")) / n).as("mean_qty"),
+        varQ.as("var_qty"), sqrt(varQ).as("std_qty"),
+        sqrt(varP).as("std_price"),
+        covQP.as("covar_qp"), corrQP.as("corr_qp"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Ordered array aggregation (ClickHouse `groupArray` / `groupUniqArray`
+    * with deterministic order): per nation, its suppliers as a sorted
+    * key list and a sorted name join. Rendered to strings because
+    * ordered-string form is the cross-engine-stable output; the arrays
+    * themselves exist mid-plan. */
+  def q59_group_array(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(transform(sort_array(collect_list(col("s_suppkey"))),
+          k => k.cast(StringType)), ",").as("supp_keys"),
+        concat_ws("|", sort_array(collect_list(col("s_name")))).as("supp_names"))
+      .orderBy(col("n_name"))
+
+  /** Equi-width histogram (ClickHouse `histogram` in its fixed-grid
+    * form): order totals bucketed at 20k; one hash-agg shuffle keyed on
+    * the bucket id — the 100 TB shape (no sort, no two-pass min/max). */
+  def q60_histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 20000).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("price_sum"),
+        min(col("o_totalprice")).as("price_min"),
+        max(col("o_totalprice")).as("price_max"))
+      .orderBy(col("bucket"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_funnel" -> (q56_funnel _),
+    "q57_retention" -> (q57_retention _),
+    "q58_stats_agg" -> (q58_stats_agg _),
+    "q59_group_array" -> (q59_group_array _),
+    "q60_histogram" -> (q60_histogram _))
+
+  /** q56 oracle: the exists-a-chain formulation (see [[FunnelExpr]] for
+    * the greedy ≡ exists argument). `CAST(ts AS TIMESTAMP)` truncates
+    * DuckDB's nanosecond timestamps to micros — the same truncation
+    * Spark's reader applies — so window-boundary comparisons agree. */
+  private val funnelOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |         WHEN 'purchase' THEN 3 END AS step
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |l1 AS (SELECT DISTINCT user_id FROM e WHERE step = 1),
+      |l2 AS (SELECT DISTINCT e1.user_id
+      |  FROM e e1 JOIN e e2 ON e2.user_id = e1.user_id
+      |   AND e1.step = 1 AND e2.step = 2
+      |   AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 3 DAY),
+      |l3 AS (SELECT DISTINCT e1.user_id
+      |  FROM e e1 JOIN e e2 ON e2.user_id = e1.user_id
+      |   AND e1.step = 1 AND e2.step = 2
+      |   AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 3 DAY
+      |  JOIN e e3 ON e3.user_id = e1.user_id AND e3.step = 3
+      |   AND e3.ts >= e2.ts AND e3.ts <= e1.ts + INTERVAL 3 DAY)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN u.user_id IN (SELECT user_id FROM l3) THEN 3
+      |            WHEN u.user_id IN (SELECT user_id FROM l2) THEN 2
+      |            WHEN u.user_id IN (SELECT user_id FROM l1) THEN 1
+      |            ELSE 0 END AS INT) AS funnel_level
+      |FROM (SELECT DISTINCT user_id FROM events) u
+      |ORDER BY user_id""".stripMargin
+
+  private val retentionOracleSql: String =
+    """WITH ev AS (SELECT DISTINCT user_id,
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |f AS (SELECT user_id, MIN(d) AS d0 FROM ev GROUP BY user_id),
+      |r AS (SELECT f.user_id, f.d0,
+      |  EXISTS(SELECT 1 FROM ev WHERE ev.user_id = f.user_id AND ev.d = f.d0 + 1) AS r1,
+      |  EXISTS(SELECT 1 FROM ev WHERE ev.user_id = f.user_id AND ev.d = f.d0 + 7) AS r7,
+      |  EXISTS(SELECT 1 FROM ev WHERE ev.user_id = f.user_id AND ev.d = f.d0 + 14) AS r14
+      |  FROM f)
+      |SELECT CAST(d0 AS TIMESTAMP) AS cohort_date, COUNT(*) AS n_users,
+      |  CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_day1,
+      |  CAST(SUM(CASE WHEN r7 THEN 1 ELSE 0 END) AS BIGINT) AS n_day7,
+      |  CAST(SUM(CASE WHEN r14 THEN 1 ELSE 0 END) AS BIGINT) AS n_day14
+      |FROM r GROUP BY d0 ORDER BY cohort_date""".stripMargin
+
+  /** q58 oracle: the same moment sums in DECIMAL, the same derived
+    * expression tree in DOUBLE — operand-for-operand. */
+  private val statsOracleSql: String = {
+    val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)"
+    val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)"
+    val sxx = "CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)"
+    val syy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)"
+    val sxy = "CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)"
+    val n = "CAST(COUNT(*) AS DOUBLE)"
+    val varQ = s"($n * $sxx - $sx * $sx) / ($n * ($n - 1.0))"
+    val varP = s"($n * $syy - $sy * $sy) / ($n * ($n - 1.0))"
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  $sx / $n AS mean_qty,
+       |  $varQ AS var_qty, SQRT($varQ) AS std_qty,
+       |  SQRT($varP) AS std_price,
+       |  ($n * $sxy - $sx * $sy) / ($n * ($n - 1.0)) AS covar_qp,
+       |  ($n * $sxy - $sx * $sy) /
+       |    (SQRT($n * $sxx - $sx * $sx) * SQRT($n * $syy - $sy * $sy)) AS corr_qp
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q56_funnel" -> funnelOracleSql,
+    "q57_retention" -> retentionOracleSql,
+    "q58_stats_agg" -> statsOracleSql,
+    "q59_group_array" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  ARRAY_TO_STRING(LIST(s_suppkey ORDER BY s_suppkey), ',') AS supp_keys,
+        |  STRING_AGG(s_name, '|' ORDER BY s_name) AS supp_names
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q60_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 20000) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) AS DOUBLE) AS price_sum,
+        |  MIN(o_totalprice) AS price_min, MAX(o_totalprice) AS price_max
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin)
+}

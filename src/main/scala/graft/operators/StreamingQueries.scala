@@ -326,7 +326,38 @@ object StreamingQueries {
       .orderBy(col("c_id"), col("p_id"))
   }
 
+  /** Streaming funnel — the incremental form of q56's `windowFunnel`:
+    * per-user state accumulates the user's funnel events across
+    * micro-batches (see [[EventStreams.funnelLevels]]); events are fed
+    * in two interleaved halves so the cross-batch merge path (state from
+    * batch 1 + late events in batch 2) genuinely runs. The level emitted
+    * per update is monotone in the event set, so max() per user equals
+    * the batch funnel — the oracle is q56's SQL verbatim, stream ≡ batch
+    * hash-checked. */
+  def s12_stream_funnel(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val ingest = new AsyncIngest[Event](spark.sqlContext)
+    val qname = s"graft_stream_funnel_${System.nanoTime()}"
+    val q = EventStreams.funnelLevels(ingest.toDS(),
+        Behavioral.FUNNEL_WINDOW_US, Behavioral.FUNNEL_STEPS)
+      .writeStream.outputMode("update").format("memory").queryName(qname).start()
+    val rows = Tables.events(spark, dir).as[Event].collect()
+    // split by event id parity, NOT by time: batch 2 delivers events that
+    // precede batch 1's in event time, exercising the sorted re-merge
+    val (half1, half2) = rows.partition(_.event_id % 2 == 0)
+    ingest.saveAllAsync(half1.toSeq)
+    q.processAllAvailable()
+    ingest.saveAllAsync(half2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname)
+      .groupBy(col("user_id"))
+      .agg(max(col("funnel_level")).as("funnel_level"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_stream_funnel" -> (s12_stream_funnel _),
     "s08_stream_stream_join" -> (s08_stream_stream_join _),
     "s09_stream_decontaminate" -> (s09_stream_decontaminate _),
     "s10_stream_static_join" -> (s10_stream_static_join _),
@@ -366,6 +397,8 @@ object StreamingQueries {
     // the streaming path must reproduce the batch decontamination
     // answer exactly — same SQL as d07
     "s09_stream_decontaminate" -> graft.operators.Dedup.oracle("d07_decontaminate"),
+    // stream ≡ batch: the incremental funnel must reproduce q56 exactly
+    "s12_stream_funnel" -> graft.operators.Behavioral.oracle("q56_funnel"),
     "s11_stream_outer_join" ->
       """WITH c AS (SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
         |           FROM events WHERE event_type = 'click'),

@@ -72,4 +72,36 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionize)
   }
+
+  /** Per-user streaming funnel state: the user's own funnel-step events
+    * (t, step) — exactly the buffer ClickHouse's `windowFunnel` aggregate
+    * keeps, bounded by that user's activity, never by stream length. */
+  final case class FunnelState(evs: Seq[(Long, Int)])
+
+  final case class FunnelLevel(user_id: Long, funnel_level: Int)
+
+  /** Streaming `windowFunnel` (the incremental form of Behavioral.q56):
+    * each micro-batch merges the user's new funnel events into state and
+    * re-runs the greedy one-pass fold over the sorted accumulated set —
+    * so cross-batch ordering doesn't matter (a late-arriving early event
+    * lands in its sorted place on the next recompute). The emitted level
+    * is monotone non-decreasing in the event set (more events can only
+    * extend chains), so `max(level)` over the update stream equals the
+    * batch answer on the same events. */
+  def funnelLevels(events: Dataset[Event], windowMicros: Long,
+      steps: Map[String, Int]): Dataset[FunnelLevel] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelLevel](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val fresh = it.flatMap(e =>
+            steps.get(e.event_type).map(s => (micros(e.ts), s))).toVector
+          val all = (state.getOption.map(_.evs).getOrElse(Vector.empty) ++ fresh)
+            .sorted
+          state.update(FunnelState(all))
+          Iterator.single(FunnelLevel(uid,
+            graft.functions.FunnelExpr.levelOf(all, windowMicros, steps.values.max)))
+      }
+  }
 }
