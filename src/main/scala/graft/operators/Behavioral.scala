@@ -49,6 +49,65 @@ object Behavioral {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user funnel-step sequence string: events mapped to step digits
+    * ('1'=view, '2'=click, '3'=purchase) concatenated in (ts, step)
+    * order — (ts, step) is the deterministic tie-break both engines
+    * share (equal-µs events sort by step; equal (ts, step) events are
+    * identical characters). Users with no funnel events get "". The
+    * string is bounded by the USER'S own activity — the same per-entity
+    * state stance as q56 — and pattern matching over it is a per-row
+    * codegen'd regex, so the whole family is one groupBy shuffle. */
+  private def stepSequences(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val step = when(col("event_type") === "view", 1)
+      .when(col("event_type") === "click", 2)
+      .when(col("event_type") === "purchase", 3)
+    val seqs = ev
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), step.as("step"))
+      .filter(col("step").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("t"), col("step")))),
+          e => e.getField("step").cast(StringType)), "").as("seq"))
+    ev.select(col("user_id")).distinct()
+      .join(seqs, Seq("user_id"), "left")
+      .select(col("user_id"), coalesce(col("seq"), lit("")).as("seq"))
+  }
+
+  /** Greedy-scan chain patterns as negated-class regexes: `1[^2]*2`
+    * pins the match to (first step-1, first step-2 after it, …) — the
+    * exact greedy scan — with NO backtracking ambiguity, so Java regex
+    * (Spark) and RE2 (DuckDB) agree on both existence and the
+    * non-overlapping match count. `.*?` would leave the divergent-
+    * backtracking question open; negated classes close it. */
+  private val CHAIN_12 = "1[^2]*2"
+  private val CHAIN_123 = "1[^2]*2[^3]*3"
+  private val CHAIN_31 = "3[^1]*1"
+
+  /** Event-sequence pattern match (ClickHouse
+    * `sequenceMatch('(?1).*(?2)')(ts, cond…)`): does the user's
+    * time-ordered event sequence contain the step chain? Unwindowed
+    * (the windowed form is q56's funnel); the reversed chain (purchase
+    * before a later view — re-engagement) shows order sensitivity. */
+  def q61_sequence_match(spark: SparkSession, dir: String): DataFrame =
+    stepSequences(spark, dir)
+      .select(col("user_id"),
+        col("seq").rlike(CHAIN_12).as("m_view_click"),
+        col("seq").rlike(CHAIN_123).as("m_view_click_purchase"),
+        col("seq").rlike(CHAIN_31).as("m_purchase_then_view"))
+      .orderBy(col("user_id"))
+
+  /** Non-overlapping chain occurrences (ClickHouse `sequenceCount`):
+    * the greedy restart-after-completion count — each completed chain
+    * consumes its events, matching CH's "search for the next chain
+    * after the current one ends". */
+  def q62_sequence_count(spark: SparkSession, dir: String): DataFrame =
+    stepSequences(spark, dir)
+      .select(col("user_id"),
+        regexp_count(col("seq"), lit(CHAIN_12)).as("c_view_click"),
+        regexp_count(col("seq"), lit(CHAIN_123)).as("c_view_click_purchase"))
+      .orderBy(col("user_id"))
+
   /** Cohort retention (ClickHouse `retention`): cohort = a user's first
     * active day; the per-user condition array [active d0, active d0+1,
     * active d0+7, active d0+14] is evaluated against the user's OWN
@@ -138,6 +197,8 @@ object Behavioral {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_funnel" -> (q56_funnel _),
+    "q61_sequence_match" -> (q61_sequence_match _),
+    "q62_sequence_count" -> (q62_sequence_count _),
     "q57_retention" -> (q57_retention _),
     "q58_stats_agg" -> (q58_stats_agg _),
     "q59_group_array" -> (q59_group_array _),
@@ -208,8 +269,36 @@ object Behavioral {
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Shared oracle CTE: the same per-user step string, DuckDB-side —
+    * ORDER BY (ts, step) inside STRING_AGG is the shared tie-break;
+    * CAST(ts AS TIMESTAMP) truncates ns → µs as Spark's reader does. */
+  private val seqCte =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+      |         WHEN 'purchase' THEN 3 END AS step
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+      |s AS (SELECT user_id,
+      |    STRING_AGG(CAST(step AS VARCHAR), '' ORDER BY ts, step) AS seq
+      |  FROM e GROUP BY user_id),
+      |u AS (SELECT DISTINCT user_id FROM events)
+      |""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q56_funnel" -> funnelOracleSql,
+    "q61_sequence_match" -> (seqCte +
+      """SELECT u.user_id,
+        |  REGEXP_MATCHES(COALESCE(s.seq, ''), '1[^2]*2') AS m_view_click,
+        |  REGEXP_MATCHES(COALESCE(s.seq, ''), '1[^2]*2[^3]*3') AS m_view_click_purchase,
+        |  REGEXP_MATCHES(COALESCE(s.seq, ''), '3[^1]*1') AS m_purchase_then_view
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id
+        |ORDER BY u.user_id""".stripMargin),
+    "q62_sequence_count" -> (seqCte +
+      """SELECT u.user_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(COALESCE(s.seq, ''), '1[^2]*2')) AS INT) AS c_view_click,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(COALESCE(s.seq, ''), '1[^2]*2[^3]*3')) AS INT) AS c_view_click_purchase
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id
+        |ORDER BY u.user_id""".stripMargin),
     "q57_retention" -> retentionOracleSql,
     "q58_stats_agg" -> statsOracleSql,
     "q59_group_array" ->

@@ -90,6 +90,39 @@ class BehavioralSpec extends AnyFunSuite {
     }
   }
 
+  /** Direct greedy chain scanner — the sequenceMatch/Count definition:
+    * scan the step string left to right, advance on the next needed
+    * step, count a match and restart when the chain completes. */
+  private def greedyCount(s: String, chain: String): Int = {
+    var pos = 0; var cnt = 0
+    s.foreach { c =>
+      if (c == chain(pos)) {
+        pos += 1
+        if (pos == chain.length) { cnt += 1; pos = 0 }
+      }
+    }
+    cnt
+  }
+
+  test("sequence match/count: negated-class regex == greedy scan (1000 cases)") {
+    val rnd = new scala.util.Random(7)
+    import spark.implicits._
+    val cases = (0 until 1000).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(15))(('1' + rnd.nextInt(3)).toChar).mkString))
+    val got = cases.toDF("id", "seq")
+      .select(col("id"),
+        col("seq").rlike("1[^2]*2[^3]*3").as("m"),
+        regexp_count(col("seq"), lit("1[^2]*2[^3]*3")).as("c"),
+        regexp_count(col("seq"), lit("1[^2]*2")).as("c12"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getInt(2), r.getInt(3)))).toMap
+    cases.foreach { case (id, s) =>
+      val (m, c, c12) = got(id)
+      assert(c === greedyCount(s, "123"), s"count123 '$s'")
+      assert(c12 === greedyCount(s, "12"), s"count12 '$s'")
+      assert(m === (greedyCount(s, "123") > 0), s"match '$s'")
+    }
+  }
+
   test("retention flags planted comeback days") {
     import spark.implicits._
     // user 1: active d0, d0+1, d0+7; user 2: d0 only; user 3: d0, d0+14
