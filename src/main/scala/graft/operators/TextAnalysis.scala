@@ -196,8 +196,31 @@ object TextAnalysis {
       .orderBy(col("a"), col("b"))
   }
 
+  /** Gopher-style repetition-quality gate (Rae et al. 2021 §A1.1):
+    * per-doc top-word / top-bigram / duplicate-word fractions from the
+    * one-pass native [[graft.functions.RepStatsExpr]] — the whole gate
+    * runs inside the scan stage, zero shuffle, no sorts, no per-bigram
+    * string allocation. Thresholds are corpus-tuned (the paper's 0.2
+    * was tuned to MassiveWeb; this synthetic corpus needs 0.1 for the
+    * gate to actually bisect it — the operator is the thresholded
+    * filter, wherever the thresholds sit). */
+  def t10_repetition_stats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("_toks", TextFns.tokens(col("text")))
+      .withColumn("_st",
+        graft.functions.RepStatsExpr.repetitionStats(col("_toks")))
+      .select(col("doc_id"),
+        col("_st.n_words").as("n_words"),
+        col("_st.top_word_frac").as("top_word_frac"),
+        col("_st.top_bigram_frac").as("top_bigram_frac"),
+        col("_st.dup_word_frac").as("dup_word_frac"),
+        (col("_st.top_word_frac") <= 0.1 &&
+          col("_st.top_bigram_frac") <= 0.1).as("gopher_keep"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t09_edit_distance" -> (t09_edit_distance _),
+    "t10_repetition_stats" -> (t10_repetition_stats _),
     "t08_chunk_text" -> (t08_chunk_text _),
     "t05_token_estimate" -> (t05_token_estimate _),
     "t01_text_tokens" -> (t01_text_tokens _),
@@ -240,6 +263,29 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    // unnest + GROUP BY reproduces RepStatsExpr's one-pass counts; the
+    // fractions are single exact-int divisions in double — bit-identical
+    "t10_repetition_stats" ->
+      s"""WITH t AS (SELECT doc_id, STRING_SPLIT($normSql, ' ') AS w FROM documents),
+         |uni AS (SELECT doc_id, x AS word, COUNT(*) AS c
+         |        FROM t, UNNEST(w) AS u(x) GROUP BY doc_id, x),
+         |us AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS mx,
+         |        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+         |       FROM uni GROUP BY doc_id),
+         |bg AS (SELECT doc_id, w[g] || ' ' || w[g + 1] AS b
+         |       FROM t, UNNEST(GENERATE_SERIES(1, LEN(w) - 1)) AS s(g)),
+         |bc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+         |bs AS (SELECT doc_id, MAX(c) AS mxb FROM bc GROUP BY doc_id),
+         |r AS (SELECT us.doc_id, us.n AS n_words,
+         |  CAST(us.mx AS DOUBLE) / us.n AS top_word_frac,
+         |  CASE WHEN us.n > 1
+         |       THEN CAST(COALESCE(bs.mxb, 0) AS DOUBLE) / (us.n - 1)
+         |       ELSE 0.0 END AS top_bigram_frac,
+         |  CAST(us.dup AS DOUBLE) / us.n AS dup_word_frac
+         |  FROM us LEFT JOIN bs USING (doc_id))
+         |SELECT doc_id, n_words, top_word_frac, top_bigram_frac, dup_word_frac,
+         |  (top_word_frac <= 0.1 AND top_bigram_frac <= 0.1) AS gopher_keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     // same candidate CTE chain as d08 (shared rare-word-gram blocking);
     // levenshtein is exact DP in both engines, and the similarity is an
     // int/int double division — bit-identical

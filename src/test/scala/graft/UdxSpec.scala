@@ -165,4 +165,59 @@ class UdxSpec extends AnyFunSuite {
       prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
     }
   }
+
+  /** Driver-side reference for RepStatsExpr: plain Scala groupBy counts. */
+  private def repRef(toks: Seq[String]): (Long, Double, Double, Double) = {
+    val n = toks.size
+    if (n == 0) return (0L, 0.0, 0.0, 0.0)
+    val wc = toks.groupBy(identity).map(_._2.size)
+    val dup = wc.filter(_ > 1).sum
+    val bi = toks.zip(toks.tail)
+    val topB = if (bi.isEmpty) 0.0
+      else bi.groupBy(identity).map(_._2.size).max.toDouble / bi.size
+    (n.toLong, wc.max.toDouble / n, topB, dup.toDouble / n)
+  }
+
+  test("RepStatsExpr matches a driver-side reference (codegen path)") {
+    import spark.implicits._
+    import graft.functions.RepStatsExpr
+    val cases = Seq(
+      Seq("a"),
+      Seq("a", "a", "a"),
+      Seq("a", "b", "a", "b", "c"),
+      Seq("x", "y", "z"),
+      Seq(""),
+      (0 until 50).map(i => s"w${i % 7}"))
+    val got = cases.zipWithIndex.map(_.swap).toDF("id", "toks")
+      .select(col("id"), RepStatsExpr.repetitionStats(col("toks")).as("st"))
+      .select(col("id"), col("st.n_words"), col("st.top_word_frac"),
+        col("st.top_bigram_frac"), col("st.dup_word_frac"))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    cases.zipWithIndex.foreach { case (toks, i) =>
+      assert(got(i) === repRef(toks), s"case $i: $toks")
+    }
+  }
+
+  test("RepStatsExpr skips null elements and handles empty arrays") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.RepStatsExpr
+    def run(elems: Array[Any]) = RepStatsExpr(Literal.create(
+        new GenericArrayData(elems), ArrayType(StringType, containsNull = true)))
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val u = (s: String) => UTF8String.fromString(s)
+    // null breaks the bigram chain: pairs are (a,a) only — "a null a b"
+    // contributes zero bigrams across the null
+    val r = run(Array(u("a"), u("a"), null, u("a"), u("b")))
+    assert(r.getLong(0) === 4L)            // null excluded from n
+    assert(r.getDouble(1) === 0.75)        // 'a' ×3 of 4
+    assert(r.getDouble(2) === 0.5)         // bigrams: (a,a), (a,b) → max 1/2
+    assert(r.getDouble(3) === 0.75)        // dup words: the three 'a's
+    val e = run(Array.empty[Any])
+    assert(e.getLong(0) === 0L && e.getDouble(1) === 0.0 &&
+      e.getDouble(2) === 0.0 && e.getDouble(3) === 0.0)
+  }
 }
