@@ -59,25 +59,27 @@ object Dedup {
         y => struct(x.as("a"), y.as("b")))))
 
   /** Size-capped bucket build that never MATERIALIZES a degenerate
-    * bucket: a count-only groupBy picks surviving keys (2 ≤ n ≤ cap)
-    * first — partial-agg safe, its shuffle carries (key, count), never
-    * postings — and only postings of surviving keys reach the
-    * collect_list. Without the pre-filter, a pathological key shared by
-    * the whole corpus (empty docs, boilerplate) would have to be fully
-    * collected into one reduce-side array before the size filter could
-    * discard it — an executor OOM at scale. The semi-join and the
-    * aggregation share the bucket key, so the full-data postings
-    * shuffle happens once and its partitioning is reused. */
+    * bucket: ONE hash aggregation through the native
+    * [[graft.functions.BoundedCollectList]] aggregate, whose partial
+    * and merged buffers stop growing at cap + 1 elements. A
+    * pathological key shared by the whole corpus (empty docs,
+    * boilerplate) costs each map task at most cap + 1 buffer entries
+    * and the shuffle at most (cap + 1) · partitions elements — then
+    * surfaces as an over-cap array the size filter drops. Groups within
+    * the cap are collected completely (partial counts sum to the global
+    * count, so no buffer can truncate a surviving group), which keeps
+    * the output bit-identical to an uncapped collect_list + the same
+    * filter — DedupSpec asserts that equivalence. vs the previous
+    * count-prefilter + semi-join + collect_list shape: same memory
+    * bound, but one pass over the postings instead of two. */
   private def cappedBuckets(postings: DataFrame, keys: Seq[String],
       elem: Column, cap: Long): DataFrame = {
+    import graft.functions.BoundedCollect.boundedCollectList
     val keyCols = keys.map(col)
-    val survivors = postings.groupBy(keyCols: _*)
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n").between(2, cap))
-      .select(keyCols: _*)
-    postings.join(survivors, keys, "left_semi")
-      .groupBy(keyCols: _*)
-      .agg(sort_array(collect_list(elem)).as("es"))
+    postings.groupBy(keyCols: _*)
+      .agg(boundedCollectList(elem, cap.toInt).as("_es"))
+      .filter(size(col("_es")).between(2, cap.toInt))
+      .select(keyCols :+ sort_array(col("_es")).as("es"): _*)
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket.
