@@ -123,7 +123,63 @@ object Aggregates {
         col("n_orders"))
       .orderBy(col("o_custkey"))
 
+  /** ClickHouse `sumMap` — map-merge aggregation: per group, merge
+    * per-row (key → value) entries summing values and counting
+    * occurrences per key. The distributed shape is ONE partial-agg
+    * shuffle keyed on (group, key) — map-side combine collapses
+    * repeated keys before the exchange — then an in-group reassembly
+    * into the canonical sorted-entries form. Sums ride the exact
+    * decimal path (integer cents) so the oracle hash-matches; the
+    * entry lists are CSV-flattened like every array output (nested
+    * comparisons are engine-fragile, the CSV is canonical). */
+  def q63_sum_map(spark: SparkSession, dir: String): DataFrame = {
+    val kv = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg((sum(m(col("value"))) * 100).cast(LongType).as("cents"),
+        count(lit(1)).as("n"))
+    kv.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        // one sorted collect reused by all three projections: entries
+        // sort by event_type, the struct's first field
+        sort_array(collect_list(struct(col("event_type"), col("cents"), col("n"))))
+          .as("_es"))
+      .select(col("user_id"), col("n_keys"),
+        concat_ws(",", transform(col("_es"), e => e.getField("event_type")))
+          .as("keys_csv"),
+        concat_ws(",", transform(col("_es"),
+          e => e.getField("cents").cast(StringType))).as("cents_csv"),
+        concat_ws(",", transform(col("_es"),
+          e => e.getField("n").cast(StringType))).as("counts_csv"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ClickHouse `-If` combinators (countIf / sumIf / avgIf / maxIf /
+    * uniqIf) — conditional aggregates in one pass over the fact table:
+    * each is a plain aggregate over a guarded expression (nulls skipped
+    * by SQL aggregation semantics), so everything stays inside a single
+    * partial+final hash aggregation — no per-condition scans, no joins.
+    * avgIf divides the exact decimal sum by the conditional count in
+    * DOUBLE (IEEE division of identical inputs — oracle-stable). */
+  def q64_conditional_aggs(spark: SparkSession, dir: String): DataFrame = {
+    val big = col("l_quantity") > 25
+    val nBig = count(when(big, lit(1)))
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        nBig.as("n_big"),
+        sum(when(col("l_discount") > 0.05, m(col("l_extendedprice"))))
+          .cast(DoubleType).as("disc_rev"),
+        (sum(when(big, m(col("l_quantity")))).cast(DoubleType) /
+          when(nBig === 0, lit(null)).otherwise(nBig)).as("avg_big_qty"),
+        max(when(big, col("l_shipdate"))).as("last_big_ship"),
+        countDistinct(when(big, col("l_partkey"))).as("n_big_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q63_sum_map" -> (q63_sum_map _),
+    "q64_conditional_aggs" -> (q64_conditional_aggs _),
     "q49_argmax" -> (q49_argmax _),
     "q37_percentiles" -> (q37_percentiles _),
     "q10_agg_distinct" -> (q10_agg_distinct _),
@@ -133,6 +189,29 @@ object Aggregates {
     "q29_agg_approx_distinct" -> (q29_agg_approx_distinct _))
 
   val oracle: Map[String, String] = Map(
+    "q63_sum_map" ->
+      """WITH kv AS (
+        |  SELECT user_id, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(9,2))) * 100 AS BIGINT) AS cents,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  COUNT(*) AS n_keys,
+        |  ARRAY_TO_STRING(LIST(event_type ORDER BY event_type), ',') AS keys_csv,
+        |  ARRAY_TO_STRING(LIST(CAST(cents AS VARCHAR) ORDER BY event_type), ',') AS cents_csv,
+        |  ARRAY_TO_STRING(LIST(CAST(n AS VARCHAR) ORDER BY event_type), ',') AS counts_csv
+        |FROM kv GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q64_conditional_aggs" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) FILTER (WHERE l_discount > 0.05)
+        |    AS DOUBLE) AS disc_rev,
+        |  CASE WHEN COUNT(*) FILTER (WHERE l_quantity > 25) = 0 THEN NULL
+        |       ELSE CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) FILTER (WHERE l_quantity > 25)
+        |              AS DOUBLE) / COUNT(*) FILTER (WHERE l_quantity > 25) END AS avg_big_qty,
+        |  MAX(l_shipdate) FILTER (WHERE l_quantity > 25) AS last_big_ship,
+        |  COUNT(DISTINCT l_partkey) FILTER (WHERE l_quantity > 25) AS n_big_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q49_argmax" ->
       """SELECT o_custkey,
         |  struct_extract(MAX(struct_pack(d := o_orderdate, k := o_orderkey)), 'k')

@@ -124,7 +124,39 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** k-NN label classification over embeddings — the curation op behind
+    * embedding-based quality/domain filtering: unlabeled rows (vec_id
+    * < 50) take the majority label of their 5 cosine-nearest labeled
+    * neighbors (vec_id ≥ 50); ties break deterministically to the
+    * smaller label. Composition at scale: the labeled corpus is the
+    * 100 TB side and is only SCANNED (queries broadcast, native
+    * TopKPerGroup reduces each scan partition to ≤ k rows per query
+    * before the exchange); the vote is a tiny groupBy over k·queries
+    * rows with an argmax struct-max — the same lexicographic trick as
+    * q49, no second window. A production deployment swaps the
+    * brute-force candidate stage for v02's LSH buckets unchanged. */
+  def v05_knn_classify(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val labeled = emb.filter(col("vec_id") >= 50)
+    val pairs = broadcast(queries).join(labeled, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), col("label"),
+        VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+    val knn = graft.plans.TopKPerGroup.topKPerGroup(pairs,
+      Seq(col("qid")), Seq(col("cos").desc, col("nid").asc), K)
+    knn.groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      // argmax(votes, tie → smallest label): lexicographic struct max
+      .groupBy(col("qid"))
+      .agg(max(struct(col("n_votes"), (-col("label")).as("neg_label"))).as("w"))
+      .select(col("qid"), (-col("w.neg_label")).as("pred_label"),
+        col("w.n_votes").as("n_votes"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v05_knn_classify" -> (v05_knn_classify _),
     "v01_sim_bruteforce_topk" -> (v01_sim_bruteforce_topk _),
     "v02_sim_lsh_topk" -> (v02_sim_lsh_topk _),
     "v03_sim_ivf_topk" -> (v03_sim_ivf_topk _),
@@ -161,6 +193,20 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "v05_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
+         |e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 50),
+         |pairs AS (
+         |  SELECT q.qid, e.vec_id AS nid, e.label, $cosSql AS cos
+         |  FROM q, e),
+         |knn AS (SELECT * FROM (
+         |  SELECT qid, label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn FROM pairs)
+         |  WHERE rn <= $K),
+         |votes AS (SELECT qid, label, COUNT(*) AS n_votes FROM knn GROUP BY 1, 2)
+         |SELECT qid, label AS pred_label, n_votes FROM votes
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n_votes DESC, label) = 1
+         |ORDER BY qid""".stripMargin,
     "v04_sim_native_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |pairs AS (
