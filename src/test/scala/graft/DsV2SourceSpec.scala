@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.Base64
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.LimitHashLog
+
+/** The custom DataSource V2 must prune, push, split, and report stats —
+  * each assertion reads the EXECUTED plan, not just the results. */
+class DsV2SourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.base("local[4]", 4)
+
+  private def b64(s: String): String =
+    Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+
+  /** 3 segment files, 6 rows total. */
+  private lazy val logDir: String = {
+    val dir: Path = Files.createTempDirectory("graft_lhlog")
+    val rows = Seq(
+      Seq(s"u1\t10\t${b64("m1")}\th1", s"u2\t20\t\th2"),
+      Seq(s"u1\t30\t${b64("m3")}\th3", s"u3\t40\t${b64("m4")}\th4"),
+      Seq(s"u2\t50\t${b64("m5")}\th5", s"u1\t60\t${b64("m6")}\th1"))
+    rows.zipWithIndex.foreach { case (lines, i) =>
+      Files.write(dir.resolve(f"seg-$i%03d.log"), lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    dir.toString
+  }
+
+  private def read(): DataFrame =
+    spark.read.format(LimitHashLog.FORMAT).load(logDir)
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("full read: schema, rows, null msg, base64 payloads") {
+    val df = read()
+    assert(df.schema === LimitHashLog.SCHEMA)
+    val rows = df.orderBy("amount").collect()
+    assert(rows.length === 6)
+    assert(rows.head.getString(0) === "u1")
+    assert(new String(rows.head.getAs[Array[Byte]]("msg"), StandardCharsets.UTF_8) === "m1")
+    assert(rows(1).isNullAt(2)) // empty msg field → null payload
+  }
+
+  test("split planning: one partition per segment file") {
+    assert(read().rdd.getNumPartitions === 3)
+  }
+
+  test("column pruning reaches the scan (ReadSchema is the projection)") {
+    val df = read().select("user_id")
+    assert(scanOf(df).scan.readSchema().fieldNames.toSeq === Seq("user_id"))
+    assert(df.distinct().count() === 3)
+  }
+
+  test("equality filters push into the scan; others stay residual but correct") {
+    val probe = read().filter(col("user_id") === "u1" && col("sha256sum") === "h1")
+    val desc = scanOf(probe).scan.description()
+    assert(desc.contains("EqualTo(user_id,u1)") && desc.contains("EqualTo(sha256sum,h1)"),
+      s"pushed filters missing from scan: $desc")
+    assert(probe.select("amount").orderBy("amount").collect().map(_.getLong(0)).toSeq === Seq(10L, 60L))
+    // range predicate is NOT pushed (residual) and still filters correctly
+    val range = read().filter(col("amount") > 35)
+    assert(!scanOf(range).scan.description().contains("GreaterThan"))
+    assert(range.count() === 3)
+  }
+
+  test("reported statistics let a small log broadcast-join without a hint") {
+    import spark.implicits._
+    val facts = (1 to 10000).map(i => (s"u${i % 5}", i.toLong)).toDF("user_id", "x")
+    val joined = facts.join(read().select("user_id", "amount"), "user_id")
+    assert(joined.count() > 0)
+    // executedPlan is the AQE wrapper; its string renders the final plan
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
