@@ -22,7 +22,7 @@ object SparkEntry {
       operators.AsOf.queries ++ operators.UdxQueries.queries ++
       operators.Skew.queries ++ operators.Pipeline.queries ++
       operators.Reshape.queries ++ operators.Subqueries.queries ++
-      operators.Behavioral.queries
+      operators.Behavioral.queries ++ operators.Frequency.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +35,5 @@ object SparkEntry {
       operators.AsOf.oracle ++ operators.UdxQueries.oracle ++
       operators.Skew.oracle ++ operators.Pipeline.oracle ++
       operators.Reshape.oracle ++ operators.Subqueries.oracle ++
-      operators.Behavioral.oracle
+      operators.Behavioral.oracle ++ operators.Frequency.oracle
 }

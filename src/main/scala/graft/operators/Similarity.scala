@@ -160,7 +160,8 @@ object Similarity {
     "v01_sim_bruteforce_topk" -> (v01_sim_bruteforce_topk _),
     "v02_sim_lsh_topk" -> (v02_sim_lsh_topk _),
     "v03_sim_ivf_topk" -> (v03_sim_ivf_topk _),
-    "v04_sim_native_topk" -> (v04_sim_native_topk _))
+    "v04_sim_native_topk" -> (v04_sim_native_topk _),
+    "v06_sim_range" -> (v06_sim_range _))
 
   /** DuckDB mirror of the fold-based cosine: LIST_ZIP + LIST_REDUCE fold
     * left-to-right in double — bit-identical to Spark's zip_with +
@@ -192,7 +193,36 @@ object Similarity {
       .orderBy(col("qid"), col("cos").desc, col("nid"))
   }
 
+  private val RANGE_T = 0.35
+
+  /** Range search (the "all neighbors within τ" dual of top-k — the
+    * radius query of a vector store): every corpus vector whose cosine
+    * to a query vector is ≥ τ. Brute force is a broadcast of the small
+    * query set against one corpus scan — no shuffle at all (the filter
+    * is evaluated map-side; only survivors move). At 100 TB the same
+    * output comes from prefixing the v02 LSH candidate generation as a
+    * prefilter; the brute-force form here is the exact baseline the
+    * probabilistic path is measured against, and the cosine fold is
+    * bit-identical cross-engine (see [[cosSql]]) so the ≥ τ boundary
+    * agrees exactly. */
+  def v06_sim_range(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    broadcast(queries).join(emb, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+      .filter(col("cos") >= RANGE_T)
+      .orderBy(col("qid"), col("nid"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "v06_sim_range" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10)
+         |SELECT qid, nid, cos FROM (
+         |  SELECT q.qid, e.vec_id AS nid, $cosSql AS cos
+         |  FROM q, embeddings e WHERE e.vec_id != q.qid)
+         |WHERE cos >= $RANGE_T ORDER BY qid, nid""".stripMargin,
     "v05_knn_classify" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 50),
          |e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 50),

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.FreqAggs
+import graft.operators.Frequency
+
+/** Bounded-cardinality aggregates: uniqUpTo must be exact below the cap
+  * and saturate above it REGARDLESS of partitioning (merge can't
+  * un-saturate or double-count), and SpaceSaving topK must be exact in
+  * the under-capacity regime and keep its frequent-item guarantee when
+  * forced to evict. */
+class FrequencySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.base("local[4]", 4)
+  private val SF = "/root/testdata/sf0.001"
+
+  private def uniq(vals: Seq[Int], n: Int, parts: Int): Long = {
+    import spark.implicits._
+    vals.toDF("v").repartition(parts)
+      .agg(FreqAggs.uniqUpTo(col("v"), n).as("u"))
+      .head().getLong(0)
+  }
+
+  test("uniqUpTo: exact below cap, any partitioning") {
+    for (parts <- Seq(1, 3, 7)) {
+      assert(uniq(Seq(1, 2, 3, 2, 1), 4, parts) === 3L)
+    }
+  }
+
+  test("uniqUpTo: saturates at n+1 above cap, any partitioning") {
+    for (parts <- Seq(1, 3, 7)) {
+      assert(uniq((1 to 50).map(_ % 10), 4, parts) === 5L)
+      assert(uniq(1 to 100, 8, parts) === 9L)
+    }
+  }
+
+  test("uniqUpTo: exactly n distinct is reported exactly (boundary)") {
+    for (parts <- Seq(1, 5)) {
+      assert(uniq((1 to 4) ++ (1 to 4), 4, parts) === 4L)
+    }
+  }
+
+  test("uniqUpTo: nulls don't count") {
+    import spark.implicits._
+    val u = Seq(Some(1), None, Some(2), None).toDF("v")
+      .agg(FreqAggs.uniqUpTo(col("v"), 5).as("u")).head().getLong(0)
+    assert(u === 2L)
+  }
+
+  private def topk(vals: Seq[String], k: Int, cap: Int, parts: Int): Seq[(String, Long)] = {
+    import spark.implicits._
+    vals.toDF("v").repartition(parts)
+      .agg(FreqAggs.approxTopK(col("v"), k, cap).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.v"), col("e.cnt"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  test("topK: exact counts and order in the under-capacity regime") {
+    val data = Seq.fill(7)("a") ++ Seq.fill(5)("b") ++ Seq.fill(5)("c") ++ Seq("d")
+    for (parts <- Seq(1, 4)) {
+      // tie between b and c broken by value asc — deterministic
+      assert(topk(data, 3, 16, parts) === Seq(("a", 7L), ("b", 5L), ("c", 5L)))
+    }
+  }
+
+  test("topK: dominant heavy hitter survives forced evictions") {
+    // 60% of the stream is "hot"; 40 singleton keys churn the other
+    // 8 counters. SpaceSaving guarantees any item with frequency
+    // > n/capacity is in the summary — the hot key must be rank 1.
+    val noise = (1 to 40).map(i => s"n$i")
+    val data = scala.util.Random.shuffle(
+      Seq.fill(60)("hot") ++ noise: Seq[String])
+    val top = topk(data, 1, 8, 1)
+    assert(top.head._1 === "hot")
+    // SpaceSaving counts over-estimate, never under-estimate
+    assert(top.head._2 >= 60L)
+  }
+
+  test("topK: count over-estimate is bounded by n/capacity") {
+    val noise = (1 to 40).map(i => s"n$i")
+    val data = Seq.fill(60)("hot") ++ noise
+    val top = topk(data, 1, 8, 1)
+    // classic SpaceSaving bound: err <= n / capacity
+    assert(top.head._2 - 60L <= data.size / 8)
+  }
+
+  private def run(name: String): DataFrame =
+    Frequency.queries(name)(spark, SF)
+
+  test("q65: agrees with exact distinct counts, saturated to the cap") {
+    val got = run("q65_uniq_upto").collect()
+    val want = spark.read.parquet(s"$SF/lineitem.parquet")
+      .groupBy(col("l_orderkey"))
+      .agg(least(countDistinct(col("l_suppkey")), lit(5)).cast("long").as("u_supp"),
+        least(countDistinct(col("l_partkey")), lit(3)).cast("long").as("u_part"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_orderkey")).collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("q66: sketch top-3 equals exact frequency top-3 (exact regime)") {
+    val got = run("q66_topk_freq").collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    val want = spark.read.parquet(s"$SF/orders.parquet")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderstatus"), col("rank"), col("o_orderpriority").as("priority"), col("n"))
+      .orderBy(col("o_orderstatus"), col("rank")).collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("q68: sample is 3 docs per language, stable across runs") {
+    val a = run("q68_group_sample").collect()
+    val b = run("q68_group_sample").collect()
+    assert(a.toSeq === b.toSeq) // deterministic ⇒ replayable under retry
+    val perLang = a.groupBy(_.getString(0)).view.mapValues(_.length)
+    assert(perLang.values.forall(_ <= 3))
+  }
+
+  test("q67 runs and averages are consistent with min/max bounds") {
+    val rows = run("q67_min_max_map").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mins = r.getAs[String]("min_csv").split(",").map(_.toLong)
+      val maxs = r.getAs[String]("max_csv").split(",").map(_.toLong)
+      val avg = r.getAs[Double]("avg_value") * 100
+      assert(avg >= mins.min - 1e-6 && avg <= maxs.max + 1e-6)
+    }
+  }
+}
