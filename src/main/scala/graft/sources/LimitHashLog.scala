@@ -8,15 +8,17 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-/** DataSource V2 reader for the reference's entity log at rest — the
+/** DataSource V2 reader AND writer for the reference's entity log at
+  * rest (write path documented on [[LogWriteBuilder]]) — the
   * `limits_hashes` row stream (`user_id, amount, msg, sha256sum`;
   * schema recovered in SURVEY §1.1 from `hashes.go:25` and the test
   * fixtures `hashes_test.go:146-162`) as tab-separated lines, one file
@@ -76,13 +78,117 @@ object LimitHashLog {
   }
 }
 
-class LimitHashLogTable(path: String) extends Table with SupportsRead {
+class LimitHashLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"limit_hash_log(`$path`)"
   override def schema(): StructType = LimitHashLog.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LimitHashLogScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new LogWriteBuilder(path, info.queryId())
+}
+
+/** DSv2 WRITE path — the reference's batch sink semantics
+  * (`hashes.go:75-96`: accumulate, flush as one unit, never partially
+  * visible) expressed through the V2 commit protocol:
+  *
+  *   - **Staged files**: each task writes
+  *     `_staged-<queryId>-<partition>-<task>` — the `_` prefix keeps
+  *     in-flight output invisible to [[LimitHashLog.segments]] readers,
+  *     so a concurrent scan NEVER sees a half-written batch (the
+  *     reference gets this from ClickHouse insert atomicity; a file log
+  *     has to stage).
+  *   - **Driver commit**: renames exactly the files named in the task
+  *     commit messages to `segment-<queryId>-<partition>` — a
+  *     DETERMINISTIC name per (query, partition), so a whole-stage
+  *     retry or speculative duplicate can only replace its own output,
+  *     never double it (the same effectively-once key the parquet
+  *     batchId sink uses, SURVEY §2.1 #3).
+  *   - **Abort**: deletes staged files; committed segments are
+  *     untouched.
+  *   - **Truncate** (`mode("overwrite")`): old segments are removed
+  *     inside `commit()`, after every new staged file exists — the
+  *     closest a rename-based log gets to atomic replace, and failure
+  *     before commit leaves the old data fully intact.
+  */
+class LogWriteBuilder(path: String, queryId: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new LogBatchWrite(path, queryId, doTruncate)
+  }
+}
+
+case class LogCommit(staged: String, partitionId: Int) extends WriterCommitMessage
+
+class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new LogWriterFactory(path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    val old = if (truncate) LimitHashLog.segments(path).map(_._1) else Seq.empty
+    messages.foreach { case LogCommit(staged, pid) =>
+      val from = new Path(staged)
+      val to = new Path(dir, s"segment-$queryId-$pid")
+      if (fs.exists(to)) fs.delete(to, false) // same-query retry: replace, never duplicate
+      fs.rename(from, to)
+    }
+    old.foreach(f => fs.delete(new Path(f), false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach {
+      case LogCommit(staged, _) =>
+        val p = new Path(staged)
+        if (fs.exists(p)) fs.delete(p, false)
+      case _ =>
+    }
+  }
+}
+
+class LogWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new LogDataWriter(path, queryId, partitionId, taskId)
+}
+
+/** TSV row writer for one task attempt. Attempt-unique staged name —
+  * speculative attempts never clobber each other; only the attempt
+  * whose message reaches `commit()` becomes visible. */
+class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val staged = new Path(path, s"_staged-$queryId-$partitionId-$taskId")
+  private val fs = staged.getFileSystem(new Configuration())
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
+
+  override def write(row: InternalRow): Unit = {
+    val msg = if (row.isNullAt(2)) ""
+      else java.util.Base64.getEncoder.encodeToString(row.getBinary(2))
+    out.write(row.getUTF8String(0).toString)
+    out.write('\t'); out.write(row.getLong(1).toString)
+    out.write('\t'); out.write(msg)
+    out.write('\t'); out.write(row.getUTF8String(3).toString)
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    LogCommit(staged.toString, partitionId)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    if (fs.exists(staged)) fs.delete(staged, false)
+  }
+
+  override def close(): Unit = ()
 }
 
 class LimitHashLogScanBuilder(path: String) extends ScanBuilder

@@ -80,4 +80,49 @@ class DsV2SourceSpec extends AnyFunSuite {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  private def readDir(dir: String): DataFrame =
+    spark.read.format(LimitHashLog.FORMAT).load(dir)
+
+  private def writeDir(df: DataFrame, dir: String, mode: String): Unit =
+    df.write.format(LimitHashLog.FORMAT).mode(mode).save(dir)
+
+  private def sampleDf(tag: String, n: Int): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i =>
+        (s"$tag$i", i.toLong,
+          if (i % 3 == 0) null else s"payload-$tag-$i".getBytes(StandardCharsets.UTF_8),
+          s"sha-$tag-$i"))
+      .toDF("user_id", "amount", "msg", "sha256sum")
+  }
+
+  test("write path: append round-trips rows, binary payloads and nulls intact") {
+    val dir = Files.createTempDirectory("graft_lhlog_w").toString
+    writeDir(sampleDf("a", 7), dir, "append")
+    val got = readDir(dir).orderBy("amount").collect()
+    assert(got.length === 7)
+    assert(got.map(_.getString(0)).toSeq === (1 to 7).map(i => s"a$i"))
+    assert(got(2).isNullAt(2)) // i=3 null payload survives
+    assert(new String(got(0).getAs[Array[Byte]]("msg"), StandardCharsets.UTF_8) === "payload-a-1")
+    // append again: both batches visible
+    writeDir(sampleDf("b", 3), dir, "append")
+    assert(readDir(dir).count() === 10)
+  }
+
+  test("write path: overwrite replaces all prior segments") {
+    val dir = Files.createTempDirectory("graft_lhlog_w2").toString
+    writeDir(sampleDf("a", 7), dir, "append")
+    writeDir(sampleDf("c", 4), dir, "overwrite")
+    val got = readDir(dir).collect()
+    assert(got.length === 4)
+    assert(got.map(_.getString(0)).forall(_.startsWith("c")))
+  }
+
+  test("write path: no staged files remain after commit (readers never see them)") {
+    val dir = Files.createTempDirectory("graft_lhlog_w3").toString
+    writeDir(sampleDf("a", 5), dir, "append")
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
 }
