@@ -177,7 +177,24 @@ object Aggregates {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Bitwise aggregates (ClickHouse `groupBitAnd` / `groupBitOr` /
+    * `groupBitXor`): commutative + associative reductions, so partial
+    * aggregation holds and the whole query is one hash-agg shuffle —
+    * the mask-accumulation idiom (permission sets, feature flags,
+    * parity checks) at any scale. bit_count on the OR shows the scalar
+    * side. */
+  def q70_bit_aggs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        bit_and(col("o_orderkey")).as("keys_and"),
+        bit_or(col("o_orderkey")).as("keys_or"),
+        bit_xor(col("o_orderkey")).as("keys_xor"),
+        bit_count(bit_or(col("o_orderkey"))).cast(LongType).as("or_bits"))
+      .orderBy(col("o_orderstatus"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_bit_aggs" -> (q70_bit_aggs _),
     "q63_sum_map" -> (q63_sum_map _),
     "q64_conditional_aggs" -> (q64_conditional_aggs _),
     "q49_argmax" -> (q49_argmax _),
@@ -189,6 +206,13 @@ object Aggregates {
     "q29_agg_approx_distinct" -> (q29_agg_approx_distinct _))
 
   val oracle: Map[String, String] = Map(
+    "q70_bit_aggs" ->
+      """SELECT o_orderstatus,
+        |  BIT_AND(o_orderkey) AS keys_and,
+        |  BIT_OR(o_orderkey) AS keys_or,
+        |  BIT_XOR(o_orderkey) AS keys_xor,
+        |  CAST(BIT_COUNT(BIT_OR(o_orderkey)) AS BIGINT) AS or_bits
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q63_sum_map" ->
       """WITH kv AS (
         |  SELECT user_id, event_type,

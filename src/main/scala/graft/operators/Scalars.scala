@@ -90,6 +90,31 @@ object Scalars {
         (sum(col("k")).cast(DoubleType) / count(col("k"))).as("k_avg"))
       .orderBy(col("event_type"))
 
+  /** VARIANT SHREDDING into parquet — the ingestion-time dual of q54:
+    * hot typed paths are extracted ONCE and persisted as real parquet
+    * columns next to the raw payload, so every later read gets columnar
+    * scans, min/max pruning, and predicate pushdown on the shredded
+    * path with zero JSON parsing (q54 pays the parse per query; this
+    * pays it once at write). The read side proves it: the aggregation
+    * below reads only (event_type, k) — the raw column isn't in
+    * ReadSchema and the k >= 50 predicate reaches PushedFilters
+    * (ScalarsShredSpec asserts both). At 100 TB the shred pass is the
+    * standard "promote hot JSON paths" compaction job, and the raw
+    * column rides along for late re-shredding of new paths. */
+  def q69_variant_shred(spark: SparkSession, dir: String): DataFrame = {
+    val shredDir = java.nio.file.Files.createTempDirectory("graft_shred").toString
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "bigint").as("k"),
+        col("props").as("raw"))
+      .write.mode("overwrite").parquet(shredDir)
+    spark.read.parquet(shredDir)
+      .filter(col("k") >= 50)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .orderBy(col("event_type"))
+  }
+
   /** Event-time tumbling windows (batch form; the streaming form with a
     * watermark lives in graft.streaming). Output timestamps are cast to
     * NTZ so both engines emit naive microsecond timestamps. */
@@ -181,6 +206,7 @@ object Scalars {
     "q23_hash_fns" -> (q23_hash_fns _),
     "q24_json_extract" -> (q24_json_extract _),
     "q54_variant_type" -> (q54_variant_type _),
+    "q69_variant_shred" -> (q69_variant_shred _),
     "q25_event_windows" -> (q25_event_windows _),
     "q26_case_expr" -> (q26_case_expr _),
     "q27_math_fns" -> (q27_math_fns _),
@@ -222,6 +248,13 @@ object Scalars {
     "q23_hash_fns" ->
       """SELECT doc_id, SHA256(text) AS sha256sum, MD5(text) AS md5sum
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q69_variant_shred" ->
+      """SELECT event_type, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum
+        |FROM (SELECT event_type,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |WHERE k >= 50
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q54_variant_type" ->
       """SELECT event_type,
         |  CAST(COUNT(k) AS BIGINT) AS n_k,

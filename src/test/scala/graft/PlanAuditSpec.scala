@@ -41,6 +41,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "small dims must broadcast")
   }
 
+  test("q69: shredded read prunes the raw column and pushes the typed predicate") {
+    val p = plan("q69_variant_shred")
+    // the aggregation's scan (second scan in the plan — the first is the
+    // shred write) must not read `raw` and must push k >= 50
+    assert(!p.contains("raw"), "raw column must be pruned from the shredded read")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(k,50\\)".r.findFirstIn(p).isDefined,
+      "typed predicate must reach the shredded parquet scan:\n" +
+        p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+  }
+
   test("q17: top-k plans as TakeOrdered (per-partition heap), not a global sort") {
     val p = plan("q17_sort_topk")
     assert(p.contains("TakeOrderedAndProject"))
