@@ -193,7 +193,38 @@ object Aggregates {
         bit_count(bit_or(col("o_orderkey"))).cast(LongType).as("or_bits"))
       .orderBy(col("o_orderstatus"))
 
+  /** PERSISTED AGGREGATE STATE — the ClickHouse AggregatingMergeTree /
+    * `AggregateFunction(uniq, ...)` column pattern: partial aggregate
+    * states are materialized to storage at a fine grain (per day) and
+    * later queries MERGE states instead of rescanning raw data. Here
+    * the state is a Datasketches HLL sketch (binary column in
+    * parquet): build once per day (one pass over events), answer any
+    * coarser rollup (weekly distinct users below) from kilobytes of
+    * state — at 100 TB that turns repeated corpus scans into reads of
+    * a few KB per day per key. Sketch union is a register-wise max —
+    * associative, commutative, order-independent — so the merged
+    * estimate is deterministic and AggregatesSketchSpec can assert it
+    * EQUALS the estimate of a direct one-pass sketch over the raw
+    * rows, plus a ±5% accuracy band vs exact distinct. Rows-only
+    * for the driver (DuckDB has no Datasketches runtime). */
+  def q71_sketch_state(spark: SparkSession, dir: String): DataFrame = {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_aggstate").toString
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("users_state"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(stateDir)
+    spark.read.parquet(stateDir)
+      .groupBy(weekofyear(col("day")).as("week"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("users_state"), true))
+          .as("approx_users"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_sketch_state" -> (q71_sketch_state _),
     "q70_bit_aggs" -> (q70_bit_aggs _),
     "q63_sum_map" -> (q63_sum_map _),
     "q64_conditional_aggs" -> (q64_conditional_aggs _),

@@ -356,7 +356,39 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming heavy hitters: the native SpaceSaving topK aggregate
+    * under a streaming aggregation — state per group is the sketch's
+    * bounded buffer (≤ capacity counters), the streaming analogue of
+    * the batch q66 and the shape of a live "top event types right now"
+    * dashboard at any stream rate. Complete output mode: the sketch
+    * re-emits its merged summary every trigger; delivery in two
+    * id-parity batches proves merge-order independence. Oracle: the
+    * exact global top-3 (5 event types < 16 counters ⇒ exact regime). */
+  def s13_stream_topk(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val ingest = new AsyncIngest[Event](spark.sqlContext)
+    val qname = s"graft_stream_topk_${System.nanoTime()}"
+    val q = ingest.toDS()
+      .groupBy()
+      .agg(graft.functions.FreqAggs.approxTopK(col("event_type"), 3, 16).as("tk"))
+      .writeStream.outputMode("complete").format("memory").queryName(qname).start()
+    val rows = Tables.events(spark, dir).as[Event].collect()
+    val (half1, half2) = rows.partition(_.event_id % 2 == 0)
+    ingest.saveAllAsync(half1.toSeq)
+    q.processAllAvailable()
+    ingest.saveAllAsync(half2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(qname)
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).cast(org.apache.spark.sql.types.LongType).as("rank"),
+        col("e.v").as("event_type"),
+        col("e.cnt").as("n"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_stream_topk" -> (s13_stream_topk _),
     "s12_stream_funnel" -> (s12_stream_funnel _),
     "s08_stream_stream_join" -> (s08_stream_stream_join _),
     "s09_stream_decontaminate" -> (s09_stream_decontaminate _),
@@ -399,6 +431,12 @@ object StreamingQueries {
     "s09_stream_decontaminate" -> graft.operators.Dedup.oracle("d07_decontaminate"),
     // stream ≡ batch: the incremental funnel must reproduce q56 exactly
     "s12_stream_funnel" -> graft.operators.Behavioral.oracle("q56_funnel"),
+    "s13_stream_topk" ->
+      """SELECT rank, event_type, n FROM (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type) AS rank
+        |  FROM events GROUP BY event_type)
+        |WHERE rank <= 3 ORDER BY rank""".stripMargin,
     "s11_stream_outer_join" ->
       """WITH c AS (SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
         |           FROM events WHERE event_type = 'click'),

@@ -123,6 +123,40 @@ class FrequencySpec extends AnyFunSuite {
     assert(perLang.values.forall(_ <= 3))
   }
 
+  test("s13: streaming topK agrees with the exact batch top-3") {
+    val got = graft.operators.StreamingQueries.queries("s13_stream_topk")(spark, SF)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("event_type"))
+    val want = spark.read.parquet(s"$SF/events.parquet")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("rank"), col("event_type"), col("n"))
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("q71: merged daily sketch states equal the direct one-pass estimate, within 5% of exact") {
+    val got = graft.operators.Aggregates.queries("q71_sketch_state")(spark, SF)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, SF)
+      .select(weekofyear(to_date(col("ts"))).as("week"), col("user_id"))
+    // direct one-pass sketch per week (no daily staging) — register-max
+    // merge must make both routes identical
+    val direct = ev.groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = ev.distinct().groupBy(col("week")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    got.foreach { case (week, est, _) =>
+      assert(est === direct(week), s"merged-state route diverges for week $week")
+      assert(math.abs(est - exact(week)).toDouble / exact(week) <= 0.05)
+    }
+  }
+
   test("q67 runs and averages are consistent with min/max bounds") {
     val rows = run("q67_min_max_map").collect()
     assert(rows.nonEmpty)

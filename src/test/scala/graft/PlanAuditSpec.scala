@@ -51,6 +51,22 @@ class PlanAuditSpec extends AnyFunSuite {
         p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
   }
 
+  test("q65/q66: bounded-cardinality aggregates keep partial aggregation (one data shuffle)") {
+    // ObjectHashAggregate partial → exchange → final: the capped buffers
+    // must not force a sort-based or single-stage plan
+    val p65 = plan("q65_uniq_upto")
+    assert(p65.contains("ObjectHashAggregate"), p65.linesIterator.take(12).mkString("\n"))
+    assert(shuffles(p65) <= 2) // agg shuffle + result range-sort
+    val p66 = plan("q66_topk_freq")
+    assert(p66.contains("ObjectHashAggregate"))
+    assert(shuffles(p66) <= 2)
+  }
+
+  test("v07: centroid set broadcasts; assignment needs no corpus shuffle before the heap") {
+    val p = plan("v07_cluster_assign")
+    assert(p.contains("BroadcastExchange"), "centroids must broadcast")
+  }
+
   test("q17: top-k plans as TakeOrdered (per-partition heap), not a global sort") {
     val p = plan("q17_sort_topk")
     assert(p.contains("TakeOrderedAndProject"))
