@@ -99,6 +99,36 @@ object Aggregates {
         max(col("l_quantity")).as("qmax"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact WEIGHTED quantiles (ClickHouse `quantileExactWeighted`):
+    * the smallest value whose cumulative weight reaches p·W — here
+    * revenue-weighted p50/p90 of quantity ("the quantity below which
+    * half the money moves"). Everything stays INTEGER/decimal
+    * arithmetic: weights are exact cents, the threshold test is
+    * 2·cum ≥ W (resp. 10·cum ≥ 9·W) — no floating-point boundary for
+    * engines to disagree on. Shape: pre-aggregate weight per distinct
+    * value (one hash agg — the shuffle carries |distinct values| rows,
+    * not the corpus), one bounded cumulative window per group, then a
+    * plain min-if. l_quantity has ~50 distinct values, so the window
+    * input is tiny however big the fact table — the 100 TB form of
+    * exact weighted quantiles over low-cardinality measures. */
+  def q72_weighted_quantile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perValue = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg((sum(m(col("l_extendedprice"))) * 100).cast(LongType).as("w"))
+    val byVal = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val whole = Window.partitionBy(col("l_returnflag"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perValue
+      .withColumn("cw", sum(col("w")).over(byVal))
+      .withColumn("tw", sum(col("w")).over(whole))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(col("cw") * 2 >= col("tw"), col("l_quantity"))).as("w_p50"),
+        min(when(col("cw") * 10 >= col("tw") * 9, col("l_quantity"))).as("w_p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** argMax / argMin aggregates (ClickHouse argMax(a, b)): the value of
     * one column at another column's extreme, per group — here each
     * customer's most recent order and its price. Implemented as
@@ -225,6 +255,7 @@ object Aggregates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_sketch_state" -> (q71_sketch_state _),
+    "q72_weighted_quantile" -> (q72_weighted_quantile _),
     "q70_bit_aggs" -> (q70_bit_aggs _),
     "q63_sum_map" -> (q63_sum_map _),
     "q64_conditional_aggs" -> (q64_conditional_aggs _),
@@ -237,6 +268,20 @@ object Aggregates {
     "q29_agg_approx_distinct" -> (q29_agg_approx_distinct _))
 
   val oracle: Map[String, String] = Map(
+    "q72_weighted_quantile" ->
+      """WITH pv AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) * 100 AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM pv)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cw * 2 >= tw THEN l_quantity END) AS w_p50,
+        |  MIN(CASE WHEN cw * 10 >= tw * 9 THEN l_quantity END) AS w_p90
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q70_bit_aggs" ->
       """SELECT o_orderstatus,
         |  BIT_AND(o_orderkey) AS keys_and,

@@ -108,6 +108,20 @@ object Behavioral {
         regexp_count(col("seq"), lit(CHAIN_123)).as("c_view_click_purchase"))
       .orderBy(col("user_id"))
 
+  /** STRICT-ORDER sequence match (ClickHouse `sequenceMatch` with the
+    * `(?1)(?2)` adjacent form / `windowFunnel('strict_order')`): the
+    * chain must be CONSECUTIVE among the user's tracked events — any
+    * other tracked event between the steps breaks it. On the step
+    * string this is plain substring containment / literal
+    * occurrence counting, the cheapest possible per-row check. */
+  def q73_sequence_strict(spark: SparkSession, dir: String): DataFrame =
+    stepSequences(spark, dir)
+      .select(col("user_id"),
+        col("seq").contains("12").as("m_adjacent_vc"),
+        col("seq").contains("123").as("m_adjacent_vcp"),
+        (size(split(col("seq"), "12", -1)) - 1).as("c_adjacent_vc"))
+      .orderBy(col("user_id"))
+
   /** Cohort retention (ClickHouse `retention`): cohort = a user's first
     * active day; the per-user condition array [active d0, active d0+1,
     * active d0+7, active d0+14] is evaluated against the user's OWN
@@ -199,6 +213,7 @@ object Behavioral {
     "q56_funnel" -> (q56_funnel _),
     "q61_sequence_match" -> (q61_sequence_match _),
     "q62_sequence_count" -> (q62_sequence_count _),
+    "q73_sequence_strict" -> (q73_sequence_strict _),
     "q57_retention" -> (q57_retention _),
     "q58_stats_agg" -> (q58_stats_agg _),
     "q59_group_array" -> (q59_group_array _),
@@ -291,6 +306,15 @@ object Behavioral {
         |  REGEXP_MATCHES(COALESCE(s.seq, ''), '1[^2]*2') AS m_view_click,
         |  REGEXP_MATCHES(COALESCE(s.seq, ''), '1[^2]*2[^3]*3') AS m_view_click_purchase,
         |  REGEXP_MATCHES(COALESCE(s.seq, ''), '3[^1]*1') AS m_purchase_then_view
+        |FROM u LEFT JOIN s ON u.user_id = s.user_id
+        |ORDER BY u.user_id""".stripMargin),
+    // split-count mirrors Spark's size(split(seq, '12')) - 1: both count
+    // non-overlapping literal occurrences
+    "q73_sequence_strict" -> (seqCte +
+      """SELECT u.user_id,
+        |  CONTAINS(COALESCE(s.seq, ''), '12') AS m_adjacent_vc,
+        |  CONTAINS(COALESCE(s.seq, ''), '123') AS m_adjacent_vcp,
+        |  CAST(LEN(STRING_SPLIT(COALESCE(s.seq, ''), '12')) - 1 AS INT) AS c_adjacent_vc
         |FROM u LEFT JOIN s ON u.user_id = s.user_id
         |ORDER BY u.user_id""".stripMargin),
     "q62_sequence_count" -> (seqCte +
