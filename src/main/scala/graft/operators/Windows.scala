@@ -172,7 +172,26 @@ object Windows {
       .orderBy(col("user_id"), col("hour"))
   }
 
+  /** rank() <= k WITH TIES through the native heap — the user writes
+    * the standard window pattern; `NativeWindowGroupLimitRule` plans it
+    * on the ties-aware TopKRankPerGroup operator (PlansSpec asserts the
+    * swap), so the shuffle carries ≤ (k + boundary ties) rows per group
+    * per partition instead of every row. Latest order dates share days
+    * across orders — real ties the output must keep beyond k. */
+  def q74_rank_topk(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_orderdate").desc)
+    Tables.orders(spark, dir)
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("o_orderstatus"), col("rk").cast(LongType).as("rk"),
+        col("o_orderdate").cast(TimestampNTZType).as("o_orderdate"),
+        col("o_orderkey"))
+      .orderBy(col("o_orderstatus"), col("rk"), col("o_orderkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_rank_topk" -> (q74_rank_topk _),
     "q14_window_rank" -> (q14_window_rank _),
     "q52_resample_fill" -> (q52_resample_fill _),
     "q50_window_distribution" -> (q50_window_distribution _),
@@ -184,6 +203,14 @@ object Windows {
     "q46_window_range" -> (q46_window_range _))
 
   val oracle: Map[String, String] = Map(
+    "q74_rank_topk" ->
+      """SELECT o_orderstatus, rk, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  o_orderkey FROM (
+        |  SELECT o_orderstatus, o_orderdate, o_orderkey,
+        |    RANK() OVER (PARTITION BY o_orderstatus
+        |                 ORDER BY o_orderdate DESC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2 ORDER BY o_orderstatus, rk, o_orderkey""".stripMargin,
     "q52_resample_fill" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,

@@ -48,12 +48,16 @@ import org.apache.spark.sql.GraftShims
 object TopKPerGroup {
 
   /** Logical node: declares the semantics, carries no execution detail.
-    * `output = child.output` — the operator only filters rows. */
+    * `output = child.output` — the operator only filters rows.
+    * `withTies = false` → ROW_NUMBER semantics (exactly k rows/group);
+    * `withTies = true`  → RANK semantics (all rows tied with the k-th
+    * row are kept — SQL's `FETCH FIRST k ROWS WITH TIES` per group). */
   case class TopKPerGroupPlan(
       groupExprs: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
-      child: LogicalPlan) extends UnaryNode {
+      child: LogicalPlan,
+      withTies: Boolean = false) extends UnaryNode {
     require(k > 0, "topKPerGroup: k must be positive")
     require(groupExprs.nonEmpty, "topKPerGroup: need at least one group expression")
     override def output: Seq[Attribute] = child.output
@@ -67,45 +71,86 @@ object TopKPerGroup {
     * if the child is already hash-partitioned on the group keys —
     * e.g. downstream of a groupBy on the same keys) the shuffle. */
   object Strategy extends SparkStrategy {
-    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    import org.apache.spark.sql.catalyst.expressions.{Rank, RowNumber}
     import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case TopKPerGroupPlan(group, order, k, child) =>
-        TopKPerGroupExec(group, order, k, partial = false,
-          TopKPerGroupExec(group, order, k, partial = true, planLater(child))) :: Nil
-      // Also claim Spark's own WindowGroupLimit (row_number form) at
-      // PLANNING time: [[NativeWindowGroupLimitRule]] swaps it in the
+      case TopKPerGroupPlan(group, order, k, child, ties) =>
+        TopKPerGroupExec(group, order, k, ties, partial = false,
+          TopKPerGroupExec(group, order, k, ties, partial = true, planLater(child))) :: Nil
+      // Also claim Spark's own WindowGroupLimit (row_number/rank forms)
+      // at PLANNING time: [[NativeWindowGroupLimitRule]] swaps it in the
       // logical plan when registered via extraOptimizations (which run
       // after InferWindowGroupLimit), but extension-INJECTED optimizer
       // rules run in the operator-optimization batch — before the node
       // exists — so the `--conf spark.sql.extensions` path intercepts
       // here instead. Injected strategies precede the built-ins, so
       // this wins over the sort-based WindowGroupLimitExec.
-      case WindowGroupLimit(part, order, _: RowNumber, limit, child)
-          if part.nonEmpty && limit > 0 =>
-        TopKPerGroupExec(part, order, limit, partial = false,
-          TopKPerGroupExec(part, order, limit, partial = true, planLater(child))) :: Nil
+      case WindowGroupLimit(part, order, rankFn, limit, child)
+          if part.nonEmpty && limit > 0 && claimable(rankFn) =>
+        val ties = rankFn.isInstanceOf[Rank]
+        TopKPerGroupExec(part, order, limit, ties, partial = false,
+          TopKPerGroupExec(part, order, limit, ties, partial = true, planLater(child))) :: Nil
       case _ => Nil
     }
+    private def claimable(fn: Expression): Boolean =
+      fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]
   }
 
-  /** Physical operator: one bounded max-heap per group key; a row is
-    * admitted if the heap is under k or the row precedes the heap's
-    * worst element under `order` (then the worst is evicted). Used for
-    * both phases — "partial" differs only in not requiring a
-    * distribution (it runs on raw scan partitions).
+  /** Per-group bounded retainer. row_number mode: one k-element
+    * max-heap — a row is admitted if the heap is under k or it precedes
+    * the heap's worst element (which is then evicted). rank mode
+    * (withTies): the retained set is "every row whose sort key ≤ the
+    * k-th row's key", so rows TYING the boundary go to a side buffer:
+    *
+    *   - row strictly precedes heap.head → evict/insert as usual; if
+    *     the boundary VALUE changed (old head was the last row at that
+    *     value), the former ties now rank > k — drop the buffer.
+    *   - row ties heap.head → buffer it.
+    *
+    * Heap stays ≤ k; the tie buffer is bounded by the multiplicity of
+    * the boundary value (exactly the rows rank-k semantics obliges the
+    * operator to emit — SQL WITH TIES has the same worst case). */
+  private final class GroupTopK(k: Int, withTies: Boolean, cmp: Ordering[InternalRow]) {
+    private val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](cmp)
+    private var ties = List.empty[InternalRow]
+
+    def add(row: InternalRow): Unit = {
+      if (heap.size < k) { heap.enqueue(row.copy()); return }
+      val c = cmp.compare(row, heap.head)
+      if (c < 0) {
+        val evicted = heap.dequeue()
+        heap.enqueue(row.copy())
+        // boundary value changed → old boundary's ties fell past rank k
+        if (withTies && ties.nonEmpty && cmp.compare(evicted, heap.head) != 0) ties = Nil
+      } else if (withTies && c == 0) {
+        ties ::= row.copy()
+      }
+    }
+
+    def result: Iterator[InternalRow] = heap.iterator ++ ties.iterator
+  }
+
+  /** Physical operator: one [[GroupTopK]] per group key. Used for both
+    * phases — "partial" differs only in not requiring a distribution
+    * (it runs on raw scan partitions); a row that survives globally
+    * has at most as many partition-local predecessors as global ones,
+    * so the partial retained set is always a superset of the final
+    * answer and the final phase computes it exactly.
     */
   case class TopKPerGroupExec(
       groupExprs: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
+      withTies: Boolean,
       partial: Boolean,
       child: SparkPlan) extends UnaryExecNode {
 
     override def output: Seq[Attribute] = child.output
     override def outputPartitioning = child.outputPartitioning
-    override def nodeName: String =
-      if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+    override def nodeName: String = {
+      val mode = if (withTies) "Rank" else ""
+      if (partial) s"TopK${mode}PerGroupPartial" else s"TopK${mode}PerGroupFinal"
+    }
 
     override def requiredChildDistribution: Seq[Distribution] =
       if (partial) UnspecifiedDistribution :: Nil
@@ -116,26 +161,24 @@ object TopKPerGroup {
       val orderLocal = order
       val childOutput = child.output
       val kLocal = k
+      val tiesLocal = withTies
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
         // BaseOrdering compares "row a sorts before row b" — the heap
         // is a max-heap under it, so `head` is the worst retained row.
         val cmp: Ordering[InternalRow] = RowOrdering.create(orderLocal, childOutput)
-        val heaps = scala.collection.mutable.HashMap
-          .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+        val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, GroupTopK]
         iter.foreach { row =>
           val key = keyProj(row)
           heaps.get(key) match {
             case None =>
-              val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](cmp)
-              h.enqueue(row.copy())
+              val h = new GroupTopK(kLocal, tiesLocal, cmp)
+              h.add(row)
               heaps.put(key.copy(), h)
-            case Some(h) =>
-              if (h.size < kLocal) h.enqueue(row.copy())
-              else if (cmp.compare(row, h.head) < 0) { h.dequeue(); h.enqueue(row.copy()) }
+            case Some(h) => h.add(row)
           }
         }
-        heaps.valuesIterator.flatMap(_.iterator)
+        heaps.valuesIterator.flatMap(_.result)
       }, preservesPartitioning = true)
     }
 
@@ -158,17 +201,21 @@ object TopKPerGroup {
     * standard `row_number().over(w) <= k` pattern; the engine swaps the
     * execution underneath.
     *
-    * Restricted to RowNumber: rank()/dense_rank() must retain boundary
-    * TIES beyond k, which a fixed-size heap does not hold; Spark's
-    * sort-based node keeps those paths. */
+    * RowNumber plans in row_number mode (exactly k); Rank plans in
+    * withTies mode ([[GroupTopK]] keeps boundary ties in a side
+    * buffer). dense_rank() stays exempt: its boundary is the k-th
+    * DISTINCT order value — a different retention structure (all rows
+    * of k distinct values, unbounded per value) that the sort-based
+    * node handles. */
   object NativeWindowGroupLimitRule
       extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-    import org.apache.spark.sql.catalyst.expressions.RowNumber
+    import org.apache.spark.sql.catalyst.expressions.{Rank, RowNumber}
     import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-      case WindowGroupLimit(part, order, _: RowNumber, limit, child)
-          if part.nonEmpty && limit > 0 =>
-        TopKPerGroupPlan(part, order, limit, child)
+      case WindowGroupLimit(part, order, fn, limit, child)
+          if part.nonEmpty && limit > 0 &&
+            (fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]) =>
+        TopKPerGroupPlan(part, order, limit, child, withTies = fn.isInstanceOf[Rank])
     }
   }
 
@@ -183,7 +230,7 @@ object TopKPerGroup {
       extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.plans.logical.Project
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-      case p @ Project(_, topk @ TopKPerGroupPlan(group, order, k, child))
+      case p @ Project(_, topk @ TopKPerGroupPlan(group, order, k, child, ties))
           if (child.outputSet -- p.references --
             org.apache.spark.sql.catalyst.expressions.AttributeSet(
               group.flatMap(_.references) ++ order.flatMap(_.references))).nonEmpty =>
@@ -191,7 +238,7 @@ object TopKPerGroup {
           p.references.contains(a) ||
             group.exists(_.references.contains(a)) ||
             order.exists(_.references.contains(a)))
-        p.copy(child = TopKPerGroupPlan(group, order, k, Project(needed, child)))
+        p.copy(child = TopKPerGroupPlan(group, order, k, Project(needed, child), ties))
     }
   }
 

@@ -84,13 +84,44 @@ class PlansSpec extends AnyFunSuite {
     assert(viaRule === viaApi)
   }
 
-  test("rank/dense_rank filters keep Spark's sort-based limiter (ties beyond k)") {
+  test("rank() <= k plans on the ties-aware heap and agrees with the window form") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
     val df = Tables.customer(spark, sfDir)
       .withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
     val s = df.queryExecution.executedPlan.toString
-    assert(!s.contains("TopKPerGroup"), "heap operator must not claim rank() semantics")
+    assert(s.contains("TopKRankPerGroupPartial") && s.contains("TopKRankPerGroupFinal"),
+      s"rank rule did not fire:\n$s")
+    assert(!s.contains("WindowGroupLimit"), "sort-based limiter should be replaced")
+    // correctness incl. boundary ties: compare against a plan with the
+    // native rule disabled (plain window over the full input)
+    val want = Tables.customer(spark, sfDir)
+      .groupBy(col("c_nationkey"), col("c_acctbal")).count() // pre-agg breaks the limiter pattern
+      .withColumn("rk", rank().over(
+        Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)))
+      .filter(col("rk") <= 3)
+    // counts per nation must match exactly (ties expand both the same way)
+    val gotN = df.groupBy("c_nationkey").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wantRows = Tables.customer(spark, sfDir).collect()
+      .map(r => (r.getInt(r.fieldIndex("c_nationkey")), r.getDouble(r.fieldIndex("c_acctbal"))))
+    val wantN = wantRows.groupBy(_._1).map { case (nk, rows) =>
+      val sorted = rows.map(_._2).sorted(Ordering[Double].reverse)
+      val boundary = sorted(math.min(2, sorted.length - 1))
+      nk -> sorted.count(_ >= boundary).toLong
+    }
+    assert(gotN === wantN)
+    assert(want.count() > 0) // sanity: the comparison plan runs
+  }
+
+  test("dense_rank filters keep Spark's sort-based limiter (k distinct values)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    val df = Tables.customer(spark, sfDir)
+      .withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 3)
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("TopKPerGroup") && !s.contains("TopKRankPerGroup"),
+      "heap operator must not claim dense_rank() semantics")
   }
 
   test("column pruning pushes below the custom node: unused columns never leave the scan") {
