@@ -45,6 +45,15 @@ object FreqAggs {
     * (cnt desc, v asc). */
   def approxTopK(e: Column, k: Int, capacity: Int): Column =
     column(SpaceSavingTopK(expression(e), k, capacity).toAggregateExpression())
+
+  /** Weighted SpaceSaving (ClickHouse `topKWeighted`): top `k` values
+    * by SUM OF WEIGHT (revenue by key, bytes by host, …) instead of
+    * row count — each arrival contributes `w`, eviction inherits the
+    * minimum accumulated weight. Same exactness contract: while true
+    * cardinality ≤ capacity the sums are exact. */
+  def approxTopKWeighted(e: Column, w: Column, k: Int, capacity: Int): Column =
+    column(SpaceSavingTopK(expression(e), k, capacity,
+      weight = Some(expression(w))).toAggregateExpression())
 }
 
 /** ClickHouse `uniqUpTo(N)`: exact COUNT(DISTINCT child) while ≤ n,
@@ -126,11 +135,16 @@ case class SpaceSavingTopK(
     k: Int,
     capacity: Int,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[Any, (Long, Long)]]
-  with UnaryLike[Expression] {
+    inputAggBufferOffset: Int = 0,
+    weight: Option[Expression] = None)
+  extends TypedImperativeAggregate[mutable.HashMap[Any, (Long, Long)]] {
 
   require(k >= 1 && capacity >= k, "need 1 <= k <= capacity")
+
+  override def children: Seq[Expression] = child +: weight.toSeq
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SpaceSavingTopK =
+    copy(child = newChildren.head, weight = newChildren.drop(1).headOption)
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -149,16 +163,22 @@ case class SpaceSavingTopK(
   override def update(buf: mutable.HashMap[Any, (Long, Long)], input: InternalRow): mutable.HashMap[Any, (Long, Long)] = {
     val v = child.eval(input)
     if (v != null) {
-      buf.get(v) match {
-        case Some((c, e)) => buf.update(v, (c + 1, e))
+      // unweighted arrivals contribute 1; weighted ones their weight
+      // (null/zero weight = no-op, mirroring SUM's null skipping)
+      val inc = weight.fold(1L) { w =>
+        val wv = w.eval(input)
+        if (wv == null) 0L else wv.asInstanceOf[Long]
+      }
+      if (inc > 0) buf.get(v) match {
+        case Some((c, e)) => buf.update(v, (c + inc, e))
         case None if buf.size < capacity =>
-          buf.update(InternalRow.copyValue(v), (1L, 0L))
+          buf.update(InternalRow.copyValue(v), (inc, 0L))
         case None =>
           // evict the minimum counter; the newcomer inherits its count
           // (the SpaceSaving over-estimate; err records the inheritance)
           val (mk, (mc, _)) = buf.minBy(_._2._1)
           buf.remove(mk)
-          buf.update(InternalRow.copyValue(v), (mc + 1, mc))
+          buf.update(InternalRow.copyValue(v), (mc + inc, mc))
       }
     }
     buf
@@ -233,6 +253,4 @@ case class SpaceSavingTopK(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): SpaceSavingTopK =
-    copy(child = newChild)
 }

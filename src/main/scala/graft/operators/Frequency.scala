@@ -108,13 +108,43 @@ object Frequency {
       .orderBy(col("lang"), col("prio"), col("doc_id"))
   }
 
+  /** ClickHouse `topKWeighted`: top-3 order priorities by REVENUE (sum
+    * of total price, exact cents) per order status — the
+    * "which keys carry the money/bytes/traffic" form of heavy hitters.
+    * Same exact-regime argument as q66 (5 priorities < 16 counters);
+    * weights ride the proven decimal-cents path so the sums hash-match
+    * the oracle. */
+  def q75_topk_weighted(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("cents", (m(col("o_totalprice")) * 100).cast(LongType))
+      .groupBy(col("o_orderstatus"))
+      .agg(FreqAggs.approxTopKWeighted(col("o_orderpriority"), col("cents"), 3, 16).as("tk"))
+      .select(col("o_orderstatus"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("o_orderstatus"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.v").as("priority"),
+        col("e.cnt").as("cents"))
+      .orderBy(col("o_orderstatus"), col("rank"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_topk_weighted" -> (q75_topk_weighted _),
     "q65_uniq_upto" -> (q65_uniq_upto _),
     "q66_topk_freq" -> (q66_topk_freq _),
     "q67_min_max_map" -> (q67_min_max_map _),
     "q68_group_sample" -> (q68_group_sample _))
 
   val oracle: Map[String, String] = Map(
+    "q75_topk_weighted" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(9,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, rank, o_orderpriority AS priority, cents FROM (
+        |  SELECT o_orderstatus, o_orderpriority, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |                       ORDER BY cents DESC, o_orderpriority) AS rank
+        |  FROM c)
+        |WHERE rank <= 3 ORDER BY o_orderstatus, rank""".stripMargin,
     // uniqUpTo(N) ≡ LEAST(COUNT(DISTINCT x), N + 1) — the saturation
     // sentinel is exactly representable in plain SQL.
     "q65_uniq_upto" ->

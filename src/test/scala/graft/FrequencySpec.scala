@@ -90,6 +90,19 @@ class FrequencySpec extends AnyFunSuite {
   private def run(name: String): DataFrame =
     Frequency.queries(name)(spark, SF)
 
+  test("topKWeighted: exact weighted sums and order in the under-capacity regime") {
+    import spark.implicits._
+    val data = Seq(("a", 10L), ("b", 100L), ("a", 5L), ("c", 1L), ("b", 2L))
+    for (parts <- Seq(1, 3)) {
+      val got = data.toDF("v", "w").repartition(parts)
+        .agg(FreqAggs.approxTopKWeighted(col("v"), col("w"), 2, 8).as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.v"), col("e.cnt"))
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+      assert(got === Seq(("b", 102L), ("a", 15L)))
+    }
+  }
+
   test("q65: agrees with exact distinct counts, saturated to the cap") {
     val got = run("q65_uniq_upto").collect()
     val want = spark.read.parquet(s"$SF/lineitem.parquet")
