@@ -120,8 +120,17 @@ object TopKPerGroup {
       if (c < 0) {
         val evicted = heap.dequeue()
         heap.enqueue(row.copy())
-        // boundary value changed → old boundary's ties fell past rank k
-        if (withTies && ties.nonEmpty && cmp.compare(evicted, heap.head) != 0) ties = Nil
+        if (withTies) {
+          if (cmp.compare(evicted, heap.head) == 0) {
+            // boundary value unchanged: the evicted row still ties the
+            // k-th row — it stays retained, just outside the heap
+            ties ::= evicted
+          } else {
+            // boundary value improved: the evicted row and every
+            // buffered tie (all at the old boundary value) now rank > k
+            ties = Nil
+          }
+        }
       } else if (withTies && c == 0) {
         ties ::= row.copy()
       }

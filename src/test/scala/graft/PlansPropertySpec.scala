@@ -40,6 +40,39 @@ class PlansPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rank-mode TopKPerGroup equals the rank() window form on 20 random datasets") {
+    import spark.implicits._
+    val rnd = new Random(2468)
+    for (trial <- 1 to 20) {
+      val nGroups = 1 + rnd.nextInt(8)
+      val nRows = 1 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(6)
+      // 3-value order column ⇒ heavy boundary ties — the case rank mode
+      // exists for (row_number mode would drop tied rows past k)
+      val rows = (0 until nRows).map { i =>
+        (rnd.nextInt(nGroups), i.toLong, rnd.nextInt(3).toDouble)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(1 + rnd.nextInt(5))
+      // expected = driver-side rank evaluation (ties share rank)
+      val expected = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        grp.filter { r => grp.count(o => o._3 > r._3) < k }
+      }.map(r => Seq(r._1, r._2, r._3)).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      val q = df.withColumn("rk", rank().over(w)).filter(col("rk") <= k).drop("rk")
+      val got = q.collect().map(_.toSeq).toSet
+      // the point is the NATIVE path — fail loudly if the rule didn't
+      // claim it (plan read AFTER collect: AQE finalizes on execution).
+      // Spark skips WindowGroupLimit inference entirely when the child's
+      // maxRows <= limit (the filter can't drop anything) — only assert
+      // when the rewrite is applicable.
+      if (nRows > k) {
+        assert(q.queryExecution.executedPlan.toString.contains("TopKRankPerGroup"),
+          s"rank rule must fire: trial=$trial groups=$nGroups rows=$nRows k=$k")
+      }
+      assert(got === expected, s"trial=$trial groups=$nGroups rows=$nRows k=$k")
+    }
+  }
+
   test("native as-of join equals a per-row subquery evaluation on 20 random datasets") {
     import spark.implicits._
     val rnd = new Random(777)
