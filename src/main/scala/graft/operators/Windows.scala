@@ -190,7 +190,30 @@ object Windows {
       .orderBy(col("o_orderstatus"), col("rk"), col("o_orderkey"))
   }
 
+  /** Sliding ROWS frame (ClickHouse `groupArrayMovingSum`/`MovingAvg`):
+    * 3-row moving sum/average per supplier in ship order — the frame
+    * type q15 (unbounded running) and q46 (RANGE) don't cover. The
+    * ORDER BY is a total order (shipdate, orderkey, linenumber), so
+    * frame contents are engine-deterministic; sums ride exact decimal
+    * cents and the average divides them by the frame count in DOUBLE. */
+  def q76_moving_frame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(-2, 0)
+    Tables.lineitem(spark, dir)
+      .withColumn("mov_sum", sum(m(col("l_extendedprice"))).over(w).cast(DoubleType))
+      .withColumn("mov_n", count(lit(1)).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate").cast(TimestampNTZType).as("l_shipdate"), col("mov_sum"),
+        (col("mov_sum") / col("mov_n")).as("mov_avg"))
+      // (orderkey, linenumber) is NOT unique in this corpus — shipdate
+      // completes the total order (the unique 4-tuple, FIXTURES note)
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_shipdate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_moving_frame" -> (q76_moving_frame _),
     "q74_rank_topk" -> (q74_rank_topk _),
     "q14_window_rank" -> (q14_window_rank _),
     "q52_resample_fill" -> (q52_resample_fill _),
@@ -203,6 +226,17 @@ object Windows {
     "q46_window_range" -> (q46_window_range _))
 
   val oracle: Map[String, String] = Map(
+    "q76_moving_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, mov_sum,
+        |  mov_sum / mov_n AS mov_avg FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) OVER w AS DOUBLE) AS mov_sum,
+        |    COUNT(*) OVER w AS mov_n
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |               ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_shipdate""".stripMargin,
     "q74_rank_topk" ->
       """SELECT o_orderstatus, rk, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
         |  o_orderkey FROM (
