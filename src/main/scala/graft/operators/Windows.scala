@@ -212,7 +212,29 @@ object Windows {
         col("l_shipdate"))
   }
 
+  /** dense_rank() <= k through the native rule — all lineitems at the
+    * top-2 distinct quantity values per return flag (ClickHouse
+    * `LIMIT k BY` on a value level). Plans on TopKDenseRankPerGroup:
+    * k value-buckets per group on both sides of the exchange, so the
+    * shuffle carries only rows at ≤ k distinct values per group per
+    * partition. ORDER BY is the unique 4-tuple (FIXTURES: (orderkey,
+    * linenumber) alone is NOT unique in this corpus). */
+  def q77_dense_rank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity").desc)
+    Tables.lineitem(spark, dir)
+      .withColumn("rk", dense_rank().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("l_returnflag"), col("rk").cast(LongType).as("rk"),
+        col("l_quantity"), col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_shipdate").cast(TimestampNTZType).as("l_shipdate"))
+      .orderBy(col("l_returnflag"), col("rk"), col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_dense_rank" -> (q77_dense_rank _),
     "q76_moving_frame" -> (q76_moving_frame _),
     "q74_rank_topk" -> (q74_rank_topk _),
     "q14_window_rank" -> (q14_window_rank _),
@@ -226,6 +248,17 @@ object Windows {
     "q46_window_range" -> (q46_window_range _))
 
   val oracle: Map[String, String] = Map(
+    "q77_dense_rank" ->
+      """SELECT l_returnflag, rk, l_quantity, l_suppkey, l_orderkey,
+        |  l_linenumber, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate FROM (
+        |  SELECT l_returnflag, l_quantity, l_suppkey, l_orderkey,
+        |    l_linenumber, l_shipdate,
+        |    DENSE_RANK() OVER (PARTITION BY l_returnflag
+        |                       ORDER BY l_quantity DESC) AS rk
+        |  FROM lineitem)
+        |WHERE rk <= 2
+        |ORDER BY l_returnflag, rk, l_suppkey, l_orderkey, l_linenumber,
+        |  l_shipdate""".stripMargin,
     "q76_moving_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, mov_sum,
         |  mov_sum / mov_n AS mov_avg FROM (

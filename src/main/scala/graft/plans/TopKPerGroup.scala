@@ -48,16 +48,15 @@ import org.apache.spark.sql.GraftShims
 object TopKPerGroup {
 
   /** Logical node: declares the semantics, carries no execution detail.
-    * `output = child.output` — the operator only filters rows.
-    * `withTies = false` → ROW_NUMBER semantics (exactly k rows/group);
-    * `withTies = true`  → RANK semantics (all rows tied with the k-th
-    * row are kept — SQL's `FETCH FIRST k ROWS WITH TIES` per group). */
+    * `output = child.output` — the operator only filters rows. `mode`
+    * picks the retention rule (row_number / rank-with-ties /
+    * dense_rank — see [[RankMode]]). */
   case class TopKPerGroupPlan(
       groupExprs: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
       child: LogicalPlan,
-      withTies: Boolean = false) extends UnaryNode {
+      mode: RankMode = RankMode.RowNumber) extends UnaryNode {
     require(k > 0, "topKPerGroup: k must be positive")
     require(groupExprs.nonEmpty, "topKPerGroup: need at least one group expression")
     override def output: Seq[Attribute] = child.output
@@ -70,30 +69,52 @@ object TopKPerGroup {
     * required distribution lets EnsureRequirements insert (or elide,
     * if the child is already hash-partitioned on the group keys —
     * e.g. downstream of a groupBy on the same keys) the shuffle. */
+  private def modeOf(fn: Expression): Option[RankMode] = {
+    import org.apache.spark.sql.catalyst.expressions.{DenseRank, Rank, RowNumber}
+    fn match {
+      case _: RowNumber => Some(RankMode.RowNumber)
+      case _: Rank => Some(RankMode.WithTies)
+      case _: DenseRank => Some(RankMode.Dense)
+      case _ => None
+    }
+  }
+
   object Strategy extends SparkStrategy {
-    import org.apache.spark.sql.catalyst.expressions.{Rank, RowNumber}
     import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-      case TopKPerGroupPlan(group, order, k, child, ties) =>
-        TopKPerGroupExec(group, order, k, ties, partial = false,
-          TopKPerGroupExec(group, order, k, ties, partial = true, planLater(child))) :: Nil
-      // Also claim Spark's own WindowGroupLimit (row_number/rank forms)
-      // at PLANNING time: [[NativeWindowGroupLimitRule]] swaps it in the
-      // logical plan when registered via extraOptimizations (which run
-      // after InferWindowGroupLimit), but extension-INJECTED optimizer
-      // rules run in the operator-optimization batch — before the node
-      // exists — so the `--conf spark.sql.extensions` path intercepts
-      // here instead. Injected strategies precede the built-ins, so
-      // this wins over the sort-based WindowGroupLimitExec.
+      case TopKPerGroupPlan(group, order, k, child, mode) =>
+        TopKPerGroupExec(group, order, k, mode, partial = false,
+          TopKPerGroupExec(group, order, k, mode, partial = true, planLater(child))) :: Nil
+      // Also claim Spark's own WindowGroupLimit (row_number/rank/
+      // dense_rank) at PLANNING time: [[NativeWindowGroupLimitRule]]
+      // swaps it in the logical plan when registered via
+      // extraOptimizations (which run after InferWindowGroupLimit), but
+      // extension-INJECTED optimizer rules run in the
+      // operator-optimization batch — before the node exists — so the
+      // `--conf spark.sql.extensions` path intercepts here instead.
+      // Injected strategies precede the built-ins, so this wins over
+      // the sort-based WindowGroupLimitExec.
       case WindowGroupLimit(part, order, rankFn, limit, child)
-          if part.nonEmpty && limit > 0 && claimable(rankFn) =>
-        val ties = rankFn.isInstanceOf[Rank]
-        TopKPerGroupExec(part, order, limit, ties, partial = false,
-          TopKPerGroupExec(part, order, limit, ties, partial = true, planLater(child))) :: Nil
+          if part.nonEmpty && limit > 0 && modeOf(rankFn).isDefined =>
+        val mode = modeOf(rankFn).get
+        TopKPerGroupExec(part, order, limit, mode, partial = false,
+          TopKPerGroupExec(part, order, limit, mode, partial = true, planLater(child))) :: Nil
       case _ => Nil
     }
-    private def claimable(fn: Expression): Boolean =
-      fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]
+  }
+
+  /** Rank-like mode of a [[TopKPerGroupPlan]] / [[TopKPerGroupExec]]:
+    * which retention rule the per-group structure implements. */
+  sealed trait RankMode
+  object RankMode {
+    /** row_number() <= k: exactly k rows. */
+    case object RowNumber extends RankMode
+    /** rank() <= k: the k-minimal rows plus everything tied with the
+      * k-th (SQL FETCH FIRST k WITH TIES). */
+    case object WithTies extends RankMode
+    /** dense_rank() <= k: every row of the k smallest DISTINCT order
+      * values. */
+    case object Dense extends RankMode
   }
 
   /** Per-group bounded retainer. row_number mode: one k-element
@@ -103,14 +124,22 @@ object TopKPerGroup {
     * k-th row's key", so rows TYING the boundary go to a side buffer:
     *
     *   - row strictly precedes heap.head → evict/insert as usual; if
-    *     the boundary VALUE changed (old head was the last row at that
-    *     value), the former ties now rank > k — drop the buffer.
+    *     the boundary VALUE unchanged (other rows at that value remain),
+    *     the evicted row still ties the k-th row — move it to the
+    *     buffer; if the boundary value improved, the former ties now
+    *     rank > k — drop the buffer.
     *   - row ties heap.head → buffer it.
     *
     * Heap stays ≤ k; the tie buffer is bounded by the multiplicity of
     * the boundary value (exactly the rows rank-k semantics obliges the
     * operator to emit — SQL WITH TIES has the same worst case). */
-  private final class GroupTopK(k: Int, withTies: Boolean, cmp: Ordering[InternalRow]) {
+  private sealed trait GroupRetainer {
+    def add(row: InternalRow): Unit
+    def result: Iterator[InternalRow]
+  }
+
+  private final class GroupTopK(k: Int, withTies: Boolean, cmp: Ordering[InternalRow])
+      extends GroupRetainer {
     private val heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](cmp)
     private var ties = List.empty[InternalRow]
 
@@ -139,26 +168,77 @@ object TopKPerGroup {
     def result: Iterator[InternalRow] = heap.iterator ++ ties.iterator
   }
 
-  /** Physical operator: one [[GroupTopK]] per group key. Used for both
-    * phases — "partial" differs only in not requiring a distribution
-    * (it runs on raw scan partitions); a row that survives globally
-    * has at most as many partition-local predecessors as global ones,
-    * so the partial retained set is always a superset of the final
-    * answer and the final phase computes it exactly.
+  /** dense_rank() <= k retention: all rows of the k smallest DISTINCT
+    * order values. k value-buckets, each holding its rows; a new value
+    * evicts the largest bucket once k buckets exist. Buckets are a
+    * linear array — k is a LIMIT-clause constant (single digits to a
+    * few hundred), so a scan beats any tree's constant factor, and the
+    * worst bucket is tracked by index to make eviction O(k) not
+    * O(k log k). Memory is k × (rows at each retained value) — exactly
+    * what dense_rank semantics obliges the operator to emit. */
+  private final class GroupDenseTopK(k: Int, cmp: Ordering[InternalRow])
+      extends GroupRetainer {
+    // parallel arrays: representative row + that value's retained rows
+    private val reps = new scala.collection.mutable.ArrayBuffer[InternalRow](k)
+    private val rows = new scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[InternalRow]](k)
+    private var worst = -1 // index of the largest retained value
+
+    private def recomputeWorst(): Unit = {
+      worst = 0
+      var i = 1
+      while (i < reps.length) {
+        if (cmp.compare(reps(i), reps(worst)) > 0) worst = i
+        i += 1
+      }
+    }
+
+    def add(row: InternalRow): Unit = {
+      var i = 0
+      while (i < reps.length) {
+        if (cmp.compare(row, reps(i)) == 0) { rows(i) += row.copy(); return }
+        i += 1
+      }
+      if (reps.length < k) {
+        val r = row.copy()
+        reps += r
+        rows += scala.collection.mutable.ArrayBuffer(r)
+        if (worst < 0 || cmp.compare(r, reps(worst)) > 0) worst = reps.length - 1
+      } else if (cmp.compare(row, reps(worst)) < 0) {
+        val r = row.copy()
+        reps(worst) = r
+        rows(worst) = scala.collection.mutable.ArrayBuffer(r)
+        recomputeWorst()
+      }
+    }
+
+    def result: Iterator[InternalRow] = rows.iterator.flatMap(_.iterator)
+  }
+
+  /** Physical operator: one [[GroupRetainer]] per group key. Used for
+    * both phases — "partial" differs only in not requiring a
+    * distribution (it runs on raw scan partitions); in every mode a row
+    * that survives globally has at most as many partition-local
+    * (distinct-value) predecessors as global ones, so the partial
+    * retained set is always a superset of the final answer and the
+    * final phase computes it exactly.
     */
   case class TopKPerGroupExec(
       groupExprs: Seq[Expression],
       order: Seq[SortOrder],
       k: Int,
-      withTies: Boolean,
+      mode: RankMode,
       partial: Boolean,
       child: SparkPlan) extends UnaryExecNode {
 
     override def output: Seq[Attribute] = child.output
     override def outputPartitioning = child.outputPartitioning
     override def nodeName: String = {
-      val mode = if (withTies) "Rank" else ""
-      if (partial) s"TopK${mode}PerGroupPartial" else s"TopK${mode}PerGroupFinal"
+      val tag = mode match {
+        case RankMode.RowNumber => ""
+        case RankMode.WithTies => "Rank"
+        case RankMode.Dense => "DenseRank"
+      }
+      if (partial) s"TopK${tag}PerGroupPartial" else s"TopK${tag}PerGroupFinal"
     }
 
     override def requiredChildDistribution: Seq[Distribution] =
@@ -170,18 +250,22 @@ object TopKPerGroup {
       val orderLocal = order
       val childOutput = child.output
       val kLocal = k
-      val tiesLocal = withTies
+      val modeLocal = mode
       child.execute().mapPartitions({ iter =>
         val keyProj = UnsafeProjection.create(groupExprsLocal, childOutput)
         // BaseOrdering compares "row a sorts before row b" — the heap
         // is a max-heap under it, so `head` is the worst retained row.
         val cmp: Ordering[InternalRow] = RowOrdering.create(orderLocal, childOutput)
-        val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, GroupTopK]
+        def mk(): GroupRetainer = modeLocal match {
+          case RankMode.Dense => new GroupDenseTopK(kLocal, cmp)
+          case m => new GroupTopK(kLocal, m == RankMode.WithTies, cmp)
+        }
+        val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, GroupRetainer]
         iter.foreach { row =>
           val key = keyProj(row)
           heaps.get(key) match {
             case None =>
-              val h = new GroupTopK(kLocal, tiesLocal, cmp)
+              val h = mk()
               h.add(row)
               heaps.put(key.copy(), h)
             case Some(h) => h.add(row)
@@ -212,19 +296,15 @@ object TopKPerGroup {
     *
     * RowNumber plans in row_number mode (exactly k); Rank plans in
     * withTies mode ([[GroupTopK]] keeps boundary ties in a side
-    * buffer). dense_rank() stays exempt: its boundary is the k-th
-    * DISTINCT order value — a different retention structure (all rows
-    * of k distinct values, unbounded per value) that the sort-based
-    * node handles. */
+    * buffer); DenseRank plans on [[GroupDenseTopK]] (k value-buckets —
+    * all rows of the k smallest distinct order values). */
   object NativeWindowGroupLimitRule
       extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
-    import org.apache.spark.sql.catalyst.expressions.{Rank, RowNumber}
     import org.apache.spark.sql.catalyst.plans.logical.WindowGroupLimit
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case WindowGroupLimit(part, order, fn, limit, child)
-          if part.nonEmpty && limit > 0 &&
-            (fn.isInstanceOf[RowNumber] || fn.isInstanceOf[Rank]) =>
-        TopKPerGroupPlan(part, order, limit, child, withTies = fn.isInstanceOf[Rank])
+          if part.nonEmpty && limit > 0 && modeOf(fn).isDefined =>
+        TopKPerGroupPlan(part, order, limit, child, mode = modeOf(fn).get)
     }
   }
 
@@ -239,7 +319,7 @@ object TopKPerGroup {
       extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
     import org.apache.spark.sql.catalyst.plans.logical.Project
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-      case p @ Project(_, topk @ TopKPerGroupPlan(group, order, k, child, ties))
+      case p @ Project(_, topk @ TopKPerGroupPlan(group, order, k, child, mode))
           if (child.outputSet -- p.references --
             org.apache.spark.sql.catalyst.expressions.AttributeSet(
               group.flatMap(_.references) ++ order.flatMap(_.references))).nonEmpty =>
@@ -247,7 +327,7 @@ object TopKPerGroup {
           p.references.contains(a) ||
             group.exists(_.references.contains(a)) ||
             order.exists(_.references.contains(a)))
-        p.copy(child = TopKPerGroupPlan(group, order, k, Project(needed, child), ties))
+        p.copy(child = TopKPerGroupPlan(group, order, k, Project(needed, child), mode))
     }
   }
 

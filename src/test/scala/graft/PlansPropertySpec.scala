@@ -73,6 +73,34 @@ class PlansPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dense-mode TopKPerGroup equals the dense_rank() window form on 20 random datasets") {
+    import spark.implicits._
+    val rnd = new Random(13579)
+    for (trial <- 1 to 20) {
+      val nGroups = 1 + rnd.nextInt(8)
+      val nRows = 1 + rnd.nextInt(400)
+      val k = 1 + rnd.nextInt(4)
+      // 6-value order column: more distinct values than k, plenty of
+      // rows per value — both eviction and bucket growth exercised
+      val rows = (0 until nRows).map { i =>
+        (rnd.nextInt(nGroups), i.toLong, rnd.nextInt(6).toDouble)
+      }
+      val df = rows.toDF("g", "id", "v").repartition(1 + rnd.nextInt(5))
+      val expected = rows.groupBy(_._1).flatMap { case (_, grp) =>
+        val topK = grp.map(_._3).distinct.sorted(Ordering[Double].reverse).take(k).toSet
+        grp.filter(r => topK.contains(r._3))
+      }.map(r => Seq(r._1, r._2, r._3)).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      val q = df.withColumn("rk", dense_rank().over(w)).filter(col("rk") <= k).drop("rk")
+      val got = q.collect().map(_.toSeq).toSet
+      if (nRows > k) {
+        assert(q.queryExecution.executedPlan.toString.contains("TopKDenseRankPerGroup"),
+          s"dense_rank rule must fire: trial=$trial groups=$nGroups rows=$nRows k=$k")
+      }
+      assert(got === expected, s"trial=$trial groups=$nGroups rows=$nRows k=$k")
+    }
+  }
+
   test("native as-of join equals a per-row subquery evaluation on 20 random datasets") {
     import spark.implicits._
     val rnd = new Random(777)

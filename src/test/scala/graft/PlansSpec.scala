@@ -114,14 +114,28 @@ class PlansSpec extends AnyFunSuite {
     assert(want.count() > 0) // sanity: the comparison plan runs
   }
 
-  test("dense_rank filters keep Spark's sort-based limiter (k distinct values)") {
+  test("dense_rank() <= k plans on the value-bucket retainer and agrees with the window form") {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
     val df = Tables.customer(spark, sfDir)
       .withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 3)
+    val got = df.collect()
+      .map(r => (r.getInt(r.fieldIndex("c_nationkey")), r.getLong(r.fieldIndex("c_custkey"))))
+      .toSet
     val s = df.queryExecution.executedPlan.toString
-    assert(!s.contains("TopKPerGroup") && !s.contains("TopKRankPerGroup"),
-      "heap operator must not claim dense_rank() semantics")
+    assert(s.contains("TopKDenseRankPerGroupPartial") && s.contains("TopKDenseRankPerGroupFinal"),
+      s"dense_rank rule did not fire:\n$s")
+    // driver-side dense-rank evaluation: rows of the 3 largest distinct
+    // balances per nation
+    val rows = Tables.customer(spark, sfDir).collect()
+      .map(r => (r.getInt(r.fieldIndex("c_nationkey")),
+        r.getLong(r.fieldIndex("c_custkey")),
+        r.getDouble(r.fieldIndex("c_acctbal"))))
+    val want = rows.toSeq.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+      val top3 = grp.map(_._3).distinct.sorted(Ordering[Double].reverse).take(3).toSet
+      grp.filter(r => top3.contains(r._3))
+    }.map(r => (r._1, r._2)).toSet
+    assert(got === want)
   }
 
   test("column pruning pushes below the custom node: unused columns never leave the scan") {
