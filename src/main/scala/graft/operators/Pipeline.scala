@@ -154,7 +154,36 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end round trip through the custom DataSource V2 connector
+    * (`sources.LimitHashLog`): derive a `limits_hashes`-shaped entity
+    * log from orders, WRITE it via the staged-commit write path, READ
+    * it back through the pruning/pushdown scan, and aggregate per user.
+    * The oracle computes the same report straight from the orders
+    * table — so the connector's encode → stage → commit → parse →
+    * prune chain is hash-checked end to end, not just spec-checked.
+    * Binary msg exercises the base64 path; every 5th row's NULL msg
+    * the null path (neither is projected by the read, which is the
+    * point — pruning means they're never decoded). */
+  def p06_log_roundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LimitHashLog
+    val logDir = java.nio.file.Files.createTempDirectory("graft_lhlog_p06").toString
+    Tables.orders(spark, dir)
+      .select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast(BinaryType))
+          .otherwise(col("o_orderstatus").cast(BinaryType)).as("msg"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+      .write.format(LimitHashLog.FORMAT).mode("append").save(logDir)
+    spark.read.format(LimitHashLog.FORMAT).load(logDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"),
+        countDistinct(col("sha256sum")).as("n_hashes"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p06_log_roundtrip" -> (p06_log_roundtrip _),
     "p05_mixture_sample" -> (p05_mixture_sample _),
     "p04_pack_sequences" -> (p04_pack_sequences _),
     "p01_clean_corpus" -> (p01_clean_corpus _),
@@ -162,6 +191,12 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p06_log_roundtrip" ->
+      """SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+        |  COUNT(DISTINCT SHA256(CAST(o_orderkey AS VARCHAR))) AS n_hashes
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "p05_mixture_sample" ->
       """WITH b AS (SELECT doc_id, lang,
         |    (INSTR('0123456789abcdef', SUBSTRING(SHA256(text), 1, 1)) - 1) * 16 +
