@@ -170,6 +170,33 @@ class FrequencySpec extends AnyFunSuite {
     }
   }
 
+  test("streaming SpaceSaving state survives a checkpointed restart") {
+    import spark.implicits._
+    import graft.streaming.AsyncIngest
+    val ck = java.nio.file.Files.createTempDirectory("freq_ck").toString
+    val ingest = new AsyncIngest[(Long, String)](spark.sqlContext)
+    def start(name: String) = ingest.toDS().toDF("id", "v")
+      .groupBy()
+      .agg(FreqAggs.approxTopK(col("v"), 2, 8).as("tk"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ck)
+      .format("memory").queryName(name).start()
+
+    // batch 1: "a" dominates; stop the query entirely
+    val q1 = start("freq_restart_1")
+    ingest.saveAllAsync((1L to 10L).map(i => (i, "a")) ++ Seq((11L, "b")))
+    q1.processAllAvailable(); q1.stop()
+    // batch 2 arrives while no query runs; restart from the checkpoint
+    ingest.saveAllAsync((20L to 25L).map(i => (i, "b")) ++ Seq((26L, "c")))
+    val q2 = start("freq_restart_2")
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("freq_restart_2")
+      .select(explode(col("tk")).as("e")).select(col("e.v"), col("e.cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // counts must include BOTH halves — batch 1 only via recovered state
+    assert(got === Seq(("a", 10L), ("b", 7L)))
+  }
+
   test("q67 runs and averages are consistent with min/max bounds") {
     val rows = run("q67_min_max_map").collect()
     assert(rows.nonEmpty)

@@ -253,13 +253,24 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("centroid assignment picks the true cosine argmax") {
-    val got = Similarity.v07_cluster_assign(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.v07_cluster_assign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
     // every non-centroid vector assigned exactly once, to a centroid id
-    val rows = got.collect()
-    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
-    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 8))
-    // spot-check one vector against a brute-force argmax via v01's cosine
-    assert(rows.forall(r => r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0))
+    assert(got.values.forall(c => c >= 0 && c < 8))
+    // full argmax cross-check via an independent window-based plan
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("cid"))
+    val want = emb.filter(col("vec_id") >= 8).crossJoin(cents)
+      .select(col("vec_id"), col("cid"),
+        graft.functions.VectorFns.cosine(col("ce"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
   }
 
   test("quantization round-trips within half a scale step") {
