@@ -253,8 +253,45 @@ object Aggregates {
       .orderBy(col("week"))
   }
 
+  /** MERGEABLE QUANTILE STATE — q71's persisted-state pattern for
+    * quantiles, with a sketch that is DETERMINISTIC and therefore
+    * oracle-checkable end to end (t-digest/GK centroids are
+    * merge-order-dependent; a bottom-k priority sample is not): each
+    * day persists its 256 events with the smallest Knuth-hash
+    * priorities (a fixed-size uniform row sample — built with the
+    * native bounded-heap top-k, never a per-day sort), and any coarser
+    * rollup re-trims the union of its days' samples to the global
+    * bottom-256 — EXACTLY the sample a single pass over the raw week
+    * would keep, because bottom-k is a semilattice merge (associative,
+    * commutative, idempotent). The weekly median then comes off 256
+    * integer-cents values (dyadic p ⇒ interpolation parity-safe,
+    * q37's argument). At 100 TB: per-day state is KBs, weekly/monthly/
+    * yearly quantiles never rescan raw data, and retries can't change
+    * the answer. */
+  def q78_quantile_state(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.TopKPerGroup.topKPerGroup
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_qstate").toString
+    val tagged = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("day"), col("event_id"),
+        (m(col("value")) * 100).cast(LongType).as("cents"),
+        pmod(col("event_id") * lit(2654435761L), lit(4294967296L)).as("prio"))
+    topKPerGroup(tagged, Seq(col("day")),
+        Seq(col("prio").asc, col("event_id").asc), 256)
+      .write.mode("overwrite").parquet(stateDir)
+    val weekly = spark.read.parquet(stateDir)
+      .withColumn("week", weekofyear(col("day")))
+    topKPerGroup(weekly, Seq(col("week")),
+        Seq(col("prio").asc, col("event_id").asc), 256)
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_sample"),
+        percentile(col("cents"), lit(0.5)).as("median_cents"),
+        percentile(col("cents"), lit(0.25)).as("p25_cents"))
+      .orderBy(col("week"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_sketch_state" -> (q71_sketch_state _),
+    "q78_quantile_state" -> (q78_quantile_state _),
     "q72_weighted_quantile" -> (q72_weighted_quantile _),
     "q70_bit_aggs" -> (q70_bit_aggs _),
     "q63_sum_map" -> (q63_sum_map _),
@@ -268,6 +305,26 @@ object Aggregates {
     "q29_agg_approx_distinct" -> (q29_agg_approx_distinct _))
 
   val oracle: Map[String, String] = Map(
+    // the oracle rebuilds the same two-level bottom-256 sample with
+    // ROW_NUMBER (same (prio, event_id) total order) — merge-then-trim
+    // must equal single-pass trim, so one flat weekly trim suffices
+    "q78_quantile_state" ->
+      """WITH tagged AS (
+        |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_id,
+        |    CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents,
+        |    (event_id * 2654435761) % 4294967296 AS prio
+        |  FROM events),
+        |daily AS (SELECT * FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+        |    ORDER BY prio, event_id) AS rn FROM tagged) WHERE rn <= 256),
+        |weekly AS (SELECT * FROM (
+        |  SELECT WEEKOFYEAR(day) AS week, prio, event_id, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY WEEKOFYEAR(day)
+        |      ORDER BY prio, event_id) AS rn FROM daily) WHERE rn <= 256)
+        |SELECT week, COUNT(*) AS n_sample,
+        |  QUANTILE_CONT(cents, 0.5) AS median_cents,
+        |  QUANTILE_CONT(cents, 0.25) AS p25_cents
+        |FROM weekly GROUP BY week ORDER BY week""".stripMargin,
     "q72_weighted_quantile" ->
       """WITH pv AS (
         |  SELECT l_returnflag, l_quantity,

@@ -71,4 +71,20 @@ class ExtensionsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }.toSet
     assert(got === expected)
   }
+
+  test("extensions path also claims rank() and dense_rank() in their tie-aware modes") {
+    import extSpark.implicits._
+    // 3 distinct v values, many rows each — ties everywhere
+    val df = (1 to 90).map(i => (i % 3, i.toLong, (i % 3).toDouble)).toDF("g", "id", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+    val ranked = df.withColumn("rk", rank().over(w)).filter(col("rk") <= 1).drop("rk")
+    val rGot = ranked.collect().map(_.getLong(1)).toSet
+    assert(ranked.queryExecution.executedPlan.toString.contains("TopKRankPerGroup"))
+    // per group all rows share one v → rank 1 for every row
+    assert(rGot === (1 to 90).map(_.toLong).toSet)
+    val dense = df.withColumn("rk", dense_rank().over(w)).filter(col("rk") <= 1).drop("rk")
+    val dGot = dense.collect().map(_.getLong(1)).toSet
+    assert(dense.queryExecution.executedPlan.toString.contains("TopKDenseRankPerGroup"))
+    assert(dGot === rGot)
+  }
 }
