@@ -3,8 +3,10 @@ package graft.operators
 import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.{Event, Tables}
 import graft.streaming._
+import Exact.m
 import scala.concurrent.duration._
 
 /** Driver-verifiable streaming queries: each runs a real Structured
@@ -387,7 +389,41 @@ object StreamingQueries {
       .orderBy(col("rank"))
   }
 
+  /** Incremental materialized view (ClickHouse AggregatingMergeTree +
+    * MV): per-event-type running totals persisted as a tiny parquet
+    * summary, folded forward by each micro-batch via
+    * [[graft.streaming.MatView]] (batchId-guarded — replay-safe), read
+    * at the end WITHOUT scanning the stream's history. Two id-parity
+    * delivery batches prove the merge; the oracle is the straight
+    * batch aggregate over the same events. */
+  def s14_stream_matview(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val viewDir = java.nio.file.Files.createTempDirectory("graft_matview").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_matview_ck").toString
+    val view = new graft.streaming.MatView(viewDir)
+    val ingest = new AsyncIngest[Event](spark.sqlContext)
+    val q = ingest.toDS()
+      .select(col("event_type"), (m(col("value")) * 100).cast(LongType).as("cents"))
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        view.maintain(batch.toDF(), id))
+      .start()
+    val rows = Tables.events(spark, dir).as[Event].collect()
+    val (half1, half2) = rows.partition(_.event_id % 2 == 0)
+    ingest.saveAllAsync(half1.toSeq)
+    q.processAllAvailable()
+    ingest.saveAllAsync(half2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    view.read(spark)
+      .select(col("event_type"), col("n"),
+        (col("cents").cast(DoubleType) / 100.0).as("value_sum"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_stream_matview" -> (s14_stream_matview _),
     "s13_stream_topk" -> (s13_stream_topk _),
     "s12_stream_funnel" -> (s12_stream_funnel _),
     "s08_stream_stream_join" -> (s08_stream_stream_join _),
@@ -431,6 +467,11 @@ object StreamingQueries {
     "s09_stream_decontaminate" -> graft.operators.Dedup.oracle("d07_decontaminate"),
     // stream ≡ batch: the incremental funnel must reproduce q56 exactly
     "s12_stream_funnel" -> graft.operators.Behavioral.oracle("q56_funnel"),
+    "s14_stream_matview" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0
+        |    AS value_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s13_stream_topk" ->
       """SELECT rank, event_type, n FROM (
         |  SELECT event_type, COUNT(*) AS n,

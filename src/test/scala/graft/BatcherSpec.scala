@@ -197,6 +197,23 @@ class BatcherSpec extends AnyFunSuite {
     assert(got.length === 1000, s"expected 1000 rows, got ${got.length}")
     assert(got.toSeq === (0L until 1000L))
   }
+
+  test("materialized view maintenance: batch replay is a no-op, merge accumulates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viewDir = java.nio.file.Files.createTempDirectory("mv_spec").toString
+    val view = new graft.streaming.MatView(viewDir)
+    def batch(rows: (String, Long)*) = rows.toDF("event_type", "cents")
+    def state() = view.read(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+    view.maintain(batch(("a", 100L), ("a", 50L), ("b", 10L)), 0L)
+    assert(state() === Seq(("a", 2L, 150L), ("b", 1L, 10L)))
+    view.maintain(batch(("a", 100L), ("a", 50L), ("b", 10L)), 0L) // replay
+    assert(state() === Seq(("a", 2L, 150L), ("b", 1L, 10L)), "replay must not double-count")
+    view.maintain(batch(("b", 5L), ("c", 1L)), 1L)
+    assert(state() === Seq(("a", 2L, 150L), ("b", 2L, 15L), ("c", 1L, 1L)))
+  }
 }
 
 private object FailFlag { @volatile var tripped = false }

@@ -118,6 +118,22 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(got.map(_.getString(0)).forall(_.startsWith("c")))
   }
 
+  test("write path: a failed job aborts cleanly — no segments, no staged leftovers") {
+    val dir = Files.createTempDirectory("graft_lhlog_w4").toString
+    val poison = org.apache.spark.sql.functions.udf((amount: Long) =>
+      if (amount == 5L) throw new RuntimeException("poisoned row") else amount)
+    val df = sampleDf("a", 7)
+      .withColumn("amount", poison(col("amount")))
+    intercept[Exception] { writeDir(df, dir, "append") }
+    val leftover = Option(new java.io.File(dir).listFiles()).map(_.map(_.getName))
+      .getOrElse(Array.empty[String])
+    assert(leftover.isEmpty,
+      s"failed write must leave nothing visible or staged: ${leftover.mkString(",")}")
+    // and the failure must not poison later writes to the same dir
+    writeDir(sampleDf("b", 3), dir, "append")
+    assert(readDir(dir).count() === 3)
+  }
+
   test("write path: no staged files remain after commit (readers never see them)") {
     val dir = Files.createTempDirectory("graft_lhlog_w3").toString
     writeDir(sampleDf("a", 5), dir, "append")
