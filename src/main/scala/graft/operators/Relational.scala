@@ -79,6 +79,37 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
   }
 
+  /** CDC changeset application — the MERGE / mutation surface
+    * (ClickHouse `ALTER TABLE ... UPDATE/DELETE`, warehouse
+    * MERGE INTO) as a snapshot transform: apply a (key, op, payload)
+    * changeset of Updates, Deletes and Inserts to the customer
+    * snapshot, producing the next snapshot. The changeset here is
+    * derived deterministically from the snapshot itself (every 7th key
+    * updated, every 21st deleted, inserts at key+10^6) so the oracle
+    * can rebuild it. Shape for 100 TB: the changeset is tiny relative
+    * to the snapshot → broadcast left join + filter (U/D applied
+    * map-side, no snapshot shuffle), inserts unioned — the standard
+    * copy-on-write CDC apply; only the result write repartitions. */
+  def q79_apply_changeset(spark: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.customer(spark, dir)
+    val changes = snap.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("k"),
+        when(col("c_custkey") % 21 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        (col("c_acctbal") + lit(1000.0)).as("new_bal"))
+    val inserts = snap.filter(col("c_custkey") % 500 === 3)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("Clone-"), col("c_name")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    snap.join(broadcast(changes), col("c_custkey") === col("k"), "left")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        when(col("op") === "U", col("new_bal")).otherwise(col("c_acctbal"))
+          .as("c_acctbal"),
+        col("c_mktsegment"))
+      .union(inserts)
+      .orderBy(col("c_custkey"))
+  }
+
   /** Broadcast hash join: fact × small dim. part is ~200k rows at sf=100
     * (≪ 10 MB threshold scaled up — still broadcastable with the default
     * 10–100 MB budget); the big lineitem side never shuffles. */
@@ -233,6 +264,7 @@ object Relational {
     "q02_table_counts" -> (q02_table_counts _),
     "q03_filter_conjunctive" -> (q03_filter_conjunctive _),
     "q04_delete_antijoin" -> (q04_delete_antijoin _),
+    "q79_apply_changeset" -> (q79_apply_changeset _),
     "q05_join_broadcast" -> (q05_join_broadcast _),
     "q06_join_multi_star" -> (q06_join_multi_star _),
     "q07_join_semi" -> (q07_join_semi _),
@@ -273,6 +305,24 @@ object Relational {
       """SELECT COUNT(*) AS n, MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
         |FROM lineitem
         |WHERE l_returnflag = 'R' AND l_linenumber = 3 AND l_quantity = 25.0""".stripMargin,
+    "q79_apply_changeset" ->
+      """WITH ch AS (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 21 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    c_acctbal + 1000.0 AS new_bal
+        |  FROM customer WHERE c_custkey % 7 = 0),
+        |ins AS (
+        |  SELECT c_custkey + 1000000 AS c_custkey,
+        |    'Clone-' || c_name AS c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 500 = 3),
+        |applied AS (
+        |  SELECT s.c_custkey, s.c_name, s.c_nationkey,
+        |    CASE WHEN ch.op = 'U' THEN ch.new_bal ELSE s.c_acctbal END AS c_acctbal,
+        |    s.c_mktsegment
+        |  FROM customer s LEFT JOIN ch ON s.c_custkey = ch.k
+        |  WHERE COALESCE(ch.op, '') <> 'D')
+        |SELECT * FROM applied UNION ALL SELECT * FROM ins
+        |ORDER BY c_custkey""".stripMargin,
     "q04_delete_antijoin" ->
       """SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
         |FROM orders
