@@ -22,7 +22,8 @@ object SparkEntry {
       operators.AsOf.queries ++ operators.UdxQueries.queries ++
       operators.Skew.queries ++ operators.Pipeline.queries ++
       operators.Reshape.queries ++ operators.Subqueries.queries ++
-      operators.Behavioral.queries ++ operators.Frequency.queries
+      operators.Behavioral.queries ++ operators.Frequency.queries ++
+      operators.Intervals.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.AsOf.oracle ++ operators.UdxQueries.oracle ++
       operators.Skew.oracle ++ operators.Pipeline.oracle ++
       operators.Reshape.oracle ++ operators.Subqueries.oracle ++
-      operators.Behavioral.oracle ++ operators.Frequency.oracle
+      operators.Behavioral.oracle ++ operators.Frequency.oracle ++
+      operators.Intervals.oracle
 }
