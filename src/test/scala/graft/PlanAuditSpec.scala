@@ -67,6 +67,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "centroids must broadcast")
   }
 
+  test("q81/q82: interval overlap plans with NO join at all (sweep line / running max)") {
+    for (name <- Seq("q81_max_intersections", "q82_interval_union")) {
+      val p = plan(name)
+      assert(!p.toLowerCase.contains("join"), s"$name must not self-join intervals")
+      assert(shuffles(p) <= 2, s"$name: window shuffle + result sort only")
+    }
+  }
+
+  test("q79: changeset apply broadcasts the changes, never shuffles the snapshot") {
+    val p = plan("q79_apply_changeset")
+    assert(p.contains("BroadcastExchange"), "changeset must broadcast")
+    assert(!p.contains("SortMergeJoin"), "snapshot must not shuffle for the apply")
+  }
+
   test("q17: top-k plans as TakeOrdered (per-partition heap), not a global sort") {
     val p = plan("q17_sort_topk")
     assert(p.contains("TakeOrderedAndProject"))
