@@ -134,6 +134,40 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(readDir(dir).count() === 3)
   }
 
+  test("catalog: CREATE / INSERT / SELECT / pushdown / DROP through SQL identifiers") {
+    val wh = Files.createTempDirectory("graft_lhcat").toString
+    spark.conf.set("spark.sql.catalog.graft", classOf[graft.sources.LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE graft.ingest")
+      spark.sql("CREATE TABLE graft.ingest.limits " +
+        "(user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)")
+      assert(spark.sql("SHOW TABLES IN graft.ingest").collect()
+        .map(_.getString(1)).contains("limits"))
+      spark.sql("INSERT INTO graft.ingest.limits " +
+        "SELECT CONCAT('u', id % 3), id, CAST(NULL AS BINARY), CONCAT('h', id) " +
+        "FROM RANGE(30)")
+      // read back with a pushed filter through the catalog identifier
+      val probe = spark.sql(
+        "SELECT amount FROM graft.ingest.limits WHERE user_id = 'u1' ORDER BY amount")
+      assert(probe.collect().map(_.getLong(0)).toSeq ===
+        (0L until 30L).filter(_ % 3 == 1))
+      val scanDesc = probe.queryExecution.executedPlan.toString
+      assert(scanDesc.contains("EqualTo(user_id,u1)"),
+        s"filter must push through the catalog path:\n$scanDesc")
+      // fixed-layout contract: a wrong schema is rejected
+      intercept[Exception] {
+        spark.sql("CREATE TABLE graft.ingest.bad (x INT)")
+      }
+      assert(spark.sql("SELECT COUNT(*) FROM graft.ingest.limits").head().getLong(0) === 30L)
+      spark.sql("DROP TABLE graft.ingest.limits")
+      intercept[Exception] { spark.sql("SELECT * FROM graft.ingest.limits").collect() }
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft.warehouse")
+      spark.conf.unset("spark.sql.catalog.graft")
+    }
+  }
+
   test("write path: no staged files remain after commit (readers never see them)") {
     val dir = Files.createTempDirectory("graft_lhlog_w3").toString
     writeDir(sampleDf("a", 5), dir, "append")

@@ -197,6 +197,34 @@ class FrequencySpec extends AnyFunSuite {
     assert(got === Seq(("a", 10L), ("b", 7L)))
   }
 
+  test("streaming aggregation state runs on the RocksDB provider (large-state posture)") {
+    import spark.implicits._
+    import graft.streaming.AsyncIngest
+    // providerClass is read at query start — scope it to this test
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ingest = new AsyncIngest[(Long, String)](spark.sqlContext)
+      val q = ingest.toDS().toDF("id", "v")
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("freq_rocksdb").start()
+      ingest.saveAllAsync((1L to 50L).map(i => (i, s"k${i % 5}")))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("freq_rocksdb").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(got === (0 until 5).map(i => s"k$i" -> 10L).toMap)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("q67 runs and averages are consistent with min/max bounds") {
     val rows = run("q67_min_max_map").collect()
     assert(rows.nonEmpty)
