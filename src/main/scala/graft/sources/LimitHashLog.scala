@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{streaming => swrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -72,7 +73,9 @@ object LimitHashLog {
     val fs = path.getFileSystem(new Configuration())
     if (!fs.exists(path)) return Seq.empty
     val it = fs.listStatus(path).toSeq
-    it.filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+    // "_" = this writer's staging; "." = hidden (Hadoop .crc sidecars)
+    it.filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
       .map(s => (s.getPath.toString, s.getLen))
       .sortBy(_._1)
   }
@@ -83,7 +86,7 @@ class LimitHashLogTable(path: String) extends Table with SupportsRead with Suppo
   override def schema(): StructType = LimitHashLog.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LimitHashLogScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -119,7 +122,56 @@ class LogWriteBuilder(path: String, queryId: String)
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new LogBatchWrite(path, queryId, doTruncate)
+    override def toStreaming: swrite.StreamingWrite =
+      new LogStreamingWrite(path, queryId)
   }
+}
+
+/** STREAMING write into the entity log — the reference's whole job
+  * (`connect.go:75` + `hashes.go:35`: buffered rows → batched,
+  * effectively-once inserts into `limits_hashes`) through this
+  * connector: `df.writeStream.format(LimitHashLog.FORMAT)` lands each
+  * micro-batch as log segments via the same staged-commit protocol as
+  * the batch path, with the EPOCH in the committed name —
+  * `segment-<queryId>-<epochId>-<partition>` — so a replayed epoch
+  * (failure between sink commit and offset-log write) REPLACES its own
+  * segments instead of duplicating them. That is the exactly-once sink
+  * contract Structured Streaming asks of a DSv2 streaming writer, and
+  * precisely the dedup key the reference lacks (its at-most-once race,
+  * SURVEY §0). */
+class LogStreamingWrite(path: String, queryId: String)
+    extends swrite.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): swrite.StreamingDataWriterFactory =
+    new LogStreamingWriterFactory(path, queryId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(new Configuration())
+    messages.foreach { case LogCommit(staged, pid) =>
+      val to = new Path(dir, s"segment-$queryId-$epochId-$pid")
+      if (fs.exists(to)) fs.delete(to, false) // epoch replay: replace
+      fs.rename(new Path(staged), to)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.foreach {
+      case LogCommit(staged, _) =>
+        val p = new Path(staged)
+        if (fs.exists(p)) fs.delete(p, false)
+      case _ =>
+    }
+  }
+}
+
+class LogStreamingWriterFactory(path: String, queryId: String)
+    extends swrite.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new LogDataWriter(path, s"$queryId-$epochId", partitionId, taskId)
 }
 
 case class LogCommit(staged: String, partitionId: Int) extends WriterCommitMessage
