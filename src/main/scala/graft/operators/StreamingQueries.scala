@@ -422,7 +422,47 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** The reference's job as an oracle-gated query: entity rows derived
+    * from orders stream through AsyncIngest into the custom DSv2
+    * connector's STREAMING write (epoch-stamped exactly-once segments),
+    * then the verification read aggregates per user through the same
+    * connector's pruned/pushed scan. Same report as p06's batch
+    * round-trip — one oracle covers both the batch and streaming write
+    * paths of the connector. */
+  def s15_stream_log_sink(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.LimitHashLog
+    val logDir = java.nio.file.Files.createTempDirectory("graft_lhlog_s15").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_lhlog_s15_ck").toString
+    val rows = Tables.orders(spark, dir).select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(9, 2)) * 100)
+          .cast(LongType).as("amount"),
+        when(col("o_orderkey") % 5 === 0, lit(null).cast(org.apache.spark.sql.types.BinaryType))
+          .otherwise(col("o_orderstatus").cast(org.apache.spark.sql.types.BinaryType)).as("msg"),
+        sha2(col("o_orderkey").cast(org.apache.spark.sql.types.StringType), 256).as("sha256sum"))
+      .as[graft.LimitHash].collect()
+    val ingest = new AsyncIngest[graft.LimitHash](spark.sqlContext)
+    val q = ingest.toDS().writeStream
+      .format(LimitHashLog.FORMAT)
+      .option("path", logDir)
+      .option("checkpointLocation", ck)
+      .start()
+    val (half1, half2) = rows.partition(_.amount % 2 == 0)
+    ingest.saveAllAsync(half1.toSeq)
+    q.processAllAvailable()
+    ingest.saveAllAsync(half2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    spark.read.format(LimitHashLog.FORMAT).load(logDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"),
+        countDistinct(col("sha256sum")).as("n_hashes"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_stream_log_sink" -> (s15_stream_log_sink _),
     "s14_stream_matview" -> (s14_stream_matview _),
     "s13_stream_topk" -> (s13_stream_topk _),
     "s12_stream_funnel" -> (s12_stream_funnel _),
@@ -467,6 +507,7 @@ object StreamingQueries {
     "s09_stream_decontaminate" -> graft.operators.Dedup.oracle("d07_decontaminate"),
     // stream ≡ batch: the incremental funnel must reproduce q56 exactly
     "s12_stream_funnel" -> graft.operators.Behavioral.oracle("q56_funnel"),
+    "s15_stream_log_sink" -> graft.operators.Pipeline.oracle("p06_log_roundtrip"),
     "s14_stream_matview" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0
