@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.{streaming => sread}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.{streaming => swrite}
 import org.apache.spark.sql.sources.{EqualTo, Filter}
@@ -85,8 +86,9 @@ class LimitHashLogTable(path: String) extends Table with SupportsRead with Suppo
   override def name(): String = s"limit_hash_log(`$path`)"
   override def schema(): StructType = LimitHashLog.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LimitHashLogScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -270,6 +272,9 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(
+      checkpointLocation: String): sread.MicroBatchStream =
+    new LogMicroBatchStream(path, required, pushed)
   override def description(): String =
     s"LimitHashLog path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
@@ -342,4 +347,59 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
 
   override def get(): InternalRow = row
   override def close(): Unit = reader.close()
+}
+
+/** Streaming-read offset: the set of segment files already processed.
+  * This is FileStreamSource's contract (Spark's own file source
+  * persists its seen-files map) expressed as the offset itself —
+  * honest for an entity log whose segment count is the number of
+  * producer flushes; a high-volume deployment would compact the name
+  * list to a (name-watermark, overflow-set) pair exactly as
+  * FileStreamSource's compaction does. */
+case class LogOffset(segments: Seq[String]) extends sread.Offset {
+  override def json(): String = {
+    import org.json4s.jackson.Serialization
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    Serialization.write(segments)
+  }
+}
+
+object LogOffset {
+  def fromJson(json: String): LogOffset = {
+    import org.json4s.jackson.Serialization
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    LogOffset(Serialization.read[Seq[String]](json))
+  }
+}
+
+/** MICRO-BATCH streaming READ of the entity log — the consumer side of
+  * the reference's pipeline (downstream jobs tailing `limits_hashes`
+  * as it fills): each trigger processes exactly the segments that
+  * appeared since the last committed offset, one input partition per
+  * new segment. Committed segments are immutable (the writers' rename
+  * protocol), so a (offset-start, offset-end] batch is reproducible —
+  * the property Structured Streaming needs from a replayable source.
+  * Column pruning and pushed equality filters ride along from the
+  * ScanBuilder: a streaming probe parses only projected fields, same
+  * as the batch scan. */
+class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filter])
+    extends sread.MicroBatchStream {
+
+  override def initialOffset(): sread.Offset = LogOffset(Seq.empty)
+
+  override def latestOffset(): sread.Offset =
+    LogOffset(LimitHashLog.segments(path).map(_._1))
+
+  override def planInputPartitions(start: sread.Offset, end: sread.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[LogOffset].segments.toSet
+    end.asInstanceOf[LogOffset].segments.filterNot(seen)
+      .map(f => LogSegmentPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogSegmentReaderFactory(required, pushed)
+
+  override def deserializeOffset(json: String): sread.Offset = LogOffset.fromJson(json)
+  override def commit(end: sread.Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -201,6 +201,39 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(back.filter(col("user_id") === "u1" && col("sha256sum") === "h13").count() === 1)
   }
 
+  test("streaming read: tailing the log picks up exactly the new segments per trigger") {
+    val dir = Files.createTempDirectory("graft_lhlog_sr").toString
+    val ck = Files.createTempDirectory("graft_lhlog_sr_ck").toString
+    writeDir(sampleDf("a", 5), dir, "append")
+    // foreachBatch sink: supports checkpoint RECOVERY (memory does not)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def start() = spark.readStream.format(LimitHashLog.FORMAT).load(dir)
+      .select("user_id")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add(r.getString(0))): Unit)
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    assert(seen.size === 5)
+    // new segments land while the stream runs — only they are read next
+    writeDir(sampleDf("b", 3), dir, "append")
+    q.processAllAvailable()
+    assert(seen.size === 8)
+    q.stop()
+    // restart from the checkpoint: already-seen segments are NOT re-read
+    seen.clear()
+    writeDir(sampleDf("c", 2), dir, "append")
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    val afterRestart = seen.asScala.toSeq
+    assert(afterRestart.length === 2 && afterRestart.forall(_.startsWith("c")),
+      s"restart must read only unseen segments: ${afterRestart.mkString(",")}")
+  }
+
   test("write path: no staged files remain after commit (readers never see them)") {
     val dir = Files.createTempDirectory("graft_lhlog_w3").toString
     writeDir(sampleDf("a", 5), dir, "append")
