@@ -218,7 +218,41 @@ object TextAnalysis {
           col("_st.top_bigram_frac") <= 0.1).as("gopher_keep"))
       .orderBy(col("doc_id"))
 
+  /** BPE merge-candidate mining — the distributed-heavy step of
+    * tokenizer training: count adjacent SYMBOL pairs across every word
+    * OCCURRENCE in the corpus (the statistic each BPE iteration
+    * maximizes) and rank the top-10 merges (count desc, pair asc — the
+    * deterministic tie-break real trainers pin down for
+    * reproducibility). Shape: word frequencies first (one hash agg —
+    * the corpus collapses to its vocabulary before any character work),
+    * then per-VOCAB-WORD pair expansion weighted by the word's count,
+    * then one more hash agg. At 100 TB the char-level explode touches
+    * |vocab| rows, not |corpus| rows — the only corpus-sized pass is
+    * the word count. Iterating = apply merge #1 to the vocab (a string
+    * replace on the symbol sequence) and re-run — each iteration is two
+    * small aggregations, which is exactly how map-reduce BPE trainers
+    * (SentencePiece's Spark port, etc.) structure it. */
+  def t11_bpe_candidates(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(TextFns.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    vocab
+      .select(col("n"), explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r))")).as("p"))
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("left"), col("right"))
+      .limit(10)
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("left"), col("right"))).cast("long"))
+      .select(col("rank"), col("left"), col("right"), col("cnt"))
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_bpe_candidates" -> (t11_bpe_candidates _),
     "t09_edit_distance" -> (t09_edit_distance _),
     "t10_repetition_stats" -> (t10_repetition_stats _),
     "t08_chunk_text" -> (t08_chunk_text _),
@@ -263,6 +297,24 @@ object TextAnalysis {
   }
 
   val oracle: Map[String, String] = Map(
+    "t11_bpe_candidates" ->
+      """WITH w AS (
+        |  SELECT UNNEST(STRING_SPLIT(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT w, COUNT(*) AS n FROM w WHERE LENGTH(w) >= 2 GROUP BY w),
+        |pairs AS (
+        |  SELECT SUBSTRING(w, CAST(i AS INT), 1) AS l,
+        |         SUBSTRING(w, CAST(i AS INT) + 1, 1) AS r, n
+        |  FROM vocab, UNNEST(RANGE(1, LENGTH(w))) AS t(i)),
+        |ranked AS (
+        |  SELECT l AS "left", r AS "right", CAST(SUM(n) AS BIGINT) AS cnt
+        |  FROM pairs GROUP BY 1, 2
+        |  ORDER BY cnt DESC, "left", "right" LIMIT 10)
+        |SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, "left", "right") AS rank,
+        |  "left", "right", cnt
+        |FROM ranked ORDER BY rank""".stripMargin,
     // unnest + GROUP BY reproduces RepStatsExpr's one-pass counts; the
     // fractions are single exact-int divisions in double — bit-identical
     "t10_repetition_stats" ->
