@@ -114,12 +114,32 @@ object Multimodal {
         octet_length(col("frame")).as("frame_bytes"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Content-addressable dedup of binary payloads — d01's exact dedup
+    * re-expressed over the media column: group by payload digest, keep
+    * the first doc, count copies. This is the storage layout every
+    * multimodal corpus converges on (payloads stored once under their
+    * hash; documents reference digests) — the groupBy ships 32-byte
+    * digests, never payload bytes. */
+  def m04_binary_dedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .groupBy(sha2(col("payload"), 256).as("payload_sha"))
+      .agg(min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        min(octet_length(col("payload"))).as("n_bytes"))
+      .orderBy(col("keep_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m04_binary_dedup" -> (m04_binary_dedup _),
     "m01_multimodal_bytes" -> (m01_multimodal_bytes _),
     "m02_multimodal_features" -> (m02_multimodal_features _),
     "m03_frame_sample" -> (m03_frame_sample _))
 
   val oracle: Map[String, String] = Map(
+    "m04_binary_dedup" ->
+      """SELECT SHA256(text) AS payload_sha,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+        |  CAST(MIN(OCTET_LENGTH(ENCODE(text))) AS INT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "m03_frame_sample" ->
       """WITH m AS (
         |  SELECT doc_id, ENCODE(text) AS payload,
