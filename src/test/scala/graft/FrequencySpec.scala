@@ -103,6 +103,30 @@ class FrequencySpec extends AnyFunSuite {
     }
   }
 
+  test("uniqUpTo + topK equal their exact definitions on 20 random datasets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97531)
+    for (trial <- 1 to 20) {
+      val nRows = 1 + rnd.nextInt(500)
+      val card = 1 + rnd.nextInt(12)
+      val n = 1 + rnd.nextInt(8)
+      val parts = 1 + rnd.nextInt(6)
+      val vals = Seq.fill(nRows)(s"v${rnd.nextInt(card)}")
+      val df = vals.toDF("v").repartition(parts)
+      val gotUniq = df.agg(FreqAggs.uniqUpTo(col("v"), n)).head().getLong(0)
+      val wantUniq = math.min(vals.distinct.size, n + 1).toLong
+      assert(gotUniq === wantUniq, s"uniqUpTo trial=$trial card=$card n=$n parts=$parts")
+      // capacity ≥ cardinality ⇒ exact regime: top-3 must be the true
+      // frequency top-3 under (count desc, value asc)
+      val gotTop = df.agg(FreqAggs.approxTopK(col("v"), 3, 16).as("tk"))
+        .select(explode(col("tk")).as("e")).select(col("e.v"), col("e.cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val wantTop = vals.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .sortBy { case (v, c) => (-c, v) }.take(3)
+      assert(gotTop === wantTop, s"topK trial=$trial card=$card parts=$parts")
+    }
+  }
+
   test("q65: agrees with exact distinct counts, saturated to the cap") {
     val got = run("q65_uniq_upto").collect()
     val want = spark.read.parquet(s"$SF/lineitem.parquet")
