@@ -90,7 +90,8 @@ class LimitHashLogTable(path: String) extends Table with SupportsRead with Suppo
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LimitHashLogScanBuilder(path)
+    new LimitHashLogScanBuilder(path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LogWriteBuilder(path, info.queryId())
 }
@@ -152,16 +153,18 @@ class LogStreamingWrite(path: String, queryId: String)
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
     messages.foreach { case LogCommit(staged, pid) =>
-      val to = new Path(dir, s"segment-$queryId-$epochId-$pid")
-      if (fs.exists(to)) fs.delete(to, false) // epoch replay: replace
-      fs.rename(new Path(staged), to)
+      if (staged.nonEmpty) { // empty partitions stage nothing
+        val to = new Path(dir, s"segment-$queryId-$epochId-$pid")
+        if (fs.exists(to)) fs.delete(to, false) // epoch replay: replace
+        fs.rename(new Path(staged), to)
+      }
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(new Configuration())
     messages.foreach {
-      case LogCommit(staged, _) =>
+      case LogCommit(staged, _) if staged.nonEmpty =>
         val p = new Path(staged)
         if (fs.exists(p)) fs.delete(p, false)
       case _ =>
@@ -188,10 +191,12 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
     val fs = dir.getFileSystem(new Configuration())
     val old = if (truncate) LimitHashLog.segments(path).map(_._1) else Seq.empty
     messages.foreach { case LogCommit(staged, pid) =>
-      val from = new Path(staged)
-      val to = new Path(dir, s"segment-$queryId-$pid")
-      if (fs.exists(to)) fs.delete(to, false) // same-query retry: replace, never duplicate
-      fs.rename(from, to)
+      if (staged.nonEmpty) { // empty partitions stage nothing
+        val from = new Path(staged)
+        val to = new Path(dir, s"segment-$queryId-$pid")
+        if (fs.exists(to)) fs.delete(to, false) // same-query retry: replace, never duplicate
+        fs.rename(from, to)
+      }
     }
     old.foreach(f => fs.delete(new Path(f), false))
   }
@@ -199,7 +204,7 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(new Configuration())
     messages.foreach {
-      case LogCommit(staged, _) =>
+      case LogCommit(staged, _) if staged.nonEmpty =>
         val p = new Path(staged)
         if (fs.exists(p)) fs.delete(p, false)
       case _ =>
@@ -219,10 +224,16 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
     extends DataWriter[InternalRow] {
   private val staged = new Path(path, s"_staged-$queryId-$partitionId-$taskId")
   private val fs = staged.getFileSystem(new Configuration())
-  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
+  // LAZY: an empty partition must not leave an empty segment in the log
+  // (file sources pay a task per segment forever after; the reference
+  // likewise never flushes an empty batch, hashes.go:55-63)
+  private var out: java.io.BufferedWriter = _
 
   override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+        fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
+    }
     val msg = if (row.isNullAt(2)) ""
       else java.util.Base64.getEncoder.encodeToString(row.getBinary(2))
     out.write(row.getUTF8String(0).toString)
@@ -233,19 +244,21 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
   }
 
   override def commit(): WriterCommitMessage = {
+    if (out == null) return LogCommit("", partitionId) // empty: nothing staged
     out.close()
     LogCommit(staged.toString, partitionId)
   }
 
   override def abort(): Unit = {
-    out.close()
+    if (out != null) out.close()
     if (fs.exists(staged)) fs.delete(staged, false)
   }
 
   override def close(): Unit = ()
 }
 
-class LimitHashLogScanBuilder(path: String) extends ScanBuilder
+class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = LimitHashLog.SCHEMA
   private var pushed: Array[Filter] = Array.empty
@@ -265,16 +278,18 @@ class LimitHashLogScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LimitHashLogScan(path, required, pushed)
+  override def build(): Scan =
+    new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger)
 }
 
-class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter])
+class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): sread.MicroBatchStream =
-    new LogMicroBatchStream(path, required, pushed)
+    new LogMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
   override def description(): String =
     s"LimitHashLog path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
@@ -382,13 +397,35 @@ object LogOffset {
   * Column pruning and pushed equality filters ride along from the
   * ScanBuilder: a streaming probe parses only projected fields, same
   * as the batch scan. */
-class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filter])
-    extends sread.MicroBatchStream {
+class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends sread.MicroBatchStream with sread.SupportsAdmissionControl {
 
   override def initialOffset(): sread.Offset = LogOffset(Seq.empty)
 
   override def latestOffset(): sread.Offset =
     LogOffset(LimitHashLog.segments(path).map(_._1))
+
+  /** Admission control — the READ-side twin of the reference's batch
+    * cap (`hashes.go:68`): `option("maxFilesPerTrigger", n)` bounds
+    * every micro-batch to n new segments, so a backlogged log drains
+    * in bounded units instead of one giant catch-up batch (bounded
+    * memory, steady checkpoint cadence — the same argument as source
+    * admission on the file source). */
+  override def getDefaultReadLimit: sread.ReadLimit =
+    maxFilesPerTrigger.map(n => sread.ReadLimit.maxFiles(n))
+      .getOrElse(sread.ReadLimit.allAvailable())
+
+  override def latestOffset(start: sread.Offset, limit: sread.ReadLimit): sread.Offset = {
+    val seen = start.asInstanceOf[LogOffset].segments
+    val seenSet = seen.toSet
+    val unseen = LimitHashLog.segments(path).map(_._1).filterNot(seenSet)
+    val admitted = limit match {
+      case m: sread.ReadMaxFiles => unseen.take(m.maxFiles())
+      case _ => unseen
+    }
+    LogOffset(seen ++ admitted)
+  }
 
   override def planInputPartitions(start: sread.Offset, end: sread.Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[LogOffset].segments.toSet

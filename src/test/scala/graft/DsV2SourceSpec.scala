@@ -234,6 +234,28 @@ class DsV2SourceSpec extends AnyFunSuite {
       s"restart must read only unseen segments: ${afterRestart.mkString(",")}")
   }
 
+  test("streaming read admission control: maxFilesPerTrigger bounds every micro-batch") {
+    val dir = Files.createTempDirectory("graft_lhlog_adm").toString
+    val ck = Files.createTempDirectory("graft_lhlog_adm_ck").toString
+    // 6 separate single-partition appends -> exactly 6 segments (empty
+    // partitions stage nothing, so coalesce(1) pins one segment each)
+    (1 to 6).foreach(i => writeDir(sampleDf(s"g$i-", 2).coalesce(1), dir, "append"))
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format(LimitHashLog.FORMAT)
+      .option("maxFilesPerTrigger", "2")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.synchronized { batchSizes += b.count() }: Unit)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batchSizes.sum === 12, batchSizes.mkString(","))
+    // 2 segments x 2 rows per trigger -> 3 batches of 4 (a trailing
+    // empty batch from the final no-data poll is fine)
+    assert(batchSizes.filter(_ > 0).toSeq === Seq(4L, 4L, 4L), batchSizes.mkString(","))
+  }
+
   test("write path: no staged files remain after commit (readers never see them)") {
     val dir = Files.createTempDirectory("graft_lhlog_w3").toString
     writeDir(sampleDf("a", 5), dir, "append")
