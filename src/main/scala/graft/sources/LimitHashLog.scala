@@ -91,7 +91,9 @@ class LimitHashLogTable(path: String) extends Table with SupportsRead with Suppo
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LimitHashLogScanBuilder(path,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("maxPartitionBytes")).map(_.toLong)
+        .getOrElse(128L * 1024 * 1024))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LogWriteBuilder(path, info.queryId())
 }
@@ -257,7 +259,8 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
   override def close(): Unit = ()
 }
 
-class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None)
+class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
+    maxPartitionBytes: Long = 128L * 1024 * 1024)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = LimitHashLog.SCHEMA
@@ -279,11 +282,12 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger)
+    new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger, maxPartitionBytes)
 }
 
 class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxPartitionBytes: Long = 128L * 1024 * 1024)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -293,8 +297,24 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
   override def description(): String =
     s"LimitHashLog path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    LimitHashLog.segments(path).map(s => LogSegmentPartition(s._1): InputPartition).toArray
+  /** Bin-pack segments into ≤ maxPartitionBytes splits (first-fit on
+    * the sorted listing): an entity log accumulates one segment per
+    * producer flush, and a task per tiny segment costs scheduler
+    * round-trips forever after — the same packing Spark's own file
+    * scans apply via files.maxPartitionBytes. Segments larger than the
+    * target get their own split (a segment is the atomic unit — TSV
+    * lines have no row-group index to split on). */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val packed = scala.collection.mutable.ArrayBuffer.empty[(List[String], Long)]
+    LimitHashLog.segments(path).foreach { case (f, len) =>
+      packed.lastOption match {
+        case Some((fs, tot)) if tot + len <= maxPartitionBytes =>
+          packed(packed.length - 1) = (f :: fs, tot + len)
+        case _ => packed += ((List(f), len))
+      }
+    }
+    packed.map(p => LogSegmentsPartition(p._1.reverse): InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new LogSegmentReaderFactory(required, pushed)
@@ -311,11 +331,38 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
 }
 
 case class LogSegmentPartition(file: String) extends InputPartition
+case class LogSegmentsPartition(files: Seq[String]) extends InputPartition
 
 class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new LogSegmentReader(partition.asInstanceOf[LogSegmentPartition].file, required, pushed)
+    partition match {
+      case LogSegmentPartition(f) => new LogSegmentReader(f, required, pushed)
+      case LogSegmentsPartition(fs) => new MultiSegmentReader(fs, required, pushed)
+    }
+}
+
+/** Sequential reader over a bin-packed split's segment files. */
+class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val it = files.iterator
+  private var cur: LogSegmentReader = _
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (!it.hasNext) return false
+        cur = new LogSegmentReader(it.next(), required, pushed)
+      }
+      if (cur.next()) return true
+      cur.close()
+      cur = null
+    }
+    false
+  }
+
+  override def get(): InternalRow = cur.get()
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Streams one segment: per line, evaluate pushed equality filters on

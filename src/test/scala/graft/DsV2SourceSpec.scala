@@ -49,8 +49,15 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(2)) // empty msg field → null payload
   }
 
-  test("split planning: one partition per segment file") {
-    assert(read().rdd.getNumPartitions === 3)
+  test("split planning: tiny segments bin-pack into one split; a byte target re-splits them") {
+    // 3 tiny segments fit one 128MB-default split — a task per tiny
+    // segment is the scheduler anti-pattern the packing exists for
+    assert(read().rdd.getNumPartitions === 1)
+    // with a target smaller than any segment, each gets its own split
+    val fine = spark.read.format(LimitHashLog.FORMAT)
+      .option("maxPartitionBytes", "1").load(logDir)
+    assert(fine.rdd.getNumPartitions === 3)
+    assert(fine.count() === read().count())
   }
 
   test("column pruning reaches the scan (ReadSchema is the projection)") {
