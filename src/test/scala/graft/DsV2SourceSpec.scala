@@ -263,6 +263,27 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(batchSizes.filter(_ > 0).toSeq === Seq(4L, 4L, 4L), batchSizes.mkString(","))
   }
 
+  test("log-to-log streaming pipeline: the connector on both ends") {
+    val src = Files.createTempDirectory("graft_lhlog_p_src").toString
+    val dst = Files.createTempDirectory("graft_lhlog_p_dst").toString
+    val ck = Files.createTempDirectory("graft_lhlog_p_ck").toString
+    writeDir(sampleDf("a", 4).coalesce(1), src, "append")
+    val q = spark.readStream.format(LimitHashLog.FORMAT).load(src)
+      .withColumn("user_id", upper(col("user_id")))
+      .writeStream.format(LimitHashLog.FORMAT)
+      .option("path", dst)
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    // more source segments mid-flight propagate incrementally
+    writeDir(sampleDf("b", 2).coalesce(1), src, "append")
+    q.processAllAvailable()
+    q.stop()
+    val out = readDir(dst).collect()
+    assert(out.length === 6)
+    assert(out.map(_.getString(0)).forall(u => u.startsWith("A") || u.startsWith("B")))
+  }
+
   test("write path: no staged files remain after commit (readers never see them)") {
     val dir = Files.createTempDirectory("graft_lhlog_w3").toString
     writeDir(sampleDf("a", 5), dir, "append")
