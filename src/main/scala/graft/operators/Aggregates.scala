@@ -45,6 +45,27 @@ object Aggregates {
         col("n"), col("qty_sum"))
       .orderBy(col("returnflag"), col("linestatus"))
 
+  /** GROUPING markers (SQL standard GROUPING() / GROUPING_ID()): the
+    * disambiguation bits that tell a cube consumer whether NULL means
+    * "the ALL level" or "data was null" — the machine-readable form of
+    * q11's COALESCE('ALL') convention. Bit order is the standard's:
+    * grouping_id = 2·grouping(first) + grouping(second). */
+  def q83_grouping_id(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        // grouping markers must be computed INSIDE the cube aggregation
+        // (the analyzer rejects them in any later projection)
+        grouping_id().cast(LongType).as("gid"),
+        grouping(col("o_orderstatus")).cast(LongType).as("g_status"),
+        grouping(col("o_orderpriority")).cast(LongType).as("g_priority"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("g_status"), col("g_priority"), col("n"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
   /** CUBE over (status, priority): all 4 grouping combinations. */
   def q12_agg_cube(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
@@ -293,6 +314,7 @@ object Aggregates {
     "q71_sketch_state" -> (q71_sketch_state _),
     "q78_quantile_state" -> (q78_quantile_state _),
     "q72_weighted_quantile" -> (q72_weighted_quantile _),
+    "q83_grouping_id" -> (q83_grouping_id _),
     "q70_bit_aggs" -> (q70_bit_aggs _),
     "q63_sum_map" -> (q63_sum_map _),
     "q64_conditional_aggs" -> (q64_conditional_aggs _),
@@ -339,6 +361,15 @@ object Aggregates {
         |  MIN(CASE WHEN cw * 2 >= tw THEN l_quantity END) AS w_p50,
         |  MIN(CASE WHEN cw * 10 >= tw * 9 THEN l_quantity END) AS w_p90
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q83_grouping_id" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, priority""".stripMargin,
     "q70_bit_aggs" ->
       """SELECT o_orderstatus,
         |  BIT_AND(o_orderkey) AS keys_and,
