@@ -75,6 +75,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q78: quantile-state rollup runs on the native heap, no window, no full sort") {
+    val p = plan("q78_quantile_state")
+    assert(p.contains("TopKPerGroupPartial"), "weekly trim must use the native heap")
+    assert(!p.contains("Window ("), "no window operator in the rollup")
+  }
+
+  test("q80: delta sum is one window shuffle over user partitions") {
+    val p = plan("q80_delta_sum")
+    assert(!p.toLowerCase.contains("join"))
+    assert(shuffles(p) <= 2) // window shuffle + result sort
+  }
+
   test("q79: changeset apply broadcasts the changes, never shuffles the snapshot") {
     val p = plan("q79_apply_changeset")
     assert(p.contains("BroadcastExchange"), "changeset must broadcast")
