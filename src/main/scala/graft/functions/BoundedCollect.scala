@@ -87,6 +87,9 @@ case class BoundedCollectList(
   override def serialize(buf: mutable.ArrayBuffer[Any]): Array[Byte] =
     projection.apply(InternalRow.apply(new GenericArrayData(buf.toArray))).getBytes
 
+  // Copy discipline (shared with UniqUpTo/SpaceSavingTopK.deserialize):
+  // values stay BACKED BY `bytes` — each deserialize call exclusively owns
+  // its freshly allocated array, so no defensive copy.
   override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Any] = {
     val buf = mutable.ArrayBuffer.empty[Any]
     val row = new UnsafeRow(1)

@@ -128,7 +128,7 @@ class LogWriteBuilder(path: String, queryId: String)
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new LogBatchWrite(path, queryId, doTruncate)
     override def toStreaming: swrite.StreamingWrite =
-      new LogStreamingWrite(path, queryId)
+      new LogStreamingWrite(path, queryId, doTruncate)
   }
 }
 
@@ -143,8 +143,15 @@ class LogWriteBuilder(path: String, queryId: String)
   * segments instead of duplicating them. That is the exactly-once sink
   * contract Structured Streaming asks of a DSv2 streaming writer, and
   * precisely the dedup key the reference lacks (its at-most-once race,
-  * SURVEY §0). */
-class LogStreamingWrite(path: String, queryId: String)
+  * SURVEY §0).
+  *
+  * Truncate (complete/update output modes): when the WriteBuilder saw
+  * `truncate()`, each epoch's commit removes every segment that is not
+  * part of the epoch being committed — new segments are renamed into
+  * place FIRST, then stale ones deleted, so a concurrent reader sees
+  * (old ∪ new) transiently but never an empty log. Without this, a
+  * complete-mode query would re-append its full result every trigger. */
+class LogStreamingWrite(path: String, queryId: String, truncate: Boolean = false)
     extends swrite.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -154,13 +161,25 @@ class LogStreamingWrite(path: String, queryId: String)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
+    val old = if (truncate) LimitHashLog.segments(path).map(_._1) else Seq.empty
+    val committed = scala.collection.mutable.Set.empty[String]
     messages.foreach { case LogCommit(staged, pid) =>
       if (staged.nonEmpty) { // empty partitions stage nothing
         val to = new Path(dir, s"segment-$queryId-$epochId-$pid")
         if (fs.exists(to)) fs.delete(to, false) // epoch replay: replace
-        fs.rename(new Path(staged), to)
+        if (!fs.rename(new Path(staged), to)) {
+          // HDFS signals rename failure by returning false, not throwing;
+          // swallowing it would silently drop this partition's rows
+          throw new java.io.IOException(
+            s"LimitHashLog streaming commit: rename $staged -> $to failed")
+        }
+        committed += to.toString
       }
     }
+    // truncate semantics: this epoch's output REPLACES the log. The old
+    // listing can include this epoch's own prior attempt (replay) — those
+    // names were already replaced above, so exclude them from deletion.
+    old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -192,15 +211,24 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
     val old = if (truncate) LimitHashLog.segments(path).map(_._1) else Seq.empty
+    val committed = scala.collection.mutable.Set.empty[String]
     messages.foreach { case LogCommit(staged, pid) =>
       if (staged.nonEmpty) { // empty partitions stage nothing
         val from = new Path(staged)
         val to = new Path(dir, s"segment-$queryId-$pid")
         if (fs.exists(to)) fs.delete(to, false) // same-query retry: replace, never duplicate
-        fs.rename(from, to)
+        if (!fs.rename(from, to)) {
+          // rename failure is a boolean on Hadoop FileSystem; a silent
+          // false would drop this partition while the job reports success
+          throw new java.io.IOException(
+            s"LimitHashLog batch commit: rename $staged -> $to failed")
+        }
+        committed += to.toString
       }
     }
-    old.foreach(f => fs.delete(new Path(f), false))
+    // a retried query's old listing can contain names this commit just
+    // replaced — never delete what we committed moments ago
+    old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -231,6 +259,18 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
   // likewise never flushes an empty batch, hashes.go:55-63)
   private var out: java.io.BufferedWriter = _
 
+  // The line layout has no escaping (matching the reference's plain TSV
+  // rows); a tab/newline inside a string field would silently shift every
+  // later field on read. The binary msg column is base64-armored, but the
+  // string columns must fail LOUDLY at write time, not round-trip corrupt.
+  private def checkedField(v: String, name: String): String = {
+    if (v.indexOf('\t') >= 0 || v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
+      throw new java.io.IOException(
+        s"LimitHashLog: field '$name' contains a tab/newline, which the " +
+          s"tab-separated segment layout cannot represent: ${v.take(80)}")
+    v
+  }
+
   override def write(row: InternalRow): Unit = {
     if (out == null) {
       out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
@@ -238,10 +278,10 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
     }
     val msg = if (row.isNullAt(2)) ""
       else java.util.Base64.getEncoder.encodeToString(row.getBinary(2))
-    out.write(row.getUTF8String(0).toString)
+    out.write(checkedField(row.getUTF8String(0).toString, "user_id"))
     out.write('\t'); out.write(row.getLong(1).toString)
     out.write('\t'); out.write(msg)
-    out.write('\t'); out.write(row.getUTF8String(3).toString)
+    out.write('\t'); out.write(checkedField(row.getUTF8String(3).toString, "sha256sum"))
     out.write('\n')
   }
 

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -17,12 +18,31 @@ import org.apache.spark.sql.types.LongType
   * #3). Batches arrive in order within one streaming query, so a
   * single high-water mark suffices.
   *
-  * Swap safety: the merged view is `localCheckpoint()`ed (materialized)
-  * BEFORE the overwrite — otherwise the write plan would read the very
-  * directory it is truncating. At 100 TB the view is keyed state
-  * orders of magnitude smaller than the stream (per-key sums), and the
-  * merge cost is O(|view| + |batch keys|) per trigger, independent of
-  * stream history.
+  * Swap safety: a plain `mode("overwrite")` of the view directory would
+  * truncate the ONLY copy of the accumulated state before the new write
+  * finishes — a crash mid-write loses the view forever, and the batchId
+  * guard cannot resurrect it. So [[maintain]] stages the new generation
+  * in a sibling directory and swaps by rename, keeping the previous
+  * generation until the new one is fully in place:
+  *
+  *   1. write merged → `<viewDir>.next`   (current gen untouched)
+  *   2. `<viewDir>` → `<viewDir>.prev`    (current gen preserved)
+  *   3. `<viewDir>.next` → `<viewDir>`    (new gen visible)
+  *
+  * A crash at ANY point leaves a complete generation readable: [[read]]
+  * falls back to `.prev` when the main directory is absent, and — when
+  * both are gone (a crash after step 2 on a recovery pass that had no
+  * main directory) — to `.next`, but ONLY if its `_SUCCESS` marker
+  * proves the write finished; a torn `.next` from a crash mid-step-1 is
+  * never read. The batchId high-water mark in the surviving generation
+  * makes the replayed batch fold in exactly once, and a stale `.next`
+  * is simply overwritten. Writing to `.next` also means the write plan
+  * never reads the directory it is truncating, so no checkpoint barrier
+  * is needed.
+  *
+  * At 100 TB the view is keyed state orders of magnitude smaller than
+  * the stream (per-key sums), and the merge cost is O(|view| + |batch
+  * keys|) per trigger, independent of stream history.
   */
 class MatView(viewDir: String) extends Serializable {
 
@@ -40,17 +60,43 @@ class MatView(viewDir: String) extends Serializable {
       .groupBy(col("event_type"))
       .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
       .withColumn("_b", lit(batchId))
-      .localCheckpoint() // materialize BEFORE overwriting our own input
-    merged.write.mode("overwrite").parquet(viewDir)
+    merged.write.mode("overwrite").parquet(viewDir + ".next")
+
+    val fs = new Path(viewDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val main = new Path(viewDir)
+    val prev = new Path(viewDir + ".prev")
+    val next = new Path(viewDir + ".next")
+    if (fs.exists(prev)) fs.delete(prev, true)
+    if (fs.exists(main) && !fs.rename(main, prev))
+      throw new java.io.IOException(s"MatView swap: rename $main -> $prev failed")
+    if (!fs.rename(next, main))
+      throw new java.io.IOException(s"MatView swap: rename $next -> $main failed")
   }
 
-  def read(spark: SparkSession): DataFrame =
-    try spark.read.parquet(viewDir)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+  /** Current view state: the main generation, else the preserved
+    * previous generation, else a PROVEN-complete staged generation
+    * (crash between swap steps — `_SUCCESS` guards against a torn
+    * write), else empty. */
+  def read(spark: SparkSession): DataFrame = {
+    def tryDir(d: String, requireMarker: Boolean = false): Option[DataFrame] =
+      try {
+        if (requireMarker) {
+          val marker = new Path(d, "_SUCCESS")
+          if (!marker.getFileSystem(spark.sessionState.newHadoopConf())
+              .exists(marker)) return None
+        }
+        Some(spark.read.parquet(d).select(
+          col("event_type"), col("n"), col("cents"), col("_b")))
+      }
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    tryDir(viewDir)
+      .orElse(tryDir(viewDir + ".prev"))
+      .orElse(tryDir(viewDir + ".next", requireMarker = true))
+      .getOrElse(
         spark.range(0).select(
           lit("").as("event_type"), lit(0L).as("n"),
           lit(0L).cast(LongType).as("cents"), lit(-1L).as("_b"))
-          .filter(lit(false))
-    }
+          .filter(lit(false)))
+  }
 }

@@ -284,6 +284,56 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).forall(u => u.startsWith("A") || u.startsWith("B")))
   }
 
+  test("streaming write truncate: complete-mode output replaces the log each epoch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lhlog_tr").toString
+    val ck = Files.createTempDirectory("graft_lhlog_tr_ck").toString
+    val ingest = new graft.streaming.AsyncIngest[(String, Long)](spark.sqlContext)
+    // complete mode re-emits the FULL aggregate every trigger — without
+    // truncate-aware commits the log would grow by one copy per epoch
+    val q = ingest.toDS().toDF("u", "a")
+      .groupBy(col("u")).agg(count(lit(1)).as("n"))
+      .select(col("u").as("user_id"), col("n").as("amount"),
+        lit(null).cast("binary").as("msg"), lit("agg").as("sha256sum"))
+      .writeStream
+      .outputMode("complete")
+      .format(LimitHashLog.FORMAT)
+      .option("path", dir)
+      .option("checkpointLocation", ck)
+      .start()
+    ingest.saveAllAsync(Seq(("u0", 1L), ("u1", 2L), ("u0", 3L)))
+    q.processAllAvailable()
+    val first = readDir(dir).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(first === Map("u0" -> 2L, "u1" -> 1L))
+    ingest.saveAllAsync(Seq(("u1", 4L), ("u2", 5L)))
+    q.processAllAvailable()
+    q.stop()
+    val after = readDir(dir).collect().map(r => (r.getString(0), r.getLong(1)))
+    // REPLACED, not appended: one row per user, full-history counts
+    assert(after.length === 3, s"log must hold exactly the last epoch: ${after.mkString(",")}")
+    assert(after.toMap === Map("u0" -> 2L, "u1" -> 2L, "u2" -> 1L))
+  }
+
+  test("write path: a tab/newline inside a string field fails loudly, never corrupts the layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lhlog_esc").toString
+    val bad = Seq(("u\t1", 1L, null: Array[Byte], "h1"))
+      .toDF("user_id", "amount", "msg", "sha256sum")
+    intercept[Exception] { writeDir(bad, dir, "append") }
+    assert(readDir(dir).count() === 0, "aborted write must leave nothing visible")
+    val newline = Seq(("u1", 1L, null: Array[Byte], "h\n1"))
+      .toDF("user_id", "amount", "msg", "sha256sum")
+    intercept[Exception] { writeDir(newline, dir, "append") }
+    assert(readDir(dir).count() === 0)
+    // binary payloads with tabs/newlines are base64-armored — they PASS
+    val binOk = Seq(("u1", 1L, "tab\tand\nnewline".getBytes(StandardCharsets.UTF_8), "h1"))
+      .toDF("user_id", "amount", "msg", "sha256sum")
+    writeDir(binOk, dir, "append")
+    val got = readDir(dir).collect()
+    assert(got.length === 1)
+    assert(new String(got(0).getAs[Array[Byte]]("msg"), StandardCharsets.UTF_8) === "tab\tand\nnewline")
+  }
+
   test("write path: no staged files remain after commit (readers never see them)") {
     val dir = Files.createTempDirectory("graft_lhlog_w3").toString
     writeDir(sampleDf("a", 5), dir, "append")

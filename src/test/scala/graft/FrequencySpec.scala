@@ -259,4 +259,57 @@ class FrequencySpec extends AnyFunSuite {
       assert(avg >= mins.min - 1e-6 && avg <= maxs.max + 1e-6)
     }
   }
+
+  test("topK saturating regime: high-cardinality churn keeps SpaceSaving guarantees") {
+    // 5,000 distinct keys through 16 counters — every arrival past the
+    // first 16 evicts (the regime the heap-backed min tracking exists
+    // for). The frequent-item guarantee (freq > n/capacity ⇒ present,
+    // counts never under-estimate) must hold throughout.
+    val rnd = new scala.util.Random(8642)
+    val noise = Seq.fill(5000)(s"x${rnd.nextInt(5000)}")
+    val data = rnd.shuffle(Seq.fill(2000)("hot") ++ Seq.fill(1200)("warm") ++ noise)
+    for (parts <- Seq(1, 4)) {
+      val top = topk(data, 2, 16, parts)
+      assert(top.map(_._1) === Seq("hot", "warm"))
+      assert(top.head._2 >= 2000L, "SpaceSaving never under-estimates")
+      assert(top(1)._2 >= 1200L)
+      // over-estimate bound: err ≤ n/capacity (per-partition bounds sum)
+      assert(top.head._2 - 2000L <= data.size / 16 * parts)
+    }
+  }
+
+  test("topKWeighted: a mistyped weight fails at analysis, not as a runtime CCE") {
+    import spark.implicits._
+    import graft.functions.SpaceSavingTopK
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    // bypass the public API's coercing cast: a string weight must be
+    // rejected by checkInputDataTypes when the plan is analyzed
+    val df = Seq(("a", "not-a-number")).toDF("v", "w")
+    val raw = column(SpaceSavingTopK(expression(col("v")), 1, 8,
+      weight = Some(expression(col("w")))).toAggregateExpression())
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      df.agg(raw.as("tk")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("bigint"))
+    // while the public API coerces: int weights just work
+    val ok = Seq(("a", 3), ("a", 4), ("b", 5)).toDF("v", "w")
+      .agg(FreqAggs.approxTopKWeighted(col("v"), col("w"), 1, 8).as("tk"))
+      .select(explode(col("tk")).as("e")).select(col("e.v"), col("e.cnt"))
+      .head()
+    assert(ok.getString(0) === "a" && ok.getLong(1) === 7L)
+  }
+
+  test("topKWeighted: negative weights are rejected explicitly") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      Seq(("a", -5L)).toDF("v", "w")
+        .agg(FreqAggs.approxTopKWeighted(col("v"), col("w"), 1, 8).as("tk"))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("negative weights are not supported")))
+  }
 }
