@@ -182,7 +182,42 @@ object Pipeline {
       .orderBy(col("user_id"))
   }
 
+  /** The reference's PRIMARY verification probe — a bare `SELECT
+    * COUNT(*)` over the delivered table (`hashes_test.go:227-233`) —
+    * through the DSv2 catalog identifier, plus the min/max bounds the
+    * stats sidecars serve. The write path records per-segment stats at
+    * commit; the read path answers this whole query from METADATA
+    * (`SupportsPushDownAggregates`, complete pushdown): zero segments
+    * opened, zero lines parsed, at any log size. The oracle computes
+    * the same numbers from the orders table the log was derived from,
+    * so the metadata answer is hash-checked against ground truth. */
+  def p07_log_count_pushdown(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.LimitHashLog
+    // catalog instances are cached per session by name — the first
+    // initialization pins the warehouse, so creation must be idempotent
+    // (re-runs overwrite the table rather than colliding)
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p07").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p07").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p07", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p07.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p07.ingest")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft_p07.ingest.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+      .writeTo("graft_p07.ingest.limits").overwrite(lit(true))
+    spark.sql("""SELECT count(*) AS n, min(amount) AS lo, max(amount) AS hi,
+                        min(user_id) AS u0, max(user_id) AS u1
+                 FROM graft_p07.ingest.limits""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p07_log_count_pushdown" -> (p07_log_count_pushdown _),
     "p06_log_roundtrip" -> (p06_log_roundtrip _),
     "p05_mixture_sample" -> (p05_mixture_sample _),
     "p04_pack_sequences" -> (p04_pack_sequences _),
@@ -191,6 +226,13 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p07_log_count_pushdown" ->
+      """SELECT COUNT(*) AS n,
+        |  MIN(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)) AS lo,
+        |  MAX(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)) AS hi,
+        |  MIN('u' || CAST(o_custkey % 97 AS VARCHAR)) AS u0,
+        |  MAX('u' || CAST(o_custkey % 97 AS VARCHAR)) AS u1
+        |FROM orders""".stripMargin,
     "p06_log_roundtrip" ->
       """SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |  COUNT(*) AS n,

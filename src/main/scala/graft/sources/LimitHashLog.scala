@@ -9,14 +9,17 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => sread}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.{streaming => swrite}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.sources.{EqualTo, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSource V2 reader AND writer for the reference's entity log at
@@ -74,13 +77,69 @@ object LimitHashLog {
     val fs = path.getFileSystem(new Configuration())
     if (!fs.exists(path)) return Seq.empty
     val it = fs.listStatus(path).toSeq
-    // "_" = this writer's staging; "." = hidden (Hadoop .crc sidecars)
+    // "_" = this writer's staging; "." = hidden (Hadoop .crc sidecars,
+    // our .stats zone-map sidecars)
     it.filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(s => (s.getPath.toString, s.getLen))
       .sortBy(_._1)
   }
+
+  /** Stats sidecar for a committed segment — `.<segment>.stats`, hidden
+    * from [[segments]] by the dot prefix. One tiny JSON per segment is
+    * the local-filesystem shape; a warehouse deployment would fold these
+    * into a per-commit manifest exactly as Delta/Iceberg do. */
+  private[sources] def statsSidecar(segment: Path): Path =
+    new Path(segment.getParent, s".${segment.getName}.stats")
+
+  private[sources] def writeStats(fs: org.apache.hadoop.fs.FileSystem,
+      segment: Path, stats: SegmentStats): Unit = {
+    import org.json4s.jackson.Serialization
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val out = fs.create(statsSidecar(segment), true)
+    try out.write(Serialization.write(stats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[sources] def readStats(fs: org.apache.hadoop.fs.FileSystem,
+      segment: Path): Option[SegmentStats] = {
+    import org.json4s.jackson.Serialization
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val p = statsSidecar(segment)
+    try {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      Some(Serialization.read[SegmentStats](
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+    } catch { case _: java.io.IOException => None }
+  }
+
+  private[sources] def deleteSegment(fs: org.apache.hadoop.fs.FileSystem,
+      segment: Path): Unit = {
+    fs.delete(segment, false)
+    val sc = statsSidecar(segment)
+    if (fs.exists(sc)) fs.delete(sc, false)
+  }
+
+  /** All segments with their stats; a segment without a readable sidecar
+    * (external fixture, pre-stats era) maps to None. */
+  private[sources] def segmentsWithStats(dir: String): Seq[(String, Long, Option[SegmentStats])] = {
+    val path = new Path(dir)
+    val fs = path.getFileSystem(new Configuration())
+    segments(dir).map { case (f, len) => (f, len, readStats(fs, new Path(f))) }
+  }
 }
+
+/** Per-segment statistics, written as a sidecar at COMMIT time (the
+  * segment content is immutable from then on, so the stats are exact
+  * forever): row count answers COUNT(*) probes from metadata, the
+  * min/max pairs are the sparse-index analogue of ClickHouse's primary
+  * key — a selective equality probe skips whole segments whose range
+  * excludes the value (`hashes_test.go:191-203` is exactly such a
+  * probe). String bounds use UTF8String (binary) ordering — the same
+  * ordering Spark's comparisons use — so pruning is exact. */
+case class SegmentStats(rows: Long, minUserId: String, maxUserId: String,
+    minAmount: Long, maxAmount: Long)
 
 class LimitHashLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"limit_hash_log(`$path`)"
@@ -93,7 +152,8 @@ class LimitHashLogTable(path: String) extends Table with SupportsRead with Suppo
     new LimitHashLogScanBuilder(path,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxPartitionBytes")).map(_.toLong)
-        .getOrElse(128L * 1024 * 1024))
+        .getOrElse(128L * 1024 * 1024),
+      columnar = Option(options.get("columnar")).forall(_.toBoolean))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LogWriteBuilder(path, info.queryId())
 }
@@ -163,7 +223,7 @@ class LogStreamingWrite(path: String, queryId: String, truncate: Boolean = false
     val fs = dir.getFileSystem(new Configuration())
     val old = if (truncate) LimitHashLog.segments(path).map(_._1) else Seq.empty
     val committed = scala.collection.mutable.Set.empty[String]
-    messages.foreach { case LogCommit(staged, pid) =>
+    messages.foreach { case LogCommit(staged, pid, stats) =>
       if (staged.nonEmpty) { // empty partitions stage nothing
         val to = new Path(dir, s"segment-$queryId-$epochId-$pid")
         if (fs.exists(to)) fs.delete(to, false) // epoch replay: replace
@@ -173,19 +233,20 @@ class LogStreamingWrite(path: String, queryId: String, truncate: Boolean = false
           throw new java.io.IOException(
             s"LimitHashLog streaming commit: rename $staged -> $to failed")
         }
+        stats.foreach(LimitHashLog.writeStats(fs, to, _))
         committed += to.toString
       }
     }
     // truncate semantics: this epoch's output REPLACES the log. The old
     // listing can include this epoch's own prior attempt (replay) — those
     // names were already replaced above, so exclude them from deletion.
-    old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
+    old.filterNot(committed).foreach(f => LimitHashLog.deleteSegment(fs, new Path(f)))
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(new Configuration())
     messages.foreach {
-      case LogCommit(staged, _) if staged.nonEmpty =>
+      case LogCommit(staged, _, _) if staged.nonEmpty =>
         val p = new Path(staged)
         if (fs.exists(p)) fs.delete(p, false)
       case _ =>
@@ -200,7 +261,8 @@ class LogStreamingWriterFactory(path: String, queryId: String)
     new LogDataWriter(path, s"$queryId-$epochId", partitionId, taskId)
 }
 
-case class LogCommit(staged: String, partitionId: Int) extends WriterCommitMessage
+case class LogCommit(staged: String, partitionId: Int,
+    stats: Option[SegmentStats] = None) extends WriterCommitMessage
 
 class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
     extends BatchWrite {
@@ -212,7 +274,7 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
     val fs = dir.getFileSystem(new Configuration())
     val old = if (truncate) LimitHashLog.segments(path).map(_._1) else Seq.empty
     val committed = scala.collection.mutable.Set.empty[String]
-    messages.foreach { case LogCommit(staged, pid) =>
+    messages.foreach { case LogCommit(staged, pid, stats) =>
       if (staged.nonEmpty) { // empty partitions stage nothing
         val from = new Path(staged)
         val to = new Path(dir, s"segment-$queryId-$pid")
@@ -223,18 +285,19 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
           throw new java.io.IOException(
             s"LimitHashLog batch commit: rename $staged -> $to failed")
         }
+        stats.foreach(LimitHashLog.writeStats(fs, to, _))
         committed += to.toString
       }
     }
     // a retried query's old listing can contain names this commit just
     // replaced — never delete what we committed moments ago
-    old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
+    old.filterNot(committed).foreach(f => LimitHashLog.deleteSegment(fs, new Path(f)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(new Configuration())
     messages.foreach {
-      case LogCommit(staged, _) if staged.nonEmpty =>
+      case LogCommit(staged, _, _) if staged.nonEmpty =>
         val p = new Path(staged)
         if (fs.exists(p)) fs.delete(p, false)
       case _ =>
@@ -271,6 +334,15 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
     v
   }
 
+  // running segment stats for the commit-time sidecar (exact: the
+  // segment is immutable once committed). UTF8String (binary) ordering
+  // for the string bounds — what Spark's own comparisons use.
+  private var nRows = 0L
+  private var minUid: UTF8String = _
+  private var maxUid: UTF8String = _
+  private var minAmt = Long.MaxValue
+  private var maxAmt = Long.MinValue
+
   override def write(row: InternalRow): Unit = {
     if (out == null) {
       out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
@@ -278,17 +350,26 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
     }
     val msg = if (row.isNullAt(2)) ""
       else java.util.Base64.getEncoder.encodeToString(row.getBinary(2))
-    out.write(checkedField(row.getUTF8String(0).toString, "user_id"))
-    out.write('\t'); out.write(row.getLong(1).toString)
+    val uid = row.getUTF8String(0)
+    val amt = row.getLong(1)
+    out.write(checkedField(uid.toString, "user_id"))
+    out.write('\t'); out.write(amt.toString)
     out.write('\t'); out.write(msg)
     out.write('\t'); out.write(checkedField(row.getUTF8String(3).toString, "sha256sum"))
     out.write('\n')
+    nRows += 1
+    // clone on retention: the UTF8String is backed by a reused row buffer
+    if (minUid == null || uid.compareTo(minUid) < 0) minUid = uid.clone()
+    if (maxUid == null || uid.compareTo(maxUid) > 0) maxUid = uid.clone()
+    if (amt < minAmt) minAmt = amt
+    if (amt > maxAmt) maxAmt = amt
   }
 
   override def commit(): WriterCommitMessage = {
     if (out == null) return LogCommit("", partitionId) // empty: nothing staged
     out.close()
-    LogCommit(staged.toString, partitionId)
+    LogCommit(staged.toString, partitionId,
+      Some(SegmentStats(nRows, minUid.toString, maxUid.toString, minAmt, maxAmt)))
   }
 
   override def abort(): Unit = {
@@ -300,11 +381,13 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
 }
 
 class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
-    maxPartitionBytes: Long = 128L * 1024 * 1024)
+    maxPartitionBytes: Long = 128L * 1024 * 1024, columnar: Boolean = true)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
   private var required: StructType = LimitHashLog.SCHEMA
   private var pushed: Array[Filter] = Array.empty
+  private var aggTags: Seq[String] = Seq.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -321,21 +404,103 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** AGGREGATE pushdown — the reference's main probe is a bare
+    * `SELECT COUNT(*)` over the log (`hashes_test.go:227-233`); with
+    * per-segment stats sidecars that probe (and global MIN/MAX of the
+    * stats-covered columns) is answerable from METADATA — zero row
+    * bytes read, zero lines parsed, at any log size. Pushdown is
+    * accepted only when it is provably exact: no grouping, no pushed
+    * filters (a filtered count needs the rows), and a stats sidecar
+    * present for EVERY segment (a log with foreign segments falls back
+    * to the scan path). Complete pushdown: the returned row is final. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    translate(agg).isDefined
+  override def pushAggregation(agg: Aggregation): Boolean =
+    translate(agg) match {
+      case Some(tags) => aggTags = tags; true
+      case None => false
+    }
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  private def translate(agg: Aggregation): Option[Seq[String]] = {
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    // an optimizer-pruned aggregation can arrive EMPTY (e.g. count()
+    // over an already-aggregated frame) — declining keeps readSchema
+    // honest; accepting would promise zero columns over a row scan
+    if (agg.aggregateExpressions.isEmpty) return None
+    val tags = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => "count_star"
+      case m: Min => fieldOf(m.column) match {
+        case Some("amount") => "min_amount"
+        case Some("user_id") => "min_user"
+        case _ => return None
+      }
+      case m: Max => fieldOf(m.column) match {
+        case Some("amount") => "max_amount"
+        case Some("user_id") => "max_user"
+        case _ => return None
+      }
+      case _ => return None
+    }
+    // every segment must carry stats, or the answer can't come from
+    // metadata (checked LAST — it reads a sidecar per segment)
+    if (LimitHashLog.segmentsWithStats(path).forall(_._3.isDefined)) Some(tags)
+    else None
+  }
+
   override def build(): Scan =
-    new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger, maxPartitionBytes)
+    new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger,
+      maxPartitionBytes, columnar, aggTags)
 }
 
 class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
-    maxPartitionBytes: Long = 128L * 1024 * 1024)
+    maxPartitionBytes: Long = 128L * 1024 * 1024,
+    columnar: Boolean = true,
+    aggTags: Seq[String] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics {
-  override def readSchema(): StructType = required
+
+  override def readSchema(): StructType =
+    if (aggTags.isEmpty) required
+    else StructType(aggTags.map {
+      case "count_star" => StructField("count_star", LongType, nullable = false)
+      case t @ ("min_amount" | "max_amount") => StructField(t, LongType, nullable = true)
+      case t @ ("min_user" | "max_user") => StructField(t, StringType, nullable = true)
+    })
+
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): sread.MicroBatchStream =
     new LogMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
   override def description(): String =
-    s"LimitHashLog path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+    s"LimitHashLog path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
+      (if (aggTags.nonEmpty) s", PushedAggregates: ${aggTags.mkString("[", ", ", "]")}" else "")
+
+  /** Zone-map pruning: with pushed equality filters and stats sidecars,
+    * whole segments whose [min, max] range excludes the probe value are
+    * dropped at PLANNING — the ClickHouse sparse-primary-key effect.
+    * A segment without a sidecar is never skipped (correctness first). */
+  private def zoneFiltered: Seq[(String, Long)] = {
+    if (pushed.isEmpty) return LimitHashLog.segments(path)
+    val eqs = pushed.collect { case EqualTo(a, v) => (a, v) }
+    LimitHashLog.segmentsWithStats(path).collect {
+      case (f, len, None) => (f, len)
+      case (f, len, Some(st)) if eqs.forall {
+        case ("amount", v: Number) =>
+          val x = v.longValue(); x >= st.minAmount && x <= st.maxAmount
+        case ("user_id", v) =>
+          val u = UTF8String.fromString(String.valueOf(v))
+          u.compareTo(UTF8String.fromString(st.minUserId)) >= 0 &&
+            u.compareTo(UTF8String.fromString(st.maxUserId)) <= 0
+        case _ => true // no stats tracked for this column
+      } => (f, len)
+    }
+  }
 
   /** Bin-pack segments into ≤ maxPartitionBytes splits (first-fit on
     * the sorted listing): an entity log accumulates one segment per
@@ -343,10 +508,28 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     * round-trips forever after — the same packing Spark's own file
     * scans apply via files.maxPartitionBytes. Segments larger than the
     * target get their own split (a segment is the atomic unit — TSV
-    * lines have no row-group index to split on). */
+    * lines have no row-group index to split on).
+    *
+    * A pushed-down aggregation short-circuits all of it: the single
+    * result row is computed here on the driver from the stats sidecars
+    * (already proven complete by the ScanBuilder) and shipped as one
+    * value partition — no segment is opened at all. */
   override def planInputPartitions(): Array[InputPartition] = {
+    if (aggTags.nonEmpty) {
+      val stats = LimitHashLog.segmentsWithStats(path).flatMap(_._3)
+      val values: Seq[Any] = aggTags.map {
+        case "count_star" => stats.map(_.rows).sum
+        case "min_amount" => if (stats.isEmpty) null else stats.map(_.minAmount).min
+        case "max_amount" => if (stats.isEmpty) null else stats.map(_.maxAmount).max
+        case "min_user" => if (stats.isEmpty) null
+          else stats.map(s => UTF8String.fromString(s.minUserId)).min.toString
+        case "max_user" => if (stats.isEmpty) null
+          else stats.map(s => UTF8String.fromString(s.maxUserId)).max.toString
+      }
+      return Array(LogAggPartition(values))
+    }
     val packed = scala.collection.mutable.ArrayBuffer.empty[(List[String], Long)]
-    LimitHashLog.segments(path).foreach { case (f, len) =>
+    zoneFiltered.foreach { case (f, len) =>
       packed.lastOption match {
         case Some((fs, tot)) if tot + len <= maxPartitionBytes =>
           packed(packed.length - 1) = (f :: fs, tot + len)
@@ -357,7 +540,7 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LogSegmentReaderFactory(required, pushed)
+    new LogSegmentReaderFactory(required, pushed, columnar)
 
   // size scaled by the pruned fraction of the fixed-ish row layout, so
   // a key-only projection of a big log still reports small enough to
@@ -372,14 +555,128 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
 
 case class LogSegmentPartition(file: String) extends InputPartition
 case class LogSegmentsPartition(files: Seq[String]) extends InputPartition
+/** One pre-computed aggregate row (plain JVM values; the reader maps
+  * strings to UTF8String) — the whole "scan" of a pushed aggregation. */
+case class LogAggPartition(values: Seq[Any]) extends InputPartition
 
-class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter])
+class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter],
+    columnar: Boolean = true)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case LogSegmentPartition(f) => new LogSegmentReader(f, required, pushed)
       case LogSegmentsPartition(fs) => new MultiSegmentReader(fs, required, pushed)
+      case LogAggPartition(values) => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow = new GenericInternalRow(
+          values.map {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          }.toArray)
+        override def close(): Unit = ()
+      }
     }
+
+  // VECTORIZED path: every built-in file scan in the engine hands Spark
+  // ColumnarBatches; this source must too, or a log scan is the one
+  // per-core row-at-a-time tier left in a 100 TB read. Spark's
+  // ColumnarToRow conversion over these batches is codegen'd (one tight
+  // loop per batch), vs. a virtual next()/get() call pair per row.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && !partition.isInstanceOf[LogAggPartition] // one row: row reader
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    partition match {
+      case LogSegmentPartition(f) => new LogColumnarReader(Seq(f), required, pushed)
+      case LogSegmentsPartition(fs) => new LogColumnarReader(fs, required, pushed)
+      case p: LogAggPartition =>
+        throw new UnsupportedOperationException(s"no columnar read for $p")
+    }
+}
+
+/** Columnar twin of [[LogSegmentReader]]/[[MultiSegmentReader]]: parses
+  * a split's segment files into [[ColumnarBatch]]es of up to
+  * `batchSize` rows, populating on-heap column vectors directly —
+  * pruning (only projected fields materialize; msg base64-decodes only
+  * if projected) and pushed equality filters (evaluated on the raw
+  * split fields, before anything is stored) are IDENTICAL to the row
+  * reader's. Vector capacity is reused across batches (`reset()`), so
+  * allocation is O(batchSize) once per task, not per batch. */
+class LogColumnarReader(files: Seq[String], required: StructType,
+    pushed: Array[Filter], batchSize: Int = 4096)
+    extends PartitionReader[ColumnarBatch] {
+  private val fileIt = files.iterator
+  private var reader: java.io.BufferedReader = _
+
+  private val colIdx = required.fields.map(f => LimitHashLog.SCHEMA.fieldIndex(f.name))
+  private val checks: Array[(Int, String)] = pushed.collect {
+    case EqualTo(a, v) => (LimitHashLog.SCHEMA.fieldIndex(a), v.toString)
+  }
+
+  private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
+  private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+
+  /** Next raw line across the split's files, or null at end. */
+  private def nextLine(): String = {
+    while (true) {
+      if (reader == null) {
+        if (!fileIt.hasNext) return null
+        val p = new Path(fileIt.next())
+        reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+          p.getFileSystem(new Configuration()).open(p),
+          java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val line = reader.readLine()
+      if (line != null) return line
+      reader.close(); reader = null
+    }
+    null // unreachable
+  }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    var done = false
+    while (n < batchSize && !done) {
+      val line = nextLine()
+      if (line == null) done = true
+      else {
+        val parts = line.split("\t", -1)
+        if (parts.length == 4 && checks.forall(c => parts(c._1) == c._2)) {
+          var j = 0
+          while (j < colIdx.length) {
+            colIdx(j) match {
+              case 0 =>
+                val b = parts(0).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                vectors(j).putByteArray(n, b, 0, b.length)
+              case 1 => vectors(j).putLong(n, parts(1).toLong)
+              case 2 =>
+                if (parts(2).isEmpty) vectors(j).putNull(n)
+                else {
+                  val b = java.util.Base64.getDecoder.decode(parts(2))
+                  vectors(j).putByteArray(n, b, 0, b.length)
+                }
+              case 3 =>
+                val b = parts(3).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                vectors(j).putByteArray(n, b, 0, b.length)
+            }
+            j += 1
+          }
+          n += 1
+        }
+      }
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    if (reader != null) reader.close()
+    batch.close() // frees the vectors
+  }
 }
 
 /** Sequential reader over a bin-packed split's segment files. */

@@ -35,9 +35,15 @@ class DsV2SourceSpec extends AnyFunSuite {
   private def read(): DataFrame =
     spark.read.format(LimitHashLog.FORMAT).load(logDir)
 
-  private def scanOf(df: DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    val plan = df.queryExecution.executedPlan
+    // AQE wraps multi-stage plans; the scan lives in the adaptive subtree
+    val expanded = plan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(plan)
+    expanded.collectFirst { case b: BatchScanExec => b }
       .getOrElse(fail("no BatchScanExec in plan"))
+  }
 
   test("full read: schema, rows, null msg, base64 payloads") {
     val df = read()
@@ -282,6 +288,120 @@ class DsV2SourceSpec extends AnyFunSuite {
     val out = readDir(dst).collect()
     assert(out.length === 6)
     assert(out.map(_.getString(0)).forall(u => u.startsWith("A") || u.startsWith("B")))
+  }
+
+  test("columnar read: vectorized batches, identical results, pruning and pushdown intact") {
+    // default scan is COLUMNAR: the executed plan must convert batches
+    // (ColumnarToRow), not iterate rows out of the source
+    val df = read()
+    val plan = { df.collect(); df.queryExecution.executedPlan.toString }
+    assert(plan.contains("ColumnarToRow"), s"expected a columnar scan:\n$plan")
+
+    // row-for-row identical to the row-based reader (columnar=false)
+    val rowDf = spark.read.format(LimitHashLog.FORMAT)
+      .option("columnar", "false").load(logDir)
+    val rowPlan = { rowDf.collect(); rowDf.queryExecution.executedPlan.toString }
+    assert(!rowPlan.contains("ColumnarToRow"), s"columnar=false must read rows:\n$rowPlan")
+    def render(d: DataFrame): Seq[String] =
+      d.select(col("user_id"), col("amount"), hex(col("msg")).as("msg_hex"), col("sha256sum"))
+        .orderBy("amount").collect().map(_.toString).toSeq
+    assert(render(df) === render(rowDf))
+
+    // binary payloads and nulls survive vectorization
+    val rows = df.orderBy("amount").collect()
+    assert(new String(rows.head.getAs[Array[Byte]]("msg"), StandardCharsets.UTF_8) === "m1")
+    assert(rows(1).isNullAt(2))
+
+    // pruning + pushdown behave identically through the columnar path
+    val probe = df.filter(col("user_id") === "u1").select("amount")
+    assert(scanOf(probe).toString.contains("user_id"))
+    assert(probe.collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 30L, 60L))
+  }
+
+  test("columnar read: batches span multiple bin-packed segments correctly") {
+    // all 3 segments pack into one split — the columnar reader must
+    // stream across file boundaries within one batch
+    val one = read().coalesce(1).collect()
+    assert(one.length === 6)
+  }
+
+  test("aggregate pushdown: COUNT/MIN/MAX answered from stats sidecars, zero rows parsed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lhlog_agg").toString
+    writeDir(sampleDf("a", 9), dir, "append")   // amounts 1..9
+    writeDir(sampleDf("z", 4), dir, "append")   // user_ids z1..z4
+
+    val df = readDir(dir).selectExpr("count(*) as n", "min(amount) as lo",
+      "max(amount) as hi", "min(user_id) as u0", "max(user_id) as u1")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)) ===
+      ((13L, 1L, 9L, "a1", "z4")))
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("PushedAggregates"), s"aggregation must reach the scan: $desc")
+
+    // the proof it never parses a row: corrupt every segment's BYTES
+    // (keeping the sidecars) — a parsed read would throw/misbehave, the
+    // metadata path cannot notice
+    val d = new java.io.File(dir)
+    d.listFiles().filter(f => f.isFile && f.getName.startsWith("segment-")).foreach { f =>
+      Files.write(f.toPath, "u\tNOT_A_NUMBER\tx\ty".getBytes(StandardCharsets.UTF_8))
+    }
+    assert(readDir(dir).count() === 13L)
+    // a non-pushable aggregate over the corrupted bytes DOES parse (and
+    // the poisoned amount field throws) — the pushdown is what saved us
+    intercept[Exception] { readDir(dir).agg(sum(col("amount"))).head() }
+  }
+
+  test("aggregate pushdown declines when it cannot be exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lhlog_aggno").toString
+    writeDir(sampleDf("a", 5), dir, "append")
+    // (1) a pushed filter makes metadata counts wrong -> full scan path
+    val filtered = readDir(dir).filter(col("user_id") === "a1")
+      .selectExpr("count(*) as n")
+    assert(!scanOf(filtered).scan.description().contains("PushedAggregates"))
+    assert(filtered.head().getLong(0) === 1L)
+    // (2) a foreign segment without a sidecar -> full scan path
+    Files.write(java.nio.file.Path.of(dir, "segment-foreign-0"),
+      "f1\t77\t\thf".getBytes(StandardCharsets.UTF_8))
+    val mixed = readDir(dir).selectExpr("count(*) as n")
+    assert(!scanOf(mixed).scan.description().contains("PushedAggregates"))
+    assert(mixed.head().getLong(0) === 6L)
+    // (3) grouped aggregation is never pushed
+    val grouped = readDir(dir).groupBy("user_id").count()
+    assert(!scanOf(grouped).scan.description().contains("PushedAggregates"))
+  }
+
+  test("zone maps: a selective probe plans only the segments whose range can match") {
+    val dir = Files.createTempDirectory("graft_lhlog_zm").toString
+    // 4 range-disjoint segments on amount (1..25, 26..50, 51..75, 76..100)
+    sampleDf("u", 100).repartitionByRange(4, col("amount"))
+      .write.format(LimitHashLog.FORMAT).mode("append").save(dir)
+    assert(new java.io.File(dir).listFiles().count(f => f.getName.startsWith("segment-")) === 4)
+    def probeParts(c: org.apache.spark.sql.Column): (Long, Int) = {
+      val df = spark.read.format(LimitHashLog.FORMAT)
+        .option("maxPartitionBytes", "1") // one split per surviving segment
+        .load(dir).filter(c)
+      (df.count(), df.rdd.getNumPartitions)
+    }
+    // equality probe on amount: exactly one segment's range contains 42
+    assert(probeParts(col("amount") === 42L) === ((1L, 1)))
+    // user_id probe: u42 lives in one segment's [min,max] string range...
+    val (uRows, uParts) = probeParts(col("user_id") === "u42")
+    assert(uRows === 1L && uParts <= 4)
+    // value outside every range: planned to ZERO partitions
+    assert(probeParts(col("amount") === 999L) === ((0L, 0)))
+    // conjunctive probe intersects the per-column prunes
+    assert(probeParts(col("amount") === 42L && col("sha256sum") === "sha-u-42") === ((1L, 1)))
+    // correctness net: an unfiltered read still sees everything
+    assert(spark.read.format(LimitHashLog.FORMAT).load(dir).count() === 100L)
+  }
+
+  test("p07: the catalog count probe is answered by pushed aggregation") {
+    val df = graft.operators.Pipeline.p07_log_count_pushdown(spark, "/root/testdata/sf0.001")
+    assert(scanOf(df).scan.description().contains("PushedAggregates"),
+      "the count probe must be answered from segment metadata")
+    assert(df.count() === 1L)
   }
 
   test("streaming write truncate: complete-mode output replaces the log each epoch") {
