@@ -51,6 +51,9 @@ object Sessions {
     // operator and can plan the native as-of join
     graft.plans.TopKPerGroup.register(spark)
     graft.plans.AsOfJoin.register(spark)
+    // warehouse dialect: jdbc:clickhouse URLs get exact type widening,
+    // backtick quoting, and ClickHouse DDL types (sources/ClickHouseDialect)
+    graft.sources.ClickHouseDialect.register()
     spark
   }
 }

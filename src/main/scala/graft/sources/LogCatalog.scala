@@ -21,13 +21,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   SELECT user_id, amount FROM graft.ingest.limits WHERE user_id = 'u7';
   * }}}
   *
-  * Identifier `ns.table` maps to `<warehouse>/ns/table/`; every
-  * resolved table is a [[LimitHashLogTable]], so the catalog path gets
-  * the exact same pruning / pushdown / staged-commit machinery as the
-  * path-based API. Table schema is FIXED by the entity (SURVEY §1.1) —
-  * `createTable` validates rather than persists the requested columns,
-  * which is the ClickHouse-style "the engine owns the table layout"
-  * contract the reference's migrations encode (`migrate.go:13`). */
+  * Identifier `ns.table` maps to `<warehouse>/ns/table/`.
+  *
+  * TWO table formats live under one namespace, dispatched on the
+  * DECLARED SCHEMA — the DSv2 analogue of the reference's
+  * migrations-owned layout (`migrate.go:13-34`, where the migration
+  * decides each table's engine):
+  *
+  *   - the fixed entity schema (or none) → a [[LimitHashLogTable]],
+  *     with the log connector's pruning / pushdown / staged-commit /
+  *     stats machinery;
+  *   - any other schema → a catalog-managed PARQUET table: the schema
+  *     persists as `_schema.json` in the table directory (so an empty
+  *     table is readable and the layout survives restarts) and reads /
+  *     writes go through Spark's own vectorized parquet `FileTable` —
+  *     full predicate pushdown, column pruning, and columnar batches
+  *     through the same `graft.<ns>.<t>` identifiers. */
 class LogCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -55,33 +64,61 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
 
+  /** Schema manifest of a catalog-managed parquet table; its absence
+    * marks an entity-log directory. The parquet FILES live in the
+    * `data/` subdirectory — INSERT OVERWRITE truncates the data path,
+    * and keeping the manifest a level above means a truncate can never
+    * destroy the table's layout. */
+  private def schemaFile(dir: Path): Path = new Path(dir, "_schema.json")
+  private def dataDir(dir: Path): Path = new Path(dir, "data")
+
+  private def parquetTable(ident: Identifier, dir: Path, schema: StructType): Table =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      ident.toString,
+      org.apache.spark.sql.classic.SparkSession.active,
+      CaseInsensitiveStringMap.empty(),
+      Seq(dataDir(dir).toString),
+      Some(schema),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (!fs.exists(dir)) {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }
-    new LimitHashLogTable(dir.toString)
+    val sf = schemaFile(dir)
+    if (fs.exists(sf)) {
+      val in = fs.open(sf)
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      parquetTable(ident, dir,
+        org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType])
+    } else new LimitHashLogTable(dir.toString)
   }
 
+  /** Entity-shaped (or empty) schema → entity log; anything else → a
+    * schema-manifested parquet table. The entity's layout stays owned
+    * by the engine either way — a log table's columns can't drift. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "entity log tables are unpartitioned")
-    // the entity owns its layout: accept an empty schema (CTAS-less
-    // `CREATE TABLE t` is not valid SQL, so in practice callers state
-    // it) or exactly the entity schema, by name and type
-    if (schema.nonEmpty) {
-      val want = LimitHashLog.SCHEMA.fields.map(f => (f.name, f.dataType)).toSeq
-      val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
-      require(got == want,
-        s"entity log schema is fixed: ${LimitHashLog.SCHEMA.simpleString}, got ${schema.simpleString}")
-    }
+    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
     val dir = dirOf(ident)
     if (fs.exists(dir)) {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.toString)
     }
-    fs.mkdirs(dir)
-    new LimitHashLogTable(dir.toString)
+    val want = LimitHashLog.SCHEMA.fields.map(f => (f.name, f.dataType)).toSeq
+    val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    if (schema.isEmpty || got == want) {
+      fs.mkdirs(dir)
+      new LimitHashLogTable(dir.toString)
+    } else {
+      fs.mkdirs(dataDir(dir))
+      val out = fs.create(schemaFile(dir), false)
+      try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      parquetTable(ident, dir, schema)
+    }
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -90,6 +90,63 @@ final class JdbcBatchSink(url: String, table: String,
       .jdbc(url, table, properties)
 }
 
+/** Warehouse-specific SQL for the stage→target step of
+  * [[StagedJdbcBatchSink]]. ANSI warehouses (Derby, Postgres, …) get
+  * `MERGE INTO … WHEN NOT MATCHED`; ClickHouse has no MERGE — its
+  * insert-if-absent idiom is `INSERT INTO target SELECT … FROM stage
+  * LEFT ANTI JOIN target ON key` (native anti join) plus lightweight
+  * `DELETE` for the stage GC, with backtick identifiers. Both idioms
+  * keep every step idempotent per batchId, so the replay-safety
+  * argument on [[StagedJdbcBatchSink]] holds unchanged. */
+sealed trait MergeIdiom extends Serializable {
+  def quote(c: String): String
+  def deleteStaged(stage: String, batchId: Long): String
+  def merge(target: String, stage: String, keyCols: Seq[String], cols: Seq[String]): String
+}
+
+object MergeIdiom {
+  def forUrl(url: String): MergeIdiom =
+    if (url.toLowerCase(java.util.Locale.ROOT).startsWith("jdbc:clickhouse"))
+      ClickHouseMergeIdiom
+    else AnsiMergeIdiom
+}
+
+/** `MERGE INTO` with double-quoted (case-sensitive) identifiers —
+  * Spark's JDBC writer creates quoted column names, which an unquoted
+  * identifier in hand-written SQL would not resolve. */
+case object AnsiMergeIdiom extends MergeIdiom {
+  override def quote(c: String): String = "\"" + c + "\""
+  override def deleteStaged(stage: String, batchId: Long): String =
+    s"DELETE FROM $stage WHERE ${quote("batch_id")} = $batchId"
+  override def merge(target: String, stage: String,
+      keyCols: Seq[String], cols: Seq[String]): String = {
+    val on = keyCols.map(k => s"t.${quote(k)} = s.${quote(k)}").mkString(" AND ")
+    val insertCols = cols.map(quote).mkString(", ")
+    val insertVals = cols.map(c => s"s.${quote(c)}").mkString(", ")
+    s"""MERGE INTO $target t USING $stage s ON ($on)
+       |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin
+  }
+}
+
+/** ClickHouse's insert-if-absent: anti-join the stage against the
+  * target server-side; one set-based INSERT, no per-row traffic. The
+  * stage GC uses lightweight DELETE (ClickHouse ≥ 22.8; an older
+  * deployment would swap in `ALTER TABLE … DELETE WHERE`). */
+case object ClickHouseMergeIdiom extends MergeIdiom {
+  override def quote(c: String): String = "`" + c.replace("`", "``") + "`"
+  override def deleteStaged(stage: String, batchId: Long): String =
+    s"DELETE FROM $stage WHERE ${quote("batch_id")} = $batchId"
+  override def merge(target: String, stage: String,
+      keyCols: Seq[String], cols: Seq[String]): String = {
+    val on = keyCols.map(k => s"s.${quote(k)} = t.${quote(k)}").mkString(" AND ")
+    val insertCols = cols.map(quote).mkString(", ")
+    val selectVals = cols.map(c => s"s.${quote(c)}").mkString(", ")
+    s"""INSERT INTO $target ($insertCols)
+       |SELECT $selectVals FROM $stage AS s
+       |LEFT ANTI JOIN $target AS t ON $on""".stripMargin
+  }
+}
+
 /** Effectively-once JDBC delivery via stage-and-MERGE — the production
   * warehouse shape the plain [[JdbcBatchSink]] Scaladoc points at.
   * Each micro-batch is (re)staged into `<table>_stage` tagged with its
@@ -112,6 +169,9 @@ class StagedJdbcBatchSink(url: String, table: String,
     keyCols: Seq[String], properties: java.util.Properties) extends BatchSink {
   require(keyCols.nonEmpty, "effectively-once needs a dedup key")
   private def stage = s"${table}_stage"
+  // warehouse-matched SQL (Derby/ANSI: MERGE; ClickHouse: anti-join
+  // INSERT) — see MergeIdiom; the step sequence is identical either way
+  private val idiom = MergeIdiom.forUrl(url)
 
   override def write(df: DataFrame, batchId: Long, maxBatchCap: Int): Unit = {
     val clean = df.dropDuplicates(keyCols)
@@ -121,23 +181,14 @@ class StagedJdbcBatchSink(url: String, table: String,
     clean.limit(0).write.mode("append").jdbc(url, table, properties)
     clean.limit(0).withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
       .write.mode("append").jdbc(url, stage, properties)
-    // replay-clean, restage, merge, GC — each step idempotent per
-    // batchId. Column identifiers are double-quoted: Spark's JDBC
-    // writer creates case-sensitive (quoted) column names, which an
-    // unquoted identifier in hand-written SQL would not resolve.
-    def q(c: String) = "\"" + c + "\""
-    execute(s"DELETE FROM $stage WHERE ${q("batch_id")} = $batchId")
+    // replay-clean, restage, merge, GC — each step idempotent per batchId
+    execute(idiom.deleteStaged(stage, batchId))
     clean.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
       .write.mode("append")
       .option("batchsize", maxBatchCap.toLong)
       .jdbc(url, stage, properties)
-    val on = keyCols.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
-    val insertCols = cols.map(q).mkString(", ")
-    val insertVals = cols.map(c => s"s.${q(c)}").mkString(", ")
-    execute(
-      s"""MERGE INTO $table t USING $stage s ON ($on)
-         |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
-    execute(s"DELETE FROM $stage WHERE ${q("batch_id")} = $batchId")
+    execute(idiom.merge(table, stage, keyCols, cols))
+    execute(idiom.deleteStaged(stage, batchId))
   }
 
   private def execute(sql: String): Unit = {

@@ -168,10 +168,12 @@ class DsV2SourceSpec extends AnyFunSuite {
       val scanDesc = probe.queryExecution.executedPlan.toString
       assert(scanDesc.contains("EqualTo(user_id,u1)"),
         s"filter must push through the catalog path:\n$scanDesc")
-      // fixed-layout contract: a wrong schema is rejected
-      intercept[Exception] {
-        spark.sql("CREATE TABLE graft.ingest.bad (x INT)")
-      }
+      // a non-entity schema is NOT a log table — it becomes a
+      // catalog-managed parquet table (round-tripped in its own test)
+      spark.sql("CREATE TABLE graft.ingest.other (x INT)")
+      assert(new java.io.File(s"$wh/ingest/other/_schema.json").exists(),
+        "non-entity schema must create a schema-manifested parquet table")
+      spark.sql("DROP TABLE graft.ingest.other")
       assert(spark.sql("SELECT COUNT(*) FROM graft.ingest.limits").head().getLong(0) === 30L)
       spark.sql("DROP TABLE graft.ingest.limits")
       intercept[Exception] { spark.sql("SELECT * FROM graft.ingest.limits").collect() }
@@ -288,6 +290,51 @@ class DsV2SourceSpec extends AnyFunSuite {
     val out = readDir(dst).collect()
     assert(out.length === 6)
     assert(out.map(_.getString(0)).forall(u => u.startsWith("A") || u.startsWith("B")))
+  }
+
+  test("catalog: parquet-managed tables — CREATE / INSERT / SELECT / pushdown / DROP") {
+    val wh = Files.createTempDirectory("graft_pqcat").toString
+    spark.conf.set("spark.sql.catalog.graft_pq", classOf[graft.sources.LogCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_pq.warehouse", wh)
+    try {
+      spark.sql("CREATE NAMESPACE graft_pq.marts")
+      spark.sql("CREATE TABLE graft_pq.marts.sales (region STRING, qty BIGINT, price DOUBLE)")
+      // an EMPTY parquet table is readable (schema from the manifest)
+      assert(spark.sql("SELECT * FROM graft_pq.marts.sales").count() === 0L)
+      spark.sql("INSERT INTO graft_pq.marts.sales " +
+        "SELECT CONCAT('r', id % 4), id, id * 1.5 FROM RANGE(40)")
+      assert(spark.sql("SELECT SUM(qty) FROM graft_pq.marts.sales").head().getLong(0) ===
+        (0L until 40L).sum)
+      // predicate pushdown + column pruning reach the parquet scan
+      val probe = spark.sql(
+        "SELECT qty FROM graft_pq.marts.sales WHERE region = 'r2' ORDER BY qty")
+      assert(probe.collect().map(_.getLong(0)).toSeq === (0L until 40L).filter(_ % 4 == 2))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("region"),
+        s"parquet pushdown must survive the catalog identifier:\n$plan")
+      assert(plan.contains("ReadSchema") && !plan.contains("price"),
+        s"unprojected columns must prune out of the parquet scan:\n$plan")
+      // INSERT OVERWRITE replaces content through the same identifier
+      spark.sql("INSERT OVERWRITE graft_pq.marts.sales " +
+        "SELECT 'rX', id, 0.0 FROM RANGE(3)")
+      assert(spark.sql("SELECT COUNT(*) FROM graft_pq.marts.sales").head().getLong(0) === 3L)
+      // the schema manifest survives a session-cache roundtrip: drop and
+      // recreate the catalog's view of the table via a fresh load
+      assert(spark.sql("SHOW TABLES IN graft_pq.marts").collect()
+        .map(_.getString(1)).contains("sales"))
+      spark.sql("DROP TABLE graft_pq.marts.sales")
+      intercept[Exception] { spark.sql("SELECT * FROM graft_pq.marts.sales").collect() }
+      // a log table and a parquet table coexist in one namespace
+      spark.sql("CREATE TABLE graft_pq.marts.hashes " +
+        "(user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)")
+      spark.sql("INSERT INTO graft_pq.marts.hashes " +
+        "SELECT 'u1', 7, CAST(NULL AS BINARY), 'h7'")
+      assert(new java.io.File(s"$wh/marts/hashes").listFiles()
+        .exists(_.getName.startsWith("segment-")), "entity schema must stay a log table")
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_pq.warehouse")
+      spark.conf.unset("spark.sql.catalog.graft_pq")
+    }
   }
 
   test("columnar read: vectorized batches, identical results, pruning and pushdown intact") {
