@@ -105,15 +105,48 @@ object Dedup {
   def d02_dedup_minhash_lsh(spark: SparkSession, dir: String): DataFrame =
     minhashDedup(Tables.documents(spark, dir))
 
-  /** Core, corpus-independent: input needs (doc_id, text). */
-  def minhashDedup(docsRaw: DataFrame): DataFrame = {
-    val docs = minhashDocs(docsRaw).cache()
-    val cand = lshCandidates(docs)
-    val verified = cand
+  /** LSH candidates → exact shingle-Jaccard verify ≥ [[JACCARD_T]];
+    * `docs` is [[minhashDocs]] output. Pairs (a < b). */
+  private def minhashVerifiedPairs(docs: DataFrame): DataFrame =
+    lshCandidates(docs)
       .join(docs.select(col("doc_id").as("a"), col("sh_h").as("sh_a")), "a")
       .join(docs.select(col("doc_id").as("b"), col("sh_h").as("sh_b")), "b")
       .filter(jaccard(col("sh_a"), col("sh_b")) >= JACCARD_T)
-    perDocVerdict(docs.select("doc_id"), verified)
+
+  /** Core, corpus-independent: input needs (doc_id, text). */
+  def minhashDedup(docsRaw: DataFrame): DataFrame = {
+    val docs = minhashDocs(docsRaw).cache()
+    perDocVerdict(docs.select("doc_id"), minhashVerifiedPairs(docs))
+  }
+
+  /** The MinHash-LSH pipeline made ORACLE-CHECKABLE (the family's one
+    * cross-engine anchor besides d04): a planted corpus where the exact
+    * verify set is computable in plain SQL. Every token is prefixed
+    * with its doc_id, so DISTINCT docs share ZERO shingles — the only
+    * pairs with any overlap are (doc, its variant), where the variant
+    * drops the final token (shingle-Jaccard ≥ (m-3)/m, m ≥ 48 distinct
+    * shingles ⇒ ≥ 0.93, far above both the 0.8 verify threshold and the
+    * 16×4 LSH band-collision knee — recall 1 for this corpus). Spark
+    * runs the REAL pipeline end to end — signatures, banding, capped
+    * buckets, candidate join, exact verify; DuckDB computes the same
+    * pair set from first principles (shared-shingle counts), so the
+    * hash compare pins candidate generation + verification, not a
+    * degenerate shortcut. */
+  def d10_dedup_minhash_planted(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")).between(50, 400))
+      .select(col("doc_id"),
+        transform(col("toks"),
+          t => concat(lit("d"), col("doc_id"), lit("x"), t)).as("toks"))
+    val variants = base.select((col("doc_id") + 100000).as("doc_id"),
+      slice(col("toks"), lit(1), size(col("toks")) - 1).as("toks"))
+    val corpus = base.unionByName(variants)
+      .select(col("doc_id"), array_join(col("toks"), " ").as("text"))
+    minhashVerifiedPairs(minhashDocs(corpus).cache())
+      .select(col("a"), col("b"))
+      .orderBy(col("a"), col("b"))
   }
 
   /** SimHash near-dedup: 64-bit sign-of-weighted-bits sketch per doc,
@@ -450,6 +483,7 @@ object Dedup {
     "d02_dedup_minhash_lsh" -> (d02_dedup_minhash_lsh _),
     "d03_dedup_simhash" -> (d03_dedup_simhash _),
     "d04_dedup_ngram_jaccard" -> (d04_dedup_ngram_jaccard _),
+    "d10_dedup_minhash_planted" -> (d10_dedup_minhash_planted _),
     "d05_dedup_embedding" -> (d05_dedup_embedding _),
     "d06_dedup_incremental" -> (d06_dedup_incremental _),
     "d07_decontaminate" -> (d07_decontaminate _),
@@ -576,8 +610,44 @@ object Dedup {
       |WHERE d.doc_id % 97 <> 0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** d10 oracle: same normalization/prefix/variant construction, then
+    * the verify stage from first principles — distinct word-3-shingle
+    * sets, shared-shingle counts (only (doc, variant) pairs can share:
+    * the prefix makes every other intersection empty), Jaccard ≥ 0.8.
+    * Index bookkeeping mirrors shinglesFromTokens exactly: 1-based
+    * starts 1..n-2. */
+  private val minhashPlantedOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    LIST_TRANSFORM(
+      |      REGEXP_SPLIT_TO_ARRAY(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+      |        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+      |      tok -> 'd' || CAST(doc_id AS VARCHAR) || 'x' || tok) AS toks
+      |  FROM documents WHERE doc_id < 300),
+      |f AS (SELECT doc_id, toks FROM t WHERE LEN(toks) BETWEEN 50 AND 400),
+      |corpus AS (
+      |  SELECT doc_id, toks FROM f
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, toks[1:LEN(toks)-1] AS toks FROM f),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, toks[CAST(i AS INT)] || ' ' ||
+      |    toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2] AS s
+      |  FROM corpus, UNNEST(RANGE(1, GREATEST(LEN(toks) - 2, 0) + 1)) AS u(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |shared AS (
+      |  SELECT sa.doc_id AS a, sb.doc_id AS b, COUNT(*) AS ns
+      |  FROM sh sa JOIN sh sb ON sa.s = sb.s AND sa.doc_id < sb.doc_id
+      |  GROUP BY 1, 2),
+      |ver AS (
+      |  SELECT shared.a, shared.b FROM shared
+      |  JOIN sizes za ON za.doc_id = shared.a
+      |  JOIN sizes zb ON zb.doc_id = shared.b
+      |  WHERE CAST(ns AS DOUBLE) / (za.n + zb.n - ns) >= 0.8)
+      |SELECT a, b FROM ver ORDER BY a, b""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d04_dedup_ngram_jaccard" -> ngramOracleSql,
+    "d10_dedup_minhash_planted" -> minhashPlantedOracleSql,
     "d08_dedup_clusters" -> clustersOracleSql,
     "d09_dedup_keep_best" -> keepBestOracleSql,
     "d07_decontaminate" -> decontaminateOracleSql,
