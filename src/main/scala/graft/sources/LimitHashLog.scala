@@ -137,9 +137,68 @@ object LimitHashLog {
   * key — a selective equality probe skips whole segments whose range
   * excludes the value (`hashes_test.go:191-203` is exactly such a
   * probe). String bounds use UTF8String (binary) ordering — the same
-  * ordering Spark's comparisons use — so pruning is exact. */
+  * ordering Spark's comparisons use — so pruning is exact.
+  *
+  * `bloom` is the ClickHouse `bloom_filter` skip-index analogue for the
+  * columns where a [min, max] range can't prune: `sha256sum` is
+  * uniformly distributed (every segment's range spans the hash space),
+  * yet hash-equality lookup is the reference's PRIMARY verification
+  * probe (`hashes_test.go:192-202`). Each committed segment carries an
+  * 8 KiB Bloom filter over its `s:<sha256sum>` and `u:<user_id>` values
+  * — a definite miss skips the whole segment; a false positive merely
+  * reads one (correctness never depends on the filter). */
 case class SegmentStats(rows: Long, minUserId: String, maxUserId: String,
-    minAmount: Long, maxAmount: Long)
+    minAmount: Long, maxAmount: Long, bloom: Option[String] = None)
+
+/** Fixed-size (2^16-bit) Bloom filter, Kirsch–Mitzenmacher double
+  * hashing over two murmur3 seeds, k = 4 probes. Sized for the log's
+  * flush-bounded segments (≲ 8 k rows/segment keeps fpp ≈ 1%; larger
+  * segments degrade gracefully toward "never skips", not wrong
+  * results). Wire form: base64 of the 1024-long bit array. */
+final class SegmentBloom(val bits: Array[Long]) {
+  import SegmentBloom._
+  def add(s: String): Unit = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, SEED1)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, SEED2)
+    var i = 0
+    while (i < K) {
+      val b = math.floorMod(h1 + i * h2, M)
+      bits(b >>> 6) |= 1L << (b & 63)
+      i += 1
+    }
+  }
+  def mightContain(s: String): Boolean = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(s, SEED1)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(s, SEED2)
+    var i = 0
+    while (i < K) {
+      val b = math.floorMod(h1 + i * h2, M)
+      if ((bits(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+  def toBase64: String = {
+    val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+    bits.foreach(bb.putLong)
+    java.util.Base64.getEncoder.encodeToString(bb.array())
+  }
+}
+
+object SegmentBloom {
+  private val M = 1 << 16 // bits
+  private val K = 4
+  private val SEED1 = 0x9747b28c
+  private val SEED2 = 0x85ebca6b
+  def empty(): SegmentBloom = new SegmentBloom(new Array[Long](M / 64))
+  def fromBase64(b64: String): SegmentBloom = {
+    val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
+    val arr = new Array[Long](M / 64)
+    var i = 0
+    while (i < arr.length && bb.remaining() >= 8) { arr(i) = bb.getLong; i += 1 }
+    new SegmentBloom(arr)
+  }
+}
 
 class LimitHashLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"limit_hash_log(`$path`)"
@@ -342,6 +401,7 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
   private var maxUid: UTF8String = _
   private var minAmt = Long.MaxValue
   private var maxAmt = Long.MinValue
+  private val bloom = SegmentBloom.empty() // s:<sha> and u:<uid> entries
 
   override def write(row: InternalRow): Unit = {
     if (out == null) {
@@ -352,10 +412,11 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
       else java.util.Base64.getEncoder.encodeToString(row.getBinary(2))
     val uid = row.getUTF8String(0)
     val amt = row.getLong(1)
+    val sha = checkedField(row.getUTF8String(3).toString, "sha256sum")
     out.write(checkedField(uid.toString, "user_id"))
     out.write('\t'); out.write(amt.toString)
     out.write('\t'); out.write(msg)
-    out.write('\t'); out.write(checkedField(row.getUTF8String(3).toString, "sha256sum"))
+    out.write('\t'); out.write(sha)
     out.write('\n')
     nRows += 1
     // clone on retention: the UTF8String is backed by a reused row buffer
@@ -363,13 +424,16 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
     if (maxUid == null || uid.compareTo(maxUid) > 0) maxUid = uid.clone()
     if (amt < minAmt) minAmt = amt
     if (amt > maxAmt) maxAmt = amt
+    bloom.add("s:" + sha)
+    bloom.add("u:" + uid.toString)
   }
 
   override def commit(): WriterCommitMessage = {
     if (out == null) return LogCommit("", partitionId) // empty: nothing staged
     out.close()
     LogCommit(staged.toString, partitionId,
-      Some(SegmentStats(nRows, minUid.toString, maxUid.toString, minAmt, maxAmt)))
+      Some(SegmentStats(nRows, minUid.toString, maxUid.toString, minAmt, maxAmt,
+        Some(bloom.toBase64))))
   }
 
   override def abort(): Unit = {
@@ -490,14 +554,22 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     val eqs = pushed.collect { case EqualTo(a, v) => (a, v) }
     LimitHashLog.segmentsWithStats(path).collect {
       case (f, len, None) => (f, len)
-      case (f, len, Some(st)) if eqs.forall {
-        case ("amount", v: Number) =>
-          val x = v.longValue(); x >= st.minAmount && x <= st.maxAmount
-        case ("user_id", v) =>
-          val u = UTF8String.fromString(String.valueOf(v))
-          u.compareTo(UTF8String.fromString(st.minUserId)) >= 0 &&
-            u.compareTo(UTF8String.fromString(st.maxUserId)) <= 0
-        case _ => true // no stats tracked for this column
+      case (f, len, Some(st)) if {
+        lazy val bloom = st.bloom.map(SegmentBloom.fromBase64)
+        eqs.forall {
+          case ("amount", v: Number) =>
+            val x = v.longValue(); x >= st.minAmount && x <= st.maxAmount
+          case ("user_id", v) =>
+            val u = UTF8String.fromString(String.valueOf(v))
+            u.compareTo(UTF8String.fromString(st.minUserId)) >= 0 &&
+              u.compareTo(UTF8String.fromString(st.maxUserId)) <= 0 &&
+              bloom.forall(_.mightContain("u:" + String.valueOf(v)))
+          case ("sha256sum", v) =>
+            // uniform hashes defeat range pruning; the bloom is the
+            // skip structure for the reference's verification probe
+            bloom.forall(_.mightContain("s:" + String.valueOf(v)))
+          case _ => true // no stats tracked for this column
+        }
       } => (f, len)
     }
   }

@@ -451,6 +451,33 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(df.count() === 1L)
   }
 
+  test("bloom skip index: hash-equality probes skip segments that cannot contain the value") {
+    val dir = Files.createTempDirectory("graft_lhlog_bloom").toString
+    // 4 separate appends -> 4 segments with DISJOINT sha/user sets
+    (0 until 4).foreach { g =>
+      sampleDf(s"g$g-", 50).coalesce(1)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(dir)
+    }
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("segment-")) === 4)
+    def probeParts(c: org.apache.spark.sql.Column): (Long, Int) = {
+      val df = spark.read.format(LimitHashLog.FORMAT)
+        .option("maxPartitionBytes", "1").load(dir).filter(c)
+      (df.count(), df.rdd.getNumPartitions)
+    }
+    // sha equality: a [min,max] range can never prune uniform hashes —
+    // only the bloom can. One segment holds sha-g2--17.
+    val (shaRows, shaParts) = probeParts(col("sha256sum") === "sha-g2--17")
+    assert(shaRows === 1L)
+    assert(shaParts <= 1, s"bloom must skip the 3 foreign segments, planned $shaParts")
+    // absent sha: every segment's bloom rejects -> zero partitions
+    assert(probeParts(col("sha256sum") === "sha-none") === ((0L, 0)))
+    // user_id probes combine range AND bloom
+    val (uRows, uParts) = probeParts(col("user_id") === "g3-7")
+    assert(uRows === 1L && uParts <= 1)
+    // correctness net: unfiltered read sees all four segments
+    assert(spark.read.format(LimitHashLog.FORMAT).load(dir).count() === 200L)
+  }
+
   test("streaming write truncate: complete-mode output replaces the log each epoch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_lhlog_tr").toString
