@@ -37,6 +37,10 @@ object Sessions {
       // measured 10x on word-5-gram explode at sf0.1 (NOTES_r4).
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // ungrouped COUNT/MIN/MAX over parquet answered from row-group
+      // footers instead of scanning pages — the file-source twin of the
+      // log connector's sidecar-served aggregates
+      .config("spark.sql.parquet.aggregatePushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")

@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.read.{streaming => sread}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.{streaming => swrite}
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
@@ -127,6 +127,43 @@ object LimitHashLog {
     val path = new Path(dir)
     val fs = path.getFileSystem(new Configuration())
     segments(dir).map { case (f, len) => (f, len, readStats(fs, new Path(f))) }
+  }
+
+  /** Zone-map + Bloom pruning against equality probes: drop segments
+    * whose stats PROVE the value can't be present. Disjunctive value
+    * sets (runtime IN filters from join pruning) keep a segment if ANY
+    * value might match. Shared by the batch scan, the streaming read,
+    * and runtime filtering — a segment without stats is never skipped. */
+  private[sources] def zonePrune(dir: String, pushed: Array[Filter]): Seq[(String, Long)] = {
+    if (pushed.isEmpty) return segments(dir)
+    val eqs = pushed.collect {
+      case EqualTo(a, v) => (a, Seq(v))
+      case In(a, vs) if vs.nonEmpty => (a, vs.toSeq)
+    }
+    if (eqs.isEmpty) return segments(dir)
+    segmentsWithStats(dir).collect {
+      case (f, len, None) => (f, len)
+      case (f, len, Some(st)) if {
+        lazy val bloom = st.bloom.map(SegmentBloom.fromBase64)
+        eqs.forall { case (a, vs) => vs.exists { v => a match {
+          case "amount" => v match {
+            case n: Number =>
+              val x = n.longValue(); x >= st.minAmount && x <= st.maxAmount
+            case _ => true
+          }
+          case "user_id" =>
+            val u = UTF8String.fromString(String.valueOf(v))
+            u.compareTo(UTF8String.fromString(st.minUserId)) >= 0 &&
+              u.compareTo(UTF8String.fromString(st.maxUserId)) <= 0 &&
+              bloom.forall(_.mightContain("u:" + String.valueOf(v)))
+          case "sha256sum" =>
+            // uniform hashes defeat range pruning; the bloom is the
+            // skip structure for the reference's verification probe
+            bloom.forall(_.mightContain("s:" + String.valueOf(v)))
+          case _ => true // no stats tracked for this column
+        } } }
+      } => (f, len)
+    }
   }
 }
 
@@ -527,7 +564,31 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     maxPartitionBytes: Long = 128L * 1024 * 1024,
     columnar: Boolean = true,
     aggTags: Seq[String] = Seq.empty)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
+
+  /** RUNTIME filtering (dynamic segment pruning): when this log is the
+    * probe side of a join whose build side is selective, Spark hands
+    * the scan the build side's key set as In/EqualTo filters AFTER
+    * planning — `planInputPartitions` then re-plans against the zone
+    * maps and Bloom filters, skipping every segment that provably holds
+    * none of the join keys. This is DSv2's dynamic-partition-pruning
+    * hook, and at warehouse scale it turns "scan the whole log to join
+    * 50 users" into "open the handful of segments those users touched".
+    * Filters that don't prune (non-equality, stats-less segments) are
+    * simply ignored — rows are never filtered here, so correctness
+    * stays with the join itself. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  // only columns surviving pruning: Spark resolves these against the
+  // scan OUTPUT, so advertising a pruned-away column breaks analysis
+  override def filterAttributes(): Array[NamedReference] =
+    if (aggTags.nonEmpty) Array.empty
+    else required.fieldNames
+      .filter(Set("user_id", "amount", "sha256sum"))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = { runtimeFilters = filters }
 
   override def readSchema(): StructType =
     if (aggTags.isEmpty) required
@@ -549,30 +610,8 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     * whole segments whose [min, max] range excludes the probe value are
     * dropped at PLANNING — the ClickHouse sparse-primary-key effect.
     * A segment without a sidecar is never skipped (correctness first). */
-  private def zoneFiltered: Seq[(String, Long)] = {
-    if (pushed.isEmpty) return LimitHashLog.segments(path)
-    val eqs = pushed.collect { case EqualTo(a, v) => (a, v) }
-    LimitHashLog.segmentsWithStats(path).collect {
-      case (f, len, None) => (f, len)
-      case (f, len, Some(st)) if {
-        lazy val bloom = st.bloom.map(SegmentBloom.fromBase64)
-        eqs.forall {
-          case ("amount", v: Number) =>
-            val x = v.longValue(); x >= st.minAmount && x <= st.maxAmount
-          case ("user_id", v) =>
-            val u = UTF8String.fromString(String.valueOf(v))
-            u.compareTo(UTF8String.fromString(st.minUserId)) >= 0 &&
-              u.compareTo(UTF8String.fromString(st.maxUserId)) <= 0 &&
-              bloom.forall(_.mightContain("u:" + String.valueOf(v)))
-          case ("sha256sum", v) =>
-            // uniform hashes defeat range pruning; the bloom is the
-            // skip structure for the reference's verification probe
-            bloom.forall(_.mightContain("s:" + String.valueOf(v)))
-          case _ => true // no stats tracked for this column
-        }
-      } => (f, len)
-    }
-  }
+  private def zoneFiltered: Seq[(String, Long)] =
+    LimitHashLog.zonePrune(path, pushed ++ runtimeFilters)
 
   /** Bin-pack segments into ≤ maxPartitionBytes splits (first-fit on
     * the sorted listing): an entity log accumulates one segment per
@@ -885,8 +924,21 @@ class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
 
   override def planInputPartitions(start: sread.Offset, end: sread.Offset): Array[InputPartition] = {
     val seen = start.asInstanceOf[LogOffset].segments.toSet
-    end.asInstanceOf[LogOffset].segments.filterNot(seen)
-      .map(f => LogSegmentPartition(f): InputPartition).toArray
+    val fresh = end.asInstanceOf[LogOffset].segments.filterNot(seen)
+    // the same zone-map/Bloom pruning as the batch scan: a streaming
+    // probe (pushed equality filters) skips whole fresh segments whose
+    // stats prove a miss — they still advance the offset (their rows
+    // could never match), so replay semantics are unchanged
+    val kept =
+      if (pushed.isEmpty) fresh
+      else {
+        val listed = LimitHashLog.segments(path).map(_._1).toSet
+        val surviving = LimitHashLog.zonePrune(path, pushed).map(_._1).toSet
+        // a fresh segment missing from the current listing is NOT
+        // silently dropped — the reader fails loudly, as before
+        fresh.filter(f => surviving.contains(f) || !listed.contains(f))
+      }
+    kept.map(f => LogSegmentPartition(f): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -478,6 +478,53 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(spark.read.format(LimitHashLog.FORMAT).load(dir).count() === 200L)
   }
 
+  test("runtime filtering: join keys dynamically prune segments via SupportsRuntimeFiltering") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lhlog_rf").toString
+    (0 until 4).foreach { g =>
+      sampleDf(s"r$g-", 50).coalesce(1)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(dir)
+    }
+    // unit surface first (deterministic): the scan re-plans after filter()
+    val scan = new graft.sources.LimitHashLogScan(dir, LimitHashLog.SCHEMA,
+      Array.empty, maxPartitionBytes = 1)
+    assert(scan.planInputPartitions().length === 4)
+    assert(scan.filterAttributes().map(_.describe()).toSet ===
+      Set("user_id", "amount", "sha256sum"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("user_id", Array("r2-10", "r2-33"))))
+    assert(scan.planInputPartitions().length === 1,
+      "runtime In on user_id must keep only r2's segment")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("sha256sum", Array("sha-nope-1"))))
+    assert(scan.planInputPartitions().length === 0,
+      "a key set no bloom contains must prune everything")
+    // e2e: a selective broadcast join over the source still returns
+    // exactly the matching rows with pruning active
+    val probe = spark.read.format(LimitHashLog.FORMAT)
+      .option("maxPartitionBytes", "1").load(dir)
+    val dim = Seq(("r1-5", 1), ("r1-9", 1), ("r9-1", 0)).toDF("user_id", "flag")
+      .filter(col("flag") === 1)
+    assert(probe.join(broadcast(dim), "user_id").count() === 2L)
+  }
+
+  test("streaming read applies zone-map/bloom pruning to fresh segments") {
+    import graft.sources.{LogMicroBatchStream, LogOffset}
+    val dir = Files.createTempDirectory("graft_lhlog_szm").toString
+    (0 until 3).foreach { g =>
+      sampleDf(s"z$g-", 20).coalesce(1)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(dir)
+    }
+    val filtered = new LogMicroBatchStream(dir, LimitHashLog.SCHEMA,
+      Array(org.apache.spark.sql.sources.EqualTo("user_id", "z1-7")))
+    val end = filtered.latestOffset()
+    assert(filtered.planInputPartitions(LogOffset(Seq.empty), end).length === 1,
+      "a streaming probe must open only the segment that can match")
+    // no pushed filters -> every fresh segment planned
+    val all = new LogMicroBatchStream(dir, LimitHashLog.SCHEMA, Array.empty)
+    assert(all.planInputPartitions(LogOffset(Seq.empty), end).length === 3)
+  }
+
   test("streaming write truncate: complete-mode output replaces the log each epoch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_lhlog_tr").toString
