@@ -157,27 +157,36 @@ object Dedup {
 
   /** Core, corpus-independent: input needs (doc_id, text). */
   def simhashDedup(docsRaw: DataFrame): DataFrame = {
-    val docs = docsRaw
-      // tokens materialized before the per-element hash transform.
-      // SimHash votes over all 64 bits, so it needs RAW xxhash64 values
-      // (rawHashes) — the mod-P baseHashes family is MinHash-only, and
-      // feeding it here would leave bits 31–63 constant: the two upper
-      // 16-bit bands would put the entire corpus in one bucket.
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), HashFns.rawHashes(col("toks")).as("tok_h"))
-      .select(col("doc_id"), HashFns.simhashFromHashes(col("tok_h")).as("sh64"))
-      .withColumn("bands", array((0 until 4).map(j =>
-        shiftrightunsigned(col("sh64"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
-      .cache()
-    // Bucket by 16-bit chunk, carrying (doc_id, sh64) as the element so
-    // the Hamming verify happens in-row during pair expansion — no
-    // rejoin (sort_array on structs orders by doc_id, the first field,
-    // preserving the a < b convention). Bucket size capped via the
-    // count pre-filter in cappedBuckets.
+    val docs = simhashDocs(docsRaw)
+    perDocVerdict(docs.select("doc_id"), simhashVerifiedPairs(docs))
+  }
+
+  /** (doc_id, sh64, bands): 64-bit SimHash + its 4 × 16-bit band
+    * chunks, cached. Tokens materialized before the per-element hash
+    * transform. SimHash votes over all 64 bits, so it needs RAW
+    * xxhash64 values (rawHashes) — the mod-P baseHashes family is
+    * MinHash-only, and feeding it here would leave bits 31–63
+    * constant: the two upper 16-bit bands would put the entire corpus
+    * in one bucket. */
+  private def simhashDocs(docsRaw: DataFrame): DataFrame = docsRaw
+    .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    .select(col("doc_id"), HashFns.rawHashes(col("toks")).as("tok_h"))
+    .select(col("doc_id"), HashFns.simhashFromHashes(col("tok_h")).as("sh64"))
+    .withColumn("bands", array((0 until 4).map(j =>
+      shiftrightunsigned(col("sh64"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
+    .cache()
+
+  /** Band-bucketed candidates → Hamming ≤ 3 verify. Buckets carry
+    * (doc_id, sh64) as the element so the Hamming verify happens
+    * in-row during pair expansion — no rejoin (sort_array on structs
+    * orders by doc_id, the first field, preserving the a < b
+    * convention). Bucket size capped via the count pre-filter in
+    * cappedBuckets. */
+  private def simhashVerifiedPairs(docs: DataFrame): DataFrame = {
     val postings = docs.select(
       posexplode(col("bands")).as(Seq("band_i", "band_h")),
       struct(col("doc_id"), col("sh64")).as("e"))
-    val verified = cappedBuckets(postings, Seq("band_i", "band_h"), col("e"), 1000)
+    cappedBuckets(postings, Seq("band_i", "band_h"), col("e"), 1000)
       .select(explode(flatten(transform(col("es"), (x, i) =>
         transform(slice(col("es"), i + lit(2), size(col("es"))), y =>
           struct(x.getField("doc_id").as("a"), y.getField("doc_id").as("b"),
@@ -185,7 +194,31 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b"), col("p.dist").as("dist"))
       .filter(col("dist") <= 3)
       .distinct()
-    perDocVerdict(docs.select("doc_id"), verified)
+  }
+
+  /** SimHash made ORACLE-CHECKABLE — the d10/d11 planted technique:
+    * doc-prefixed tokens (cross-doc feature sets disjoint) plus EXACT
+    * copies. A copy's SimHash is bit-identical (Hamming 0 — found
+    * through any band); two distinct docs' sketches are sums of
+    * disjoint independent votes, so their Hamming distance is
+    * Binomial(64, ½) — P(≤ 3) ≈ 2⁻⁴⁸ per pair, zero pairs in practice
+    * and deterministic for this fixed corpus. The verified pair set is
+    * therefore exactly the identical-text pairs, which DuckDB computes
+    * from first principles (content-hash equality). Pins banding,
+    * capped buckets, in-row Hamming verify end to end. */
+  def d12_dedup_simhash_planted(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")).between(30, 400))
+      .select(col("doc_id"),
+        array_join(transform(col("toks"),
+          t => concat(lit("d"), col("doc_id"), lit("x"), t)), " ").as("text"))
+    val copies = base.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val docs = simhashDocs(base.unionByName(copies))
+    simhashVerifiedPairs(docs)
+      .select(col("a"), col("b"))
+      .orderBy(col("a"), col("b"))
   }
 
   /** Character-3-gram Jaccard near-dedup via inverted index: explode
@@ -367,28 +400,56 @@ object Dedup {
   def d05_dedup_embedding(spark: SparkSession, dir: String): DataFrame =
     embeddingDedup(Tables.embeddings(spark, dir))
 
-  /** Core, corpus-independent: input needs (vec_id, embedding). */
-  def embeddingDedup(embRaw: DataFrame): DataFrame = {
-    val emb = embRaw
-      .select(col("vec_id").as("doc_id"), col("embedding"))
-      .withColumn("bucket", VectorFns.signBucket(col("embedding"), nBits = 12, dim = 64))
-      .cache()
-    // Bucket-size cap, same rationale as every other dedup path: a hot
-    // bucket (clustered corpus — near-identical embeddings all share a
-    // sign sketch) otherwise makes the self-join quadratic. The count
-    // pre-filter shuffles only (bucket, count); vectors stay out of any
-    // collect_list entirely — the join streams them.
+  /** (doc_id, embedding, bucket) with the 12-bit sign sketch, cached —
+    * shared by the verdict and pair paths. */
+  private def bucketedEmb(embRaw: DataFrame): DataFrame = embRaw
+    .select(col("vec_id").as("doc_id"), col("embedding"))
+    .withColumn("bucket", VectorFns.signBucket(col("embedding"), nBits = 12, dim = 64))
+    .cache()
+
+  /** Bucket-capped candidate join → exact cosine ≥ 0.98. Bucket-size
+    * cap, same rationale as every other dedup path: a hot bucket
+    * (clustered corpus — near-identical embeddings all share a sign
+    * sketch) otherwise makes the self-join quadratic. The count
+    * pre-filter shuffles only (bucket, count); vectors stay out of any
+    * collect_list entirely — the join streams them. */
+  private def embeddingVerifiedPairs(emb: DataFrame): DataFrame = {
     val survivors = emb.groupBy(col("bucket"))
       .agg(count(lit(1)).as("_n"))
       .filter(col("_n").between(2, 1000))
       .select(col("bucket"))
     val embB = emb.join(survivors, Seq("bucket"), "left_semi")
-    val cand = embB.as("l").join(embB.as("r"),
+    embB.as("l").join(embB.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
         VectorFns.cosine(col("l.embedding"), col("r.embedding")).as("cos"))
-    val verified = cand.filter(col("cos") >= 0.98)
-    perDocVerdict(emb.select("doc_id"), verified)
+      .filter(col("cos") >= 0.98)
+  }
+
+  /** Core, corpus-independent: input needs (vec_id, embedding). */
+  def embeddingDedup(embRaw: DataFrame): DataFrame = {
+    val emb = bucketedEmb(embRaw)
+    perDocVerdict(emb.select("doc_id"), embeddingVerifiedPairs(emb))
+  }
+
+  /** The embedding-dedup pipeline made ORACLE-CHECKABLE, the d10
+    * technique applied to vectors: first 200 embeddings plus EXACT
+    * copies (vec_id + 100000). A copy shares its source's sign pattern
+    * — same bucket, candidate certain, cosine 1 — while the corpus's
+    * maximum NATURAL pairwise cosine is ≈ 0.44 (measured at both SFs),
+    * nowhere near the 0.98 verify threshold, so the verified pair set
+    * is exactly the copy pairs and DuckDB recomputes it from first
+    * principles with `list_cosine_similarity` over all pairs. Spark
+    * runs the REAL pipeline — sign sketch, capped buckets, candidate
+    * join, exact-cosine verify. */
+  def d11_dedup_embedding_planted(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("embedding"))
+    val copies = base.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    embeddingVerifiedPairs(bucketedEmb(base.unionByName(copies)))
+      .select(col("a"), col("b"))
+      .orderBy(col("a"), col("b"))
   }
 
   /** Incremental dedup — the production shape: a new snapshot (here:
@@ -484,6 +545,8 @@ object Dedup {
     "d03_dedup_simhash" -> (d03_dedup_simhash _),
     "d04_dedup_ngram_jaccard" -> (d04_dedup_ngram_jaccard _),
     "d10_dedup_minhash_planted" -> (d10_dedup_minhash_planted _),
+    "d11_dedup_embedding_planted" -> (d11_dedup_embedding_planted _),
+    "d12_dedup_simhash_planted" -> (d12_dedup_simhash_planted _),
     "d05_dedup_embedding" -> (d05_dedup_embedding _),
     "d06_dedup_incremental" -> (d06_dedup_incremental _),
     "d07_decontaminate" -> (d07_decontaminate _),
@@ -648,6 +711,36 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "d04_dedup_ngram_jaccard" -> ngramOracleSql,
     "d10_dedup_minhash_planted" -> minhashPlantedOracleSql,
+    "d12_dedup_simhash_planted" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    LIST_TRANSFORM(
+        |      REGEXP_SPLIT_TO_ARRAY(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+        |        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+        |      tok -> 'd' || CAST(doc_id AS VARCHAR) || 'x' || tok) AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |f AS (SELECT doc_id, LIST_AGGREGATE(toks, 'string_agg', ' ') AS txt
+        |      FROM t WHERE LEN(toks) BETWEEN 30 AND 400),
+        |corpus AS (
+        |  SELECT doc_id, txt FROM f
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, txt FROM f),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM corpus a JOIN corpus b
+        |    ON SHA256(a.txt) = SHA256(b.txt) AND a.doc_id < b.doc_id)
+        |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin,
+    "d11_dedup_embedding_planted" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding FROM base),
+        |pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE LIST_COSINE_SIMILARITY(a.embedding, b.embedding) >= 0.98)
+        |SELECT a, b FROM pairs ORDER BY a, b""".stripMargin,
     "d08_dedup_clusters" -> clustersOracleSql,
     "d09_dedup_keep_best" -> keepBestOracleSql,
     "d07_decontaminate" -> decontaminateOracleSql,

@@ -129,6 +129,16 @@ object LimitHashLog {
     segments(dir).map { case (f, len) => (f, len, readStats(fs, new Path(f))) }
   }
 
+  /** Parse-stage compilation of pushed filters: EqualTo → singleton,
+    * In → value set; a raw line passes when every checked field is in
+    * its set (string compare on the unparsed field — no row object,
+    * no base64 decode, before any materialization). */
+  private[sources] def parseChecks(pushed: Array[Filter]): Array[(Int, Set[String])] =
+    pushed.collect {
+      case EqualTo(a, v) => (SCHEMA.fieldIndex(a), Set(String.valueOf(v)))
+      case In(a, vs) => (SCHEMA.fieldIndex(a), vs.map(String.valueOf).toSet)
+    }
+
   /** Zone-map + Bloom pruning against equality probes: drop segments
     * whose stats PROVE the value can't be present. Disjunctive value
     * sets (runtime IN filters from join pruning) keep a segment if ANY
@@ -493,11 +503,14 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  // push conjunctive equality on parse-cheap fields (the reference's
-  // probe shape); anything else stays residual and Spark evaluates it
+  // push conjunctive equality and IN-sets on parse-cheap fields (the
+  // reference's probe shape, plus the key-list probes runtime filtering
+  // produces); anything else stays residual and Spark evaluates it
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val cols = Seq("user_id", "sha256sum", "amount")
     val (ours, residual) = filters.partition {
-      case EqualTo(a, _) => Seq("user_id", "sha256sum", "amount").contains(a)
+      case EqualTo(a, _) => cols.contains(a)
+      case In(a, vs) => cols.contains(a) && vs.nonEmpty
       case _ => false
     }
     pushed = ours
@@ -720,9 +733,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
   private var reader: java.io.BufferedReader = _
 
   private val colIdx = required.fields.map(f => LimitHashLog.SCHEMA.fieldIndex(f.name))
-  private val checks: Array[(Int, String)] = pushed.collect {
-    case EqualTo(a, v) => (LimitHashLog.SCHEMA.fieldIndex(a), v.toString)
-  }
+  private val checks: Array[(Int, Set[String])] = LimitHashLog.parseChecks(pushed)
 
   private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
   private val batch = new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
@@ -754,7 +765,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
       if (line == null) done = true
       else {
         val parts = line.split("\t", -1)
-        if (parts.length == 4 && checks.forall(c => parts(c._1) == c._2)) {
+        if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1)))) {
           var j = 0
           while (j < colIdx.length) {
             colIdx(j) match {
@@ -826,15 +837,13 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
 
   // (field index in the raw line) of each projected column
   private val colIdx = required.fields.map(f => LimitHashLog.SCHEMA.fieldIndex(f.name))
-  private val checks: Array[(Int, String)] = pushed.collect {
-    case EqualTo(a, v) => (LimitHashLog.SCHEMA.fieldIndex(a), v.toString)
-  }
+  private val checks: Array[(Int, Set[String])] = LimitHashLog.parseChecks(pushed)
 
   override def next(): Boolean = {
     var line = reader.readLine()
     while (line != null) {
       val parts = line.split("\t", -1)
-      if (parts.length == 4 && checks.forall(c => parts(c._1) == c._2)) {
+      if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1)))) {
         val values = new Array[Any](colIdx.length)
         var i = 0
         while (i < colIdx.length) {

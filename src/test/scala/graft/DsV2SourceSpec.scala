@@ -84,6 +84,17 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(range.count() === 3)
   }
 
+  test("IN-set filters push to the parse stage and prune correctly") {
+    val probe = read().filter(col("user_id").isin("u1", "u3"))
+    val desc = scanOf(probe).scan.description()
+    assert(desc.contains("In(user_id"), s"IN must push into the scan: $desc")
+    assert(probe.select("amount").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(10L, 30L, 40L, 60L))
+    // IN over amount (long values as raw-field strings)
+    val amounts = read().filter(col("amount").isin(20L, 50L))
+    assert(amounts.count() === 2)
+  }
+
   test("reported statistics let a small log broadcast-join without a hint") {
     import spark.implicits._
     val facts = (1 to 10000).map(i => (s"u${i % 5}", i.toLong)).toDF("user_id", "x")
