@@ -85,48 +85,67 @@ object LimitHashLog {
       .sortBy(_._1)
   }
 
-  /** Stats sidecar for a committed segment — `.<segment>.stats`, hidden
-    * from [[segments]] by the dot prefix. One tiny JSON per segment is
-    * the local-filesystem shape; a warehouse deployment would fold these
-    * into a per-commit manifest exactly as Delta/Iceberg do. */
-  private[sources] def statsSidecar(segment: Path): Path =
-    new Path(segment.getParent, s".${segment.getName}.stats")
+  /** Per-COMMIT stats manifest — `.stats-manifest-<commitId>` maps each
+    * committed segment NAME to its [[SegmentStats]] (the Delta/Iceberg
+    * shape). One manifest per commit instead of one sidecar per segment
+    * keeps planning I/O at O(commits), not O(segments): a log that
+    * accumulated 100 k producer flushes still plans its zone maps from
+    * a handful of files. A retried commit reuses its deterministic id,
+    * so the manifest is replaced, never duplicated. Names (not paths)
+    * key the map — directory renames stay free. */
+  private[sources] def manifestPath(dir: Path, commitId: String): Path =
+    new Path(dir, s".stats-manifest-$commitId")
 
-  private[sources] def writeStats(fs: org.apache.hadoop.fs.FileSystem,
-      segment: Path, stats: SegmentStats): Unit = {
+  private[sources] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, commitId: String, stats: Map[String, SegmentStats]): Unit = {
     import org.json4s.jackson.Serialization
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
-    val out = fs.create(statsSidecar(segment), true)
+    if (stats.isEmpty) return
+    val out = fs.create(manifestPath(dir, commitId), true)
     try out.write(Serialization.write(stats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private[sources] def readStats(fs: org.apache.hadoop.fs.FileSystem,
-      segment: Path): Option[SegmentStats] = {
+  /** Union of every commit manifest in the directory (later files win
+    * on a name collision, which only happens on same-commit replace).
+    * Entries for since-deleted segments are harmless — lookups key off
+    * the LIVE segment listing. */
+  private[sources] def loadStats(dir: String): Map[String, SegmentStats] = {
     import org.json4s.jackson.Serialization
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
-    val p = statsSidecar(segment)
-    try {
-      val in = fs.open(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      Some(Serialization.read[SegmentStats](
-        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
-    } catch { case _: java.io.IOException => None }
-  }
-
-  private[sources] def deleteSegment(fs: org.apache.hadoop.fs.FileSystem,
-      segment: Path): Unit = {
-    fs.delete(segment, false)
-    val sc = statsSidecar(segment)
-    if (fs.exists(sc)) fs.delete(sc, false)
-  }
-
-  /** All segments with their stats; a segment without a readable sidecar
-    * (external fixture, pre-stats era) maps to None. */
-  private[sources] def segmentsWithStats(dir: String): Seq[(String, Long, Option[SegmentStats])] = {
     val path = new Path(dir)
     val fs = path.getFileSystem(new Configuration())
-    segments(dir).map { case (f, len) => (f, len, readStats(fs, new Path(f))) }
+    if (!fs.exists(path)) return Map.empty
+    fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".stats-manifest-"))
+      .sortBy(_.getPath.getName)
+      .foldLeft(Map.empty[String, SegmentStats]) { (acc, s) =>
+        try {
+          val in = fs.open(s.getPath)
+          val bytes = try in.readAllBytes() finally in.close()
+          acc ++ Serialization.read[Map[String, SegmentStats]](
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        } catch { case _: java.io.IOException => acc }
+      }
+  }
+
+  /** Delete every stats manifest except `keep` — truncate semantics:
+    * all prior segments are gone, so all prior manifests are stale. */
+  private[sources] def dropOtherManifests(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, keep: String): Unit = {
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isFile && n.startsWith(".stats-manifest-") &&
+          n != s".stats-manifest-$keep") fs.delete(s.getPath, false)
+    }
+  }
+
+  /** All segments with their stats; a segment absent from every
+    * manifest (external fixture, pre-stats era) maps to None. */
+  private[sources] def segmentsWithStats(dir: String): Seq[(String, Long, Option[SegmentStats])] = {
+    val stats = loadStats(dir)
+    segments(dir).map { case (f, len) => (f, len, stats.get(new Path(f).getName)) }
   }
 
   /** Parse-stage compilation of pushed filters: EqualTo → singleton,
@@ -329,6 +348,7 @@ class LogStreamingWrite(path: String, queryId: String, truncate: Boolean = false
     val fs = dir.getFileSystem(new Configuration())
     val old = if (truncate) LimitHashLog.segments(path).map(_._1) else Seq.empty
     val committed = scala.collection.mutable.Set.empty[String]
+    val manifest = Map.newBuilder[String, SegmentStats]
     messages.foreach { case LogCommit(staged, pid, stats) =>
       if (staged.nonEmpty) { // empty partitions stage nothing
         val to = new Path(dir, s"segment-$queryId-$epochId-$pid")
@@ -339,14 +359,18 @@ class LogStreamingWrite(path: String, queryId: String, truncate: Boolean = false
           throw new java.io.IOException(
             s"LimitHashLog streaming commit: rename $staged -> $to failed")
         }
-        stats.foreach(LimitHashLog.writeStats(fs, to, _))
+        stats.foreach(st => manifest += (to.getName -> st))
         committed += to.toString
       }
     }
+    // one manifest per epoch (replay overwrites the same name)
+    LimitHashLog.writeManifest(fs, dir, s"$queryId-$epochId", manifest.result())
     // truncate semantics: this epoch's output REPLACES the log. The old
     // listing can include this epoch's own prior attempt (replay) — those
-    // names were already replaced above, so exclude them from deletion.
-    old.filterNot(committed).foreach(f => LimitHashLog.deleteSegment(fs, new Path(f)))
+    // names were already replaced above, so exclude them from deletion;
+    // prior manifests are wholly stale once their segments are gone.
+    old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
+    if (truncate) LimitHashLog.dropOtherManifests(fs, dir, s"$queryId-$epochId")
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -380,6 +404,7 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
     val fs = dir.getFileSystem(new Configuration())
     val old = if (truncate) LimitHashLog.segments(path).map(_._1) else Seq.empty
     val committed = scala.collection.mutable.Set.empty[String]
+    val manifest = Map.newBuilder[String, SegmentStats]
     messages.foreach { case LogCommit(staged, pid, stats) =>
       if (staged.nonEmpty) { // empty partitions stage nothing
         val from = new Path(staged)
@@ -391,13 +416,17 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
           throw new java.io.IOException(
             s"LimitHashLog batch commit: rename $staged -> $to failed")
         }
-        stats.foreach(LimitHashLog.writeStats(fs, to, _))
+        stats.foreach(st => manifest += (to.getName -> st))
         committed += to.toString
       }
     }
+    // one manifest per commit (a retried query overwrites its own)
+    LimitHashLog.writeManifest(fs, dir, queryId, manifest.result())
     // a retried query's old listing can contain names this commit just
-    // replaced — never delete what we committed moments ago
-    old.filterNot(committed).foreach(f => LimitHashLog.deleteSegment(fs, new Path(f)))
+    // replaced — never delete what we committed moments ago; truncate
+    // leaves no prior segments, so prior manifests are wholly stale
+    old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
+    if (truncate) LimitHashLog.dropOtherManifests(fs, dir, queryId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

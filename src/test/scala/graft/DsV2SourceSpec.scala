@@ -470,6 +470,10 @@ class DsV2SourceSpec extends AnyFunSuite {
         .write.format(LimitHashLog.FORMAT).mode("append").save(dir)
     }
     assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("segment-")) === 4)
+    // stats travel as ONE manifest per COMMIT (the Delta/Iceberg shape:
+    // planning I/O is O(commits), not O(segments))
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith(".stats-manifest-")) === 4)
     def probeParts(c: org.apache.spark.sql.Column): (Long, Int) = {
       val df = spark.read.format(LimitHashLog.FORMAT)
         .option("maxPartitionBytes", "1").load(dir).filter(c)
