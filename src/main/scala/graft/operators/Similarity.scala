@@ -156,7 +156,47 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** The LSH-ANN candidate machinery made ORACLE-CHECKABLE (the planted
+    * technique of d10/d11/d12 applied to search): queries are EXACT
+    * COPIES of the first 20 corpus vectors. A copy's 16 sign-sketch
+    * buckets are bit-identical to its original's, so the original is a
+    * candidate with certainty, and at cosine 1.0 against a corpus whose
+    * best natural pair sits near 0.44 it is the UNIQUE top-1 — which
+    * DuckDB recomputes by brute force over all (query, vector) pairs.
+    * Spark runs the REAL ANN path: sketch → posting explode → bucket
+    * equi-join → exact-cosine re-rank. No float column in the output
+    * (the winner's margin is ~0.56, so ordering is ulp-proof). */
+  def v09_ann_planted(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val bucketed = emb.select(col("vec_id"),
+        VectorFns.signBuckets(col("embedding"), nBits = 5, tables = 16, dim = 64)
+          .as("buckets"))
+      .cache()
+    val postings = bucketed.select(col("vec_id"), explode(col("buckets")).as("bucket"))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    // materialize the sketch before the explode (NOTES_r4 explode trap)
+    val qb = queries.select(col("qid"),
+      VectorFns.signBuckets(col("qe"), nBits = 5, tables = 16, dim = 64).as("buckets"))
+    val queryPost = qb.select(col("qid"), explode(col("buckets")).as("bucket"))
+    val candidates = broadcast(queryPost)
+      .join(postings, Seq("bucket"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .distinct()
+    val pairs = candidates
+      .join(broadcast(queries), "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding")), "nid")
+      .select(col("qid"), col("nid"),
+        VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v09_ann_planted" -> (v09_ann_planted _),
     "v05_knn_classify" -> (v05_knn_classify _),
     "v01_sim_bruteforce_topk" -> (v01_sim_bruteforce_topk _),
     "v02_sim_lsh_topk" -> (v02_sim_lsh_topk _),
@@ -266,6 +306,15 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "v09_ann_planted" ->
+      """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 20),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY LIST_COSINE_SIMILARITY(q.qe, e.embedding) DESC, e.vec_id) AS rn
+        |  FROM q, embeddings e)
+        |SELECT qid, nid FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     "v07_cluster_assign" ->
       s"""WITH q AS (SELECT vec_id AS cid, embedding AS qe FROM embeddings WHERE vec_id < 8)
          |SELECT vec_id, cid AS centroid_id, cos FROM (

@@ -191,6 +191,46 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The STREAMING near-dedup path made ORACLE-CHECKABLE — the planted
+    * technique (d10/d11/d12) through [[DedupStream]]: doc-prefixed
+    * tokens (distinct docs share zero shingles, so they can't even
+    * share an LSH band) plus EXACT copies streamed in a SECOND
+    * micro-batch. A copy's MinHash signature is bit-identical to its
+    * base's (agreement 1.0 ≥ the 0.75 threshold — dup with certainty,
+    * found via the persisted store's bands), so the verdict set equals
+    * "has an earlier identical text", which DuckDB computes by content
+    * hash. Exercises the real cross-batch machinery: per-batch
+    * sketching, store read of prior batches, band candidate join,
+    * agreement verify, novel-signature append. */
+  def s16_stream_dedup_planted(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")).between(30, 400))
+      .select(col("doc_id"),
+        array_join(transform(col("toks"),
+          t => concat(lit("d"), col("doc_id"), lit("x"), t)), " ").as("text"))
+    val copies = base.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val b1 = base.as[(Long, String)].collect().sortBy(_._1)
+    val b2 = copies.as[(Long, String)].collect().sortBy(_._1)
+    val stream = new DedupStream(
+      Files.createTempDirectory("graft_s16_store").toString,
+      Files.createTempDirectory("graft_s16_verdict").toString)
+    val ck = Files.createTempDirectory("graft_s16_ck").toString
+    val ingest = new AsyncIngest[(Long, String)](spark.sqlContext)
+    // bases land in batch 1, copies in batch 2 — every copy must be
+    // flagged via the STORE, the cross-batch path
+    Seq(b1, b2).foreach { half =>
+      ingest.saveAllAsync(half.toSeq)
+      val q = stream.start(ingest.toDS().toDF("doc_id", "text"), ck)
+      q.awaitTermination(120000)
+    }
+    stream.verdicts(spark)
+      .select(col("doc_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stream-static enrichment join — ClickHouse's dictionary-join
     * pattern: the event stream joins a broadcast static dimension
     * (customer segment) per micro-batch, then aggregates per segment in
@@ -471,6 +511,7 @@ object StreamingQueries {
     "s10_stream_static_join" -> (s10_stream_static_join _),
     "s11_stream_outer_join" -> (s11_stream_outer_join _),
     "s07_stream_near_dedup" -> (s07_stream_near_dedup _),
+    "s16_stream_dedup_planted" -> (s16_stream_dedup_planted _),
     "s06_stream_dedup" -> (s06_stream_dedup _),
     "s01_batcher_conservation" -> (s01_batcher_conservation _),
     "s02_batcher_disabled" -> (s02_batcher_disabled _),
@@ -502,6 +543,27 @@ object StreamingQueries {
         |ORDER BY user_id, session_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the planted streaming near-dedup verdict equals "has an earlier
+    // identical text" — computed from first principles by content hash
+    "s16_stream_dedup_planted" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    LIST_TRANSFORM(
+        |      REGEXP_SPLIT_TO_ARRAY(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+        |        '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+        |      tok -> 'd' || CAST(doc_id AS VARCHAR) || 'x' || tok) AS toks
+        |  FROM documents WHERE doc_id < 300),
+        |f AS (SELECT doc_id, LIST_AGGREGATE(toks, 'string_agg', ' ') AS txt
+        |      FROM t WHERE LEN(toks) BETWEEN 30 AND 400),
+        |corpus AS (
+        |  SELECT doc_id, txt FROM f
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, txt FROM f)
+        |SELECT c.doc_id,
+        |  EXISTS(SELECT 1 FROM corpus e
+        |         WHERE e.doc_id < c.doc_id
+        |           AND SHA256(e.txt) = SHA256(c.txt)) AS is_dup
+        |FROM corpus c ORDER BY c.doc_id""".stripMargin,
     // the streaming path must reproduce the batch decontamination
     // answer exactly — same SQL as d07
     "s09_stream_decontaminate" -> graft.operators.Dedup.oracle("d07_decontaminate"),
