@@ -278,7 +278,8 @@ class LimitHashLogTable(path: String) extends Table with SupportsRead with Suppo
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("maxPartitionBytes")).map(_.toLong)
         .getOrElse(128L * 1024 * 1024),
-      columnar = Option(options.get("columnar")).forall(_.toBoolean))
+      columnar = Option(options.get("columnar")).forall(_.toBoolean),
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new LogWriteBuilder(path, info.queryId())
 }
@@ -521,7 +522,8 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
 }
 
 class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
-    maxPartitionBytes: Long = 128L * 1024 * 1024, columnar: Boolean = true)
+    maxPartitionBytes: Long = 128L * 1024 * 1024, columnar: Boolean = true,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -598,14 +600,15 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
 
   override def build(): Scan =
     new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger,
-      maxPartitionBytes, columnar, aggTags)
+      maxPartitionBytes, columnar, aggTags, maxBytesPerTrigger)
 }
 
 class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
     maxPartitionBytes: Long = 128L * 1024 * 1024,
     columnar: Boolean = true,
-    aggTags: Seq[String] = Seq.empty)
+    aggTags: Seq[String] = Seq.empty,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -643,7 +646,8 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
   override def toBatch: Batch = this
   override def toMicroBatchStream(
       checkpointLocation: String): sread.MicroBatchStream =
-    new LogMicroBatchStream(path, required, pushed, maxFilesPerTrigger)
+    new LogMicroBatchStream(path, required, pushed, maxFilesPerTrigger,
+      maxBytesPerTrigger)
   override def description(): String =
     s"LimitHashLog path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
       (if (aggTags.nonEmpty) s", PushedAggregates: ${aggTags.mkString("[", ", ", "]")}" else "")
@@ -697,12 +701,24 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
 
   // size scaled by the pruned fraction of the fixed-ish row layout, so
   // a key-only projection of a big log still reports small enough to
-  // broadcast; row count left unknown (no footer metadata in a log)
+  // broadcast. Zone-pruned segments are EXCLUDED — a selective probe
+  // reports only the bytes it will actually read, which is what lets
+  // Catalyst broadcast the filtered side of a join. Row count is exact
+  // when every surviving segment is manifest-covered (the same metadata
+  // that serves COUNT(*) pushdown feeds the cost model here).
   override def estimateStatistics(): Statistics = new Statistics {
-    private val raw = LimitHashLog.segments(path).map(_._2).sum
+    private val surviving = zoneFiltered
+    private val raw = surviving.map(_._2).sum
     private val frac = math.max(required.size, 1).toDouble / LimitHashLog.SCHEMA.size
+    private val rowCount: OptionalLong = {
+      val stats = LimitHashLog.loadStats(path)
+      val names = surviving.map { case (f, _) => new Path(f).getName }
+      if (names.forall(stats.contains))
+        OptionalLong.of(names.map(stats(_).rows).sum)
+      else OptionalLong.empty()
+    }
     override def sizeInBytes(): OptionalLong = OptionalLong.of((raw * frac).toLong max 1L)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+    override def numRows(): OptionalLong = rowCount
   }
 }
 
@@ -931,7 +947,8 @@ object LogOffset {
   * ScanBuilder: a streaming probe parses only projected fields, same
   * as the batch scan. */
 class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filter],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends sread.MicroBatchStream with sread.SupportsAdmissionControl {
 
   override def initialOffset(): sread.Offset = LogOffset(Seq.empty)
@@ -941,22 +958,45 @@ class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
 
   /** Admission control — the READ-side twin of the reference's batch
     * cap (`hashes.go:68`): `option("maxFilesPerTrigger", n)` bounds
-    * every micro-batch to n new segments, so a backlogged log drains
-    * in bounded units instead of one giant catch-up batch (bounded
-    * memory, steady checkpoint cadence — the same argument as source
-    * admission on the file source). */
-  override def getDefaultReadLimit: sread.ReadLimit =
-    maxFilesPerTrigger.map(n => sread.ReadLimit.maxFiles(n))
-      .getOrElse(sread.ReadLimit.allAvailable())
+    * every micro-batch to n new segments, `option("maxBytesPerTrigger",
+    * b)` to ~b new bytes (always admitting at least one segment for
+    * progress, like Spark's own file source), so a backlogged log
+    * drains in bounded units instead of one giant catch-up batch
+    * (bounded memory, steady checkpoint cadence). Both set → both
+    * bind (composite limit). */
+  override def getDefaultReadLimit: sread.ReadLimit = {
+    val limits = Seq(
+      maxFilesPerTrigger.map(n => sread.ReadLimit.maxFiles(n)),
+      maxBytesPerTrigger.map(b => sread.ReadLimit.maxBytes(b))).flatten
+    limits match {
+      case Seq() => sread.ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => sread.ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Admitted PREFIX length of `unseen` under a limit (admission is
+    * prefix-based, so a composite is the min over its parts). */
+  private def admitCount(unseen: Seq[(String, Long)], limit: sread.ReadLimit): Int =
+    limit match {
+      case m: sread.ReadMaxFiles => math.min(m.maxFiles(), unseen.length)
+      case b: sread.ReadMaxBytes =>
+        var tot = 0L
+        var n = 0
+        while (n < unseen.length && (n == 0 || tot + unseen(n)._2 <= b.maxBytes())) {
+          tot += unseen(n)._2; n += 1
+        }
+        n
+      case c: sread.CompositeReadLimit =>
+        c.getReadLimits.map(admitCount(unseen, _)).min
+      case _ => unseen.length
+    }
 
   override def latestOffset(start: sread.Offset, limit: sread.ReadLimit): sread.Offset = {
     val seen = start.asInstanceOf[LogOffset].segments
     val seenSet = seen.toSet
-    val unseen = LimitHashLog.segments(path).map(_._1).filterNot(seenSet)
-    val admitted = limit match {
-      case m: sread.ReadMaxFiles => unseen.take(m.maxFiles())
-      case _ => unseen
-    }
+    val unseen = LimitHashLog.segments(path).filterNot(s => seenSet.contains(s._1))
+    val admitted = unseen.take(admitCount(unseen, limit)).map(_._1)
     LogOffset(seen ++ admitted)
   }
 

@@ -282,6 +282,41 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(batchSizes.filter(_ > 0).toSeq === Seq(4L, 4L, 4L), batchSizes.mkString(","))
   }
 
+  test("streaming read admission: maxBytesPerTrigger bounds batches by size, always progresses") {
+    val dir = Files.createTempDirectory("graft_lhlog_adb").toString
+    val ck = Files.createTempDirectory("graft_lhlog_adb_ck").toString
+    // 6 segments of 2 rows each (~60 bytes per segment)
+    (1 to 6).foreach(i => writeDir(sampleDf(s"b$i-", 2).coalesce(1), dir, "append"))
+    val segBytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("segment-")).map(_.length()).max
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format(LimitHashLog.FORMAT)
+      .option("maxBytesPerTrigger", (segBytes + 1).toString) // fits ONE segment per trigger
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.synchronized { batchSizes += b.count() }: Unit)
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(batchSizes.sum === 12, batchSizes.mkString(","))
+    // one ~segBytes segment admitted per trigger -> 6 batches of 2
+    assert(batchSizes.filter(_ > 0).toSeq === Seq.fill(6)(2L), batchSizes.mkString(","))
+    // a limit SMALLER than any segment still progresses (one at a time)
+    val ck2 = Files.createTempDirectory("graft_lhlog_adb_ck2").toString
+    val sizes2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.format(LimitHashLog.FORMAT)
+      .option("maxBytesPerTrigger", "1")
+      .load(dir)
+      .writeStream
+      .option("checkpointLocation", ck2)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        sizes2.synchronized { sizes2 += b.count() }: Unit)
+      .start()
+    q2.processAllAvailable(); q2.stop()
+    assert(sizes2.sum === 12, "oversized-segment progress guarantee")
+  }
+
   test("log-to-log streaming pipeline: the connector on both ends") {
     val src = Files.createTempDirectory("graft_lhlog_p_src").toString
     val dst = Files.createTempDirectory("graft_lhlog_p_dst").toString
