@@ -195,7 +195,40 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** The IVF path made ORACLE-CHECKABLE (the v09 technique on the
+    * data-adaptive quantizer): planted copy queries of the first 15
+    * vectors. A copy's nearest centroid IS its original's assigned
+    * cell (identical embedding, identical arithmetic), so the original
+    * is a candidate even at nprobe = 1 and, at cosine 1.0 against a
+    * ≤ 0.5 natural ceiling (measured at both SFs), the unique top-1 —
+    * which DuckDB recomputes by brute force. Pins sampling, k-means,
+    * cell assignment, multi-probe, and exact re-rank end to end. */
+  def v10_ivf_planted(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, dir)
+    val sample = emb.filter(col("vec_id") % 7 === 0)
+      .orderBy(col("vec_id")).limit(4096)
+      .select(col("embedding")).as[Array[Float]].collect()
+    val centroids = VectorFns.kmeans(sample, k = 16, iters = 8)
+    val cells = emb.withColumn("cell",
+      element_at(VectorFns.nearestCells(col("embedding"), centroids, 1), 1))
+    val queries = emb.filter(col("vec_id") < 15)
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+      .select(col("qid"), col("qe"),
+        explode(VectorFns.nearestCells(col("qe"), centroids, 3)).as("cell"))
+    val pairs = broadcast(queries).join(cells, Seq("cell"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("qid"), col("nid"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v10_ivf_planted" -> (v10_ivf_planted _),
     "v09_ann_planted" -> (v09_ann_planted _),
     "v05_knn_classify" -> (v05_knn_classify _),
     "v01_sim_bruteforce_topk" -> (v01_sim_bruteforce_topk _),
@@ -306,6 +339,15 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "v10_ivf_planted" ->
+      """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 15),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY LIST_COSINE_SIMILARITY(q.qe, e.embedding) DESC, e.vec_id) AS rn
+        |  FROM q, embeddings e)
+        |SELECT qid, nid FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     "v09_ann_planted" ->
       """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
         |           FROM embeddings WHERE vec_id < 20),

@@ -244,6 +244,16 @@ final class SegmentBloom(val bits: Array[Long]) {
     }
     true
   }
+  /** Bitwise OR — the union filter answers membership for the combined
+    * value set (compaction merges segment blooms this way; exact, no
+    * rebuild needed). */
+  def union(o: SegmentBloom): SegmentBloom = {
+    val b = bits.clone()
+    var i = 0
+    while (i < b.length) { b(i) |= o.bits(i); i += 1 }
+    new SegmentBloom(b)
+  }
+
   def toBase64: String = {
     val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
     bits.foreach(bb.putLong)

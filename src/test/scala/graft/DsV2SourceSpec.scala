@@ -575,6 +575,38 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(all.planInputPartitions(LogOffset(Seq.empty), end).length === 3)
   }
 
+  test("log compaction: segments merge byte-exactly, stats/bloom manifests merge without rescan") {
+    val dir = Files.createTempDirectory("graft_lhlog_cp").toString
+    (0 until 5).foreach { g =>
+      sampleDf(s"c$g-", 20).coalesce(1)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(dir)
+    }
+    def render(): Seq[String] = readDir(dir)
+      .select(col("user_id"), col("amount"), hex(col("msg")).as("m"), col("sha256sum"))
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    val before = render()
+    val st = graft.sources.Compaction.compactLog(spark, dir, "cmp1")
+    assert(st.segmentsBefore === 5 && st.segmentsAfter === 1)
+    val d = new java.io.File(dir)
+    assert(d.listFiles().count(_.getName.startsWith("segment-")) === 1)
+    assert(d.listFiles().count(_.getName.startsWith(".stats-manifest-")) === 1,
+      "compaction must leave exactly one manifest")
+    assert(d.listFiles().count(_.getName.startsWith("_")) === 0, "no staged leftovers")
+    // rows byte-identical
+    assert(render() === before)
+    // merged stats still serve the aggregate pushdown exactly
+    val agg = readDir(dir).selectExpr("count(*) as n", "min(amount) as lo", "max(amount) as hi")
+    assert(scanOf(agg).scan.description().contains("PushedAggregates"))
+    val r = agg.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((100L, 1L, 20L)))
+    // the unioned bloom still answers probes (present found, absent pruned)
+    val miss = spark.read.format(LimitHashLog.FORMAT)
+      .option("maxPartitionBytes", "1").load(dir)
+      .filter(col("sha256sum") === "sha-none")
+    assert(miss.rdd.getNumPartitions === 0 && miss.count() === 0L)
+    assert(readDir(dir).filter(col("sha256sum") === "sha-c3--7").count() === 1L)
+  }
+
   test("streaming write truncate: complete-mode output replaces the log each epoch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_lhlog_tr").toString
