@@ -168,6 +168,13 @@ object Behavioral {
     val corrQP = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
       (sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
         sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy"))))
+    // Derived moments round to magnitude-tuned decimals on BOTH sides:
+    // the sums are exact, but the double expression tree can disagree
+    // with DuckDB's in the final ulp (measured at sf0.001: 1e-16
+    // relative — likely FMA contraction on one side). Rounding far
+    // coarser than the ulp gap and far finer than the data collapses
+    // both to the same double; precision per column tracks magnitude
+    // so the relative error stays below the spec's 1e-9 band.
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -175,9 +182,9 @@ object Behavioral {
         sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
       .select(col("l_returnflag"), col("n"),
         (d(col("sx")) / n).as("mean_qty"),
-        varQ.as("var_qty"), sqrt(varQ).as("std_qty"),
-        sqrt(varP).as("std_price"),
-        covQP.as("covar_qp"), corrQP.as("corr_qp"))
+        round(varQ, 8).as("var_qty"), round(sqrt(varQ), 8).as("std_qty"),
+        round(sqrt(varP), 6).as("std_price"),
+        round(covQP, 8).as("covar_qp"), round(corrQP, 12).as("corr_qp"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -276,11 +283,11 @@ object Behavioral {
     val varP = s"($n * $syy - $sy * $sy) / ($n * ($n - 1.0))"
     s"""SELECT l_returnflag, COUNT(*) AS n,
        |  $sx / $n AS mean_qty,
-       |  $varQ AS var_qty, SQRT($varQ) AS std_qty,
-       |  SQRT($varP) AS std_price,
-       |  ($n * $sxy - $sx * $sy) / ($n * ($n - 1.0)) AS covar_qp,
-       |  ($n * $sxy - $sx * $sy) /
-       |    (SQRT($n * $sxx - $sx * $sx) * SQRT($n * $syy - $sy * $sy)) AS corr_qp
+       |  ROUND($varQ, 8) AS var_qty, ROUND(SQRT($varQ), 8) AS std_qty,
+       |  ROUND(SQRT($varP), 6) AS std_price,
+       |  ROUND(($n * $sxy - $sx * $sy) / ($n * ($n - 1.0)), 8) AS covar_qp,
+       |  ROUND(($n * $sxy - $sx * $sy) /
+       |    (SQRT($n * $sxx - $sx * $sx) * SQRT($n * $syy - $sy * $sy)), 12) AS corr_qp
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
