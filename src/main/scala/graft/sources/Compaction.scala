@@ -70,13 +70,67 @@ object Compaction {
     * transient duplication, never loss. Not safe against CONCURRENT
     * writers (they could commit between listing and delete) — run it
     * when the log is quiesced, the same contract as the parquet
-    * [[compact]]. */
+    * [[compact]].
+    *
+    * Crash/retry contract: retry a failed compaction with the SAME
+    * `compactionId`. The input listing excludes this id's own
+    * `segment-<id>-<i>` outputs (so a retry never re-packs what a
+    * previous attempt already merged), and the delete phase is fenced
+    * by a `_compact-<id>.committed` marker recording the exact input
+    * names: a retry after the rename phase committed resumes the
+    * deletes from the marker instead of re-packing, and a retry before
+    * it re-packs the identical (untouched) input set. Retrying with a
+    * DIFFERENT id after a crash is rejected when it would pack a
+    * half-finished compaction's outputs together with their members
+    * (row duplication). */
   def compactLog(spark: SparkSession, dir: String, compactionId: String,
       targetBytes: Long = 64L << 20): LogCompactionStats = {
     import org.apache.spark.unsafe.types.UTF8String
+    require(compactionId.nonEmpty && !compactionId.contains("/"),
+      s"bad compactionId: $compactionId")
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val segs = LimitHashLog.segments(dir)
+    val marker = new Path(base, s"_compact-$compactionId.committed")
+    val ownTarget = s"segment-${java.util.regex.Pattern.quote(compactionId)}-\\d+".r
+
+    // Resume path: the previous attempt committed renames + manifest and
+    // recorded its inputs, then crashed mid-delete. Finish the deletes.
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty).toSeq
+      finally in.close()
+      recorded.foreach { name =>
+        val p = new Path(base, name)
+        if (fs.exists(p)) fs.delete(p, false)
+      }
+      LimitHashLog.dropOtherManifests(fs, base, compactionId)
+      fs.delete(marker, false)
+      val after = LimitHashLog.segments(dir)
+      return LogCompactionStats(recorded.length.toLong, 0L, after.length.toLong)
+    }
+
+    // Drop staged leftovers of a crashed attempt of THIS id (invisible
+    // to readers; superseded by the re-pack below).
+    fs.listStatus(base).foreach { s =>
+      if (s.isFile && s.getPath.getName.startsWith(s"_compact-$compactionId-"))
+        fs.delete(s.getPath, false)
+    }
+
+    val all = LimitHashLog.segments(dir)
+    // Inputs = everything that is not an output of this compaction id.
+    // A previous SAME-id attempt's committed targets are outputs, not
+    // inputs — re-packing them alongside their still-present members
+    // would duplicate every row (ADVICE r7).
+    val segs = all.filterNot { case (f, _) =>
+      ownTarget.pattern.matcher(new Path(f).getName).matches()
+    }
+    val staleTargets = all.length - segs.length
+    if (staleTargets > 0 && staleTargets == all.length) {
+      // Nothing but this id's own outputs: the compaction already
+      // completed (marker deleted last). Idempotent no-op.
+      return LogCompactionStats(0, 0, all.length.toLong)
+    }
     val stats = LimitHashLog.loadStats(dir)
     if (segs.isEmpty) return LogCompactionStats(0, 0, 0)
 
@@ -126,15 +180,39 @@ object Compaction {
     }
 
     // swap: new in, old out, single fresh manifest
-    renames.result().foreach { case (from, to) =>
+    val committed = renames.result().map { case (from, to) =>
       if (fs.exists(to)) fs.delete(to, false) // same-id retry: replace
       if (!fs.rename(from, to)) {
         throw new java.io.IOException(s"compactLog: rename $from -> $to failed")
       }
+      to.getName
+    }.toSet
+    // A same-id retry with fewer inputs cannot happen (inputs are only
+    // deleted after the marker commits), but clear any higher-indexed
+    // stale target defensively rather than leave duplicated rows.
+    all.foreach { case (f, _) =>
+      val name = new Path(f).getName
+      if (ownTarget.pattern.matcher(name).matches() && !committed(name))
+        fs.delete(new Path(f), false)
     }
-    segs.foreach { case (f, _) => fs.delete(new Path(f), false) }
+    // Old commit manifests are dropped only after the marker commits,
+    // so a crash before the marker leaves the originals' stats intact
+    // for the re-pack.
     LimitHashLog.writeManifest(fs, base, compactionId, manifest.result())
+    // Fence the delete phase: record exactly which inputs to remove,
+    // THEN remove them. A crash mid-delete resumes from the marker; a
+    // crash before it re-packs the identical input set. Never delete a
+    // name that was just committed as a target (ADVICE r7: the old
+    // listing on retry contained the freshly merged segments).
+    val inputNames = segs.map { case (f, _) => new Path(f).getName }
+      .filterNot(committed)
+    val mOut = fs.create(marker, true)
+    try mOut.write(inputNames.mkString("\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally mOut.close()
+    inputNames.foreach(name => fs.delete(new Path(base, name), false))
     LimitHashLog.dropOtherManifests(fs, base, compactionId)
+    fs.delete(marker, false)
     LogCompactionStats(segs.length.toLong, segs.map(_._2).sum, groups.length.toLong)
   }
 }

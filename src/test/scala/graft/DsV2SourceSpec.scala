@@ -607,6 +607,76 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(readDir(dir).filter(col("sha256sum") === "sha-c3--7").count() === 1L)
   }
 
+  test("log compaction retry: same-id re-run and crash states never lose or duplicate rows") {
+    def segFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("segment-")).sortBy(_.getName).toSeq
+    def rows(dir: String): Seq[String] = readDir(dir)
+      .select(col("user_id"), col("amount"), hex(col("msg")).as("m"), col("sha256sum"))
+      .orderBy("user_id", "sha256sum").collect().map(_.toString).toSeq
+
+    // (1) the ADVICE r7 scenario: calling compactLog twice with the SAME
+    // id must be an idempotent no-op, not a log wipe (the second run's
+    // listing contains the very segment-<id>-<i> names the first run
+    // renamed into place).
+    val dir1 = Files.createTempDirectory("graft_lhlog_cr1").toString
+    (0 until 5).foreach { g =>
+      sampleDf(s"r$g-", 20).coalesce(1)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(dir1)
+    }
+    val before1 = rows(dir1)
+    graft.sources.Compaction.compactLog(spark, dir1, "cmpA")
+    val again = graft.sources.Compaction.compactLog(spark, dir1, "cmpA")
+    assert(again.segmentsBefore === 0, "second same-id run must be a no-op")
+    assert(segFiles(dir1).length === 1 && rows(dir1) === before1,
+      "same-id retry must not wipe or duplicate the log")
+
+    // (2) crash AFTER the rename phase, BEFORE the delete marker:
+    // a merged segment-<id>-0 coexists with all its members. A same-id
+    // retry must re-pack the originals only (no duplication from
+    // treating the half-finished output as input).
+    val dir2 = Files.createTempDirectory("graft_lhlog_cr2").toString
+    (0 until 4).foreach { g =>
+      sampleDf(s"s$g-", 15).coalesce(1)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(dir2)
+    }
+    val before2 = rows(dir2)
+    val members = segFiles(dir2)
+    val merged = new java.io.File(dir2, "segment-cmpB-0")
+    val out = new java.io.FileOutputStream(merged)
+    try members.foreach(f => out.write(java.nio.file.Files.readAllBytes(f.toPath)))
+    finally out.close()
+    assert(rows(dir2).length === 2 * before2.length, "crash state visibly duplicates (documented transient)")
+    val st2 = graft.sources.Compaction.compactLog(spark, dir2, "cmpB")
+    assert(st2.segmentsBefore === 4 && st2.segmentsAfter === 1)
+    assert(segFiles(dir2).length === 1 && rows(dir2) === before2,
+      "retry after rename-phase crash must converge to exactly the original rows")
+
+    // (3) crash MID-DELETE (marker committed, some inputs already gone):
+    // retry must resume the deletes from the marker, not re-pack.
+    val dir3 = Files.createTempDirectory("graft_lhlog_cr3").toString
+    (0 until 3).foreach { g =>
+      sampleDf(s"t$g-", 10).coalesce(1)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(dir3)
+    }
+    val before3 = rows(dir3)
+    val members3 = segFiles(dir3)
+    val merged3 = new java.io.File(dir3, "segment-cmpC-0")
+    val out3 = new java.io.FileOutputStream(merged3)
+    try members3.foreach(f => out3.write(java.nio.file.Files.readAllBytes(f.toPath)))
+    finally out3.close()
+    // marker records the inputs; one input already deleted (crash mid-loop)
+    val markerTxt = members3.map(_.getName).mkString("\n")
+    java.nio.file.Files.write(
+      new java.io.File(dir3, "_compact-cmpC.committed").toPath,
+      markerTxt.getBytes(StandardCharsets.UTF_8))
+    assert(members3.head.delete())
+    val st3 = graft.sources.Compaction.compactLog(spark, dir3, "cmpC")
+    assert(st3.segmentsBefore === 3 && st3.segmentsAfter === 1)
+    assert(segFiles(dir3).map(_.getName) === Seq("segment-cmpC-0"))
+    assert(rows(dir3) === before3, "resume must finish deletes and keep the merged rows")
+    assert(!new java.io.File(dir3, "_compact-cmpC.committed").exists())
+  }
+
   test("streaming write truncate: complete-mode output replaces the log each epoch") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_lhlog_tr").toString
