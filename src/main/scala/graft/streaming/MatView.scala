@@ -29,16 +29,22 @@ import org.apache.spark.sql.types.LongType
   *   2. `<viewDir>` → `<viewDir>.prev`    (current gen preserved)
   *   3. `<viewDir>.next` → `<viewDir>`    (new gen visible)
   *
-  * A crash at ANY point leaves a complete generation readable: [[read]]
-  * falls back to `.prev` when the main directory is absent, and — when
-  * both are gone (a crash after step 2 on a recovery pass that had no
-  * main directory) — to `.next`, but ONLY if its `_SUCCESS` marker
-  * proves the write finished; a torn `.next` from a crash mid-step-1 is
-  * never read. The batchId high-water mark in the surviving generation
-  * makes the replayed batch fold in exactly once, and a stale `.next`
-  * is simply overwritten. Writing to `.next` also means the write plan
-  * never reads the directory it is truncating, so no checkpoint barrier
-  * is needed.
+  * A crash at ANY point leaves a complete generation readable, and
+  * [[maintain]] READ-REPAIRS an interrupted swap before doing anything
+  * else: when the main directory is absent it promotes a
+  * `_SUCCESS`-complete `.next` to main (a complete `.next` with no main
+  * can only mean a crash between steps 2 and 3, and by construction it
+  * contains the prior generation merged in — it IS the newest state),
+  * else rolls `.prev` back to main. [[read]] resolves in the same
+  * order (main, then proven-complete `.next`, then `.prev`); a torn
+  * `.next` from a crash mid-step-1 is never read. The batchId
+  * high-water mark in the surviving generation makes the replayed batch
+  * fold in exactly once. Repair-before-merge also closes the self-read
+  * hazard ADVICE r7 flagged: without it, a first-generation crash
+  * between write and swap left [[read]] resolving FROM `.next` while
+  * the next maintain's `mode("overwrite")` truncated that very
+  * directory under the merged plan; after repair the resolved source is
+  * always main (or empty), never the directory being overwritten.
   *
   * At 100 TB the view is keyed state orders of magnitude smaller than
   * the stream (per-key sums), and the merge cost is O(|view| + |batch
@@ -50,6 +56,9 @@ class MatView(viewDir: String) extends Serializable {
     * Input needs (event_type, cents). */
   def maintain(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val fs = new Path(viewDir).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    repairSwap(fs)
     val existing = read(spark)
     val applied = existing.agg(max(col("_b"))).head()
     if (!applied.isNullAt(0) && applied.getLong(0) >= batchId) return // replay: no-op
@@ -62,8 +71,6 @@ class MatView(viewDir: String) extends Serializable {
       .withColumn("_b", lit(batchId))
     merged.write.mode("overwrite").parquet(viewDir + ".next")
 
-    val fs = new Path(viewDir).getFileSystem(
-      spark.sessionState.newHadoopConf())
     val main = new Path(viewDir)
     val prev = new Path(viewDir + ".prev")
     val next = new Path(viewDir + ".next")
@@ -74,10 +81,32 @@ class MatView(viewDir: String) extends Serializable {
       throw new java.io.IOException(s"MatView swap: rename $next -> $main failed")
   }
 
-  /** Current view state: the main generation, else the preserved
-    * previous generation, else a PROVEN-complete staged generation
-    * (crash between swap steps — `_SUCCESS` guards against a torn
-    * write), else empty. */
+  /** Finish (or roll back) an interrupted generation swap so that the
+    * current state always lives under the MAIN directory before any
+    * merge reads or overwrite truncates a sibling. No main +
+    * `_SUCCESS`-complete `.next` ⇒ crash between swap steps 2 and 3:
+    * `.next` is the newest complete generation — promote it. No main +
+    * torn/absent `.next` ⇒ roll `.prev` back. Idempotent. */
+  private def repairSwap(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val main = new Path(viewDir)
+    if (fs.exists(main)) return
+    val prev = new Path(viewDir + ".prev")
+    val next = new Path(viewDir + ".next")
+    if (fs.exists(new Path(next, "_SUCCESS"))) {
+      if (!fs.rename(next, main))
+        throw new java.io.IOException(s"MatView repair: rename $next -> $main failed")
+    } else if (fs.exists(prev)) {
+      if (!fs.rename(prev, main))
+        throw new java.io.IOException(s"MatView repair: rename $prev -> $main failed")
+    }
+  }
+
+  /** Current view state: the main generation, else a PROVEN-complete
+    * staged generation (crash between swap steps 2 and 3 — by
+    * construction it holds the prior generation merged in, so it is
+    * NEWER than `.prev`; `_SUCCESS` guards against a torn write), else
+    * the preserved previous generation, else empty. Read-only — the
+    * repair itself happens in [[maintain]]. */
   def read(spark: SparkSession): DataFrame = {
     def tryDir(d: String, requireMarker: Boolean = false): Option[DataFrame] =
       try {
@@ -91,8 +120,8 @@ class MatView(viewDir: String) extends Serializable {
       }
       catch { case _: org.apache.spark.sql.AnalysisException => None }
     tryDir(viewDir)
-      .orElse(tryDir(viewDir + ".prev"))
       .orElse(tryDir(viewDir + ".next", requireMarker = true))
+      .orElse(tryDir(viewDir + ".prev"))
       .getOrElse(
         spark.range(0).select(
           lit("").as("event_type"), lit(0L).as("n"),

@@ -229,23 +229,71 @@ class BatcherSpec extends AnyFunSuite {
     view.maintain(batch(("b", 10L)), 1L)
     assert(state() === Seq(("a", 1L, 100L), ("b", 1L, 10L)))
 
-    // simulate the worst crash window: main renamed to .prev, new gen
-    // not yet in place (plus a stale .next from the dead attempt)
     val fs = new Path(viewDir).getFileSystem(spark.sessionState.newHadoopConf())
     val prev = new Path(viewDir + ".prev")
+
+    // crash window A — between swap steps 2 and 3: main renamed away,
+    // the COMPLETE new generation (prior state merged in, by protocol
+    // construction) still sitting in .next. The newest state is .next.
+    if (fs.exists(prev)) fs.delete(prev, true)
+    assert(fs.rename(new Path(viewDir), prev))
+    batch(("a", 100L), ("b", 10L), ("c", 7L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("_b", lit(2L))
+      .write.mode("overwrite").parquet(viewDir + ".next")
+    // read resolves the proven-complete staged generation — nothing lost
+    assert(state() === Seq(("a", 1L, 100L), ("b", 1L, 10L), ("c", 1L, 7L)))
+    // maintain first FINISHES the swap (promotes .next), then the
+    // replayed batch is a no-op against its high-water mark
+    view.maintain(batch(("c", 7L)), 2L) // replay of the crashed batch
+    assert(fs.exists(new Path(viewDir)), "repair must promote .next to main")
+    assert(state() === Seq(("a", 1L, 100L), ("b", 1L, 10L), ("c", 1L, 7L)))
+    view.maintain(batch(("d", 3L)), 3L)
+    assert(state() === Seq(("a", 1L, 100L), ("b", 1L, 10L), ("c", 1L, 7L), ("d", 1L, 3L)))
+
+    // crash window B — mid-step-1: main renamed away, .next TORN (no
+    // _SUCCESS). Repair must roll .prev back; the torn dir is never read.
     if (fs.exists(prev)) fs.delete(prev, true)
     assert(fs.rename(new Path(viewDir), prev))
     batch(("zzz", 999L)).withColumn("n", lit(1L)).withColumn("_b", lit(99L))
       .select(col("event_type"), col("n"), col("cents"), col("_b"))
       .write.mode("overwrite").parquet(viewDir + ".next")
+    fs.delete(new Path(viewDir + ".next", "_SUCCESS"), false)
+    assert(state() === Seq(("a", 1L, 100L), ("b", 1L, 10L), ("c", 1L, 7L), ("d", 1L, 3L)),
+      "a torn .next must never be read")
+    view.maintain(batch(("e", 2L)), 4L)
+    assert(state() === Seq(("a", 1L, 100L), ("b", 1L, 10L), ("c", 1L, 7L),
+      ("d", 1L, 3L), ("e", 1L, 2L)))
+  }
 
-    // read falls back to the preserved generation — nothing lost
-    assert(state() === Seq(("a", 1L, 100L), ("b", 1L, 10L)))
-    // the replayed batch folds in exactly once against that generation
-    view.maintain(batch(("b", 10L)), 1L) // replay of applied batch: no-op
-    assert(state() === Seq(("a", 1L, 100L), ("b", 1L, 10L)))
-    view.maintain(batch(("c", 7L)), 2L)
-    assert(state() === Seq(("a", 1L, 100L), ("b", 1L, 10L), ("c", 1L, 7L)))
+  test("materialized view maintenance: first-generation crash before swap does not self-truncate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.hadoop.fs.Path
+    // ADVICE r7: main and .prev absent, .next complete — read() resolved
+    // FROM .next while the next maintain's overwrite truncated it.
+    val viewDir = java.nio.file.Files.createTempDirectory("mv_gen1").toString + "/view"
+    val view = new graft.streaming.MatView(viewDir)
+    def batch(rows: (String, Long)*) = rows.toDF("event_type", "cents")
+    def state() = view.read(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+
+    // simulate: batch 0's staged write finished, crash before the swap
+    batch(("a", 100L), ("a", 50L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .withColumn("_b", lit(0L))
+      .write.mode("overwrite").parquet(viewDir + ".next")
+    assert(state() === Seq(("a", 2L, 150L)))
+
+    // next maintain must repair first, then merge — not truncate the
+    // directory its own merged plan reads
+    view.maintain(batch(("b", 10L)), 1L)
+    val fs = new Path(viewDir).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(viewDir)))
+    assert(state() === Seq(("a", 2L, 150L), ("b", 1L, 10L)),
+      "generation-0 state must survive the repair + merge")
   }
 }
 
