@@ -155,7 +155,12 @@ object LimitHashLog {
   private[sources] def parseChecks(pushed: Array[Filter]): Array[(Int, Set[String])] =
     pushed.collect {
       case EqualTo(a, v) => (SCHEMA.fieldIndex(a), Set(String.valueOf(v)))
-      case In(a, vs) => (SCHEMA.fieldIndex(a), vs.map(String.valueOf).toSet)
+      // a null IN-list member matches NOTHING in SQL; String.valueOf
+      // would turn it into the text "null" and wrongly match a row whose
+      // field is literally that string (ADVICE r7) — drop null members
+      // (the ScanBuilder additionally declines to fully-push such an In)
+      case In(a, vs) => (SCHEMA.fieldIndex(a),
+        vs.filter(_ != null).map(String.valueOf).toSet)
     }
 
   /** Zone-map + Bloom pruning against equality probes: drop segments
@@ -166,8 +171,11 @@ object LimitHashLog {
   private[sources] def zonePrune(dir: String, pushed: Array[Filter]): Seq[(String, Long)] = {
     if (pushed.isEmpty) return segments(dir)
     val eqs = pushed.collect {
+      // null IN-list members match nothing (SQL three-valued logic) —
+      // exclude them from the probe set; an In reduced to all-nulls is
+      // treated as non-pruning (conservative: keep every segment)
       case EqualTo(a, v) => (a, Seq(v))
-      case In(a, vs) if vs.nonEmpty => (a, vs.toSeq)
+      case In(a, vs) if vs.exists(_ != null) => (a, vs.toSeq.filter(_ != null))
     }
     if (eqs.isEmpty) return segments(dir)
     segmentsWithStats(dir).collect {
@@ -540,6 +548,7 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
   private var required: StructType = LimitHashLog.SCHEMA
   private var pushed: Array[Filter] = Array.empty
   private var aggTags: Seq[String] = Seq.empty
+  private var aggStats: Seq[SegmentStats] = Seq.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -551,7 +560,10 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
     val cols = Seq("user_id", "sha256sum", "amount")
     val (ours, residual) = filters.partition {
       case EqualTo(a, _) => cols.contains(a)
-      case In(a, vs) => cols.contains(a) && vs.nonEmpty
+      // an In containing a null member stays residual: pushed filters
+      // are fully source-evaluated, and the parse-stage string compare
+      // cannot express "NULL matches nothing" (ADVICE r7)
+      case In(a, vs) => cols.contains(a) && vs.nonEmpty && !vs.contains(null)
       case _ => false
     }
     pushed = ours
@@ -572,7 +584,12 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
     translate(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean =
     translate(agg) match {
-      case Some(tags) => aggTags = tags; true
+      // capture the PROVEN (segment, stats) snapshot at acceptance time:
+      // planInputPartitions must answer from exactly this set, not a
+      // re-listing — a segment appearing in between (concurrent writer)
+      // would otherwise be silently dropped from the pushed COUNT/MIN/MAX
+      // (ADVICE r7)
+      case Some((tags, stats)) => aggTags = tags; aggStats = stats; true
       case None => false
     }
 
@@ -582,7 +599,7 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
       case _ => None
     }
 
-  private def translate(agg: Aggregation): Option[Seq[String]] = {
+  private def translate(agg: Aggregation): Option[(Seq[String], Seq[SegmentStats])] = {
     if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     // an optimizer-pruned aggregation can arrive EMPTY (e.g. count()
     // over an already-aggregated frame) — declining keeps readSchema
@@ -604,13 +621,14 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
     }
     // every segment must carry stats, or the answer can't come from
     // metadata (checked LAST — it reads a sidecar per segment)
-    if (LimitHashLog.segmentsWithStats(path).forall(_._3.isDefined)) Some(tags)
+    val withStats = LimitHashLog.segmentsWithStats(path)
+    if (withStats.forall(_._3.isDefined)) Some((tags, withStats.flatMap(_._3)))
     else None
   }
 
   override def build(): Scan =
     new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger,
-      maxPartitionBytes, columnar, aggTags, maxBytesPerTrigger)
+      maxPartitionBytes, columnar, aggTags, maxBytesPerTrigger, aggStats)
 }
 
 class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter],
@@ -618,7 +636,8 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     maxPartitionBytes: Long = 128L * 1024 * 1024,
     columnar: Boolean = true,
     aggTags: Seq[String] = Seq.empty,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    aggStats: Seq[SegmentStats] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -683,7 +702,10 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     * value partition — no segment is opened at all. */
   override def planInputPartitions(): Array[InputPartition] = {
     if (aggTags.nonEmpty) {
-      val stats = LimitHashLog.segmentsWithStats(path).flatMap(_._3)
+      // answer from the stats snapshot PROVEN complete at pushdown
+      // acceptance — never a fresh listing, which could silently drop a
+      // segment committed in between (ADVICE r7)
+      val stats = aggStats
       val values: Seq[Any] = aggTags.map {
         case "count_star" => stats.map(_.rows).sum
         case "min_amount" => if (stats.isEmpty) null else stats.map(_.minAmount).min

@@ -465,6 +465,50 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(!scanOf(grouped).scan.description().contains("PushedAggregates"))
   }
 
+  test("an IN filter containing null stays residual; NULL members match nothing") {
+    // ADVICE r7: String.valueOf(null) = "null" made a row whose field is
+    // LITERALLY the text "null" match `col IN (NULL, ...)` when the In
+    // was fully source-evaluated. Such an In now stays residual.
+    val dir = Files.createTempDirectory("graft_lhlog_nullin").toString
+    Files.write(java.nio.file.Path.of(dir, "seg-000.log"),
+      "null\t5\t\thx\nu1\t10\t\th1".getBytes(StandardCharsets.UTF_8))
+    val df = spark.read.format(LimitHashLog.FORMAT).load(dir)
+    val probe = df.filter(col("user_id").isin("u1", null))
+    assert(!scanOf(probe).scan.description().contains("In(user_id"),
+      "an In with a null member must not be fully pushed")
+    assert(probe.select("amount").collect().map(_.getLong(0)).toSeq === Seq(10L),
+      "the literal text 'null' must not match a NULL IN-list member")
+    // null-free IN still pushes and still excludes the literal-"null" row
+    val clean = df.filter(col("user_id").isin("u1"))
+    assert(scanOf(clean).scan.description().contains("In(user_id") ||
+      scanOf(clean).scan.description().contains("EqualTo(user_id"))
+    assert(clean.select("amount").collect().map(_.getLong(0)).toSeq === Seq(10L))
+  }
+
+  test("aggregate pushdown answers from the acceptance-time stats snapshot, not a re-listing") {
+    // ADVICE r7: planInputPartitions re-listed the directory and silently
+    // dropped stats-less segments that appeared AFTER pushdown was proven
+    // exact — the count must come from the snapshot captured at acceptance.
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    val dir = Files.createTempDirectory("graft_lhlog_snap").toString
+    writeDir(sampleDf("a", 7), dir, "append")
+    writeDir(sampleDf("b", 6), dir, "append")
+
+    val builder = new graft.sources.LimitHashLogScanBuilder(dir)
+    val agg = new Aggregation(Array(new CountStar), Array.empty)
+    assert(builder.pushAggregation(agg), "full-stats log must accept COUNT(*) pushdown")
+
+    // a stats-less foreign segment lands between acceptance and planning
+    Files.write(java.nio.file.Path.of(dir, "segment-foreign-0"),
+      "f1\t77\t\thf".getBytes(StandardCharsets.UTF_8))
+
+    val parts = builder.build().toBatch.planInputPartitions()
+    assert(parts.length === 1)
+    val value = parts.head.asInstanceOf[graft.sources.LogAggPartition].values.head
+    assert(value === 13L,
+      "pushed COUNT must equal the snapshot proven at acceptance time")
+  }
+
   test("zone maps: a selective probe plans only the segments whose range can match") {
     val dir = Files.createTempDirectory("graft_lhlog_zm").toString
     // 4 range-disjoint segments on amount (1..25, 26..50, 51..75, 76..100)
