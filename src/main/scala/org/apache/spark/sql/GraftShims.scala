@@ -25,4 +25,12 @@ object GraftShims {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** The exact column-list text Spark's JDBC writer puts inside
+    * `CREATE TABLE <t> (...)` for a dialect — `JdbcUtils.schemaString`
+    * is `private[sql]`; the golden contract spec pins its ClickHouse
+    * output so dialect drift is caught without a live server. */
+  def jdbcSchemaString(dialect: org.apache.spark.sql.jdbc.JdbcDialect,
+      schema: org.apache.spark.sql.types.StructType,
+      caseSensitive: Boolean): String =
+    execution.datasources.jdbc.JdbcUtils.schemaString(dialect, schema, caseSensitive, None)
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{Encoders, GraftShims}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.ClickHouseDialect
+import graft.streaming.{AnsiMergeIdiom, ClickHouseMergeIdiom}
+
+/** Golden contract: with no live ClickHouse in the sandbox, the next
+  * best guard is pinning the EXACT SQL text the dialect + merge idiom
+  * emit for the reference's `limits_hashes` schema. Any drift —
+  * a type-mapping change, quoting change, idiom rewrite — fails this
+  * spec and forces a deliberate golden update. */
+class ClickHouseContractSpec extends AnyFunSuite {
+
+  private def norm(s: String): String =
+    s.linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n").trim
+
+  private def golden: String = {
+    val in = getClass.getResourceAsStream("/golden/clickhouse_limits_hashes.sql")
+    assert(in != null, "golden file missing: src/test/resources/golden/clickhouse_limits_hashes.sql")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Rebuild the contract text from the LIVE code paths: the same
+    * schemaString Spark's JDBC writer uses (via GraftShims — it is
+    * private[sql]), the same MergeIdiom methods the sink calls. */
+  private def render(): String = {
+    val schema = Encoders.product[LimitHash].schema
+    val cols = Seq("user_id", "amount", "msg", "sha256sum")
+    val create = "CREATE TABLE limits_hashes (" +
+      GraftShims.jdbcSchemaString(ClickHouseDialect, schema, caseSensitive = false) +
+      ") ENGINE = MergeTree() ORDER BY `sha256sum`"
+    val merge = ClickHouseMergeIdiom.merge(
+      "`limits_hashes`", "`limits_hashes_stage`", Seq("sha256sum"), cols)
+    val gc = ClickHouseMergeIdiom.deleteStaged("`limits_hashes_stage`", 7L)
+    val ansi = AnsiMergeIdiom.merge(
+      "\"limits_hashes\"", "\"limits_hashes_stage\"", Seq("sha256sum"), cols)
+    s"""-- Golden contract: the EXACT SQL graft's JDBC tier emits against
+       |-- ClickHouse for the reference's limits_hashes schema (hashes.go:25,
+       |-- types per hashes_test.go:146). Reviewed against ClickHouse 23.3
+       |-- syntax. Regenerate only for a DELIBERATE dialect change.
+       |
+       |-- [create] DataFrameWriter JDBC path: dialect type mapping + the
+       |-- deployment's createTableOptions (engine clause shown as a
+       |-- representative MergeTree keyed like the reference's dedup key).
+       |$create
+       |
+       |-- [merge] StagedJdbcBatchSink delivery: ClickHouse has no MERGE; the
+       |-- insert-if-absent idiom is a server-side anti-join INSERT.
+       |$merge
+       |
+       |-- [gc] stage cleanup per batch: lightweight DELETE (ClickHouse >= 22.8).
+       |$gc
+       |
+       |-- [ansi-merge] the Derby-proven ANSI shape of the same delivery step,
+       |-- pinned for contrast (JdbcBatcherSpec drives it live).
+       |$ansi""".stripMargin
+  }
+
+  test("dialect + merge idiom emit exactly the pinned ClickHouse SQL") {
+    assert(norm(render()) === norm(golden),
+      "\n--- emitted ---\n" + render() + "\n--- golden ---\n" + golden)
+  }
+}
