@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -147,44 +147,84 @@ object Behavioral {
       .orderBy(col("cohort_date"))
   }
 
+  /** 2^50 as an exact decimal literal — the chunk radix for
+    * [[splitDouble]]. */
+  private val C50 = lit(new java.math.BigDecimal("1125899906842624"))
+
+  /** Exact scale-0 DECIMAL integer → the double BOTH engines compute
+    * bit-identically. A native wide-int→double cast is engine-specific
+    * (DuckDB's is not correctly rounded above 2^53 — measured), so
+    * instead the integer is split into three chunks < 2^50, each cast
+    * exactly (both engines' casts are exact below 2^53 — verified
+    * empirically for DuckDB HUGEINT), and the value rebuilt with a fixed
+    * IEEE expression tree. Every product in the rebuild is exactly
+    * representable (chunk < 2^50 times an exact power of two), so even
+    * FMA contraction cannot change a bit: fma(a,b,c) ≡ round(a*b)+c
+    * when a*b is exact. The two additions are the only roundings, and
+    * IEEE addition is deterministic given operands. The oracle SQL's
+    * `sqlSplit` is this expression operand-for-operand over HUGEINT. */
+  private def splitDouble(num: Column): Column = {
+    val sgn = when(num < 0, lit(-1.0d)).otherwise(lit(1.0d))
+    val a = abs(num)
+    val l0 = a % C50
+    val r1 = ((a - l0) / C50).cast(DecimalType(38, 0)) // exact: divides evenly
+    val h1 = r1 % C50
+    val h2 = ((r1 - h1) / C50).cast(DecimalType(38, 0))
+    sgn * ((h2.cast(DoubleType) * lit(1.2676506002282294e30) +
+      h1.cast(DoubleType) * lit(1.125899906842624e15)) + l0.cast(DoubleType))
+  }
+
+  /** The same split, DuckDB-side, over HUGEINT (`//`/`%` are exact
+    * truncating int128 ops; operands here are non-negative). */
+  private def sqlSplit(x: String): String =
+    s"(CASE WHEN $x < 0 THEN -1.0 ELSE 1.0 END * " +
+      s"((CAST(ABS($x) // 1125899906842624 // 1125899906842624 AS DOUBLE) * 1.2676506002282294e+30 + " +
+      s"CAST(ABS($x) // 1125899906842624 % 1125899906842624 AS DOUBLE) * 1125899906842624.0) + " +
+      s"CAST(ABS($x) % 1125899906842624 AS DOUBLE)))"
+
   /** Statistical aggregates (stddev / variance / covariance / Pearson
-    * correlation) in EXACT cross-engine form: the five moment sums are
-    * accumulated as DECIMAL (associative — partial aggregation order
-    * can't change them), and the statistics are derived from those sums
-    * with an identical double-arithmetic expression tree in both engines
-    * (IEEE ops are deterministic given operands, sqrt is correctly
-    * rounded). Spark's built-in `stddev_samp`/`covar_samp`/`corr` stream
-    * co-moments in double and are order-sensitive — right at 100 TB,
-    * unverifiable bit-for-bit; BehavioralSpec pins this form to the
-    * built-ins within 1e-9 relative. */
+    * correlation) in EXACT cross-engine form, no rounding calibration:
+    * values become integer cents, the five moment sums and the textbook
+    * numerators `n·Σx² − (Σx)²` are computed in exact integer arithmetic
+    * (DECIMAL(38,0) here, HUGEINT in the oracle — both exact to 1e38,
+    * bounded by ~4e35 even at the 100 TB row count), converted to double
+    * via [[splitDouble]]'s engine-agnostic exact chunking, and only then
+    * finished with a short fixed tree of individually-rounded IEEE ops
+    * (divide, sqrt, multiply — no a·b+c shape anywhere, so FMA
+    * contraction cannot bite). Spark's built-in `stddev_samp`/
+    * `covar_samp`/`corr` stream co-moments in double and are
+    * order-sensitive — at 100 TB, unverifiable bit-for-bit;
+    * BehavioralSpec pins this form to the built-ins within 1e-9. */
   def q58_stats_agg(spark: SparkSession, dir: String): DataFrame = {
-    val q = m(col("l_quantity"))
-    val p = m(col("l_extendedprice"))
-    val n = col("n").cast(DoubleType)
-    def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
-    val varQ = (n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) / (n * (n - lit(1.0)))
-    val varP = (n * d(col("syy")) - d(col("sy")) * d(col("sy"))) / (n * (n - lit(1.0)))
-    val covQP = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) / (n * (n - lit(1.0)))
-    val corrQP = (n * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
-      (sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
-        sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy"))))
-    // Derived moments round to magnitude-tuned decimals on BOTH sides:
-    // the sums are exact, but the double expression tree can disagree
-    // with DuckDB's in the final ulp (measured at sf0.001: 1e-16
-    // relative — likely FMA contraction on one side). Rounding far
-    // coarser than the ulp gap and far finer than the data collapses
-    // both to the same double; precision per column tracks magnitude
-    // so the relative error stays below the spec's 1e-9 band.
+    // integer cents: DECIMAL(12,0) squares to (25,0), sums to (35,0) —
+    // exact headroom past 6e11 rows per group
+    val qc = (m(col("l_quantity")) * lit(100)).cast(DecimalType(12, 0))
+    val pc = (m(col("l_extendedprice")) * lit(100)).cast(DecimalType(12, 0))
+    val nDec = col("n").cast(DecimalType(20, 0))
+    def num(spp: Column, s1: Column, s2: Column) =
+      (nDec * spp - s1 * s2).cast(DecimalType(38, 0))
+    val nd = col("nd")
+    val denom = nd * (nd - lit(1.0d))
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(q).as("sx"), sum(p).as("sy"),
-        sum(q * q).as("sxx"), sum(p * p).as("syy"), sum(q * p).as("sxy"))
+        sum(qc).as("sx"), sum(pc).as("sy"),
+        sum(qc * qc).as("sxx"), sum(pc * pc).as("syy"), sum(qc * pc).as("sxy"))
       .select(col("l_returnflag"), col("n"),
-        (d(col("sx")) / n).as("mean_qty"),
-        round(varQ, 8).as("var_qty"), round(sqrt(varQ), 8).as("std_qty"),
-        round(sqrt(varP), 6).as("std_price"),
-        round(covQP, 8).as("covar_qp"), round(corrQP, 12).as("corr_qp"))
+        col("n").cast(DoubleType).as("nd"),
+        splitDouble(col("sx")).as("sxd"),
+        splitDouble(num(col("sxx"), col("sx"), col("sx"))).as("nxxd"),
+        splitDouble(num(col("syy"), col("sy"), col("sy"))).as("nyyd"),
+        splitDouble(num(col("sxy"), col("sx"), col("sy"))).as("nxyd"))
+      .select(col("l_returnflag"), col("n"),
+        // cents scale-back divisors are exact powers-of-ten doubles;
+        // each op below is one shared IEEE rounding
+        (col("sxd") / nd / lit(100.0d)).as("mean_qty"),
+        (col("nxxd") / denom / lit(10000.0d)).as("var_qty"),
+        (sqrt(col("nxxd") / denom) / lit(100.0d)).as("std_qty"),
+        (sqrt(col("nyyd") / denom) / lit(100.0d)).as("std_price"),
+        (col("nxyd") / denom / lit(10000.0d)).as("covar_qp"),
+        (col("nxyd") / (sqrt(col("nxxd")) * sqrt(col("nyyd")))).as("corr_qp"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -270,26 +310,42 @@ object Behavioral {
       |  CAST(SUM(CASE WHEN r14 THEN 1 ELSE 0 END) AS BIGINT) AS n_day14
       |FROM r GROUP BY d0 ORDER BY cohort_date""".stripMargin
 
-  /** q58 oracle: the same moment sums in DECIMAL, the same derived
-    * expression tree in DOUBLE — operand-for-operand. */
-  private val statsOracleSql: String = {
-    val sx = "CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)"
-    val sy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)"
-    val sxx = "CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE)"
-    val syy = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)"
-    val sxy = "CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_extendedprice AS DECIMAL(9,2))) AS DOUBLE)"
-    val n = "CAST(COUNT(*) AS DOUBLE)"
-    val varQ = s"($n * $sxx - $sx * $sx) / ($n * ($n - 1.0))"
-    val varP = s"($n * $syy - $sy * $sy) / ($n * ($n - 1.0))"
-    s"""SELECT l_returnflag, COUNT(*) AS n,
-       |  $sx / $n AS mean_qty,
-       |  ROUND($varQ, 8) AS var_qty, ROUND(SQRT($varQ), 8) AS std_qty,
-       |  ROUND(SQRT($varP), 6) AS std_price,
-       |  ROUND(($n * $sxy - $sx * $sy) / ($n * ($n - 1.0)), 8) AS covar_qp,
-       |  ROUND(($n * $sxy - $sx * $sy) /
-       |    (SQRT($n * $sxx - $sx * $sx) * SQRT($n * $syy - $sy * $sy)), 12) AS corr_qp
-       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-  }
+  /** q58 oracle: the same integer-cents moment sums and textbook
+    * numerators in exact HUGEINT arithmetic, the same [[sqlSplit]] exact
+    * int→double conversion, the same final IEEE tree —
+    * operand-for-operand with [[q58_stats_agg]], no rounding anywhere. */
+  private val statsOracleSql: String =
+    s"""WITH c AS (
+       |  SELECT l_returnflag,
+       |    CAST(CAST(l_quantity AS DECIMAL(9,2)) * 100 AS HUGEINT) AS qc,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(9,2)) * 100 AS HUGEINT) AS pc
+       |  FROM lineitem),
+       |a AS (
+       |  SELECT l_returnflag, COUNT(*) AS n,
+       |    CAST(SUM(qc) AS HUGEINT) AS sx, CAST(SUM(pc) AS HUGEINT) AS sy,
+       |    CAST(SUM(qc * qc) AS HUGEINT) AS sxx,
+       |    CAST(SUM(pc * pc) AS HUGEINT) AS syy,
+       |    CAST(SUM(qc * pc) AS HUGEINT) AS sxy
+       |  FROM c GROUP BY l_returnflag),
+       |d AS (
+       |  SELECT l_returnflag, n, sx,
+       |    CAST(n AS HUGEINT) * sxx - sx * sx AS nxx,
+       |    CAST(n AS HUGEINT) * syy - sy * sy AS nyy,
+       |    CAST(n AS HUGEINT) * sxy - sx * sy AS nxy
+       |  FROM a),
+       |e AS (
+       |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+       |    ${sqlSplit("sx")} AS sxd, ${sqlSplit("nxx")} AS nxxd,
+       |    ${sqlSplit("nyy")} AS nyyd, ${sqlSplit("nxy")} AS nxyd
+       |  FROM d)
+       |SELECT l_returnflag, n,
+       |  sxd / nd / 100.0 AS mean_qty,
+       |  nxxd / (nd * (nd - 1.0)) / 10000.0 AS var_qty,
+       |  SQRT(nxxd / (nd * (nd - 1.0))) / 100.0 AS std_qty,
+       |  SQRT(nyyd / (nd * (nd - 1.0))) / 100.0 AS std_price,
+       |  nxyd / (nd * (nd - 1.0)) / 10000.0 AS covar_qp,
+       |  nxyd / (SQRT(nxxd) * SQRT(nyyd)) AS corr_qp
+       |FROM e ORDER BY l_returnflag""".stripMargin
 
   /** Shared oracle CTE: the same per-user step string, DuckDB-side —
     * ORDER BY (ts, step) inside STRING_AGG is the shared tie-break;
