@@ -338,9 +338,9 @@ object Dedup {
       .cache() // re-read every iteration
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
-    var changed = 1L
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < 20) { // log2(n) + slack, not diameter
+    while (changed && iter < 20) { // log2(n) + slack, not diameter
       val nbr = edges
         .join(labels.withColumnRenamed("doc_id", "a"), "a")
         .groupBy(col("b").as("doc_id"))
@@ -355,8 +355,11 @@ object Dedup {
           col("x.label") === col("pid"))
         .select(col("x.doc_id").as("doc_id"), col("plabel").as("label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
+      // convergence probe: any-changed-row, not a full count — take(1)
+      // short-circuits the scan as soon as one changed label surfaces,
+      // so a converged round is the only one that pays a full pass
+      changed = !next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
       labels = next
       iter += 1
     }

@@ -501,7 +501,64 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Materialized view with the CONNECTOR as the view store: a
+    * complete-mode streaming aggregate whose every trigger rewrites the
+    * whole summary through [[graft.sources.LimitHashLog]]'s streaming
+    * truncate path (epoch-replacing segment swap) — the DSv2 composition
+    * of s14's hand-rolled parquet generation swap, with the log source
+    * as the checkpoint-restartable input. The query is STOPPED mid-way
+    * and a fresh query resumes from the same checkpoint over an input
+    * log that grew in between, so the oracle match proves three things
+    * at once: streaming-read offset restart, state-store restore, and
+    * truncate idempotence across the restart replay. Each view row
+    * carries a sha256 of its own content (`user_id:n:cents`), so the
+    * hash column is itself oracle-checked — the reference's
+    * hash-verification posture (`hashes_test.go:130-131`) applied to
+    * the view. At 100 TB the view is per-key state far smaller than the
+    * stream; complete-mode rewrite cost is O(|view|) per trigger. */
+  def s17_stream_matview_log(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
+    import graft.sources.LimitHashLog
+    import org.apache.spark.sql.types.{BinaryType, StringType}
+    val inDir = Files.createTempDirectory("graft_lhlog_s17_in").toString
+    val outDir = Files.createTempDirectory("graft_lhlog_s17_out").toString
+    val ck = Files.createTempDirectory("graft_lhlog_s17_ck").toString
+    val rows = Tables.orders(spark, dir).select(
+      concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+      (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(9, 2)) * 100)
+        .cast(LongType).as("amount"),
+      col("o_orderstatus").cast(BinaryType).as("msg"),
+      sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+    def startView() = spark.readStream
+      .format(LimitHashLog.FORMAT).load(inDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"))
+      .select(col("user_id"), col("cents").as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(concat_ws(":", col("user_id"), col("n").cast(StringType),
+          col("cents").cast(StringType)), 256).as("sha256sum"))
+      .writeStream
+      .format(LimitHashLog.FORMAT)
+      .option("path", outDir)
+      .option("checkpointLocation", ck)
+      .outputMode("complete")
+      .start()
+    val half1 = rows.filter(col("amount") % 2 === 0)
+    val half2 = rows.filter(col("amount") % 2 =!= 0)
+    half1.write.format(LimitHashLog.FORMAT).mode("append").save(inDir)
+    val q1 = startView()
+    q1.processAllAvailable()
+    q1.stop() // mid-stream shutdown: view must survive and resume
+    half2.write.format(LimitHashLog.FORMAT).mode("append").save(inDir)
+    val q2 = startView()
+    q2.processAllAvailable()
+    q2.stop()
+    spark.read.format(LimitHashLog.FORMAT).load(outDir)
+      .select(col("user_id"), col("amount"), col("sha256sum"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_stream_matview_log" -> (s17_stream_matview_log _),
     "s15_stream_log_sink" -> (s15_stream_log_sink _),
     "s14_stream_matview" -> (s14_stream_matview _),
     "s13_stream_topk" -> (s13_stream_topk _),
@@ -570,6 +627,16 @@ object StreamingQueries {
     // stream ≡ batch: the incremental funnel must reproduce q56 exactly
     "s12_stream_funnel" -> graft.operators.Behavioral.oracle("q56_funnel"),
     "s15_stream_log_sink" -> graft.operators.Pipeline.oracle("p06_log_roundtrip"),
+    // the view equals the straight batch aggregate, content hash included
+    "s17_stream_matview_log" ->
+      """WITH v AS (
+        |  SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT user_id, cents AS amount,
+        |  SHA256(user_id || ':' || CAST(n AS VARCHAR) || ':' || CAST(cents AS VARCHAR)) AS sha256sum
+        |FROM v ORDER BY user_id""".stripMargin,
     "s14_stream_matview" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(value AS DECIMAL(9,2)) * 100 AS BIGINT)) AS DOUBLE) / 100.0
