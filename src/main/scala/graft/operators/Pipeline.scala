@@ -216,7 +216,39 @@ object Pipeline {
                  FROM graft_p07.ingest.limits""")
   }
 
+  /** A selective range probe through the catalog's PARQUET-managed
+    * tables, which since r8 skip whole files from footer stats at
+    * planning time ([[graft.sources.StatsPrunedFileIndex]]) — the
+    * parquet-side analogue of the log source's zone-map pruning. The
+    * table is written range-partitioned on the probe key (the layout
+    * that makes skipping effective at 100 TB), and the oracle computes
+    * the same report from the raw orders table, so the skipping scan
+    * is hash-checked against ground truth: a file wrongly skipped or
+    * wrongly kept shows up as a sum/count mismatch. */
+  def p08_catalog_skip_scan(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p08").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p08").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p08", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p08.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p08.lake")
+    // parquet FileTable has no TRUNCATE capability → recreate, not overwrite
+    spark.sql("DROP TABLE IF EXISTS graft_p08.lake.orders_rng")
+    spark.sql("""CREATE TABLE graft_p08.lake.orders_rng
+                 (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").cast(LongType), col("o_custkey").cast(LongType),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo("graft_p08.lake.orders_rng").append()
+    spark.sql("""SELECT o_custkey % 10 AS bucket, count(*) AS n, sum(cents) AS total
+                 FROM graft_p08.lake.orders_rng
+                 WHERE o_orderkey BETWEEN 100 AND 2000
+                 GROUP BY 1 ORDER BY 1""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p08_catalog_skip_scan" -> (p08_catalog_skip_scan _),
     "p07_log_count_pushdown" -> (p07_log_count_pushdown _),
     "p06_log_roundtrip" -> (p06_log_roundtrip _),
     "p05_mixture_sample" -> (p05_mixture_sample _),
@@ -226,6 +258,11 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p08_catalog_skip_scan" ->
+      """SELECT o_custkey % 10 AS bucket, COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)) AS BIGINT) AS total
+        |FROM orders WHERE o_orderkey BETWEEN 100 AND 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p07_log_count_pushdown" ->
       """SELECT COUNT(*) AS n,
         |  MIN(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)) AS lo,

@@ -73,13 +73,13 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
   private def dataDir(dir: Path): Path = new Path(dir, "data")
 
   private def parquetTable(ident: Identifier, dir: Path, schema: StructType): Table =
-    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+    // a genuine ParquetTable (FileTable write/analyzer paths intact)
+    // with footer-stats file skipping on reads (ParquetStats.scala)
+    new StatsPrunedParquetTable(
       ident.toString,
       org.apache.spark.sql.classic.SparkSession.active,
-      CaseInsensitiveStringMap.empty(),
       Seq(dataDir(dir).toString),
-      Some(schema),
-      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      schema)
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)

@@ -1,0 +1,410 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Planning-time FILE skipping for the catalog's parquet-managed
+  * tables, from parquet footer statistics — the parquet-side analogue
+  * of the log connector's per-segment zone maps.
+  *
+  * The log tables answer selective probes by consulting their commit
+  * manifests; the parquet tables previously scheduled a task per file
+  * split and relied on row-group skipping INSIDE each task. That is
+  * correct but pays the task-scheduling and footer-open cost for every
+  * file at every query — at 100 TB, a selective probe over a
+  * range-partitioned table should open the handful of files whose
+  * min/max can match, not schedule 100k no-op tasks. (Same design as
+  * Delta/Iceberg data skipping; the reference's warehouse delegates
+  * the equivalent to ClickHouse's sparse primary index.)
+  *
+  * Mechanism: [[StatsPrunedFileIndex]] overrides
+  * `listFiles(partitionFilters, dataFilters)` — the exact hook
+  * `FileScan.partitions` already calls with the pushed data filters —
+  * and drops files whose footer min/max/nullCount PROVE no row can
+  * satisfy some conjunct. Everything else (vectorized read, row-group
+  * skipping, aggregate pushdown) stays Spark's genuine `ParquetScan`:
+  * the table's ScanBuilder is the real `ParquetScanBuilder` with only
+  * the file index swapped. Pruning is strictly conservative — any
+  * column/type/annotation this module does not understand keeps the
+  * file, so a wrong answer is impossible, only a missed skip.
+  *
+  * Footers are read once per (path, length, mtime) into a process-wide
+  * cache, in parallel across files; on a real cluster the same footer
+  * bytes are read anyway by every planning cycle that touches the
+  * file, so the cache turns O(queries × files) footer opens into
+  * O(files). */
+object ParquetFooterStats {
+
+  /** Normalized per-column bounds. Domains keep cross-type confusion
+    * impossible: a LONG column never compares against a string probe.
+    * `min`/`max` are None when the column is all-null in the file;
+    * a column absent from the map has UNUSABLE stats (unknown type,
+    * missing footer stats, nested field) and must not prune. */
+  sealed trait Domain
+  case object DInt extends Domain // int8/16/32/64 widened to Long
+  case object DDays extends Domain // DATE as epoch days
+  case object DMicros extends Domain // TIMESTAMP normalized to micros
+  case object DFloat extends Domain // float/double widened to Double
+  case object DStr extends Domain // UTF8 binary order
+  case object DBool extends Domain
+
+  case class ColStats(domain: Domain, min: Option[Any], max: Option[Any],
+      nulls: Option[Long])
+  case class FileStats(rowCount: Long, cols: Map[String, ColStats])
+
+  private val cache = new ConcurrentHashMap[(String, Long, Long), FileStats]()
+
+  def get(conf: Configuration, path: Path, len: Long, mtime: Long): FileStats = {
+    cache.computeIfAbsent((path.toString, len, mtime), _ => read(conf, path))
+  }
+
+  /** Merge row-group stats to file-level bounds. A row group with
+    * unusable stats poisons only that COLUMN (dropped from the map),
+    * never the file. */
+  private def read(conf: Configuration, path: Path): FileStats = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      // (domain, min, max, nulls, usable) accumulated per column
+      val acc = scala.collection.mutable.Map[String, ColStats]()
+      val poisoned = scala.collection.mutable.Set[String]()
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = if (c.getPath.size == 1) c.getPath.toDotString.toLowerCase else null
+        if (name != null && !poisoned(name)) {
+          normalize(c.getPrimitiveType.getPrimitiveTypeName,
+            Option(c.getPrimitiveType.getLogicalTypeAnnotation),
+            c.getStatistics, b.getRowCount) match {
+            case None =>
+              poisoned += name; acc.remove(name)
+            case Some(cs) =>
+              acc.get(name) match {
+                case None => acc(name) = cs
+                case Some(prev) if prev.domain == cs.domain =>
+                  acc(name) = ColStats(cs.domain,
+                    mergeBound(prev.min, cs.min, lo = true),
+                    mergeBound(prev.max, cs.max, lo = false),
+                    for (a <- prev.nulls; b2 <- cs.nulls) yield a + b2)
+                case _ => poisoned += name; acc.remove(name)
+              }
+          }
+        }
+      }
+      FileStats(rowCount, acc.toMap)
+    } finally reader.close()
+  }
+
+  private def mergeBound(a: Option[Any], b: Option[Any], lo: Boolean): Option[Any] =
+    (a, b) match {
+      // one side all-null: the other side's bound still bounds the file
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(x), Some(y)) =>
+        Some(if ((compare(x, y) < 0) == lo) x else y)
+    }
+
+  /** One row group's column chunk → normalized bounds, or None when
+    * the stats cannot be trusted for pruning. */
+  private def normalize(t: PrimitiveTypeName, ann: Option[LogicalTypeAnnotation],
+      st: org.apache.parquet.column.statistics.Statistics[_],
+      blockRows: Long): Option[ColStats] = {
+    import LogicalTypeAnnotation._
+    if (st == null) return None
+    val nulls = if (st.isNumNullsSet) Some(st.getNumNulls) else None
+    val allNull = nulls.contains(blockRows)
+    if (!st.hasNonNullValue && !allNull) return None // stats absent
+    def bounds(f: Any => Any): (Option[Any], Option[Any]) =
+      if (allNull) (None, None)
+      else (Some(f(st.genericGetMin)), Some(f(st.genericGetMax)))
+    def ok(d: Domain, f: Any => Any): Option[ColStats] = {
+      val (mn, mx) = bounds(f)
+      Some(ColStats(d, mn, mx, nulls))
+    }
+    (t, ann) match {
+      case (PrimitiveTypeName.INT32, None) =>
+        ok(DInt, v => v.asInstanceOf[Number].longValue)
+      case (PrimitiveTypeName.INT32, Some(i: IntLogicalTypeAnnotation)) if i.isSigned =>
+        ok(DInt, v => v.asInstanceOf[Number].longValue)
+      case (PrimitiveTypeName.INT32, Some(_: DateLogicalTypeAnnotation)) =>
+        ok(DDays, v => v.asInstanceOf[Number].longValue)
+      case (PrimitiveTypeName.INT64, None) =>
+        ok(DInt, v => v.asInstanceOf[Number].longValue)
+      case (PrimitiveTypeName.INT64, Some(i: IntLogicalTypeAnnotation)) if i.isSigned =>
+        ok(DInt, v => v.asInstanceOf[Number].longValue)
+      case (PrimitiveTypeName.INT64, Some(ts: TimestampLogicalTypeAnnotation)) =>
+        ts.getUnit match {
+          case TimeUnit.MICROS => ok(DMicros, v => v.asInstanceOf[Number].longValue)
+          case TimeUnit.MILLIS =>
+            ok(DMicros, v => Math.multiplyExact(v.asInstanceOf[Number].longValue, 1000L))
+          // TIMESTAMP(NANOS) surfaces as LongType under
+          // nanosAsLong=true — same raw domain as a plain long probe
+          case TimeUnit.NANOS => ok(DInt, v => v.asInstanceOf[Number].longValue)
+        }
+      case (PrimitiveTypeName.FLOAT, None) =>
+        val d = st.genericGetMin.asInstanceOf[Float]
+        val x = st.genericGetMax.asInstanceOf[Float]
+        if (!allNull && (d.isNaN || x.isNaN)) None
+        else ok(DFloat, v => v.asInstanceOf[Float].toDouble)
+      case (PrimitiveTypeName.DOUBLE, None) =>
+        val d = st.genericGetMin.asInstanceOf[Double]
+        val x = st.genericGetMax.asInstanceOf[Double]
+        if (!allNull && (d.isNaN || x.isNaN)) None
+        else ok(DFloat, v => v.asInstanceOf[Double])
+      case (PrimitiveTypeName.BINARY, Some(_: StringLogicalTypeAnnotation)) =>
+        // parquet-mr already suppresses legacy signed-ordered binary
+        // stats; surviving bounds are unsigned-byte ordered, matching
+        // UTF8String.compareTo. Writer truncation keeps them valid
+        // bounds (truncated min <= data, incremented max >= data).
+        ok(DStr, v => UTF8String.fromBytes(
+          v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
+      case (PrimitiveTypeName.BOOLEAN, None) =>
+        ok(DBool, v => v.asInstanceOf[Boolean])
+      case _ => None // INT96, decimals, unsigned, nested, enum, uuid…
+    }
+  }
+
+  /** Same-domain comparison (guaranteed by construction). */
+  def compare(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => throw new IllegalStateException(s"domain mix: $a vs $b")
+  }
+
+  /** Catalyst literal → (domain, normalized value); None = cannot
+    * prune on this probe (null literal handled by the caller, NaN,
+    * decimal, unsupported type). */
+  def probe(dt: DataType, value: Any): Option[(Domain, Any)] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some((DInt, value.asInstanceOf[Number].longValue))
+    case DateType => Some((DDays, value.asInstanceOf[Number].longValue))
+    case TimestampType | TimestampNTZType =>
+      Some((DMicros, value.asInstanceOf[Number].longValue))
+    case FloatType =>
+      val f = value.asInstanceOf[Float]
+      if (f.isNaN) None else Some((DFloat, f.toDouble))
+    case DoubleType =>
+      val d = value.asInstanceOf[Double]
+      if (d.isNaN) None else Some((DFloat, d))
+    case StringType => Some((DStr, value.asInstanceOf[UTF8String]))
+    case BooleanType => Some((DBool, value.asInstanceOf[Boolean]))
+    case _ => None
+  }
+}
+
+/** Decides, per file and pushed conjunct, whether footer bounds PROVE
+  * the conjunct unsatisfiable. Everything unprovable keeps the file. */
+object FooterPrune {
+  import ParquetFooterStats._
+
+  def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** True only when NO row of the file can satisfy `e`. */
+  def excludes(fs: FileStats, e: Expression): Boolean = e match {
+    case And(l, r) => excludes(fs, l) || excludes(fs, r)
+    case Or(l, r) => excludes(fs, l) && excludes(fs, r)
+
+    case EqualTo(a: AttributeReference, l: Literal) => cmpExcludes(fs, a, l, "=")
+    case EqualTo(l: Literal, a: AttributeReference) => cmpExcludes(fs, a, l, "=")
+    case GreaterThan(a: AttributeReference, l: Literal) => cmpExcludes(fs, a, l, ">")
+    case GreaterThan(l: Literal, a: AttributeReference) => cmpExcludes(fs, a, l, "<")
+    case GreaterThanOrEqual(a: AttributeReference, l: Literal) => cmpExcludes(fs, a, l, ">=")
+    case GreaterThanOrEqual(l: Literal, a: AttributeReference) => cmpExcludes(fs, a, l, "<=")
+    case LessThan(a: AttributeReference, l: Literal) => cmpExcludes(fs, a, l, "<")
+    case LessThan(l: Literal, a: AttributeReference) => cmpExcludes(fs, a, l, ">")
+    case LessThanOrEqual(a: AttributeReference, l: Literal) => cmpExcludes(fs, a, l, "<=")
+    case LessThanOrEqual(l: Literal, a: AttributeReference) => cmpExcludes(fs, a, l, ">=")
+
+    case EqualNullSafe(a: AttributeReference, l: Literal) =>
+      if (l.value == null) nullExcludes(fs, a, wantNull = true)
+      else cmpExcludes(fs, a, l, "=")
+    case EqualNullSafe(l: Literal, a: AttributeReference) =>
+      if (l.value == null) nullExcludes(fs, a, wantNull = true)
+      else cmpExcludes(fs, a, l, "=")
+
+    case IsNull(a: AttributeReference) => nullExcludes(fs, a, wantNull = true)
+    case IsNotNull(a: AttributeReference) => nullExcludes(fs, a, wantNull = false)
+
+    case In(a: AttributeReference, members) if members.forall(_.isInstanceOf[Literal]) =>
+      // NULL members match nothing (q03's IN semantics); judge each
+      // non-null member as an EqualTo and exclude when all are out
+      val nonNull = members.collect { case l: Literal if l.value != null => l }
+      nonNull.forall(l => cmpExcludes(fs, a, l, "="))
+    case InSet(a: AttributeReference, hset) =>
+      val nonNull = hset.asInstanceOf[Set[Any]].filter(_ != null)
+      nonNull.forall(v => cmpExcludes(fs, a, Literal.create(v, a.dataType), "="))
+
+    case StartsWith(a: AttributeReference, l: Literal) if l.value != null =>
+      prefixExcludes(fs, a, l.value.asInstanceOf[UTF8String])
+
+    // a comparison against a null literal is never TRUE for any row
+    case BinaryComparison(_: AttributeReference, l: Literal) if l.value == null => true
+    case BinaryComparison(l: Literal, _: AttributeReference) if l.value == null => true
+
+    case _ => false
+  }
+
+  private def valueStats(fs: FileStats, a: AttributeReference): Option[ColStats] =
+    fs.cols.get(a.name.toLowerCase)
+
+  /** Comparisons require a NON-NULL value in range; an all-null column
+    * (bounds None with known full null count) excludes them outright. */
+  private def cmpExcludes(fs: FileStats, a: AttributeReference, l: Literal,
+      op: String): Boolean = {
+    if (l.value == null) return true
+    valueStats(fs, a) match {
+      case Some(cs) =>
+        probe(l.dataType, l.value) match {
+          case Some((dom, v)) if dom == cs.domain =>
+            (cs.min, cs.max) match {
+              case (Some(mn), Some(mx)) =>
+                op match {
+                  case "=" => compare(v, mn) < 0 || compare(v, mx) > 0
+                  case ">" => compare(mx, v) <= 0
+                  case ">=" => compare(mx, v) < 0
+                  case "<" => compare(mn, v) >= 0
+                  case "<=" => compare(mn, v) > 0
+                }
+              case _ => cs.nulls.contains(fs.rowCount) // all-null file
+            }
+          case _ => false
+        }
+      case None => false
+    }
+  }
+
+  private def nullExcludes(fs: FileStats, a: AttributeReference,
+      wantNull: Boolean): Boolean =
+    valueStats(fs, a) match {
+      case Some(cs) =>
+        if (wantNull) cs.nulls.contains(0L)
+        else cs.nulls.contains(fs.rowCount)
+      case None => false
+    }
+
+  /** `startswith(a, p)` rows live in [p, nextPrefix(p)) in binary
+    * order; outside that interval the file cannot match. */
+  private def prefixExcludes(fs: FileStats, a: AttributeReference,
+      prefix: UTF8String): Boolean =
+    valueStats(fs, a) match {
+      case Some(cs) if cs.domain == ParquetFooterStats.DStr =>
+        (cs.min, cs.max) match {
+          case (Some(mn: UTF8String), Some(mx: UTF8String)) =>
+            if (mx.compareTo(prefix) < 0) true
+            else nextPrefix(prefix.getBytes) match {
+              case Some(upper) =>
+                mn.compareTo(UTF8String.fromBytes(upper)) >= 0
+              case None => false
+            }
+          case _ => cs.nulls.contains(fs.rowCount)
+        }
+      case _ => false
+    }
+
+  /** Smallest byte string greater than every string with this prefix:
+    * increment the last non-0xFF byte, truncate the rest. All-0xFF has
+    * no upper bound. */
+  private[sources] def nextPrefix(p: Array[Byte]): Option[Array[Byte]] = {
+    var i = p.length - 1
+    while (i >= 0 && p(i) == -1) i -= 1
+    if (i < 0) None
+    else {
+      val out = java.util.Arrays.copyOf(p, i + 1)
+      out(i) = (out(i) + 1).toByte
+      Some(out)
+    }
+  }
+}
+
+/** An [[InMemoryFileIndex]] that applies [[FooterPrune]] at the
+  * `listFiles(partitionFilters, dataFilters)` hook `FileScan
+  * .partitions` calls during planning — files whose bounds exclude a
+  * pushed conjunct never become input partitions, never schedule
+  * tasks. Uncached footers load in parallel (driver-side, once per
+  * file version). */
+class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructType)
+    extends InMemoryFileIndex(spark, Seq(dataDir), Map.empty, Some(schema)) {
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val base = super.listFiles(partitionFilters, dataFilters)
+    val conjuncts = dataFilters.flatMap(FooterPrune.splitConjuncts)
+    if (conjuncts.isEmpty) return base
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    // warm the footer cache for all candidate files concurrently
+    val all = base.flatMap(_.files)
+    all.toArray.asInstanceOf[Array[AnyRef]].toSeq.asJava.parallelStream().forEach { f0 =>
+      val f = f0.asInstanceOf[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata]
+      try ParquetFooterStats.get(conf, f.getPath, f.getLen, f.getModificationTime)
+      catch { case _: Exception => () } // unreadable footer → no pruning
+    }
+    var total = 0
+    var kept = 0
+    val pruned = base.map { pd =>
+      pd.copy(files = pd.files.filter { f =>
+        total += 1
+        val keep = try {
+          val fs = ParquetFooterStats.get(conf, f.getPath, f.getLen, f.getModificationTime)
+          !conjuncts.exists(c => FooterPrune.excludes(fs, c))
+        } catch { case _: Exception => true }
+        if (keep) kept += 1
+        keep
+      })
+    }
+    StatsPrunedFileIndex.lastListing.put(dataDir.toString, (kept, total))
+    pruned
+  }
+}
+
+object StatsPrunedFileIndex {
+  /** (kept, total) of the most recent pruned listing, keyed by table
+    * data dir — a test probe (suites share the session and may list
+    * concurrently, so a single cell would race). */
+  val lastListing = new ConcurrentHashMap[String, (Int, Int)]()
+}
+
+/** The catalog's parquet-managed table with footer-stats file
+  * skipping. EXTENDS Spark's own [[ParquetTable]] rather than wrapping
+  * it: the analyzer special-cases `FileTable` relations (e.g.
+  * `FallBackFileSourceV2` routes INSERT/OVERWRITE through the v1 file
+  * write path, which is also what makes truncate-mode overwrite legal
+  * for file tables), so a non-FileTable delegate would silently lose
+  * the whole write surface. Only `newScanBuilder` changes — the
+  * genuine `ParquetScanBuilder`, with the file index swapped for
+  * [[StatsPrunedFileIndex]]; columnar batches, row-group skipping and
+  * aggregate pushdown remain Spark's parquet machinery. */
+class StatsPrunedParquetTable(
+    tableName: String,
+    spark: SparkSession,
+    paths: Seq[String],
+    declared: StructType)
+    extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+      tableName, spark,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), paths,
+      Some(declared),
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]) {
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
+    val inner = super.newScanBuilder(options)
+    inner.copy(fileIndex =
+      new StatsPrunedFileIndex(spark, new Path(paths.head), declared))
+  }
+}

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.StatsPrunedFileIndex
+
+/** The catalog's parquet tables must SKIP whole files at planning time
+  * from footer min/max/nullCount — the parquet analogue of the log
+  * connector's zone maps. Each test writes range-disjoint files
+  * through the public `INSERT` path and asserts on the number of files
+  * the scan actually schedules, not just the result. */
+class ParquetSkipSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = Sessions.base("local[4]", 4)
+    s.conf.set("spark.sql.catalog.graft_skip", "graft.sources.LogCatalog")
+    s.conf.set("spark.sql.catalog.graft_skip.warehouse", warehouse)
+    s
+  }
+
+  private val warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_skip_wh").toString
+
+  /** 8 files, ids [i*100, i*100+100), zero-padded names so string
+    * ranges are as disjoint as the numeric ones; file 7's score is
+    * entirely NULL. */
+  private lazy val table: String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_skip.lake")
+    spark.sql("""CREATE TABLE graft_skip.lake.t
+                 (id BIGINT, name STRING, score DOUBLE)""")
+    (0 until 8).foreach { i =>
+      spark.range(i * 100, i * 100 + 100)
+        .select(col("id"),
+          format_string("n%04d", col("id")).as("name"),
+          when(lit(i) === 7, lit(null).cast("double"))
+            .otherwise(col("id") * 1.5).as("score"))
+        .repartition(1)
+        .writeTo("graft_skip.lake.t").append()
+    }
+    "graft_skip.lake.t"
+  }
+
+  private def probe(cond: String): DataFrame =
+    spark.sql(s"SELECT * FROM $table WHERE $cond")
+
+  // the index keys its listing probe by the ctor path, verbatim
+  private def dataDirKey: String = s"$warehouse/lake/t/data"
+
+  private def keptOf(df: DataFrame): (Int, Int, Long) = {
+    StatsPrunedFileIndex.lastListing.remove(dataDirKey)
+    val n = df.count()
+    val (kept, total) = StatsPrunedFileIndex.lastListing.get(dataDirKey)
+    (kept, total, n)
+  }
+
+  test("baseline: 8 files on disk, full scan sees every row") {
+    assert(spark.table(table).count() === 800)
+    // the listing the scan plans over really holds 8 separate files
+    // (kept/total counters below are in units of these files)
+    val dataDir = new java.io.File(s"$warehouse/lake/t/data")
+    assert(dataDir.listFiles().count(_.getName.endsWith(".parquet")) === 8)
+  }
+
+  test("point probe schedules exactly one file") {
+    val df = probe("id = 250")
+    val (kept, total, n) = keptOf(df)
+    assert((kept, total) === (1, 8), "footer bounds must exclude 7 of 8 files")
+    assert(n === 1)
+  }
+
+  test("range probe keeps only the overlapping tail") {
+    val (kept, total, n) = keptOf(probe("id > 650"))
+    assert((kept, total) === (2, 8))
+    assert(n === 149)
+    // closed bound lands in a single file
+    val (k2, _, n2) = keptOf(probe("id BETWEEN 310 AND 390"))
+    assert(k2 === 1 && n2 === 81)
+  }
+
+  test("string equality and prefix probes skip on binary-ordered bounds") {
+    val (kept, _, n) = keptOf(probe("name = 'n0250'"))
+    assert(kept === 1 && n === 1)
+    val (k2, _, n2) = keptOf(probe("name LIKE 'n02%'"))
+    assert(k2 === 1 && n2 === 100)
+  }
+
+  test("IN-list prunes to the union of member files; NULL member changes nothing") {
+    val (kept, _, n) = keptOf(probe("id IN (5, 15, 705)"))
+    assert(kept === 2 && n === 3)
+    val (k2, _, n2) = keptOf(probe("id IN (5, 15, 705, NULL)"))
+    assert(k2 === 2 && n2 === 3, "NULL member matches nothing, prunes the same")
+  }
+
+  test("IS NULL keeps only the all-null file; IS NOT NULL drops it") {
+    val (kept, _, n) = keptOf(probe("score IS NULL"))
+    assert(kept === 1 && n === 100)
+    val (k2, _, n2) = keptOf(probe("score IS NOT NULL AND id >= 700"))
+    assert(k2 === 0 && n2 === 0, "conjunction proves emptiness before any task runs")
+  }
+
+  test("double-range probe prunes on float bounds") {
+    val (kept, _, n) = keptOf(probe("score >= 1000.5"))
+    // score = id*1.5 → ≥1000.5 means id ≥ 667: files 6 (667..699) only
+    // (file 7 is all-null and excluded by the comparison semantics)
+    assert(kept === 1 && n === 33)
+  }
+
+  test("unprovable predicates keep every file and stay correct") {
+    val (kept, total, n) = keptOf(probe("id % 2 = 0 AND id < 100"))
+    // id % 2 can't prune; id < 100 can — one file survives
+    assert(kept === 1 && total === 8 && n === 50)
+    val (k2, _, n2) = keptOf(probe("pmod(id, 7) = 3"))
+    assert(k2 === 8 && n2 === 800 / 7 + (if (800 % 7 > 3) 1 else 0))
+  }
+
+  test("pruning composes with column pruning and aggregation") {
+    val df = spark.sql(
+      s"SELECT count(*) AS n, sum(id) AS s FROM $table WHERE id BETWEEN 100 AND 199")
+    StatsPrunedFileIndex.lastListing.remove(dataDirKey)
+    val row = df.collect().head
+    assert(StatsPrunedFileIndex.lastListing.get(dataDirKey) === ((1, 8)))
+    assert(row.getLong(0) === 100 && row.getLong(1) === (100L to 199L).sum)
+  }
+}
