@@ -60,6 +60,7 @@ object ParquetFooterStats {
   case object DFloat extends Domain // float/double widened to Double
   case object DStr extends Domain // UTF8 binary order
   case object DBool extends Domain
+  case object DDec extends Domain // decimal as java BigDecimal (scale-free compare)
 
   case class ColStats(domain: Domain, min: Option[Any], max: Option[Any],
       nulls: Option[Long])
@@ -172,7 +173,18 @@ object ParquetFooterStats {
           v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes))
       case (PrimitiveTypeName.BOOLEAN, None) =>
         ok(DBool, v => v.asInstanceOf[Boolean])
-      case _ => None // INT96, decimals, unsigned, nested, enum, uuid…
+      case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
+          Some(d: DecimalLogicalTypeAnnotation)) =>
+        ok(DDec, v => java.math.BigDecimal.valueOf(
+          v.asInstanceOf[Number].longValue, d.getScale))
+      case (PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY | PrimitiveTypeName.BINARY,
+          Some(d: DecimalLogicalTypeAnnotation)) =>
+        // unscaled big-endian two's-complement bytes, per the format spec
+        ok(DDec, v => new java.math.BigDecimal(
+          new java.math.BigInteger(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes),
+          d.getScale))
+      case _ => None // INT96, unsigned, nested, enum, uuid…
     }
   }
 
@@ -182,6 +194,7 @@ object ParquetFooterStats {
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
     case (x: UTF8String, y: UTF8String) => x.compareTo(y)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y)
     case _ => throw new IllegalStateException(s"domain mix: $a vs $b")
   }
 
@@ -202,6 +215,9 @@ object ParquetFooterStats {
       if (d.isNaN) None else Some((DFloat, d))
     case StringType => Some((DStr, value.asInstanceOf[UTF8String]))
     case BooleanType => Some((DBool, value.asInstanceOf[Boolean]))
+    case _: DecimalType =>
+      Some((DDec,
+        value.asInstanceOf[org.apache.spark.sql.types.Decimal].toJavaBigDecimal))
     case _ => None
   }
 }

@@ -115,6 +115,32 @@ class ParquetSkipSpec extends AnyFunSuite {
     assert(k2 === 8 && n2 === 800 / 7 + (if (800 % 7 > 3) 1 else 0))
   }
 
+  test("decimal bounds prune (unscaled int and binary-backed encodings)") {
+    spark.sql("""CREATE TABLE graft_skip.lake.dec
+                 (id BIGINT, small DECIMAL(9,2), wide DECIMAL(25,4))""")
+    (0 until 4).foreach { i =>
+      spark.range(i * 10, i * 10 + 10)
+        .select(col("id"),
+          (col("id") * 1.25).cast("decimal(9,2)").as("small"),
+          (col("id") * 1000000.0001).cast("decimal(25,4)").as("wide"))
+        .repartition(1)
+        .writeTo("graft_skip.lake.dec").append()
+    }
+    val key = s"$warehouse/lake/dec/data"
+    def kept(cond: String): (Int, Long) = {
+      StatsPrunedFileIndex.lastListing.remove(key)
+      val n = spark.sql(s"SELECT * FROM graft_skip.lake.dec WHERE $cond").count()
+      (StatsPrunedFileIndex.lastListing.get(key)._1, n)
+    }
+    // DECIMAL(9,2) → INT32/INT64 unscaled; file i holds small in
+    // [i*10*1.25, (i*10+9)*1.25]
+    assert(kept("small = 31.25") === ((1, 1)))
+    assert(kept("small > 30.00") === ((2, 15)))
+    // DECIMAL(25,4) → FIXED_LEN_BYTE_ARRAY unscaled big-endian
+    assert(kept("wide >= 30000000.0030") === ((1, 10)))
+    assert(kept("wide < 0") === ((0, 0)))
+  }
+
   test("pruning composes with column pruning and aggregation") {
     val df = spark.sql(
       s"SELECT count(*) AS n, sum(id) AS s FROM $table WHERE id BETWEEN 100 AND 199")
