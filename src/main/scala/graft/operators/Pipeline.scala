@@ -247,7 +247,36 @@ object Pipeline {
                  GROUP BY 1 ORDER BY 1""")
   }
 
+  /** Z-order clustered write ([[Layout.zorder]]) + a conjunctive
+    * two-dimensional probe through the skipping scan. The layout must
+    * be RESULT-INVISIBLE (clustering only moves rows between files),
+    * so the oracle computes the same aggregate from the raw orders
+    * table — any row lost/duplicated by the quantile-bucket shuffle,
+    * or a file wrongly skipped on either dimension, breaks the hash. */
+  def p09_zorder_probe(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p09").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p09").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p09", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p09.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p09.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p09.lake.orders_z")
+    spark.sql("""CREATE TABLE graft_p09.lake.orders_z
+                 (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""")
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey").cast(LongType), col("o_custkey").cast(LongType),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+    Layout.zorder(base, Seq("o_custkey", "cents"), files = 16)
+      .writeTo("graft_p09.lake.orders_z").append()
+    spark.sql("""SELECT count(*) AS n, sum(cents) AS total,
+                        min(o_orderkey) AS k0, max(o_orderkey) AS k1
+                 FROM graft_p09.lake.orders_z
+                 WHERE o_custkey BETWEEN 10 AND 400
+                   AND cents BETWEEN 2000000 AND 20000000""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p09_zorder_probe" -> (p09_zorder_probe _),
     "p08_catalog_skip_scan" -> (p08_catalog_skip_scan _),
     "p07_log_count_pushdown" -> (p07_log_count_pushdown _),
     "p06_log_roundtrip" -> (p06_log_roundtrip _),
@@ -258,6 +287,14 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p09_zorder_probe" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)) AS BIGINT) AS total,
+        |  MIN(o_orderkey) AS k0, MAX(o_orderkey) AS k1
+        |FROM orders
+        |WHERE o_custkey BETWEEN 10 AND 400
+        |  AND CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)
+        |      BETWEEN 2000000 AND 20000000""".stripMargin,
     "p08_catalog_skip_scan" ->
       """SELECT o_custkey % 10 AS bucket, COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)) AS BIGINT) AS total

@@ -141,6 +141,45 @@ class ParquetSkipSpec extends AnyFunSuite {
     assert(kept("wide < 0") === ((0, 0)))
   }
 
+  test("z-ordered layout: selective probes on EITHER dimension skip most files") {
+    spark.sql("CREATE TABLE graft_skip.lake.z (x BIGINT, y BIGINT, id BIGINT)")
+    val grid = spark.range(10000).select(
+      (col("id") % 100).as("x"), ((col("id") / 100) % 100).as("y"), col("id"))
+    graft.operators.Layout.zorder(grid, Seq("x", "y"), files = 16)
+      .writeTo("graft_skip.lake.z").append()
+    val key = s"$warehouse/lake/z/data"
+    def kept(cond: String): (Int, Int, Long) = {
+      StatsPrunedFileIndex.lastListing.remove(key)
+      val n = spark.sql(s"SELECT * FROM graft_skip.lake.z WHERE $cond").count()
+      val (k, t) = StatsPrunedFileIndex.lastListing.get(key)
+      (k, t, n)
+    }
+    // range file boundaries are sampled quantiles of the z-key, so a
+    // probe slab can straddle one extra bit-quadrant — assert the
+    // halving, not the geometric ideal
+    val (kx, tx, nx) = kept("x BETWEEN 10 AND 15")
+    assert(tx === 16 && nx === 600)
+    assert(kx <= 8, s"x-probe kept $kx of 16 files — z-locality lost")
+    val (ky, _, ny) = kept("y BETWEEN 80 AND 85")
+    assert(ny === 600)
+    assert(ky <= 8, s"y-probe kept $ky of 16 files — z-locality lost")
+    // a conjunctive probe intersects both dimensions' file sets
+    val (kxy, _, nxy) = kept("x BETWEEN 10 AND 15 AND y BETWEEN 80 AND 85")
+    assert(nxy === 36 && kxy <= 4)
+
+    // contrast: a single-column range layout serves only its own
+    // column — the y-probe reads EVERY file, which is exactly the
+    // failure mode z-ordering exists to fix
+    spark.sql("CREATE TABLE graft_skip.lake.zlin (x BIGINT, y BIGINT, id BIGINT)")
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .writeTo("graft_skip.lake.zlin").append()
+    val klin = s"$warehouse/lake/zlin/data"
+    StatsPrunedFileIndex.lastListing.remove(klin)
+    assert(spark.sql(
+      "SELECT * FROM graft_skip.lake.zlin WHERE y BETWEEN 80 AND 85").count() === 600)
+    assert(StatsPrunedFileIndex.lastListing.get(klin)._1 === 16)
+  }
+
   test("pruning composes with column pruning and aggregation") {
     val df = spark.sql(
       s"SELECT count(*) AS n, sum(id) AS s FROM $table WHERE id BETWEEN 100 AND 199")
