@@ -215,4 +215,147 @@ object Compaction {
     fs.delete(marker, false)
     LogCompactionStats(segs.length.toLong, segs.map(_._2).sum, groups.length.toLong)
   }
+
+  // ------------------------------------------------------------------
+  // In-place compaction of a CATALOG parquet table (`<dir>/_schema.json`
+  // + `<dir>/data/*.parquet`)
+  // ------------------------------------------------------------------
+
+  /** Finish an interrupted [[compactTable]] generation swap — the
+    * MatView read-repair pattern applied to the table's `data/` dir.
+    * Called from both `compactTable` and the catalog's `loadTable`, so
+    * a crash at ANY point leaves the table readable on next touch:
+    *
+    *   - `data` missing, `data.next` carries `_COMPACT_SUCCESS` →
+    *     the build finished and the swap half-ran: promote `.next`;
+    *   - `data` missing otherwise → restore `data.prev`;
+    *   - `data` present → any `.next`/`.prev` remnant is a stale build
+    *     or an un-deleted old generation: drop it. */
+  private[sources] def repairGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      tableDir: Path): Unit = {
+    val data = new Path(tableDir, "data")
+    val next = new Path(tableDir, "data.next")
+    val prev = new Path(tableDir, "data.prev")
+    if (!fs.exists(data)) {
+      if (fs.exists(new Path(next, "_COMPACT_SUCCESS"))) {
+        if (!fs.rename(next, data)) {
+          throw new java.io.IOException(s"repair: promote $next failed")
+        }
+        fs.delete(prev, true)
+      } else if (fs.exists(prev)) {
+        if (!fs.rename(prev, data)) {
+          throw new java.io.IOException(s"repair: restore $prev failed")
+        }
+        fs.delete(next, true)
+      }
+    } else {
+      fs.delete(next, true)
+      fs.delete(prev, true)
+    }
+  }
+
+  /** Bin-pack the small files of a catalog parquet table into
+    * ~`targetBytes` files, IN PLACE and crash-safe, preserving the
+    * table's clustering: files are packed ADJACENT in (mtime, name)
+    * order — write order within and across jobs — so a range- or
+    * Z-ordered table's merged files cover compact key intervals and
+    * footer-stats skipping keeps working at the coarser granularity
+    * (a hash `repartition` rewrite like [[compact]] would destroy it).
+    *
+    * Already-large-enough files are HARDLINKED into the new generation
+    * (copy fallback for filesystems without links): zero rewrite I/O
+    * for the part of the table that is already well-laid-out — at
+    * 100 TB the steady-state compaction touches only the fresh tail of
+    * small files.
+    *
+    * Crash safety is a staged generation swap, not file juggling in
+    * the live dir: build `data.next` completely, mark it with
+    * `_COMPACT_SUCCESS` (underscore-prefixed → invisible to Spark's
+    * listing), then `data`→`data.prev`, `data.next`→`data`, drop
+    * `data.prev`. A reader can never observe duplicated or missing
+    * rows; the only crash residue is repaired by
+    * [[repairGenerations]] on the next load. Single-writer maintenance
+    * semantics, same contract as [[compactLog]]. */
+  def compactTable(spark: SparkSession, tableDir: String,
+      targetBytes: Long = 128L << 20): CompactionStats = {
+    val base = new Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(base, "_schema.json")),
+      s"$tableDir is not a catalog parquet table (no _schema.json); " +
+        "entity logs compact via compactLog")
+    repairGenerations(fs, base)
+    val data = new Path(base, "data")
+    val next = new Path(base, "data.next")
+    fs.delete(next, true) // stale unfinished build of a crashed attempt
+    fs.mkdirs(next)
+
+    val files = fs.listStatus(data)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(s => (s.getModificationTime, s.getPath.getName))
+    val bytesBefore = files.map(_.getLen).sum
+
+    // greedy adjacent bin-pack
+    val bins = Seq.newBuilder[Seq[org.apache.hadoop.fs.FileStatus]]
+    var cur = Vector.empty[org.apache.hadoop.fs.FileStatus]
+    var curBytes = 0L
+    for (f <- files) {
+      if (cur.nonEmpty && curBytes + f.getLen > targetBytes) {
+        bins += cur; cur = Vector.empty; curBytes = 0L
+      }
+      cur = cur :+ f; curBytes += f.getLen
+    }
+    if (cur.nonEmpty) bins += cur
+
+    var rows = 0L
+    bins.result().zipWithIndex.foreach { case (bin, i) =>
+      if (bin.length == 1) {
+        val src = bin.head.getPath
+        val dst = new Path(next, src.getName)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(src.toUri.getPath))
+        } catch {
+          case _: UnsupportedOperationException | _: java.io.IOException =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+              spark.sparkContext.hadoopConfiguration)
+        }
+      } else {
+        val staging = new Path(next, s".bin-$i")
+        val merged = spark.read.parquet(bin.map(_.getPath.toString): _*)
+        merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging)
+          .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .getOrElse(throw new java.io.IOException(s"no output part in $staging"))
+        if (!fs.rename(part.getPath, new Path(next, f"compact-$i%05d.parquet"))) {
+          throw new java.io.IOException(s"stage rename failed for bin $i")
+        }
+        fs.delete(staging, true)
+      }
+    }
+    rows = spark.read.parquet(next.toString).count()
+    val rowsBefore = spark.read.parquet(data.toString).count()
+    if (rows != rowsBefore) {
+      fs.delete(next, true)
+      throw new IllegalStateException(
+        s"compaction row mismatch: $rowsBefore before vs $rows staged — aborted")
+    }
+    fs.create(new Path(next, "_COMPACT_SUCCESS"), true).close()
+
+    val prev = new Path(base, "data.prev")
+    if (!fs.rename(data, prev)) {
+      throw new java.io.IOException(s"swap: $data -> $prev failed")
+    }
+    if (!fs.rename(next, data)) {
+      // data is gone but next is complete: exactly the state
+      // repairGenerations promotes — surface the error, stay repairable
+      throw new java.io.IOException(s"swap: $next -> $data failed")
+    }
+    // the new generation is live; _COMPACT_SUCCESS has done its job
+    fs.delete(new Path(data, "_COMPACT_SUCCESS"), false)
+    fs.delete(prev, true)
+    CompactionStats(files.length.toLong, bytesBefore, rows,
+      fs.listStatus(data).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")).toLong)
+  }
 }

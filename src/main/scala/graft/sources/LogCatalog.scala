@@ -91,6 +91,9 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
       val in = fs.open(sf)
       val json = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      // finish any interrupted compactTable generation swap first —
+      // a crash between renames must never surface as a missing table
+      Compaction.repairGenerations(fs, dir)
       parquetTable(ident, dir,
         org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType])
     } else new LimitHashLogTable(dir.toString)
