@@ -275,7 +275,41 @@ object Pipeline {
                    AND cents BETWEEN 2000000 AND 20000000""")
   }
 
+  /** Row-level DELETE end-to-end: a log table through the catalog,
+    * SQL `DELETE FROM ... WHERE` (disjunctive predicate spanning
+    * metadata-dropped, rewritten, and untouched segments —
+    * [[graft.sources.LogDelete]]'s three verdicts), then an aggregate
+    * over the survivors. The oracle recomputes the survivors from the
+    * raw orders table with the negated predicate, so a row the delete
+    * missed, double-deleted, or corrupted in a rewrite breaks the
+    * hash — the zone classification is verified, not trusted. */
+  def p10_log_delete(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p10").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p10").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p10", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p10.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p10.ops")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft_p10.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+      // range-cluster on user_id so zone maps are selective: some
+      // segments become single-user (metadata drops), most prune clean
+      .repartitionByRange(8, col("user_id"))
+      .writeTo("graft_p10.ops.limits").overwrite(lit(true))
+    spark.sql("""DELETE FROM graft_p10.ops.limits
+                 WHERE user_id = 'u13' OR amount < 1000000""")
+    spark.sql("""SELECT user_id, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p10.ops.limits GROUP BY 1 ORDER BY 1""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_log_delete" -> (p10_log_delete _),
     "p09_zorder_probe" -> (p09_zorder_probe _),
     "p08_catalog_skip_scan" -> (p08_catalog_skip_scan _),
     "p07_log_count_pushdown" -> (p07_log_count_pushdown _),
@@ -287,6 +321,13 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p10_log_delete" ->
+      """WITH t AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM orders)
+        |SELECT user_id, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM t WHERE NOT (user_id = 'u13' OR amount < 1000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p09_zorder_probe" ->
       """SELECT COUNT(*) AS n,
         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)) AS BIGINT) AS total,

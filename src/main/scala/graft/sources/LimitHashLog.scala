@@ -284,8 +284,19 @@ object SegmentBloom {
   }
 }
 
-class LimitHashLogTable(path: String) extends Table with SupportsRead with SupportsWrite {
+class LimitHashLogTable(path: String) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"limit_hash_log(`$path`)"
+
+  // Row-level DELETE (SQL `DELETE FROM graft.<ns>.<t> WHERE p` via the
+  // catalog, `deleteWhere` via the API) — zone-classified metadata-first
+  // delete, full design on [[LogDelete]].
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(LogDelete.supported)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    LogDelete.deleteWhere(
+      org.apache.spark.sql.classic.SparkSession.active, path, filters)
+  override def truncateTable(): Boolean = { LogDelete.truncateAll(path); true }
   override def schema(): StructType = LimitHashLog.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -631,6 +642,32 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
       maxPartitionBytes, columnar, aggTags, maxBytesPerTrigger, aggStats)
 }
 
+/** Sum-aggregated scan metrics (driver-reported; keyed into the SQL
+  * metrics panel of the scan node). One concrete zero-arg class per
+  * metric — the UI status listener re-instantiates them by reflection. */
+class SegmentsTotalMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "segmentsTotal"
+  override def description(): String = "log segments listed"
+}
+class SegmentsPrunedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "segmentsPruned"
+  override def description(): String = "segments skipped by zone map / Bloom / runtime filter"
+}
+class SplitsPlannedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "splitsPlanned"
+  override def description(): String = "bin-packed input splits"
+}
+class MetadataAggServedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "metadataAggServed"
+  override def description(): String = "aggregate queries answered from stats manifests (no segment opened)"
+}
+
+private[sources] case class LogDriverMetric(n: String, v: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = n
+  override def value(): Long = v
+}
+
 class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
     maxPartitionBytes: Long = 128L * 1024 * 1024,
@@ -640,6 +677,21 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     aggStats: Seq[SegmentStats] = Seq.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  /** Scan observability — the numbers that tell an operator whether the
+    * skip machinery is WORKING at scale (a 100 TB log where
+    * `segmentsPruned` is 0 on a selective probe means missing stats or
+    * a non-prunable predicate — visible in the Spark UI per scan, no
+    * log spelunking). Driver metrics: populated at planning, reported
+    * through the DSv2 metric hook into the SQL metrics panel. */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new SegmentsTotalMetric, new SegmentsPrunedMetric,
+      new SplitsPlannedMetric, new MetadataAggServedMetric)
+
+  private var plannedMetrics: Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array.empty
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    plannedMetrics
 
   /** RUNTIME filtering (dynamic segment pruning): when this log is the
     * probe side of a join whose build side is selective, Spark hands
@@ -715,16 +767,24 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
         case "max_user" => if (stats.isEmpty) null
           else stats.map(s => UTF8String.fromString(s.maxUserId)).max.toString
       }
+      plannedMetrics = Array(LogDriverMetric("metadataAggServed", 1L),
+        LogDriverMetric("segmentsTotal", stats.size.toLong))
       return Array(LogAggPartition(values))
     }
+    val total = LimitHashLog.segments(path).size
+    val surviving = zoneFiltered
     val packed = scala.collection.mutable.ArrayBuffer.empty[(List[String], Long)]
-    zoneFiltered.foreach { case (f, len) =>
+    surviving.foreach { case (f, len) =>
       packed.lastOption match {
         case Some((fs, tot)) if tot + len <= maxPartitionBytes =>
           packed(packed.length - 1) = (f :: fs, tot + len)
         case _ => packed += ((List(f), len))
       }
     }
+    plannedMetrics = Array(
+      LogDriverMetric("segmentsTotal", total.toLong),
+      LogDriverMetric("segmentsPruned", (total - surviving.size).toLong),
+      LogDriverMetric("splitsPlanned", packed.length.toLong))
     packed.map(p => LogSegmentsPartition(p._1.reverse): InputPartition).toArray
   }
 

@@ -1,0 +1,322 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-level DELETE for the entity log — the reference's `DELETE FROM
+  * limits_hashes WHERE ...` maintenance path (`hashes_test.go:236-240`
+  * clears by predicate between cases; SURVEY §2.1 #10) as a first-class
+  * DSv2 `SupportsDelete`, so `DELETE FROM graft.<ns>.<t> WHERE p`
+  * works through the catalog and `table.deleteWhere(filters)` through
+  * the API.
+  *
+  * Scale design — metadata first, I/O only where provably needed. Every
+  * segment is classified with THREE-VALUED zone logic against its
+  * commit-time stats (might-match / must-match, the Delta/Iceberg
+  * data-skipping shape generalized to And/Or/Not):
+  *
+  *   - **Clean** (¬might): no row can match — the file is NOT TOUCHED.
+  *     Zero I/O for the log's cold tail, which at 100 TB is almost all
+  *     of it.
+  *   - **Drop** (must): every row provably matches (e.g. equality on a
+  *     column whose zone is a single value) — the file is deleted
+  *     WITHOUT being read: a metadata-only delete.
+  *   - **Rewrite** (the rest): survivors are rewritten distributed —
+  *     one task per affected segment (the same parallelism shape as
+  *     the scan), each task streaming its lines once and emitting a
+  *     staged replacement plus fresh exact stats (rows/min/max/Bloom),
+  *     so COUNT/MIN/MAX pushdown and zone pruning stay exact after the
+  *     delete. Only (name, stats) tuples return to the driver —
+  *     manifest-scale metadata, same as DSv2 commit messages.
+  *
+  * Visibility & crash contract (same as [[Compaction.compactLog]]):
+  * staged files are `_`-prefixed (invisible to readers); replacements
+  * are renamed in BEFORE originals are removed, so a concurrent reader
+  * sees transient duplication, never loss; the delete phase is fenced
+  * by a `_delete-<id>.committed` marker recording exactly what to
+  * remove. The delete id derives from the FILTER SET alone, so
+  * retrying the same logical DELETE resumes: post-marker it finishes
+  * the removals; pre-marker it re-rewrites the (still intact)
+  * originals onto the same deterministic target names. Replacement
+  * names are `segment-<delId>-<originalName>` — collision-free and
+  * idempotent across retries; [[Compaction.compactLog]] re-shortens
+  * them at the next maintenance window. Not safe against CONCURRENT
+  * writers — quiesced-log contract, like compaction.
+  */
+object LogDelete {
+
+  import LimitHashLog.SCHEMA
+
+  private val UID = 0; private val AMT = 1; private val MSG = 2; private val SHA = 3
+
+  /** Filters this source can evaluate itself (so `canDeleteWhere` can
+    * promise `deleteWhere` will be exact): boolean combinations of
+    * equality / IN / range on the stats-covered columns, null tests on
+    * any column. Anything else → Spark reports DELETE unsupported
+    * rather than us guessing. */
+  def supported(f: Filter): Boolean = f match {
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case AlwaysTrue() | AlwaysFalse() => true
+    case IsNull(a) => SCHEMA.fieldNames.contains(a)
+    case IsNotNull(a) => SCHEMA.fieldNames.contains(a)
+    case EqualTo(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
+    case In(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
+    case GreaterThan(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
+    case GreaterThanOrEqual(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
+    case LessThan(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
+    case LessThanOrEqual(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
+    case _ => false
+  }
+
+  private def long(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"LogDelete: non-numeric comparison value for amount: $other")
+  }
+
+  /** Predicate over one raw TSV line's fields — the same
+    * parse-without-materializing discipline as the scan's pushed
+    * filters. String order is UTF8String (binary), matching both the
+    * zone stats and Spark's own comparisons. An empty msg field IS the
+    * null encoding (the writer emits "" for null). */
+  private[sources] def evalRow(f: Filter, fields: Array[String]): Boolean = f match {
+    case And(l, r) => evalRow(l, fields) && evalRow(r, fields)
+    case Or(l, r) => evalRow(l, fields) || evalRow(r, fields)
+    case Not(c) => !evalRow(c, fields)
+    case AlwaysTrue() => true
+    case AlwaysFalse() => false
+    case IsNull(a) => a == "msg" && fields(MSG).isEmpty
+    case IsNotNull(a) => a != "msg" || fields(MSG).nonEmpty
+    case EqualTo("amount", v) => fields(AMT).toLong == long(v)
+    case EqualTo(a, v) => fields(if (a == "user_id") UID else SHA) == String.valueOf(v)
+    case In("amount", vs) =>
+      val x = fields(AMT).toLong; vs.exists(v => v != null && long(v) == x)
+    case In(a, vs) =>
+      val x = fields(if (a == "user_id") UID else SHA)
+      vs.exists(v => v != null && String.valueOf(v) == x)
+    case GreaterThan("amount", v) => fields(AMT).toLong > long(v)
+    case GreaterThanOrEqual("amount", v) => fields(AMT).toLong >= long(v)
+    case LessThan("amount", v) => fields(AMT).toLong < long(v)
+    case LessThanOrEqual("amount", v) => fields(AMT).toLong <= long(v)
+    case GreaterThan(a, v) => cmp(fields, a, v) > 0
+    case GreaterThanOrEqual(a, v) => cmp(fields, a, v) >= 0
+    case LessThan(a, v) => cmp(fields, a, v) < 0
+    case LessThanOrEqual(a, v) => cmp(fields, a, v) <= 0
+    case other => throw new IllegalArgumentException(s"LogDelete: unsupported $other")
+  }
+
+  private def cmp(fields: Array[String], a: String, v: Any): Int =
+    UTF8String.fromString(fields(if (a == "user_id") UID else SHA))
+      .compareTo(UTF8String.fromString(String.valueOf(v)))
+
+  /** Three-valued zone evaluation: (mightMatch, mustMatch) for a whole
+    * segment from its stats. `might=false` ⇒ no row matches (skip);
+    * `must=true` ⇒ every row matches (drop without reading). Both are
+    * conservative in the safe direction, and `Not` swaps them —
+    * ¬must(p) ⇒ might(¬p), ¬might(p) ⇒ must(¬p). */
+  private[sources] def zone(f: Filter, st: SegmentStats): (Boolean, Boolean) = f match {
+    case And(l, r) =>
+      val (lm, lM) = zone(l, st); val (rm, rM) = zone(r, st); (lm && rm, lM && rM)
+    case Or(l, r) =>
+      val (lm, lM) = zone(l, st); val (rm, rM) = zone(r, st); (lm || rm, lM || rM)
+    case Not(c) => val (m, must) = zone(c, st); (!must, !m)
+    case AlwaysTrue() => (true, true)
+    case AlwaysFalse() => (false, false)
+    case IsNull(a) => (a == "msg", false) // only msg is nullable; no null stats
+    case IsNotNull(a) => (true, a != "msg")
+    case EqualTo("amount", v) =>
+      val x = long(v)
+      (x >= st.minAmount && x <= st.maxAmount, st.minAmount == x && st.maxAmount == x)
+    case EqualTo("user_id", v) =>
+      val s = String.valueOf(v); val u = UTF8String.fromString(s)
+      val inRange = u.compareTo(UTF8String.fromString(st.minUserId)) >= 0 &&
+        u.compareTo(UTF8String.fromString(st.maxUserId)) <= 0
+      val bloomHit = st.bloom.map(SegmentBloom.fromBase64)
+        .forall(_.mightContain("u:" + s))
+      (inRange && bloomHit, st.minUserId == s && st.maxUserId == s)
+    case EqualTo("sha256sum", v) => // no range stats; Bloom only
+      (st.bloom.map(SegmentBloom.fromBase64)
+        .forall(_.mightContain("s:" + String.valueOf(v))), false)
+    case In(a, vs) => // disjunction of equalities; null members match nothing
+      vs.filter(_ != null).map(v => zone(EqualTo(a, v), st))
+        .foldLeft((false, false)) { case ((m1, s1), (m2, s2)) => (m1 || m2, s1 || s2) }
+    case GreaterThan("amount", v) =>
+      val x = long(v); (st.maxAmount > x, st.minAmount > x)
+    case GreaterThanOrEqual("amount", v) =>
+      val x = long(v); (st.maxAmount >= x, st.minAmount >= x)
+    case LessThan("amount", v) =>
+      val x = long(v); (st.minAmount < x, st.maxAmount < x)
+    case LessThanOrEqual("amount", v) =>
+      val x = long(v); (st.minAmount <= x, st.maxAmount <= x)
+    case GreaterThan("user_id", v) =>
+      val (lo, hi) = uidBounds(st, v); (hi > 0, lo > 0)
+    case GreaterThanOrEqual("user_id", v) =>
+      val (lo, hi) = uidBounds(st, v); (hi >= 0, lo >= 0)
+    case LessThan("user_id", v) =>
+      val (lo, hi) = uidBounds(st, v); (lo < 0, hi < 0)
+    case LessThanOrEqual("user_id", v) =>
+      val (lo, hi) = uidBounds(st, v); (lo <= 0, hi <= 0)
+    case _ => (true, false) // sha ranges etc.: never skip, never drop
+  }
+
+  /** (min cmp v, max cmp v) in UTF8String order. */
+  private def uidBounds(st: SegmentStats, v: Any): (Int, Int) = {
+    val x = UTF8String.fromString(String.valueOf(v))
+    (UTF8String.fromString(st.minUserId).compareTo(x),
+      UTF8String.fromString(st.maxUserId).compareTo(x))
+  }
+
+  private[sources] sealed trait Verdict
+  private[sources] case object Clean extends Verdict
+  private[sources] case object Drop extends Verdict
+  private[sources] case object Rewrite extends Verdict
+
+  private[sources] def classify(filters: Array[Filter],
+      stats: Option[SegmentStats]): Verdict = {
+    if (filters.isEmpty) return Drop // empty conjunction = TRUE
+    stats match {
+      case None => // stats-less fixture: only filter-structure facts apply
+        if (filters.forall { case AlwaysTrue() => true; case _ => false }) Drop
+        else Rewrite
+      case Some(st) =>
+        val evaluated = filters.map(zone(_, st))
+        if (!evaluated.forall(_._1)) Clean
+        else if (evaluated.forall(_._2)) Drop
+        else Rewrite
+    }
+  }
+
+  /** Deterministic id for one logical delete — the filter set, order-
+    * insensitive — so a retry targets the same staged/committed names. */
+  private def deleteId(filters: Array[Filter]): String = {
+    val repr = filters.map(_.toString).sorted.mkString("&")
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(repr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "del-" + d.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Executor-side rewrite of ONE segment: stream lines, keep rows NOT
+    * matching the conjunction, stage survivors, return exact stats.
+    * No survivors → nothing staged (the original is simply dropped). */
+  private[sources] def rewriteSegment(dir: String, delId: String, oldPath: String,
+      filters: Array[Filter]): (String, Option[(String, SegmentStats)]) = {
+    val old = new Path(oldPath)
+    val fs = old.getFileSystem(new Configuration())
+    val staged = new Path(dir, s"_staged-$delId-${old.getName}")
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(old), java.nio.charset.StandardCharsets.UTF_8))
+    var out: java.io.BufferedWriter = null
+    var nRows = 0L
+    var minUid: String = null; var maxUid: String = null
+    var minAmt = Long.MaxValue; var maxAmt = Long.MinValue
+    val bloom = SegmentBloom.empty()
+    try {
+      var line = in.readLine()
+      while (line != null) {
+        val fields = line.split("\t", -1)
+        if (!filters.forall(evalRow(_, fields))) { // survivor
+          if (out == null) out = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(fs.create(staged, true),
+              java.nio.charset.StandardCharsets.UTF_8))
+          out.write(line); out.write('\n')
+          nRows += 1
+          val uid = fields(UID); val amt = fields(AMT).toLong
+          if (minUid == null || UTF8String.fromString(uid)
+              .compareTo(UTF8String.fromString(minUid)) < 0) minUid = uid
+          if (maxUid == null || UTF8String.fromString(uid)
+              .compareTo(UTF8String.fromString(maxUid)) > 0) maxUid = uid
+          if (amt < minAmt) minAmt = amt
+          if (amt > maxAmt) maxAmt = amt
+          bloom.add("s:" + fields(SHA)); bloom.add("u:" + uid)
+        }
+        line = in.readLine()
+      }
+    } finally { in.close(); if (out != null) out.close() }
+    if (nRows == 0) (oldPath, None)
+    else (oldPath, Some((staged.toString,
+      SegmentStats(nRows, minUid, maxUid, minAmt, maxAmt, Some(bloom.toBase64)))))
+  }
+
+  /** The delete. Classification on the driver (metadata only), rewrite
+    * distributed, then the compaction-style fenced swap. */
+  def deleteWhere(spark: SparkSession, dir: String, filters: Array[Filter]): Unit = {
+    require(filters.forall(supported), s"unsupported delete filters: ${filters.mkString(", ")}")
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return
+    val delId = deleteId(filters)
+    val marker = new Path(base, s"_delete-$delId.committed")
+
+    // Resume path: renames + manifest committed, crash mid-removal —
+    // finish exactly the recorded removals and stop.
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val recorded = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+      finally in.close()
+      recorded.foreach(n => fs.delete(new Path(base, n), false))
+      fs.delete(marker, false)
+      return
+    }
+
+    // Input fencing: never treat this delete's own replacement outputs
+    // as inputs (pre-marker retry re-processes only intact originals).
+    val ownPrefix = s"segment-$delId-"
+    val segs = LimitHashLog.segmentsWithStats(dir)
+      .filterNot { case (f, _, _) => new Path(f).getName.startsWith(ownPrefix) }
+    val verdicts = segs.map { case (f, _, st) => (f, classify(filters, st)) }
+    val drops = verdicts.collect { case (f, Drop) => f }
+    val rewrites = verdicts.collect { case (f, Rewrite) => f }
+
+    val rewritten: Seq[(String, Option[(String, SegmentStats)])] =
+      if (rewrites.isEmpty) Seq.empty
+      else spark.sparkContext
+        .parallelize(rewrites, math.min(rewrites.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
+        .map(LogDelete.rewriteSegment(dir, delId, _, filters))
+        .collect().toSeq
+
+    // Commit: rename replacements in (replace-on-retry), THEN manifest,
+    // THEN the fenced removal of originals — readers see (old ∪ new)
+    // transiently, never a gap.
+    val manifest = Map.newBuilder[String, SegmentStats]
+    rewritten.foreach {
+      case (old, Some((staged, st))) =>
+        val to = new Path(base, s"segment-$delId-${new Path(old).getName}")
+        if (fs.exists(to)) fs.delete(to, false) // same-delete retry: replace
+        if (!fs.rename(new Path(staged), to))
+          throw new java.io.IOException(s"LogDelete: rename $staged -> $to failed")
+        manifest += (to.getName -> st)
+      case _ => () // fully-deleted segment: nothing to rename
+    }
+    val entries = manifest.result()
+    if (entries.nonEmpty) LimitHashLog.writeManifest(fs, base, delId, entries)
+
+    val toRemove = (drops ++ rewritten.map(_._1)).map(new Path(_).getName)
+    if (toRemove.nonEmpty) {
+      val out = fs.create(marker, true)
+      try out.write(toRemove.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      toRemove.foreach(n => fs.delete(new Path(base, n), false))
+      fs.delete(marker, false)
+    }
+  }
+
+  /** TRUNCATE: remove every segment and every stats manifest. */
+  def truncateAll(dir: String): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(new Configuration())
+    if (!fs.exists(base)) return
+    LimitHashLog.segments(dir).foreach { case (f, _) => fs.delete(new Path(f), false) }
+    fs.listStatus(base).foreach { s =>
+      if (s.isFile && s.getPath.getName.startsWith(".stats-manifest-"))
+        fs.delete(s.getPath, false)
+    }
+  }
+}
