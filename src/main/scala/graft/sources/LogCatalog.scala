@@ -86,6 +86,9 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.exists(dir)) {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }
+    // finish an interrupted ALTER schema swap — a crash mid-swap must
+    // never demote a parquet table to an entity log
+    repairSchemaSwap(dir)
     val sf = schemaFile(dir)
     if (fs.exists(sf)) {
       val in = fs.open(sf)
@@ -124,8 +127,106 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
     }
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("entity log tables are immutable in layout")
+  /** Schema evolution for the PARQUET-managed tables — the catalog-tier
+    * analogue of the migration ledger's versioned DDL
+    * (`migrate.go:13-34`: schema change as a first-class, ordered
+    * operation). Only changes whose READ semantics on already-written
+    * files are well-defined are accepted:
+    *
+    *   - ADD COLUMN (nullable): absent in old files → read as null —
+    *     parquet's by-name column resolution gives this for free;
+    *   - DROP COLUMN: old files keep the bytes, the read schema prunes
+    *     them;
+    *   - nullability relaxation and comment updates.
+    *
+    * RENAME and type changes are REJECTED — on a by-name format they
+    * silently null out (or fail to read) every pre-existing file;
+    * that's a rewrite, not a metadata operation. ADD of a name some
+    * data file already carries is also rejected (the classic parquet
+    * drop-then-re-add resurrection hazard: orphan bytes from before
+    * the drop would resurface as live values — Delta needs field IDs
+    * to avoid this; we check the actual file schemas, distributed via
+    * Spark's own merged-schema inference, since ALTER is rare).
+    *
+    * The manifest swap is crash-safe: the new `_schema.json` is staged
+    * as `_schema.json.swap` and renamed over a window in which
+    * [[loadTable]] read-repairs — a crash can never demote the table
+    * to an entity log or lose the layout. Entity-log tables remain
+    * immutable in layout (their schema IS the reference contract). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (!fs.exists(dir)) {
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
+    val sf = schemaFile(dir)
+    if (!fs.exists(sf) && !fs.exists(swapFile(dir))) {
+      throw new UnsupportedOperationException(
+        "entity log tables are immutable in layout")
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          s"ADD COLUMN ${a.fieldNames.mkString(".")} must be nullable: " +
+            "existing files carry no values for it")
+        rejectResurrection(dir, a.fieldNames())
+      case _: TableChange.DeleteColumn => ()
+      case n: TableChange.UpdateColumnNullability =>
+        if (!n.nullable) throw new UnsupportedOperationException(
+          "tightening nullability cannot be validated against existing files")
+      case _: TableChange.UpdateColumnComment => ()
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER on a parquet catalog table: $other " +
+          "(rename/retype require a rewrite on a by-name format)")
+    }
+    repairSchemaSwap(dir)
+    val in = fs.open(sf)
+    val cur = try org.apache.spark.sql.types.DataType.fromJson(new String(
+      in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[StructType] finally in.close()
+    val next = org.apache.spark.sql.GraftShims.applySchemaChanges(cur, changes.toList)
+    val swap = swapFile(dir)
+    val out = fs.create(swap, true)
+    try out.write(next.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(sf, false)
+    if (!fs.rename(swap, sf)) {
+      throw new java.io.IOException(s"alterTable: rename $swap -> $sf failed")
+    }
+    parquetTable(ident, dir, next)
+  }
+
+  private def swapFile(dir: Path): Path = new Path(dir, "_schema.json.swap")
+
+  /** Finish an interrupted schema swap: staged file present and main
+    * absent means the crash hit between delete and rename. */
+  private def repairSchemaSwap(dir: Path): Unit = {
+    val swap = swapFile(dir)
+    if (fs.exists(swap)) {
+      if (!fs.exists(schemaFile(dir))) {
+        if (!fs.rename(swap, schemaFile(dir))) {
+          throw new java.io.IOException(s"schema swap repair failed in $dir")
+        }
+      } else fs.delete(swap, false) // crash before delete: staged is stale
+    }
+  }
+
+  /** Reject re-adding a column name that any existing data file still
+    * carries (dropped-column bytes would resurface as live values).
+    * Spark's merged-schema inference does the footer sweep distributed. */
+  private def rejectResurrection(dir: Path, fieldNames: Array[String]): Unit = {
+    if (fieldNames.length != 1) return // nested adds target a parent struct
+    val data = dataDir(dir)
+    if (!fs.exists(data) || !fs.listStatus(data).exists(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))) return
+    val onDisk = org.apache.spark.sql.classic.SparkSession.active
+      .read.option("mergeSchema", true).parquet(data.toString).schema
+    if (onDisk.fieldNames.exists(_.equalsIgnoreCase(fieldNames.head))) {
+      throw new UnsupportedOperationException(
+        s"ADD COLUMN ${fieldNames.head}: existing data files already carry " +
+          "this column (dropped earlier?) — re-adding would resurrect stale " +
+          "values; rewrite the table instead")
+    }
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

@@ -33,4 +33,13 @@ object GraftShims {
       schema: org.apache.spark.sql.types.StructType,
       caseSensitive: Boolean): String =
     execution.datasources.jdbc.JdbcUtils.schemaString(dialect, schema, caseSensitive, None)
+  /** Spark's own ALTER TABLE schema-change application (position
+    * handling, nested fields, validation) — `CatalogV2Util` is
+    * `private[sql]`; the catalog reuses it rather than re-deriving the
+    * semantics. */
+  def applySchemaChanges(schema: org.apache.spark.sql.types.StructType,
+      changes: Seq[org.apache.spark.sql.connector.catalog.TableChange]):
+      org.apache.spark.sql.types.StructType =
+    connector.catalog.CatalogV2Util.applySchemaChanges(
+      schema, changes, Some("parquet"), "ALTER TABLE")
 }

@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema evolution on catalog parquet tables: nullable ADD (old rows
+  * read null), DROP (pruned), rejected rename/retype/resurrection, and
+  * the crash-safe `_schema.json` swap. */
+class AlterTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.base("local[4]", 4)
+
+  private lazy val wh: String = {
+    val w = Files.createTempDirectory("graft_alter_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_alt", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_alt.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_alt.lake")
+    w
+  }
+
+  private def fresh(name: String): String = {
+    wh
+    spark.sql(s"DROP TABLE IF EXISTS graft_alt.lake.$name")
+    spark.sql(s"CREATE TABLE graft_alt.lake.$name (id BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO graft_alt.lake.$name VALUES (1, 'a'), (2, 'b')")
+    s"graft_alt.lake.$name"
+  }
+
+  test("ADD COLUMNS: old rows read null, new rows carry values, filters work") {
+    val t = fresh("t_add")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (score BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'c', 30)")
+    val got = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(got == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))))
+    // pushed filter on the evolved column: old files (no such column)
+    // must be treated conservatively, not wrongly skipped or matched
+    val hit = spark.sql(s"SELECT id FROM $t WHERE score = 30").collect().map(_.getLong(0))
+    assert(hit.toSeq == Seq(3L))
+    assert(spark.sql(s"SELECT id FROM $t WHERE score IS NULL").count() == 2L)
+  }
+
+  test("DROP COLUMN prunes everywhere; re-ADD of the same name is rejected") {
+    val t = fresh("t_drop")
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("id"))
+    assert(spark.table(t).count() == 2L)
+    // old files still carry 'v' bytes — resurrection must be refused
+    val e = intercept[Exception](spark.sql(s"ALTER TABLE $t ADD COLUMNS (v STRING)"))
+    assert(e.getMessage.contains("resurrect"))
+    // a genuinely new name is fine
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (w STRING)")
+    assert(spark.table(t).schema.fieldNames.toSeq == Seq("id", "w"))
+  }
+
+  test("rename and retype are rejected as rewrites") {
+    val t = fresh("t_rej")
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")).getMessage.contains("rewrite"))
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE INT")).getMessage.nonEmpty)
+  }
+
+  test("entity log tables stay layout-immutable") {
+    wh
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft_alt.lake.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE graft_alt.lake.limits ADD COLUMNS (extra STRING)"))
+    assert(e.getMessage.contains("immutable"))
+  }
+
+  test("interrupted schema swap is read-repaired, never demotes the table") {
+    val t = fresh("t_crash")
+    val dir = new Path(s"$wh/lake/t_crash")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sf = new Path(dir, "_schema.json")
+    val swap = new Path(dir, "_schema.json.swap")
+    // simulate: ALTER staged the new schema, deleted main, crashed pre-rename
+    val in = fs.open(sf)
+    val json = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    in.close()
+    val widened = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .add("late", org.apache.spark.sql.types.LongType, nullable = true)
+    val out = fs.create(swap, true)
+    out.write(widened.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    fs.delete(sf, false)
+    spark.sql(s"REFRESH TABLE $t") // drop any cached resolution
+    // loadTable must finish the swap and serve the evolved schema
+    assert(spark.table(t).schema.fieldNames.contains("late"))
+    assert(fs.exists(sf) && !fs.exists(swap))
+  }
+}

@@ -778,4 +778,29 @@ class DsV2SourceSpec extends AnyFunSuite {
       .filter(_.startsWith("_"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
+
+  test("scan metrics report segment pruning and metadata-served aggregates") {
+    val dir = Files.createTempDirectory("graft_lhlog_met").toString
+    // three stats-covered single-segment commits with disjoint user zones
+    Seq("a", "b", "c").foreach { u =>
+      writeDir(sampleDf(u, 4).repartition(1), dir, "append")
+    }
+    // one execution per frame: driver metrics are reported when the
+    // scan PLANS, and a re-collect reuses the cached partitions
+    def metrics(df: DataFrame): Map[String, Long] = {
+      df.collect()
+      scanOf(df).metrics.map { case (k, m) => (k, m.value) }
+    }
+    val probed = metrics(spark.read.format(LimitHashLog.FORMAT).load(dir)
+      .filter(col("user_id") === "b2") // present in the b segment only
+      .select("user_id", "amount"))
+    assert(probed("segmentsTotal") == 3L)
+    assert(probed("segmentsPruned") == 2L)
+    assert(probed("splitsPlanned") == 1L)
+
+    val counted = spark.read.format(LimitHashLog.FORMAT).load(dir)
+      .agg(count(lit(1)).as("n"))
+    assert(counted.collect().head.getLong(0) == 12L)
+    assert(scanOf(counted).metrics("metadataAggServed").value == 1L)
+  }
 }
