@@ -661,6 +661,14 @@ class MetadataAggServedMetric extends org.apache.spark.sql.connector.metric.Cust
   override def name(): String = "metadataAggServed"
   override def description(): String = "aggregate queries answered from stats manifests (no segment opened)"
 }
+class LinesParsedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "linesParsed"
+  override def description(): String = "raw segment lines parsed by tasks"
+}
+class RowsEmittedAtParseMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "rowsEmittedAtParse"
+  override def description(): String = "rows surviving parse-stage pushed filters"
+}
 
 private[sources] case class LogDriverMetric(n: String, v: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
@@ -686,7 +694,8 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     * through the DSv2 metric hook into the SQL metrics panel. */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new SegmentsTotalMetric, new SegmentsPrunedMetric,
-      new SplitsPlannedMetric, new MetadataAggServedMetric)
+      new SplitsPlannedMetric, new MetadataAggServedMetric,
+      new LinesParsedMetric, new RowsEmittedAtParseMetric)
 
   private var plannedMetrics: Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
     Array.empty
@@ -901,8 +910,10 @@ class LogColumnarReader(files: Seq[String], required: StructType,
       val line = nextLine()
       if (line == null) done = true
       else {
+        linesSeen += 1
         val parts = line.split("\t", -1)
         if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1)))) {
+          rowsKept += 1
           var j = 0
           while (j < colIdx.length) {
             colIdx(j) match {
@@ -932,6 +943,12 @@ class LogColumnarReader(files: Seq[String], required: StructType,
 
   override def get(): ColumnarBatch = batch
 
+  private var linesSeen = 0L
+  private var rowsKept = 0L
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(LogDriverMetric("linesParsed", linesSeen),
+      LogDriverMetric("rowsEmittedAtParse", rowsKept))
+
   override def close(): Unit = {
     if (reader != null) reader.close()
     batch.close() // frees the vectors
@@ -943,6 +960,8 @@ class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array
     extends PartitionReader[InternalRow] {
   private val it = files.iterator
   private var cur: LogSegmentReader = _
+  private var doneLines = 0L
+  private var doneRows = 0L
 
   override def next(): Boolean = {
     while (true) {
@@ -951,6 +970,7 @@ class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array
         cur = new LogSegmentReader(it.next(), required, pushed)
       }
       if (cur.next()) return true
+      doneLines += cur.linesSeen; doneRows += cur.rowsKept
       cur.close()
       cur = null
     }
@@ -958,6 +978,12 @@ class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array
   }
 
   override def get(): InternalRow = cur.get()
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(
+      LogDriverMetric("linesParsed",
+        doneLines + (if (cur != null) cur.linesSeen else 0L)),
+      LogDriverMetric("rowsEmittedAtParse",
+        doneRows + (if (cur != null) cur.rowsKept else 0L)))
   override def close(): Unit = if (cur != null) cur.close()
 }
 
@@ -976,11 +1002,16 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
   private val colIdx = required.fields.map(f => LimitHashLog.SCHEMA.fieldIndex(f.name))
   private val checks: Array[(Int, Set[String])] = LimitHashLog.parseChecks(pushed)
 
+  private[sources] var linesSeen = 0L
+  private[sources] var rowsKept = 0L
+
   override def next(): Boolean = {
     var line = reader.readLine()
     while (line != null) {
+      linesSeen += 1
       val parts = line.split("\t", -1)
       if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1)))) {
+        rowsKept += 1
         val values = new Array[Any](colIdx.length)
         var i = 0
         while (i < colIdx.length) {
@@ -1002,6 +1033,9 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
   }
 
   override def get(): InternalRow = row
+  override def currentMetricsValues(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(LogDriverMetric("linesParsed", linesSeen),
+      LogDriverMetric("rowsEmittedAtParse", rowsKept))
   override def close(): Unit = reader.close()
 }
 

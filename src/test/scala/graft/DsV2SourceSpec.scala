@@ -797,6 +797,10 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(probed("segmentsTotal") == 3L)
     assert(probed("segmentsPruned") == 2L)
     assert(probed("splitsPlanned") == 1L)
+    // task side: only the surviving 4-line segment is parsed, and the
+    // pushed equality keeps exactly the one matching row
+    assert(probed("linesParsed") == 4L)
+    assert(probed("rowsEmittedAtParse") == 1L)
 
     val counted = spark.read.format(LimitHashLog.FORMAT).load(dir)
       .agg(count(lit(1)).as("n"))
