@@ -156,4 +156,27 @@ class LogDeleteSpec extends AnyFunSuite {
     spark.sql("DELETE FROM graft_del.ops.limits")
     assert(spark.table("graft_del.ops.limits").count() == 0L)
   }
+
+  test("TRUNCATE TABLE statement empties the log and drops stale manifests") {
+    val wh = Files.createTempDirectory("graft_lhdel_tr").toString
+    if (spark.conf.getOption("spark.sql.catalog.graft_trunc").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft_trunc", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_trunc.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_trunc.ops")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft_trunc.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    import spark.implicits._
+    Seq(("u1", 10L, "h1"), ("u2", 20L, "h2")).toDF("user_id", "amount", "sha256sum")
+      .select(col("user_id"), col("amount"),
+        lit(null).cast("binary").as("msg"), col("sha256sum"))
+      .writeTo("graft_trunc.ops.limits").append()
+    assert(spark.table("graft_trunc.ops.limits").count() == 2L)
+    spark.sql("TRUNCATE TABLE graft_trunc.ops.limits")
+    assert(spark.table("graft_trunc.ops.limits").count() == 0L)
+    // manifests are gone too — a later write starts stats-clean
+    val dir = new Path(s"$wh/ops/limits")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(dir).exists(_.getPath.getName.startsWith(".stats-manifest-")))
+  }
 }
