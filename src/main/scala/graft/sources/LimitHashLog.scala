@@ -555,11 +555,22 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
     maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = LimitHashLog.SCHEMA
   private var pushed: Array[Filter] = Array.empty
   private var aggTags: Seq[String] = Seq.empty
   private var aggStats: Seq[SegmentStats] = Seq.empty
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown — `SELECT ... LIMIT n` over a 100 TB log must not
+    * open every segment. Partial push (Spark keeps its global Limit on
+    * top): the scan truncates its SPLIT LIST once the stats manifests
+    * prove ≥ n rows are already covered (exact row counts, only
+    * legal with no pushed/runtime filters — a filtered scan emits
+    * fewer rows than stats promise), and every reader stops parsing
+    * after n emitted rows regardless. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -639,7 +650,8 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
 
   override def build(): Scan =
     new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger,
-      maxPartitionBytes, columnar, aggTags, maxBytesPerTrigger, aggStats)
+      maxPartitionBytes, columnar, aggTags, maxBytesPerTrigger, aggStats,
+      limit)
 }
 
 /** Sum-aggregated scan metrics (driver-reported; keyed into the SQL
@@ -682,7 +694,8 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     columnar: Boolean = true,
     aggTags: Seq[String] = Seq.empty,
     maxBytesPerTrigger: Option[Long] = None,
-    aggStats: Seq[SegmentStats] = Seq.empty)
+    aggStats: Seq[SegmentStats] = Seq.empty,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -740,7 +753,8 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
       maxBytesPerTrigger)
   override def description(): String =
     s"LimitHashLog path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
-      (if (aggTags.nonEmpty) s", PushedAggregates: ${aggTags.mkString("[", ", ", "]")}" else "")
+      (if (aggTags.nonEmpty) s", PushedAggregates: ${aggTags.mkString("[", ", ", "]")}" else "") +
+      limit.fold("")(l => s", PushedLimit: $l")
 
   /** Zone-map pruning: with pushed equality filters and stats sidecars,
     * whole segments whose [min, max] range excludes the probe value are
@@ -781,7 +795,26 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
       return Array(LogAggPartition(values))
     }
     val total = LimitHashLog.segments(path).size
-    val surviving = zoneFiltered
+    // LIMIT split truncation: with no filters anywhere, the manifests'
+    // exact row counts prove when enough segments are included — the
+    // rest of the log is never planned, let alone opened. A stats-less
+    // segment contributes no proof (counts 0 toward the threshold) but
+    // is kept, so the scan never under-delivers.
+    val surviving = limit match {
+      case Some(n) if pushed.isEmpty && runtimeFilters.isEmpty =>
+        val stats = LimitHashLog.loadStats(path)
+        val all = zoneFiltered
+        var covered = 0L
+        val keep = Seq.newBuilder[(String, Long)]
+        val it = all.iterator
+        while (it.hasNext && covered < n) {
+          val seg = it.next()
+          keep += seg
+          covered += stats.get(new Path(seg._1).getName).map(_.rows).getOrElse(0L)
+        }
+        keep.result()
+      case _ => zoneFiltered
+    }
     val packed = scala.collection.mutable.ArrayBuffer.empty[(List[String], Long)]
     surviving.foreach { case (f, len) =>
       packed.lastOption match {
@@ -798,7 +831,7 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LogSegmentReaderFactory(required, pushed, columnar)
+    new LogSegmentReaderFactory(required, pushed, columnar, limit)
 
   // size scaled by the pruned fraction of the fixed-ish row layout, so
   // a key-only projection of a big log still reports small enough to
@@ -830,12 +863,12 @@ case class LogSegmentsPartition(files: Seq[String]) extends InputPartition
 case class LogAggPartition(values: Seq[Any]) extends InputPartition
 
 class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter],
-    columnar: Boolean = true)
+    columnar: Boolean = true, limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case LogSegmentPartition(f) => new LogSegmentReader(f, required, pushed)
-      case LogSegmentsPartition(fs) => new MultiSegmentReader(fs, required, pushed)
+      case LogSegmentPartition(f) => new LogSegmentReader(f, required, pushed, limit)
+      case LogSegmentsPartition(fs) => new MultiSegmentReader(fs, required, pushed, limit)
       case LogAggPartition(values) => new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = { val r = !emitted; emitted = true; r }
@@ -857,8 +890,8 @@ class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter],
     columnar && !partition.isInstanceOf[LogAggPartition] // one row: row reader
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
-      case LogSegmentPartition(f) => new LogColumnarReader(Seq(f), required, pushed)
-      case LogSegmentsPartition(fs) => new LogColumnarReader(fs, required, pushed)
+      case LogSegmentPartition(f) => new LogColumnarReader(Seq(f), required, pushed, limit = limit)
+      case LogSegmentsPartition(fs) => new LogColumnarReader(fs, required, pushed, limit = limit)
       case p: LogAggPartition =>
         throw new UnsupportedOperationException(s"no columnar read for $p")
     }
@@ -873,8 +906,9 @@ class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter],
   * reader's. Vector capacity is reused across batches (`reset()`), so
   * allocation is O(batchSize) once per task, not per batch. */
 class LogColumnarReader(files: Seq[String], required: StructType,
-    pushed: Array[Filter], batchSize: Int = 4096)
+    pushed: Array[Filter], batchSize: Int = 4096, limit: Option[Int] = None)
     extends PartitionReader[ColumnarBatch] {
+  private var emitted = 0L
   private val fileIt = files.iterator
   private var reader: java.io.BufferedReader = _
 
@@ -906,7 +940,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
     while (i < vectors.length) { vectors(i).reset(); i += 1 }
     var n = 0
     var done = false
-    while (n < batchSize && !done) {
+    while (n < batchSize && !done && limit.forall(emitted + n < _)) {
       val line = nextLine()
       if (line == null) done = true
       else {
@@ -938,6 +972,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
       }
     }
     batch.setNumRows(n)
+    emitted += n
     n > 0
   }
 
@@ -956,7 +991,8 @@ class LogColumnarReader(files: Seq[String], required: StructType,
 }
 
 /** Sequential reader over a bin-packed split's segment files. */
-class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array[Filter])
+class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   private val it = files.iterator
   private var cur: LogSegmentReader = _
@@ -966,8 +1002,10 @@ class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array
   override def next(): Boolean = {
     while (true) {
       if (cur == null) {
-        if (!it.hasNext) return false
-        cur = new LogSegmentReader(it.next(), required, pushed)
+        if (!it.hasNext || limit.exists(doneRows >= _)) return false
+        // remaining budget: rows already emitted by finished children
+        cur = new LogSegmentReader(it.next(), required, pushed,
+          limit.map(l => math.max(0, l - doneRows.toInt)))
       }
       if (cur.next()) return true
       doneLines += cur.linesSeen; doneRows += cur.rowsKept
@@ -990,7 +1028,8 @@ class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array
 /** Streams one segment: per line, evaluate pushed equality filters on
   * the raw split fields first, then materialize only the pruned
   * columns (msg base64-decodes only if projected). */
-class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter])
+class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter],
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
   private val p = new Path(file)
   private val in = p.getFileSystem(new Configuration()).open(p)
@@ -1006,6 +1045,7 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
   private[sources] var rowsKept = 0L
 
   override def next(): Boolean = {
+    if (limit.exists(rowsKept >= _)) return false
     var line = reader.readLine()
     while (line != null) {
       linesSeen += 1

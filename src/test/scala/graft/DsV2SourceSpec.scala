@@ -807,4 +807,29 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(counted.collect().head.getLong(0) == 12L)
     assert(scanOf(counted).metrics("metadataAggServed").value == 1L)
   }
+
+  test("LIMIT pushdown plans only the proven-covered prefix and caps parsing") {
+    val dir = Files.createTempDirectory("graft_lhlog_lim").toString
+    (1 to 6).foreach { i =>
+      writeDir(sampleDf(s"u$i-", 4).repartition(1), dir, "append")
+    }
+    val limited = spark.read.format(LimitHashLog.FORMAT).load(dir)
+      .select("user_id", "amount").limit(3)
+    val rows = limited.collect()
+    assert(rows.length == 3)
+    val scan = scanOf(limited)
+    assert(scan.scan.description().contains("PushedLimit: 3"))
+    val m = scan.metrics.map { case (k, v) => (k, v.value) }
+    // 24 rows in 6 segments; the manifests prove the first segment
+    // already covers 3 rows — one split, nothing else opened, and the
+    // reader stops at the limit
+    assert(m("splitsPlanned") == 1L)
+    assert(m("linesParsed") <= 3L)
+
+    // with a pushed filter, stats can't prove coverage: splits stay,
+    // but the result is still correct
+    val filtered = spark.read.format(LimitHashLog.FORMAT).load(dir)
+      .filter(col("user_id") === "u3-2").select("user_id").limit(1)
+    assert(filtered.collect().map(_.getString(0)).toSeq == Seq("u3-2"))
+  }
 }
