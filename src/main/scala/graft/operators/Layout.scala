@@ -60,11 +60,13 @@ object Layout {
     require(cols.nonEmpty, "zorder needs at least one column")
     val nB = (1 << bits) - 1 // boundaries → 2^bits buckets
     val probs = (1 to nB).map(_.toDouble / (nB + 1)).toArray
-    val buckets = cols.map { name =>
-      // sketch-sampled boundaries; 1% relative error is plenty for a
-      // file-granularity layout
-      val bs = df.select(col(name).cast("double").as(name))
-        .stat.approxQuantile(name, probs, 0.01)
+    // ONE pass for every column's boundary array (multi-column
+    // Greenwald-Khanna): a k-column layout job previously paid k full
+    // scans of the table before the rewrite shuffle (ADVICE/VERDICT r8).
+    // 1% relative error is plenty for a file-granularity layout.
+    val casted = df.select(cols.map(n => col(n).cast("double").as(n)): _*)
+    val allBounds = casted.stat.approxQuantile(cols.toArray, probs, 0.01)
+    val buckets = cols.zip(allBounds).map { case (name, bs) =>
       bucketOf(col(name), bs.distinct.sorted)
     }
     df.withColumn("__zkey", interleave(buckets, bits))

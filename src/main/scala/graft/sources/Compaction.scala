@@ -283,6 +283,20 @@ object Compaction {
     require(fs.exists(new Path(base, "_schema.json")),
       s"$tableDir is not a catalog parquet table (no _schema.json); " +
         "entity logs compact via compactLog")
+    // Merge bins under the table's AUTHORITATIVE schema, not one sampled
+    // footer: after ALTER TABLE ADD COLUMN a bin can mix pre- and
+    // post-ALTER files, and schema inference from an old file would
+    // silently drop the added column's values from the merged output
+    // (the rows-before/after check cannot see it). Reading with the
+    // declared schema fills absent columns with null and prunes DROPped
+    // ones — exactly the table's read semantics (ADVICE r8).
+    val declared = {
+      val in = fs.open(new Path(base, "_schema.json"))
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
     repairGenerations(fs, base)
     val data = new Path(base, "data")
     val next = new Path(base, "data.next")
@@ -322,7 +336,7 @@ object Compaction {
         }
       } else {
         val staging = new Path(next, s".bin-$i")
-        val merged = spark.read.parquet(bin.map(_.getPath.toString): _*)
+        val merged = spark.read.schema(declared).parquet(bin.map(_.getPath.toString): _*)
         merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
         val part = fs.listStatus(staging)
           .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -333,8 +347,8 @@ object Compaction {
         fs.delete(staging, true)
       }
     }
-    rows = spark.read.parquet(next.toString).count()
-    val rowsBefore = spark.read.parquet(data.toString).count()
+    rows = spark.read.schema(declared).parquet(next.toString).count()
+    val rowsBefore = spark.read.schema(declared).parquet(data.toString).count()
     if (rows != rowsBefore) {
       fs.delete(next, true)
       throw new IllegalStateException(

@@ -669,6 +669,10 @@ class SplitsPlannedMetric extends org.apache.spark.sql.connector.metric.CustomSu
   override def name(): String = "splitsPlanned"
   override def description(): String = "bin-packed input splits"
 }
+class SegmentsTruncatedByLimitMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "segmentsTruncatedByLimit"
+  override def description(): String = "segments dropped by proven-coverage LIMIT truncation"
+}
 class MetadataAggServedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
   override def name(): String = "metadataAggServed"
   override def description(): String = "aggregate queries answered from stats manifests (no segment opened)"
@@ -707,7 +711,8 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     * through the DSv2 metric hook into the SQL metrics panel. */
   override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
     Array(new SegmentsTotalMetric, new SegmentsPrunedMetric,
-      new SplitsPlannedMetric, new MetadataAggServedMetric,
+      new SplitsPlannedMetric, new SegmentsTruncatedByLimitMetric,
+      new MetadataAggServedMetric,
       new LinesParsedMetric, new RowsEmittedAtParseMetric)
 
   private var plannedMetrics: Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
@@ -795,6 +800,7 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
       return Array(LogAggPartition(values))
     }
     val total = LimitHashLog.segments(path).size
+    val afterZone = zoneFiltered
     // LIMIT split truncation: with no filters anywhere, the manifests'
     // exact row counts prove when enough segments are included — the
     // rest of the log is never planned, let alone opened. A stats-less
@@ -803,17 +809,16 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     val surviving = limit match {
       case Some(n) if pushed.isEmpty && runtimeFilters.isEmpty =>
         val stats = LimitHashLog.loadStats(path)
-        val all = zoneFiltered
         var covered = 0L
         val keep = Seq.newBuilder[(String, Long)]
-        val it = all.iterator
+        val it = afterZone.iterator
         while (it.hasNext && covered < n) {
           val seg = it.next()
           keep += seg
           covered += stats.get(new Path(seg._1).getName).map(_.rows).getOrElse(0L)
         }
         keep.result()
-      case _ => zoneFiltered
+      case _ => afterZone
     }
     val packed = scala.collection.mutable.ArrayBuffer.empty[(List[String], Long)]
     surviving.foreach { case (f, len) =>
@@ -823,9 +828,14 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
         case _ => packed += ((List(f), len))
       }
     }
+    // pruned = zone map / Bloom / runtime-filter skips only; LIMIT
+    // truncation is a separate number — lumping them overstated prune
+    // effectiveness on plain LIMIT queries in the SQL UI (ADVICE r8)
     plannedMetrics = Array(
       LogDriverMetric("segmentsTotal", total.toLong),
-      LogDriverMetric("segmentsPruned", (total - surviving.size).toLong),
+      LogDriverMetric("segmentsPruned", (total - afterZone.size).toLong),
+      LogDriverMetric("segmentsTruncatedByLimit",
+        (afterZone.size - surviving.size).toLong),
       LogDriverMetric("splitsPlanned", packed.length.toLong))
     packed.map(p => LogSegmentsPartition(p._1.reverse): InputPartition).toArray
   }

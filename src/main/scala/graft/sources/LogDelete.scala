@@ -56,7 +56,12 @@ object LogDelete {
     * promise `deleteWhere` will be exact): boolean combinations of
     * equality / IN / range on the stats-covered columns, null tests on
     * any column. Anything else → Spark reports DELETE unsupported
-    * rather than us guessing. */
+    * rather than us guessing. A NULL comparison value is rejected too:
+    * in SQL it matches nothing, but the raw-field evaluators would
+    * stringify it to the text "null" and delete the wrong rows — Spark
+    * falls back instead of us promising exactness we can't deliver
+    * (ADVICE r8). Null IN-list MEMBERS stay supported: both evaluators
+    * drop them (a null member matches nothing, the rest still apply). */
   def supported(f: Filter): Boolean = f match {
     case And(l, r) => supported(l) && supported(r)
     case Or(l, r) => supported(l) && supported(r)
@@ -64,12 +69,12 @@ object LogDelete {
     case AlwaysTrue() | AlwaysFalse() => true
     case IsNull(a) => SCHEMA.fieldNames.contains(a)
     case IsNotNull(a) => SCHEMA.fieldNames.contains(a)
-    case EqualTo(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
+    case EqualTo(a, v) => v != null && (a == "user_id" || a == "amount" || a == "sha256sum")
     case In(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
-    case GreaterThan(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
-    case GreaterThanOrEqual(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
-    case LessThan(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
-    case LessThanOrEqual(a, _) => a == "user_id" || a == "amount" || a == "sha256sum"
+    case GreaterThan(a, v) => v != null && (a == "user_id" || a == "amount" || a == "sha256sum")
+    case GreaterThanOrEqual(a, v) => v != null && (a == "user_id" || a == "amount" || a == "sha256sum")
+    case LessThan(a, v) => v != null && (a == "user_id" || a == "amount" || a == "sha256sum")
+    case LessThanOrEqual(a, v) => v != null && (a == "user_id" || a == "amount" || a == "sha256sum")
     case _ => false
   }
 
@@ -202,9 +207,19 @@ object LogDelete {
 
   /** Executor-side rewrite of ONE segment: stream lines, keep rows NOT
     * matching the conjunction, stage survivors, return exact stats.
-    * No survivors → nothing staged (the original is simply dropped). */
+    * No survivors → nothing staged (the original is simply dropped).
+    *
+    * Malformed lines (field count ≠ 4) follow the READERS' parse
+    * discipline (ADVICE r8): the scans skip them, so DELETE passes them
+    * through as survivors untouched (a maintenance op must stay
+    * runnable on a log with foreign bytes, and must not destroy them)
+    * and excludes them from the stats — which therefore describe
+    * exactly the rows a scan will see, same as the write path. A
+    * staged file holding ONLY malformed lines gets no stats entry
+    * (stats-less segments are never zone-skipped — correct, and the
+    * scan reads them as zero rows anyway). */
   private[sources] def rewriteSegment(dir: String, delId: String, oldPath: String,
-      filters: Array[Filter]): (String, Option[(String, SegmentStats)]) = {
+      filters: Array[Filter]): (String, Option[(String, Option[SegmentStats])]) = {
     val old = new Path(oldPath)
     val fs = old.getFileSystem(new Configuration())
     val staged = new Path(dir, s"_staged-$delId-${old.getName}")
@@ -215,15 +230,19 @@ object LogDelete {
     var minUid: String = null; var maxUid: String = null
     var minAmt = Long.MaxValue; var maxAmt = Long.MinValue
     val bloom = SegmentBloom.empty()
+    def keepLine(line: String): Unit = {
+      if (out == null) out = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(fs.create(staged, true),
+          java.nio.charset.StandardCharsets.UTF_8))
+      out.write(line); out.write('\n')
+    }
     try {
       var line = in.readLine()
       while (line != null) {
         val fields = line.split("\t", -1)
-        if (!filters.forall(evalRow(_, fields))) { // survivor
-          if (out == null) out = new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(fs.create(staged, true),
-              java.nio.charset.StandardCharsets.UTF_8))
-          out.write(line); out.write('\n')
+        if (fields.length != 4) keepLine(line) // malformed: pass through, no stats
+        else if (!filters.forall(evalRow(_, fields))) { // survivor
+          keepLine(line)
           nRows += 1
           val uid = fields(UID); val amt = fields(AMT).toLong
           if (minUid == null || UTF8String.fromString(uid)
@@ -237,9 +256,11 @@ object LogDelete {
         line = in.readLine()
       }
     } finally { in.close(); if (out != null) out.close() }
-    if (nRows == 0) (oldPath, None)
+    if (out == null) (oldPath, None)
     else (oldPath, Some((staged.toString,
-      SegmentStats(nRows, minUid, maxUid, minAmt, maxAmt, Some(bloom.toBase64)))))
+      if (nRows == 0) None
+      else Some(SegmentStats(nRows, minUid, maxUid, minAmt, maxAmt,
+        Some(bloom.toBase64))))))
   }
 
   /** The delete. Classification on the driver (metadata only), rewrite
@@ -273,7 +294,7 @@ object LogDelete {
     val drops = verdicts.collect { case (f, Drop) => f }
     val rewrites = verdicts.collect { case (f, Rewrite) => f }
 
-    val rewritten: Seq[(String, Option[(String, SegmentStats)])] =
+    val rewritten: Seq[(String, Option[(String, Option[SegmentStats])])] =
       if (rewrites.isEmpty) Seq.empty
       else spark.sparkContext
         .parallelize(rewrites, math.min(rewrites.size,
@@ -291,7 +312,7 @@ object LogDelete {
         if (fs.exists(to)) fs.delete(to, false) // same-delete retry: replace
         if (!fs.rename(new Path(staged), to))
           throw new java.io.IOException(s"LogDelete: rename $staged -> $to failed")
-        manifest += (to.getName -> st)
+        st.foreach(s => manifest += (to.getName -> s))
       case _ => () // fully-deleted segment: nothing to rename
     }
     val entries = manifest.result()

@@ -54,15 +54,28 @@ object Migrations {
     } finally rs.close()
   }
 
-  private def ensureLedger(conn: Connection): Unit =
+  /** Ledger bootstrap DDL is PER-DIALECT — the ANSI inline-PRIMARY-KEY
+    * form is Derby's (live-tested), but ClickHouse rejects it: its DDL
+    * requires an ENGINE clause and takes ordering keys there, not as
+    * column constraints (ADVICE r8). The ClickHouse text is pinned in
+    * the golden contract spec alongside the table DDL. */
+  val AnsiLedgerDdl: String =
+    s"""CREATE TABLE $LedgerTable (
+       |  version BIGINT NOT NULL PRIMARY KEY,
+       |  description VARCHAR(256) NOT NULL,
+       |  applied_at TIMESTAMP NOT NULL)""".stripMargin
+
+  val ClickHouseLedgerDdl: String =
+    s"""CREATE TABLE $LedgerTable (
+       |  version Int64,
+       |  description String,
+       |  applied_at DateTime64(3))
+       |ENGINE = MergeTree() ORDER BY version""".stripMargin
+
+  private def ensureLedger(conn: Connection, ledgerDdl: String): Unit =
     if (!ledgerExists(conn)) {
       val st = conn.createStatement()
-      // ANSI shape; types accepted by Derby and ClickHouse's DDL alike
-      try st.executeUpdate(
-        s"""CREATE TABLE $LedgerTable (
-           |  version BIGINT NOT NULL PRIMARY KEY,
-           |  description VARCHAR(256) NOT NULL,
-           |  applied_at TIMESTAMP NOT NULL)""".stripMargin)
+      try st.executeUpdate(ledgerDdl)
       finally st.close()
     }
 
@@ -87,12 +100,13 @@ object Migrations {
     * (replay/restart-safe); an unrecorded version at-or-below the
     * ledger high-water mark throws. */
   def up(url: String, migrations: Seq[Migration],
-      props: Properties = new Properties): Seq[Long] = {
+      props: Properties = new Properties,
+      ledgerDdl: String = AnsiLedgerDdl): Seq[Long] = {
     val sorted = migrations.sortBy(_.version)
     require(sorted.map(_.version).distinct.length == sorted.length,
       s"duplicate migration versions: ${sorted.map(_.version).mkString(",")}")
     withConnection(url, props) { conn =>
-      ensureLedger(conn)
+      ensureLedger(conn, ledgerDdl)
       val done = {
         val st = conn.createStatement()
         try {

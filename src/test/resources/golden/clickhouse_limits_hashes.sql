@@ -21,3 +21,12 @@ DELETE FROM `limits_hashes_stage` WHERE `batch_id` = 7
 -- pinned for contrast (JdbcBatcherSpec drives it live).
 MERGE INTO "limits_hashes" t USING "limits_hashes_stage" s ON (t."sha256sum" = s."sha256sum")
 WHEN NOT MATCHED THEN INSERT ("user_id", "amount", "msg", "sha256sum") VALUES (s."user_id", s."amount", s."msg", s."sha256sum")
+
+-- [migrations-ledger] Migrations.up bootstrap on ClickHouse: ENGINE
+-- clause + ordering key (the ANSI inline-PRIMARY-KEY form is
+-- Derby-only; ClickHouse rejects it).
+CREATE TABLE schema_migrations (
+  version Int64,
+  description String,
+  applied_at DateTime64(3))
+ENGINE = MergeTree() ORDER BY version

@@ -36,6 +36,7 @@ class ClickHouseContractSpec extends AnyFunSuite {
     val gc = ClickHouseMergeIdiom.deleteStaged("`limits_hashes_stage`", 7L)
     val ansi = AnsiMergeIdiom.merge(
       "\"limits_hashes\"", "\"limits_hashes_stage\"", Seq("sha256sum"), cols)
+    val ledger = graft.sources.Migrations.ClickHouseLedgerDdl
     s"""-- Golden contract: the EXACT SQL graft's JDBC tier emits against
        |-- ClickHouse for the reference's limits_hashes schema (hashes.go:25,
        |-- types per hashes_test.go:146). Reviewed against ClickHouse 23.3
@@ -55,7 +56,12 @@ class ClickHouseContractSpec extends AnyFunSuite {
        |
        |-- [ansi-merge] the Derby-proven ANSI shape of the same delivery step,
        |-- pinned for contrast (JdbcBatcherSpec drives it live).
-       |$ansi""".stripMargin
+       |$ansi
+       |
+       |-- [migrations-ledger] Migrations.up bootstrap on ClickHouse: ENGINE
+       |-- clause + ordering key (the ANSI inline-PRIMARY-KEY form is
+       |-- Derby-only; ClickHouse rejects it).
+       |$ledger""".stripMargin
   }
 
   test("dialect + merge idiom emit exactly the pinned ClickHouse SQL") {

@@ -825,6 +825,10 @@ class DsV2SourceSpec extends AnyFunSuite {
     // reader stops at the limit
     assert(m("splitsPlanned") == 1L)
     assert(m("linesParsed") <= 3L)
+    // LIMIT truncation is NOT pruning: the zone machinery skipped
+    // nothing here, and the SQL UI must not claim it did (ADVICE r8)
+    assert(m("segmentsPruned") == 0L)
+    assert(m("segmentsTruncatedByLimit") == 5L)
 
     // with a pushed filter, stats can't prove coverage: splits stay,
     // but the result is still correct

@@ -179,4 +179,57 @@ class LogDeleteSpec extends AnyFunSuite {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(!fs.listStatus(dir).exists(_.getPath.getName.startsWith(".stats-manifest-")))
   }
+
+  test("malformed lines pass through a rewrite unharmed and stay out of stats") {
+    // ADVICE r8: the scans SKIP a line with the wrong field count; a
+    // DELETE must neither crash on it nor destroy it
+    val dir = freshLog()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant foreign bytes inside segment A (the one the delete rewrites)
+    val segA = LimitHashLog.segmentsWithStats(dir)
+      .find(_._3.exists(_.minUserId == "u1")).get._1
+    val garbled = "not\ta\tvalid-line\nu1\t999\n"
+    val original = {
+      val in = fs.open(new Path(segA))
+      try in.readAllBytes() finally in.close()
+    }
+    val out = fs.create(new Path(segA), true) // local fs: append unsupported
+    try {
+      out.write(original)
+      out.write(garbled.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+    val table = new LimitHashLogTable(dir)
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      LessThan("amount", 25L))) // u1/10 and u1/20 go; u2 rows survive
+    assert(rows(dir) == Set(("u2", 30L, "ha3"), ("u2", 40L, "ha4"),
+      ("zz", 100L, "hb1"), ("zz", 200L, "hb2"),
+      ("u7", 700L, "hc1"), ("u8", 800L, "hc2"), ("u8", 900L, "hc3")))
+    // the malformed bytes are still in the rewritten segment, verbatim
+    val rewrittenA = LimitHashLog.segments(dir)
+      .map(_._1).find(new Path(_).getName.endsWith(new Path(segA).getName)).get
+    val content = {
+      val in = fs.open(new Path(rewrittenA))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(content.contains("not\ta\tvalid-line"))
+    assert(content.contains("u1\t999"))
+    // stats describe only what a scan sees: 2 surviving well-formed rows
+    val st = LimitHashLog.segmentsWithStats(dir)
+      .find(_._1 == rewrittenA).get._3
+    assert(st.exists(_.rows == 2L))
+  }
+
+  test("null comparison values are rejected, not stringified to 'null'") {
+    // ADVICE r8: EqualTo(a, null) matches nothing in SQL; evalRow's
+    // String.valueOf would delete rows whose field is the TEXT "null"
+    val table = new LimitHashLogTable(freshLog())
+    assert(!table.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("user_id", null))))
+    assert(!table.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      LessThan("amount", null))))
+    // null IN-list MEMBERS stay supported (both evaluators drop them)
+    assert(table.canDeleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("user_id", Array("u1", null)))))
+  }
 }

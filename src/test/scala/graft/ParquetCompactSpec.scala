@@ -133,4 +133,33 @@ class ParquetCompactSpec extends AnyFunSuite {
     val (ky, ty) = kept("y BETWEEN 80 AND 85")
     assert(ky < ty, s"y-probe kept $ky of $ty after compaction")
   }
+
+  test("bins mixing pre- and post-ALTER files keep the added column's values") {
+    // ADVICE r8 (high): a bin whose sampled footer is a pre-ALTER file
+    // must not silently null out the added column in the merged output
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cp.lake")
+    spark.sql("CREATE TABLE graft_cp.lake.ta (id BIGINT, v STRING)")
+    (0 until 4).foreach { i =>
+      spark.range(i * 10, i * 10 + 10)
+        .select(col("id"), format_string("v%02d", col("id")).as("v"))
+        .repartition(1).writeTo("graft_cp.lake.ta").append()
+    }
+    spark.sql("ALTER TABLE graft_cp.lake.ta ADD COLUMN w BIGINT")
+    (4 until 8).foreach { i =>
+      spark.range(i * 10, i * 10 + 10)
+        .select(col("id"), format_string("v%02d", col("id")).as("v"),
+          (col("id") * 7).as("w"))
+        .repartition(1).writeTo("graft_cp.lake.ta").append()
+    }
+    val dir = s"$warehouse/lake/ta"
+    def snapshot(): Seq[(Long, String, Any)] =
+      spark.table("graft_cp.lake.ta").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.get(2))).sortBy(_._1).toSeq
+    val before = snapshot()
+    assert(before.count(_._3 != null) === 40) // post-ALTER rows carry w
+    // compact everything into one bin: it necessarily mixes old and new
+    val stats = Compaction.compactTable(spark, dir)
+    assert(stats.filesAfter === 1)
+    assert(snapshot() === before)
+  }
 }
