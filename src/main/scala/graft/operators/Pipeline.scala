@@ -308,7 +308,84 @@ object Pipeline {
                  FROM graft_p10.ops.limits GROUP BY 1 ORDER BY 1""")
   }
 
+  /** Snapshot isolation + time travel end-to-end: a VERSIONED log table
+    * ([[graft.sources.LogVersions]]), a row-level DELETE that publishes
+    * a new commit ordinal instead of yanking files, and one result
+    * straddling both worlds — the CURRENT view (survivors) unioned with
+    * `VERSION AS OF 1` (the pre-delete snapshot, still hash-exact
+    * because the delete left the pinned segments on disk). The oracle
+    * recomputes both rows from the raw orders table, so a snapshot that
+    * leaked the delete, or a current view that missed it, breaks the
+    * hash. */
+  def p11_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p11").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p11").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p11", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p11.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p11.ops")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft_p11.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+      .repartitionByRange(8, col("user_id"))
+      .writeTo("graft_p11.ops.limits").overwrite(lit(true))
+    // v1 pins the freshly-loaded state; the DELETE publishes v2+ (on
+    // re-runs in one session the ordinals keep climbing — VERSION AS OF
+    // 1 stays the deterministic first load, same rows every run)
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p11.warehouse") +
+      "/ops/limits"
+    graft.sources.LogVersions.enable(tableDir)
+    spark.sql("DELETE FROM graft_p11.ops.limits WHERE amount < 1000000")
+    spark.sql("""SELECT 'current' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p11.ops.limits
+                 UNION ALL
+                 SELECT 'v1' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p11.ops.limits VERSION AS OF 1
+                 ORDER BY snap""")
+  }
+
+  /** Row-level DELETE on a catalog PARQUET table
+    * ([[graft.sources.ParquetDelete]]): the p10 shape on the parquet
+    * tier. The table is range-clustered on o_orderkey so the
+    * disjunctive predicate exercises all three footer-stats verdicts —
+    * low-key files drop whole without being read, high-key files
+    * hardlink untouched, the boundary and the cents leg rewrite. The
+    * oracle recomputes survivors from raw orders with the negated
+    * predicate, so a missed, doubled, or corrupted row breaks the
+    * hash. */
+  def p12_parquet_delete(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p12").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p12").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p12", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p12.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p12.lake")
+    // fresh table every run (same-session re-runs must not accumulate)
+    spark.sql("DROP TABLE IF EXISTS graft_p12.lake.orders_pq")
+    spark.sql("""CREATE TABLE graft_p12.lake.orders_pq
+                 (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo("graft_p12.lake.orders_pq").append()
+    spark.sql("""DELETE FROM graft_p12.lake.orders_pq
+                 WHERE o_orderkey <= 12000 OR cents < 3000000""")
+    spark.sql("""SELECT bucket, count(*) AS n, sum(cents) AS total,
+                        min(o_orderkey) AS k0, max(o_orderkey) AS k1
+                 FROM graft_p12.lake.orders_pq GROUP BY 1 ORDER BY 1""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_parquet_delete" -> (p12_parquet_delete _),
+    "p11_time_travel" -> (p11_time_travel _),
     "p10_log_delete" -> (p10_log_delete _),
     "p09_zorder_probe" -> (p09_zorder_probe _),
     "p08_catalog_skip_scan" -> (p08_catalog_skip_scan _),
@@ -321,6 +398,26 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p12_parquet_delete" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total,
+        |       MIN(o_orderkey) AS k0, MAX(o_orderkey) AS k1
+        |FROM t WHERE NOT (o_orderkey <= 12000 OR cents < 3000000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p11_time_travel" ->
+      """WITH t AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM orders)
+        |SELECT 'current' AS snap, COUNT(*) AS n,
+        |  CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM t WHERE NOT (amount < 1000000)
+        |UNION ALL
+        |SELECT 'v1' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM t
+        |ORDER BY snap""".stripMargin,
     "p10_log_delete" ->
       """WITH t AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount

@@ -117,19 +117,27 @@ object Compaction {
         fs.delete(s.getPath, false)
     }
 
+    // On a VERSIONED log ([[LogVersions]]) the inputs come from the
+    // latest version's pinned set (the listing can hold vacuum-pending
+    // segments of older versions — re-packing those would duplicate
+    // rows), and the commit is a version publish instead of a fenced
+    // physical delete: old segments stay on disk for pinned readers.
+    val versioned = LogVersions.enabled(dir)
     val all = LimitHashLog.segments(dir)
+    val live = if (versioned) LimitHashLog.liveSegments(dir) else all
     // Inputs = everything that is not an output of this compaction id.
     // A previous SAME-id attempt's committed targets are outputs, not
     // inputs — re-packing them alongside their still-present members
     // would duplicate every row (ADVICE r7).
-    val segs = all.filterNot { case (f, _) =>
+    val segs = live.filterNot { case (f, _) =>
       ownTarget.pattern.matcher(new Path(f).getName).matches()
     }
-    val staleTargets = all.length - segs.length
-    if (staleTargets > 0 && staleTargets == all.length) {
+    val staleTargets = live.length - segs.length
+    if (staleTargets > 0 && staleTargets == live.length) {
       // Nothing but this id's own outputs: the compaction already
-      // completed (marker deleted last). Idempotent no-op.
-      return LogCompactionStats(0, 0, all.length.toLong)
+      // completed (marker deleted last / version committed). Idempotent
+      // no-op.
+      return LogCompactionStats(0, 0, live.length.toLong)
     }
     val stats = LimitHashLog.loadStats(dir)
     if (segs.isEmpty) return LogCompactionStats(0, 0, 0)
@@ -199,20 +207,34 @@ object Compaction {
     // so a crash before the marker leaves the originals' stats intact
     // for the re-pack.
     LimitHashLog.writeManifest(fs, base, compactionId, manifest.result())
-    // Fence the delete phase: record exactly which inputs to remove,
-    // THEN remove them. A crash mid-delete resumes from the marker; a
-    // crash before it re-packs the identical input set. Never delete a
-    // name that was just committed as a target (ADVICE r7: the old
-    // listing on retry contained the freshly merged segments).
     val inputNames = segs.map { case (f, _) => new Path(f).getName }
       .filterNot(committed)
-    val mOut = fs.create(marker, true)
-    try mOut.write(inputNames.mkString("\n").getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally mOut.close()
-    inputNames.foreach(name => fs.delete(new Path(base, name), false))
-    LimitHashLog.dropOtherManifests(fs, base, compactionId)
-    fs.delete(marker, false)
+    if (versioned) {
+      // Snapshot commit: publish live = prev − inputs + outputs. The
+      // inputs stay physically present — a reader pinned to the prior
+      // version keeps hash-exact results while this runs; [[LogVersions
+      // .vacuum]] is the retention knob that reclaims them. Old
+      // manifests stay too (pinned readers zone-prune against them;
+      // entries for dead names are inert). A crash before this line
+      // re-packs the identical input set on retry — the version file is
+      // the only visibility event, so no fence marker is needed.
+      LogVersions.commit(dir) { prev =>
+        (prev.toSet -- inputNames ++ committed).toSeq
+      }
+    } else {
+      // Fence the delete phase: record exactly which inputs to remove,
+      // THEN remove them. A crash mid-delete resumes from the marker; a
+      // crash before it re-packs the identical input set. Never delete a
+      // name that was just committed as a target (ADVICE r7: the old
+      // listing on retry contained the freshly merged segments).
+      val mOut = fs.create(marker, true)
+      try mOut.write(inputNames.mkString("\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally mOut.close()
+      inputNames.foreach(name => fs.delete(new Path(base, name), false))
+      LimitHashLog.dropOtherManifests(fs, base, compactionId)
+      fs.delete(marker, false)
+    }
     LogCompactionStats(segs.length.toLong, segs.map(_._2).sum, groups.length.toLong)
   }
 
@@ -320,20 +342,19 @@ object Compaction {
     }
     if (cur.nonEmpty) bins += cur
 
+    // Output names carry a fresh per-operation token: a hardlinked
+    // single-file bin keeps its ORIGINAL name, which may be a previous
+    // compaction's `compact-…` output — an index-only name for this
+    // run's merges could collide with it (rename-fails-if-exists).
+    // Crash safety never depends on the names; the generation swap does
+    // that.
+    val opId = java.util.UUID.randomUUID().toString.take(8)
     var rows = 0L
     bins.result().zipWithIndex.foreach { case (bin, i) =>
       if (bin.length == 1) {
         val src = bin.head.getPath
-        val dst = new Path(next, src.getName)
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(dst.toUri.getPath),
-            java.nio.file.Paths.get(src.toUri.getPath))
-        } catch {
-          case _: UnsupportedOperationException | _: java.io.IOException =>
-            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
-              spark.sparkContext.hadoopConfiguration)
-        }
+        linkOrCopy(fs, spark.sparkContext.hadoopConfiguration,
+          src, new Path(next, src.getName))
       } else {
         val staging = new Path(next, s".bin-$i")
         val merged = spark.read.schema(declared).parquet(bin.map(_.getPath.toString): _*)
@@ -341,7 +362,7 @@ object Compaction {
         val part = fs.listStatus(staging)
           .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .getOrElse(throw new java.io.IOException(s"no output part in $staging"))
-        if (!fs.rename(part.getPath, new Path(next, f"compact-$i%05d.parquet"))) {
+        if (!fs.rename(part.getPath, new Path(next, f"compact-$opId-$i%05d.parquet"))) {
           throw new java.io.IOException(s"stage rename failed for bin $i")
         }
         fs.delete(staging, true)
@@ -355,7 +376,35 @@ object Compaction {
         s"compaction row mismatch: $rowsBefore before vs $rows staged — aborted")
     }
     fs.create(new Path(next, "_COMPACT_SUCCESS"), true).close()
+    swapGenerations(fs, base)
+    CompactionStats(files.length.toLong, bytesBefore, rows,
+      fs.listStatus(data).count(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet")).toLong)
+  }
 
+  /** Hardlink `src` to `dst` (copy fallback for filesystems without
+    * links) — zero-I/O carry-over of an untouched file into a new
+    * generation. Shared by [[compactTable]] and [[ParquetDelete]]. */
+  private[sources] def linkOrCopy(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration, src: Path, dst: Path): Unit = {
+    try {
+      java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.Paths.get(src.toUri.getPath))
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    }
+  }
+
+  /** Commit a fully-built, `_COMPACT_SUCCESS`-marked `data.next` as the
+    * live generation: `data`→`data.prev`, `data.next`→`data`, drop the
+    * marker and `data.prev`. A crash at any point is repaired by
+    * [[repairGenerations]] on the next load. */
+  private[sources] def swapGenerations(fs: org.apache.hadoop.fs.FileSystem,
+      base: Path): Unit = {
+    val data = new Path(base, "data")
+    val next = new Path(base, "data.next")
     val prev = new Path(base, "data.prev")
     if (!fs.rename(data, prev)) {
       throw new java.io.IOException(s"swap: $data -> $prev failed")
@@ -368,8 +417,5 @@ object Compaction {
     // the new generation is live; _COMPACT_SUCCESS has done its job
     fs.delete(new Path(data, "_COMPACT_SUCCESS"), false)
     fs.delete(prev, true)
-    CompactionStats(files.length.toLong, bytesBefore, rows,
-      fs.listStatus(data).count(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet")).toLong)
   }
 }

@@ -57,7 +57,9 @@ class LimitHashLog extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new LimitHashLogTable(properties.get("path"))
+    new LimitHashLogTable(properties.get("path"),
+      Option(properties.get("versionAsOf"))
+        .orElse(Option(properties.get("versionasof"))).map(_.toLong))
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -145,7 +147,39 @@ object LimitHashLog {
     * manifest (external fixture, pre-stats era) maps to None. */
   private[sources] def segmentsWithStats(dir: String): Seq[(String, Long, Option[SegmentStats])] = {
     val stats = loadStats(dir)
-    segments(dir).map { case (f, len) => (f, len, stats.get(new Path(f).getName)) }
+    liveSegments(dir).map { case (f, len) => (f, len, stats.get(new Path(f).getName)) }
+  }
+
+  /** The LIVE segment set: the latest version's exact name set when the
+    * log is versioned ([[LogVersions]]), else the raw listing. All READ
+    * planning goes through this (or [[segmentsAt]]) — on a versioned
+    * log the listing can contain vacuum-pending segments dropped by a
+    * maintenance commit, which must stay invisible. */
+  private[sources] def liveSegments(dir: String): Seq[(String, Long)] =
+    segmentsAt(dir, None)
+
+  /** Segment set pinned to `version` (None = latest-or-listing). A
+    * referenced segment missing from disk means retention was violated
+    * (vacuumed under a pinned reader) — fail loudly, never silently
+    * under-read. */
+  private[sources] def segmentsAt(dir: String, version: Option[Long]): Seq[(String, Long)] = {
+    def resolve(names: Seq[String]): Seq[(String, Long)] = {
+      val listed = segments(dir).map { case (f, len) => (new Path(f).getName, (f, len)) }.toMap
+      names.sorted.map { n =>
+        listed.getOrElse(n, throw new IllegalStateException(
+          s"segment $n of a pinned version is gone from $dir — vacuumed " +
+            "inside the retention window a reader still needed"))
+      }
+    }
+    version match {
+      case Some(v) => resolve(LogVersions.get(dir, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"VERSION AS OF $v: no such version in $dir (never committed, or vacuumed)")))
+      case None => LogVersions.latest(dir) match {
+        case Some((_, names)) => resolve(names)
+        case None => segments(dir)
+      }
+    }
   }
 
   /** Parse-stage compilation of pushed filters: EqualTo → singleton,
@@ -168,8 +202,15 @@ object LimitHashLog {
     * sets (runtime IN filters from join pruning) keep a segment if ANY
     * value might match. Shared by the batch scan, the streaming read,
     * and runtime filtering — a segment without stats is never skipped. */
-  private[sources] def zonePrune(dir: String, pushed: Array[Filter]): Seq[(String, Long)] = {
-    if (pushed.isEmpty) return segments(dir)
+  private[sources] def zonePrune(dir: String, pushed: Array[Filter]): Seq[(String, Long)] =
+    zonePruneOver(dir, liveSegments(dir), pushed)
+
+  /** Zone pruning over an explicit base set — the version-pinned scans
+    * hand in their snapshot so pruning can never resurrect or drop a
+    * segment relative to the pinned view. */
+  private[sources] def zonePruneOver(dir: String, base: Seq[(String, Long)],
+      pushed: Array[Filter]): Seq[(String, Long)] = {
+    if (pushed.isEmpty) return base
     val eqs = pushed.collect {
       // null IN-list members match nothing (SQL three-valued logic) —
       // exclude them from the probe set; an In reduced to all-nulls is
@@ -177,8 +218,9 @@ object LimitHashLog {
       case EqualTo(a, v) => (a, Seq(v))
       case In(a, vs) if vs.exists(_ != null) => (a, vs.toSeq.filter(_ != null))
     }
-    if (eqs.isEmpty) return segments(dir)
-    segmentsWithStats(dir).collect {
+    if (eqs.isEmpty) return base
+    val allStats = loadStats(dir)
+    base.map { case (f, len) => (f, len, allStats.get(new Path(f).getName)) }.collect {
       case (f, len, None) => (f, len)
       case (f, len, Some(st)) if {
         lazy val bloom = st.bloom.map(SegmentBloom.fromBase64)
@@ -284,19 +326,29 @@ object SegmentBloom {
   }
 }
 
-class LimitHashLogTable(path: String) extends Table with SupportsRead with SupportsWrite
+class LimitHashLogTable(path: String, version: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
-  override def name(): String = s"limit_hash_log(`$path`)"
+  override def name(): String =
+    s"limit_hash_log(`$path`)" + version.fold("")(v => s" VERSION AS OF $v")
+
+  private def requireCurrent(op: String): Unit =
+    if (version.isDefined) throw new UnsupportedOperationException(
+      s"$op on a VERSION AS OF snapshot — time-travel tables are read-only")
 
   // Row-level DELETE (SQL `DELETE FROM graft.<ns>.<t> WHERE p` via the
   // catalog, `deleteWhere` via the API) — zone-classified metadata-first
   // delete, full design on [[LogDelete]].
   override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    filters.forall(LogDelete.supported)
-  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    version.isEmpty && filters.forall(LogDelete.supported)
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    requireCurrent("DELETE")
     LogDelete.deleteWhere(
       org.apache.spark.sql.classic.SparkSession.active, path, filters)
-  override def truncateTable(): Boolean = { LogDelete.truncateAll(path); true }
+  }
+  override def truncateTable(): Boolean = {
+    requireCurrent("TRUNCATE"); LogDelete.truncateAll(path); true
+  }
   override def schema(): StructType = LimitHashLog.SCHEMA
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -308,9 +360,12 @@ class LimitHashLogTable(path: String) extends Table with SupportsRead with Suppo
       Option(options.get("maxPartitionBytes")).map(_.toLong)
         .getOrElse(128L * 1024 * 1024),
       columnar = Option(options.get("columnar")).forall(_.toBoolean),
-      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong))
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
+      version = version)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireCurrent("WRITE")
     new LogWriteBuilder(path, info.queryId())
+  }
 }
 
 /** DSv2 WRITE path — the reference's batch sink semantics
@@ -376,8 +431,11 @@ class LogStreamingWrite(path: String, queryId: String, truncate: Boolean = false
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
-    val old = if (truncate) LimitHashLog.segments(path).map(_._1) else Seq.empty
+    val versioned = LogVersions.enabled(path)
+    val old = if (truncate && !versioned) LimitHashLog.segments(path).map(_._1)
+      else Seq.empty
     val committed = scala.collection.mutable.Set.empty[String]
+    val committedNames = scala.collection.mutable.Set.empty[String]
     val manifest = Map.newBuilder[String, SegmentStats]
     messages.foreach { case LogCommit(staged, pid, stats) =>
       if (staged.nonEmpty) { // empty partitions stage nothing
@@ -391,16 +449,25 @@ class LogStreamingWrite(path: String, queryId: String, truncate: Boolean = false
         }
         stats.foreach(st => manifest += (to.getName -> st))
         committed += to.toString
+        committedNames += to.getName
       }
     }
     // one manifest per epoch (replay overwrites the same name)
     LimitHashLog.writeManifest(fs, dir, s"$queryId-$epochId", manifest.result())
-    // truncate semantics: this epoch's output REPLACES the log. The old
-    // listing can include this epoch's own prior attempt (replay) — those
-    // names were already replaced above, so exclude them from deletion;
-    // prior manifests are wholly stale once their segments are gone.
-    old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
-    if (truncate) LimitHashLog.dropOtherManifests(fs, dir, s"$queryId-$epochId")
+    if (versioned) {
+      // snapshot commit: the new version IS the visibility event; old
+      // segments stay on disk for pinned readers until vacuum
+      LogVersions.commit(path)(prev =>
+        if (truncate) committedNames.toSeq
+        else (prev.toSet ++ committedNames).toSeq)
+    } else {
+      // truncate semantics: this epoch's output REPLACES the log. The old
+      // listing can include this epoch's own prior attempt (replay) — those
+      // names were already replaced above, so exclude them from deletion;
+      // prior manifests are wholly stale once their segments are gone.
+      old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
+      if (truncate) LimitHashLog.dropOtherManifests(fs, dir, s"$queryId-$epochId")
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -432,8 +499,11 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
-    val old = if (truncate) LimitHashLog.segments(path).map(_._1) else Seq.empty
+    val versioned = LogVersions.enabled(path)
+    val old = if (truncate && !versioned) LimitHashLog.segments(path).map(_._1)
+      else Seq.empty
     val committed = scala.collection.mutable.Set.empty[String]
+    val committedNames = scala.collection.mutable.Set.empty[String]
     val manifest = Map.newBuilder[String, SegmentStats]
     messages.foreach { case LogCommit(staged, pid, stats) =>
       if (staged.nonEmpty) { // empty partitions stage nothing
@@ -448,15 +518,25 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
         }
         stats.foreach(st => manifest += (to.getName -> st))
         committed += to.toString
+        committedNames += to.getName
       }
     }
     // one manifest per commit (a retried query overwrites its own)
     LimitHashLog.writeManifest(fs, dir, queryId, manifest.result())
-    // a retried query's old listing can contain names this commit just
-    // replaced — never delete what we committed moments ago; truncate
-    // leaves no prior segments, so prior manifests are wholly stale
-    old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
-    if (truncate) LimitHashLog.dropOtherManifests(fs, dir, queryId)
+    if (versioned) {
+      // snapshot commit: publish the next version; truncated-away
+      // segments stay physically present for pinned readers (vacuum is
+      // the retention knob), and prior manifests stay for their zones
+      LogVersions.commit(path)(prev =>
+        if (truncate) committedNames.toSeq
+        else (prev.toSet ++ committedNames).toSeq)
+    } else {
+      // a retried query's old listing can contain names this commit just
+      // replaced — never delete what we committed moments ago; truncate
+      // leaves no prior segments, so prior manifests are wholly stale
+      old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
+      if (truncate) LimitHashLog.dropOtherManifests(fs, dir, queryId)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -552,7 +632,7 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
 
 class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
     maxPartitionBytes: Long = 128L * 1024 * 1024, columnar: Boolean = true,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None, version: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -642,16 +722,20 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
       case _ => return None
     }
     // every segment must carry stats, or the answer can't come from
-    // metadata (checked LAST — it reads a sidecar per segment)
-    val withStats = LimitHashLog.segmentsWithStats(path)
-    if (withStats.forall(_._3.isDefined)) Some((tags, withStats.flatMap(_._3)))
+    // metadata (checked LAST — it reads a sidecar per segment); the
+    // snapshot honors a VERSION AS OF pin — a time-travel COUNT(*)
+    // answers from the pinned set's stats, not the current log's
+    val stats = LimitHashLog.loadStats(path)
+    val withStats = LimitHashLog.segmentsAt(path, version)
+      .map { case (f, _) => stats.get(new org.apache.hadoop.fs.Path(f).getName) }
+    if (withStats.forall(_.isDefined)) Some((tags, withStats.flatten))
     else None
   }
 
   override def build(): Scan =
     new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger,
       maxPartitionBytes, columnar, aggTags, maxBytesPerTrigger, aggStats,
-      limit)
+      limit, version)
 }
 
 /** Sum-aggregated scan metrics (driver-reported; keyed into the SQL
@@ -699,9 +783,27 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     aggTags: Seq[String] = Seq.empty,
     maxBytesPerTrigger: Option[Long] = None,
     aggStats: Seq[SegmentStats] = Seq.empty,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    version: Option[Long] = None,
+    groupPrune: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  /** Segment names of the last `planInputPartitions` — the REPLACED
+    * group set a row-level operation's write commits against
+    * ([[LogReplaceDataWrite]]). `groupPrune` filters participate in
+    * zone/Bloom pruning only (never row evaluation): a group-based
+    * UPDATE/MERGE scan must emit EVERY row of a surviving segment. */
+  @volatile private[sources] var plannedSegmentNames: Seq[String] = Seq.empty
+
+  /** The scan's SNAPSHOT: resolved ONCE per scan — explicitly pinned
+    * (`VERSION AS OF`), or the latest version of a versioned log, or
+    * the listing. Planning, runtime-filter re-planning and the cost
+    * model all answer from this one set, so a maintenance commit (or
+    * concurrent writer) landing mid-query can never add, drop, or
+    * duplicate segments under a running scan. */
+  private lazy val pinnedSegments: Seq[(String, Long)] =
+    LimitHashLog.segmentsAt(path, version)
 
   /** Scan observability — the numbers that tell an operator whether the
     * skip machinery is WORKING at scale (a 100 TB log where
@@ -766,7 +868,7 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     * dropped at PLANNING — the ClickHouse sparse-primary-key effect.
     * A segment without a sidecar is never skipped (correctness first). */
   private def zoneFiltered: Seq[(String, Long)] =
-    LimitHashLog.zonePrune(path, pushed ++ runtimeFilters)
+    LimitHashLog.zonePruneOver(path, pinnedSegments, pushed ++ runtimeFilters)
 
   /** Bin-pack segments into ≤ maxPartitionBytes splits (first-fit on
     * the sorted listing): an entity log accumulates one segment per
@@ -799,7 +901,7 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
         LogDriverMetric("segmentsTotal", stats.size.toLong))
       return Array(LogAggPartition(values))
     }
-    val total = LimitHashLog.segments(path).size
+    val total = pinnedSegments.size
     val afterZone = zoneFiltered
     // LIMIT split truncation: with no filters anywhere, the manifests'
     // exact row counts prove when enough segments are included — the
@@ -1130,7 +1232,7 @@ class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
   override def initialOffset(): sread.Offset = LogOffset(Seq.empty)
 
   override def latestOffset(): sread.Offset =
-    LogOffset(LimitHashLog.segments(path).map(_._1))
+    LogOffset(LimitHashLog.liveSegments(path).map(_._1))
 
   /** Admission control — the READ-side twin of the reference's batch
     * cap (`hashes.go:68`): `option("maxFilesPerTrigger", n)` bounds
@@ -1171,7 +1273,7 @@ class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
   override def latestOffset(start: sread.Offset, limit: sread.ReadLimit): sread.Offset = {
     val seen = start.asInstanceOf[LogOffset].segments
     val seenSet = seen.toSet
-    val unseen = LimitHashLog.segments(path).filterNot(s => seenSet.contains(s._1))
+    val unseen = LimitHashLog.liveSegments(path).filterNot(s => seenSet.contains(s._1))
     val admitted = unseen.take(admitCount(unseen, limit)).map(_._1)
     LogOffset(seen ++ admitted)
   }
@@ -1186,7 +1288,7 @@ class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
     val kept =
       if (pushed.isEmpty) fresh
       else {
-        val listed = LimitHashLog.segments(path).map(_._1).toSet
+        val listed = LimitHashLog.liveSegments(path).map(_._1).toSet
         val surviving = LimitHashLog.zonePrune(path, pushed).map(_._1).toSet
         // a fresh segment missing from the current listing is NOT
         // silently dropped — the reader fails loudly, as before

@@ -102,6 +102,29 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
     } else new LimitHashLogTable(dir.toString)
   }
 
+  /** Time travel — `SELECT ... FROM graft.<ns>.<t> VERSION AS OF n`.
+    * Resolves to the log table pinned to version n's exact segment
+    * snapshot ([[LogVersions]]); the table must be versioned
+    * (`LogVersions.enable` / any versioned commit). Parquet-managed
+    * tables don't keep a version ledger — rejected explicitly. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (!fs.exists(dir)) {
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
+    if (fs.exists(schemaFile(dir))) {
+      throw new UnsupportedOperationException(
+        s"$ident is a parquet-managed table; VERSION AS OF applies to log tables")
+    }
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF takes the numeric commit ordinal, got '$version'"))
+    if (LogVersions.get(dir.toString, v).isEmpty) {
+      throw new IllegalArgumentException(
+        s"$ident has no version $v (not versioned, never committed, or vacuumed)")
+    }
+    new LimitHashLogTable(dir.toString, Some(v))
+  }
+
   /** Entity-shaped (or empty) schema → entity log; anything else → a
     * schema-manifested parquet table. The entity's layout stays owned
     * by the engine either way — a log table's columns can't drift. */

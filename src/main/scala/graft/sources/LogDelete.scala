@@ -304,8 +304,11 @@ object LogDelete {
 
     // Commit: rename replacements in (replace-on-retry), THEN manifest,
     // THEN the fenced removal of originals — readers see (old ∪ new)
-    // transiently, never a gap.
+    // transiently, never a gap. On a VERSIONED log the removal is a
+    // version publish instead: originals stay on disk for pinned
+    // readers and [[LogVersions.vacuum]] reclaims them later.
     val manifest = Map.newBuilder[String, SegmentStats]
+    val added = Seq.newBuilder[String]
     rewritten.foreach {
       case (old, Some((staged, st))) =>
         val to = new Path(base, s"segment-$delId-${new Path(old).getName}")
@@ -313,13 +316,20 @@ object LogDelete {
         if (!fs.rename(new Path(staged), to))
           throw new java.io.IOException(s"LogDelete: rename $staged -> $to failed")
         st.foreach(s => manifest += (to.getName -> s))
+        added += to.getName
       case _ => () // fully-deleted segment: nothing to rename
     }
     val entries = manifest.result()
     if (entries.nonEmpty) LimitHashLog.writeManifest(fs, base, delId, entries)
 
     val toRemove = (drops ++ rewritten.map(_._1)).map(new Path(_).getName)
-    if (toRemove.nonEmpty) {
+    if (LogVersions.enabled(dir)) {
+      if (toRemove.nonEmpty || added.result().nonEmpty) {
+        LogVersions.commit(dir) { prev =>
+          (prev.toSet -- toRemove ++ added.result()).toSeq
+        }
+      }
+    } else if (toRemove.nonEmpty) {
       val out = fs.create(marker, true)
       try out.write(toRemove.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -329,11 +339,17 @@ object LogDelete {
     }
   }
 
-  /** TRUNCATE: remove every segment and every stats manifest. */
+  /** TRUNCATE: remove every segment and every stats manifest. On a
+    * versioned log, publish an empty version instead — segments stay
+    * on disk for pinned readers until vacuum. */
   def truncateAll(dir: String): Unit = {
     val base = new Path(dir)
     val fs = base.getFileSystem(new Configuration())
     if (!fs.exists(base)) return
+    if (LogVersions.enabled(dir)) {
+      LogVersions.commit(dir)(_ => Seq.empty)
+      return
+    }
     LimitHashLog.segments(dir).foreach { case (f, _) => fs.delete(new Path(f), false) }
     fs.listStatus(base).foreach { s =>
       if (s.isFile && s.getPath.getName.startsWith(".stats-manifest-"))

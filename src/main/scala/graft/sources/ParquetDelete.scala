@@ -1,0 +1,264 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Expression, Literal, Or => COr}
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.functions.{coalesce, lit, not}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{BooleanType, StructType}
+
+/** Row-level DELETE for the catalog's PARQUET-managed tables — the p10
+  * three-valued classify/drop/rewrite design ([[LogDelete]]) ported
+  * onto parquet footer statistics ([[ParquetFooterStats]] domains), so
+  * `DELETE FROM graft.<ns>.<pq-table> WHERE p` works through the same
+  * `SupportsDelete` surface as the entity logs.
+  *
+  * Scale design — metadata first, I/O only where provably needed.
+  * Every data file is classified against its footer min/max/nullCount:
+  *
+  *   - **Clean**: footer bounds PROVE no row satisfies the predicate
+  *     (`FooterPrune.excludes` — the exact machinery the skip-scan
+  *     uses) → the file is HARDLINKED into the new generation, zero
+  *     read or write I/O. At 100 TB this is the cold tail: a delete
+  *     keyed on recent data touches none of it.
+  *   - **Drop**: bounds prove EVERY row satisfies the predicate — the
+  *     negated predicate is excluded AND the referenced columns carry
+  *     no nulls (three-valued logic: a NULL comparison outcome is not
+  *     deleted, so a file can only be dropped whole when no row can
+  *     evaluate to NULL) → the file simply does not enter the new
+  *     generation: a metadata-only delete, never read.
+  *   - **Rewrite** (the rest): ONE distributed Spark job reads all
+  *     affected files under the table's authoritative `_schema.json`
+  *     schema (pre-ALTER files read consistently) and writes the
+  *     survivors — rows where the predicate is FALSE or NULL.
+  *
+  * Crash safety is the SAME staged generation swap as
+  * [[Compaction.compactTable]]: build `data.next` completely, mark
+  * `_COMPACT_SUCCESS`, swap; a crash at any point is repaired by
+  * [[Compaction.repairGenerations]] on the next catalog load. A reader
+  * planned before the swap keeps its listed generation (files live on
+  * until the old dir drops); single-writer maintenance semantics.
+  *
+  * Reference: the warehouse-side `ALTER TABLE ... DELETE` mutation the
+  * reference delegates to ClickHouse (`hashes_test.go:236-240` clears
+  * by predicate between cases); SURVEY §2.1 #10 extended to the
+  * parquet tier (VERDICT r8 next-round #2). */
+object ParquetDelete {
+
+  /** Filter shapes this module can BOTH evaluate exactly (via Spark's
+    * own expression engine on the rewrite path) and negate for the
+    * drop-whole-file proof. `supported` is what `canDeleteWhere`
+    * promises — anything else makes Spark report DELETE unsupported
+    * rather than us guessing. */
+  def supported(schema: StructType)(f: Filter): Boolean =
+    nnf(f, negate = false).flatMap(translate(schema, _)).isDefined
+
+  /** Negation normal form at the v1 Filter level: push NOT through
+    * And/Or (De Morgan holds in three-valued logic) and flip the
+    * leaves TRUE-preservingly: ¬(a<v) ⇨ a>=v (both NULL when a is
+    * NULL), ¬(a=v) ⇨ a<v ∨ a>v, ¬(a IN set) ⇨ conjunction of ¬(a=v)
+    * over non-null members — with a NULL member the negation is never
+    * TRUE (x IN (…,NULL) is TRUE or NULL), i.e. AlwaysFalse for the
+    * excludes proof. None = shape not representable (¬StartsWith). */
+  private def nnf(f: Filter, negate: Boolean): Option[Filter] = f match {
+    case And(l, r) =>
+      for (a <- nnf(l, negate); b <- nnf(r, negate))
+        yield if (negate) Or(a, b) else And(a, b)
+    case Or(l, r) =>
+      for (a <- nnf(l, negate); b <- nnf(r, negate))
+        yield if (negate) And(a, b) else Or(a, b)
+    case Not(c) => nnf(c, !negate)
+    case AlwaysTrue() => Some(if (negate) AlwaysFalse() else AlwaysTrue())
+    case AlwaysFalse() => Some(if (negate) AlwaysTrue() else AlwaysFalse())
+    case IsNull(a) => Some(if (negate) IsNotNull(a) else IsNull(a))
+    case IsNotNull(a) => Some(if (negate) IsNull(a) else IsNotNull(a))
+    case EqualTo(a, v) =>
+      if (v == null) Some(AlwaysFalse()) // = NULL is never TRUE; nor is its negation
+      else Some(if (negate) Or(LessThan(a, v), GreaterThan(a, v)) else EqualTo(a, v))
+    case EqualNullSafe(a, v) =>
+      if (v == null) Some(if (negate) IsNotNull(a) else IsNull(a))
+      else Some(if (negate) Or(IsNull(a), Or(LessThan(a, v), GreaterThan(a, v)))
+        else EqualTo(a, v)) // non-null <=> equals = on non-null rows; NULL rows are FALSE, handled by IsNull arm when negated
+    case GreaterThan(a, v) =>
+      if (v == null) Some(AlwaysFalse())
+      else Some(if (negate) LessThanOrEqual(a, v) else GreaterThan(a, v))
+    case GreaterThanOrEqual(a, v) =>
+      if (v == null) Some(AlwaysFalse())
+      else Some(if (negate) LessThan(a, v) else GreaterThanOrEqual(a, v))
+    case LessThan(a, v) =>
+      if (v == null) Some(AlwaysFalse())
+      else Some(if (negate) GreaterThanOrEqual(a, v) else LessThan(a, v))
+    case LessThanOrEqual(a, v) =>
+      if (v == null) Some(AlwaysFalse())
+      else Some(if (negate) GreaterThan(a, v) else LessThanOrEqual(a, v))
+    case In(a, vs) =>
+      if (!negate) Some(In(a, vs))
+      else if (vs.contains(null)) Some(AlwaysFalse())
+      else if (vs.isEmpty) Some(AlwaysTrue()) // x IN () is FALSE… but NULL x gives NULL; see below
+      else vs.toSeq.map(v => nnf(EqualTo(a, v), negate = true))
+        .reduce((x, y) => for (p <- x; q <- y) yield And(p, q))
+    case StringStartsWith(a, p) =>
+      if (negate || p == null) None else Some(StringStartsWith(a, p))
+    case _ => None
+  }
+
+  /** NNF Filter → Catalyst over the declared schema (case-insensitive
+    * attribute resolution; external→internal literal conversion).
+    * None = unknown column or a literal the column type can't carry. */
+  private def translate(schema: StructType, f: Filter): Option[Expression] = {
+    def attr(name: String): Option[AttributeReference] =
+      schema.find(_.name.equalsIgnoreCase(name))
+        .map(sf => AttributeReference(sf.name, sf.dataType, sf.nullable)())
+    def litOf(a: AttributeReference, v: Any): Option[Literal] =
+      try Some(Literal.create(v, a.dataType))
+      catch { case scala.util.control.NonFatal(_) => None }
+    def cmp(a: String, v: Any, mk: (Expression, Expression) => Expression): Option[Expression] =
+      for (ar <- attr(a); l <- litOf(ar, v)) yield mk(ar, l)
+    f match {
+      case And(l, r) =>
+        for (a <- translate(schema, l); b <- translate(schema, r)) yield CAnd(a, b)
+      case Or(l, r) =>
+        for (a <- translate(schema, l); b <- translate(schema, r)) yield COr(a, b)
+      case AlwaysTrue() => Some(Literal(true, BooleanType))
+      case AlwaysFalse() => Some(Literal(false, BooleanType))
+      case IsNull(a) => attr(a).map(ce.IsNull)
+      case IsNotNull(a) => attr(a).map(ce.IsNotNull)
+      case EqualTo(a, v) => cmp(a, v, ce.EqualTo)
+      case GreaterThan(a, v) => cmp(a, v, ce.GreaterThan)
+      case GreaterThanOrEqual(a, v) => cmp(a, v, ce.GreaterThanOrEqual)
+      case LessThan(a, v) => cmp(a, v, ce.LessThan)
+      case LessThanOrEqual(a, v) => cmp(a, v, ce.LessThanOrEqual)
+      case In(a, vs) =>
+        attr(a).flatMap { ar =>
+          val lits = vs.toSeq.map(v => litOf(ar, v))
+          if (lits.exists(_.isEmpty)) None
+          else Some(ce.In(ar, lits.flatten))
+        }
+      case StringStartsWith(a, p) => cmp(a, p, ce.StartsWith)
+      case _ => None
+    }
+  }
+
+  /** Column names referenced by VALUE comparisons (the ones that can
+    * evaluate to NULL); null tests are excluded — they never do. */
+  private def valueRefs(f: Filter): Set[String] = f match {
+    case And(l, r) => valueRefs(l) ++ valueRefs(r)
+    case Or(l, r) => valueRefs(l) ++ valueRefs(r)
+    case Not(c) => valueRefs(c)
+    case EqualTo(a, _) => Set(a)
+    case EqualNullSafe(a, _) => Set.empty // 2-valued by definition
+    case GreaterThan(a, _) => Set(a)
+    case GreaterThanOrEqual(a, _) => Set(a)
+    case LessThan(a, _) => Set(a)
+    case LessThanOrEqual(a, _) => Set(a)
+    case In(a, _) => Set(a)
+    case StringStartsWith(a, _) => Set(a)
+    case _ => Set.empty
+  }
+
+  case class ParquetDeleteStats(untouched: Long, dropped: Long, rewritten: Long)
+
+  /** Execute the delete. Quiesced-table maintenance semantics (same as
+    * [[Compaction.compactTable]]); crash-repair via the generation
+    * machinery on next load. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+      filters: Array[Filter]): ParquetDeleteStats = {
+    val base = new Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schemaFile = new Path(base, "_schema.json")
+    require(fs.exists(schemaFile),
+      s"$tableDir is not a catalog parquet table (no _schema.json); " +
+        "entity logs delete via LogDelete")
+    Compaction.repairGenerations(fs, base)
+    val declared = {
+      val in = fs.open(schemaFile)
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+    }
+
+    def unsupported(f: Filter): Nothing = throw new UnsupportedOperationException(
+      s"ParquetDelete: unsupported filter $f (canDeleteWhere should have declined)")
+    val whole: Filter = filters.reduceOption(And).getOrElse(AlwaysTrue())
+    val cond = nnf(whole, negate = false).flatMap(translate(declared, _))
+      .getOrElse(unsupported(whole))
+    // the negation powers the OPTIONAL drop-whole-file proof; a shape
+    // with no exact negation bound (¬StartsWith) just never drops whole
+    val negCond: Option[Expression] =
+      nnf(whole, negate = true).flatMap(translate(declared, _))
+    val refs = valueRefs(whole).map(_.toLowerCase)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val data = new Path(base, "data")
+    val files =
+      if (fs.exists(data)) fs.listStatus(data)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toSeq
+      else Seq.empty
+
+    // three-valued classification from footer bounds; an unreadable or
+    // stats-free footer conservatively lands in the rewrite class
+    val (untouched, dropped, rewrites) = {
+      val u = Seq.newBuilder[Path]; val d = Seq.newBuilder[Path]
+      val w = Seq.newBuilder[Path]
+      files.foreach { st =>
+        val cls = try {
+          val fstats = ParquetFooterStats.get(conf, st.getPath, st.getLen,
+            st.getModificationTime)
+          if (FooterPrune.excludes(fstats, cond)) 'u'
+          else if (negCond.exists(nc => FooterPrune.excludes(fstats, nc)) &&
+              refs.forall(c => fstats.cols.get(c).exists(_.nulls.contains(0L))))
+            'd'
+          else 'w'
+        } catch { case scala.util.control.NonFatal(_) => 'w' }
+        cls match {
+          case 'u' => u += st.getPath
+          case 'd' => d += st.getPath
+          case 'w' => w += st.getPath
+        }
+      }
+      (u.result(), d.result(), w.result())
+    }
+
+    val next = new Path(base, "data.next")
+    fs.delete(next, true)
+    fs.mkdirs(next)
+    untouched.foreach(p => Compaction.linkOrCopy(fs, conf, p, new Path(next, p.getName)))
+    if (rewrites.nonEmpty) {
+      // one distributed job over all affected files; survivors are rows
+      // where the predicate is FALSE **or NULL** (SQL DELETE removes
+      // only TRUE rows)
+      val staging = new Path(next, ".rewrite")
+      // re-resolve the condition against THIS DataFrame's attributes
+      // (the classify expression carries fresh exprIds)
+      val unresolvedCond = cond.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+      }
+      spark.read.schema(declared).parquet(rewrites.map(_.toString): _*)
+        .filter(not(coalesce(
+          org.apache.spark.sql.GraftShims.column(unresolvedCond), lit(false))))
+        .write.mode("overwrite").parquet(staging.toString)
+      // per-operation token in output names: an UNTOUCHED file from an
+      // earlier delete keeps its `delete-…` name through the hardlink,
+      // and an index-only name here would collide with it (rename
+      // fails if the destination exists). Same discipline as
+      // [[Compaction.compactTable]].
+      val opId = java.util.UUID.randomUUID().toString.take(8)
+      var i = 0
+      fs.listStatus(staging).foreach { s =>
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+          if (!fs.rename(s.getPath, new Path(next, f"delete-$opId-$i%05d.parquet"))) {
+            throw new java.io.IOException(s"stage rename failed for ${s.getPath}")
+          }
+          i += 1
+        }
+      }
+      fs.delete(staging, true)
+    }
+    fs.create(new Path(next, "_COMPACT_SUCCESS"), true).close()
+    Compaction.swapGenerations(fs, base)
+    ParquetDeleteStats(untouched.length.toLong, dropped.length.toLong,
+      rewrites.length.toLong)
+  }
+}

@@ -237,6 +237,10 @@ object FooterPrune {
     case And(l, r) => excludes(fs, l) || excludes(fs, r)
     case Or(l, r) => excludes(fs, l) && excludes(fs, r)
 
+    // a constant FALSE/NULL condition (e.g. a translated AlwaysFalse)
+    // is TRUE for no row
+    case Literal(v, BooleanType) => v != true
+
     case EqualTo(a: AttributeReference, l: Literal) => cmpExcludes(fs, a, l, "=")
     case EqualTo(l: Literal, a: AttributeReference) => cmpExcludes(fs, a, l, "=")
     case GreaterThan(a: AttributeReference, l: Literal) => cmpExcludes(fs, a, l, ">")
@@ -415,12 +419,27 @@ class StatsPrunedParquetTable(
       tableName, spark,
       org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), paths,
       Some(declared),
-      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat]) {
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
     val inner = super.newScanBuilder(options)
     inner.copy(fileIndex =
       new StatsPrunedFileIndex(spark, new Path(paths.head), declared))
+  }
+
+  // Row-level DELETE (SQL `DELETE FROM graft.<ns>.<t>` / TRUNCATE via
+  // the SupportsDelete default) — three-valued footer-stats classify,
+  // full design on [[ParquetDelete]]. `paths.head` is the `data/` dir;
+  // the table dir (schema manifest, generation swap) is its parent.
+  private def tableDir: String = new Path(paths.head).getParent.toString
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(ParquetDelete.supported(declared))
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    ParquetDelete.deleteWhere(spark, tableDir, filters)
+    ()
   }
 }

