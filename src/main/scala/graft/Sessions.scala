@@ -27,6 +27,11 @@ object Sessions {
       // candidate-pair → signature attach joins in the dedup family
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // storage-partitioned joins: two logs bucketed on the same key
+      // (sources/LogBucketing) join without a shuffle exchange;
+      // pushPartValues keeps SPJ valid when one side is missing buckets
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       // InferFiltersFromGenerate duplicates the generator's child
       // expression into a pushed-down Filter (`size(expr) > 0`). For
       // STORED array columns that prunes empty rows cheaply; every

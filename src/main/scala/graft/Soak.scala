@@ -30,6 +30,7 @@ object Soak {
   private val soakQueries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     "d02" -> operators.Dedup.d02_dedup_minhash_lsh _,
     "d04" -> operators.Dedup.d04_dedup_ngram_jaccard _,
+    "d05" -> operators.Dedup.d05_dedup_embedding _,
     "d08" -> operators.Dedup.d08_dedup_clusters _,
     "v02" -> operators.Similarity.v02_sim_lsh_topk _,
     "v03" -> operators.Similarity.v03_sim_ivf_topk _)

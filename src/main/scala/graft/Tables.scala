@@ -98,17 +98,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[Sessions.base]]) so the column arrives as LongType nanos; we
-    * truncate to micros — exactly what DuckDB's ns→µs timestamp cast does,
-    * keeping the oracle comparable. */
+  /** `events.ts` normalization — the generator has shipped it as
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects; Sessions
+    * set `spark.sql.legacy.parquet.nanosAsLong=true`, see
+    * [[Sessions.base]], so it arrives as LongType nanos and we truncate
+    * to micros — exactly DuckDB's ns→µs cast) and as TIMESTAMP_NTZ
+    * micros. Either way the engine-facing column is a session-UTC
+    * TIMESTAMP: the NTZ→LTZ cast interprets the naive value in the
+    * session zone (UTC everywhere here), so `unix_micros(ts)` agrees
+    * bit-for-bit with the oracle's `epoch_us(ts)` on the naive value. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

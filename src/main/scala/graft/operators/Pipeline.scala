@@ -383,7 +383,130 @@ object Pipeline {
                  FROM graft_p12.lake.orders_pq GROUP BY 1 ORDER BY 1""")
   }
 
+  /** SQL UPDATE end-to-end ([[graft.sources.LogRowLevelOperation]]):
+    * a log table through the catalog, `UPDATE ... SET ... WHERE` with a
+    * disjunctive predicate spanning zone-droppable, rewritten, and
+    * untouched segments, then an aggregate over the final state. The
+    * oracle mirrors the update as `CASE WHEN pred THEN new ELSE old
+    * END` over the raw orders table — a row the update missed,
+    * double-applied, or lost in the copy-on-write swap breaks the
+    * hash. Runtime group filtering keeps unaffected segments
+    * byte-untouched (asserted in LogRowLevelSpec). */
+  def p13_log_update(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p13").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p13").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p13", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p13.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p13.ops")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft_p13.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+      .repartitionByRange(8, col("user_id"))
+      .writeTo("graft_p13.ops.limits").overwrite(lit(true))
+    spark.sql("""UPDATE graft_p13.ops.limits SET amount = amount * 2 + 1
+                 WHERE user_id = 'u13' OR amount < 1000000""")
+    spark.sql("""SELECT user_id, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p13.ops.limits GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** SQL MERGE INTO end-to-end: CDC-style upsert through the catalog —
+    * matched rows take the source amount, unmatched source rows insert.
+    * Target = orders with key % 3 ≠ 0, source = orders with key % 2 = 0
+    * (doubled amounts), joined on the unique sha256sum, so the merge
+    * exercises update-in-place, insert, and leave-alone on one table.
+    * The oracle rebuilds the post-merge state as LEFT JOIN COALESCE ∪
+    * anti-join inserts — a violated match, lost insert, or doubled row
+    * breaks the hash. */
+  def p14_merge_into(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p14").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p14").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p14", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p14.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p14.ops")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft_p14.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    val base = Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("okey"),
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+    base.filter(col("okey") % 3 =!= 0)
+      .select(col("user_id"), col("amount"),
+        lit(null).cast(BinaryType).as("msg"), col("sha256sum"))
+      .repartitionByRange(8, col("user_id"))
+      .writeTo("graft_p14.ops.limits").overwrite(lit(true))
+    base.filter(col("okey") % 2 === 0)
+      .select(col("user_id"), (col("amount") * 2).as("amount"), col("sha256sum"))
+      .createOrReplaceTempView("p14_source")
+    spark.sql("""
+      MERGE INTO graft_p14.ops.limits t
+      USING p14_source s
+      ON t.sha256sum = s.sha256sum
+      WHEN MATCHED THEN UPDATE SET t.amount = s.amount
+      WHEN NOT MATCHED THEN INSERT (user_id, amount, msg, sha256sum)
+        VALUES (s.user_id, s.amount, CAST(NULL AS BINARY), s.sha256sum)
+    """)
+    spark.sql("""SELECT user_id, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p14.ops.limits GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** Storage-partitioned join end-to-end ([[graft.sources.LogBucketing]]):
+    * two log tables bucketed on user_id with the same spec — orders-
+    * derived facts and customer-derived balances — joined and aggregated
+    * per user. With both sides reporting `KeyGroupedPartitioning(
+    * bucket(8, user_id))` the join AND the group-by plan without a
+    * shuffle exchange (plan-asserted in LogBucketedJoinSpec; this query
+    * is the oracle-checked correctness side). The customer side is
+    * pre-aggregated per user first, which on a bucketed log is itself
+    * exchange-free. */
+  def p15_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p15").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p15").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p15", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p15.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p15.ops")
+    spark.sql("DROP TABLE IF EXISTS graft_p15.ops.fact")
+    spark.sql("DROP TABLE IF EXISTS graft_p15.ops.dim")
+    spark.sql("""CREATE TABLE graft_p15.ops.fact
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    spark.sql("""CREATE TABLE graft_p15.ops.dim
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    graft.sources.LogBucketing.writeBucketed(
+      Tables.orders(spark, dir).select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum")),
+      "graft_p15.ops.fact", "user_id", 8)
+    graft.sources.LogBucketing.writeBucketed(
+      Tables.customer(spark, dir).select(
+        concat(lit("u"), col("c_custkey") % 97).as("user_id"),
+        (col("c_acctbal").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(col("c_custkey").cast(StringType), 256).as("sha256sum")),
+      "graft_p15.ops.dim", "user_id", 8)
+    spark.sql("""
+      WITH bal AS (SELECT user_id, count(*) AS nc, sum(amount) AS bal
+                   FROM graft_p15.ops.dim GROUP BY user_id)
+      SELECT f.user_id, count(*) AS n, sum(f.amount) AS cents,
+             max(bal.nc) AS nc, max(bal.bal) AS bal
+      FROM graft_p15.ops.fact f JOIN bal ON f.user_id = bal.user_id
+      GROUP BY f.user_id ORDER BY f.user_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_bucketed_join" -> (p15_bucketed_join _),
+    "p14_merge_into" -> (p14_merge_into _),
+    "p13_log_update" -> (p13_log_update _),
     "p12_parquet_delete" -> (p12_parquet_delete _),
     "p11_time_travel" -> (p11_time_travel _),
     "p10_log_delete" -> (p10_log_delete _),
@@ -398,6 +521,44 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p15_bucketed_join" ->
+      """WITH f AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM orders),
+        |d AS (SELECT 'u' || CAST(c_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(c_acctbal AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM customer),
+        |bal AS (SELECT user_id, COUNT(*) AS nc, CAST(SUM(amount) AS BIGINT) AS bal
+        |        FROM d GROUP BY user_id)
+        |SELECT f.user_id, COUNT(*) AS n, CAST(SUM(f.amount) AS BIGINT) AS cents,
+        |       MAX(bal.nc) AS nc, MAX(bal.bal) AS bal
+        |FROM f JOIN bal ON f.user_id = bal.user_id
+        |GROUP BY f.user_id ORDER BY f.user_id""".stripMargin,
+    "p14_merge_into" ->
+      """WITH base AS (SELECT o_orderkey AS okey,
+        |    'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount,
+        |    o_orderkey AS k
+        |  FROM orders),
+        |t AS (SELECT user_id, amount, okey FROM base WHERE okey % 3 <> 0),
+        |s AS (SELECT user_id, CAST(amount * 2 AS BIGINT) AS amount, okey
+        |      FROM base WHERE okey % 2 = 0),
+        |merged AS (
+        |  SELECT t.user_id, COALESCE(s.amount, t.amount) AS amount
+        |  FROM t LEFT JOIN s ON t.okey = s.okey
+        |  UNION ALL
+        |  SELECT s.user_id, s.amount FROM s
+        |  WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.okey = s.okey))
+        |SELECT user_id, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p13_log_update" ->
+      """WITH t AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM orders)
+        |SELECT user_id, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN user_id = 'u13' OR amount < 1000000
+        |           THEN amount * 2 + 1 ELSE amount END) AS BIGINT) AS cents
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "p12_parquet_delete" ->
       """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |    CAST(o_custkey % 19 AS BIGINT) AS bucket,

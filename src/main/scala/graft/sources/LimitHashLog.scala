@@ -73,6 +73,17 @@ object LimitHashLog {
 
   val FORMAT = "graft.sources.LimitHashLog"
 
+  /** Metadata column exposing the segment file NAME a row came from —
+    * the log's group identity (Iceberg's `_file` analogue). Provenance
+    * queries project it; group-based row-level operations (UPDATE /
+    * MERGE / rewrite-DELETE) group and runtime-filter on it. */
+  val SEGMENT_COL = "_segment"
+
+  /** Parse-layout index of a projected column: the four data fields sit
+    * at their raw TSV positions; [[SEGMENT_COL]] is the virtual fifth. */
+  private[sources] def fieldIdx(name: String): Int =
+    if (name == SEGMENT_COL) 4 else SCHEMA.fieldIndex(name)
+
   /** Segment files of a log directory (sorted for determinism). */
   private[sources] def segments(dir: String): Seq[(String, Long)] = {
     val path = new Path(dir)
@@ -264,7 +275,8 @@ object LimitHashLog {
   * — a definite miss skips the whole segment; a false positive merely
   * reads one (correctness never depends on the filter). */
 case class SegmentStats(rows: Long, minUserId: String, maxUserId: String,
-    minAmount: Long, maxAmount: Long, bloom: Option[String] = None)
+    minAmount: Long, maxAmount: Long, bloom: Option[String] = None,
+    bucket: Option[Int] = None)
 
 /** Fixed-size (2^16-bit) Bloom filter, Kirsch–Mitzenmacher double
   * hashing over two murmur3 seeds, k = 4 probes. Sized for the log's
@@ -328,13 +340,35 @@ object SegmentBloom {
 
 class LimitHashLogTable(path: String, version: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String =
     s"limit_hash_log(`$path`)" + version.fold("")(v => s" VERSION AS OF $v")
 
   private def requireCurrent(op: String): Unit =
     if (version.isDefined) throw new UnsupportedOperationException(
       s"$op on a VERSION AS OF snapshot — time-travel tables are read-only")
+
+  /** `_segment` — the segment file name a row belongs to (Iceberg's
+    * `_file`): provenance when projected, the GROUP identity for
+    * copy-on-write UPDATE / MERGE / DELETE ([[LogRowLevelOperation]]). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(LogSegmentMetaColumn)
+
+  /** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE` — Spark's
+    * group-based row-level-operations API; full design on
+    * [[LogRowLevelOperation]]. (Zone-provable DELETEs keep taking the
+    * metadata-only `SupportsDelete` path above — the optimizer converts
+    * a rewritten DELETE back when `canDeleteWhere` accepts it.) */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    requireCurrent(info.command.toString)
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new LogRowLevelOperation(path, info.command)
+    }
+  }
 
   // Row-level DELETE (SQL `DELETE FROM graft.<ns>.<t> WHERE p` via the
   // catalog, `deleteWhere` via the API) — zone-classified metadata-first
@@ -364,7 +398,7 @@ class LimitHashLogTable(path: String, version: Option[Long] = None)
       version = version)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("WRITE")
-    new LogWriteBuilder(path, info.queryId())
+    new LogWriteBuilder(path, info.queryId(), info.options())
   }
 }
 
@@ -391,14 +425,30 @@ class LimitHashLogTable(path: String, version: Option[Long] = None)
   *     closest a rename-based log gets to atomic replace, and failure
   *     before commit leaves the old data fully intact.
   */
-class LogWriteBuilder(path: String, queryId: String)
+class LogWriteBuilder(path: String, queryId: String,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  /** `option("bucketBy", "col:n")` → bucketed layout ([[LogBucketing]]).
+    * Validated at PLANNING: a spec conflicting with the log's pinned
+    * one fails before any task runs. */
+  private val bucket: Option[LogBucketing.Spec] =
+    Option(options.get("bucketBy")).map(LogBucketing.parseOption)
+  bucket.foreach { s =>
+    LogBucketing.readSpec(path).foreach(ex => require(ex == s,
+      s"log at $path is bucketed as $ex; write declared $s"))
+  }
+
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new LogBatchWrite(path, queryId, doTruncate)
-    override def toStreaming: swrite.StreamingWrite =
+    override def toBatch: BatchWrite = new LogBatchWrite(path, queryId, doTruncate, bucket)
+    override def toStreaming: swrite.StreamingWrite = {
+      require(bucket.isEmpty,
+        "bucketed writes are batch-only (stream into an unbucketed log, " +
+          "then compact into the bucketed layout)")
       new LogStreamingWrite(path, queryId, doTruncate)
+    }
   }
 }
 
@@ -491,35 +541,45 @@ class LogStreamingWriterFactory(path: String, queryId: String)
 case class LogCommit(staged: String, partitionId: Int,
     stats: Option[SegmentStats] = None) extends WriterCommitMessage
 
-class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
+class LogBatchWrite(path: String, queryId: String, truncate: Boolean,
+    bucket: Option[LogBucketing.Spec] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new LogWriterFactory(path, queryId)
+    new LogWriterFactory(path, queryId, bucket)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
     val fs = dir.getFileSystem(new Configuration())
+    // pin (or re-validate) the layout spec BEFORE anything becomes
+    // visible — a conflicting concurrent declaration aborts the commit
+    bucket.foreach(s => LogBucketing.writeSpec(path, s))
     val versioned = LogVersions.enabled(path)
     val old = if (truncate && !versioned) LimitHashLog.segments(path).map(_._1)
       else Seq.empty
     val committed = scala.collection.mutable.Set.empty[String]
     val committedNames = scala.collection.mutable.Set.empty[String]
     val manifest = Map.newBuilder[String, SegmentStats]
-    messages.foreach { case LogCommit(staged, pid, stats) =>
-      if (staged.nonEmpty) { // empty partitions stage nothing
-        val from = new Path(staged)
-        val to = new Path(dir, s"segment-$queryId-$pid")
-        if (fs.exists(to)) fs.delete(to, false) // same-query retry: replace, never duplicate
-        if (!fs.rename(from, to)) {
-          // rename failure is a boolean on Hadoop FileSystem; a silent
-          // false would drop this partition while the job reports success
-          throw new java.io.IOException(
-            s"LimitHashLog batch commit: rename $staged -> $to failed")
-        }
-        stats.foreach(st => manifest += (to.getName -> st))
-        committed += to.toString
-        committedNames += to.getName
+    def rename(staged: String, to: Path, stats: Option[SegmentStats]): Unit = {
+      if (fs.exists(to)) fs.delete(to, false) // same-query retry: replace, never duplicate
+      if (!fs.rename(new Path(staged), to)) {
+        // rename failure is a boolean on Hadoop FileSystem; a silent
+        // false would drop this partition while the job reports success
+        throw new java.io.IOException(
+          s"LimitHashLog batch commit: rename $staged -> $to failed")
       }
+      stats.foreach(st => manifest += (to.getName -> st))
+      committed += to.toString
+      committedNames += to.getName
+    }
+    messages.foreach {
+      case LogCommit(staged, pid, stats) =>
+        if (staged.nonEmpty) { // empty partitions stage nothing
+          rename(staged, new Path(dir, s"segment-$queryId-$pid"), stats)
+        }
+      case LogBucketedCommit(parts, pid) =>
+        parts.foreach { case (staged, b, st) =>
+          rename(staged, new Path(dir, s"segment-$queryId-$pid-b$b"), Some(st))
+        }
     }
     // one manifest per commit (a retried query overwrites its own)
     LimitHashLog.writeManifest(fs, dir, queryId, manifest.result())
@@ -545,26 +605,33 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean)
       case LogCommit(staged, _, _) if staged.nonEmpty =>
         val p = new Path(staged)
         if (fs.exists(p)) fs.delete(p, false)
+      case LogBucketedCommit(parts, _) =>
+        parts.foreach { case (staged, _, _) =>
+          val p = new Path(staged)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
       case _ =>
     }
   }
 }
 
-class LogWriterFactory(path: String, queryId: String) extends DataWriterFactory {
+class LogWriterFactory(path: String, queryId: String,
+    bucket: Option[LogBucketing.Spec] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new LogDataWriter(path, queryId, partitionId, taskId)
+    bucket match {
+      case Some(spec) => new LogBucketedDataWriter(path, queryId, partitionId, taskId, spec)
+      case None => new LogDataWriter(path, queryId, partitionId, taskId)
+    }
 }
 
-/** TSV row writer for one task attempt. Attempt-unique staged name —
-  * speculative attempts never clobber each other; only the attempt
-  * whose message reaches `commit()` becomes visible. */
-class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
-    extends DataWriter[InternalRow] {
-  private val staged = new Path(path, s"_staged-$queryId-$partitionId-$taskId")
+/** TSV encoder + running EXACT stats for one staged segment file — the
+  * unit both the plain and the bucketed writer compose. LAZY open: a
+  * writer that never sees a row leaves no file (file sources pay a task
+  * per segment forever after; the reference likewise never flushes an
+  * empty batch, hashes.go:55-63). */
+private[sources] final class SegmentFileWriter(path: String, stagedName: String) {
+  private val staged = new Path(path, stagedName)
   private val fs = staged.getFileSystem(new Configuration())
-  // LAZY: an empty partition must not leave an empty segment in the log
-  // (file sources pay a task per segment forever after; the reference
-  // likewise never flushes an empty batch, hashes.go:55-63)
   private var out: java.io.BufferedWriter = _
 
   // The line layout has no escaping (matching the reference's plain TSV
@@ -589,7 +656,7 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
   private var maxAmt = Long.MinValue
   private val bloom = SegmentBloom.empty() // s:<sha> and u:<uid> entries
 
-  override def write(row: InternalRow): Unit = {
+  def write(row: InternalRow): Unit = {
     if (out == null) {
       out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
         fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
@@ -614,21 +681,72 @@ class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Lon
     bloom.add("u:" + uid.toString)
   }
 
-  override def commit(): WriterCommitMessage = {
-    if (out == null) return LogCommit("", partitionId) // empty: nothing staged
+  /** Close and return (stagedPath, stats); None if no row ever arrived. */
+  def finish(): Option[(String, SegmentStats)] = {
+    if (out == null) return None
     out.close()
-    LogCommit(staged.toString, partitionId,
-      Some(SegmentStats(nRows, minUid.toString, maxUid.toString, minAmt, maxAmt,
+    Some((staged.toString,
+      SegmentStats(nRows, minUid.toString, maxUid.toString, minAmt, maxAmt,
         Some(bloom.toBase64))))
   }
 
-  override def abort(): Unit = {
+  def abort(): Unit = {
     if (out != null) out.close()
     if (fs.exists(staged)) fs.delete(staged, false)
   }
+}
+
+/** TSV row writer for one task attempt. Attempt-unique staged name —
+  * speculative attempts never clobber each other; only the attempt
+  * whose message reaches `commit()` becomes visible. */
+class LogDataWriter(path: String, queryId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val w = new SegmentFileWriter(path, s"_staged-$queryId-$partitionId-$taskId")
+
+  override def write(row: InternalRow): Unit = w.write(row)
+
+  override def commit(): WriterCommitMessage = w.finish() match {
+    case None => LogCommit("", partitionId) // empty: nothing staged
+    case Some((staged, stats)) => LogCommit(staged, partitionId, Some(stats))
+  }
+
+  override def abort(): Unit = w.abort()
 
   override def close(): Unit = ()
 }
+
+/** BUCKETED task writer ([[LogBucketing]]): each row's bucket is
+  * computed from its own key bytes — never inferred from the incoming
+  * partitioning — and lands in that bucket's staged file, so the layout
+  * contract holds under ANY upstream distribution (a pre-clustered
+  * write just produces one file here; a pathological one produces up
+  * to n small files, which compaction later merges per-bucket). */
+class LogBucketedDataWriter(path: String, queryId: String, partitionId: Int,
+    taskId: Long, spec: LogBucketing.Spec)
+    extends DataWriter[InternalRow] {
+  private val keyIdx = LimitHashLog.SCHEMA.fieldIndex(spec.col)
+  private val perBucket = scala.collection.mutable.Map.empty[Int, SegmentFileWriter]
+
+  override def write(row: InternalRow): Unit = {
+    val b = LogBucketing.bucketOf(row.getUTF8String(keyIdx), spec.n)
+    perBucket.getOrElseUpdate(b, new SegmentFileWriter(path,
+      s"_staged-$queryId-$partitionId-$taskId-b$b")).write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    LogBucketedCommit(perBucket.toSeq.sortBy(_._1).flatMap { case (b, w) =>
+      w.finish().map { case (staged, st) => (staged, b, st.copy(bucket = Some(b))) }
+    }, partitionId)
+
+  override def abort(): Unit = perBucket.values.foreach(_.abort())
+
+  override def close(): Unit = ()
+}
+
+/** Commit message of a bucketed task: (stagedPath, bucket, stats) per
+  * bucket file this task produced. */
+case class LogBucketedCommit(parts: Seq[(String, Int, SegmentStats)],
+    partitionId: Int) extends WriterCommitMessage
 
 class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
     maxPartitionBytes: Long = 128L * 1024 * 1024, columnar: Boolean = true,
@@ -784,17 +902,9 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     maxBytesPerTrigger: Option[Long] = None,
     aggStats: Seq[SegmentStats] = Seq.empty,
     limit: Option[Int] = None,
-    version: Option[Long] = None,
-    groupPrune: Array[Filter] = Array.empty)
+    version: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
-
-  /** Segment names of the last `planInputPartitions` — the REPLACED
-    * group set a row-level operation's write commits against
-    * ([[LogReplaceDataWrite]]). `groupPrune` filters participate in
-    * zone/Bloom pruning only (never row evaluation): a group-based
-    * UPDATE/MERGE scan must emit EVERY row of a surviving segment. */
-  @volatile private[sources] var plannedSegmentNames: Seq[String] = Seq.empty
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   /** The scan's SNAPSHOT: resolved ONCE per scan — explicitly pinned
     * (`VERSION AS OF`), or the latest version of a versioned log, or
@@ -870,6 +980,41 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
   private def zoneFiltered: Seq[(String, Long)] =
     LimitHashLog.zonePruneOver(path, pinnedSegments, pushed ++ runtimeFilters)
 
+  /** Bucketed layout in force for THIS scan ([[LogBucketing]]): present
+    * only when the log pins a spec, the scan is a genuine row scan (no
+    * aggregate pushdown), and EVERY pinned segment carries a bucket
+    * tag. One foreign or pre-spec segment downgrades to unknown
+    * partitioning — a join then shuffles, it never mis-co-locates. */
+  private lazy val bucketLayout: Option[(LogBucketing.Spec, Map[String, SegmentStats], Seq[Int])] =
+    if (aggTags.nonEmpty) None
+    else LogBucketing.readSpec(path).flatMap { spec =>
+      val stats = LimitHashLog.loadStats(path)
+      val tags = pinnedSegments.map { case (f, _) =>
+        stats.get(new Path(f).getName).flatMap(_.bucket)
+      }
+      if (tags.nonEmpty && tags.forall(_.isDefined))
+        Some((spec, stats, tags.flatten.distinct.sorted))
+      else None
+    }
+
+  /** STORAGE-PARTITIONED reads: a fully-bucketed log reports
+    * `KeyGroupedPartitioning(bucket(n, col))` — a join of two same-spec
+    * logs (or a GROUP BY on the bucket key) then plans WITHOUT a
+    * shuffle exchange, the single most expensive stage of a
+    * fact-to-fact join at 100 TB. The group count is a function of the
+    * PINNED set only: runtime filtering empties a group's file list but
+    * never removes the group, so the partitioning Spark validated at
+    * planning stays exact through dynamic pruning. */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketLayout match {
+      case Some((spec, _, buckets)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(spec.n, spec.col)), buckets.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** Bin-pack segments into ≤ maxPartitionBytes splits (first-fit on
     * the sorted listing): an entity log accumulates one segment per
     * producer flush, and a task per tiny segment costs scheduler
@@ -903,6 +1048,25 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     }
     val total = pinnedSegments.size
     val afterZone = zoneFiltered
+    // bucketed layout: one input partition per bucket, keyed for
+    // key-grouped execution. Zone/Bloom/runtime pruning still drops
+    // FILES (a pruned group keeps an empty file list); LIMIT split
+    // truncation is skipped — group stability over micro-optimization.
+    bucketLayout match {
+      case Some((_, stats, buckets)) =>
+        val byBucket = afterZone.groupBy { case (f, _) =>
+          stats(new Path(f).getName).bucket.get
+        }
+        plannedMetrics = Array(
+          LogDriverMetric("segmentsTotal", total.toLong),
+          LogDriverMetric("segmentsPruned", (total - afterZone.size).toLong),
+          LogDriverMetric("splitsPlanned", buckets.size.toLong))
+        return buckets.map { b =>
+          LogBucketPartition(b,
+            byBucket.getOrElse(b, Seq.empty).map(_._1)): InputPartition
+        }.toArray
+      case None => ()
+    }
     // LIMIT split truncation: with no filters anywhere, the manifests'
     // exact row counts prove when enough segments are included — the
     // rest of the log is never planned, let alone opened. A stats-less
@@ -955,7 +1119,9 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
   override def estimateStatistics(): Statistics = new Statistics {
     private val surviving = zoneFiltered
     private val raw = surviving.map(_._2).sum
-    private val frac = math.max(required.size, 1).toDouble / LimitHashLog.SCHEMA.size
+    // _segment is virtual (costs no line bytes) — cap the fraction at 1
+    private val frac = math.min(1.0,
+      math.max(required.size, 1).toDouble / LimitHashLog.SCHEMA.size)
     private val rowCount: OptionalLong = {
       val stats = LimitHashLog.loadStats(path)
       val names = surviving.map { case (f, _) => new Path(f).getName }
@@ -970,6 +1136,15 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
 
 case class LogSegmentPartition(file: String) extends InputPartition
 case class LogSegmentsPartition(files: Seq[String]) extends InputPartition
+/** One BUCKET of a bucketed log — the key-grouped unit: all rows across
+  * `files` share this bucket ordinal, which IS the partition key. An
+  * empty file list is a pruned-but-present group (see
+  * [[LimitHashLogScan.outputPartitioning]]). */
+case class LogBucketPartition(bucket: Int, files: Seq[String])
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
 /** One pre-computed aggregate row (plain JVM values; the reader maps
   * strings to UTF8String) — the whole "scan" of a pushed aggregation. */
 case class LogAggPartition(values: Seq[Any]) extends InputPartition
@@ -981,6 +1156,7 @@ class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter],
     partition match {
       case LogSegmentPartition(f) => new LogSegmentReader(f, required, pushed, limit)
       case LogSegmentsPartition(fs) => new MultiSegmentReader(fs, required, pushed, limit)
+      case LogBucketPartition(_, fs) => new MultiSegmentReader(fs, required, pushed, limit)
       case LogAggPartition(values) => new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = { val r = !emitted; emitted = true; r }
@@ -1004,6 +1180,7 @@ class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter],
     partition match {
       case LogSegmentPartition(f) => new LogColumnarReader(Seq(f), required, pushed, limit = limit)
       case LogSegmentsPartition(fs) => new LogColumnarReader(fs, required, pushed, limit = limit)
+      case LogBucketPartition(_, fs) => new LogColumnarReader(fs, required, pushed, limit = limit)
       case p: LogAggPartition =>
         throw new UnsupportedOperationException(s"no columnar read for $p")
     }
@@ -1023,8 +1200,11 @@ class LogColumnarReader(files: Seq[String], required: StructType,
   private var emitted = 0L
   private val fileIt = files.iterator
   private var reader: java.io.BufferedReader = _
+  // name bytes of the file the CURRENT line came from (_segment column);
+  // updated at each file transition inside nextLine()
+  private var segNameBytes: Array[Byte] = Array.empty
 
-  private val colIdx = required.fields.map(f => LimitHashLog.SCHEMA.fieldIndex(f.name))
+  private val colIdx = required.fields.map(f => LimitHashLog.fieldIdx(f.name))
   private val checks: Array[(Int, Set[String])] = LimitHashLog.parseChecks(pushed)
 
   private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
@@ -1036,6 +1216,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
       if (reader == null) {
         if (!fileIt.hasNext) return null
         val p = new Path(fileIt.next())
+        segNameBytes = p.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         reader = new java.io.BufferedReader(new java.io.InputStreamReader(
           p.getFileSystem(new Configuration()).open(p),
           java.nio.charset.StandardCharsets.UTF_8))
@@ -1076,6 +1257,8 @@ class LogColumnarReader(files: Seq[String], required: StructType,
               case 3 =>
                 val b = parts(3).getBytes(java.nio.charset.StandardCharsets.UTF_8)
                 vectors(j).putByteArray(n, b, 0, b.length)
+              case 4 => // _segment metadata column
+                vectors(j).putByteArray(n, segNameBytes, 0, segNameBytes.length)
             }
             j += 1
           }
@@ -1148,9 +1331,10 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   private var row: InternalRow = _
+  private val segName = UTF8String.fromString(p.getName)
 
   // (field index in the raw line) of each projected column
-  private val colIdx = required.fields.map(f => LimitHashLog.SCHEMA.fieldIndex(f.name))
+  private val colIdx = required.fields.map(f => LimitHashLog.fieldIdx(f.name))
   private val checks: Array[(Int, Set[String])] = LimitHashLog.parseChecks(pushed)
 
   private[sources] var linesSeen = 0L
@@ -1173,6 +1357,7 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
             case 2 => if (parts(2).isEmpty) null
                       else java.util.Base64.getDecoder.decode(parts(2))
             case 3 => UTF8String.fromString(parts(3))
+            case 4 => segName // _segment metadata column
           }
           i += 1
         }

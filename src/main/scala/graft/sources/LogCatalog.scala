@@ -37,7 +37,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     writes go through Spark's own vectorized parquet `FileTable` —
   *     full predicate pushdown, column pruning, and columnar batches
   *     through the same `graft.<ns>.<t>` identifiers. */
-class LogCatalog extends TableCatalog with SupportsNamespaces {
+class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -263,6 +263,19 @@ class LogCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"rename $oldIdent -> $newIdent failed")
     }
   }
+
+  // --- functions: the bucket transform behind storage-partitioned joins ---
+
+  /** `bucket(n, key)` is the one catalog function — what binds a
+    * bucketed log scan's reported `KeyGroupedPartitioning` transform to
+    * evaluable semantics ([[LogBucketFunction]], same murmur3 bits as
+    * the write path). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) LogBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // --- namespaces: directories under the warehouse ---
 

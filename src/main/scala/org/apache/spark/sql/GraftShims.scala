@@ -42,4 +42,12 @@ object GraftShims {
       org.apache.spark.sql.types.StructType =
     connector.catalog.CatalogV2Util.applySchemaChanges(
       schema, changes, Some("parquet"), "ALTER TABLE")
+  /** Spark's Murmur3 string hash with the engine-wide seed 42 — the
+    * SAME bytes-level function `functions.hash(col)` evaluates, so a
+    * write path that pre-clusters with `hash(col)` and a catalog
+    * `bucket` ScalarFunction that recomputes it agree bit-for-bit
+    * (`Murmur3HashFunction` is `private[sql]`). */
+  def murmur3(s: org.apache.spark.unsafe.types.UTF8String): Int =
+    catalyst.expressions.Murmur3HashFunction.hash(
+      s, org.apache.spark.sql.types.StringType, 42).toInt
 }
