@@ -142,19 +142,38 @@ object Compaction {
     val stats = LimitHashLog.loadStats(dir)
     if (segs.isEmpty) return LogCompactionStats(0, 0, 0)
 
-    // first-fit pack on the sorted listing (same rule as the scan's splits)
-    val groups = scala.collection.mutable.ArrayBuffer.empty[(List[(String, Long)], Long)]
-    segs.foreach { case (f, len) =>
-      groups.lastOption match {
-        case Some((fs0, tot)) if tot + len <= targetBytes =>
-          groups(groups.length - 1) = ((f, len) :: fs0, tot + len)
-        case _ => groups += ((List((f, len)), len))
+    // Bucket-aware packing: on a bucketed log ([[LogBucketing]]) pack
+    // WITHIN each bucket, so every merged segment keeps its tag and the
+    // key-grouped layout survives compaction (a cross-bucket merge would
+    // silently downgrade every later join to shuffling). Untagged
+    // segments pack together as before; their outputs stay untagged —
+    // the scan's every-segment-tagged proof handles the mix safely.
+    val tagOf: String => Option[Int] =
+      if (LogBucketing.readSpec(dir).isEmpty) _ => None
+      else name => stats.get(name).flatMap(_.bucket)
+    val packGroups: Seq[(Option[Int], Seq[(String, Long)])] =
+      segs.groupBy { case (f, _) => tagOf(new Path(f).getName) }
+        .toSeq.sortBy(_._1.getOrElse(Int.MinValue))
+
+    // first-fit pack on the sorted listing (same rule as the scan's
+    // splits), per pack group
+    val groups = scala.collection.mutable.ArrayBuffer.empty[(List[(String, Long)], Long, Option[Int])]
+    packGroups.foreach { case (tag, members) =>
+      var open = false
+      members.foreach { case (f, len) =>
+        groups.lastOption match {
+          case Some((fs0, tot, _)) if open && tot + len <= targetBytes =>
+            groups(groups.length - 1) = ((f, len) :: fs0, tot + len, tag)
+          case _ =>
+            groups += ((List((f, len)), len, tag))
+            open = true
+        }
       }
     }
 
     val manifest = Map.newBuilder[String, SegmentStats]
     val renames = Seq.newBuilder[(Path, Path)]
-    groups.zipWithIndex.foreach { case ((membersRev, _), i) =>
+    groups.zipWithIndex.foreach { case ((membersRev, _, tag), i) =>
       val members = membersRev.reverse
       val name = s"segment-$compactionId-$i"
       val staged = new Path(base, s"_compact-$compactionId-$i")
@@ -182,7 +201,8 @@ object Compaction {
           if (blooms.forall(_.isDefined))
             Some(blooms.flatten.map(SegmentBloom.fromBase64)
               .reduce(_ union _).toBase64)
-          else None)
+          else None,
+          bucket = tag) // a same-bucket merge keeps the layout tag
         manifest += (name -> merged)
       }
     }

@@ -309,13 +309,22 @@ object LogDelete {
     // readers and [[LogVersions.vacuum]] reclaims them later.
     val manifest = Map.newBuilder[String, SegmentStats]
     val added = Seq.newBuilder[String]
+    // a rewrite keeps a SUBSET of one segment's rows, so the original's
+    // bucket tag ([[LogBucketing]]) still describes every survivor —
+    // carry it through, or a DELETE would silently downgrade a bucketed
+    // log's key-grouped layout claim
+    val origBucket: Map[String, Int] = segs.collect {
+      case (f, _, Some(st)) if st.bucket.isDefined =>
+        (f, st.bucket.get)
+    }.toMap
     rewritten.foreach {
       case (old, Some((staged, st))) =>
         val to = new Path(base, s"segment-$delId-${new Path(old).getName}")
         if (fs.exists(to)) fs.delete(to, false) // same-delete retry: replace
         if (!fs.rename(new Path(staged), to))
           throw new java.io.IOException(s"LogDelete: rename $staged -> $to failed")
-        st.foreach(s => manifest += (to.getName -> s))
+        st.foreach(s => manifest +=
+          (to.getName -> s.copy(bucket = origBucket.get(old))))
         added += to.getName
       case _ => () // fully-deleted segment: nothing to rename
     }

@@ -135,6 +135,33 @@ class LogBucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction and DELETE preserve the layout: the join stays shuffle-free") {
+    ensureCatalog()
+    val wh = spark.conf.get("spark.sql.catalog.graft_spj.warehouse")
+    val t1 = mkTable("mnt1"); val t2 = mkTable("mnt2")
+    val dir1 = s"$wh/ops/mnt1"
+    // several small bucketed appends → many segments per bucket
+    (0 until 3).foreach { i =>
+      LogBucketing.writeBucketed(logDf(12, 60, s"w$i"), t1, "user_id", 4)
+    }
+    LogBucketing.writeBucketed(logDf(12, 24, "v"), t2, "user_id", 4)
+    val before = spark.table(t1).count()
+    // compact merges WITHIN buckets; merged segments keep their tag
+    val st = Compaction.compactLog(spark, dir1, "spjc1")
+    assert(st.segmentsAfter < st.segmentsBefore)
+    assert(spark.table(t1).count() === before)
+    // zone-classified DELETE rewrites carry the original tag through
+    spark.sql(s"DELETE FROM $t1 WHERE user_id = 'u5'")
+    withPlainPlans {
+      val joined = spark.table(t1).join(spark.table(t2), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"post-maintenance bucketed join must stay shuffle-free, got:\n$plan")
+      assert(joined.filter(col("user_id") === "u5").count() === 0)
+      assert(joined.count() > 0)
+    }
+  }
+
   test("conflicting bucket declarations are rejected") {
     val t = mkTable("conf1")
     LogBucketing.writeBucketed(logDf(10, 50, "c"), t, "user_id", 4)
