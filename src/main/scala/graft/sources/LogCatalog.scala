@@ -37,7 +37,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     writes go through Spark's own vectorized parquet `FileTable` —
   *     full predicate pushdown, column pruning, and columnar batches
   *     through the same `graft.<ns>.<t>` identifiers. */
-class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -122,6 +123,25 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       throw new IllegalArgumentException(
         s"$ident has no version $v (not versioned, never committed, or vacuumed)")
     }
+    new LimitHashLogTable(dir.toString, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF t` — resolves to the newest version published at
+    * or before `t` (version-file publish times are immutable, so the
+    * mapping is stable). Micros since epoch, per the DSv2 contract. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    if (!fs.exists(dir)) {
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
+    if (fs.exists(schemaFile(dir))) {
+      throw new UnsupportedOperationException(
+        s"$ident is a parquet-managed table; TIMESTAMP AS OF applies to log tables")
+    }
+    val v = LogVersions.asOfTimestamp(dir.toString, timestamp).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident has no version at or before timestamp $timestamp µs " +
+          "(not versioned then, or vacuumed)"))
     new LimitHashLogTable(dir.toString, Some(v))
   }
 
@@ -276,6 +296,17 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) LogBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  // --- procedures: SQL-callable maintenance (CALL graft.system.*) ---
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    LogProcedures.all(warehouse).keys.toArray.sorted
+      .map(Identifier.of(namespace, _))
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    LogProcedures.all(warehouse).getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new RuntimeException(s"unknown procedure: $ident — " +
+        s"available: ${LogProcedures.all(warehouse).keys.toSeq.sorted.mkString(", ")}"))
 
   // --- namespaces: directories under the warehouse ---
 

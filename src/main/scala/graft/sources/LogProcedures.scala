@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-callable MAINTENANCE — the operational verbs of the storage tier
+  * exposed as catalog procedures (the Iceberg `CALL` pattern, on
+  * Spark's native `ProcedureCatalog` API), so an operator runs the
+  * whole lifecycle from SQL, no Scala entry points needed:
+  *
+  * {{{
+  *   CALL graft.system.enable_versioning(table => 'ops.limits');
+  *   CALL graft.system.compact_log(table => 'ops.limits', compaction_id => 'c1');
+  *   CALL graft.system.vacuum(table => 'ops.limits', retain_last => 2);
+  *   CALL graft.system.compact_table(table => 'lake.orders');  -- parquet tier
+  * }}}
+  *
+  * Each returns its stats as a one-row result (a driver-local scan —
+  * the numbers are manifest-scale metadata, never data rows). The
+  * `table` argument is the catalog-relative `ns.table` identifier; the
+  * procedure resolves it under the SAME warehouse the catalog serves,
+  * so there is no path the SQL surface can reach that the catalog
+  * couldn't. */
+object LogProcedures {
+
+  /** One-row driver-local result. */
+  private def oneRow(schema: StructType, values: Seq[Any]): java.util.Iterator[Scan] = {
+    val scan: Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] = Array(new GenericInternalRow(
+        values.map {
+          case s: String => UTF8String.fromString(s)
+          case x => x
+        }.toArray))
+      override def description(): String = "graft procedure result"
+    }
+    java.util.Collections.singletonList(scan).iterator()
+  }
+
+  private def spark = org.apache.spark.sql.classic.SparkSession.active
+
+  /** All procedures share the shape: bind is identity (Spark aligns
+    * arguments to `parameters()`, applying declared defaults), one IN
+    * parameter list, one result row. */
+  private abstract class MaintenanceProcedure(
+      procName: String, desc: String) extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // mutates storage state
+  }
+
+  private def tableParam: ProcedureParameter =
+    ProcedureParameter.in("table", StringType)
+      .comment("catalog-relative identifier, e.g. 'ops.limits'").build()
+
+  /** `ns.table` → directory under the warehouse (same mapping as
+    * [[LogCatalog.loadTable]]). */
+  private def dirOf(warehouse: String, table: String): String = {
+    val parts = table.split("\\.")
+    require(parts.length >= 1 && parts.forall(_.nonEmpty),
+      s"bad table identifier '$table' (want ns.table)")
+    parts.foldLeft(new Path(warehouse))(new Path(_, _)).toString
+  }
+
+  def all(warehouse: String): Map[String, UnboundProcedure] = Map(
+    "enable_versioning" -> new MaintenanceProcedure("enable_versioning",
+      "opt a log table into snapshot versioning (v1 = current listing)") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val v = LogVersions.enable(dirOf(warehouse, input.getUTF8String(0).toString))
+        oneRow(StructType(Seq(StructField("version", LongType, nullable = false))),
+          Seq(v))
+      }
+    },
+    "vacuum" -> new MaintenanceProcedure("vacuum",
+      "physically delete segments referenced by none of the retained versions") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("retain_last", IntegerType).defaultValue("2")
+          .comment("how many newest versions stay readable").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val deleted = LogVersions.vacuum(
+          dirOf(warehouse, input.getUTF8String(0).toString), input.getInt(1))
+        oneRow(StructType(Seq(
+          StructField("deleted_segments", LongType, nullable = false))),
+          Seq(deleted.length.toLong))
+      }
+    },
+    "compact_log" -> new MaintenanceProcedure("compact_log",
+      "bin-pack log segments (bucket-aware); retry with the SAME compaction_id") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("compaction_id", StringType).build(),
+        ProcedureParameter.in("target_bytes", LongType)
+          .defaultValue((64L << 20).toString).build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val st = Compaction.compactLog(spark,
+          dirOf(warehouse, input.getUTF8String(0).toString),
+          input.getUTF8String(1).toString, input.getLong(2))
+        oneRow(StructType(Seq(
+          StructField("segments_before", LongType, nullable = false),
+          StructField("bytes_before", LongType, nullable = false),
+          StructField("segments_after", LongType, nullable = false))),
+          Seq(st.segmentsBefore, st.bytesBefore, st.segmentsAfter))
+      }
+    },
+    "compact_table" -> new MaintenanceProcedure("compact_table",
+      "bin-pack a catalog parquet table's data files (crash-safe generation swap)") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("target_bytes", LongType)
+          .defaultValue((128L << 20).toString).build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val st = Compaction.compactTable(spark,
+          dirOf(warehouse, input.getUTF8String(0).toString), input.getLong(1))
+        oneRow(StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("bytes_before", LongType, nullable = false),
+          StructField("rows_before", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false))),
+          Seq(st.filesBefore, st.bytesBefore, st.rowsBefore, st.filesAfter))
+      }
+    })
+}

@@ -125,6 +125,20 @@ object LogVersions {
       s"LogVersions.commit: lost the version CAS 1000 times in $dir")
   }
 
+  /** `TIMESTAMP AS OF` resolution: the newest version whose PUBLISH
+    * time (the version file's modification time — set once at the
+    * create-exclusive publish, never touched again) is ≤ the given
+    * epoch micros. None when the log wasn't versioned yet at that
+    * instant (or ever). */
+  def asOfTimestamp(dir: String, micros: Long): Option[Long] = {
+    val base = new Path(dir)
+    val fs = fsOf(base)
+    versionFiles(base).flatMap { case (o, p) =>
+      val publishedMs = fs.getFileStatus(p).getModificationTime
+      if (publishedMs * 1000L <= micros) Some(o) else None
+    }.lastOption
+  }
+
   /** Retention: keep the newest `retainLast` versions; physically
     * delete every segment file referenced by NONE of them, then drop
     * the superseded version files. Returns the deleted segment names.
