@@ -91,7 +91,10 @@ object Compaction {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(base, s"_compact-$compactionId.committed")
-    val ownTarget = s"segment-${java.util.regex.Pattern.quote(compactionId)}-\\d+".r
+    // `-b<k>` suffix: a tagged pack group's output carries its bucket
+    // in the NAME as well as the manifest, keeping LogBucketing's two
+    // documented tag channels consistent through compaction (ADVICE r9)
+    val ownTarget = s"segment-${java.util.regex.Pattern.quote(compactionId)}-\\d+(-b\\d+)?".r
 
     // Resume path: the previous attempt committed renames + manifest and
     // recorded its inputs, then crashed mid-delete. Finish the deletes.
@@ -175,7 +178,7 @@ object Compaction {
     val renames = Seq.newBuilder[(Path, Path)]
     groups.zipWithIndex.foreach { case ((membersRev, _, tag), i) =>
       val members = membersRev.reverse
-      val name = s"segment-$compactionId-$i"
+      val name = s"segment-$compactionId-$i" + tag.fold("")(k => s"-b$k")
       val staged = new Path(base, s"_compact-$compactionId-$i")
       val out = fs.create(staged, true)
       try members.foreach { case (f, _) =>

@@ -53,10 +53,16 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   override def name(): String = catalogName
 
-  private def dirOf(ident: Identifier): Path =
+  private def dirOf(ident: Identifier): Path = {
+    (ident.namespace() :+ ident.name()).foreach { part =>
+      require(LogCatalog.validPathPart(part),
+        s"bad identifier part '$part' in $ident: names map to warehouse " +
+          "paths, so separators, '.', '..' and scheme prefixes are rejected")
+    }
     ident.namespace().foldLeft(new Path(warehouse))(new Path(_, _)) match {
       case nsDir => new Path(nsDir, ident.name())
     }
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsDir = namespace.foldLeft(new Path(warehouse))(new Path(_, _))
@@ -336,6 +342,8 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     throw new UnsupportedOperationException("namespace metadata is not stored")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    namespace.foreach(part => require(LogCatalog.validPathPart(part),
+      s"bad namespace part '$part'"))
     val dir = namespace.foldLeft(new Path(warehouse))(new Path(_, _))
     if (!fs.exists(dir)) return false
     if (!cascade && fs.listStatus(dir).nonEmpty) {
@@ -343,4 +351,14 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     }
     fs.delete(dir, true)
   }
+}
+
+object LogCatalog {
+  /** A name that is safe as ONE path segment under the warehouse: no
+    * traversal (`.`/`..`), no separators, no scheme prefix — the SQL
+    * surface (identifiers AND `CALL` string arguments) can then reach
+    * no path the catalog couldn't (ADVICE r9). */
+  def validPathPart(part: String): Boolean =
+    part.nonEmpty && part != "." && part != ".." &&
+      !part.contains("/") && !part.contains("\\") && !part.contains(":")
 }

@@ -60,11 +60,15 @@ object LogProcedures {
       .comment("catalog-relative identifier, e.g. 'ops.limits'").build()
 
   /** `ns.table` → directory under the warehouse (same mapping as
-    * [[LogCatalog.loadTable]]). */
+    * [[LogCatalog.loadTable]]). Each part must be a plain path segment:
+    * `.`/`..` components, separators, and scheme-qualified parts are
+    * rejected, so `CALL graft.system.vacuum(table => '../../other')`
+    * cannot resolve — let alone delete — anything outside the warehouse
+    * (ADVICE r9). */
   private def dirOf(warehouse: String, table: String): String = {
-    val parts = table.split("\\.")
-    require(parts.length >= 1 && parts.forall(_.nonEmpty),
-      s"bad table identifier '$table' (want ns.table)")
+    val parts = table.split("\\.", -1)
+    require(parts.length >= 1 && parts.forall(LogCatalog.validPathPart),
+      s"bad table identifier '$table' (want ns.table; plain names only)")
     parts.foldLeft(new Path(warehouse))(new Path(_, _)).toString
   }
 

@@ -42,8 +42,13 @@ object LogSegmentMetaColumn extends MetadataColumn {
   *      before the main scan plans. Only segments PROVABLY holding
   *      matching rows are read and rewritten; at 100 TB an UPDATE of
   *      one user touches the handful of segments that user's rows
-  *      occupy, not the log. (The subquery itself is a normal log scan:
-  *      zone maps and Bloom filters prune it.)
+  *      occupy, not the log. (The subquery is planned through this same
+  *      memoized group scan — full rows, no planning-time filter
+  *      pushdown, by design: pushing filters into a scan SHARED with
+  *      the main read could drop rows from the copy-on-write write-back.
+  *      The subquery therefore reads the log once; the payoff is that
+  *      the REWRITE — the expensive, write-amplifying side — touches
+  *      only proven segments.)
   *   3. [[LogReplaceDataWrite]] stages replacement segments through the
   *      standard `_staged-*` / rename protocol, then publishes ONE new
   *      version: `previous − replaced ∪ written`. The version publish
@@ -202,7 +207,25 @@ class LogReplaceDataWrite(op: LogRowLevelOperation, path: String, queryId: Strin
       // the version ledger IS the atomicity mechanism — upgrade an
       // un-versioned log first (v1 = the pre-operation listing; staged
       // `_` files are invisible to it)
-      if (!LogVersions.enabled(path)) LogVersions.enable(path)
+      val upgraded = !LogVersions.enabled(path)
+      if (upgraded) LogVersions.enable(path)
+      // Auto-upgrade append race (ADVICE r9): a concurrent appender
+      // that observed enabled=false renames its segment WITHOUT a
+      // ledger publish; if that rename lands after enable()'s snapshot
+      // listing, the segment is in no version and the publish below
+      // would silently drop it. Re-list after the upgrade and union
+      // every segment referenced by NO version into the commit — on an
+      // already-versioned log every writer publishes itself, so this
+      // only runs (and is only sound) in the upgrade window, where no
+      // maintenance commit can have left vacuum-pending names yet.
+      val lateAppends: Set[String] =
+        if (!upgraded) Set.empty
+        else {
+          val referenced = VersionLedger.referencedByAny(path)
+          LimitHashLog.segments(path)
+            .map { case (f, _) => new Path(f).getName }
+            .filterNot(referenced).toSet
+        }
 
       val committedNames = scala.collection.mutable.ArrayBuffer.empty[String]
       val manifest = Map.newBuilder[String, SegmentStats]
@@ -231,7 +254,7 @@ class LogReplaceDataWrite(op: LogRowLevelOperation, path: String, queryId: Strin
       // replacements in; segments appended concurrently survive untouched
       if (replaced.nonEmpty || committedNames.nonEmpty) {
         LogVersions.commit(path) { prev =>
-          (prev.toSet -- replaced ++ committedNames).toSeq
+          (prev.toSet ++ lateAppends -- replaced ++ committedNames).toSeq
         }
       }
     }

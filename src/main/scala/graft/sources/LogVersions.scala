@@ -11,7 +11,8 @@ import org.apache.hadoop.fs.Path
   *
   *   - every committed state is a version file `.v-<ordinal>` whose
   *     content is the COMPLETE live segment-name set as of that commit
-  *     (O(segments) bytes — manifest-scale, same as the stats files);
+  *     (O(segments) bytes — manifest-scale, same as the stats files)
+  *     plus the publish timestamp;
   *   - a new version is published with CREATE-EXCLUSIVE at the next
   *     ordinal: two concurrent committers race on the same name, the
   *     loser re-reads the new latest and re-applies its TRANSFORM
@@ -30,21 +31,94 @@ import org.apache.hadoop.fs.Path
   * listing-based behavior byte-for-byte — including the maintenance
   * ops' quiesced-log contract; a versioned log upgrades them to
   * safe-under-concurrent-readers.
+  *
+  * The ledger mechanics (ordinal files, CAS publish, timestamp
+  * resolution) live in [[VersionLedger]], shared with the parquet
+  * tier's [[ParquetVersions]].
   */
 object LogVersions {
 
+  def enabled(dir: String): Boolean = VersionLedger.enabled(dir)
+
+  /** Latest (ordinal, live segment names), if versioning is enabled. */
+  def latest(dir: String): Option[(Long, Seq[String])] =
+    VersionLedger.latest(dir)
+
+  /** The exact segment set as of version `ordinal`; None if that
+    * version does not exist (never created, or vacuumed away). */
+  def get(dir: String, ordinal: Long): Option[Seq[String]] =
+    VersionLedger.get(dir, ordinal)
+
+  /** Opt a log into versioning: snapshot the current listing as v1.
+    * Idempotent; concurrent enables converge (one wins the v1 CAS). */
+  def enable(dir: String): Long =
+    VersionLedger.enable(dir,
+      LimitHashLog.segments(dir).map(p => new Path(p._1).getName))
+
+  /** Publish the next version as `transform(currentLiveSet)`. The
+    * transform must be a pure function of the set it is handed — on a
+    * CAS loss it re-applies against the newer set, which is what makes
+    * writer-appends and maintenance-swaps commute. Returns the ordinal
+    * committed. */
+  def commit(dir: String)(transform: Seq[String] => Seq[String]): Long =
+    VersionLedger.commit(dir)(transform)
+
+  /** `TIMESTAMP AS OF` resolution: the newest version whose PUBLISH
+    * time is ≤ the given epoch micros. The publish instant is stamped
+    * INSIDE the version file at CAS time, so it survives copies/rsyncs
+    * of the log directory (ADVICE r9 — mtime does not); version files
+    * from before the stamp exist fall back to mtime. None when the log
+    * wasn't versioned yet at that instant (or ever). */
+  def asOfTimestamp(dir: String, micros: Long): Option[Long] =
+    VersionLedger.asOfTimestamp(dir, micros)
+
+  /** Retention: keep the newest `retainLast` versions; physically
+    * delete every segment file referenced by NONE of them, then drop
+    * the superseded version files. Returns the deleted segment names.
+    * A reader pinned inside the retained window is never affected;
+    * pinning older than the window is the operator's documented
+    * trade-off, exactly like Delta's VACUUM horizon. */
+  def vacuum(dir: String, retainLast: Int = 2): Seq[String] = {
+    require(retainLast >= 1, "vacuum must retain at least the latest version")
+    val base = new Path(dir)
+    val fs = base.getFileSystem(new Configuration())
+    val files = VersionLedger.versionFiles(base)
+    if (files.isEmpty) return Seq.empty
+    val retained = files.takeRight(retainLast)
+    val referenced = retained.flatMap { case (_, p) =>
+      VersionLedger.readPayload(p).names
+    }.toSet
+    val deleted = LimitHashLog.segments(dir)
+      .map(p => new Path(p._1).getName)
+      .filterNot(referenced)
+    deleted.foreach(n => fs.delete(new Path(base, n), false))
+    files.dropRight(retainLast).foreach { case (_, p) => fs.delete(p, false) }
+    deleted
+  }
+}
+
+/** The MONOTONIC COMMIT LEDGER shared by the log and parquet storage
+  * tiers: `.v-<ordinal>` files whose payload is `{"ts": <publish epoch
+  * millis>, "names": [...]}` — the complete live file-name set as of
+  * that commit, stamped with the publish instant at CAS time. The old
+  * (round-9) payload was a bare JSON array; [[readPayload]] reads both,
+  * with `ts = -1` marking "no embedded stamp, fall back to mtime". */
+private[sources] object VersionLedger {
+
   private val Prefix = ".v-"
+
+  case class Payload(ts: Long, names: Seq[String])
 
   private def fsOf(dir: Path) = dir.getFileSystem(new Configuration())
 
-  private def pathOf(dir: Path, ordinal: Long): Path =
+  def pathOf(dir: Path, ordinal: Long): Path =
     new Path(dir, f"$Prefix$ordinal%020d")
 
   private def ordinalOf(name: String): Option[Long] =
     if (name.startsWith(Prefix)) name.stripPrefix(Prefix).toLongOption else None
 
   /** (ordinal, file) pairs, ascending. */
-  private def versionFiles(dir: Path): Seq[(Long, Path)] = {
+  def versionFiles(dir: Path): Seq[(Long, Path)] = {
     val fs = fsOf(dir)
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq.flatMap { s =>
@@ -53,27 +127,55 @@ object LogVersions {
     }.sortBy(_._1)
   }
 
-  private def readNames(p: Path): Seq[String] = {
-    import org.json4s.jackson.Serialization
-    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+  /** The create-exclusive publish makes the version FILE visible a few
+    * microseconds before its bytes land (create → write → close); a
+    * reader that catches that gap sees empty or truncated JSON. Retry
+    * briefly — the writer is mid-close, never wedged — then fail loud:
+    * a version file that stays unreadable is corruption, not a race. */
+  def readPayload(p: Path): Payload = {
+    var attempt = 0
+    while (true) {
+      try return readPayloadOnce(p)
+      catch {
+        case scala.util.control.NonFatal(_) if attempt < 100 =>
+          attempt += 1
+          Thread.sleep(10)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def readPayloadOnce(p: Path): Payload = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
     val fs = fsOf(p.getParent)
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
-    Serialization.read[Seq[String]](
-      new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    JsonMethods.parse(new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8)) match {
+      case arr: JArray => Payload(-1L, arr.extract[Seq[String]])
+      case obj: JObject =>
+        Payload((obj \ "ts").extract[Long], (obj \ "names").extract[Seq[String]])
+      case other => throw new IllegalStateException(
+        s"unreadable version payload in $p: $other")
+    }
   }
 
   /** Create-exclusive publish; false = ordinal already taken (lost the
-    * race — re-read and retry). */
-  private def tryPublish(dir: Path, ordinal: Long, names: Seq[String]): Boolean = {
-    import org.json4s.jackson.Serialization
-    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    * race — re-read and retry). The publish timestamp is embedded in
+    * the payload, so `TIMESTAMP AS OF` resolution survives a copied or
+    * rsynced directory whose mtimes were not preserved. */
+  def tryPublish(dir: Path, ordinal: Long, names: Seq[String]): Boolean = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
     val fs = fsOf(dir)
     val target = pathOf(dir, ordinal)
+    val json = JsonMethods.compact(JsonMethods.render(
+      ("ts" -> System.currentTimeMillis()) ~ ("names" -> names.sorted)))
     try {
       val out = fs.create(target, false) // exclusive: the CAS
-      try out.write(Serialization.write(names.sorted)
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       true
     } catch {
@@ -85,79 +187,68 @@ object LogVersions {
 
   def enabled(dir: String): Boolean = versionFiles(new Path(dir)).nonEmpty
 
-  /** Latest (ordinal, live segment names), if versioning is enabled. */
   def latest(dir: String): Option[(Long, Seq[String])] =
-    versionFiles(new Path(dir)).lastOption.map { case (o, p) => (o, readNames(p)) }
+    versionFiles(new Path(dir)).lastOption.map { case (o, p) =>
+      (o, readPayload(p).names)
+    }
 
-  /** The exact segment set as of version `ordinal`; None if that
-    * version does not exist (never created, or vacuumed away). */
   def get(dir: String, ordinal: Long): Option[Seq[String]] = {
     val p = pathOf(new Path(dir), ordinal)
-    if (fsOf(new Path(dir)).exists(p)) Some(readNames(p)) else None
+    if (fsOf(new Path(dir)).exists(p)) Some(readPayload(p).names) else None
   }
 
-  /** Opt a log into versioning: snapshot the current listing as v1.
-    * Idempotent; concurrent enables converge (one wins the v1 CAS). */
-  def enable(dir: String): Long = {
+  /** Every name referenced by ANY retained version — the complement is
+    * "published by no commit": un-ledgered appends (union them into the
+    * live set) or a crashed operation's renamed-but-never-published
+    * outputs (drop them). O(versions × names) payload reads; the
+    * callers are maintenance paths, never scans. */
+  def referencedByAny(dir: String): Set[String] =
+    versionFiles(new Path(dir)).flatMap { case (_, p) =>
+      readPayload(p).names
+    }.toSet
+
+  /** Snapshot `names` as v1 unless a ledger already exists. */
+  def enable(dir: String, names: => Seq[String]): Long = {
     val base = new Path(dir)
     fsOf(base).mkdirs(base)
     if (versionFiles(base).nonEmpty) return versionFiles(base).last._1
-    val names = LimitHashLog.segments(dir).map(p => new Path(p._1).getName)
     if (tryPublish(base, 1L, names)) 1L else versionFiles(base).last._1
   }
 
-  /** Publish the next version as `transform(currentLiveSet)`. The
-    * transform must be a pure function of the set it is handed — on a
-    * CAS loss it re-applies against the newer set, which is what makes
-    * writer-appends and maintenance-swaps commute. Returns the ordinal
-    * committed. */
+  /** CAS-commit `transform(latest)` with jittered exponential backoff:
+    * under N concurrent committers every loser would otherwise
+    * immediately re-list and re-read the directory (ADVICE r9) — the
+    * backoff caps at ~100ms so a long convoy drains without a listing
+    * storm, while the common uncontended path never sleeps. */
   def commit(dir: String)(transform: Seq[String] => Seq[String]): Long = {
     val base = new Path(dir)
+    val rnd = new java.util.Random()
     var attempt = 0
     while (attempt < 1000) {
       val (ord, cur) = latest(dir).getOrElse(throw new IllegalStateException(
-        s"LogVersions.commit on un-versioned log $dir — call enable() first"))
+        s"VersionLedger.commit on un-versioned dir $dir — call enable() first"))
       val next = transform(cur)
       if (tryPublish(base, ord + 1, next)) return ord + 1
       attempt += 1
+      val cap = math.min(100L, 1L << math.min(attempt, 7))
+      Thread.sleep(rnd.nextLong(cap) + 1)
     }
     throw new IllegalStateException(
-      s"LogVersions.commit: lost the version CAS 1000 times in $dir")
+      s"VersionLedger.commit: lost the version CAS 1000 times in $dir")
   }
 
-  /** `TIMESTAMP AS OF` resolution: the newest version whose PUBLISH
-    * time (the version file's modification time — set once at the
-    * create-exclusive publish, never touched again) is ≤ the given
-    * epoch micros. None when the log wasn't versioned yet at that
-    * instant (or ever). */
+  /** Newest version published at or before `micros`: the embedded
+    * payload stamp when present (millis, stamped at CAS time), the
+    * version file's mtime for pre-stamp files. */
   def asOfTimestamp(dir: String, micros: Long): Option[Long] = {
     val base = new Path(dir)
     val fs = fsOf(base)
     versionFiles(base).flatMap { case (o, p) =>
-      val publishedMs = fs.getFileStatus(p).getModificationTime
+      val payload = readPayload(p)
+      val publishedMs =
+        if (payload.ts >= 0) payload.ts
+        else fs.getFileStatus(p).getModificationTime
       if (publishedMs * 1000L <= micros) Some(o) else None
     }.lastOption
-  }
-
-  /** Retention: keep the newest `retainLast` versions; physically
-    * delete every segment file referenced by NONE of them, then drop
-    * the superseded version files. Returns the deleted segment names.
-    * A reader pinned inside the retained window is never affected;
-    * pinning older than the window is the operator's documented
-    * trade-off, exactly like Delta's VACUUM horizon. */
-  def vacuum(dir: String, retainLast: Int = 2): Seq[String] = {
-    require(retainLast >= 1, "vacuum must retain at least the latest version")
-    val base = new Path(dir)
-    val fs = fsOf(base)
-    val files = versionFiles(base)
-    if (files.isEmpty) return Seq.empty
-    val retained = files.takeRight(retainLast)
-    val referenced = retained.flatMap { case (_, p) => readNames(p) }.toSet
-    val deleted = LimitHashLog.segments(dir)
-      .map(p => new Path(p._1).getName)
-      .filterNot(referenced)
-    deleted.foreach(n => fs.delete(new Path(base, n), false))
-    files.dropRight(retainLast).foreach { case (_, p) => fs.delete(p, false) }
-    deleted
   }
 }

@@ -181,4 +181,96 @@ class LogVersionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.toLowerCase.contains("version"))
   }
+
+  test("N concurrent committers all land distinct ordinals, no update lost") {
+    val dir = freshLog()
+    LogVersions.enable(dir) // v1
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          override def call(): Long =
+            LogVersions.commit(dir)(prev => prev :+ s"segment-racer-$i")
+        })
+      }
+      val ordinals = futures.map(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+      // every committer won a distinct ordinal in (1, n+1]
+      assert(ordinals.toSet.size === n)
+      assert(ordinals.min === 2L && ordinals.max === (n + 1).toLong)
+      // the final set carries EVERY racer's addition — no transform lost
+      val last = LogVersions.latest(dir).get._2
+      (0 until n).foreach(i => assert(last.contains(s"segment-racer-$i")))
+    } finally pool.shutdownNow()
+  }
+
+  test("asOfTimestamp uses the embedded publish stamp: survives a copied dir") {
+    val dir = freshLog()
+    LogVersions.enable(dir) // v1
+    Thread.sleep(15)
+    val betweenMicros = System.currentTimeMillis() * 1000L
+    Thread.sleep(15)
+    write(dir, Seq(("u4", 60L, "h6"))) // v2
+    assert(LogVersions.asOfTimestamp(dir, betweenMicros) === Some(1L))
+    // copy the whole log directory WITHOUT preserving mtimes (plain
+    // byte copy → fresh mtimes); the embedded stamps keep time travel
+    // exact in the relocated log (ADVICE r9: mtime-based resolution
+    // would resolve every version to "now")
+    val copied = Files.createTempDirectory("graft_lver_copy").toString
+    val src = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.list(src).forEach { p =>
+      java.nio.file.Files.copy(p,
+        java.nio.file.Paths.get(copied, p.getFileName.toString))
+      ()
+    }
+    assert(LogVersions.asOfTimestamp(copied, betweenMicros) === Some(1L))
+    assert(rows(spark.read.format(LimitHashLog.FORMAT)
+      .option("versionAsOf", "1").load(copied)).size === 5)
+  }
+
+  test("old bare-array version payloads still read (round-9 back-compat)") {
+    val dir = freshLog()
+    val names = listingNames(dir).toSeq.sorted
+    // hand-write a v1 in the ROUND-9 format: a bare JSON array
+    val p = new Path(dir, f".v-${1L}%020d")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, false)
+    out.write(org.json4s.jackson.Serialization.write(names)(
+      org.json4s.DefaultFormats).getBytes("UTF-8"))
+    out.close()
+    assert(LogVersions.enabled(dir))
+    assert(LogVersions.latest(dir).get._2.toSet === names.toSet)
+    // commit on top: the new payload is the stamped object form
+    val v2 = LogVersions.commit(dir)(prev => prev :+ "segment-new-0")
+    assert(v2 === 2L)
+    assert(LogVersions.get(dir, 2L).get.contains("segment-new-0"))
+    // mtime fallback still resolves the bare-array version
+    assert(LogVersions.asOfTimestamp(dir, Long.MaxValue).contains(2L))
+  }
+
+  test("compacted bucketed segments carry the -b<k> name tag") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lver_bkt").toString
+    val df = (1 to 40).map(i => (s"u${i % 5}", i.toLong, s"h$i"))
+      .toDF("user_id", "amount", "sha256sum")
+      .select(col("user_id"), col("amount"),
+        lit(null).cast("binary").as("msg"), col("sha256sum"))
+    // two bucketed appends → 2 segments per bucket, then compact
+    LogBucketing.writeSpec(dir, LogBucketing.Spec("user_id", 4))
+    df.repartition(4, col("user_id")).write.format(LimitHashLog.FORMAT)
+      .option("bucketBy", "user_id:4").mode("append").save(dir)
+    df.repartition(4, col("user_id")).write.format(LimitHashLog.FORMAT)
+      .option("bucketBy", "user_id:4").mode("append").save(dir)
+    val before = rows(readLog(dir))
+    Compaction.compactLog(spark, dir, "bt1", targetBytes = 1L << 20)
+    assert(rows(readLog(dir)) === before)
+    val stats = LimitHashLog.loadStats(dir)
+    listingNames(dir).foreach { name =>
+      val tag = stats(name).bucket
+      assert(tag.isDefined, s"$name lost its manifest tag")
+      // ADVICE r9: the NAME channel must agree with the manifest channel
+      assert(name.endsWith(s"-b${tag.get}"),
+        s"$name does not carry its bucket ${tag.get} in the name")
+    }
+  }
 }
