@@ -503,7 +503,46 @@ object Pipeline {
       GROUP BY f.user_id ORDER BY f.user_id""")
   }
 
+  /** Snapshot isolation + time travel on the PARQUET tier
+    * ([[graft.sources.ParquetVersions]]): the p11 shape on a
+    * parquet-managed catalog table. v1 pins the fresh load; the
+    * DELETE publishes a new commit instead of swapping generations
+    * (pre-delete files stay on disk for the pinned read); the result
+    * straddles the CURRENT view and `VERSION AS OF 1`. The oracle
+    * recomputes both from raw orders — a snapshot that leaked the
+    * delete, or a current view that missed it, breaks the hash. */
+  def p18_parquet_time_travel(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p18").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p18").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p18", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p18.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p18.lake")
+    // fresh table every run: the commit ordinals restart at 1
+    spark.sql("DROP TABLE IF EXISTS graft_p18.lake.orders_pq")
+    spark.sql("""CREATE TABLE graft_p18.lake.orders_pq
+                 (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo("graft_p18.lake.orders_pq").append()
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p18.warehouse") +
+      "/lake/orders_pq"
+    graft.sources.ParquetVersions.enable(tableDir) // v1 = the fresh load
+    spark.sql("DELETE FROM graft_p18.lake.orders_pq WHERE cents < 3000000")
+    spark.sql("""SELECT 'current' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p18.lake.orders_pq
+                 UNION ALL
+                 SELECT 'v1' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p18.lake.orders_pq VERSION AS OF 1
+                 ORDER BY snap""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_parquet_time_travel" -> (p18_parquet_time_travel _),
     "p15_bucketed_join" -> (p15_bucketed_join _),
     "p14_merge_into" -> (p14_merge_into _),
     "p13_log_update" -> (p13_log_update _),
@@ -521,6 +560,17 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p18_parquet_time_travel" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'current' AS snap, COUNT(*) AS n,
+        |  CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM t WHERE NOT (cents < 3000000)
+        |UNION ALL
+        |SELECT 'v1' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM t
+        |ORDER BY snap""".stripMargin,
     "p15_bucketed_join" ->
       """WITH f AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount

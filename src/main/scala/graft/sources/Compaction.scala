@@ -344,12 +344,19 @@ object Compaction {
     }
     repairGenerations(fs, base)
     val data = new Path(base, "data")
-    val next = new Path(base, "data.next")
-    fs.delete(next, true) // stale unfinished build of a crashed attempt
-    fs.mkdirs(next)
+
+    // On a VERSIONED table ([[ParquetVersions]]) the inputs are the
+    // LIVE files only (the listing can hold vacuum-pending files of
+    // older versions — re-packing those would duplicate rows), and the
+    // commit is a version publish instead of a generation swap: old
+    // files stay on disk for pinned readers.
+    val versioned = ParquetVersions.enabled(tableDir)
+    val liveNames: Option[Set[String]] =
+      if (versioned) Some(ParquetVersions.live(tableDir).toSet) else None
 
     val files = fs.listStatus(data)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .filter(s => liveNames.forall(_(s.getPath.getName)))
       .sortBy(s => (s.getModificationTime, s.getPath.getName))
     val bytesBefore = files.map(_.getLen).sum
 
@@ -369,9 +376,61 @@ object Compaction {
     // single-file bin keeps its ORIGINAL name, which may be a previous
     // compaction's `compact-…` output — an index-only name for this
     // run's merges could collide with it (rename-fails-if-exists).
-    // Crash safety never depends on the names; the generation swap does
-    // that.
+    // Crash safety never depends on the names; the generation swap /
+    // version publish does that.
     val opId = java.util.UUID.randomUUID().toString.take(8)
+
+    if (versioned) {
+      // Merge each multi-file bin into `data/` under a maintenance
+      // name; single-file bins carry forward in the version set
+      // untouched (zero I/O). The version publish is the only
+      // visibility event — a crash before it leaves unreferenced
+      // `compact-*` files the live rule ignores and vacuum reclaims.
+      val multiBins = bins.result().filter(_.length > 1)
+      val written = Seq.newBuilder[String]
+      multiBins.zipWithIndex.foreach { case (bin, i) =>
+        val staging = new Path(base, s".compact-$opId-$i")
+        fs.delete(staging, true)
+        val merged = spark.read.schema(declared).parquet(bin.map(_.getPath.toString): _*)
+        merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+        val part = fs.listStatus(staging)
+          .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .getOrElse(throw new java.io.IOException(s"no output part in $staging"))
+        val name = f"compact-$opId-$i%05d.parquet"
+        if (!fs.rename(part.getPath, new Path(data, name))) {
+          throw new java.io.IOException(s"stage rename failed for bin $i")
+        }
+        fs.delete(staging, true)
+        written += name
+      }
+      val outputs = written.result()
+      val inputNames = multiBins.flatten.map(_.getPath.getName).toSet
+      // abort-on-mismatch BEFORE the publish: the staged outputs must
+      // carry exactly the rows of the bins they replace
+      if (multiBins.nonEmpty) {
+        val rowsIn = spark.read.schema(declared)
+          .parquet(multiBins.flatten.map(_.getPath.toString): _*).count()
+        val rowsOut = spark.read.schema(declared)
+          .parquet(outputs.map(n => new Path(data, n).toString): _*).count()
+        if (rowsIn != rowsOut) {
+          outputs.foreach(n => fs.delete(new Path(data, n), false))
+          throw new IllegalStateException(
+            s"compaction row mismatch: $rowsIn in vs $rowsOut staged — aborted")
+        }
+      }
+      ParquetVersions.commit(tableDir) { live =>
+        (live.toSet -- inputNames ++ outputs).toSeq
+      }
+      val liveAfter = ParquetVersions.live(tableDir)
+      val rows = if (liveAfter.isEmpty) 0L else spark.read.schema(declared)
+        .parquet(liveAfter.map(n => new Path(data, n).toString): _*).count()
+      return CompactionStats(files.length.toLong, bytesBefore, rows,
+        liveAfter.length.toLong)
+    }
+
+    val next = new Path(base, "data.next")
+    fs.delete(next, true) // stale unfinished build of a crashed attempt
+    fs.mkdirs(next)
     var rows = 0L
     bins.result().zipWithIndex.foreach { case (bin, i) =>
       if (bin.length == 1) {

@@ -79,14 +79,17 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   private def schemaFile(dir: Path): Path = new Path(dir, "_schema.json")
   private def dataDir(dir: Path): Path = new Path(dir, "data")
 
-  private def parquetTable(ident: Identifier, dir: Path, schema: StructType): Table =
+  private def parquetTable(ident: Identifier, dir: Path, schema: StructType,
+      version: Option[Long] = None): Table =
     // a genuine ParquetTable (FileTable write/analyzer paths intact)
-    // with footer-stats file skipping on reads (ParquetStats.scala)
+    // with footer-stats file skipping on reads (ParquetStats.scala) and
+    // ledger-pinned listings when the table is versioned
     new StatsPrunedParquetTable(
       ident.toString,
       org.apache.spark.sql.classic.SparkSession.active,
       Seq(dataDir(dir).toString),
-      schema)
+      schema,
+      version)
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
@@ -110,45 +113,55 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   }
 
   /** Time travel — `SELECT ... FROM graft.<ns>.<t> VERSION AS OF n`.
-    * Resolves to the log table pinned to version n's exact segment
-    * snapshot ([[LogVersions]]); the table must be versioned
-    * (`LogVersions.enable` / any versioned commit). Parquet-managed
-    * tables don't keep a version ledger — rejected explicitly. */
+    * Resolves to the table pinned to version n's exact file snapshot:
+    * [[LogVersions]] for entity logs, [[ParquetVersions]] for parquet-
+    * managed tables (same ledger, r10). The table must be versioned
+    * (`enable_versioning` / any versioned commit). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirOf(ident)
     if (!fs.exists(dir)) {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }
-    if (fs.exists(schemaFile(dir))) {
-      throw new UnsupportedOperationException(
-        s"$ident is a parquet-managed table; VERSION AS OF applies to log tables")
-    }
     val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
       s"VERSION AS OF takes the numeric commit ordinal, got '$version'"))
-    if (LogVersions.get(dir.toString, v).isEmpty) {
-      throw new IllegalArgumentException(
-        s"$ident has no version $v (not versioned, never committed, or vacuumed)")
+    if (fs.exists(schemaFile(dir))) {
+      repairSchemaSwap(dir)
+      if (ParquetVersions.get(dir.toString, v).isEmpty) {
+        throw new IllegalArgumentException(
+          s"$ident has no version $v (not versioned, never committed, or vacuumed)")
+      }
+      val in = fs.open(schemaFile(dir))
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      parquetTable(ident, dir,
+        org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType],
+        Some(v))
+    } else {
+      if (LogVersions.get(dir.toString, v).isEmpty) {
+        throw new IllegalArgumentException(
+          s"$ident has no version $v (not versioned, never committed, or vacuumed)")
+      }
+      new LimitHashLogTable(dir.toString, Some(v))
     }
-    new LimitHashLogTable(dir.toString, Some(v))
   }
 
   /** `TIMESTAMP AS OF t` — resolves to the newest version published at
-    * or before `t` (version-file publish times are immutable, so the
-    * mapping is stable). Micros since epoch, per the DSv2 contract. */
+    * or before `t` (publish stamps are embedded in the version payload,
+    * so the mapping is stable and survives directory copies). Micros
+    * since epoch, per the DSv2 contract. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = dirOf(ident)
     if (!fs.exists(dir)) {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }
-    if (fs.exists(schemaFile(dir))) {
-      throw new UnsupportedOperationException(
-        s"$ident is a parquet-managed table; TIMESTAMP AS OF applies to log tables")
-    }
-    val v = LogVersions.asOfTimestamp(dir.toString, timestamp).getOrElse(
+    val resolver: String => Option[Long] =
+      if (fs.exists(schemaFile(dir))) ParquetVersions.asOfTimestamp(_, timestamp)
+      else LogVersions.asOfTimestamp(_, timestamp)
+    val v = resolver(dir.toString).getOrElse(
       throw new IllegalArgumentException(
         s"$ident has no version at or before timestamp $timestamp µs " +
           "(not versioned then, or vacuumed)"))
-    new LimitHashLogTable(dir.toString, Some(v))
+    loadTable(ident, v.toString)
   }
 
   /** Entity-shaped (or empty) schema → entity log; anything else → a

@@ -72,26 +72,38 @@ object LogProcedures {
     parts.foldLeft(new Path(warehouse))(new Path(_, _)).toString
   }
 
+  /** A `_schema.json` manifest marks a parquet-managed table; its
+    * absence an entity log — the same dispatch [[LogCatalog.loadTable]]
+    * applies, so each verb routes to the right tier's machinery. */
+  private def isParquetTable(dir: String): Boolean = {
+    val p = new Path(dir, "_schema.json")
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
+  }
+
   def all(warehouse: String): Map[String, UnboundProcedure] = Map(
     "enable_versioning" -> new MaintenanceProcedure("enable_versioning",
-      "opt a log table into snapshot versioning (v1 = current listing)") {
+      "opt a log or parquet table into snapshot versioning (v1 = current listing)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam)
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val v = LogVersions.enable(dirOf(warehouse, input.getUTF8String(0).toString))
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        val v = if (isParquetTable(dir)) ParquetVersions.enable(dir)
+          else LogVersions.enable(dir)
         oneRow(StructType(Seq(StructField("version", LongType, nullable = false))),
           Seq(v))
       }
     },
     "vacuum" -> new MaintenanceProcedure("vacuum",
-      "physically delete segments referenced by none of the retained versions") {
+      "physically delete files referenced by none of the retained versions") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,
         ProcedureParameter.in("retain_last", IntegerType).defaultValue("2")
           .comment("how many newest versions stay readable").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val deleted = LogVersions.vacuum(
-          dirOf(warehouse, input.getUTF8String(0).toString), input.getInt(1))
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        val deleted = if (isParquetTable(dir))
+          ParquetVersions.vacuum(dir, input.getInt(1))
+          else LogVersions.vacuum(dir, input.getInt(1))
         oneRow(StructType(Seq(
-          StructField("deleted_segments", LongType, nullable = false))),
+          StructField("deleted_files", LongType, nullable = false))),
           Seq(deleted.length.toLong))
       }
     },

@@ -191,9 +191,16 @@ object ParquetDelete {
 
     val conf = spark.sparkContext.hadoopConfiguration
     val data = new Path(base, "data")
+    // On a VERSIONED table ([[ParquetVersions]]) only the LIVE files
+    // are inputs — the listing can hold vacuum-pending files of older
+    // versions, and re-processing those would resurrect deleted rows.
+    val versioned = ParquetVersions.enabled(tableDir)
+    val liveNames: Option[Set[String]] =
+      if (versioned) Some(ParquetVersions.live(tableDir).toSet) else None
     val files =
       if (fs.exists(data)) fs.listStatus(data)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .filter(s => liveNames.forall(_(s.getPath.getName))).toSeq
       else Seq.empty
 
     // three-valued classification from footer bounds; an unreadable or
@@ -220,17 +227,12 @@ object ParquetDelete {
       (u.result(), d.result(), w.result())
     }
 
-    val next = new Path(base, "data.next")
-    fs.delete(next, true)
-    fs.mkdirs(next)
-    untouched.foreach(p => Compaction.linkOrCopy(fs, conf, p, new Path(next, p.getName)))
-    if (rewrites.nonEmpty) {
-      // one distributed job over all affected files; survivors are rows
-      // where the predicate is FALSE **or NULL** (SQL DELETE removes
-      // only TRUE rows)
-      val staging = new Path(next, ".rewrite")
-      // re-resolve the condition against THIS DataFrame's attributes
-      // (the classify expression carries fresh exprIds)
+    // one distributed job over all affected files; survivors are rows
+    // where the predicate is FALSE **or NULL** (SQL DELETE removes
+    // only TRUE rows). Returns the staged survivor files.
+    // re-resolve the condition against THIS DataFrame's attributes
+    // (the classify expression carries fresh exprIds)
+    def rewriteSurvivors(staging: Path): Unit = {
       val unresolvedCond = cond.transform {
         case a: AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
@@ -239,25 +241,63 @@ object ParquetDelete {
         .filter(not(coalesce(
           org.apache.spark.sql.GraftShims.column(unresolvedCond), lit(false))))
         .write.mode("overwrite").parquet(staging.toString)
-      // per-operation token in output names: an UNTOUCHED file from an
-      // earlier delete keeps its `delete-…` name through the hardlink,
-      // and an index-only name here would collide with it (rename
-      // fails if the destination exists). Same discipline as
-      // [[Compaction.compactTable]].
-      val opId = java.util.UUID.randomUUID().toString.take(8)
+    }
+    // per-operation token in output names: an UNTOUCHED file from an
+    // earlier delete keeps its `delete-…` name (through the hardlink
+    // or the version set), and an index-only name here would collide
+    // with it (rename fails if the destination exists). Same
+    // discipline as [[Compaction.compactTable]].
+    val opId = java.util.UUID.randomUUID().toString.take(8)
+    def renameParts(staging: Path, into: Path): Seq[String] = {
+      val out = Seq.newBuilder[String]
       var i = 0
       fs.listStatus(staging).foreach { s =>
         if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
-          if (!fs.rename(s.getPath, new Path(next, f"delete-$opId-$i%05d.parquet"))) {
+          val name = f"delete-$opId-$i%05d.parquet"
+          if (!fs.rename(s.getPath, new Path(into, name))) {
             throw new java.io.IOException(s"stage rename failed for ${s.getPath}")
           }
+          out += name
           i += 1
         }
       }
       fs.delete(staging, true)
+      out.result()
     }
-    fs.create(new Path(next, "_COMPACT_SUCCESS"), true).close()
-    Compaction.swapGenerations(fs, base)
+
+    if (versioned) {
+      // Snapshot commit ([[ParquetVersions]]): survivors land in
+      // `data/` under maintenance names, inputs stay on disk for
+      // pinned readers, and the version publish is the only
+      // visibility event. A crash before it leaves unreferenced
+      // `delete-*` files that the live rule ignores and vacuum
+      // reclaims.
+      val written =
+        if (rewrites.isEmpty) Seq.empty[String]
+        else {
+          val staging = new Path(base, s".delete-$opId")
+          fs.delete(staging, true)
+          rewriteSurvivors(staging)
+          renameParts(staging, data)
+        }
+      val droppedNames = dropped.map(_.getName).toSet
+      val rewriteNames = rewrites.map(_.getName).toSet
+      ParquetVersions.commit(tableDir) { live =>
+        (live.toSet -- droppedNames -- rewriteNames ++ written).toSeq
+      }
+    } else {
+      val next = new Path(base, "data.next")
+      fs.delete(next, true)
+      fs.mkdirs(next)
+      untouched.foreach(p => Compaction.linkOrCopy(fs, conf, p, new Path(next, p.getName)))
+      if (rewrites.nonEmpty) {
+        val staging = new Path(next, ".rewrite")
+        rewriteSurvivors(staging)
+        renameParts(staging, next)
+      }
+      fs.create(new Path(next, "_COMPACT_SUCCESS"), true).close()
+      Compaction.swapGenerations(fs, base)
+    }
     ParquetDeleteStats(untouched.length.toLong, dropped.length.toLong,
       rewrites.length.toLong)
   }

@@ -358,13 +358,39 @@ object FooterPrune {
   * .partitions` calls during planning — files whose bounds exclude a
   * pushed conjunct never become input partitions, never schedule
   * tasks. Uncached footers load in parallel (driver-side, once per
-  * file version). */
-class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructType)
+  * file version).
+  *
+  * `allowed` pins the listing to a VERSION SNAPSHOT of the table
+  * ([[ParquetVersions]]): only the named files are visible — a
+  * maintenance commit landing between planning and execution cannot
+  * add or remove rows under the scan. None = un-versioned table, the
+  * raw listing (minus nothing) as before. */
+class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructType,
+    val allowed: Option[Set[String]] = None)
     extends InMemoryFileIndex(spark, Seq(dataDir), Map.empty, Some(schema)) {
+
+  /** `InMemoryFileIndex.equals` compares ROOT PATHS ONLY — under that,
+    * a scan of `VERSION AS OF 1` equals a scan of the current state
+    * (same `data/` dir), `FileScan.equals` then declares the two
+    * ParquetScans identical, and AQE stage reuse feeds BOTH legs of a
+    * time-travel straddle query from whichever stage ran first. The
+    * pinned name set must participate in equality. */
+  override def equals(other: Any): Boolean = other match {
+    case s: StatsPrunedFileIndex => super.equals(s) && allowed == s.allowed
+    case _ => false
+  }
+  override def hashCode(): Int =
+    rootPaths.toSet.hashCode() ^ allowed.hashCode()
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val base = super.listFiles(partitionFilters, dataFilters)
+    val listed = super.listFiles(partitionFilters, dataFilters)
+    val base = allowed match {
+      case None => listed
+      case Some(names) => listed.map { pd =>
+        pd.copy(files = pd.files.filter(f => names(f.getPath.getName)))
+      }
+    }
     val conjuncts = dataFilters.flatMap(FooterPrune.splitConjuncts)
     if (conjuncts.isEmpty) return base
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
@@ -414,7 +440,8 @@ class StatsPrunedParquetTable(
     tableName: String,
     spark: SparkSession,
     paths: Seq[String],
-    declared: StructType)
+    declared: StructType,
+    val pinnedVersion: Option[Long] = None)
     extends org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
       tableName, spark,
       org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), paths,
@@ -422,23 +449,45 @@ class StatsPrunedParquetTable(
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
+  // `paths.head` is the `data/` dir; the table dir (schema manifest,
+  // version ledger, generation swap) is its parent.
+  private def tableDir: String = new Path(paths.head).getParent.toString
+
+  override val name: String =
+    tableName + pinnedVersion.fold("")(v => s" VERSION AS OF $v")
+
+  /** The file-name set THIS table instance reads: a pinned snapshot
+    * for time travel, the versioned live set for a current read of a
+    * versioned table, or None (raw listing) when un-versioned. The
+    * set is resolved ONCE per loadTable, so every scan planned from
+    * this instance sees one consistent snapshot. */
+  private lazy val allowed: Option[Set[String]] = pinnedVersion match {
+    case Some(v) => Some(ParquetVersions.get(tableDir, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"$tableName has no version $v (never committed, or vacuumed)")).toSet)
+    case None =>
+      if (ParquetVersions.enabled(tableDir))
+        Some(ParquetVersions.live(tableDir).toSet)
+      else None
+  }
+
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
     val inner = super.newScanBuilder(options)
     inner.copy(fileIndex =
-      new StatsPrunedFileIndex(spark, new Path(paths.head), declared))
+      new StatsPrunedFileIndex(spark, new Path(paths.head), declared, allowed))
   }
 
   // Row-level DELETE (SQL `DELETE FROM graft.<ns>.<t>` / TRUNCATE via
   // the SupportsDelete default) — three-valued footer-stats classify,
-  // full design on [[ParquetDelete]]. `paths.head` is the `data/` dir;
-  // the table dir (schema manifest, generation swap) is its parent.
-  private def tableDir: String = new Path(paths.head).getParent.toString
+  // full design on [[ParquetDelete]].
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    filters.forall(ParquetDelete.supported(declared))
+    pinnedVersion.isEmpty && filters.forall(ParquetDelete.supported(declared))
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
+      "DELETE on a VERSION AS OF snapshot — time-travel tables are read-only")
     ParquetDelete.deleteWhere(spark, tableDir, filters)
     ()
   }

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Snapshot isolation + time travel for the catalog's PARQUET-managed
+  * tables — [[LogVersions]]' monotonic commit ledger ported to the
+  * `data/` generation model (VERDICT r9 next-round #2), so
+  * `VERSION AS OF` / `TIMESTAMP AS OF` work on parquet tables and
+  * compaction / DELETE / UPDATE / MERGE are safe under concurrent
+  * readers there too.
+  *
+  * Ledger files are the same `.v-<ordinal>` [[VersionLedger]] payloads,
+  * living in the TABLE directory (siblings of `_schema.json` — outside
+  * `data/`, so an INSERT OVERWRITE truncate of the data path cannot
+  * destroy the history of what it replaced… though it does delete the
+  * bytes; see the limitations note below). Names refer to files inside
+  * `data/`.
+  *
+  * The one structural difference from the log tier: parquet APPENDS
+  * arrive through Spark's v1 file-write fallback (`INSERT INTO` →
+  * `FileFormatWriter`), which this module cannot hook — an append lands
+  * as `part-*.parquet` files with NO ledger publish. The live-set rule
+  * absorbs them:
+  *
+  *   live = latest.names ∪ { f ∈ listing : f referenced by NO version
+  *                           ∧ f not maintenance-named }
+  *
+  * A file referenced by no version is either an un-published append
+  * (keep — it is newer than every commit) or a crashed maintenance
+  * op's renamed-but-never-published output (drop — replaying it would
+  * duplicate rows). The two are distinguished by NAME: maintenance
+  * rewrites always commit under a `compact-` / `delete-` / `rlo-`
+  * prefix, the v1 writer always under `part-` (and the bucketed writer
+  * under `b<k>-`). Every maintenance op starts by folding the current
+  * appends into its commit, so the unreferenced set stays small.
+  *
+  * Versioned maintenance REPLACES the `data.next` generation swap: new
+  * files land in `data/` under maintenance names, inputs stay on disk
+  * for pinned readers, and the version publish is the only visibility
+  * event. [[vacuum]] reclaims files that only dropped versions
+  * reference (plain-named appends are NEVER vacuumed — they are
+  * someone's un-published write).
+  *
+  * Limitations (documented, not silent): `INSERT OVERWRITE` physically
+  * truncates `data/` through the v1 path — on a versioned table it
+  * destroys the bytes older versions reference; use DELETE + INSERT on
+  * versioned tables instead. Single-maintainer semantics for
+  * maintenance ops, same as the log tier. */
+object ParquetVersions {
+
+  /** Names a maintenance rewrite commits under — the complement of the
+    * append namespace (`part-*` from the v1 writer, `b<k>-*` from the
+    * bucketed writer). */
+  private[sources] def maintenanceNamed(name: String): Boolean =
+    name.startsWith("compact-") || name.startsWith("delete-") ||
+      name.startsWith("rlo-")
+
+  private def fsOf(p: Path) = p.getFileSystem(new Configuration())
+
+  private def dataDir(tableDir: String): Path = new Path(tableDir, "data")
+
+  /** Current `data/` parquet file names (committed files only — staged
+    * dot/underscore names are invisible by convention). */
+  private[sources] def listing(tableDir: String): Seq[String] = {
+    val data = dataDir(tableDir)
+    val fs = fsOf(data)
+    if (!fs.exists(data)) return Seq.empty
+    fs.listStatus(data).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.getName).sorted
+  }
+
+  def enabled(tableDir: String): Boolean = VersionLedger.enabled(tableDir)
+
+  def latest(tableDir: String): Option[(Long, Seq[String])] =
+    VersionLedger.latest(tableDir)
+
+  def get(tableDir: String, ordinal: Long): Option[Seq[String]] =
+    VersionLedger.get(tableDir, ordinal)
+
+  def asOfTimestamp(tableDir: String, micros: Long): Option[Long] =
+    VersionLedger.asOfTimestamp(tableDir, micros)
+
+  /** Opt the table into versioning: v1 = the current data listing. */
+  def enable(tableDir: String): Long =
+    VersionLedger.enable(tableDir, listing(tableDir))
+
+  /** Un-published appends: in the listing, referenced by no version,
+    * append-named. */
+  private def appends(tableDir: String): Seq[String] = {
+    val referenced = VersionLedger.referencedByAny(tableDir)
+    listing(tableDir).filterNot(referenced).filterNot(maintenanceNamed)
+  }
+
+  /** The file set a CURRENT scan reads: the latest commit plus
+    * un-published appends. */
+  def live(tableDir: String): Seq[String] =
+    VersionLedger.latest(tableDir) match {
+      case None => listing(tableDir)
+      case Some((_, names)) => (names ++ appends(tableDir)).distinct.sorted
+    }
+
+  /** Fold the current un-published appends into the ledger as their
+    * own CATCH-UP commit. This must be a separate version, not an
+    * inline union inside a maintenance transform: a maintenance op
+    * that consumes an append (e.g. DELETE rewriting a fresh file)
+    * removes it from its own output set, and if no version ever
+    * REFERENCED the append, the live rule would classify it as still
+    * un-published and resurrect its rows. After the catch-up the file
+    * is referenced, so dropping it from the next commit retires it
+    * like any other input. */
+  def catchUp(tableDir: String): Unit = {
+    val extra = appends(tableDir)
+    if (extra.nonEmpty) {
+      VersionLedger.commit(tableDir)(prev => (prev ++ extra).distinct.sorted)
+      ()
+    }
+  }
+
+  /** Maintenance commit: catch-up first (appends racing the op are
+    * carried forward, never dropped), then publish `transform(prev)`.
+    * The transform re-applies on a CAS loss, same composition rule as
+    * the log tier; an append landing between the two publishes simply
+    * stays un-ledgered (and live) until the next op folds it. */
+  def commit(tableDir: String)(transform: Seq[String] => Seq[String]): Long = {
+    catchUp(tableDir)
+    VersionLedger.commit(tableDir)(transform)
+  }
+
+  /** Retention: keep the newest `retainLast` versions, then physically
+    * delete every data file that is (a) referenced ONLY by dropped
+    * versions, or (b) an unreferenced maintenance-named file (a crashed
+    * op's never-published output). Unreferenced APPEND-named files are
+    * never touched — they are a concurrent writer's un-published rows.
+    * A catch-up commit first folds current appends into the ledger so
+    * the retained window describes the table as it stands. */
+  def vacuum(tableDir: String, retainLast: Int = 2): Seq[String] = {
+    require(retainLast >= 1, "vacuum must retain at least the latest version")
+    val base = new Path(tableDir)
+    val fs = fsOf(base)
+    if (!enabled(tableDir)) return Seq.empty
+    catchUp(tableDir)
+    val files = VersionLedger.versionFiles(base)
+    val retained = files.takeRight(retainLast)
+    val referencedRetained = retained.flatMap { case (_, p) =>
+      VersionLedger.readPayload(p).names
+    }.toSet
+    val referencedAny = VersionLedger.referencedByAny(tableDir)
+    val deleted = listing(tableDir).filter { name =>
+      !referencedRetained(name) &&
+        (referencedAny(name) || maintenanceNamed(name))
+    }
+    deleted.foreach(n => fs.delete(new Path(dataDir(tableDir), n), false))
+    files.dropRight(retainLast).foreach { case (_, p) => fs.delete(p, false) }
+    deleted
+  }
+}

