@@ -503,6 +503,77 @@ object Pipeline {
       GROUP BY f.user_id ORDER BY f.user_id""")
   }
 
+  /** SQL UPDATE on a catalog PARQUET table
+    * ([[graft.sources.ParquetRowLevelOperation]]): the p13 shape on the
+    * parquet tier. Group-based copy-on-write — the runtime `_file`
+    * subquery (planned against the PLAIN scan, so footer-stats pruning
+    * applies) proves which files hold matching rows; only those
+    * rewrite, the rest carry forward in the version set untouched
+    * (asserted in ParquetRowLevelSpec). The oracle mirrors the update
+    * as a CASE over raw orders — a row missed, double-applied, or lost
+    * in the copy-on-write swap breaks the hash. */
+  def p16_parquet_update(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p16").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p16").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p16", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p16.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p16.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p16.lake.orders_pq")
+    spark.sql("""CREATE TABLE graft_p16.lake.orders_pq
+                 (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo("graft_p16.lake.orders_pq").append()
+    spark.sql("""UPDATE graft_p16.lake.orders_pq SET cents = cents * 2 + 1
+                 WHERE o_orderkey <= 12000 OR cents < 3000000""")
+    spark.sql("""SELECT bucket, count(*) AS n, sum(cents) AS total
+                 FROM graft_p16.lake.orders_pq GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** SQL MERGE INTO a catalog PARQUET table: CDC-style upsert — matched
+    * rows take the source cents, unmatched source rows insert. Target =
+    * orders with key % 3 ≠ 0, source = key % 2 = 0 (doubled cents),
+    * merged on the unique key, so one statement exercises
+    * update-in-place, insert, and leave-alone. The oracle rebuilds the
+    * post-merge state as LEFT JOIN COALESCE ∪ anti-join inserts. */
+  def p17_parquet_merge(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p17").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p17").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p17", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p17.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p17.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p17.lake.orders_pq")
+    spark.sql("""CREATE TABLE graft_p17.lake.orders_pq
+                 (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
+    val base = Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+    base.filter(col("o_orderkey") % 3 =!= 0)
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo("graft_p17.lake.orders_pq").append()
+    base.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("bucket"), (col("cents") * 2).as("cents"))
+      .createOrReplaceTempView("p17_source")
+    spark.sql("""
+      MERGE INTO graft_p17.lake.orders_pq t
+      USING p17_source s
+      ON t.o_orderkey = s.o_orderkey
+      WHEN MATCHED THEN UPDATE SET t.cents = s.cents
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, bucket, cents)
+        VALUES (s.o_orderkey, s.bucket, s.cents)
+    """)
+    spark.sql("""SELECT bucket, count(*) AS n, sum(cents) AS total
+                 FROM graft_p17.lake.orders_pq GROUP BY 1 ORDER BY 1""")
+  }
+
   /** Snapshot isolation + time travel on the PARQUET tier
     * ([[graft.sources.ParquetVersions]]): the p11 shape on a
     * parquet-managed catalog table. v1 pins the fresh load; the
@@ -542,6 +613,8 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_parquet_update" -> (p16_parquet_update _),
+    "p17_parquet_merge" -> (p17_parquet_merge _),
     "p18_parquet_time_travel" -> (p18_parquet_time_travel _),
     "p15_bucketed_join" -> (p15_bucketed_join _),
     "p14_merge_into" -> (p14_merge_into _),
@@ -560,6 +633,31 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p16_parquet_update" ->
+      """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN o_orderkey <= 12000 OR cents < 3000000
+        |           THEN cents * 2 + 1 ELSE cents END) AS BIGINT) AS total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p17_parquet_merge" ->
+      """WITH base AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |t AS (SELECT * FROM base WHERE o_orderkey % 3 <> 0),
+        |s AS (SELECT o_orderkey, bucket, CAST(cents * 2 AS BIGINT) AS cents
+        |      FROM base WHERE o_orderkey % 2 = 0),
+        |merged AS (
+        |  SELECT t.bucket, COALESCE(s.cents, t.cents) AS cents
+        |  FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+        |  UNION ALL
+        |  SELECT s.bucket, s.cents FROM s
+        |  WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.o_orderkey = s.o_orderkey))
+        |SELECT bucket, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "p18_parquet_time_travel" ->
       """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents

@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A [[ParquetScanBuilder]] that can additionally serve the `_file`
+  * METADATA COLUMN ([[ParquetFileMetaColumn]]) — which data file each
+  * row lives in.
+  *
+  * Why the REGULAR scan needs this: Spark's runtime group filtering
+  * for row-level operations (`RowLevelOperationRuntimeGroupFiltering`)
+  * deliberately plans its `SELECT DISTINCT _file WHERE <cond>`
+  * subquery against the ORIGINAL table relation, not the row-level
+  * operation's group scan — precisely so the subquery enjoys the plain
+  * scan's full pushdown (here: pushed parquet filters, row-group
+  * skipping, AND [[StatsPrunedFileIndex]] footer pruning — a selective
+  * UPDATE's subquery opens only the files whose footer bounds can
+  * match). The same mechanism gives users `SELECT _file FROM t`
+  * provenance queries for free, the Iceberg `_file` surface.
+  *
+  * Mechanics: `pruneColumns` strips `_file` before delegating (the
+  * parquet reader must never see a column data files don't carry);
+  * when `_file` was requested, [[build]] wraps the genuine
+  * [[ParquetScan]]: input partitions are re-planned ONE PER FILE (the
+  * per-row value is then a per-partition constant) and the row reader
+  * appends the file name. Aggregate pushdown is declined on such scans
+  * — a metadata-served aggregate would bypass the column entirely. */
+class FileTagParquetScanBuilder(sparkSession: SparkSession,
+    fileIndex: PartitioningAwareFileIndex, schema: StructType,
+    dataSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options) {
+
+  private var wantsFile = false
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    wantsFile = requiredSchema.fieldNames.contains(ParquetFileMetaColumn.name())
+    super.pruneColumns(StructType(requiredSchema.fields.filterNot(
+      _.name == ParquetFileMetaColumn.name())))
+  }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    !wantsFile && super.pushAggregation(aggregation)
+
+  override def build(): ParquetScan = {
+    val inner = super.build()
+    if (!wantsFile) inner
+    else new FileTaggedScan(inner)
+  }
+}
+
+/** The `_file`-bearing scan: a [[ParquetScan]] subtype (the builder's
+  * return type demands one) that keeps the genuine scan's pushed
+  * filters, footer-pruned listing and columnar decode inside each
+  * per-file reader, re-grouped one partition per file with the name
+  * appended to every row. */
+class FileTaggedScan(val inner: ParquetScan)
+    extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
+      inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
+      inner.pushedFilters, inner.options, inner.pushedAggregate,
+      inner.partitionFilters, inner.dataFilters,
+      inner.pushedVariantExtractions) {
+
+  override def readSchema(): StructType = StructType(
+    inner.readSchema().fields :+
+      StructField(ParquetFileMetaColumn.name(), StringType, nullable = false))
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = super.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"unexpected parquet partition shape: $other")
+    }
+    files.zipWithIndex.map { case (f, i) =>
+      FilePartition(i, Array(f)): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FileTaggedReaderFactory(super.createReaderFactory())
+
+  override def description(): String =
+    s"FileTagged(${super.description()})"
+
+  override def equals(obj: Any): Boolean = obj match {
+    case f: FileTaggedScan => inner == f.inner
+    case _ => false
+  }
+  override def hashCode(): Int = inner.hashCode() ^ 0x5f11e7a9
+}
+
+class FileTaggedReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val fp = partition.asInstanceOf[FilePartition]
+    val name = fp.files.head.toPath.getName
+    val delegate = inner.createReader(fp)
+    new PartitionReader[InternalRow] {
+      private val fileRow =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(name)))
+      private val joined = new JoinedRow
+      override def next(): Boolean = delegate.next()
+      override def get(): InternalRow = joined(delegate.get(), fileRow)
+      override def close(): Unit = delegate.close()
+    }
+  }
+}

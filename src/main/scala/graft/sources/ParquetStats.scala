@@ -447,7 +447,9 @@ class StatsPrunedParquetTable(
       org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), paths,
       Some(declared),
       classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   // `paths.head` is the `data/` dir; the table dir (schema manifest,
   // version ledger, generation swap) is its parent.
@@ -474,8 +476,33 @@ class StatsPrunedParquetTable(
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
     val inner = super.newScanBuilder(options)
-    inner.copy(fileIndex =
-      new StatsPrunedFileIndex(spark, new Path(paths.head), declared, allowed))
+    // the same genuine ParquetScanBuilder semantics, with (a) the file
+    // index swapped for footer-stats pruning + version pinning and (b)
+    // `_file` metadata-column service (FileTagScan.scala)
+    new FileTagParquetScanBuilder(inner.sparkSession,
+      new StatsPrunedFileIndex(spark, new Path(paths.head), declared, allowed),
+      inner.schema, inner.dataSchema, inner.options)
+  }
+
+  /** `_file` — the data file a row lives in: provenance when
+    * projected, the GROUP identity for copy-on-write UPDATE / MERGE /
+    * DELETE ([[ParquetRowLevelOperation]]). */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(ParquetFileMetaColumn)
+
+  /** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE` — Spark's
+    * group-based row-level-operations API on the parquet tier; full
+    * design on [[ParquetRowLevelOperation]]. (Footer-provable DELETEs
+    * keep taking the metadata-only `SupportsDelete` path below.) */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
+      s"${info.command} on a VERSION AS OF snapshot — time-travel tables are read-only")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new ParquetRowLevelOperation(tableDir, declared, info.command)
+    }
   }
 
   // Row-level DELETE (SQL `DELETE FROM graft.<ns>.<t>` / TRUNCATE via
