@@ -612,7 +612,46 @@ object Pipeline {
                  ORDER BY snap""")
   }
 
+  /** Storage-partitioned join on bucketed PARQUET tables
+    * ([[graft.sources.ParquetBucketing]]): the p15 shape on the parquet
+    * tier — orders-derived facts and customer-derived balances, both
+    * bucketed on user_id with the same spec, joined and aggregated per
+    * user. Both scans report `KeyGroupedPartitioning(bucket(8,
+    * user_id))`, so the join AND the group-by plan without a shuffle
+    * exchange (plan-asserted in ParquetBucketedJoinSpec; this query is
+    * the oracle-checked correctness side). */
+  def p19_parquet_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p19").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p19").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p19", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p19.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p19.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p19.lake.fact")
+    spark.sql("DROP TABLE IF EXISTS graft_p19.lake.dim")
+    spark.sql("CREATE TABLE graft_p19.lake.fact (user_id STRING, amount BIGINT)")
+    spark.sql("CREATE TABLE graft_p19.lake.dim (user_id STRING, amount BIGINT)")
+    graft.sources.ParquetBucketing.writeBucketed(spark,
+      Tables.orders(spark, dir).select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount")),
+      "graft_p19.lake.fact", "user_id", 8)
+    graft.sources.ParquetBucketing.writeBucketed(spark,
+      Tables.customer(spark, dir).select(
+        concat(lit("u"), col("c_custkey") % 97).as("user_id"),
+        (col("c_acctbal").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount")),
+      "graft_p19.lake.dim", "user_id", 8)
+    spark.sql("""
+      WITH bal AS (SELECT user_id, count(*) AS nc, sum(amount) AS bal
+                   FROM graft_p19.lake.dim GROUP BY user_id)
+      SELECT f.user_id, count(*) AS n, sum(f.amount) AS cents,
+             max(bal.nc) AS nc, max(bal.bal) AS bal
+      FROM graft_p19.lake.fact f JOIN bal ON f.user_id = bal.user_id
+      GROUP BY f.user_id ORDER BY f.user_id""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_parquet_bucketed_join" -> (p19_parquet_bucketed_join _),
     "p16_parquet_update" -> (p16_parquet_update _),
     "p17_parquet_merge" -> (p17_parquet_merge _),
     "p18_parquet_time_travel" -> (p18_parquet_time_travel _),
@@ -633,6 +672,19 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p19_parquet_bucketed_join" ->
+      """WITH f AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM orders),
+        |d AS (SELECT 'u' || CAST(c_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(c_acctbal AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM customer),
+        |bal AS (SELECT user_id, COUNT(*) AS nc, CAST(SUM(amount) AS BIGINT) AS bal
+        |        FROM d GROUP BY user_id)
+        |SELECT f.user_id, COUNT(*) AS n, CAST(SUM(f.amount) AS BIGINT) AS cents,
+        |       MAX(bal.nc) AS nc, MAX(bal.bal) AS bal
+        |FROM f JOIN bal ON f.user_id = bal.user_id
+        |GROUP BY f.user_id ORDER BY f.user_id""".stripMargin,
     "p16_parquet_update" ->
       """WITH t AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |    CAST(o_custkey % 19 AS BIGINT) AS bucket,

@@ -51,8 +51,33 @@ class FileTagParquetScanBuilder(sparkSession: SparkSession,
 
   override def build(): ParquetScan = {
     val inner = super.build()
-    if (!wantsFile) inner
-    else new FileTaggedScan(inner)
+    if (wantsFile) new FileTaggedScan(inner)
+    else bucketLayout(inner) match {
+      case Some((spec, buckets)) => new BucketedParquetScan(inner, spec, buckets)
+      case None => inner
+    }
+  }
+
+  /** Bucketed layout in force for THIS scan ([[ParquetBucketing]]):
+    * present only when the table pins a spec, the scan is a genuine
+    * row scan (no aggregate pushdown), and EVERY live file carries a
+    * bucket tag in its name. One untagged file downgrades to unknown
+    * partitioning — a join then shuffles, it never mis-co-locates. */
+  private def bucketLayout(inner: ParquetScan): Option[(LogBucketing.Spec, Seq[Int])] = {
+    if (inner.pushedAggregate.nonEmpty) return None
+    val roots = fileIndex.rootPaths
+    if (roots.length != 1 || roots.head.getParent == null) return None
+    val tableDir = roots.head.getParent.toString
+    ParquetBucketing.readSpec(tableDir).flatMap { spec =>
+      val live: Seq[String] = fileIndex match {
+        case s: StatsPrunedFileIndex if s.allowed.isDefined => s.allowed.get.toSeq
+        case _ => fileIndex.allFiles().map(_.getPath.getName)
+      }
+      val tags = live.map(ParquetBucketing.bucketOfName)
+      if (live.nonEmpty && tags.forall(_.isDefined))
+        Some((spec, tags.flatten.distinct.sorted))
+      else None
+    }
   }
 }
 

@@ -124,6 +124,24 @@ object LogProcedures {
           Seq(st.segmentsBefore, st.bytesBefore, st.segmentsAfter))
       }
     },
+    "set_bucket_spec" -> new MaintenanceProcedure("set_bucket_spec",
+      "pin a table's bucket layout {col, n} for storage-partitioned joins") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("col", StringType)
+          .comment("bucket key column").build(),
+        ProcedureParameter.in("n", IntegerType)
+          .comment("bucket count").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        val spec = LogBucketing.Spec(input.getUTF8String(1).toString, input.getInt(2))
+        if (isParquetTable(dir)) ParquetBucketing.writeSpec(spark, dir, spec)
+        else LogBucketing.writeSpec(dir, spec)
+        oneRow(StructType(Seq(
+          StructField("col", StringType, nullable = false),
+          StructField("n", IntegerType, nullable = false))),
+          Seq(spec.col, spec.n))
+      }
+    },
     "compact_table" -> new MaintenanceProcedure("compact_table",
       "bin-pack a catalog parquet table's data files (crash-safe generation swap)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,

@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-callable maintenance (`CALL graft.system.*`,
+  * [[LogProcedures]]): round-trips for every verb on both storage
+  * tiers, argument defaults, result rows, and the path-traversal guard
+  * (ADVICE r9 — a CALL argument must reach no path the catalog
+  * couldn't). */
+class LogProceduresSpec extends AnyFunSuite {
+
+  private val warehouse: String =
+    Files.createTempDirectory("graft_proc_wh").toString
+
+  lazy val spark: SparkSession = {
+    val s = graft.Sessions.base("local[4]", 4)
+    s.conf.set("spark.sql.catalog.graft_proc", "graft.sources.LogCatalog")
+    s.conf.set("spark.sql.catalog.graft_proc.warehouse", warehouse)
+    s
+  }
+
+  private def mkLog(name: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_proc.ops")
+    spark.sql(s"DROP TABLE IF EXISTS graft_proc.ops.$name")
+    spark.sql(s"""CREATE TABLE graft_proc.ops.$name
+      (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    (0 until 3).foreach { i =>
+      spark.range(i * 10, i * 10 + 10).select(
+        concat(lit("u"), col("id") % 5).as("user_id"),
+        (col("id") * 3).as("amount"),
+        lit(null).cast("binary").as("msg"),
+        sha2(col("id").cast("string"), 256).as("sha256sum"))
+        .repartition(1)
+        .writeTo(s"graft_proc.ops.$name").append()
+    }
+    s"graft_proc.ops.$name"
+  }
+
+  private def mkParquet(name: String): String = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_proc.lake")
+    spark.sql(s"DROP TABLE IF EXISTS graft_proc.lake.$name")
+    spark.sql(s"CREATE TABLE graft_proc.lake.$name (id BIGINT, score BIGINT)")
+    (0 until 4).foreach { i =>
+      spark.range(i * 25, i * 25 + 25)
+        .select(col("id"), (col("id") * 2).as("score"))
+        .repartition(1)
+        .writeTo(s"graft_proc.lake.$name").append()
+    }
+    s"graft_proc.lake.$name"
+  }
+
+  test("enable_versioning → vacuum round-trip on a log table") {
+    val t = mkLog("l1")
+    val v = spark.sql(
+      "CALL graft_proc.system.enable_versioning(table => 'ops.l1')")
+      .collect()(0).getLong(0)
+    assert(v === 1L)
+    spark.sql(s"DELETE FROM $t WHERE amount < 30") // v2
+    val deleted = spark.sql(
+      "CALL graft_proc.system.vacuum(table => 'ops.l1', retain_last => 1)")
+      .collect()(0).getLong(0)
+    assert(deleted >= 1L)
+    assert(spark.table(t).count() === 20L)
+  }
+
+  test("compact_log round-trip: fewer segments, same rows") {
+    val t = mkLog("l2")
+    val before = spark.table(t).collect().map(_.toString).sorted
+    val row = spark.sql(
+      """CALL graft_proc.system.compact_log(table => 'ops.l2',
+        |compaction_id => 'proc1')""".stripMargin).collect()(0)
+    assert(row.getLong(0) === 3L) // segments_before
+    assert(row.getLong(2) === 1L) // segments_after
+    assert(spark.table(t).collect().map(_.toString).sorted === before)
+  }
+
+  test("enable_versioning + compact_table dispatch to the parquet tier") {
+    val t = mkParquet("p1")
+    val v = spark.sql(
+      "CALL graft_proc.system.enable_versioning(table => 'lake.p1')")
+      .collect()(0).getLong(0)
+    assert(v === 1L)
+    val row = spark.sql(
+      "CALL graft_proc.system.compact_table(table => 'lake.p1')").collect()(0)
+    assert(row.getLong(0) === 4L && row.getLong(3) === 1L)
+    // versioned compaction published a commit: v1 still readable
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 100L)
+    val deleted = spark.sql(
+      "CALL graft_proc.system.vacuum(table => 'lake.p1', retain_last => 1)")
+      .collect()(0).getLong(0)
+    assert(deleted === 4L)
+    assert(spark.table(t).count() === 100L)
+  }
+
+  test("set_bucket_spec pins the layout on both tiers") {
+    mkLog("l3"); mkParquet("p2")
+    val r1 = spark.sql(
+      "CALL graft_proc.system.set_bucket_spec(table => 'ops.l3', col => 'user_id', n => 4)")
+      .collect()(0)
+    assert(r1.getString(0) === "user_id" && r1.getInt(1) === 4)
+    assert(LogBucketing.readSpec(s"$warehouse/ops/l3")
+      .contains(LogBucketing.Spec("user_id", 4)))
+    val err = intercept[Exception] {
+      spark.sql(
+        "CALL graft_proc.system.set_bucket_spec(table => 'ops.l3', col => 'user_id', n => 8)")
+    }
+    assert(err.getMessage.contains("already bucketed"))
+    // parquet tier: col must exist and be a string
+    val err2 = intercept[Exception] {
+      spark.sql(
+        "CALL graft_proc.system.set_bucket_spec(table => 'lake.p2', col => 'id', n => 4)")
+    }
+    assert(err2.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("path traversal in CALL arguments is rejected") {
+    mkLog("l4")
+    val outside = Files.createTempDirectory("graft_proc_outside")
+    Files.createFile(outside.resolve("victim.txt"))
+    val err = intercept[Exception] {
+      spark.sql(s"CALL graft_proc.system.vacuum(table => '../${outside.getFileName}')")
+    }
+    assert(err.getMessage.contains("bad table identifier") ||
+      err.getMessage.contains("plain names"))
+    assert(Files.exists(outside.resolve("victim.txt")))
+  }
+
+  test("procedures are listable and unknown names fail with the catalog's list") {
+    val shown = spark.sql("SHOW PROCEDURES IN graft_proc.system")
+    val nameIdx = shown.schema.fields.lastIndexWhere(f =>
+      f.dataType == org.apache.spark.sql.types.StringType &&
+        f.name.toLowerCase.contains("name"))
+    val names = shown.collect().map(_.getString(nameIdx)).toSet
+    assert(Set("enable_versioning", "vacuum", "compact_log", "compact_table",
+      "set_bucket_spec").subsetOf(names))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage-partitioned joins on bucketed catalog PARQUET tables
+  * ([[ParquetBucketing]]): two tables bucketed on the same key join
+  * WITHOUT a shuffle exchange, a GROUP BY on the key aggregates
+  * exchange-free, and the layout degrades safely — one untagged file
+  * (plain append, rewrite output) downgrades the scan to shuffling,
+  * never to wrong co-location. */
+class ParquetBucketedJoinSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.Sessions.base("local[4]", 4)
+
+  private def ensureCatalog(): Unit = {
+    if (spark.conf.getOption("spark.sql.catalog.graft_pqspj").isEmpty) {
+      val wh = Files.createTempDirectory("graft_pqspj_wh").toString
+      spark.conf.set("spark.sql.catalog.graft_pqspj", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_pqspj.warehouse", wh)
+    }
+  }
+
+  private def df(users: Int, rows: Int, mult: Int): DataFrame =
+    spark.range(rows).select(
+      concat(lit("u"), col("id") % users).as("user_id"),
+      (col("id") * mult).as("amount"))
+
+  private def mkTable(name: String): String = {
+    ensureCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_pqspj.lake")
+    spark.sql(s"DROP TABLE IF EXISTS graft_pqspj.lake.$name")
+    spark.sql(s"""CREATE TABLE graft_pqspj.lake.$name
+      (user_id STRING, amount BIGINT)""")
+    s"graft_pqspj.lake.$name"
+  }
+
+  private def withPlainPlans[T](body: => T): T = {
+    val conf = spark.conf
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    val oldBc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldBc)
+    }
+  }
+
+  test("same-spec bucketed parquet join plans with no Exchange, results exact") {
+    val t1 = mkTable("j1"); val t2 = mkTable("j2")
+    val d1 = df(40, 400, 7); val d2 = df(25, 60, 11)
+    ParquetBucketing.writeBucketed(spark, d1, t1, "user_id", 4)
+    ParquetBucketing.writeBucketed(spark, d2, t2, "user_id", 4)
+    withPlainPlans {
+      val joined = spark.table(t1).alias("l")
+        .join(spark.table(t2).alias("r"), "user_id")
+        .select(col("user_id"), col("l.amount"), col("r.amount"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"same-spec bucketed join must be shuffle-free, got:\n$plan")
+      val got = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = d1.alias("l").join(d2.alias("r"), "user_id")
+        .select(col("user_id"), col("l.amount"), col("r.amount"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("GROUP BY the bucket key aggregates without an exchange") {
+    val t = mkTable("agg1")
+    ParquetBucketing.writeBucketed(spark, df(30, 300, 3), t, "user_id", 4)
+    withPlainPlans {
+      val agg = spark.table(t).groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("amount").as("total"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed GROUP BY must be exchange-free, got:\n$plan")
+      val got = agg.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = df(30, 300, 3).groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("amount").as("total"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+    }
+  }
+
+  test("pushed filters still prune files inside a bucketed scan") {
+    val t = mkTable("f1")
+    ParquetBucketing.writeBucketed(spark, df(8, 160, 5), t, "user_id", 4)
+    val probe = spark.table(t).filter(col("user_id") === "u3")
+    val got = probe.agg(count(lit(1)), sum("amount")).collect()(0)
+    val want = df(8, 160, 5).filter(col("user_id") === "u3")
+      .agg(count(lit(1)), sum("amount")).collect()(0)
+    assert(got.getLong(0) === want.getLong(0) && got.getLong(1) === want.getLong(1))
+  }
+
+  test("an untagged file downgrades to a shuffling join, results stay exact") {
+    val t1 = mkTable("mix1"); val t2 = mkTable("mix2")
+    ParquetBucketing.writeBucketed(spark, df(20, 200, 7), t1, "user_id", 4)
+    ParquetBucketing.writeBucketed(spark, df(20, 50, 11), t2, "user_id", 4)
+    // a plain v1-path append lands an untagged part-* file
+    spark.sql(s"INSERT INTO $t1 VALUES ('u3', 777777)")
+    withPlainPlans {
+      val joined = spark.table(t1).alias("l").join(spark.table(t2), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("Exchange"),
+        s"mixed-layout join must fall back to shuffling, got:\n$plan")
+      assert(joined.filter(col("l.amount") === 777777).count() > 0)
+    }
+  }
+
+  test("conflicting bucket re-declaration is rejected") {
+    val t = mkTable("c1")
+    ParquetBucketing.writeBucketed(spark, df(5, 50, 2), t, "user_id", 4)
+    val err = intercept[IllegalArgumentException] {
+      ParquetBucketing.writeBucketed(spark, df(5, 50, 2), t, "user_id", 8)
+    }
+    assert(err.getMessage.contains("already bucketed"))
+  }
+
+  test("bucketed layout composes with versioning: time travel stays exact") {
+    val t = mkTable("v1")
+    ensureCatalog()
+    val wh = spark.conf.get("spark.sql.catalog.graft_pqspj.warehouse")
+    val tableDir = s"$wh/lake/v1"
+    ParquetBucketing.writeBucketed(spark, df(10, 100, 3), t, "user_id", 4)
+    ParquetVersions.enable(tableDir)
+    spark.sql(s"DELETE FROM $t WHERE amount % 2 = 1") // group rewrite, untagged outputs
+    val v1 = spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    assert(v1 === 100L)
+    assert(spark.table(t).count() < 100L)
+  }
+}
