@@ -395,7 +395,8 @@ class LimitHashLogTable(path: String, version: Option[Long] = None)
         .getOrElse(128L * 1024 * 1024),
       columnar = Option(options.get("columnar")).forall(_.toBoolean),
       maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
-      version = version)
+      version = version,
+      startVersion = Option(options.get("startVersion")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("WRITE")
     new LogWriteBuilder(path, info.queryId(), info.options())
@@ -750,7 +751,8 @@ case class LogBucketedCommit(parts: Seq[(String, Int, SegmentStats)],
 
 class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
     maxPartitionBytes: Long = 128L * 1024 * 1024, columnar: Boolean = true,
-    maxBytesPerTrigger: Option[Long] = None, version: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None, version: Option[Long] = None,
+    startVersion: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -853,7 +855,7 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
   override def build(): Scan =
     new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger,
       maxPartitionBytes, columnar, aggTags, maxBytesPerTrigger, aggStats,
-      limit, version)
+      limit, version, startVersion)
 }
 
 /** Sum-aggregated scan metrics (driver-reported; keyed into the SQL
@@ -902,7 +904,8 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     maxBytesPerTrigger: Option[Long] = None,
     aggStats: Seq[SegmentStats] = Seq.empty,
     limit: Option[Int] = None,
-    version: Option[Long] = None)
+    version: Option[Long] = None,
+    startVersion: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -967,7 +970,7 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
   override def toMicroBatchStream(
       checkpointLocation: String): sread.MicroBatchStream =
     new LogMicroBatchStream(path, required, pushed, maxFilesPerTrigger,
-      maxBytesPerTrigger)
+      maxBytesPerTrigger, startVersion)
   override def description(): String =
     s"LimitHashLog path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
       (if (aggTags.nonEmpty) s", PushedAggregates: ${aggTags.mkString("[", ", ", "]")}" else "") +
@@ -1411,10 +1414,33 @@ object LogOffset {
   * as the batch scan. */
 class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    startVersion: Option[Long] = None)
     extends sread.MicroBatchStream with sread.SupportsAdmissionControl {
 
-  override def initialOffset(): sread.Offset = LogOffset(Seq.empty)
+  /** Where a FRESH stream (no checkpoint) starts: from the beginning,
+    * or — `option("startVersion", n)` — from snapshot n of a versioned
+    * log: version n's segments count as already-seen, so the stream
+    * replays exactly the changes SINCE that snapshot (batch-read the
+    * snapshot itself with `VERSION AS OF n`, stream the rest — the
+    * Delta `startingVersion` shape, composing the r9 ledger with the
+    * offset log). A checkpoint restart keeps its committed offset;
+    * startVersion only seeds the initial one. */
+  override def initialOffset(): sread.Offset = startVersion match {
+    case None => LogOffset(Seq.empty)
+    case Some(v) =>
+      val names = LogVersions.get(path, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"startVersion $v: no such version in $path " +
+            "(not versioned, never committed, or vacuumed)")).toSet
+      // resolve through the listing so the offset carries the same
+      // QUALIFIED paths latestOffset compares against (a name the
+      // listing no longer has was vacuumed — it can never be listed
+      // again, so omitting it is safe)
+      LogOffset(LimitHashLog.segments(path).collect {
+        case (f, _) if names(new Path(f).getName) => f
+      })
+  }
 
   override def latestOffset(): sread.Offset =
     LogOffset(LimitHashLog.liveSegments(path).map(_._1))

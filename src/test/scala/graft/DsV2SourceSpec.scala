@@ -260,6 +260,51 @@ class DsV2SourceSpec extends AnyFunSuite {
       s"restart must read only unseen segments: ${afterRestart.mkString(",")}")
   }
 
+  test("streaming read pinned to a version: startVersion replays changes since the snapshot") {
+    val dir = Files.createTempDirectory("graft_lhlog_sv").toString
+    val ck = Files.createTempDirectory("graft_lhlog_sv_ck").toString
+    writeDir(sampleDf("a", 5), dir, "append")
+    graft.sources.LogVersions.enable(dir) // v1 = the 'a' segment
+    writeDir(sampleDf("b", 3), dir, "append") // v2
+    writeDir(sampleDf("c", 2), dir, "append") // v3
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def start() = spark.readStream.format(LimitHashLog.FORMAT)
+      .option("startVersion", "1").load(dir)
+      .select("user_id")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add(r.getString(0))): Unit)
+      .start()
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    // v1's rows are NOT replayed; everything after the snapshot is
+    val got = seen.asScala.toSeq
+    assert(got.length === 5 && got.forall(u => u.startsWith("b") || u.startsWith("c")),
+      s"startVersion=1 must replay only post-snapshot segments: ${got.mkString(",")}")
+    // a checkpoint restart keeps its offset: startVersion seeds only a
+    // FRESH stream; new appends still flow
+    seen.clear()
+    writeDir(sampleDf("d", 2), dir, "append")
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    val after = seen.asScala.toSeq
+    assert(after.length === 2 && after.forall(_.startsWith("d")),
+      s"restart must read only unseen segments: ${after.mkString(",")}")
+    // a version that never existed fails loudly
+    val err = intercept[Exception] {
+      val bad = spark.readStream.format(LimitHashLog.FORMAT)
+        .option("startVersion", "99").load(dir)
+        .writeStream.format("noop").start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    assert(err.getMessage.contains("startVersion") ||
+      Option(err.getCause).exists(_.getMessage.contains("startVersion")))
+  }
+
   test("streaming read admission control: maxFilesPerTrigger bounds every micro-batch") {
     val dir = Files.createTempDirectory("graft_lhlog_adm").toString
     val ck = Files.createTempDirectory("graft_lhlog_adm_ck").toString
