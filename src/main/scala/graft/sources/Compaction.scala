@@ -360,17 +360,32 @@ object Compaction {
       .sortBy(s => (s.getModificationTime, s.getPath.getName))
     val bytesBefore = files.map(_.getLen).sum
 
-    // greedy adjacent bin-pack
-    val bins = Seq.newBuilder[Seq[org.apache.hadoop.fs.FileStatus]]
-    var cur = Vector.empty[org.apache.hadoop.fs.FileStatus]
-    var curBytes = 0L
-    for (f <- files) {
-      if (cur.nonEmpty && curBytes + f.getLen > targetBytes) {
-        bins += cur; cur = Vector.empty; curBytes = 0L
+    // Bucket-aware packing: on a bucketed table ([[ParquetBucketing]])
+    // pack WITHIN each name-tagged bucket, so merged files keep their
+    // tag (`…-b<k>.parquet`) and the key-grouped layout survives
+    // compaction. Untagged files pack together; their outputs stay
+    // untagged — the scan's every-file-tagged proof handles the mix
+    // safely (same contract as compactLog on the log tier).
+    val tagOf: String => Option[Int] =
+      if (ParquetBucketing.readSpec(tableDir).isEmpty) _ => None
+      else ParquetBucketing.bucketOfName
+    val packGroups: Seq[(Option[Int], Seq[org.apache.hadoop.fs.FileStatus])] =
+      files.toSeq.groupBy(s => tagOf(s.getPath.getName))
+        .toSeq.sortBy(_._1.getOrElse(Int.MinValue))
+
+    // greedy adjacent bin-pack, per pack group; each bin remembers its tag
+    val bins = Seq.newBuilder[(Seq[org.apache.hadoop.fs.FileStatus], Option[Int])]
+    packGroups.foreach { case (tag, members) =>
+      var cur = Vector.empty[org.apache.hadoop.fs.FileStatus]
+      var curBytes = 0L
+      for (f <- members) {
+        if (cur.nonEmpty && curBytes + f.getLen > targetBytes) {
+          bins += ((cur, tag)); cur = Vector.empty; curBytes = 0L
+        }
+        cur = cur :+ f; curBytes += f.getLen
       }
-      cur = cur :+ f; curBytes += f.getLen
+      if (cur.nonEmpty) bins += ((cur, tag))
     }
-    if (cur.nonEmpty) bins += cur
 
     // Output names carry a fresh per-operation token: a hardlinked
     // single-file bin keeps its ORIGINAL name, which may be a previous
@@ -386,9 +401,9 @@ object Compaction {
       // untouched (zero I/O). The version publish is the only
       // visibility event — a crash before it leaves unreferenced
       // `compact-*` files the live rule ignores and vacuum reclaims.
-      val multiBins = bins.result().filter(_.length > 1)
+      val multiBins = bins.result().filter(_._1.length > 1)
       val written = Seq.newBuilder[String]
-      multiBins.zipWithIndex.foreach { case (bin, i) =>
+      multiBins.zipWithIndex.foreach { case ((bin, tag), i) =>
         val staging = new Path(base, s".compact-$opId-$i")
         fs.delete(staging, true)
         val merged = spark.read.schema(declared).parquet(bin.map(_.getPath.toString): _*)
@@ -396,7 +411,9 @@ object Compaction {
         val part = fs.listStatus(staging)
           .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .getOrElse(throw new java.io.IOException(s"no output part in $staging"))
-        val name = f"compact-$opId-$i%05d.parquet"
+        // a tagged bin's output keeps its bucket in the name — the
+        // key-grouped layout survives compaction
+        val name = f"compact-$opId-$i%05d" + tag.fold("")(k => s"-b$k") + ".parquet"
         if (!fs.rename(part.getPath, new Path(data, name))) {
           throw new java.io.IOException(s"stage rename failed for bin $i")
         }
@@ -404,12 +421,12 @@ object Compaction {
         written += name
       }
       val outputs = written.result()
-      val inputNames = multiBins.flatten.map(_.getPath.getName).toSet
+      val inputNames = multiBins.flatMap(_._1).map(_.getPath.getName).toSet
       // abort-on-mismatch BEFORE the publish: the staged outputs must
       // carry exactly the rows of the bins they replace
       if (multiBins.nonEmpty) {
         val rowsIn = spark.read.schema(declared)
-          .parquet(multiBins.flatten.map(_.getPath.toString): _*).count()
+          .parquet(multiBins.flatMap(_._1).map(_.getPath.toString): _*).count()
         val rowsOut = spark.read.schema(declared)
           .parquet(outputs.map(n => new Path(data, n).toString): _*).count()
         if (rowsIn != rowsOut) {
@@ -432,7 +449,7 @@ object Compaction {
     fs.delete(next, true) // stale unfinished build of a crashed attempt
     fs.mkdirs(next)
     var rows = 0L
-    bins.result().zipWithIndex.foreach { case (bin, i) =>
+    bins.result().zipWithIndex.foreach { case ((bin, tag), i) =>
       if (bin.length == 1) {
         val src = bin.head.getPath
         linkOrCopy(fs, spark.sparkContext.hadoopConfiguration,
@@ -444,7 +461,8 @@ object Compaction {
         val part = fs.listStatus(staging)
           .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .getOrElse(throw new java.io.IOException(s"no output part in $staging"))
-        if (!fs.rename(part.getPath, new Path(next, f"compact-$opId-$i%05d.parquet"))) {
+        val name = f"compact-$opId-$i%05d" + tag.fold("")(k => s"-b$k") + ".parquet"
+        if (!fs.rename(part.getPath, new Path(next, name))) {
           throw new java.io.IOException(s"stage rename failed for bin $i")
         }
         fs.delete(staging, true)

@@ -227,17 +227,16 @@ object ParquetDelete {
       (u.result(), d.result(), w.result())
     }
 
-    // one distributed job over all affected files; survivors are rows
-    // where the predicate is FALSE **or NULL** (SQL DELETE removes
-    // only TRUE rows). Returns the staged survivor files.
-    // re-resolve the condition against THIS DataFrame's attributes
-    // (the classify expression carries fresh exprIds)
-    def rewriteSurvivors(staging: Path): Unit = {
+    // survivors are rows where the predicate is FALSE **or NULL** (SQL
+    // DELETE removes only TRUE rows). The condition is re-resolved
+    // against THIS DataFrame's attributes (the classify expression
+    // carries fresh exprIds).
+    def rewriteSurvivors(inputs: Seq[Path], staging: Path): Unit = {
       val unresolvedCond = cond.transform {
         case a: AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
       }
-      spark.read.schema(declared).parquet(rewrites.map(_.toString): _*)
+      spark.read.schema(declared).parquet(inputs.map(_.toString): _*)
         .filter(not(coalesce(
           org.apache.spark.sql.GraftShims.column(unresolvedCond), lit(false))))
         .write.mode("overwrite").parquet(staging.toString)
@@ -248,22 +247,40 @@ object ParquetDelete {
     // with it (rename fails if the destination exists). Same
     // discipline as [[Compaction.compactTable]].
     val opId = java.util.UUID.randomUUID().toString.take(8)
-    def renameParts(staging: Path, into: Path): Seq[String] = {
+    var partIdx = 0
+    def renameParts(staging: Path, into: Path, tag: Option[Int]): Seq[String] = {
       val out = Seq.newBuilder[String]
-      var i = 0
       fs.listStatus(staging).foreach { s =>
         if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
-          val name = f"delete-$opId-$i%05d.parquet"
+          val name = f"delete-$opId-$partIdx%05d" +
+            tag.fold("")(k => s"-b$k") + ".parquet"
           if (!fs.rename(s.getPath, new Path(into, name))) {
             throw new java.io.IOException(s"stage rename failed for ${s.getPath}")
           }
           out += name
-          i += 1
+          partIdx += 1
         }
       }
       fs.delete(staging, true)
       out.result()
     }
+    // Bucketed table ([[ParquetBucketing]]): rewrite WITHIN each
+    // name-tagged bucket — one job per affected bucket — so every
+    // survivor file keeps its tag and the key-grouped layout survives
+    // the DELETE. Untagged inputs rewrite together, outputs untagged.
+    val tagOf: Path => Option[Int] =
+      if (ParquetBucketing.readSpec(tableDir).isEmpty) _ => None
+      else p => ParquetBucketing.bucketOfName(p.getName)
+    val rewriteGroups: Seq[(Option[Int], Seq[Path])] =
+      rewrites.groupBy(tagOf).toSeq.sortBy(_._1.getOrElse(Int.MinValue))
+    def rewriteAll(into: Path): Seq[String] =
+      rewriteGroups.flatMap { case (tag, members) =>
+        val staging = new Path(base,
+          s".delete-$opId" + tag.fold("")(k => s"-b$k"))
+        fs.delete(staging, true)
+        rewriteSurvivors(members, staging)
+        renameParts(staging, into, tag)
+      }
 
     if (versioned) {
       // Snapshot commit ([[ParquetVersions]]): survivors land in
@@ -273,13 +290,7 @@ object ParquetDelete {
       // `delete-*` files that the live rule ignores and vacuum
       // reclaims.
       val written =
-        if (rewrites.isEmpty) Seq.empty[String]
-        else {
-          val staging = new Path(base, s".delete-$opId")
-          fs.delete(staging, true)
-          rewriteSurvivors(staging)
-          renameParts(staging, data)
-        }
+        if (rewrites.isEmpty) Seq.empty[String] else rewriteAll(data)
       val droppedNames = dropped.map(_.getName).toSet
       val rewriteNames = rewrites.map(_.getName).toSet
       ParquetVersions.commit(tableDir) { live =>
@@ -290,11 +301,7 @@ object ParquetDelete {
       fs.delete(next, true)
       fs.mkdirs(next)
       untouched.foreach(p => Compaction.linkOrCopy(fs, conf, p, new Path(next, p.getName)))
-      if (rewrites.nonEmpty) {
-        val staging = new Path(next, ".rewrite")
-        rewriteSurvivors(staging)
-        renameParts(staging, next)
-      }
+      if (rewrites.nonEmpty) rewriteAll(next)
       fs.create(new Path(next, "_COMPACT_SUCCESS"), true).close()
       Compaction.swapGenerations(fs, base)
     }

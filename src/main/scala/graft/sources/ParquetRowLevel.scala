@@ -244,9 +244,20 @@ class ParquetReplaceDataWrite(op: ParquetRowLevelOperation, tableDir: String,
       val job = org.apache.hadoop.mapreduce.Job.getInstance(
         spark.sessionState.newHadoopConf())
       val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, declared)
+      // a bucketed table KEEPS its layout through UPDATE/MERGE: each
+      // writer computes every replacement row's bucket from its own
+      // key bytes (same murmur3-pmod as the layout), so rewritten
+      // files come back fully tagged and the scan's key-grouped
+      // partitioning claim survives the operation
+      val bucketBy: Option[(Int, Int)] =
+        ParquetBucketing.readSpec(tableDir).map { spec =>
+          val idx = declared.fieldNames.indexWhere(_.equalsIgnoreCase(spec.col))
+          require(idx >= 0, s"bucket column ${spec.col} missing from ${declared.fieldNames.mkString(",")}")
+          (idx, spec.n)
+        }
       new ParquetStageWriterFactory(owf,
         new SerializableConfiguration(job.getConfiguration), declared,
-        stagingDir.toString)
+        stagingDir.toString, bucketBy)
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -265,15 +276,18 @@ class ParquetReplaceDataWrite(op: ParquetRowLevelOperation, tableDir: String,
 
       val written = Seq.newBuilder[String]
       messages.foreach {
-        case ParquetStageCommit(staged, pid) if staged.nonEmpty =>
-          val name = f"rlo-$queryId-$pid%05d.parquet"
-          val to = new Path(data, name)
-          if (fs.exists(to)) fs.delete(to, false) // retried stage: replace
-          if (!fs.rename(new Path(staged), to)) {
-            throw new java.io.IOException(
-              s"ParquetReplaceDataWrite: rename $staged -> $to failed")
+        case ParquetStageCommit(staged, pid) =>
+          staged.zipWithIndex.foreach { case ((path, tag), j) =>
+            val name = f"rlo-$queryId-$pid%05d-$j" +
+              tag.fold("")(k => s"-b$k") + ".parquet"
+            val to = new Path(data, name)
+            if (fs.exists(to)) fs.delete(to, false) // retried stage: replace
+            if (!fs.rename(new Path(path), to)) {
+              throw new java.io.IOException(
+                s"ParquetReplaceDataWrite: rename $path -> $to failed")
+            }
+            written += name
           }
-          written += name
         case _ =>
       }
       fs.delete(stagingDir, true)
@@ -301,10 +315,15 @@ class ParquetReplaceDataWrite(op: ParquetRowLevelOperation, tableDir: String,
     s"ParquetReplaceDataWrite dir=$tableDir"
 }
 
-case class ParquetStageCommit(staged: String, pid: Int) extends WriterCommitMessage
+/** Staged replacement files of one task: (path, bucket tag) pairs —
+  * one file per task on an unbucketed table, one per written bucket on
+  * a bucketed one. */
+case class ParquetStageCommit(staged: Seq[(String, Option[Int])], pid: Int)
+    extends WriterCommitMessage
 
 class ParquetStageWriterFactory(owf: OutputWriterFactory,
-    conf: SerializableConfiguration, schema: StructType, stagingDir: String)
+    conf: SerializableConfiguration, schema: StructType, stagingDir: String,
+    bucketBy: Option[(Int, Int)] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
@@ -314,28 +333,44 @@ class ParquetStageWriterFactory(owf: OutputWriterFactory,
       new TaskID(new JobID("graft-rlo", 0), TaskType.MAP, partitionId),
       (taskId % Int.MaxValue).toInt)
     val ctx = new TaskAttemptContextImpl(conf.value, attempt)
-    // task-unique staged name: speculative attempts never collide, and
-    // the driver renames exactly the committed attempt's file
-    val path = s"$stagingDir/stage-$partitionId-$taskId.parquet"
+    // task-unique staged names: speculative attempts never collide, and
+    // the driver renames exactly the committed attempt's files
+    def pathFor(tag: Option[Int]): String =
+      s"$stagingDir/stage-$partitionId-$taskId" +
+        tag.fold("")(k => s"-b$k") + ".parquet"
+
     new DataWriter[InternalRow] {
-      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
-      private var rows = 0L
+      private val writers = scala.collection.mutable.Map.empty[Option[Int],
+        org.apache.spark.sql.execution.datasources.OutputWriter]
+
+      /** The row's layout bucket: same murmur3(seed 42) pmod n as the
+        * bucketed write path and the catalog `bucket` function; a NULL
+        * key hashes to the seed, matching `hash(col)` semantics. */
+      private def tagOf(row: InternalRow): Option[Int] = bucketBy.map {
+        case (idx, n) =>
+          val h = if (row.isNullAt(idx)) 42
+            else org.apache.spark.sql.GraftShims.murmur3(row.getUTF8String(idx))
+          math.floorMod(h, n)
+      }
+
       override def write(row: InternalRow): Unit = {
-        if (writer == null) writer = owf.newInstance(path, schema, ctx)
-        writer.write(row)
-        rows += 1
+        val tag = tagOf(row)
+        writers.getOrElseUpdate(tag,
+          owf.newInstance(pathFor(tag), schema, ctx)).write(row)
       }
       override def commit(): WriterCommitMessage = {
-        if (writer != null) writer.close()
-        // an empty writer stages nothing: a fully-deleted group simply
-        // leaves no replacement file
-        ParquetStageCommit(if (rows > 0) path else "", partitionId)
+        writers.values.foreach(_.close())
+        // an empty writer set stages nothing: a fully-deleted group
+        // simply leaves no replacement file
+        ParquetStageCommit(writers.keys.toSeq.map(t => (pathFor(t), t)), partitionId)
       }
       override def abort(): Unit = {
-        if (writer != null) writer.close()
-        val p = new Path(path)
-        val fs = p.getFileSystem(conf.value)
-        if (fs.exists(p)) fs.delete(p, false)
+        writers.values.foreach(_.close())
+        writers.keys.foreach { t =>
+          val p = new Path(pathFor(t))
+          val fs = p.getFileSystem(conf.value)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
         ()
       }
       override def close(): Unit = ()

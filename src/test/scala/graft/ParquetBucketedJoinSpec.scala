@@ -124,6 +124,43 @@ class ParquetBucketedJoinSpec extends AnyFunSuite {
     assert(err.getMessage.contains("already bucketed"))
   }
 
+  test("compaction, DELETE and UPDATE all preserve the bucketed layout") {
+    ensureCatalog()
+    val wh = spark.conf.get("spark.sql.catalog.graft_pqspj.warehouse")
+    val t1 = mkTable("mnt1"); val t2 = mkTable("mnt2")
+    // several small bucketed appends → many files per bucket
+    (0 until 3).foreach { _ =>
+      ParquetBucketing.writeBucketed(spark, df(12, 60, 7), t1, "user_id", 4)
+    }
+    ParquetBucketing.writeBucketed(spark, df(12, 24, 11), t2, "user_id", 4)
+    val before = spark.table(t1).count()
+    // compact merges WITHIN buckets; merged files keep their -b<k> tag
+    val st = Compaction.compactTable(spark, s"$wh/lake/mnt1", targetBytes = 1L << 30)
+    assert(st.filesAfter === 4L, s"expected one file per bucket, got ${st.filesAfter}")
+    assert(spark.table(t1).count() === before)
+    // footer-classified DELETE rewrites per bucket; survivors keep tags
+    spark.sql(s"DELETE FROM $t1 WHERE amount > 1000")
+    // row-level UPDATE rewrites come back tagged too (writer-computed)
+    spark.sql(s"UPDATE $t1 SET amount = amount + 1 WHERE user_id = 'u3'")
+    withPlainPlans {
+      val joined = spark.table(t1).join(spark.table(t2), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"post-maintenance bucketed join must stay shuffle-free, got:\n$plan")
+      assert(joined.filter(col("user_id") === "u3").count() > 0)
+    }
+    // and the data is still right: mirror the maintenance on the raw df
+    val raw = (0 until 3).map(_ => df(12, 60, 7)).reduce(_ union _)
+      .filter(col("amount") <= 1000)
+      .withColumn("amount", when(col("user_id") === "u3",
+        col("amount") + 1).otherwise(col("amount")))
+    val got = spark.table(t1).groupBy("user_id").agg(sum("amount").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = raw.groupBy("user_id").agg(sum("amount").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("bucketed layout composes with versioning: time travel stays exact") {
     val t = mkTable("v1")
     ensureCatalog()
