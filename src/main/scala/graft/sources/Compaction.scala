@@ -402,8 +402,7 @@ object Compaction {
       // visibility event — a crash before it leaves unreferenced
       // `compact-*` files the live rule ignores and vacuum reclaims.
       val multiBins = bins.result().filter(_._1.length > 1)
-      val written = Seq.newBuilder[String]
-      multiBins.zipWithIndex.foreach { case ((bin, tag), i) =>
+      val outputs = inParallel(multiBins.zipWithIndex) { case ((bin, tag), i) =>
         val staging = new Path(base, s".compact-$opId-$i")
         fs.delete(staging, true)
         val merged = spark.read.schema(declared).parquet(bin.map(_.getPath.toString): _*)
@@ -418,9 +417,8 @@ object Compaction {
           throw new java.io.IOException(s"stage rename failed for bin $i")
         }
         fs.delete(staging, true)
-        written += name
+        name
       }
-      val outputs = written.result()
       val inputNames = multiBins.flatMap(_._1).map(_.getPath.getName).toSet
       // abort-on-mismatch BEFORE the publish: the staged outputs must
       // carry exactly the rows of the bins they replace
@@ -449,7 +447,7 @@ object Compaction {
     fs.delete(next, true) // stale unfinished build of a crashed attempt
     fs.mkdirs(next)
     var rows = 0L
-    bins.result().zipWithIndex.foreach { case ((bin, tag), i) =>
+    inParallel(bins.result().zipWithIndex) { case ((bin, tag), i) =>
       if (bin.length == 1) {
         val src = bin.head.getPath
         linkOrCopy(fs, spark.sparkContext.hadoopConfiguration,
@@ -481,6 +479,25 @@ object Compaction {
       fs.listStatus(data).count(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet")).toLong)
   }
+
+  /** Run independent maintenance sub-jobs (bin merges, per-bucket
+    * rewrites) CONCURRENTLY from the driver. Each sub-job is a small
+    * Spark action — a `coalesce(1)` bin merge is literally one task —
+    * and running them back-to-back serially leaves a large cluster
+    * idle; Spark's scheduler interleaves concurrently-submitted jobs
+    * fine. Bounded pool: maintenance parallelism, not a fork bomb.
+    * Result order matches input order. */
+  private[sources] def inParallel[A, B](items: Seq[A], par: Int = 4)(f: A => B): Seq[B] =
+    if (items.lengthCompare(2) < 0) items.map(f)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(par, items.length))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(Future.sequence(items.map(a => Future(f(a)))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    }
 
   /** Hardlink `src` to `dst` (copy fallback for filesystems without
     * links) — zero-I/O carry-over of an untouched file into a new

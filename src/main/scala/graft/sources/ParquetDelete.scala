@@ -247,40 +247,43 @@ object ParquetDelete {
     // with it (rename fails if the destination exists). Same
     // discipline as [[Compaction.compactTable]].
     val opId = java.util.UUID.randomUUID().toString.take(8)
-    var partIdx = 0
-    def renameParts(staging: Path, into: Path, tag: Option[Int]): Seq[String] = {
+    def renameParts(staging: Path, into: Path, group: Int,
+        tag: Option[Int]): Seq[String] = {
       val out = Seq.newBuilder[String]
+      var i = 0
       fs.listStatus(staging).foreach { s =>
         if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
-          val name = f"delete-$opId-$partIdx%05d" +
+          val name = f"delete-$opId-$group-$i%05d" +
             tag.fold("")(k => s"-b$k") + ".parquet"
           if (!fs.rename(s.getPath, new Path(into, name))) {
             throw new java.io.IOException(s"stage rename failed for ${s.getPath}")
           }
           out += name
-          partIdx += 1
+          i += 1
         }
       }
       fs.delete(staging, true)
       out.result()
     }
     // Bucketed table ([[ParquetBucketing]]): rewrite WITHIN each
-    // name-tagged bucket — one job per affected bucket — so every
-    // survivor file keeps its tag and the key-grouped layout survives
-    // the DELETE. Untagged inputs rewrite together, outputs untagged.
+    // name-tagged bucket — one job per affected bucket, submitted
+    // CONCURRENTLY ([[Compaction.inParallel]]) — so every survivor
+    // file keeps its tag and the key-grouped layout survives the
+    // DELETE. Untagged inputs rewrite together, outputs untagged.
     val tagOf: Path => Option[Int] =
       if (ParquetBucketing.readSpec(tableDir).isEmpty) _ => None
       else p => ParquetBucketing.bucketOfName(p.getName)
     val rewriteGroups: Seq[(Option[Int], Seq[Path])] =
       rewrites.groupBy(tagOf).toSeq.sortBy(_._1.getOrElse(Int.MinValue))
     def rewriteAll(into: Path): Seq[String] =
-      rewriteGroups.flatMap { case (tag, members) =>
-        val staging = new Path(base,
-          s".delete-$opId" + tag.fold("")(k => s"-b$k"))
-        fs.delete(staging, true)
-        rewriteSurvivors(members, staging)
-        renameParts(staging, into, tag)
-      }
+      Compaction.inParallel(rewriteGroups.zipWithIndex) {
+        case ((tag, members), g) =>
+          val staging = new Path(base,
+            s".delete-$opId" + tag.fold("")(k => s"-b$k"))
+          fs.delete(staging, true)
+          rewriteSurvivors(members, staging)
+          renameParts(staging, into, g, tag)
+      }.flatten
 
     if (versioned) {
       // Snapshot commit ([[ParquetVersions]]): survivors land in
