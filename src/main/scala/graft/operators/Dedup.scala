@@ -38,13 +38,17 @@ object Dedup {
   /** Docs + MinHash signature + LSH band hashes (all per-row compute). */
   private def minhashDocs(docsRaw: DataFrame): DataFrame =
     docsRaw
-      // tokens materialized first — see TextFns.shinglesFromTokens note
-      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      // fused native normalize → shingle windows → xxhash64 (multiset,
+      // position order — MinHash and set-Jaccard are both
+      // multiset-insensitive but the values are bit-identical to the
+      // HOF transform(shinglesFromTokens(...), xxhash64) chain), then
+      // the same mod-P reduction baseHashes applied. Hashed shingles
+      // (8-byte elements) serve both the signature and the
+      // exact-Jaccard verify — string shingle arrays never exist.
+      .select(col("doc_id"), graft.functions.TextExprs.wordGramHashes(
+        TextFns.normalized(col("text")), SHINGLE_K, distinct = false).as("sh_raw"))
       .select(col("doc_id"),
-        TextFns.shinglesFromTokens(col("toks"), SHINGLE_K).as("sh"))
-      // hashed shingles (8-byte elements) serve both the signature and
-      // the exact-Jaccard verify — string shingle arrays never shuffle
-      .select(col("doc_id"), HashFns.baseHashes(col("sh")).as("sh_h"))
+        transform(col("sh_raw"), h => pmod(h, lit(HashFns.P))).as("sh_h"))
       .withColumn("sig", HashFns.minhashFromBases(col("sh_h"), MINHASH_N))
       .withColumn("bands", HashFns.lshBands(col("sig"), LSH_BANDS, MINHASH_N / LSH_BANDS))
 
@@ -238,15 +242,18 @@ object Dedup {
   private[graft] def ngramVerifiedPairs(docsRaw: DataFrame): DataFrame = {
     // Gram sets are built per-row: hash each 3-gram to 8 bytes (string
     // grams never leave the row; xxhash64 collisions only add rare false
-    // candidates) and sorted-dedup in one native O(m log m) pass
-    // (SketchExprs.distinctLongs) — so the explode below emits set
-    // semantics directly and no (doc, gram) dedup shuffle exists at all.
+    // candidates) and sorted-dedup in the same pass. The whole
+    // normalize → window → hash → distinct chain is two fused native
+    // expressions (TextExprs) — one byte pass each, no per-position
+    // substr scans (O(L²)/doc in the HOF form) and no java.util.regex;
+    // this was the dominant d04 cost at soak scale (the candidate
+    // machinery is already sub-second). Bit-identical to the HOF chain
+    // (UdxSpec asserts it), so no dedup verdict can change.
     val docs = docsRaw
       // normalized text materialized first — see TextFns note
       .select(col("doc_id"), TextFns.normalized(col("text")).as("norm"))
-      .select(col("doc_id"), SketchExprs.distinctLongs(
-        transform(TextFns.charNgramsFromNormalized(col("norm"), 3),
-          g => xxhash64(g))).as("grams"))
+      .select(col("doc_id"),
+        graft.functions.TextExprs.gramHashes(col("norm"), 3).as("grams"))
       .cache()
     val total = docs.count()
     // distinct-gram count per doc (the |A| and |B| of the Jaccard)
@@ -333,10 +340,24 @@ object Dedup {
     * localCheckpoint'ed — iterative joins otherwise grow the lineage
     * (and the plan) without bound. */
   private[graft] def dedupClustersIter(docs: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
-    val edges = pairs.select(col("a"), col("b"))
-      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+    // pairs is cached BEFORE the symmetric union: both union branches
+    // read one materialization of the (expensive) verified-pair
+    // pipeline instead of recomputing it per direction, and the edges
+    // cache above it is what every iteration re-reads
+    val pairsOnce = pairs.select(col("a"), col("b")).cache()
+    val edges = pairsOnce
+      .union(pairsOnce.select(col("b").as("a"), col("a").as("b")))
       .cache() // re-read every iteration
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // The iteration runs over edge-incident vertices ONLY: a doc with no
+    // verified near-dup edge can never change its label, so keeping the
+    // full corpus in the loop would shuffle 100 TB of immovable
+    // singletons every round. Near-dup graphs are sparse — the touched
+    // vertex set is a small fraction of the corpus — and every label is
+    // itself an edge-incident vertex id (labels start there and only
+    // adopt neighbor labels), so pointer halving stays closed over this
+    // set. Singletons rejoin as their own cluster at the end.
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
       .localCheckpoint()
     var changed = true
     var iter = 0
@@ -364,9 +385,12 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    val out = labels
-      .select(col("doc_id"), col("label").as("cluster_id"),
-        (col("label") =!= col("doc_id")).as("is_dup"))
+    pairsOnce.unpersist()
+    val out = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        coalesce(col("label") =!= col("doc_id"), lit(false)).as("is_dup"))
       .orderBy(col("doc_id"))
     (out, iter)
   }
@@ -497,11 +521,14 @@ object Dedup {
     * xxhash64 collisions are absent at verification scale). */
   private[graft] def wordGramSets(docs: DataFrame): DataFrame =
     docs
-      .withColumn("_toks", TextFns.tokens(col("text")))
-      .withColumn("grams", SketchExprs.distinctLongs(
-        transform(TextFns.shinglesFromTokens(col("_toks"), 5),
-          g => xxhash64(g))))
-      .drop("_toks", "text")
+      // fused native normalize → word-5-gram windows → xxhash64 →
+      // sorted distinct: bit-identical to the HOF
+      // distinctLongs(transform(shinglesFromTokens(tokens(text), 5),
+      // xxhash64)) chain (UdxSpec), one byte pass instead of per-window
+      // slice + concat_ws allocations
+      .withColumn("grams", graft.functions.TextExprs.wordGramHashes(
+        TextFns.normalized(col("text")), 5, distinct = true))
+      .drop("text")
 
   /** Core, corpus-independent: input needs (doc_id, text); `benchPred`
     * marks the held-out benchmark rows. */

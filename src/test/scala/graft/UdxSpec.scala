@@ -220,4 +220,75 @@ class UdxSpec extends AnyFunSuite {
     assert(e.getLong(0) === 0L && e.getDouble(1) === 0.0 &&
       e.getDouble(2) === 0.0 && e.getDouble(3) === 0.0)
   }
+
+  test("TextNormalizeExpr == reference regex pipeline (corpus + adversarial)") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    val adversarial = Seq(
+      "", " ", "   ", "a", "A", "Hello, World!", "  lead and trail  ",
+      "tabs\tand\nnewlines\rmixed", "under_score-dash.dot",
+      "UPPER lower 0123456789", "!!!", "a!b", "!a!", "a  b\t\tc",
+      "é accents ÉÀ", "中文 mixed ascii", "İstanbul KKelvin", // Unicode edge
+      "emoji 🚀 test", "ﬀ ligature", "ＦＵＬＬＷＩＤＴＨ")
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect().toSeq
+    val rows = (adversarial ++ corpus).toDF("text")
+      .select(TextFns.normalized(col("text")).as("fast"),
+        TextFns.normalizedRef(col("text")).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) === r.getString(1),
+      s"native='${r.getString(0)}' ref='${r.getString(1)}'"))
+  }
+
+  test("TextNormalizeExpr interpreted eval agrees with codegen result") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.TextNormalizeExpr
+    for (s <- Seq("Hello, World!", "  A  B  ", "é", "", "İKK"))
+      assert(TextNormalizeExpr(Literal(s)).eval(null).toString ===
+        TextNormalizeExpr.normalize(UTF8String.fromString(s)).toString)
+  }
+
+  test("GramHashesExpr == distinctLongs(transform(charNgrams, xxhash64))") {
+    import spark.implicits._
+    import graft.functions.{SketchExprs, TextExprs, TextFns}
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect().toSeq
+    val inputs = Seq("", "ab", "abc", "abcd", "aaaaaa", "a b c d") ++ corpus
+    val rows = inputs.toDF("text")
+      .select(TextFns.normalized(col("text")).as("norm"))
+      .select(TextExprs.gramHashes(col("norm"), 3).as("fused"),
+        SketchExprs.distinctLongs(
+          transform(TextFns.charNgramsFromNormalized(col("norm"), 3),
+            g => xxhash64(g))).as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("WordGramHashesExpr == transform(shinglesFromTokens, xxhash64) [k=3,5]") {
+    import spark.implicits._
+    import graft.functions.{SketchExprs, TextExprs, TextFns}
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect().toSeq
+    val inputs = Seq("", "one", "one two", "one two three four five six",
+      "exactly five tokens right here") ++ corpus
+    for (k <- Seq(3, 5)) {
+      val rows = inputs.toDF("text")
+        .select(TextFns.normalized(col("text")).as("norm"))
+        .select(
+          TextExprs.wordGramHashes(col("norm"), k, distinct = false).as("fused_raw"),
+          TextExprs.wordGramHashes(col("norm"), k, distinct = true).as("fused_set"),
+          transform(TextFns.shinglesFromTokens(split(col("norm"), " "), k),
+            g => xxhash64(g)).as("ref_raw"),
+          SketchExprs.distinctLongs(
+            transform(TextFns.shinglesFromTokens(split(col("norm"), " "), k),
+              g => xxhash64(g))).as("ref_set"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](2), s"k=$k raw")
+        assert(r.getSeq[Long](1) === r.getSeq[Long](3), s"k=$k set")
+      }
+    }
+  }
 }
