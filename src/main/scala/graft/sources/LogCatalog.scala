@@ -319,11 +319,12 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   // --- procedures: SQL-callable maintenance (CALL graft.system.*) ---
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
-    LogProcedures.all(warehouse).keys.toArray.sorted
+    LogProcedures.all(warehouse, Some(catalogName)).keys.toArray.sorted
       .map(Identifier.of(namespace, _))
 
   override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    LogProcedures.all(warehouse).getOrElse(ident.name().toLowerCase(java.util.Locale.ROOT),
+    LogProcedures.all(warehouse, Some(catalogName)).getOrElse(
+      ident.name().toLowerCase(java.util.Locale.ROOT),
       throw new RuntimeException(s"unknown procedure: $ident — " +
         s"available: ${LogProcedures.all(warehouse).keys.toSeq.sorted.mkString(", ")}"))
 

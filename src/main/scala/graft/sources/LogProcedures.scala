@@ -80,7 +80,70 @@ object LogProcedures {
     p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
   }
 
-  def all(warehouse: String): Map[String, UnboundProcedure] = Map(
+  def all(warehouse: String): Map[String, UnboundProcedure] =
+    all(warehouse, catalogName = None)
+
+  def all(warehouse: String, catalogName: Option[String]): Map[String, UnboundProcedure] = Map(
+    "rollback_to_version" -> new MaintenanceProcedure("rollback_to_version",
+      "restore a versioned table's CURRENT state to an older snapshot's membership") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("version", LongType)
+          .comment("target snapshot ordinal (as shown by VERSION AS OF)").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        val target = input.getLong(1)
+        // Iceberg-style rollback: publish a NEW version whose membership
+        // equals the target snapshot's — history is preserved (the
+        // rolled-back states stay time-travelable until vacuumed), the
+        // ledger stays monotonic, and concurrent committers converge
+        // through the same CAS the row-level ops use. Fails cleanly if
+        // the target ordinal is unknown or any of its files has been
+        // vacuumed away (the restored state must actually be readable).
+        val parquetTier = isParquetTable(dir)
+        val names = (if (parquetTier) ParquetVersions.get(dir, target)
+          else LogVersions.get(dir, target)).getOrElse(
+            throw new IllegalArgumentException(
+              s"version $target does not exist for $dir"))
+        val base = if (parquetTier) new Path(dir, "data") else new Path(dir)
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val missing = names.filterNot(n => fs.exists(new Path(base, n)))
+        require(missing.isEmpty,
+          s"cannot roll back to version $target: ${missing.size} of its files " +
+            s"were vacuumed (first: ${missing.headOption.getOrElse("")})")
+        val v = if (parquetTier) ParquetVersions.commit(dir)(_ => names)
+          else LogVersions.commit(dir)(_ => names)
+        oneRow(StructType(Seq(
+          StructField("restored_version", LongType, nullable = false),
+          StructField("new_version", LongType, nullable = false),
+          StructField("files", LongType, nullable = false))),
+          Seq(target, v, names.length.toLong))
+      }
+    },
+    "delete_where" -> new MaintenanceProcedure("delete_where",
+      "SQL DELETE by predicate through the catalog (log and parquet tiers)") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("predicate", StringType)
+          .comment("SQL boolean expression over the table's columns").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val cat = catalogName.getOrElse(throw new IllegalStateException(
+          "delete_where needs the owning catalog name (procedure loaded outside a catalog?)"))
+        val table = input.getUTF8String(0).toString
+        dirOf(warehouse, table) // identifier sanitation — rejects traversal
+        val pred = input.getUTF8String(1).toString
+        val ident = table.split("\\.", -1).map(p => s"`$p`").mkString(".")
+        // routed through the standard DELETE plan: the log tier's
+        // SupportsDelete fast path / copy-on-write fallback and the
+        // parquet tier's footer-stats classify all apply unchanged.
+        // rows_deleted via the metadata-served COUNT (no data scan on
+        // the log tier; footer row counts on the parquet tier).
+        val counted = () => spark.sql(s"SELECT COUNT(*) FROM `$cat`.$ident").head.getLong(0)
+        val before = counted()
+        spark.sql(s"DELETE FROM `$cat`.$ident WHERE $pred")
+        oneRow(StructType(Seq(
+          StructField("rows_deleted", LongType, nullable = false))),
+          Seq(before - counted()))
+      }
+    },
     "enable_versioning" -> new MaintenanceProcedure("enable_versioning",
       "opt a log or parquet table into snapshot versioning (v1 = current listing)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam)

@@ -137,6 +137,71 @@ class LogProceduresSpec extends AnyFunSuite {
         f.name.toLowerCase.contains("name"))
     val names = shown.collect().map(_.getString(nameIdx)).toSet
     assert(Set("enable_versioning", "vacuum", "compact_log", "compact_table",
-      "set_bucket_spec").subsetOf(names))
+      "set_bucket_spec", "rollback_to_version", "delete_where").subsetOf(names))
+  }
+
+  test("rollback_to_version restores an old snapshot on the log tier (history kept)") {
+    val t = mkLog("l5")
+    spark.sql("CALL graft_proc.system.enable_versioning(table => 'ops.l5')")
+    val before = spark.table(t).orderBy("amount", "sha256sum")
+      .collect().map(_.toString).toSeq
+    val v1 = spark.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0)
+    assert(v1 === 30L)
+    // mutate CURRENT: delete a third of the rows
+    spark.sql(s"DELETE FROM $t WHERE amount % 3 = 0 AND amount > 0")
+    assert(spark.table(t).count() < 30L)
+    val res = spark.sql(
+      "CALL graft_proc.system.rollback_to_version(table => 'ops.l5', version => 1)")
+      .collect()(0)
+    assert(res.getLong(0) === 1L) // restored_version
+    assert(res.getLong(1) >= 3L)  // new version published on top
+    // CURRENT is bit-identical to the pre-delete state
+    val after = spark.table(t).orderBy("amount", "sha256sum")
+      .collect().map(_.toString).toSeq
+    assert(after === before)
+    // the rolled-back (deleted) state remains time-travelable
+    val vDel = res.getLong(1) - 1
+    assert(spark.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF $vDel")
+      .head.getLong(0) < 30L)
+    // unknown ordinal fails cleanly
+    val err = intercept[Exception] {
+      spark.sql("CALL graft_proc.system.rollback_to_version(table => 'ops.l5', version => 99)")
+    }
+    assert(err.getMessage.contains("does not exist"))
+  }
+
+  test("rollback_to_version restores an old snapshot on the parquet tier") {
+    val t = mkParquet("p5")
+    spark.sql("CALL graft_proc.system.enable_versioning(table => 'lake.p5')")
+    assert(spark.table(t).count() === 100L)
+    spark.sql(s"DELETE FROM $t WHERE id >= 50")
+    assert(spark.table(t).count() === 50L)
+    val res = spark.sql(
+      "CALL graft_proc.system.rollback_to_version(table => 'lake.p5', version => 1)")
+      .collect()(0)
+    assert(res.getLong(0) === 1L)
+    assert(spark.table(t).count() === 100L)
+    assert(spark.table(t).agg(sum("score")).head.getLong(0) === (0L until 100L).map(_ * 2).sum)
+  }
+
+  test("delete_where deletes by predicate through the catalog on both tiers") {
+    mkLog("l6")
+    val r1 = spark.sql(
+      "CALL graft_proc.system.delete_where(table => 'ops.l6', predicate => 'amount >= 60')")
+      .collect()(0)
+    assert(r1.getLong(0) === 10L) // amounts 60..87 step 3
+    assert(spark.table("graft_proc.ops.l6").count() === 20L)
+    mkParquet("p6")
+    val r2 = spark.sql(
+      "CALL graft_proc.system.delete_where(table => 'lake.p6', predicate => 'id % 2 = 0')")
+      .collect()(0)
+    assert(r2.getLong(0) === 50L)
+    assert(spark.table("graft_proc.lake.p6").count() === 50L)
+    // traversal guard applies to delete_where too
+    val err = intercept[Exception] {
+      spark.sql("CALL graft_proc.system.delete_where(table => '../x', predicate => 'true')")
+    }
+    assert(err.getMessage.contains("bad table identifier") ||
+      err.getMessage.contains("plain names"))
   }
 }
