@@ -650,7 +650,92 @@ object Pipeline {
       GROUP BY f.user_id ORDER BY f.user_id""")
   }
 
+  /** Change data feed on the LOG tier ([[graft.sources.ChangeFeed]]):
+    * load orders into a fresh versioned log table (v1), DELETE one
+    * user, UPDATE a value band, then read the NET change feed v1 →
+    * latest and aggregate it per (change_type, user_id). The feed is
+    * derived purely from ledger segment diffs + a row-level EXCEPT ALL
+    * that cancels copy-on-write carry-over rows; the oracle rebuilds
+    * the expected net diff from first principles (final-state EXCEPT
+    * ALL initial-state over the same mutation arithmetic), so a
+    * carried-over row misreported as a change, a lost delete, or a
+    * wrong post-update value all break the hash. */
+  def p20_log_cdc(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p20").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p20").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p20", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p20.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p20.ops")
+    // fresh table every run: the commit ordinals restart at 1
+    spark.sql("DROP TABLE IF EXISTS graft_p20.ops.limits")
+    spark.sql("""CREATE TABLE graft_p20.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+      .repartitionByRange(8, col("user_id"))
+      .writeTo("graft_p20.ops.limits").append()
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p20.warehouse") +
+      "/ops/limits"
+    graft.sources.LogVersions.enable(tableDir) // v1 = the fresh load
+    spark.sql("DELETE FROM graft_p20.ops.limits WHERE user_id = 'u7'")
+    spark.sql("""UPDATE graft_p20.ops.limits SET amount = amount * 2 + 1
+                 WHERE amount < 1000000""")
+    val vTo = graft.sources.LogVersions.latest(tableDir).get._1
+    graft.sources.ChangeFeed.logChanges(spark, tableDir, 1L, vTo, net = true)
+      .groupBy(col(graft.sources.ChangeFeed.CHANGE_TYPE_COL).as("change_type"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"))
+      .orderBy(col("change_type"), col("user_id"))
+  }
+
+  /** Change data feed on the PARQUET tier: same contract as p20 over a
+    * catalog parquet table — DELETE drops/rewrites data files through
+    * the footer-stats classify, a second append lands new files, and
+    * the net feed v1 → latest must report exactly the deleted rows and
+    * the appended rows (the catch-up fold makes the appends
+    * ledger-visible). */
+  def p21_parquet_cdc(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p21").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p21").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p21", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p21.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p21.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p21.lake.orders_pq")
+    spark.sql("""CREATE TABLE graft_p21.lake.orders_pq
+                 (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
+    val base = Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+    base.filter(col("o_orderkey") % 2 === 0)
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo("graft_p21.lake.orders_pq").append()
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p21.warehouse") +
+      "/lake/orders_pq"
+    graft.sources.ParquetVersions.enable(tableDir) // v1 = the even keys
+    spark.sql("DELETE FROM graft_p21.lake.orders_pq WHERE cents < 3000000")
+    base.filter(col("o_orderkey") % 2 === 1)
+      .repartitionByRange(4, col("o_orderkey"))
+      .writeTo("graft_p21.lake.orders_pq").append()
+    graft.sources.ParquetVersions.catchUp(tableDir) // appends → ledger
+    val vTo = graft.sources.ParquetVersions.latest(tableDir).get._1
+    graft.sources.ChangeFeed.parquetChanges(spark, tableDir, 1L, vTo, net = true)
+      .groupBy(col(graft.sources.ChangeFeed.CHANGE_TYPE_COL).as("change_type"),
+        col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total"))
+      .orderBy(col("change_type"), col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_log_cdc" -> (p20_log_cdc _),
+    "p21_parquet_cdc" -> (p21_parquet_cdc _),
     "p19_parquet_bucketed_join" -> (p19_parquet_bucketed_join _),
     "p16_parquet_update" -> (p16_parquet_update _),
     "p17_parquet_merge" -> (p17_parquet_merge _),
@@ -672,6 +757,41 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p20_log_cdc" ->
+      """WITH i AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount,
+        |    SHA256(CAST(o_orderkey AS VARCHAR)) AS sha256sum
+        |  FROM orders),
+        |f AS (SELECT user_id,
+        |    CASE WHEN amount < 1000000 THEN amount * 2 + 1 ELSE amount END AS amount,
+        |    sha256sum
+        |  FROM i WHERE user_id <> 'u7'),
+        |ins AS (SELECT * FROM f EXCEPT ALL SELECT * FROM i),
+        |del AS (SELECT * FROM i EXCEPT ALL SELECT * FROM f)
+        |SELECT change_type, user_id, n, cents FROM (
+        |  SELECT 'insert' AS change_type, user_id, COUNT(*) AS n,
+        |         CAST(SUM(amount) AS BIGINT) AS cents FROM ins GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, user_id, COUNT(*) AS n,
+        |         CAST(SUM(amount) AS BIGINT) AS cents FROM del GROUP BY 2)
+        |ORDER BY change_type, user_id""".stripMargin,
+    "p21_parquet_cdc" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |i AS (SELECT * FROM b WHERE o_orderkey % 2 = 0),
+        |f AS (SELECT * FROM i WHERE cents >= 3000000
+        |      UNION ALL SELECT * FROM b WHERE o_orderkey % 2 = 1),
+        |ins AS (SELECT * FROM f EXCEPT ALL SELECT * FROM i),
+        |del AS (SELECT * FROM i EXCEPT ALL SELECT * FROM f)
+        |SELECT change_type, bucket, n, total FROM (
+        |  SELECT 'insert' AS change_type, bucket, COUNT(*) AS n,
+        |         CAST(SUM(cents) AS BIGINT) AS total FROM ins GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, bucket, COUNT(*) AS n,
+        |         CAST(SUM(cents) AS BIGINT) AS total FROM del GROUP BY 2)
+        |ORDER BY change_type, bucket""".stripMargin,
     "p19_parquet_bucketed_join" ->
       """WITH f AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount

@@ -1,0 +1,145 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Change data feed between two snapshots of a versioned table — the
+  * Delta CDF / Iceberg changelog shape, derived entirely from the
+  * version ledger's SEGMENT diffs, never from row comparisons over the
+  * full table:
+  *
+  *   - a segment present in `to` but not `from` contributes its rows as
+  *     `insert`s; present in `from` but not `to`, as `delete`s. Since
+  *     every writer (append, compaction, DELETE, UPDATE, MERGE) commits
+  *     whole segments, the diff is exact at segment granularity, and
+  *     segments common to both versions — the overwhelming majority on
+  *     a 100 TB table — are never read at all.
+  *   - reads go through the normal sources with an explicit file list
+  *     (`option("segments", ...)` on the log scan; direct file paths on
+  *     the parquet tier), so planning touches only the diff.
+  *
+  * Two output modes:
+  *
+  *   - **changelog** (`net = false`): one block per intermediate
+  *     commit, tagged `_change_type` ∈ {insert, delete} and
+  *     `_commit_version` (the ordinal at which the change became
+  *     visible). A segment rewritten by copy-on-write appears as its
+  *     old rows deleted + new rows inserted at that commit — faithful
+  *     to what each commit physically replaced.
+  *   - **net** (`net = true`): the endpoint-to-endpoint row diff.
+  *     Segment names common to both endpoints cancel for free; the
+  *     carried-over rows inside rewritten segments (copy-on-write
+  *     copies untouched rows into new files) are cancelled row-level
+  *     with a multiset EXCEPT ALL between just the two diff row sets —
+  *     the result is exactly `snapshot(to) EXCEPT ALL snapshot(from)`
+  *     (inserts) and the reverse (deletes), computed without scanning
+  *     either snapshot.
+  *
+  * Both modes only need the ledger's membership lists, so they work on
+  * any span whose versions are inside the vacuum retention window; a
+  * vacuumed segment fails loudly through the sources' pinned-read
+  * checks rather than under-reporting changes. */
+object ChangeFeed {
+
+  val CHANGE_TYPE_COL = "_change_type"
+  val COMMIT_VERSION_COL = "_commit_version"
+
+  /** Change feed of a LOG table directory between ledger ordinals
+    * `fromVersion` (exclusive) and `toVersion` (inclusive). */
+  def logChanges(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, net: Boolean = false): DataFrame = {
+    val read = (names: Seq[String], pinned: Long) => spark.read
+      .format(LimitHashLog.FORMAT)
+      .option("versionAsOf", pinned)
+      .option("segments", names.mkString(","))
+      .load(dir)
+    changes(spark, fromVersion, toVersion, net,
+      v => LogVersions.get(dir, v).getOrElse(throw new IllegalArgumentException(
+        s"version $v does not exist for $dir")),
+      read,
+      emptyOf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), LimitHashLog.SCHEMA))
+  }
+
+  /** Change feed of a catalog PARQUET table directory (same contract).
+    * Data files are plain parquet under `data/`, so the diff reads are
+    * direct vectorized parquet scans of exactly the named files. */
+  def parquetChanges(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, net: Boolean = false): DataFrame = {
+    val sf = new Path(dir, "_schema.json")
+    val fs = sf.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    require(fs.exists(sf),
+      s"$dir has no _schema.json — not a catalog parquet table")
+    val schema = {
+      val in = fs.open(sf)
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    val base = new Path(dir, "data")
+    val read = (names: Seq[String], _: Long) => spark.read.schema(schema)
+      .parquet(names.map(n => new Path(base, n).toString): _*)
+    changes(spark, fromVersion, toVersion, net,
+      v => ParquetVersions.get(dir, v).getOrElse(throw new IllegalArgumentException(
+        s"version $v does not exist for $dir")),
+      read,
+      emptyOf = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+  }
+
+  /** Shared tier-independent core: `membership` resolves a version's
+    * file-name list; `read(names, pinnedVersion)` produces their rows. */
+  private def changes(spark: SparkSession, fromVersion: Long, toVersion: Long,
+      net: Boolean, membership: Long => Seq[String],
+      read: (Seq[String], Long) => DataFrame, emptyOf: => DataFrame): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"change span is [from, to] with from <= to; got ($fromVersion, $toVersion)")
+    def block(names: Seq[String], pinned: Long, kind: String, commit: Long) =
+      read(names, pinned)
+        .withColumn(CHANGE_TYPE_COL, lit(kind))
+        .withColumn(COMMIT_VERSION_COL, lit(commit))
+    val emptyBlock = emptyOf
+      .withColumn(CHANGE_TYPE_COL, lit(""))
+      .withColumn(COMMIT_VERSION_COL, lit(0L))
+      .limit(0)
+
+    if (net) {
+      val fromNames = membership(fromVersion).toSet
+      val toNames = membership(toVersion).toSet
+      val added = (toNames -- fromNames).toSeq.sorted
+      val removed = (fromNames -- toNames).toSeq.sorted
+      val ins = if (added.isEmpty) emptyBlock
+        else block(added, toVersion, "insert", toVersion)
+      val del = if (removed.isEmpty) emptyBlock
+        else block(removed, fromVersion, "delete", toVersion)
+      val dataCols = emptyOf.columns.toSeq
+      // cancel copy-on-write carry-over rows: a rewritten segment holds
+      // mostly rows identical to the ones it replaced; EXCEPT ALL on the
+      // data columns nets them out, leaving exactly the endpoint diff
+      val insNet = ins.select(dataCols.map(col): _*)
+        .exceptAll(del.select(dataCols.map(col): _*))
+        .withColumn(CHANGE_TYPE_COL, lit("insert"))
+        .withColumn(COMMIT_VERSION_COL, lit(toVersion))
+      val delNet = del.select(dataCols.map(col): _*)
+        .exceptAll(ins.select(dataCols.map(col): _*))
+        .withColumn(CHANGE_TYPE_COL, lit("delete"))
+        .withColumn(COMMIT_VERSION_COL, lit(toVersion))
+      insNet.unionByName(delNet)
+    } else {
+      val steps = ((fromVersion + 1) to toVersion).map { v =>
+        val prev = membership(v - 1).toSet
+        val cur = membership(v).toSet
+        val added = (cur -- prev).toSeq.sorted
+        val removed = (prev -- cur).toSeq.sorted
+        val ins = if (added.isEmpty) emptyBlock
+          else block(added, v, "insert", v)
+        val del = if (removed.isEmpty) emptyBlock
+          else block(removed, v - 1, "delete", v)
+        ins.unionByName(del)
+      }
+      if (steps.isEmpty) emptyBlock else steps.reduce(_ unionByName _)
+    }
+  }
+}

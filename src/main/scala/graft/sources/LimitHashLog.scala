@@ -193,6 +193,27 @@ object LimitHashLog {
     }
   }
 
+  /** [[segmentsAt]] restricted to an explicit NAME allowlist
+    * (`option("segments", ...)`). Names absent from the snapshot fail
+    * loudly on EVERY read path (row scan and metadata-served
+    * aggregates alike) — a caller naming a segment this snapshot does
+    * not hold is asking for rows it can't provide, and silently
+    * serving 0 rows for it would corrupt a change feed. */
+  private[sources] def segmentsAllowed(dir: String, version: Option[Long],
+      allow: Option[Set[String]]): Seq[(String, Long)] = {
+    val all = segmentsAt(dir, version)
+    allow match {
+      case None => all
+      case Some(names) =>
+        val byName = all.map { case (f, len) => (new Path(f).getName, (f, len)) }.toMap
+        names.toSeq.sorted.map { n =>
+          byName.getOrElse(n, throw new IllegalArgumentException(
+            s"option segments names '$n', which is not in the scanned " +
+              s"snapshot of $dir" + version.fold("")(v => s" (VERSION AS OF $v)")))
+        }
+    }
+  }
+
   /** Parse-stage compilation of pushed filters: EqualTo → singleton,
     * In → value set; a raw line passes when every checked field is in
     * its set (string compare on the unparsed field — no row object,
@@ -396,7 +417,9 @@ class LimitHashLogTable(path: String, version: Option[Long] = None)
       columnar = Option(options.get("columnar")).forall(_.toBoolean),
       maxBytesPerTrigger = Option(options.get("maxBytesPerTrigger")).map(_.toLong),
       version = version,
-      startVersion = Option(options.get("startVersion")).map(_.toLong))
+      startVersion = Option(options.get("startVersion")).map(_.toLong),
+      segmentsAllow = Option(options.get("segments"))
+        .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     requireCurrent("WRITE")
     new LogWriteBuilder(path, info.queryId(), info.options())
@@ -435,17 +458,17 @@ class LogWriteBuilder(path: String, queryId: String,
   /** `option("bucketBy", "col:n")` → bucketed layout ([[LogBucketing]]).
     * Validated at PLANNING: a spec conflicting with the log's pinned
     * one fails before any task runs. */
-  private val bucket: Option[LogBucketing.Spec] =
+  private val declared: Option[LogBucketing.Spec] =
     Option(options.get("bucketBy")).map(LogBucketing.parseOption)
-  bucket.foreach { s =>
+  declared.foreach { s =>
     LogBucketing.readSpec(path).foreach(ex => require(ex == s,
       s"log at $path is bucketed as $ex; write declared $s"))
   }
 
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new LogBatchWrite(path, queryId, doTruncate, bucket)
+    override def toBatch: BatchWrite = new LogBatchWrite(path, queryId, doTruncate, declared)
     override def toStreaming: swrite.StreamingWrite = {
-      require(bucket.isEmpty,
+      require(declared.isEmpty,
         "bucketed writes are batch-only (stream into an unbucketed log, " +
           "then compact into the bucketed layout)")
       new LogStreamingWrite(path, queryId, doTruncate)
@@ -752,7 +775,8 @@ case class LogBucketedCommit(parts: Seq[(String, Int, SegmentStats)],
 class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = None,
     maxPartitionBytes: Long = 128L * 1024 * 1024, columnar: Boolean = true,
     maxBytesPerTrigger: Option[Long] = None, version: Option[Long] = None,
-    startVersion: Option[Long] = None)
+    startVersion: Option[Long] = None,
+    segmentsAllow: Option[Set[String]] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownLimit {
@@ -846,7 +870,7 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
     // snapshot honors a VERSION AS OF pin — a time-travel COUNT(*)
     // answers from the pinned set's stats, not the current log's
     val stats = LimitHashLog.loadStats(path)
-    val withStats = LimitHashLog.segmentsAt(path, version)
+    val withStats = LimitHashLog.segmentsAllowed(path, version, segmentsAllow)
       .map { case (f, _) => stats.get(new org.apache.hadoop.fs.Path(f).getName) }
     if (withStats.forall(_.isDefined)) Some((tags, withStats.flatten))
     else None
@@ -855,7 +879,7 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
   override def build(): Scan =
     new LimitHashLogScan(path, required, pushed, maxFilesPerTrigger,
       maxPartitionBytes, columnar, aggTags, maxBytesPerTrigger, aggStats,
-      limit, version, startVersion)
+      limit, version, startVersion, segmentsAllow)
 }
 
 /** Sum-aggregated scan metrics (driver-reported; keyed into the SQL
@@ -905,7 +929,8 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     aggStats: Seq[SegmentStats] = Seq.empty,
     limit: Option[Int] = None,
     version: Option[Long] = None,
-    startVersion: Option[Long] = None)
+    startVersion: Option[Long] = None,
+    segmentsAllow: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -914,9 +939,16 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     * the listing. Planning, runtime-filter re-planning and the cost
     * model all answer from this one set, so a maintenance commit (or
     * concurrent writer) landing mid-query can never add, drop, or
-    * duplicate segments under a running scan. */
+    * duplicate segments under a running scan.
+    *
+    * `option("segments", "a,b")` restricts the snapshot to an explicit
+    * NAME allowlist at planning time (no splits are even built for the
+    * rest) — the change-feed reader ([[ChangeFeed]]) uses it to read
+    * exactly the segments a version diff identified. Names absent from
+    * the snapshot fail loudly: a caller naming a segment this version
+    * does not hold is asking for rows the snapshot can't provide. */
   private lazy val pinnedSegments: Seq[(String, Long)] =
-    LimitHashLog.segmentsAt(path, version)
+    LimitHashLog.segmentsAllowed(path, version, segmentsAllow)
 
   /** Scan observability — the numbers that tell an operator whether the
     * skip machinery is WORKING at scale (a 100 TB log where

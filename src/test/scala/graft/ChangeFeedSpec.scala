@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Change data feed ([[ChangeFeed]]) over the version ledger: per-commit
+  * changelog blocks, net endpoint diffs that cancel copy-on-write
+  * carry-over rows, the explicit-`segments` scan restriction it rides
+  * on, and the parquet tier's equivalent. */
+class ChangeFeedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.Sessions.base("local[4]", 4)
+
+  private def write(dir: String, rows: Seq[(String, Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("user_id", "amount", "sha256sum")
+      .select(col("user_id"), col("amount"),
+        lit(null).cast("binary").as("msg"), col("sha256sum"))
+      .repartition(1)
+      .write.format(LimitHashLog.FORMAT).mode("append").save(dir)
+    ()
+  }
+
+  private def changeRows(df: DataFrame): Set[(String, Long, String, Long)] =
+    df.select("user_id", "amount", ChangeFeed.CHANGE_TYPE_COL,
+        ChangeFeed.COMMIT_VERSION_COL)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+  test("changelog mode: one tagged block per commit, appends and deletes") {
+    val dir = Files.createTempDirectory("graft_cdc_log").toString
+    write(dir, Seq(("u1", 10L, "h1"), ("u2", 20L, "h2")))
+    assert(LogVersions.enable(dir) === 1L)
+    write(dir, Seq(("u3", 30L, "h3")))                    // v2: insert
+    write(dir, Seq(("u4", 40L, "h4"), ("u5", 50L, "h5"))) // v3: insert
+    // v4: whole-segment DELETE (zone-provable: u3's segment only)
+    LogDelete.deleteWhere(spark, dir,
+      Array(org.apache.spark.sql.sources.EqualTo("user_id", "u3")))
+    val vTo = LogVersions.latest(dir).get._1
+
+    val feed = changeRows(ChangeFeed.logChanges(spark, dir, 1L, vTo))
+    assert(feed === Set(
+      ("u3", 30L, "insert", 2L),
+      ("u4", 40L, "insert", 3L), ("u5", 50L, "insert", 3L),
+      ("u3", 30L, "delete", vTo)))
+
+    // sub-span: only the commits inside (from, to] appear
+    val sub = changeRows(ChangeFeed.logChanges(spark, dir, 2L, 3L))
+    assert(sub === Set(("u4", 40L, "insert", 3L), ("u5", 50L, "insert", 3L)))
+    // empty span
+    assert(ChangeFeed.logChanges(spark, dir, 3L, 3L).count() === 0L)
+  }
+
+  test("net mode cancels copy-on-write carry-over rows (UPDATE rewrite)") {
+    val wh = Files.createTempDirectory("graft_cdc_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_cdc", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cdc.ops")
+    spark.sql("""CREATE TABLE graft_cdc.ops.t
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    import spark.implicits._
+    // ONE segment holding 100 rows — the UPDATE rewrites the whole
+    // segment but touches only 10 rows; net mode must report exactly
+    // those 10, not the 90 carried-over copies
+    (0L until 100L).map(i => (s"u${i % 7}", i, s"h$i")).toDF("user_id", "amount", "sha256sum")
+      .select(col("user_id"), col("amount"),
+        lit(null).cast("binary").as("msg"), col("sha256sum"))
+      .repartition(1)
+      .writeTo("graft_cdc.ops.t").append()
+    val dir = s"$wh/ops/t"
+    LogVersions.enable(dir)
+    spark.sql("UPDATE graft_cdc.ops.t SET amount = amount + 1000 WHERE amount < 10")
+    val vTo = LogVersions.latest(dir).get._1
+
+    // changelog mode is segment-granular: the rewrite reports the whole
+    // old segment deleted + whole new segment inserted (200 rows)
+    assert(ChangeFeed.logChanges(spark, dir, 1L, vTo).count() === 200L)
+
+    // net mode is row-exact
+    val net = ChangeFeed.logChanges(spark, dir, 1L, vTo, net = true)
+      .select("user_id", "amount", ChangeFeed.CHANGE_TYPE_COL)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val expected =
+      (0L until 10L).map(i => (s"u${i % 7}", i + 1000L, "insert")).toSet ++
+        (0L until 10L).map(i => (s"u${i % 7}", i, "delete")).toSet
+    assert(net === expected)
+  }
+
+  test("segments option: planning restricted to the allowlist; unknown names fail") {
+    val dir = Files.createTempDirectory("graft_cdc_seg").toString
+    write(dir, Seq(("u1", 10L, "h1")))
+    write(dir, Seq(("u2", 20L, "h2")))
+    write(dir, Seq(("u3", 30L, "h3")))
+    val names = LimitHashLog.segments(dir).map(p => new Path(p._1).getName)
+    assert(names.size === 3)
+    // expected content of the named segment, via the _segment metadata
+    // column on an unrestricted read
+    val expectedUsers = spark.read.format(LimitHashLog.FORMAT).load(dir)
+      .select(col("user_id"), col("_segment"))
+      .collect().filter(_.getString(1) == names.head).map(_.getString(0)).toSeq
+    assert(expectedUsers.size === 1)
+    val one = spark.read.format(LimitHashLog.FORMAT)
+      .option("segments", names.head).load(dir)
+    assert(one.select("user_id").collect().map(_.getString(0)).toSeq === expectedUsers)
+    // the restriction happens at PLANNING: the scan builds splits for
+    // exactly one segment
+    assert(one.rdd.getNumPartitions === 1)
+    val err = intercept[Exception] {
+      spark.read.format(LimitHashLog.FORMAT)
+        .option("segments", "segment-nonexistent").load(dir).count()
+    }
+    assert(err.getMessage.contains("not in the scanned snapshot") ||
+      Option(err.getCause).exists(_.getMessage.contains("not in the scanned snapshot")))
+    // metadata-served COUNT honors the allowlist (no overcount from
+    // the full snapshot's stats)
+    val two = spark.read.format(LimitHashLog.FORMAT)
+      .option("segments", names.take(2).mkString(",")).load(dir)
+    assert(two.count() === 2L)
+  }
+
+  test("parquet tier: changelog and net modes over the generation ledger") {
+    val wh = Files.createTempDirectory("graft_cdc_pwh").toString
+    spark.conf.set("spark.sql.catalog.graft_cdcp", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdcp.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cdcp.lake")
+    spark.sql("CREATE TABLE graft_cdcp.lake.t (id BIGINT, score BIGINT)")
+    import spark.implicits._
+    (0L until 50L).map(i => (i, i * 2)).toDF("id", "score")
+      .repartition(1).writeTo("graft_cdcp.lake.t").append()
+    val dir = s"$wh/lake/t"
+    ParquetVersions.enable(dir)
+    spark.sql("DELETE FROM graft_cdcp.lake.t WHERE id >= 40") // v2 (after catch-up)
+    (100L until 110L).map(i => (i, i * 2)).toDF("id", "score")
+      .repartition(1).writeTo("graft_cdcp.lake.t").append()
+    ParquetVersions.catchUp(dir)
+    val vTo = ParquetVersions.latest(dir).get._1
+
+    val net = ChangeFeed.parquetChanges(spark, dir, 1L, vTo, net = true)
+      .select("id", ChangeFeed.CHANGE_TYPE_COL)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (40L until 50L).map((_, "delete")).toSet ++
+      (100L until 110L).map((_, "insert")).toSet
+    assert(net === expected)
+
+    // changelog mode: every change is tagged with a commit ordinal in
+    // the span and the multiset of (row, type) nets to the same diff
+    val log = ChangeFeed.parquetChanges(spark, dir, 1L, vTo)
+      .select("id", ChangeFeed.CHANGE_TYPE_COL, ChangeFeed.COMMIT_VERSION_COL)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(log.forall { case (_, _, v) => v > 1L && v <= vTo })
+    val balance = log.groupBy(r => (r._1, r._2)).view.mapValues(_.size).toMap
+    val netFromLog = balance.collect {
+      case ((id, "insert"), n) if n > balance.getOrElse((id, "delete"), 0) => (id, "insert")
+      case ((id, "delete"), n) if n > balance.getOrElse((id, "insert"), 0) => (id, "delete")
+    }.toSet
+    assert(netFromLog === expected)
+  }
+}
