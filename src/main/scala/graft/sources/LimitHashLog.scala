@@ -9,7 +9,9 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.distributions
+import org.apache.spark.sql.connector.expressions
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.{streaming => sread}
@@ -465,13 +467,44 @@ class LogWriteBuilder(path: String, queryId: String,
       s"log at $path is bucketed as $ex; write declared $s"))
   }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new LogBatchWrite(path, queryId, doTruncate, declared)
-    override def toStreaming: swrite.StreamingWrite = {
-      require(declared.isEmpty,
-        "bucketed writes are batch-only (stream into an unbucketed log, " +
-          "then compact into the bucketed layout)")
-      new LogStreamingWrite(path, queryId, doTruncate)
+  /** Effective BATCH spec: the declared option, or the table's pinned
+    * `.bucketspec` — a plain `INSERT INTO` a bucketed log keeps the
+    * layout without the caller pre-clustering anything (before r10 it
+    * silently landed untagged segments and downgraded the table's
+    * storage-partitioned joins until the next compaction). */
+  private def batchBucket: Option[LogBucketing.Spec] =
+    declared.orElse(LogBucketing.readSpec(path))
+
+  override def build(): Write = {
+    val bucket = batchBucket
+    new Write with RequiresDistributionAndOrdering {
+      /** Bucketed writes ask Spark to arrange the data: clustered by the
+        * bucket column into EXACTLY n partitions. [[LogBucketing.bucketOf]]
+        * is bit-for-bit Spark's own `HashPartitioning` hash (murmur3 seed
+        * 42, pmod), so partition id == bucket id and each task writes
+        * exactly ONE tagged segment — n files total per insert, no n×m
+        * small-file blowup, no manual repartition at call sites (plain
+        * column clustering, no FunctionCatalog needed to resolve it).
+        * An already-clustered input (`repartition(n, col)` upstream)
+        * collapses with this requirement into a single exchange
+        * (CollapseRepartition), so writeBucketed-style callers pay
+        * nothing extra. Unbucketed logs require nothing. */
+      override def requiredDistribution(): distributions.Distribution =
+        bucket match {
+          case Some(s) => distributions.Distributions.clustered(
+            Array(Expressions.column(s.col)))
+          case None => distributions.Distributions.unspecified()
+        }
+      override def requiredNumPartitions(): Int = bucket.fold(0)(_.n)
+      override def requiredOrdering(): Array[expressions.SortOrder] = Array.empty
+
+      override def toBatch: BatchWrite = new LogBatchWrite(path, queryId, doTruncate, bucket)
+      override def toStreaming: swrite.StreamingWrite = {
+        require(declared.isEmpty,
+          "bucketed writes are batch-only (stream into an unbucketed log, " +
+            "then compact into the bucketed layout)")
+        new LogStreamingWrite(path, queryId, doTruncate)
+      }
     }
   }
 }

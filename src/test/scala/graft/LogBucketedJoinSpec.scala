@@ -97,8 +97,23 @@ class LogBucketedJoinSpec extends AnyFunSuite {
     val t1 = mkTable("mix1"); val t2 = mkTable("mix2")
     LogBucketing.writeBucketed(logDf(20, 200, "m"), t1, "user_id", 4)
     LogBucketing.writeBucketed(logDf(20, 50, "n"), t2, "user_id", 4)
-    // a plain append lands a bucket-less segment: partitioning claim drops
-    spark.sql(s"INSERT INTO $t1 VALUES ('u3', 777777, CAST(NULL AS BINARY), 'hx')")
+    // a FOREIGN writer (legacy producer, pre-bucketing tooling) lands a
+    // bucket-less segment: partitioning claim drops. (A catalog INSERT
+    // no longer can — the write self-arranges into the pinned layout —
+    // so this drives the task-level writer directly.)
+    val wh = spark.conf.get("spark.sql.catalog.graft_spj.warehouse")
+    val w = new LogDataWriter(s"$wh/ops/mix1", "legacy", 0, 0)
+    w.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("u3"), 777777L,
+      null, org.apache.spark.unsafe.types.UTF8String.fromString("hx")))
+    w.commit() match {
+      case LogCommit(staged, _, _) =>
+        val fs = new org.apache.hadoop.fs.Path(staged)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        assert(fs.rename(new org.apache.hadoop.fs.Path(staged),
+          new org.apache.hadoop.fs.Path(s"$wh/ops/mix1", "segment-legacy-0")))
+      case other => fail(s"unexpected commit message $other")
+    }
     withPlainPlans {
       val joined = spark.table(t1).alias("l").join(spark.table(t2), "user_id")
       val plan = joined.queryExecution.executedPlan.toString
@@ -182,5 +197,44 @@ class LogBucketedJoinSpec extends AnyFunSuite {
       .select("user_id", "amount")
     val rows = probe.collect()
     assert(rows.nonEmpty && rows.forall(_.getString(0) == "u7"))
+  }
+
+  test("plain INSERT INTO a bucketed log keeps the layout (self-arranging write)") {
+    val t1 = mkTable("auto1"); val t2 = mkTable("auto2")
+    LogBucketing.writeBucketed(logDf(40, 200, "a"), t1, "user_id", 4)
+    LogBucketing.writeBucketed(logDf(25, 60, "b"), t2, "user_id", 4)
+    val before = segmentNames(t1).size
+    // no pre-clustering, no bucketBy option — an arbitrarily-partitioned
+    // INSERT must come back fully tagged: the write itself requires a
+    // clustered distribution into exactly n partitions, and partition id
+    // == bucket id because bucketOf IS Spark's hash partitioning bits
+    logDf(40, 120, "x").repartition(13) // adversarial partitioning
+      .writeTo(t1).append()
+    val after = segmentNames(t1)
+    assert(after.size === before + 4, s"expected one new segment per bucket, got $after")
+    assert(after.forall(n => n.contains("-b")),
+      s"every segment must carry its bucket tag, got $after")
+    // the storage-partitioned join survives the plain insert
+    withPlainPlans {
+      val joined = spark.table(t1).alias("l")
+        .join(spark.table(t2).alias("r"), "user_id")
+        .select(col("user_id"), col("l.amount"), col("r.amount"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must stay shuffle-free after a plain insert:\n$plan")
+      // and the rows are complete: 200 + 120 fact rows against 60 dims
+      val want = logDf(40, 200, "a").unionByName(logDf(40, 120, "x")).alias("l")
+        .join(logDf(25, 60, "b").alias("r"), "user_id")
+        .select(col("user_id"), col("l.amount"), col("r.amount"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val got = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want)
+    }
+  }
+
+  private def segmentNames(table: String): Seq[String] = {
+    val wh = spark.conf.get("spark.sql.catalog.graft_spj.warehouse")
+    val dir = s"$wh/ops/${table.split('.').last}"
+    LimitHashLog.segments(dir).map(p => new org.apache.hadoop.fs.Path(p._1).getName)
   }
 }
