@@ -173,9 +173,28 @@ private[sources] object VersionLedger {
     val target = pathOf(dir, ordinal)
     val json = JsonMethods.compact(JsonMethods.render(
       ("ts" -> System.currentTimeMillis()) ~ ("names" -> names.sorted)))
-    try {
+    val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if ("file" == Option(target.toUri.getScheme).getOrElse(fs.getScheme)) {
+      // Hadoop's LocalFileSystem create(overwrite = false) is a
+      // check-then-create, NOT atomic: two same-millisecond committers
+      // can both pass the existence check and both believe they won the
+      // ordinal, silently dropping one transform. Go through the
+      // kernel's O_EXCL instead — CREATE_NEW is open(2)-atomic.
+      val local = java.nio.file.Paths.get(target.toUri.getPath)
+      try {
+        val ch = java.nio.file.Files.newByteChannel(local,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else try {
+      // HDFS and object-store FSs: exclusive create is coordinated by
+      // the store (namenode-atomic on HDFS)
       val out = fs.create(target, false) // exclusive: the CAS
-      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(bytes)
       finally out.close()
       true
     } catch {
