@@ -28,19 +28,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * couldn't. */
 object LogProcedures {
 
-  /** One-row driver-local result. */
-  private def oneRow(schema: StructType, values: Seq[Any]): java.util.Iterator[Scan] = {
+  /** Driver-local result rows (procedure outputs are manifest-scale
+    * metadata, never data rows). */
+  private def localRows(schema: StructType,
+      out: Seq[Seq[Any]]): java.util.Iterator[Scan] = {
     val scan: Scan = new LocalScan {
       override def readSchema(): StructType = schema
-      override def rows(): Array[InternalRow] = Array(new GenericInternalRow(
-        values.map {
+      override def rows(): Array[InternalRow] = out.map(values =>
+        new GenericInternalRow(values.map {
           case s: String => UTF8String.fromString(s)
           case x => x
-        }.toArray))
+        }.toArray): InternalRow).toArray
       override def description(): String = "graft procedure result"
     }
     java.util.Collections.singletonList(scan).iterator()
   }
+
+  /** One-row driver-local result. */
+  private def oneRow(schema: StructType, values: Seq[Any]): java.util.Iterator[Scan] =
+    localRows(schema, Seq(values))
 
   private def spark = org.apache.spark.sql.classic.SparkSession.active
 
@@ -84,6 +90,21 @@ object LogProcedures {
     all(warehouse, catalogName = None)
 
   def all(warehouse: String, catalogName: Option[String]): Map[String, UnboundProcedure] = Map(
+    "history" -> new MaintenanceProcedure("history",
+      "version history of a versioned table: ordinal, publish time, file count") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        val hist = VersionLedger.history(dir)
+        require(hist.nonEmpty,
+          s"$dir has no version ledger — CALL enable_versioning first")
+        localRows(StructType(Seq(
+          StructField("version", LongType, nullable = false),
+          StructField("published_ms", LongType, nullable = false),
+          StructField("files", IntegerType, nullable = false))),
+          hist.map { case (v, ts, n) => Seq[Any](v, ts, n) })
+      }
+    },
     "rollback_to_version" -> new MaintenanceProcedure("rollback_to_version",
       "restore a versioned table's CURRENT state to an older snapshot's membership") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,

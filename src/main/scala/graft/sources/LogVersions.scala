@@ -270,4 +270,20 @@ private[sources] object VersionLedger {
       if (publishedMs * 1000L <= micros) Some(o) else None
     }.lastOption
   }
+
+  /** Table history, ascending: (ordinal, publish millis — the embedded
+    * stamp, or the version file's mtime for pre-stamp files — and the
+    * version's file count). Tier-agnostic: both storage tiers keep
+    * their ledger in the table directory. */
+  def history(dir: String): Seq[(Long, Long, Int)] = {
+    val base = new Path(dir)
+    val fs = fsOf(base)
+    versionFiles(base).map { case (o, p) =>
+      val payload = readPayload(p)
+      val publishedMs =
+        if (payload.ts >= 0) payload.ts
+        else fs.getFileStatus(p).getModificationTime
+      (o, publishedMs, payload.names.size)
+    }
+  }
 }

@@ -184,6 +184,24 @@ class LogProceduresSpec extends AnyFunSuite {
     assert(spark.table(t).agg(sum("score")).head.getLong(0) === (0L until 100L).map(_ * 2).sum)
   }
 
+  test("history lists every version with publish time and file count") {
+    mkLog("l7")
+    spark.sql("CALL graft_proc.system.enable_versioning(table => 'ops.l7')")
+    spark.sql("DELETE FROM graft_proc.ops.l7 WHERE amount >= 60")
+    val hist = spark.sql("CALL graft_proc.system.history(table => 'ops.l7')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(hist.map(_._1).toSeq === (1L to hist.length))
+    assert(hist.forall(_._2 > 0L))
+    assert(hist.head._3 === 3) // v1 = the three initial segments
+    assert(hist.last._3 < 3)   // the delete dropped a whole segment
+    // un-versioned table errors with guidance
+    mkLog("l8")
+    val err = intercept[Exception] {
+      spark.sql("CALL graft_proc.system.history(table => 'ops.l8')")
+    }
+    assert(err.getMessage.contains("enable_versioning"))
+  }
+
   test("delete_where deletes by predicate through the catalog on both tiers") {
     mkLog("l6")
     val r1 = spark.sql(
