@@ -226,6 +226,21 @@ object LogProcedures {
           Seq(spec.col, spec.n))
       }
     },
+    "rebucket_table" -> new MaintenanceProcedure("rebucket_table",
+      "re-tag a bucketed parquet table's untagged files; restores shuffle-free joins") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        require(isParquetTable(dir),
+          s"rebucket_table repairs catalog parquet tables; log writers re-tag in place")
+        val (files, rows, out) = ParquetBucketing.rebucket(spark, dir)
+        oneRow(StructType(Seq(
+          StructField("files_retagged", LongType, nullable = false),
+          StructField("rows_rewritten", LongType, nullable = false),
+          StructField("files_written", LongType, nullable = false))),
+          Seq(files, rows, out))
+      }
+    },
     "compact_table" -> new MaintenanceProcedure("compact_table",
       "bin-pack a catalog parquet table's data files (crash-safe generation swap)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,

@@ -164,6 +164,73 @@ object ParquetBucketing {
     // a versioned table folds these append-named files in at the next
     // maintenance commit; an unversioned one sees them immediately
   }
+
+  /** Repair a bucketed table's layout: rewrite every UNTAGGED live data
+    * file (plain `INSERT INTO` appends, `delete-`/`rlo-` rewrite
+    * outputs) into bucket-tagged files and retire the originals in one
+    * version publish. This is the parquet tier's downgrade-then-repair
+    * contract: the scan refuses the key-grouped claim while any live
+    * file is untagged; after this, storage-partitioned joins plan
+    * shuffle-free again. Requires versioning (the repair IS a
+    * maintenance commit — `CALL enable_versioning` first): outputs are
+    * maintenance-named (`compact-…-b<k>.parquet` — never mistaken for
+    * un-published appends, invisible until the publish, vacuumed if
+    * crashed) and tagged through the same `-b<k>` channel bucket-aware
+    * compaction uses. Tagged files are untouched — the repair's write
+    * amplification is proportional to the UNTAGGED fraction, not the
+    * table. Returns (files retagged, rows rewritten, output files). */
+  def rebucket(spark: SparkSession, tableDir: String): (Long, Long, Long) = {
+    val spec = readSpec(tableDir).getOrElse(throw new IllegalArgumentException(
+      s"$tableDir has no .bucketspec — CALL set_bucket_spec first"))
+    require(ParquetVersions.enabled(tableDir),
+      s"rebucket_table needs a versioned table — CALL enable_versioning first")
+    ParquetVersions.catchUp(tableDir) // pending appends join the ledger
+    val live = ParquetVersions.latest(tableDir).get._2
+    val untagged = live.filter(n => bucketOfName(n).isEmpty)
+    if (untagged.isEmpty) return (0L, 0L, 0L)
+    val data = new Path(tableDir, "data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val schema = {
+      val sf = new Path(tableDir, "_schema.json")
+      val in = fs.open(sf)
+      val json = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+    val rows = spark.read.schema(schema)
+      .parquet(untagged.map(n => new Path(data, n).toString): _*)
+    val opId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(tableDir, s".rebucket-$opId")
+    val nRows = rows.count()
+    rows.withColumn("_gb", pmod(hash(col(spec.col)), lit(spec.n)))
+      .repartition(spec.n, col(spec.col))
+      .write.partitionBy("_gb").parquet(staging.toString)
+    val outNames = Seq.newBuilder[String]
+    try {
+      fs.listStatus(staging).foreach { d =>
+        if (d.isDirectory && d.getPath.getName.startsWith("_gb=")) {
+          val k = d.getPath.getName.stripPrefix("_gb=").toInt
+          var i = 0
+          fs.listStatus(d.getPath).foreach { f =>
+            if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+              val name = f"compact-$opId-$i%05d-b$k.parquet"
+              if (!fs.rename(f.getPath, new Path(data, name))) {
+                throw new java.io.IOException(s"rebucket stage rename failed: $name")
+              }
+              outNames += name
+              i += 1
+            }
+          }
+        }
+      }
+    } finally fs.delete(staging, true)
+    val out = outNames.result()
+    ParquetVersions.commit(tableDir) { prev =>
+      (prev.filterNot(untagged.toSet) ++ out).distinct.sorted
+    }
+    (untagged.size.toLong, nRows, out.size.toLong)
+  }
 }
 
 /** One BUCKET of a bucketed parquet table — the key-grouped unit: all

@@ -174,4 +174,40 @@ class ParquetBucketedJoinSpec extends AnyFunSuite {
     assert(v1 === 100L)
     assert(spark.table(t).count() < 100L)
   }
+
+  test("rebucket_table repairs a downgraded layout: joins go shuffle-free again") {
+    val t1 = mkTable("fix1"); val t2 = mkTable("fix2")
+    ParquetBucketing.writeBucketed(spark, df(20, 200, 7), t1, "user_id", 4)
+    ParquetBucketing.writeBucketed(spark, df(20, 50, 11), t2, "user_id", 4)
+    // two plain appends + an untagged DELETE rewrite → mixed layout
+    spark.sql(s"INSERT INTO $t1 VALUES ('u3', 777777)")
+    df(20, 30, 13).writeTo(t1).append()
+    val wh = spark.conf.get("spark.sql.catalog.graft_pqspj.warehouse")
+    spark.sql("CALL graft_pqspj.system.enable_versioning(table => 'lake.fix1')")
+    val expected = spark.table(t1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    withPlainPlans {
+      val before = spark.table(t1).alias("l").join(spark.table(t2), "user_id")
+      assert(before.queryExecution.executedPlan.toString.contains("Exchange"))
+    }
+    val res = spark.sql("CALL graft_pqspj.system.rebucket_table(table => 'lake.fix1')")
+      .collect()(0)
+    assert(res.getLong(0) > 0L)  // files_retagged
+    assert(res.getLong(1) === 31L) // rows rewritten = only the untagged ones
+    // content identical, layout restored, join exchange-free
+    val after = spark.table(t1).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(after === expected)
+    withPlainPlans {
+      val joined = spark.table(t1).alias("l").join(spark.table(t2), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"repaired layout must join shuffle-free, got:\n$plan")
+      assert(joined.filter(col("l.amount") === 777777).count() > 0)
+    }
+    // idempotent: nothing left to retag
+    val again = spark.sql("CALL graft_pqspj.system.rebucket_table(table => 'lake.fix1')")
+      .collect()(0)
+    assert(again.getLong(0) === 0L)
+  }
 }
