@@ -2,7 +2,15 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{streaming => sread}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Change data feed between two snapshots of a versioned table — the
   * Delta CDF / Iceberg changelog shape, derived entirely from the
@@ -142,4 +150,128 @@ object ChangeFeed {
       if (steps.isEmpty) emptyBlock else steps.reduce(_ unionByName _)
     }
   }
+
+  /** The streaming changelog schema: the log's entity columns plus the
+    * two change-feed tags. */
+  val LOG_STREAM_SCHEMA: StructType = StructType(
+    LimitHashLog.SCHEMA.fields ++ Seq(
+      StructField(CHANGE_TYPE_COL, StringType, nullable = false),
+      StructField(COMMIT_VERSION_COL, LongType, nullable = false)))
+}
+
+/** STREAMING changelog of a versioned log —
+  * `spark.readStream.format(LimitHashLog.FORMAT)
+  *   .option("changeFeed", "true").load(dir)`:
+  * the Delta CDF streaming read. Offsets are LEDGER ORDINALS (not
+  * segment sets): each micro-batch emits the per-commit changelog
+  * blocks of `(startOrdinal, endOrdinal]` — inserts from segments a
+  * commit added, DELETES from segments it removed — so a downstream
+  * materialization can apply retractions, which the plain streaming
+  * read (inserts only, no visibility into maintenance commits) cannot
+  * express. `option("startVersion", n)` seeds a fresh stream at
+  * ordinal n (changes SINCE snapshot n); default = the current latest
+  * (changes from now on). Checkpoint restarts resume from the
+  * committed ordinal; a restart whose next versions were vacuumed
+  * fails loudly rather than under-reporting. */
+class LogChangesTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"limit_hash_log_changes(`$path`)"
+  override def schema(): StructType = ChangeFeed.LOG_STREAM_SCHEMA
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.singleton(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = ChangeFeed.LOG_STREAM_SCHEMA
+        override def toMicroBatchStream(checkpointLocation: String): sread.MicroBatchStream =
+          new LogChangesMicroBatchStream(path,
+            Option(options.get("startVersion")).map(_.toLong))
+        override def description(): String = s"LogChangesScan path=$path"
+      }
+    }
+}
+
+/** Offset = the newest ledger ordinal whose changes have been emitted. */
+case class LogVersionOffset(ordinal: Long) extends sread.Offset {
+  override def json(): String = ordinal.toString
+}
+
+/** One changelog block: a segment's rows tagged (changeType, commit). */
+case class CdcSegmentPartition(file: String, changeType: String, commit: Long)
+    extends InputPartition
+
+class LogChangesMicroBatchStream(path: String, startVersion: Option[Long])
+    extends sread.MicroBatchStream {
+
+  private def requireVersioned(): Unit =
+    require(LogVersions.enabled(path),
+      s"change feed needs a versioned log — enable versioning on $path first")
+
+  override def initialOffset(): sread.Offset = {
+    requireVersioned()
+    startVersion match {
+      case Some(v) =>
+        require(LogVersions.get(path, v).isDefined,
+          s"startVersion $v: no such version in $path (never committed, or vacuumed)")
+        LogVersionOffset(v)
+      case None => LogVersionOffset(LogVersions.latest(path).get._1)
+    }
+  }
+
+  override def latestOffset(): sread.Offset = {
+    requireVersioned()
+    LogVersionOffset(LogVersions.latest(path).get._1)
+  }
+
+  override def planInputPartitions(start: sread.Offset,
+      end: sread.Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[LogVersionOffset].ordinal
+    val to = end.asInstanceOf[LogVersionOffset].ordinal
+    if (to <= from) return Array.empty
+    // qualified path per live NAME; a diff member missing from the
+    // listing was vacuumed inside the retention window a reader still
+    // needed — fail loudly, never silently under-report changes
+    val listed = LimitHashLog.segments(path)
+      .map { case (f, _) => (new Path(f).getName, f) }.toMap
+    def resolve(n: String): String = listed.getOrElse(n,
+      throw new IllegalStateException(
+        s"change-feed segment $n is gone from $path — vacuumed inside " +
+          "the retention window this stream still needed"))
+    def membership(v: Long): Set[String] =
+      LogVersions.get(path, v).getOrElse(throw new IllegalStateException(
+        s"version $v of $path was vacuumed under a running change feed")).toSet
+    ((from + 1) to to).flatMap { v =>
+      val prev = membership(v - 1)
+      val cur = membership(v)
+      (cur -- prev).toSeq.sorted.map(n => CdcSegmentPartition(resolve(n), "insert", v)) ++
+        (prev -- cur).toSeq.sorted.map(n => CdcSegmentPartition(resolve(n), "delete", v))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcSegmentReaderFactory()
+
+  override def deserializeOffset(json: String): sread.Offset =
+    LogVersionOffset(json.trim.toLong)
+
+  override def commit(end: sread.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Delegates row parsing to the plain segment reader, appending the
+  * constant (change_type, commit_version) tail per block. */
+class CdcSegmentReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case CdcSegmentPartition(f, kind, commit) =>
+        val inner = new LogSegmentReader(f, LimitHashLog.SCHEMA, Array.empty)
+        val tail = new GenericInternalRow(
+          Array[Any](UTF8String.fromString(kind), commit))
+        val joined = new JoinedRow()
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow = joined(inner.get(), tail)
+          override def close(): Unit = inner.close()
+        }
+    }
 }

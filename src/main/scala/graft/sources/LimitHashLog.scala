@@ -55,11 +55,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class LimitHashLog extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    LimitHashLog.SCHEMA
+    if (Option(options.get("changeFeed")).exists(_.toBoolean))
+      ChangeFeed.LOG_STREAM_SCHEMA
+    else LimitHashLog.SCHEMA
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new LimitHashLogTable(properties.get("path"),
+    if (Option(properties.get("changeFeed"))
+        .orElse(Option(properties.get("changefeed"))).exists(_.toBoolean))
+      new LogChangesTable(properties.get("path"))
+    else new LimitHashLogTable(properties.get("path"),
       Option(properties.get("versionAsOf"))
         .orElse(Option(properties.get("versionasof"))).map(_.toLong))
 

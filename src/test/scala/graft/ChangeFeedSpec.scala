@@ -123,6 +123,52 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(two.count() === 2L)
   }
 
+  test("streaming changelog: deletes flow as retractions; checkpoint restart resumes") {
+    val dir = Files.createTempDirectory("graft_cdc_stream").toString
+    val ck = Files.createTempDirectory("graft_cdc_stream_ck").toString
+    write(dir, Seq(("u1", 10L, "h1"), ("u2", 20L, "h2")))
+    LogVersions.enable(dir) // v1
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String, Long)]()
+    def start() = spark.readStream.format(LimitHashLog.FORMAT)
+      .option("changeFeed", "true").option("startVersion", "1").load(dir)
+      .select("user_id", "amount", ChangeFeed.CHANGE_TYPE_COL,
+        ChangeFeed.COMMIT_VERSION_COL)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add(
+          (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))): Unit)
+      .start()
+    write(dir, Seq(("u3", 30L, "h3"))) // v2
+    LogDelete.deleteWhere(spark, dir,
+      Array(org.apache.spark.sql.sources.EqualTo("user_id", "u3"))) // v3
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet === Set(
+      ("u3", 30L, "insert", 2L),
+      ("u3", 30L, "delete", 3L)))
+    // restart: only changes after the committed ordinal flow
+    seen.clear()
+    write(dir, Seq(("u4", 40L, "h4"))) // v4
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.asScala.toSet === Set(("u4", 40L, "insert", 4L)))
+    // an un-versioned log fails loudly
+    val plain = Files.createTempDirectory("graft_cdc_plain").toString
+    write(plain, Seq(("u1", 1L, "h")))
+    val err = intercept[Exception] {
+      val bad = spark.readStream.format(LimitHashLog.FORMAT)
+        .option("changeFeed", "true").load(plain)
+        .writeStream.format("noop").start()
+      try bad.processAllAvailable() finally bad.stop()
+    }
+    assert(err.getMessage.contains("versioned") ||
+      Option(err.getCause).exists(_.getMessage.contains("versioned")))
+  }
+
   test("parquet tier: changelog and net modes over the generation ledger") {
     val wh = Files.createTempDirectory("graft_cdc_pwh").toString
     spark.conf.set("spark.sql.catalog.graft_cdcp", "graft.sources.LogCatalog")
