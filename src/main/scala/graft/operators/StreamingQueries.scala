@@ -557,7 +557,59 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** STREAMING CHANGE FEED end-to-end ([[graft.sources.ChangeFeed]]):
+    * a versioned log takes an append commit and a predicate DELETE, and
+    * the `changeFeed` streaming read (ledger-ordinal offsets) replays
+    * both as tagged insert/delete blocks into a memory sink. The
+    * changelog is SEGMENT-granular — a copy-on-write rewrite emits its
+    * carried-over rows as delete+insert pairs — so the query nets the
+    * sink per row (+1 insert / −1 delete; every row is unique by
+    * sha256sum) and aggregates the surviving net changes, which is
+    * layout-independent and exactly the endpoint diff the oracle
+    * rebuilds from first principles. */
+  def s18_stream_cdc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ChangeFeed, LimitHashLog, LogDelete, LogVersions}
+    val logDir = java.nio.file.Files.createTempDirectory("graft_lhlog_s18").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_lhlog_s18_ck").toString
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast(LongType).as("okey"),
+      concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+      (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(9, 2)) * 100)
+        .cast(LongType).as("amount"),
+      lit(null).cast(org.apache.spark.sql.types.BinaryType).as("msg"),
+      sha2(col("o_orderkey").cast(org.apache.spark.sql.types.StringType), 256).as("sha256sum"))
+    def writeHalf(parity: Int): Unit =
+      base.filter(col("okey") % 2 === parity).drop("okey")
+        .repartition(4)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(logDir)
+    writeHalf(0)
+    LogVersions.enable(logDir) // v1 = the even-key baseline
+    writeHalf(1)               // v2+: the odd-key appends
+    LogDelete.deleteWhere(spark, logDir,
+      Array(org.apache.spark.sql.sources.EqualTo("user_id", "u7")))
+    val sink = "s18_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = spark.readStream.format(LimitHashLog.FORMAT)
+      .option("changeFeed", "true").option("startVersion", "1").load(logDir)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ck)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val signed = spark.table(sink).withColumn("w",
+      when(col(ChangeFeed.CHANGE_TYPE_COL) === "insert", lit(1L)).otherwise(lit(-1L)))
+    signed
+      .groupBy(col("user_id"), col("amount"), col("sha256sum"))
+      .agg(sum(col("w")).as("net"))
+      .filter(col("net") =!= 0L)
+      .withColumn("change_type",
+        when(col("net") > 0, lit("insert")).otherwise(lit("delete")))
+      .groupBy(col("change_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"))
+      .orderBy(col("change_type"), col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_stream_cdc" -> (s18_stream_cdc _),
     "s17_stream_matview_log" -> (s17_stream_matview_log _),
     "s15_stream_log_sink" -> (s15_stream_log_sink _),
     "s14_stream_matview" -> (s14_stream_matview _),
@@ -600,6 +652,26 @@ object StreamingQueries {
         |ORDER BY user_id, session_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the net streamed changelog == the endpoint diff, rebuilt from
+    // first principles: baseline = even keys, final = everything minus
+    // u7 (the appends completed the key space, the delete removed u7)
+    "s18_stream_cdc" ->
+      """WITH b AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount,
+        |    SHA256(CAST(o_orderkey AS VARCHAR)) AS sha256sum,
+        |    o_orderkey AS okey
+        |  FROM orders),
+        |i AS (SELECT user_id, amount, sha256sum FROM b WHERE okey % 2 = 0),
+        |f AS (SELECT user_id, amount, sha256sum FROM b WHERE user_id <> 'u7'),
+        |ins AS (SELECT * FROM f EXCEPT ALL SELECT * FROM i),
+        |del AS (SELECT * FROM i EXCEPT ALL SELECT * FROM f)
+        |SELECT change_type, user_id, n, cents FROM (
+        |  SELECT 'insert' AS change_type, user_id, COUNT(*) AS n,
+        |         CAST(SUM(amount) AS BIGINT) AS cents FROM ins GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'delete' AS change_type, user_id, COUNT(*) AS n,
+        |         CAST(SUM(amount) AS BIGINT) AS cents FROM del GROUP BY 2)
+        |ORDER BY change_type, user_id""".stripMargin,
     // the planted streaming near-dedup verdict equals "has an earlier
     // identical text" — computed from first principles by content hash
     "s16_stream_dedup_planted" ->
