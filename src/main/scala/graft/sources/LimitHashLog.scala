@@ -64,9 +64,25 @@ class LimitHashLog extends TableProvider {
     if (Option(properties.get("changeFeed"))
         .orElse(Option(properties.get("changefeed"))).exists(_.toBoolean))
       new LogChangesTable(properties.get("path"))
-    else new LimitHashLogTable(properties.get("path"),
+    else new LimitHashLogTable(properties.get("path"), {
+      val path = properties.get("path")
       Option(properties.get("versionAsOf"))
-        .orElse(Option(properties.get("versionasof"))).map(_.toLong))
+        .orElse(Option(properties.get("versionasof"))).map(_.toLong)
+        .orElse(Option(properties.get("timestampAsOf"))
+          .orElse(Option(properties.get("timestampasof")))
+          .map { t =>
+            // accept epoch micros or an ISO timestamp; resolve through
+            // the ledger's embedded publish stamps — the DataFrame-API
+            // twin of SQL TIMESTAMP AS OF
+            val micros = t.toLongOption.getOrElse(
+              java.time.Instant.parse(t.replace(' ', 'T') +
+                (if (t.endsWith("Z") || t.contains("+")) "" else "Z"))
+                .toEpochMilli * 1000L)
+            LogVersions.asOfTimestamp(path, micros).getOrElse(
+              throw new IllegalArgumentException(
+                s"timestampAsOf $t: no version published at or before it in $path"))
+          })
+    })
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -1038,9 +1054,15 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
 
   override def toBatch: Batch = this
   override def toMicroBatchStream(
-      checkpointLocation: String): sread.MicroBatchStream =
+      checkpointLocation: String): sread.MicroBatchStream = {
+    // fail loudly, not silently ignore: a streaming read's row set is
+    // governed by offsets, so an explicit allowlist cannot be honored
+    require(segmentsAllow.isEmpty,
+      "option(\"segments\", ...) is batch-only — a streaming read's row " +
+        "set is governed by its offsets (use startVersion / changeFeed)")
     new LogMicroBatchStream(path, required, pushed, maxFilesPerTrigger,
       maxBytesPerTrigger, startVersion)
+  }
   override def description(): String =
     s"LimitHashLog path=$path, PushedFilters: ${pushed.mkString("[", ", ", "]")}" +
       (if (aggTags.nonEmpty) s", PushedAggregates: ${aggTags.mkString("[", ", ", "]")}" else "") +

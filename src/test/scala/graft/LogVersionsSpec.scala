@@ -62,6 +62,17 @@ class LogVersionsSpec extends AnyFunSuite {
       .option("versionAsOf", "1").load(dir)
     assert(rows(pinned) === Set(("u1", 10L), ("u1", 20L), ("u2", 30L),
       ("u2", 40L), ("u3", 50L)))
+    // timestampAsOf (epoch micros): the DataFrame twin of TIMESTAMP AS OF
+    val nowMicros = System.currentTimeMillis() * 1000L + 999999L
+    val byTime = spark.read.format(LimitHashLog.FORMAT)
+      .option("timestampAsOf", nowMicros.toString).load(dir)
+    assert(rows(byTime).size === 6) // resolves to the latest version
+    val err = intercept[Exception] {
+      spark.read.format(LimitHashLog.FORMAT)
+        .option("timestampAsOf", "0").load(dir).count()
+    }
+    assert(err.getMessage.contains("timestampAsOf") ||
+      Option(err.getCause).exists(_.getMessage.contains("timestampAsOf")))
   }
 
   test("compactLog concurrent with a long scan: the scan still hash-matches") {
