@@ -151,12 +151,15 @@ object ChangeFeed {
     }
   }
 
-  /** The streaming changelog schema: the log's entity columns plus the
+  /** A table's streaming changelog schema: its data columns plus the
     * two change-feed tags. */
-  val LOG_STREAM_SCHEMA: StructType = StructType(
-    LimitHashLog.SCHEMA.fields ++ Seq(
+  def streamSchemaOf(dataSchema: StructType): StructType = StructType(
+    dataSchema.fields ++ Seq(
       StructField(CHANGE_TYPE_COL, StringType, nullable = false),
       StructField(COMMIT_VERSION_COL, LongType, nullable = false)))
+
+  /** The log tier's streaming changelog schema. */
+  val LOG_STREAM_SCHEMA: StructType = streamSchemaOf(LimitHashLog.SCHEMA)
 }
 
 /** STREAMING changelog of a versioned log —
@@ -272,6 +275,155 @@ class CdcSegmentReaderFactory extends PartitionReaderFactory {
           override def next(): Boolean = inner.next()
           override def get(): InternalRow = joined(inner.get(), tail)
           override def close(): Unit = inner.close()
+        }
+    }
+}
+
+/** STREAMING changelog of a versioned catalog PARQUET table — the
+  * parquet tier's [[LogChangesTable]]:
+  * `spark.readStream.format("graft.sources.ParquetChanges")
+  *   .option("path", tableDir).load()`. Same ledger-ordinal offsets and
+  * per-commit insert/delete blocks; rows are decoded by Spark's own
+  * vectorized parquet reader factory, one partition per diff file with
+  * the (change_type, commit_version) tail joined per block. */
+class ParquetChanges extends org.apache.spark.sql.connector.catalog.TableProvider {
+  private def dataSchema(tableDir: String): StructType = {
+    val sf = new Path(tableDir, "_schema.json")
+    val fs = sf.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    require(fs.exists(sf),
+      s"$tableDir has no _schema.json — not a catalog parquet table")
+    val in = fs.open(sf)
+    val json = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangeFeed.streamSchemaOf(dataSchema(options.get("path")))
+
+  override def getTable(schema: StructType,
+      partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val dir = properties.get("path")
+    new ParquetChangesTable(dir, dataSchema(dir))
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+class ParquetChangesTable(tableDir: String, dataSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"parquet_changes(`$tableDir`)"
+  override def schema(): StructType = ChangeFeed.streamSchemaOf(dataSchema)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.Collections.singleton(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema()
+        override def toMicroBatchStream(checkpointLocation: String): sread.MicroBatchStream =
+          new ParquetChangesMicroBatchStream(tableDir, dataSchema,
+            Option(options.get("startVersion")).map(_.toLong))
+        override def description(): String = s"ParquetChangesScan dir=$tableDir"
+      }
+    }
+}
+
+class ParquetChangesMicroBatchStream(tableDir: String, dataSchema: StructType,
+    startVersion: Option[Long]) extends sread.MicroBatchStream {
+
+  private def requireVersioned(): Unit =
+    require(ParquetVersions.enabled(tableDir),
+      s"change feed needs a versioned table — enable versioning on $tableDir first")
+
+  override def initialOffset(): sread.Offset = {
+    requireVersioned()
+    startVersion match {
+      case Some(v) =>
+        require(ParquetVersions.get(tableDir, v).isDefined,
+          s"startVersion $v: no such version in $tableDir (never committed, or vacuumed)")
+        LogVersionOffset(v)
+      case None => LogVersionOffset(ParquetVersions.latest(tableDir).get._1)
+    }
+  }
+
+  override def latestOffset(): sread.Offset = {
+    requireVersioned()
+    LogVersionOffset(ParquetVersions.latest(tableDir).get._1)
+  }
+
+  override def planInputPartitions(start: sread.Offset,
+      end: sread.Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[LogVersionOffset].ordinal
+    val to = end.asInstanceOf[LogVersionOffset].ordinal
+    if (to <= from) return Array.empty
+    val data = new Path(tableDir, "data")
+    val fs = data.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def pf(name: String): org.apache.spark.sql.execution.datasources.PartitionedFile = {
+      val p = new Path(data, name)
+      val st = try fs.getFileStatus(p) catch {
+        case _: java.io.FileNotFoundException => throw new IllegalStateException(
+          s"change-feed file $name is gone from $tableDir — vacuumed inside " +
+            "the retention window this stream still needed")
+      }
+      org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty, org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+        0L, st.getLen, Array.empty, st.getModificationTime, st.getLen,
+        Map.empty)
+    }
+    def membership(v: Long): Set[String] =
+      ParquetVersions.get(tableDir, v).getOrElse(throw new IllegalStateException(
+        s"version $v of $tableDir was vacuumed under a running change feed")).toSet
+    ((from + 1) to to).flatMap { v =>
+      val prev = membership(v - 1)
+      val cur = membership(v)
+      (cur -- prev).toSeq.sorted.map(n => CdcParquetPartition(pf(n), "insert", v)) ++
+        (prev -- cur).toSeq.sorted.map(n => CdcParquetPartition(pf(n), "delete", v))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ONE genuine parquet reader factory serves every diff file: the
+    // per-file work is driven by the PartitionedFile in each partition,
+    // and the factory carries only schema + conf
+    val spark = org.apache.spark.sql.classic.SparkSession.active
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, Seq(new Path(tableDir, "data")), Map.empty, Some(dataSchema))
+    val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      spark, index, dataSchema, dataSchema,
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    builder.pruneColumns(dataSchema)
+    new CdcParquetReaderFactory(builder.build().createReaderFactory())
+  }
+
+  override def deserializeOffset(json: String): sread.Offset =
+    LogVersionOffset(json.trim.toLong)
+
+  override def commit(end: sread.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class CdcParquetPartition(
+    file: org.apache.spark.sql.execution.datasources.PartitionedFile,
+    changeType: String, commit: Long) extends InputPartition
+
+class CdcParquetReaderFactory(inner: PartitionReaderFactory)
+    extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case CdcParquetPartition(f, kind, commit) =>
+        val delegate = inner.createReader(
+          org.apache.spark.sql.execution.datasources.FilePartition(0, Array(f)))
+        val tail = new GenericInternalRow(
+          Array[Any](UTF8String.fromString(kind), commit))
+        val joined = new JoinedRow()
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = delegate.next()
+          override def get(): InternalRow = joined(delegate.get(), tail)
+          override def close(): Unit = delegate.close()
         }
     }
 }

@@ -169,6 +169,51 @@ class ChangeFeedSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("versioned")))
   }
 
+  test("parquet streaming changelog: retractions + checkpoint resume") {
+    val wh = Files.createTempDirectory("graft_cdc_pswh").toString
+    spark.conf.set("spark.sql.catalog.graft_cdcs", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdcs.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cdcs.lake")
+    spark.sql("CREATE TABLE graft_cdcs.lake.t (id BIGINT, score BIGINT)")
+    import spark.implicits._
+    (0L until 20L).map(i => (i, i * 2)).toDF("id", "score")
+      .repartition(1).writeTo("graft_cdcs.lake.t").append()
+    val dir = s"$wh/lake/t"
+    ParquetVersions.enable(dir) // v1
+    val ck = Files.createTempDirectory("graft_cdc_ps_ck").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Long)]()
+    def start() = spark.readStream.format("graft.sources.ParquetChanges")
+      .option("path", dir).option("startVersion", "1").load()
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add(
+          (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))): Unit)
+      .start()
+    // v2+: append 5 more rows; then delete id >= 20 (drops only the new file)
+    (20L until 25L).map(i => (i, i * 2)).toDF("id", "score")
+      .repartition(1).writeTo("graft_cdcs.lake.t").append()
+    ParquetVersions.catchUp(dir)
+    spark.sql("DELETE FROM graft_cdcs.lake.t WHERE id >= 20")
+    val q = start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val byKind = seen.asScala.toSeq.groupBy(_._3)
+    assert(byKind("insert").map(_._1).toSet === (20L until 25L).toSet)
+    assert(byKind("delete").map(_._1).toSet === (20L until 25L).toSet)
+    assert(byKind("insert").forall(r => r._2 === r._1 * 2))
+    // restart resumes: a fresh append flows alone
+    seen.clear()
+    (100L until 103L).map(i => (i, i * 2)).toDF("id", "score")
+      .repartition(1).writeTo("graft_cdcs.lake.t").append()
+    ParquetVersions.catchUp(dir)
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.asScala.toSeq.map(r => (r._1, r._3)).toSet ===
+      (100L until 103L).map((_, "insert")).toSet)
+  }
+
   test("parquet tier: changelog and net modes over the generation ledger") {
     val wh = Files.createTempDirectory("graft_cdc_pwh").toString
     spark.conf.set("spark.sql.catalog.graft_cdcp", "graft.sources.LogCatalog")
