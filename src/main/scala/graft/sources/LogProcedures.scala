@@ -155,8 +155,9 @@ object LogProcedures {
         // routed through the standard DELETE plan: the log tier's
         // SupportsDelete fast path / copy-on-write fallback and the
         // parquet tier's footer-stats classify all apply unchanged.
-        // rows_deleted via the metadata-served COUNT (no data scan on
-        // the log tier; footer row counts on the parquet tier).
+        // rows_deleted via before/after COUNTs — metadata-served when
+        // every segment carries stats (footer row counts on the parquet
+        // tier), an ordinary scan otherwise.
         val counted = () => spark.sql(s"SELECT COUNT(*) FROM `$cat`.$ident").head.getLong(0)
         val before = counted()
         spark.sql(s"DELETE FROM `$cat`.$ident WHERE $pred")
