@@ -169,6 +169,32 @@ class ChangeFeedSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("versioned")))
   }
 
+  test("maintenance is invisible to the net feed; the changelog nets it to zero") {
+    val dir = Files.createTempDirectory("graft_cdc_maint").toString
+    write(dir, Seq(("u1", 10L, "h1"), ("u2", 20L, "h2")))
+    LogVersions.enable(dir) // v1
+    write(dir, Seq(("u3", 30L, "h3")))                    // v2: real change
+    // maintenance: compaction rewrites the physical layout (remove all
+    // three segments, add the packed one) without changing a row
+    Compaction.compactLog(spark, dir, "cdcpack", 64L << 20)
+    val vTo = LogVersions.latest(dir).get._1
+    assert(vTo >= 3L)
+    // net mode: the only reported change is the real append
+    val net = ChangeFeed.logChanges(spark, dir, 1L, vTo, net = true)
+      .select("user_id", "amount", ChangeFeed.CHANGE_TYPE_COL)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(net === Set(("u3", 30L, "insert")))
+    // changelog mode reports the physical blocks faithfully — and
+    // NETTING them per row (+insert/−delete) also yields only the
+    // real change: maintenance contributes balanced pairs
+    val signed = ChangeFeed.logChanges(spark, dir, 1L, vTo)
+      .select("user_id", "amount", ChangeFeed.CHANGE_TYPE_COL)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val balance = signed.groupBy(r => (r._1, r._2)).view.mapValues(rs =>
+      rs.count(_._3 == "insert") - rs.count(_._3 == "delete")).toMap
+    assert(balance.filter(_._2 != 0).keySet === Set(("u3", 30L)))
+  }
+
   test("parquet streaming changelog: retractions + checkpoint resume") {
     val wh = Files.createTempDirectory("graft_cdc_pswh").toString
     spark.conf.set("spark.sql.catalog.graft_cdcs", "graft.sources.LogCatalog")
