@@ -608,7 +608,64 @@ object StreamingQueries {
       .orderBy(col("change_type"), col("user_id"))
   }
 
+  /** CDC-MAINTAINED MATERIALIZED VIEW end-to-end
+    * ([[graft.streaming.CdcMatView]]): seed the view from the v1
+    * snapshot's batch aggregate, then let the streaming changelog fold
+    * every subsequent commit in as signed deltas — appends as +1 rows,
+    * the predicate DELETE as −1 retractions that remove user u7 from
+    * the view entirely (retraction-to-empty, inexpressible with an
+    * inserts-only view), copy-on-write carry-over pairs netting to
+    * zero. The stream is STOPPED after the first mutation wave and a
+    * fresh query resumes from the same checkpoint over later commits,
+    * so the oracle match (the straight batch aggregate of the table's
+    * final state) proves offset resume + the batchId replay guard +
+    * signed convergence at once. */
+  def s19_stream_cdc_matview(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{ChangeFeed, LimitHashLog, LogDelete, LogVersions}
+    val logDir = java.nio.file.Files.createTempDirectory("graft_lhlog_s19").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_lhlog_s19_ck").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("graft_lhlog_s19_v")
+      .toString + "/view"
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast(LongType).as("okey"),
+      concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+      (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(9, 2)) * 100)
+        .cast(LongType).as("amount"),
+      lit(null).cast(org.apache.spark.sql.types.BinaryType).as("msg"),
+      sha2(col("o_orderkey").cast(org.apache.spark.sql.types.StringType), 256).as("sha256sum"))
+    def writeThird(parity: Int): Unit =
+      base.filter(col("okey") % 3 === parity).drop("okey")
+        .repartition(4)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(logDir)
+    writeThird(0)
+    LogVersions.enable(logDir) // v1 = the okey%3==0 baseline
+    val view = new graft.streaming.CdcMatView(viewDir)
+    view.seed(spark.read.format(LimitHashLog.FORMAT)
+      .option("versionAsOf", "1").load(logDir))
+    def run(): Unit = {
+      val q = spark.readStream.format(LimitHashLog.FORMAT)
+        .option("changeFeed", "true").option("startVersion", "1").load(logDir)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => view.maintain(b.toDF(), id))
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    writeThird(1) // first mutation wave
+    run()
+    writeThird(2) // second wave lands while no query is running
+    LogDelete.deleteWhere(spark, logDir,
+      Array(org.apache.spark.sql.sources.EqualTo("user_id", "u7")))
+    run() // checkpoint resume picks up exactly the unseen commits
+    view.read(spark)
+      .select(col("user_id"), col("n"), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_stream_cdc_matview" -> (s19_stream_cdc_matview _),
     "s18_stream_cdc" -> (s18_stream_cdc _),
     "s17_stream_matview_log" -> (s17_stream_matview_log _),
     "s15_stream_log_sink" -> (s15_stream_log_sink _),
@@ -652,6 +709,15 @@ object StreamingQueries {
         |ORDER BY user_id, session_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // the CDC-maintained view == the straight batch aggregate of the
+    // table's final state (all orders minus the deleted user)
+    "s19_stream_cdc_matview" ->
+      """SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE 'u' || CAST(o_custkey % 97 AS VARCHAR) <> 'u7'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
     // the net streamed changelog == the endpoint diff, rebuilt from
     // first principles: baseline = even keys, final = everything minus
     // u7 (the appends completed the key space, the delete removed u7)

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** CHANGE-FEED-maintained materialized view — [[MatView]]'s contract
+  * driven by a CDC stream ([[graft.sources.ChangeFeed]]) instead of an
+  * inserts-only stream: every micro-batch of changelog rows folds in as
+  * SIGNED deltas (+1 per insert, −1 per delete), so the view tracks the
+  * TABLE — deletions and copy-on-write updates included — not just its
+  * append history.
+  *
+  * The changelog is segment-granular (a rewrite emits carried-over rows
+  * as delete+insert pairs), and the signed fold nets those pairs to
+  * zero whether they arrive in one batch or across batches — the view
+  * converges to the per-key aggregate of the table's CURRENT state with
+  * no special-casing of maintenance commits. A key whose count reaches
+  * zero LEAVES the view (retraction-to-empty), which an inserts-only
+  * view cannot express.
+  *
+  * Bootstrap: the feed starts at a snapshot ordinal, so [[seed]] folds
+  * the snapshot's batch aggregate in as the pre-stream generation
+  * (batch-read the snapshot, stream the rest — the same composition the
+  * `startVersion` read documents). Effectively-once via the same
+  * batchId high-water mark and crash-safe staged generation swap as
+  * [[MatView]] (replays skip; a crash at any point leaves a complete
+  * generation; interrupted swaps read-repair before the next merge). */
+class CdcMatView(viewDir: String) extends Serializable {
+
+  /** Fold the snapshot aggregate in as the pre-stream generation.
+    * Input needs (user_id, amount); no-op if the view already exists
+    * (a checkpoint restart must not re-seed). */
+  def seed(snapshot: DataFrame): Unit = {
+    val spark = snapshot.sparkSession
+    val fs = new Path(viewDir).getFileSystem(spark.sessionState.newHadoopConf())
+    repairSwap(fs)
+    if (fs.exists(new Path(viewDir))) return
+    snapshot.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"))
+      .withColumn("_b", lit(-1L))
+      .write.mode("overwrite").parquet(viewDir)
+  }
+
+  /** Fold one micro-batch of changelog rows into the summary. Input
+    * needs (user_id, amount, _change_type). */
+  def maintain(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(viewDir).getFileSystem(spark.sessionState.newHadoopConf())
+    repairSwap(fs)
+    val existing = read(spark)
+    val applied = existing.agg(max(col("_b"))).head()
+    if (!applied.isNullAt(0) && applied.getLong(0) >= batchId) return // replay: no-op
+    val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
+    val delta = batch
+      .groupBy(col("user_id"))
+      .agg(sum(w).as("n"), sum(w * col("amount")).as("cents"))
+    val merged = existing.select(col("user_id"), col("n"), col("cents"))
+      .union(delta)
+      .groupBy(col("user_id"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+      .filter(col("n") =!= 0L) // fully-retracted keys leave the view
+      .withColumn("_b", lit(batchId))
+    merged.write.mode("overwrite").parquet(viewDir + ".next")
+
+    val main = new Path(viewDir)
+    val prev = new Path(viewDir + ".prev")
+    val next = new Path(viewDir + ".next")
+    if (fs.exists(prev)) fs.delete(prev, true)
+    if (fs.exists(main) && !fs.rename(main, prev))
+      throw new java.io.IOException(s"CdcMatView swap: rename $main -> $prev failed")
+    if (!fs.rename(next, main))
+      throw new java.io.IOException(s"CdcMatView swap: rename $next -> $main failed")
+  }
+
+  /** Same read-repair contract as [[MatView.repairSwap]]. */
+  private def repairSwap(fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val main = new Path(viewDir)
+    if (fs.exists(main)) return
+    val prev = new Path(viewDir + ".prev")
+    val next = new Path(viewDir + ".next")
+    if (fs.exists(new Path(next, "_SUCCESS"))) {
+      if (!fs.rename(next, main))
+        throw new java.io.IOException(s"CdcMatView repair: rename $next -> $main failed")
+    } else if (fs.exists(prev)) {
+      if (!fs.rename(prev, main))
+        throw new java.io.IOException(s"CdcMatView repair: rename $prev -> $main failed")
+    }
+  }
+
+  /** Current view state (main, proven-complete `.next`, `.prev`, or
+    * empty — [[MatView.read]]'s resolution order). */
+  def read(spark: SparkSession): DataFrame = {
+    def tryDir(d: String, requireMarker: Boolean = false): Option[DataFrame] =
+      try {
+        if (requireMarker) {
+          val marker = new Path(d, "_SUCCESS")
+          if (!marker.getFileSystem(spark.sessionState.newHadoopConf())
+              .exists(marker)) return None
+        }
+        Some(spark.read.parquet(d).select(
+          col("user_id"), col("n"), col("cents"), col("_b")))
+      }
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    tryDir(viewDir)
+      .orElse(tryDir(viewDir + ".next", requireMarker = true))
+      .orElse(tryDir(viewDir + ".prev"))
+      .getOrElse(
+        spark.range(0).select(
+          lit("").as("user_id"), lit(0L).as("n"),
+          lit(0L).cast(LongType).as("cents"), lit(-1L).as("_b"))
+          .filter(lit(false)))
+  }
+}

@@ -169,6 +169,25 @@ class ChangeFeedSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("versioned")))
   }
 
+  test("CdcMatView: replayed batches fold exactly once; retraction empties a key") {
+    import spark.implicits._
+    val viewDir = Files.createTempDirectory("graft_cdcmv").toString + "/v"
+    val view = new graft.streaming.CdcMatView(viewDir)
+    view.seed(Seq(("u1", 10L), ("u1", 30L), ("u2", 5L)).toDF("user_id", "amount"))
+    def batch(rows: Seq[(String, Long, String)]) =
+      rows.toDF("user_id", "amount", "_change_type")
+    view.maintain(batch(Seq(("u1", 100L, "insert"), ("u2", 5L, "delete"))), 0L)
+    // replay of batch 0 with DIFFERENT content must be a no-op (the
+    // guard is the batchId, not the rows)
+    view.maintain(batch(Seq(("u9", 1L, "insert"))), 0L)
+    val got = view.read(spark).select("user_id", "n", "cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // u2 retracted to zero → gone; u1 = 2 seed rows + 1 insert
+    assert(got === Set(("u1", 3L, 140L)))
+    view.maintain(batch(Seq(("u3", 7L, "insert"))), 1L)
+    assert(view.read(spark).count() === 2)
+  }
+
   test("maintenance is invisible to the net feed; the changelog nets it to zero") {
     val dir = Files.createTempDirectory("graft_cdc_maint").toString
     write(dir, Seq(("u1", 10L, "h1"), ("u2", 20L, "h2")))
