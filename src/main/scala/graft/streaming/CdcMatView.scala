@@ -31,16 +31,23 @@ class CdcMatView(viewDir: String) extends Serializable {
 
   /** Fold the snapshot aggregate in as the pre-stream generation.
     * Input needs (user_id, amount); no-op if the view already exists
-    * (a checkpoint restart must not re-seed). */
+    * (a checkpoint restart must not re-seed). Staged through `.next` +
+    * rename like every generation: a torn direct write of main would
+    * block the exists-check from ever re-seeding, while a crash before
+    * the rename leaves a `_SUCCESS`-complete `.next` that the next
+    * call's read-repair promotes. */
   def seed(snapshot: DataFrame): Unit = {
     val spark = snapshot.sparkSession
     val fs = new Path(viewDir).getFileSystem(spark.sessionState.newHadoopConf())
     repairSwap(fs)
-    if (fs.exists(new Path(viewDir))) return
+    val main = new Path(viewDir)
+    if (fs.exists(main)) return
     snapshot.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"))
       .withColumn("_b", lit(-1L))
-      .write.mode("overwrite").parquet(viewDir)
+      .write.mode("overwrite").parquet(viewDir + ".next")
+    if (!fs.rename(new Path(viewDir + ".next"), main))
+      throw new java.io.IOException(s"CdcMatView seed: rename to $main failed")
   }
 
   /** Fold one micro-batch of changelog rows into the summary. Input
