@@ -431,7 +431,7 @@ class LimitHashLogTable(path: String, version: Option[Long] = None)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new LimitHashLogScanBuilder(path,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
@@ -474,9 +474,32 @@ class LimitHashLogTable(path: String, version: Option[Long] = None)
   */
 class LogWriteBuilder(path: String, queryId: String,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsOverwrite {
   private var doTruncate = false
+  private var owFilters: Option[Array[Filter]] = None
   override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  /** REPLACE WHERE — `df.writeTo(t).overwrite(cond)` / `INSERT INTO t
+    * REPLACE WHERE cond`: atomically retire every CURRENT row matching
+    * the condition and land the payload, the classic idempotent
+    * backfill (re-load one day of a 100 TB log without touching the
+    * rest). Delete side = [[LogDelete]]'s three-valued zone classify —
+    * cold segments whose zones can't match are NEVER read — and on a
+    * versioned log the retirement, the rewritten survivors and the new
+    * payload publish as ONE version: readers see the old state or the
+    * new, nothing between. Un-versioned logs keep the delete tier's
+    * rename-in-then-remove contract (transient old ∪ new, never a
+    * gap). Only [[LogDelete.supported]] conditions are accepted —
+    * `canOverwrite` declines the rest at planning, so Spark reports a
+    * clean analysis error instead of a half-applied overwrite. */
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(LogDelete.supported)
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(LogDelete.supported),
+      s"unsupported REPLACE WHERE filters: ${filters.mkString(", ")}")
+    owFilters = Some(filters)
+    this
+  }
 
   /** `option("bucketBy", "col:n")` → bucketed layout ([[LogBucketing]]).
     * Validated at PLANNING: a spec conflicting with the log's pinned
@@ -519,11 +542,15 @@ class LogWriteBuilder(path: String, queryId: String,
       override def requiredNumPartitions(): Int = bucket.fold(0)(_.n)
       override def requiredOrdering(): Array[expressions.SortOrder] = Array.empty
 
-      override def toBatch: BatchWrite = new LogBatchWrite(path, queryId, doTruncate, bucket)
+      override def toBatch: BatchWrite =
+        new LogBatchWrite(path, queryId, doTruncate, bucket, owFilters)
       override def toStreaming: swrite.StreamingWrite = {
         require(declared.isEmpty,
           "bucketed writes are batch-only (stream into an unbucketed log, " +
             "then compact into the bucketed layout)")
+        require(owFilters.isEmpty,
+          "REPLACE WHERE is batch-only (streaming output modes map to " +
+            "append/truncate, not conditional overwrite)")
         new LogStreamingWrite(path, queryId, doTruncate)
       }
     }
@@ -620,7 +647,8 @@ case class LogCommit(staged: String, partitionId: Int,
     stats: Option[SegmentStats] = None) extends WriterCommitMessage
 
 class LogBatchWrite(path: String, queryId: String, truncate: Boolean,
-    bucket: Option[LogBucketing.Spec] = None)
+    bucket: Option[LogBucketing.Spec] = None,
+    overwrite: Option[Array[Filter]] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new LogWriterFactory(path, queryId, bucket)
@@ -661,19 +689,50 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean,
     }
     // one manifest per commit (a retried query overwrites its own)
     LimitHashLog.writeManifest(fs, dir, queryId, manifest.result())
+
+    // REPLACE WHERE: retire every pre-existing row matching the
+    // condition, via the delete tier's zone classify + distributed
+    // rewrite. Inputs are fenced against THIS write's own output —
+    // the appended payload (which typically matches the condition: a
+    // backfill re-loads the very partition it replaces) and a retry's
+    // already-renamed rewrite outputs. On a versioned log the renamed
+    // appends are unpublished (invisible) at this point, so the single
+    // publish below is the only visibility event; un-versioned readers
+    // see (old ∪ new) transiently, the delete tier's standing contract.
+    require(overwrite.isEmpty || !truncate,
+      "overwrite-by-filter and truncate are mutually exclusive")
+    val replaced: Option[(Seq[String], Seq[String])] = overwrite.map { filters =>
+      val delId = s"ow-$queryId"
+      val spark = org.apache.spark.sql.classic.SparkSession.active
+      // a crashed prior attempt may have recorded removals it never
+      // finished (un-versioned tier): complete them before re-planning
+      LogDelete.resumeMarker(fs, dir, delId)
+      LogDelete.applyDelete(spark, path, filters, delId,
+        fence = Seq(s"segment-$queryId-", s"segment-$delId-"))
+    }
+
     if (versioned) {
       // snapshot commit: publish the next version; truncated-away
       // segments stay physically present for pinned readers (vacuum is
       // the retention knob), and prior manifests stay for their zones
       LogVersions.commit(path)(prev =>
         if (truncate) committedNames.toSeq
-        else (prev.toSet ++ committedNames).toSeq)
+        else replaced match {
+          case Some((removed, added)) =>
+            (prev.toSet -- removed ++ added ++ committedNames).toSeq
+          case None => (prev.toSet ++ committedNames).toSeq
+        })
     } else {
       // a retried query's old listing can contain names this commit just
       // replaced — never delete what we committed moments ago; truncate
       // leaves no prior segments, so prior manifests are wholly stale
       old.filterNot(committed).foreach(f => fs.delete(new Path(f), false))
       if (truncate) LimitHashLog.dropOtherManifests(fs, dir, queryId)
+      replaced.foreach { case (removed, _) =>
+        if (removed.nonEmpty) {
+          LogDelete.fencedRemove(fs, dir, s"ow-$queryId", removed)
+        }
+      }
     }
   }
 

@@ -271,25 +271,80 @@ object LogDelete {
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return
     val delId = deleteId(filters)
-    val marker = new Path(base, s"_delete-$delId.committed")
 
     // Resume path: renames + manifest committed, crash mid-removal —
     // finish exactly the recorded removals and stop.
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val recorded = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
-      finally in.close()
-      recorded.foreach(n => fs.delete(new Path(base, n), false))
-      fs.delete(marker, false)
-      return
-    }
+    if (resumeMarker(fs, base, delId)) return
 
-    // Input fencing: never treat this delete's own replacement outputs
-    // as inputs (pre-marker retry re-processes only intact originals).
-    val ownPrefix = s"segment-$delId-"
+    val (toRemove, added) =
+      applyDelete(spark, dir, filters, delId, Seq(s"segment-$delId-"))
+
+    if (LogVersions.enabled(dir)) {
+      if (toRemove.nonEmpty || added.nonEmpty) {
+        LogVersions.commit(dir) { prev =>
+          (prev.toSet -- toRemove ++ added).toSeq
+        }
+      }
+    } else if (toRemove.nonEmpty) {
+      fencedRemove(fs, base, delId, toRemove)
+    }
+  }
+
+  /** Finish an interrupted [[fencedRemove]]: the marker records exactly
+    * which segment names the crashed attempt had left to delete. True
+    * when a marker was found (and its removals completed) — the logical
+    * delete is then already done. */
+  private[sources] def resumeMarker(fs: org.apache.hadoop.fs.FileSystem,
+      base: Path, delId: String): Boolean = {
+    val marker = new Path(base, s"_delete-$delId.committed")
+    if (!fs.exists(marker)) return false
+    val in = fs.open(marker)
+    val recorded = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").filter(_.nonEmpty)
+    finally in.close()
+    recorded.foreach(n => fs.delete(new Path(base, n), false))
+    fs.delete(marker, false)
+    true
+  }
+
+  /** Fenced physical removal for the UN-versioned tier: record the
+    * names in a `_delete-<id>.committed` marker first, so a crash
+    * mid-removal resumes to exactly this set ([[resumeMarker]]). */
+  private[sources] def fencedRemove(fs: org.apache.hadoop.fs.FileSystem,
+      base: Path, delId: String, toRemove: Seq[String]): Unit = {
+    val marker = new Path(base, s"_delete-$delId.committed")
+    val out = fs.create(marker, true)
+    try out.write(toRemove.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    toRemove.foreach(n => fs.delete(new Path(base, n), false))
+    fs.delete(marker, false)
+  }
+
+  /** Phases 1–3 of one predicate delete — driver-side zone
+    * classification, distributed survivor rewrite, replacement rename +
+    * stats manifest — WITHOUT the final removal / version publish, so a
+    * caller can fold the retirement of the originals into a LARGER
+    * atomic commit (REPLACE-WHERE folds it into the same version as its
+    * appended payload, [[LogBatchWrite]]). Returns
+    * `(removedNames, addedNames)`: originals to retire and the
+    * replacement segments already renamed in (invisible on a versioned
+    * log until published; transiently duplicated on an un-versioned one,
+    * same visibility contract as [[deleteWhere]] always had).
+    * `fence`: segment-NAME prefixes excluded from the inputs — this
+    * operation's own outputs on a retry, and an overwrite's
+    * freshly-committed payload segments, which must never be fed back
+    * through the predicate. */
+  private[sources] def applyDelete(spark: SparkSession, dir: String,
+      filters: Array[Filter], delId: String,
+      fence: Seq[String]): (Seq[String], Seq[String]) = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segs = LimitHashLog.segmentsWithStats(dir)
-      .filterNot { case (f, _, _) => new Path(f).getName.startsWith(ownPrefix) }
+      .filterNot { case (f, _, _) =>
+        val n = new Path(f).getName
+        fence.exists(n.startsWith)
+      }
     val verdicts = segs.map { case (f, _, st) => (f, classify(filters, st)) }
     val drops = verdicts.collect { case (f, Drop) => f }
     val rewrites = verdicts.collect { case (f, Rewrite) => f }
@@ -332,20 +387,7 @@ object LogDelete {
     if (entries.nonEmpty) LimitHashLog.writeManifest(fs, base, delId, entries)
 
     val toRemove = (drops ++ rewritten.map(_._1)).map(new Path(_).getName)
-    if (LogVersions.enabled(dir)) {
-      if (toRemove.nonEmpty || added.result().nonEmpty) {
-        LogVersions.commit(dir) { prev =>
-          (prev.toSet -- toRemove ++ added.result()).toSeq
-        }
-      }
-    } else if (toRemove.nonEmpty) {
-      val out = fs.create(marker, true)
-      try out.write(toRemove.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      toRemove.foreach(n => fs.delete(new Path(base, n), false))
-      fs.delete(marker, false)
-    }
+    (toRemove, added.result())
   }
 
   /** TRUNCATE: remove every segment and every stats manifest. On a
