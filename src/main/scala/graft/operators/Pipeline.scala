@@ -733,7 +733,79 @@ object Pipeline {
       .orderBy(col("change_type"), col("bucket"))
   }
 
+  /** REPLACE WHERE on the entity log (SQL `INSERT INTO ... REPLACE
+    * WHERE`, [[graft.sources.LogWriteBuilder]] SupportsOverwrite): the
+    * idempotent backfill — re-derive two users' slices with corrected
+    * amounts and land them atomically in place of the old slices. The
+    * oracle rebuilds the post-replace state as (NOT-matching rows ∪
+    * payload); a row the replace missed, double-landed, or wrongly
+    * retired breaks the hash. Zone classify keeps the untouched
+    * users' segments unread — at 100 TB a one-day backfill touches
+    * one day's segments. */
+  def p22_log_replace_where(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p22").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p22").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p22", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p22.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p22.ops")
+    spark.sql("""CREATE TABLE IF NOT EXISTS graft_p22.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    val base = Tables.orders(spark, dir)
+      .select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+    base.repartitionByRange(8, col("user_id"))
+      .writeTo("graft_p22.ops.limits").overwrite(lit(true))
+    base.filter(col("user_id").isin("u13", "u42")).createOrReplaceTempView("p22_payload")
+    spark.sql("""INSERT INTO graft_p22.ops.limits
+                 REPLACE WHERE user_id = 'u13' OR user_id = 'u42'
+                 SELECT user_id, amount * 2 + 7 AS amount, msg, sha256sum
+                 FROM p22_payload""")
+    spark.sql("""SELECT user_id, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p22.ops.limits GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** REPLACE WHERE on a VERSIONED catalog parquet table
+    * ([[graft.sources.ParquetReplaceWriteBuilder]]): payload through
+    * Spark's own parquet write, retirement through the footer-stats
+    * classify, and ONE ledger publish for retire + rewrite + payload —
+    * the backfill pattern a 100 TB parquet lake runs daily. */
+  def p23_parquet_replace_where(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p23").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p23").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p23", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p23.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p23.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p23.lake.orders_pq")
+    spark.sql("""CREATE TABLE graft_p23.lake.orders_pq
+                 (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
+    val base = Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+    base.repartitionByRange(8, col("bucket"))
+      .writeTo("graft_p23.lake.orders_pq").append()
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p23.warehouse") +
+      "/lake/orders_pq"
+    graft.sources.ParquetVersions.enable(tableDir)
+    base.filter(col("bucket").isin(3L, 7L))
+      .select(col("o_orderkey"), col("bucket"),
+        (col("cents") * 3 + 11).as("cents"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .writeTo("graft_p23.lake.orders_pq")
+      .overwrite(col("bucket").isin(3L, 7L))
+    spark.sql("""SELECT bucket, count(*) AS n, sum(cents) AS total
+                 FROM graft_p23.lake.orders_pq GROUP BY 1 ORDER BY 1""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_log_replace_where" -> (p22_log_replace_where _),
+    "p23_parquet_replace_where" -> (p23_parquet_replace_where _),
     "p20_log_cdc" -> (p20_log_cdc _),
     "p21_parquet_cdc" -> (p21_parquet_cdc _),
     "p19_parquet_bucketed_join" -> (p19_parquet_bucketed_join _),
@@ -757,6 +829,28 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p22_log_replace_where" ->
+      """WITH i AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount,
+        |    SHA256(CAST(o_orderkey AS VARCHAR)) AS sha256sum
+        |  FROM orders),
+        |f AS (SELECT * FROM i WHERE user_id NOT IN ('u13', 'u42')
+        |      UNION ALL
+        |      SELECT user_id, amount * 2 + 7 AS amount, sha256sum
+        |      FROM i WHERE user_id IN ('u13', 'u42'))
+        |SELECT user_id, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p23_parquet_replace_where" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |f AS (SELECT o_orderkey, bucket, cents FROM b WHERE bucket NOT IN (3, 7)
+        |      UNION ALL
+        |      SELECT o_orderkey, bucket, cents * 3 + 11 AS cents
+        |      FROM b WHERE bucket IN (3, 7))
+        |SELECT bucket, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "p20_log_cdc" ->
       """WITH i AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount,

@@ -163,7 +163,25 @@ object ParquetDelete {
     * [[Compaction.compactTable]]); crash-repair via the generation
     * machinery on next load. */
   def deleteWhere(spark: SparkSession, tableDir: String,
-      filters: Array[Filter]): ParquetDeleteStats = {
+      filters: Array[Filter]): ParquetDeleteStats =
+    deleteCore(spark, tableDir, filters, protect = Set.empty,
+      alsoPublish = Seq.empty, preCaughtUp = false)
+
+  /** The delete with the knobs REPLACE WHERE needs
+    * ([[ParquetReplaceWrite]]): `protect` — file names classified
+    * untouched unconditionally (the overwrite's freshly-committed
+    * payload, which typically matches the very condition it replaces);
+    * `alsoPublish` — names folded into the SAME version publish as the
+    * retirement, so the whole replace is one visibility event;
+    * `preCaughtUp` — the caller already folded un-ledgered appends into
+    * the ledger, so the publish goes straight to [[VersionLedger]]
+    * (no internal catch-up, which would re-reference the payload as its
+    * own transient commit) and the INPUT set is the latest version's
+    * names ∪ `protect` — an append racing the replace stays untouched
+    * and absorbed-live, serialized after this operation. */
+  private[sources] def deleteCore(spark: SparkSession, tableDir: String,
+      filters: Array[Filter], protect: Set[String],
+      alsoPublish: Seq[String], preCaughtUp: Boolean): ParquetDeleteStats = {
     val base = new Path(tableDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schemaFile = new Path(base, "_schema.json")
@@ -196,7 +214,10 @@ object ParquetDelete {
     // versions, and re-processing those would resurrect deleted rows.
     val versioned = ParquetVersions.enabled(tableDir)
     val liveNames: Option[Set[String]] =
-      if (versioned) Some(ParquetVersions.live(tableDir).toSet) else None
+      if (!versioned) None
+      else if (preCaughtUp) Some(VersionLedger.latest(tableDir)
+        .map(_._2).getOrElse(Seq.empty).toSet ++ protect)
+      else Some(ParquetVersions.live(tableDir).toSet)
     val files =
       if (fs.exists(data)) fs.listStatus(data)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -210,6 +231,8 @@ object ParquetDelete {
       val w = Seq.newBuilder[Path]
       files.foreach { st =>
         val cls = try {
+          if (protect(st.getPath.getName)) 'u'
+          else {
           val fstats = ParquetFooterStats.get(conf, st.getPath, st.getLen,
             st.getModificationTime)
           if (FooterPrune.excludes(fstats, cond)) 'u'
@@ -217,6 +240,7 @@ object ParquetDelete {
               refs.forall(c => fstats.cols.get(c).exists(_.nulls.contains(0L))))
             'd'
           else 'w'
+          }
         } catch { case scala.util.control.NonFatal(_) => 'w' }
         cls match {
           case 'u' => u += st.getPath
@@ -296,8 +320,18 @@ object ParquetDelete {
         if (rewrites.isEmpty) Seq.empty[String] else rewriteAll(data)
       val droppedNames = dropped.map(_.getName).toSet
       val rewriteNames = rewrites.map(_.getName).toSet
-      ParquetVersions.commit(tableDir) { live =>
-        (live.toSet -- droppedNames -- rewriteNames ++ written).toSeq
+      if (preCaughtUp) {
+        // REPLACE WHERE: one publish covers retirement, rewrites AND
+        // the appended payload — straight to the ledger, no internal
+        // catch-up (which would publish the payload as its own commit)
+        VersionLedger.commit(tableDir) { prev =>
+          (prev.toSet -- droppedNames -- rewriteNames ++ written
+            ++ alsoPublish).toSeq
+        }
+      } else {
+        ParquetVersions.commit(tableDir) { live =>
+          (live.toSet -- droppedNames -- rewriteNames ++ written).toSeq
+        }
       }
     } else {
       val next = new Path(base, "data.next")

@@ -490,6 +490,28 @@ class StatsPrunedParquetTable(
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
     Array(ParquetFileMetaColumn)
 
+  /** The file tables don't advertise v2 overwrite; the REPLACE WHERE
+    * wrapper below provides it (plus a history-preserving truncate). */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    val caps = new java.util.HashSet[org.apache.spark.sql.connector.catalog.TableCapability](
+      super.capabilities())
+    caps.add(org.apache.spark.sql.connector.catalog.TableCapability.OVERWRITE_BY_FILTER)
+    caps.add(org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
+    caps
+  }
+
+  /** Writes: Spark's own parquet write builder, wrapped for
+    * `REPLACE WHERE` / v2 truncate ([[ParquetReplaceWriteBuilder]] —
+    * append-path delegation, [[ParquetDelete]] retirement, one ledger
+    * publish on versioned tables). Plain appends are pass-through. */
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
+      "WRITE on a VERSION AS OF snapshot — time-travel tables are read-only")
+    new ParquetReplaceWriteBuilder(super.newWriteBuilder(info), spark,
+      tableDir, declared)
+  }
+
   /** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE` — Spark's
     * group-based row-level-operations API on the parquet tier; full
     * design on [[ParquetRowLevelOperation]]. (Footer-provable DELETEs
