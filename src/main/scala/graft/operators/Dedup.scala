@@ -569,7 +569,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk-level exact dedup — the C4/RefinedWeb "line dedup" pass
+    * adapted to a corpus without newline structure: slice every
+    * document into NON-overlapping 16-token chunks (the [[TextAnalysis
+    * .chunkText]] semantics with stride = window), hash each chunk,
+    * and keep only the FIRST occurrence corpus-wide (first = lowest
+    * (doc_id, chunk_id), the suite-wide keep-first policy). Reported
+    * per document: chunks, survivors, and the first surviving hash —
+    * the shape a pipeline uses to rebuild the scrubbed text.
+    *
+    * 100 TB posture: chunking is a per-row explode (no shuffle);
+    * first-occurrence-wins is ONE row_number window over the 64-bit
+    * chunk hash — the same single uniformly-keyed shuffle as exact doc
+    * dedup (d01), with only (hash, doc_id, chunk_id, n_tokens) rows in
+    * flight, never the chunk text; the per-doc rollup re-shuffles on
+    * doc_id. No joins, no skew (hash keys are uniform by construction). */
+  def d13_dedup_chunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_id"))
+    TextAnalysis.chunkText(Tables.documents(spark, dir), window = 16, stride = 16)
+      .withColumn("h", sha2(col("chunk_text"), 256))
+      .select(col("doc_id"), col("chunk_id"), col("h"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("rn") === 1, col("h"))).as("first_kept_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_dedup_chunks" -> (d13_dedup_chunks _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_dedup_minhash_lsh" -> (d02_dedup_minhash_lsh _),
     "d03_dedup_simhash" -> (d03_dedup_simhash _),
@@ -739,6 +769,21 @@ object Dedup {
       |SELECT a, b FROM ver ORDER BY a, b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d13_dedup_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |    REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, i AS chunk_id,
+        |    SHA256(ARRAY_TO_STRING(
+        |      toks[CAST(i * 16 + 1 AS INT):CAST(i * 16 + 16 AS INT)], ' ')) AS h
+        |  FROM t, UNNEST(RANGE(0,
+        |    (GREATEST(LEN(toks) - 16, 0) + 15) // 16 + 1)) AS u(i)),
+        |r AS (SELECT doc_id, chunk_id, h,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+        |  FROM c)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  MIN(CASE WHEN rn = 1 THEN h END) AS first_kept_hash
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "d04_dedup_ngram_jaccard" -> ngramOracleSql,
     "d10_dedup_minhash_planted" -> minhashPlantedOracleSql,
     "d12_dedup_simhash_planted" ->
