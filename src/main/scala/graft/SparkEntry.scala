@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Skew.queries ++ operators.Pipeline.queries ++
       operators.Reshape.queries ++ operators.Subqueries.queries ++
       operators.Behavioral.queries ++ operators.Frequency.queries ++
-      operators.Intervals.queries ++ operators.Warehouse.queries
+      operators.Intervals.queries ++ operators.Warehouse.queries ++
+      operators.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       operators.Skew.oracle ++ operators.Pipeline.oracle ++
       operators.Reshape.oracle ++ operators.Subqueries.oracle ++
       operators.Behavioral.oracle ++ operators.Frequency.oracle ++
-      operators.Intervals.oracle ++ operators.Warehouse.oracle
+      operators.Intervals.oracle ++ operators.Warehouse.oracle ++
+      operators.Curation.oracle
 }
