@@ -242,6 +242,27 @@ object LogProcedures {
           Seq(files, rows, out))
       }
     },
+    "zorder_table" -> new MaintenanceProcedure("zorder_table",
+      "Z-order a catalog parquet table by the given columns (OPTIMIZE ZORDER BY)") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("columns", StringType)
+          .comment("comma-separated numeric/date columns to interleave").build(),
+        ProcedureParameter.in("files", IntegerType)
+          .defaultValue("16").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        require(isParquetTable(dir),
+          s"zorder_table lays out catalog parquet tables; the log tier clusters via compact_log")
+        val cols = input.getUTF8String(1).toString.split(",").map(_.trim).filter(_.nonEmpty)
+        val (before, rows, after) =
+          ParquetZorder.zorderTable(spark, dir, cols.toSeq, input.getInt(2))
+        oneRow(StructType(Seq(
+          StructField("files_before", LongType, nullable = false),
+          StructField("rows_rewritten", LongType, nullable = false),
+          StructField("files_after", LongType, nullable = false))),
+          Seq(before, rows, after))
+      }
+    },
     "compact_table" -> new MaintenanceProcedure("compact_table",
       "bin-pack a catalog parquet table's data files (crash-safe generation swap)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,
