@@ -38,7 +38,7 @@ import org.apache.spark.sql.types.StructType
   * and is documented-destructive on versioned tables; this one keeps
   * every retired file for pinned readers until vacuum). */
 class ParquetReplaceWriteBuilder(inner: WriteBuilder, spark: SparkSession,
-    tableDir: String, declared: StructType)
+    tableDir: String, declared: StructType, queryId: String = "")
     extends WriteBuilder with SupportsOverwrite {
 
   private var owFilters: Option[Array[Filter]] = None
@@ -57,19 +57,40 @@ class ParquetReplaceWriteBuilder(inner: WriteBuilder, spark: SparkSession,
     overwrite(Array[Filter](AlwaysTrue()))
 
   override def build(): Write = owFilters match {
-    case None => inner.build()
+    case None =>
+      // plain append: batch stays Spark's own ParquetWrite; streaming
+      // (writeStream.toTable) goes through the epoch-versioned sink
+      val b = inner.build()
+      new Write {
+        override def toBatch: BatchWrite = b.toBatch
+        override def toStreaming: streaming.StreamingWrite =
+          new ParquetStreamingWrite(tableDir, declared, queryId, truncate = false)
+        override def description(): String = b.description()
+      }
     case Some(filters) =>
-      new ParquetReplaceWrite(inner.build(), spark, tableDir, filters)
+      new ParquetReplaceWrite(inner.build(), spark, tableDir, filters,
+        declared, queryId)
   }
 }
 
 /** The wrapping Write: delegate everything task-side, intercept the
   * driver commit to run the retirement and the single publish. */
 class ParquetReplaceWrite(inner: Write, spark: SparkSession,
-    tableDir: String, filters: Array[Filter]) extends Write {
+    tableDir: String, filters: Array[Filter],
+    declared: StructType = null, queryId: String = "") extends Write {
 
   override def description(): String =
     s"${inner.description()} REPLACE WHERE ${filters.mkString(" AND ")}"
+
+  /** Streaming truncate = complete output mode: each epoch's commit
+    * REPLACES the table's membership ([[ParquetStreamingWrite]]).
+    * Filtered REPLACE WHERE has no streaming counterpart. */
+  override def toStreaming: streaming.StreamingWrite = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]) && declared != null,
+      s"streaming REPLACE WHERE supports only truncate (complete mode); " +
+        s"got ${filters.mkString(", ")}")
+    new ParquetStreamingWrite(tableDir, declared, queryId, truncate = true)
+  }
 
   override def toBatch: BatchWrite = {
     val innerBatch = inner.toBatch

@@ -497,6 +497,7 @@ class StatsPrunedParquetTable(
       super.capabilities())
     caps.add(org.apache.spark.sql.connector.catalog.TableCapability.OVERWRITE_BY_FILTER)
     caps.add(org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
+    caps.add(org.apache.spark.sql.connector.catalog.TableCapability.STREAMING_WRITE)
     caps
   }
 
@@ -509,7 +510,7 @@ class StatsPrunedParquetTable(
     if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
       "WRITE on a VERSION AS OF snapshot — time-travel tables are read-only")
     new ParquetReplaceWriteBuilder(super.newWriteBuilder(info), spark,
-      tableDir, declared)
+      tableDir, declared, info.queryId())
   }
 
   /** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE` — Spark's
