@@ -664,7 +664,63 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** TABLE-TO-TABLE STREAMING on the parquet tier, end-to-end: a
+    * catalog parquet fact table is tailed with the ledger-ordinal
+    * streaming read ([[graft.sources.ParquetTailMicroBatchStream]] —
+    * snapshot-then-tail), transformed (filter + derived column: the
+    * streamed query is a real query, not a copy), and landed in a
+    * second catalog parquet table through the epoch-exactly-once
+    * streaming sink ([[graft.sources.ParquetStreamingWrite]]). The
+    * stream is STOPPED between the baseline and the append wave and
+    * resumed from its checkpoint, and the append lands as a plain
+    * v1-path INSERT that only the tail's catch-up commit makes
+    * streamable — so the oracle match proves snapshot+tail offsets,
+    * catch-up folding, sink idempotence and checkpoint resume at once.
+    * At 100 TB this is the standing shape of a derived fact table:
+    * no rescans of the source, per-commit increments only. */
+  def s20_stream_table_pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_s20").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_s20").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_s20", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_s20.warehouse", wh)
+    }
+    val ck = java.nio.file.Files.createTempDirectory("graft_lhcat_s20_ck").toString
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_s20.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_s20.lake.src")
+    spark.sql("DROP TABLE IF EXISTS graft_s20.lake.dst")
+    spark.sql("CREATE TABLE graft_s20.lake.src (user_id STRING, cents BIGINT)")
+    spark.sql("CREATE TABLE graft_s20.lake.dst (user_id STRING, cents BIGINT, bucket BIGINT)")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast(LongType).as("okey"),
+      concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+      (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(9, 2)) * 100)
+        .cast(LongType).as("cents"))
+    def writeHalf(parity: Int): Unit =
+      base.filter(col("okey") % 2 === parity).drop("okey")
+        .repartition(2).writeTo("graft_s20.lake.src").append()
+    writeHalf(0)
+    spark.sql("CALL graft_s20.system.enable_versioning(table => 'lake.src')")
+    def run(): Unit = {
+      val q = spark.readStream.table("graft_s20.lake.src")
+        .filter(col("cents") % 3 === 0) // the derived-table query
+        .withColumn("bucket", col("cents") % 10)
+        .writeStream.option("checkpointLocation", ck)
+        .toTable("graft_s20.lake.dst")
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()          // snapshot of the even-okey baseline
+    writeHalf(1)   // plain INSERT — streamable only via catch-up
+    run()          // checkpoint resume + tailed append
+    spark.table("graft_s20.lake.dst")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+        sum(col("bucket")).as("sum_bucket"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_stream_table_pipeline" -> (s20_stream_table_pipeline _),
     "s19_stream_cdc_matview" -> (s19_stream_cdc_matview _),
     "s18_stream_cdc" -> (s18_stream_cdc _),
     "s17_stream_matview_log" -> (s17_stream_matview_log _),
@@ -721,6 +777,17 @@ object StreamingQueries {
     // the net streamed changelog == the endpoint diff, rebuilt from
     // first principles: baseline = even keys, final = everything minus
     // u7 (the appends completed the key space, the delete removed u7)
+    // the streamed derived table equals the batch recomputation over
+    // ALL source rows (both halves), filter and derived column included
+    "s20_stream_table_pipeline" ->
+      """WITH b AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (SELECT user_id, cents, cents % 10 AS bucket FROM b WHERE cents % 3 = 0)
+        |SELECT user_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |       CAST(SUM(bucket) AS BIGINT) AS sum_bucket
+        |FROM d GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "s18_stream_cdc" ->
       """WITH b AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount,

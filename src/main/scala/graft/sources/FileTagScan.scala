@@ -54,7 +54,10 @@ class FileTagParquetScanBuilder(sparkSession: SparkSession,
     if (wantsFile) new FileTaggedScan(inner)
     else bucketLayout(inner) match {
       case Some((spec, buckets)) => new BucketedParquetScan(inner, spec, buckets)
-      case None => inner
+      // plain scans carry the micro-batch tail (readStream.table) —
+      // batch planning is untouched, the subtype only adds
+      // toMicroBatchStream over the version ledger
+      case None => new TailableParquetScan(inner)
     }
   }
 
@@ -119,6 +122,31 @@ class FileTaggedScan(val inner: ParquetScan)
     case _ => false
   }
   override def hashCode(): Int = inner.hashCode() ^ 0x5f11e7a9
+}
+
+/** The ordinary catalog parquet scan, plus the ledger-tailing
+  * micro-batch stream ([[ParquetTailable]]). Construction mirrors
+  * [[FileTaggedScan]]: same ctor args as the genuine scan, so every
+  * batch code path is inherited unchanged. */
+class TailableParquetScan(val inner: ParquetScan)
+    extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
+      inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
+      inner.pushedFilters, inner.options, inner.pushedAggregate,
+      inner.partitionFilters, inner.dataFilters,
+      inner.pushedVariantExtractions)
+    with ParquetTailable {
+
+  override protected def tailTableDir: String =
+    inner.fileIndex.rootPaths.head.getParent.toString
+  override protected def tailDataSchema: StructType = inner.dataSchema
+  override protected def tailOptions
+      : org.apache.spark.sql.util.CaseInsensitiveStringMap = inner.options
+
+  override def equals(obj: Any): Boolean = obj match {
+    case t: TailableParquetScan => inner == t.inner
+    case _ => false
+  }
+  override def hashCode(): Int = inner.hashCode() ^ 0x7a11ab1e
 }
 
 class FileTaggedReaderFactory(inner: PartitionReaderFactory)

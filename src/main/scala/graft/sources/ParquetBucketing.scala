@@ -259,7 +259,14 @@ class BucketedParquetScan(val inner: ParquetScan,
       inner.pushedFilters, inner.options, inner.pushedAggregate,
       inner.partitionFilters, inner.dataFilters,
       inner.pushedVariantExtractions)
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with ParquetTailable {
+
+  override protected def tailTableDir: String =
+    inner.fileIndex.rootPaths.head.getParent.toString
+  override protected def tailDataSchema: org.apache.spark.sql.types.StructType =
+    inner.dataSchema
+  override protected def tailOptions
+      : org.apache.spark.sql.util.CaseInsensitiveStringMap = inner.options
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(

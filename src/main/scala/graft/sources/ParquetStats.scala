@@ -498,6 +498,7 @@ class StatsPrunedParquetTable(
     caps.add(org.apache.spark.sql.connector.catalog.TableCapability.OVERWRITE_BY_FILTER)
     caps.add(org.apache.spark.sql.connector.catalog.TableCapability.TRUNCATE)
     caps.add(org.apache.spark.sql.connector.catalog.TableCapability.STREAMING_WRITE)
+    caps.add(org.apache.spark.sql.connector.catalog.TableCapability.MICRO_BATCH_READ)
     caps
   }
 

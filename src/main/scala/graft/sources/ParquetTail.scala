@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** PLAIN streaming reads of catalog parquet tables —
+  * `spark.readStream.table("graft.lake.t")` — completing the
+  * table-to-table streaming story on the columnar tier: with
+  * [[ParquetStreamingWrite]] landing per-epoch versions, a downstream
+  * query tails those versions with exactly-once offsets.
+  *
+  * Contract (the Delta `readStream` shape):
+  *   - first batch = a full SNAPSHOT of the start version (the current
+  *     one, or `option("startVersion", n)` to begin from a pinned
+  *     snapshot), then each micro-batch reads exactly the files APPENDED
+  *     by the ledger commits since the last offset — offsets are ledger
+  *     ordinals, so restart/replay re-reads precisely one commit span;
+  *   - `latestOffset` folds pending v1-path appends into a catch-up
+  *     commit first (the same rule every maintenance op applies), so
+  *     plain `INSERT INTO` rows become streamable without waiting for a
+  *     maintenance cycle;
+  *   - commits that RETIRE files (compaction, zorder, rebucket, DELETE,
+  *     UPDATE, MERGE, complete-mode replacement) fail the stream loudly
+  *     by default — an appends-only tail cannot represent them.
+  *     `option("skipNonAppends", "true")` skips such commits WHOLE,
+  *     which is exact for pure layout maintenance (row set unchanged)
+  *     and documented-lossy for row-level DML — use the changelog
+  *     sources (`changeFeed` / `graft.sources.ParquetChanges`) when
+  *     row-level changes must stream.
+  *
+  * Why not Spark's v1 FileStreamSource fallback: it tails the raw
+  * directory listing, which on a versioned table includes retired-but-
+  * not-yet-vacuumed files — duplicates by construction. The ledger is
+  * the only correct tailing index. */
+class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
+    startVersion: Option[Long], skipNonAppends: Boolean)
+    extends streaming.MicroBatchStream {
+
+  private def requireVersioned(): Unit =
+    require(ParquetVersions.enabled(tableDir),
+      s"streaming read needs a versioned table — enable versioning on $tableDir first")
+
+  override def initialOffset(): streaming.Offset = {
+    requireVersioned()
+    val v = startVersion match {
+      case Some(n) =>
+        require(ParquetVersions.get(tableDir, n).isDefined,
+          s"startVersion $n: no such version in $tableDir (never committed, or vacuumed)")
+        n
+      case None =>
+        ParquetVersions.catchUp(tableDir)
+        ParquetVersions.latest(tableDir).get._1
+    }
+    ParquetTailOffset(v, snapshotDone = false)
+  }
+
+  override def latestOffset(): streaming.Offset = {
+    requireVersioned()
+    // fold pending plain appends so INSERT INTO rows stream without
+    // waiting for a maintenance op to reference them
+    ParquetVersions.catchUp(tableDir)
+    ParquetTailOffset(ParquetVersions.latest(tableDir).get._1, snapshotDone = true)
+  }
+
+  private def membership(v: Long): Set[String] =
+    ParquetVersions.get(tableDir, v).getOrElse(throw new IllegalStateException(
+      s"version $v of $tableDir was vacuumed under a running stream")).toSet
+
+  override def planInputPartitions(start: streaming.Offset,
+      end: streaming.Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ParquetTailOffset]
+    val e = end.asInstanceOf[ParquetTailOffset]
+    val snapshot: Seq[String] =
+      if (s.snapshotDone) Nil else membership(s.version).toSeq.sorted
+    val appended: Seq[String] = ((s.version + 1) to e.version).flatMap { v =>
+      val prev = membership(v - 1)
+      val cur = membership(v)
+      val removed = prev -- cur
+      if (removed.nonEmpty) {
+        if (!skipNonAppends) throw new IllegalStateException(
+          s"version $v of $tableDir retires ${removed.size} file(s) — a plain " +
+            "streaming read tails appends only. Stream the change feed " +
+            "(option(\"changeFeed\") / graft.sources.ParquetChanges) for " +
+            "row-level changes, or set option(\"skipNonAppends\", \"true\") " +
+            "to skip maintenance commits whole (exact for compaction/zorder/" +
+            "rebucket; LOSSY for UPDATE/DELETE/MERGE).")
+        Nil // skipped whole: additions of a retiring commit carry no new rows
+      } else (cur -- prev).toSeq.sorted
+    }
+    val data = new Path(tableDir, "data")
+    val fs = data.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    (snapshot ++ appended).distinct.zipWithIndex.map { case (name, i) =>
+      val p = new Path(data, name)
+      val st = try fs.getFileStatus(p) catch {
+        case _: java.io.FileNotFoundException => throw new IllegalStateException(
+          s"streamed file $name is gone from $tableDir — vacuumed inside the " +
+            "retention window this stream still needed")
+      }
+      val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty, org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+        0L, st.getLen, Array.empty, st.getModificationTime, st.getLen, Map.empty)
+      FilePartition(i, Array(pf)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // the genuine vectorized parquet reader factory, schema-pinned to
+    // the table manifest — per-file work comes from each partition
+    val spark = org.apache.spark.sql.classic.SparkSession.active
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, Seq(new Path(tableDir, "data")), Map.empty, Some(dataSchema))
+    val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      spark, index, dataSchema, dataSchema,
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    builder.pruneColumns(dataSchema)
+    builder.build().createReaderFactory()
+  }
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    ParquetTailOffset.fromJson(json)
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Ledger position of a tail stream: the last fully-read version, plus
+  * whether that version's full snapshot has been emitted (false only
+  * for a fresh stream's first batch). */
+case class ParquetTailOffset(version: Long, snapshotDone: Boolean)
+    extends streaming.Offset {
+  override def json(): String = s"""{"version":$version,"snapshotDone":$snapshotDone}"""
+}
+
+object ParquetTailOffset {
+  def fromJson(json: String): ParquetTailOffset = {
+    val v = "\"version\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .getOrElse(throw new IllegalArgumentException(s"bad tail offset: $json"))
+      .group(1).toLong
+    val done = "\"snapshotDone\"\\s*:\\s*(true|false)".r.findFirstMatchIn(json)
+      .map(_.group(1).toBoolean).getOrElse(true)
+    ParquetTailOffset(v, done)
+  }
+}
+
+/** Mixin giving a catalog parquet [[Scan]] its micro-batch tail. The
+  * batch scan semantics of the mixing class are untouched — streaming
+  * planning only ever calls [[Scan.toMicroBatchStream]]. */
+trait ParquetTailable extends Scan {
+  protected def tailTableDir: String
+  protected def tailDataSchema: StructType
+  protected def tailOptions: CaseInsensitiveStringMap
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new ParquetTailMicroBatchStream(tailTableDir, tailDataSchema,
+      Option(tailOptions.get("startVersion")).map(_.toLong),
+      Option(tailOptions.get("skipNonAppends")).exists(_.toBoolean))
+}
