@@ -118,13 +118,40 @@ private[sources] object VersionLedger {
     if (name.startsWith(Prefix)) name.stripPrefix(Prefix).toLongOption else None
 
   /** (ordinal, file) pairs, ascending. */
-  def versionFiles(dir: Path): Seq[(Long, Path)] = {
+  def versionFiles(dir: Path): Seq[(Long, Path)] =
+    versionStatuses(dir).map { case (o, s) => (o, s.getPath) }
+
+  private def versionStatuses(dir: Path): Seq[(Long, org.apache.hadoop.fs.FileStatus)] = {
     val fs = fsOf(dir)
     if (!fs.exists(dir)) return Seq.empty
     fs.listStatus(dir).toSeq.flatMap { s =>
-      if (s.isFile) ordinalOf(s.getPath.getName).map(o => (o, s.getPath))
+      if (s.isFile) ordinalOf(s.getPath.getName).map(o => (o, s))
       else None
     }.sortBy(_._1)
+  }
+
+  /** Version files are WRITE-ONCE (create-exclusive publish, never
+    * modified), so their payloads cache by identity — without this,
+    * every ledger read (snapshot / referencedByAny / history) re-parses
+    * O(versions) payloads, and a streaming tail's per-trigger catch-up
+    * over a long history turns O(versions²). The key includes length
+    * and mtime so a dropped-and-recreated table at the same path (new
+    * ledger, reused ordinals) cannot serve stale entries. */
+  private val payloadCache =
+    new java.util.LinkedHashMap[String, Payload](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Payload]): Boolean = size() > 4096
+    }
+
+  private def cachedPayload(st: org.apache.hadoop.fs.FileStatus): Payload = {
+    val key =
+      s"${st.getPath}#${st.getLen}#${st.getModificationTime}"
+    val hit = payloadCache.synchronized(Option(payloadCache.get(key)))
+    hit.getOrElse {
+      val p = readPayload(st.getPath)
+      payloadCache.synchronized(payloadCache.put(key, p))
+      p
+    }
   }
 
   /** The create-exclusive publish makes the version FILE visible a few
@@ -207,13 +234,15 @@ private[sources] object VersionLedger {
   def enabled(dir: String): Boolean = versionFiles(new Path(dir)).nonEmpty
 
   def latest(dir: String): Option[(Long, Seq[String])] =
-    versionFiles(new Path(dir)).lastOption.map { case (o, p) =>
-      (o, readPayload(p).names)
+    versionStatuses(new Path(dir)).lastOption.map { case (o, s) =>
+      (o, cachedPayload(s).names)
     }
 
   def get(dir: String, ordinal: Long): Option[Seq[String]] = {
-    val p = pathOf(new Path(dir), ordinal)
-    if (fsOf(new Path(dir)).exists(p)) Some(readPayload(p).names) else None
+    val base = new Path(dir)
+    val p = pathOf(base, ordinal)
+    val fs = fsOf(base)
+    if (fs.exists(p)) Some(cachedPayload(fs.getFileStatus(p)).names) else None
   }
 
   /** Every name referenced by ANY retained version — the complement is
@@ -222,9 +251,27 @@ private[sources] object VersionLedger {
     * outputs (drop them). O(versions × names) payload reads; the
     * callers are maintenance paths, never scans. */
   def referencedByAny(dir: String): Set[String] =
-    versionFiles(new Path(dir)).flatMap { case (_, p) =>
-      readPayload(p).names
+    versionStatuses(new Path(dir)).flatMap { case (_, s) =>
+      cachedPayload(s).names
     }.toSet
+
+  /** One CONSISTENT ledger read: (latest ordinal, latest names,
+    * referenced-by-any) derived from a SINGLE directory listing, so a
+    * concurrent publish appears in all three or in none. Separate
+    * `latest()` + `referencedByAny()` calls can straddle a publish and
+    * classify a just-referenced file as neither a latest member nor an
+    * un-ledgered append — observed as a maintenance op computing a live
+    * set MISSING a freshly caught-up file (a silently no-op compaction
+    * racing a streaming tail's catch-up); the mirror-image staleness
+    * can resurrect a just-retired file as an "append". */
+  def snapshot(dir: String): Option[(Long, Seq[String], Set[String])] = {
+    val payloads = versionStatuses(new Path(dir)).map { case (o, s) =>
+      (o, cachedPayload(s).names)
+    }
+    payloads.lastOption.map { case (ord, names) =>
+      (ord, names, payloads.iterator.flatMap(_._2).toSet)
+    }
+  }
 
   /** Snapshot `names` as v1 unless a ledger already exists. */
   def enable(dir: String, names: => Seq[String]): Long = {
@@ -260,13 +307,10 @@ private[sources] object VersionLedger {
     * payload stamp when present (millis, stamped at CAS time), the
     * version file's mtime for pre-stamp files. */
   def asOfTimestamp(dir: String, micros: Long): Option[Long] = {
-    val base = new Path(dir)
-    val fs = fsOf(base)
-    versionFiles(base).flatMap { case (o, p) =>
-      val payload = readPayload(p)
+    versionStatuses(new Path(dir)).flatMap { case (o, s) =>
+      val payload = cachedPayload(s)
       val publishedMs =
-        if (payload.ts >= 0) payload.ts
-        else fs.getFileStatus(p).getModificationTime
+        if (payload.ts >= 0) payload.ts else s.getModificationTime
       if (publishedMs * 1000L <= micros) Some(o) else None
     }.lastOption
   }
@@ -276,13 +320,10 @@ private[sources] object VersionLedger {
     * version's file count). Tier-agnostic: both storage tiers keep
     * their ledger in the table directory. */
   def history(dir: String): Seq[(Long, Long, Int)] = {
-    val base = new Path(dir)
-    val fs = fsOf(base)
-    versionFiles(base).map { case (o, p) =>
-      val payload = readPayload(p)
+    versionStatuses(new Path(dir)).map { case (o, s) =>
+      val payload = cachedPayload(s)
       val publishedMs =
-        if (payload.ts >= 0) payload.ts
-        else fs.getFileStatus(p).getModificationTime
+        if (payload.ts >= 0) payload.ts else s.getModificationTime
       (o, publishedMs, payload.names.size)
     }
   }

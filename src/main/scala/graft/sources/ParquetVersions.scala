@@ -87,19 +87,23 @@ object ParquetVersions {
   def enable(tableDir: String): Long =
     VersionLedger.enable(tableDir, listing(tableDir))
 
-  /** Un-published appends: in the listing, referenced by no version,
-    * append-named. */
-  private def appends(tableDir: String): Seq[String] = {
-    val referenced = VersionLedger.referencedByAny(tableDir)
+  /** Un-published appends relative to one consistent `referenced` set:
+    * in the listing, referenced by no version, append-named. */
+  private def appendsVs(tableDir: String, referenced: Set[String]): Seq[String] =
     listing(tableDir).filterNot(referenced).filterNot(maintenanceNamed)
-  }
 
   /** The file set a CURRENT scan reads: the latest commit plus
-    * un-published appends. */
+    * un-published appends. Latest membership and the referenced set
+    * come from ONE ledger listing ([[VersionLedger.snapshot]]) — two
+    * separate reads can straddle a concurrent catch-up publish and
+    * return a live set missing the file that publish referenced
+    * (observed: a compaction racing a streaming tail's catch-up saw a
+    * single-file live set and silently no-opped). */
   def live(tableDir: String): Seq[String] =
-    VersionLedger.latest(tableDir) match {
+    VersionLedger.snapshot(tableDir) match {
       case None => listing(tableDir)
-      case Some((_, names)) => (names ++ appends(tableDir)).distinct.sorted
+      case Some((_, names, referenced)) =>
+        (names ++ appendsVs(tableDir, referenced)).distinct.sorted
     }
 
   /** Fold the current un-published appends into the ledger as their
@@ -110,11 +114,26 @@ object ParquetVersions {
     * REFERENCED the append, the live rule would classify it as still
     * un-published and resurrect its rows. After the catch-up the file
     * is referenced, so dropping it from the next commit retires it
-    * like any other input. */
+    * like any other input.
+    *
+    * The un-referenced set is recomputed INSIDE the commit transform
+    * from a fresh consistent snapshot on every CAS attempt: a stale
+    * `extra` captured before the loop could re-add a file that a
+    * concurrent op folded AND retired between attempts (resurrection).
+    * On publish success the snapshot provably matches the CAS head —
+    * any commit landing after it would have taken our ordinal. */
   def catchUp(tableDir: String): Unit = {
-    val extra = appends(tableDir)
-    if (extra.nonEmpty) {
-      VersionLedger.commit(tableDir)(prev => (prev ++ extra).distinct.sorted)
+    val needed = VersionLedger.snapshot(tableDir).exists {
+      case (_, _, referenced) => appendsVs(tableDir, referenced).nonEmpty
+    }
+    if (needed) {
+      VersionLedger.commit(tableDir) { prev =>
+        val extra = VersionLedger.snapshot(tableDir) match {
+          case Some((_, _, referenced)) => appendsVs(tableDir, referenced)
+          case None => Seq.empty
+        }
+        (prev ++ extra).distinct.sorted
+      }
       ()
     }
   }
@@ -142,12 +161,17 @@ object ParquetVersions {
     val fs = fsOf(base)
     if (!enabled(tableDir)) return Seq.empty
     catchUp(tableDir)
+    // retained window and the referenced-by-any set from ONE listing —
+    // a second listing could include a commit the window computation
+    // missed and mark its files deletable
     val files = VersionLedger.versionFiles(base)
+    val payloads = files.map { case (o, p) =>
+      (o, p, VersionLedger.readPayload(p).names)
+    }
     val retained = files.takeRight(retainLast)
-    val referencedRetained = retained.flatMap { case (_, p) =>
-      VersionLedger.readPayload(p).names
-    }.toSet
-    val referencedAny = VersionLedger.referencedByAny(tableDir)
+    val referencedRetained =
+      payloads.takeRight(retainLast).flatMap(_._3).toSet
+    val referencedAny = payloads.iterator.flatMap(_._3).toSet
     val deleted = listing(tableDir).filter { name =>
       !referencedRetained(name) &&
         (referencedAny(name) || maintenanceNamed(name))

@@ -179,4 +179,53 @@ class ParquetVersionsSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 450)
     assert(ids(spark.table(t)) === (150L until 600L).toSet)
   }
+
+  test("live() never drops a file while appends + catch-ups race it") {
+    // Regression for the inconsistent-read race: latest() and
+    // referencedByAny() read as two separate ledger listings could
+    // straddle a concurrent catch-up publish, returning a live set
+    // MISSING the file that publish referenced (observed as a silently
+    // no-op compaction racing a streaming tail's catch-up). Pure
+    // filesystem hammer — no Spark needed: a writer thread lands
+    // append-named files and folds them; the reader asserts live() is
+    // monotonic in an append-only history.
+    val dir = java.nio.file.Files.createTempDirectory("graft_live_race")
+    val data = dir.resolve("data")
+    java.nio.file.Files.createDirectories(data)
+    def touch(n: String): Unit =
+      java.nio.file.Files.createFile(data.resolve(n))
+    touch("part-seed.parquet")
+    ParquetVersions.enable(dir.toString)
+    val rounds = 150
+    @volatile var writerDone = false
+    val failures = new java.util.concurrent.atomic.AtomicReference[String]
+    val writer = new Thread(() => {
+      try {
+        (0 until rounds).foreach { i =>
+          touch(f"part-r$i%05d.parquet")
+          ParquetVersions.catchUp(dir.toString)
+        }
+      } catch {
+        case e: Throwable => failures.compareAndSet(null, s"writer died: $e")
+      } finally writerDone = true
+    })
+    val reader = new Thread(() => {
+      var seen = Set.empty[String]
+      while (!writerDone && failures.get() == null) {
+        val live = ParquetVersions.live(dir.toString).toSet
+        val lost = seen -- live
+        if (lost.nonEmpty) {
+          failures.compareAndSet(null,
+            s"live() lost previously-live files: ${lost.take(3).mkString(",")}")
+        }
+        seen = seen ++ live
+      }
+    })
+    writer.start(); reader.start()
+    writer.join(240000); reader.join(240000)
+    assert(writerDone, "writer did not finish within the join window")
+    assert(failures.get() == null, String.valueOf(failures.get()))
+    assert(ParquetVersions.live(dir.toString).size === rounds + 1,
+      "every appended file must be live at the end")
+  }
 }
