@@ -803,7 +803,71 @@ object Pipeline {
                  FROM graft_p23.lake.orders_pq GROUP BY 1 ORDER BY 1""")
   }
 
+  /** Atomic CTAS through the catalog's StagingTableCatalog surface
+    * ([[graft.sources.LogStaging]]): `CREATE TABLE … AS SELECT`
+    * materializes the table in a hidden staging dir and renames it in
+    * whole — the reference's migrations posture (tables appear fully
+    * formed, `migrate.go:13-34`) on the DSv2 catalog. The oracle is the
+    * same SELECT over raw orders: a CTAS that dropped, duplicated, or
+    * reordered rows into the new table breaks the hash. */
+  def p24_ctas(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p24").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p24").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p24", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p24.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p24.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p24.lake.orders_pq")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("p24_src")
+    spark.sql("""CREATE TABLE graft_p24.lake.orders_pq AS
+                 SELECT o_orderkey, bucket, cents FROM p24_src
+                 WHERE o_orderkey % 5 <> 0""")
+    spark.sql("""SELECT bucket, count(*) AS n, sum(cents) AS total
+                 FROM graft_p24.lake.orders_pq GROUP BY 1 ORDER BY 1""")
+  }
+
+  /** Atomic RTAS ([[graft.sources.StagedReplaceParquetTable]]):
+    * `REPLACE TABLE … AS SELECT` publishes ONE ledger version whose
+    * membership is exactly the new files — readers see the old table or
+    * the new, never a mix, and the un-versioned CTAS target
+    * auto-upgrades (v1 = its pre-replace state). The result straddles
+    * the replacement: current = the redefined table, `VERSION AS OF 1`
+    * = the original load — a replace that leaked early, missed rows, or
+    * destroyed history breaks the hash. */
+  def p25_rtas(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p25").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p25").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p25", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p25.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p25.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p25.lake.orders_pq")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("p25_src")
+    spark.sql("CREATE TABLE graft_p25.lake.orders_pq AS SELECT * FROM p25_src")
+    spark.sql("""REPLACE TABLE graft_p25.lake.orders_pq AS
+                 SELECT o_orderkey, bucket, cents * 3 + 7 AS cents
+                 FROM p25_src WHERE bucket < 10""")
+    spark.sql("""SELECT 'current' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p25.lake.orders_pq
+                 UNION ALL
+                 SELECT 'v1' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p25.lake.orders_pq VERSION AS OF 1
+                 ORDER BY snap""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_ctas" -> (p24_ctas _),
+    "p25_rtas" -> (p25_rtas _),
     "p22_log_replace_where" -> (p22_log_replace_where _),
     "p23_parquet_replace_where" -> (p23_parquet_replace_where _),
     "p20_log_cdc" -> (p20_log_cdc _),
@@ -829,6 +893,25 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p24_ctas" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT bucket, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total
+        |FROM b WHERE o_orderkey % 5 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p25_rtas" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'current' AS snap, COUNT(*) AS n,
+        |  CAST(SUM(cents * 3 + 7) AS BIGINT) AS cents
+        |FROM b WHERE bucket < 10
+        |UNION ALL
+        |SELECT 'v1' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |ORDER BY snap""".stripMargin,
     "p22_log_replace_where" ->
       """WITH i AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount,

@@ -38,7 +38,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     full predicate pushdown, column pruning, and columnar batches
   *     through the same `graft.<ns>.<t>` identifiers. */
 class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -68,6 +68,9 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     val nsDir = namespace.foldLeft(new Path(warehouse))(new Path(_, _))
     if (!fs.exists(nsDir)) return Array.empty
     fs.listStatus(nsDir).filter(_.isDirectory)
+      // dot-dirs are CTAS staging, invisible until their commit renames
+      // them to a real name (dots are rejected identifier parts anyway)
+      .filter(!_.getPath.getName.startsWith("."))
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
 
@@ -257,6 +260,44 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     parquetTable(ident, dir, next)
   }
 
+  // --- atomic CTAS / RTAS: the StagingTableCatalog surface (full
+  // design on [[LogStaging]]) ---
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
+    val dir = dirOf(ident)
+    if (fs.exists(dir)) {
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        ident.toString)
+    }
+    LogStaging.stageCreate(ident, dir, schema)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
+    val dir = dirOf(ident)
+    if (!fs.exists(dir)) {
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    }
+    repairSchemaSwap(dir)
+    LogStaging.stageReplace(ident, dir, schemaFile(dir), schema)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
+    val dir = dirOf(ident)
+    if (fs.exists(dir)) {
+      repairSchemaSwap(dir)
+      LogStaging.stageReplace(ident, dir, schemaFile(dir), schema)
+    } else LogStaging.stageCreate(ident, dir, schema)
+  }
+
   private def swapFile(dir: Path): Path = new Path(dir, "_schema.json.swap")
 
   /** Finish an interrupted schema swap: staged file present and main
@@ -371,8 +412,11 @@ object LogCatalog {
   /** A name that is safe as ONE path segment under the warehouse: no
     * traversal (`.`/`..`), no separators, no scheme prefix — the SQL
     * surface (identifiers AND `CALL` string arguments) can then reach
-    * no path the catalog couldn't (ADVICE r9). */
+    * no path the catalog couldn't (ADVICE r9). Leading dots are
+    * rejected outright: dot-dirs are the CTAS staging namespace and
+    * dot-files the manifest/ledger namespace — identifiers must not
+    * alias either. */
   def validPathPart(part: String): Boolean =
-    part.nonEmpty && part != "." && part != ".." &&
+    part.nonEmpty && !part.startsWith(".") &&
       !part.contains("/") && !part.contains("\\") && !part.contains(":")
 }

@@ -1,0 +1,308 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Atomic `CREATE TABLE … AS SELECT` / `REPLACE TABLE … AS SELECT` for
+  * the graft catalog — the [[org.apache.spark.sql.connector.catalog.StagingTableCatalog]]
+  * side of [[LogCatalog]]. Without it Spark falls back to the
+  * non-atomic CTAS path (create, then write, then best-effort drop on
+  * failure: a crash strands an empty or half-loaded table), and
+  * `REPLACE TABLE` becomes drop-then-create with a visible gap.
+  *
+  * Two mechanisms, chosen by what already exists:
+  *
+  *   - '''CTAS''' ([[StagedCreateTable]]): the whole table materializes
+  *     in a hidden `.ctas-<name>-<uuid>` sibling directory (invisible
+  *     to `listTables` and unreachable by identifier — leading dots are
+  *     rejected path parts), written through the SAME write path the
+  *     real table would use (log staged-commit writer or the parquet
+  *     v1 file writer). Commit renames the directory into place —
+  *     one metadata operation; a concurrent `CREATE` of the same name
+  *     loses loudly, never merges.
+  *   - '''RTAS''' on a parquet table ([[StagedReplaceParquetTable]]):
+  *     the version ledger is the atomicity mechanism, same as UPDATE /
+  *     MERGE — new files stage in a dot-dir, rename into `data/` under
+  *     the maintenance prefix `rtas-`, and ONE
+  *     [[ParquetVersions.commit]] publishes a membership of exactly
+  *     the new files. Readers see the old table or the new, never a
+  *     mix; pinned scans keep their snapshot; `VERSION AS OF` history
+  *     survives the replacement (an un-versioned table auto-upgrades,
+  *     v1 = its pre-replace state).
+  *   - '''RTAS''' on an entity log ([[StagedReplaceLogTable]]): the
+  *     log's truncate-mode staged-commit write is already an atomic
+  *     replace (old segments retired inside the same commit that lands
+  *     the new ones — on a versioned log, one version publish), so the
+  *     staged table just forces `truncate()` on the real write builder
+  *     and the write's own commit is the visibility event. The entity
+  *     schema is fixed, so RTAS must redeclare it exactly.
+  *
+  * The reference's posture is warehouse-side DDL+load as one migration
+  * step (`migrate.go:13-34` — tables appear fully formed); CTAS is the
+  * DSv2 expression of that contract. */
+object LogStaging {
+
+  private def fsOf(p: Path) =
+    p.getFileSystem(new Configuration())
+
+  /** Entity-log shape test shared with [[LogCatalog.createTable]]:
+    * same names and types, any nullability/metadata. */
+  def entityShaped(schema: StructType): Boolean = {
+    val want = LimitHashLog.SCHEMA.fields.map(f => (f.name, f.dataType)).toSeq
+    schema.fields.map(f => (f.name, f.dataType)).toSeq == want
+  }
+
+  /** Stage a CTAS: build the staging directory (log: bare dir; parquet:
+    * `data/` + `_schema.json`, so the renamed-in result is a complete
+    * table) and wrap the real table implementation over it. */
+  def stageCreate(ident: Identifier, targetDir: Path,
+      schema: StructType): StagedTable = {
+    val staging = new Path(targetDir.getParent,
+      s".ctas-${ident.name()}-${java.util.UUID.randomUUID().toString.take(12)}")
+    val fs = fsOf(staging)
+    val delegate: Table =
+      if (schema.isEmpty || entityShaped(schema)) {
+        fs.mkdirs(staging)
+        new LimitHashLogTable(staging.toString)
+      } else {
+        fs.mkdirs(new Path(staging, "data"))
+        val out = fs.create(new Path(staging, "_schema.json"), false)
+        try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        new StatsPrunedParquetTable(ident.toString,
+          org.apache.spark.sql.classic.SparkSession.active,
+          Seq(new Path(staging, "data").toString), schema)
+      }
+    new StagedCreateTable(ident, staging, targetDir, delegate)
+  }
+
+  /** Stage an RTAS over an existing table directory. */
+  def stageReplace(ident: Identifier, dir: Path, schemaFile: Path,
+      schema: StructType): StagedTable = {
+    if (fsOf(dir).exists(schemaFile)) {
+      new StagedReplaceParquetTable(ident.toString, dir.toString, schema)
+    } else {
+      require(entityShaped(schema),
+        s"REPLACE TABLE on entity log $ident must redeclare the entity " +
+          s"schema (${LimitHashLog.SCHEMA.fieldNames.mkString(", ")}) — " +
+          "log tables are fixed in layout")
+      new StagedReplaceLogTable(dir.toString)
+    }
+  }
+}
+
+/** CTAS staged table: writes go to the hidden staging directory through
+  * the delegate's own write path; commit renames the directory into
+  * place. Rename-into-existing on Hadoop local/HDFS NESTS the source
+  * inside the target instead of failing, so commit re-checks existence
+  * and verifies no nesting happened — a lost create-create race aborts
+  * loudly with nothing half-visible. */
+class StagedCreateTable(ident: Identifier, stagingDir: Path, targetDir: Path,
+    delegate: Table) extends StagedTable with SupportsWrite {
+
+  private def fs = stagingDir.getFileSystem(new Configuration())
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = delegate.schema()
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): java.util.Map[String, String] = delegate.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    delegate.capabilities()
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    delegate.asInstanceOf[SupportsWrite].newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit = {
+    fs.mkdirs(targetDir.getParent)
+    if (fs.exists(targetDir)) {
+      abortStagedChanges()
+      throw new TableAlreadyExistsException(ident.toString)
+    }
+    if (!fs.rename(stagingDir, targetDir)) {
+      abortStagedChanges()
+      throw new java.io.IOException(
+        s"CTAS commit: rename $stagingDir -> $targetDir failed")
+    }
+    // lost the race to a concurrent CREATE after the existence check:
+    // rename into an existing directory nests rather than fails
+    val nested = new Path(targetDir, stagingDir.getName)
+    if (fs.exists(nested)) {
+      fs.delete(nested, true)
+      throw new TableAlreadyExistsException(ident.toString)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    fs.delete(stagingDir, true)
+    ()
+  }
+}
+
+/** RTAS on an entity log: the log's truncate-mode write IS the atomic
+  * replace (old segments retire inside the commit that lands the new
+  * ones; one version publish when versioned), so this staged table
+  * only forces `truncate()` on the real builder. Commit/abort of the
+  * staging layer are no-ops — the write's commit is the visibility
+  * event, and its abort already removes the staged `_`-files. */
+class StagedReplaceLogTable(dir: String) extends StagedTable with SupportsWrite {
+  private val delegate = new LimitHashLogTable(dir)
+
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def capabilities(): java.util.Set[TableCapability] =
+    delegate.capabilities()
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    delegate.newWriteBuilder(info) match {
+      case ow: org.apache.spark.sql.connector.write.SupportsOverwrite =>
+        ow.truncate()
+      case other => other // unreachable: LogWriteBuilder supports overwrite
+    }
+
+  override def commitStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = ()
+}
+
+/** RTAS on a catalog parquet table: stage → rename under `rtas-` names
+  * → swap `_schema.json` if redeclared → ONE version publish whose
+  * membership is exactly the new files. The bucket layout survives
+  * when the spec's column survives (writers tag outputs with the same
+  * murmur3-pmod as every other write path); a replacement that drops
+  * the bucket column drops the spec with it — a layout claim must
+  * never outlive its column. */
+class StagedReplaceParquetTable(identName: String, tableDir: String,
+    newSchema: StructType) extends StagedTable with SupportsWrite {
+
+  import scala.jdk.CollectionConverters._
+
+  override def name(): String = identName
+  override def schema(): StructType = newSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val got = info.schema().fieldNames.toSeq
+    val want = newSchema.fieldNames.toSeq
+    require(got == want,
+      s"RTAS write schema $got does not match the declared schema $want")
+    new WriteBuilder with SupportsTruncate {
+      // REPLACE TABLE plans an unconditional overwrite; replacement is
+      // this write's entire semantic, so truncate() is the identity
+      override def truncate(): WriteBuilder = this
+      override def build(): Write =
+        new ParquetReplaceAllWrite(tableDir, newSchema, info.queryId())
+    }
+  }
+
+  override def commitStagedChanges(): Unit = ()
+  override def abortStagedChanges(): Unit = ()
+}
+
+/** The replace-everything write: Spark's parquet `OutputWriterFactory`
+  * writes into a `.rtas-<query>` staging dot-dir (invisible to the
+  * listing rule); the driver renames committed files into `data/`
+  * under `rtas-` maintenance names and publishes one version commit
+  * whose membership is exactly those files. A crash before the publish
+  * leaves only unreferenced maintenance-named files the live rule
+  * ignores and vacuum reclaims. Racing plain appends are folded by the
+  * publish's catch-up first and then retired — they ordered before the
+  * replace. */
+class ParquetReplaceAllWrite(tableDir: String, writeSchema: StructType,
+    queryId: String) extends Write {
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private def spark = org.apache.spark.sql.classic.SparkSession.active
+    private val stagingDir = new Path(tableDir, s".rtas-$queryId")
+
+    /** The bucket layout to preserve: spec present AND its column
+      * survives the redeclared schema as a string. */
+    private def keptSpec: Option[(Int, Int)] =
+      ParquetBucketing.readSpec(tableDir).flatMap { spec =>
+        val idx = writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(spec.col))
+        if (idx >= 0 && writeSchema.fields(idx).dataType == StringType)
+          Some((idx, spec.n))
+        else None
+      }
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(
+        spark.sessionState.newHadoopConf())
+      val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
+      new ParquetStageWriterFactory(owf,
+        new SerializableConfiguration(job.getConfiguration), writeSchema,
+        stagingDir.toString, keptSpec)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val data = new Path(tableDir, "data")
+      val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(data)
+
+      // the ledger IS the atomicity mechanism; an un-versioned table
+      // upgrades first (v1 = its pre-replace listing)
+      if (!ParquetVersions.enabled(tableDir)) ParquetVersions.enable(tableDir)
+
+      val written = Seq.newBuilder[String]
+      messages.foreach {
+        case ParquetStageCommit(staged, pid) =>
+          staged.zipWithIndex.foreach { case ((path, tag), j) =>
+            val name = f"rtas-$queryId-$pid%05d-$j" +
+              tag.fold("")(k => s"-b$k") + ".parquet"
+            val to = new Path(data, name)
+            if (fs.exists(to)) fs.delete(to, false) // retried stage: replace
+            if (!fs.rename(new Path(path), to)) {
+              throw new java.io.IOException(
+                s"ParquetReplaceAllWrite: rename $path -> $to failed")
+            }
+            written += name
+          }
+        case _ =>
+      }
+      fs.delete(stagingDir, true)
+
+      // redeclared columns: swap the schema manifest (same crash-safe
+      // staged-rename convention as ALTER; loadTable read-repairs).
+      // Pinned older versions read their files under the new read
+      // schema — added columns null, dropped columns pruned, the ALTER
+      // semantics.
+      val schemaFile = new Path(tableDir, "_schema.json")
+      val in = fs.open(schemaFile)
+      val curJson = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      if (curJson != writeSchema.json) {
+        val swap = new Path(tableDir, "_schema.json.swap")
+        val out = fs.create(swap, true)
+        try out.write(writeSchema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fs.delete(schemaFile, false)
+        if (!fs.rename(swap, schemaFile)) {
+          throw new java.io.IOException(
+            s"RTAS schema swap rename failed in $tableDir")
+        }
+      }
+      // a bucket spec whose column did not survive must not outlive it
+      if (ParquetBucketing.readSpec(tableDir).isDefined && keptSpec.isEmpty) {
+        fs.delete(new Path(tableDir, ".bucketspec"), false)
+      }
+
+      ParquetVersions.commit(tableDir)(_ => written.result().sorted)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = stagingDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(stagingDir, true)
+      ()
+    }
+  }
+
+  override def description(): String =
+    s"ParquetReplaceAllWrite dir=$tableDir"
+}

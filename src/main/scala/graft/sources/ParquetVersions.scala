@@ -51,10 +51,11 @@ object ParquetVersions {
 
   /** Names a maintenance rewrite commits under — the complement of the
     * append namespace (`part-*` from the v1 writer, `b<k>-*` from the
-    * bucketed writer). */
+    * bucketed writer). `rtas-` is REPLACE TABLE AS SELECT
+    * ([[ParquetReplaceAllWrite]]). */
   private[sources] def maintenanceNamed(name: String): Boolean =
     name.startsWith("compact-") || name.startsWith("delete-") ||
-      name.startsWith("rlo-")
+      name.startsWith("rlo-") || name.startsWith("rtas-")
 
   private def fsOf(p: Path) = p.getFileSystem(new Configuration())
 
