@@ -865,7 +865,51 @@ object Pipeline {
                  ORDER BY snap""")
   }
 
+  /** Metadata tables ([[graft.sources.MetaTables]]):
+    * `graft.<ns>.<t>.history` / `.files` as SQL relations — the
+    * introspection surface composing with ordinary SQL (here: history
+    * joined against the live-file count). The layout is pinned
+    * (3 single-file range-disjoint appends; the DELETE's footer-stats
+    * classify drops exactly one file whole), so every cell is
+    * deterministic and the oracle is the literal expected relation: a
+    * phantom version, a miscounted membership, or a file wrongly
+    * marked live breaks the compare. */
+  def p26_metadata_tables(spark: SparkSession, dir: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p26").toString
+    if (!spark.conf.getOption("spark.sql.catalog.graft_p26").isDefined) {
+      spark.conf.set("spark.sql.catalog.graft_p26", "graft.sources.LogCatalog")
+      spark.conf.set("spark.sql.catalog.graft_p26.warehouse", wh)
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p26.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p26.lake.orders_pq")
+    spark.sql("""CREATE TABLE graft_p26.lake.orders_pq
+                 (o_orderkey BIGINT, cents BIGINT)""")
+    val base = Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+    val maxKey = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val (c1, c2) = (maxKey / 3, 2 * maxKey / 3)
+    // three range-disjoint single-file appends → footer stats can prove
+    // the first file whole-droppable
+    Seq(base.filter(col("o_orderkey") <= c1),
+        base.filter(col("o_orderkey") > c1 && col("o_orderkey") <= c2),
+        base.filter(col("o_orderkey") > c2))
+      .foreach(_.coalesce(1).writeTo("graft_p26.lake.orders_pq").append())
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p26.warehouse") +
+      "/lake/orders_pq"
+    graft.sources.ParquetVersions.enable(tableDir) // v1 = 3 files
+    spark.sql(s"DELETE FROM graft_p26.lake.orders_pq WHERE o_orderkey <= $c1")
+    spark.sql("""SELECT h.version, h.files, h.is_latest, f.n_live
+                 FROM graft_p26.lake.orders_pq.history h
+                 CROSS JOIN (SELECT count(*) AS n_live
+                             FROM graft_p26.lake.orders_pq.files
+                             WHERE live) f
+                 ORDER BY h.version""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p26_metadata_tables" -> (p26_metadata_tables _),
     "p24_ctas" -> (p24_ctas _),
     "p25_rtas" -> (p25_rtas _),
     "p22_log_replace_where" -> (p22_log_replace_where _),
@@ -893,6 +937,12 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p26_metadata_tables" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 3, false, CAST(2 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 2, true,  CAST(2 AS BIGINT)))
+        |AS t(version, files, is_latest, n_live)
+        |ORDER BY version""".stripMargin,
     "p24_ctas" ->
       """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         |    CAST(o_custkey % 19 AS BIGINT) AS bucket,

@@ -97,7 +97,21 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)
     if (!fs.exists(dir)) {
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      // `ns.t.history` / `ns.t.files` — metadata tables over the
+      // ledger and the file inventory (full design on [[MetaTables]]).
+      // A REAL directory always wins; the suffix resolves only when no
+      // such table exists and the PARENT identifier is a table.
+      return metaTable(ident).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    }
+    // a parquet table's internals (`data/`) must never resolve as a
+    // table themselves — `graft.ns.t.data` would otherwise read the
+    // raw parquet dir as an entity log
+    if (fs.exists(schemaFile(new Path(dir.getParent.toString)))) {
+      throw new UnsupportedOperationException(
+        s"$ident names an internal directory of table " +
+          s"${ident.namespace().mkString(".")} — only the metadata " +
+          s"suffixes ${MetaTables.SUFFIXES.mkString("/")} resolve under a table")
     }
     // finish an interrupted ALTER schema swap — a crash mid-swap must
     // never demote a parquet table to an entity log
@@ -113,6 +127,40 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       parquetTable(ident, dir,
         org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType])
     } else new LimitHashLogTable(dir.toString)
+  }
+
+  /** `ns.t.history` / `ns.t.files`: the parent identifier must be an
+    * existing table directory (log or parquet); any OTHER suffix under
+    * a table errs loudly rather than falling through to
+    * NoSuchTableException with the table visibly present. */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace().isEmpty) return None
+    ident.namespace().foreach { part =>
+      if (!LogCatalog.validPathPart(part)) return None
+    }
+    val parentDir = ident.namespace().foldLeft(new Path(warehouse))(new Path(_, _))
+    if (!fs.exists(parentDir)) return None
+    val parentIsParquet = fs.exists(schemaFile(parentDir))
+    // a bare directory could be a namespace OR an empty log table; only
+    // serve metadata when it is recognizably a TABLE (schema manifest,
+    // ledger, or at least one segment file) — a namespace keeps its
+    // normal resolution
+    val parentIsTable = parentIsParquet ||
+      VersionLedger.enabled(parentDir.toString) ||
+      LimitHashLog.segments(parentDir.toString).nonEmpty
+    if (!parentIsTable) return None
+    val suffix = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (!MetaTables.SUFFIXES(suffix)) {
+      throw new UnsupportedOperationException(
+        s"unknown metadata suffix '${ident.name()}' under table " +
+          s"${ident.namespace().mkString(".")} — available: " +
+          MetaTables.SUFFIXES.toSeq.sorted.mkString(", "))
+    }
+    val name = s"${ident.namespace().mkString(".")}.$suffix"
+    Some(suffix match {
+      case "history" => MetaTables.history(name, parentDir.toString)
+      case "files" => MetaTables.files(name, parentDir.toString, parentIsParquet)
+    })
   }
 
   /** Time travel — `SELECT ... FROM graft.<ns>.<t> VERSION AS OF n`.

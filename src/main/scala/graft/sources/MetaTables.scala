@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style METADATA TABLES: `graft.<ns>.<t>.history` and
+  * `graft.<ns>.<t>.files` — the version ledger and the physical file
+  * inventory as ordinary SQL relations, so introspection composes
+  * (join history against files, filter, aggregate) instead of being
+  * locked behind `CALL graft.system.history`.
+  *
+  * Resolution rule (the Iceberg one): a REAL table always wins — the
+  * metadata suffix only resolves when `ns.t.history` names no existing
+  * directory AND `ns.t` is a table. Both tiers serve both suffixes:
+  *
+  *   - `history`: one row per ledger version — ordinal, publish stamp
+  *     (embedded at CAS time; mtime fallback for pre-stamp files),
+  *     file count, `is_latest`. Un-versioned tables have no history.
+  *   - `files`: one row per ON-DISK data file — name, size,
+  *     `live` (member of the current read set) and `referenced`
+  *     (member of ANY retained version): `live=false, referenced=true`
+  *     is a retired file awaiting vacuum, `referenced=false` on a
+  *     versioned table is an un-published append (live) or a crashed
+  *     maintenance orphan (not).
+  *
+  * Rows are computed on the driver at scan time — the ledger and the
+  * listing are manifest-scale metadata (same posture as the
+  * procedures and the COUNT pushdown), never data-scale. */
+object MetaTables {
+
+  val HISTORY_SCHEMA: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("published_ms", LongType, nullable = false),
+    StructField("files", IntegerType, nullable = false),
+    StructField("is_latest", BooleanType, nullable = false)))
+
+  val FILES_SCHEMA: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("live", BooleanType, nullable = false),
+    StructField("referenced", BooleanType, nullable = false)))
+
+  /** The metadata suffixes; anything else under a table identifier is
+    * a loud error (never expose internals like the `data/` dir). */
+  val SUFFIXES: Set[String] = Set("history", "files")
+
+  def history(identName: String, tableDir: String): Table = {
+    val rows: () => Seq[Array[Any]] = () => {
+      val hist = VersionLedger.history(tableDir)
+      val last = hist.lastOption.map(_._1)
+      hist.map { case (ord, ms, n) =>
+        Array[Any](ord, ms, n, last.contains(ord))
+      }
+    }
+    new MetaRowsTable(identName, HISTORY_SCHEMA, rows)
+  }
+
+  /** `isParquet` = the catalog's schema-manifest dispatch. */
+  def files(identName: String, tableDir: String, isParquet: Boolean): Table = {
+    val rows: () => Seq[Array[Any]] = () => {
+      if (isParquet) {
+        val data = new Path(tableDir, "data")
+        val fs = data.getFileSystem(new Configuration())
+        val listed: Seq[(String, Long)] =
+          if (!fs.exists(data)) Seq.empty
+          else fs.listStatus(data).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
+              !s.getPath.getName.startsWith(".") &&
+              !s.getPath.getName.startsWith("_"))
+            .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1)
+        val live = ParquetVersions.live(tableDir).toSet
+        val referenced =
+          if (ParquetVersions.enabled(tableDir))
+            VersionLedger.referencedByAny(tableDir)
+          else Set.empty[String]
+        listed.map { case (name, len) =>
+          Array[Any](name, len, live(name), referenced(name))
+        }
+      } else {
+        val segs = LimitHashLog.segments(tableDir)
+          .map { case (p, len) => (new Path(p).getName, len) }
+        val versioned = LogVersions.enabled(tableDir)
+        val live: String => Boolean =
+          if (versioned) LogVersions.latest(tableDir).get._2.toSet
+          else _ => true
+        val referenced: String => Boolean =
+          if (versioned) VersionLedger.referencedByAny(tableDir)
+          else _ => false
+        segs.map { case (name, len) =>
+          Array[Any](name, len, live(name), referenced(name))
+        }
+      }
+    }
+    new MetaRowsTable(identName, FILES_SCHEMA, rows)
+  }
+}
+
+/** A read-only table whose rows are computed on the driver at scan
+  * planning (metadata-scale by contract). One input partition; values
+  * are JVM externals converted to Catalyst form in the reader. */
+class MetaRowsTable(tableName: String, tableSchema: StructType,
+    rows: () => Seq[Array[Any]]) extends Table with SupportsRead {
+
+  import scala.jdk.CollectionConverters._
+
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        // rows pinned at plan time, consistent with scan semantics
+        private val pinned: Seq[Array[Any]] = rows()
+        override def readSchema(): StructType = tableSchema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(MetaRowsPartition(pinned.toArray))
+        override def createReaderFactory(): PartitionReaderFactory =
+          new MetaRowsReaderFactory(tableSchema)
+        override def description(): String = s"MetaRowsTable($tableName)"
+      }
+    }
+}
+
+case class MetaRowsPartition(rows: Array[Array[Any]]) extends InputPartition
+
+class MetaRowsReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[MetaRowsPartition].rows
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows.length }
+      override def get(): InternalRow = {
+        val vals = rows(i).zip(schema.fields).map {
+          case (v: String, _) => UTF8String.fromString(v)
+          case (v, _) => v
+        }
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
