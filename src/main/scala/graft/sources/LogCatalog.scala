@@ -84,15 +84,17 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   private def parquetTable(ident: Identifier, dir: Path, schema: StructType,
       version: Option[Long] = None): Table =
-    // a genuine ParquetTable (FileTable write/analyzer paths intact)
-    // with footer-stats file skipping on reads (ParquetStats.scala) and
-    // ledger-pinned listings when the table is versioned
-    new StatsPrunedParquetTable(
+    // a genuine ParquetTable underneath (vectorized scans, FileBatchWrite)
+    // with footer-stats file skipping, ledger-pinned listings when
+    // versioned — wrapped in a NON-FileTable face so SQL INSERT routes
+    // through DSv2 instead of FallBackFileSourceV2's destructive v1
+    // overwrite (full rationale on [[CatalogParquetTable]])
+    new CatalogParquetTable(new StatsPrunedParquetTable(
       ident.toString,
       org.apache.spark.sql.classic.SparkSession.active,
       Seq(dataDir(dir).toString),
       schema,
-      version)
+      version))
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirOf(ident)

@@ -543,3 +543,57 @@ class StatsPrunedParquetTable(
     ()
   }
 }
+
+/** The catalog-facing face of a parquet-managed table: every surface
+  * delegates to [[StatsPrunedParquetTable]], but this class
+  * deliberately does NOT extend `FileTable` — Spark's
+  * `FallBackFileSourceV2` analyzer rule rewrites `InsertIntoStatement`
+  * over any FileTable relation into the v1
+  * `InsertIntoHadoopFsRelationCommand`, which (a) physically truncates
+  * `data/` on SQL `INSERT OVERWRITE`, destroying the bytes older
+  * versions reference, and (b) bypasses the REPLACE WHERE wrapper
+  * entirely. (The DataFrame `writeTo` API never builds an
+  * InsertIntoStatement, which is why only the SQL surface was
+  * affected.) On a non-FileTable, SQL `INSERT INTO` plans as v2
+  * `AppendData` (Spark's own FileBatchWrite underneath — same `part-*`
+  * files, same commit protocol) and `INSERT OVERWRITE` as
+  * `OverwriteByExpression` → [[ParquetReplaceWriteBuilder]]'s
+  * history-preserving truncate: retired files stay on disk for pinned
+  * readers, one ledger publish on versioned tables. */
+class CatalogParquetTable(private[sources] val inner: StatsPrunedParquetTable)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def name(): String = inner.name
+  override def schema(): StructType = inner.schema
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] =
+    inner.columns()
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    inner.partitioning()
+  override def properties(): java.util.Map[String, String] = inner.properties()
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+    inner.capabilities()
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    inner.newScanBuilder(options)
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    inner.newWriteBuilder(info)
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    inner.metadataColumns()
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    inner.canDeleteWhere(filters)
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    inner.deleteWhere(filters)
+  override def truncateTable(): Boolean = inner.truncateTable()
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    inner.newRowLevelOperationBuilder(info)
+}

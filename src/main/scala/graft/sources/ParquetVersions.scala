@@ -18,10 +18,10 @@ import org.apache.hadoop.fs.Path
   * `data/`.
   *
   * The one structural difference from the log tier: parquet APPENDS
-  * arrive through Spark's v1 file-write fallback (`INSERT INTO` →
-  * `FileFormatWriter`), which this module cannot hook — an append lands
-  * as `part-*.parquet` files with NO ledger publish. The live-set rule
-  * absorbs them:
+  * arrive through Spark's own file batch write (`INSERT INTO` /
+  * `writeTo(...).append()` → `FileBatchWrite`), which renames
+  * `part-*.parquet` files straight into `data/` with NO ledger
+  * publish. The live-set rule absorbs them:
   *
   *   live = latest.names ∪ { f ∈ listing : f referenced by NO version
   *                           ∧ f not maintenance-named }
@@ -42,11 +42,14 @@ import org.apache.hadoop.fs.Path
   * reference (plain-named appends are NEVER vacuumed — they are
   * someone's un-published write).
   *
-  * Limitations (documented, not silent): `INSERT OVERWRITE` physically
-  * truncates `data/` through the v1 path — on a versioned table it
-  * destroys the bytes older versions reference; use DELETE + INSERT on
-  * versioned tables instead. Single-maintainer semantics for
-  * maintenance ops, same as the log tier. */
+  * `INSERT OVERWRITE` is history-preserving: [[CatalogParquetTable]]
+  * keeps the catalog's table off Spark's `FallBackFileSourceV2` v1
+  * rewrite (which physically truncated `data/`), so a SQL overwrite
+  * plans as v2 truncate — retirement through the footer-stats
+  * classify, retired bytes kept for pinned readers, one ledger publish
+  * on versioned tables. Remaining limitation (documented, not
+  * silent): single-maintainer semantics for maintenance ops, same as
+  * the log tier. */
 object ParquetVersions {
 
   /** Names a maintenance rewrite commits under — the complement of the

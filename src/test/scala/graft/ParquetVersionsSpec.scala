@@ -180,6 +180,25 @@ class ParquetVersionsSpec extends AnyFunSuite {
     assert(ids(spark.table(t)) === (150L until 600L).toSet)
   }
 
+  test("SQL INSERT OVERWRITE preserves history on a versioned table") {
+    // Regression: FallBackFileSourceV2 used to rewrite the SQL
+    // overwrite to the v1 command, physically truncating data/ and
+    // destroying the bytes older versions reference. The catalog's
+    // non-FileTable face (CatalogParquetTable) keeps the statement on
+    // the v2 plan: one ledger publish, retired files kept for pinned
+    // readers.
+    val t = mkTable("v8")
+    ParquetVersions.enable(tableDir("v8")) // v1 = 600 rows, 6 files
+    spark.sql(s"INSERT OVERWRITE $t SELECT id, id * 9.0 AS score FROM range(25)")
+    assert(spark.table(t).count() === 25)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 600, "overwrite must not destroy history")
+    assert(ParquetVersions.latest(tableDir("v8")).get._1 >= 2L)
+    // plain SQL INSERT INTO still appends (absorbed as un-ledgered)
+    spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 AS score FROM range(100, 110)")
+    assert(spark.table(t).count() === 35)
+  }
+
   test("live() never drops a file while appends + catch-ups race it") {
     // Regression for the inconsistent-read race: latest() and
     // referencedByAny() read as two separate ledger listings could
