@@ -75,24 +75,27 @@ object MetaTables {
               !s.getPath.getName.startsWith(".") &&
               !s.getPath.getName.startsWith("_"))
             .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1)
-        val live = ParquetVersions.live(tableDir).toSet
-        val referenced =
-          if (ParquetVersions.enabled(tableDir))
-            VersionLedger.referencedByAny(tableDir)
-          else Set.empty[String]
+        // live + referenced from ONE consistent ledger snapshot (same
+        // rule as ParquetVersions.live — two separate reads can
+        // straddle a publish and misreport a file's state)
+        val (live, referenced) = VersionLedger.snapshot(tableDir) match {
+          case None => (listed.map(_._1).toSet, Set.empty[String])
+          case Some((_, names, ref)) =>
+            val appends = listed.map(_._1)
+              .filterNot(ref).filterNot(ParquetVersions.maintenanceNamed)
+            ((names ++ appends).toSet, ref)
+        }
         listed.map { case (name, len) =>
           Array[Any](name, len, live(name), referenced(name))
         }
       } else {
         val segs = LimitHashLog.segments(tableDir)
           .map { case (p, len) => (new Path(p).getName, len) }
-        val versioned = LogVersions.enabled(tableDir)
-        val live: String => Boolean =
-          if (versioned) LogVersions.latest(tableDir).get._2.toSet
-          else _ => true
-        val referenced: String => Boolean =
-          if (versioned) VersionLedger.referencedByAny(tableDir)
-          else _ => false
+        val (live, referenced): (String => Boolean, String => Boolean) =
+          VersionLedger.snapshot(tableDir) match {
+            case None => (_ => true, _ => false)
+            case Some((_, names, ref)) => (names.toSet, ref)
+          }
         segs.map { case (name, len) =>
           Array[Any](name, len, live(name), referenced(name))
         }
