@@ -58,18 +58,114 @@ class ParquetReplaceWriteBuilder(inner: WriteBuilder, spark: SparkSession,
 
   override def build(): Write = owFilters match {
     case None =>
-      // plain append: batch stays Spark's own ParquetWrite; streaming
-      // (writeStream.toTable) goes through the epoch-versioned sink
-      val b = inner.build()
-      new Write {
-        override def toBatch: BatchWrite = b.toBatch
-        override def toStreaming: streaming.StreamingWrite =
-          new ParquetStreamingWrite(tableDir, declared, queryId, truncate = false)
-        override def description(): String = b.description()
+      // Self-arranging bucketed appends (the log tier's
+      // RequiresDistributionAndOrdering contract on the parquet tier):
+      // a plain INSERT INTO a bucketed table lands n fully-tagged
+      // `b<k>-` files instead of untagged `part-*` files that would
+      // downgrade every storage-partitioned join until rebuild.
+      val bucketed = ParquetBucketing.readSpec(tableDir).flatMap { spec =>
+        val idx = declared.fieldNames.indexWhere(_.equalsIgnoreCase(spec.col))
+        if (idx >= 0 && declared.fields(idx).dataType ==
+            org.apache.spark.sql.types.StringType) Some((spec, idx))
+        else None
+      }
+      bucketed match {
+        case Some((spec, idx)) =>
+          new BucketedParquetAppendWrite(tableDir, declared, queryId, spec, idx)
+        case None =>
+          // plain append: batch stays Spark's own ParquetWrite; streaming
+          // (writeStream.toTable) goes through the epoch-versioned sink
+          val b = inner.build()
+          new Write {
+            override def toBatch: BatchWrite = b.toBatch
+            override def toStreaming: streaming.StreamingWrite =
+              new ParquetStreamingWrite(tableDir, declared, queryId, truncate = false)
+            override def description(): String = b.description()
+          }
       }
     case Some(filters) =>
       new ParquetReplaceWrite(inner.build(), spark, tableDir, filters,
         declared, queryId)
+  }
+}
+
+/** SELF-ARRANGING bucketed append for catalog parquet tables: a batch
+  * write into a table with a `.bucketspec` asks Spark to cluster the
+  * data on the bucket column into EXACTLY n partitions
+  * (`RequiresDistributionAndOrdering`). The layout hash IS
+  * `HashPartitioning`'s (murmur3 seed 42, pmod), so partition id ==
+  * bucket id and each task stages exactly ONE tagged file — n files
+  * per insert, no n×m small-file blowup. Correctness never rests on
+  * the distribution: [[ParquetStageWriterFactory]] tags every row from
+  * its own key bytes, so a mis-clustered row simply opens a second
+  * per-bucket writer in that task.
+  *
+  * Committed files are APPEND-NAMED (`b<k>-append-…`, the bucketed
+  * writer namespace): the ledger's live rule treats them exactly like
+  * `part-*` appends — visible immediately, folded by the next
+  * catch-up, never vacuumed while un-referenced. No version publish
+  * here, same contract as every other plain append. */
+class BucketedParquetAppendWrite(tableDir: String, declared: StructType,
+    queryId: String, spec: LogBucketing.Spec, keyIdx: Int)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+
+  override def requiredDistribution(): distributions.Distribution =
+    distributions.Distributions.clustered(Array(Expressions.column(spec.col)))
+  override def requiredNumPartitions(): Int = spec.n
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def description(): String =
+    s"BucketedParquetAppendWrite dir=$tableDir bucket(${spec.n}, ${spec.col})"
+
+  override def toStreaming: streaming.StreamingWrite =
+    new ParquetStreamingWrite(tableDir, declared, queryId, truncate = false)
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    private def spark = org.apache.spark.sql.classic.SparkSession.active
+    private val stagingDir = new org.apache.hadoop.fs.Path(tableDir, s".bapp-$queryId")
+
+    override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(
+        spark.sessionState.newHadoopConf())
+      val owf = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat()
+        .prepareWrite(spark, job, Map.empty, declared)
+      new ParquetStageWriterFactory(owf,
+        new org.apache.spark.util.SerializableConfiguration(job.getConfiguration),
+        declared, stagingDir.toString, Some((keyIdx, spec.n)))
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val data = new org.apache.hadoop.fs.Path(tableDir, "data")
+      val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(data)
+      messages.foreach {
+        case ParquetStageCommit(staged, pid) =>
+          staged.zipWithIndex.foreach { case ((path, tag), j) =>
+            val k = tag.getOrElse(throw new IllegalStateException(
+              s"bucketed append staged an untagged file: $path"))
+            val name = f"b$k-append-$queryId-$pid%05d-$j.parquet"
+            val to = new org.apache.hadoop.fs.Path(data, name)
+            if (fs.exists(to)) fs.delete(to, false) // retried stage: replace
+            if (!fs.rename(new org.apache.hadoop.fs.Path(path), to)) {
+              throw new java.io.IOException(
+                s"BucketedParquetAppendWrite: rename $path -> $to failed")
+            }
+          }
+        case _ =>
+      }
+      fs.delete(stagingDir, true)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit = {
+      val fs = stagingDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(stagingDir, true)
+      ()
+    }
   }
 }
 

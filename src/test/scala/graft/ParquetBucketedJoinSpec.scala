@@ -104,8 +104,11 @@ class ParquetBucketedJoinSpec extends AnyFunSuite {
     val t1 = mkTable("mix1"); val t2 = mkTable("mix2")
     ParquetBucketing.writeBucketed(spark, df(20, 200, 7), t1, "user_id", 4)
     ParquetBucketing.writeBucketed(spark, df(20, 50, 11), t2, "user_id", 4)
-    // a plain v1-path append lands an untagged part-* file
-    spark.sql(s"INSERT INTO $t1 VALUES ('u3', 777777)")
+    // a FOREIGN writer (bypassing the catalog — catalog inserts now
+    // self-arrange) lands an untagged part-* file
+    val wh1 = spark.conf.get("spark.sql.catalog.graft_pqspj.warehouse")
+    spark.sql("SELECT 'u3' AS user_id, CAST(777777 AS BIGINT) AS amount")
+      .write.mode("append").parquet(s"$wh1/lake/mix1/data")
     withPlainPlans {
       val joined = spark.table(t1).alias("l").join(spark.table(t2), "user_id")
       val plan = joined.queryExecution.executedPlan.toString
@@ -113,6 +116,41 @@ class ParquetBucketedJoinSpec extends AnyFunSuite {
         s"mixed-layout join must fall back to shuffling, got:\n$plan")
       assert(joined.filter(col("l.amount") === 777777).count() > 0)
     }
+  }
+
+  test("plain INSERT INTO a bucketed table self-arranges: tagged files, no downgrade") {
+    val t1 = mkTable("sa1"); val t2 = mkTable("sa2")
+    ParquetBucketing.writeBucketed(spark, df(20, 200, 7), t1, "user_id", 4)
+    ParquetBucketing.writeBucketed(spark, df(20, 50, 11), t2, "user_id", 4)
+    // adversarially-partitioned inserts through BOTH SQL and writeTo —
+    // the write's RequiresDistributionAndOrdering re-clusters them
+    spark.sql(s"INSERT INTO $t1 VALUES ('u3', 777777), ('u7', 888888)")
+    df(20, 30, 13).repartition(7, col("amount")).writeTo(t1).append()
+    val wh = spark.conf.get("spark.sql.catalog.graft_pqspj.warehouse")
+    val data = new org.apache.hadoop.fs.Path(s"$wh/lake/sa1/data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(data).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+    assert(names.forall(n => ParquetBucketing.bucketOfName(n).isDefined),
+      s"every file must carry a bucket tag: ${names.mkString(",")}")
+    withPlainPlans {
+      val joined = spark.table(t1).alias("l").join(spark.table(t2), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"self-arranged inserts must keep the join shuffle-free, got:\n$plan")
+      assert(joined.filter(col("l.amount") === 777777).count() > 0)
+    }
+    // rows landed in the CORRECT buckets: per-bucket scan of the tag
+    // namespace agrees with the layout hash
+    val expect = df(20, 200, 7).union(
+        spark.sql("SELECT 'u3' AS user_id, CAST(777777 AS BIGINT) UNION ALL " +
+          "SELECT 'u7', CAST(888888 AS BIGINT)"))
+      .union(df(20, 30, 13))
+      .groupBy("user_id").agg(sum("amount").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = spark.table(t1).groupBy("user_id").agg(sum("amount").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
   }
 
   test("conflicting bucket re-declaration is rejected") {
@@ -179,10 +217,12 @@ class ParquetBucketedJoinSpec extends AnyFunSuite {
     val t1 = mkTable("fix1"); val t2 = mkTable("fix2")
     ParquetBucketing.writeBucketed(spark, df(20, 200, 7), t1, "user_id", 4)
     ParquetBucketing.writeBucketed(spark, df(20, 50, 11), t2, "user_id", 4)
-    // two plain appends + an untagged DELETE rewrite → mixed layout
-    spark.sql(s"INSERT INTO $t1 VALUES ('u3', 777777)")
-    df(20, 30, 13).writeTo(t1).append()
+    // two FOREIGN appends (bypassing the catalog — catalog inserts now
+    // self-arrange into tagged files) → mixed layout
     val wh = spark.conf.get("spark.sql.catalog.graft_pqspj.warehouse")
+    spark.sql("SELECT 'u3' AS user_id, CAST(777777 AS BIGINT) AS amount")
+      .write.mode("append").parquet(s"$wh/lake/fix1/data")
+    df(20, 30, 13).write.mode("append").parquet(s"$wh/lake/fix1/data")
     spark.sql("CALL graft_pqspj.system.enable_versioning(table => 'lake.fix1')")
     val expected = spark.table(t1).collect()
       .map(r => (r.getString(0), r.getLong(1))).sorted
