@@ -163,7 +163,9 @@ class StagedReplaceLogTable(dir: String) extends StagedTable with SupportsWrite 
     delegate.newWriteBuilder(info) match {
       case ow: org.apache.spark.sql.connector.write.SupportsOverwrite =>
         ow.truncate()
-      case other => other // unreachable: LogWriteBuilder supports overwrite
+      case other => throw new IllegalStateException(
+        // never silently APPEND when the statement promised a REPLACE
+        s"log write builder lost its overwrite support: $other")
     }
 
   override def commitStagedChanges(): Unit = ()

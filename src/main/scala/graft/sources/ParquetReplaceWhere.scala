@@ -56,6 +56,16 @@ class ParquetReplaceWriteBuilder(inner: WriteBuilder, spark: SparkSession,
   override def truncate(): WriteBuilder =
     overwrite(Array[Filter](AlwaysTrue()))
 
+  /** The layout to self-arrange into: a `.bucketspec` whose column is
+    * a string field of the declared schema. */
+  private def bucketedLayout: Option[(LogBucketing.Spec, Int)] =
+    ParquetBucketing.readSpec(tableDir).flatMap { spec =>
+      val idx = declared.fieldNames.indexWhere(_.equalsIgnoreCase(spec.col))
+      if (idx >= 0 && declared.fields(idx).dataType ==
+          org.apache.spark.sql.types.StringType) Some((spec, idx))
+      else None
+    }
+
   override def build(): Write = owFilters match {
     case None =>
       // Self-arranging bucketed appends (the log tier's
@@ -63,13 +73,7 @@ class ParquetReplaceWriteBuilder(inner: WriteBuilder, spark: SparkSession,
       // a plain INSERT INTO a bucketed table lands n fully-tagged
       // `b<k>-` files instead of untagged `part-*` files that would
       // downgrade every storage-partitioned join until rebuild.
-      val bucketed = ParquetBucketing.readSpec(tableDir).flatMap { spec =>
-        val idx = declared.fieldNames.indexWhere(_.equalsIgnoreCase(spec.col))
-        if (idx >= 0 && declared.fields(idx).dataType ==
-            org.apache.spark.sql.types.StringType) Some((spec, idx))
-        else None
-      }
-      bucketed match {
+      bucketedLayout match {
         case Some((spec, idx)) =>
           new BucketedParquetAppendWrite(tableDir, declared, queryId, spec, idx)
         case None =>
@@ -84,7 +88,15 @@ class ParquetReplaceWriteBuilder(inner: WriteBuilder, spark: SparkSession,
           }
       }
     case Some(filters) =>
-      new ParquetReplaceWrite(inner.build(), spark, tableDir, filters,
+      // REPLACE WHERE's payload self-arranges too: on a bucketed table
+      // the backfill lands tagged `b<k>-append-` files, so the repeated
+      // daily backfill never erodes the join layout
+      val payload: Write = bucketedLayout match {
+        case Some((spec, idx)) =>
+          new BucketedParquetAppendWrite(tableDir, declared, queryId, spec, idx)
+        case None => inner.build()
+      }
+      new ParquetReplaceWrite(payload, spark, tableDir, filters,
         declared, queryId)
   }
 }
@@ -170,10 +182,28 @@ class BucketedParquetAppendWrite(tableDir: String, declared: StructType,
 }
 
 /** The wrapping Write: delegate everything task-side, intercept the
-  * driver commit to run the retirement and the single publish. */
+  * driver commit to run the retirement and the single publish. A
+  * bucketed payload's clustering requirement is forwarded, so the
+  * backfill also lands pre-arranged. */
 class ParquetReplaceWrite(inner: Write, spark: SparkSession,
     tableDir: String, filters: Array[Filter],
-    declared: StructType = null, queryId: String = "") extends Write {
+    declared: StructType = null, queryId: String = "") extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = inner match {
+    case r: org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering =>
+      r.requiredDistribution()
+    case _ =>
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+  }
+  override def requiredNumPartitions(): Int = inner match {
+    case r: org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering =>
+      r.requiredNumPartitions()
+    case _ => 0
+  }
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
 
   override def description(): String =
     s"${inner.description()} REPLACE WHERE ${filters.mkString(" AND ")}"

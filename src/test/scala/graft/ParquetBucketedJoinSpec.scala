@@ -153,6 +153,42 @@ class ParquetBucketedJoinSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("REPLACE WHERE lands a tagged payload: the backfill never erodes the layout") {
+    val t1 = mkTable("rw1"); val t2 = mkTable("rw2")
+    ParquetBucketing.writeBucketed(spark, df(20, 200, 7), t1, "user_id", 4)
+    ParquetBucketing.writeBucketed(spark, df(20, 50, 11), t2, "user_id", 4)
+    // re-derive one user's slice with corrected amounts, land atomically
+    df(20, 200, 7).filter(col("user_id") === "u3")
+      .select(col("user_id"), (col("amount") * 2 + 1).as("amount"))
+      .writeTo(t1).overwrite(col("user_id") === "u3")
+    val wh = spark.conf.get("spark.sql.catalog.graft_pqspj.warehouse")
+    val data = new org.apache.hadoop.fs.Path(s"$wh/lake/rw1/data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live: Set[String] = {
+      val dir = s"$wh/lake/rw1"
+      if (ParquetVersions.enabled(dir)) ParquetVersions.live(dir).toSet
+      else fs.listStatus(data).map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_"))
+        .toSet
+    }
+    assert(live.forall(n => ParquetBucketing.bucketOfName(n).isDefined),
+      s"backfill must not erode the layout: ${live.mkString(",")}")
+    withPlainPlans {
+      val joined = spark.table(t1).alias("l").join(spark.table(t2), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"post-backfill join must stay shuffle-free, got:\n$plan")
+    }
+    val expect = df(20, 200, 7).filter(col("user_id") =!= "u3")
+      .union(df(20, 200, 7).filter(col("user_id") === "u3")
+        .select(col("user_id"), (col("amount") * 2 + 1).as("amount")))
+      .groupBy("user_id").agg(sum("amount").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = spark.table(t1).groupBy("user_id").agg(sum("amount").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === expect)
+  }
+
   test("conflicting bucket re-declaration is rejected") {
     val t = mkTable("c1")
     ParquetBucketing.writeBucketed(spark, df(5, 50, 2), t, "user_id", 4)
