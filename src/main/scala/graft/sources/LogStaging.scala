@@ -224,14 +224,11 @@ class ParquetReplaceAllWrite(tableDir: String, writeSchema: StructType,
     private val stagingDir = new Path(tableDir, s".rtas-$queryId")
 
     /** The bucket layout to preserve: spec present AND its column
-      * survives the redeclared schema as a string. */
+      * survives the redeclared schema as a string
+      * ([[ParquetBucketing.layoutFor]]). */
     private def keptSpec: Option[(Int, Int)] =
-      ParquetBucketing.readSpec(tableDir).flatMap { spec =>
-        val idx = writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(spec.col))
-        if (idx >= 0 && writeSchema.fields(idx).dataType == StringType)
-          Some((idx, spec.n))
-        else None
-      }
+      ParquetBucketing.layoutFor(tableDir, writeSchema)
+        .map { case (spec, idx) => (idx, spec.n) }
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
       val job = org.apache.hadoop.mapreduce.Job.getInstance(

@@ -99,6 +99,25 @@ object ParquetBucketing {
     }
   }
 
+  /** The one place the write paths resolve "is this table's layout
+    * applicable to this write schema": the `.bucketspec`, its column
+    * located case-insensitively in `schema`, restricted to STRING keys
+    * (the tag writers hash UTF8 key bytes). Returns the spec
+    * CANONICALIZED to the schema's own column spelling — distribution
+    * clustering resolves against the query output, so the recorded
+    * spec case must never leak into the plan (a case-sensitive session
+    * would fail to resolve it). Shared by the batch append, the
+    * REPLACE WHERE payload, RTAS, and the streaming sink. */
+  def layoutFor(tableDir: String,
+      schema: org.apache.spark.sql.types.StructType): Option[(LogBucketing.Spec, Int)] =
+    readSpec(tableDir).flatMap { spec =>
+      val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(spec.col))
+      if (idx >= 0 && schema.fields(idx).dataType ==
+          org.apache.spark.sql.types.StringType)
+        Some((spec.copy(col = schema.fieldNames(idx)), idx))
+      else None
+    }
+
   /** The bucket a data file's NAME declares, if any: `b<k>-…` (the
     * bucketed writer) or `…-b<k>.parquet` (a future bucket-aware
     * maintenance rewrite). */

@@ -56,14 +56,23 @@ class ParquetReplaceWriteBuilder(inner: WriteBuilder, spark: SparkSession,
   override def truncate(): WriteBuilder =
     overwrite(Array[Filter](AlwaysTrue()))
 
-  /** The layout to self-arrange into: a `.bucketspec` whose column is
-    * a string field of the declared schema. */
-  private def bucketedLayout: Option[(LogBucketing.Spec, Int)] =
-    ParquetBucketing.readSpec(tableDir).flatMap { spec =>
-      val idx = declared.fieldNames.indexWhere(_.equalsIgnoreCase(spec.col))
-      if (idx >= 0 && declared.fields(idx).dataType ==
-          org.apache.spark.sql.types.StringType) Some((spec, idx))
-      else None
+  /** Self-arranging payload for a bucketed table
+    * ([[ParquetBucketing.layoutFor]] — spec canonicalized to the
+    * schema's column spelling), or Spark's own write otherwise. */
+  private def payloadWrite(): Write =
+    ParquetBucketing.layoutFor(tableDir, declared) match {
+      case Some((spec, idx)) =>
+        new BucketedParquetAppendWrite(tableDir, declared, queryId, spec, idx)
+      case None =>
+        // plain append: batch stays Spark's own ParquetWrite; streaming
+        // (writeStream.toTable) goes through the epoch-versioned sink
+        val b = inner.build()
+        new Write {
+          override def toBatch: BatchWrite = b.toBatch
+          override def toStreaming: streaming.StreamingWrite =
+            new ParquetStreamingWrite(tableDir, declared, queryId, truncate = false)
+          override def description(): String = b.description()
+        }
     }
 
   override def build(): Write = owFilters match {
@@ -73,30 +82,12 @@ class ParquetReplaceWriteBuilder(inner: WriteBuilder, spark: SparkSession,
       // a plain INSERT INTO a bucketed table lands n fully-tagged
       // `b<k>-` files instead of untagged `part-*` files that would
       // downgrade every storage-partitioned join until rebuild.
-      bucketedLayout match {
-        case Some((spec, idx)) =>
-          new BucketedParquetAppendWrite(tableDir, declared, queryId, spec, idx)
-        case None =>
-          // plain append: batch stays Spark's own ParquetWrite; streaming
-          // (writeStream.toTable) goes through the epoch-versioned sink
-          val b = inner.build()
-          new Write {
-            override def toBatch: BatchWrite = b.toBatch
-            override def toStreaming: streaming.StreamingWrite =
-              new ParquetStreamingWrite(tableDir, declared, queryId, truncate = false)
-            override def description(): String = b.description()
-          }
-      }
+      payloadWrite()
     case Some(filters) =>
       // REPLACE WHERE's payload self-arranges too: on a bucketed table
       // the backfill lands tagged `b<k>-append-` files, so the repeated
       // daily backfill never erodes the join layout
-      val payload: Write = bucketedLayout match {
-        case Some((spec, idx)) =>
-          new BucketedParquetAppendWrite(tableDir, declared, queryId, spec, idx)
-        case None => inner.build()
-      }
-      new ParquetReplaceWrite(payload, spark, tableDir, filters,
+      new ParquetReplaceWrite(payloadWrite(), spark, tableDir, filters,
         declared, queryId)
   }
 }
@@ -203,7 +194,11 @@ class ParquetReplaceWrite(inner: Write, spark: SparkSession,
     case _ => 0
   }
   override def requiredOrdering()
-      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = Array.empty
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = inner match {
+    case r: org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering =>
+      r.requiredOrdering()
+    case _ => Array.empty
+  }
 
   override def description(): String =
     s"${inner.description()} REPLACE WHERE ${filters.mkString(" AND ")}"

@@ -250,11 +250,8 @@ class ParquetReplaceDataWrite(op: ParquetRowLevelOperation, tableDir: String,
       // files come back fully tagged and the scan's key-grouped
       // partitioning claim survives the operation
       val bucketBy: Option[(Int, Int)] =
-        ParquetBucketing.readSpec(tableDir).map { spec =>
-          val idx = declared.fieldNames.indexWhere(_.equalsIgnoreCase(spec.col))
-          require(idx >= 0, s"bucket column ${spec.col} missing from ${declared.fieldNames.mkString(",")}")
-          (idx, spec.n)
-        }
+        ParquetBucketing.layoutFor(tableDir, declared)
+          .map { case (spec, idx) => (idx, spec.n) }
       new ParquetStageWriterFactory(owf,
         new SerializableConfiguration(job.getConfiguration), declared,
         stagingDir.toString, bucketBy)

@@ -60,12 +60,8 @@ class ParquetStreamingWrite(tableDir: String, declared: StructType,
       spark.sessionState.newHadoopConf())
     val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, declared)
     val bucketBy: Option[(Int, Int)] =
-      ParquetBucketing.readSpec(tableDir).map { spec =>
-        val idx = declared.fieldNames.indexWhere(_.equalsIgnoreCase(spec.col))
-        require(idx >= 0,
-          s"bucket column ${spec.col} missing from ${declared.fieldNames.mkString(",")}")
-        (idx, spec.n)
-      }
+      ParquetBucketing.layoutFor(tableDir, declared)
+        .map { case (spec, idx) => (idx, spec.n) }
     new ParquetStreamWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration), declared,
       stagingBase, bucketBy)
