@@ -203,7 +203,11 @@ object WordGramHashesExpr {
   }
 
   private def dedup(hs: Array[Long], distinct: Boolean): GenericArrayData = {
-    if (!distinct) return new GenericArrayData(hs)
+    // hs.isEmpty guard: `w = 1` below would otherwise fabricate a
+    // phantom [0L] gram for a document with no grams at all (e.g. an
+    // all-spaces string), which could spuriously match any other such
+    // document
+    if (!distinct || hs.isEmpty) return new GenericArrayData(hs)
     java.util.Arrays.sort(hs)
     var w = 1
     var i = 1

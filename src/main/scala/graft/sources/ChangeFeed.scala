@@ -75,14 +75,10 @@ object ChangeFeed {
     * direct vectorized parquet scans of exactly the named files. */
   def parquetChanges(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, net: Boolean = false): DataFrame = {
-    val sf = new Path(dir, "_schema.json")
-    val fs = sf.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    require(fs.exists(sf),
+    require(SchemaManifest.exists(dir),
       s"$dir has no _schema.json — not a catalog parquet table")
     val schema = {
-      val in = fs.open(sf)
-      val json = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val json = SchemaManifest.readJson(dir)
       org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
@@ -288,14 +284,9 @@ class CdcSegmentReaderFactory extends PartitionReaderFactory {
   * the (change_type, commit_version) tail joined per block. */
 class ParquetChanges extends org.apache.spark.sql.connector.catalog.TableProvider {
   private def dataSchema(tableDir: String): StructType = {
-    val sf = new Path(tableDir, "_schema.json")
-    val fs = sf.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    require(fs.exists(sf),
+    require(SchemaManifest.exists(tableDir),
       s"$tableDir has no _schema.json — not a catalog parquet table")
-    val in = fs.open(sf)
-    val json = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
+    SchemaManifest.read(tableDir, "streaming changelog")
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -383,19 +374,23 @@ class ParquetChangesMicroBatchStream(tableDir: String, dataSchema: StructType,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // ONE genuine parquet reader factory serves every diff file: the
-    // per-file work is driven by the PartitionedFile in each partition,
-    // and the factory carries only schema + conf
+  /** ONE genuine parquet reader factory serves every diff file: the
+    * per-file work is driven by the PartitionedFile in each partition,
+    * and the factory carries only schema + conf — built once per
+    * stream over an EMPTY index (a data/ listing here would cost
+    * O(files) per micro-batch for nothing). */
+  private lazy val readerFactory: PartitionReaderFactory = {
     val spark = org.apache.spark.sql.classic.SparkSession.active
     val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-      spark, Seq(new Path(tableDir, "data")), Map.empty, Some(dataSchema))
+      spark, Seq.empty, Map.empty, Some(dataSchema))
     val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
       spark, index, dataSchema, dataSchema,
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
     builder.pruneColumns(dataSchema)
     new CdcParquetReaderFactory(builder.build().createReaderFactory())
   }
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   override def deserializeOffset(json: String): sread.Offset =
     LogVersionOffset(json.trim.toLong)

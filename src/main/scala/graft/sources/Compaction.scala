@@ -325,7 +325,7 @@ object Compaction {
       targetBytes: Long = 128L << 20): CompactionStats = {
     val base = new Path(tableDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(base, "_schema.json")),
+    require(SchemaManifest.exists(tableDir),
       s"$tableDir is not a catalog parquet table (no _schema.json); " +
         "entity logs compact via compactLog")
     // Merge bins under the table's AUTHORITATIVE schema, not one sampled
@@ -335,13 +335,7 @@ object Compaction {
     // (the rows-before/after check cannot see it). Reading with the
     // declared schema fills absent columns with null and prunes DROPped
     // ones — exactly the table's read semantics (ADVICE r8).
-    val declared = {
-      val in = fs.open(new Path(base, "_schema.json"))
-      val json = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-    }
+    val declared = SchemaManifest.read(tableDir, "compactTable")
     repairGenerations(fs, base)
     val data = new Path(base, "data")
 
@@ -437,8 +431,16 @@ object Compaction {
         (live.toSet -- inputNames ++ outputs).toSeq
       }
       val liveAfter = ParquetVersions.live(tableDir)
-      val rows = if (liveAfter.isEmpty) 0L else spark.read.schema(declared)
-        .parquet(liveAfter.map(n => new Path(data, n).toString): _*).count()
+      // the rows stat from FOOTERS, not a data scan: a post-commit
+      // count() re-read the whole live table for one metric — O(table)
+      // per compaction at the 100 TB posture. Footer row counts are
+      // exact and cached (ParquetFooterStats).
+      val conf = spark.sessionState.newHadoopConf()
+      val rows = liveAfter.map { n =>
+        val st = fs.getFileStatus(new Path(data, n))
+        ParquetFooterStats.get(conf, st.getPath, st.getLen,
+          st.getModificationTime).rowCount
+      }.sum
       return CompactionStats(files.length.toLong, bytesBefore, rows,
         liveAfter.length.toLong)
     }

@@ -71,13 +71,21 @@ class LimitHashLog extends TableProvider {
         .orElse(Option(properties.get("timestampAsOf"))
           .orElse(Option(properties.get("timestampasof")))
           .map { t =>
-            // accept epoch micros or an ISO timestamp; resolve through
-            // the ledger's embedded publish stamps — the DataFrame-API
-            // twin of SQL TIMESTAMP AS OF
-            val micros = t.toLongOption.getOrElse(
-              java.time.Instant.parse(t.replace(' ', 'T') +
-                (if (t.endsWith("Z") || t.contains("+")) "" else "Z"))
-                .toEpochMilli * 1000L)
+            // accept epoch micros or a timestamp string; parse with
+            // Spark's OWN timestamp parser in the SESSION timezone, so
+            // this option and SQL `TIMESTAMP AS OF` resolve the same
+            // literal to the same instant (a naive literal is
+            // session-local, explicit offsets — including negative
+            // ones — are honored)
+            val micros = t.toLongOption.getOrElse {
+              val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils.getZoneId(
+                org.apache.spark.sql.classic.SparkSession.active
+                  .sessionState.conf.sessionLocalTimeZone)
+              org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+                org.apache.spark.unsafe.types.UTF8String.fromString(t), zone)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"timestampAsOf: unparseable timestamp '$t'"))
+            }
             LogVersions.asOfTimestamp(path, micros).getOrElse(
               throw new IllegalArgumentException(
                 s"timestampAsOf $t: no version published at or before it in $path"))

@@ -118,16 +118,12 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // finish an interrupted ALTER schema swap — a crash mid-swap must
     // never demote a parquet table to an entity log
     repairSchemaSwap(dir)
-    val sf = schemaFile(dir)
-    if (fs.exists(sf)) {
-      val in = fs.open(sf)
-      val json = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    if (fs.exists(schemaFile(dir))) {
+      val declared = SchemaManifest.read(dir.toString)
       // finish any interrupted compactTable generation swap first —
       // a crash between renames must never surface as a missing table
       Compaction.repairGenerations(fs, dir)
-      parquetTable(ident, dir,
-        org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType])
+      parquetTable(ident, dir, declared)
     } else new LimitHashLogTable(dir.toString)
   }
 
@@ -183,12 +179,7 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
         throw new IllegalArgumentException(
           s"$ident has no version $v (not versioned, never committed, or vacuumed)")
       }
-      val in = fs.open(schemaFile(dir))
-      val json = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      parquetTable(ident, dir,
-        org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType],
-        Some(v))
+      parquetTable(ident, dir, SchemaManifest.read(dir.toString), Some(v))
     } else {
       if (LogVersions.get(dir.toString, v).isEmpty) {
         throw new IllegalArgumentException(
@@ -294,10 +285,7 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
           "(rename/retype require a rewrite on a by-name format)")
     }
     repairSchemaSwap(dir)
-    val in = fs.open(sf)
-    val cur = try org.apache.spark.sql.types.DataType.fromJson(new String(
-      in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-      .asInstanceOf[StructType] finally in.close()
+    val cur = SchemaManifest.read(dir.toString)
     val next = org.apache.spark.sql.GraftShims.applySchemaChanges(cur, changes.toList)
     val swap = swapFile(dir)
     val out = fs.create(swap, true)

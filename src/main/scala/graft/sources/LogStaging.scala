@@ -271,10 +271,8 @@ class ParquetReplaceAllWrite(tableDir: String, writeSchema: StructType,
       // Pinned older versions read their files under the new read
       // schema — added columns null, dropped columns pruned, the ALTER
       // semantics.
-      val schemaFile = new Path(tableDir, "_schema.json")
-      val in = fs.open(schemaFile)
-      val curJson = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val schemaFile = SchemaManifest.path(tableDir)
+      val curJson = SchemaManifest.readJson(tableDir)
       if (curJson != writeSchema.json) {
         val swap = new Path(tableDir, "_schema.json.swap")
         val out = fs.create(swap, true)

@@ -73,24 +73,37 @@ object LogVersions {
     VersionLedger.asOfTimestamp(dir, micros)
 
   /** Retention: keep the newest `retainLast` versions; physically
-    * delete every segment file referenced by NONE of them, then drop
-    * the superseded version files. Returns the deleted segment names.
-    * A reader pinned inside the retained window is never affected;
-    * pinning older than the window is the operator's documented
-    * trade-off, exactly like Delta's VACUUM horizon. */
+    * delete every segment file that some DROPPED version references
+    * and no RETAINED one does, then drop the superseded version
+    * files. Returns the deleted segment names. A reader pinned inside
+    * the retained window is never affected; pinning older than the
+    * window is the operator's documented trade-off, exactly like
+    * Delta's VACUUM horizon.
+    *
+    * Segments referenced by NO version are NEVER deleted: log segment
+    * names carry no append-vs-maintenance distinction, and an
+    * unreferenced segment is most likely a concurrent writer inside
+    * its rename-to-publish window — deleting it would destroy a
+    * commit the writer is about to publish. (Versioned reads serve
+    * only ledger-referenced names, so such a segment is invisible
+    * either way; the cost is that a crashed maintenance op's
+    * renamed-but-unpublished output leaks until the operator removes
+    * it by hand — the safe side of the trade.) Both the retained and
+    * the any-version reference sets come from ONE ledger listing. */
   def vacuum(dir: String, retainLast: Int = 2): Seq[String] = {
     require(retainLast >= 1, "vacuum must retain at least the latest version")
     val base = new Path(dir)
     val fs = base.getFileSystem(new Configuration())
     val files = VersionLedger.versionFiles(base)
     if (files.isEmpty) return Seq.empty
-    val retained = files.takeRight(retainLast)
-    val referenced = retained.flatMap { case (_, p) =>
-      VersionLedger.readPayload(p).names
-    }.toSet
+    val payloads = files.map { case (o, p) =>
+      (o, p, VersionLedger.readPayload(p).names)
+    }
+    val referencedRetained = payloads.takeRight(retainLast).flatMap(_._3).toSet
+    val referencedAny = payloads.iterator.flatMap(_._3).toSet
     val deleted = LimitHashLog.segments(dir)
       .map(p => new Path(p._1).getName)
-      .filterNot(referenced)
+      .filter(n => referencedAny(n) && !referencedRetained(n))
     deleted.foreach(n => fs.delete(new Path(base, n), false))
     files.dropRight(retainLast).foreach { case (_, p) => fs.delete(p, false) }
     deleted

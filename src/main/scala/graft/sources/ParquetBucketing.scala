@@ -65,17 +65,9 @@ object ParquetBucketing {
     import org.json4s.jackson.Serialization
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
     require(spec.n > 0, s"bucket count must be positive: ${spec.n}")
-    val schemaFile = new Path(tableDir, "_schema.json")
-    val fs = schemaFile.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(schemaFile),
+    require(SchemaManifest.exists(tableDir),
       s"$tableDir is not a catalog parquet table; entity logs bucket via LogBucketing")
-    val declared = {
-      val in = fs.open(schemaFile)
-      val json = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-    }
+    val declared = SchemaManifest.read(tableDir, "set_bucket_spec")
     val field = declared.find(_.name.equalsIgnoreCase(spec.col))
     require(field.isDefined, s"bucket column ${spec.col} is not in the schema")
     require(field.get.dataType == StringType,
@@ -86,6 +78,7 @@ object ParquetBucketing {
           s"table at $tableDir is already bucketed as $existing; cannot re-bucket as $spec")
       case None =>
         val p = specPath(tableDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val out = try fs.create(p, false) catch {
           case _: java.io.IOException if fs.exists(p) =>
             val cur = readSpec(tableDir)
@@ -209,14 +202,7 @@ object ParquetBucketing {
     if (untagged.isEmpty) return (0L, 0L, 0L)
     val data = new Path(tableDir, "data")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val schema = {
-      val sf = new Path(tableDir, "_schema.json")
-      val in = fs.open(sf)
-      val json = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-    }
+    val schema = SchemaManifest.read(tableDir, "rebucket_table")
     val rows = spark.read.schema(schema)
       .parquet(untagged.map(n => new Path(data, n).toString): _*)
     val opId = java.util.UUID.randomUUID().toString.take(8)

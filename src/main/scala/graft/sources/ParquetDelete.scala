@@ -184,17 +184,11 @@ object ParquetDelete {
       alsoPublish: Seq[String], preCaughtUp: Boolean): ParquetDeleteStats = {
     val base = new Path(tableDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val schemaFile = new Path(base, "_schema.json")
-    require(fs.exists(schemaFile),
+    require(SchemaManifest.exists(tableDir),
       s"$tableDir is not a catalog parquet table (no _schema.json); " +
         "entity logs delete via LogDelete")
     Compaction.repairGenerations(fs, base)
-    val declared = {
-      val in = fs.open(schemaFile)
-      val json = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
-    }
+    val declared = SchemaManifest.read(tableDir, "DELETE")
 
     def unsupported(f: Filter): Nothing = throw new UnsupportedOperationException(
       s"ParquetDelete: unsupported filter $f (canDeleteWhere should have declined)")

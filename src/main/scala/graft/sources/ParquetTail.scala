@@ -108,18 +108,24 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // the genuine vectorized parquet reader factory, schema-pinned to
-    // the table manifest — per-file work comes from each partition
+  /** The genuine vectorized parquet reader factory, schema-pinned to
+    * the table manifest — built ONCE per stream, not per trigger, and
+    * over an EMPTY file index: the factory carries only schema + conf
+    * (per-file work comes from each partition's PartitionedFile), so a
+    * directory listing here would be an O(files) cost paid every
+    * micro-batch for nothing. */
+  private lazy val readerFactory: PartitionReaderFactory = {
     val spark = org.apache.spark.sql.classic.SparkSession.active
     val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-      spark, Seq(new Path(tableDir, "data")), Map.empty, Some(dataSchema))
+      spark, Seq.empty, Map.empty, Some(dataSchema))
     val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
       spark, index, dataSchema, dataSchema,
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
     builder.pruneColumns(dataSchema)
     builder.build().createReaderFactory()
   }
+
+  override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
   override def deserializeOffset(json: String): streaming.Offset =
     ParquetTailOffset.fromJson(json)

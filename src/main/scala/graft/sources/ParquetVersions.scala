@@ -50,15 +50,51 @@ import org.apache.hadoop.fs.Path
   * on versioned tables. Remaining limitation (documented, not
   * silent): single-maintainer semantics for maintenance ops, same as
   * the log tier. */
+/** The `_schema.json` manifest of a catalog parquet table — the ONE
+  * reader for the declared schema, shared by every tier (catalog load,
+  * compaction, delete, zorder, rebucket, change feed, RTAS). Its
+  * presence IS the parquet-vs-entity-log dispatch. */
+object SchemaManifest {
+  def path(tableDir: String): Path = new Path(tableDir, "_schema.json")
+
+  def exists(tableDir: String): Boolean = {
+    val p = path(tableDir)
+    p.getFileSystem(new Configuration()).exists(p)
+  }
+
+  /** Raw manifest JSON (for byte-compares and swaps). */
+  def readJson(tableDir: String): String = {
+    val p = path(tableDir)
+    val in = p.getFileSystem(new Configuration()).open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** The declared schema; requires the manifest to exist — callers on
+    * maintenance paths pass a clear operation name for the error. */
+  def read(tableDir: String, forOp: String = "read"): org.apache.spark.sql.types.StructType = {
+    require(exists(tableDir),
+      s"$tableDir is not a catalog parquet table (no _schema.json); " +
+        s"$forOp applies to parquet-managed catalog tables")
+    org.apache.spark.sql.types.DataType.fromJson(readJson(tableDir))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+}
+
 object ParquetVersions {
 
   /** Names a maintenance rewrite commits under — the complement of the
     * append namespace (`part-*` from the v1 writer, `b<k>-*` from the
     * bucketed writer). `rtas-` is REPLACE TABLE AS SELECT
-    * ([[ParquetReplaceAllWrite]]). */
+    * ([[ParquetReplaceAllWrite]]), `zorder-` is OPTIMIZE ZORDER
+    * ([[ParquetZorder]]). A rewrite path that invents a NEW prefix
+    * without registering it here double-serves every row in its
+    * rename-to-publish window and leaks crashed outputs as
+    * permanently-live appends vacuum can never reclaim. */
   private[sources] def maintenanceNamed(name: String): Boolean =
     name.startsWith("compact-") || name.startsWith("delete-") ||
-      name.startsWith("rlo-") || name.startsWith("rtas-")
+      name.startsWith("rlo-") || name.startsWith("rtas-") ||
+      name.startsWith("zorder-")
 
   private def fsOf(p: Path) = p.getFileSystem(new Configuration())
 

@@ -42,12 +42,7 @@ object ParquetZorder {
     if (live.isEmpty) return (0L, 0L, 0L)
     val data = new Path(tableDir, "data")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val schema = {
-      val in = fs.open(new Path(tableDir, "_schema.json"))
-      val json = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      DataType.fromJson(json).asInstanceOf[StructType]
-    }
+    val schema = SchemaManifest.read(tableDir, "zorder_table")
     val rows = spark.read.schema(schema)
       .parquet(live.map(n => new Path(data, n).toString): _*)
     val nRows = rows.count()

@@ -193,6 +193,31 @@ class LogVersionsSpec extends AnyFunSuite {
     assert(err.getMessage.toLowerCase.contains("version"))
   }
 
+  test("vacuum never deletes an unreferenced segment (a writer's publish window)") {
+    // Regression: vacuum deleted every segment the RETAINED versions
+    // didn't reference — including a concurrent writer's
+    // renamed-but-not-yet-published segments (log names carry no
+    // append-vs-maintenance distinction). Now only retired segments
+    // (referenced by some dropped version, by no retained one) are
+    // reclaimed; unreferenced ones are left for their writer.
+    val dir = freshLog()
+    LogVersions.enable(dir) // v1 = 3 segments
+    write(dir, Seq(("u4", 60L, "h6"))) // v2 = 4 segments
+    // simulate a writer mid-commit: a segment renamed in, no publish
+    val fs = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val donor = LimitHashLog.segments(dir).head._1
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(donor), fs,
+      new Path(dir, "segment-pending-writer-0"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val deleted = LogVersions.vacuum(dir, retainLast = 1)
+    assert(!deleted.contains("segment-pending-writer-0"),
+      "vacuum must not destroy a concurrent writer's unpublished segment")
+    assert(listingNames(dir).contains("segment-pending-writer-0"))
+    // retired segments (none here: v2 ⊇ v1) stay; current read exact
+    assert(rows(readLog(dir)).size === 6)
+  }
+
   test("N concurrent committers all land distinct ordinals, no update lost") {
     val dir = freshLog()
     LogVersions.enable(dir) // v1

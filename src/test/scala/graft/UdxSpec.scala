@@ -272,7 +272,10 @@ class UdxSpec extends AnyFunSuite {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("text").as[String].collect().toSeq
     val inputs = Seq("", "one", "one two", "one two three four five six",
-      "exactly five tokens right here") ++ corpus
+      "exactly five tokens right here",
+      // all-empty-gram inputs: distinct=true must return [] — a
+      // phantom [0L] here would spuriously match other empty docs
+      "   ", " ", "  a  ") ++ corpus
     for (k <- Seq(3, 5)) {
       val rows = inputs.toDF("text")
         .select(TextFns.normalized(col("text")).as("norm"))

@@ -85,6 +85,37 @@ class ZorderTableSpec extends AnyFunSuite {
     assert(v1.orderBy("id").collect().toSeq === before.toSeq)
   }
 
+  test("zorder outputs are maintenance-named: a crashed run's orphans stay invisible") {
+    // Regression: "zorder-" was missing from ParquetVersions'
+    // maintenance namespace, so a renamed-but-unpublished zorder file
+    // was classified as an un-published APPEND — every row served
+    // twice in the rename-to-publish window, and a crashed run's
+    // orphans permanently live and unvacuumable.
+    val t = mkScattered("zc")
+    val dir = s"$warehouse/lake/zc"
+    ParquetVersions.enable(dir)
+    val before = spark.table(t).count()
+    // simulate a crashed zorder: a rewrite output renamed into data/
+    // with no ledger publish (duplicate content of the whole table)
+    val data = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(dir, ".zorder-crash")
+    spark.table(t).coalesce(1).write.parquet(staging.toString)
+    val part = fs.listStatus(staging)
+      .find(s => s.isFile && s.getPath.getName.endsWith(".parquet")).get
+    assert(fs.rename(part.getPath,
+      new org.apache.hadoop.fs.Path(data, "zorder-crash-00000.parquet")))
+    fs.delete(staging, true)
+    // the orphan must NOT surface as live rows…
+    assert(spark.table(t).count() === before,
+      "a crashed zorder output must not double-serve rows")
+    // …and vacuum reclaims it
+    val reclaimed = ParquetVersions.vacuum(dir, retainLast = 1)
+    assert(reclaimed.contains("zorder-crash-00000.parquet"),
+      s"vacuum must reclaim the crashed output, got: ${reclaimed.mkString(",")}")
+    assert(spark.table(t).count() === before)
+  }
+
   test("zorder_table refuses bucketed tables and un-versioned tables") {
     val t = mkScattered("zb")
     val e1 = intercept[Exception] {
