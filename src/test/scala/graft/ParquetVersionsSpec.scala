@@ -199,6 +199,18 @@ class ParquetVersionsSpec extends AnyFunSuite {
     assert(spark.table(t).count() === 35)
   }
 
+  test("SQL TRUNCATE TABLE is history-preserving on a versioned table") {
+    val t = mkTable("v9")
+    ParquetVersions.enable(tableDir("v9")) // v1 = 600 rows
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.table(t).count() === 0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
+      .collect()(0).getLong(0) === 600, "truncate must not destroy history")
+    // the table keeps working after: insert lands, current reads exact
+    spark.sql(s"INSERT INTO $t SELECT id, id * 1.0 AS score FROM range(7)")
+    assert(spark.table(t).count() === 7)
+  }
+
   test("live() never drops a file while appends + catch-ups race it") {
     // Regression for the inconsistent-read race: latest() and
     // referencedByAny() read as two separate ledger listings could
