@@ -19,6 +19,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *                                     msg BINARY, sha256sum STRING);
   *   INSERT INTO graft.ingest.limits SELECT ...;   -- staged-commit write
   *   SELECT user_id, amount FROM graft.ingest.limits WHERE user_id = 'u7';
+  *
+  *   -- atomic CTAS / RTAS (LogStaging), DML, time travel, introspection:
+  *   CREATE TABLE graft.lake.facts AS SELECT ...;
+  *   REPLACE TABLE graft.lake.facts AS SELECT ...;     -- one ledger publish
+  *   UPDATE / MERGE INTO / DELETE FROM graft.lake.facts ...;
+  *   SELECT * FROM graft.lake.facts VERSION AS OF 3;
+  *   SELECT * FROM graft.lake.facts.history;           -- metadata tables
+  *   SELECT * FROM graft.lake.facts.files;
+  *   CALL graft.system.compact_table(table => 'lake.facts');
   * }}}
   *
   * Identifier `ns.table` maps to `<warehouse>/ns/table/`.
