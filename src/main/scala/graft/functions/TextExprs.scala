@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -60,9 +61,19 @@ object TextExprs {
     * per-position slice() array, concat copy, and string allocation. */
   def wordGramHashes(norm: Column, k: Int, distinct: Boolean): Column =
     column(WordGramHashesExpr(expression(norm), k, distinct))
+
+  /** Analysis-time STRING check shared by the three expressions. */
+  private[functions] def requireString(e: UnaryExpression): TypeCheckResult =
+    if (e.child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${e.prettyName} requires a STRING input, got " +
+        e.child.dataType.catalogString)
 }
 
 case class TextNormalizeExpr(child: Expression) extends UnaryExpression {
+  // analysis-time type check: a non-string child previously surfaced as a
+  // task-side ClassCastException instead of an AnalysisException
+  override def checkInputDataTypes(): TypeCheckResult = TextExprs.requireString(this)
   override def dataType: DataType = StringType
   override def prettyName: String = "graft_text_normalize"
 
@@ -125,6 +136,7 @@ object TextNormalizeExpr {
 }
 
 case class GramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = TextExprs.requireString(this)
   require(n > 0, "gram width must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_gram_hashes"
@@ -141,6 +153,7 @@ case class GramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
 
 case class WordGramHashesExpr(child: Expression, k: Int, distinct: Boolean)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = TextExprs.requireString(this)
   require(k > 0, "gram width must be positive")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_word_gram_hashes"

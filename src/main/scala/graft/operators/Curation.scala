@@ -84,12 +84,22 @@ object Curation {
     // the driver and re-enters the plan as a broadcast literal table
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (counts.isEmpty) { // empty corpus: nothing to rebalance
+      return docs.select(col("doc_id"), col("source"), col("u_hex")).limit(0)
+    }
     val cap = math.floor(counts.map(_._2).sum * 0.6 / counts.length).toLong
     val caps = counts.map { case (s, cnt) => (s, math.min(cap, cnt)) }.toSeq
       .toDF("source", "cap")
-    val k = counts.map { case (_, cnt) => math.min(cap, cnt) }.max.toInt
-    val cut = topKPerGroup(docs, Seq(col("source")),
-      Seq(col("u_hex").asc, col("doc_id").asc), k)
+    // guard, don't truncate: at the 100 TB posture a per-source cap can
+    // exceed Int.MaxValue and .toInt would wrap to a garbage k. The
+    // heap pre-cut is an optimization — above the Int range it would be
+    // an unbounded heap anyway, so skip it and let the (still exact)
+    // window trim do the whole cut
+    val kLong = counts.map { case (_, cnt) => math.min(cap, cnt) }.max
+    val cut = if (kLong <= Int.MaxValue.toLong) {
+      topKPerGroup(docs, Seq(col("source")),
+        Seq(col("u_hex").asc, col("doc_id").asc), kLong.toInt)
+    } else docs
     val w = Window.partitionBy(col("source")).orderBy(col("u_hex").asc, col("doc_id").asc)
     cut.withColumn("rk", row_number().over(w))
       .join(broadcast(caps), "source")

@@ -587,14 +587,22 @@ object Dedup {
   def d13_dedup_chunks(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"), col("chunk_id"))
-    TextAnalysis.chunkText(Tables.documents(spark, dir), window = 16, stride = 16)
+    // chunkTextUnsorted: the hash window re-shuffles anyway — the t08
+    // presentation sort would be a wasted global range-sort here
+    TextAnalysis.chunkTextUnsorted(Tables.documents(spark, dir), window = 16, stride = 16)
       .withColumn("h", sha2(col("chunk_text"), 256))
       .select(col("doc_id"), col("chunk_id"), col("h"))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
-        min(when(col("rn") === 1, col("h"))).as("first_kept_hash"))
+        // FIRST surviving chunk's hash = min over (position, hash) —
+        // a bare min(h) would pick the lexicographically smallest HASH,
+        // not the earliest chunk (zero-padded position prefix keeps the
+        // string compare positional; stripped after the min)
+        substring(min(when(col("rn") === 1,
+          concat(lpad(col("chunk_id"), 12, "0"), col("h")))), 13, 64)
+          .as("first_kept_hash"))
       .orderBy(col("doc_id"))
   }
 
@@ -782,7 +790,9 @@ object Dedup {
         |  FROM c)
         |SELECT doc_id, COUNT(*) AS n_chunks,
         |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-        |  MIN(CASE WHEN rn = 1 THEN h END) AS first_kept_hash
+        |  SUBSTRING(MIN(CASE WHEN rn = 1
+        |    THEN LPAD(CAST(chunk_id AS VARCHAR), 12, '0') || h END), 13, 64)
+        |    AS first_kept_hash
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "d04_dedup_ngram_jaccard" -> ngramOracleSql,
     "d10_dedup_minhash_planted" -> minhashPlantedOracleSql,

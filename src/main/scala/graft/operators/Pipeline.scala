@@ -17,6 +17,23 @@ import graft.functions.TextFns
   */
 object Pipeline {
 
+  /** One-time catalog bootstrap for the p-family queries: registers
+    * `graft_<tag>` over a fresh temp warehouse on FIRST use (a repeat
+    * invocation in the same session reuses the registered warehouse —
+    * previously every call leaked a never-used temp dir) and ensures
+    * the namespace. */
+  private[operators] def catalogFor(spark: SparkSession, tag: String,
+      ns: String): Unit = {
+    val cat = s"graft_$tag"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_lhcat_$tag").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LogCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    ()
+  }
+
   def p01_clean_corpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
@@ -196,12 +213,7 @@ object Pipeline {
     // catalog instances are cached per session by name — the first
     // initialization pins the warehouse, so creation must be idempotent
     // (re-runs overwrite the table rather than colliding)
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p07").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p07").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p07", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p07.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p07.ingest")
+    catalogFor(spark, "p07", "ingest")
     spark.sql("""CREATE TABLE IF NOT EXISTS graft_p07.ingest.limits
                  (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
     Tables.orders(spark, dir)
@@ -226,12 +238,7 @@ object Pipeline {
     * is hash-checked against ground truth: a file wrongly skipped or
     * wrongly kept shows up as a sum/count mismatch. */
   def p08_catalog_skip_scan(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p08").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p08").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p08", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p08.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p08.lake")
+    catalogFor(spark, "p08", "lake")
     // parquet FileTable has no TRUNCATE capability → recreate, not overwrite
     spark.sql("DROP TABLE IF EXISTS graft_p08.lake.orders_rng")
     spark.sql("""CREATE TABLE graft_p08.lake.orders_rng
@@ -254,12 +261,7 @@ object Pipeline {
     * table — any row lost/duplicated by the quantile-bucket shuffle,
     * or a file wrongly skipped on either dimension, breaks the hash. */
   def p09_zorder_probe(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p09").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p09").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p09", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p09.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p09.lake")
+    catalogFor(spark, "p09", "lake")
     spark.sql("DROP TABLE IF EXISTS graft_p09.lake.orders_z")
     spark.sql("""CREATE TABLE graft_p09.lake.orders_z
                  (o_orderkey BIGINT, o_custkey BIGINT, cents BIGINT)""")
@@ -284,12 +286,7 @@ object Pipeline {
     * missed, double-deleted, or corrupted in a rewrite breaks the
     * hash — the zone classification is verified, not trusted. */
   def p10_log_delete(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p10").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p10").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p10", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p10.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p10.ops")
+    catalogFor(spark, "p10", "ops")
     spark.sql("""CREATE TABLE IF NOT EXISTS graft_p10.ops.limits
                  (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
     Tables.orders(spark, dir)
@@ -318,12 +315,7 @@ object Pipeline {
     * leaked the delete, or a current view that missed it, breaks the
     * hash. */
   def p11_time_travel(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p11").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p11").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p11", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p11.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p11.ops")
+    catalogFor(spark, "p11", "ops")
     spark.sql("""CREATE TABLE IF NOT EXISTS graft_p11.ops.limits
                  (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
     Tables.orders(spark, dir)
@@ -359,12 +351,7 @@ object Pipeline {
     * predicate, so a missed, doubled, or corrupted row breaks the
     * hash. */
   def p12_parquet_delete(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p12").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p12").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p12", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p12.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p12.lake")
+    catalogFor(spark, "p12", "lake")
     // fresh table every run (same-session re-runs must not accumulate)
     spark.sql("DROP TABLE IF EXISTS graft_p12.lake.orders_pq")
     spark.sql("""CREATE TABLE graft_p12.lake.orders_pq
@@ -393,12 +380,7 @@ object Pipeline {
     * hash. Runtime group filtering keeps unaffected segments
     * byte-untouched (asserted in LogRowLevelSpec). */
   def p13_log_update(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p13").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p13").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p13", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p13.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p13.ops")
+    catalogFor(spark, "p13", "ops")
     spark.sql("""CREATE TABLE IF NOT EXISTS graft_p13.ops.limits
                  (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
     Tables.orders(spark, dir)
@@ -424,12 +406,7 @@ object Pipeline {
     * anti-join inserts — a violated match, lost insert, or doubled row
     * breaks the hash. */
   def p14_merge_into(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p14").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p14").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p14", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p14.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p14.ops")
+    catalogFor(spark, "p14", "ops")
     spark.sql("""CREATE TABLE IF NOT EXISTS graft_p14.ops.limits
                  (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
     val base = Tables.orders(spark, dir)
@@ -468,12 +445,7 @@ object Pipeline {
     * pre-aggregated per user first, which on a bucketed log is itself
     * exchange-free. */
   def p15_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p15").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p15").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p15", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p15.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p15.ops")
+    catalogFor(spark, "p15", "ops")
     spark.sql("DROP TABLE IF EXISTS graft_p15.ops.fact")
     spark.sql("DROP TABLE IF EXISTS graft_p15.ops.dim")
     spark.sql("""CREATE TABLE graft_p15.ops.fact
@@ -513,12 +485,7 @@ object Pipeline {
     * as a CASE over raw orders — a row missed, double-applied, or lost
     * in the copy-on-write swap breaks the hash. */
   def p16_parquet_update(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p16").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p16").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p16", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p16.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p16.lake")
+    catalogFor(spark, "p16", "lake")
     spark.sql("DROP TABLE IF EXISTS graft_p16.lake.orders_pq")
     spark.sql("""CREATE TABLE graft_p16.lake.orders_pq
                  (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
@@ -542,12 +509,7 @@ object Pipeline {
     * update-in-place, insert, and leave-alone. The oracle rebuilds the
     * post-merge state as LEFT JOIN COALESCE ∪ anti-join inserts. */
   def p17_parquet_merge(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p17").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p17").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p17", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p17.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p17.lake")
+    catalogFor(spark, "p17", "lake")
     spark.sql("DROP TABLE IF EXISTS graft_p17.lake.orders_pq")
     spark.sql("""CREATE TABLE graft_p17.lake.orders_pq
                  (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
@@ -583,12 +545,7 @@ object Pipeline {
     * recomputes both from raw orders — a snapshot that leaked the
     * delete, or a current view that missed it, breaks the hash. */
   def p18_parquet_time_travel(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p18").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p18").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p18", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p18.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p18.lake")
+    catalogFor(spark, "p18", "lake")
     // fresh table every run: the commit ordinals restart at 1
     spark.sql("DROP TABLE IF EXISTS graft_p18.lake.orders_pq")
     spark.sql("""CREATE TABLE graft_p18.lake.orders_pq
@@ -621,12 +578,7 @@ object Pipeline {
     * exchange (plan-asserted in ParquetBucketedJoinSpec; this query is
     * the oracle-checked correctness side). */
   def p19_parquet_bucketed_join(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p19").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p19").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p19", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p19.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p19.lake")
+    catalogFor(spark, "p19", "lake")
     spark.sql("DROP TABLE IF EXISTS graft_p19.lake.fact")
     spark.sql("DROP TABLE IF EXISTS graft_p19.lake.dim")
     spark.sql("CREATE TABLE graft_p19.lake.fact (user_id STRING, amount BIGINT)")
@@ -661,12 +613,7 @@ object Pipeline {
     * carried-over row misreported as a change, a lost delete, or a
     * wrong post-update value all break the hash. */
   def p20_log_cdc(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p20").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p20").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p20", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p20.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p20.ops")
+    catalogFor(spark, "p20", "ops")
     // fresh table every run: the commit ordinals restart at 1
     spark.sql("DROP TABLE IF EXISTS graft_p20.ops.limits")
     spark.sql("""CREATE TABLE graft_p20.ops.limits
@@ -700,12 +647,7 @@ object Pipeline {
     * the appended rows (the catch-up fold makes the appends
     * ledger-visible). */
   def p21_parquet_cdc(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p21").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p21").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p21", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p21.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p21.lake")
+    catalogFor(spark, "p21", "lake")
     spark.sql("DROP TABLE IF EXISTS graft_p21.lake.orders_pq")
     spark.sql("""CREATE TABLE graft_p21.lake.orders_pq
                  (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
@@ -743,12 +685,7 @@ object Pipeline {
     * users' segments unread — at 100 TB a one-day backfill touches
     * one day's segments. */
   def p22_log_replace_where(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p22").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p22").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p22", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p22.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p22.ops")
+    catalogFor(spark, "p22", "ops")
     spark.sql("""CREATE TABLE IF NOT EXISTS graft_p22.ops.limits
                  (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
     val base = Tables.orders(spark, dir)
@@ -774,12 +711,7 @@ object Pipeline {
     * classify, and ONE ledger publish for retire + rewrite + payload —
     * the backfill pattern a 100 TB parquet lake runs daily. */
   def p23_parquet_replace_where(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p23").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p23").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p23", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p23.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p23.lake")
+    catalogFor(spark, "p23", "lake")
     spark.sql("DROP TABLE IF EXISTS graft_p23.lake.orders_pq")
     spark.sql("""CREATE TABLE graft_p23.lake.orders_pq
                  (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
@@ -811,12 +743,7 @@ object Pipeline {
     * same SELECT over raw orders: a CTAS that dropped, duplicated, or
     * reordered rows into the new table breaks the hash. */
   def p24_ctas(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p24").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p24").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p24", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p24.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p24.lake")
+    catalogFor(spark, "p24", "lake")
     spark.sql("DROP TABLE IF EXISTS graft_p24.lake.orders_pq")
     Tables.orders(spark, dir)
       .select(
@@ -840,12 +767,7 @@ object Pipeline {
     * = the original load — a replace that leaked early, missed rows, or
     * destroyed history breaks the hash. */
   def p25_rtas(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p25").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p25").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p25", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p25.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p25.lake")
+    catalogFor(spark, "p25", "lake")
     spark.sql("DROP TABLE IF EXISTS graft_p25.lake.orders_pq")
     Tables.orders(spark, dir)
       .select(
@@ -875,12 +797,7 @@ object Pipeline {
     * phantom version, a miscounted membership, or a file wrongly
     * marked live breaks the compare. */
   def p26_metadata_tables(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_p26").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_p26").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_p26", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_p26.warehouse", wh)
-    }
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_p26.lake")
+    catalogFor(spark, "p26", "lake")
     spark.sql("DROP TABLE IF EXISTS graft_p26.lake.orders_pq")
     spark.sql("""CREATE TABLE graft_p26.lake.orders_pq
                  (o_orderkey BIGINT, cents BIGINT)""")

@@ -679,13 +679,8 @@ object StreamingQueries {
     * At 100 TB this is the standing shape of a derived fact table:
     * no rescans of the source, per-commit increments only. */
   def s20_stream_table_pipeline(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_lhcat_s20").toString
-    if (!spark.conf.getOption("spark.sql.catalog.graft_s20").isDefined) {
-      spark.conf.set("spark.sql.catalog.graft_s20", "graft.sources.LogCatalog")
-      spark.conf.set("spark.sql.catalog.graft_s20.warehouse", wh)
-    }
+    Pipeline.catalogFor(spark, "s20", "lake")
     val ck = java.nio.file.Files.createTempDirectory("graft_lhcat_s20_ck").toString
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_s20.lake")
     spark.sql("DROP TABLE IF EXISTS graft_s20.lake.src")
     spark.sql("DROP TABLE IF EXISTS graft_s20.lake.dst")
     spark.sql("CREATE TABLE graft_s20.lake.src (user_id STRING, cents BIGINT)")

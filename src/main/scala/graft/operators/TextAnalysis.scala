@@ -161,6 +161,14 @@ object TextAnalysis {
 
   /** Core, corpus-independent: input needs (doc_id, text). */
   def chunkText(docs: DataFrame, window: Int, stride: Int): DataFrame =
+    // the trailing sort exists for t08's oracle row-order compare only —
+    // composing operators (d13) use the unsorted core
+    chunkTextUnsorted(docs, window, stride).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** [[chunkText]] without the presentation sort: a downstream shuffle
+    * (d13's hash window) would destroy the ordering anyway, and a
+    * global range-sort of every (doc, chunk) row is pure waste there. */
+  def chunkTextUnsorted(docs: DataFrame, window: Int, stride: Int): DataFrame =
     docs
       .withColumn("_toks", split(trim(col("text")), "\\s+"))
       .withColumn("chunk_id", explode(expr(
@@ -171,7 +179,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_id"),
         size(col("_chunk")).cast(LongType).as("n_chunk_tokens"),
         array_join(col("_chunk"), " ").as("chunk_text"))
-      .orderBy(col("doc_id"), col("chunk_id"))
 
   /** Fuzzy matching by edit distance — the character-level verifier a
     * cleaning pipeline runs on candidate pairs (typo'd near-dups that

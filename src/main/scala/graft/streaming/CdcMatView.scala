@@ -46,6 +46,9 @@ class CdcMatView(viewDir: String) extends Serializable {
       .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"))
       .withColumn("_b", lit(-1L))
       .write.mode("overwrite").parquet(viewDir + ".next")
+    // seed watermark: -1 (pre-stream) — also what makes the staged seed
+    // generation COMPLETE for repairSwap
+    fs.create(new Path(viewDir + ".next", "_b--1"), true).close()
     if (!fs.rename(new Path(viewDir + ".next"), main))
       throw new java.io.IOException(s"CdcMatView seed: rename to $main failed")
   }
@@ -57,8 +60,7 @@ class CdcMatView(viewDir: String) extends Serializable {
     val fs = new Path(viewDir).getFileSystem(spark.sessionState.newHadoopConf())
     repairSwap(fs)
     val existing = read(spark)
-    val applied = existing.agg(max(col("_b"))).head()
-    if (!applied.isNullAt(0) && applied.getLong(0) >= batchId) return // replay: no-op
+    if (appliedBatch(fs, spark).exists(_ >= batchId)) return // replay: no-op
     val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
     val delta = batch
       .groupBy(col("user_id"))
@@ -70,6 +72,14 @@ class CdcMatView(viewDir: String) extends Serializable {
       .filter(col("n") =!= 0L) // fully-retracted keys leave the view
       .withColumn("_b", lit(batchId))
     merged.write.mode("overwrite").parquet(viewDir + ".next")
+    // the watermark MARKER: a batch that retracts the view to ZERO rows
+    // writes an empty generation with no `_b` cell to carry the
+    // high-water mark — a replay after a crash would then re-apply its
+    // deltas (negative counts resurrected). The marker file travels
+    // with the generation directory, and repairSwap/read treat a
+    // marker-less `.next` as incomplete (the replayed batch then merges
+    // onto `.prev`, which is exactly the state it first saw).
+    fs.create(new Path(viewDir + ".next", s"_b-$batchId"), true).close()
 
     val main = new Path(viewDir)
     val prev = new Path(viewDir + ".prev")
@@ -81,13 +91,36 @@ class CdcMatView(viewDir: String) extends Serializable {
       throw new java.io.IOException(s"CdcMatView swap: rename $next -> $main failed")
   }
 
-  /** Same read-repair contract as [[MatView.repairSwap]]. */
+  /** The highest batchId folded into the CURRENT generation: the
+    * `_b-<id>` marker when present (authoritative — survives an empty
+    * generation), else the max `_b` data cell (pre-marker views). */
+  private def appliedBatch(fs: org.apache.hadoop.fs.FileSystem,
+      spark: SparkSession): Option[Long] = {
+    val dir = Seq(viewDir, viewDir + ".next", viewDir + ".prev")
+      .find(d => fs.exists(new Path(d)))
+    val marker = dir.toSeq.flatMap { d =>
+      fs.listStatus(new Path(d)).map(_.getPath.getName)
+        .filter(_.startsWith("_b-")).flatMap(_.stripPrefix("_b-").toLongOption)
+    }
+    if (marker.nonEmpty) Some(marker.max)
+    else {
+      val r = read(spark).agg(max(col("_b"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+  }
+
+  /** Same read-repair contract as [[MatView.repairSwap]], with one
+    * addition: a `.next` without its `_b-` watermark marker is NOT
+    * complete (crash between the parquet write and the marker) — fall
+    * back to `.prev` and let the checkpoint replay the batch. */
   private def repairSwap(fs: org.apache.hadoop.fs.FileSystem): Unit = {
     val main = new Path(viewDir)
     if (fs.exists(main)) return
     val prev = new Path(viewDir + ".prev")
     val next = new Path(viewDir + ".next")
-    if (fs.exists(new Path(next, "_SUCCESS"))) {
+    def marked(d: Path): Boolean =
+      fs.exists(d) && fs.listStatus(d).exists(_.getPath.getName.startsWith("_b-"))
+    if (fs.exists(new Path(next, "_SUCCESS")) && marked(next)) {
       if (!fs.rename(next, main))
         throw new java.io.IOException(s"CdcMatView repair: rename $next -> $main failed")
     } else if (fs.exists(prev)) {
@@ -102,9 +135,11 @@ class CdcMatView(viewDir: String) extends Serializable {
     def tryDir(d: String, requireMarker: Boolean = false): Option[DataFrame] =
       try {
         if (requireMarker) {
-          val marker = new Path(d, "_SUCCESS")
-          if (!marker.getFileSystem(spark.sessionState.newHadoopConf())
-              .exists(marker)) return None
+          val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
+          if (!fs.exists(new Path(d, "_SUCCESS"))) return None
+          // a generation is complete only WITH its watermark marker
+          if (!fs.listStatus(new Path(d))
+              .exists(_.getPath.getName.startsWith("_b-"))) return None
         }
         Some(spark.read.parquet(d).select(
           col("user_id"), col("n"), col("cents"), col("_b")))

@@ -188,6 +188,32 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(view.read(spark).count() === 2)
   }
 
+  test("CdcMatView: a batch retracting the view to EMPTY still blocks its replay") {
+    // Regression: the batchId high-water mark lived only in data rows,
+    // so an empty generation erased it and a crash-replay of that batch
+    // re-applied its deletes — retracted keys resurrected with n = -1.
+    // The `_b-<id>` marker file now carries the watermark through empty
+    // generations.
+    import spark.implicits._
+    val viewDir = Files.createTempDirectory("graft_cdcmv_e").toString + "/v"
+    val view = new graft.streaming.CdcMatView(viewDir)
+    view.seed(Seq(("u1", 10L)).toDF("user_id", "amount"))
+    def batch(rows: Seq[(String, Long, String)]) =
+      rows.toDF("user_id", "amount", "_change_type")
+    // batch 0 retracts the only key: the view becomes empty
+    view.maintain(batch(Seq(("u1", 10L, "delete"))), 0L)
+    assert(view.read(spark).count() === 0)
+    // crash-replay of batch 0: must be a no-op, NOT a double-delete
+    view.maintain(batch(Seq(("u1", 10L, "delete"))), 0L)
+    assert(view.read(spark).count() === 0,
+      "replaying the retraction batch must not resurrect negative counts")
+    // the view keeps folding afterwards
+    view.maintain(batch(Seq(("u5", 3L, "insert"))), 1L)
+    val after = view.read(spark).select("user_id", "n", "cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after === Set(("u5", 1L, 3L)))
+  }
+
   test("maintenance is invisible to the net feed; the changelog nets it to zero") {
     val dir = Files.createTempDirectory("graft_cdc_maint").toString
     write(dir, Seq(("u1", 10L, "h1"), ("u2", 20L, "h2")))
