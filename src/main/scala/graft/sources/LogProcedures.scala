@@ -166,6 +166,39 @@ object LogProcedures {
           Seq(before - counted()))
       }
     },
+    "clean_staging" -> new MaintenanceProcedure("clean_staging",
+      "reclaim CTAS staging dirs a dead driver orphaned in a namespace") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("namespace", StringType)
+          .comment("namespace whose .ctas-* staging dirs to sweep").build(),
+        ProcedureParameter.in("older_than_hours", IntegerType).defaultValue("24")
+          .comment("only staging dirs idle at least this long — a LIVE " +
+            "CTAS is still writing; don't sweep under it").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val nsDir = new Path(dirOf(warehouse, input.getUTF8String(0).toString))
+        val hours = input.getInt(1)
+        require(hours >= 0, "older_than_hours must be non-negative")
+        val fs = nsDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val cutoff = System.currentTimeMillis() - hours * 3600L * 1000L
+        val removed =
+          if (!fs.exists(nsDir)) 0L
+          else fs.listStatus(nsDir).count { st =>
+            // newest mtime under the dir, not the dir's own: a live
+            // CTAS keeps writing files while the dir mtime can go stale
+            def newest(p: Path): Long = {
+              val kids = fs.listStatus(p)
+              (fs.getFileStatus(p).getModificationTime +:
+                kids.map(k => if (k.isDirectory) newest(k.getPath)
+                  else k.getModificationTime).toSeq).max
+            }
+            st.isDirectory && st.getPath.getName.startsWith(".ctas-") &&
+              newest(st.getPath) < cutoff && fs.delete(st.getPath, true)
+          }.toLong
+        oneRow(StructType(Seq(
+          StructField("staging_dirs_removed", LongType, nullable = false))),
+          Seq(removed))
+      }
+    },
     "enable_versioning" -> new MaintenanceProcedure("enable_versioning",
       "opt a log or parquet table into snapshot versioning (v1 = current listing)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam)

@@ -46,7 +46,12 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * The reference's posture is warehouse-side DDL+load as one migration
   * step (`migrate.go:13-34` — tables appear fully formed); CTAS is the
-  * DSv2 expression of that contract. */
+  * DSv2 expression of that contract.
+  *
+  * A driver that dies mid-CTAS strands its `.ctas-` staging dir —
+  * invisible (dot-named, listTables filters it, dot identifiers are
+  * rejected) but occupying disk; `CALL graft.system.clean_staging
+  * (namespace => …)` reclaims idle ones. */
 object LogStaging {
 
   private def fsOf(p: Path) =

@@ -140,6 +140,36 @@ class LogProceduresSpec extends AnyFunSuite {
       "set_bucket_spec", "rollback_to_version", "delete_where").subsetOf(names))
   }
 
+  test("clean_staging reclaims idle CTAS orphans, spares fresh ones and real tables") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_proc.lake")
+    val ns = new org.apache.hadoop.fs.Path(s"$warehouse/lake")
+    val fs = ns.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an orphaned staging dir from a dead driver (old mtimes)...
+    val orphan = new org.apache.hadoop.fs.Path(ns, ".ctas-dead-0123456789ab")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "data"))
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    fs.setTimes(orphan, old, old)
+    fs.setTimes(new org.apache.hadoop.fs.Path(orphan, "data"), old, old)
+    // ...a FRESH staging dir (a live CTAS mid-write)...
+    val live = new org.apache.hadoop.fs.Path(ns, ".ctas-live-0123456789ab")
+    fs.mkdirs(live)
+    // ...and a real table that must never be touched
+    spark.sql("DROP TABLE IF EXISTS graft_proc.lake.keepme")
+    spark.sql("CREATE TABLE graft_proc.lake.keepme (id BIGINT)")
+    val removed = spark.sql(
+      "CALL graft_proc.system.clean_staging(namespace => 'lake')")
+      .collect()(0).getLong(0)
+    assert(removed === 1L)
+    assert(!fs.exists(orphan), "idle orphan must be reclaimed")
+    assert(fs.exists(live), "a fresh staging dir may be a live CTAS")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ns, "keepme")))
+    // older_than_hours => 0 sweeps the fresh one too
+    val removed2 = spark.sql(
+      "CALL graft_proc.system.clean_staging(namespace => 'lake', older_than_hours => 0)")
+      .collect()(0).getLong(0)
+    assert(removed2 === 1L && !fs.exists(live))
+  }
+
   test("rollback_to_version restores an old snapshot on the log tier (history kept)") {
     val t = mkLog("l5")
     spark.sql("CALL graft_proc.system.enable_versioning(table => 'ops.l5')")
