@@ -128,7 +128,16 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // never demote a parquet table to an entity log
     repairSchemaSwap(dir)
     if (fs.exists(schemaFile(dir))) {
-      val declared = SchemaManifest.read(dir.toString)
+      // the DECLARED schema: the ledger's embedded schema when present
+      // (the atomic publish of RTAS/ALTER), else the manifest file —
+      // and read-repair the manifest cache when it lags the ledger
+      // (crash between publish and swap; ADVICE r10)
+      val declaredJson = SchemaManifest.readJson(dir.toString)
+      if (SchemaManifest.manifestJson(dir.toString) != declaredJson) {
+        SchemaManifest.repair(dir.toString, declaredJson)
+      }
+      val declared = org.apache.spark.sql.types.DataType.fromJson(declaredJson)
+        .asInstanceOf[StructType]
       // finish any interrupted compactTable generation swap first —
       // a crash between renames must never surface as a missing table
       Compaction.repairGenerations(fs, dir)
@@ -158,10 +167,18 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     if (!parentIsTable) return None
     val suffix = ident.name().toLowerCase(java.util.Locale.ROOT)
     if (!MetaTables.SUFFIXES(suffix)) {
-      throw new UnsupportedOperationException(
-        s"unknown metadata suffix '${ident.name()}' under table " +
-          s"${ident.namespace().mkString(".")} — available: " +
-          MetaTables.SUFFIXES.toSeq.sorted.mkString(", "))
+      // NoSuchTableException, not UnsupportedOperationException: the
+      // exists-style probes (tableExists, DROP TABLE IF EXISTS) only
+      // swallow the former, so an unknown suffix under a table must
+      // keep the not-exists contract (ADVICE r10). The hint rides the
+      // error message.
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        "TABLE_OR_VIEW_NOT_FOUND",
+        Map("relationName" ->
+          (s"`${(ident.namespace() :+ ident.name()).mkString("`.`")}`" +
+            s" (unknown metadata suffix '${ident.name()}'; available: " +
+            MetaTables.SUFFIXES.toSeq.sorted.mkString(", ") + ")")),
+        None)
     }
     val name = s"${ident.namespace().mkString(".")}.$suffix"
     Some(suffix match {
@@ -296,14 +313,14 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     repairSchemaSwap(dir)
     val cur = SchemaManifest.read(dir.toString)
     val next = org.apache.spark.sql.GraftShims.applySchemaChanges(cur, changes.toList)
-    val swap = swapFile(dir)
-    val out = fs.create(swap, true)
-    try out.write(next.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(sf, false)
-    if (!fs.rename(swap, sf)) {
-      throw new java.io.IOException(s"alterTable: rename $swap -> $sf failed")
+    // on a VERSIONED table the ledger publish is the atomic schema
+    // event (names unchanged, schema carried forward); the manifest
+    // swap below is then just the cache update. Un-versioned tables
+    // keep the staged-swap-only path (crash-repaired on load).
+    if (ParquetVersions.enabled(dir.toString)) {
+      ParquetVersions.commit(dir.toString, Some(next.json), Map.empty)(identity)
     }
+    SchemaManifest.repair(dir.toString, next.json)
     parquetTable(ident, dir, next)
   }
 
@@ -380,6 +397,9 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
+    // drop the table's cached ledger payloads with it — a recreate at
+    // the same path must never be served a stale membership (ADVICE r10)
+    VersionLedger.invalidate(dir.toString)
     fs.exists(dir) && fs.delete(dir, true)
   }
 

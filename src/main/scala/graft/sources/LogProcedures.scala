@@ -192,7 +192,12 @@ object LogProcedures {
                   else k.getModificationTime).toSeq).max
             }
             st.isDirectory && st.getPath.getName.startsWith(".ctas-") &&
-              newest(st.getPath) < cutoff && fs.delete(st.getPath, true)
+              // a dir that vanishes mid-inspection (its CTAS committed
+              // the rename, or aborted the delete, between our listing
+              // and the recursion) is simply not ours to sweep — skip
+              // it and keep sweeping, don't abort the whole call
+              (try newest(st.getPath) < cutoff && fs.delete(st.getPath, true)
+               catch { case _: java.io.FileNotFoundException => false })
           }.toLong
         oneRow(StructType(Seq(
           StructField("staging_dirs_removed", LongType, nullable = false))),

@@ -271,30 +271,25 @@ class ParquetReplaceAllWrite(tableDir: String, writeSchema: StructType,
       }
       fs.delete(stagingDir, true)
 
-      // redeclared columns: swap the schema manifest (same crash-safe
-      // staged-rename convention as ALTER; loadTable read-repairs).
-      // Pinned older versions read their files under the new read
-      // schema — added columns null, dropped columns pruned, the ALTER
-      // semantics.
-      val schemaFile = SchemaManifest.path(tableDir)
-      val curJson = SchemaManifest.readJson(tableDir)
-      if (curJson != writeSchema.json) {
-        val swap = new Path(tableDir, "_schema.json.swap")
-        val out = fs.create(swap, true)
-        try out.write(writeSchema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        fs.delete(schemaFile, false)
-        if (!fs.rename(swap, schemaFile)) {
-          throw new java.io.IOException(
-            s"RTAS schema swap rename failed in $tableDir")
-        }
-      }
       // a bucket spec whose column did not survive must not outlive it
       if (ParquetBucketing.readSpec(tableDir).isDefined && keptSpec.isEmpty) {
         fs.delete(new Path(tableDir, ".bucketspec"), false)
       }
 
-      ParquetVersions.commit(tableDir)(_ => written.result().sorted)
+      // ONE atomic publish carries the new membership AND the
+      // (possibly redeclared) schema — readers see the old table or
+      // the new, never new files under the old schema (ADVICE r10).
+      // The `_schema.json` manifest is swapped AFTERWARDS as a cache
+      // for un-ledgered consumers; a crash between the two leaves the
+      // ledger authoritative ([[SchemaManifest.readJson]] prefers it)
+      // and loadTable read-repairs the file. Pinned older versions
+      // read their files under the new read schema — added columns
+      // null, dropped columns pruned, the ALTER semantics.
+      ParquetVersions.commit(tableDir, Some(writeSchema.json), Map.empty)(
+        _ => written.result().sorted)
+      if (SchemaManifest.manifestJson(tableDir) != writeSchema.json) {
+        SchemaManifest.repair(tableDir, writeSchema.json)
+      }
       ()
     }
 

@@ -115,12 +115,33 @@ object LogVersions {
   * millis>, "names": [...]}` — the complete live file-name set as of
   * that commit, stamped with the publish instant at CAS time. The old
   * (round-9) payload was a bare JSON array; [[readPayload]] reads both,
-  * with `ts = -1` marking "no embedded stamp, fall back to mtime". */
+  * with `ts = -1` marking "no embedded stamp, fall back to mtime".
+  *
+  * Round-11 optional payload fields, each CARRIED FORWARD by every
+  * commit so the latest payload alone describes the table:
+  *
+  *   - `"schema"`: the declared schema JSON. Embedding it makes the
+  *     version publish the SINGLE atomic event for schema-changing
+  *     commits (RTAS, ALTER on a versioned table): a crash between the
+  *     publish and the `_schema.json` manifest swap leaves the ledger
+  *     authoritative and the manifest a stale cache that
+  *     [[SchemaManifest]] readers bypass and [[LogCatalog.loadTable]]
+  *     read-repairs (ADVICE r10 — previously that window surfaced the
+  *     OLD file set under the NEW schema, or vice versa, permanently).
+  *   - `"masks"`: `{file -> [serialized delete predicates]}` — the
+  *     MERGE-ON-READ delete state ([[DeleteMasks]]): rows of `file`
+  *     matching any listed predicate are deleted as of this version.
+  *     Masks ride the payload (no sidecar files), so they are
+  *     version-accurate under time travel, survive vacuum for retained
+  *     versions, and vanish with the file when a rewrite retires it —
+  *     the carry-forward restricts to surviving names. */
 private[sources] object VersionLedger {
 
   private val Prefix = ".v-"
 
-  case class Payload(ts: Long, names: Seq[String])
+  case class Payload(ts: Long, names: Seq[String],
+      schema: Option[String] = None,
+      masks: Map[String, Seq[String]] = Map.empty)
 
   private def fsOf(dir: Path) = dir.getFileSystem(new Configuration())
 
@@ -196,7 +217,10 @@ private[sources] object VersionLedger {
         java.nio.charset.StandardCharsets.UTF_8)) match {
       case arr: JArray => Payload(-1L, arr.extract[Seq[String]])
       case obj: JObject =>
-        Payload((obj \ "ts").extract[Long], (obj \ "names").extract[Seq[String]])
+        Payload((obj \ "ts").extract[Long], (obj \ "names").extract[Seq[String]],
+          (obj \ "schema").extractOpt[String],
+          (obj \ "masks").extractOpt[Map[String, Seq[String]]]
+            .getOrElse(Map.empty))
       case other => throw new IllegalStateException(
         s"unreadable version payload in $p: $other")
     }
@@ -206,13 +230,19 @@ private[sources] object VersionLedger {
     * race — re-read and retry). The publish timestamp is embedded in
     * the payload, so `TIMESTAMP AS OF` resolution survives a copied or
     * rsynced directory whose mtimes were not preserved. */
-  def tryPublish(dir: Path, ordinal: Long, names: Seq[String]): Boolean = {
+  def tryPublish(dir: Path, ordinal: Long, names: Seq[String],
+      schema: Option[String] = None,
+      masks: Map[String, Seq[String]] = Map.empty): Boolean = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val fs = fsOf(dir)
     val target = pathOf(dir, ordinal)
-    val json = JsonMethods.compact(JsonMethods.render(
-      ("ts" -> System.currentTimeMillis()) ~ ("names" -> names.sorted)))
+    val base =
+      ("ts" -> System.currentTimeMillis()) ~ ("names" -> names.sorted)
+    val withSchema = schema.fold(base)(s => base ~ ("schema" -> s))
+    val full = if (masks.isEmpty) withSchema
+      else withSchema ~ ("masks" -> masks.view.mapValues(_.sorted).toMap)
+    val json = JsonMethods.compact(JsonMethods.render(full))
     val bytes = json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if ("file" == Option(target.toUri.getScheme).getOrElse(fs.getScheme)) {
       // Hadoop's LocalFileSystem create(overwrite = false) is a
@@ -286,28 +316,89 @@ private[sources] object VersionLedger {
     }
   }
 
+  /** Latest (ordinal, FULL payload) — names plus the carried schema and
+    * delete masks. */
+  def latestPayload(dir: String): Option[(Long, Payload)] =
+    versionStatuses(new Path(dir)).lastOption.map { case (o, s) =>
+      (o, cachedPayload(s))
+    }
+
+  /** Full payload of one ordinal (for time-travel mask/schema reads). */
+  def getPayload(dir: String, ordinal: Long): Option[Payload] = {
+    val base = new Path(dir)
+    val p = pathOf(base, ordinal)
+    val fs = fsOf(base)
+    if (fs.exists(p)) Some(cachedPayload(fs.getFileStatus(p))) else None
+  }
+
+  /** The declared schema as of the newest commit, if any commit ever
+    * embedded one (schema is carried forward by [[commit]], so the
+    * latest payload alone answers this). */
+  def latestSchema(dir: String): Option[String] =
+    latestPayload(dir).flatMap(_._2.schema)
+
+  /** Drop cached payloads of a table directory — called when a ledger
+    * is (re)started or its table dropped, so a drop-and-recreate at the
+    * same path within one mtime granule (1 s on some filesystems) with
+    * a same-length v1 payload cannot serve a stale membership
+    * (ADVICE r10). */
+  def invalidate(dir: String): Unit = {
+    val base = new Path(dir)
+    val qualified = fsOf(base).makeQualified(base).toString
+    payloadCache.synchronized {
+      val it = payloadCache.keySet().iterator()
+      while (it.hasNext) {
+        val key = it.next()
+        // keys are "<qualified file path>#len#mtime"; version files live
+        // directly under the table dir
+        if (key.startsWith(qualified + "/")) it.remove()
+      }
+    }
+  }
+
   /** Snapshot `names` as v1 unless a ledger already exists. */
   def enable(dir: String, names: => Seq[String]): Long = {
     val base = new Path(dir)
     fsOf(base).mkdirs(base)
+    invalidate(dir)
     if (versionFiles(base).nonEmpty) return versionFiles(base).last._1
     if (tryPublish(base, 1L, names)) 1L else versionFiles(base).last._1
   }
+
+  def commit(dir: String)(transform: Seq[String] => Seq[String]): Long =
+    commit(dir, None, Map.empty)(transform)
 
   /** CAS-commit `transform(latest)` with jittered exponential backoff:
     * under N concurrent committers every loser would otherwise
     * immediately re-list and re-read the directory (ADVICE r9) — the
     * backoff caps at ~100ms so a long convoy drains without a listing
-    * storm, while the common uncontended path never sleeps. */
-  def commit(dir: String)(transform: Seq[String] => Seq[String]): Long = {
+    * storm, while the common uncontended path never sleeps.
+    *
+    * Carried-forward state: the published payload's schema is
+    * `schema.orElse(previous.schema)` and its masks are the previous
+    * masks RESTRICTED to surviving names (a rewrite that retires a file
+    * retires its masks with it) merged with `addMasks` (predicates
+    * appended per file — stacked deletes compose as OR at read). Both
+    * merges re-derive from the fresh `latest` on every CAS attempt, the
+    * same composition rule as the name transform. */
+  def commit(dir: String, schema: Option[String],
+      addMasks: Map[String, Seq[String]])(
+      transform: Seq[String] => Seq[String]): Long = {
     val base = new Path(dir)
     val rnd = new java.util.Random()
     var attempt = 0
     while (attempt < 1000) {
-      val (ord, cur) = latest(dir).getOrElse(throw new IllegalStateException(
+      val (ord, cur) = latestPayload(dir).getOrElse(throw new IllegalStateException(
         s"VersionLedger.commit on un-versioned dir $dir — call enable() first"))
-      val next = transform(cur)
-      if (tryPublish(base, ord + 1, next)) return ord + 1
+      val next = transform(cur.names)
+      val nextSet = next.toSet
+      val carried = cur.masks.view.filterKeys(nextSet).toMap
+      val merged = addMasks.view.filterKeys(nextSet).foldLeft(carried) {
+        case (acc, (f, preds)) =>
+          acc.updated(f, (acc.getOrElse(f, Seq.empty) ++ preds).distinct)
+      }
+      if (tryPublish(base, ord + 1, next, schema.orElse(cur.schema), merged))
+        return ord + 1
       attempt += 1
       val cap = math.min(100L, 1L << math.min(attempt, 7))
       Thread.sleep(rnd.nextLong(cap) + 1)

@@ -575,8 +575,21 @@ class CatalogParquetTable(private[sources] val inner: StatsPrunedParquetTable)
   override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
     inner.partitioning()
   override def properties(): java.util.Map[String, String] = inner.properties()
-  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
-    inner.capabilities()
+  /** Inner capabilities MINUS `ACCEPT_ANY_SCHEMA` (which file tables
+    * advertise for path-based reads of arbitrary layouts): on a
+    * catalog relation it sets `skipSchemaResolution` on the v2 INSERT
+    * plans, skipping the arity/type/name validation entirely — an
+    * `INSERT INTO t SELECT <wrong columns>` would silently write
+    * parquet files that don't match `_schema.json`, and by-name reads
+    * would then return nulls (ADVICE r10). Without it Spark's
+    * `TableOutputResolver` validates and casts INSERT output against
+    * the declared schema, erroring at analysis like any managed table. */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] = {
+    val caps = new java.util.HashSet[org.apache.spark.sql.connector.catalog.TableCapability](
+      inner.capabilities())
+    caps.remove(org.apache.spark.sql.connector.catalog.TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     inner.newScanBuilder(options)

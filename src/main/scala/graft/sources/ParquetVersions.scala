@@ -62,13 +62,25 @@ object SchemaManifest {
     p.getFileSystem(new Configuration()).exists(p)
   }
 
-  /** Raw manifest JSON (for byte-compares and swaps). */
-  def readJson(tableDir: String): String = {
+  /** The manifest FILE's bytes — the cache, not necessarily the truth
+    * (see [[readJson]]). */
+  def manifestJson(tableDir: String): String = {
     val p = path(tableDir)
     val in = p.getFileSystem(new Configuration()).open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
   }
+
+  /** The DECLARED schema JSON. On a versioned table the ledger's
+    * embedded schema (carried forward by every commit) wins over the
+    * `_schema.json` file: the version publish is the single atomic
+    * event of a schema-changing commit (RTAS, ALTER), and the manifest
+    * file is a cache the publish updates AFTERWARDS — a crash between
+    * the two must never surface the new file set under the old schema
+    * (ADVICE r10). Un-versioned tables (and versioned tables whose
+    * commits never embedded a schema) read the file as before. */
+  def readJson(tableDir: String): String =
+    VersionLedger.latestSchema(tableDir).getOrElse(manifestJson(tableDir))
 
   /** The declared schema; requires the manifest to exist — callers on
     * maintenance paths pass a clear operation name for the error. */
@@ -78,6 +90,24 @@ object SchemaManifest {
         s"$forOp applies to parquet-managed catalog tables")
     org.apache.spark.sql.types.DataType.fromJson(readJson(tableDir))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  /** Rewrite the manifest cache to `json` via the crash-safe staged
+    * swap (idempotent; a crash mid-swap is read-repaired by
+    * [[LogCatalog]]'s `repairSchemaSwap`). Called after a
+    * schema-carrying publish, and by loadTable when it finds the cache
+    * lagging the ledger. */
+  def repair(tableDir: String, json: String): Unit = {
+    val sf = path(tableDir)
+    val fs = sf.getFileSystem(new Configuration())
+    val swap = new Path(tableDir, "_schema.json.swap")
+    val out = fs.create(swap, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(sf, false)
+    if (!fs.rename(swap, sf)) {
+      throw new java.io.IOException(s"schema manifest swap failed in $tableDir")
+    }
   }
 }
 
@@ -183,9 +213,29 @@ object ParquetVersions {
     * The transform re-applies on a CAS loss, same composition rule as
     * the log tier; an append landing between the two publishes simply
     * stays un-ledgered (and live) until the next op folds it. */
-  def commit(tableDir: String)(transform: Seq[String] => Seq[String]): Long = {
+  def commit(tableDir: String)(transform: Seq[String] => Seq[String]): Long =
+    commit(tableDir, None, Map.empty)(transform)
+
+  /** [[commit]] with a new declared schema and/or additional delete
+    * masks riding the same atomic publish ([[VersionLedger]] carries
+    * both forward thereafter). */
+  def commit(tableDir: String, schema: Option[String],
+      addMasks: Map[String, Seq[String]])(
+      transform: Seq[String] => Seq[String]): Long = {
     catchUp(tableDir)
-    VersionLedger.commit(tableDir)(transform)
+    VersionLedger.commit(tableDir, schema, addMasks)(transform)
+  }
+
+  /** The delete masks a scan of this table must apply: the pinned
+    * version's payload masks, or the latest payload's for a current
+    * read. Un-ledgered appends never carry masks (masks attach only
+    * through commits), so the live-set union needs no mask merge. */
+  def masksFor(tableDir: String,
+      pinned: Option[Long]): Map[String, Seq[String]] = pinned match {
+    case Some(v) => VersionLedger.getPayload(tableDir, v)
+      .map(_.masks).getOrElse(Map.empty)
+    case None => VersionLedger.latestPayload(tableDir)
+      .map(_._2.masks).getOrElse(Map.empty)
   }
 
   /** Retention: keep the newest `retainLast` versions, then physically

@@ -110,10 +110,16 @@ class MetaTablesSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("internal") ||
       e1.getMessage.contains("metadata"), e1.getMessage)
-    val e2 = intercept[Exception] {
+    // unknown suffixes keep the NOT-EXISTS contract (ADVICE r10): the
+    // catalog throws NoSuchTableException (with the available-suffixes
+    // hint in its message) and the SQL surface reports plain not-found —
+    // so probes like tableExists / DROP IF EXISTS stay no-ops
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT * FROM graft_mt.lake.pq.manifest").collect()
     }
-    assert(e2.getMessage.contains("metadata suffix") ||
-      e2.getMessage.toLowerCase.contains("not found"), e2.getMessage)
+    assert(e2.getMessage.contains("manifest") &&
+      e2.getMessage.toLowerCase.contains("found"), e2.getMessage)
+    assert(!spark.catalog.tableExists("graft_mt.lake.pq.manifest"))
+    spark.sql("DROP TABLE IF EXISTS graft_mt.lake.pq.manifest") // no-op
   }
 }
