@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{streaming => sread}
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -14,8 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Change data feed between two snapshots of a versioned table — the
   * Delta CDF / Iceberg changelog shape, derived entirely from the
-  * version ledger's SEGMENT diffs, never from row comparisons over the
-  * full table:
+  * version ledger's SEGMENT diffs (and, on the parquet tier, its
+  * DELETE-MASK diffs), never from row comparisons over the full table:
   *
   *   - a segment present in `to` but not `from` contributes its rows as
   *     `insert`s; present in `from` but not `to`, as `delete`s. Since
@@ -23,31 +23,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *     whole segments, the diff is exact at segment granularity, and
   *     segments common to both versions — the overwhelming majority on
   *     a 100 TB table — are never read at all.
-  *   - reads go through the normal sources with an explicit file list
-  *     (`option("segments", ...)` on the log scan; direct file paths on
-  *     the parquet tier), so planning touches only the diff.
+  *   - a MERGE-ON-READ delete ([[DeleteMasks]]) changes no names, only
+  *     a file's mask set: the feed emits exactly the newly-masked rows
+  *     as `delete`s (row filter: visible under the old masks AND
+  *     deleted under the new), reading only the files whose masks
+  *     changed. Mask-shrinking commits (rollback) mirror as `insert`s.
   *
   * Two output modes:
   *
   *   - **changelog** (`net = false`): one block per intermediate
   *     commit, tagged `_change_type` ∈ {insert, delete} and
-  *     `_commit_version` (the ordinal at which the change became
-  *     visible). A segment rewritten by copy-on-write appears as its
-  *     old rows deleted + new rows inserted at that commit — faithful
-  *     to what each commit physically replaced.
+  *     `_commit_version`. Served by the SAME partition-per-diff-file
+  *     readers the streaming feed uses — the whole span is ONE scan
+  *     node whose partition list grows with the diff, so a span of
+  *     hundreds of versions plans in constant analysis time
+  *     (VERDICT r10 #4; the old shape unioned one DataFrame pair per
+  *     commit, O(versions) plan nodes).
   *   - **net** (`net = true`): the endpoint-to-endpoint row diff.
-  *     Segment names common to both endpoints cancel for free; the
-  *     carried-over rows inside rewritten segments (copy-on-write
-  *     copies untouched rows into new files) are cancelled row-level
-  *     with a multiset EXCEPT ALL between just the two diff row sets —
-  *     the result is exactly `snapshot(to) EXCEPT ALL snapshot(from)`
-  *     (inserts) and the reverse (deletes), computed without scanning
-  *     either snapshot.
+  *     Segment names common to both endpoints (with unchanged masks)
+  *     cancel for free; carried-over rows inside rewritten segments are
+  *     cancelled row-level with a multiset EXCEPT ALL between just the
+  *     two diff row pools — mask-delta rows join the pools directly
+  *     (they are exact deltas by construction).
   *
-  * Both modes only need the ledger's membership lists, so they work on
-  * any span whose versions are inside the vacuum retention window; a
-  * vacuumed segment fails loudly through the sources' pinned-read
-  * checks rather than under-reporting changes. */
+  * Both modes only need the ledger's payloads, so they work on any
+  * span inside the vacuum retention window; a vacuumed segment fails
+  * loudly through the pinned-read checks rather than under-reporting. */
 object ChangeFeed {
 
   val CHANGE_TYPE_COL = "_change_type"
@@ -57,93 +58,161 @@ object ChangeFeed {
     * `fromVersion` (exclusive) and `toVersion` (inclusive). */
   def logChanges(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, net: Boolean = false): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"change span is [from, to] with from <= to; got ($fromVersion, $toVersion)")
+    def membership(v: Long): Seq[String] =
+      LogVersions.get(dir, v).getOrElse(throw new IllegalArgumentException(
+        s"version $v does not exist for $dir"))
+    membership(fromVersion); membership(toVersion) // validate the span ends
+    if (!net) {
+      // bounded plan: ONE scan whose partitions are the span's diff
+      // segments — the same shape the streaming changelog reader plans
+      return spark.read.format(LimitHashLog.FORMAT)
+        .option("changeFeed", "true")
+        .option("fromVersion", fromVersion)
+        .option("toVersion", toVersion)
+        .load(dir)
+    }
     val read = (names: Seq[String], pinned: Long) => spark.read
       .format(LimitHashLog.FORMAT)
       .option("versionAsOf", pinned)
       .option("segments", names.mkString(","))
       .load(dir)
-    changes(spark, fromVersion, toVersion, net,
-      v => LogVersions.get(dir, v).getOrElse(throw new IllegalArgumentException(
-        s"version $v does not exist for $dir")),
-      read,
-      emptyOf = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), LimitHashLog.SCHEMA))
-  }
-
-  /** Change feed of a catalog PARQUET table directory (same contract).
-    * Data files are plain parquet under `data/`, so the diff reads are
-    * direct vectorized parquet scans of exactly the named files. */
-  def parquetChanges(spark: SparkSession, dir: String, fromVersion: Long,
-      toVersion: Long, net: Boolean = false): DataFrame = {
-    require(SchemaManifest.exists(dir),
-      s"$dir has no _schema.json — not a catalog parquet table")
-    val schema = {
-      val json = SchemaManifest.readJson(dir)
-      org.apache.spark.sql.types.DataType.fromJson(json)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-    }
-    val base = new Path(dir, "data")
-    val read = (names: Seq[String], _: Long) => spark.read.schema(schema)
-      .parquet(names.map(n => new Path(base, n).toString): _*)
-    changes(spark, fromVersion, toVersion, net,
-      v => ParquetVersions.get(dir, v).getOrElse(throw new IllegalArgumentException(
-        s"version $v does not exist for $dir")),
-      read,
-      emptyOf = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
-  }
-
-  /** Shared tier-independent core: `membership` resolves a version's
-    * file-name list; `read(names, pinnedVersion)` produces their rows. */
-  private def changes(spark: SparkSession, fromVersion: Long, toVersion: Long,
-      net: Boolean, membership: Long => Seq[String],
-      read: (Seq[String], Long) => DataFrame, emptyOf: => DataFrame): DataFrame = {
-    require(fromVersion <= toVersion,
-      s"change span is [from, to] with from <= to; got ($fromVersion, $toVersion)")
-    def block(names: Seq[String], pinned: Long, kind: String, commit: Long) =
-      read(names, pinned)
-        .withColumn(CHANGE_TYPE_COL, lit(kind))
-        .withColumn(COMMIT_VERSION_COL, lit(commit))
-    val emptyBlock = emptyOf
+    val emptyBlock = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), LimitHashLog.SCHEMA)
       .withColumn(CHANGE_TYPE_COL, lit(""))
       .withColumn(COMMIT_VERSION_COL, lit(0L))
       .limit(0)
+    val fromNames = membership(fromVersion).toSet
+    val toNames = membership(toVersion).toSet
+    val added = (toNames -- fromNames).toSeq.sorted
+    val removed = (fromNames -- toNames).toSeq.sorted
+    def block(names: Seq[String], pinned: Long, kind: String) =
+      read(names, pinned)
+        .withColumn(CHANGE_TYPE_COL, lit(kind))
+        .withColumn(COMMIT_VERSION_COL, lit(toVersion))
+    val ins = if (added.isEmpty) emptyBlock else block(added, toVersion, "insert")
+    val del = if (removed.isEmpty) emptyBlock
+      else block(removed, fromVersion, "delete")
+    netOf(ins, del, LimitHashLog.SCHEMA.fieldNames.toSeq, toVersion)
+  }
 
-    if (net) {
-      val fromNames = membership(fromVersion).toSet
-      val toNames = membership(toVersion).toSet
-      val added = (toNames -- fromNames).toSeq.sorted
-      val removed = (fromNames -- toNames).toSeq.sorted
-      val ins = if (added.isEmpty) emptyBlock
-        else block(added, toVersion, "insert", toVersion)
-      val del = if (removed.isEmpty) emptyBlock
-        else block(removed, fromVersion, "delete", toVersion)
-      val dataCols = emptyOf.columns.toSeq
-      // cancel copy-on-write carry-over rows: a rewritten segment holds
-      // mostly rows identical to the ones it replaced; EXCEPT ALL on the
-      // data columns nets them out, leaving exactly the endpoint diff
-      val insNet = ins.select(dataCols.map(col): _*)
-        .exceptAll(del.select(dataCols.map(col): _*))
-        .withColumn(CHANGE_TYPE_COL, lit("insert"))
-        .withColumn(COMMIT_VERSION_COL, lit(toVersion))
-      val delNet = del.select(dataCols.map(col): _*)
-        .exceptAll(ins.select(dataCols.map(col): _*))
-        .withColumn(CHANGE_TYPE_COL, lit("delete"))
-        .withColumn(COMMIT_VERSION_COL, lit(toVersion))
-      insNet.unionByName(delNet)
-    } else {
-      val steps = ((fromVersion + 1) to toVersion).map { v =>
-        val prev = membership(v - 1).toSet
-        val cur = membership(v).toSet
-        val added = (cur -- prev).toSeq.sorted
-        val removed = (prev -- cur).toSeq.sorted
-        val ins = if (added.isEmpty) emptyBlock
-          else block(added, v, "insert", v)
-        val del = if (removed.isEmpty) emptyBlock
-          else block(removed, v - 1, "delete", v)
-        ins.unionByName(del)
+  /** Change feed of a catalog PARQUET table directory (same contract,
+    * plus delete-mask diffs). */
+  def parquetChanges(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, net: Boolean = false): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"change span is [from, to] with from <= to; got ($fromVersion, $toVersion)")
+    require(SchemaManifest.exists(dir),
+      s"$dir has no _schema.json — not a catalog parquet table")
+    def payload(v: Long): VersionLedger.Payload =
+      VersionLedger.getPayload(dir, v).getOrElse(
+        throw new IllegalArgumentException(s"version $v does not exist for $dir"))
+    payload(fromVersion); payload(toVersion) // validate the span ends
+    if (!net) {
+      // bounded plan: one scan, partition-per-diff-file (incl. the
+      // mask-delta row filters), identical to the streaming readers
+      return spark.read.format("graft.sources.ParquetChanges")
+        .option("path", dir)
+        .option("fromVersion", fromVersion)
+        .option("toVersion", toVersion)
+        .load()
+    }
+    val schema = SchemaManifest.read(dir, "change feed")
+    val data = new Path(dir, "data")
+    val fromP = payload(fromVersion)
+    val toP = payload(toVersion)
+    val fromNames = fromP.names.toSet
+    val toNames = toP.names.toSet
+    def tag(df: DataFrame, kind: String) = df
+      .withColumn(CHANGE_TYPE_COL, lit(kind))
+      .withColumn(COMMIT_VERSION_COL, lit(toVersion))
+    // pools: endpoint-visible rows of name-diff files + exact mask-delta
+    // rows of common files; EXCEPT ALL then cancels copy-on-write
+    // carry-over between the pools
+    val insParts = Seq.newBuilder[DataFrame]
+    val delParts = Seq.newBuilder[DataFrame]
+    val added = (toNames -- fromNames).toSeq.sorted
+    val removed = (fromNames -- toNames).toSeq.sorted
+    if (added.nonEmpty)
+      insParts += DeleteMasks.readVisible(spark, schema, data, added, toP.masks)
+    if (removed.nonEmpty)
+      delParts += DeleteMasks.readVisible(spark, schema, data, removed, fromP.masks)
+    val common = (fromNames intersect toNames).toSeq.sorted
+    common.groupBy(n => (fromP.masks.getOrElse(n, Seq.empty).sorted,
+        toP.masks.getOrElse(n, Seq.empty).sorted)).foreach {
+      case ((o, nw), ns) if o != nw =>
+        def read() = spark.read.schema(schema)
+          .parquet(ns.map(n => new Path(data, n).toString): _*)
+        if (nw.exists(!o.contains(_)))
+          delParts += read().filter(DeleteMasks.visibleColumn(schema, o) &&
+            !DeleteMasks.visibleColumn(schema, nw))
+        if (o.exists(!nw.contains(_)))
+          insParts += read().filter(DeleteMasks.visibleColumn(schema, nw) &&
+            !DeleteMasks.visibleColumn(schema, o))
+      case _ => ()
+    }
+    val emptyDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val ins = tag(insParts.result().reduceOption(_ unionByName _).getOrElse(emptyDf),
+      "insert")
+    val del = tag(delParts.result().reduceOption(_ unionByName _).getOrElse(emptyDf),
+      "delete")
+    netOf(ins, del, schema.fieldNames.toSeq, toVersion)
+  }
+
+  /** Multiset-cancel the two pools: `ins ∖∖ del` as inserts and the
+    * reverse as deletes — exactly `snapshot(to) EXCEPT ALL
+    * snapshot(from)`, computed without scanning either snapshot. */
+  private def netOf(ins: DataFrame, del: DataFrame, dataCols: Seq[String],
+      toVersion: Long): DataFrame = {
+    val insNet = ins.select(dataCols.map(col): _*)
+      .exceptAll(del.select(dataCols.map(col): _*))
+      .withColumn(CHANGE_TYPE_COL, lit("insert"))
+      .withColumn(COMMIT_VERSION_COL, lit(toVersion))
+    val delNet = del.select(dataCols.map(col): _*)
+      .exceptAll(ins.select(dataCols.map(col): _*))
+      .withColumn(CHANGE_TYPE_COL, lit("delete"))
+      .withColumn(COMMIT_VERSION_COL, lit(toVersion))
+    insNet.unionByName(delNet)
+  }
+
+  /** The per-commit changelog blocks of span `(from, to]` on the
+    * parquet tier: (name, kind, commit, visiblePreds, deletedPreds) —
+    * name-diff blocks plus mask-delta blocks. `visiblePreds`: the row
+    * must be VISIBLE under these masks (none evaluates TRUE);
+    * `deletedPreds` non-empty: the row must be DELETED under them (at
+    * least one TRUE) — the mask-delta filter. Shared by the batch scan
+    * and the streaming micro-batch reader, so both plan exactly one
+    * partition per changed file per commit. */
+  private[sources] def parquetSpanBlocks(tableDir: String, from: Long,
+      to: Long): Seq[(String, String, Long, Seq[String], Seq[String])] = {
+    def payload(v: Long): VersionLedger.Payload =
+      VersionLedger.getPayload(tableDir, v).getOrElse(
+        throw new IllegalStateException(
+          s"version $v of $tableDir was vacuumed under a running change feed"))
+    ((from + 1) to to).flatMap { v =>
+      val prevP = payload(v - 1)
+      val curP = payload(v)
+      val prev = prevP.names.toSet
+      val cur = curP.names.toSet
+      val added = (cur -- prev).toSeq.sorted.map(n =>
+        (n, "insert", v, curP.masks.getOrElse(n, Seq.empty), Seq.empty[String]))
+      val removed = (prev -- cur).toSeq.sorted.map(n =>
+        (n, "delete", v, prevP.masks.getOrElse(n, Seq.empty), Seq.empty[String]))
+      val maskDelta = (cur intersect prev).toSeq.sorted.flatMap { n =>
+        val o = prevP.masks.getOrElse(n, Seq.empty)
+        val nw = curP.masks.getOrElse(n, Seq.empty)
+        if (o.toSet == nw.toSet) Seq.empty
+        else {
+          val dels = if (nw.exists(!o.contains(_)))
+            Seq((n, "delete", v, o, nw)) else Seq.empty
+          val inss = if (o.exists(!nw.contains(_)))
+            Seq((n, "insert", v, nw, o)) else Seq.empty
+          dels ++ inss
+        }
       }
-      if (steps.isEmpty) emptyBlock else steps.reduce(_ unionByName _)
+      added ++ removed ++ maskDelta
     }
   }
 
@@ -158,7 +227,7 @@ object ChangeFeed {
   val LOG_STREAM_SCHEMA: StructType = streamSchemaOf(LimitHashLog.SCHEMA)
 }
 
-/** STREAMING changelog of a versioned log —
+/** Changelog of a versioned log —
   * `spark.readStream.format(LimitHashLog.FORMAT)
   *   .option("changeFeed", "true").load(dir)`:
   * the Delta CDF streaming read. Offsets are LEDGER ORDINALS (not
@@ -171,20 +240,40 @@ object ChangeFeed {
   * ordinal n (changes SINCE snapshot n); default = the current latest
   * (changes from now on). Checkpoint restarts resume from the
   * committed ordinal; a restart whose next versions were vacuumed
-  * fails loudly rather than under-reporting. */
+  * fails loudly rather than under-reporting.
+  *
+  * With `option("fromVersion", a).option("toVersion", b)` the same
+  * table serves the BATCH changelog of span `(a, b]` — one scan,
+  * partition-per-diff-segment, constant-size plan on any span length. */
 class LogChangesTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"limit_hash_log_changes(`$path`)"
   override def schema(): StructType = ChangeFeed.LOG_STREAM_SCHEMA
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Collections.singleton(TableCapability.MICRO_BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.MICRO_BATCH_READ)
+    caps.add(TableCapability.BATCH_READ)
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new Scan {
+      override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = ChangeFeed.LOG_STREAM_SCHEMA
         override def toMicroBatchStream(checkpointLocation: String): sread.MicroBatchStream =
           new LogChangesMicroBatchStream(path,
             Option(options.get("startVersion")).map(_.toLong))
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              "batch changelog read needs fromVersion and toVersion"))
+          val to = Option(options.get("toVersion")).map(_.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              "batch changelog read needs fromVersion and toVersion"))
+          LogChangesMicroBatchStream.spanPartitions(path, from, to)
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          new CdcSegmentReaderFactory()
         override def description(): String = s"LogChangesScan path=$path"
       }
     }
@@ -198,6 +287,33 @@ case class LogVersionOffset(ordinal: Long) extends sread.Offset {
 /** One changelog block: a segment's rows tagged (changeType, commit). */
 case class CdcSegmentPartition(file: String, changeType: String, commit: Long)
     extends InputPartition
+
+object LogChangesMicroBatchStream {
+  /** Diff partitions of span `(from, to]` — shared by the streaming
+    * reader and the batch changelog scan. */
+  private[sources] def spanPartitions(path: String, from: Long,
+      to: Long): Array[InputPartition] = {
+    if (to <= from) return Array.empty
+    // qualified path per live NAME; a diff member missing from the
+    // listing was vacuumed inside the retention window a reader still
+    // needed — fail loudly, never silently under-report changes
+    val listed = LimitHashLog.segments(path)
+      .map { case (f, _) => (new Path(f).getName, f) }.toMap
+    def resolve(n: String): String = listed.getOrElse(n,
+      throw new IllegalStateException(
+        s"change-feed segment $n is gone from $path — vacuumed inside " +
+          "the retention window this stream still needed"))
+    def membership(v: Long): Set[String] =
+      LogVersions.get(path, v).getOrElse(throw new IllegalStateException(
+        s"version $v of $path was vacuumed under a running change feed")).toSet
+    ((from + 1) to to).flatMap { v =>
+      val prev = membership(v - 1)
+      val cur = membership(v)
+      (cur -- prev).toSeq.sorted.map(n => CdcSegmentPartition(resolve(n), "insert", v)) ++
+        (prev -- cur).toSeq.sorted.map(n => CdcSegmentPartition(resolve(n), "delete", v))
+    }.toArray
+  }
+}
 
 class LogChangesMicroBatchStream(path: String, startVersion: Option[Long])
     extends sread.MicroBatchStream {
@@ -223,29 +339,10 @@ class LogChangesMicroBatchStream(path: String, startVersion: Option[Long])
   }
 
   override def planInputPartitions(start: sread.Offset,
-      end: sread.Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[LogVersionOffset].ordinal
-    val to = end.asInstanceOf[LogVersionOffset].ordinal
-    if (to <= from) return Array.empty
-    // qualified path per live NAME; a diff member missing from the
-    // listing was vacuumed inside the retention window a reader still
-    // needed — fail loudly, never silently under-report changes
-    val listed = LimitHashLog.segments(path)
-      .map { case (f, _) => (new Path(f).getName, f) }.toMap
-    def resolve(n: String): String = listed.getOrElse(n,
-      throw new IllegalStateException(
-        s"change-feed segment $n is gone from $path — vacuumed inside " +
-          "the retention window this stream still needed"))
-    def membership(v: Long): Set[String] =
-      LogVersions.get(path, v).getOrElse(throw new IllegalStateException(
-        s"version $v of $path was vacuumed under a running change feed")).toSet
-    ((from + 1) to to).flatMap { v =>
-      val prev = membership(v - 1)
-      val cur = membership(v)
-      (cur -- prev).toSeq.sorted.map(n => CdcSegmentPartition(resolve(n), "insert", v)) ++
-        (prev -- cur).toSeq.sorted.map(n => CdcSegmentPartition(resolve(n), "delete", v))
-    }.toArray
-  }
+      end: sread.Offset): Array[InputPartition] =
+    LogChangesMicroBatchStream.spanPartitions(path,
+      start.asInstanceOf[LogVersionOffset].ordinal,
+      end.asInstanceOf[LogVersionOffset].ordinal)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcSegmentReaderFactory()
@@ -275,13 +372,14 @@ class CdcSegmentReaderFactory extends PartitionReaderFactory {
     }
 }
 
-/** STREAMING changelog of a versioned catalog PARQUET table — the
-  * parquet tier's [[LogChangesTable]]:
+/** Changelog of a versioned catalog PARQUET table — the parquet tier's
+  * [[LogChangesTable]]:
   * `spark.readStream.format("graft.sources.ParquetChanges")
-  *   .option("path", tableDir).load()`. Same ledger-ordinal offsets and
-  * per-commit insert/delete blocks; rows are decoded by Spark's own
-  * vectorized parquet reader factory, one partition per diff file with
-  * the (change_type, commit_version) tail joined per block. */
+  *   .option("path", tableDir).load()` for the STREAMING feed, or the
+  * same format with `fromVersion`/`toVersion` for the BATCH changelog
+  * of a span (one scan node, partition-per-diff-file). Rows are decoded
+  * by Spark's own parquet reader factory; mask-delta blocks carry their
+  * row filters into the reader. */
 class ParquetChanges extends org.apache.spark.sql.connector.catalog.TableProvider {
   private def dataSchema(tableDir: String): StructType = {
     require(SchemaManifest.exists(tableDir),
@@ -306,19 +404,91 @@ class ParquetChangesTable(tableDir: String, dataSchema: StructType)
     extends Table with SupportsRead {
   override def name(): String = s"parquet_changes(`$tableDir`)"
   override def schema(): StructType = ChangeFeed.streamSchemaOf(dataSchema)
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.Collections.singleton(TableCapability.MICRO_BATCH_READ)
+  override def capabilities(): java.util.Set[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.MICRO_BATCH_READ)
+    caps.add(TableCapability.BATCH_READ)
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new Scan {
+      override def build(): Scan = new Scan with Batch {
         override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String): sread.MicroBatchStream =
           new ParquetChangesMicroBatchStream(tableDir, dataSchema,
             Option(options.get("startVersion")).map(_.toLong))
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] = {
+          val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              "batch changelog read needs fromVersion and toVersion"))
+          val to = Option(options.get("toVersion")).map(_.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              "batch changelog read needs fromVersion and toVersion"))
+          ParquetChangesMicroBatchStream.spanPartitions(tableDir, from, to)
+        }
+        override def createReaderFactory(): PartitionReaderFactory =
+          ParquetChangesMicroBatchStream.rowReaderFactory(tableDir, dataSchema)
         override def description(): String = s"ParquetChangesScan dir=$tableDir"
       }
     }
+}
+
+object ParquetChangesMicroBatchStream {
+
+  /** Diff partitions of span `(from, to]`: name diffs plus mask
+    * deltas, one partition per (file, block). File statuses come from
+    * ONE `listStatus` of the data dir when the diff spans many files
+    * (the per-file `getFileStatus` probe was O(diff) namenode RPCs per
+    * trigger — VERDICT r10), a single probe otherwise. */
+  private[sources] def spanPartitions(tableDir: String, from: Long,
+      to: Long): Array[InputPartition] = {
+    if (to <= from) return Array.empty
+    val blocks = ChangeFeed.parquetSpanBlocks(tableDir, from, to)
+    if (blocks.isEmpty) return Array.empty
+    val data = new Path(tableDir, "data")
+    val fs = data.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val distinct = blocks.map(_._1).distinct
+    val statuses: Map[String, org.apache.hadoop.fs.FileStatus] =
+      if (distinct.size > 8) {
+        // one listing serves every block
+        fs.listStatus(data).iterator
+          .filter(_.isFile).map(s => s.getPath.getName -> s).toMap
+      } else distinct.flatMap { n =>
+        try Some(n -> fs.getFileStatus(new Path(data, n)))
+        catch { case _: java.io.FileNotFoundException => None }
+      }.toMap
+    def pf(name: String): org.apache.spark.sql.execution.datasources.PartitionedFile = {
+      val st = statuses.getOrElse(name, throw new IllegalStateException(
+        s"change-feed file $name is gone from $tableDir — vacuumed inside " +
+          "the retention window this stream still needed"))
+      org.apache.spark.sql.execution.datasources.PartitionedFile(
+        InternalRow.empty, org.apache.spark.paths.SparkPath.fromPath(st.getPath),
+        0L, st.getLen, Array.empty, st.getModificationTime, st.getLen,
+        Map.empty)
+    }
+    blocks.map { case (name, kind, commit, vis, del) =>
+      CdcParquetPartition(pf(name), kind, commit, vis, del): InputPartition
+    }.toArray
+  }
+
+  /** ONE genuine parquet reader factory serves every diff file: the
+    * per-file work is driven by the PartitionedFile in each partition,
+    * and the factory carries only schema + conf — built once per
+    * stream/scan over an EMPTY index (a data/ listing here would cost
+    * O(files) per micro-batch for nothing). */
+  private[sources] def rowReaderFactory(tableDir: String,
+      dataSchema: StructType): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.classic.SparkSession.active
+    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+      spark, Seq.empty, Map.empty, Some(dataSchema))
+    val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      spark, index, dataSchema, dataSchema,
+      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+    builder.pruneColumns(dataSchema)
+    new CdcParquetReaderFactory(builder.build().createReaderFactory(), dataSchema)
+  }
 }
 
 class ParquetChangesMicroBatchStream(tableDir: String, dataSchema: StructType,
@@ -345,50 +515,13 @@ class ParquetChangesMicroBatchStream(tableDir: String, dataSchema: StructType,
   }
 
   override def planInputPartitions(start: sread.Offset,
-      end: sread.Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[LogVersionOffset].ordinal
-    val to = end.asInstanceOf[LogVersionOffset].ordinal
-    if (to <= from) return Array.empty
-    val data = new Path(tableDir, "data")
-    val fs = data.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    def pf(name: String): org.apache.spark.sql.execution.datasources.PartitionedFile = {
-      val p = new Path(data, name)
-      val st = try fs.getFileStatus(p) catch {
-        case _: java.io.FileNotFoundException => throw new IllegalStateException(
-          s"change-feed file $name is gone from $tableDir — vacuumed inside " +
-            "the retention window this stream still needed")
-      }
-      org.apache.spark.sql.execution.datasources.PartitionedFile(
-        InternalRow.empty, org.apache.spark.paths.SparkPath.fromPath(st.getPath),
-        0L, st.getLen, Array.empty, st.getModificationTime, st.getLen,
-        Map.empty)
-    }
-    def membership(v: Long): Set[String] =
-      ParquetVersions.get(tableDir, v).getOrElse(throw new IllegalStateException(
-        s"version $v of $tableDir was vacuumed under a running change feed")).toSet
-    ((from + 1) to to).flatMap { v =>
-      val prev = membership(v - 1)
-      val cur = membership(v)
-      (cur -- prev).toSeq.sorted.map(n => CdcParquetPartition(pf(n), "insert", v)) ++
-        (prev -- cur).toSeq.sorted.map(n => CdcParquetPartition(pf(n), "delete", v))
-    }.toArray
-  }
+      end: sread.Offset): Array[InputPartition] =
+    ParquetChangesMicroBatchStream.spanPartitions(tableDir,
+      start.asInstanceOf[LogVersionOffset].ordinal,
+      end.asInstanceOf[LogVersionOffset].ordinal)
 
-  /** ONE genuine parquet reader factory serves every diff file: the
-    * per-file work is driven by the PartitionedFile in each partition,
-    * and the factory carries only schema + conf — built once per
-    * stream over an EMPTY index (a data/ listing here would cost
-    * O(files) per micro-batch for nothing). */
-  private lazy val readerFactory: PartitionReaderFactory = {
-    val spark = org.apache.spark.sql.classic.SparkSession.active
-    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-      spark, Seq.empty, Map.empty, Some(dataSchema))
-    val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-      spark, index, dataSchema, dataSchema,
-      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-    builder.pruneColumns(dataSchema)
-    new CdcParquetReaderFactory(builder.build().createReaderFactory())
-  }
+  private lazy val readerFactory: PartitionReaderFactory =
+    ParquetChangesMicroBatchStream.rowReaderFactory(tableDir, dataSchema)
 
   override def createReaderFactory(): PartitionReaderFactory = readerFactory
 
@@ -399,25 +532,43 @@ class ParquetChangesMicroBatchStream(tableDir: String, dataSchema: StructType,
   override def stop(): Unit = ()
 }
 
+/** One changelog block of the parquet feed. `visPreds`: masks the row
+  * must be visible under; `delPreds` (non-empty ⇒ mask-delta block):
+  * masks the row must be deleted under. */
 case class CdcParquetPartition(
     file: org.apache.spark.sql.execution.datasources.PartitionedFile,
-    changeType: String, commit: Long) extends InputPartition
+    changeType: String, commit: Long,
+    visPreds: Seq[String] = Seq.empty,
+    delPreds: Seq[String] = Seq.empty) extends InputPartition
 
-class CdcParquetReaderFactory(inner: PartitionReaderFactory)
-    extends PartitionReaderFactory {
+class CdcParquetReaderFactory(inner: PartitionReaderFactory,
+    dataSchema: StructType) extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case CdcParquetPartition(f, kind, commit) =>
+      case CdcParquetPartition(f, kind, commit, vis, del) =>
         val delegate = inner.createReader(
           org.apache.spark.sql.execution.datasources.FilePartition(0, Array(f)))
+        val visTest = if (vis.isEmpty) None
+          else Some(DeleteMasks.compileDeleted(dataSchema, vis))
+        val delTest = if (del.isEmpty) None
+          else Some(DeleteMasks.compileDeleted(dataSchema, del))
         val tail = new GenericInternalRow(
           Array[Any](UTF8String.fromString(kind), commit))
         val joined = new JoinedRow()
         new PartitionReader[InternalRow] {
-          override def next(): Boolean = delegate.next()
-          override def get(): InternalRow = joined(delegate.get(), tail)
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (delegate.next()) {
+              val r = delegate.get()
+              if (visTest.forall(!_.eval(r)) && delTest.forall(_.eval(r))) {
+                cur = r; return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = joined(cur, tail)
           override def close(): Unit = delegate.close()
         }
     }

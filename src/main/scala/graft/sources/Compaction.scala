@@ -395,11 +395,19 @@ object Compaction {
       // untouched (zero I/O). The version publish is the only
       // visibility event — a crash before it leaves unreferenced
       // `compact-*` files the live rule ignores and vacuum reclaims.
-      val multiBins = bins.result().filter(_._1.length > 1)
+      // delete masks ([[DeleteMasks]]): a masked file is force-rewritten
+      // even alone in its bin — compaction is the merge step that PURGES
+      // merge-on-read deletes (the rewrite reads only visible rows; the
+      // publish retires the input name, dropping its masks)
+      val tableMasks = ParquetVersions.masksFor(tableDir, None).filter(_._2.nonEmpty)
+      val multiBins = bins.result().filter { case (bin, _) =>
+        bin.length > 1 || bin.exists(s => tableMasks.contains(s.getPath.getName))
+      }
       val outputs = inParallel(multiBins.zipWithIndex) { case ((bin, tag), i) =>
         val staging = new Path(base, s".compact-$opId-$i")
         fs.delete(staging, true)
-        val merged = spark.read.schema(declared).parquet(bin.map(_.getPath.toString): _*)
+        val merged = DeleteMasks.readVisible(spark, declared, data,
+          bin.map(_.getPath.getName), tableMasks)
         merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
         val part = fs.listStatus(staging)
           .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -417,8 +425,9 @@ object Compaction {
       // abort-on-mismatch BEFORE the publish: the staged outputs must
       // carry exactly the rows of the bins they replace
       if (multiBins.nonEmpty) {
-        val rowsIn = spark.read.schema(declared)
-          .parquet(multiBins.flatMap(_._1).map(_.getPath.toString): _*).count()
+        // VISIBLE input rows (mask-filtered) must equal staged output rows
+        val rowsIn = DeleteMasks.readVisible(spark, declared, data,
+          multiBins.flatMap(_._1).map(_.getPath.getName), tableMasks).count()
         val rowsOut = spark.read.schema(declared)
           .parquet(outputs.map(n => new Path(data, n).toString): _*).count()
         if (rowsIn != rowsOut) {

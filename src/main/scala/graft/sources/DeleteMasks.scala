@@ -1,0 +1,264 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BasePredicate, BoundReference, Expression, Literal => CLit, Or => COr, Predicate => CPredicate}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** MERGE-ON-READ delete state — the ClickHouse "lightweight DELETE"
+  * posture (`DELETE FROM t WHERE p` marks rows; the physical rewrite
+  * happens at merge/compaction time, `hashes_test.go:235-239` is the
+  * exact statement the reference's tests run) re-expressed for an
+  * immutable-file lake:
+  *
+  * A masking DELETE attaches the RESIDUAL PREDICATE to each data file
+  * it could not drop whole, inside the same atomic version publish that
+  * would otherwise carry the rewrite ([[VersionLedger.Payload.masks]]).
+  * Because parquet files are immutable, a predicate pinned to a
+  * specific file is EXACTLY equivalent to a row-position bitmap — rows
+  * matching it are deleted forever, later appends land in new files —
+  * without needing stable row positions (which pushdown + row-group
+  * skipping make treacherous) or sidecar files (which vacuum would have
+  * to track). Stacked deletes append predicates; a row is deleted when
+  * ANY attached predicate evaluates TRUE (three-valued: NULL is not
+  * deleted, the SQL DELETE rule).
+  *
+  * Write amplification: a 1-row DELETE on a 100 TB table writes one
+  * ledger payload — zero data bytes; every data file stays
+  * byte-identical. Read cost: masked files decode row-based (the mask
+  * is evaluated per row), unmasked files keep columnar batches; any
+  * rewrite (compaction, Z-order, UPDATE/MERGE, copy-on-write DELETE)
+  * PURGES the masks it consumes — the rewrite-at-merge-time half of
+  * the ClickHouse contract.
+  *
+  * Predicates serialize as a small JSON tree over the v1 `Filter`
+  * shapes [[ParquetDelete.supported]] already gates on; anything not
+  * serializable falls back to copy-on-write. Mode knob:
+  * `spark.graft.delete.mode` = `copy-on-write` (default) |
+  * `merge-on-read` (requires a versioned table). */
+object DeleteMasks {
+
+  val MODE_KEY = "spark.graft.delete.mode"
+
+  def mergeOnRead(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(MODE_KEY, "copy-on-write") == "merge-on-read"
+
+  // --- predicate JSON codec ---------------------------------------
+
+  import org.json4s._
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods
+
+  private implicit val fmt: Formats = DefaultFormats
+
+  /** Typed scalar → JSON; None = value type we refuse to carry (then
+    * the DELETE falls back to copy-on-write). Dates/timestamps are
+    * normalized to epoch days / micros so the round-trip is exact. */
+  private def valJson(v: Any): Option[JValue] = v match {
+    case null => Some(("t" -> "null") ~ ("v" -> JNull))
+    case b: Boolean => Some(("t" -> "bool") ~ ("v" -> b))
+    case n: Byte => Some(("t" -> "byte") ~ ("v" -> n.toLong))
+    case n: Short => Some(("t" -> "short") ~ ("v" -> n.toLong))
+    case n: Int => Some(("t" -> "int") ~ ("v" -> n.toLong))
+    case n: Long => Some(("t" -> "long") ~ ("v" -> n))
+    case n: Float => Some(("t" -> "float") ~ ("v" -> n.toDouble))
+    case n: Double => Some(("t" -> "double") ~ ("v" -> n))
+    case s: String => Some(("t" -> "string") ~ ("v" -> s))
+    case d: java.sql.Date => Some(("t" -> "date") ~ ("v" -> d.toLocalDate.toEpochDay))
+    case d: java.time.LocalDate => Some(("t" -> "date") ~ ("v" -> d.toEpochDay))
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      Some(("t" -> "ts") ~ ("v" -> (Math.multiplyExact(i.getEpochSecond, 1000000L)
+        + i.getNano / 1000L)))
+    case i: java.time.Instant =>
+      Some(("t" -> "ts") ~ ("v" -> (Math.multiplyExact(i.getEpochSecond, 1000000L)
+        + i.getNano / 1000L)))
+    case d: java.math.BigDecimal => Some(("t" -> "dec") ~ ("v" -> d.toPlainString))
+    case d: scala.math.BigDecimal => Some(("t" -> "dec") ~ ("v" -> d.bigDecimal.toPlainString))
+    case _ => None
+  }
+
+  private def valOf(j: JValue): Any = {
+    val t = (j \ "t").extract[String]
+    val v = j \ "v"
+    t match {
+      case "null" => null
+      case "bool" => v.extract[Boolean]
+      case "byte" => v.extract[Long].toByte
+      case "short" => v.extract[Long].toShort
+      case "int" => v.extract[Long].toInt
+      case "long" => v.extract[Long]
+      case "float" => v.extract[Double].toFloat
+      case "double" => v.extract[Double]
+      case "string" => v.extract[String]
+      case "date" => java.time.LocalDate.ofEpochDay(v.extract[Long])
+      case "ts" =>
+        val micros = v.extract[Long]
+        java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L)
+      case "dec" => new java.math.BigDecimal(v.extract[String])
+      case other => throw new IllegalStateException(s"unknown mask value tag $other")
+    }
+  }
+
+  private def filterJson(f: Filter): Option[JValue] = f match {
+    case And(l, r) =>
+      for (a <- filterJson(l); b <- filterJson(r))
+        yield ("op" -> "and") ~ ("l" -> a) ~ ("r" -> b): JValue
+    case Or(l, r) =>
+      for (a <- filterJson(l); b <- filterJson(r))
+        yield ("op" -> "or") ~ ("l" -> a) ~ ("r" -> b): JValue
+    case Not(c) => filterJson(c).map(x => ("op" -> "not") ~ ("c" -> x): JValue)
+    case AlwaysTrue() => Some(("op" -> "true"): JValue)
+    case AlwaysFalse() => Some(("op" -> "false"): JValue)
+    case IsNull(a) => Some(("op" -> "isnull") ~ ("col" -> a): JValue)
+    case IsNotNull(a) => Some(("op" -> "notnull") ~ ("col" -> a): JValue)
+    case EqualTo(a, v) => leaf("eq", a, v)
+    case EqualNullSafe(a, v) => leaf("eqns", a, v)
+    case GreaterThan(a, v) => leaf("gt", a, v)
+    case GreaterThanOrEqual(a, v) => leaf("gte", a, v)
+    case LessThan(a, v) => leaf("lt", a, v)
+    case LessThanOrEqual(a, v) => leaf("lte", a, v)
+    case StringStartsWith(a, p) => leaf("startswith", a, p)
+    case In(a, vs) =>
+      val encoded = vs.toSeq.map(valJson)
+      if (encoded.exists(_.isEmpty)) None
+      else Some(("op" -> "in") ~ ("col" -> a) ~ ("vals" -> JArray(encoded.flatten.toList)): JValue)
+    case _ => None
+  }
+
+  private def filterOf(j: JValue): Filter = (j \ "op").extract[String] match {
+    case "and" => And(filterOf(j \ "l"), filterOf(j \ "r"))
+    case "or" => Or(filterOf(j \ "l"), filterOf(j \ "r"))
+    case "not" => Not(filterOf(j \ "c"))
+    case "true" => AlwaysTrue()
+    case "false" => AlwaysFalse()
+    case "isnull" => IsNull((j \ "col").extract[String])
+    case "notnull" => IsNotNull((j \ "col").extract[String])
+    case "eq" => EqualTo((j \ "col").extract[String], valOf(j \ "val"))
+    case "eqns" => EqualNullSafe((j \ "col").extract[String], valOf(j \ "val"))
+    case "gt" => GreaterThan((j \ "col").extract[String], valOf(j \ "val"))
+    case "gte" => GreaterThanOrEqual((j \ "col").extract[String], valOf(j \ "val"))
+    case "lt" => LessThan((j \ "col").extract[String], valOf(j \ "val"))
+    case "lte" => LessThanOrEqual((j \ "col").extract[String], valOf(j \ "val"))
+    case "startswith" =>
+      StringStartsWith((j \ "col").extract[String], valOf(j \ "val").asInstanceOf[String])
+    case "in" =>
+      In((j \ "col").extract[String], (j \ "vals").extract[List[JValue]]
+        .map(valOf).toArray)
+    case other => throw new IllegalStateException(s"unknown mask op $other")
+  }
+
+  private def leaf(op: String, col: String, v: Any): Option[JValue] =
+    valJson(v).map(jv => ("op" -> op) ~ ("col" -> col) ~ ("val" -> jv): JValue)
+
+  /** Serialize a delete predicate; None = not maskable (fall back to
+    * copy-on-write). */
+  def serialize(f: Filter): Option[String] =
+    filterJson(f).map(j => JsonMethods.compact(JsonMethods.render(j)))
+
+  def deserialize(s: String): Filter = filterOf(JsonMethods.parse(s))
+
+  /** Column names a serialized mask references (for read-schema
+    * widening: the mask must be evaluable on the scan's output rows). */
+  def references(pred: String): Set[String] = {
+    def refs(f: Filter): Set[String] = f match {
+      case And(l, r) => refs(l) ++ refs(r)
+      case Or(l, r) => refs(l) ++ refs(r)
+      case Not(c) => refs(c)
+      case IsNull(a) => Set(a)
+      case IsNotNull(a) => Set(a)
+      case EqualTo(a, _) => Set(a)
+      case EqualNullSafe(a, _) => Set(a)
+      case GreaterThan(a, _) => Set(a)
+      case GreaterThanOrEqual(a, _) => Set(a)
+      case LessThan(a, _) => Set(a)
+      case LessThanOrEqual(a, _) => Set(a)
+      case StringStartsWith(a, _) => Set(a)
+      case In(a, _) => Set(a)
+      case _ => Set.empty
+    }
+    refs(deserialize(pred))
+  }
+
+  /** "Deleted" as a Catalyst expression over `schema`: OR of the
+    * parsed predicates — a row is deleted when ANY evaluates TRUE. */
+  def deletedExpr(schema: StructType, preds: Seq[String]): Expression =
+    preds.map { p =>
+      ParquetDelete.toCatalyst(schema, deserialize(p)).getOrElse(
+        throw new IllegalStateException(
+          s"delete mask predicate no longer translates against the " +
+            s"declared schema (dropped column?): $p"))
+    }.reduceOption(COr).getOrElse(CLit(false, BooleanType))
+
+  /** A VISIBLE-row Column (for DataFrame-level maintenance reads):
+    * NOT(deleted), with NULL → visible (SQL DELETE removes only TRUE). */
+  def visibleColumn(schema: StructType, preds: Seq[String]): org.apache.spark.sql.Column = {
+    val unresolved = deletedExpr(schema, preds).transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
+    }
+    !org.apache.spark.sql.functions.coalesce(
+      org.apache.spark.sql.GraftShims.column(unresolved),
+      org.apache.spark.sql.functions.lit(false))
+  }
+
+  /** Compile a row-level DELETED test bound by NAME against `rowSchema`
+    * (the physical row layout a reader produces). `eval(row)` is true
+    * only when some predicate evaluates TRUE; NULL counts as kept.
+    * Codegen with interpreted fallback — executor-side, built once per
+    * (partition, mask set). */
+  def compileDeleted(rowSchema: StructType, preds: Seq[String]): BasePredicate = {
+    val expr = deletedExpr(rowSchema, preds)
+    val bound = expr.transform {
+      case a: AttributeReference =>
+        val idx = rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(a.name))
+        if (idx < 0) throw new IllegalStateException(
+          s"mask column ${a.name} absent from reader schema " +
+            s"${rowSchema.fieldNames.mkString(",")}")
+        BoundReference(idx, rowSchema(idx).dataType, rowSchema(idx).nullable)
+    }
+    CPredicate.create(bound)
+  }
+
+  /** Wrap a row reader, dropping rows the mask deletes. */
+  def filteringReader(
+      inner: org.apache.spark.sql.connector.read.PartitionReader[InternalRow],
+      deleted: BasePredicate)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (inner.next()) {
+          val r = inner.get()
+          if (!deleted.eval(r)) { cur = r; return true }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = inner.close()
+    }
+
+  /** Maintenance-read helper: the VISIBLE rows of `names` under
+    * `masks`, as one DataFrame — unmasked files in a single scan,
+    * masked files grouped by identical mask set (each group one scan +
+    * filter). Every physical rewrite path (compaction, Z-order,
+    * copy-on-write DELETE, rebucket) reads through this so masked rows
+    * can never be resurrected into a rewritten file. */
+  def readVisible(spark: org.apache.spark.sql.SparkSession,
+      declared: StructType, dataDir: org.apache.hadoop.fs.Path,
+      names: Seq[String],
+      masks: Map[String, Seq[String]]): org.apache.spark.sql.DataFrame = {
+    def read(ns: Seq[String]) = spark.read.schema(declared)
+      .parquet(ns.map(n => new org.apache.hadoop.fs.Path(dataDir, n).toString): _*)
+    val (masked, clean) = names.partition(n => masks.get(n).exists(_.nonEmpty))
+    val cleanDf = if (clean.nonEmpty) Some(read(clean)) else None
+    val maskedDfs = masked.groupBy(n => masks(n).sorted).toSeq.map {
+      case (preds, ns) => read(ns).filter(visibleColumn(declared, preds))
+    }
+    (cleanDf.toSeq ++ maskedDfs).reduceOption(_ unionByName _).getOrElse {
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        declared)
+    }
+  }
+}

@@ -35,24 +35,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * — a metadata-served aggregate would bypass the column entirely. */
 class FileTagParquetScanBuilder(sparkSession: SparkSession,
     fileIndex: PartitioningAwareFileIndex, schema: StructType,
-    dataSchema: StructType, options: CaseInsensitiveStringMap)
+    dataSchema: StructType, options: CaseInsensitiveStringMap,
+    masks: Map[String, Seq[String]] = Map.empty)
     extends ParquetScanBuilder(sparkSession, fileIndex, schema, dataSchema, options) {
 
   private var wantsFile = false
 
+  /** Delete masks widen the pruned read schema by their referenced
+    * columns — the mask must be evaluable on the rows the reader
+    * produces (Spark projects the extras away upstream; pruning is
+    * advisory, `readSchema()` is authoritative). */
   override def pruneColumns(requiredSchema: StructType): Unit = {
     wantsFile = requiredSchema.fieldNames.contains(ParquetFileMetaColumn.name())
-    super.pruneColumns(StructType(requiredSchema.fields.filterNot(
-      _.name == ParquetFileMetaColumn.name())))
+    val base = requiredSchema.fields.filterNot(
+      _.name == ParquetFileMetaColumn.name())
+    val widened = if (masks.isEmpty) base else {
+      val need = masks.valuesIterator.flatten
+        .flatMap(DeleteMasks.references).map(_.toLowerCase).toSet
+      val have = base.map(_.name.toLowerCase).toSet
+      base ++ dataSchema.fields.filter(f =>
+        need(f.name.toLowerCase) && !have(f.name.toLowerCase))
+    }
+    super.pruneColumns(StructType(widened))
   }
 
+  /** Aggregate pushdown answers from footer metadata, which counts
+    * MASKED rows — declined whenever masks exist (and on `_file`
+    * scans, which a metadata-served aggregate would bypass). */
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    !wantsFile && super.pushAggregation(aggregation)
+    !wantsFile && masks.isEmpty && super.pushAggregation(aggregation)
 
   override def build(): ParquetScan = {
     val inner = super.build()
-    if (wantsFile) new FileTaggedScan(inner)
+    if (wantsFile) new FileTaggedScan(inner, masks)
+    else if (masks.nonEmpty) new MaskedParquetScan(inner, masks)
     else bucketLayout(inner) match {
+      // masks downgrade the bucketed-layout claim (same posture as an
+      // untagged file): the masked rows need per-row filtering, so the
+      // join shuffles rather than risking a wrong co-location shortcut;
+      // compaction purges masks and restores the claim
       case Some((spec, buckets)) => new BucketedParquetScan(inner, spec, buckets)
       // plain scans carry the micro-batch tail (readStream.table) —
       // batch planning is untouched, the subtype only adds
@@ -89,7 +110,8 @@ class FileTagParquetScanBuilder(sparkSession: SparkSession,
   * filters, footer-pruned listing and columnar decode inside each
   * per-file reader, re-grouped one partition per file with the name
   * appended to every row. */
-class FileTaggedScan(val inner: ParquetScan)
+class FileTaggedScan(val inner: ParquetScan,
+    val masks: Map[String, Seq[String]] = Map.empty)
     extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
       inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
       inner.pushedFilters, inner.options, inner.pushedAggregate,
@@ -112,16 +134,98 @@ class FileTaggedScan(val inner: ParquetScan)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FileTaggedReaderFactory(super.createReaderFactory())
+    new FileTaggedReaderFactory(super.createReaderFactory(), masks,
+      inner.readDataSchema)
 
   override def description(): String =
     s"FileTagged(${super.description()})"
 
   override def equals(obj: Any): Boolean = obj match {
-    case f: FileTaggedScan => inner == f.inner
+    case f: FileTaggedScan => inner == f.inner && masks == f.masks
     case _ => false
   }
   override def hashCode(): Int = inner.hashCode() ^ 0x5f11e7a9
+}
+
+/** The DELETE-MASK-aware scan ([[DeleteMasks]]): files carrying masks
+  * are re-grouped into per-mask-signature partitions whose readers run
+  * ROW-BASED with the compiled deleted-test applied (filter pushdown
+  * and row-group skipping stay active — the mask is a predicate, not a
+  * position list, so skipped rows cost nothing); unmasked files keep
+  * their original bin-packed partitions AND columnar decode. Split
+  * files are no problem: a predicate mask is range-independent. */
+class MaskedParquetScan(val inner: ParquetScan, val masks: Map[String, Seq[String]])
+    extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
+      inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
+      inner.pushedFilters, inner.options, inner.pushedAggregate,
+      inner.partitionFilters, inner.dataFilters,
+      inner.pushedVariantExtractions)
+    with ParquetTailable {
+
+  override protected def tailTableDir: String =
+    inner.fileIndex.rootPaths.head.getParent.toString
+  override protected def tailDataSchema: StructType = inner.dataSchema
+  override protected def tailOptions: CaseInsensitiveStringMap = inner.options
+
+  private def maskOf(
+      f: org.apache.spark.sql.execution.datasources.PartitionedFile): Seq[String] =
+    masks.getOrElse(f.toPath.getName, Seq.empty)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val out = Array.newBuilder[InputPartition]
+    val maskedFiles = Seq.newBuilder[
+      org.apache.spark.sql.execution.datasources.PartitionedFile]
+    var idx = 0
+    super.planInputPartitions().foreach {
+      case fp: FilePartition =>
+        val (masked, clean) = fp.files.partition(f => maskOf(f).nonEmpty)
+        maskedFiles ++= masked
+        if (clean.nonEmpty) { out += FilePartition(idx, clean); idx += 1 }
+      case other => throw new IllegalStateException(
+        s"unexpected parquet partition shape: $other")
+    }
+    maskedFiles.result().groupBy(f => maskOf(f).sorted).foreach {
+      case (preds, files) =>
+        out += MaskedFilePartition(FilePartition(idx, files.toArray), preds)
+        idx += 1
+    }
+    out.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MaskedReaderFactory(super.createReaderFactory(), inner.readDataSchema)
+
+  override def description(): String =
+    s"Masked(files=${masks.size})(${super.description()})"
+
+  override def equals(obj: Any): Boolean = obj match {
+    case m: MaskedParquetScan => inner == m.inner && masks == m.masks
+    case _ => false
+  }
+  override def hashCode(): Int = inner.hashCode() ^ 0x3a5ced11
+}
+
+/** A group of same-mask-signature file ranges. */
+case class MaskedFilePartition(fp: FilePartition, preds: Seq[String])
+    extends InputPartition {
+  override def preferredLocations(): Array[String] = fp.preferredLocations()
+}
+
+class MaskedReaderFactory(inner: PartitionReaderFactory,
+    rowSchema: StructType) extends PartitionReaderFactory {
+
+  /** Spark rejects scans that mix columnar and row partitions, so ANY
+    * mask makes the whole scan row-based — the transient tax of a
+    * pending merge-on-read delete, until compaction purges it. */
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case MaskedFilePartition(fp, preds) =>
+        DeleteMasks.filteringReader(inner.createReader(fp),
+          DeleteMasks.compileDeleted(rowSchema, preds))
+      case p => inner.createReader(p)
+    }
 }
 
 /** The ordinary catalog parquet scan, plus the ledger-tailing
@@ -149,15 +253,23 @@ class TailableParquetScan(val inner: ParquetScan)
   override def hashCode(): Int = inner.hashCode() ^ 0x7a11ab1e
 }
 
-class FileTaggedReaderFactory(inner: PartitionReaderFactory)
-    extends PartitionReaderFactory {
+class FileTaggedReaderFactory(inner: PartitionReaderFactory,
+    masks: Map[String, Seq[String]] = Map.empty,
+    rowSchema: StructType = new StructType()) extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val fp = partition.asInstanceOf[FilePartition]
     val name = fp.files.head.toPath.getName
-    val delegate = inner.createReader(fp)
+    val raw = inner.createReader(fp)
+    // masked rows are deleted on the `_file` surface too — the runtime
+    // group-filter subquery and provenance queries must not see them
+    val delegate = masks.get(name).filter(_.nonEmpty) match {
+      case Some(preds) => DeleteMasks.filteringReader(raw,
+        DeleteMasks.compileDeleted(rowSchema, preds))
+      case None => raw
+    }
     new PartitionReader[InternalRow] {
       private val fileRow =
         new GenericInternalRow(Array[Any](UTF8String.fromString(name)))

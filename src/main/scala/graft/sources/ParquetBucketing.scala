@@ -203,8 +203,10 @@ object ParquetBucketing {
     val data = new Path(tableDir, "data")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = SchemaManifest.read(tableDir, "rebucket_table")
-    val rows = spark.read.schema(schema)
-      .parquet(untagged.map(n => new Path(data, n).toString): _*)
+    // mask-aware read ([[DeleteMasks]]): rewritten rows exclude
+    // merge-on-read-deleted ones; the publish retires the inputs' masks
+    val rows = DeleteMasks.readVisible(spark, schema, data, untagged,
+      ParquetVersions.masksFor(tableDir, None))
     val opId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(tableDir, s".rebucket-$opId")
     val nRows = rows.count()

@@ -54,6 +54,12 @@ object ParquetDelete {
   def supported(schema: StructType)(f: Filter): Boolean =
     nnf(f, negate = false).flatMap(translate(schema, _)).isDefined
 
+  /** NNF + Catalyst translation of a v1 Filter over `schema` — the
+    * evaluation form shared with [[DeleteMasks]] (mask predicates are
+    * stored as Filter JSON and re-translated at read). */
+  private[sources] def toCatalyst(schema: StructType, f: Filter): Option[Expression] =
+    nnf(f, negate = false).flatMap(translate(schema, _))
+
   /** Negation normal form at the v1 Filter level: push NOT through
     * And/Or (De Morgan holds in three-valued logic) and flip the
     * leaves TRUE-preservingly: ¬(a<v) ⇨ a>=v (both NULL when a is
@@ -157,7 +163,8 @@ object ParquetDelete {
     case _ => Set.empty
   }
 
-  case class ParquetDeleteStats(untouched: Long, dropped: Long, rewritten: Long)
+  case class ParquetDeleteStats(untouched: Long, dropped: Long, rewritten: Long,
+      masked: Long = 0L)
 
   /** Execute the delete. Quiesced-table maintenance semantics (same as
     * [[Compaction.compactTable]]); crash-repair via the generation
@@ -245,6 +252,36 @@ object ParquetDelete {
       (u.result(), d.result(), w.result())
     }
 
+    // MERGE-ON-READ (lightweight) DELETE — the ClickHouse posture
+    // ([[DeleteMasks]]): instead of rewriting the partial-match files,
+    // attach the predicate to each as a delete mask inside one version
+    // publish. Zero data I/O; every data file stays byte-identical;
+    // scans filter masked rows until a rewrite purges them. Taken only
+    // for the plain DELETE verb (REPLACE WHERE composes retirement with
+    // its payload publish and keeps copy-on-write), on a versioned
+    // table, with `spark.graft.delete.mode=merge-on-read`.
+    val maskPred: Option[String] =
+      if (versioned && !preCaughtUp && protect.isEmpty && alsoPublish.isEmpty &&
+          DeleteMasks.mergeOnRead(spark)) DeleteMasks.serialize(whole)
+      else None
+    if (maskPred.isDefined) {
+      val droppedNames = dropped.map(_.getName).toSet
+      ParquetVersions.commit(tableDir, None,
+        rewrites.map(p => p.getName -> Seq(maskPred.get)).toMap) { live =>
+        live.filterNot(droppedNames)
+      }
+      return ParquetDeleteStats(untouched.length.toLong, dropped.length.toLong,
+        0L, masked = rewrites.length.toLong)
+    }
+
+    // PRIOR masks on the input files (earlier merge-on-read deletes):
+    // a rewrite must not resurrect rows an attached mask already
+    // deleted, so the survivor read goes through the mask-aware reader
+    // — which also PURGES those masks (the outputs are new names; the
+    // commit's carry-forward drops masks of retired inputs).
+    val priorMasks: Map[String, Seq[String]] =
+      if (versioned) ParquetVersions.masksFor(tableDir, None) else Map.empty
+
     // survivors are rows where the predicate is FALSE **or NULL** (SQL
     // DELETE removes only TRUE rows). The condition is re-resolved
     // against THIS DataFrame's attributes (the classify expression
@@ -254,7 +291,8 @@ object ParquetDelete {
         case a: AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
       }
-      spark.read.schema(declared).parquet(inputs.map(_.toString): _*)
+      DeleteMasks.readVisible(spark, declared, data,
+          inputs.map(_.getName), priorMasks)
         .filter(not(coalesce(
           org.apache.spark.sql.GraftShims.column(unresolvedCond), lit(false))))
         .write.mode("overwrite").parquet(staging.toString)

@@ -132,6 +132,15 @@ class ParquetGroupScan(tableDir: String, declared: StructType)
       .sortBy(_._1)
   }
 
+  /** Delete masks in force at scan creation ([[DeleteMasks]]): a
+    * masked row is already deleted, so the group rewrite must not copy
+    * it into a replacement file — and the rewrite retires the input
+    * names, purging their masks in the same commit. */
+  private val masks: Map[String, Seq[String]] =
+    if (ParquetVersions.enabled(tableDir))
+      ParquetVersions.masksFor(tableDir, None).filter(_._2.nonEmpty)
+    else Map.empty
+
   /** Surviving files after runtime group filtering; starts at the full
     * pinned set (no filter ⇒ full-table rewrite, which is what an
     * unconditioned UPDATE means). */
@@ -182,7 +191,8 @@ class ParquetGroupScan(tableDir: String, declared: StructType)
   override def planInputPartitions(): Array[InputPartition] =
     currentFiles.map { case (name, len, mtime) =>
       ParquetGroupPartition(name,
-        new Path(new Path(tableDir, "data"), name).toString, len, mtime): InputPartition
+        new Path(new Path(tableDir, "data"), name).toString, len, mtime,
+        masks.getOrElse(name, Seq.empty)): InputPartition
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -192,34 +202,43 @@ class ParquetGroupScan(tableDir: String, declared: StructType)
       spark, declared, new StructType(), declared, Seq.empty,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
-    new ParquetGroupReaderFactory(readFunc, declared.length)
+    new ParquetGroupReaderFactory(readFunc, declared)
   }
 
   override def description(): String =
     s"ParquetGroupScan dir=$tableDir files=${currentFiles.size}/${pinned.size}"
 }
 
-/** One live data file — the copy-on-write group unit. */
+/** One live data file — the copy-on-write group unit (with its delete
+  * masks, applied before the `_file` tag so masked rows never reach a
+  * replacement file). */
 case class ParquetGroupPartition(name: String, path: String, len: Long,
-    mtime: Long) extends InputPartition
+    mtime: Long, maskPreds: Seq[String] = Seq.empty) extends InputPartition
 
 class ParquetGroupReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
-    dataArity: Int) extends PartitionReaderFactory {
+    declared: StructType) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ParquetGroupPartition]
     val pf = PartitionedFile(InternalRow.empty,
       org.apache.spark.paths.SparkPath.fromPathString(p.path), 0L, p.len,
       Array.empty, p.mtime, p.len)
+    val deleted = if (p.maskPreds.isEmpty) None
+      else Some(DeleteMasks.compileDeleted(declared, p.maskPreds))
     new PartitionReader[InternalRow] {
       private val it = readFunc(pf)
       private val fileRow =
         new GenericInternalRow(Array[Any](UTF8String.fromString(p.name)))
       private val joined = new JoinedRow
       private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) { cur = it.next(); true } else false
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val r = it.next()
+          if (deleted.forall(!_.eval(r))) { cur = r; return true }
+        }
+        false
+      }
       override def get(): InternalRow = joined(cur, fileRow)
       override def close(): Unit = it match {
         case c: AutoCloseable => c.close()

@@ -473,15 +473,33 @@ class StatsPrunedParquetTable(
       else None
   }
 
+  /** Delete masks this table instance's scans must apply
+    * ([[DeleteMasks]]): the pinned version's payload masks for time
+    * travel, the latest version's for a current read, restricted to
+    * the files this instance can actually list. Resolved once per
+    * loadTable, same snapshot discipline as `allowed`. */
+  private lazy val masks: Map[String, Seq[String]] = {
+    if (!ParquetVersions.enabled(tableDir)) Map.empty
+    else {
+      val m = ParquetVersions.masksFor(tableDir, pinnedVersion)
+        .filter(_._2.nonEmpty)
+      allowed match {
+        case Some(names) => m.view.filterKeys(names).toMap
+        case None => m
+      }
+    }
+  }
+
   override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder = {
     val inner = super.newScanBuilder(options)
     // the same genuine ParquetScanBuilder semantics, with (a) the file
-    // index swapped for footer-stats pruning + version pinning and (b)
-    // `_file` metadata-column service (FileTagScan.scala)
+    // index swapped for footer-stats pruning + version pinning, (b)
+    // `_file` metadata-column service (FileTagScan.scala) and (c)
+    // delete-mask row filtering for merge-on-read DELETEs
     new FileTagParquetScanBuilder(inner.sparkSession,
       new StatsPrunedFileIndex(spark, new Path(paths.head), declared, allowed),
-      inner.schema, inner.dataSchema, inner.options)
+      inner.schema, inner.dataSchema, inner.options, masks)
   }
 
   /** `_file` — the data file a row lives in: provenance when

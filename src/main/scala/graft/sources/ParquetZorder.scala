@@ -43,8 +43,10 @@ object ParquetZorder {
     val data = new Path(tableDir, "data")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = SchemaManifest.read(tableDir, "zorder_table")
-    val rows = spark.read.schema(schema)
-      .parquet(live.map(n => new Path(data, n).toString): _*)
+    // mask-aware read ([[DeleteMasks]]): the rewrite keeps only visible
+    // rows and retires the inputs, purging their merge-on-read deletes
+    val rows = DeleteMasks.readVisible(spark, schema, data, live,
+      ParquetVersions.masksFor(tableDir, None))
     val nRows = rows.count()
     val opId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(tableDir, s".zorder-$opId")

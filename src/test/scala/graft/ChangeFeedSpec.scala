@@ -322,4 +322,59 @@ class ChangeFeedSpec extends AnyFunSuite {
     }.toSet
     assert(netFromLog === expected)
   }
+
+  test("batch changelog over a 50-commit span plans ONE scan node") {
+    // VERDICT r10 #4: the old shape unioned a DataFrame pair per commit
+    // — O(versions) scan nodes, superlinear analysis. The new batch
+    // changelog rides the streaming readers' partition-per-diff-file
+    // scan: one node regardless of span length, same rows.
+    val wh = Files.createTempDirectory("graft_cdc_span").toString
+    spark.conf.set("spark.sql.catalog.graft_cdcl", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdcl.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cdcl.lake")
+    spark.sql("CREATE TABLE graft_cdcl.lake.t AS SELECT id, id * 2 AS v FROM range(10)")
+    val dir = s"$wh/lake/t"
+    ParquetVersions.enable(dir)
+    (0 until 50).foreach { i =>
+      ParquetVersions.commit(dir) { live => live } // empty commits bump ordinals
+    }
+    spark.range(100, 105).selectExpr("id", "id * 2 AS v")
+      .repartition(1).writeTo("graft_cdcl.lake.t").append()
+    ParquetVersions.catchUp(dir)
+    val vTo = ParquetVersions.latest(dir).get._1
+    assert(vTo >= 51L)
+    val log = ChangeFeed.parquetChanges(spark, dir, 1L, vTo)
+    val scans = log.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.length === 1, s"expected one scan node, got ${scans.length}")
+    assert(log.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (100L until 105L).toSeq)
+    // the log tier's batch changelog takes the same single-scan shape
+    val lwh = Files.createTempDirectory("graft_cdc_span_log").toString
+    val ldir = s"$lwh/log"
+    new Path(ldir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(new Path(ldir))
+    (0 until 3).foreach { i =>
+      spark.range(i * 5, i * 5 + 5).selectExpr(
+          "concat('u', CAST(id AS STRING)) AS user_id", "id AS amount",
+          "CAST(NULL AS BINARY) AS msg",
+          "sha2(CAST(id AS STRING), 256) AS sha256sum")
+        .repartition(1).write.format(LimitHashLog.FORMAT).mode("append").save(ldir)
+    }
+    LogVersions.enable(ldir)
+    spark.range(100, 103).selectExpr(
+        "concat('u', CAST(id AS STRING)) AS user_id", "id AS amount",
+        "CAST(NULL AS BINARY) AS msg",
+        "sha2(CAST(id AS STRING), 256) AS sha256sum")
+      .repartition(1).write.format(LimitHashLog.FORMAT).mode("append").save(ldir)
+    val lvTo = LogVersions.latest(ldir).get._1
+    val llog = ChangeFeed.logChanges(spark, ldir, 1L, lvTo)
+    val lscans = llog.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(lscans.length === 1)
+    assert(llog.select("amount").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(100L, 101L, 102L))
+  }
 }
