@@ -348,37 +348,47 @@ object Compaction {
     val liveNames: Option[Set[String]] =
       if (versioned) Some(ParquetVersions.live(tableDir).toSet) else None
 
-    val files = fs.listStatus(data)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .filter(s => liveNames.forall(_(s.getPath.getName)))
-      .sortBy(s => (s.getModificationTime, s.getPath.getName))
-    val bytesBefore = files.map(_.getLen).sum
+    // committed-file walk ([[ParquetVersions.walkData]]): partitioned
+    // tables nest files under partition dirs; names data/-relative
+    val files: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      ParquetVersions.walkData(fs, data)
+        .filter { case (rel, _) => liveNames.forall(_(rel)) }
+        .sortBy { case (rel, s) => (s.getModificationTime, rel) }
+    val bytesBefore = files.map(_._2.getLen).sum
 
     // Bucket-aware packing: on a bucketed table ([[ParquetBucketing]])
     // pack WITHIN each name-tagged bucket, so merged files keep their
     // tag (`…-b<k>.parquet`) and the key-grouped layout survives
-    // compaction. Untagged files pack together; their outputs stay
+    // compaction. On a PARTITIONED table, pack WITHIN each partition
+    // dir — partition-wise maintenance, outputs stay in their
+    // partition. Untagged files pack together; their outputs stay
     // untagged — the scan's every-file-tagged proof handles the mix
     // safely (same contract as compactLog on the log tier).
     val tagOf: String => Option[Int] =
       if (ParquetBucketing.readSpec(tableDir).isEmpty) _ => None
-      else ParquetBucketing.bucketOfName
-    val packGroups: Seq[(Option[Int], Seq[org.apache.hadoop.fs.FileStatus])] =
-      files.toSeq.groupBy(s => tagOf(s.getPath.getName))
-        .toSeq.sortBy(_._1.getOrElse(Int.MinValue))
+      else rel => ParquetBucketing.bucketOfName(
+        rel.substring(rel.lastIndexOf('/') + 1))
+    def dirOfRel(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val packGroups: Seq[((String, Option[Int]), Seq[(String, org.apache.hadoop.fs.FileStatus)])] =
+      files.groupBy { case (rel, _) => (dirOfRel(rel), tagOf(rel)) }
+        .toSeq.sortBy(_._1)
 
-    // greedy adjacent bin-pack, per pack group; each bin remembers its tag
-    val bins = Seq.newBuilder[(Seq[org.apache.hadoop.fs.FileStatus], Option[Int])]
-    packGroups.foreach { case (tag, members) =>
-      var cur = Vector.empty[org.apache.hadoop.fs.FileStatus]
+    // greedy adjacent bin-pack, per pack group; each bin remembers its
+    // (partition dir, bucket tag)
+    val bins = Seq.newBuilder[(Seq[(String, org.apache.hadoop.fs.FileStatus)], (String, Option[Int]))]
+    packGroups.foreach { case (key, members) =>
+      var cur = Vector.empty[(String, org.apache.hadoop.fs.FileStatus)]
       var curBytes = 0L
       for (f <- members) {
-        if (cur.nonEmpty && curBytes + f.getLen > targetBytes) {
-          bins += ((cur, tag)); cur = Vector.empty; curBytes = 0L
+        if (cur.nonEmpty && curBytes + f._2.getLen > targetBytes) {
+          bins += ((cur, key)); cur = Vector.empty; curBytes = 0L
         }
-        cur = cur :+ f; curBytes += f.getLen
+        cur = cur :+ f; curBytes += f._2.getLen
       }
-      if (cur.nonEmpty) bins += ((cur, tag))
+      if (cur.nonEmpty) bins += ((cur, key))
     }
 
     // Output names carry a fresh per-operation token: a hardlinked
@@ -401,33 +411,37 @@ object Compaction {
       // publish retires the input name, dropping its masks)
       val tableMasks = ParquetVersions.masksFor(tableDir, None).filter(_._2.nonEmpty)
       val multiBins = bins.result().filter { case (bin, _) =>
-        bin.length > 1 || bin.exists(s => tableMasks.contains(s.getPath.getName))
+        bin.length > 1 || bin.exists(s => tableMasks.contains(s._1))
       }
-      val outputs = inParallel(multiBins.zipWithIndex) { case ((bin, tag), i) =>
+      val outputs = inParallel(multiBins.zipWithIndex) { case ((bin, (relDir, tag)), i) =>
         val staging = new Path(base, s".compact-$opId-$i")
         fs.delete(staging, true)
         val merged = DeleteMasks.readVisible(spark, declared, data,
-          bin.map(_.getPath.getName), tableMasks)
+          bin.map(_._1), tableMasks)
         merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
         val part = fs.listStatus(staging)
           .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .getOrElse(throw new java.io.IOException(s"no output part in $staging"))
-        // a tagged bin's output keeps its bucket in the name — the
-        // key-grouped layout survives compaction
+        // a tagged bin's output keeps its bucket in the name, a
+        // partitioned bin's output stays in its partition dir — both
+        // layouts survive compaction
         val name = f"compact-$opId-$i%05d" + tag.fold("")(k => s"-b$k") + ".parquet"
-        if (!fs.rename(part.getPath, new Path(data, name))) {
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val to = new Path(data, rel)
+        fs.mkdirs(to.getParent)
+        if (!fs.rename(part.getPath, to)) {
           throw new java.io.IOException(s"stage rename failed for bin $i")
         }
         fs.delete(staging, true)
-        name
+        rel
       }
-      val inputNames = multiBins.flatMap(_._1).map(_.getPath.getName).toSet
+      val inputNames = multiBins.flatMap(_._1).map(_._1).toSet
       // abort-on-mismatch BEFORE the publish: the staged outputs must
       // carry exactly the rows of the bins they replace
       if (multiBins.nonEmpty) {
         // VISIBLE input rows (mask-filtered) must equal staged output rows
         val rowsIn = DeleteMasks.readVisible(spark, declared, data,
-          multiBins.flatMap(_._1).map(_.getPath.getName), tableMasks).count()
+          multiBins.flatMap(_._1).map(_._1), tableMasks).count()
         val rowsOut = spark.read.schema(declared)
           .parquet(outputs.map(n => new Path(data, n).toString): _*).count()
         if (rowsIn != rowsOut) {
@@ -458,20 +472,25 @@ object Compaction {
     fs.delete(next, true) // stale unfinished build of a crashed attempt
     fs.mkdirs(next)
     var rows = 0L
-    inParallel(bins.result().zipWithIndex) { case ((bin, tag), i) =>
+    inParallel(bins.result().zipWithIndex) { case ((bin, (relDir, tag)), i) =>
       if (bin.length == 1) {
-        val src = bin.head.getPath
-        linkOrCopy(fs, spark.sparkContext.hadoopConfiguration,
-          src, new Path(next, src.getName))
+        val (rel, src) = bin.head
+        val to = new Path(next, rel)
+        fs.mkdirs(to.getParent)
+        linkOrCopy(fs, spark.sparkContext.hadoopConfiguration, src.getPath, to)
       } else {
         val staging = new Path(next, s".bin-$i")
-        val merged = spark.read.schema(declared).parquet(bin.map(_.getPath.toString): _*)
+        val merged = spark.read.schema(declared)
+          .parquet(bin.map(_._2.getPath.toString): _*)
         merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
         val part = fs.listStatus(staging)
           .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .getOrElse(throw new java.io.IOException(s"no output part in $staging"))
         val name = f"compact-$opId-$i%05d" + tag.fold("")(k => s"-b$k") + ".parquet"
-        if (!fs.rename(part.getPath, new Path(next, name))) {
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val to = new Path(next, rel)
+        fs.mkdirs(to.getParent)
+        if (!fs.rename(part.getPath, to)) {
           throw new java.io.IOException(s"stage rename failed for bin $i")
         }
         fs.delete(staging, true)

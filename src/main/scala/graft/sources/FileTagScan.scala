@@ -169,7 +169,7 @@ class MaskedParquetScan(val inner: ParquetScan, val masks: Map[String, Seq[Strin
 
   private def maskOf(
       f: org.apache.spark.sql.execution.datasources.PartitionedFile): Seq[String] =
-    masks.getOrElse(f.toPath.getName, Seq.empty)
+    masks.getOrElse(PartitionSpecs.relFromData(f.toPath), Seq.empty)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val out = Array.newBuilder[InputPartition]
@@ -261,7 +261,10 @@ class FileTaggedReaderFactory(inner: PartitionReaderFactory,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val fp = partition.asInstanceOf[FilePartition]
-    val name = fp.files.head.toPath.getName
+    // the group identity is the data/-relative name (equal to the bare
+    // name on the flat layout) — partitioned tables' rows tag with
+    // their partition-dir path so `_file` stays a unique file id
+    val name = PartitionSpecs.relFromData(fp.files.head.toPath)
     val raw = inner.createReader(fp)
     // masked rows are deleted on the `_file` surface too — the runtime
     // group-filter subquery and provenance queries must not see them

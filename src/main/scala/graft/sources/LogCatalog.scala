@@ -237,9 +237,13 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   /** Entity-shaped (or empty) schema → entity log; anything else → a
     * schema-manifested parquet table. The entity's layout stays owned
     * by the engine either way — a log table's columns can't drift. */
+  /** `PARTITIONED BY (col, days(ts), …)` is accepted on PARQUET
+    * tables ([[PartitionSpecs]] — identity and days transforms); the
+    * table is versioned from birth so every write is one atomic ledger
+    * publish across its partition directories. Entity logs stay
+    * unpartitioned (their layout is the reference contract). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: java.util.Map[String, String]): Table = {
-    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
     val dir = dirOf(ident)
     if (fs.exists(dir)) {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
@@ -248,13 +252,22 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     val want = LimitHashLog.SCHEMA.fields.map(f => (f.name, f.dataType)).toSeq
     val got = schema.fields.map(f => (f.name, f.dataType)).toSeq
     if (schema.isEmpty || got == want) {
+      require(partitions.isEmpty,
+        "entity log tables are unpartitioned (fixed layout)")
       fs.mkdirs(dir)
       new LimitHashLogTable(dir.toString)
     } else {
+      // validate the layout BEFORE any directory lands on disk
+      val spec = if (partitions.isEmpty) None
+        else Some(PartitionSpecs.fromTransforms(partitions, schema))
       fs.mkdirs(dataDir(dir))
       val out = fs.create(schemaFile(dir), false)
       try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      spec.foreach { s =>
+        PartitionSpecs.write(dir.toString, s)
+        ParquetVersions.enable(dir.toString) // versioned from birth
+      }
       parquetTable(ident, dir, schema)
     }
   }
@@ -330,23 +343,30 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
     val dir = dirOf(ident)
     if (fs.exists(dir)) {
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         ident.toString)
     }
-    LogStaging.stageCreate(ident, dir, schema)
+    LogStaging.stageCreate(ident, dir, schema, partitions)
   }
 
+  /** REPLACE TABLE keeps its one-publish atomicity contract only on
+    * the flat layout for now: a partitioned target (or a redeclared
+    * partitioning) is rejected loudly rather than silently flattening
+    * the layout. */
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
+    require(partitions.isEmpty,
+      "REPLACE TABLE … PARTITIONED BY is not supported; create a new table")
     val dir = dirOf(ident)
     if (!fs.exists(dir)) {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }
+    require(!PartitionSpecs.exists(dir.toString),
+      s"REPLACE TABLE on partitioned table $ident is not supported — " +
+        "INSERT OVERWRITE replaces its contents atomically")
     repairSchemaSwap(dir)
     LogStaging.stageReplace(ident, dir, schemaFile(dir), schema)
   }
@@ -354,12 +374,16 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty, "graft catalog tables are unpartitioned")
     val dir = dirOf(ident)
     if (fs.exists(dir)) {
+      require(partitions.isEmpty,
+        "REPLACE TABLE … PARTITIONED BY is not supported; create a new table")
+      require(!PartitionSpecs.exists(dir.toString),
+        s"REPLACE TABLE on partitioned table $ident is not supported — " +
+          "INSERT OVERWRITE replaces its contents atomically")
       repairSchemaSwap(dir)
       LogStaging.stageReplace(ident, dir, schemaFile(dir), schema)
-    } else LogStaging.stageCreate(ident, dir, schema)
+    } else LogStaging.stageCreate(ident, dir, schema, partitions)
   }
 
   private def swapFile(dir: Path): Path = new Path(dir, "_schema.json.swap")

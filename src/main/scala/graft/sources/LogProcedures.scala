@@ -256,6 +256,9 @@ object LogProcedures {
           .comment("bucket count").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        require(!PartitionSpecs.exists(dir),
+          s"$dir is partitioned — bucket layouts and partition layouts " +
+            "are mutually exclusive")
         val spec = LogBucketing.Spec(input.getUTF8String(1).toString, input.getInt(2))
         if (isParquetTable(dir)) ParquetBucketing.writeSpec(spark, dir, spec)
         else LogBucketing.writeSpec(dir, spec)

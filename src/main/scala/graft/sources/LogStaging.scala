@@ -65,22 +65,33 @@ object LogStaging {
   }
 
   /** Stage a CTAS: build the staging directory (log: bare dir; parquet:
-    * `data/` + `_schema.json`, so the renamed-in result is a complete
-    * table) and wrap the real table implementation over it. */
-  def stageCreate(ident: Identifier, targetDir: Path,
-      schema: StructType): StagedTable = {
+    * `data/` + `_schema.json` + optional `_partition.json`, so the
+    * renamed-in result is a complete table) and wrap the real table
+    * implementation over it — a partitioned CTAS writes through the
+    * same partition-routing builder the final table uses, its ledger
+    * staged inside the hidden dir and renamed in whole. */
+  def stageCreate(ident: Identifier, targetDir: Path, schema: StructType,
+      partitions: Array[Transform] = Array.empty): StagedTable = {
     val staging = new Path(targetDir.getParent,
       s".ctas-${ident.name()}-${java.util.UUID.randomUUID().toString.take(12)}")
     val fs = fsOf(staging)
     val delegate: Table =
       if (schema.isEmpty || entityShaped(schema)) {
+        require(partitions.isEmpty,
+          "entity log tables are unpartitioned (fixed layout)")
         fs.mkdirs(staging)
         new LimitHashLogTable(staging.toString)
       } else {
+        val spec = if (partitions.isEmpty) None
+          else Some(PartitionSpecs.fromTransforms(partitions, schema))
         fs.mkdirs(new Path(staging, "data"))
         val out = fs.create(new Path(staging, "_schema.json"), false)
         try out.write(schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
+        spec.foreach { s =>
+          PartitionSpecs.write(staging.toString, s)
+          ParquetVersions.enable(staging.toString) // versioned from birth
+        }
         new StatsPrunedParquetTable(ident.toString,
           org.apache.spark.sql.classic.SparkSession.active,
           Seq(new Path(staging, "data").toString), schema)

@@ -68,13 +68,11 @@ object MetaTables {
       if (isParquet) {
         val data = new Path(tableDir, "data")
         val fs = data.getFileSystem(new Configuration())
+        // committed-file walk ([[ParquetVersions.walkData]]): reported
+        // names are data/-relative paths
         val listed: Seq[(String, Long)] =
-          if (!fs.exists(data)) Seq.empty
-          else fs.listStatus(data).toSeq
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-              !s.getPath.getName.startsWith(".") &&
-              !s.getPath.getName.startsWith("_"))
-            .map(s => (s.getPath.getName, s.getLen)).sortBy(_._1)
+          ParquetVersions.walkData(fs, data)
+            .map { case (rel, s) => (rel, s.getLen) }.sortBy(_._1)
         // live + referenced from ONE consistent ledger snapshot (same
         // rule as ParquetVersions.live — two separate reads can
         // straddle a publish and misreport a file's state)

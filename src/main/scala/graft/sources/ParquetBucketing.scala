@@ -194,6 +194,9 @@ object ParquetBucketing {
   def rebucket(spark: SparkSession, tableDir: String): (Long, Long, Long) = {
     val spec = readSpec(tableDir).getOrElse(throw new IllegalArgumentException(
       s"$tableDir has no .bucketspec — CALL set_bucket_spec first"))
+    require(!PartitionSpecs.exists(tableDir),
+      s"$tableDir is partitioned — bucket layouts and partition layouts " +
+        "are mutually exclusive")
     require(ParquetVersions.enabled(tableDir),
       s"rebucket_table needs a versioned table — CALL enable_versioning first")
     ParquetVersions.catchUp(tableDir) // pending appends join the ledger

@@ -219,20 +219,31 @@ object ParquetDelete {
       else if (preCaughtUp) Some(VersionLedger.latest(tableDir)
         .map(_._2).getOrElse(Seq.empty).toSet ++ protect)
       else Some(ParquetVersions.live(tableDir).toSet)
-    val files =
-      if (fs.exists(data)) fs.listStatus(data)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .filter(s => liveNames.forall(_(s.getPath.getName))).toSeq
-      else Seq.empty
+    // committed-file walk ([[ParquetVersions.walkData]]): partitioned
+    // tables nest files under partition dirs; names data/-relative
+    val files: Seq[(String, org.apache.hadoop.fs.FileStatus)] =
+      ParquetVersions.walkData(fs, data)
+        .filter { case (rel, _) => liveNames.forall(_(rel)) }
+    val partLayout = PartitionSpecs.read(tableDir)
 
-    // three-valued classification from footer bounds; an unreadable or
-    // stats-free footer conservatively lands in the rewrite class
+    // three-valued classification — partition-dir bounds first (zero
+    // I/O), then footer bounds; an unreadable or stats-free footer
+    // conservatively lands in the rewrite class
     val (untouched, dropped, rewrites) = {
-      val u = Seq.newBuilder[Path]; val d = Seq.newBuilder[Path]
-      val w = Seq.newBuilder[Path]
-      files.foreach { st =>
+      val u = Seq.newBuilder[(String, Path)]; val d = Seq.newBuilder[(String, Path)]
+      val w = Seq.newBuilder[(String, Path)]
+      files.foreach { case (rel, st) =>
         val cls = try {
-          if (protect(st.getPath.getName)) 'u'
+          val syn = partLayout.flatMap(ps =>
+            PartitionSpecs.statsOfRelPath(ps, declared, rel))
+          if (protect(rel)) 'u'
+          // partition-dir bounds first — zero I/O: a whole-partition
+          // probe classifies every file as untouched OR dropped-whole
+          // (the refs-no-nulls requirement holds when every referenced
+          // column IS a partition column: homogeneous by construction)
+          else if (syn.exists(s => FooterPrune.excludes(s, cond))) 'u'
+          else if (syn.exists(s => negCond.exists(nc => FooterPrune.excludes(s, nc)) &&
+              refs.forall(c => s.cols.get(c).exists(_.nulls.contains(0L))))) 'd'
           else {
           val fstats = ParquetFooterStats.get(conf, st.getPath, st.getLen,
             st.getModificationTime)
@@ -244,9 +255,9 @@ object ParquetDelete {
           }
         } catch { case scala.util.control.NonFatal(_) => 'w' }
         cls match {
-          case 'u' => u += st.getPath
-          case 'd' => d += st.getPath
-          case 'w' => w += st.getPath
+          case 'u' => u += ((rel, st.getPath))
+          case 'd' => d += ((rel, st.getPath))
+          case 'w' => w += ((rel, st.getPath))
         }
       }
       (u.result(), d.result(), w.result())
@@ -265,9 +276,9 @@ object ParquetDelete {
           DeleteMasks.mergeOnRead(spark)) DeleteMasks.serialize(whole)
       else None
     if (maskPred.isDefined) {
-      val droppedNames = dropped.map(_.getName).toSet
+      val droppedNames = dropped.map(_._1).toSet
       ParquetVersions.commit(tableDir, None,
-        rewrites.map(p => p.getName -> Seq(maskPred.get)).toMap) { live =>
+        rewrites.map { case (rel, _) => rel -> Seq(maskPred.get) }.toMap) { live =>
         live.filterNot(droppedNames)
       }
       return ParquetDeleteStats(untouched.length.toLong, dropped.length.toLong,
@@ -286,13 +297,12 @@ object ParquetDelete {
     // DELETE removes only TRUE rows). The condition is re-resolved
     // against THIS DataFrame's attributes (the classify expression
     // carries fresh exprIds).
-    def rewriteSurvivors(inputs: Seq[Path], staging: Path): Unit = {
+    def rewriteSurvivors(inputs: Seq[String], staging: Path): Unit = {
       val unresolvedCond = cond.transform {
         case a: AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(a.name))
       }
-      DeleteMasks.readVisible(spark, declared, data,
-          inputs.map(_.getName), priorMasks)
+      DeleteMasks.readVisible(spark, declared, data, inputs, priorMasks)
         .filter(not(coalesce(
           org.apache.spark.sql.GraftShims.column(unresolvedCond), lit(false))))
         .write.mode("overwrite").parquet(staging.toString)
@@ -303,7 +313,7 @@ object ParquetDelete {
     // with it (rename fails if the destination exists). Same
     // discipline as [[Compaction.compactTable]].
     val opId = java.util.UUID.randomUUID().toString.take(8)
-    def renameParts(staging: Path, into: Path, group: Int,
+    def renameParts(staging: Path, into: Path, relDir: String, group: Int,
         tag: Option[Int]): Seq[String] = {
       val out = Seq.newBuilder[String]
       var i = 0
@@ -311,10 +321,13 @@ object ParquetDelete {
         if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
           val name = f"delete-$opId-$group-$i%05d" +
             tag.fold("")(k => s"-b$k") + ".parquet"
-          if (!fs.rename(s.getPath, new Path(into, name))) {
+          val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+          val to = new Path(into, rel)
+          fs.mkdirs(to.getParent)
+          if (!fs.rename(s.getPath, to)) {
             throw new java.io.IOException(s"stage rename failed for ${s.getPath}")
           }
-          out += name
+          out += rel
           i += 1
         }
       }
@@ -322,23 +335,29 @@ object ParquetDelete {
       out.result()
     }
     // Bucketed table ([[ParquetBucketing]]): rewrite WITHIN each
-    // name-tagged bucket — one job per affected bucket, submitted
-    // CONCURRENTLY ([[Compaction.inParallel]]) — so every survivor
-    // file keeps its tag and the key-grouped layout survives the
-    // DELETE. Untagged inputs rewrite together, outputs untagged.
-    val tagOf: Path => Option[Int] =
+    // name-tagged bucket; partitioned table: WITHIN each partition dir
+    // (survivors stay in their partition — the layout survives the
+    // DELETE). One job per affected group, submitted CONCURRENTLY
+    // ([[Compaction.inParallel]]). Untagged inputs rewrite together.
+    val tagOf: String => Option[Int] =
       if (ParquetBucketing.readSpec(tableDir).isEmpty) _ => None
-      else p => ParquetBucketing.bucketOfName(p.getName)
-    val rewriteGroups: Seq[(Option[Int], Seq[Path])] =
-      rewrites.groupBy(tagOf).toSeq.sortBy(_._1.getOrElse(Int.MinValue))
+      else rel => ParquetBucketing.bucketOfName(
+        rel.substring(rel.lastIndexOf('/') + 1))
+    def dirOfRel(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val rewriteGroups: Seq[((String, Option[Int]), Seq[String])] =
+      rewrites.map(_._1).groupBy(rel => (dirOfRel(rel), tagOf(rel)))
+        .toSeq.sortBy(_._1)
     def rewriteAll(into: Path): Seq[String] =
       Compaction.inParallel(rewriteGroups.zipWithIndex) {
-        case ((tag, members), g) =>
+        case (((relDir, tag), members), g) =>
           val staging = new Path(base,
-            s".delete-$opId" + tag.fold("")(k => s"-b$k"))
+            s".delete-$opId-$g" + tag.fold("")(k => s"-b$k"))
           fs.delete(staging, true)
           rewriteSurvivors(members, staging)
-          renameParts(staging, into, g, tag)
+          renameParts(staging, into, relDir, g, tag)
       }.flatten
 
     if (versioned) {
@@ -350,8 +369,8 @@ object ParquetDelete {
       // reclaims.
       val written =
         if (rewrites.isEmpty) Seq.empty[String] else rewriteAll(data)
-      val droppedNames = dropped.map(_.getName).toSet
-      val rewriteNames = rewrites.map(_.getName).toSet
+      val droppedNames = dropped.map(_._1).toSet
+      val rewriteNames = rewrites.map(_._1).toSet
       if (preCaughtUp) {
         // REPLACE WHERE: one publish covers retirement, rewrites AND
         // the appended payload — straight to the ledger, no internal
@@ -369,7 +388,11 @@ object ParquetDelete {
       val next = new Path(base, "data.next")
       fs.delete(next, true)
       fs.mkdirs(next)
-      untouched.foreach(p => Compaction.linkOrCopy(fs, conf, p, new Path(next, p.getName)))
+      untouched.foreach { case (rel, p) =>
+        val to = new Path(next, rel)
+        fs.mkdirs(to.getParent)
+        Compaction.linkOrCopy(fs, conf, p, to)
+      }
       if (rewrites.nonEmpty) rewriteAll(next)
       fs.create(new Path(next, "_COMPACT_SUCCESS"), true).close()
       Compaction.swapGenerations(fs, base)

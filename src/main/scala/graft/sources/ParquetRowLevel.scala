@@ -119,17 +119,14 @@ class ParquetGroupScan(tableDir: String, declared: StructType)
   private val pinned: Seq[(String, Long, Long)] = {
     val data = new Path(tableDir, "data")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listed =
-      if (!fs.exists(data)) Seq.empty
-      else fs.listStatus(data).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-          !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+    // committed-file walk ([[ParquetVersions.walkData]]): partitioned
+    // tables nest files under partition dirs; names data/-relative
+    val all = ParquetVersions.walkData(fs, data)
+      .map { case (rel, s) => (rel, s.getLen, s.getModificationTime) }
     val live: Set[String] =
       if (ParquetVersions.enabled(tableDir)) ParquetVersions.live(tableDir).toSet
-      else listed.map(_.getPath.getName).toSet
-    listed.filter(s => live(s.getPath.getName))
-      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
-      .sortBy(_._1)
+      else all.map(_._1).toSet
+    all.filter(s => live(s._1)).sortBy(_._1)
   }
 
   /** Delete masks in force at scan creation ([[DeleteMasks]]): a

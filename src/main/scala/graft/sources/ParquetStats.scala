@@ -68,6 +68,15 @@ object ParquetFooterStats {
 
   private val cache = new ConcurrentHashMap[(String, Long, Long), FileStats]()
 
+  /** Count of PHYSICAL footer opens (cache misses) — the planning-cost
+    * observable: partition pruning and stats manifests exist to keep
+    * this low, and the specs assert on it. */
+  val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Test hook: forget every cached footer, so a spec can measure the
+    * cold-planning open count of the next query. */
+  private[graft] def clearCacheForTesting(): Unit = cache.clear()
+
   def get(conf: Configuration, path: Path, len: Long, mtime: Long): FileStats = {
     cache.computeIfAbsent((path.toString, len, mtime), _ => read(conf, path))
   }
@@ -76,6 +85,7 @@ object ParquetFooterStats {
     * unusable stats poisons only that COLUMN (dropped from the map),
     * never the file. */
   private def read(conf: Configuration, path: Path): FileStats = {
+    footerReads.incrementAndGet()
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
@@ -367,7 +377,26 @@ object FooterPrune {
   * raw listing (minus nothing) as before. */
 class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructType,
     val allowed: Option[Set[String]] = None)
-    extends InMemoryFileIndex(spark, Seq(dataDir), Map.empty, Some(schema)) {
+    // recursiveFileLookup: partitioned tables nest files under
+    // `col~val/` dirs, and WITHOUT it `allFiles()` serves only the
+    // root-level listing (the no-partition fast path); it also turns
+    // Hive-style inference off wholesale, which is exactly the
+    // [[PartitionSpecs]] contract (all columns live in the files)
+    extends InMemoryFileIndex(spark, Seq(dataDir),
+      Map("recursiveFileLookup" -> "true"), Some(schema)) {
+
+  /** The table's partition layout, if any ([[PartitionSpecs]]) — the
+    * table dir is `data/`'s parent. */
+  private lazy val partSpec: Option[PartitionSpecs.Spec] =
+    Option(dataDir.getParent).flatMap(p => PartitionSpecs.read(p.toString))
+
+  /** Partition values live in DIRECTORY NAMES of our own `col~val`
+    * scheme (never Hive `col=val`, deliberately — see
+    * [[PartitionSpecs]]), and identity values are ALSO in the files,
+    * so Spark-side partition inference must stay EMPTY: all columns
+    * come from the data files, all files list flat. */
+  override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
+    org.apache.spark.sql.execution.datasources.PartitionSpec.emptySpec
 
   /** `InMemoryFileIndex.equals` compares ROOT PATHS ONLY — under that,
     * a scan of `VERSION AS OF 1` equals a scan of the current state
@@ -385,27 +414,50 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val listed = super.listFiles(partitionFilters, dataFilters)
+    // `allowed` holds data/-relative names (equal to bare names on the
+    // flat layout)
     val base = allowed match {
       case None => listed
       case Some(names) => listed.map { pd =>
-        pd.copy(files = pd.files.filter(f => names(f.getPath.getName)))
+        pd.copy(files = pd.files.filter(f =>
+          names(PartitionSpecs.relFromData(f.getPath))))
       }
     }
     val conjuncts = dataFilters.flatMap(FooterPrune.splitConjuncts)
     if (conjuncts.isEmpty) return base
+    var total = 0
+    // PASS 1 — partition-dir pruning, zero I/O: the dir-encoded values
+    // synthesize min=max bounds and run the same exclusion proof as
+    // footer stats. Files of excluded partitions are dropped HERE and
+    // never have their footers opened.
+    val afterPartitions = partSpec match {
+      case None =>
+        base.foreach(pd => total += pd.files.length)
+        base
+      case Some(ps) => base.map { pd =>
+        pd.copy(files = pd.files.filter { f =>
+          total += 1
+          PartitionSpecs.statsOfRelPath(ps, schema,
+              PartitionSpecs.relFromData(f.getPath)) match {
+            case Some(synthetic) =>
+              !conjuncts.exists(c => FooterPrune.excludes(synthetic, c))
+            case None => true // unrecognized layout: keep, footers decide
+          }
+        })
+      }
+    }
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    // warm the footer cache for all candidate files concurrently
-    val all = base.flatMap(_.files)
+    // PASS 2 — footer bounds, on the partition survivors only; warm the
+    // footer cache for them concurrently
+    val all = afterPartitions.flatMap(_.files)
     all.toArray.asInstanceOf[Array[AnyRef]].toSeq.asJava.parallelStream().forEach { f0 =>
       val f = f0.asInstanceOf[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata]
       try ParquetFooterStats.get(conf, f.getPath, f.getLen, f.getModificationTime)
       catch { case _: Exception => () } // unreadable footer → no pruning
     }
-    var total = 0
     var kept = 0
-    val pruned = base.map { pd =>
+    val pruned = afterPartitions.map { pd =>
       pd.copy(files = pd.files.filter { f =>
-        total += 1
         val keep = try {
           val fs = ParquetFooterStats.get(conf, f.getPath, f.getLen, f.getModificationTime)
           !conjuncts.exists(c => FooterPrune.excludes(fs, c))
@@ -520,16 +572,44 @@ class StatsPrunedParquetTable(
     caps
   }
 
-  /** Writes: Spark's own parquet write builder, wrapped for
+  /** The partition layout, when the table was created PARTITIONED BY
+    * ([[PartitionSpecs]]); resolved once per loadTable. */
+  private lazy val partitionLayout: Option[PartitionSpecs.Spec] =
+    PartitionSpecs.read(tableDir)
+
+  /** Reported catalog partitioning: the declared transforms on a
+    * partitioned table (DESCRIBE shows them; Spark plans nothing off
+    * them — pruning happens inside [[StatsPrunedFileIndex]]). */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionLayout match {
+      case Some(spec) => spec.fields.map { f =>
+        f.transform match {
+          case "identity" =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(f.col)
+          case _ => org.apache.spark.sql.connector.expressions.Expressions.days(f.col)
+        }
+      }.toArray
+      case None => super.partitioning()
+    }
+
+  /** Writes: on a PARTITIONED table, the partition-routing staged
+    * write ([[PartitionedWriteBuilder]] — per-partition files, one
+    * atomic ledger publish; truncate-mode for INSERT OVERWRITE).
+    * Otherwise Spark's own parquet write builder, wrapped for
     * `REPLACE WHERE` / v2 truncate ([[ParquetReplaceWriteBuilder]] —
     * append-path delegation, [[ParquetDelete]] retirement, one ledger
-    * publish on versioned tables). Plain appends are pass-through. */
+    * publish on versioned tables); plain appends are pass-through. */
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
       "WRITE on a VERSION AS OF snapshot — time-travel tables are read-only")
-    new ParquetReplaceWriteBuilder(super.newWriteBuilder(info), spark,
-      tableDir, declared, info.queryId())
+    partitionLayout match {
+      case Some(spec) =>
+        new PartitionedWriteBuilder(tableDir, declared, spec, info.queryId())
+      case None =>
+        new ParquetReplaceWriteBuilder(super.newWriteBuilder(info), spark,
+          tableDir, declared, info.queryId())
+    }
   }
 
   /** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE` — Spark's

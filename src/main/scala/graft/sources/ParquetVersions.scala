@@ -113,33 +113,62 @@ object SchemaManifest {
 
 object ParquetVersions {
 
-  /** Names a maintenance rewrite commits under — the complement of the
+  /** Names whose visibility is LEDGER-GATED — the complement of the
     * append namespace (`part-*` from the v1 writer, `b<k>-*` from the
-    * bucketed writer). `rtas-` is REPLACE TABLE AS SELECT
-    * ([[ParquetReplaceAllWrite]]), `zorder-` is OPTIMIZE ZORDER
-    * ([[ParquetZorder]]). A rewrite path that invents a NEW prefix
-    * without registering it here double-serves every row in its
+    * bucketed writer), matched on the BASE name so partitioned tables'
+    * relative paths (`date~…/ins-….parquet`) classify the same.
+    * `rtas-` is REPLACE TABLE AS SELECT ([[ParquetReplaceAllWrite]]),
+    * `zorder-` is OPTIMIZE ZORDER ([[ParquetZorder]]), `ins-` is the
+    * partitioned tables' staged INSERT ([[PartitionedWriteBuilder]] —
+    * gated so a crash mid-multi-partition-rename leaves no torn commit
+    * visible). A rewrite path that invents a NEW prefix without
+    * registering it here double-serves every row in its
     * rename-to-publish window and leaks crashed outputs as
     * permanently-live appends vacuum can never reclaim. */
-  private[sources] def maintenanceNamed(name: String): Boolean =
-    name.startsWith("compact-") || name.startsWith("delete-") ||
-      name.startsWith("rlo-") || name.startsWith("rtas-") ||
-      name.startsWith("zorder-")
+  private[sources] def maintenanceNamed(name: String): Boolean = {
+    val base = name.substring(name.lastIndexOf('/') + 1)
+    base.startsWith("compact-") || base.startsWith("delete-") ||
+      base.startsWith("rlo-") || base.startsWith("rtas-") ||
+      base.startsWith("zorder-") || base.startsWith("ins-")
+  }
 
   private def fsOf(p: Path) = p.getFileSystem(new Configuration())
 
   private def dataDir(tableDir: String): Path = new Path(tableDir, "data")
 
-  /** Current `data/` parquet file names (committed files only — staged
-    * dot/underscore names are invisible by convention). */
+  /** The COMMITTED-file walk of a `data/` dir: parquet files directly
+    * inside it plus those under PARTITION dirs (`col~val/…`,
+    * [[PartitionSpecs]]) — and nothing else. Dot/underscore names are
+    * staged or committer-internal (`.rtas-*`, `_temporary/…`) and are
+    * never surfaced or descended into; non-partition subdirs don't
+    * exist in this layout and are ignored rather than guessed at. A
+    * dir vanishing mid-walk (a racing commit/abort) is skipped.
+    * Returns (data/-relative name, status), unsorted. */
+  private[sources] def walkData(fs: org.apache.hadoop.fs.FileSystem,
+      data: Path): Seq[(String, org.apache.hadoop.fs.FileStatus)] = {
+    val out = Seq.newBuilder[(String, org.apache.hadoop.fs.FileStatus)]
+    def walk(dir: Path, prefix: String): Unit = {
+      val statuses =
+        try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return }
+      statuses.foreach { s =>
+        val n = s.getPath.getName
+        if (n.startsWith(".") || n.startsWith("_")) ()
+        else if (s.isDirectory) {
+          if (n.contains("~")) walk(s.getPath, s"$prefix$n/")
+        } else if (n.endsWith(".parquet")) out += ((prefix + n, s))
+      }
+    }
+    if (fs.exists(data)) walk(data, "")
+    out.result()
+  }
+
+  /** Current `data/` parquet file names, RELATIVE to `data/` (bare
+    * names on the flat layout, `col~val/…` paths on partitioned
+    * tables), committed files only ([[walkData]]). */
   private[sources] def listing(tableDir: String): Seq[String] = {
     val data = dataDir(tableDir)
-    val fs = fsOf(data)
-    if (!fs.exists(data)) return Seq.empty
-    fs.listStatus(data).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet") &&
-        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
-      .map(_.getPath.getName).sorted
+    walkData(fsOf(data), data).map(_._1).sorted
   }
 
   def enabled(tableDir: String): Boolean = VersionLedger.enabled(tableDir)

@@ -35,6 +35,9 @@ object ParquetZorder {
     require(ParquetBucketing.readSpec(tableDir).isEmpty,
       s"$tableDir pins a bucket layout — zorder would break join co-location; " +
         "drop the bucket spec first if probe locality matters more")
+    require(!PartitionSpecs.exists(tableDir),
+      s"$tableDir is partitioned — a global Z-order rewrite would flatten the " +
+        "partition layout; compact_table handles partition-wise maintenance")
     require(ParquetVersions.enabled(tableDir),
       s"zorder_table needs a versioned table — CALL enable_versioning first")
     ParquetVersions.catchUp(tableDir) // pending appends join the ledger

@@ -1,0 +1,386 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+/** `PARTITIONED BY` for catalog parquet tables (VERDICT r10 #1) — the
+  * standard lake layout every migration tool emits (`PARTITION BY` is
+  * the MergeTree layout clause behind the reference's warehouse,
+  * `hashes_test.go:28-29`; DDL path `migrate.go:21-31`), composed with
+  * the version ledger rather than bolted beside it:
+  *
+  *   - supported transforms: `identity(col)` on string / integral /
+  *     date / boolean columns and `days(col)` on timestamp / date;
+  *   - layout: one directory level per partition field under `data/`,
+  *     named `<col>~<url-encoded value>` — deliberately NOT Hive
+  *     `col=val`, so Spark's directory inference finds nothing and the
+  *     table schema stays EXACTLY the declared one (no phantom
+  *     partition columns, no column reordering breaking by-position
+  *     INSERT). Identity values are ALSO stored in the data files, so
+  *     rows are self-contained: readers never reconstruct columns from
+  *     paths, and footer stats keep working per file;
+  *   - partitioned tables are VERSIONED FROM BIRTH: every write stages
+  *     files and publishes ONE ledger commit whose names are paths
+  *     RELATIVE to `data/` (`date~2024-01-01/ins-….parquet`). The
+  *     `ins-` prefix is ledger-gated like maintenance names — a crash
+  *     between rename and publish leaves the half-landed files
+  *     invisible and vacuumable, making multi-partition INSERT atomic
+  *     (the flat tier's rename-is-commit append cannot be, across
+  *     directories);
+  *   - planning prunes PARTITIONS FIRST, before any footer I/O: each
+  *     file's partition-dir values synthesize min=max [[ParquetFooterStats]]
+  *     bounds and run through the SAME [[FooterPrune.excludes]] proof
+  *     as footer stats — every comparison / IN / IsNull / prefix
+  *     operator works on partition values for free, and a file in an
+  *     excluded partition is never opened. */
+object PartitionSpecs {
+
+  case class PartField(col: String, transform: String) // "identity" | "days"
+  case class Spec(fields: Seq[PartField])
+
+  private def specPath(tableDir: String): Path = new Path(tableDir, "_partition.json")
+
+  def exists(tableDir: String): Boolean = {
+    val p = specPath(tableDir)
+    p.getFileSystem(new Configuration()).exists(p)
+  }
+
+  def read(tableDir: String): Option[Spec] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmt: Formats = DefaultFormats
+    val p = specPath(tableDir)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    Some(Spec(JsonMethods.parse(new String(bytes,
+      java.nio.charset.StandardCharsets.UTF_8)).extract[Seq[PartField]]))
+  }
+
+  def write(tableDir: String, spec: Spec): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val p = specPath(tableDir)
+    val fs = p.getFileSystem(new Configuration())
+    val json = JsonMethods.compact(JsonMethods.render(
+      spec.fields.map(f => ("col" -> f.col) ~ ("transform" -> f.transform))))
+    val out = fs.create(p, false) // the spec is immutable once created
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Parse the catalog `Transform`s of CREATE TABLE … PARTITIONED BY
+    * and validate them against the declared schema. Loud on anything
+    * unsupported — a silently dropped layout clause is corruption. */
+  def fromTransforms(
+      transforms: Array[org.apache.spark.sql.connector.expressions.Transform],
+      schema: StructType): Spec = {
+    val fields = transforms.toSeq.map { t =>
+      val refs = t.references()
+      val col = if (refs.length == 1) refs.head.fieldNames().mkString(".") else ""
+      t.name() match {
+        case "identity" if col.nonEmpty => PartField(col, "identity")
+        case "days" if col.nonEmpty => PartField(col, "days")
+        case _ => throw new UnsupportedOperationException(
+          s"unsupported partition transform $t — supported: identity(col), days(col)")
+      }
+    }
+    fields.foreach { f =>
+      require(!f.col.contains("~") && !f.col.contains("/"),
+        s"partition column '${f.col}' carries layout-reserved characters")
+      val sf = schema.find(_.name.equalsIgnoreCase(f.col)).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '${f.col}' is not in the table schema"))
+      f.transform match {
+        case "identity" => sf.dataType match {
+          case StringType | ByteType | ShortType | IntegerType | LongType |
+               DateType | BooleanType => ()
+          case dt => throw new UnsupportedOperationException(
+            s"identity partitioning on ${dt.simpleString} column '${f.col}' — " +
+              "use string/integral/date/boolean, or days() for timestamps")
+        }
+        case "days" => sf.dataType match {
+          case TimestampType | TimestampNTZType | DateType => ()
+          case dt => throw new UnsupportedOperationException(
+            s"days() partitioning needs a timestamp/date column, got " +
+              s"${dt.simpleString} '${f.col}'")
+        }
+      }
+    }
+    require(fields.map(_.col.toLowerCase).distinct.size == fields.size,
+      "duplicate partition columns")
+    Spec(fields)
+  }
+
+  // --- directory-name codec ---------------------------------------
+
+  private val NullDir = "~" // the encoded part; URLEncoder never emits '~'
+
+  private def encode(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def decode(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
+
+  def dirName(col: String, value: Option[String]): String =
+    s"$col~${value.fold(NullDir)(encode)}"
+
+  /** `col~enc` → (col, decoded value); None = not a partition dir. */
+  def parseDirName(name: String): Option[(String, Option[String])] = {
+    val i = name.indexOf('~')
+    if (i <= 0) None
+    else {
+      val enc = name.substring(i + 1)
+      Some((name.substring(0, i),
+        if (enc == NullDir) None else Some(decode(enc))))
+    }
+  }
+
+  /** The path of a file RELATIVE to its table's `data/` dir: the
+    * segments below the deepest ancestor named `data` (partition dirs
+    * always carry '~', so they can never be mistaken for it), or the
+    * bare file name on the flat layout. */
+  def relFromData(file: Path): String = {
+    val segs = Seq.newBuilder[String]
+    var cur = file
+    while (cur != null && cur.getName.nonEmpty && cur.getName != "data") {
+      segs += cur.getName
+      cur = cur.getParent
+    }
+    if (cur == null || cur.getName != "data") file.getName
+    else segs.result().reverse.mkString("/")
+  }
+
+  // --- row → partition-dir evaluation (write side) ------------------
+
+  private val MicrosPerDay = 86400000000L
+
+  /** Per-row relative partition directory, evaluated on InternalRows
+    * of `schema` (executor-side; resolved by ordinal once here). */
+  def rowDirFn(spec: Spec, schema: StructType): InternalRow => String = {
+    val evals: Seq[InternalRow => String] = spec.fields.map { f =>
+      val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(f.col))
+      require(idx >= 0, s"partition column ${f.col} missing from write schema")
+      val dt = schema(idx).dataType
+      (row: InternalRow) => {
+        val v: Option[String] =
+          if (row.isNullAt(idx)) None
+          else (f.transform, dt) match {
+            case ("identity", StringType) => Some(row.getUTF8String(idx).toString)
+            case ("identity", ByteType) => Some(row.getByte(idx).toString)
+            case ("identity", ShortType) => Some(row.getShort(idx).toString)
+            case ("identity", IntegerType) => Some(row.getInt(idx).toString)
+            case ("identity", LongType) => Some(row.getLong(idx).toString)
+            case ("identity", BooleanType) => Some(row.getBoolean(idx).toString)
+            case ("identity", DateType) =>
+              Some(java.time.LocalDate.ofEpochDay(row.getInt(idx)).toString)
+            case ("days", DateType) =>
+              Some(java.time.LocalDate.ofEpochDay(row.getInt(idx)).toString)
+            case ("days", TimestampType | TimestampNTZType) =>
+              Some(java.time.LocalDate.ofEpochDay(
+                Math.floorDiv(row.getLong(idx), MicrosPerDay)).toString)
+            case other => throw new IllegalStateException(
+              s"unreachable partition eval $other")
+          }
+        dirName(f.col, v)
+      }
+    }
+    row => evals.map(_(row)).mkString("/")
+  }
+
+  // --- partition-dir pruning (read side) ----------------------------
+
+  /** Synthesize [[ParquetFooterStats.FileStats]] from a file's
+    * partition-dir path, so [[FooterPrune.excludes]] proves exclusion
+    * BEFORE any footer is opened. Identity values give min = max =
+    * value; `days(ts)` gives the day's micros range. A file NOT under
+    * a recognizable partition dir (pre-partitioning data, or a
+    * row-level rewrite that landed at the root) yields None — never
+    * pruned, always correct. */
+  def statsOfRelPath(spec: Spec, schema: StructType,
+      relPath: String): Option[ParquetFooterStats.FileStats] = {
+    import ParquetFooterStats._
+    val dirs = relPath.split("/").dropRight(1)
+    if (dirs.length != spec.fields.length) return None
+    val cols = Map.newBuilder[String, ColStats]
+    spec.fields.zip(dirs).foreach { case (f, dir) =>
+      val parsed = parseDirName(dir) match {
+        case Some((c, v)) if c.equalsIgnoreCase(f.col) => v
+        case _ => return None // layout mismatch: keep the file
+      }
+      val dt = schema.find(_.name.equalsIgnoreCase(f.col)).map(_.dataType)
+        .getOrElse(return None)
+      // rowCount is synthetic (1): only the all-null / no-null proofs
+      // use it, and a partition dir is homogeneous by construction
+      val cs: Option[ColStats] = parsed match {
+        case None => Some(ColStats(domainOf(f, dt).getOrElse(return None),
+          None, None, Some(1L))) // all-null partition
+        case Some(raw) => (f.transform, dt) match {
+          case ("identity", StringType) =>
+            Some(ColStats(DStr,
+              Some(org.apache.spark.unsafe.types.UTF8String.fromString(raw)),
+              Some(org.apache.spark.unsafe.types.UTF8String.fromString(raw)),
+              Some(0L)))
+          case ("identity", ByteType | ShortType | IntegerType | LongType) =>
+            val v = raw.toLong
+            Some(ColStats(DInt, Some(v), Some(v), Some(0L)))
+          case ("identity", BooleanType) =>
+            val v = raw.toBoolean
+            Some(ColStats(DBool, Some(v), Some(v), Some(0L)))
+          case ("identity" | "days", DateType) =>
+            val d = java.time.LocalDate.parse(raw).toEpochDay
+            // days(date) buckets one day per dir, so bounds stay exact
+            Some(ColStats(DDays, Some(d), Some(d), Some(0L)))
+          case ("days", TimestampType | TimestampNTZType) =>
+            val day = java.time.LocalDate.parse(raw).toEpochDay
+            Some(ColStats(DMicros,
+              Some(Math.multiplyExact(day, MicrosPerDay)),
+              Some(Math.multiplyExact(day, MicrosPerDay) + (MicrosPerDay - 1)),
+              Some(0L)))
+          case _ => None
+        }
+      }
+      cs match {
+        case Some(c) => cols += f.col.toLowerCase -> c
+        case None => return None
+      }
+    }
+    Some(FileStats(1L, cols.result()))
+  }
+
+  private def domainOf(f: PartField,
+      dt: DataType): Option[ParquetFooterStats.Domain] = {
+    import ParquetFooterStats._
+    (f.transform, dt) match {
+      case ("identity", StringType) => Some(DStr)
+      case ("identity", ByteType | ShortType | IntegerType | LongType) => Some(DInt)
+      case ("identity", BooleanType) => Some(DBool)
+      case ("identity" | "days", DateType) => Some(DDays)
+      case ("days", TimestampType | TimestampNTZType) => Some(DMicros)
+      case _ => None
+    }
+  }
+}
+
+/** The partitioned table's write path: every task routes rows to one
+  * staged file per partition directory it encounters; the driver
+  * renames them under `data/<partition dirs>/ins-…` and publishes ONE
+  * ledger commit — atomic multi-partition INSERT (truncate-mode for
+  * `INSERT OVERWRITE`, history-preserving like the flat tier). */
+class PartitionedWriteBuilder(tableDir: String, declared: StructType,
+    spec: PartitionSpecs.Spec, queryId: String)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var replaceAll = false
+
+  override def truncate(): WriteBuilder = { replaceAll = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      private def spark = org.apache.spark.sql.classic.SparkSession.active
+      private val stagingDir = new Path(tableDir, s".ins-$queryId")
+
+      override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+        val job = org.apache.hadoop.mapreduce.Job.getInstance(
+          spark.sessionState.newHadoopConf())
+        val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, declared)
+        new PartitionedStageWriterFactory(owf,
+          new SerializableConfiguration(job.getConfiguration), declared, spec,
+          stagingDir.toString)
+      }
+
+      override def commit(messages: Array[WriterCommitMessage]): Unit = {
+        val data = new Path(tableDir, "data")
+        val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val written = Seq.newBuilder[String]
+        messages.foreach {
+          case PartitionedStageCommit(staged, pid) =>
+            staged.zipWithIndex.foreach { case ((path, relDir), j) =>
+              val name = f"ins-$queryId-$pid%05d-$j.parquet"
+              val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+              val to = new Path(data, rel)
+              fs.mkdirs(to.getParent)
+              if (fs.exists(to)) fs.delete(to, false) // retried stage
+              if (!fs.rename(new Path(path), to)) {
+                throw new java.io.IOException(
+                  s"partitioned write: rename $path -> $to failed")
+              }
+              written += rel
+            }
+          case _ =>
+        }
+        fs.delete(stagingDir, true)
+        val names = written.result().sorted
+        // the publish IS the commit: before it, the ins- files are
+        // ledger-gated invisible (crash → vacuum reclaims them)
+        ParquetVersions.commit(tableDir) { live =>
+          if (replaceAll) names else (live ++ names).distinct.sorted
+        }
+        ()
+      }
+
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val fs = stagingDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(stagingDir, true)
+        ()
+      }
+    }
+
+    override def description(): String =
+      s"PartitionedWrite dir=$tableDir replaceAll=$replaceAll"
+  }
+}
+
+/** Staged files of one task: (staged path, relative partition dir). */
+case class PartitionedStageCommit(staged: Seq[(String, String)], pid: Int)
+    extends WriterCommitMessage
+
+class PartitionedStageWriterFactory(owf: OutputWriterFactory,
+    conf: SerializableConfiguration, schema: StructType,
+    spec: PartitionSpecs.Spec, stagingDir: String) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft-part", 0), TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val ctx = new TaskAttemptContextImpl(conf.value, attempt)
+    val dirOf = PartitionSpecs.rowDirFn(spec, schema)
+    // task-unique staged names: speculative attempts never collide
+    def pathFor(relDir: String): String =
+      s"$stagingDir/$relDir/stage-$partitionId-$taskId.parquet"
+
+    new DataWriter[InternalRow] {
+      private val writers = scala.collection.mutable.Map.empty[String,
+        org.apache.spark.sql.execution.datasources.OutputWriter]
+
+      override def write(row: InternalRow): Unit = {
+        val relDir = dirOf(row)
+        writers.getOrElseUpdate(relDir,
+          owf.newInstance(pathFor(relDir), schema, ctx)).write(row)
+      }
+      override def commit(): WriterCommitMessage = {
+        writers.values.foreach(_.close())
+        PartitionedStageCommit(
+          writers.keys.toSeq.sorted.map(d => (pathFor(d), d)), partitionId)
+      }
+      override def abort(): Unit = {
+        writers.values.foreach(_.close())
+        writers.keys.foreach { d =>
+          val p = new Path(pathFor(d))
+          val fs = p.getFileSystem(conf.value)
+          if (fs.exists(p)) fs.delete(p, false)
+        }
+        ()
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,215 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `PARTITIONED BY` on catalog parquet tables ([[PartitionSpecs]]):
+  * identity and days() layouts under `data/<col>~<value>/`, versioned
+  * from birth, atomic multi-partition INSERT, partition pruning BEFORE
+  * footer I/O, partition-wise DELETE and compaction, and safe
+  * composition with time travel. */
+class PartitionedTableSpec extends AnyFunSuite {
+
+  private val warehouse: String =
+    Files.createTempDirectory("graft_part_wh").toString
+
+  lazy val spark: SparkSession = {
+    val s = graft.Sessions.base("local[4]", 4)
+    s.conf.set("spark.sql.catalog.graft_ptn", "graft.sources.LogCatalog")
+    s.conf.set("spark.sql.catalog.graft_ptn.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_ptn.lake")
+    s
+  }
+
+  private def fs = new Path(warehouse).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  test("identity partitioning: layout, atomic INSERT, exact reads") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.sales")
+    spark.sql("""CREATE TABLE graft_ptn.lake.sales
+                 (region STRING, day DATE, amount BIGINT)
+                 PARTITIONED BY (region, day)""")
+    val dir = s"$warehouse/lake/sales"
+    assert(ParquetVersions.enabled(dir), "partitioned tables are versioned from birth")
+    spark.sql("""INSERT INTO graft_ptn.lake.sales VALUES
+      ('eu', DATE'2024-01-01', 10), ('eu', DATE'2024-01-02', 20),
+      ('us', DATE'2024-01-01', 30), ('us', DATE'2024-01-02', 40),
+      (NULL, DATE'2024-01-01', 50)""")
+    // one INSERT = one ledger publish, names are partition-relative
+    val (v, names) = ParquetVersions.latest(dir).get
+    assert(names.nonEmpty && names.forall(_.contains("/")), names)
+    assert(names.exists(_.startsWith("region~eu/day~2024-01-01/")), names)
+    assert(names.exists(_.startsWith("region~~/")), s"null partition dir: $names")
+    // rows read back exactly, partition columns from the data files
+    assert(spark.sql("SELECT sum(amount) AS s FROM graft_ptn.lake.sales")
+      .head.getLong(0) === 150)
+    assert(spark.sql(
+      "SELECT amount FROM graft_ptn.lake.sales WHERE region IS NULL")
+      .head.getLong(0) === 50)
+    // second INSERT appends, one more version
+    spark.sql("INSERT INTO graft_ptn.lake.sales VALUES ('eu', DATE'2024-01-01', 5)")
+    assert(ParquetVersions.latest(dir).get._1 === v + 1)
+    assert(spark.sql(
+      "SELECT sum(amount) AS s FROM graft_ptn.lake.sales WHERE region = 'eu'")
+      .head.getLong(0) === 35)
+  }
+
+  test("partition pruning runs BEFORE footer I/O: excluded partitions never open") {
+    val probe = "SELECT sum(amount) AS s FROM graft_ptn.lake.sales WHERE region = 'us'"
+    ParquetFooterStats.clearCacheForTesting()
+    val before = ParquetFooterStats.footerReads.get()
+    assert(spark.sql(probe).head.getLong(0) === 70)
+    val opened = ParquetFooterStats.footerReads.get() - before
+    // only the two us-partition files (one per day) may be opened; the
+    // eu and null partitions are dir-pruned with zero I/O
+    assert(opened <= 2, s"footer opens for excluded partitions: $opened")
+    // a range probe on the other partition column prunes the same way
+    ParquetFooterStats.clearCacheForTesting()
+    val b2 = ParquetFooterStats.footerReads.get()
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_ptn.lake.sales WHERE day > DATE'2024-01-01'")
+      .head.getLong(0) === 2)
+    assert(ParquetFooterStats.footerReads.get() - b2 <= 2)
+  }
+
+  test("days(ts) partitioning prunes timestamp range probes") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.events")
+    spark.sql("""CREATE TABLE graft_ptn.lake.events (ts TIMESTAMP, v BIGINT)
+                 PARTITIONED BY (days(ts))""")
+    spark.sql("""INSERT INTO graft_ptn.lake.events VALUES
+      (TIMESTAMP'2024-03-01 08:00:00', 1), (TIMESTAMP'2024-03-01 20:00:00', 2),
+      (TIMESTAMP'2024-03-02 08:00:00', 3), (TIMESTAMP'2024-03-03 12:30:00', 4)""")
+    val dir = s"$warehouse/lake/events"
+    val names = ParquetVersions.latest(dir).get._2
+    assert(names.exists(_.startsWith("ts~2024-03-01/")), names)
+    assert(names.map(_.split("/").head).distinct.size === 3)
+    ParquetFooterStats.clearCacheForTesting()
+    val before = ParquetFooterStats.footerReads.get()
+    assert(spark.sql(
+      """SELECT sum(v) AS s FROM graft_ptn.lake.events
+         WHERE ts >= TIMESTAMP'2024-03-02 00:00:00'
+           AND ts <  TIMESTAMP'2024-03-03 00:00:00'""")
+      .head.getLong(0) === 3)
+    assert(ParquetFooterStats.footerReads.get() - before <= 1,
+      "only the 2024-03-02 partition may be opened")
+  }
+
+  test("INSERT OVERWRITE is a history-preserving truncate") {
+    val dir = s"$warehouse/lake/sales"
+    val vBefore = ParquetVersions.latest(dir).get._1
+    spark.sql("""INSERT OVERWRITE graft_ptn.lake.sales VALUES
+      ('apac', DATE'2024-02-01', 99)""")
+    assert(spark.table("graft_ptn.lake.sales").count() === 1)
+    assert(spark.sql(
+      s"SELECT sum(amount) AS s FROM graft_ptn.lake.sales VERSION AS OF $vBefore")
+      .head.getLong(0) === 155, "pre-overwrite snapshot intact")
+  }
+
+  test("whole-partition DELETE is metadata-only; masked DELETE works partitioned") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.pd")
+    spark.sql("""CREATE TABLE graft_ptn.lake.pd (region STRING, amount BIGINT)
+                 PARTITIONED BY (region)""")
+    spark.sql("""INSERT INTO graft_ptn.lake.pd
+                 SELECT CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END, id
+                 FROM range(100)""")
+    val dir = s"$warehouse/lake/pd"
+    ParquetFooterStats.clearCacheForTesting()
+    val before = ParquetFooterStats.footerReads.get()
+    spark.sql("DELETE FROM graft_ptn.lake.pd WHERE region = 'eu'")
+    // classification proves the whole eu partition from dir values and
+    // the whole us partition untouched — zero footer opens, zero rewrites
+    assert(ParquetFooterStats.footerReads.get() === before,
+      "whole-partition delete must be metadata-only")
+    assert(spark.table("graft_ptn.lake.pd").count() === 50)
+    // merge-on-read DELETE on the surviving partition
+    spark.conf.set(DeleteMasks.MODE_KEY, "merge-on-read")
+    try spark.sql("DELETE FROM graft_ptn.lake.pd WHERE amount = 51")
+    finally spark.conf.unset(DeleteMasks.MODE_KEY)
+    assert(spark.table("graft_ptn.lake.pd").count() === 49)
+    val masks = ParquetVersions.masksFor(dir, None)
+    assert(masks.nonEmpty && masks.keys.forall(_.startsWith("region~us/")),
+      s"masks key on relative names: $masks")
+  }
+
+  test("compact_table packs partition-wise; outputs stay in their partition") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.pc")
+    spark.sql("""CREATE TABLE graft_ptn.lake.pc (region STRING, amount BIGINT)
+                 PARTITIONED BY (region)""")
+    (0 until 3).foreach { i =>
+      spark.sql(s"""INSERT INTO graft_ptn.lake.pc VALUES
+        ('eu', $i), ('us', ${i + 100})""")
+    }
+    val dir = s"$warehouse/lake/pc"
+    assert(ParquetVersions.latest(dir).get._2.size === 6)
+    spark.sql("CALL graft_ptn.system.compact_table(table => 'lake.pc')")
+    val after = ParquetVersions.latest(dir).get._2
+    assert(after.size === 2, s"one packed file per partition: $after")
+    assert(after.forall(n => n.startsWith("eu~") || n.startsWith("us~") ||
+      n.startsWith("region~")), after)
+    assert(after.forall(_.contains("/")), after)
+    assert(spark.sql("SELECT sum(amount) AS s FROM graft_ptn.lake.pc")
+      .head.getLong(0) === (0 + 1 + 2) + (100 + 101 + 102))
+    // vacuum reclaims the six retired originals
+    spark.sql("CALL graft_ptn.system.vacuum(table => 'lake.pc', retain_last => 1)")
+    assert(spark.sql("SELECT sum(amount) AS s FROM graft_ptn.lake.pc")
+      .head.getLong(0) === 306)
+  }
+
+  test("CTAS with PARTITIONED BY builds the layout atomically") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.ctasp")
+    spark.sql("""CREATE TABLE graft_ptn.lake.ctasp PARTITIONED BY (k) AS
+                 SELECT CAST(id % 3 AS STRING) AS k, id FROM range(30)""")
+    val dir = s"$warehouse/lake/ctasp"
+    assert(PartitionSpecs.exists(dir))
+    assert(ParquetVersions.enabled(dir))
+    val names = ParquetVersions.latest(dir).get._2
+    assert(names.map(_.split("/").head).distinct.sorted ===
+      Seq("k~0", "k~1", "k~2"))
+    assert(spark.table("graft_ptn.lake.ctasp").count() === 30)
+  }
+
+  test("layout conflicts and unsupported combos are rejected loudly") {
+    val e1 = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft_ptn.lake.bad1 (a STRING, d DOUBLE)
+                   PARTITIONED BY (d)""")
+    }
+    assert(e1.getMessage.contains("identity partitioning"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("""CREATE TABLE graft_ptn.lake.bad2 (a STRING, b BIGINT)
+                   PARTITIONED BY (bucket(4, b))""")
+    }
+    assert(e2.getMessage.toLowerCase.contains("transform"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("CALL graft_ptn.system.set_bucket_spec(" +
+        "table => 'lake.sales', col => 'region', n => 4)")
+    }
+    assert(e3.getMessage.contains("mutually exclusive"), e3.getMessage)
+    val e4 = intercept[Exception] {
+      spark.sql("REPLACE TABLE graft_ptn.lake.sales AS SELECT 1 AS x")
+    }
+    assert(e4.getMessage.contains("partitioned"), e4.getMessage)
+    val e5 = intercept[Exception] {
+      spark.sql("CALL graft_ptn.system.zorder_table(" +
+        "table => 'lake.sales', columns => 'amount')")
+    }
+    assert(e5.getMessage.contains("partition"), e5.getMessage)
+  }
+
+  test("UPDATE on a partitioned table stays correct") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.pu")
+    spark.sql("""CREATE TABLE graft_ptn.lake.pu (region STRING, amount BIGINT)
+                 PARTITIONED BY (region)""")
+    spark.sql("""INSERT INTO graft_ptn.lake.pu
+                 SELECT CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END, id
+                 FROM range(20)""")
+    spark.sql("UPDATE graft_ptn.lake.pu SET amount = amount + 1000 WHERE region = 'eu'")
+    val rows = spark.table("graft_ptn.lake.pu").collect()
+    assert(rows.length === 20)
+    assert(rows.filter(_.getString(0) == "eu").forall(_.getLong(1) >= 1000))
+    assert(rows.filter(_.getString(0) == "us").forall(_.getLong(1) < 1000))
+  }
+}
