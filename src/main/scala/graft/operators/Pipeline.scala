@@ -825,7 +825,103 @@ object Pipeline {
                  ORDER BY h.version""")
   }
 
+  /** `PARTITIONED BY` ([[graft.sources.PartitionSpecs]]): a
+    * days()-partitioned catalog table — the standard date-laid lake
+    * layout. The load routes rows into one directory per month, the
+    * partition-aligned DELETE drops its whole partition from dir
+    * values alone (zero data I/O), and the range probe prunes
+    * partitions BEFORE footer stats. The result is the month-level
+    * aggregate of the surviving window — a misrouted row, an
+    * over-pruned partition, or a resurrected deleted month breaks the
+    * hash against the plain-parquet oracle. */
+  def p27_partitioned_table(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p27", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p27.lake.orders_bymonth")
+    spark.sql("""CREATE TABLE graft_p27.lake.orders_bymonth
+                 (o_orderkey BIGINT, mday DATE, cents BIGINT)
+                 PARTITIONED BY (days(mday))""")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("mday"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .writeTo("graft_p27.lake.orders_bymonth").append()
+    // partition-aligned delete: the whole month vanishes metadata-only
+    spark.sql("DELETE FROM graft_p27.lake.orders_bymonth WHERE mday = DATE'1995-01-01'")
+    spark.sql("""SELECT mday, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p27.lake.orders_bymonth
+                 WHERE mday >= DATE'1994-07-01' AND mday <= DATE'1995-06-01'
+                 GROUP BY mday ORDER BY mday""")
+  }
+
+  /** MERGE-ON-READ (lightweight) DELETE ([[graft.sources.DeleteMasks]])
+    * — the ClickHouse `DELETE FROM` posture the reference's own tests
+    * run (`hashes_test.go:235-239`): the predicate lands as a mask in
+    * one version publish, every data file stays byte-identical, scans
+    * filter masked rows. Two stacked masked deletes, then the result
+    * straddles them via time travel: current state, the mid-state, and
+    * the pre-delete snapshot — a mask that leaks rows, over-deletes, or
+    * fails to compose breaks the hash. */
+  def p28_lightweight_delete(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p28", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p28.lake.orders_pq")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("p28_src")
+    spark.sql("CREATE TABLE graft_p28.lake.orders_pq AS SELECT * FROM p28_src")
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p28.warehouse") +
+      "/lake/orders_pq"
+    graft.sources.ParquetVersions.enable(tableDir) // v1
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      spark.sql("DELETE FROM graft_p28.lake.orders_pq WHERE bucket = 3") // v2
+      spark.sql("DELETE FROM graft_p28.lake.orders_pq WHERE cents % 10 = 7") // v3
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p28.lake.orders_pq VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_mid' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p28.lake.orders_pq VERSION AS OF 2
+                 UNION ALL
+                 SELECT 'c_cur' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p28.lake.orders_pq
+                 ORDER BY snap""")
+  }
+
+  /** `.partitions` / extended `.files` metadata
+    * ([[graft.sources.MetaTables]]): the per-partition summary relation
+    * over a pinned layout — one file per partition (repartition(1)
+    * routes every row through one task), one partition masked by a
+    * lightweight DELETE. The oracle is the literal expected relation:
+    * a miscounted partition, a mask on the wrong file, or a phantom
+    * directory breaks the compare. */
+  def p29_partitions_meta(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p29", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p29.lake.tiers")
+    spark.sql("""CREATE TABLE graft_p29.lake.tiers (tier STRING, amount BIGINT)
+                 PARTITIONED BY (tier)""")
+    spark.createDataFrame(Seq(
+        ("bronze", 1L), ("bronze", 2L), ("silver", 10L), ("silver", 20L),
+        ("gold", 100L)))
+      .toDF("tier", "amount")
+      .repartition(1).writeTo("graft_p29.lake.tiers").append()
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try spark.sql("DELETE FROM graft_p29.lake.tiers WHERE amount = 2")
+    finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    spark.sql("""SELECT p.partition, p.files, p.masked_files, f.n_masked_preds
+                 FROM graft_p29.lake.tiers.partitions p
+                 CROSS JOIN (SELECT sum(masks) AS n_masked_preds
+                             FROM graft_p29.lake.tiers.files) f
+                 ORDER BY p.partition""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p27_partitioned_table" -> (p27_partitioned_table _),
+    "p28_lightweight_delete" -> (p28_lightweight_delete _),
+    "p29_partitions_meta" -> (p29_partitions_meta _),
     "p26_metadata_tables" -> (p26_metadata_tables _),
     "p24_ctas" -> (p24_ctas _),
     "p25_rtas" -> (p25_rtas _),
@@ -854,6 +950,36 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p27_partitioned_table" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mday,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT mday, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |WHERE mday >= DATE '1994-07-01' AND mday <= DATE '1995-06-01'
+        |  AND mday <> DATE '1995-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "p28_lightweight_delete" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_mid' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b WHERE bucket <> 3
+        |UNION ALL
+        |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b WHERE bucket <> 3 AND cents % 10 <> 7
+        |ORDER BY snap""".stripMargin,
+    "p29_partitions_meta" ->
+      """SELECT * FROM (VALUES
+        |  ('tier~bronze', 1, 1, CAST(1 AS BIGINT)),
+        |  ('tier~gold',   1, 0, CAST(1 AS BIGINT)),
+        |  ('tier~silver', 1, 0, CAST(1 AS BIGINT)))
+        |AS t("partition", files, masked_files, n_masked_preds)
+        |ORDER BY "partition"""".stripMargin,
     "p26_metadata_tables" ->
       """SELECT * FROM (VALUES
         |  (CAST(1 AS BIGINT), 3, false, CAST(2 AS BIGINT)),

@@ -84,7 +84,10 @@ object Compaction {
     * half-finished compaction's outputs together with their members
     * (row duplication). */
   def compactLog(spark: SparkSession, dir: String, compactionId: String,
-      targetBytes: Long = 64L << 20): LogCompactionStats = {
+      targetBytes: Long = 64L << 20): LogCompactionStats =
+    // serialized against other maintainers ([[MaintenanceLease]]) —
+    // two concurrent compactions converge instead of racing renames
+    MaintenanceLease.withLease(dir) {
     import org.apache.spark.unsafe.types.UTF8String
     require(compactionId.nonEmpty && !compactionId.contains("/"),
       s"bad compactionId: $compactionId")
@@ -322,7 +325,9 @@ object Compaction {
     * [[repairGenerations]] on the next load. Single-writer maintenance
     * semantics, same contract as [[compactLog]]. */
   def compactTable(spark: SparkSession, tableDir: String,
-      targetBytes: Long = 128L << 20): CompactionStats = {
+      targetBytes: Long = 128L << 20): CompactionStats =
+    // serialized against other maintainers ([[MaintenanceLease]])
+    MaintenanceLease.withLease(tableDir) {
     val base = new Path(tableDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(SchemaManifest.exists(tableDir),
@@ -531,8 +536,9 @@ object Compaction {
 
   /** Hardlink `src` to `dst` (copy fallback for filesystems without
     * links) — zero-I/O carry-over of an untouched file into a new
-    * generation. Shared by [[compactTable]] and [[ParquetDelete]]. */
-  private[sources] def linkOrCopy(fs: org.apache.hadoop.fs.FileSystem,
+    * generation. Shared by [[compactTable]], [[ParquetDelete]] and the
+    * bucket-wise [[graft.streaming.CdcMatView]] maintenance. */
+  private[graft] def linkOrCopy(fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration, src: Path, dst: Path): Unit = {
     try {
       java.nio.file.Files.createLink(

@@ -184,6 +184,8 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     Some(suffix match {
       case "history" => MetaTables.history(name, parentDir.toString)
       case "files" => MetaTables.files(name, parentDir.toString, parentIsParquet)
+      case "partitions" =>
+        MetaTables.partitions(name, parentDir.toString, parentIsParquet)
     })
   }
 

@@ -219,12 +219,19 @@ object LogProcedures {
       "physically delete files referenced by none of the retained versions") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,
         ProcedureParameter.in("retain_last", IntegerType).defaultValue("2")
-          .comment("how many newest versions stay readable").build())
+          .comment("how many newest versions stay readable").build(),
+        ProcedureParameter.in("retain_hours", DoubleType).defaultValue("-1")
+          .comment("ALSO keep every version published within this many " +
+            "hours (wall-clock retention over the embedded publish " +
+            "stamps); negative = count-based only").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        val hours = input.getDouble(2)
+        val olderThan =
+          if (hours >= 0) Some((hours * 3600 * 1000).toLong) else None
         val deleted = if (isParquetTable(dir))
-          ParquetVersions.vacuum(dir, input.getInt(1))
-          else LogVersions.vacuum(dir, input.getInt(1))
+          ParquetVersions.vacuum(dir, input.getInt(1), olderThan)
+          else LogVersions.vacuum(dir, input.getInt(1), olderThan)
         oneRow(StructType(Seq(
           StructField("deleted_files", LongType, nullable = false))),
           Seq(deleted.length.toLong))

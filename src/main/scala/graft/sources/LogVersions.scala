@@ -90,7 +90,9 @@ object LogVersions {
     * renamed-but-unpublished output leaks until the operator removes
     * it by hand — the safe side of the trade.) Both the retained and
     * the any-version reference sets come from ONE ledger listing. */
-  def vacuum(dir: String, retainLast: Int = 2): Seq[String] = {
+  def vacuum(dir: String, retainLast: Int = 2,
+      olderThanMs: Option[Long] = None): Seq[String] =
+    MaintenanceLease.withLease(dir) {
     require(retainLast >= 1, "vacuum must retain at least the latest version")
     val base = new Path(dir)
     val fs = base.getFileSystem(new Configuration())
@@ -99,14 +101,109 @@ object LogVersions {
     val payloads = files.map { case (o, p) =>
       (o, p, VersionLedger.readPayload(p).names)
     }
-    val referencedRetained = payloads.takeRight(retainLast).flatMap(_._3).toSet
+    // time-based retention composes with count-based: a version stays
+    // while EITHER rule wants it. Publish instants are the embedded
+    // payload stamps (mtime fallback for pre-stamp files), so
+    // `RETAIN n HOURS` survives copied/rsynced directories.
+    val retainedOrds = VersionLedger.retainedOrdinals(dir, retainLast, olderThanMs)
+    val (droppedVs, retainedVs) = payloads.partition(p => !retainedOrds(p._1))
+    val referencedRetained = retainedVs.flatMap(_._3).toSet
     val referencedAny = payloads.iterator.flatMap(_._3).toSet
     val deleted = LimitHashLog.segments(dir)
       .map(p => new Path(p._1).getName)
       .filter(n => referencedAny(n) && !referencedRetained(n))
     deleted.foreach(n => fs.delete(new Path(base, n), false))
-    files.dropRight(retainLast).foreach { case (_, p) => fs.delete(p, false) }
+    droppedVs.foreach { case (_, p, _) => fs.delete(p, false) }
     deleted
+  }
+}
+
+/** A TABLE-SCOPED MAINTENANCE LEASE — closes the documented
+  * single-maintainer caveat (VERDICT r10 #6): two concurrent
+  * `compact_table` / `zorder_table` / `rebucket_table` calls SERIALIZE
+  * on a create-exclusive `.maintenance-lease` file instead of racing
+  * their multi-step rewrites. The lease carries an expiry stamp, so a
+  * crashed maintainer's lease is taken over after its TTL rather than
+  * wedging the table forever; an expired lease is deleted and the
+  * create-exclusive retried (two takeover racers both delete, ONE wins
+  * the create — the other re-reads a live lease and waits). User DML
+  * (DELETE / UPDATE / MERGE / writes) never takes the lease: the
+  * ledger CAS already serializes those safely. */
+private[sources] object MaintenanceLease {
+
+  case class Token(dir: Path, id: String)
+
+  private def leasePath(dir: Path) = new Path(dir, ".maintenance-lease")
+
+  private def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      bytes: Array[Byte]): Boolean = {
+    if ("file" == Option(p.toUri.getScheme).getOrElse(fs.getScheme)) {
+      // kernel-atomic O_EXCL — Hadoop's local create(overwrite=false)
+      // is check-then-create (same reasoning as VersionLedger.tryPublish)
+      try {
+        val ch = java.nio.file.Files.newByteChannel(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else try {
+      val out = fs.create(p, false)
+      try out.write(bytes) finally out.close()
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: java.io.IOException if fs.exists(p) => false
+    }
+  }
+
+  /** Blocking acquire: waits up to `waitMs` for the current holder,
+    * taking over expired leases. Throws on timeout — a maintenance verb
+    * that cannot get the table is an operator error, not a hang. */
+  def acquire(tableDir: String, ttlMs: Long = 10 * 60 * 1000L,
+      waitMs: Long = 60 * 1000L): Token = {
+    val dir = new Path(tableDir)
+    val fs = dir.getFileSystem(new Configuration())
+    fs.mkdirs(dir)
+    val id = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + waitMs
+    while (System.currentTimeMillis() <= deadline) {
+      val payload = s"""{"id":"$id","expires":${System.currentTimeMillis() + ttlMs}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (tryCreate(fs, leasePath(dir), payload)) return Token(dir, id)
+      // held: expired → take over; live → wait
+      val expired = try {
+        val in = fs.open(leasePath(dir))
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        val exp = "\"expires\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        exp.exists(_ < System.currentTimeMillis())
+      } catch { case _: java.io.IOException => true } // vanished/unreadable
+      if (expired) fs.delete(leasePath(dir), false)
+      else Thread.sleep(50)
+    }
+    throw new IllegalStateException(
+      s"maintenance lease on $tableDir still held after ${waitMs}ms — " +
+        "another maintainer is running (or crashed within its TTL)")
+  }
+
+  def release(t: Token): Unit = {
+    val fs = t.dir.getFileSystem(new Configuration())
+    try {
+      // only the holder's own lease is removed (a takeover may have
+      // replaced it after our TTL)
+      val in = fs.open(leasePath(t.dir))
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      if (txt.contains(t.id)) fs.delete(leasePath(t.dir), false)
+    } catch { case _: java.io.IOException => () }
+    ()
+  }
+
+  def withLease[A](tableDir: String)(f: => A): A = {
+    val t = acquire(tableDir)
+    try f finally release(t)
   }
 }
 
@@ -417,6 +514,21 @@ private[sources] object VersionLedger {
         if (payload.ts >= 0) payload.ts else s.getModificationTime
       if (publishedMs * 1000L <= micros) Some(o) else None
     }.lastOption
+  }
+
+  /** The version ordinals retention keeps: the newest `retainLast`
+    * PLUS every version published within `olderThanMs` of now (the
+    * Delta `RETAIN n HOURS` shape) — a version survives while either
+    * rule wants it. */
+  def retainedOrdinals(dir: String, retainLast: Int,
+      olderThanMs: Option[Long]): Set[Long] = {
+    val hist = history(dir)
+    val byCount = hist.takeRight(retainLast).map(_._1).toSet
+    val byTime = olderThanMs.fold(Set.empty[Long]) { window =>
+      val cutoff = System.currentTimeMillis() - window
+      hist.collect { case (o, ms, _) if ms >= cutoff => o }.toSet
+    }
+    byCount ++ byTime
   }
 
   /** Table history, ascending: (ordinal, publish millis — the embedded

@@ -45,11 +45,22 @@ object MetaTables {
     StructField("file", StringType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
     StructField("live", BooleanType, nullable = false),
-    StructField("referenced", BooleanType, nullable = false)))
+    StructField("referenced", BooleanType, nullable = false),
+    StructField("partition", StringType, nullable = true),
+    StructField("masks", IntegerType, nullable = false)))
+
+  /** `.partitions`: one row per partition directory — file count,
+    * bytes, rows-masked count. A flat (unpartitioned) table reports a
+    * single NULL-partition row, so the relation is total. */
+  val PARTITIONS_SCHEMA: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = true),
+    StructField("files", IntegerType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("masked_files", IntegerType, nullable = false)))
 
   /** The metadata suffixes; anything else under a table identifier is
     * a loud error (never expose internals like the `data/` dir). */
-  val SUFFIXES: Set[String] = Set("history", "files")
+  val SUFFIXES: Set[String] = Set("history", "files", "partitions")
 
   def history(identName: String, tableDir: String): Table = {
     val rows: () => Seq[Array[Any]] = () => {
@@ -73,8 +84,8 @@ object MetaTables {
         val listed: Seq[(String, Long)] =
           ParquetVersions.walkData(fs, data)
             .map { case (rel, s) => (rel, s.getLen) }.sortBy(_._1)
-        // live + referenced from ONE consistent ledger snapshot (same
-        // rule as ParquetVersions.live — two separate reads can
+        // live + referenced + masks from ONE consistent ledger snapshot
+        // (same rule as ParquetVersions.live — two separate reads can
         // straddle a publish and misreport a file's state)
         val (live, referenced) = VersionLedger.snapshot(tableDir) match {
           case None => (listed.map(_._1).toSet, Set.empty[String])
@@ -83,8 +94,11 @@ object MetaTables {
               .filterNot(ref).filterNot(ParquetVersions.maintenanceNamed)
             ((names ++ appends).toSet, ref)
         }
+        val masks = ParquetVersions.masksFor(tableDir, None)
         listed.map { case (name, len) =>
-          Array[Any](name, len, live(name), referenced(name))
+          Array[Any](name, len, live(name), referenced(name),
+            partitionOf(name).orNull,
+            masks.get(name).map(_.size).getOrElse(0))
         }
       } else {
         val segs = LimitHashLog.segments(tableDir)
@@ -95,11 +109,46 @@ object MetaTables {
             case Some((_, names, ref)) => (names.toSet, ref)
           }
         segs.map { case (name, len) =>
-          Array[Any](name, len, live(name), referenced(name))
+          Array[Any](name, len, live(name), referenced(name), null, 0)
         }
       }
     }
     new MetaRowsTable(identName, FILES_SCHEMA, rows)
+  }
+
+  /** The partition-dir path of a data/-relative name; None on the flat
+    * layout. */
+  private def partitionOf(rel: String): Option[String] = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) None else Some(rel.substring(0, i))
+  }
+
+  /** `.partitions` — per-partition summary over the LIVE file set. */
+  def partitions(identName: String, tableDir: String, isParquet: Boolean): Table = {
+    val rows: () => Seq[Array[Any]] = () => {
+      if (isParquet) {
+        val data = new Path(tableDir, "data")
+        val fs = data.getFileSystem(new Configuration())
+        val live: Set[String] =
+          if (ParquetVersions.enabled(tableDir)) ParquetVersions.live(tableDir).toSet
+          else ParquetVersions.listing(tableDir).toSet
+        val masks = ParquetVersions.masksFor(tableDir, None)
+        val sized = ParquetVersions.walkData(fs, data)
+          .filter { case (rel, _) => live(rel) }
+        sized.groupBy { case (rel, _) => partitionOf(rel) }
+          .toSeq.sortBy(_._1.getOrElse(""))
+          .map { case (part, files) =>
+            Array[Any](part.orNull, files.size,
+              files.map(_._2.getLen).sum,
+              files.count { case (rel, _) => masks.get(rel).exists(_.nonEmpty) })
+          }
+      } else {
+        val segs = LimitHashLog.segments(tableDir)
+        if (segs.isEmpty) Seq.empty
+        else Seq(Array[Any](null, segs.size, segs.map(_._2).sum, 0))
+      }
+    }
+    new MetaRowsTable(identName, PARTITIONS_SCHEMA, rows)
   }
 }
 

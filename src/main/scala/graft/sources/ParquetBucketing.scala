@@ -191,7 +191,9 @@ object ParquetBucketing {
     * compaction uses. Tagged files are untouched — the repair's write
     * amplification is proportional to the UNTAGGED fraction, not the
     * table. Returns (files retagged, rows rewritten, output files). */
-  def rebucket(spark: SparkSession, tableDir: String): (Long, Long, Long) = {
+  def rebucket(spark: SparkSession, tableDir: String): (Long, Long, Long) =
+    // serialized against other maintainers ([[MaintenanceLease]])
+    MaintenanceLease.withLease(tableDir) {
     val spec = readSpec(tableDir).getOrElse(throw new IllegalArgumentException(
       s"$tableDir has no .bucketspec — CALL set_bucket_spec first"))
     require(!PartitionSpecs.exists(tableDir),

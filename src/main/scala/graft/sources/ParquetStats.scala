@@ -81,6 +81,10 @@ object ParquetFooterStats {
     cache.computeIfAbsent((path.toString, len, mtime), _ => read(conf, path))
   }
 
+  /** In-memory-cache-only lookup — never opens a footer. */
+  def peek(path: Path, len: Long, mtime: Long): Option[FileStats] =
+    Option(cache.get((path.toString, len, mtime)))
+
   /** Merge row-group stats to file-level bounds. A row group with
     * unusable stats poisons only that COLUMN (dropped from the map),
     * never the file. */
@@ -197,6 +201,109 @@ object ParquetFooterStats {
       case _ => None // INT96, unsigned, nested, enum, uuid…
     }
   }
+
+  // --- persisted stats sidecar ------------------------------------
+
+  /** The `.fstats` SIDECAR: consolidated footer stats of a table's
+    * data files, persisted in the TABLE dir so a FRESH driver's first
+    * selective plan reads ONE manifest instead of opening O(files)
+    * footers (VERDICT r10 #3 — the log tier's `.stats-manifest-*`
+    * shape for the parquet tier). Maintained LAZILY at plan time: any
+    * plan that had to open footers merges what it learned and
+    * atomically rewrites the sidecar (temp + rename, last-writer-wins
+    * — entries are validated by (len, mtime), so a lost update only
+    * costs the next driver those opens, never correctness). Covering
+    * every write path by construction beats hooking each writer.
+    * Entries of vanished files are dropped on rewrite, keeping the
+    * sidecar O(live files). */
+  private def sidecarPath(dataDir: Path): Path =
+    new Path(dataDir.getParent, ".fstats")
+
+  private def domTag(d: Domain): String = d match {
+    case DInt => "i"; case DDays => "d"; case DMicros => "m"
+    case DFloat => "f"; case DStr => "s"; case DBool => "b"; case DDec => "x"
+  }
+  private def domOf(t: String): Domain = t match {
+    case "i" => DInt; case "d" => DDays; case "m" => DMicros
+    case "f" => DFloat; case "s" => DStr; case "b" => DBool; case "x" => DDec
+  }
+  private def valStr(d: Domain, v: Any): String = d match {
+    case DStr =>
+      java.util.Base64.getEncoder.encodeToString(
+        v.asInstanceOf[UTF8String].getBytes)
+    case DFloat =>
+      java.lang.Double.toHexString(v.asInstanceOf[Double]) // exact round-trip
+    case DDec => v.asInstanceOf[java.math.BigDecimal].toPlainString
+    case _ => v.toString
+  }
+  private def valOf(d: Domain, s: String): Any = d match {
+    case DInt | DDays | DMicros => s.toLong
+    case DFloat => java.lang.Double.parseDouble(s)
+    case DStr => UTF8String.fromBytes(java.util.Base64.getDecoder.decode(s))
+    case DBool => s.toBoolean
+    case DDec => new java.math.BigDecimal(s)
+  }
+
+  import org.json4s._
+  import org.json4s.JsonDSL._
+  import org.json4s.jackson.JsonMethods
+  private implicit val jsonFmt: Formats = DefaultFormats
+
+  /** Load the sidecar's (name → (len, mtime, stats)) map; empty on
+    * absence or any parse trouble (it is a cache, never the truth). */
+  def readSidecar(conf: Configuration,
+      dataDir: Path): Map[String, (Long, Long, FileStats)] = try {
+    val p = sidecarPath(dataDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) match {
+      case JObject(files) => files.toMap.collect {
+        case (name, o: JObject) =>
+          val cols = (o \ "cols") match {
+            case JObject(cs) => cs.toMap.collect { case (cn, c: JObject) =>
+              val dom = domOf((c \ "t").extract[String])
+              cn -> ColStats(dom,
+                (c \ "mn").extractOpt[String].map(valOf(dom, _)),
+                (c \ "mx").extractOpt[String].map(valOf(dom, _)),
+                (c \ "n").extractOpt[Long])
+            }
+            case _ => Map.empty[String, ColStats]
+          }
+          name -> (((o \ "len").extract[Long], (o \ "mt").extract[Long],
+            FileStats((o \ "rows").extract[Long], cols)))
+      }
+      case _ => Map.empty
+    }
+  } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Atomically rewrite the sidecar with `entries` (temp + rename). */
+  def writeSidecar(conf: Configuration, dataDir: Path,
+      entries: Map[String, (Long, Long, FileStats)]): Unit = try {
+    val p = sidecarPath(dataDir)
+    val fs = p.getFileSystem(conf)
+    val json: JObject = JObject(entries.toList.sortBy(_._1).map {
+      case (name, (len, mt, st)) =>
+        val cols: JObject = JObject(st.cols.toList.sortBy(_._1).map {
+          case (cn, cs) =>
+            val base: JObject = JObject("t" -> JString(domTag(cs.domain)))
+            val withMin = cs.min.fold(base)(v => base ~ ("mn" -> valStr(cs.domain, v)))
+            val withMax = cs.max.fold(withMin)(v => withMin ~ ("mx" -> valStr(cs.domain, v)))
+            cn -> cs.nulls.fold(withMax)(n => withMax ~ ("n" -> n))
+        })
+        name -> (("len" -> len) ~ ("mt" -> mt) ~ ("rows" -> st.rowCount) ~
+          ("cols" -> cols))
+    })
+    val tmp = new Path(p.getParent, s".fstats.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(json))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    ()
+  } catch { case scala.util.control.NonFatal(_) => () } // best-effort cache
 
   /** Same-domain comparison (guaranteed by construction). */
   def compare(a: Any, b: Any): Int = (a, b) match {
@@ -447,10 +554,21 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
       }
     }
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
-    // PASS 2 — footer bounds, on the partition survivors only; warm the
-    // footer cache for them concurrently
+    // PASS 2 — file-level bounds on the partition survivors: the
+    // persisted `.fstats` sidecar first (a FRESH driver's selective
+    // plan is then ONE manifest read, zero footer opens), footers only
+    // for files the sidecar doesn't cover (new appends, stale entries)
+    val sidecar = ParquetFooterStats.readSidecar(conf, dataDir)
+    def fromSidecar(
+        f: org.apache.spark.sql.execution.datasources.FileStatusWithMetadata)
+        : Option[ParquetFooterStats.FileStats] =
+      sidecar.get(PartitionSpecs.relFromData(f.getPath)).collect {
+        case (len, mt, st) if len == f.getLen && mt == f.getModificationTime => st
+      }
     val all = afterPartitions.flatMap(_.files)
-    all.toArray.asInstanceOf[Array[AnyRef]].toSeq.asJava.parallelStream().forEach { f0 =>
+    val misses = all.filter(f => fromSidecar(f).isEmpty)
+    // warm the footer cache for the misses concurrently
+    misses.toArray.asInstanceOf[Array[AnyRef]].toSeq.asJava.parallelStream().forEach { f0 =>
       val f = f0.asInstanceOf[org.apache.spark.sql.execution.datasources.FileStatusWithMetadata]
       try ParquetFooterStats.get(conf, f.getPath, f.getLen, f.getModificationTime)
       catch { case _: Exception => () } // unreadable footer → no pruning
@@ -459,12 +577,28 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
     val pruned = afterPartitions.map { pd =>
       pd.copy(files = pd.files.filter { f =>
         val keep = try {
-          val fs = ParquetFooterStats.get(conf, f.getPath, f.getLen, f.getModificationTime)
+          val fs = fromSidecar(f).getOrElse(
+            ParquetFooterStats.get(conf, f.getPath, f.getLen, f.getModificationTime))
           !conjuncts.exists(c => FooterPrune.excludes(fs, c))
         } catch { case _: Exception => true }
         if (keep) kept += 1
         keep
       })
+    }
+    // any footer this plan HAD to open becomes a sidecar entry for the
+    // next (possibly fresh) driver; entries for files gone from the
+    // current listing drop out. Only stats ALREADY IN MEMORY are
+    // persisted (peek — a partition-pruned file must not be opened just
+    // to cache it). Best-effort, atomic rewrite.
+    if (misses.nonEmpty) {
+      val current = base.flatMap(_.files)
+        .map(f => (PartitionSpecs.relFromData(f.getPath), f)).toMap
+      val merged = current.flatMap { case (rel, f) =>
+        fromSidecar(f)
+          .orElse(ParquetFooterStats.peek(f.getPath, f.getLen, f.getModificationTime))
+          .map(st => rel -> ((f.getLen, f.getModificationTime, st)))
+      }
+      ParquetFooterStats.writeSidecar(conf, dataDir, merged)
     }
     StatsPrunedFileIndex.lastListing.put(dataDir.toString, (kept, total))
     pruned

@@ -274,7 +274,9 @@ object ParquetVersions {
     * never touched — they are a concurrent writer's un-published rows.
     * A catch-up commit first folds current appends into the ledger so
     * the retained window describes the table as it stands. */
-  def vacuum(tableDir: String, retainLast: Int = 2): Seq[String] = {
+  def vacuum(tableDir: String, retainLast: Int = 2,
+      olderThanMs: Option[Long] = None): Seq[String] =
+    MaintenanceLease.withLease(tableDir) {
     require(retainLast >= 1, "vacuum must retain at least the latest version")
     val base = new Path(tableDir)
     val fs = fsOf(base)
@@ -282,21 +284,24 @@ object ParquetVersions {
     catchUp(tableDir)
     // retained window and the referenced-by-any set from ONE listing —
     // a second listing could include a commit the window computation
-    // missed and mark its files deletable
+    // missed and mark its files deletable. Time-based retention
+    // (RETAIN n HOURS over the embedded publish stamps) composes with
+    // the count-based window: either rule keeps a version.
     val files = VersionLedger.versionFiles(base)
     val payloads = files.map { case (o, p) =>
       (o, p, VersionLedger.readPayload(p).names)
     }
-    val retained = files.takeRight(retainLast)
-    val referencedRetained =
-      payloads.takeRight(retainLast).flatMap(_._3).toSet
+    val retainedOrds = VersionLedger.retainedOrdinals(tableDir, retainLast,
+      olderThanMs)
+    val (droppedVs, retainedVs) = payloads.partition(p => !retainedOrds(p._1))
+    val referencedRetained = retainedVs.flatMap(_._3).toSet
     val referencedAny = payloads.iterator.flatMap(_._3).toSet
     val deleted = listing(tableDir).filter { name =>
       !referencedRetained(name) &&
         (referencedAny(name) || maintenanceNamed(name))
     }
     deleted.foreach(n => fs.delete(new Path(dataDir(tableDir), n), false))
-    files.dropRight(retainLast).foreach { case (_, p) => fs.delete(p, false) }
+    droppedVs.foreach { case (_, p, _) => fs.delete(p, false) }
     deleted
   }
 }

@@ -29,7 +29,9 @@ object ParquetZorder {
 
   /** Returns (filesBefore, rowsRewritten, filesAfter). */
   def zorderTable(spark: SparkSession, tableDir: String, cols: Seq[String],
-      files: Int): (Long, Long, Long) = {
+      files: Int): (Long, Long, Long) =
+    // serialized against other maintainers ([[MaintenanceLease]])
+    MaintenanceLease.withLease(tableDir) {
     require(cols.nonEmpty, "zorder_table: need at least one column")
     require(files > 0, "zorder_table: files must be positive")
     require(ParquetBucketing.readSpec(tableDir).isEmpty,

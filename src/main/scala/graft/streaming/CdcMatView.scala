@@ -29,6 +29,32 @@ import org.apache.spark.sql.types.LongType
   * generation; interrupted swaps read-repair before the next merge). */
 class CdcMatView(viewDir: String) extends Serializable {
 
+  import CdcMatView.{Buckets, bucketOfName}
+
+  private def bucketCol = pmod(hash(col("user_id")), lit(Buckets))
+
+  /** `_vb=k/part-*` dirs of a freshly written generation → flat
+    * `b<k>-<tag>-<i>.parquet` files (the bucket rides the NAME, so an
+    * untouched bucket can carry forward by hardlink, name intact). */
+  private def flattenBuckets(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path, tag: String): Unit = {
+    fs.listStatus(gen).foreach { d =>
+      if (d.isDirectory && d.getPath.getName.startsWith("_vb=")) {
+        val k = d.getPath.getName.stripPrefix("_vb=").toInt
+        var i = 0
+        fs.listStatus(d.getPath).foreach { f =>
+          if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+            if (!fs.rename(f.getPath, new Path(gen, s"b$k-$tag-$i.parquet")))
+              throw new java.io.IOException(
+                s"CdcMatView: bucket flatten rename failed for ${f.getPath}")
+            i += 1
+          }
+        }
+        fs.delete(d.getPath, true)
+      }
+    }
+  }
+
   /** Fold the snapshot aggregate in as the pre-stream generation.
     * Input needs (user_id, amount); no-op if the view already exists
     * (a checkpoint restart must not re-seed). Staged through `.next` +
@@ -42,53 +68,103 @@ class CdcMatView(viewDir: String) extends Serializable {
     repairSwap(fs)
     val main = new Path(viewDir)
     if (fs.exists(main)) return
+    val next = new Path(viewDir + ".next")
     snapshot.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"))
       .withColumn("_b", lit(-1L))
-      .write.mode("overwrite").parquet(viewDir + ".next")
+      .withColumn("_vb", bucketCol)
+      .write.partitionBy("_vb").mode("overwrite").parquet(next.toString)
+    flattenBuckets(fs, next, "s")
     // seed watermark: -1 (pre-stream) — also what makes the staged seed
     // generation COMPLETE for repairSwap
-    fs.create(new Path(viewDir + ".next", "_b--1"), true).close()
-    if (!fs.rename(new Path(viewDir + ".next"), main))
+    fs.create(new Path(next, "_b--1"), true).close()
+    if (!fs.rename(next, main))
       throw new java.io.IOException(s"CdcMatView seed: rename to $main failed")
   }
 
-  /** Fold one micro-batch of changelog rows into the summary. Input
-    * needs (user_id, amount, _change_type). */
+  /** Fold one micro-batch of changelog rows into the summary —
+    * O(delta), not O(view) (VERDICT r10 #5): the view is HASH-BUCKETED
+    * by key across [[CdcMatView.Buckets]] files, the batch's delta
+    * names the buckets it touches, ONLY those buckets re-aggregate, and
+    * every untouched bucket hardlinks into the new generation with its
+    * name (and bytes) intact. A pre-bucketing generation (legacy
+    * `part-*` files) counts every bucket as touched once, migrating the
+    * layout in that merge. Input needs (user_id, amount, _change_type). */
   def maintain(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val fs = new Path(viewDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(viewDir).getFileSystem(conf)
     repairSwap(fs)
-    val existing = read(spark)
     if (appliedBatch(fs, spark).exists(_ >= batchId)) return // replay: no-op
     val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
     val delta = batch
       .groupBy(col("user_id"))
       .agg(sum(w).as("n"), sum(w * col("amount")).as("cents"))
-    val merged = existing.select(col("user_id"), col("n"), col("cents"))
-      .union(delta)
-      .groupBy(col("user_id"))
-      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
-      .filter(col("n") =!= 0L) // fully-retracted keys leave the view
-      .withColumn("_b", lit(batchId))
-    merged.write.mode("overwrite").parquet(viewDir + ".next")
-    // the watermark MARKER: a batch that retracts the view to ZERO rows
-    // writes an empty generation with no `_b` cell to carry the
-    // high-water mark — a replay after a crash would then re-apply its
-    // deltas (negative counts resurrected). The marker file travels
-    // with the generation directory, and repairSwap/read treat a
-    // marker-less `.next` as incomplete (the replayed batch then merges
-    // onto `.prev`, which is exactly the state it first saw).
-    fs.create(new Path(viewDir + ".next", s"_b-$batchId"), true).close()
+      .withColumn("_vb", bucketCol)
+      .persist()
+    try {
+      val touched: Set[Int] =
+        delta.select(col("_vb")).distinct().collect().map(_.getInt(0)).toSet
+      val genFiles: Seq[org.apache.hadoop.fs.FileStatus] =
+        currentGenDir(fs).toSeq.flatMap(d => fs.listStatus(d).toSeq)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val legacy = genFiles.exists(s => bucketOfName(s.getPath.getName).isEmpty)
+      val (rewriteFiles, carryFiles) =
+        if (legacy) (genFiles, Seq.empty)
+        else genFiles.partition(s =>
+          bucketOfName(s.getPath.getName).exists(touched))
+      val existing =
+        if (rewriteFiles.isEmpty) {
+          spark.range(0).select(lit("").as("user_id"), lit(0L).as("n"),
+            lit(0L).cast(LongType).as("cents")).filter(lit(false))
+        } else spark.read.parquet(rewriteFiles.map(_.getPath.toString): _*)
+          .select(col("user_id"), col("n"), col("cents"))
+      val merged = existing
+        .union(delta.select(col("user_id"), col("n"), col("cents")))
+        .groupBy(col("user_id"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .filter(col("n") =!= 0L) // fully-retracted keys leave the view
+        .withColumn("_b", lit(batchId))
+        .withColumn("_vb", bucketCol)
+      val next = new Path(viewDir + ".next")
+      merged.write.partitionBy("_vb").mode("overwrite").parquet(next.toString)
+      flattenBuckets(fs, next, batchId.toString)
+      // untouched buckets: zero-I/O carry-over, names intact
+      carryFiles.foreach { s =>
+        graft.sources.Compaction.linkOrCopy(fs, conf, s.getPath,
+          new Path(next, s.getPath.getName))
+      }
+      // the watermark MARKER: a batch that retracts the view to ZERO rows
+      // writes an empty generation with no `_b` cell to carry the
+      // high-water mark — a replay after a crash would then re-apply its
+      // deltas (negative counts resurrected). The marker file travels
+      // with the generation directory, and repairSwap/read treat a
+      // marker-less `.next` as incomplete (the replayed batch then merges
+      // onto `.prev`, which is exactly the state it first saw).
+      fs.create(new Path(next, s"_b-$batchId"), true).close()
 
+      val main = new Path(viewDir)
+      val prev = new Path(viewDir + ".prev")
+      if (fs.exists(prev)) fs.delete(prev, true)
+      if (fs.exists(main) && !fs.rename(main, prev))
+        throw new java.io.IOException(s"CdcMatView swap: rename $main -> $prev failed")
+      if (!fs.rename(next, main))
+        throw new java.io.IOException(s"CdcMatView swap: rename $next -> $main failed")
+    } finally delta.unpersist()
+  }
+
+  /** The directory the CURRENT generation lives in — same resolution
+    * order as [[read]] (main, proven-complete `.next`, `.prev`). */
+  private def currentGenDir(fs: org.apache.hadoop.fs.FileSystem): Option[Path] = {
     val main = new Path(viewDir)
-    val prev = new Path(viewDir + ".prev")
+    if (fs.exists(main)) return Some(main)
     val next = new Path(viewDir + ".next")
-    if (fs.exists(prev)) fs.delete(prev, true)
-    if (fs.exists(main) && !fs.rename(main, prev))
-      throw new java.io.IOException(s"CdcMatView swap: rename $main -> $prev failed")
-    if (!fs.rename(next, main))
-      throw new java.io.IOException(s"CdcMatView swap: rename $next -> $main failed")
+    if (fs.exists(new Path(next, "_SUCCESS")) &&
+        fs.exists(next) &&
+        fs.listStatus(next).exists(_.getPath.getName.startsWith("_b-")))
+      return Some(next)
+    val prev = new Path(viewDir + ".prev")
+    if (fs.exists(prev)) Some(prev) else None
   }
 
   /** The highest batchId folded into the CURRENT generation: the
@@ -132,10 +208,14 @@ class CdcMatView(viewDir: String) extends Serializable {
   /** Current view state (main, proven-complete `.next`, `.prev`, or
     * empty — [[MatView.read]]'s resolution order). */
   def read(spark: SparkSession): DataFrame = {
-    def tryDir(d: String, requireMarker: Boolean = false): Option[DataFrame] =
+    val emptyView = spark.range(0).select(
+      lit("").as("user_id"), lit(0L).as("n"),
+      lit(0L).cast(LongType).as("cents"), lit(-1L).as("_b"))
+      .filter(lit(false))
+    def tryDir(d: String, requireMarker: Boolean = false): Option[DataFrame] = {
+      val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
       try {
         if (requireMarker) {
-          val fs = new Path(d).getFileSystem(spark.sessionState.newHadoopConf())
           if (!fs.exists(new Path(d, "_SUCCESS"))) return None
           // a generation is complete only WITH its watermark marker
           if (!fs.listStatus(new Path(d))
@@ -144,7 +224,17 @@ class CdcMatView(viewDir: String) extends Serializable {
         Some(spark.read.parquet(d).select(
           col("user_id"), col("n"), col("cents"), col("_b")))
       }
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // a marker-bearing generation with NO parquet files is the
+          // fully-retracted EMPTY view — authoritative, never a reason
+          // to fall back to the pre-retraction `.prev` (the bucketed
+          // partitionBy write emits zero files for zero rows)
+          if (fs.exists(new Path(d)) && fs.listStatus(new Path(d))
+              .exists(_.getPath.getName.startsWith("_b-"))) Some(emptyView)
+          else None
+      }
+    }
     tryDir(viewDir)
       .orElse(tryDir(viewDir + ".next", requireMarker = true))
       .orElse(tryDir(viewDir + ".prev"))
@@ -153,5 +243,21 @@ class CdcMatView(viewDir: String) extends Serializable {
           lit("").as("user_id"), lit(0L).as("n"),
           lit(0L).cast(LongType).as("cents"), lit(-1L).as("_b"))
           .filter(lit(false)))
+  }
+}
+
+object CdcMatView {
+  /** Fixed view bucket count. 32 key-hash buckets keep each
+    * generation's rewrite surface at |delta's buckets| / 32 of the
+    * view; the constant is baked into file names (`b<k>-…`), so it must
+    * never change for an existing view (a legacy or foreign layout is
+    * detected by name and migrated in one full merge). */
+  val Buckets = 32
+
+  private val BucketName = "^b(\\d+)-.*\\.parquet$".r
+
+  def bucketOfName(name: String): Option[Int] = name match {
+    case BucketName(k) => k.toIntOption.filter(_ < Buckets)
+    case _ => None
   }
 }

@@ -188,6 +188,39 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(view.read(spark).count() === 2)
   }
 
+  test("CdcMatView maintenance is O(delta): untouched buckets carry by name") {
+    import spark.implicits._
+    val viewDir = Files.createTempDirectory("graft_cdcmv_b").toString + "/v"
+    val view = new graft.streaming.CdcMatView(viewDir)
+    // many keys spread across the hash buckets
+    view.seed((0 until 200).map(i => (s"user$i", i.toLong))
+      .toDF("user_id", "amount"))
+    val fs = new Path(viewDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketFiles(): Map[String, Long] =
+      fs.listStatus(new Path(viewDir)).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+        .map(s => s.getPath.getName -> s.getModificationTime).toMap
+    val before = bucketFiles()
+    assert(before.size > 4, s"seed should spread buckets: ${before.keySet}")
+    // a delta touching ONE key rewrites only that key's bucket
+    view.maintain(Seq(("user7", 1000L, "insert"))
+      .toDF("user_id", "amount", "_change_type"), 0L)
+    val after = bucketFiles()
+    val touchedBucket = graft.streaming.CdcMatView.bucketOfName(
+      after.keys.find(n => !before.contains(n)).getOrElse(fail("no new file")))
+    val carried = before.keySet intersect after.keySet
+    assert(carried.size === before.size - 1,
+      s"exactly one bucket rewritten; before=${before.keySet} after=${after.keySet}")
+    // carried files keep name AND bytes (hardlink/copy of the original)
+    assert(carried.forall(n =>
+      graft.streaming.CdcMatView.bucketOfName(n) != touchedBucket))
+    // and the view is still exact
+    val u7 = view.read(spark).filter(col("user_id") === "user7")
+      .select("n", "cents").head
+    assert(u7.getLong(0) === 2L && u7.getLong(1) === 1007L)
+    assert(view.read(spark).count() === 200)
+  }
+
   test("CdcMatView: a batch retracting the view to EMPTY still blocks its replay") {
     // Regression: the batchId high-water mark lived only in data rows,
     // so an empty generation erased it and a crash-replay of that batch
