@@ -75,16 +75,30 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
       end: streaming.Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[ParquetTailOffset]
     val e = end.asInstanceOf[ParquetTailOffset]
+    // the snapshot batch applies the snapshot version's delete masks
+    // ([[DeleteMasks]]) — a lightweight-deleted row must not leak into
+    // the stream any more than into a batch read of the same version
+    val snapMasks: Map[String, Seq[String]] =
+      if (s.snapshotDone) Map.empty
+      else VersionLedger.getPayload(tableDir, s.version)
+        .map(_.masks).getOrElse(Map.empty)
     val snapshot: Seq[String] =
       if (s.snapshotDone) Nil else membership(s.version).toSeq.sorted
     val appended: Seq[String] = ((s.version + 1) to e.version).flatMap { v =>
+      val prevP = VersionLedger.getPayload(tableDir, v - 1)
+      val curP = VersionLedger.getPayload(tableDir, v)
       val prev = membership(v - 1)
       val cur = membership(v)
       val removed = prev -- cur
-      if (removed.nonEmpty) {
+      // a MERGE-ON-READ delete changes no names, only a file's mask set
+      // ([[DeleteMasks]]) — an appends-only tail can't represent that
+      // any more than a retirement, and silence here would be data loss
+      val maskDelta = prevP.zip(curP).exists { case (a, b) => a.masks != b.masks }
+      if (removed.nonEmpty || maskDelta) {
         if (!skipNonAppends) throw new IllegalStateException(
-          s"version $v of $tableDir retires ${removed.size} file(s) — a plain " +
-            "streaming read tails appends only. Stream the change feed " +
+          s"version $v of $tableDir ${if (removed.nonEmpty)
+            s"retires ${removed.size} file(s)" else "changes delete masks"} — " +
+            "a plain streaming read tails appends only. Stream the change feed " +
             "(option(\"changeFeed\") / graft.sources.ParquetChanges) for " +
             "row-level changes, or set option(\"skipNonAppends\", \"true\") " +
             "to skip maintenance commits whole (exact for compaction/zorder/" +
@@ -104,7 +118,11 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
       val pf = org.apache.spark.sql.execution.datasources.PartitionedFile(
         InternalRow.empty, org.apache.spark.paths.SparkPath.fromPath(st.getPath),
         0L, st.getLen, Array.empty, st.getModificationTime, st.getLen, Map.empty)
-      FilePartition(i, Array(pf)): InputPartition
+      val fp = FilePartition(i, Array(pf))
+      snapMasks.get(name).filter(_.nonEmpty) match {
+        case Some(preds) => MaskedFilePartition(fp, preds): InputPartition
+        case None => fp: InputPartition
+      }
     }.toArray
   }
 
@@ -122,7 +140,9 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
       spark, index, dataSchema, dataSchema,
       new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
     builder.pruneColumns(dataSchema)
-    builder.build().createReaderFactory()
+    // mask-aware wrapper: snapshot partitions of masked files filter
+    // their lightweight-deleted rows; unmasked partitions delegate
+    new MaskedReaderFactory(builder.build().createReaderFactory(), dataSchema)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = readerFactory

@@ -282,6 +282,13 @@ class PartitionedWriteBuilder(tableDir: String, declared: StructType,
   override def truncate(): WriteBuilder = { replaceAll = true; this }
 
   override def build(): Write = new Write {
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      throw new UnsupportedOperationException(
+        s"streaming writes into PARTITIONED table $tableDir are not " +
+          "supported yet — stream into a flat table, or land batches " +
+          "with INSERT INTO")
+
     override def toBatch: BatchWrite = new BatchWrite {
       private def spark = org.apache.spark.sql.classic.SparkSession.active
       private val stagingDir = new Path(tableDir, s".ins-$queryId")

@@ -139,4 +139,34 @@ class ParquetTailSpec extends AnyFunSuite {
     }
     assert(messages(e).contains("enable versioning"), messages(e))
   }
+
+  test("masks: the snapshot filters lightweight-deleted rows; mask commits are loud") {
+    val t = mkTable("m1")
+    val out = mkTable("m2")
+    feed(t, 0L, 20L)
+    spark.sql("CALL graft_pt.system.enable_versioning(table => 'lake.m1')")
+    spark.conf.set(DeleteMasks.MODE_KEY, "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE id < 5")
+    finally spark.conf.unset(DeleteMasks.MODE_KEY)
+    // snapshot batch: masked rows must not leak into the stream
+    val ck = Files.createTempDirectory("graft_ptail_ckm").toString
+    val q = spark.readStream.table(t).writeStream
+      .option("checkpointLocation", ck).toTable(out)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table(out).collect().map(_.getLong(0)).sorted.toSeq
+      === (5L until 20L).toSeq, "masked rows leaked into the snapshot batch")
+    // a mask-only commit mid-stream fails loudly (appends-only contract)
+    val ck2 = Files.createTempDirectory("graft_ptail_ckm2").toString
+    val out2 = mkTable("m3")
+    val q2 = spark.readStream.table(t).writeStream
+      .option("checkpointLocation", ck2).toTable(out2)
+    q2.processAllAvailable()
+    spark.conf.set(DeleteMasks.MODE_KEY, "merge-on-read")
+    try spark.sql(s"DELETE FROM $t WHERE id = 7")
+    finally spark.conf.unset(DeleteMasks.MODE_KEY)
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    assert(messages(e).contains("delete masks"), messages(e))
+    q2.stop()
+  }
 }
