@@ -70,8 +70,23 @@ object ParquetFooterStats {
 
   /** Count of PHYSICAL footer opens (cache misses) — the planning-cost
     * observable: partition pruning and stats manifests exist to keep
-    * this low, and the specs assert on it. */
+    * this low, and the specs assert on it. `footerReadsUnder` scopes
+    * the count to one table's files so concurrently running suites
+    * (shared JVM) can't inflate each other's deltas. */
   val footerReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val readsByPath =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  def footerReadsUnder(prefix: String): Long = {
+    var sum = 0L
+    val it = readsByPath.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) sum += e.getValue.get()
+    }
+    sum
+  }
 
   /** Test hook: forget every cached footer, so a spec can measure the
     * cold-planning open count of the next query. */
@@ -90,6 +105,9 @@ object ParquetFooterStats {
     * never the file. */
   private def read(conf: Configuration, path: Path): FileStats = {
     footerReads.incrementAndGet()
+    readsByPath.computeIfAbsent(path.toUri.getPath,
+      _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq

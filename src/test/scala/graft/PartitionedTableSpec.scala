@@ -59,21 +59,24 @@ class PartitionedTableSpec extends AnyFunSuite {
   }
 
   test("partition pruning runs BEFORE footer I/O: excluded partitions never open") {
+    // the counters are SCOPED to this table's directory — parallel
+    // suites in the shared JVM must not inflate the deltas
+    val under = s"$warehouse/lake/sales"
     val probe = "SELECT sum(amount) AS s FROM graft_ptn.lake.sales WHERE region = 'us'"
     ParquetFooterStats.clearCacheForTesting()
-    val before = ParquetFooterStats.footerReads.get()
+    val before = ParquetFooterStats.footerReadsUnder(under)
     assert(spark.sql(probe).head.getLong(0) === 70)
-    val opened = ParquetFooterStats.footerReads.get() - before
+    val opened = ParquetFooterStats.footerReadsUnder(under) - before
     // only the two us-partition files (one per day) may be opened; the
     // eu and null partitions are dir-pruned with zero I/O
     assert(opened <= 2, s"footer opens for excluded partitions: $opened")
     // a range probe on the other partition column prunes the same way
     ParquetFooterStats.clearCacheForTesting()
-    val b2 = ParquetFooterStats.footerReads.get()
+    val b2 = ParquetFooterStats.footerReadsUnder(under)
     assert(spark.sql(
       "SELECT count(*) AS c FROM graft_ptn.lake.sales WHERE day > DATE'2024-01-01'")
       .head.getLong(0) === 2)
-    assert(ParquetFooterStats.footerReads.get() - b2 <= 2)
+    assert(ParquetFooterStats.footerReadsUnder(under) - b2 <= 2)
   }
 
   test("days(ts) partitioning prunes timestamp range probes") {
@@ -88,13 +91,13 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(names.exists(_.startsWith("ts~2024-03-01/")), names)
     assert(names.map(_.split("/").head).distinct.size === 3)
     ParquetFooterStats.clearCacheForTesting()
-    val before = ParquetFooterStats.footerReads.get()
+    val before = ParquetFooterStats.footerReadsUnder(dir)
     assert(spark.sql(
       """SELECT sum(v) AS s FROM graft_ptn.lake.events
          WHERE ts >= TIMESTAMP'2024-03-02 00:00:00'
            AND ts <  TIMESTAMP'2024-03-03 00:00:00'""")
       .head.getLong(0) === 3)
-    assert(ParquetFooterStats.footerReads.get() - before <= 1,
+    assert(ParquetFooterStats.footerReadsUnder(dir) - before <= 1,
       "only the 2024-03-02 partition may be opened")
   }
 
@@ -118,11 +121,11 @@ class PartitionedTableSpec extends AnyFunSuite {
                  FROM range(100)""")
     val dir = s"$warehouse/lake/pd"
     ParquetFooterStats.clearCacheForTesting()
-    val before = ParquetFooterStats.footerReads.get()
+    val before = ParquetFooterStats.footerReadsUnder(dir)
     spark.sql("DELETE FROM graft_ptn.lake.pd WHERE region = 'eu'")
     // classification proves the whole eu partition from dir values and
     // the whole us partition untouched — zero footer opens, zero rewrites
-    assert(ParquetFooterStats.footerReads.get() === before,
+    assert(ParquetFooterStats.footerReadsUnder(dir) === before,
       "whole-partition delete must be metadata-only")
     assert(spark.table("graft_ptn.lake.pd").count() === 50)
     // merge-on-read DELETE on the surviving partition

@@ -38,11 +38,13 @@ class StatsSidecarSpec extends AnyFunSuite {
     val sidecar = new Path(s"$warehouse/lake/t", ".fstats")
     val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(sidecar), "plan must persist the stats it learned")
-    // simulate a FRESH driver: forget every in-memory footer
+    // simulate a FRESH driver: forget every in-memory footer (the
+    // counter is scoped to this table so parallel suites can't inflate it)
+    val under = s"$warehouse/lake/t"
     ParquetFooterStats.clearCacheForTesting()
-    val before = ParquetFooterStats.footerReads.get()
+    val before = ParquetFooterStats.footerReadsUnder(under)
     assert(spark.sql(probe).head.getLong(0) === expect)
-    assert(ParquetFooterStats.footerReads.get() === before,
+    assert(ParquetFooterStats.footerReadsUnder(under) === before,
       "cold planning must be served by the sidecar, zero footer opens")
     // pruning still effective through the sidecar: only 1 of 4 files kept
     val (kept, total) = StatsPrunedFileIndex.lastListing.get(s"$warehouse/lake/t/data")
@@ -52,17 +54,18 @@ class StatsSidecarSpec extends AnyFunSuite {
   test("new appends miss the sidecar, get opened once, then join it") {
     spark.range(1000, 1100).selectExpr("id", "id * 2 AS score")
       .coalesce(1).writeTo("graft_fst.lake.t").append()
+    val under = s"$warehouse/lake/t"
     ParquetFooterStats.clearCacheForTesting()
-    val before = ParquetFooterStats.footerReads.get()
+    val before = ParquetFooterStats.footerReadsUnder(under)
     val probe = "SELECT count(*) AS c FROM graft_fst.lake.t WHERE id >= 1000"
     assert(spark.sql(probe).head.getLong(0) === 100)
-    val opened1 = ParquetFooterStats.footerReads.get() - before
+    val opened1 = ParquetFooterStats.footerReadsUnder(under) - before
     assert(opened1 === 1, s"only the new file may be opened, got $opened1")
     // and after that plan, the sidecar covers it too
     ParquetFooterStats.clearCacheForTesting()
-    val b2 = ParquetFooterStats.footerReads.get()
+    val b2 = ParquetFooterStats.footerReadsUnder(under)
     assert(spark.sql(probe).head.getLong(0) === 100)
-    assert(ParquetFooterStats.footerReads.get() === b2)
+    assert(ParquetFooterStats.footerReadsUnder(under) === b2)
   }
 
   test("a stale sidecar entry is ignored, corrected, and never wrong") {
