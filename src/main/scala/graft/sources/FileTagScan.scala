@@ -172,7 +172,7 @@ class MaskedParquetScan(val inner: ParquetScan, val masks: Map[String, Seq[Strin
     masks.getOrElse(PartitionSpecs.relFromData(f.toPath), Seq.empty)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val out = Array.newBuilder[InputPartition]
+    val cleanParts = Seq.newBuilder[FilePartition]
     val maskedFiles = Seq.newBuilder[
       org.apache.spark.sql.execution.datasources.PartitionedFile]
     var idx = 0
@@ -180,16 +180,24 @@ class MaskedParquetScan(val inner: ParquetScan, val masks: Map[String, Seq[Strin
       case fp: FilePartition =>
         val (masked, clean) = fp.files.partition(f => maskOf(f).nonEmpty)
         maskedFiles ++= masked
-        if (clean.nonEmpty) { out += FilePartition(idx, clean); idx += 1 }
+        if (clean.nonEmpty) { cleanParts += FilePartition(idx, clean); idx += 1 }
       case other => throw new IllegalStateException(
         s"unexpected parquet partition shape: $other")
     }
-    maskedFiles.result().groupBy(f => maskOf(f).sorted).foreach {
-      case (preds, files) =>
-        out += MaskedFilePartition(FilePartition(idx, files.toArray), preds)
+    val maskedParts = maskedFiles.result().groupBy(f => maskOf(f).sorted)
+      .toSeq.sortBy(_._1.mkString)
+      .map { case (preds, files) =>
+        val p = MaskedFilePartition(FilePartition(idx, files.toArray), preds)
         idx += 1
-    }
-    out.result()
+        p
+      }
+    // homogeneous batch rule (see [[MaskedReaderFactory]]): pruning may
+    // have dropped every masked file, in which case the clean scan
+    // keeps columnar decode; otherwise wrap the clean partitions too
+    // (empty preds — pass-through rows) so the batch is all-row
+    if (maskedParts.isEmpty) cleanParts.result().toArray
+    else (cleanParts.result().map(fp =>
+      MaskedFilePartition(fp, Seq.empty): InputPartition) ++ maskedParts).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -214,16 +222,30 @@ case class MaskedFilePartition(fp: FilePartition, preds: Seq[String])
 class MaskedReaderFactory(inner: PartitionReaderFactory,
     rowSchema: StructType) extends PartitionReaderFactory {
 
-  /** Spark rejects scans that mix columnar and row partitions, so ANY
-    * mask makes the whole scan row-based — the transient tax of a
-    * pending merge-on-read delete, until compaction purges it. */
-  override def supportColumnarReads(partition: InputPartition): Boolean = false
+  /** Spark rejects scans that MIX columnar and row partitions, so the
+    * answer is per-partition-TYPE and the planners keep each batch
+    * homogeneous: when any file in a batch carries masks, EVERY
+    * partition of that batch is wrapped as [[MaskedFilePartition]]
+    * (possibly with empty predicates) → all-row; a mask-free batch
+    * plans plain FilePartitions and keeps the inner factory's columnar
+    * decode — the transient row-based tax applies only while masks are
+    * pending, and only to batches that actually contain them. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition match {
+      case _: MaskedFilePartition => false
+      case p => inner.supportColumnarReads(p)
+    }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    inner.createColumnarReader(partition)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case MaskedFilePartition(fp, preds) =>
+      case MaskedFilePartition(fp, preds) if preds.nonEmpty =>
         DeleteMasks.filteringReader(inner.createReader(fp),
           DeleteMasks.compileDeleted(rowSchema, preds))
+      case MaskedFilePartition(fp, _) => inner.createReader(fp)
       case p => inner.createReader(p)
     }
 }

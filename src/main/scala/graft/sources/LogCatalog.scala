@@ -310,12 +310,23 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       throw new UnsupportedOperationException(
         "entity log tables are immutable in layout")
     }
+    // a PARTITION column is load-bearing layout: dropping it would break
+    // the write router and every dir-pruning proof on the next statement
+    // — reject here, loudly, not there, lately
+    val partCols: Set[String] = PartitionSpecs.read(dir.toString)
+      .map(_.fields.map(_.col.toLowerCase).toSet).getOrElse(Set.empty)
     changes.foreach {
       case a: TableChange.AddColumn =>
         if (!a.isNullable) throw new UnsupportedOperationException(
           s"ADD COLUMN ${a.fieldNames.mkString(".")} must be nullable: " +
             "existing files carry no values for it")
         rejectResurrection(dir, a.fieldNames())
+      case d: TableChange.DeleteColumn
+          if d.fieldNames().length == 1 &&
+            partCols(d.fieldNames().head.toLowerCase) =>
+        throw new UnsupportedOperationException(
+          s"DROP COLUMN ${d.fieldNames().head}: it is a partition column " +
+            "of this table's layout — rewrite into a new table instead")
       case _: TableChange.DeleteColumn => ()
       case n: TableChange.UpdateColumnNullability =>
         if (!n.nullable) throw new UnsupportedOperationException(

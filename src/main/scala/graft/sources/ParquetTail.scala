@@ -119,10 +119,12 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
         InternalRow.empty, org.apache.spark.paths.SparkPath.fromPath(st.getPath),
         0L, st.getLen, Array.empty, st.getModificationTime, st.getLen, Map.empty)
       val fp = FilePartition(i, Array(pf))
-      snapMasks.get(name).filter(_.nonEmpty) match {
-        case Some(preds) => MaskedFilePartition(fp, preds): InputPartition
-        case None => fp: InputPartition
-      }
+      // homogeneous batch rule (see [[MaskedReaderFactory]]): when the
+      // snapshot carries ANY mask, every partition of this batch wraps
+      // (all-row); mask-free batches stay plain and columnar
+      if (snapMasks.valuesIterator.forall(_.isEmpty)) fp: InputPartition
+      else MaskedFilePartition(fp,
+        snapMasks.getOrElse(name, Seq.empty)): InputPartition
     }.toArray
   }
 

@@ -325,9 +325,13 @@ class PartitionedWriteBuilder(tableDir: String, declared: StructType,
         fs.delete(stagingDir, true)
         val names = written.result().sorted
         // the publish IS the commit: before it, the ins- files are
-        // ledger-gated invisible (crash → vacuum reclaims them)
-        ParquetVersions.commit(tableDir) { live =>
-          if (replaceAll) names else (live ++ names).distinct.sorted
+        // ledger-gated invisible (crash → vacuum reclaims them). An
+        // empty append is a no-op — no version churn; an empty
+        // OVERWRITE is a genuine truncate and must publish.
+        if (names.nonEmpty || replaceAll) {
+          ParquetVersions.commit(tableDir) { live =>
+            if (replaceAll) names else (live ++ names).distinct.sorted
+          }
         }
         ()
       }

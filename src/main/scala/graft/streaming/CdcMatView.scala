@@ -69,10 +69,15 @@ class CdcMatView(viewDir: String) extends Serializable {
     val main = new Path(viewDir)
     if (fs.exists(main)) return
     val next = new Path(viewDir + ".next")
+    // repartition ON the bucket id first: without it every aggregate
+    // task holds keys of many buckets and partitionBy writes a
+    // (tasks × buckets) file explosion — one small shuffle caps the
+    // generation at ~one file per bucket
     snapshot.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"))
       .withColumn("_b", lit(-1L))
       .withColumn("_vb", bucketCol)
+      .repartition(CdcMatView.Buckets, col("_vb"))
       .write.partitionBy("_vb").mode("overwrite").parquet(next.toString)
     flattenBuckets(fs, next, "s")
     // seed watermark: -1 (pre-stream) — also what makes the staged seed
@@ -127,7 +132,10 @@ class CdcMatView(viewDir: String) extends Serializable {
         .withColumn("_b", lit(batchId))
         .withColumn("_vb", bucketCol)
       val next = new Path(viewDir + ".next")
-      merged.write.partitionBy("_vb").mode("overwrite").parquet(next.toString)
+      // same bucket-clustering shuffle as [[seed]] — one file per
+      // touched bucket, not per (task × bucket)
+      merged.repartition(CdcMatView.Buckets, col("_vb"))
+        .write.partitionBy("_vb").mode("overwrite").parquet(next.toString)
       flattenBuckets(fs, next, batchId.toString)
       // untouched buckets: zero-I/O carry-over, names intact
       carryFiles.foreach { s =>
