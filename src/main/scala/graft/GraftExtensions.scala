@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectPlannerStrategy(_ => plans.AsOfJoin.Strategy)
     extensions.injectOptimizerRule(_ => plans.TopKPerGroup.NativeWindowGroupLimitRule)
     extensions.injectOptimizerRule(_ => plans.TopKPerGroup.PruneTopKColumnsRule)
+    // merge-on-read UPDATE: swap the group-based ReplaceData rewrite
+    // for the mask+append decomposition when the mode opts in
+    extensions.injectOptimizerRule(_ => sources.ParquetMoRUpdate.InterceptRule)
   }
 }

@@ -60,6 +60,9 @@ object Sessions {
     // operator and can plan the native as-of join
     graft.plans.TopKPerGroup.register(spark)
     graft.plans.AsOfJoin.register(spark)
+    // merge-on-read UPDATE interception (mask+append instead of the
+    // group rewrite when spark.graft.delete.mode opts in)
+    graft.sources.ParquetMoRUpdate.register(spark)
     // warehouse dialect: jdbc:clickhouse URLs get exact type widening,
     // backtick quoting, and ClickHouse DDL types (sources/ClickHouseDialect)
     graft.sources.ClickHouseDialect.register()

@@ -891,6 +891,47 @@ object Pipeline {
                  ORDER BY snap""")
   }
 
+  /** MERGE-ON-READ `UPDATE` ([[graft.sources.ParquetMoRUpdate]]) —
+    * the other half of the lightweight-DML contract: the condition
+    * lands as a delete mask on the candidate files and ONLY the
+    * updated row images are appended, one atomic version publish per
+    * statement, pre-existing files byte-identical. Two stacked
+    * updates — the second's predicate ranges over the FIRST's output
+    * (its candidate set includes the appended image file) — then the
+    * result straddles both via time travel. A mask that leaks old
+    * images, a lost update, or an update applied to a deleted row
+    * breaks the hash. */
+  def p30_lightweight_update(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p30", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p30.lake.orders_pq")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("p30_src")
+    spark.sql("CREATE TABLE graft_p30.lake.orders_pq AS SELECT * FROM p30_src")
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p30.warehouse") +
+      "/lake/orders_pq"
+    graft.sources.ParquetVersions.enable(tableDir) // v1
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      spark.sql("UPDATE graft_p30.lake.orders_pq " +
+        "SET cents = cents + 1000 WHERE bucket = 3") // v2
+      spark.sql("UPDATE graft_p30.lake.orders_pq " +
+        "SET cents = 0 WHERE cents >= 40000000") // v3 (sees v2's output)
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p30.lake.orders_pq VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_mid' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p30.lake.orders_pq VERSION AS OF 2
+                 UNION ALL
+                 SELECT 'c_cur' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p30.lake.orders_pq
+                 ORDER BY snap""")
+  }
+
   /** `.partitions` / extended `.files` metadata
     * ([[graft.sources.MetaTables]]): the per-partition summary relation
     * over a pinned layout — one file per partition (repartition(1)
@@ -921,6 +962,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p27_partitioned_table" -> (p27_partitioned_table _),
     "p28_lightweight_delete" -> (p28_lightweight_delete _),
+    "p30_lightweight_update" -> (p30_lightweight_update _),
     "p29_partitions_meta" -> (p29_partitions_meta _),
     "p26_metadata_tables" -> (p26_metadata_tables _),
     "p24_ctas" -> (p24_ctas _),
@@ -972,6 +1014,26 @@ object Pipeline {
         |UNION ALL
         |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM b WHERE bucket <> 3 AND cents % 10 <> 7
+        |ORDER BY snap""".stripMargin,
+    "p30_lightweight_update" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |mid AS (SELECT bucket,
+        |    CASE WHEN bucket = 3 THEN cents + 1000 ELSE cents END AS cents
+        |  FROM b),
+        |cur AS (SELECT bucket,
+        |    CASE WHEN cents >= 40000000 THEN 0 ELSE cents END AS cents
+        |  FROM mid)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_mid' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM mid
+        |UNION ALL
+        |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM cur
         |ORDER BY snap""".stripMargin,
     "p29_partitions_meta" ->
       """SELECT * FROM (VALUES

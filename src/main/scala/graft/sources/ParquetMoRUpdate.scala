@@ -1,0 +1,337 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, PlanExpression}
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, ReplaceData}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.write.RowLevelOperation
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.{sources => v1}
+import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
+
+/** MERGE-ON-READ `UPDATE` for catalog parquet tables — the other half
+  * of the lightweight-DML contract ([[DeleteMasks]] is the DELETE
+  * half; the reference's warehouse mutates rows server-side between
+  * its test cases, `hashes_test.go:235-239`, and ClickHouse's
+  * "lightweight" tier marks rows now and physically rewrites at merge
+  * time).
+  *
+  * `UPDATE t SET … WHERE p` under `spark.graft.delete.mode =
+  * merge-on-read` decomposes into masks + an append, published as ONE
+  * atomic version commit:
+  *
+  *   - every live file whose footer stats cannot EXCLUDE `p` gets `p`
+  *     attached as a delete mask (exactly a lightweight DELETE of the
+  *     matched rows — per-file predicate ≡ position bitmap on an
+  *     immutable file);
+  *   - the updated images of those rows — visible rows where `p` is
+  *     TRUE, with the SET projection applied — are appended as NEW
+  *     files under the `rlo-` maintenance prefix.
+  *
+  * Write amplification collapses from O(candidate FILES) to
+  * O(matched ROWS): a one-key UPDATE on a 100 TB table reads the
+  * pushdown-pruned row groups of the candidate files and writes one
+  * small file plus one ledger payload, instead of rewriting every
+  * candidate file whole. Untouched-row bytes are never copied; the
+  * physical merge happens when compaction (or any other rewrite)
+  * consumes the masks.
+  *
+  * HOW it intercepts: Spark's analyzer rewrites `UpdateTable` on a
+  * `SupportsRowLevelOperations` table into the group-based
+  * `ReplaceData` plan inside the Resolution fixed-point — before any
+  * injectable resolution rule can run — so the interception happens in
+  * the OPTIMIZER: [[ParquetMoRUpdate.InterceptRule]] matches the
+  * `ReplaceData` whose operation is [[ParquetRowLevelOperation]] with
+  * command UPDATE, re-derives the SET projection from the update
+  * `Project` the rewrite built, and swaps the whole plan for
+  * [[MergeOnReadUpdateCommand]]. Anything the mask machinery cannot
+  * express — a condition [[DeleteMasks.serialize]] refuses (subquery,
+  * unsupported shape), a partitioned or bucketed layout, an
+  * un-versioned table, a nondeterministic WHERE — leaves the plan
+  * untouched and the copy-on-write path runs unchanged; the fallback
+  * is silent and always correct, the MoR path is an optimization of
+  * the same semantics.
+  *
+  * Consistency invariants:
+  *   - the mask predicate and the matched-row filter derive from the
+  *     SAME serialized Filter JSON, so "row masked out" and "row
+  *     re-appended updated" agree exactly (three-valued: NULL rows are
+  *     neither);
+  *   - the appended files carry NO mask — `SET x = x+1 WHERE x < 5`
+  *     cannot re-delete its own output, masks attach only to the
+  *     pre-existing candidate files;
+  *   - prior masks on candidate files are honored when reading the
+  *     rows to update (an earlier lightweight DELETE cannot be
+  *     resurrected as an updated row);
+  *   - a crash before the publish leaves only unreferenced `rlo-`
+  *     maintenance files that the live rule ignores and vacuum
+  *     reclaims — readers see the old table or the new, never a mix.
+  *
+  * Same snapshot-isolation caveat as the copy-on-write path: two
+  * concurrent UPDATEs of overlapping rows both read the pre-state
+  * (the ledger CAS serializes the publishes, not the reads). */
+object ParquetMoRUpdate {
+
+  /** Optimizer interception of the group-based UPDATE plan (see class
+    * doc for why the optimizer and not resolution). Idempotent: the
+    * replacement contains no `ReplaceData`, so fixed-point batches
+    * stabilize after one application. */
+  object InterceptRule extends Rule[LogicalPlan] {
+    private def dbg(msg: => String): Unit =
+      if (System.getenv("GRAFT_MORU_DEBUG") != null) {
+        // scalastyle:off println
+        println(s"[moru] $msg")
+        // scalastyle:on println
+      }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+      // a row-level command is always the plan root (commands execute
+      // eagerly; ReplaceData never nests under other operators)
+      case rd: ReplaceData =>
+        dbg(s"saw ReplaceData op=${rd.operation.getClass} " +
+          s"cond=${rd.condition} query=\n${rd.query.treeString}")
+        rewrite(rd).getOrElse(rd)
+      case other =>
+        dbg(s"root is ${other.getClass.getName}")
+        other
+    }
+
+    private def rewrite(rd: ReplaceData): Option[LogicalPlan] = {
+      val op = rd.operation match {
+        case p: ParquetRowLevelOperation
+            if p.command() == RowLevelOperation.Command.UPDATE => p
+        case _ => return None
+      }
+      if (conf.getConfString(DeleteMasks.MODE_KEY, "copy-on-write")
+          != "merge-on-read") return None
+      val tableDir = op.tableDir
+      // masks ride the version ledger; layouts that route rows by value
+      // (partition dirs, bucket tags) would need the append routed too
+      // — those fall back to the copy-on-write rewrite, which already
+      // preserves them
+      if (!ParquetVersions.enabled(tableDir)) return None
+      if (PartitionSpecs.read(tableDir).isDefined) return None
+      if (ParquetBucketing.readSpec(tableDir).isDefined) return None
+      if (!rd.condition.deterministic) return None
+      val declaredNames = op.declared.fieldNames.map(_.toLowerCase).toSet
+      for {
+        filter <- toV1(rd.condition)
+        // evaluable, not just serializable: the NNF translation the
+        // masked reader compiles must exist (¬StartsWith has a JSON
+        // form but no evaluation form)
+        if ParquetDelete.supported(op.declared)(filter)
+        maskJson <- DeleteMasks.serialize(filter)
+        // the mask must be evaluable over declared columns alone (a
+        // condition on `_file` would reference a column the masked
+        // reader's row schema lacks)
+        if DeleteMasks.references(maskJson)
+          .forall(r => declaredNames(r.toLowerCase))
+        sets <- setProjection(rd, op.declared, declaredNames)
+      } yield MergeOnReadUpdateCommand(tableDir, op.declared, maskJson, sets)
+    }
+
+    /** Catalyst → v1 `Filter`, restricted to the shapes
+      * [[DeleteMasks]] can serialize (Spark's own
+      * `DataSourceStrategy.translateFilter` is `protected[sql]`).
+      * Literal values convert to their EXTERNAL representations —
+      * the mask codec stores external scalars. Any unhandled shape
+      * (casts on the column side, functions, subqueries) returns None
+      * → copy-on-write. */
+    private def toV1(e: Expression): Option[v1.Filter] = {
+      def ext(l: Literal): Any =
+        CatalystTypeConverters.convertToScala(l.value, l.dataType)
+      e match {
+        case ce.And(l, r) => for (a <- toV1(l); b <- toV1(r)) yield v1.And(a, b)
+        case ce.Or(l, r) => for (a <- toV1(l); b <- toV1(r)) yield v1.Or(a, b)
+        case ce.Not(c) => toV1(c).map(v1.Not)
+        case ce.IsNull(a: AttributeReference) => Some(v1.IsNull(a.name))
+        case ce.IsNotNull(a: AttributeReference) => Some(v1.IsNotNull(a.name))
+        case ce.EqualTo(a: AttributeReference, l: Literal) =>
+          Some(v1.EqualTo(a.name, ext(l)))
+        case ce.EqualTo(l: Literal, a: AttributeReference) =>
+          Some(v1.EqualTo(a.name, ext(l)))
+        case ce.EqualNullSafe(a: AttributeReference, l: Literal) =>
+          Some(v1.EqualNullSafe(a.name, ext(l)))
+        case ce.EqualNullSafe(l: Literal, a: AttributeReference) =>
+          Some(v1.EqualNullSafe(a.name, ext(l)))
+        case ce.GreaterThan(a: AttributeReference, l: Literal) =>
+          Some(v1.GreaterThan(a.name, ext(l)))
+        case ce.GreaterThan(l: Literal, a: AttributeReference) =>
+          Some(v1.LessThan(a.name, ext(l)))
+        case ce.GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+          Some(v1.GreaterThanOrEqual(a.name, ext(l)))
+        case ce.GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+          Some(v1.LessThanOrEqual(a.name, ext(l)))
+        case ce.LessThan(a: AttributeReference, l: Literal) =>
+          Some(v1.LessThan(a.name, ext(l)))
+        case ce.LessThan(l: Literal, a: AttributeReference) =>
+          Some(v1.GreaterThan(a.name, ext(l)))
+        case ce.LessThanOrEqual(a: AttributeReference, l: Literal) =>
+          Some(v1.LessThanOrEqual(a.name, ext(l)))
+        case ce.LessThanOrEqual(l: Literal, a: AttributeReference) =>
+          Some(v1.GreaterThanOrEqual(a.name, ext(l)))
+        case ce.In(a: AttributeReference, vs)
+            if vs.forall(_.isInstanceOf[Literal]) =>
+          Some(v1.In(a.name,
+            vs.map(l => ext(l.asInstanceOf[Literal])).toArray))
+        case ce.InSet(a: AttributeReference, set) =>
+          Some(v1.In(a.name, set.toArray.map(
+            CatalystTypeConverters.convertToScala(_, a.dataType))))
+        case ce.StartsWith(a: AttributeReference, l: Literal)
+            if l.dataType == StringType && l.value != null =>
+          Some(v1.StringStartsWith(a.name, l.value.toString))
+        case Literal(true, BooleanType) => Some(v1.AlwaysTrue())
+        case Literal(false, BooleanType) => Some(v1.AlwaysFalse())
+        case _ => None
+      }
+    }
+
+    /** The per-column update expressions, recovered from the
+      * `If(cond, updated, original)` projection `RewriteUpdateTable`
+      * built over the group scan — re-targeted at a plain
+      * declared-schema read by unresolving the attribute references.
+      * Evaluated only over rows where the condition is TRUE, the `If`
+      * collapses to the assigned value; unassigned columns pass
+      * through. None = a shape we don't recognize (MERGE's MergeRows,
+      * the nondeterministic union plan, a `_file` reference, a
+      * subquery in a SET value) → copy-on-write. */
+    private def setProjection(rd: ReplaceData, declared: StructType,
+        declaredNames: Set[String]): Option[Seq[(String, Expression)]] = {
+      // the TOPMOST Project is the update projection (the rewrite may
+      // interpose a runtime group-filter Filter between it and the
+      // scan relation, so don't pattern-match the child)
+      val projectList = rd.query.collectFirst {
+        case Project(list, _) => list
+      }.getOrElse(return None)
+      var sawAssignment = false
+      val sets = declared.fields.toSeq.map { f =>
+        val ne = projectList.find(_.name.equalsIgnoreCase(f.name))
+          .getOrElse(return None)
+        val e = ne match {
+          case Alias(child, _) => child
+          case other => other
+        }
+        val expressible = !e.exists {
+          case a: AttributeReference => !declaredNames(a.name.toLowerCase)
+          case _: PlanExpression[_] => true
+          case _ => false
+        }
+        if (!expressible) return None
+        if (!e.isInstanceOf[AttributeReference]) sawAssignment = true
+        (f.name, e.transform {
+          case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
+        })
+      }
+      // every column passing through unchanged means this Project is a
+      // wrapper over a nested update projection, not the projection
+      // itself — re-deriving SET values from it would silently drop
+      // the update, so fall back
+      if (!sawAssignment) return None
+      Some(sets)
+    }
+  }
+
+  /** Session-builder registration (the imperative twin of
+    * `GraftExtensions`, same pattern as `TopKPerGroup.register`). */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(InterceptRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ InterceptRule
+    }
+  }
+}
+
+/** The decomposed UPDATE: classify → read matched visible rows → apply
+  * SET → append → publish masks + membership atomically. */
+case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
+    maskJson: String, sets: Seq[(String, Expression)])
+    extends LeafRunnableCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val base = new Path(tableDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = base.getFileSystem(hconf)
+    val data = new Path(base, "data")
+
+    // candidates: live files whose footer stats cannot exclude the
+    // condition (the same proof the skip-scan and DELETE classify use;
+    // stats-free or unreadable footers are conservatively candidates)
+    val cond = ParquetDelete
+      .toCatalyst(declared, DeleteMasks.deserialize(maskJson))
+      .getOrElse(throw new IllegalStateException(
+        s"mask predicate no longer translates against the declared " +
+          s"schema: $maskJson"))
+    val live = ParquetVersions.live(tableDir).toSet
+    val candidates = ParquetVersions.walkData(fs, data)
+      .filter { case (rel, _) => live(rel) }
+      .filter { case (_, st) =>
+        try {
+          val fstats = ParquetFooterStats.get(hconf, st.getPath, st.getLen,
+            st.getModificationTime)
+          !FooterPrune.excludes(fstats, cond)
+        } catch { case scala.util.control.NonFatal(_) => true }
+      }
+      .map(_._1)
+    if (candidates.isEmpty) return Seq.empty // proof: no row matches
+
+    // updated images of the matched rows: visible under PRIOR masks
+    // (an earlier lightweight DELETE stays deleted), condition TRUE
+    // (NULL/FALSE rows are untouched — they stay in place, invisible
+    // to the new mask), SET projection applied. The read is a plain
+    // pushdown-pruned parquet scan of the candidate files only.
+    val priorMasks = ParquetVersions.masksFor(tableDir, None)
+    val matched = !DeleteMasks.visibleColumn(declared, Seq(maskJson))
+    val updated = DeleteMasks
+      .readVisible(spark, declared, data, candidates, priorMasks)
+      .filter(matched)
+      .select(sets.map { case (n, e) =>
+        org.apache.spark.sql.GraftShims.column(e).as(n)
+      }: _*)
+
+    val opId = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(base, s".morupd-$opId")
+    fs.delete(staging, true)
+    updated.write.mode("overwrite").parquet(staging.toString)
+
+    // stage → data/ under the rlo- maintenance prefix (ledger-gated
+    // invisible until the publish; a crash leaves vacuumable orphans).
+    // Zero-row parts (a candidate file whose rows all proved NULL or
+    // FALSE) are dropped rather than accumulated.
+    val written = Seq.newBuilder[String]
+    var i = 0
+    fs.listStatus(staging).foreach { s =>
+      if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+        val rows =
+          try ParquetFooterStats.get(hconf, s.getPath, s.getLen,
+            s.getModificationTime).rowCount
+          catch { case scala.util.control.NonFatal(_) => 1L }
+        if (rows > 0L) {
+          val name = f"rlo-upd-$opId-$i%05d.parquet"
+          val to = new Path(data, name)
+          if (!fs.rename(s.getPath, to)) {
+            throw new java.io.IOException(
+              s"MergeOnReadUpdate: rename ${s.getPath} -> $to failed")
+          }
+          written += name
+          i += 1
+        }
+      }
+    }
+    fs.delete(staging, true)
+
+    // ONE visibility event: the condition lands as a delete mask on
+    // every candidate file and the updated images join the membership.
+    // The commit's carry-forward keeps masks version-accurate; a
+    // concurrent append lands under new names and is never masked.
+    ParquetVersions.commit(tableDir, None,
+      candidates.map(_ -> Seq(maskJson)).toMap) { liveNow =>
+      (liveNow ++ written.result()).distinct.sorted
+    }
+    Seq.empty
+  }
+}

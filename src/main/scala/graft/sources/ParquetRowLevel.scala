@@ -58,7 +58,7 @@ object ParquetFileMetaColumn extends MetadataColumn {
   * [[ParquetDelete]] path (`canDeleteWhere`); predicates the footer
   * proof can't handle (modulo, UDF-ish shapes) fall back to this
   * group-based rewrite instead of failing. */
-class ParquetRowLevelOperation(tableDir: String, declared: StructType,
+class ParquetRowLevelOperation(val tableDir: String, val declared: StructType,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
   /** One memoized scan per operation — Spark plans the main read and
