@@ -284,10 +284,8 @@ class PartitionedWriteBuilder(tableDir: String, declared: StructType,
   override def build(): Write = new Write {
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      throw new UnsupportedOperationException(
-        s"streaming writes into PARTITIONED table $tableDir are not " +
-          "supported yet — stream into a flat table, or land batches " +
-          "with INSERT INTO")
+      new PartitionedStreamingWrite(tableDir, declared, spec, queryId,
+        replaceAll)
 
     override def toBatch: BatchWrite = new BatchWrite {
       private def spark = org.apache.spark.sql.classic.SparkSession.active
@@ -346,6 +344,93 @@ class PartitionedWriteBuilder(tableDir: String, declared: StructType,
     override def description(): String =
       s"PartitionedWrite dir=$tableDir replaceAll=$replaceAll"
   }
+}
+
+/** STREAMING writes into PARTITIONED catalog parquet tables —
+  * `df.writeStream.toTable(...)` — the flat tier's
+  * [[ParquetStreamingWrite]] epoch contract on the partition-routing
+  * writers:
+  *
+  *   - each epoch's tasks stage per-partition files under
+  *     `.stream-<queryId>-<epochId>/<partition dirs>/`;
+  *   - the driver commit renames them to DETERMINISTIC names —
+  *     `<partition dirs>/stream-<queryId>-<epochId>-<pid>-<j>.parquet`
+  *     — so a replayed epoch (same data → same partition routing →
+  *     same names) overwrites its own files and the ledger `distinct`
+  *     absorbs the re-publish: effectively-once across restarts;
+  *   - ONE ledger version per epoch covers every partition the epoch
+  *     touched — the atomic multi-partition property of the batch
+  *     write, held per micro-batch (partitioned tables are versioned
+  *     from birth, so the publish is always ledger-gated);
+  *   - complete-output-mode (`truncate`) publishes a membership of
+  *     exactly this epoch's files; an EMPTY append epoch is a no-op
+  *     (no version churn), an empty truncate epoch is a real
+  *     truncation and publishes. */
+class PartitionedStreamingWrite(tableDir: String, declared: StructType,
+    spec: PartitionSpecs.Spec, queryId: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private def spark = org.apache.spark.sql.classic.SparkSession.active
+  private def stagingBase = new Path(tableDir, s".stream-$queryId").toString
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, declared)
+    val sc = new SerializableConfiguration(job.getConfiguration)
+    val (decl, pspec, base) = (declared, spec, stagingBase)
+    new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new PartitionedStageWriterFactory(owf, sc, decl, pspec,
+          s"$base-$epochId").createWriter(partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val data = new Path(tableDir, "data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!ParquetVersions.enabled(tableDir)) ParquetVersions.enable(tableDir)
+    val written = Seq.newBuilder[String]
+    messages.foreach {
+      case PartitionedStageCommit(staged, pid) =>
+        staged.zipWithIndex.foreach { case ((path, relDir), j) =>
+          val name = f"stream-$queryId-$epochId-$pid%05d-$j.parquet"
+          val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+          val to = new Path(data, rel)
+          fs.mkdirs(to.getParent)
+          if (fs.exists(to)) fs.delete(to, false) // epoch replay: replace
+          if (!fs.rename(new Path(path), to)) {
+            throw new java.io.IOException(
+              s"PartitionedStreamingWrite: rename $path -> $to failed")
+          }
+          written += rel
+        }
+      case _ =>
+    }
+    fs.delete(new Path(s"$stagingBase-$epochId"), true)
+    val names = written.result().sorted
+    if (names.nonEmpty || truncate) {
+      ParquetVersions.commit(tableDir) { prev =>
+        val merged = if (truncate) names else prev ++ names
+        merged.distinct.sorted
+      }
+      ()
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(s"$stagingBase-$epochId")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(staging, true)
+    ()
+  }
+
+  override def toString: String =
+    s"PartitionedStreamingWrite dir=$tableDir truncate=$truncate"
 }
 
 /** Staged files of one task: (staged path, relative partition dir). */
