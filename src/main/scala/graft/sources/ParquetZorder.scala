@@ -22,9 +22,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * contract (the two layouts optimize different access paths — joins
   * vs multi-dimensional probes — and a table pins at most one).
   *
+  * On a PARTITIONED table the rewrite runs PARTITION-WISE: each
+  * partition's live files re-cluster among themselves and the outputs
+  * stay inside their directory (`files` = files per partition). That
+  * composes the two pruning tiers instead of trading them — partition
+  * dirs prune first (zero I/O), then the Z-order footer bounds prune
+  * within the surviving partitions — and the range boundaries are
+  * computed per partition, so local clustering adapts to local value
+  * distributions. Partitions rewrite concurrently
+  * ([[Compaction.inParallel]]); ONE ledger commit publishes the whole
+  * swap atomically.
+  *
   * Reference posture: layout maintenance is what ClickHouse's
   * `ORDER BY` table key + background merges do for the reference's
-  * warehouse; this is the Spark-native, SQL-callable equivalent. */
+  * warehouse — per MergeTree partition, exactly this shape; this is
+  * the Spark-native, SQL-callable equivalent. */
 object ParquetZorder {
 
   /** Returns (filesBefore, rowsRewritten, filesAfter). */
@@ -37,9 +49,6 @@ object ParquetZorder {
     require(ParquetBucketing.readSpec(tableDir).isEmpty,
       s"$tableDir pins a bucket layout — zorder would break join co-location; " +
         "drop the bucket spec first if probe locality matters more")
-    require(!PartitionSpecs.exists(tableDir),
-      s"$tableDir is partitioned — a global Z-order rewrite would flatten the " +
-        "partition layout; compact_table handles partition-wise maintenance")
     require(ParquetVersions.enabled(tableDir),
       s"zorder_table needs a versioned table — CALL enable_versioning first")
     ParquetVersions.catchUp(tableDir) // pending appends join the ledger
@@ -48,30 +57,51 @@ object ParquetZorder {
     val data = new Path(tableDir, "data")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = SchemaManifest.read(tableDir, "zorder_table")
-    // mask-aware read ([[DeleteMasks]]): the rewrite keeps only visible
-    // rows and retires the inputs, purging their merge-on-read deletes
-    val rows = DeleteMasks.readVisible(spark, schema, data, live,
-      ParquetVersions.masksFor(tableDir, None))
-    val nRows = rows.count()
+    val masks = ParquetVersions.masksFor(tableDir, None)
     val opId = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new Path(tableDir, s".zorder-$opId")
-    graft.operators.Layout.zorder(rows, cols, files)
-      .write.parquet(staging.toString)
-    val outNames = Seq.newBuilder[String]
-    try {
-      var i = 0
-      fs.listStatus(staging).sortBy(_.getPath.getName).foreach { f =>
-        if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
-          val name = f"zorder-$opId-$i%05d.parquet"
-          if (!fs.rename(f.getPath, new Path(data, name))) {
-            throw new java.io.IOException(s"zorder stage rename failed: $name")
-          }
-          outNames += name
-          i += 1
-        }
+
+    // one group per partition dir ("" = the flat layout's single group)
+    def dirOfRel(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      if (i < 0) "" else rel.substring(0, i)
+    }
+    val groups: Seq[(String, Seq[String])] =
+      live.groupBy(dirOfRel).toSeq.sortBy(_._1)
+
+    val perGroup: Seq[(Long, Seq[String])] =
+      graft.sources.Compaction.inParallel(groups.zipWithIndex) {
+        case ((relDir, members), g) =>
+          // mask-aware read ([[DeleteMasks]]): the rewrite keeps only
+          // visible rows and retires the inputs, purging their
+          // merge-on-read deletes
+          val rows = DeleteMasks.readVisible(spark, schema, data, members, masks)
+          val nRows = rows.count()
+          val staging = new Path(tableDir, s".zorder-$opId-$g")
+          fs.delete(staging, true)
+          graft.operators.Layout.zorder(rows, cols, files)
+            .write.parquet(staging.toString)
+          val outNames = Seq.newBuilder[String]
+          try {
+            var i = 0
+            fs.listStatus(staging).sortBy(_.getPath.getName).foreach { f =>
+              if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+                val name = f"zorder-$opId-$g-$i%05d.parquet"
+                val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+                val to = new Path(data, rel)
+                fs.mkdirs(to.getParent)
+                if (!fs.rename(f.getPath, to)) {
+                  throw new java.io.IOException(s"zorder stage rename failed: $rel")
+                }
+                outNames += rel
+                i += 1
+              }
+            }
+          } finally fs.delete(staging, true)
+          (nRows, outNames.result())
       }
-    } finally fs.delete(staging, true)
-    val out = outNames.result()
+
+    val out = perGroup.flatMap(_._2)
+    val nRows = perGroup.map(_._1).sum
     ParquetVersions.commit(tableDir) { prev =>
       (prev.filterNot(live.toSet) ++ out).distinct.sorted
     }

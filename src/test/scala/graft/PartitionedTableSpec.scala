@@ -195,11 +195,43 @@ class PartitionedTableSpec extends AnyFunSuite {
       spark.sql("REPLACE TABLE graft_ptn.lake.sales AS SELECT 1 AS x")
     }
     assert(e4.getMessage.contains("partitioned"), e4.getMessage)
-    val e5 = intercept[Exception] {
-      spark.sql("CALL graft_ptn.system.zorder_table(" +
-        "table => 'lake.sales', columns => 'amount')")
+  }
+
+  test("zorder runs partition-wise: outputs stay in their partitions") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.pz")
+    spark.sql("""CREATE TABLE graft_ptn.lake.pz (region STRING, amount BIGINT)
+                 PARTITIONED BY (region)""")
+    // several files per partition so the rewrite has something to cluster
+    (0 until 4).foreach { i =>
+      spark.sql(s"""INSERT INTO graft_ptn.lake.pz
+        SELECT CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END, id
+        FROM range(${i * 50}, ${i * 50 + 50})""")
     }
-    assert(e5.getMessage.contains("partition"), e5.getMessage)
+    val dir = s"$warehouse/lake/pz"
+    val preSum = spark.sql("SELECT sum(amount) AS s FROM graft_ptn.lake.pz")
+      .head.getLong(0)
+    spark.sql("CALL graft_ptn.system.zorder_table(" +
+      "table => 'lake.pz', columns => 'amount', files => 2)")
+    val names = ParquetVersions.latest(dir).get._2
+    assert(names.nonEmpty && names.forall(n =>
+      n.contains("/") && n.substring(n.indexOf('/') + 1).startsWith("zorder-")),
+      s"outputs must stay inside their partition dirs: $names")
+    assert(names.count(_.startsWith("region~eu/")) === 2 &&
+      names.count(_.startsWith("region~us/")) === 2, names)
+    // content identical
+    assert(spark.sql("SELECT sum(amount) AS s FROM graft_ptn.lake.pz")
+      .head.getLong(0) === preSum)
+    assert(spark.table("graft_ptn.lake.pz").count() === 200)
+    // two-tier pruning: the partition dir prunes region first (zero
+    // I/O), then z-order footer bounds prune within the partition
+    spark.table("graft_ptn.lake.pz").count() // warm plan path
+    val before = ParquetFooterStats.footerReadsUnder(dir)
+    assert(spark.sql("""SELECT count(amount) AS c FROM graft_ptn.lake.pz
+                        WHERE region = 'eu' AND amount < 50""")
+      .head.getLong(0) === 25)
+    val opened = ParquetFooterStats.footerReadsUnder(dir) - before
+    assert(opened <= 2,
+      s"us partition and out-of-range eu files must not open ($opened)")
   }
 
   test("UPDATE on a partitioned table stays correct") {
