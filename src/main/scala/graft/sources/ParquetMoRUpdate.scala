@@ -109,13 +109,12 @@ object ParquetMoRUpdate {
       if (conf.getConfString(DeleteMasks.MODE_KEY, "copy-on-write")
           != "merge-on-read") return None
       val tableDir = op.tableDir
-      // masks ride the version ledger; layouts that route rows by value
-      // (partition dirs, bucket tags) would need the append routed too
-      // — those fall back to the copy-on-write rewrite, which already
-      // preserves them
+      // masks ride the version ledger; a partition-dir layout would
+      // need the append routed per-partition — that falls back to the
+      // copy-on-write rewrite, which already preserves it. (Bucketed
+      // layouts ARE handled: the append writes bucket-tagged files.)
       if (!ParquetVersions.enabled(tableDir)) return None
       if (PartitionSpecs.read(tableDir).isDefined) return None
-      if (ParquetBucketing.readSpec(tableDir).isDefined) return None
       if (!rd.condition.deterministic) return None
       val declaredNames = op.declared.fieldNames.map(_.toLowerCase).toSet
       for {
@@ -296,7 +295,20 @@ case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
     val opId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(base, s".morupd-$opId")
     fs.delete(staging, true)
-    updated.write.mode("overwrite").parquet(staging.toString)
+    // a BUCKETED table keeps its layout: the appended images write
+    // bucket-tagged (`-b<k>` — same murmur3-pmod as the layout and the
+    // CoW rewrite), so after compaction purges the masks the
+    // key-grouped claim restores without a rebucket repair
+    val bucketSpec = ParquetBucketing.readSpec(tableDir)
+    bucketSpec match {
+      case Some(spec) =>
+        import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+        updated.withColumn("_gb", pmod(hash(col(spec.col)), lit(spec.n)))
+          .repartition(spec.n, col(spec.col))
+          .write.partitionBy("_gb").mode("overwrite").parquet(staging.toString)
+      case None =>
+        updated.write.mode("overwrite").parquet(staging.toString)
+    }
 
     // stage → data/ under the rlo- maintenance prefix (ledger-gated
     // invisible until the publish; a crash leaves vacuumable orphans).
@@ -304,24 +316,33 @@ case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
     // FALSE) are dropped rather than accumulated.
     val written = Seq.newBuilder[String]
     var i = 0
-    fs.listStatus(staging).foreach { s =>
-      if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
-        val rows =
-          try ParquetFooterStats.get(hconf, s.getPath, s.getLen,
-            s.getModificationTime).rowCount
-          catch { case scala.util.control.NonFatal(_) => 1L }
-        if (rows > 0L) {
-          val name = f"rlo-upd-$opId-$i%05d.parquet"
-          val to = new Path(data, name)
-          if (!fs.rename(s.getPath, to)) {
-            throw new java.io.IOException(
-              s"MergeOnReadUpdate: rename ${s.getPath} -> $to failed")
+    def stageIn(dir: Path, tag: Option[Int]): Unit =
+      fs.listStatus(dir).foreach { s =>
+        if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+          val rows =
+            try ParquetFooterStats.get(hconf, s.getPath, s.getLen,
+              s.getModificationTime).rowCount
+            catch { case scala.util.control.NonFatal(_) => 1L }
+          if (rows > 0L) {
+            val name = f"rlo-upd-$opId-$i%05d" +
+              tag.fold("")(k => s"-b$k") + ".parquet"
+            val to = new Path(data, name)
+            if (!fs.rename(s.getPath, to)) {
+              throw new java.io.IOException(
+                s"MergeOnReadUpdate: rename ${s.getPath} -> $to failed")
+            }
+            written += name
+            i += 1
           }
-          written += name
-          i += 1
         }
       }
-    }
+    if (bucketSpec.isDefined) {
+      fs.listStatus(staging).foreach { d =>
+        if (d.isDirectory && d.getPath.getName.startsWith("_gb=")) {
+          stageIn(d.getPath, Some(d.getPath.getName.stripPrefix("_gb=").toInt))
+        }
+      }
+    } else stageIn(staging, None)
     fs.delete(staging, true)
 
     // ONE visibility event: the condition lands as a delete mask on

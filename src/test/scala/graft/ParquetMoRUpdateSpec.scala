@@ -150,7 +150,7 @@ class ParquetMoRUpdateSpec extends AnyFunSuite {
     assert(spark.table("graft_moru.lake.u4").count() === 100)
   }
 
-  test("mode off / un-versioned / bucketed layouts keep copy-on-write") {
+  test("mode off / un-versioned tables keep copy-on-write") {
     // mode off: maskable condition but no opt-in
     spark.sql("DROP TABLE IF EXISTS graft_moru.lake.u5")
     spark.sql("CREATE TABLE graft_moru.lake.u5 AS SELECT id, id AS v FROM range(50)")
@@ -167,6 +167,42 @@ class ParquetMoRUpdateSpec extends AnyFunSuite {
     }
     assert(spark.sql("SELECT sum(v) AS s FROM graft_moru.lake.u6")
       .head.getLong(0) === (10L until 50L).sum)
+  }
+
+  test("bucketed table: MoR appends bucket-tagged images; compaction restores the claim") {
+    spark.sql("DROP TABLE IF EXISTS graft_moru.lake.u8")
+    spark.sql("CREATE TABLE graft_moru.lake.u8 (user_id STRING, amount BIGINT)")
+    val dir = s"$warehouse/lake/u8"
+    import spark.implicits._
+    val df = (0 until 80).map(i => (s"u${i % 8}", i.toLong)).toDF("user_id", "amount")
+    ParquetBucketing.writeBucketed(spark, df, "graft_moru.lake.u8", "user_id", 4)
+    spark.sql("CALL graft_moru.system.enable_versioning(table => 'lake.u8')")
+    val before = fileSigs(dir)
+    withMergeOnRead {
+      spark.sql("UPDATE graft_moru.lake.u8 SET amount = -1 WHERE user_id = 'u3'")
+    }
+    val after = fileSigs(dir)
+    before.foreach { case (name, sig) =>
+      assert(after.get(name).contains(sig), s"pre-existing file $name rewritten")
+    }
+    val appended = (after.keySet -- before.keySet).toSeq
+    assert(appended.nonEmpty && appended.forall(n =>
+      n.startsWith("rlo-upd-") && ParquetBucketing.bucketOfName(n).isDefined),
+      s"images must carry bucket tags: $appended")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_moru.lake.u8 WHERE amount = -1")
+      .head.getLong(0) === 10)
+    // compaction purges the masks; every surviving live file is tagged,
+    // so the key-grouped layout claim restores without a rebucket
+    spark.sql("CALL graft_moru.system.compact_table(table => 'lake.u8')")
+    assert(ParquetVersions.masksFor(dir, None).isEmpty)
+    val live = ParquetVersions.latest(dir).get._2
+    assert(live.forall(n => ParquetBucketing.bucketOfName(n).isDefined),
+      s"all live files tagged after compaction: $live")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_moru.lake.u8 WHERE amount = -1")
+      .head.getLong(0) === 10)
+    assert(spark.table("graft_moru.lake.u8").count() === 80)
   }
 
   test("change feed reports a MoR UPDATE as delete + insert") {
