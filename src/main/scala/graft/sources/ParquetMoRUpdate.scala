@@ -50,11 +50,16 @@ import org.apache.spark.sql.types.{BooleanType, StringType, StructType}
   * `Project` the rewrite built, and swaps the whole plan for
   * [[MergeOnReadUpdateCommand]]. Anything the mask machinery cannot
   * express — a condition [[DeleteMasks.serialize]] refuses (subquery,
-  * unsupported shape), a partitioned or bucketed layout, an
-  * un-versioned table, a nondeterministic WHERE — leaves the plan
-  * untouched and the copy-on-write path runs unchanged; the fallback
-  * is silent and always correct, the MoR path is an optimization of
-  * the same semantics.
+  * unsupported shape), an un-versioned table, a nondeterministic
+  * WHERE, a SET that assigns a PARTITION column (rows would move
+  * across partition dirs) — leaves the plan untouched and the
+  * copy-on-write path runs unchanged; the fallback is silent and
+  * always correct, the MoR path is an optimization of the same
+  * semantics. Routed layouts are preserved: bucketed images append
+  * bucket-tagged, partitioned images run one concurrent job per
+  * touched partition writing into its own directory (partition-dir
+  * bounds exclude whole partitions from the candidate set with zero
+  * I/O first).
   *
   * Consistency invariants:
   *   - the mask predicate and the matched-row filter derive from the
@@ -109,14 +114,17 @@ object ParquetMoRUpdate {
       if (conf.getConfString(DeleteMasks.MODE_KEY, "copy-on-write")
           != "merge-on-read") return None
       val tableDir = op.tableDir
-      // masks ride the version ledger; a partition-dir layout would
-      // need the append routed per-partition — that falls back to the
-      // copy-on-write rewrite, which already preserves it. (Bucketed
-      // layouts ARE handled: the append writes bucket-tagged files.)
+      // masks ride the version ledger (partitioned and bucketed
+      // layouts are handled: the appended images route into partition
+      // dirs / carry bucket tags)
       if (!ParquetVersions.enabled(tableDir)) return None
-      if (PartitionSpecs.read(tableDir).isDefined) return None
       if (!rd.condition.deterministic) return None
       val declaredNames = op.declared.fieldNames.map(_.toLowerCase).toSet
+      // a SET that assigns a PARTITION column moves rows across
+      // partition dirs — the copy-on-write router handles that; the
+      // per-partition append below relies on rows staying put
+      val partCols: Set[String] = PartitionSpecs.read(tableDir)
+        .map(_.fields.map(_.col.toLowerCase).toSet).getOrElse(Set.empty)
       for {
         filter <- toV1(rd.condition)
         // evaluable, not just serializable: the NNF translation the
@@ -129,7 +137,9 @@ object ParquetMoRUpdate {
         // reader's row schema lacks)
         if DeleteMasks.references(maskJson)
           .forall(r => declaredNames(r.toLowerCase))
-        sets <- setProjection(rd, op.declared, declaredNames)
+        extracted <- setProjection(rd, op.declared, declaredNames)
+        (sets, assigned) = extracted
+        if assigned.forall(a => !partCols(a.toLowerCase))
       } yield MergeOnReadUpdateCommand(tableDir, op.declared, maskJson, sets)
     }
 
@@ -197,16 +207,18 @@ object ParquetMoRUpdate {
       * collapses to the assigned value; unassigned columns pass
       * through. None = a shape we don't recognize (MERGE's MergeRows,
       * the nondeterministic union plan, a `_file` reference, a
-      * subquery in a SET value) → copy-on-write. */
+      * subquery in a SET value) → copy-on-write. Returns the
+      * per-column expressions plus the names of ASSIGNED columns. */
     private def setProjection(rd: ReplaceData, declared: StructType,
-        declaredNames: Set[String]): Option[Seq[(String, Expression)]] = {
+        declaredNames: Set[String])
+        : Option[(Seq[(String, Expression)], Seq[String])] = {
       // the TOPMOST Project is the update projection (the rewrite may
       // interpose a runtime group-filter Filter between it and the
       // scan relation, so don't pattern-match the child)
       val projectList = rd.query.collectFirst {
         case Project(list, _) => list
       }.getOrElse(return None)
-      var sawAssignment = false
+      val assigned = Seq.newBuilder[String]
       val sets = declared.fields.toSeq.map { f =>
         val ne = projectList.find(_.name.equalsIgnoreCase(f.name))
           .getOrElse(return None)
@@ -220,7 +232,7 @@ object ParquetMoRUpdate {
           case _ => false
         }
         if (!expressible) return None
-        if (!e.isInstanceOf[AttributeReference]) sawAssignment = true
+        if (!e.isInstanceOf[AttributeReference]) assigned += f.name
         (f.name, e.transform {
           case a: AttributeReference => UnresolvedAttribute(Seq(a.name))
         })
@@ -229,8 +241,9 @@ object ParquetMoRUpdate {
       // wrapper over a nested update projection, not the projection
       // itself — re-deriving SET values from it would silently drop
       // the update, so fall back
-      if (!sawAssignment) return None
-      Some(sets)
+      val assignedNames = assigned.result()
+      if (assignedNames.isEmpty) return None
+      Some((sets, assignedNames))
     }
   }
 
@@ -266,13 +279,21 @@ case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
         s"mask predicate no longer translates against the declared " +
           s"schema: $maskJson"))
     val live = ParquetVersions.live(tableDir).toSet
+    val partLayout = PartitionSpecs.read(tableDir)
     val candidates = ParquetVersions.walkData(fs, data)
       .filter { case (rel, _) => live(rel) }
-      .filter { case (_, st) =>
+      .filter { case (rel, st) =>
         try {
-          val fstats = ParquetFooterStats.get(hconf, st.getPath, st.getLen,
-            st.getModificationTime)
-          !FooterPrune.excludes(fstats, cond)
+          // partition-dir bounds first (zero I/O — whole partitions
+          // drop out before any footer opens), then footer stats
+          val syn = partLayout.flatMap(ps =>
+            PartitionSpecs.statsOfRelPath(ps, declared, rel))
+          if (syn.exists(s => FooterPrune.excludes(s, cond))) false
+          else {
+            val fstats = ParquetFooterStats.get(hconf, st.getPath, st.getLen,
+              st.getModificationTime)
+            !FooterPrune.excludes(fstats, cond)
+          }
         } catch { case scala.util.control.NonFatal(_) => true }
       }
       .map(_._1)
@@ -285,38 +306,23 @@ case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
     // pushdown-pruned parquet scan of the candidate files only.
     val priorMasks = ParquetVersions.masksFor(tableDir, None)
     val matched = !DeleteMasks.visibleColumn(declared, Seq(maskJson))
-    val updated = DeleteMasks
-      .readVisible(spark, declared, data, candidates, priorMasks)
-      .filter(matched)
-      .select(sets.map { case (n, e) =>
-        org.apache.spark.sql.GraftShims.column(e).as(n)
-      }: _*)
+    def imagesOf(files: Seq[String]): org.apache.spark.sql.DataFrame =
+      DeleteMasks.readVisible(spark, declared, data, files, priorMasks)
+        .filter(matched)
+        .select(sets.map { case (n, e) =>
+          org.apache.spark.sql.GraftShims.column(e).as(n)
+        }: _*)
 
     val opId = java.util.UUID.randomUUID().toString.take(8)
-    val staging = new Path(base, s".morupd-$opId")
-    fs.delete(staging, true)
-    // a BUCKETED table keeps its layout: the appended images write
-    // bucket-tagged (`-b<k>` — same murmur3-pmod as the layout and the
-    // CoW rewrite), so after compaction purges the masks the
-    // key-grouped claim restores without a rebucket repair
-    val bucketSpec = ParquetBucketing.readSpec(tableDir)
-    bucketSpec match {
-      case Some(spec) =>
-        import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-        updated.withColumn("_gb", pmod(hash(col(spec.col)), lit(spec.n)))
-          .repartition(spec.n, col(spec.col))
-          .write.partitionBy("_gb").mode("overwrite").parquet(staging.toString)
-      case None =>
-        updated.write.mode("overwrite").parquet(staging.toString)
-    }
-
-    // stage → data/ under the rlo- maintenance prefix (ledger-gated
-    // invisible until the publish; a crash leaves vacuumable orphans).
-    // Zero-row parts (a candidate file whose rows all proved NULL or
-    // FALSE) are dropped rather than accumulated.
-    val written = Seq.newBuilder[String]
-    var i = 0
-    def stageIn(dir: Path, tag: Option[Int]): Unit =
+    // Zero-row staged parts (a candidate file whose rows all proved
+    // NULL or FALSE) are dropped rather than accumulated; the
+    // surviving images land in `data/` under the rlo- maintenance
+    // prefix (ledger-gated invisible until the publish; a crash
+    // leaves vacuumable orphans).
+    def stageIn(dir: Path, relDir: String, tag: Option[Int],
+        group: Int): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
       fs.listStatus(dir).foreach { s =>
         if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
           val rows =
@@ -324,26 +330,73 @@ case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
               s.getModificationTime).rowCount
             catch { case scala.util.control.NonFatal(_) => 1L }
           if (rows > 0L) {
-            val name = f"rlo-upd-$opId-$i%05d" +
+            val name = f"rlo-upd-$opId-$group-$i%05d" +
               tag.fold("")(k => s"-b$k") + ".parquet"
-            val to = new Path(data, name)
+            val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+            val to = new Path(data, rel)
+            fs.mkdirs(to.getParent)
             if (!fs.rename(s.getPath, to)) {
               throw new java.io.IOException(
                 s"MergeOnReadUpdate: rename ${s.getPath} -> $to failed")
             }
-            written += name
+            out += rel
             i += 1
           }
         }
       }
-    if (bucketSpec.isDefined) {
-      fs.listStatus(staging).foreach { d =>
-        if (d.isDirectory && d.getPath.getName.startsWith("_gb=")) {
-          stageIn(d.getPath, Some(d.getPath.getName.stripPrefix("_gb=").toInt))
+      out.result()
+    }
+
+    // layout-preserving appends: a BUCKETED table's images write
+    // bucket-tagged (`-b<k>` — same murmur3-pmod as the layout and the
+    // CoW rewrite), so after compaction purges the masks the
+    // key-grouped claim restores without a rebucket repair; a
+    // PARTITIONED table's images stay in their partition — the rule
+    // rejects a SET on a partition column, so rows cannot move, and
+    // each touched partition runs as its own concurrent job writing
+    // into its own directory
+    val bucketSpec = ParquetBucketing.readSpec(tableDir)
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val written: Seq[String] = (bucketSpec, partLayout) match {
+      case (Some(spec), _) =>
+        val staging = new Path(base, s".morupd-$opId")
+        fs.delete(staging, true)
+        imagesOf(candidates)
+          .withColumn("_gb", pmod(hash(col(spec.col)), lit(spec.n)))
+          .repartition(spec.n, col(spec.col))
+          .write.partitionBy("_gb").mode("overwrite").parquet(staging.toString)
+        val out = fs.listStatus(staging).toSeq.flatMap { d =>
+          if (d.isDirectory && d.getPath.getName.startsWith("_gb=")) {
+            stageIn(d.getPath, "",
+              Some(d.getPath.getName.stripPrefix("_gb=").toInt), 0)
+          } else Seq.empty
         }
-      }
-    } else stageIn(staging, None)
-    fs.delete(staging, true)
+        fs.delete(staging, true)
+        out
+      case (None, Some(_)) =>
+        def dirOfRel(rel: String): String = {
+          val i = rel.lastIndexOf('/')
+          if (i < 0) "" else rel.substring(0, i)
+        }
+        val groups = candidates.groupBy(dirOfRel).toSeq.sortBy(_._1)
+        Compaction.inParallel(groups.zipWithIndex) {
+          case ((relDir, members), g) =>
+            val staging = new Path(base, s".morupd-$opId-$g")
+            fs.delete(staging, true)
+            imagesOf(members)
+              .write.mode("overwrite").parquet(staging.toString)
+            val out = stageIn(staging, relDir, None, g)
+            fs.delete(staging, true)
+            out
+        }.flatten
+      case _ =>
+        val staging = new Path(base, s".morupd-$opId")
+        fs.delete(staging, true)
+        imagesOf(candidates).write.mode("overwrite").parquet(staging.toString)
+        val out = stageIn(staging, "", None, 0)
+        fs.delete(staging, true)
+        out
+    }
 
     // ONE visibility event: the condition lands as a delete mask on
     // every candidate file and the updated images join the membership.
@@ -351,7 +404,7 @@ case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
     // concurrent append lands under new names and is never masked.
     ParquetVersions.commit(tableDir, None,
       candidates.map(_ -> Seq(maskJson)).toMap) { liveNow =>
-      (liveNow ++ written.result()).distinct.sorted
+      (liveNow ++ written).distinct.sorted
     }
     Seq.empty
   }

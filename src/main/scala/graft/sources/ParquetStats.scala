@@ -92,6 +92,17 @@ object ParquetFooterStats {
     * cold-planning open count of the next query. */
   private[graft] def clearCacheForTesting(): Unit = cache.clear()
 
+  /** Test hook: per-path open counts under a prefix. */
+  private[graft] def debugReadsUnder(prefix: String): String = {
+    val sb = new StringBuilder
+    val it = readsByPath.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey.startsWith(prefix)) sb.append(s"${e.getKey}=${e.getValue.get()} ")
+    }
+    sb.result()
+  }
+
   def get(conf: Configuration, path: Path, len: Long, mtime: Long): FileStats = {
     cache.computeIfAbsent((path.toString, len, mtime), _ => read(conf, path))
   }

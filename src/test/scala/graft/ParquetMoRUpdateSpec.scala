@@ -205,6 +205,81 @@ class ParquetMoRUpdateSpec extends AnyFunSuite {
     assert(spark.table("graft_moru.lake.u8").count() === 80)
   }
 
+  test("partitioned table: images stay in their partition, others never open") {
+    spark.sql("DROP TABLE IF EXISTS graft_moru.lake.u9")
+    spark.sql("""CREATE TABLE graft_moru.lake.u9 (region STRING, amount BIGINT)
+                 PARTITIONED BY (region)""")
+    spark.sql("""INSERT INTO graft_moru.lake.u9
+                 SELECT CASE WHEN id % 3 = 0 THEN 'eu'
+                             WHEN id % 3 = 1 THEN 'us' ELSE 'ap' END, id
+                 FROM range(90)""")
+    val dir = s"$warehouse/lake/u9"
+    val (usDir, apDir) = (s"$dir/data/region~us", s"$dir/data/region~ap")
+    def sigs(): Map[String, (Long, Int)] = {
+      val out = Map.newBuilder[String, (Long, Int)]
+      ParquetVersions.latest(dir).get._2.foreach { rel =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/data", rel)
+        val st = fs.getFileStatus(p)
+        val in = fs.open(p)
+        val head = try { val b = new Array[Byte](64); in.readFully(0, b); b }
+          finally in.close()
+        out += rel -> ((st.getLen, java.util.Arrays.hashCode(head)))
+      }
+      out.result()
+    }
+    val before = sigs()
+    val excludedBefore = ParquetFooterStats.footerReadsUnder(usDir) +
+      ParquetFooterStats.footerReadsUnder(apDir)
+    withMergeOnRead {
+      spark.sql("UPDATE graft_moru.lake.u9 SET amount = -1 " +
+        "WHERE region = 'eu' AND amount < 30")
+    }
+    // excluded partitions never open a footer during classification
+    // (partition-dir bounds prove them out with zero I/O)
+    val excludedOpened = ParquetFooterStats.footerReadsUnder(usDir) +
+      ParquetFooterStats.footerReadsUnder(apDir) - excludedBefore
+    assert(excludedOpened === 0,
+      s"excluded partitions must classify with zero footer I/O ($excludedOpened)")
+    val after = sigs()
+    before.foreach { case (name, sig) =>
+      assert(after.get(name).contains(sig), s"pre-existing file $name changed")
+    }
+    val appended = (after.keySet -- before.keySet).toSeq
+    assert(appended.nonEmpty && appended.forall(n =>
+      n.startsWith("region~eu/") &&
+        n.substring(n.indexOf('/') + 1).startsWith("rlo-upd-")),
+      s"images must land inside the touched partition: $appended")
+    // masks attach only inside the touched partition
+    val masks = ParquetVersions.masksFor(dir, None)
+    assert(masks.nonEmpty && masks.keySet.forall(_.startsWith("region~eu/")), masks)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_moru.lake.u9 WHERE amount = -1")
+      .head.getLong(0) === 10, "eu rows 0,3,..,27")
+    assert(spark.table("graft_moru.lake.u9").count() === 90)
+    assert(spark.sql(
+      "SELECT sum(amount) AS s FROM graft_moru.lake.u9 WHERE region = 'us'")
+      .head.getLong(0) === (0L until 90L).filter(_ % 3 == 1).sum)
+  }
+
+  test("SET on a partition column falls back to copy-on-write routing") {
+    spark.sql("DROP TABLE IF EXISTS graft_moru.lake.u10")
+    spark.sql("""CREATE TABLE graft_moru.lake.u10 (region STRING, amount BIGINT)
+                 PARTITIONED BY (region)""")
+    spark.sql("""INSERT INTO graft_moru.lake.u10
+                 SELECT CASE WHEN id % 2 = 0 THEN 'eu' ELSE 'us' END, id
+                 FROM range(20)""")
+    val dir = s"$warehouse/lake/u10"
+    withMergeOnRead {
+      spark.sql("UPDATE graft_moru.lake.u10 SET region = 'apac' WHERE amount < 6")
+    }
+    assert(ParquetVersions.masksFor(dir, None).isEmpty,
+      "partition-moving UPDATE must take the CoW router, not masks")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_moru.lake.u10 WHERE region = 'apac'")
+      .head.getLong(0) === 6)
+    assert(spark.table("graft_moru.lake.u10").count() === 20)
+  }
+
   test("change feed reports a MoR UPDATE as delete + insert") {
     spark.sql("DROP TABLE IF EXISTS graft_moru.lake.u7")
     spark.sql("CREATE TABLE graft_moru.lake.u7 AS SELECT id, id AS v FROM range(50)")
