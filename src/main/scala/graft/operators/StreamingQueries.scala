@@ -714,7 +714,53 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** STREAMING INTO A PARTITIONED TABLE
+    * ([[graft.sources.PartitionedStreamingWrite]]): the s20 pipeline
+    * shape with a `PARTITIONED BY (days(mday))` destination — every
+    * epoch routes its rows into month directories and publishes ONE
+    * ledger version covering all of them, the stream stops and
+    * resumes from its checkpoint across a plain-INSERT append wave,
+    * and the final probe is a partition-pruned range aggregate over
+    * the streamed layout. A misrouted row, a torn multi-partition
+    * epoch, or a replayed-epoch duplicate breaks the hash. */
+  def s21_stream_partitioned_sink(spark: SparkSession, dir: String): DataFrame = {
+    Pipeline.catalogFor(spark, "s21", "lake")
+    val ck = java.nio.file.Files.createTempDirectory("graft_lhcat_s21_ck").toString
+    spark.sql("DROP TABLE IF EXISTS graft_s21.lake.src")
+    spark.sql("DROP TABLE IF EXISTS graft_s21.lake.dst")
+    spark.sql("CREATE TABLE graft_s21.lake.src (okey BIGINT, mday DATE, cents BIGINT)")
+    spark.sql("""CREATE TABLE graft_s21.lake.dst (okey BIGINT, mday DATE, cents BIGINT)
+                 PARTITIONED BY (days(mday))""")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast(LongType).as("okey"),
+      date_trunc("month", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.DateType).as("mday"),
+      (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(9, 2)) * 100)
+        .cast(LongType).as("cents"))
+    def writeHalf(parity: Int): Unit =
+      base.filter(col("okey") % 2 === parity)
+        .repartition(2).writeTo("graft_s21.lake.src").append()
+    writeHalf(0)
+    spark.sql("CALL graft_s21.system.enable_versioning(table => 'lake.src')")
+    def run(): Unit = {
+      val q = spark.readStream.table("graft_s21.lake.src")
+        .filter(col("cents") % 3 === 0)
+        .writeStream.option("checkpointLocation", ck)
+        .toTable("graft_s21.lake.dst")
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()          // snapshot of the even-okey baseline
+    writeHalf(1)   // plain INSERT — streamable only via catch-up
+    run()          // checkpoint resume + tailed append
+    spark.sql("""SELECT mday, count(*) AS n, sum(cents) AS sum_cents
+                 FROM graft_s21.lake.dst
+                 WHERE mday >= DATE'1993-01-01' AND mday <= DATE'1997-06-01'
+                 GROUP BY mday ORDER BY mday""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_stream_partitioned_sink" -> (s21_stream_partitioned_sink _),
     "s20_stream_table_pipeline" -> (s20_stream_table_pipeline _),
     "s19_stream_cdc_matview" -> (s19_stream_cdc_matview _),
     "s18_stream_cdc" -> (s18_stream_cdc _),
@@ -774,6 +820,18 @@ object StreamingQueries {
     // u7 (the appends completed the key space, the delete removed u7)
     // the streamed derived table equals the batch recomputation over
     // ALL source rows (both halves), filter and derived column included
+    // the streamed partitioned table equals the batch recomputation:
+    // both halves land, filter included; the probe range covers every
+    // month present so the compare is total
+    "s21_stream_partitioned_sink" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mday,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT mday, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM b
+        |WHERE cents % 3 = 0
+        |  AND mday >= DATE '1993-01-01' AND mday <= DATE '1997-06-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s20_stream_table_pipeline" ->
       """WITH b AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
