@@ -121,15 +121,20 @@ object ParquetVersions {
     * `zorder-` is OPTIMIZE ZORDER ([[ParquetZorder]]), `ins-` is the
     * partitioned tables' staged INSERT ([[PartitionedWriteBuilder]] —
     * gated so a crash mid-multi-partition-rename leaves no torn commit
-    * visible). A rewrite path that invents a NEW prefix without
-    * registering it here double-serves every row in its
-    * rename-to-publish window and leaks crashed outputs as
-    * permanently-live appends vacuum can never reclaim. */
+    * visible), `stream-` is the streaming sinks' epoch files
+    * ([[ParquetStreamingWrite]]/[[PartitionedStreamingWrite]] — gated
+    * so a torn or crashed epoch is never partially visible and its
+    * debris is vacuumable; the epoch publish is the ONLY visibility
+    * event, exactly as those sinks document). A rewrite path that
+    * invents a NEW prefix without registering it here double-serves
+    * every row in its rename-to-publish window and leaks crashed
+    * outputs as permanently-live appends vacuum can never reclaim. */
   private[sources] def maintenanceNamed(name: String): Boolean = {
     val base = name.substring(name.lastIndexOf('/') + 1)
     base.startsWith("compact-") || base.startsWith("delete-") ||
       base.startsWith("rlo-") || base.startsWith("rtas-") ||
-      base.startsWith("zorder-") || base.startsWith("ins-")
+      base.startsWith("zorder-") || base.startsWith("ins-") ||
+      base.startsWith("stream-")
   }
 
   private def fsOf(p: Path) = p.getFileSystem(new Configuration())
@@ -296,12 +301,28 @@ object ParquetVersions {
     val (droppedVs, retainedVs) = payloads.partition(p => !retainedOrds(p._1))
     val referencedRetained = retainedVs.flatMap(_._3).toSet
     val referencedAny = payloads.iterator.flatMap(_._3).toSet
-    val deleted = listing(tableDir).filter { name =>
-      !referencedRetained(name) &&
-        (referencedAny(name) || maintenanceNamed(name))
-    }
+    // an UNREFERENCED maintenance-named file is crashed-op debris ONLY
+    // once it is old: a row-level op or a streaming-epoch commit that
+    // does NOT hold the maintenance lease may be inside its
+    // rename-to-publish window right now, and deleting its fresh
+    // output would corrupt the commit it is about to publish. Retired
+    // files (referenced by some dropped version) carry no such window.
+    val now = System.currentTimeMillis()
+    val deleted = walkData(fs, dataDir(tableDir)).filter { case (name, st) =>
+      !referencedRetained(name) && (
+        referencedAny(name) ||
+          (maintenanceNamed(name) &&
+            now - st.getModificationTime > InFlightGraceMs))
+    }.map(_._1)
     deleted.foreach(n => fs.delete(new Path(dataDir(tableDir), n), false))
     droppedVs.foreach { case (_, p, _) => fs.delete(p, false) }
-    deleted
+    deleted.sorted
   }
+
+  /** How long vacuum leaves an unreferenced maintenance-named file
+    * alone before calling it crashed-op debris — longer than any
+    * plausible rename-to-publish window of a lease-less committer
+    * (row-level ops, streaming epochs), shorter than any reasonable
+    * vacuum cadence. */
+  private[sources] val InFlightGraceMs: Long = 15L * 60L * 1000L
 }

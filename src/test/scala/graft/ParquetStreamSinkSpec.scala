@@ -147,4 +147,36 @@ class ParquetStreamSinkSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(back === first)
   }
+
+  test("epoch files are ledger-gated: a crashed epoch is invisible and vacuumable") {
+    val t = mkTable("s5")
+    spark.range(0, 10).select(col("id"), (col("id") * 2).as("score"))
+      .writeTo(t).append()
+    val dir = s"$warehouse/lake/s5"
+    graft.sources.ParquetVersions.enable(dir)
+    val data = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an epoch that crashed between its renames and its
+    // publish: a stream-named file no version references
+    val donor = fs.listStatus(data)
+      .filter(_.getPath.getName.endsWith(".parquet")).head
+    val orphan = new org.apache.hadoop.fs.Path(data,
+      "stream-deadqid-7-00000-0.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor.getPath, fs, orphan, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(spark.table(t).count() === 10,
+      "a crashed epoch's files must not surface (no torn epochs)")
+    // fresh debris survives vacuum (a live epoch may be mid-publish)…
+    assert(!graft.sources.ParquetVersions.vacuum(dir, retainLast = 2)
+      .contains(orphan.getName))
+    assert(fs.exists(orphan))
+    // …old debris is reclaimed
+    val old = System.currentTimeMillis() -
+      graft.sources.ParquetVersions.InFlightGraceMs - 60000L
+    fs.setTimes(orphan, old, old)
+    assert(graft.sources.ParquetVersions.vacuum(dir, retainLast = 2)
+      .contains(orphan.getName))
+    assert(!fs.exists(orphan))
+    assert(spark.table(t).count() === 10)
+  }
 }

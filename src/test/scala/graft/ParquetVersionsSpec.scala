@@ -131,6 +131,16 @@ class ParquetVersionsSpec extends AnyFunSuite {
       new Path(data, "part-append-racer.parquet"), false,
       spark.sparkContext.hadoopConfiguration)
     assert(spark.table(t).count() === 700)
+    // FRESH unreferenced maintenance files are protected — a lease-less
+    // committer (row-level op, streaming epoch) may be inside its
+    // rename-to-publish window — so vacuum leaves the orphan alone
+    // until it is older than the in-flight grace
+    val early = ParquetVersions.vacuum(tableDir("v4"), retainLast = 2)
+    assert(!early.contains("delete-deadbeef-00000.parquet"),
+      "fresh maintenance debris must survive (in-flight grace)")
+    val orphan = new Path(data, "delete-deadbeef-00000.parquet")
+    val old = System.currentTimeMillis() - ParquetVersions.InFlightGraceMs - 60000L
+    fs.setTimes(orphan, old, old)
     val deleted = ParquetVersions.vacuum(tableDir("v4"), retainLast = 2)
     // the crashed orphan is reclaimed, the append survives (folded in
     // by vacuum's catch-up commit)

@@ -109,7 +109,10 @@ class ZorderTableSpec extends AnyFunSuite {
     // the orphan must NOT surface as live rows…
     assert(spark.table(t).count() === before,
       "a crashed zorder output must not double-serve rows")
-    // …and vacuum reclaims it
+    // …and vacuum reclaims it once it is past the in-flight grace
+    val orphan = new org.apache.hadoop.fs.Path(data, "zorder-crash-00000.parquet")
+    val old = System.currentTimeMillis() - ParquetVersions.InFlightGraceMs - 60000L
+    fs.setTimes(orphan, old, old)
     val reclaimed = ParquetVersions.vacuum(dir, retainLast = 1)
     assert(reclaimed.contains("zorder-crash-00000.parquet"),
       s"vacuum must reclaim the crashed output, got: ${reclaimed.mkString(",")}")
