@@ -300,6 +300,37 @@ class ParquetMoRUpdateSpec extends AnyFunSuite {
     assert(ins.toSeq === Seq((7L, 100L)), "new image surfaces as insert")
   }
 
+  test("concurrent disjoint MoR UPDATEs converge through the ledger CAS") {
+    spark.sql("DROP TABLE IF EXISTS graft_moru.lake.u11")
+    spark.sql("CREATE TABLE graft_moru.lake.u11 AS " +
+      "SELECT id, CAST(0 AS BIGINT) AS tag FROM range(200)")
+    val dir = s"$warehouse/lake/u11"
+    spark.sql("CALL graft_moru.system.enable_versioning(table => 'lake.u11')")
+    withMergeOnRead {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val fs = Seq(
+        Future(spark.sql("UPDATE graft_moru.lake.u11 SET tag = 1 WHERE id < 50")),
+        Future(spark.sql("UPDATE graft_moru.lake.u11 SET tag = 2 WHERE id >= 150")))
+      fs.foreach(Await.result(_, 120.seconds))
+      pool.shutdown()
+    }
+    // both updates land; disjoint predicates cannot clobber each other
+    assert(spark.table("graft_moru.lake.u11").count() === 200)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_moru.lake.u11 WHERE tag = 1")
+      .head.getLong(0) === 50)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_moru.lake.u11 WHERE tag = 2")
+      .head.getLong(0) === 50)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_moru.lake.u11 WHERE tag = 0")
+      .head.getLong(0) === 100)
+  }
+
   test("UPDATE provably matching nothing is a no-op (no new version)") {
     val dir = s"$warehouse/lake/u1"
     val vBefore = ParquetVersions.latest(dir).get._1

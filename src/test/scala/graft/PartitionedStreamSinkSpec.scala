@@ -77,6 +77,30 @@ class PartitionedStreamSinkSpec extends AnyFunSuite {
     assert(opened <= 1, s"excluded partitions must not open footers ($opened)")
   }
 
+  test("a partitioned table tails as a stream source (snapshot + catch-up)") {
+    spark.sql("DROP TABLE IF EXISTS graft_pstr.lake.t3")
+    spark.sql("""CREATE TABLE graft_pstr.lake.t3 (tier STRING, amount BIGINT)
+                 PARTITIONED BY (tier)""")
+    val t = "graft_pstr.lake.t3"
+    spark.sql(s"INSERT INTO $t VALUES ('a', 1), ('b', 10), ('a', 2)")
+    val ck = Files.createTempDirectory("graft_pstream_ck3").toString
+    val outDir = Files.createTempDirectory("graft_pstream_out3").toString
+    def run(): Unit = {
+      val q = spark.readStream.table(t)
+        .writeStream.option("checkpointLocation", ck)
+        .format("parquet").option("path", outDir).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run() // snapshot batch over the partition dirs
+    spark.sql(s"INSERT INTO $t VALUES ('c', 100), ('b', 20)")
+    run() // resumed tail picks up exactly the new commit
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L),
+      ("c", 100L)), got.mkString(","))
+  }
+
   test("checkpoint restart + replayed epoch land exactly once") {
     spark.sql("DROP TABLE IF EXISTS graft_pstr.lake.t2")
     spark.sql("""CREATE TABLE graft_pstr.lake.t2 (k BIGINT, amount BIGINT)
