@@ -281,7 +281,40 @@ class PartitionedWriteBuilder(tableDir: String, declared: StructType,
 
   override def truncate(): WriteBuilder = { replaceAll = true; this }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+    /** Partitioned writes ask Spark to CLUSTER rows by the partition
+      * source columns before the write (same contract as the log
+      * tier's bucketed writes): each distinct partition value lands in
+      * one task, so an INSERT writes ~one file per touched partition
+      * instead of (tasks × partitions) small files — the file-count
+      * property that keeps a 100 TB table's metadata bounded. Exact
+      * for identity and days-on-date layouts; days(timestamp) clusters
+      * by the raw timestamp (no worse than unclustered, and the
+      * codegen'd exchange beats a per-task file explosion). The known
+      * trade-off is a HOT partition serializing through one task
+      * (e.g. a single-day bulk backfill) —
+      * `spark.graft.partitioned.write.distribution=none` opts out for
+      * that load shape. */
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution = {
+      val mode = org.apache.spark.sql.classic.SparkSession.active.conf
+        .get("spark.graft.partitioned.write.distribution", "clustered")
+      if (mode == "none") {
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      } else {
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          spec.fields.map(f => org.apache.spark.sql.connector.expressions
+            .Expressions.column(f.col): org.apache.spark.sql.connector
+            .expressions.Expression).toArray)
+      }
+    }
+    override def requiredNumPartitions(): Int = 0
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
+
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new PartitionedStreamingWrite(tableDir, declared, spec, queryId,

@@ -234,6 +234,28 @@ class PartitionedTableSpec extends AnyFunSuite {
       s"us partition and out-of-range eu files must not open ($opened)")
   }
 
+  test("INSERT clusters by partition value: one file per touched partition") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.pf")
+    spark.sql("""CREATE TABLE graft_ptn.lake.pf (k BIGINT, amount BIGINT)
+                 PARTITIONED BY (k)""")
+    // a deliberately many-task input: without the required clustered
+    // distribution this writes (tasks x partitions) files
+    spark.range(0, 4000).repartition(8)
+      .selectExpr("id % 5 AS k", "id AS amount")
+      .writeTo("graft_ptn.lake.pf").append()
+    val names = ParquetVersions.latest(s"$warehouse/lake/pf").get._2
+    assert(names.size === 5,
+      s"clustered write must produce one file per partition: $names")
+    assert(spark.table("graft_ptn.lake.pf").count() === 4000)
+    // the escape hatch for hot-partition bulk loads
+    spark.conf.set("spark.graft.partitioned.write.distribution", "none")
+    try {
+      spark.range(0, 100).repartition(4).selectExpr("5 AS k", "id AS amount")
+        .writeTo("graft_ptn.lake.pf").append()
+    } finally spark.conf.unset("spark.graft.partitioned.write.distribution")
+    assert(spark.table("graft_ptn.lake.pf").count() === 4100)
+  }
+
   test("UPDATE on a partitioned table stays correct") {
     spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.pu")
     spark.sql("""CREATE TABLE graft_ptn.lake.pu (region STRING, amount BIGINT)
