@@ -932,6 +932,42 @@ object Pipeline {
                  ORDER BY snap""")
   }
 
+  /** PARTITION EVOLUTION ([[graft.sources.PartitionEvolution]]): a
+    * flat table evolves to `days(mday)` — the even half lands flat,
+    * the layout swaps, the odd half routes into day directories — and
+    * the range probe runs BEFORE and AFTER `repartition_table`'s lazy
+    * migration. The two probes must agree exactly (tagged UNION, the
+    * oracle doubles itself): a row lost or duplicated in migration, a
+    * mis-routed append, or a prune over the mixed layout that drops an
+    * old-layout file breaks the hash. */
+  def p31_partition_evolution(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p31", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p31.lake.orders_pq")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("okey"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("mday"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("p31_src")
+    spark.sql("CREATE TABLE graft_p31.lake.orders_pq AS " +
+      "SELECT * FROM p31_src WHERE okey % 2 = 0")
+    spark.sql("CALL graft_p31.system.set_partition_spec(" +
+      "table => 'lake.orders_pq', spec => 'days(mday)')")
+    spark.sql("INSERT INTO graft_p31.lake.orders_pq " +
+      "SELECT * FROM p31_src WHERE okey % 2 = 1")
+    def probe(tag: String): DataFrame =
+      spark.sql(s"""SELECT '$tag' AS phase, mday, count(*) AS n,
+                           sum(cents) AS cents
+                    FROM graft_p31.lake.orders_pq
+                    WHERE mday >= DATE'1995-02-01' AND mday <= DATE'1996-01-01'
+                    GROUP BY mday""")
+    val pre = probe("a_mixed_layout")
+    pre.count() // materialize over the mixed layout before migrating
+    spark.sql("CALL graft_p31.system.repartition_table(table => 'lake.orders_pq')")
+    pre.unionAll(probe("b_migrated"))
+      .orderBy(col("phase"), col("mday"))
+  }
+
   /** `.partitions` / extended `.files` metadata
     * ([[graft.sources.MetaTables]]): the per-partition summary relation
     * over a pinned layout — one file per partition (repartition(1)
@@ -963,6 +999,7 @@ object Pipeline {
     "p27_partitioned_table" -> (p27_partitioned_table _),
     "p28_lightweight_delete" -> (p28_lightweight_delete _),
     "p30_lightweight_update" -> (p30_lightweight_update _),
+    "p31_partition_evolution" -> (p31_partition_evolution _),
     "p29_partitions_meta" -> (p29_partitions_meta _),
     "p26_metadata_tables" -> (p26_metadata_tables _),
     "p24_ctas" -> (p24_ctas _),
@@ -1035,6 +1072,18 @@ object Pipeline {
         |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM cur
         |ORDER BY snap""".stripMargin,
+    "p31_partition_evolution" ->
+      """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mday,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |p AS (SELECT mday, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM b
+        |  WHERE mday >= DATE '1995-02-01' AND mday <= DATE '1996-01-01'
+        |  GROUP BY 1)
+        |SELECT 'a_mixed_layout' AS phase, mday, n, cents FROM p
+        |UNION ALL
+        |SELECT 'b_migrated' AS phase, mday, n, cents FROM p
+        |ORDER BY phase, mday""".stripMargin,
     "p29_partitions_meta" ->
       """SELECT * FROM (VALUES
         |  ('tier~bronze', 1, 1, CAST(1 AS BIGINT)),

@@ -290,6 +290,39 @@ object LogProcedures {
           Seq(files, rows, out))
       }
     },
+    "set_partition_spec" -> new MaintenanceProcedure("set_partition_spec",
+      "evolve a catalog parquet table's partition layout (new writes route " +
+        "by it; existing files keep reading; repartition_table migrates lazily)") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("spec", StringType)
+          .comment("comma-separated: col or days(col); 'none' clears").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        require(isParquetTable(dir),
+          s"set_partition_spec lays out catalog parquet tables")
+        val (old, next) = PartitionEvolution.setSpec(spark, dir,
+          input.getUTF8String(1).toString)
+        oneRow(StructType(Seq(
+          StructField("old_spec", StringType, nullable = false),
+          StructField("new_spec", StringType, nullable = false))),
+          Seq(old, next))
+      }
+    },
+    "repartition_table" -> new MaintenanceProcedure("repartition_table",
+      "rewrite live files that do not conform to the current partition spec") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        require(isParquetTable(dir),
+          s"repartition_table migrates catalog parquet tables")
+        val (files, rows, out) = PartitionEvolution.repartitionTable(spark, dir)
+        oneRow(StructType(Seq(
+          StructField("files_rewritten", LongType, nullable = false),
+          StructField("rows_rewritten", LongType, nullable = false),
+          StructField("files_written", LongType, nullable = false))),
+          Seq(files, rows, out))
+      }
+    },
     "zorder_table" -> new MaintenanceProcedure("zorder_table",
       "Z-order a catalog parquet table by the given columns (OPTIMIZE ZORDER BY)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,

@@ -71,28 +71,59 @@ object PartitionSpecs {
     val fs = p.getFileSystem(new Configuration())
     val json = JsonMethods.compact(JsonMethods.render(
       spec.fields.map(f => ("col" -> f.col) ~ ("transform" -> f.transform))))
-    val out = fs.create(p, false) // the spec is immutable once created
+    val out = fs.create(p, false) // created once; evolution goes via replace()
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** Parse the catalog `Transform`s of CREATE TABLE … PARTITIONED BY
-    * and validate them against the declared schema. Loud on anything
-    * unsupported — a silently dropped layout clause is corruption. */
-  def fromTransforms(
-      transforms: Array[org.apache.spark.sql.connector.expressions.Transform],
-      schema: StructType): Spec = {
-    val fields = transforms.toSeq.map { t =>
-      val refs = t.references()
-      val col = if (refs.length == 1) refs.head.fieldNames().mkString(".") else ""
-      t.name() match {
-        case "identity" if col.nonEmpty => PartField(col, "identity")
-        case "days" if col.nonEmpty => PartField(col, "days")
-        case _ => throw new UnsupportedOperationException(
-          s"unsupported partition transform $t — supported: identity(col), days(col)")
-      }
+  /** PARTITION EVOLUTION: atomically swap (or clear) the spec. The
+    * spec is ADVISORY for reads — files under a layout the current
+    * spec doesn't describe are simply never dir-pruned (always
+    * correct), so old-layout files keep reading exactly as before and
+    * time travel is unaffected; only NEW writes route by the new
+    * spec. [[PartitionEvolution.repartitionTable]] migrates lazily. */
+  def replace(tableDir: String, spec: Option[Spec]): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val p = specPath(tableDir)
+    val fs = p.getFileSystem(new Configuration())
+    spec match {
+      case None => fs.delete(p, false); ()
+      case Some(s) =>
+        val json = JsonMethods.compact(JsonMethods.render(
+          s.fields.map(f => ("col" -> f.col) ~ ("transform" -> f.transform))))
+        val tmp = new Path(tableDir, "_partition.json.swap")
+        val out = fs.create(tmp, true)
+        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p)) {
+          throw new java.io.IOException(s"partition spec swap failed in $tableDir")
+        }
     }
-    fields.foreach { f =>
+  }
+
+  /** Parse an evolution spec string — `"region, days(ts)"` — and
+    * validate against the schema ([[validate]]); `"none"`/empty clears
+    * the layout. Same loud-on-unsupported posture as CREATE TABLE. */
+  def parse(s: String, schema: StructType): Option[Spec] = {
+    val trimmed = s.trim
+    if (trimmed.isEmpty || trimmed.equalsIgnoreCase("none")) return None
+    val DaysRe = """(?i)days\s*\(\s*([^)\s]+)\s*\)""".r
+    val fields = trimmed.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case DaysRe(col) => PartField(col, "days")
+      case col if !col.contains("(") => PartField(col, "identity")
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$other' — supported: col, days(col)")
+    }
+    val spec = Spec(fields)
+    validate(spec, schema)
+    Some(spec)
+  }
+
+  /** Shared transform/type validation (CREATE TABLE and evolution). */
+  def validate(spec: Spec, schema: StructType): Unit = {
+    spec.fields.foreach { f =>
       require(!f.col.contains("~") && !f.col.contains("/"),
         s"partition column '${f.col}' carries layout-reserved characters")
       val sf = schema.find(_.name.equalsIgnoreCase(f.col)).getOrElse(
@@ -114,9 +145,29 @@ object PartitionSpecs {
         }
       }
     }
-    require(fields.map(_.col.toLowerCase).distinct.size == fields.size,
+    require(spec.fields.map(_.col.toLowerCase).distinct.size == spec.fields.size,
       "duplicate partition columns")
-    Spec(fields)
+  }
+
+  /** Parse the catalog `Transform`s of CREATE TABLE … PARTITIONED BY
+    * and validate them against the declared schema. Loud on anything
+    * unsupported — a silently dropped layout clause is corruption. */
+  def fromTransforms(
+      transforms: Array[org.apache.spark.sql.connector.expressions.Transform],
+      schema: StructType): Spec = {
+    val fields = transforms.toSeq.map { t =>
+      val refs = t.references()
+      val col = if (refs.length == 1) refs.head.fieldNames().mkString(".") else ""
+      t.name() match {
+        case "identity" if col.nonEmpty => PartField(col, "identity")
+        case "days" if col.nonEmpty => PartField(col, "days")
+        case _ => throw new UnsupportedOperationException(
+          s"unsupported partition transform $t — supported: identity(col), days(col)")
+      }
+    }
+    val spec = Spec(fields)
+    validate(spec, schema)
+    spec
   }
 
   // --- directory-name codec ---------------------------------------
