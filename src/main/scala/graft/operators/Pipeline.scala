@@ -961,8 +961,10 @@ object Pipeline {
                     FROM graft_p31.lake.orders_pq
                     WHERE mday >= DATE'1995-02-01' AND mday <= DATE'1996-01-01'
                     GROUP BY mday""")
-    val pre = probe("a_mixed_layout")
-    pre.count() // materialize over the mixed layout before migrating
+    // localCheckpoint materializes the mixed-layout probe NOW — a lazy
+    // DataFrame would silently re-execute after the migration and both
+    // phases would compare the same post-migration state
+    val pre = probe("a_mixed_layout").localCheckpoint()
     spark.sql("CALL graft_p31.system.repartition_table(table => 'lake.orders_pq')")
     pre.unionAll(probe("b_migrated"))
       .orderBy(col("phase"), col("mday"))

@@ -452,9 +452,11 @@ object ParquetChangesMicroBatchStream {
     val distinct = blocks.map(_._1).distinct
     val statuses: Map[String, org.apache.hadoop.fs.FileStatus] =
       if (distinct.size > 8) {
-        // one listing serves every block
-        fs.listStatus(data).iterator
-          .filter(_.isFile).map(s => s.getPath.getName -> s).toMap
+        // one committed-file walk serves every block — keyed by
+        // data/-relative path, because partitioned tables publish
+        // names like `mday~…/ins-….parquet` that a flat listing keyed
+        // on bare names could never match
+        ParquetVersions.walkData(fs, data).toMap
       } else distinct.flatMap { n =>
         try Some(n -> fs.getFileStatus(new Path(data, n)))
         catch { case _: java.io.FileNotFoundException => None }

@@ -371,14 +371,9 @@ object Compaction {
     // safely (same contract as compactLog on the log tier).
     val tagOf: String => Option[Int] =
       if (ParquetBucketing.readSpec(tableDir).isEmpty) _ => None
-      else rel => ParquetBucketing.bucketOfName(
-        rel.substring(rel.lastIndexOf('/') + 1))
-    def dirOfRel(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }
+      else rel => ParquetBucketing.bucketOfName(PartitionSpecs.nameOfRel(rel))
     val packGroups: Seq[((String, Option[Int]), Seq[(String, org.apache.hadoop.fs.FileStatus)])] =
-      files.groupBy { case (rel, _) => (dirOfRel(rel), tagOf(rel)) }
+      files.groupBy { case (rel, _) => (PartitionSpecs.dirOfRel(rel), tagOf(rel)) }
         .toSeq.sortBy(_._1)
 
     // greedy adjacent bin-pack, per pack group; each bin remembers its

@@ -315,6 +315,15 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // — reject here, loudly, not there, lately
     val partCols: Set[String] = PartitionSpecs.read(dir.toString)
       .map(_.fields.map(_.col.toLowerCase).toSet).getOrElse(Set.empty)
+    // a column referenced by a LIVE delete mask is load-bearing too:
+    // dropping it would make every masked scan (and every maintenance
+    // read that could purge the masks) throw on mask translation — an
+    // unrecoverable table. Compaction materializes the masks first.
+    val maskCols: Set[String] =
+      if (!ParquetVersions.enabled(dir.toString)) Set.empty
+      else ParquetVersions.masksFor(dir.toString, None).values.flatten
+        .toSet.flatMap((p: String) => DeleteMasks.references(p))
+        .map(_.toLowerCase)
     changes.foreach {
       case a: TableChange.AddColumn =>
         if (!a.isNullable) throw new UnsupportedOperationException(
@@ -327,6 +336,13 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
         throw new UnsupportedOperationException(
           s"DROP COLUMN ${d.fieldNames().head}: it is a partition column " +
             "of this table's layout — rewrite into a new table instead")
+      case d: TableChange.DeleteColumn
+          if d.fieldNames().length == 1 &&
+            maskCols(d.fieldNames().head.toLowerCase) =>
+        throw new UnsupportedOperationException(
+          s"DROP COLUMN ${d.fieldNames().head}: live merge-on-read delete " +
+            "masks reference it — CALL compact_table first to materialize " +
+            "the deletes, then drop the column")
       case _: TableChange.DeleteColumn => ()
       case n: TableChange.UpdateColumnNullability =>
         if (!n.nullable) throw new UnsupportedOperationException(

@@ -96,16 +96,19 @@ object LogVersions {
     require(retainLast >= 1, "vacuum must retain at least the latest version")
     val base = new Path(dir)
     val fs = base.getFileSystem(new Configuration())
-    val files = VersionLedger.versionFiles(base)
-    if (files.isEmpty) return Seq.empty
-    val payloads = files.map { case (o, p) =>
-      (o, p, VersionLedger.readPayload(p).names)
-    }
-    // time-based retention composes with count-based: a version stays
+    // membership AND the retention window from ONE listing — a commit
+    // landing between two listings could put the takeRight window past
+    // versions whose payloads this pass holds, marking files the
+    // newest commit references as deletable ([[VersionLedger.retainedOf]]).
+    // Time-based retention composes with count-based: a version stays
     // while EITHER rule wants it. Publish instants are the embedded
     // payload stamps (mtime fallback for pre-stamp files), so
     // `RETAIN n HOURS` survives copied/rsynced directories.
-    val retainedOrds = VersionLedger.retainedOrdinals(dir, retainLast, olderThanMs)
+    val view = VersionLedger.vacuumView(dir)
+    if (view.isEmpty) return Seq.empty
+    val payloads = view.map { case (o, p, names, _) => (o, p, names) }
+    val retainedOrds = VersionLedger.retainedOf(
+      view.map(v => (v._1, v._4)), retainLast, olderThanMs)
     val (droppedVs, retainedVs) = payloads.partition(p => !retainedOrds(p._1))
     val referencedRetained = retainedVs.flatMap(_._3).toSet
     val referencedAny = payloads.iterator.flatMap(_._3).toSet
@@ -121,19 +124,38 @@ object LogVersions {
 /** A TABLE-SCOPED MAINTENANCE LEASE — closes the documented
   * single-maintainer caveat (VERDICT r10 #6): two concurrent
   * `compact_table` / `zorder_table` / `rebucket_table` calls SERIALIZE
-  * on a create-exclusive `.maintenance-lease` file instead of racing
-  * their multi-step rewrites. The lease carries an expiry stamp, so a
-  * crashed maintainer's lease is taken over after its TTL rather than
-  * wedging the table forever; an expired lease is deleted and the
-  * create-exclusive retried (two takeover racers both delete, ONE wins
-  * the create — the other re-reads a live lease and waits). User DML
-  * (DELETE / UPDATE / MERGE / writes) never takes the lease: the
-  * ledger CAS already serializes those safely. */
+  * instead of racing their multi-step rewrites.
+  *
+  * CREATE-ONLY ordinal protocol (the [[VersionLedger]] CAS pattern —
+  * O_EXCL creation is the only atomic primitive a filesystem gives):
+  * leases are numbered `.maintenance-lease-<n>`; acquiring means
+  * create-exclusive of `highest+1` AFTER observing the highest
+  * ordinal dead (expired by its embedded stamp, or released/absent).
+  * Two takeover racers both attempt the same next ordinal and O_EXCL
+  * picks exactly one — nobody ever DELETES a potentially-live lease
+  * (the delete-then-recreate takeover had a window where racer B's
+  * queued delete removed racer A's brand-new live lease and both held
+  * the table). Dead ordinals are reclaimed by the next holder, which
+  * is exclusive by construction; a live-but-stalled holder past its
+  * TTL is out of contract, as with any TTL lease. User DML (DELETE /
+  * UPDATE / MERGE / writes) never takes the lease: the ledger CAS
+  * already serializes those safely. */
 private[sources] object MaintenanceLease {
 
-  case class Token(dir: Path, id: String)
+  case class Token(dir: Path, id: String, ord: Long)
 
-  private def leasePath(dir: Path) = new Path(dir, ".maintenance-lease")
+  private val Prefix = ".maintenance-lease"
+
+  private def fileOf(dir: Path, n: Long): Path =
+    if (n == 0L) new Path(dir, Prefix) else new Path(dir, s"$Prefix-$n")
+
+  /** Bare legacy name = ordinal 0 (a pre-protocol lease on disk still
+    * blocks while live and is taken over when expired). */
+  private def ordinalOf(name: String): Option[Long] =
+    if (name == Prefix) Some(0L)
+    else if (name.startsWith(Prefix + "-"))
+      scala.util.Try(name.substring(Prefix.length + 1).toLong).toOption
+    else None
 
   private def tryCreate(fs: org.apache.hadoop.fs.FileSystem, p: Path,
       bytes: Array[Byte]): Boolean = {
@@ -169,19 +191,34 @@ private[sources] object MaintenanceLease {
     val id = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
     while (System.currentTimeMillis() <= deadline) {
-      val payload = s"""{"id":"$id","expires":${System.currentTimeMillis() + ttlMs}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (tryCreate(fs, leasePath(dir), payload)) return Token(dir, id)
-      // held: expired → take over; live → wait
-      val expired = try {
-        val in = fs.open(leasePath(dir))
-        val txt = try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        val exp = "\"expires\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-        exp.exists(_ < System.currentTimeMillis())
-      } catch { case _: java.io.IOException => true } // vanished/unreadable
-      if (expired) fs.delete(leasePath(dir), false)
-      else Thread.sleep(50)
+      val ordinals: Seq[Long] =
+        try fs.listStatus(dir).toSeq
+          .flatMap(s => ordinalOf(s.getPath.getName)).sorted
+        catch { case _: java.io.FileNotFoundException => Seq.empty }
+      // only the HIGHEST ordinal can be live: creating n+1 requires n
+      // dead, and dead ordinals stay dead (no renewal)
+      val curLive = ordinals.lastOption.exists { n =>
+        try {
+          val in = fs.open(fileOf(dir, n))
+          val txt = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          "\"expires\":(\\d+)".r.findFirstMatchIn(txt)
+            .map(_.group(1).toLong)
+            .exists(_ >= System.currentTimeMillis())
+        } catch { case _: java.io.IOException => false } // vanished = dead
+      }
+      if (!curLive) {
+        val next = ordinals.lastOption.getOrElse(0L) + 1L
+        val payload =
+          s"""{"id":"$id","expires":${System.currentTimeMillis() + ttlMs}}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (tryCreate(fs, fileOf(dir, next), payload)) {
+          // exclusive now: reclaim the dead predecessors
+          ordinals.foreach(n => if (n < next) fs.delete(fileOf(dir, n), false))
+          return Token(dir, id, next)
+        }
+        // lost the O_EXCL race — loop; the winner reads as live
+      } else Thread.sleep(50)
     }
     throw new IllegalStateException(
       s"maintenance lease on $tableDir still held after ${waitMs}ms — " +
@@ -190,14 +227,11 @@ private[sources] object MaintenanceLease {
 
   def release(t: Token): Unit = {
     val fs = t.dir.getFileSystem(new Configuration())
-    try {
-      // only the holder's own lease is removed (a takeover may have
-      // replaced it after our TTL)
-      val in = fs.open(leasePath(t.dir))
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      if (txt.contains(t.id)) fs.delete(leasePath(t.dir), false)
-    } catch { case _: java.io.IOException => () }
+    // deleting our OWN ordinal is always safe: nobody recreates a
+    // burned ordinal (takeovers create higher ones), so this file is
+    // either still ours or already reclaimed by a successor
+    try fs.delete(fileOf(t.dir, t.ord), false)
+    catch { case _: java.io.IOException => () }
     ()
   }
 
@@ -521,15 +555,34 @@ private[sources] object VersionLedger {
     * Delta `RETAIN n HOURS` shape) — a version survives while either
     * rule wants it. */
   def retainedOrdinals(dir: String, retainLast: Int,
+      olderThanMs: Option[Long]): Set[Long] =
+    retainedOf(history(dir).map(h => (h._1, h._2)), retainLast, olderThanMs)
+
+  /** Retention window over an ALREADY-LISTED (ordinal, publishMs)
+    * history — vacuum derives this from the SAME listing its payload
+    * reads came from, because a commit landing between two listings
+    * would make the longer history's `takeRight` window exclude
+    * versions the shorter payload set still holds, marking files the
+    * NEWEST commit references as deletable (data loss). */
+  private[sources] def retainedOf(hist: Seq[(Long, Long)], retainLast: Int,
       olderThanMs: Option[Long]): Set[Long] = {
-    val hist = history(dir)
-    val byCount = hist.takeRight(retainLast).map(_._1).toSet
+    val sorted = hist.sortBy(_._1)
+    val byCount = sorted.takeRight(retainLast).map(_._1).toSet
     val byTime = olderThanMs.fold(Set.empty[Long]) { window =>
       val cutoff = System.currentTimeMillis() - window
-      hist.collect { case (o, ms, _) if ms >= cutoff => o }.toSet
+      sorted.collect { case (o, ms) if ms >= cutoff => o }.toSet
     }
     byCount ++ byTime
   }
+
+  /** ONE consistent listing for vacuum: (ordinal, version file, names,
+    * publish millis) — membership and the retention window must come
+    * from the same snapshot ([[retainedOf]]). */
+  private[sources] def vacuumView(dir: String): Seq[(Long, Path, Seq[String], Long)] =
+    versionStatuses(new Path(dir)).map { case (o, s) =>
+      val p = cachedPayload(s)
+      (o, s.getPath, p.names, if (p.ts >= 0) p.ts else s.getModificationTime)
+    }
 
   /** Table history, ascending: (ordinal, publish millis — the embedded
     * stamp, or the version file's mtime for pre-stamp files — and the

@@ -118,10 +118,8 @@ object MetaTables {
 
   /** The partition-dir path of a data/-relative name; None on the flat
     * layout. */
-  private def partitionOf(rel: String): Option[String] = {
-    val i = rel.lastIndexOf('/')
-    if (i < 0) None else Some(rel.substring(0, i))
-  }
+  private def partitionOf(rel: String): Option[String] =
+    Some(PartitionSpecs.dirOfRel(rel)).filter(_.nonEmpty)
 
   /** `.partitions` — per-partition summary over the LIVE file set. */
   def partitions(identName: String, tableDir: String, isParquet: Boolean): Table = {

@@ -277,6 +277,11 @@ object ParquetDelete {
       else None
     if (maskPred.isDefined) {
       val droppedNames = dropped.map(_._1).toSet
+      // classification proved no row can match → genuine no-op, no
+      // version churn (same contract as the merge-on-read UPDATE)
+      if (rewrites.isEmpty && droppedNames.isEmpty) {
+        return ParquetDeleteStats(untouched.length.toLong, 0L, 0L)
+      }
       ParquetVersions.commit(tableDir, None,
         rewrites.map { case (rel, _) => rel -> Seq(maskPred.get) }.toMap) { live =>
         live.filterNot(droppedNames)
@@ -341,14 +346,9 @@ object ParquetDelete {
     // ([[Compaction.inParallel]]). Untagged inputs rewrite together.
     val tagOf: String => Option[Int] =
       if (ParquetBucketing.readSpec(tableDir).isEmpty) _ => None
-      else rel => ParquetBucketing.bucketOfName(
-        rel.substring(rel.lastIndexOf('/') + 1))
-    def dirOfRel(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }
+      else rel => ParquetBucketing.bucketOfName(PartitionSpecs.nameOfRel(rel))
     val rewriteGroups: Seq[((String, Option[Int]), Seq[String])] =
-      rewrites.map(_._1).groupBy(rel => (dirOfRel(rel), tagOf(rel)))
+      rewrites.map(_._1).groupBy(rel => (PartitionSpecs.dirOfRel(rel), tagOf(rel)))
         .toSeq.sortBy(_._1)
     def rewriteAll(into: Path): Seq[String] =
       Compaction.inParallel(rewriteGroups.zipWithIndex) {

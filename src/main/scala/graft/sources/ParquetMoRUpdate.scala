@@ -374,11 +374,7 @@ case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
         fs.delete(staging, true)
         out
       case (None, Some(_)) =>
-        def dirOfRel(rel: String): String = {
-          val i = rel.lastIndexOf('/')
-          if (i < 0) "" else rel.substring(0, i)
-        }
-        val groups = candidates.groupBy(dirOfRel).toSeq.sortBy(_._1)
+        val groups = candidates.groupBy(PartitionSpecs.dirOfRel).toSeq.sortBy(_._1)
         Compaction.inParallel(groups.zipWithIndex) {
           case ((relDir, members), g) =>
             val staging = new Path(base, s".morupd-$opId-$g")

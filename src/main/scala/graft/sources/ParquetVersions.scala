@@ -292,12 +292,10 @@ object ParquetVersions {
     // missed and mark its files deletable. Time-based retention
     // (RETAIN n HOURS over the embedded publish stamps) composes with
     // the count-based window: either rule keeps a version.
-    val files = VersionLedger.versionFiles(base)
-    val payloads = files.map { case (o, p) =>
-      (o, p, VersionLedger.readPayload(p).names)
-    }
-    val retainedOrds = VersionLedger.retainedOrdinals(tableDir, retainLast,
-      olderThanMs)
+    val view = VersionLedger.vacuumView(tableDir)
+    val payloads = view.map { case (o, p, names, _) => (o, p, names) }
+    val retainedOrds = VersionLedger.retainedOf(
+      view.map(v => (v._1, v._4)), retainLast, olderThanMs)
     val (droppedVs, retainedVs) = payloads.partition(p => !retainedOrds(p._1))
     val referencedRetained = retainedVs.flatMap(_._3).toSet
     val referencedAny = payloads.iterator.flatMap(_._3).toSet

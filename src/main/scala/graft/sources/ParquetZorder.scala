@@ -61,12 +61,8 @@ object ParquetZorder {
     val opId = java.util.UUID.randomUUID().toString.take(8)
 
     // one group per partition dir ("" = the flat layout's single group)
-    def dirOfRel(rel: String): String = {
-      val i = rel.lastIndexOf('/')
-      if (i < 0) "" else rel.substring(0, i)
-    }
     val groups: Seq[(String, Seq[String])] =
-      live.groupBy(dirOfRel).toSeq.sortBy(_._1)
+      live.groupBy(PartitionSpecs.dirOfRel).toSeq.sortBy(_._1)
 
     val perGroup: Seq[(Long, Seq[String])] =
       graft.sources.Compaction.inParallel(groups.zipWithIndex) {

@@ -144,17 +144,21 @@ object PartitionEvolution {
       .mapPartitionsWithIndex { (pid, it) =>
         import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
         import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+        // task-ATTEMPT-unique staged names: a retried or speculative
+        // attempt must never write the same staged path as a zombie
+        // twin (the PartitionedStageWriterFactory discipline)
+        val attemptId = org.apache.spark.TaskContext.get().taskAttemptId()
         val ctx = new TaskAttemptContextImpl(conf.value,
           new TaskAttemptID(new TaskID(new JobID("graft-repart", 0),
-            TaskType.MAP, pid), 0))
+            TaskType.MAP, pid), (attemptId % Int.MaxValue).toInt))
         val dirOf: org.apache.spark.sql.catalyst.InternalRow => String =
           specV match {
             case Some(ps) => PartitionSpecs.rowDirFn(ps, schemaV)
             case None => _ => ""
           }
         def pathFor(relDir: String): String =
-          if (relDir.isEmpty) s"$stagingDir/stage-$pid.parquet"
-          else s"$stagingDir/$relDir/stage-$pid.parquet"
+          if (relDir.isEmpty) s"$stagingDir/stage-$pid-$attemptId.parquet"
+          else s"$stagingDir/$relDir/stage-$pid-$attemptId.parquet"
         val writers = scala.collection.mutable.Map.empty[String,
           org.apache.spark.sql.execution.datasources.OutputWriter]
         it.foreach { row =>

@@ -193,6 +193,20 @@ object PartitionSpecs {
     }
   }
 
+  /** The partition-directory part of a `data/`-relative path ("" on
+    * the flat layout) — THE grouping key of every partition-wise
+    * maintenance pass (compaction bins, DELETE rewrite groups, zorder
+    * groups, MoR-update jobs, `.partitions` rows). One definition so
+    * a future layout change cannot silently mis-group one of them. */
+  def dirOfRel(rel: String): String = {
+    val i = rel.lastIndexOf('/')
+    if (i < 0) "" else rel.substring(0, i)
+  }
+
+  /** The bare file name of a `data/`-relative path. */
+  def nameOfRel(rel: String): String =
+    rel.substring(rel.lastIndexOf('/') + 1)
+
   /** The path of a file RELATIVE to its table's `data/` dir: the
     * segments below the deepest ancestor named `data` (partition dirs
     * always carry '~', so they can never be mistaken for it), or the

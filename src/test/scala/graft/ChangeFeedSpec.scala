@@ -356,6 +356,29 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(netFromLog === expected)
   }
 
+  test("partitioned table: a wide span's one-listing fast path resolves rel paths") {
+    // regression: the >8-distinct-files path once keyed the single
+    // listing by BARE file name, which can never match a partitioned
+    // table's 'col~val/...' ledger names — every wide changelog read of
+    // a partitioned table failed with 'file is gone ... vacuumed'
+    val wh = Files.createTempDirectory("graft_cdc_ptwh").toString
+    spark.conf.set("spark.sql.catalog.graft_cdcpt", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdcpt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cdcpt.lake")
+    spark.sql("""CREATE TABLE graft_cdcpt.lake.t (k BIGINT, v BIGINT)
+                 PARTITIONED BY (k)""")
+    // 12 single-partition inserts -> 12 distinct diff files (> 8)
+    (0 until 12).foreach { i =>
+      spark.sql(s"INSERT INTO graft_cdcpt.lake.t VALUES ($i, ${i * 10})")
+    }
+    val dir = s"$wh/lake/t"
+    val vTo = ParquetVersions.latest(dir).get._1
+    val log = ChangeFeed.parquetChanges(spark, dir, 1L, vTo)
+      .select("k", "v", ChangeFeed.CHANGE_TYPE_COL)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(log === (0L until 12L).map(i => (i, i * 10, "insert")).toSet, log)
+  }
+
   test("batch changelog over a 50-commit span plans ONE scan node") {
     // VERDICT r10 #4: the old shape unioned a DataFrame pair per commit
     // — O(versions) scan nodes, superlinear analysis. The new batch

@@ -43,7 +43,9 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(stats.forall(_.filesAfter >= 1))
     assert(spark.table("graft_mnt.lake.cc").count() === 60)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(!fs.exists(new Path(dir, ".maintenance-lease")), "lease released")
+    assert(!fs.listStatus(new Path(dir))
+      .exists(_.getPath.getName.startsWith(".maintenance-lease")),
+      "lease released")
   }
 
   test("an expired lease is taken over; a live one blocks with a clear error") {
