@@ -227,11 +227,17 @@ private[sources] object MaintenanceLease {
 
   def release(t: Token): Unit = {
     val fs = t.dir.getFileSystem(new Configuration())
-    // deleting our OWN ordinal is always safe: nobody recreates a
-    // burned ordinal (takeovers create higher ones), so this file is
-    // either still ours or already reclaimed by a successor
-    try fs.delete(fileOf(t.dir, t.ord), false)
-    catch { case _: java.io.IOException => () }
+    // id-verified: ordinals CAN be reused after the chain winds down
+    // to empty (next restarts at max+1 of what remains), so a zombie
+    // holder's blind delete could remove a later holder's recreated
+    // ordinal — only a file still carrying OUR id is ours to delete
+    try {
+      val p = fileOf(t.dir, t.ord)
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      if (txt.contains(t.id)) fs.delete(p, false)
+    } catch { case _: java.io.IOException => () }
     ()
   }
 
