@@ -319,7 +319,8 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     // dropping it would make every masked scan (and every maintenance
     // read that could purge the masks) throw on mask translation — an
     // unrecoverable table. Compaction materializes the masks first.
-    val maskCols: Set[String] =
+    // (lazy: only a DROP COLUMN pays the ledger payload read)
+    lazy val maskCols: Set[String] =
       if (!ParquetVersions.enabled(dir.toString)) Set.empty
       else ParquetVersions.masksFor(dir.toString, None).values.flatten
         .toSet.flatMap((p: String) => DeleteMasks.references(p))

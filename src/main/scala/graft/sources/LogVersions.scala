@@ -190,34 +190,59 @@ private[sources] object MaintenanceLease {
     fs.mkdirs(dir)
     val id = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
-    while (System.currentTimeMillis() <= deadline) {
-      val ordinals: Seq[Long] =
-        try fs.listStatus(dir).toSeq
-          .flatMap(s => ordinalOf(s.getPath.getName)).sorted
-        catch { case _: java.io.FileNotFoundException => Seq.empty }
-      // only the HIGHEST ordinal can be live: creating n+1 requires n
-      // dead, and dead ordinals stay dead (no renewal)
-      val curLive = ordinals.lastOption.exists { n =>
-        try {
-          val in = fs.open(fileOf(dir, n))
-          val txt = try new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          "\"expires\":(\\d+)".r.findFirstMatchIn(txt)
-            .map(_.group(1).toLong)
-            .exists(_ >= System.currentTimeMillis())
-        } catch { case _: java.io.IOException => false } // vanished = dead
+
+    /** Liveness of one ordinal file. Vanished (released/reclaimed) is
+      * DEAD; a transient read error is LIVE — assuming dead on an I/O
+      * hiccup would take over (and reclaim!) a healthy holder's lease,
+      * while assuming live only makes us wait and, at worst, time out
+      * loudly. */
+    def isLive(n: Long): Boolean =
+      try {
+        val in = fs.open(fileOf(dir, n))
+        val txt = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        "\"expires\":(\\d+)".r.findFirstMatchIn(txt)
+          .map(_.group(1).toLong)
+          .exists(_ >= System.currentTimeMillis())
+      } catch {
+        case _: java.io.FileNotFoundException => false
+        case _: java.io.IOException => true
       }
-      if (!curLive) {
+
+    def listOrdinals(): Seq[Long] =
+      try fs.listStatus(dir).toSeq
+        .flatMap(s => ordinalOf(s.getPath.getName)).sorted
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+
+    while (System.currentTimeMillis() <= deadline) {
+      val ordinals = listOrdinals()
+      // only the HIGHEST ordinal can be live in a quiescent chain:
+      // creating n+1 requires n dead, and dead ordinals stay dead (no
+      // renewal) — staleness is re-checked after the create below
+      if (!ordinals.lastOption.exists(isLive)) {
         val next = ordinals.lastOption.getOrElse(0L) + 1L
         val payload =
           s"""{"id":"$id","expires":${System.currentTimeMillis() + ttlMs}}"""
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         if (tryCreate(fs, fileOf(dir, next), payload)) {
-          // exclusive now: reclaim the dead predecessors
-          ordinals.foreach(n => if (n < next) fs.delete(fileOf(dir, n), false))
-          return Token(dir, id, next)
+          // POST-CREATE VALIDATION: our pre-create listing may have
+          // been stale — the chain can wind down and restart at other
+          // ordinals while we stall (reuse), so a live lease our
+          // listing never showed may exist at ANY ordinal. If one
+          // does, back off (delete our own, which we have not used
+          // yet) and re-loop; two simultaneous creators both back off
+          // and converge on the same next ordinal, where O_EXCL picks
+          // one. Predecessors are reclaimed only by a validated
+          // holder.
+          val peers = listOrdinals().filterNot(_ == next)
+          if (peers.exists(isLive)) {
+            fs.delete(fileOf(dir, next), false) // back off before use
+          } else {
+            peers.foreach(n => if (n < next) fs.delete(fileOf(dir, n), false))
+            return Token(dir, id, next)
+          }
         }
-        // lost the O_EXCL race — loop; the winner reads as live
+        // lost the O_EXCL race (or backed off) — loop
       } else Thread.sleep(50)
     }
     throw new IllegalStateException(
@@ -560,10 +585,6 @@ private[sources] object VersionLedger {
     * PLUS every version published within `olderThanMs` of now (the
     * Delta `RETAIN n HOURS` shape) — a version survives while either
     * rule wants it. */
-  def retainedOrdinals(dir: String, retainLast: Int,
-      olderThanMs: Option[Long]): Set[Long] =
-    retainedOf(history(dir).map(h => (h._1, h._2)), retainLast, olderThanMs)
-
   /** Retention window over an ALREADY-LISTED (ordinal, publishMs)
     * history — vacuum derives this from the SAME listing its payload
     * reads came from, because a commit landing between two listings

@@ -116,16 +116,19 @@ object ParquetFooterStats {
     * never the file. */
   private def read(conf: Configuration, path: Path): FileStats = {
     footerReads.incrementAndGet()
-    // per-path counts exist for the specs' scoped assertions; cap the
-    // map so a long-lived driver over high-churn tables doesn't accrete
-    // one entry per parquet file ever opened (the global counter above
-    // is the unbounded-safe observable)
-    if (readsByPath.size < 65536) {
-      readsByPath.computeIfAbsent(path.toUri.getPath,
-        _ => new java.util.concurrent.atomic.AtomicLong())
-        .incrementAndGet()
-      ()
+    // per-path counts exist for the specs' scoped assertions; cap NEW
+    // keys so a long-lived driver over high-churn tables doesn't
+    // accrete one entry per parquet file ever opened — already-tracked
+    // paths keep counting past the cap (the global counter above is
+    // the unbounded-safe observable either way)
+    val key = path.toUri.getPath
+    val counter = readsByPath.get(key) match {
+      case null if readsByPath.size < 65536 =>
+        readsByPath.computeIfAbsent(key,
+          _ => new java.util.concurrent.atomic.AtomicLong())
+      case c => c
     }
+    if (counter != null) { counter.incrementAndGet(); () }
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq

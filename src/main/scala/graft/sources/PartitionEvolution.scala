@@ -39,7 +39,10 @@ object PartitionEvolution {
     * path assumes the ledger gate. A bucket layout is mutually
     * exclusive, same as CREATE TABLE. */
   def setSpec(spark: SparkSession, tableDir: String,
-      specStr: String): (String, String) = {
+      specStr: String): (String, String) =
+    // the lease serializes spec swaps (replace() completes a crashed
+    // predecessor's swap under the assumption it is the only mutator)
+    MaintenanceLease.withLease(tableDir) {
     require(SchemaManifest.exists(tableDir),
       s"$tableDir is not a catalog parquet table")
     require(ParquetBucketing.readSpec(tableDir).isEmpty,
@@ -161,10 +164,21 @@ object PartitionEvolution {
           else s"$stagingDir/$relDir/stage-$pid-$attemptId.parquet"
         val writers = scala.collection.mutable.Map.empty[String,
           org.apache.spark.sql.execution.datasources.OutputWriter]
-        it.foreach { row =>
-          val d = dirOf(row)
-          writers.getOrElseUpdate(d,
-            owf.newInstance(pathFor(d), schemaV, ctx)).write(row)
+        try {
+          it.foreach { row =>
+            val d = dirOf(row)
+            writers.getOrElseUpdate(d,
+              owf.newInstance(pathFor(d), schemaV, ctx)).write(row)
+          }
+        } catch {
+          case t: Throwable =>
+            // a mid-write failure must not leak the open parquet
+            // writers' handles and row-group buffers in the executor
+            writers.values.foreach { w =>
+              try w.close()
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+            throw t
         }
         writers.values.foreach(_.close())
         Iterator.single(writers.keys.toSeq.sorted.map(d => (pathFor(d), d)))

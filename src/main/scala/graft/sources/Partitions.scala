@@ -45,23 +45,41 @@ object PartitionSpecs {
   case class Spec(fields: Seq[PartField])
 
   private def specPath(tableDir: String): Path = new Path(tableDir, "_partition.json")
+  private def swapPath(tableDir: String): Path =
+    new Path(tableDir, "_partition.json.swap")
+
+  /** The file to read the spec from: a lingering `.swap` is always the
+    * NEWER intended spec (it exists only when a [[replace]] crashed
+    * mid-swap), so readers PREFER it — non-destructively, because
+    * concurrent readers racing a physical repair could delete each
+    * other's repaired file. Physical completion happens only inside
+    * the next [[replace]], which runs under the maintenance lease. */
+  private def specToRead(tableDir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Option[Path] = {
+    val swap = swapPath(tableDir)
+    if (fs.exists(swap)) Some(swap)
+    else {
+      val p = specPath(tableDir)
+      if (fs.exists(p)) Some(p) else None
+    }
+  }
 
   def exists(tableDir: String): Boolean = {
     val p = specPath(tableDir)
-    p.getFileSystem(new Configuration()).exists(p)
+    specToRead(tableDir, p.getFileSystem(new Configuration())).isDefined
   }
 
   def read(tableDir: String): Option[Spec] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
-    val p = specPath(tableDir)
-    val fs = p.getFileSystem(new Configuration())
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    Some(Spec(JsonMethods.parse(new String(bytes,
-      java.nio.charset.StandardCharsets.UTF_8)).extract[Seq[PartField]]))
+    val fs = specPath(tableDir).getFileSystem(new Configuration())
+    specToRead(tableDir, fs).map { p =>
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      Spec(JsonMethods.parse(new String(bytes,
+        java.nio.charset.StandardCharsets.UTF_8)).extract[Seq[PartField]])
+    }
   }
 
   def write(tableDir: String, spec: Spec): Unit = {
@@ -76,28 +94,41 @@ object PartitionSpecs {
     finally out.close()
   }
 
-  /** PARTITION EVOLUTION: atomically swap (or clear) the spec. The
-    * spec is ADVISORY for reads — files under a layout the current
-    * spec doesn't describe are simply never dir-pruned (always
-    * correct), so old-layout files keep reading exactly as before and
-    * time travel is unaffected; only NEW writes route by the new
-    * spec. [[PartitionEvolution.repartitionTable]] migrates lazily. */
+  /** PARTITION EVOLUTION: swap (or clear) the spec. The spec is
+    * ADVISORY for reads — files under a layout the current spec
+    * doesn't describe are simply never dir-pruned (always correct),
+    * so old-layout files keep reading exactly as before and time
+    * travel is unaffected; only NEW writes route by the new spec.
+    * [[PartitionEvolution.repartitionTable]] migrates lazily.
+    *
+    * Caller holds the maintenance lease ([[PartitionEvolution.setSpec]])
+    * — the swap's intermediate states are covered by readers'
+    * swap-preference ([[specToRead]]), and a crashed swap is
+    * physically completed by the next leased replace here. */
   def replace(tableDir: String, spec: Option[Spec]): Unit = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val p = specPath(tableDir)
     val fs = p.getFileSystem(new Configuration())
+    val swap = swapPath(tableDir)
+    // finish a crashed predecessor's swap first (we are the only
+    // mutator under the lease): the swap is the newer intended spec
+    if (fs.exists(swap)) {
+      fs.delete(p, false)
+      if (!fs.rename(swap, p)) {
+        throw new java.io.IOException(s"partition spec swap repair failed in $tableDir")
+      }
+    }
     spec match {
       case None => fs.delete(p, false); ()
       case Some(s) =>
         val json = JsonMethods.compact(JsonMethods.render(
           s.fields.map(f => ("col" -> f.col) ~ ("transform" -> f.transform))))
-        val tmp = new Path(tableDir, "_partition.json.swap")
-        val out = fs.create(tmp, true)
+        val out = fs.create(swap, true)
         try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         fs.delete(p, false)
-        if (!fs.rename(tmp, p)) {
+        if (!fs.rename(swap, p)) {
           throw new java.io.IOException(s"partition spec swap failed in $tableDir")
         }
     }
