@@ -67,6 +67,40 @@ class MaintenanceSpec extends AnyFunSuite {
     MaintenanceLease.release(MaintenanceLease.acquire(dir))
   }
 
+  test("lease churn: six contenders, thirty acquisitions, never two holders") {
+    val dir = Files.createTempDirectory("graft_lease_churn").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crashed predecessor's EXPIRED ordinal on disk: churn must take
+    // it over and reclaim it without ever double-holding
+    val out = fs.create(new Path(dir, ".maintenance-lease-3"), true)
+    out.write(s"""{"id":"dead","expires":${System.currentTimeMillis() - 1000}}"""
+      .getBytes)
+    out.close()
+    val holders = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    val tasks = (1 to 6).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = (1 to 5).foreach { _ =>
+          val t = MaintenanceLease.acquire(dir, waitMs = 120000L)
+          try {
+            val n = holders.incrementAndGet()
+            maxSeen.updateAndGet(m => math.max(m, n))
+            Thread.sleep(3)
+            holders.decrementAndGet()
+            ()
+          } finally MaintenanceLease.release(t)
+        }
+      })
+    }
+    tasks.foreach(_.get(180, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(maxSeen.get() === 1, "mutual exclusion must hold through churn")
+    assert(!fs.listStatus(new Path(dir))
+      .exists(_.getPath.getName.startsWith(".maintenance-lease")),
+      "all ordinals released/reclaimed after the churn")
+  }
+
   test("vacuum retain_hours keeps every version inside the window") {
     spark.sql("DROP TABLE IF EXISTS graft_mnt.lake.tv")
     spark.sql("CREATE TABLE graft_mnt.lake.tv (id BIGINT)")
