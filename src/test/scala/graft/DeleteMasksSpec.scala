@@ -163,6 +163,20 @@ class DeleteMasksSpec extends AnyFunSuite {
     assert(netDels.toSeq === Seq(7L, 13L))
   }
 
+  test("a masked DELETE provably matching nothing is a no-op (no version churn)") {
+    spark.sql("DROP TABLE IF EXISTS graft_dv.lake.t5")
+    spark.sql("CREATE TABLE graft_dv.lake.t5 AS SELECT id FROM range(100)")
+    val dir = s"$warehouse/lake/t5"
+    spark.sql("CALL graft_dv.system.enable_versioning(table => 'lake.t5')")
+    val vBefore = ParquetVersions.latest(dir).get._1
+    withMergeOnRead {
+      spark.sql("DELETE FROM graft_dv.lake.t5 WHERE id = 999999")
+    }
+    assert(ParquetVersions.latest(dir).get._1 === vBefore,
+      "footer proof excludes every file: no commit, no version churn")
+    assert(spark.table("graft_dv.lake.t5").count() === 100)
+  }
+
   test("mask predicates round-trip the codec for every carried type") {
     import org.apache.spark.sql.sources._
     val filters: Seq[Filter] = Seq(

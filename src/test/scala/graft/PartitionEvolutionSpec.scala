@@ -96,6 +96,34 @@ class PartitionEvolutionSpec extends AnyFunSuite {
       "migration consumed the masks with their files")
   }
 
+  test("a crashed spec swap is read-repaired: readers prefer the .swap") {
+    spark.sql("DROP TABLE IF EXISTS graft_pev.lake.e4")
+    spark.sql("""CREATE TABLE graft_pev.lake.e4 (k BIGINT, v BIGINT)
+                 PARTITIONED BY (k)""")
+    val dir = s"$warehouse/lake/e4"
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a replace() that crashed after writing the swap but
+    // before the rename — the swap is the newer intended layout and
+    // the table must NOT silently revert to the (deleted) old spec
+    val swap = new org.apache.hadoop.fs.Path(dir, "_partition.json.swap")
+    val out = fs.create(swap, true)
+    out.write("""[{"col":"v","transform":"identity"}]""".getBytes)
+    out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_partition.json"), false)
+    val seen = PartitionSpecs.read(dir)
+    assert(seen.exists(_.fields.map(_.col) === Seq("v")),
+      s"readers must prefer the lingering swap: $seen")
+    // new writes route by the swap's spec
+    spark.sql("INSERT INTO graft_pev.lake.e4 VALUES (1, 7)")
+    assert(ParquetVersions.latest(dir).get._2.exists(_.startsWith("v~7/")))
+    // the next leased replace completes the swap physically
+    spark.sql("CALL graft_pev.system.set_partition_spec(" +
+      "table => 'lake.e4', spec => 'v')")
+    assert(!fs.exists(swap), "the leased replace completes the swap")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_partition.json")))
+  }
+
   test("clearing the spec flattens lazily; invalid specs are loud") {
     spark.sql("DROP TABLE IF EXISTS graft_pev.lake.e3")
     spark.sql("""CREATE TABLE graft_pev.lake.e3 (k BIGINT, v DOUBLE)
