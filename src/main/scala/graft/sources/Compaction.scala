@@ -408,7 +408,14 @@ object Compaction {
       // delete masks ([[DeleteMasks]]): a masked file is force-rewritten
       // even alone in its bin — compaction is the merge step that PURGES
       // merge-on-read deletes (the rewrite reads only visible rows; the
-      // publish retires the input name, dropping its masks)
+      // publish retires the input name, dropping its masks).
+      // MASK-CONFLICT retry (ADVICE r11, high): masks are re-read at
+      // the top of each attempt and the publish is guarded — a
+      // merge-on-read DELETE/UPDATE landing a new mask on one of the
+      // bins' inputs mid-rewrite aborts the publish (its rows would be
+      // resurrected in the merged output) and the attempt re-reads
+      // visible rows under the fresh masks.
+      return ParquetVersions.retryOnMaskConflict() {
       val tableMasks = ParquetVersions.masksFor(tableDir, None).filter(_._2.nonEmpty)
       val multiBins = bins.result().filter { case (bin, _) =>
         bin.length > 1 || bin.exists(s => tableMasks.contains(s._1))
@@ -429,6 +436,7 @@ object Compaction {
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         val to = new Path(data, rel)
         fs.mkdirs(to.getParent)
+        if (fs.exists(to)) fs.delete(to, false) // prior conflicted attempt
         if (!fs.rename(part.getPath, to)) {
           throw new java.io.IOException(s"stage rename failed for bin $i")
         }
@@ -450,8 +458,17 @@ object Compaction {
             s"compaction row mismatch: $rowsIn in vs $rowsOut staged — aborted")
         }
       }
-      ParquetVersions.commit(tableDir) { live =>
-        (live.toSet -- inputNames ++ outputs).toSeq
+      try {
+        ParquetVersions.commitGuarded(tableDir, None, Map.empty,
+          ParquetVersions.guardFor(inputNames, tableMasks)) { live =>
+          (live.toSet -- inputNames ++ outputs).toSeq
+        }
+      } catch {
+        case e: VersionLedger.MaskConflictException =>
+          // conflicted attempt's outputs: remove before the retry
+          // re-stages (same names are regenerated per opId+bin index)
+          outputs.foreach(n => fs.delete(new Path(data, n), false))
+          throw e
       }
       val liveAfter = ParquetVersions.live(tableDir)
       // the rows stat from FOOTERS, not a data scan: a post-commit
@@ -464,8 +481,9 @@ object Compaction {
         ParquetFooterStats.get(conf, st.getPath, st.getLen,
           st.getModificationTime).rowCount
       }.sum
-      return CompactionStats(files.length.toLong, bytesBefore, rows,
+      CompactionStats(files.length.toLong, bytesBefore, rows,
         liveAfter.length.toLong)
+      } // retryOnMaskConflict
     }
 
     val next = new Path(base, "data.next")

@@ -208,10 +208,13 @@ object ParquetBucketing {
     val data = new Path(tableDir, "data")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = SchemaManifest.read(tableDir, "rebucket_table")
+    // mask-conflict retry (ADVICE r11): masks re-read per attempt and
+    // the publish guarded against concurrent merge-on-read DML
+    ParquetVersions.retryOnMaskConflict() {
     // mask-aware read ([[DeleteMasks]]): rewritten rows exclude
     // merge-on-read-deleted ones; the publish retires the inputs' masks
-    val rows = DeleteMasks.readVisible(spark, schema, data, untagged,
-      ParquetVersions.masksFor(tableDir, None))
+    val masks = ParquetVersions.masksFor(tableDir, None)
+    val rows = DeleteMasks.readVisible(spark, schema, data, untagged, masks)
     val opId = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(tableDir, s".rebucket-$opId")
     val nRows = rows.count()
@@ -238,10 +241,18 @@ object ParquetBucketing {
       }
     } finally fs.delete(staging, true)
     val out = outNames.result()
-    ParquetVersions.commit(tableDir) { prev =>
-      (prev.filterNot(untagged.toSet) ++ out).distinct.sorted
+    try {
+      ParquetVersions.commitGuarded(tableDir, None, Map.empty,
+        ParquetVersions.guardFor(untagged.toSet, masks)) { prev =>
+        (prev.filterNot(untagged.toSet) ++ out).distinct.sorted
+      }
+    } catch {
+      case e: VersionLedger.MaskConflictException =>
+        out.foreach(n => fs.delete(new Path(data, n), false))
+        throw e
     }
     (untagged.size.toLong, nRows, out.size.toLong)
+    }
   }
 }
 

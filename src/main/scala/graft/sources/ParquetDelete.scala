@@ -188,7 +188,11 @@ object ParquetDelete {
     * and absorbed-live, serialized after this operation. */
   private[sources] def deleteCore(spark: SparkSession, tableDir: String,
       filters: Array[Filter], protect: Set[String],
-      alsoPublish: Seq[String], preCaughtUp: Boolean): ParquetDeleteStats = {
+      alsoPublish: Seq[String], preCaughtUp: Boolean): ParquetDeleteStats =
+    // mask-conflict retry (ADVICE r11): each attempt re-classifies and
+    // re-reads masks; the guarded publish aborts if a concurrent
+    // merge-on-read DELETE/UPDATE masked one of the rewrite inputs
+    ParquetVersions.retryOnMaskConflict() {
     val base = new Path(tableDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(SchemaManifest.exists(tableDir),
@@ -371,18 +375,30 @@ object ParquetDelete {
         if (rewrites.isEmpty) Seq.empty[String] else rewriteAll(data)
       val droppedNames = dropped.map(_._1).toSet
       val rewriteNames = rewrites.map(_._1).toSet
-      if (preCaughtUp) {
-        // REPLACE WHERE: one publish covers retirement, rewrites AND
-        // the appended payload — straight to the ledger, no internal
-        // catch-up (which would publish the payload as its own commit)
-        VersionLedger.commit(tableDir) { prev =>
-          (prev.toSet -- droppedNames -- rewriteNames ++ written
-            ++ alsoPublish).toSeq
+      // guarded publish: the rewrite read visible rows of
+      // `rewriteNames` under `priorMasks` — a fresh mask on one of
+      // them since then means its rows would be resurrected in
+      // `written`; abort, clean the staged outputs, retry the classify
+      val guard = ParquetVersions.guardFor(rewriteNames, priorMasks)
+      try {
+        if (preCaughtUp) {
+          // REPLACE WHERE: one publish covers retirement, rewrites AND
+          // the appended payload — straight to the ledger, no internal
+          // catch-up (which would publish the payload as its own commit)
+          VersionLedger.commit(tableDir, None, Map.empty, guard,
+            Some(n => new Path(data, n))) { prev =>
+            (prev.toSet -- droppedNames -- rewriteNames ++ written
+              ++ alsoPublish).toSeq
+          }
+        } else {
+          ParquetVersions.commitGuarded(tableDir, None, Map.empty, guard) { live =>
+            (live.toSet -- droppedNames -- rewriteNames ++ written).toSeq
+          }
         }
-      } else {
-        ParquetVersions.commit(tableDir) { live =>
-          (live.toSet -- droppedNames -- rewriteNames ++ written).toSeq
-        }
+      } catch {
+        case e: VersionLedger.MaskConflictException =>
+          written.foreach(n => fs.delete(new Path(data, n), false))
+          throw e
       }
     } else {
       val next = new Path(base, "data.next")
@@ -399,5 +415,5 @@ object ParquetDelete {
     }
     ParquetDeleteStats(untouched.length.toLong, dropped.length.toLong,
       rewrites.length.toLong)
-  }
+    }
 }

@@ -132,8 +132,11 @@ class ParquetGroupScan(tableDir: String, declared: StructType)
   /** Delete masks in force at scan creation ([[DeleteMasks]]): a
     * masked row is already deleted, so the group rewrite must not copy
     * it into a replacement file — and the rewrite retires the input
-    * names, purging their masks in the same commit. */
-  private val masks: Map[String, Seq[String]] =
+    * names, purging their masks in the same commit. The write's commit
+    * re-validates this snapshot against the ledger (mask-conflict
+    * guard) so a concurrent merge-on-read DELETE/UPDATE cannot be
+    * silently undone. */
+  private[sources] val masks: Map[String, Seq[String]] =
     if (ParquetVersions.enabled(tableDir))
       ParquetVersions.masksFor(tableDir, None).filter(_._2.nonEmpty)
     else Map.empty
@@ -309,9 +312,26 @@ class ParquetReplaceDataWrite(op: ParquetRowLevelOperation, tableDir: String,
       if (replaced.nonEmpty || writtenNames.nonEmpty) {
         // visibility event: one commit — replaced inputs out, written
         // replacements in; appends racing the op are folded forward by
-        // the catch-up inside ParquetVersions.commit
-        ParquetVersions.commit(tableDir) { prev =>
-          (prev.toSet -- replaced ++ writtenNames).toSeq
+        // the catch-up inside ParquetVersions.commit. The publish is
+        // GUARDED against masks committed on the replaced inputs since
+        // the scan pinned them (a concurrent merge-on-read
+        // DELETE/UPDATE): Spark's write path cannot re-execute the
+        // rewrite, so the conflict surfaces as a loud
+        // concurrent-modification failure — re-run the statement
+        // (ADVICE r11, the Delta ConcurrentDeleteException posture).
+        try {
+          ParquetVersions.commitGuarded(tableDir, None, Map.empty,
+            ParquetVersions.guardFor(replaced, scan.masks)) { prev =>
+            (prev.toSet -- replaced ++ writtenNames).toSeq
+          }
+        } catch {
+          case e: VersionLedger.MaskConflictException =>
+            writtenNames.foreach(n => fs.delete(new Path(data, n), false))
+            throw new IllegalStateException(
+              "row-level operation aborted: a concurrent merge-on-read " +
+                "DELETE/UPDATE committed on the files this statement was " +
+                "rewriting; no changes were published — re-run the " +
+                "statement against the new table state", e)
         }
         ()
       }

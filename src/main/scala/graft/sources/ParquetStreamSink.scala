@@ -91,10 +91,20 @@ class ParquetStreamingWrite(tableDir: String, declared: StructType,
     }
     fs.delete(new Path(s"$stagingBase-$epochId"), true)
     val names = written.result()
+    // a REPLAYED epoch retires its predecessor attempt's files for the
+    // same (queryId, epochId) in the same publish: deterministic names
+    // normally overwrite themselves, but a restart with different
+    // parallelism or row routing can land the same rows under DIFFERENT
+    // (pid, j) indices — without the retire, both attempts' files stay
+    // live and the rows double (ADVICE r11). The trailing '-' keeps
+    // epoch 1 from matching epoch 10. Retired files become unreferenced
+    // maintenance names vacuum reclaims after the in-flight grace.
+    val epochPrefix = s"stream-$queryId-$epochId-"
     ParquetVersions.commit(tableDir) { prev =>
       // truncate (complete mode): membership = this epoch, full stop.
       // append: replayed names collapse via distinct, never duplicate.
-      val merged = if (truncate) names else prev ++ names
+      val kept = prev.filterNot(_.startsWith(epochPrefix))
+      val merged = if (truncate) names else kept ++ names
       merged.distinct.sorted
     }
     ()

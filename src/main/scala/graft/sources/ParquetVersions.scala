@@ -101,12 +101,40 @@ object SchemaManifest {
     val sf = path(tableDir)
     val fs = sf.getFileSystem(new Configuration())
     val swap = new Path(tableDir, "_schema.json.swap")
-    val out = fs.create(swap, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(sf, false)
-    if (!fs.rename(swap, sf)) {
-      throw new java.io.IOException(s"schema manifest swap failed in $tableDir")
+    // CONCURRENT repairs (two loadTables both finding the cache lagging
+    // the ledger) carry identical bytes and run outside any lease — the
+    // create/delete/rename steps can interleave so one session's rename
+    // fails or its freshly-renamed file is deleted by the other's
+    // delete step. Neither is corruption: every writer installs the
+    // same json. So a failed rename is TOLERATED when the destination
+    // now holds exactly the json we were installing, and otherwise the
+    // whole write-delete-rename sequence retries; only persistent
+    // divergence throws (ADVICE r11).
+    var attempt = 0
+    while (true) {
+      // every step can fail or THROW under a concurrent repair (the
+      // local ChecksumFileSystem's .crc sidecars race too): any
+      // IOException in the sequence just falls through to the
+      // did-someone-else-install-it check
+      try {
+        val out = fs.create(swap, true)
+        try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        fs.delete(sf, false)
+        if (fs.rename(swap, sf)) return
+      } catch { case _: java.io.IOException => () }
+      val now = try Some(manifestJson(tableDir))
+        catch { case _: java.io.IOException => None }
+      if (now.contains(json)) {
+        try fs.delete(swap, false)
+        catch { case _: java.io.IOException => () }
+        return
+      }
+      attempt += 1
+      if (attempt >= 20) {
+        throw new java.io.IOException(s"schema manifest swap failed in $tableDir")
+      }
+      Thread.sleep(5L * attempt)
     }
   }
 }
@@ -231,7 +259,9 @@ object ParquetVersions {
       case (_, _, referenced) => appendsVs(tableDir, referenced).nonEmpty
     }
     if (needed) {
-      VersionLedger.commit(tableDir) { prev =>
+      val data = dataDir(tableDir)
+      VersionLedger.commit(tableDir, None, Map.empty, None,
+        Some(n => new Path(data, n))) { prev =>
         val extra = VersionLedger.snapshot(tableDir) match {
           case Some((_, _, referenced)) => appendsVs(tableDir, referenced)
           case None => Seq.empty
@@ -252,12 +282,53 @@ object ParquetVersions {
 
   /** [[commit]] with a new declared schema and/or additional delete
     * masks riding the same atomic publish ([[VersionLedger]] carries
-    * both forward thereafter). */
+    * both forward thereafter). Added names are existence-verified
+    * before the publish (ADVICE r11). */
   def commit(tableDir: String, schema: Option[String],
       addMasks: Map[String, Seq[String]])(
+      transform: Seq[String] => Seq[String]): Long =
+    commitGuarded(tableDir, schema, addMasks, None)(transform)
+
+  /** [[commit]] carrying a REWRITE's mask-conflict guard
+    * ([[VersionLedger.MaskGuard]]): a concurrent merge-on-read
+    * DELETE/UPDATE landing a mask on one of the rewrite's inputs
+    * aborts the publish ([[VersionLedger.MaskConflictException]])
+    * instead of being silently undone (ADVICE r11, high). */
+  private[sources] def commitGuarded(tableDir: String, schema: Option[String],
+      addMasks: Map[String, Seq[String]],
+      guard: Option[VersionLedger.MaskGuard])(
       transform: Seq[String] => Seq[String]): Long = {
     catchUp(tableDir)
-    VersionLedger.commit(tableDir, schema, addMasks)(transform)
+    val data = dataDir(tableDir)
+    VersionLedger.commit(tableDir, schema, addMasks, guard,
+      Some(n => new Path(data, n)))(transform)
+  }
+
+  /** The guard a rewrite should commit under: its input names plus the
+    * mask state it READ them under. */
+  private[sources] def guardFor(inputs: Set[String],
+      observed: Map[String, Seq[String]]): Option[VersionLedger.MaskGuard] =
+    if (inputs.isEmpty) None
+    else Some(VersionLedger.MaskGuard(inputs,
+      observed.view.filterKeys(inputs).toMap))
+
+  /** Re-run `body` (which must re-read masks and visible rows each
+    * attempt) when its guarded publish hits a mask conflict — a
+    * concurrent merge-on-read DELETE/UPDATE landed between the read
+    * and the publish. Bounded: steady conflicting DML eventually
+    * surfaces the conflict to the operator instead of livelocking the
+    * maintenance pass. */
+  private[sources] def retryOnMaskConflict[A](attempts: Int = 3)(body: => A): A = {
+    var i = 0
+    while (true) {
+      try return body
+      catch {
+        case e: VersionLedger.MaskConflictException =>
+          i += 1
+          if (i >= attempts) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** The delete masks a scan of this table must apply: the pinned

@@ -57,12 +57,17 @@ object ParquetZorder {
     val data = new Path(tableDir, "data")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = SchemaManifest.read(tableDir, "zorder_table")
-    val masks = ParquetVersions.masksFor(tableDir, None)
-    val opId = java.util.UUID.randomUUID().toString.take(8)
 
     // one group per partition dir ("" = the flat layout's single group)
     val groups: Seq[(String, Seq[String])] =
       live.groupBy(PartitionSpecs.dirOfRel).toSeq.sortBy(_._1)
+
+    // mask-conflict retry (ADVICE r11): masks re-read per attempt, the
+    // publish guarded — a merge-on-read DELETE/UPDATE landing on an
+    // input mid-rewrite re-runs the rewrite under the fresh masks
+    ParquetVersions.retryOnMaskConflict() {
+    val masks = ParquetVersions.masksFor(tableDir, None)
+    val opId = java.util.UUID.randomUUID().toString.take(8)
 
     val perGroup: Seq[(Long, Seq[String])] =
       graft.sources.Compaction.inParallel(groups.zipWithIndex) {
@@ -98,9 +103,17 @@ object ParquetZorder {
 
     val out = perGroup.flatMap(_._2)
     val nRows = perGroup.map(_._1).sum
-    ParquetVersions.commit(tableDir) { prev =>
-      (prev.filterNot(live.toSet) ++ out).distinct.sorted
+    try {
+      ParquetVersions.commitGuarded(tableDir, None, Map.empty,
+        ParquetVersions.guardFor(live.toSet, masks)) { prev =>
+        (prev.filterNot(live.toSet) ++ out).distinct.sorted
+      }
+    } catch {
+      case e: VersionLedger.MaskConflictException =>
+        out.foreach(n => fs.delete(new Path(data, n), false))
+        throw e
     }
     (live.size.toLong, nRows, out.size.toLong)
+    }
   }
 }

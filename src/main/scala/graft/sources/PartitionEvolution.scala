@@ -88,6 +88,9 @@ object PartitionEvolution {
     val base = new Path(tableDir)
     val data = new Path(base, "data")
     val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // mask-conflict retry (ADVICE r11): masks re-read per attempt and
+    // the publish guarded against concurrent merge-on-read DML
+    ParquetVersions.retryOnMaskConflict() {
     val masks = ParquetVersions.masksFor(tableDir, None)
     val rows = DeleteMasks.readVisible(spark, schema, data, inputs, masks)
     val nRows = rows.count()
@@ -120,10 +123,18 @@ object PartitionEvolution {
     } finally fs.delete(staging, true)
     val out = written.result()
     val inputSet = inputs.toSet
-    ParquetVersions.commit(tableDir) { prev =>
-      (prev.filterNot(inputSet) ++ out).distinct.sorted
+    try {
+      ParquetVersions.commitGuarded(tableDir, None, Map.empty,
+        ParquetVersions.guardFor(inputSet, masks)) { prev =>
+        (prev.filterNot(inputSet) ++ out).distinct.sorted
+      }
+    } catch {
+      case e: VersionLedger.MaskConflictException =>
+        out.foreach(n => fs.delete(new Path(data, n), false))
+        throw e
     }
     (inputs.size.toLong, nRows, out.size.toLong)
+    }
   }
 
   /** Executor-side partition-routed staging of a DataFrame: each task

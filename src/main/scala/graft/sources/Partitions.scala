@@ -541,9 +541,20 @@ class PartitionedStreamingWrite(tableDir: String, declared: StructType,
     }
     fs.delete(new Path(s"$stagingBase-$epochId"), true)
     val names = written.result().sorted
+    // a REPLAYED epoch retires its predecessor attempt's files for the
+    // same (queryId, epochId) in the same publish: a restart with
+    // different parallelism or partition routing lands the same rows
+    // under different partition dirs / (pid, j) indices, and without
+    // the retire both attempts' files would stay live (silent
+    // duplication the ledger distinct cannot see — ADVICE r11).
+    // Matched on the BASE name: partitioned epochs nest under
+    // `col~val/` dirs. Retired files are vacuum-reclaimable.
+    val epochPrefix = s"stream-$queryId-$epochId-"
     if (names.nonEmpty || truncate) {
       ParquetVersions.commit(tableDir) { prev =>
-        val merged = if (truncate) names else prev ++ names
+        val kept = prev.filterNot(n =>
+          PartitionSpecs.nameOfRel(n).startsWith(epochPrefix))
+        val merged = if (truncate) names else kept ++ names
         merged.distinct.sorted
       }
       ()

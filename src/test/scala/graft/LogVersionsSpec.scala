@@ -36,6 +36,15 @@ class LogVersionsSpec extends AnyFunSuite {
     dir
   }
 
+  /** The ledger verifies that ADDED names physically exist before a
+    * publish (ADVICE r11), so synthetic segment names must be on disk. */
+  private def touch(dir: String, name: String): Unit = {
+    val p = new Path(dir, name)
+    val out = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .create(p, true)
+    out.close()
+  }
+
   private def rows(df: DataFrame): Set[(String, Long)] =
     df.select("user_id", "amount").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
@@ -162,6 +171,7 @@ class LogVersionsSpec extends AnyFunSuite {
     LogVersions.enable(dir) // v1 = 3 segments
     // a concurrent committer lands v2 first (writer-append shape)
     val names = LogVersions.latest(dir).get._2
+    touch(dir, "segment-intruder-0")
     val winner = LogVersions.commit(dir)(prev => prev :+ "segment-intruder-0")
     assert(winner === 2L)
     // our maintenance commit lands at v3 with the intruder's change
@@ -224,6 +234,7 @@ class LogVersionsSpec extends AnyFunSuite {
     val n = 16
     val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
     try {
+      (0 until n).foreach(i => touch(dir, s"segment-racer-$i"))
       val futures = (0 until n).map { i =>
         pool.submit(new java.util.concurrent.Callable[Long] {
           override def call(): Long =
@@ -277,6 +288,7 @@ class LogVersionsSpec extends AnyFunSuite {
     assert(LogVersions.enabled(dir))
     assert(LogVersions.latest(dir).get._2.toSet === names.toSet)
     // commit on top: the new payload is the stamped object form
+    touch(dir, "segment-new-0")
     val v2 = LogVersions.commit(dir)(prev => prev :+ "segment-new-0")
     assert(v2 === 2L)
     assert(LogVersions.get(dir, 2L).get.contains("segment-new-0"))
