@@ -29,9 +29,9 @@ import org.apache.spark.sql.types.LongType
   * generation; interrupted swaps read-repair before the next merge). */
 class CdcMatView(viewDir: String) extends Serializable {
 
-  import CdcMatView.{Buckets, bucketOfName}
+  import CdcMatView.{MaxBuckets, bucketOfName}
 
-  private def bucketCol = pmod(hash(col("user_id")), lit(Buckets))
+  private def bucketCol(n: Int) = pmod(hash(col("user_id")), lit(n))
 
   /** `_vb=k/part-*` dirs of a freshly written generation → flat
     * `b<k>-<tag>-<i>.parquet` files (the bucket rides the NAME, so an
@@ -55,6 +55,47 @@ class CdcMatView(viewDir: String) extends Serializable {
     }
   }
 
+  // --- ADAPTIVE bucket count (VERDICT r11 #4) ------------------------
+  // The O(delta) design pays a fixed per-trigger cost proportional to
+  // the BUCKET COUNT (generation management, hardlink carry-over,
+  // marker discipline) for an asymptotic win proportional to the VIEW
+  // SIZE. A toy view under 32 fixed buckets paid 32 files of
+  // orchestration per trigger for nothing — so the count now GROWS
+  // with the view: 1 bucket below the size threshold, doubling up to
+  // [[CdcMatView.MaxBuckets]]. Each generation records its own count
+  // in a `_nb-<n>` marker (bucket ids are baked into file names, so
+  // the count is per-generation state, never a global constant); a
+  // count change rewrites the whole view once (the same full-merge
+  // path that migrates legacy un-bucketed layouts). Grow-only: the
+  // per-generation cost of an over-bucketed shrunken view is noise,
+  // while shrinking would force full rewrites on every size
+  // oscillation.
+
+  private def confLong(spark: SparkSession, key: String, dflt: Long): Long =
+    spark.conf.getOption(key).flatMap(_.toLongOption).getOrElse(dflt)
+
+  /** Smallest power of two covering `units`, clamped to [1, MaxBuckets]. */
+  private def clampPow2(units: Long): Int = {
+    var b = 1
+    while (b < MaxBuckets && b.toLong < units) b <<= 1
+    b
+  }
+
+  /** The generation's recorded bucket count: its `_nb-<n>` marker, or
+    * 32 for the pre-marker round-11 layout (every file bucket-named),
+    * or None for a legacy flat layout (full migrate). */
+  private def genBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path, genFiles: Seq[org.apache.hadoop.fs.FileStatus]): Option[Int] = {
+    val marker = fs.listStatus(gen).map(_.getPath.getName)
+      .find(_.startsWith("_nb-")).flatMap(_.stripPrefix("_nb-").toIntOption)
+    marker.orElse {
+      if (genFiles.nonEmpty &&
+          genFiles.forall(s => bucketOfName(s.getPath.getName).isDefined))
+        Some(MaxBuckets) // round-11 fixed-count layout
+      else None
+    }
+  }
+
   /** Fold the snapshot aggregate in as the pre-stream generation.
     * Input needs (user_id, amount); no-op if the view already exists
     * (a checkpoint restart must not re-seed). Staged through `.next` +
@@ -69,53 +110,81 @@ class CdcMatView(viewDir: String) extends Serializable {
     val main = new Path(viewDir)
     if (fs.exists(main)) return
     val next = new Path(viewDir + ".next")
-    // repartition ON the bucket id first: without it every aggregate
-    // task holds keys of many buckets and partitionBy writes a
-    // (tasks × buckets) file explosion — one small shuffle caps the
-    // generation at ~one file per bucket
-    snapshot.groupBy(col("user_id"))
+    val grouped = snapshot.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"))
-      .withColumn("_b", lit(-1L))
-      .withColumn("_vb", bucketCol)
-      .repartition(CdcMatView.Buckets, col("_vb"))
-      .write.partitionBy("_vb").mode("overwrite").parquet(next.toString)
-    flattenBuckets(fs, next, "s")
-    // seed watermark: -1 (pre-stream) — also what makes the staged seed
-    // generation COMPLETE for repairSwap
-    fs.create(new Path(next, "_b--1"), true).close()
-    if (!fs.rename(next, main))
-      throw new java.io.IOException(s"CdcMatView seed: rename to $main failed")
+      .persist()
+    try {
+      // size the INITIAL bucket count from the aggregate's row count
+      // (bytes are unknowable before the write): a toy view starts at
+      // ONE bucket, a large one at the count its size warrants
+      val rowsPerBucket = math.max(1L,
+        confLong(spark, "spark.graft.cdcview.bucket.rows", 200000L))
+      val buckets = clampPow2(
+        (grouped.count() + rowsPerBucket - 1) / rowsPerBucket)
+      // repartition ON the bucket id first: without it every aggregate
+      // task holds keys of many buckets and partitionBy writes a
+      // (tasks × buckets) file explosion — one small shuffle caps the
+      // generation at ~one file per bucket
+      grouped
+        .withColumn("_b", lit(-1L))
+        .withColumn("_vb", bucketCol(buckets))
+        .repartition(buckets, col("_vb"))
+        .write.partitionBy("_vb").mode("overwrite").parquet(next.toString)
+      flattenBuckets(fs, next, "s")
+      fs.create(new Path(next, s"_nb-$buckets"), true).close()
+      // seed watermark: -1 (pre-stream) — also what makes the staged seed
+      // generation COMPLETE for repairSwap
+      fs.create(new Path(next, "_b--1"), true).close()
+      if (!fs.rename(next, main))
+        throw new java.io.IOException(s"CdcMatView seed: rename to $main failed")
+    } finally grouped.unpersist()
+    ()
   }
 
   /** Fold one micro-batch of changelog rows into the summary —
     * O(delta), not O(view) (VERDICT r10 #5): the view is HASH-BUCKETED
-    * by key across [[CdcMatView.Buckets]] files, the batch's delta
+    * by key across its generation's bucket count, the batch's delta
     * names the buckets it touches, ONLY those buckets re-aggregate, and
     * every untouched bucket hardlinks into the new generation with its
     * name (and bytes) intact. A pre-bucketing generation (legacy
-    * `part-*` files) counts every bucket as touched once, migrating the
-    * layout in that merge. Input needs (user_id, amount, _change_type). */
+    * `part-*` files) — or a generation whose size outgrew its bucket
+    * count — counts every bucket as touched once, migrating the layout
+    * in that merge. Input needs (user_id, amount, _change_type). */
   def maintain(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(viewDir).getFileSystem(conf)
     repairSwap(fs)
     if (appliedBatch(fs, spark).exists(_ >= batchId)) return // replay: no-op
+    val genDir = currentGenDir(fs)
+    val genFiles: Seq[org.apache.hadoop.fs.FileStatus] =
+      genDir.toSeq.flatMap(d => fs.listStatus(d).toSeq)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val curBuckets: Option[Int] =
+      genDir.flatMap(d => genBucketCount(fs, d, genFiles))
+    // grow-only: the next count covers the current generation's bytes
+    val bytesPerBucket = math.max(1L,
+      confLong(spark, "spark.graft.cdcview.bucket.bytes", 8L << 20))
+    val grown = clampPow2(
+      (genFiles.map(_.getLen).sum + bytesPerBucket - 1) / bytesPerBucket)
+    val nextBuckets = math.max(curBuckets.getOrElse(1), grown)
+    // a layout change (legacy flat files, or a count growth) rewrites
+    // everything once; a stable count rewrites only touched buckets
+    val migrate = genFiles.nonEmpty && !curBuckets.contains(nextBuckets)
+
     val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
     val delta = batch
       .groupBy(col("user_id"))
       .agg(sum(w).as("n"), sum(w * col("amount")).as("cents"))
-      .withColumn("_vb", bucketCol)
+      // bucket ids of the CURRENT generation's layout (touched-file
+      // detection); the merged output re-derives ids under nextBuckets
+      .withColumn("_vb", bucketCol(curBuckets.getOrElse(nextBuckets)))
       .persist()
     try {
       val touched: Set[Int] =
         delta.select(col("_vb")).distinct().collect().map(_.getInt(0)).toSet
-      val genFiles: Seq[org.apache.hadoop.fs.FileStatus] =
-        currentGenDir(fs).toSeq.flatMap(d => fs.listStatus(d).toSeq)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      val legacy = genFiles.exists(s => bucketOfName(s.getPath.getName).isEmpty)
       val (rewriteFiles, carryFiles) =
-        if (legacy) (genFiles, Seq.empty)
+        if (migrate) (genFiles, Seq.empty)
         else genFiles.partition(s =>
           bucketOfName(s.getPath.getName).exists(touched))
       val existing =
@@ -130,11 +199,11 @@ class CdcMatView(viewDir: String) extends Serializable {
         .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
         .filter(col("n") =!= 0L) // fully-retracted keys leave the view
         .withColumn("_b", lit(batchId))
-        .withColumn("_vb", bucketCol)
+        .withColumn("_vb", bucketCol(nextBuckets))
       val next = new Path(viewDir + ".next")
       // same bucket-clustering shuffle as [[seed]] — one file per
       // touched bucket, not per (task × bucket)
-      merged.repartition(CdcMatView.Buckets, col("_vb"))
+      merged.repartition(nextBuckets, col("_vb"))
         .write.partitionBy("_vb").mode("overwrite").parquet(next.toString)
       flattenBuckets(fs, next, batchId.toString)
       // untouched buckets: zero-I/O carry-over, names intact
@@ -142,6 +211,7 @@ class CdcMatView(viewDir: String) extends Serializable {
         graft.sources.Compaction.linkOrCopy(fs, conf, s.getPath,
           new Path(next, s.getPath.getName))
       }
+      fs.create(new Path(next, s"_nb-$nextBuckets"), true).close()
       // the watermark MARKER: a batch that retracts the view to ZERO rows
       // writes an empty generation with no `_b` cell to carry the
       // high-water mark — a replay after a crash would then re-apply its
@@ -255,17 +325,17 @@ class CdcMatView(viewDir: String) extends Serializable {
 }
 
 object CdcMatView {
-  /** Fixed view bucket count. 32 key-hash buckets keep each
-    * generation's rewrite surface at |delta's buckets| / 32 of the
-    * view; the constant is baked into file names (`b<k>-…`), so it must
-    * never change for an existing view (a legacy or foreign layout is
-    * detected by name and migrated in one full merge). */
-  val Buckets = 32
+  /** Cap on the adaptive view bucket count. Bucket ids are baked into
+    * file names (`b<k>-…`) and each generation records its own count
+    * in a `_nb-<n>` marker, so generations with different counts
+    * coexist across swaps; a foreign or legacy layout is detected by
+    * name/marker and migrated in one full merge. */
+  val MaxBuckets = 32
 
   private val BucketName = "^b(\\d+)-.*\\.parquet$".r
 
   def bucketOfName(name: String): Option[Int] = name match {
-    case BucketName(k) => k.toIntOption.filter(_ < Buckets)
+    case BucketName(k) => k.toIntOption.filter(_ < MaxBuckets)
     case _ => None
   }
 }
