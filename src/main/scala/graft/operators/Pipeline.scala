@@ -970,6 +970,42 @@ object Pipeline {
       .orderBy(col("phase"), col("mday"))
   }
 
+  /** `months(ts)` partition transform ([[graft.sources.PartitionSpecs]],
+    * VERDICT r11 #5): the single most common retention layout — one
+    * directory per month. The load routes timestamps into month dirs,
+    * TWO partition-aligned retention DELETEs (the pre-1993-07 sweep and
+    * one month inside the probe window) drop whole partitions from dir
+    * values alone (zero data I/O — the synthesized month bounds prove
+    * both the match and the no-partial-overlap), and the probe prunes
+    * months BEFORE footer stats. A misrouted timestamp, an off-by-one
+    * month boundary (leap February!), or a resurrected deleted month
+    * breaks the hash against the plain-parquet oracle. */
+  def p33_month_partitioned(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p33", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p33.lake.orders_ts")
+    spark.sql("""CREATE TABLE graft_p33.lake.orders_ts
+                 (okey BIGINT, ots TIMESTAMP, cents BIGINT)
+                 PARTITIONED BY (months(ots))""")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("okey"),
+        col("o_orderdate").cast(TimestampType).as("ots"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .writeTo("graft_p33.lake.orders_ts").append()
+    // month-aligned retention: whole partitions vanish metadata-only
+    spark.sql("DELETE FROM graft_p33.lake.orders_ts " +
+      "WHERE ots < TIMESTAMP'1993-07-01 00:00:00'")
+    spark.sql("DELETE FROM graft_p33.lake.orders_ts " +
+      "WHERE ots >= TIMESTAMP'1995-01-01 00:00:00' " +
+      "AND ots < TIMESTAMP'1995-02-01 00:00:00'")
+    spark.sql("""SELECT date_trunc('month', ots) AS m, count(*) AS n,
+                        sum(cents) AS cents
+                 FROM graft_p33.lake.orders_ts
+                 WHERE ots >= TIMESTAMP'1994-07-01 00:00:00'
+                   AND ots <  TIMESTAMP'1995-07-01 00:00:00'
+                 GROUP BY date_trunc('month', ots) ORDER BY m""")
+  }
+
   /** `.partitions` / extended `.files` metadata
     * ([[graft.sources.MetaTables]]): the per-partition summary relation
     * over a pinned layout — one file per partition (repartition(1)
@@ -999,6 +1035,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p27_partitioned_table" -> (p27_partitioned_table _),
+    "p33_month_partitioned" -> (p33_month_partitioned _),
     "p28_lightweight_delete" -> (p28_lightweight_delete _),
     "p30_lightweight_update" -> (p30_lightweight_update _),
     "p31_partition_evolution" -> (p31_partition_evolution _),
@@ -1031,6 +1068,18 @@ object Pipeline {
     "p03_corpus_prep" -> (p03_corpus_prep _))
 
   val oracle: Map[String, String] = Map(
+    "p33_month_partitioned" ->
+      """WITH b AS (SELECT CAST(o_orderdate AS TIMESTAMP) AS ots,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT date_trunc('month', ots) AS m, COUNT(*) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |WHERE ots >= TIMESTAMP '1994-07-01 00:00:00'
+        |  AND ots <  TIMESTAMP '1995-07-01 00:00:00'
+        |  AND NOT (ots >= TIMESTAMP '1995-01-01 00:00:00'
+        |           AND ots < TIMESTAMP '1995-02-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p27_partitioned_table" ->
       """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mday,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents

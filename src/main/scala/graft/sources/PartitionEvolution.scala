@@ -59,7 +59,11 @@ object PartitionEvolution {
   private def render(spec: Option[PartitionSpecs.Spec]): String = spec match {
     case None => "none"
     case Some(s) => s.fields.map { f =>
-      if (f.transform == "identity") f.col else s"${f.transform}(${f.col})"
+      f.transform match {
+        case "identity" => f.col
+        case "bucket" => s"bucket(${f.n.getOrElse(0)}, ${f.col})"
+        case t => s"$t(${f.col})"
+      }
     }.mkString(", ")
   }
 

@@ -181,11 +181,13 @@ class PartitionedTableSpec extends AnyFunSuite {
                    PARTITIONED BY (d)""")
     }
     assert(e1.getMessage.contains("identity partitioning"), e1.getMessage)
+    // bucket(n, col) IS a supported transform now (r12) — but only on
+    // string columns, and the rejection names the contract
     val e2 = intercept[Exception] {
       spark.sql("""CREATE TABLE graft_ptn.lake.bad2 (a STRING, b BIGINT)
                    PARTITIONED BY (bucket(4, b))""")
     }
-    assert(e2.getMessage.toLowerCase.contains("transform"), e2.getMessage)
+    assert(e2.getMessage.toLowerCase.contains("bucket"), e2.getMessage)
     val e3 = intercept[Exception] {
       spark.sql("CALL graft_ptn.system.set_bucket_spec(" +
         "table => 'lake.sales', col => 'region', n => 4)")
@@ -268,5 +270,105 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(rows.length === 20)
     assert(rows.filter(_.getString(0) == "eu").forall(_.getLong(1) >= 1000))
     assert(rows.filter(_.getString(0) == "us").forall(_.getLong(1) < 1000))
+  }
+
+  test("months(ts) partitioning prunes month-range probes with zero footer I/O") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.mev")
+    spark.sql("""CREATE TABLE graft_ptn.lake.mev (ts TIMESTAMP, v BIGINT)
+                 PARTITIONED BY (months(ts))""")
+    spark.sql("""INSERT INTO graft_ptn.lake.mev VALUES
+      (TIMESTAMP'2024-01-05 08:00:00', 1), (TIMESTAMP'2024-01-31 23:59:59', 2),
+      (TIMESTAMP'2024-02-01 00:00:00', 3), (TIMESTAMP'2024-02-29 12:00:00', 4),
+      (TIMESTAMP'2024-03-15 06:00:00', 5)""")
+    val dir = s"$warehouse/lake/mev"
+    val names = ParquetVersions.latest(dir).get._2
+    assert(names.exists(_.startsWith("ts~2024-01/")), names)
+    assert(names.map(_.split("/").head).distinct.sorted ===
+      Seq("ts~2024-01", "ts~2024-02", "ts~2024-03"))
+    ParquetFooterStats.clearCacheForTesting()
+    val before = ParquetFooterStats.footerReadsUnder(dir)
+    // a month-aligned range probe opens ONLY the february partition
+    assert(spark.sql(
+      """SELECT sum(v) AS s FROM graft_ptn.lake.mev
+         WHERE ts >= TIMESTAMP'2024-02-01 00:00:00'
+           AND ts <  TIMESTAMP'2024-03-01 00:00:00'""")
+      .head.getLong(0) === 7)
+    assert(ParquetFooterStats.footerReadsUnder(dir) - before <= 1,
+      "only the 2024-02 partition may be opened")
+    // leap-month END boundary: the 02-29 row belongs to february's range
+    assert(spark.sql(
+      """SELECT count(*) AS c FROM graft_ptn.lake.mev
+         WHERE ts > TIMESTAMP'2024-02-29 23:59:59.999999'""")
+      .head.getLong(0) === 1)
+  }
+
+  test("hours(ts) partitioning prunes hour probes; DATE months() works too") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.hev")
+    spark.sql("""CREATE TABLE graft_ptn.lake.hev (ts TIMESTAMP, v BIGINT)
+                 PARTITIONED BY (hours(ts))""")
+    spark.sql("""INSERT INTO graft_ptn.lake.hev VALUES
+      (TIMESTAMP'2024-03-01 05:10:00', 1), (TIMESTAMP'2024-03-01 05:50:00', 2),
+      (TIMESTAMP'2024-03-01 06:00:00', 3), (TIMESTAMP'2024-03-02 05:30:00', 4)""")
+    val dir = s"$warehouse/lake/hev"
+    val names = ParquetVersions.latest(dir).get._2
+    assert(names.exists(_.startsWith("ts~2024-03-01T05/")), names)
+    assert(names.map(_.split("/").head).distinct.size === 3)
+    ParquetFooterStats.clearCacheForTesting()
+    val before = ParquetFooterStats.footerReadsUnder(dir)
+    assert(spark.sql(
+      """SELECT sum(v) AS s FROM graft_ptn.lake.hev
+         WHERE ts >= TIMESTAMP'2024-03-01 05:00:00'
+           AND ts <  TIMESTAMP'2024-03-01 06:00:00'""")
+      .head.getLong(0) === 3)
+    assert(ParquetFooterStats.footerReadsUnder(dir) - before <= 1,
+      "only the 05h partition may be opened")
+    // months() on a DATE column: day-domain bounds
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.mdt")
+    spark.sql("""CREATE TABLE graft_ptn.lake.mdt (d DATE, v BIGINT)
+                 PARTITIONED BY (months(d))""")
+    spark.sql("""INSERT INTO graft_ptn.lake.mdt VALUES
+      (DATE'2024-01-15', 1), (DATE'2024-02-10', 2)""")
+    val mdir = s"$warehouse/lake/mdt"
+    ParquetFooterStats.clearCacheForTesting()
+    val b2 = ParquetFooterStats.footerReadsUnder(mdir)
+    assert(spark.sql(
+      "SELECT sum(v) AS s FROM graft_ptn.lake.mdt WHERE d >= DATE'2024-02-01'")
+      .head.getLong(0) === 2)
+    assert(ParquetFooterStats.footerReadsUnder(mdir) - b2 <= 1)
+  }
+
+  test("bucket(n, col) partitioning routes by murmur3-pmod; reads stay exact") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.bkt")
+    spark.sql("""CREATE TABLE graft_ptn.lake.bkt (k STRING, v BIGINT)
+                 PARTITIONED BY (bucket(4, k))""")
+    spark.sql("""INSERT INTO graft_ptn.lake.bkt
+                 SELECT concat('key', id), id FROM range(40)""")
+    val dir = s"$warehouse/lake/bkt"
+    val names = ParquetVersions.latest(dir).get._2
+    val dirs = names.map(_.split("/").head).distinct.sorted
+    assert(dirs.forall(_.startsWith("k~")), names)
+    assert(dirs.size > 1 && dirs.size <= 4, s"4 hash buckets max: $dirs")
+    // the routing is the layout's murmur3-pmod contract: every row's
+    // dir matches the hash of its key
+    import org.apache.spark.unsafe.types.UTF8String
+    names.foreach { n =>
+      val b = n.split("/").head.stripPrefix("k~").toInt
+      val rows = spark.read.parquet(s"$dir/data/$n").collect()
+      assert(rows.forall(r => math.floorMod(org.apache.spark.sql.GraftShims
+        .murmur3(UTF8String.fromString(r.getString(0))), 4) == b), n)
+    }
+    // reads, point probes and aggregates stay exact (footer stats prune
+    // within partitions; bucket dirs synthesize no value bounds)
+    assert(spark.table("graft_ptn.lake.bkt").count() === 40)
+    assert(spark.sql("SELECT v FROM graft_ptn.lake.bkt WHERE k = 'key7'")
+      .head.getLong(0) === 7)
+    // NULL keys land in the null dir and IS NOT NULL still counts right
+    spark.sql("INSERT INTO graft_ptn.lake.bkt VALUES (NULL, 999)")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_ptn.lake.bkt WHERE k IS NOT NULL")
+      .head.getLong(0) === 40)
+    // partition evolution round-trips the bucket spec string
+    val (_, rendered) = PartitionEvolution.setSpec(spark, dir, "bucket(4, k)")
+    assert(rendered === "bucket(4, k)")
   }
 }
