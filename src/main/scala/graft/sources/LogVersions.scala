@@ -190,8 +190,17 @@ private[sources] object MaintenanceLease {
     fs.makeQualified(dir).toString
   }
 
-  private[sources] def heldFor(tableDir: String): Option[Token] =
-    heldByThread.get().get(qualifiedDir(new Path(tableDir)))
+  private[sources] def heldFor(tableDir: String): Option[Token] = {
+    // fast path: the common case is "no lease held anywhere on this
+    // thread" — skip building a Configuration / qualifying the path on
+    // every ledger commit (ADVICE r12). NOTE: the registry is
+    // per-thread by design; a leased operation must publish from the
+    // thread that called withLease (all maintenance verbs do — their
+    // bodies run inline, never on a pool).
+    val held = heldByThread.get()
+    if (held.isEmpty) None
+    else held.get(qualifiedDir(new Path(tableDir)))
+  }
 
   private def payloadOf(id: String, ttlMs: Long): Array[Byte] =
     s"""{"id":"$id","expires":${System.currentTimeMillis() + ttlMs}}"""
@@ -205,7 +214,7 @@ private[sources] object MaintenanceLease {
     * extending an already-expired (or about-to-expire) lease could
     * resurrect one a taker-over has observed dead. Best-effort: any
     * failure is left for [[validate]] to surface loudly at publish. */
-  private[sources] def renew(t: Token): Unit = {
+  private[sources] def renew(t: Token): Unit = t.synchronized {
     val fs = t.dir.getFileSystem(new Configuration())
     val margin = math.max(1000L, t.ttlMs / 10)
     try {
@@ -230,7 +239,13 @@ private[sources] object MaintenanceLease {
     * lost its lease mid-operation must fail LOUDLY there, not race the
     * taker-over through the very rename/publish sequences the lease
     * serializes (ADVICE r11). */
-  private[sources] def validate(t: Token): Unit = {
+  /** Synchronized with [[renew]] on the token: renew overwrites the
+    * lease file truncate-then-write, and while external readers fail
+    * safe (a torn payload reads LIVE), the HOLDER's own validate racing
+    * its renewer thread could read the truncated payload, miss its id,
+    * and abort a healthy publish with a spurious "lease lost"
+    * (ADVICE r12). */
+  private[sources] def validate(t: Token): Unit = t.synchronized {
     val fs = t.dir.getFileSystem(new Configuration())
     val p = fileOf(t.dir, t.ord)
     val txt =
@@ -760,6 +775,22 @@ private[sources] object VersionLedger {
       val (ord, cur) = latestPayload(dir).getOrElse(throw new IllegalStateException(
         s"VersionLedger.commit on un-versioned dir $dir — call enable() first"))
       guard.foreach { g =>
+        // Input RETIREMENT is a conflict too (ADVICE r12, medium): a
+        // concurrent whole-file DELETE (or competing rewrite) that drops
+        // an unmasked input leaves no mask divergence — carried masks
+        // filterKeys to live names, so both sides read empty — yet this
+        // rewrite's publish would re-add the deleted rows via its
+        // outputs. Retired inputs must fail the guard like mask drift.
+        val retired = g.inputs.filterNot(cur.names.toSet)
+        if (retired.nonEmpty) {
+          throw new MaskConflictException(
+            s"write conflict in $dir: rewrite inputs " +
+              s"${retired.toSeq.sorted.take(5).mkString(", ")}" +
+              (if (retired.size > 5) s" (+${retired.size - 5} more)" else "") +
+              " were retired by a concurrent commit (whole-file DELETE or " +
+              "competing rewrite) since the rewrite read them — publishing " +
+              "would resurrect their rows. Re-read visible rows and retry.")
+        }
         val diverged = g.inputs.filter { n =>
           cur.masks.getOrElse(n, Seq.empty).toSet !=
             g.observed.getOrElse(n, Seq.empty).toSet

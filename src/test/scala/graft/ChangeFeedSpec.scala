@@ -197,6 +197,7 @@ class ChangeFeedSpec extends AnyFunSuite {
     // test below), so the per-bucket carry-over machinery is exercised
     spark.conf.set("spark.graft.cdcview.bucket.rows", "4")
     spark.conf.set("spark.graft.cdcview.bucket.bytes", "64")
+    try {
     // many keys spread across the hash buckets
     view.seed((0 until 200).map(i => (s"user$i", i.toLong))
       .toDF("user_id", "amount"))
@@ -224,8 +225,10 @@ class ChangeFeedSpec extends AnyFunSuite {
       .select("n", "cents").head
     assert(u7.getLong(0) === 2L && u7.getLong(1) === 1007L)
     assert(view.read(spark).count() === 200)
-    spark.conf.unset("spark.graft.cdcview.bucket.rows")
-    spark.conf.unset("spark.graft.cdcview.bucket.bytes")
+    } finally {
+      spark.conf.unset("spark.graft.cdcview.bucket.rows")
+      spark.conf.unset("spark.graft.cdcview.bucket.bytes")
+    }
   }
 
   test("CdcMatView: a toy view stays at ONE bucket; growth migrates the layout") {
