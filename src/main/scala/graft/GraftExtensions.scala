@@ -26,5 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // merge-on-read UPDATE: swap the group-based ReplaceData rewrite
     // for the mask+append decomposition when the mode opts in
     extensions.injectOptimizerRule(_ => sources.ParquetMoRUpdate.InterceptRule)
+    // merge-on-read MERGE INTO: masks + routed appends (or a candidate
+    // group rewrite) instead of rewriting every candidate file
+    extensions.injectOptimizerRule(_ => sources.ParquetMoRMerge.InterceptRule)
   }
 }

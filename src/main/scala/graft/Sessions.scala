@@ -63,6 +63,8 @@ object Sessions {
     // merge-on-read UPDATE interception (mask+append instead of the
     // group rewrite when spark.graft.delete.mode opts in)
     graft.sources.ParquetMoRUpdate.register(spark)
+    // merge-on-read MERGE INTO interception (p32)
+    graft.sources.ParquetMoRMerge.register(spark)
     // warehouse dialect: jdbc:clickhouse URLs get exact type widening,
     // backtick quoting, and ClickHouse DDL types (sources/ClickHouseDialect)
     graft.sources.ClickHouseDialect.register()

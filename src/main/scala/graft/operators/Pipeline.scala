@@ -1006,6 +1006,55 @@ object Pipeline {
                  GROUP BY date_trunc('month', ots) ORDER BY m""")
   }
 
+  /** MERGE-ON-READ `MERGE INTO` ([[graft.sources.ParquetMoRMerge]]) —
+    * the third leg of the lightweight-DML contract (the reference's
+    * warehouse applies CDC upserts as lightweight mutations
+    * server-side, `hashes_test.go:235-239`): one CDC batch carrying
+    * matched DELETEs (odd-ish cents), matched UPDATEs, and brand-new
+    * INSERT keys, applied in ONE atomic version publish — matched rows
+    * hidden by per-file key masks, images and inserts appended as new
+    * files, pre-existing files byte-identical. The probe straddles the
+    * MERGE via time travel: a lost arm, a resurrected masked row, a
+    * double-applied image, or an insert that leaked into the pre-state
+    * breaks the hash. */
+  def p32_merge_lightweight(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p32", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p32.lake.orders_pq")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("p32_base")
+    spark.sql("CREATE TABLE graft_p32.lake.orders_pq AS SELECT * FROM p32_base")
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p32.warehouse") +
+      "/lake/orders_pq"
+    graft.sources.ParquetVersions.enable(tableDir) // v1
+    // the CDC batch: ~1/29 of the keys as upsert/delete candidates plus
+    // a disjoint insert range (keys offset past the table's domain)
+    spark.sql("""SELECT o_orderkey AS k, bucket, cents FROM p32_base
+                 WHERE o_orderkey % 29 = 5
+                 UNION ALL
+                 SELECT o_orderkey + 100000000 AS k, bucket, cents
+                 FROM p32_base WHERE o_orderkey % 31 = 2""")
+      .createOrReplaceTempView("p32_cdc")
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      spark.sql("""MERGE INTO graft_p32.lake.orders_pq t USING p32_cdc s
+                   ON t.o_orderkey = s.k
+                   WHEN MATCHED AND s.cents % 10 < 5 THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET cents = s.cents * 2 + 1
+                   WHEN NOT MATCHED THEN INSERT (o_orderkey, bucket, cents)
+                     VALUES (s.k, s.bucket, s.cents)""") // v2
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p32.lake.orders_pq VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_cur' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p32.lake.orders_pq
+                 ORDER BY snap""")
+  }
+
   /** `.partitions` / extended `.files` metadata
     * ([[graft.sources.MetaTables]]): the per-partition summary relation
     * over a pinned layout — one file per partition (repartition(1)
@@ -1038,6 +1087,7 @@ object Pipeline {
     "p33_month_partitioned" -> (p33_month_partitioned _),
     "p28_lightweight_delete" -> (p28_lightweight_delete _),
     "p30_lightweight_update" -> (p30_lightweight_update _),
+    "p32_merge_lightweight" -> (p32_merge_lightweight _),
     "p31_partition_evolution" -> (p31_partition_evolution _),
     "p29_partitions_meta" -> (p29_partitions_meta _),
     "p26_metadata_tables" -> (p26_metadata_tables _),
@@ -1121,6 +1171,31 @@ object Pipeline {
         |FROM mid
         |UNION ALL
         |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM cur
+        |ORDER BY snap""".stripMargin,
+    "p32_merge_lightweight" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |s AS (SELECT o_orderkey AS k, bucket, cents FROM b
+        |    WHERE o_orderkey % 29 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, bucket, cents
+        |  FROM b WHERE o_orderkey % 31 = 2),
+        |cur AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.k IS NOT NULL THEN s.cents * 2 + 1 ELSE t.cents END AS cents
+        |  FROM b t LEFT JOIN s ON t.o_orderkey = s.k
+        |  WHERE s.k IS NULL OR NOT (s.cents % 10 < 5)
+        |  UNION ALL
+        |  SELECT s.k AS o_orderkey, s.cents
+        |  FROM s LEFT JOIN b t ON t.o_orderkey = s.k
+        |  WHERE t.o_orderkey IS NULL)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM cur
         |ORDER BY snap""".stripMargin,
     "p31_partition_evolution" ->

@@ -324,6 +324,127 @@ object Compaction {
     * rows; the only crash residue is repaired by
     * [[repairGenerations]] on the next load. Single-writer maintenance
     * semantics, same contract as [[compactLog]]. */
+  final case class PurgeStats(maskedFiles: Long, rewrittenFiles: Long,
+      outputFiles: Long, remainingMasked: Long)
+
+  /** SURGICAL mask purge — the operational half of the mask-pressure
+    * policy (VERDICT r12 #2): rewrite ONLY the live files carrying at
+    * least `minPreds` stacked delete-mask predicates, restoring their
+    * columnar decode, and leave everything else untouched (a full
+    * `compact_table` merges all small files too — far more I/O than
+    * the pressure problem needs). Masked files pack per
+    * (partition dir, bucket tag) group like compaction, outputs keep
+    * layout claims, and the guarded publish retires the inputs —
+    * the version carry-forward drops their masks with them. Zero
+    * masked files is a free no-op (no lease churn beyond the probe,
+    * no version churn).
+    *
+    * WHY pressure matters at 100 TB: every stacked predicate is
+    * evaluated per row of its file, and ANY mask in a scan batch flips
+    * that whole batch to row-based decode
+    * ([[MaskedReaderFactory.supportColumnarReads]]) — unbounded DML
+    * stacking degrades scans until some rewrite consumes the masks.
+    * This verb is that rewrite, scoped to exactly the pressured
+    * files. The automatic trigger lives in [[MaskPressure]]. */
+  def purgeMasks(spark: SparkSession, tableDir: String, minPreds: Int = 1,
+      targetBytes: Long = 128L << 20): PurgeStats =
+    MaintenanceLease.withLease(tableDir) {
+    require(minPreds >= 1, "minPreds must be at least 1")
+    val base = new Path(tableDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(SchemaManifest.exists(tableDir),
+      s"$tableDir is not a catalog parquet table (no _schema.json)")
+    val declared = SchemaManifest.read(tableDir, "purgeMasks")
+    val data = new Path(base, "data")
+    if (!ParquetVersions.enabled(tableDir)) {
+      return PurgeStats(0L, 0L, 0L, 0L) // masks exist only on versioned tables
+    }
+    val tagOf: String => Option[Int] =
+      if (ParquetBucketing.readSpec(tableDir).isEmpty) _ => None
+      else rel => ParquetBucketing.bucketOfName(PartitionSpecs.nameOfRel(rel))
+    val opId = java.util.UUID.randomUUID().toString.take(8)
+    ParquetVersions.retryOnMaskConflict() {
+      val allMasks = ParquetVersions.masksFor(tableDir, None).filter(_._2.nonEmpty)
+      val live = ParquetVersions.live(tableDir).toSet
+      val targets = allMasks.view.filterKeys(live).toMap
+        .filter(_._2.size >= minPreds)
+      if (targets.isEmpty) {
+        return PurgeStats(allMasks.keySet.count(live).toLong, 0L, 0L,
+          allMasks.keySet.count(live).toLong)
+      }
+      // pack per (partition dir, bucket tag) so outputs keep their
+      // layout claim; greedy adjacent bins up to targetBytes
+      val statOf = targets.keys.toSeq.sorted.map { rel =>
+        rel -> fs.getFileStatus(new Path(data, rel))
+      }
+      val groups = statOf.groupBy { case (rel, _) =>
+        (PartitionSpecs.dirOfRel(rel), tagOf(rel))
+      }.toSeq.sortBy(_._1)
+      val bins = Seq.newBuilder[(Seq[String], (String, Option[Int]))]
+      groups.foreach { case (key, members) =>
+        var cur = Vector.empty[String]
+        var curBytes = 0L
+        members.foreach { case (rel, st) =>
+          if (cur.nonEmpty && curBytes + st.getLen > targetBytes) {
+            bins += ((cur, key)); cur = Vector.empty; curBytes = 0L
+          }
+          cur = cur :+ rel; curBytes += st.getLen
+        }
+        if (cur.nonEmpty) bins += ((cur, key))
+      }
+      val allBins = bins.result()
+      val outputs = inParallel(allBins.zipWithIndex) {
+        case ((bin, (relDir, tag)), i) =>
+          val staging = new Path(base, s".purge-$opId-$i")
+          fs.delete(staging, true)
+          DeleteMasks.readVisible(spark, declared, data, bin, targets)
+            .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+          val part = fs.listStatus(staging)
+            .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .getOrElse(throw new java.io.IOException(s"no output part in $staging"))
+          // `compact-` prefix: same ledger-gated maintenance namespace
+          // (vacuum classification, crash-debris reclaim) as compaction
+          val name = f"compact-$opId-$i%05d" + tag.fold("")(k => s"-b$k") +
+            ".parquet"
+          val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+          val to = new Path(data, rel)
+          fs.mkdirs(to.getParent)
+          if (fs.exists(to)) fs.delete(to, false) // prior conflicted attempt
+          if (!fs.rename(part.getPath, to)) {
+            throw new java.io.IOException(s"purge stage rename failed for bin $i")
+          }
+          fs.delete(staging, true)
+          rel
+      }
+      val inputNames = allBins.flatMap(_._1).toSet
+      // visible input rows must equal staged output rows (same
+      // abort-before-publish proof as compaction)
+      val rowsIn = DeleteMasks.readVisible(spark, declared, data,
+        inputNames.toSeq, targets).count()
+      val rowsOut = spark.read.schema(declared)
+        .parquet(outputs.map(n => new Path(data, n).toString): _*).count()
+      if (rowsIn != rowsOut) {
+        outputs.foreach(n => fs.delete(new Path(data, n), false))
+        throw new IllegalStateException(
+          s"mask purge row mismatch: $rowsIn visible in vs $rowsOut staged — aborted")
+      }
+      try {
+        ParquetVersions.commitGuarded(tableDir, None, Map.empty,
+          ParquetVersions.guardFor(inputNames, targets)) { liveNow =>
+          (liveNow.toSet -- inputNames ++ outputs).toSeq.sorted
+        }
+      } catch {
+        case e: VersionLedger.MaskConflictException =>
+          outputs.foreach(n => fs.delete(new Path(data, n), false))
+          throw e
+      }
+      val remaining = ParquetVersions.masksFor(tableDir, None)
+        .count(_._2.nonEmpty).toLong
+      PurgeStats(targets.size.toLong, inputNames.size.toLong,
+        outputs.size.toLong, remaining)
+    }
+  }
+
   def compactTable(spark: SparkSession, tableDir: String,
       targetBytes: Long = 128L << 20): CompactionStats =
     // serialized against other maintainers ([[MaintenanceLease]])

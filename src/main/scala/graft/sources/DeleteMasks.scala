@@ -262,3 +262,47 @@ object DeleteMasks {
     }
   }
 }
+
+/** MASK-PRESSURE policy (VERDICT r12 #2): stacked merge-on-read
+  * DELETE/UPDATE/MERGE predicates are evaluated per row of their file,
+  * and any mask in a scan batch flips the batch to row-based decode —
+  * nothing bounds the degradation until a rewrite consumes the masks.
+  * The `.files`/`.partitions` metadata exposes the signal; this is the
+  * actuator:
+  *
+  *   - every merge-on-read DML publish calls [[afterMaskPublish]];
+  *   - a live file whose mask stack reaches
+  *     `spark.graft.mask.pressure.maxPreds` (default 64) is OVER
+  *     PRESSURE: with `spark.graft.mask.pressure.autopurge=true` the
+  *     DML synchronously runs [[Compaction.purgeMasks]] scoped to the
+  *     pressured files (surgical — only those files rewrite); with it
+  *     off (default) a loud warning names the table and the verb
+  *     (`CALL graft.system.purge_masks(table => …)`), leaving the
+  *     latency trade to the operator;
+  *   - the purge takes the maintenance lease, so an auto-purge racing
+  *     a running compaction just queues behind it. */
+object MaskPressure extends org.apache.spark.internal.Logging {
+
+  val MAX_PREDS_KEY = "spark.graft.mask.pressure.maxPreds"
+  val AUTOPURGE_KEY = "spark.graft.mask.pressure.autopurge"
+
+  def afterMaskPublish(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): Unit = {
+    val maxPreds = spark.conf.get(MAX_PREDS_KEY, "64").toInt
+    if (maxPreds <= 0) return // policy disabled
+    val live = ParquetVersions.live(tableDir).toSet
+    val over = ParquetVersions.masksFor(tableDir, None)
+      .filter { case (f, preds) => live(f) && preds.size >= maxPreds }
+    if (over.isEmpty) return
+    if (spark.conf.get(AUTOPURGE_KEY, "false").toBoolean) {
+      val st = Compaction.purgeMasks(spark, tableDir, minPreds = maxPreds)
+      logInfo(s"mask pressure auto-purge on $tableDir: " +
+        s"${st.rewrittenFiles} files rewritten, ${st.remainingMasked} still masked")
+    } else {
+      logWarning(s"mask pressure on $tableDir: ${over.size} file(s) carry " +
+        s">= $maxPreds stacked delete-mask predicates and decode row-based " +
+        "until rewritten — run CALL <catalog>.system.purge_masks(table => …) " +
+        s"or set $AUTOPURGE_KEY=true")
+    }
+  }
+}

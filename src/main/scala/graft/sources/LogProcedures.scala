@@ -344,6 +344,24 @@ object LogProcedures {
           Seq(before, rows, after))
       }
     },
+    "purge_masks" -> new MaintenanceProcedure("purge_masks",
+      "rewrite ONLY the files carrying >= min_preds stacked delete-mask " +
+        "predicates, restoring columnar decode (mask-pressure relief)") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("min_preds", IntegerType)
+          .defaultValue("1").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val st = Compaction.purgeMasks(spark,
+          dirOf(warehouse, input.getUTF8String(0).toString), input.getInt(1))
+        oneRow(StructType(Seq(
+          StructField("masked_files", LongType, nullable = false),
+          StructField("rewritten_files", LongType, nullable = false),
+          StructField("output_files", LongType, nullable = false),
+          StructField("remaining_masked", LongType, nullable = false))),
+          Seq(st.maskedFiles, st.rewrittenFiles, st.outputFiles,
+            st.remainingMasked))
+      }
+    },
     "compact_table" -> new MaintenanceProcedure("compact_table",
       "bin-pack a catalog parquet table's data files (crash-safe generation swap)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,

@@ -835,8 +835,25 @@ private[sources] object VersionLedger {
 
   private def merged(cur: Payload, nextSet: Set[String],
       addMasks: Map[String, Seq[String]]): Map[String, Seq[String]] = {
+    // addMasks on a name the NEXT version does not carry is a WRITE
+    // CONFLICT, not a silent no-op: the DML classified its candidates
+    // against a snapshot, and a concurrent rewrite that retired one of
+    // them moved those rows into new (unmasked) output files — dropping
+    // the mask here would silently lose the committed DELETE/UPDATE for
+    // exactly those rows. Throwing lets retryOnMaskConflict re-classify
+    // against the fresh live set.
+    val retired = addMasks.keySet.filterNot(nextSet)
+    if (retired.nonEmpty) {
+      throw new MaskConflictException(
+        s"write conflict: delete masks target files no longer live after " +
+          s"the transform: ${retired.toSeq.sorted.take(5).mkString(", ")}" +
+          (if (retired.size > 5) s" (+${retired.size - 5} more)" else "") +
+          " — a concurrent rewrite retired them (their rows now live in " +
+          "unmasked outputs). Re-classify against the current version and " +
+          "retry.")
+    }
     val carried = cur.masks.view.filterKeys(nextSet).toMap
-    addMasks.view.filterKeys(nextSet).foldLeft(carried) {
+    addMasks.foldLeft(carried) {
       case (acc, (f, preds)) =>
         acc.updated(f, (acc.getOrElse(f, Seq.empty) ++ preds).distinct)
     }

@@ -290,6 +290,7 @@ object ParquetDelete {
         rewrites.map { case (rel, _) => rel -> Seq(maskPred.get) }.toMap) { live =>
         live.filterNot(droppedNames)
       }
+      MaskPressure.afterMaskPublish(spark, tableDir)
       return ParquetDeleteStats(untouched.length.toLong, dropped.length.toLong,
         0L, masked = rewrites.length.toLong)
     }

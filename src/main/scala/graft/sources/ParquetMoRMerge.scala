@@ -1,0 +1,634 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, Literal, PlanExpression}
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, MergeRows, ReplaceData}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.write.RowLevelOperation
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{coalesce, col, hash, input_file_name, lit, monotonically_increasing_id, pmod, when}
+import org.apache.spark.sql.{sources => v1}
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** MERGE-ON-READ `MERGE INTO` for catalog parquet tables — the third
+  * leg of the lightweight-DML contract ([[DeleteMasks]] is DELETE,
+  * [[ParquetMoRUpdate]] is UPDATE; the reference's warehouse applies
+  * CDC upserts as lightweight mutations server-side,
+  * `hashes_test.go:235-239`).
+  *
+  * A MERGE under `spark.graft.delete.mode = merge-on-read` decomposes
+  * into masks + appends, published as ONE atomic version commit:
+  *
+  *   - MATCHED rows taking an UPDATE or DELETE arm are hidden by a
+  *     per-file delete mask `key IN (matched keys of that file)` —
+  *     the join keys come from the ON clause's target-side equality
+  *     columns, so the mask is exact per immutable file;
+  *   - updated images (UPDATE arms' projections) and NOT MATCHED
+  *     inserts append as NEW files, routed into the table's layout
+  *     (partition dirs by row value, bucket tags, or flat);
+  *   - pre-existing data files stay byte-identical; write
+  *     amplification is O(matched + inserted rows), not O(candidate
+  *     files) — a CDC-upsert MERGE touching one key per file on a
+  *     100 TB table writes a handful of small files and one ledger
+  *     payload instead of rewriting every candidate file whole.
+  *
+  * HOW it intercepts: the analyzer rewrites `MergeIntoTable` on a
+  * `SupportsRowLevelOperations` table into the group-based
+  * `ReplaceData(query = … MergeRows …)` plan; like
+  * [[ParquetMoRUpdate]], the interception happens in the OPTIMIZER.
+  * The rule re-derives the merge program from
+  * [[MergeRows]]'s instruction lists — matched `Discard(cond)` =
+  * DELETE arm, `Keep(Update, cond, output)` = UPDATE arm,
+  * `Keep(Copy, …)` = carry; not-matched `Keep(Insert, cond, output)`
+  * = INSERT arm (first-match-wins order preserved) — and swaps the
+  * plan for [[MergeOnReadMergeCommand]]. Anything outside the mask
+  * machinery's reach leaves the plan untouched and the copy-on-write
+  * path runs unchanged (silent, always-correct fallback): an
+  * un-versioned table, a nondeterministic ON/arm condition, NOT
+  * MATCHED BY SOURCE DML arms (their scope is the whole table, not
+  * the matched delta), an ON clause with no serializable target-side
+  * equality key, or expressions referencing non-declared columns.
+  *
+  * TWO EXECUTION REGIMES, chosen at runtime from the actual matched
+  * delta (both end in one atomic publish):
+  *
+  *   - MASK regime (the point of the feature): per-file IN masks over
+  *     the matched keys + routed appends. Requires the matched key
+  *     set to fit the ledger-payload budget
+  *     (`spark.graft.merge.mor.maxMaskKeys`, default 10 000) and
+  *     every masked (file, key) to be FULLY hidden — a key whose
+  *     rows split between an UPDATE/DELETE arm and a COPY arm (or an
+  *     unmatched residual row under a non-equality ON conjunct)
+  *     cannot be expressed as a key mask;
+  *   - GROUP-REWRITE regime (fallback for huge or mixed deltas): the
+  *     candidate files (those holding hidden rows) are rewritten
+  *     whole — visible rows left-joined to the source, arms applied,
+  *     deletes dropped — and retired in the same publish, exactly the
+  *     copy-on-write contract, still reading only candidate files.
+  *
+  * Scale posture: one pushdown-pruned target scan (the distinct
+  * source keys, when collectible, push an IN prefilter into the
+  * parquet scan — footer zone maps drop untouched files before any
+  * row decodes), one shuffle join against the (typically small,
+  * broadcastable) source, O(matched) appended bytes. The cardinality
+  * check and the mixed-key probe both run on the matched delta, not
+  * the table.
+  *
+  * Consistency invariants (shared with the UPDATE path): prior masks
+  * are honored when reading matched rows (an earlier lightweight
+  * DELETE cannot resurrect through a MERGE); appended files carry no
+  * mask; the publish throws [[VersionLedger.MaskConflictException]]
+  * if a concurrent rewrite retired a candidate (the command
+  * re-classifies and retries); a crash before the publish leaves only
+  * unreferenced `rlo-` files that vacuum reclaims. */
+object ParquetMoRMerge {
+
+  val MAX_MASK_KEYS_KEY = "spark.graft.merge.mor.maxMaskKeys"
+
+  // --- the merge program, re-derived from MergeRows ------------------
+
+  sealed trait MatchedArm extends Serializable {
+    def cond: Expression
+  }
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  case class DeleteArm(cond: Expression) extends MatchedArm
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET …; `outs` is the full
+    * declared-width projection (field name → expression over the
+    * substituted join columns). */
+  case class UpdateArm(cond: Expression, outs: Seq[(String, Expression)])
+      extends MatchedArm
+  /** The rewrite-generated carry arm (rows matched but not taken by
+    * any DML arm stay in place). */
+  case class CopyArm(cond: Expression) extends MatchedArm
+
+  case class InsertArm(cond: Expression, outs: Seq[(String, Expression)])
+
+  /** ON-clause equality key: declared target field name + the
+    * source-side expression (already substituted to `_sN` columns). */
+  case class MergeKey(field: String, srcExpr: Expression)
+
+  /** Opaque expression holder: the command's substituted expressions
+    * are UNRESOLVED on purpose (they resolve against the DataFrames it
+    * builds at run time), but a bare `Expression` constructor field
+    * would surface through `QueryPlan.expressions` and fail the
+    * optimizer's "plan became unresolved" validation. */
+  case class Cond(e: Expression)
+
+  object InterceptRule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+      case rd: ReplaceData => rewrite(rd).getOrElse(rd)
+      case other => other
+    }
+
+    private def maskableType(dt: DataType): Boolean = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | DateType | TimestampType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+
+    private def rewrite(rd: ReplaceData): Option[LogicalPlan] = {
+      val op = rd.operation match {
+        case p: ParquetRowLevelOperation
+            if p.command() == RowLevelOperation.Command.MERGE => p
+        case _ => return None
+      }
+      if (conf.getConfString(DeleteMasks.MODE_KEY, "copy-on-write")
+          != "merge-on-read") return None
+      val tableDir = op.tableDir
+      if (!ParquetVersions.enabled(tableDir)) return None
+      if (!rd.condition.deterministic) return None
+      val declared = op.declared
+
+      val m = rd.query.collectFirst { case mr: MergeRows => mr }
+        .getOrElse(return None)
+      // NOT MATCHED BY SOURCE DML arms act on the table's UNMATCHED
+      // complement — a whole-table scope the matched-delta machinery
+      // cannot mask; only the rewrite-generated unconditional carry is
+      // in reach here.
+      val bySourceOk = m.notMatchedBySourceInstructions.forall {
+        case MergeRows.Keep(MergeRows.Copy, Literal(true, BooleanType), _) => true
+        case _ => false
+      }
+      if (!bySourceOk) return None
+
+      val join = m.child.collectFirst { case j: Join => j }.getOrElse(return None)
+      // the SOURCE side always carries the `__row_from_source` marker;
+      // the target side's `__row_from_target` twin exists only on the
+      // full-outer shape (a matched-only MERGE plans target LEFT OUTER
+      // source with no target marker), so detect by the source marker
+      def marked(p: LogicalPlan, marker: String): Boolean =
+        p.output.exists(_.name == marker)
+      val (tSide, sSide) =
+        if (marked(join.right, "__row_from_source") &&
+            !marked(join.left, "__row_from_source")) (join.left, join.right)
+        else if (marked(join.left, "__row_from_source") &&
+            !marked(join.right, "__row_from_source")) (join.right, join.left)
+        else return None
+
+      // attribute substitution: target relation attrs → `_t<i>` by
+      // declared field position; every source output attr → `_s<i>`
+      val declaredNames = declared.fieldNames
+      val tAttrMap: Map[Long, String] = declaredNames.zipWithIndex.map {
+        case (n, i) =>
+          val a = tSide.output.find(_.name.equalsIgnoreCase(n))
+            .getOrElse(return None)
+          a.exprId.id -> s"_t$i"
+      }.toMap
+      val sAttrMap: Map[Long, String] = sSide.output.zipWithIndex.map {
+        case (a, i) => a.exprId.id -> s"_s$i"
+      }.toMap
+      val sub = tAttrMap ++ sAttrMap
+
+      def subst(e: Expression): Option[Expression] = {
+        if (!e.deterministic) return None
+        if (e.exists(_.isInstanceOf[PlanExpression[_]])) return None
+        var ok = true
+        val out = e.transform {
+          case a: AttributeReference =>
+            sub.get(a.exprId.id) match {
+              case Some(n) => UnresolvedAttribute(Seq(n))
+              case None => ok = false; a
+            }
+        }
+        if (ok) Some(out) else None
+      }
+
+      val onCond = subst(rd.condition).getOrElse(return None)
+      val srcPresent: String = m.isSourceRowPresent match {
+        case ce.IsNotNull(a: AttributeReference) =>
+          sAttrMap.getOrElse(a.exprId.id, return None)
+        case _ => return None
+      }
+
+      // the mask keys: ON conjuncts `targetCol = <source expr>` where
+      // the target side is a bare declared attribute of a type the
+      // mask codec carries and the other side is source-only
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case x => Seq(x)
+      }
+      def sourceOnly(e: Expression): Boolean = !e.exists {
+        case a: AttributeReference => !sAttrMap.contains(a.exprId.id)
+        case _ => false
+      }
+      def fieldOf(a: AttributeReference): Option[String] =
+        if (tAttrMap.contains(a.exprId.id))
+          declaredNames.find(_.equalsIgnoreCase(a.name))
+        else None
+      val keys: Seq[MergeKey] = conjuncts(rd.condition).flatMap {
+        case ce.EqualTo(a: AttributeReference, b)
+            if fieldOf(a).isDefined && sourceOnly(b) &&
+              maskableType(a.dataType) =>
+          subst(b).map(MergeKey(fieldOf(a).get, _))
+        case ce.EqualTo(b, a: AttributeReference)
+            if fieldOf(a).isDefined && sourceOnly(b) &&
+              maskableType(a.dataType) =>
+          subst(b).map(MergeKey(fieldOf(a).get, _))
+        case _ => Seq.empty
+      }.groupBy(_.field).map(_._2.head).toSeq.sortBy(_.field)
+      if (keys.isEmpty) return None
+
+      // the declared-width projection of a Keep's positional output
+      val outIdx: Map[String, Int] = declaredNames.map { n =>
+        val i = m.output.indexWhere(_.name.equalsIgnoreCase(n))
+        if (i < 0) return None
+        n -> i
+      }.toMap
+      def outsOf(output: Seq[Expression]): Option[Seq[(String, Expression)]] = {
+        val b = Seq.newBuilder[(String, Expression)]
+        declaredNames.foreach { n =>
+          subst(output(outIdx(n))) match {
+            case Some(e) => b += ((n, e))
+            case None => return None
+          }
+        }
+        Some(b.result())
+      }
+
+      val matchedArms: Seq[MatchedArm] = m.matchedInstructions.map {
+        case MergeRows.Discard(cond) =>
+          subst(cond).map(DeleteArm).getOrElse(return None)
+        case MergeRows.Keep(MergeRows.Update, cond, output) =>
+          (for (c <- subst(cond); o <- outsOf(output)) yield UpdateArm(c, o))
+            .getOrElse(return None)
+        case MergeRows.Keep(MergeRows.Copy, cond, _) =>
+          subst(cond).map(CopyArm).getOrElse(return None)
+        case _ => return None // Split / unknown shapes → copy-on-write
+      }
+      val insertArms: Seq[InsertArm] = m.notMatchedInstructions.map {
+        case MergeRows.Keep(MergeRows.Insert, cond, output) =>
+          (for (c <- subst(cond); o <- outsOf(output)) yield InsertArm(c, o))
+            .getOrElse(return None)
+        case _ => return None
+      }
+      // nothing to hide and nothing to insert would be a no-op MERGE;
+      // let the trivial case fall through to CoW (it will no-op too)
+      if (matchedArms.isEmpty && insertArms.isEmpty) return None
+
+      Some(MergeOnReadMergeCommand(tableDir, declared,
+        ParquetMoRMerge.Cond(onCond), matchedArms, insertArms, keys,
+        srcPresent, sSide, m.checkCardinality))
+    }
+  }
+
+  /** Session-builder registration (the imperative twin of
+    * `GraftExtensions`). */
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(InterceptRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ InterceptRule
+    }
+  }
+}
+
+/** The decomposed MERGE: join the (pruned, mask-visible) target with
+  * the source, classify rows by arm, then either mask+append (small
+  * exact deltas) or rewrite the candidate files (huge/mixed deltas) —
+  * one atomic publish either way. */
+case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
+    onCond: ParquetMoRMerge.Cond,
+    matchedArms: Seq[ParquetMoRMerge.MatchedArm],
+    insertArms: Seq[ParquetMoRMerge.InsertArm],
+    keys: Seq[ParquetMoRMerge.MergeKey],
+    srcPresent: String,
+    source: LogicalPlan,
+    checkCardinality: Boolean)
+    extends LeafRunnableCommand {
+
+  import ParquetMoRMerge._
+
+  override def run(session: SparkSession): Seq[Row] =
+    // each attempt re-reads the live set and prior masks; the publish
+    // throws MaskConflictException when a concurrent rewrite retired a
+    // candidate (or changed its masks) between classification and
+    // publish
+    ParquetVersions.retryOnMaskConflict() { runOnce(session) }
+
+  private def colOf(e: Expression): Column =
+    org.apache.spark.sql.GraftShims.column(e)
+
+  private def tColName(field: String): String =
+    s"_t${declared.fieldNames.indexWhere(_.equalsIgnoreCase(field))}"
+
+  private def runOnce(session: SparkSession): Seq[Row] = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val base = new Path(tableDir)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = base.getFileSystem(hconf)
+    val data = new Path(base, "data")
+    val dataPathPrefix = fs.makeQualified(data).toUri.getPath
+
+    val live = ParquetVersions.live(tableDir)
+    val priorMasks = ParquetVersions.masksFor(tableDir, None)
+    val maskCap = spark.conf.get(MAX_MASK_KEYS_KEY, "10000").toInt
+
+    def relOf(fullFile: String): String = {
+      val p = new java.net.URI(fullFile).getPath
+      require(p.startsWith(dataPathPrefix + "/"),
+        s"scanned file $p outside table data dir $dataPathPrefix")
+      p.substring(dataPathPrefix.length + 1)
+    }
+
+    // --- source, renamed positionally to _sN --------------------------
+    val srcRaw = org.apache.spark.sql.GraftShims.ofRows(spark, source)
+    val src = srcRaw.toDF(srcRaw.columns.indices.map(i => s"_s$i"): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var joined: DataFrame = null
+    try {
+      // distinct source key tuples — the scan prefilter. Collect is
+      // bounded: past the cap we keep the full scan (and will land in
+      // the rewrite regime anyway, since the mask keys exceed it too).
+      val srcKeyRows: Option[Array[Row]] = {
+        val rows = src.select(keys.map(k => colOf(k.srcExpr).as(k.field)): _*)
+          .distinct().limit(maskCap + 1).collect()
+        if (rows.length > maskCap) None else Some(rows)
+      }
+
+      // --- target: mask-visible rows + originating file ---------------
+      // (the per-scan file column binds before the union, so it stays
+      // within the scan's stage; the IN prefilter pushes down to the
+      // parquet footers and drops untouched files with zero row I/O)
+      val tSelect = declared.fieldNames.toSeq.zipWithIndex.map {
+        case (n, i) => col(n).as(s"_t$i")
+      } :+ col("_gfilefull")
+      def readGroup(ns: Seq[String], preds: Seq[String]): DataFrame = {
+        val df0 = spark.read.schema(declared)
+          .parquet(ns.map(n => new Path(data, n).toString): _*)
+          .withColumn("_gfilefull", input_file_name())
+        if (preds.isEmpty) df0
+        else df0.filter(DeleteMasks.visibleColumn(declared, preds))
+      }
+      val emptyTgt = {
+        val sch = StructType(declared.fields.zipWithIndex.map { case (f, i) =>
+          StructField(s"_t$i", f.dataType, f.nullable)
+        } :+ StructField("_gfilefull", StringType))
+        spark.createDataFrame(new java.util.ArrayList[Row](), sch)
+      }
+      val tgtBase: DataFrame = {
+        val (masked, clean) =
+          live.partition(n => priorMasks.get(n).exists(_.nonEmpty))
+        val parts =
+          (if (clean.nonEmpty) Seq(readGroup(clean, Seq.empty)) else Seq.empty) ++
+            masked.groupBy(n => priorMasks(n).sorted).toSeq.map {
+              case (preds, ns) => readGroup(ns, preds)
+            }
+        parts.map(_.select(tSelect: _*))
+          .reduceOption(_ unionByName _).getOrElse(emptyTgt)
+      }
+      val prefilter: Option[Column] = srcKeyRows.map { rows =>
+        keys.zipWithIndex.map { case (k, i) =>
+          val vals = rows.map(_.get(i)).filter(_ != null).distinct.toSeq
+          if (vals.isEmpty) lit(false)
+          else col(tColName(k.field)).isin(vals: _*)
+        }.reduce(_ && _)
+      }
+      val tgt = prefilter.fold(tgtBase)(tgtBase.filter)
+        .withColumn("_grid", monotonically_increasing_id())
+
+      val onCol = colOf(onCond.e)
+      joined = tgt.join(src, onCol, "inner").persist(StorageLevel.MEMORY_AND_DISK)
+
+      if (checkCardinality) {
+        val viol = joined.groupBy("_grid").count()
+          .filter(col("count") > 1).limit(1).count()
+        if (viol > 0) {
+          throw new UnsupportedOperationException(
+            "MERGE_CARDINALITY_VIOLATION: a target row matched more than " +
+              "one source row; deduplicate the source or tighten the ON " +
+              "clause")
+        }
+      }
+
+      // --- arm classification (first-match-wins, null ≠ true) ---------
+      val armTag: Column = {
+        val chain = matchedArms.zipWithIndex.foldLeft(Option.empty[Column]) {
+          case (acc, (arm, i)) =>
+            val c = colOf(arm.cond)
+            Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
+        }
+        chain.fold(lit(-1))(_.otherwise(lit(-1)))
+      }
+      val classified = joined.withColumn("_gtag", armTag)
+      val hideTags = matchedArms.zipWithIndex.collect {
+        case (_: DeleteArm, i) => i
+        case (_: UpdateArm, i) => i
+      }
+      val hide =
+        if (hideTags.isEmpty) classified.limit(0)
+        else classified.filter(col("_gtag").isin(hideTags: _*))
+
+      val keyTCols = keys.map(k => tColName(k.field))
+      val maskRows = hide
+        .select((col("_gfilefull") +: keyTCols.map(col)): _*)
+        .distinct().limit(maskCap + 1).collect()
+
+      // mask regime is exact only when every masked (file, key) is
+      // FULLY hidden: any same-key row in the same file that stays
+      // visible (copy arm, or unmatched under a residual ON conjunct)
+      // forces the rewrite regime
+      val morFits = maskRows.length <= maskCap
+      val morExact = morFits && {
+        if (maskRows.isEmpty) true
+        else {
+          val grpCols = "_gfilefull" +: keyTCols
+          val hideCnt = hide.groupBy(grpCols.map(col): _*).count()
+            .withColumnRenamed("count", "_hc")
+          val totCnt = tgt.groupBy(grpCols.map(col): _*).count()
+            .withColumnRenamed("count", "_tc")
+          totCnt.join(hideCnt, grpCols)
+            .filter(col("_tc") =!= col("_hc")).limit(1).count() == 0L
+        }
+      }
+
+      // per-file masks; a value the codec cannot carry (shouldn't
+      // happen — key types are vetted at intercept) forces the rewrite
+      val masksByFile: Option[Map[String, Seq[String]]] =
+        if (!morFits || !morExact) None
+        else {
+          def keyFilter(r: Row): v1.Filter =
+            keys.zipWithIndex.map { case (k, i) =>
+              v1.EqualTo(k.field, r.get(i + 1)): v1.Filter
+            }.reduce(v1.And)
+          def balancedOr(fsq: Seq[v1.Filter]): v1.Filter =
+            if (fsq.length == 1) fsq.head
+            else {
+              val (l, r) = fsq.splitAt(fsq.length / 2)
+              v1.Or(balancedOr(l), balancedOr(r))
+            }
+          val byFile = maskRows.toSeq.groupBy(_.getString(0))
+          val out = scala.collection.mutable.Map.empty[String, Seq[String]]
+          val ok = byFile.forall { case (full, rows) =>
+            val pred: v1.Filter =
+              if (keys.length == 1)
+                v1.In(keys.head.field, rows.map(_.get(1)).distinct.toArray)
+              else balancedOr(rows.map(keyFilter))
+            ParquetDelete.supported(declared)(pred) &&
+              DeleteMasks.serialize(pred).exists { json =>
+                out += (relOf(full) -> Seq(json)); true
+              }
+          }
+          if (ok) Some(out.toMap) else None
+        }
+
+      // --- the appends shared by both regimes --------------------------
+      val opId = java.util.UUID.randomUUID().toString.take(8)
+      def updateImages(of: DataFrame): Option[DataFrame] =
+        matchedArms.zipWithIndex.collect { case (UpdateArm(_, outs), i) =>
+          of.filter(col("_gtag") === i)
+            .select(outs.map { case (n, e) => colOf(e).as(n) }: _*)
+        }.reduceOption(_ unionByName _)
+      val inserts: Option[DataFrame] =
+        if (insertArms.isEmpty) None
+        else {
+          val srcAnti = src.join(tgt, onCol, "left_anti")
+          insertArms.zipWithIndex.map { case (InsertArm(cond, outs), i) =>
+            val notPrior = insertArms.take(i)
+              .map(a => !coalesce(colOf(a.cond), lit(false)))
+              .foldLeft(lit(true))(_ && _)
+            srcAnti.filter(notPrior && coalesce(colOf(cond), lit(false)))
+              .select(outs.map { case (n, e) => colOf(e).as(n) }: _*)
+          }.reduceOption(_ unionByName _)
+        }
+
+      /** Route `df` into the table's layout under the `rlo-mrg`
+        * maintenance prefix; returns the data/-relative names. */
+      def appendRouted(df: DataFrame, group: Int): Seq[String] = {
+        val bucketSpec = ParquetBucketing.readSpec(tableDir)
+        val partLayout = PartitionSpecs.read(tableDir)
+        val written = Seq.newBuilder[String]
+        bucketSpec match {
+          case Some(spec) =>
+            val staging = new Path(base, s".mormrg-$opId-$group")
+            fs.delete(staging, true)
+            df.withColumn("_gb", pmod(hash(col(spec.col)), lit(spec.n)))
+              .repartition(spec.n, col(spec.col))
+              .write.partitionBy("_gb").mode("overwrite")
+              .parquet(staging.toString)
+            var i = 0
+            fs.listStatus(staging).foreach { d =>
+              if (d.isDirectory && d.getPath.getName.startsWith("_gb=")) {
+                val tag = d.getPath.getName.stripPrefix("_gb=").toInt
+                fs.listStatus(d.getPath).foreach { s =>
+                  if (s.isFile && s.getPath.getName.endsWith(".parquet") &&
+                      s.getLen > 0) {
+                    val rows =
+                      try ParquetFooterStats.get(hconf, s.getPath, s.getLen,
+                        s.getModificationTime).rowCount
+                      catch { case scala.util.control.NonFatal(_) => 1L }
+                    if (rows > 0L) {
+                      val rel = f"rlo-mrg-$opId-$group-$i%05d-b$tag.parquet"
+                      if (!fs.rename(s.getPath, new Path(data, rel))) {
+                        throw new java.io.IOException(
+                          s"MergeOnReadMerge: rename ${s.getPath} failed")
+                      }
+                      written += rel
+                      i += 1
+                    }
+                  }
+                }
+              }
+            }
+            fs.delete(staging, true)
+          case None =>
+            // partition-routed (or flat) executor-side staging — the
+            // same write discipline as partition evolution; inserts may
+            // open NEW partitions, updates may MOVE rows across them
+            val staging = new Path(base, s".mormrg-$opId-$group")
+            fs.delete(staging, true)
+            val clustered = partLayout match {
+              case Some(ps) =>
+                df.repartition(ps.fields.map(f => col(f.col)): _*)
+              case None => df
+            }
+            val ordered = clustered.select(
+              declared.fieldNames.toSeq.map(col): _*)
+            val staged = PartitionEvolution.stageRouted(spark, ordered,
+              declared, partLayout, staging.toString)
+            staged.zipWithIndex.foreach { case ((path, relDir), j) =>
+              val name = f"rlo-mrg-$opId-$group-$j%05d.parquet"
+              val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+              val to = new Path(data, rel)
+              fs.mkdirs(to.getParent)
+              if (!fs.rename(new Path(path), to)) {
+                throw new java.io.IOException(
+                  s"MergeOnReadMerge: rename $path -> $to failed")
+              }
+              written += rel
+            }
+            fs.delete(staging, true)
+        }
+        written.result()
+      }
+
+      masksByFile match {
+        case Some(masks) =>
+          // ---- MASK regime ------------------------------------------
+          val appended = (updateImages(classified).toSeq ++ inserts.toSeq)
+            .reduceOption(_ unionByName _)
+          val written = appended.fold(Seq.empty[String])(appendRouted(_, 0))
+          if (masks.isEmpty && written.isEmpty) return Seq.empty // no-op
+          ParquetVersions.commit(tableDir, None, masks) { liveNow =>
+            (liveNow ++ written).distinct.sorted
+          }
+          if (masks.nonEmpty) MaskPressure.afterMaskPublish(spark, tableDir)
+        case None =>
+          // ---- GROUP-REWRITE regime ---------------------------------
+          val candRels = hide.select("_gfilefull").distinct()
+            .collect().map(r => relOf(r.getString(0))).toSeq.sorted
+          val candSet = candRels.toSet
+          // rewritten content: visible candidate rows, left-joined to
+          // the source, arms applied (deletes dropped, updates imaged,
+          // copies and unmatched rows carried)
+          val vis = DeleteMasks
+            .readVisible(spark, declared, data, candRels, priorMasks)
+            .select(declared.fieldNames.toSeq.zipWithIndex.map {
+              case (n, i) => col(n).as(s"_t$i")
+            }: _*)
+          val lj = vis.join(src, onCol, "left_outer")
+          val present = col(srcPresent).isNotNull
+          val tagged = lj.withColumn("_gtag",
+            when(present, armTag).otherwise(lit(-1)))
+          val delTags = matchedArms.zipWithIndex.collect {
+            case (_: DeleteArm, i) => i
+          }
+          val kept =
+            if (delTags.isEmpty) tagged
+            else tagged.filter(!col("_gtag").isin(delTags: _*))
+          val updIdx = matchedArms.zipWithIndex.collect {
+            case (UpdateArm(_, outs), i) => (i, outs.toMap)
+          }
+          val rewritten = kept.select(declared.fieldNames.toSeq.map { n =>
+            updIdx.foldRight(col(tColName(n))) { case ((i, outs), alt) =>
+              when(col("_gtag") === i, colOf(outs(n))).otherwise(alt)
+            }.as(n)
+          }: _*)
+          val newContent =
+            if (candRels.isEmpty) inserts
+            else (Seq(rewritten) ++ inserts.toSeq).reduceOption(_ unionByName _)
+          val written = newContent.fold(Seq.empty[String])(appendRouted(_, 0))
+          if (candRels.isEmpty && written.isEmpty) return Seq.empty // no-op
+          try {
+            ParquetVersions.commitGuarded(tableDir, None, Map.empty,
+              ParquetVersions.guardFor(candSet,
+                priorMasks.view.filterKeys(candSet).toMap)) { liveNow =>
+              (liveNow.filterNot(candSet) ++ written).distinct.sorted
+            }
+          } catch {
+            case e: VersionLedger.MaskConflictException =>
+              written.foreach(n => fs.delete(new Path(data, n), false))
+              throw e
+          }
+      }
+      Seq.empty
+    } finally {
+      if (joined != null) joined.unpersist()
+      src.unpersist()
+      ()
+    }
+  }
+}

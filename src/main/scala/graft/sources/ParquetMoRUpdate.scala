@@ -263,7 +263,14 @@ case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
     maskJson: String, sets: Seq[(String, Expression)])
     extends LeafRunnableCommand {
 
-  override def run(session: SparkSession): Seq[Row] = {
+  override def run(session: SparkSession): Seq[Row] =
+    // each attempt re-reads the live set and prior masks; the publish
+    // throws MaskConflictException when a concurrent rewrite retired a
+    // candidate between classification and publish (the masks would
+    // otherwise be silently dropped and the UPDATE lost for those rows)
+    ParquetVersions.retryOnMaskConflict() { runOnce(session) }
+
+  private def runOnce(session: SparkSession): Seq[Row] = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val base = new Path(tableDir)
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -402,6 +409,7 @@ case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
       candidates.map(_ -> Seq(maskJson)).toMap) { liveNow =>
       (liveNow ++ written).distinct.sorted
     }
+    MaskPressure.afterMaskPublish(spark, tableDir)
     Seq.empty
   }
 }

@@ -145,7 +145,7 @@ object PartitionEvolution {
     * writes one staged file per partition dir it encounters (the
     * [[PartitionedStageWriterFactory]] discipline on a maintenance
     * read), returning (staged path, relative dir) pairs. */
-  private def stageRouted(spark: SparkSession,
+  private[sources] def stageRouted(spark: SparkSession,
       df: org.apache.spark.sql.DataFrame,
       schema: org.apache.spark.sql.types.StructType,
       spec: Option[PartitionSpecs.Spec],
