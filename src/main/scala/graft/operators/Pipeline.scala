@@ -341,6 +341,48 @@ object Pipeline {
                  ORDER BY snap""")
   }
 
+  /** MERGE-ON-READ (lightweight) DELETE on the LOG tier
+    * ([[graft.sources.LogDelete]] masks + [[graft.sources.LogVersions]]
+    * payload masks) — the p28 shape on the entity log, and the exact
+    * ClickHouse statement the reference's tests run between cases
+    * (`hashes_test.go:235-239`): two stacked DELETEs land as zone-proof
+    * drops plus per-segment delete masks in one version publish each —
+    * zero segment bytes rewritten — and the probe straddles them via
+    * time travel. A mask that leaks rows at the wrong version,
+    * over-deletes, fails to compose with the second DELETE, or a
+    * metadata COUNT served from overcounting stats breaks the hash. */
+  def p34_log_lightweight(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p34", "ops")
+    spark.sql("DROP TABLE IF EXISTS graft_p34.ops.limits")
+    spark.sql("""CREATE TABLE graft_p34.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+      .repartitionByRange(8, col("user_id"))
+      .writeTo("graft_p34.ops.limits").overwrite(lit(true))
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p34.warehouse") +
+      "/ops/limits"
+    graft.sources.LogVersions.enable(tableDir) // v1
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      spark.sql("DELETE FROM graft_p34.ops.limits WHERE user_id = 'u13'") // v2
+      spark.sql("DELETE FROM graft_p34.ops.limits WHERE amount < 1000000") // v3
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p34.ops.limits VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_mid' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p34.ops.limits VERSION AS OF 2
+                 UNION ALL
+                 SELECT 'c_cur' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p34.ops.limits
+                 ORDER BY snap""")
+  }
+
   /** Row-level DELETE on a catalog PARQUET table
     * ([[graft.sources.ParquetDelete]]): the p10 shape on the parquet
     * tier. The table is range-clustered on o_orderkey so the
@@ -1088,6 +1130,7 @@ object Pipeline {
     "p28_lightweight_delete" -> (p28_lightweight_delete _),
     "p30_lightweight_update" -> (p30_lightweight_update _),
     "p32_merge_lightweight" -> (p32_merge_lightweight _),
+    "p34_log_lightweight" -> (p34_log_lightweight _),
     "p31_partition_evolution" -> (p31_partition_evolution _),
     "p29_partitions_meta" -> (p29_partitions_meta _),
     "p26_metadata_tables" -> (p26_metadata_tables _),
@@ -1172,6 +1215,19 @@ object Pipeline {
         |UNION ALL
         |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM cur
+        |ORDER BY snap""".stripMargin,
+    "p34_log_lightweight" ->
+      """WITH b AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM orders)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_mid' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM b WHERE user_id <> 'u13'
+        |UNION ALL
+        |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM b WHERE user_id <> 'u13' AND amount >= 1000000
         |ORDER BY snap""".stripMargin,
     "p32_merge_lightweight" ->
       """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,

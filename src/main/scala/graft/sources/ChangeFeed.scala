@@ -87,13 +87,39 @@ object ChangeFeed {
     val toNames = membership(toVersion).toSet
     val added = (toNames -- fromNames).toSeq.sorted
     val removed = (fromNames -- toNames).toSeq.sorted
+    // the pinned reads apply their own version's masks automatically
+    // (the scan's pinned state carries them), so added rows are visible
+    // under the TO masks and removed rows under the FROM masks
     def block(names: Seq[String], pinned: Long, kind: String) =
       read(names, pinned)
         .withColumn(CHANGE_TYPE_COL, lit(kind))
         .withColumn(COMMIT_VERSION_COL, lit(toVersion))
-    val ins = if (added.isEmpty) emptyBlock else block(added, toVersion, "insert")
-    val del = if (removed.isEmpty) emptyBlock
-      else block(removed, fromVersion, "delete")
+    // MASK DELTAS on segments common to both endpoints (merge-on-read
+    // log DELETEs change masks, not names): newly-masked rows — visible
+    // under the FROM masks, deleted under the TO masks — net as
+    // deletes; mask rollbacks mirror as inserts
+    def masksOf(v: Long): Map[String, Seq[String]] =
+      VersionLedger.getPayload(dir, v).map(_.masks).getOrElse(Map.empty)
+    val fromMasks = masksOf(fromVersion)
+    val toMasks = masksOf(toVersion)
+    val maskChanged = (fromNames intersect toNames).toSeq.sorted.filter { n =>
+      fromMasks.getOrElse(n, Seq.empty).toSet !=
+        toMasks.getOrElse(n, Seq.empty).toSet
+    }
+    def deltaBlock(kind: String): Seq[DataFrame] = maskChanged.flatMap { n =>
+      val (pinned, opposite) =
+        if (kind == "delete") (fromVersion, toMasks.getOrElse(n, Seq.empty))
+        else (toVersion, fromMasks.getOrElse(n, Seq.empty))
+      if (opposite.isEmpty) None
+      else Some(read(Seq(n), pinned)
+        .filter(!DeleteMasks.visibleColumn(LimitHashLog.SCHEMA, opposite))
+        .withColumn(CHANGE_TYPE_COL, lit(kind))
+        .withColumn(COMMIT_VERSION_COL, lit(toVersion)))
+    }
+    val ins = (Option.when(added.nonEmpty)(block(added, toVersion, "insert")).toSeq ++
+      deltaBlock("insert")).reduceOption(_ unionByName _).getOrElse(emptyBlock)
+    val del = (Option.when(removed.nonEmpty)(block(removed, fromVersion, "delete")).toSeq ++
+      deltaBlock("delete")).reduceOption(_ unionByName _).getOrElse(emptyBlock)
     netOf(ins, del, LimitHashLog.SCHEMA.fieldNames.toSeq, toVersion)
   }
 
@@ -284,13 +310,22 @@ case class LogVersionOffset(ordinal: Long) extends sread.Offset {
   override def json(): String = ordinal.toString
 }
 
-/** One changelog block: a segment's rows tagged (changeType, commit). */
-case class CdcSegmentPartition(file: String, changeType: String, commit: Long)
+/** One changelog block: a segment's rows tagged (changeType, commit).
+  * `visiblePreds`: serialized delete masks the row must be VISIBLE
+  * under (none evaluates TRUE); `deletedPreds` non-empty: the row must
+  * be DELETED under them (at least one TRUE) — the merge-on-read
+  * mask-delta filter, same contract as the parquet tier's blocks. */
+case class CdcSegmentPartition(file: String, changeType: String, commit: Long,
+    visiblePreds: Seq[String] = Seq.empty,
+    deletedPreds: Seq[String] = Seq.empty)
     extends InputPartition
 
 object LogChangesMicroBatchStream {
   /** Diff partitions of span `(from, to]` — shared by the streaming
-    * reader and the batch changelog scan. */
+    * reader and the batch changelog scan: name diffs plus MASK DELTAS
+    * (a merge-on-read log DELETE changes no names, only a segment's
+    * mask set — the feed emits exactly the newly-masked rows as
+    * `delete`s; mask-shrinking commits mirror as `insert`s). */
   private[sources] def spanPartitions(path: String, from: Long,
       to: Long): Array[InputPartition] = {
     if (to <= from) return Array.empty
@@ -303,14 +338,38 @@ object LogChangesMicroBatchStream {
       throw new IllegalStateException(
         s"change-feed segment $n is gone from $path — vacuumed inside " +
           "the retention window this stream still needed"))
-    def membership(v: Long): Set[String] =
-      LogVersions.get(path, v).getOrElse(throw new IllegalStateException(
-        s"version $v of $path was vacuumed under a running change feed")).toSet
+    def payload(v: Long): VersionLedger.Payload =
+      VersionLedger.getPayload(path, v).getOrElse(throw new IllegalStateException(
+        s"version $v of $path was vacuumed under a running change feed"))
     ((from + 1) to to).flatMap { v =>
-      val prev = membership(v - 1)
-      val cur = membership(v)
-      (cur -- prev).toSeq.sorted.map(n => CdcSegmentPartition(resolve(n), "insert", v)) ++
-        (prev -- cur).toSeq.sorted.map(n => CdcSegmentPartition(resolve(n), "delete", v))
+      val prevP = payload(v - 1)
+      val curP = payload(v)
+      val prev = prevP.names.toSet
+      val cur = curP.names.toSet
+      val added = (cur -- prev).toSeq.sorted.map(n =>
+        CdcSegmentPartition(resolve(n), "insert", v,
+          curP.masks.getOrElse(n, Seq.empty)))
+      val removed = (prev -- cur).toSeq.sorted.map(n =>
+        CdcSegmentPartition(resolve(n), "delete", v,
+          prevP.masks.getOrElse(n, Seq.empty)))
+      val maskDelta = (cur intersect prev).toSeq.sorted.flatMap { n =>
+        val o = prevP.masks.getOrElse(n, Seq.empty)
+        val nw = curP.masks.getOrElse(n, Seq.empty)
+        if (o.toSet == nw.toSet) Seq.empty
+        else {
+          // newly masked rows: visible under the OLD masks, deleted
+          // under the NEW — exactly the delta this commit deleted
+          val dels = if (nw.exists(!o.contains(_)))
+            Seq(CdcSegmentPartition(resolve(n), "delete", v, o, nw))
+            else Seq.empty
+          // mask rollback: deleted before, visible now
+          val inss = if (o.exists(!nw.contains(_)))
+            Seq(CdcSegmentPartition(resolve(n), "insert", v, nw, o))
+            else Seq.empty
+          dels ++ inss
+        }
+      }
+      added ++ removed ++ maskDelta
     }.toArray
   }
 }
@@ -355,12 +414,38 @@ class LogChangesMicroBatchStream(path: String, startVersion: Option[Long])
 }
 
 /** Delegates row parsing to the plain segment reader, appending the
-  * constant (change_type, commit_version) tail per block. */
+  * constant (change_type, commit_version) tail per block. Mask-aware:
+  * rows must be VISIBLE under `visiblePreds` (the masks of the block's
+  * own version end), and a mask-DELTA block additionally keeps only
+  * rows DELETED under `deletedPreds`. */
 class CdcSegmentReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case CdcSegmentPartition(f, kind, commit) =>
-        val inner = new LogSegmentReader(f, LimitHashLog.SCHEMA, Array.empty)
+      case CdcSegmentPartition(f, kind, commit, visiblePreds, deletedPreds) =>
+        val inner0 = new LogSegmentReader(f, LimitHashLog.SCHEMA, Array.empty)
+        val visible =
+          if (visiblePreds.isEmpty) inner0
+          else DeleteMasks.filteringReader(inner0,
+            DeleteMasks.compileDeleted(LimitHashLog.SCHEMA, visiblePreds))
+        val inner =
+          if (deletedPreds.isEmpty) visible
+          else {
+            // keep-if-deleted: the mask-delta rows
+            val deleted =
+              DeleteMasks.compileDeleted(LimitHashLog.SCHEMA, deletedPreds)
+            new PartitionReader[InternalRow] {
+              private var cur: InternalRow = _
+              override def next(): Boolean = {
+                while (visible.next()) {
+                  val r = visible.get()
+                  if (deleted.eval(r)) { cur = r; return true }
+                }
+                false
+              }
+              override def get(): InternalRow = cur
+              override def close(): Unit = visible.close()
+            }
+          }
         val tail = new GenericInternalRow(
           Array[Any](UTF8String.fromString(kind), commit))
         val joined = new JoinedRow()

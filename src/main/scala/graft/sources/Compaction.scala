@@ -129,6 +129,16 @@ object Compaction {
     // rows), and the commit is a version publish instead of a fenced
     // physical delete: old segments stay on disk for pinned readers.
     val versioned = LogVersions.enabled(dir)
+    // MERGE-ON-READ masks on live segments ([[DeleteMasks]] on the log
+    // tier) must be PURGED before the byte-level pack: concatenation
+    // cannot line-filter, and packing a masked segment whole would
+    // resurrect its deleted rows into an unmasked output. The purge is
+    // a separate guarded version publish (we already hold the lease);
+    // the pack below then runs over mask-free inputs.
+    if (versioned &&
+        LimitHashLog.segmentsAndMasksAllowed(dir, None, None)._2.nonEmpty) {
+      LogDelete.purgeMasksInner(spark, dir)
+    }
     val all = LimitHashLog.segments(dir)
     val live = if (versioned) LimitHashLog.liveSegments(dir) else all
     // Inputs = everything that is not an output of this compaction id.
@@ -244,7 +254,12 @@ object Compaction {
       // entries for dead names are inert). A crash before this line
       // re-packs the identical input set on retry — the version file is
       // the only visibility event, so no fence marker is needed.
-      LogVersions.commit(dir) { prev =>
+      // GUARDED against merge-on-read masks: the inputs were packed
+      // mask-free (pre-pass purge above); a lightweight DELETE masking
+      // one of them mid-pack aborts loudly (retry with the same id
+      // resumes safely) instead of resurrecting its rows.
+      LogVersions.commitGuarded(dir, Map.empty,
+        Some(VersionLedger.MaskGuard(inputNames.toSet, Map.empty))) { prev =>
         (prev.toSet -- inputNames ++ committed).toSeq
       }
     } else {
@@ -302,28 +317,6 @@ object Compaction {
     }
   }
 
-  /** Bin-pack the small files of a catalog parquet table into
-    * ~`targetBytes` files, IN PLACE and crash-safe, preserving the
-    * table's clustering: files are packed ADJACENT in (mtime, name)
-    * order — write order within and across jobs — so a range- or
-    * Z-ordered table's merged files cover compact key intervals and
-    * footer-stats skipping keeps working at the coarser granularity
-    * (a hash `repartition` rewrite like [[compact]] would destroy it).
-    *
-    * Already-large-enough files are HARDLINKED into the new generation
-    * (copy fallback for filesystems without links): zero rewrite I/O
-    * for the part of the table that is already well-laid-out — at
-    * 100 TB the steady-state compaction touches only the fresh tail of
-    * small files.
-    *
-    * Crash safety is a staged generation swap, not file juggling in
-    * the live dir: build `data.next` completely, mark it with
-    * `_COMPACT_SUCCESS` (underscore-prefixed → invisible to Spark's
-    * listing), then `data`→`data.prev`, `data.next`→`data`, drop
-    * `data.prev`. A reader can never observe duplicated or missing
-    * rows; the only crash residue is repaired by
-    * [[repairGenerations]] on the next load. Single-writer maintenance
-    * semantics, same contract as [[compactLog]]. */
   final case class PurgeStats(maskedFiles: Long, rewrittenFiles: Long,
       outputFiles: Long, remainingMasked: Long)
 
@@ -445,6 +438,28 @@ object Compaction {
     }
   }
 
+  /** Bin-pack the small files of a catalog parquet table into
+    * ~`targetBytes` files, IN PLACE and crash-safe, preserving the
+    * table's clustering: files are packed ADJACENT in (mtime, name)
+    * order — write order within and across jobs — so a range- or
+    * Z-ordered table's merged files cover compact key intervals and
+    * footer-stats skipping keeps working at the coarser granularity
+    * (a hash `repartition` rewrite like [[compact]] would destroy it).
+    *
+    * Already-large-enough files are HARDLINKED into the new generation
+    * (copy fallback for filesystems without links): zero rewrite I/O
+    * for the part of the table that is already well-laid-out — at
+    * 100 TB the steady-state compaction touches only the fresh tail of
+    * small files.
+    *
+    * Crash safety is a staged generation swap, not file juggling in
+    * the live dir: build `data.next` completely, mark it with
+    * `_COMPACT_SUCCESS` (underscore-prefixed → invisible to Spark's
+    * listing), then `data`→`data.prev`, `data.next`→`data`, drop
+    * `data.prev`. A reader can never observe duplicated or missing
+    * rows; the only crash residue is repaired by
+    * [[repairGenerations]] on the next load. Single-writer maintenance
+    * semantics, same contract as [[compactLog]]. */
   def compactTable(spark: SparkSession, tableDir: String,
       targetBytes: Long = 128L << 20): CompactionStats =
     // serialized against other maintainers ([[MaintenanceLease]])

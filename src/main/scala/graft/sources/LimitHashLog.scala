@@ -231,9 +231,37 @@ object LimitHashLog {
     * not hold is asking for rows it can't provide, and silently
     * serving 0 rows for it would corrupt a change feed. */
   private[sources] def segmentsAllowed(dir: String, version: Option[Long],
-      allow: Option[Set[String]]): Seq[(String, Long)] = {
-    val all = segmentsAt(dir, version)
-    allow match {
+      allow: Option[Set[String]]): Seq[(String, Long)] =
+    segmentsAndMasksAllowed(dir, version, allow)._1
+
+  /** [[segmentsAllowed]] plus the snapshot's DELETE MASKS
+    * ([[DeleteMasks]] on the log tier): per-segment serialized
+    * predicates whose matching rows a read must drop. Membership and
+    * masks come from the SAME payload read, so a merge-on-read DELETE
+    * publishing between two separate reads can never pair one
+    * version's names with another's masks. */
+  private[sources] def segmentsAndMasksAllowed(dir: String, version: Option[Long],
+      allow: Option[Set[String]]): (Seq[(String, Long)], Map[String, Seq[String]]) = {
+    def resolve(names: Seq[String]): Seq[(String, Long)] = {
+      val listed = segments(dir).map { case (f, len) => (new Path(f).getName, (f, len)) }.toMap
+      names.sorted.map { n =>
+        listed.getOrElse(n, throw new IllegalStateException(
+          s"segment $n of a pinned version is gone from $dir — vacuumed " +
+            "inside the retention window a reader still needed"))
+      }
+    }
+    val (all, masks) = version match {
+      case Some(v) =>
+        val p = VersionLedger.getPayload(dir, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"VERSION AS OF $v: no such version in $dir (never committed, or vacuumed)"))
+        (resolve(p.names), p.masks)
+      case None => VersionLedger.latestPayload(dir) match {
+        case Some((_, p)) => (resolve(p.names), p.masks)
+        case None => (segments(dir), Map.empty[String, Seq[String]])
+      }
+    }
+    val narrowed = allow match {
       case None => all
       case Some(names) =>
         val byName = all.map { case (f, len) => (new Path(f).getName, (f, len)) }.toMap
@@ -243,7 +271,21 @@ object LimitHashLog {
               s"snapshot of $dir" + version.fold("")(v => s" (VERSION AS OF $v)")))
         }
     }
+    (narrowed, masks.filter(_._2.nonEmpty))
   }
+
+  /** Compile one segment's serialized masks into row evaluators over
+    * the raw split fields. A mask that deserializes to a shape
+    * [[LogDelete.supported]] cannot evaluate fails LOUDLY — silently
+    * skipping it would resurrect deleted rows. */
+  private[sources] def compileMasks(preds: Seq[String]): Seq[Filter] =
+    preds.map { json =>
+      val f = DeleteMasks.deserialize(json)
+      require(LogDelete.supported(f),
+        s"log delete mask deserialized to an unevaluable shape: $f " +
+          s"(from $json) — refusing to read rows it might have deleted")
+      f
+    }
 
   /** Parse-stage compilation of pushed filters: EqualTo → singleton,
     * In → value set; a raw line passes when every checked field is in
@@ -709,6 +751,13 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean,
     // see (old ∪ new) transiently, the delete tier's standing contract.
     require(overwrite.isEmpty || !truncate,
       "overwrite-by-filter and truncate are mutually exclusive")
+    // PRIOR delete masks on the replaced inputs (merge-on-read log
+    // DELETEs): the rewrite must not resurrect masked rows, and the
+    // publish is guarded so a mask landing mid-operation aborts loudly
+    val priorMasks: Map[String, Seq[String]] =
+      if (versioned && overwrite.isDefined)
+        LimitHashLog.segmentsAndMasksAllowed(path, None, None)._2
+      else Map.empty
     val replaced: Option[(Seq[String], Seq[String])] = overwrite.map { filters =>
       val delId = s"ow-$queryId"
       val spark = org.apache.spark.sql.classic.SparkSession.active
@@ -716,14 +765,19 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean,
       // finished (un-versioned tier): complete them before re-planning
       LogDelete.resumeMarker(fs, dir, delId)
       LogDelete.applyDelete(spark, path, filters, delId,
-        fence = Seq(s"segment-$queryId-", s"segment-$delId-"))
+        fence = Seq(s"segment-$queryId-", s"segment-$delId-"), priorMasks)
     }
 
     if (versioned) {
       // snapshot commit: publish the next version; truncated-away
       // segments stay physically present for pinned readers (vacuum is
       // the retention knob), and prior manifests stay for their zones
-      LogVersions.commit(path)(prev =>
+      val guard = replaced.flatMap { case (removed, _) =>
+        if (removed.isEmpty) None
+        else Some(VersionLedger.MaskGuard(removed.toSet,
+          priorMasks.view.filterKeys(removed.toSet).toMap))
+      }
+      LogVersions.commitGuarded(path, Map.empty, guard)(prev =>
         if (truncate) committedNames.toSeq
         else replaced match {
           case Some((removed, added)) =>
@@ -991,7 +1045,14 @@ class LimitHashLogScanBuilder(path: String, maxFilesPerTrigger: Option[Int] = No
     // snapshot honors a VERSION AS OF pin — a time-travel COUNT(*)
     // answers from the pinned set's stats, not the current log's
     val stats = LimitHashLog.loadStats(path)
-    val withStats = LimitHashLog.segmentsAllowed(path, version, segmentsAllow)
+    val (segs, masks) =
+      LimitHashLog.segmentsAndMasksAllowed(path, version, segmentsAllow)
+    // a MASKED segment's stats claim rows a merge-on-read DELETE hid —
+    // a metadata-served COUNT/MIN/MAX would overcount; fall back to the
+    // (mask-aware) row scan
+    if (segs.exists { case (f, _) =>
+        masks.contains(new org.apache.hadoop.fs.Path(f).getName) }) return None
+    val withStats = segs
       .map { case (f, _) => stats.get(new org.apache.hadoop.fs.Path(f).getName) }
     if (withStats.forall(_.isDefined)) Some((tags, withStats.flatten))
     else None
@@ -1068,8 +1129,16 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     * exactly the segments a version diff identified. Names absent from
     * the snapshot fail loudly: a caller naming a segment this version
     * does not hold is asking for rows the snapshot can't provide. */
-  private lazy val pinnedSegments: Seq[(String, Long)] =
-    LimitHashLog.segmentsAllowed(path, version, segmentsAllow)
+  private lazy val pinnedState: (Seq[(String, Long)], Map[String, Seq[String]]) =
+    LimitHashLog.segmentsAndMasksAllowed(path, version, segmentsAllow)
+
+  private def pinnedSegments: Seq[(String, Long)] = pinnedState._1
+
+  /** The pinned version's DELETE MASKS (merge-on-read log DELETEs),
+    * keyed by segment name — threaded into every reader this scan
+    * creates so masked rows drop at parse, version-accurately (a
+    * `VERSION AS OF` pin applies exactly that version's masks). */
+  private def pinnedMasks: Map[String, Seq[String]] = pinnedState._2
 
   /** Scan observability — the numbers that tell an operator whether the
     * skip machinery is WORKING at scale (a 100 TB log where
@@ -1243,7 +1312,14 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
         while (it.hasNext && covered < n) {
           val seg = it.next()
           keep += seg
-          covered += stats.get(new Path(seg._1).getName).map(_.rows).getOrElse(0L)
+          // a MASKED segment's stats overcount its visible rows —
+          // contributing them to the coverage proof could truncate the
+          // split list before n rows actually exist (under-delivery);
+          // masked segments count 0 toward the proof, like stats-less
+          val name = new Path(seg._1).getName
+          if (!pinnedMasks.contains(name)) {
+            covered += stats.get(name).map(_.rows).getOrElse(0L)
+          }
         }
         keep.result()
       case _ => afterZone
@@ -1269,7 +1345,7 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LogSegmentReaderFactory(required, pushed, columnar, limit)
+    new LogSegmentReaderFactory(required, pushed, columnar, limit, pinnedMasks)
 
   // size scaled by the pruned fraction of the fixed-ish row layout, so
   // a key-only projection of a big log still reports small enough to
@@ -1287,7 +1363,8 @@ class LimitHashLogScan(path: String, required: StructType, pushed: Array[Filter]
     private val rowCount: OptionalLong = {
       val stats = LimitHashLog.loadStats(path)
       val names = surviving.map { case (f, _) => new Path(f).getName }
-      if (names.forall(stats.contains))
+      // masked segments' stats overcount visible rows → not exact
+      if (names.forall(stats.contains) && !names.exists(pinnedMasks.contains))
         OptionalLong.of(names.map(stats(_).rows).sum)
       else OptionalLong.empty()
     }
@@ -1312,13 +1389,14 @@ case class LogBucketPartition(bucket: Int, files: Seq[String])
 case class LogAggPartition(values: Seq[Any]) extends InputPartition
 
 class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter],
-    columnar: Boolean = true, limit: Option[Int] = None)
+    columnar: Boolean = true, limit: Option[Int] = None,
+    masks: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case LogSegmentPartition(f) => new LogSegmentReader(f, required, pushed, limit)
-      case LogSegmentsPartition(fs) => new MultiSegmentReader(fs, required, pushed, limit)
-      case LogBucketPartition(_, fs) => new MultiSegmentReader(fs, required, pushed, limit)
+      case LogSegmentPartition(f) => new LogSegmentReader(f, required, pushed, limit, masks)
+      case LogSegmentsPartition(fs) => new MultiSegmentReader(fs, required, pushed, limit, masks)
+      case LogBucketPartition(_, fs) => new MultiSegmentReader(fs, required, pushed, limit, masks)
       case LogAggPartition(values) => new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = { val r = !emitted; emitted = true; r }
@@ -1340,9 +1418,12 @@ class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter],
     columnar && !partition.isInstanceOf[LogAggPartition] // one row: row reader
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
     partition match {
-      case LogSegmentPartition(f) => new LogColumnarReader(Seq(f), required, pushed, limit = limit)
-      case LogSegmentsPartition(fs) => new LogColumnarReader(fs, required, pushed, limit = limit)
-      case LogBucketPartition(_, fs) => new LogColumnarReader(fs, required, pushed, limit = limit)
+      case LogSegmentPartition(f) =>
+        new LogColumnarReader(Seq(f), required, pushed, limit = limit, masks = masks)
+      case LogSegmentsPartition(fs) =>
+        new LogColumnarReader(fs, required, pushed, limit = limit, masks = masks)
+      case LogBucketPartition(_, fs) =>
+        new LogColumnarReader(fs, required, pushed, limit = limit, masks = masks)
       case p: LogAggPartition =>
         throw new UnsupportedOperationException(s"no columnar read for $p")
     }
@@ -1357,7 +1438,8 @@ class LogSegmentReaderFactory(required: StructType, pushed: Array[Filter],
   * reader's. Vector capacity is reused across batches (`reset()`), so
   * allocation is O(batchSize) once per task, not per batch. */
 class LogColumnarReader(files: Seq[String], required: StructType,
-    pushed: Array[Filter], batchSize: Int = 4096, limit: Option[Int] = None)
+    pushed: Array[Filter], batchSize: Int = 4096, limit: Option[Int] = None,
+    masks: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[ColumnarBatch] {
   private var emitted = 0L
   private val fileIt = files.iterator
@@ -1365,6 +1447,9 @@ class LogColumnarReader(files: Seq[String], required: StructType,
   // name bytes of the file the CURRENT line came from (_segment column);
   // updated at each file transition inside nextLine()
   private var segNameBytes: Array[Byte] = Array.empty
+  // delete masks of the CURRENT file (merge-on-read log DELETEs),
+  // compiled at each file transition; a matching line is dropped
+  private var segMasks: Seq[Filter] = Seq.empty
 
   private val colIdx = required.fields.map(f => LimitHashLog.fieldIdx(f.name))
   private val checks: Array[(Int, Set[String])] = LimitHashLog.parseChecks(pushed)
@@ -1379,6 +1464,8 @@ class LogColumnarReader(files: Seq[String], required: StructType,
         if (!fileIt.hasNext) return null
         val p = new Path(fileIt.next())
         segNameBytes = p.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        segMasks = LimitHashLog.compileMasks(
+          masks.getOrElse(p.getName, Seq.empty))
         reader = new java.io.BufferedReader(new java.io.InputStreamReader(
           p.getFileSystem(new Configuration()).open(p),
           java.nio.charset.StandardCharsets.UTF_8))
@@ -1401,7 +1488,8 @@ class LogColumnarReader(files: Seq[String], required: StructType,
       else {
         linesSeen += 1
         val parts = line.split("\t", -1)
-        if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1)))) {
+        if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1))) &&
+            !segMasks.exists(LogDelete.evalRow(_, parts))) {
           rowsKept += 1
           var j = 0
           while (j < colIdx.length) {
@@ -1449,7 +1537,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
 
 /** Sequential reader over a bin-packed split's segment files. */
 class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, masks: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val it = files.iterator
   private var cur: LogSegmentReader = _
@@ -1462,7 +1550,7 @@ class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array
         if (!it.hasNext || limit.exists(doneRows >= _)) return false
         // remaining budget: rows already emitted by finished children
         cur = new LogSegmentReader(it.next(), required, pushed,
-          limit.map(l => math.max(0, l - doneRows.toInt)))
+          limit.map(l => math.max(0, l - doneRows.toInt)), masks)
       }
       if (cur.next()) return true
       doneLines += cur.linesSeen; doneRows += cur.rowsKept
@@ -1486,7 +1574,7 @@ class MultiSegmentReader(files: Seq[String], required: StructType, pushed: Array
   * the raw split fields first, then materialize only the pruned
   * columns (msg base64-decodes only if projected). */
 class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None, masks: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val p = new Path(file)
   private val in = p.getFileSystem(new Configuration()).open(p)
@@ -1498,6 +1586,10 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
   // (field index in the raw line) of each projected column
   private val colIdx = required.fields.map(f => LimitHashLog.fieldIdx(f.name))
   private val checks: Array[(Int, Set[String])] = LimitHashLog.parseChecks(pushed)
+  // merge-on-read delete masks of THIS segment: a matching line is a
+  // deleted row — dropped at parse, before any materialization
+  private val segMasks: Seq[Filter] =
+    LimitHashLog.compileMasks(masks.getOrElse(p.getName, Seq.empty))
 
   private[sources] var linesSeen = 0L
   private[sources] var rowsKept = 0L
@@ -1508,7 +1600,8 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
     while (line != null) {
       linesSeen += 1
       val parts = line.split("\t", -1)
-      if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1)))) {
+      if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1))) &&
+          !segMasks.exists(LogDelete.evalRow(_, parts))) {
         rowsKept += 1
         val values = new Array[Any](colIdx.length)
         var i = 0

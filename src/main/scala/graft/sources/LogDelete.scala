@@ -219,7 +219,8 @@ object LogDelete {
     * (stats-less segments are never zone-skipped — correct, and the
     * scan reads them as zero rows anyway). */
   private[sources] def rewriteSegment(dir: String, delId: String, oldPath: String,
-      filters: Array[Filter]): (String, Option[(String, Option[SegmentStats])]) = {
+      filters: Array[Filter],
+      priorMasks: Seq[Filter] = Seq.empty): (String, Option[(String, Option[SegmentStats])]) = {
     val old = new Path(oldPath)
     val fs = old.getFileSystem(new Configuration())
     val staged = new Path(dir, s"_staged-$delId-${old.getName}")
@@ -241,6 +242,10 @@ object LogDelete {
       while (line != null) {
         val fields = line.split("\t", -1)
         if (fields.length != 4) keepLine(line) // malformed: pass through, no stats
+        // a line a PRIOR merge-on-read mask already deleted is dropped
+        // too (never a survivor — the rewrite PURGES the masks it
+        // consumes; resurrecting it would undo a committed DELETE)
+        else if (priorMasks.exists(evalRow(_, fields))) ()
         else if (!filters.forall(evalRow(_, fields))) { // survivor
           keepLine(line)
           nRows += 1
@@ -265,7 +270,11 @@ object LogDelete {
 
   /** The delete. Classification on the driver (metadata only), rewrite
     * distributed, then the compaction-style fenced swap. */
-  def deleteWhere(spark: SparkSession, dir: String, filters: Array[Filter]): Unit = {
+  def deleteWhere(spark: SparkSession, dir: String, filters: Array[Filter]): Unit =
+    // mask-conflict retry: each attempt re-classifies against the fresh
+    // live set and re-reads masks (deterministic staged names make the
+    // re-run replace-on-retry); steady conflicts surface to the caller
+    ParquetVersions.retryOnMaskConflict() {
     require(filters.forall(supported), s"unsupported delete filters: ${filters.mkString(", ")}")
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -276,12 +285,51 @@ object LogDelete {
     // finish exactly the recorded removals and stop.
     if (resumeMarker(fs, base, delId)) return
 
-    val (toRemove, added) =
-      applyDelete(spark, dir, filters, delId, Seq(s"segment-$delId-"))
+    val versioned = LogVersions.enabled(dir)
 
-    if (LogVersions.enabled(dir)) {
+    // MERGE-ON-READ (lightweight) DELETE on the log tier — the same
+    // ClickHouse posture as the parquet tier ([[DeleteMasks]],
+    // `hashes_test.go:235-239` is the exact statement): zone-proof
+    // Clean segments untouched, must-match segments retired
+    // metadata-only, and the predicate lands as a DELETE MASK on every
+    // might-match segment — zero data I/O, every segment byte-identical,
+    // scans drop masked rows at parse until a rewrite purges them.
+    if (versioned && DeleteMasks.mergeOnRead(spark)) {
+      val whole: Filter = filters.reduceOption(And).getOrElse(AlwaysTrue())
+      DeleteMasks.serialize(whole) match {
+        case Some(maskJson) =>
+          val verdicts = LimitHashLog.segmentsWithStats(dir).map {
+            case (f, _, st) => (new Path(f).getName, classify(filters, st))
+          }
+          val drops = verdicts.collect { case (n, Drop) => n }.toSet
+          val masked = verdicts.collect { case (n, Rewrite) => n }
+          // classification proved no row can match → genuine no-op
+          if (drops.isEmpty && masked.isEmpty) return
+          LogVersions.commitGuarded(dir,
+            masked.map(_ -> Seq(maskJson)).toMap, None) { prev =>
+            prev.filterNot(drops)
+          }
+          return
+        case None => () // value shape the mask codec refuses → copy-on-write
+      }
+    }
+
+    // PRIOR masks on the inputs (earlier lightweight deletes): the
+    // rewrite must not resurrect rows they deleted — and it PURGES them
+    // (outputs are new names; retired inputs drop their masks).
+    val priorMasks: Map[String, Seq[String]] =
+      if (versioned) LimitHashLog.segmentsAndMasksAllowed(dir, None, None)._2
+      else Map.empty
+
+    val (toRemove, added) =
+      applyDelete(spark, dir, filters, delId, Seq(s"segment-$delId-"), priorMasks)
+
+    if (versioned) {
       if (toRemove.nonEmpty || added.nonEmpty) {
-        LogVersions.commit(dir) { prev =>
+        val inputs = toRemove.toSet
+        LogVersions.commitGuarded(dir, Map.empty,
+          Some(VersionLedger.MaskGuard(inputs,
+            priorMasks.view.filterKeys(inputs).toMap))) { prev =>
           (prev.toSet -- toRemove ++ added).toSeq
         }
       }
@@ -337,7 +385,8 @@ object LogDelete {
     * through the predicate. */
   private[sources] def applyDelete(spark: SparkSession, dir: String,
       filters: Array[Filter], delId: String,
-      fence: Seq[String]): (Seq[String], Seq[String]) = {
+      fence: Seq[String],
+      priorMasks: Map[String, Seq[String]] = Map.empty): (Seq[String], Seq[String]) = {
     val base = new Path(dir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segs = LimitHashLog.segmentsWithStats(dir)
@@ -347,14 +396,26 @@ object LogDelete {
       }
     val verdicts = segs.map { case (f, _, st) => (f, classify(filters, st)) }
     val drops = verdicts.collect { case (f, Drop) => f }
+    // Clean-but-masked segments stay untouched: their masks remain
+    // valid at read, and purging them is purge_masks'/compaction's job,
+    // not an unrelated DELETE's write amplification
     val rewrites = verdicts.collect { case (f, Rewrite) => f }
+    // compile each rewrite's prior masks once, driver-side (v1 Filters
+    // are small and Serializable — they ship in the task closure)
+    val maskFiltersOf: Map[String, Seq[Filter]] = rewrites.map { f =>
+      val n = new Path(f).getName
+      f -> LimitHashLog.compileMasks(priorMasks.getOrElse(n, Seq.empty))
+    }.toMap
 
     val rewritten: Seq[(String, Option[(String, Option[SegmentStats])])] =
       if (rewrites.isEmpty) Seq.empty
       else spark.sparkContext
-        .parallelize(rewrites, math.min(rewrites.size,
-          math.max(1, spark.sparkContext.defaultParallelism)))
-        .map(LogDelete.rewriteSegment(dir, delId, _, filters))
+        .parallelize(rewrites.map(f => (f, maskFiltersOf(f))),
+          math.min(rewrites.size,
+            math.max(1, spark.sparkContext.defaultParallelism)))
+        .map { case (f, ms) =>
+          LogDelete.rewriteSegment(dir, delId, f, filters, ms)
+        }
         .collect().toSeq
 
     // Commit: rename replacements in (replace-on-retry), THEN manifest,
@@ -388,6 +449,81 @@ object LogDelete {
 
     val toRemove = (drops ++ rewritten.map(_._1)).map(new Path(_).getName)
     (toRemove, added.result())
+  }
+
+  /** SURGICAL mask purge on the LOG tier — the log analog of
+    * [[Compaction.purgeMasks]]: rewrite ONLY the live segments carrying
+    * at least `minPreds` stacked delete-mask predicates (line-filtered
+    * through [[rewriteSegment]], which also rebuilds exact stats), and
+    * retire them in one guarded publish — the version carry-forward
+    * drops their masks with them, restoring zone-exact metadata counts.
+    * Returns (maskedSegments, rewrittenSegments, remainingMasked).
+    *
+    * NO lease taken here: the `purge_masks` procedure wraps it in one,
+    * and [[Compaction.compactLog]] calls it already leased (the lease
+    * is not re-entrant). */
+  private[sources] def purgeMasksInner(spark: SparkSession, dir: String,
+      minPreds: Int = 1): (Long, Long, Long) = {
+    require(minPreds >= 1, "minPreds must be at least 1")
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!LogVersions.enabled(dir)) return (0L, 0L, 0L)
+    ParquetVersions.retryOnMaskConflict() {
+      val (live, allMasks) = LimitHashLog.segmentsAndMasksAllowed(dir, None, None)
+      val liveByName = live.map { case (f, len) => (new Path(f).getName, f) }.toMap
+      val targets = allMasks.filter { case (n, preds) =>
+        liveByName.contains(n) && preds.size >= minPreds
+      }
+      if (targets.isEmpty) {
+        val stillMasked = allMasks.keySet.count(liveByName.contains).toLong
+        return (stillMasked, 0L, stillMasked)
+      }
+      // deterministic purge id from the mask content: a retry targets
+      // the same staged/committed names (replace-on-retry)
+      val digest = java.security.MessageDigest.getInstance("SHA-256").digest(
+        targets.toSeq.sortBy(_._1).toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val purgeId = "mp-" + digest.take(6).map(b => f"$b%02x").mkString
+      val jobs = targets.toSeq.sortBy(_._1).map { case (n, preds) =>
+        (liveByName(n), LimitHashLog.compileMasks(preds))
+      }
+      // AlwaysFalse delete predicate: nothing deleted BY THIS PASS —
+      // only the prior masks filter (an empty filter array would mean
+      // the empty conjunction = TRUE = delete everything)
+      val keepAll: Array[Filter] = Array(AlwaysFalse())
+      val rewritten = spark.sparkContext
+        .parallelize(jobs, math.min(jobs.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
+        .map { case (f, ms) => rewriteSegment(dir, purgeId, f, keepAll, ms) }
+        .collect().toSeq
+      val manifest = Map.newBuilder[String, SegmentStats]
+      val added = Seq.newBuilder[String]
+      val stats = LimitHashLog.loadStats(dir)
+      rewritten.foreach {
+        case (old, Some((staged, st))) =>
+          val oldName = new Path(old).getName
+          val to = new Path(base, s"segment-$purgeId-$oldName")
+          if (fs.exists(to)) fs.delete(to, false)
+          if (!fs.rename(new Path(staged), to))
+            throw new java.io.IOException(s"purgeMasks: rename $staged -> $to failed")
+          // survivors keep the original's bucket tag (a purge keeps a
+          // SUBSET of one segment's rows — same carry as DELETE)
+          st.foreach(s => manifest += (to.getName ->
+            s.copy(bucket = stats.get(oldName).flatMap(_.bucket))))
+          added += to.getName
+        case _ => () // every row was masked: the segment simply retires
+      }
+      val entries = manifest.result()
+      if (entries.nonEmpty) LimitHashLog.writeManifest(fs, base, purgeId, entries)
+      val inputs = targets.keySet
+      LogVersions.commitGuarded(dir, Map.empty,
+        Some(VersionLedger.MaskGuard(inputs, targets))) { prev =>
+        (prev.toSet -- inputs ++ added.result()).toSeq
+      }
+      val remaining = LimitHashLog.segmentsAndMasksAllowed(dir, None, None)
+        ._2.size.toLong
+      (targets.size.toLong, inputs.size.toLong, remaining)
+    }
   }
 
   /** TRUNCATE: remove every segment and every stats manifest. On a

@@ -351,15 +351,27 @@ object LogProcedures {
         ProcedureParameter.in("min_preds", IntegerType)
           .defaultValue("1").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
-        val st = Compaction.purgeMasks(spark,
-          dirOf(warehouse, input.getUTF8String(0).toString), input.getInt(1))
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        val minPreds = input.getInt(1)
+        // tier dispatch: catalog parquet tables carry _schema.json;
+        // everything else is an entity log (same rule as loadTable)
+        val (maskedF, rewrittenF, outF, remaining) =
+          if (SchemaManifest.exists(dir)) {
+            val st = Compaction.purgeMasks(spark, dir, minPreds)
+            (st.maskedFiles, st.rewrittenFiles, st.outputFiles,
+              st.remainingMasked)
+          } else {
+            val (m, rw, rem) = MaintenanceLease.withLease(dir) {
+              LogDelete.purgeMasksInner(spark, dir, minPreds)
+            }
+            (m, rw, rw, rem)
+          }
         oneRow(StructType(Seq(
           StructField("masked_files", LongType, nullable = false),
           StructField("rewritten_files", LongType, nullable = false),
           StructField("output_files", LongType, nullable = false),
           StructField("remaining_masked", LongType, nullable = false))),
-          Seq(st.maskedFiles, st.rewrittenFiles, st.outputFiles,
-            st.remainingMasked))
+          Seq(maskedF, rewrittenF, outF, remaining))
       }
     },
     "compact_table" -> new MaintenanceProcedure("compact_table",

@@ -118,8 +118,15 @@ class LogGroupScan(path: String) extends Scan with Batch
   /** Snapshot pinned at scan creation — same isolation as the batch
     * scan: a maintenance commit landing mid-operation cannot add or
     * drop segments under us (the version CAS at commit time is what
-    * reconciles concurrent appends). */
-  private val pinned: Seq[(String, Long)] = LimitHashLog.segmentsAt(path, None)
+    * reconciles concurrent appends). Membership AND delete masks come
+    * from the same payload read: the copy-on-write write-back must
+    * never resurrect a merge-on-read-deleted row into a rewritten
+    * segment, and the publish re-checks the observed masks
+    * ([[VersionLedger.MaskGuard]]). */
+  private val pinnedWithMasks: (Seq[(String, Long)], Map[String, Seq[String]]) =
+    LimitHashLog.segmentsAndMasksAllowed(path, None, None)
+  private val pinned: Seq[(String, Long)] = pinnedWithMasks._1
+  private[sources] def pinnedMasks: Map[String, Seq[String]] = pinnedWithMasks._2
 
   /** Surviving segments after runtime group filtering; starts at the
     * full pinned set (no filter ⇒ full-table rewrite, which is what an
@@ -175,7 +182,7 @@ class LogGroupScan(path: String) extends Scan with Batch
     currentSegments.map { case (f, _) => LogSegmentPartition(f): InputPartition }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LogSegmentReaderFactory(readSchema(), Array.empty)
+    new LogSegmentReaderFactory(readSchema(), Array.empty, masks = pinnedMasks)
 
   override def description(): String =
     s"LogGroupScan path=$path segments=${currentSegments.size}/${pinned.size}"
@@ -251,9 +258,19 @@ class LogReplaceDataWrite(op: LogRowLevelOperation, path: String, queryId: Strin
       LimitHashLog.writeManifest(fs, dir, s"rlo-$queryId", manifest.result())
 
       // visibility event: one CAS publish — replaced inputs out, written
-      // replacements in; segments appended concurrently survive untouched
+      // replacements in; segments appended concurrently survive untouched.
+      // GUARDED: the rewrite read its inputs under the masks pinned at
+      // scan creation — a concurrent merge-on-read DELETE masking (or a
+      // rewrite retiring) one of them aborts loudly instead of being
+      // silently undone by this publish (the write path cannot re-read,
+      // so it fails rather than retries).
       if (replaced.nonEmpty || committedNames.nonEmpty) {
-        LogVersions.commit(path) { prev =>
+        val replacedSet = replaced.toSet
+        val guard =
+          if (replacedSet.isEmpty) None
+          else Some(VersionLedger.MaskGuard(replacedSet,
+            scan.pinnedMasks.view.filterKeys(replacedSet).toMap))
+        LogVersions.commitGuarded(path, Map.empty, guard) { prev =>
           (prev.toSet ++ lateAppends -- replaced ++ committedNames).toSeq
         }
       }

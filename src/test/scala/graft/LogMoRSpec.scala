@@ -1,0 +1,263 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThan}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MERGE-ON-READ (lightweight) DELETE on the LOG tier — masks ride the
+  * version-ledger payloads ([[LogVersions]]), segments stay
+  * byte-identical, every reader (row, columnar, time travel, CoW
+  * rewrites, compaction, change feed) honors them, and purge/compaction
+  * consume them. */
+class LogMoRSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = graft.Sessions.base("local[4]", 4)
+
+  /** Versioned log with three single-segment commits of known shape:
+    *   segment A: u1/u2, amounts 10..40
+    *   segment B: every row user_id = "zz" (single-value zone)
+    *   segment C: u7/u8, amounts 700..900 */
+  private def freshLog(): String = {
+    val dir = Files.createTempDirectory("graft_lhmor").toString
+    def write(rows: Seq[(String, Long, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("user_id", "amount", "sha256sum")
+        .select(col("user_id"), col("amount"),
+          lit(null).cast("binary").as("msg"), col("sha256sum"))
+        .repartition(1)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(dir)
+      ()
+    }
+    write(Seq(("u1", 10L, "ha1"), ("u1", 20L, "ha2"), ("u2", 30L, "ha3"),
+      ("u2", 40L, "ha4")))
+    write(Seq(("zz", 100L, "hb1"), ("zz", 200L, "hb2")))
+    write(Seq(("u7", 700L, "hc1"), ("u8", 800L, "hc2"), ("u8", 900L, "hc3")))
+    LogVersions.enable(dir)
+    dir
+  }
+
+  private def fs(dir: String) = new Path(dir).getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def segSigs(dir: String): Map[String, (Long, Long)] =
+    LimitHashLog.segments(dir).map { case (f, len) =>
+      val st = fs(dir).getFileStatus(new Path(f))
+      (new Path(f).getName, (len, st.getModificationTime))
+    }.toMap
+
+  private def rows(dir: String, version: Option[Long] = None): Set[(String, Long, String)] = {
+    val rd = spark.read.format(LimitHashLog.FORMAT)
+    val df = version.fold(rd)(v => rd.option("versionAsOf", v)).load(dir)
+      .select("user_id", "amount", "sha256sum")
+    df.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+  }
+
+  private def masksOf(dir: String): Map[String, Seq[String]] =
+    LimitHashLog.segmentsAndMasksAllowed(dir, None, None)._2
+
+  private def withMergeOnRead[A](f: => A): A = {
+    spark.conf.set(DeleteMasks.MODE_KEY, "merge-on-read")
+    try f finally spark.conf.unset(DeleteMasks.MODE_KEY)
+  }
+
+  test("masked DELETE: zero data I/O — drops metadata-only, masks on " +
+      "might-match segments, every segment byte-identical") {
+    val dir = freshLog()
+    val before = segSigs(dir)
+    val table = new LimitHashLogTable(dir)
+    withMergeOnRead {
+      // zz drops whole (single-value zone); A gets a mask (u1 inside
+      // its zone); C is clean (no u1/zz)
+      table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        EqualTo("user_id", "u1")))
+      table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        EqualTo("user_id", "zz")))
+    }
+    val after = segSigs(dir)
+    assert(after === before,
+      "merge-on-read DELETE must leave every segment file byte-identical")
+    val masks = masksOf(dir)
+    assert(masks.size === 1 && masks.head._2.size === 1,
+      s"exactly the might-match segment is masked: $masks")
+    // exact rows, row AND columnar paths (columnar is the default)
+    assert(rows(dir) === Set(("u2", 30L, "ha3"), ("u2", 40L, "ha4"),
+      ("u7", 700L, "hc1"), ("u8", 800L, "hc2"), ("u8", 900L, "hc3")))
+    val rowBased = spark.read.format(LimitHashLog.FORMAT)
+      .option("columnar", "false").load(dir)
+      .select("user_id", "amount", "sha256sum")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rowBased === rows(dir), "row reader applies masks too")
+  }
+
+  test("stacked masks compose; time travel straddles each version exactly") {
+    val dir = freshLog()
+    val table = new LimitHashLogTable(dir)
+    withMergeOnRead {
+      table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        EqualTo("user_id", "u1"))) // v2: mask on A
+      table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        GreaterThanOrEqual("amount", 30L), LessThan("amount", 750L))) // v3
+    }
+    assert(rows(dir, Some(1L)).size === 9, "v1 pre-delete")
+    assert(rows(dir, Some(2L)) === Set(("u2", 30L, "ha3"), ("u2", 40L, "ha4"),
+      ("zz", 100L, "hb1"), ("zz", 200L, "hb2"),
+      ("u7", 700L, "hc1"), ("u8", 800L, "hc2"), ("u8", 900L, "hc3")))
+    assert(rows(dir) === Set(("u8", 800L, "hc2"), ("u8", 900L, "hc3")))
+    // a masked segment disables the metadata COUNT shortcut, never its
+    // correctness: the count comes from the mask-aware scan
+    val cnt = spark.read.format(LimitHashLog.FORMAT).load(dir).count()
+    assert(cnt === 2L)
+    // LIMIT on a masked log never under-delivers (masked stats count 0
+    // toward the coverage proof)
+    assert(spark.read.format(LimitHashLog.FORMAT).load(dir).limit(2)
+      .collect().length === 2)
+  }
+
+  test("CoW rewrites honor and purge masks: a later DELETE (mode off) " +
+      "cannot resurrect masked rows") {
+    val dir = freshLog()
+    val table = new LimitHashLogTable(dir)
+    withMergeOnRead {
+      table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        EqualTo("user_id", "u1"))) // mask on A
+    }
+    // mode off: a partial-match DELETE rewrites segment A — the rewrite
+    // must drop the masked u1 rows too, and its publish retires A's mask
+    table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+      EqualTo("amount", 30L)))
+    assert(rows(dir) === Set(("u2", 40L, "ha4"),
+      ("zz", 100L, "hb1"), ("zz", 200L, "hb2"),
+      ("u7", 700L, "hc1"), ("u8", 800L, "hc2"), ("u8", 900L, "hc3")))
+    assert(masksOf(dir).isEmpty, "the rewrite purges the masks it consumed")
+  }
+
+  test("SQL UPDATE (copy-on-write) on a masked log: no resurrection") {
+    val warehouse = Files.createTempDirectory("graft_lhmor_wh").toString
+    spark.conf.set("spark.sql.catalog.graft_lmor", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lmor.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lmor.ops")
+    spark.sql("DROP TABLE IF EXISTS graft_lmor.ops.t")
+    spark.sql("""CREATE TABLE graft_lmor.ops.t
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    spark.range(20).selectExpr("concat('u', id % 5) AS user_id", "id AS amount",
+      "CAST(NULL AS BINARY) AS msg", "CAST(id AS STRING) AS sha256sum")
+      .repartition(1).writeTo("graft_lmor.ops.t").append()
+    val dir = s"$warehouse/ops/t"
+    LogVersions.enable(dir)
+    withMergeOnRead {
+      spark.sql("DELETE FROM graft_lmor.ops.t WHERE user_id = 'u3'")
+    }
+    assert(masksOf(dir).nonEmpty)
+    // the group-based UPDATE reads through the mask-aware group scan
+    spark.sql("UPDATE graft_lmor.ops.t SET amount = amount + 1000 WHERE user_id = 'u1'")
+    val got = spark.table("graft_lmor.ops.t")
+      .select("user_id", "amount").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(!got.exists(_._1 == "u3"), "masked rows must not resurrect through CoW UPDATE")
+    assert(got.count(_._1 == "u1") === 4 && got.filter(_._1 == "u1").forall(_._2 >= 1000))
+    assert(got.size === 16)
+  }
+
+  test("purge_masks on the log tier: masks consumed, rows exact, stats " +
+      "metadata-count restored; compaction also purges") {
+    val warehouse = Files.createTempDirectory("graft_lhmor_wh2").toString
+    spark.conf.set("spark.sql.catalog.graft_lmor2", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lmor2.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lmor2.ops")
+    spark.sql("DROP TABLE IF EXISTS graft_lmor2.ops.t")
+    spark.sql("""CREATE TABLE graft_lmor2.ops.t
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    spark.range(100).selectExpr("concat('u', id % 10) AS user_id", "id AS amount",
+      "CAST(NULL AS BINARY) AS msg", "CAST(id AS STRING) AS sha256sum")
+      .repartition(2).writeTo("graft_lmor2.ops.t").append()
+    val dir = s"$warehouse/ops/t"
+    LogVersions.enable(dir)
+    withMergeOnRead {
+      spark.sql("DELETE FROM graft_lmor2.ops.t WHERE user_id = 'u4'")
+    }
+    assert(masksOf(dir).nonEmpty)
+    val st = spark.sql(
+      "CALL graft_lmor2.system.purge_masks(table => 'ops.t')").head
+    assert(st.getLong(1) >= 1L && st.getLong(3) === 0L, st.toString)
+    assert(masksOf(dir).isEmpty)
+    assert(spark.table("graft_lmor2.ops.t").count() === 90)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_lmor2.ops.t WHERE user_id = 'u4'")
+      .head.getLong(0) === 0)
+    // second round: mask again, then COMPACTION purges (pre-pass)
+    withMergeOnRead {
+      spark.sql("DELETE FROM graft_lmor2.ops.t WHERE user_id = 'u5'")
+    }
+    assert(masksOf(dir).nonEmpty)
+    spark.sql("CALL graft_lmor2.system.compact_log(table => 'ops.t', " +
+      "compaction_id => 'lmor2c1')")
+    assert(masksOf(dir).isEmpty, "compaction must purge masks, never pack them away")
+    assert(spark.table("graft_lmor2.ops.t").count() === 80)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_lmor2.ops.t WHERE user_id IN ('u4','u5')")
+      .head.getLong(0) === 0)
+  }
+
+  test("change feed: a masked log DELETE emits exactly the newly-masked " +
+      "rows as deletes (changelog and net)") {
+    val dir = freshLog()
+    val table = new LimitHashLogTable(dir)
+    val v1 = LogVersions.latest(dir).get._1
+    withMergeOnRead {
+      table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        EqualTo("user_id", "u1"))) // v2: mask on A, zz/C untouched
+    }
+    val v2 = LogVersions.latest(dir).get._1
+    assert(v2 === v1 + 1)
+    val changelog = ChangeFeed.logChanges(spark, dir, v1, v2)
+    val dels = changelog
+      .filter(col(ChangeFeed.CHANGE_TYPE_COL) === "delete")
+      .select("user_id", "amount").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(dels === Set(("u1", 10L), ("u1", 20L)),
+      s"exactly the newly-masked rows surface as deletes: $dels")
+    assert(changelog.filter(col(ChangeFeed.CHANGE_TYPE_COL) === "insert")
+      .count() === 0)
+    val net = ChangeFeed.logChanges(spark, dir, v1, v2, net = true)
+    val netDels = net.filter(col(ChangeFeed.CHANGE_TYPE_COL) === "delete")
+      .select("user_id", "amount").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(netDels === Set(("u1", 10L), ("u1", 20L)))
+  }
+
+  test("REPLACE WHERE (CoW with payload) on a masked log: no resurrection") {
+    val warehouse = Files.createTempDirectory("graft_lhmor_wh3").toString
+    spark.conf.set("spark.sql.catalog.graft_lmor3", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lmor3.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lmor3.ops")
+    spark.sql("DROP TABLE IF EXISTS graft_lmor3.ops.t")
+    spark.sql("""CREATE TABLE graft_lmor3.ops.t
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    spark.range(20).selectExpr("concat('u', id % 5) AS user_id", "id AS amount",
+      "CAST(NULL AS BINARY) AS msg", "CAST(id AS STRING) AS sha256sum")
+      .repartition(1).writeTo("graft_lmor3.ops.t").append()
+    val dir = s"$warehouse/ops/t"
+    LogVersions.enable(dir)
+    withMergeOnRead {
+      spark.sql("DELETE FROM graft_lmor3.ops.t WHERE user_id = 'u3'") // mask
+    }
+    assert(masksOf(dir).nonEmpty)
+    // REPLACE WHERE rewrites the matching range; the segment rewrite
+    // must drop the masked u3 rows too, never resurrect them
+    spark.sql("""INSERT INTO graft_lmor3.ops.t
+                 REPLACE WHERE user_id = 'u1'
+                 SELECT 'u1' AS user_id, CAST(9999 AS BIGINT) AS amount,
+                        CAST(NULL AS BINARY) AS msg, 'hrw' AS sha256sum""")
+    val got = spark.table("graft_lmor3.ops.t")
+      .select("user_id", "amount").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(!got.exists(_._1 == "u3"),
+      s"masked u3 rows must stay deleted through REPLACE WHERE: $got")
+    assert(got.filter(_._1 == "u1") === Set(("u1", 9999L)))
+    assert(got.size === 13, s"4 u3 + 4 u1 originals out, 1 payload in: $got")
+  }
+}
