@@ -1097,6 +1097,87 @@ object Pipeline {
                  ORDER BY snap""")
   }
 
+  /** REPLACE TABLE AS SELECT on a PARTITIONED target
+    * ([[graft.sources.LogStaging]], VERDICT r12 #4): a region-
+    * partitioned load is REPLACED — new schema, new contents, new
+    * `PARTITIONED BY (tier)` layout — in ONE version publish, the
+    * replacement rows routed into the new partition dirs by the same
+    * staging writers every INSERT uses. The probe straddles the
+    * replacement via time travel (the pre-state read from the pinned
+    * version's files). A torn replacement (old files under the new
+    * spec, a lost partition dir, a double-published file) or a
+    * mis-routed row breaks the hash. */
+  def p35_rtas_partitioned(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p35", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p35.lake.orders_pt")
+    spark.sql("""CREATE TABLE graft_p35.lake.orders_pt
+                 (region STRING, okey BIGINT, cents BIGINT)
+                 PARTITIONED BY (region)""")
+    Tables.orders(spark, dir)
+      .select(
+        concat(lit("r"), col("o_custkey") % 5).as("region"),
+        col("o_orderkey").cast(LongType).as("okey"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("p35_src")
+    spark.sql("INSERT INTO graft_p35.lake.orders_pt SELECT * FROM p35_src")
+    // the pre-replace probe materializes NOW (localCheckpoint — the
+    // p31 discipline: a lazy frame would re-execute after the replace
+    // and read the replaced table); the pinned leg below additionally
+    // proves time travel across the replacement (old FILES under the
+    // new read schema — `tier` null there, `cents` the old values)
+    val pre = spark.sql(
+      """SELECT 'a_pre' AS snap, region AS part, count(*) AS n,
+                sum(cents) AS cents
+         FROM graft_p35.lake.orders_pt GROUP BY region""").localCheckpoint()
+    // partitioned tables are versioned from birth: v1 = empty create,
+    // v2 = the load, v3 = the replacement — deterministic on the fresh table
+    spark.sql("""REPLACE TABLE graft_p35.lake.orders_pt PARTITIONED BY (tier) AS
+                 SELECT concat('t', okey % 7) AS tier, okey, cents * 2 + 1 AS cents
+                 FROM p35_src WHERE cents % 3 = 0""")
+    pre.unionAll(spark.sql(
+      """SELECT 'b_cur' AS snap, tier AS part, count(*) AS n,
+                sum(cents) AS cents
+         FROM graft_p35.lake.orders_pt GROUP BY tier"""))
+      .unionAll(spark.sql(
+        """SELECT 'c_pin' AS snap, 'all' AS part, count(*) AS n,
+                  sum(cents) AS cents
+           FROM graft_p35.lake.orders_pt VERSION AS OF 2"""))
+      .orderBy(col("snap"), col("part"))
+  }
+
+  /** `bucket(n, col)` partition transform on a BIGINT key
+    * ([[graft.sources.Partitions]], VERDICT r12 #5 — the common fact-
+    * table layout: hash buckets over the surrogate key, typed murmur3
+    * bit-identical to `functions.hash`): the load routes every row by
+    * `pmod(hash(okey), 8)` into bucket dirs, then the probe set —
+    * full-table totals, a point IN probe, a key range — must come back
+    * hash-exact against the unpartitioned oracle. A row lost or
+    * duplicated in routing, or a bucket dir wrongly treated as a value
+    * bound, breaks the hash. */
+  def p36_bucket_partitioned(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p36", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p36.lake.orders_bk")
+    spark.sql("""CREATE TABLE graft_p36.lake.orders_bk
+                 (okey BIGINT, cents BIGINT)
+                 PARTITIONED BY (bucket(8, okey))""")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("okey"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .writeTo("graft_p36.lake.orders_bk").append()
+    spark.sql("""SELECT 'a_total' AS tag, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p36.lake.orders_bk
+                 UNION ALL
+                 SELECT 'b_probe' AS tag, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p36.lake.orders_bk
+                 WHERE okey IN (1, 7, 4242, 99999)
+                 UNION ALL
+                 SELECT 'c_range' AS tag, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p36.lake.orders_bk
+                 WHERE okey BETWEEN 10000 AND 20000
+                 ORDER BY tag""")
+  }
+
   /** `.partitions` / extended `.files` metadata
     * ([[graft.sources.MetaTables]]): the per-partition summary relation
     * over a pinned layout — one file per partition (repartition(1)
@@ -1131,6 +1212,8 @@ object Pipeline {
     "p30_lightweight_update" -> (p30_lightweight_update _),
     "p32_merge_lightweight" -> (p32_merge_lightweight _),
     "p34_log_lightweight" -> (p34_log_lightweight _),
+    "p35_rtas_partitioned" -> (p35_rtas_partitioned _),
+    "p36_bucket_partitioned" -> (p36_bucket_partitioned _),
     "p31_partition_evolution" -> (p31_partition_evolution _),
     "p29_partitions_meta" -> (p29_partitions_meta _),
     "p26_metadata_tables" -> (p26_metadata_tables _),
@@ -1216,6 +1299,39 @@ object Pipeline {
         |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM cur
         |ORDER BY snap""".stripMargin,
+    "p36_bucket_partitioned" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT 'a_total' AS tag, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_probe' AS tag, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b WHERE okey IN (1, 7, 4242, 99999)
+        |UNION ALL
+        |SELECT 'c_range' AS tag, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b WHERE okey BETWEEN 10000 AND 20000
+        |ORDER BY tag""".stripMargin,
+    "p35_rtas_partitioned" ->
+      """WITH b AS (SELECT 'r' || CAST(o_custkey % 5 AS VARCHAR) AS region,
+        |    CAST(o_orderkey AS BIGINT) AS okey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (SELECT 't' || CAST(okey % 7 AS VARCHAR) AS part,
+        |    cents * 2 + 1 AS cents
+        |  FROM b WHERE cents % 3 = 0)
+        |SELECT 'a_pre' AS snap, region AS part, COUNT(*) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b GROUP BY region
+        |UNION ALL
+        |SELECT 'b_cur' AS snap, part, COUNT(*) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM r GROUP BY part
+        |UNION ALL
+        |SELECT 'c_pin' AS snap, 'all' AS part, COUNT(*) AS n,
+        |       CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |ORDER BY snap, part""".stripMargin,
     "p34_log_lightweight" ->
       """WITH b AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount

@@ -381,24 +381,23 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     LogStaging.stageCreate(ident, dir, schema, partitions)
   }
 
-  /** REPLACE TABLE keeps its one-publish atomicity contract only on
-    * the flat layout for now: a partitioned target (or a redeclared
-    * partitioning) is rejected loudly rather than silently flattening
-    * the layout. */
+  /** REPLACE TABLE redefines the table WHOLE — schema, contents, AND
+    * partition layout: `PARTITIONED BY` in the statement becomes the
+    * new spec (routed through the same partition-staging writers every
+    * other write uses), its absence flattens a previously-partitioned
+    * target, and the replacement is still ONE version publish
+    * (VERDICT r12 #4; the spec swap rides the commit like partition
+    * evolution's — old-layout files pinned in older versions are
+    * simply never dir-pruned, always correct). */
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): StagedTable = {
-    require(partitions.isEmpty,
-      "REPLACE TABLE … PARTITIONED BY is not supported; create a new table")
     val dir = dirOf(ident)
     if (!fs.exists(dir)) {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     }
-    require(!PartitionSpecs.exists(dir.toString),
-      s"REPLACE TABLE on partitioned table $ident is not supported — " +
-        "INSERT OVERWRITE replaces its contents atomically")
     repairSchemaSwap(dir)
-    LogStaging.stageReplace(ident, dir, schemaFile(dir), schema)
+    LogStaging.stageReplace(ident, dir, schemaFile(dir), schema, partitions)
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -406,13 +405,8 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
       properties: java.util.Map[String, String]): StagedTable = {
     val dir = dirOf(ident)
     if (fs.exists(dir)) {
-      require(partitions.isEmpty,
-        "REPLACE TABLE … PARTITIONED BY is not supported; create a new table")
-      require(!PartitionSpecs.exists(dir.toString),
-        s"REPLACE TABLE on partitioned table $ident is not supported — " +
-          "INSERT OVERWRITE replaces its contents atomically")
       repairSchemaSwap(dir)
-      LogStaging.stageReplace(ident, dir, schemaFile(dir), schema)
+      LogStaging.stageReplace(ident, dir, schemaFile(dir), schema, partitions)
     } else LogStaging.stageCreate(ident, dir, schema, partitions)
   }
 

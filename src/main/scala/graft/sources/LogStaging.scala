@@ -99,12 +99,19 @@ object LogStaging {
     new StagedCreateTable(ident, staging, targetDir, delegate)
   }
 
-  /** Stage an RTAS over an existing table directory. */
+  /** Stage an RTAS over an existing table directory. `partitions` is
+    * the statement's `PARTITIONED BY` — the REPLACEMENT layout (empty =
+    * the replaced table is flat, even if the old one was partitioned). */
   def stageReplace(ident: Identifier, dir: Path, schemaFile: Path,
-      schema: StructType): StagedTable = {
+      schema: StructType,
+      partitions: Array[Transform] = Array.empty): StagedTable = {
     if (fsOf(dir).exists(schemaFile)) {
-      new StagedReplaceParquetTable(ident.toString, dir.toString, schema)
+      val newSpec = if (partitions.isEmpty) None
+        else Some(PartitionSpecs.fromTransforms(partitions, schema))
+      new StagedReplaceParquetTable(ident.toString, dir.toString, schema, newSpec)
     } else {
+      require(partitions.isEmpty,
+        "entity log tables are unpartitioned (fixed layout)")
       require(entityShaped(schema),
         s"REPLACE TABLE on entity log $ident must redeclare the entity " +
           s"schema (${LimitHashLog.SCHEMA.fieldNames.mkString(", ")}) — " +
@@ -196,12 +203,17 @@ class StagedReplaceLogTable(dir: String) extends StagedTable with SupportsWrite 
   * the bucket column drops the spec with it — a layout claim must
   * never outlive its column. */
 class StagedReplaceParquetTable(identName: String, tableDir: String,
-    newSchema: StructType) extends StagedTable with SupportsWrite {
+    newSchema: StructType,
+    newSpec: Option[PartitionSpecs.Spec] = None)
+    extends StagedTable with SupportsWrite {
 
   import scala.jdk.CollectionConverters._
 
   override def name(): String = identName
   override def schema(): StructType = newSchema
+  override def partitioning(): Array[Transform] =
+    newSpec.fold(Array.empty[Transform])(s =>
+      PartitionSpecs.toTransforms(s))
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
@@ -215,7 +227,7 @@ class StagedReplaceParquetTable(identName: String, tableDir: String,
       // this write's entire semantic, so truncate() is the identity
       override def truncate(): WriteBuilder = this
       override def build(): Write =
-        new ParquetReplaceAllWrite(tableDir, newSchema, info.queryId())
+        new ParquetReplaceAllWrite(tableDir, newSchema, info.queryId(), newSpec)
     }
   }
 
@@ -233,7 +245,31 @@ class StagedReplaceParquetTable(identName: String, tableDir: String,
   * publish's catch-up first and then retired — they ordered before the
   * replace. */
 class ParquetReplaceAllWrite(tableDir: String, writeSchema: StructType,
-    queryId: String) extends Write {
+    queryId: String,
+    newSpec: Option[PartitionSpecs.Spec] = None)
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** A PARTITIONED replacement clusters rows by the new layout's
+    * source columns (same contract as the partitioned INSERT path): a
+    * distinct partition value lands in ~one task → ~one file per
+    * partition, the file-count property that keeps a 100 TB table's
+    * metadata bounded. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    newSpec match {
+      case Some(spec) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          spec.fields.map(f => org.apache.spark.sql.connector.expressions
+            .Expressions.column(f.col): org.apache.spark.sql.connector
+            .expressions.Expression).toArray)
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+  override def requiredNumPartitions(): Int = 0
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   override def toBatch: BatchWrite = new BatchWrite {
     private def spark = org.apache.spark.sql.classic.SparkSession.active
@@ -241,18 +277,29 @@ class ParquetReplaceAllWrite(tableDir: String, writeSchema: StructType,
 
     /** The bucket layout to preserve: spec present AND its column
       * survives the redeclared schema as a string
-      * ([[ParquetBucketing.layoutFor]]). */
+      * ([[ParquetBucketing.layoutFor]]) — and the replacement is NOT
+      * partitioned (a `PARTITIONED BY` replacement defines the whole
+      * new layout; bucket tags don't co-exist with it). */
     private def keptSpec: Option[(Int, Int)] =
-      ParquetBucketing.layoutFor(tableDir, writeSchema)
+      if (newSpec.isDefined) None
+      else ParquetBucketing.layoutFor(tableDir, writeSchema)
         .map { case (spec, idx) => (idx, spec.n) }
 
     override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
       val job = org.apache.hadoop.mapreduce.Job.getInstance(
         spark.sessionState.newHadoopConf())
       val owf = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
-      new ParquetStageWriterFactory(owf,
-        new SerializableConfiguration(job.getConfiguration), writeSchema,
-        stagingDir.toString, keptSpec)
+      val conf = new SerializableConfiguration(job.getConfiguration)
+      newSpec match {
+        case Some(spec) =>
+          // partition-routed staging: each task writes one staged file
+          // per partition dir it encounters, exactly the INSERT path
+          new PartitionedStageWriterFactory(owf, conf, writeSchema, spec,
+            stagingDir.toString)
+        case None =>
+          new ParquetStageWriterFactory(owf, conf, writeSchema,
+            stagingDir.toString, keptSpec)
+      }
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -278,13 +325,38 @@ class ParquetReplaceAllWrite(tableDir: String, writeSchema: StructType,
             }
             written += name
           }
+        case PartitionedStageCommit(staged, pid) =>
+          staged.zipWithIndex.foreach { case ((path, relDir), j) =>
+            val name = f"rtas-$queryId-$pid%05d-$j.parquet"
+            val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+            val to = new Path(data, rel)
+            fs.mkdirs(to.getParent)
+            if (fs.exists(to)) fs.delete(to, false) // retried stage: replace
+            if (!fs.rename(new Path(path), to)) {
+              throw new java.io.IOException(
+                s"ParquetReplaceAllWrite: rename $path -> $to failed")
+            }
+            written += rel
+          }
         case _ =>
       }
       fs.delete(stagingDir, true)
 
       // a bucket spec whose column did not survive must not outlive it
+      // (a partitioned replacement always drops it — the new layout is
+      // the statement's PARTITIONED BY)
       if (ParquetBucketing.readSpec(tableDir).isDefined && keptSpec.isEmpty) {
         fs.delete(new Path(tableDir, ".bucketspec"), false)
+      }
+
+      // the PARTITION SPEC swap — the replacement's declared layout (or
+      // its removal when the statement had no PARTITIONED BY). Advisory
+      // for reads: files of the OLD layout pinned in older versions are
+      // simply never dir-pruned (always correct); a crash between this
+      // swap and the publish below leaves the old membership under the
+      // new spec — same safe mixed state as partition evolution.
+      if (PartitionSpecs.read(tableDir) != newSpec) {
+        PartitionSpecs.replace(tableDir, newSpec)
       }
 
       // ONE atomic publish carries the new membership AND the

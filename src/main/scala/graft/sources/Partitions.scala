@@ -203,10 +203,16 @@ object PartitionSpecs {
           require(f.n.exists(_ > 0),
             s"bucket() partitioning on '${f.col}' needs a positive bucket count")
           sf.dataType match {
-            case StringType => ()
+            // per-type murmur3 over the column's OWN Spark type (seed
+            // 42) — the same bits `functions.hash(col)` computes, so a
+            // writer pre-clustering with `pmod(hash(col), n)` and the
+            // layout's router agree exactly (the Iceberg typed-bucket
+            // shape; a BIGINT fact key is the common case)
+            case StringType | ByteType | ShortType | IntegerType | LongType |
+                 DateType => ()
             case dt => throw new UnsupportedOperationException(
-              s"bucket() partitioning is supported on string columns (the " +
-                s"layout's murmur3 contract), got ${dt.simpleString} '${f.col}'")
+              s"bucket() partitioning supports string/integral/date " +
+                s"columns, got ${dt.simpleString} '${f.col}'")
           }
       }
     }
@@ -244,6 +250,23 @@ object PartitionSpecs {
     val spec = Spec(fields)
     validate(spec, schema)
     spec
+  }
+
+  /** Inverse of [[fromTransforms]] — the DSv2 `partitioning()` surface
+    * of a staged or loaded table. */
+  def toTransforms(spec: Spec): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    spec.fields.map { f =>
+      f.transform match {
+        case "identity" => Expressions.identity(f.col)
+        case "days" => Expressions.days(f.col)
+        case "months" => Expressions.months(f.col)
+        case "hours" => Expressions.hours(f.col)
+        case "bucket" => Expressions.bucket(f.n.get, f.col)
+        case other => throw new IllegalStateException(
+          s"unreachable partition transform $other")
+      }
+    }.toArray
   }
 
   // --- directory-name codec ---------------------------------------
@@ -351,6 +374,19 @@ object PartitionSpecs {
               // bucketed tables' `-b<k>` channel)
               Some(math.floorMod(org.apache.spark.sql.GraftShims
                 .murmur3(row.getUTF8String(idx)), f.n.get).toString)
+            case ("bucket", dt @ (ByteType | ShortType | IntegerType |
+                LongType | DateType)) =>
+              // typed keys hash with their OWN Spark type (seed 42) —
+              // bit-identical to functions.hash(col) on that column
+              val v: Any = dt match {
+                case ByteType => row.getByte(idx)
+                case ShortType => row.getShort(idx)
+                case IntegerType | DateType => row.getInt(idx)
+                case LongType => row.getLong(idx)
+                case _ => throw new IllegalStateException("unreachable")
+              }
+              Some(math.floorMod(org.apache.spark.sql.GraftShims
+                .murmur3Typed(v, dt), f.n.get).toString)
             case other => throw new IllegalStateException(
               s"unreachable partition eval $other")
           }
@@ -440,10 +476,11 @@ object PartitionSpecs {
                 t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L)
               Some(Some(ColStats(DMicros, Some(lo),
                 Some(lo + (MicrosPerHour - 1)), Some(0L))))
-            case ("bucket", StringType) =>
+            case ("bucket", _) =>
               // validate the dir value (layout conformity) but emit no
-              // bounds — a hash bucket constrains no value range; footer
-              // stats still prune inside the partition
+              // bounds — a hash bucket constrains no value range
+              // regardless of key type; footer stats still prune inside
+              // the partition
               val k = raw.toInt
               if (f.n.exists(n => k >= 0 && k < n)) Some(None) else None
             case _ => None
@@ -463,9 +500,10 @@ object PartitionSpecs {
     import ParquetFooterStats._
     (f.transform, dt) match {
       case ("identity" | "bucket", StringType) => Some(DStr)
-      case ("identity", ByteType | ShortType | IntegerType | LongType) => Some(DInt)
+      case ("identity" | "bucket", ByteType | ShortType | IntegerType |
+          LongType) => Some(DInt)
       case ("identity", BooleanType) => Some(DBool)
-      case ("identity" | "days" | "months", DateType) => Some(DDays)
+      case ("identity" | "days" | "months" | "bucket", DateType) => Some(DDays)
       case ("days" | "months" | "hours", TimestampType | TimestampNTZType) =>
         Some(DMicros)
       case _ => None

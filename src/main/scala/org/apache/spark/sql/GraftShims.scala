@@ -50,4 +50,11 @@ object GraftShims {
   def murmur3(s: org.apache.spark.unsafe.types.UTF8String): Int =
     catalyst.expressions.Murmur3HashFunction.hash(
       s, org.apache.spark.sql.types.StringType, 42).toInt
+  /** Typed twin for non-string bucket keys: hash the INTERNAL value
+    * with its own Spark type (seed 42) — integral/date columns hash
+    * through different byte paths than strings, and only hashing with
+    * the column's declared type keeps the layout bit-identical to
+    * `functions.hash(col)` on that column. */
+  def murmur3Typed(v: Any, dt: org.apache.spark.sql.types.DataType): Int =
+    catalyst.expressions.Murmur3HashFunction.hash(v, dt, 42).toInt
 }

@@ -181,11 +181,11 @@ class PartitionedTableSpec extends AnyFunSuite {
                    PARTITIONED BY (d)""")
     }
     assert(e1.getMessage.contains("identity partitioning"), e1.getMessage)
-    // bucket(n, col) IS a supported transform now (r12) — but only on
-    // string columns, and the rejection names the contract
+    // bucket(n, col) supports string/integral/date keys (r13) — a
+    // DOUBLE key is still rejected, naming the supported set
     val e2 = intercept[Exception] {
-      spark.sql("""CREATE TABLE graft_ptn.lake.bad2 (a STRING, b BIGINT)
-                   PARTITIONED BY (bucket(4, b))""")
+      spark.sql("""CREATE TABLE graft_ptn.lake.bad2 (a STRING, d DOUBLE)
+                   PARTITIONED BY (bucket(4, d))""")
     }
     assert(e2.getMessage.toLowerCase.contains("bucket"), e2.getMessage)
     val e3 = intercept[Exception] {
@@ -193,10 +193,8 @@ class PartitionedTableSpec extends AnyFunSuite {
         "table => 'lake.sales', col => 'region', n => 4)")
     }
     assert(e3.getMessage.contains("mutually exclusive"), e3.getMessage)
-    val e4 = intercept[Exception] {
-      spark.sql("REPLACE TABLE graft_ptn.lake.sales AS SELECT 1 AS x")
-    }
-    assert(e4.getMessage.contains("partitioned"), e4.getMessage)
+    // REPLACE TABLE on partitioned targets is supported since r13
+    // (RtasPartitionedSpec covers it)
   }
 
   test("zorder runs partition-wise: outputs stay in their partitions") {
@@ -370,5 +368,55 @@ class PartitionedTableSpec extends AnyFunSuite {
     // partition evolution round-trips the bucket spec string
     val (_, rendered) = PartitionEvolution.setSpec(spark, dir, "bucket(4, k)")
     assert(rendered === "bucket(4, k)")
+  }
+
+  test("bucket(n) on typed keys: BIGINT and DATE route by their own " +
+      "type's murmur3 — bit-identical to functions.hash(col)") {
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.bktl")
+    spark.sql("""CREATE TABLE graft_ptn.lake.bktl (k BIGINT, v BIGINT)
+                 PARTITIONED BY (bucket(8, k))""")
+    spark.sql("INSERT INTO graft_ptn.lake.bktl SELECT id, id * 10 FROM range(200)")
+    val dirL = s"$warehouse/lake/bktl"
+    val namesL = ParquetVersions.latest(dirL).get._2
+    assert(namesL.forall(_.startsWith("k~")), namesL)
+    assert(namesL.map(_.split("/").head).distinct.size > 4,
+      s"200 long keys spread over 8 buckets: $namesL")
+    // routing agrees with functions.hash(col) — the claim that lets a
+    // writer pre-cluster with pmod(hash(k), 8): every row's dir bucket
+    // equals pmod(hash(k), 8) computed by Spark itself
+    val hashAgree = spark.sql(
+      "SELECT k, pmod(hash(k), 8) AS hb FROM graft_ptn.lake.bktl")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    namesL.foreach { n =>
+      val b = n.split("/").head.stripPrefix("k~").toInt
+      val rows = spark.read.parquet(s"$dirL/data/$n").select("k").collect()
+      assert(rows.forall(r => math.floorMod(org.apache.spark.sql.GraftShims
+        .murmur3Typed(r.getLong(0), org.apache.spark.sql.types.LongType), 8) == b),
+        s"every row of $n must hash to its dir")
+      assert(rows.forall(r => hashAgree(r.getLong(0)) == b),
+        s"dir bucket of $n must equal Spark's own pmod(hash(k), 8)")
+    }
+    assert(spark.table("graft_ptn.lake.bktl").count() === 200)
+    assert(spark.sql("SELECT v FROM graft_ptn.lake.bktl WHERE k = 137")
+      .head.getLong(0) === 1370)
+    // DATE keys
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.bktd")
+    spark.sql("""CREATE TABLE graft_ptn.lake.bktd (d DATE, v BIGINT)
+                 PARTITIONED BY (bucket(4, d))""")
+    spark.sql("""INSERT INTO graft_ptn.lake.bktd
+                 SELECT date_add(DATE'2024-01-01', CAST(id AS INT)), id
+                 FROM range(30)""")
+    val dirD = s"$warehouse/lake/bktd"
+    val namesD = ParquetVersions.latest(dirD).get._2
+    assert(namesD.forall(_.startsWith("d~")), namesD)
+    assert(spark.table("graft_ptn.lake.bktd").count() === 30)
+    assert(spark.sql(
+      "SELECT v FROM graft_ptn.lake.bktd WHERE d = DATE'2024-01-11'")
+      .head.getLong(0) === 10)
+    // NULL typed keys land in the null dir; IS NOT NULL counts right
+    spark.sql("INSERT INTO graft_ptn.lake.bktl VALUES (NULL, -1)")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_ptn.lake.bktl WHERE k IS NOT NULL")
+      .head.getLong(0) === 200)
   }
 }
