@@ -1449,7 +1449,17 @@ class LogColumnarReader(files: Seq[String], required: StructType,
   private var segNameBytes: Array[Byte] = Array.empty
   // delete masks of the CURRENT file (merge-on-read log DELETEs),
   // compiled at each file transition; a matching line is dropped
-  private var segMasks: Seq[Filter] = Seq.empty
+  // (array + index loop — no per-line closure on the common unmasked path)
+  private var segMasks: Array[Filter] = Array.empty
+
+  private def maskedLine(parts: Array[String]): Boolean = {
+    var i = 0
+    while (i < segMasks.length) {
+      if (LogDelete.evalRow(segMasks(i), parts)) return true
+      i += 1
+    }
+    false
+  }
 
   private val colIdx = required.fields.map(f => LimitHashLog.fieldIdx(f.name))
   private val checks: Array[(Int, Set[String])] = LimitHashLog.parseChecks(pushed)
@@ -1465,7 +1475,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
         val p = new Path(fileIt.next())
         segNameBytes = p.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         segMasks = LimitHashLog.compileMasks(
-          masks.getOrElse(p.getName, Seq.empty))
+          masks.getOrElse(p.getName, Seq.empty)).toArray
         reader = new java.io.BufferedReader(new java.io.InputStreamReader(
           p.getFileSystem(new Configuration()).open(p),
           java.nio.charset.StandardCharsets.UTF_8))
@@ -1489,7 +1499,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
         linesSeen += 1
         val parts = line.split("\t", -1)
         if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1))) &&
-            !segMasks.exists(LogDelete.evalRow(_, parts))) {
+            (segMasks.length == 0 || !maskedLine(parts))) {
           rowsKept += 1
           var j = 0
           while (j < colIdx.length) {
@@ -1587,9 +1597,20 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
   private val colIdx = required.fields.map(f => LimitHashLog.fieldIdx(f.name))
   private val checks: Array[(Int, Set[String])] = LimitHashLog.parseChecks(pushed)
   // merge-on-read delete masks of THIS segment: a matching line is a
-  // deleted row — dropped at parse, before any materialization
-  private val segMasks: Seq[Filter] =
-    LimitHashLog.compileMasks(masks.getOrElse(p.getName, Seq.empty))
+  // deleted row — dropped at parse, before any materialization. Array
+  // + index loop: the unmasked common case pays one length check per
+  // line, never a closure
+  private val segMasks: Array[Filter] =
+    LimitHashLog.compileMasks(masks.getOrElse(p.getName, Seq.empty)).toArray
+
+  private def maskedLine(parts: Array[String]): Boolean = {
+    var i = 0
+    while (i < segMasks.length) {
+      if (LogDelete.evalRow(segMasks(i), parts)) return true
+      i += 1
+    }
+    false
+  }
 
   private[sources] var linesSeen = 0L
   private[sources] var rowsKept = 0L
@@ -1601,7 +1622,7 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
       linesSeen += 1
       val parts = line.split("\t", -1)
       if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1))) &&
-          !segMasks.exists(LogDelete.evalRow(_, parts))) {
+          (segMasks.length == 0 || !maskedLine(parts))) {
         rowsKept += 1
         val values = new Array[Any](colIdx.length)
         var i = 0
