@@ -29,5 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // merge-on-read MERGE INTO: masks + routed appends (or a candidate
     // group rewrite) instead of rewriting every candidate file
     extensions.injectOptimizerRule(_ => sources.ParquetMoRMerge.InterceptRule)
+    // log-tier merge-on-read UPDATE (masks + appended image segments)
+    extensions.injectOptimizerRule(_ => sources.LogMoRUpdate.InterceptRule)
   }
 }

@@ -65,6 +65,8 @@ object Sessions {
     graft.sources.ParquetMoRUpdate.register(spark)
     // merge-on-read MERGE INTO interception (p32)
     graft.sources.ParquetMoRMerge.register(spark)
+    // log-tier merge-on-read UPDATE interception (p37)
+    graft.sources.LogMoRUpdate.register(spark)
     // warehouse dialect: jdbc:clickhouse URLs get exact type widening,
     // backtick quoting, and ClickHouse DDL types (sources/ClickHouseDialect)
     graft.sources.ClickHouseDialect.register()

@@ -383,6 +383,48 @@ object Pipeline {
                  ORDER BY snap""")
   }
 
+  /** MERGE-ON-READ `UPDATE` on the LOG tier
+    * ([[graft.sources.LogMoRUpdate]]) — the p30 shape on the entity
+    * log, completing the lightweight-DML symmetry between the tiers:
+    * two stacked UPDATEs each land as per-segment masks + appended
+    * image segments in one publish (the second's predicate ranges over
+    * the FIRST's image segment), the probe straddles both via time
+    * travel. A mask that leaks old images, a lost update, or an update
+    * applied to a deleted row breaks the hash. */
+  def p37_log_lightweight_update(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p37", "ops")
+    spark.sql("DROP TABLE IF EXISTS graft_p37.ops.limits")
+    spark.sql("""CREATE TABLE graft_p37.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+        lit(null).cast(BinaryType).as("msg"),
+        sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+      .repartitionByRange(8, col("user_id"))
+      .writeTo("graft_p37.ops.limits").overwrite(lit(true))
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p37.warehouse") +
+      "/ops/limits"
+    graft.sources.LogVersions.enable(tableDir) // v1
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      spark.sql("UPDATE graft_p37.ops.limits " +
+        "SET amount = amount + 1000 WHERE user_id = 'u13'") // v2
+      spark.sql("UPDATE graft_p37.ops.limits " +
+        "SET amount = 0 WHERE amount >= 40000000") // v3 (sees v2's images)
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p37.ops.limits VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_mid' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p37.ops.limits VERSION AS OF 2
+                 UNION ALL
+                 SELECT 'c_cur' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p37.ops.limits
+                 ORDER BY snap""")
+  }
+
   /** Row-level DELETE on a catalog PARQUET table
     * ([[graft.sources.ParquetDelete]]): the p10 shape on the parquet
     * tier. The table is range-clustered on o_orderkey so the
@@ -1212,6 +1254,7 @@ object Pipeline {
     "p30_lightweight_update" -> (p30_lightweight_update _),
     "p32_merge_lightweight" -> (p32_merge_lightweight _),
     "p34_log_lightweight" -> (p34_log_lightweight _),
+    "p37_log_lightweight_update" -> (p37_log_lightweight_update _),
     "p35_rtas_partitioned" -> (p35_rtas_partitioned _),
     "p36_bucket_partitioned" -> (p36_bucket_partitioned _),
     "p31_partition_evolution" -> (p31_partition_evolution _),
@@ -1332,6 +1375,23 @@ object Pipeline {
         |       CAST(SUM(cents) AS BIGINT) AS cents
         |FROM b
         |ORDER BY snap, part""".stripMargin,
+    "p37_log_lightweight_update" ->
+      """WITH b AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM orders),
+        |mid AS (SELECT CASE WHEN user_id = 'u13' THEN amount + 1000
+        |                    ELSE amount END AS amount FROM b),
+        |cur AS (SELECT CASE WHEN amount >= 40000000 THEN 0
+        |                    ELSE amount END AS amount FROM mid)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_mid' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM mid
+        |UNION ALL
+        |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM cur
+        |ORDER BY snap""".stripMargin,
     "p34_log_lightweight" ->
       """WITH b AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount

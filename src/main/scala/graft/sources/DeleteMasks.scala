@@ -290,14 +290,29 @@ object MaskPressure extends org.apache.spark.internal.Logging {
       tableDir: String): Unit = {
     val maxPreds = spark.conf.get(MAX_PREDS_KEY, "64").toInt
     if (maxPreds <= 0) return // policy disabled
-    val live = ParquetVersions.live(tableDir).toSet
-    val over = ParquetVersions.masksFor(tableDir, None)
-      .filter { case (f, preds) => live(f) && preds.size >= maxPreds }
+    // tier-agnostic: masks attach only to ledger-referenced names, and
+    // one latestPayload read carries both (parquet data files and log
+    // segments alike)
+    val over = VersionLedger.latestPayload(tableDir).toSeq.flatMap {
+      case (_, p) =>
+        val names = p.names.toSet
+        p.masks.filter { case (f, preds) =>
+          names(f) && preds.size >= maxPreds
+        }
+    }
     if (over.isEmpty) return
     if (spark.conf.get(AUTOPURGE_KEY, "false").toBoolean) {
-      val st = Compaction.purgeMasks(spark, tableDir, minPreds = maxPreds)
-      logInfo(s"mask pressure auto-purge on $tableDir: " +
-        s"${st.rewrittenFiles} files rewritten, ${st.remainingMasked} still masked")
+      if (SchemaManifest.exists(tableDir)) {
+        val st = Compaction.purgeMasks(spark, tableDir, minPreds = maxPreds)
+        logInfo(s"mask pressure auto-purge on $tableDir: " +
+          s"${st.rewrittenFiles} files rewritten, ${st.remainingMasked} still masked")
+      } else {
+        val (_, rw, rem) = MaintenanceLease.withLease(tableDir) {
+          LogDelete.purgeMasksInner(spark, tableDir, minPreds = maxPreds)
+        }
+        logInfo(s"mask pressure auto-purge on $tableDir (log tier): " +
+          s"$rw segments rewritten, $rem still masked")
+      }
     } else {
       logWarning(s"mask pressure on $tableDir: ${over.size} file(s) carry " +
         s">= $maxPreds stacked delete-mask predicates and decode row-based " +

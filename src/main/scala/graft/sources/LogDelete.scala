@@ -309,6 +309,7 @@ object LogDelete {
             masked.map(_ -> Seq(maskJson)).toMap, None) { prev =>
             prev.filterNot(drops)
           }
+          MaskPressure.afterMaskPublish(spark, dir)
           return
         case None => () // value shape the mask codec refuses → copy-on-write
       }

@@ -64,7 +64,7 @@ object LogSegmentMetaColumn extends MetadataColumn {
   * preserves). Concurrent MAINTENANCE (compaction / DELETE / another
   * row-level op) keeps the single-maintainer contract those ops already
   * document. */
-class LogRowLevelOperation(path: String,
+class LogRowLevelOperation(private[sources] val path: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
   /** The one scan of this operation. Spark builds scans twice — once

@@ -108,8 +108,13 @@ object MetaTables {
             case None => (_ => true, _ => false)
             case Some((_, names, ref)) => (names.toSet, ref)
           }
+        // merge-on-read log DELETE masks surface here too — the same
+        // pressure signal the parquet tier exposes (p29)
+        val masks = VersionLedger.latestPayload(tableDir)
+          .map(_._2.masks).getOrElse(Map.empty)
         segs.map { case (name, len) =>
-          Array[Any](name, len, live(name), referenced(name), null, 0)
+          Array[Any](name, len, live(name), referenced(name), null,
+            masks.get(name).map(_.size).getOrElse(0))
         }
       }
     }

@@ -149,8 +149,9 @@ object ParquetMoRUpdate {
       * Literal values convert to their EXTERNAL representations —
       * the mask codec stores external scalars. Any unhandled shape
       * (casts on the column side, functions, subqueries) returns None
-      * → copy-on-write. */
-    private def toV1(e: Expression): Option[v1.Filter] = {
+      * → copy-on-write. Shared with the log tier's interception
+      * ([[LogMoRUpdate]]). */
+    private[sources] def toV1(e: Expression): Option[v1.Filter] = {
       def ext(l: Literal): Any =
         CatalystTypeConverters.convertToScala(l.value, l.dataType)
       e match {
@@ -209,7 +210,7 @@ object ParquetMoRUpdate {
       * the nondeterministic union plan, a `_file` reference, a
       * subquery in a SET value) → copy-on-write. Returns the
       * per-column expressions plus the names of ASSIGNED columns. */
-    private def setProjection(rd: ReplaceData, declared: StructType,
+    private[sources] def setProjection(rd: ReplaceData, declared: StructType,
         declaredNames: Set[String])
         : Option[(Seq[(String, Expression)], Seq[String])] = {
       // the TOPMOST Project is the update projection (the rewrite may

@@ -45,40 +45,40 @@ class ConditionalPutStoreSpec extends AnyFunSuite {
     LedgerStores.register("mockstore", ConditionalPutStore)
     val local = Files.createTempDirectory("graft_cput_wh").toString
     val warehouse = s"mockstore://$local"
-    spark.conf.set("spark.sql.catalog.graft_cp", "graft.sources.LogCatalog")
-    spark.conf.set("spark.sql.catalog.graft_cp.warehouse", warehouse)
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cp.lake")
-    spark.sql("DROP TABLE IF EXISTS graft_cp.lake.t")
-    spark.sql("CREATE TABLE graft_cp.lake.t (id BIGINT, v BIGINT)")
+    spark.conf.set("spark.sql.catalog.graft_cput", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cput.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cput.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_cput.lake.t")
+    spark.sql("CREATE TABLE graft_cput.lake.t (id BIGINT, v BIGINT)")
     spark.range(100).selectExpr("id", "id * 2 AS v")
-      .coalesce(2).writeTo("graft_cp.lake.t").append()
+      .coalesce(2).writeTo("graft_cput.lake.t").append()
     val dir = s"$warehouse/lake/t"
     val before = ConditionalPutStore.creates
-    spark.sql("CALL graft_cp.system.enable_versioning(table => 'lake.t')")
+    spark.sql("CALL graft_cput.system.enable_versioning(table => 'lake.t')")
     assert(ConditionalPutStore.creates > before,
       "the v1 publish must go through the registered store")
     // merge-on-read DELETE: masks ride a ledger publish through the store
     spark.conf.set(DeleteMasks.MODE_KEY, "merge-on-read")
-    try spark.sql("DELETE FROM graft_cp.lake.t WHERE id < 10")
+    try spark.sql("DELETE FROM graft_cput.lake.t WHERE id < 10")
     finally spark.conf.unset(DeleteMasks.MODE_KEY)
     assert(ParquetVersions.masksFor(dir, None).nonEmpty)
-    assert(spark.table("graft_cp.lake.t").count() === 90)
+    assert(spark.table("graft_cput.lake.t").count() === 90)
     // UPDATE (copy-on-write) + compaction (mask purge) + vacuum
-    spark.sql("UPDATE graft_cp.lake.t SET v = 0 WHERE id >= 95")
-    spark.sql("CALL graft_cp.system.compact_table(table => 'lake.t')")
+    spark.sql("UPDATE graft_cput.lake.t SET v = 0 WHERE id >= 95")
+    spark.sql("CALL graft_cput.system.compact_table(table => 'lake.t')")
     assert(ParquetVersions.masksFor(dir, None).isEmpty,
       "compaction purges the masks through the store-published commits")
-    assert(spark.sql("SELECT sum(v) AS s FROM graft_cp.lake.t")
+    assert(spark.sql("SELECT sum(v) AS s FROM graft_cput.lake.t")
       .head.getLong(0) === (10L until 95L).map(_ * 2).sum)
     // time travel across the store-published history
     val vCur = ParquetVersions.latest(dir).get._1
     assert(vCur >= 4L, s"enable + delete + update + compact publishes: $vCur")
     assert(spark.sql(
-      "SELECT count(*) AS c FROM graft_cp.lake.t VERSION AS OF 1")
+      "SELECT count(*) AS c FROM graft_cput.lake.t VERSION AS OF 1")
       .head.getLong(0) === 100, "v1 pre-delete snapshot")
-    spark.sql("CALL graft_cp.system.vacuum(table => 'lake.t', " +
+    spark.sql("CALL graft_cput.system.vacuum(table => 'lake.t', " +
       "retain_last => 2)")
-    assert(spark.table("graft_cp.lake.t").count() === 90)
+    assert(spark.table("graft_cput.lake.t").count() === 90)
     // the CAS genuinely arbitrates: concurrent commits through the
     // store converge with at least one conditional-put loss retried
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)

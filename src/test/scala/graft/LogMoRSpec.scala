@@ -229,6 +229,93 @@ class LogMoRSpec extends AnyFunSuite {
     assert(netDels === Set(("u1", 10L), ("u1", 20L)))
   }
 
+  /** A catalog view over an existing log dir (UPDATE SQL needs a
+    * catalog table; path-based DSv2 SQL is rejected by Spark). */
+  private def catalogFor(dir: String, cat: String): String = {
+    val parent = new Path(dir).getParent.toString
+    val name = new Path(dir).getName
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LogCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", parent)
+    s"$cat.$name"
+  }
+
+  test("MoR UPDATE on the log: segments byte-identical, masks + image " +
+      "segments, exact result, time travel") {
+    val dir = freshLog()
+    val ident = catalogFor(dir, "graft_lmu1")
+    val before = segSigs(dir)
+    withMergeOnRead {
+      spark.sql(s"UPDATE $ident SET amount = amount + 10000 WHERE user_id = 'u1'")
+    }
+    val after = segSigs(dir)
+    before.foreach { case (name, sig) =>
+      assert(after.get(name).contains(sig),
+        s"merge-on-read UPDATE must not rewrite pre-existing segment $name")
+    }
+    val appended = (after.keySet -- before.keySet).toSeq
+    assert(appended.nonEmpty && appended.forall(_.startsWith("segment-rlo-upd-")),
+      s"updated images append as new segments: $appended")
+    // zone proof: only segment A (holding u1) is masked
+    val masks = masksOf(dir)
+    assert(masks.size === 1, s"only the might-match segment is masked: $masks")
+    assert(rows(dir) === Set(("u1", 10010L, "ha1"), ("u1", 10020L, "ha2"),
+      ("u2", 30L, "ha3"), ("u2", 40L, "ha4"),
+      ("zz", 100L, "hb1"), ("zz", 200L, "hb2"),
+      ("u7", 700L, "hc1"), ("u8", 800L, "hc2"), ("u8", 900L, "hc3")))
+    // time travel: v1 shows the originals
+    assert(rows(dir, Some(1L)).exists(_ == ("u1", 10L, "ha1")))
+    assert(rows(dir, Some(1L)).size === 9)
+  }
+
+  test("MoR UPDATE: self-referential SET does not re-mask its output; " +
+      "stacks on a prior masked DELETE without resurrection") {
+    val dir = freshLog()
+    val ident = catalogFor(dir, "graft_lmu2")
+    val table = new LimitHashLogTable(dir)
+    withMergeOnRead {
+      table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        EqualTo("amount", 10L))) // mask u1/10 away first
+      // amounts 20..40 double — 20 doubles to 40, which is still inside
+      // the predicate range, but the image segment carries no mask
+      spark.sql(s"UPDATE $ident SET amount = amount * 2 " +
+        "WHERE amount >= 20 AND amount <= 40")
+    }
+    assert(rows(dir) === Set(("u1", 40L, "ha2"), ("u2", 60L, "ha3"),
+      ("u2", 80L, "ha4"),
+      ("zz", 100L, "hb1"), ("zz", 200L, "hb2"),
+      ("u7", 700L, "hc1"), ("u8", 800L, "hc2"), ("u8", 900L, "hc3")),
+      s"deleted row stays deleted, images survive their own predicate: ${rows(dir)}")
+  }
+
+  test("MoR UPDATE on a bucketed log: image segments carry bucket tags") {
+    val warehouse = Files.createTempDirectory("graft_lhmor_wh4").toString
+    spark.conf.set("spark.sql.catalog.graft_lmor4", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_lmor4.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_lmor4.ops")
+    spark.sql("DROP TABLE IF EXISTS graft_lmor4.ops.t")
+    spark.sql("""CREATE TABLE graft_lmor4.ops.t
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    val dir = s"$warehouse/ops/t"
+    spark.sql("CALL graft_lmor4.system.set_bucket_spec(" +
+      "table => 'ops.t', col => 'user_id', n => 4)")
+    spark.range(40).selectExpr("concat('u', id % 8) AS user_id", "id AS amount",
+      "CAST(NULL AS BINARY) AS msg", "CAST(id AS STRING) AS sha256sum")
+      .writeTo("graft_lmor4.ops.t").append()
+    LogVersions.enable(dir)
+    val before = LogVersions.latest(dir).get._2.toSet
+    withMergeOnRead {
+      spark.sql("UPDATE graft_lmor4.ops.t SET amount = -1 WHERE user_id = 'u3'")
+    }
+    val appended = LogVersions.latest(dir).get._2.toSet -- before
+    assert(appended.nonEmpty && appended.forall(n =>
+      n.startsWith("segment-rlo-upd-") && n.matches(".*-b\\d+$")),
+      s"images on a bucketed log must carry bucket tags: $appended")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_lmor4.ops.t WHERE amount = -1")
+      .head.getLong(0) === 5)
+    assert(spark.table("graft_lmor4.ops.t").count() === 40)
+  }
+
   test("REPLACE WHERE (CoW with payload) on a masked log: no resurrection") {
     val warehouse = Files.createTempDirectory("graft_lhmor_wh3").toString
     spark.conf.set("spark.sql.catalog.graft_lmor3", "graft.sources.LogCatalog")

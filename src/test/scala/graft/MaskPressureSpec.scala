@@ -151,6 +151,42 @@ class MaskPressureSpec extends AnyFunSuite {
     assert(ParquetVersions.latest(dir).get._1 === v, "no version churn")
   }
 
+  test("log tier: masks surface in .files and autopurge fires from the DML") {
+    spark.sql("DROP TABLE IF EXISTS graft_mp.ops_lg")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_mp.ops")
+    spark.sql("DROP TABLE IF EXISTS graft_mp.ops.lg")
+    spark.sql("""CREATE TABLE graft_mp.ops.lg
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    spark.range(50).selectExpr("concat('u', id % 5) AS user_id", "id AS amount",
+      "CAST(NULL AS BINARY) AS msg", "CAST(id AS STRING) AS sha256sum")
+      .repartition(1).writeTo("graft_mp.ops.lg").append()
+    val dir = s"$warehouse/ops/lg"
+    spark.sql("CALL graft_mp.system.enable_versioning(table => 'ops.lg')")
+    withMergeOnRead {
+      spark.sql("DELETE FROM graft_mp.ops.lg WHERE user_id = 'u1'")
+    }
+    // the pressure signal is visible through the log's .files relation
+    val masked = spark.sql(
+      "SELECT masks FROM graft_mp.ops.lg.files WHERE masks > 0").collect()
+    assert(masked.length === 1 && masked.head.getInt(0) === 1,
+      s"log .files must surface mask counts: ${masked.toSeq}")
+    // autopurge: the threshold-crossing DML purges synchronously
+    spark.conf.set(MaskPressure.MAX_PREDS_KEY, "2")
+    spark.conf.set(MaskPressure.AUTOPURGE_KEY, "true")
+    try withMergeOnRead {
+      spark.sql("DELETE FROM graft_mp.ops.lg WHERE user_id = 'u2'")
+    } finally {
+      spark.conf.unset(MaskPressure.AUTOPURGE_KEY)
+      spark.conf.unset(MaskPressure.MAX_PREDS_KEY)
+    }
+    assert(LimitHashLog.segmentsAndMasksAllowed(dir, None, None)._2.isEmpty,
+      "the log-tier autopurge must consume the pressured masks")
+    assert(spark.table("graft_mp.ops.lg").count() === 30)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_mp.ops.lg WHERE user_id IN ('u1','u2')")
+      .head.getLong(0) === 0)
+  }
+
   test("bucketed table: purge outputs keep their bucket tags") {
     spark.sql("DROP TABLE IF EXISTS graft_mp.lake.t5")
     spark.sql("CREATE TABLE graft_mp.lake.t5 (user_id STRING, amount BIGINT)")
