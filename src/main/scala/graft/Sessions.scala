@@ -46,6 +46,13 @@ object Sessions {
       // footers instead of scanning pages — the file-source twin of the
       // log connector's sidecar-served aggregates
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // partition-dir listing: Spark launches a DISTRIBUTED listing job
+      // once a level holds >32 dirs — a ~150 ms scheduling round-trip
+      // paid on EVERY plan of a table with a few dozen partitions
+      // (every month-partitioned table here). Driver-side listStatus
+      // handles hundreds of dirs in single-digit ms on HDFS-likes;
+      // beyond ~512 dirs the distributed listing genuinely wins
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")

@@ -5,7 +5,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, GraftShims}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Bucketed layout for the entity log → STORAGE-PARTITIONED JOINS.
@@ -123,10 +123,20 @@ object LogBucketFunction extends UnboundFunction {
 
   override def bind(inputType: StructType): BoundFunction = {
     require(inputType.fields.length == 2 &&
-      inputType.fields(0).dataType == IntegerType &&
-      inputType.fields(1).dataType == StringType,
-      s"bucket(n int, key string), got $inputType")
-    Bound
+      inputType.fields(0).dataType == IntegerType,
+      s"bucket(n int, key), got $inputType")
+    inputType.fields(1).dataType match {
+      case StringType => Bound
+      // the TYPED partition-spec keys (p36): each hashes with its OWN
+      // Spark type, bit-identical to functions.hash(col) — the same
+      // contract PartitionSpecs.rowDirFn writes with, which is what
+      // makes clustering a partitioned write on THIS function route
+      // ~one file per touched bucket dir
+      case dt @ (ByteType | ShortType | IntegerType | LongType | DateType) =>
+        new BoundTyped(dt)
+      case other => throw new IllegalArgumentException(
+        s"bucket key type $other is not bucketable (string/integral/date)")
+    }
   }
 
   object Bound extends ScalarFunction[Integer] {
@@ -138,5 +148,25 @@ object LogBucketFunction extends UnboundFunction {
     override def isResultNullable: Boolean = false
     override def produceResult(input: InternalRow): Integer =
       LogBucketing.bucketOf(input.getUTF8String(1), input.getInt(0))
+  }
+
+  class BoundTyped(dt: DataType) extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = s"graft.bucket.${dt.typeName}"
+    override def isDeterministic: Boolean = true
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val v: Any = dt match {
+        case ByteType => input.getByte(1)
+        case ShortType => input.getShort(1)
+        case IntegerType | DateType => input.getInt(1)
+        case LongType => input.getLong(1)
+        case _ => throw new IllegalStateException("unreachable")
+      }
+      math.floorMod(
+        org.apache.spark.sql.GraftShims.murmur3Typed(v, dt), input.getInt(0))
+    }
   }
 }

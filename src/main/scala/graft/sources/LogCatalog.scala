@@ -461,16 +461,22 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   // --- functions: the bucket transform behind storage-partitioned joins ---
 
-  /** `bucket(n, key)` is the one catalog function — what binds a
-    * bucketed log scan's reported `KeyGroupedPartitioning` transform to
-    * evaluable semantics ([[LogBucketFunction]], same murmur3 bits as
-    * the write path). */
+  /** `bucket(n, key)` binds a bucketed scan's reported
+    * `KeyGroupedPartitioning` transform to evaluable semantics
+    * ([[LogBucketFunction]], same murmur3 bits as the write path);
+    * `days`/`months`/`hours` ([[PartitionTransformFns]]) let a
+    * partitioned write's required distribution and ordering key on the
+    * TRANSFORM value — Spark's `DistributionAndOrderingUtils` resolves
+    * both through this catalog. */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    ("bucket" +: PartitionTransformFns.byName.keys.toArray.sorted)
+      .map(Identifier.of(namespace, _))
 
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.name().equalsIgnoreCase("bucket")) LogBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    else PartitionTransformFns.byName.getOrElse(
+      ident.name().toLowerCase(java.util.Locale.ROOT),
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   // --- procedures: SQL-callable maintenance (CALL graft.system.*) ---
 

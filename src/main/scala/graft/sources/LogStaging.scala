@@ -251,25 +251,39 @@ class ParquetReplaceAllWrite(tableDir: String, writeSchema: StructType,
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   /** A PARTITIONED replacement clusters rows by the new layout's
-    * source columns (same contract as the partitioned INSERT path): a
-    * distinct partition value lands in ~one task → ~one file per
-    * partition, the file-count property that keeps a 100 TB table's
-    * metadata bounded. */
+    * TRANSFORM expressions (same contract as the partitioned INSERT
+    * path — see [[PartitionedWriteBuilder]]): a distinct partition
+    * value lands in ~one task → ~one file per partition, the
+    * file-count property that keeps a 100 TB table's metadata
+    * bounded. */
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     newSpec match {
       case Some(spec) =>
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          spec.fields.map(f => org.apache.spark.sql.connector.expressions
-            .Expressions.column(f.col): org.apache.spark.sql.connector
-            .expressions.Expression).toArray)
+          PartitionSpecs.toTransforms(spec)
+            .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
       case None =>
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }
-  override def requiredNumPartitions(): Int = 0
+  /** Pinned like the partitioned INSERT path ([[PartitionedWriteBuilder]]
+    * Scaladoc) — AQE's byte-sized coalescing serializes the per-dir
+    * parquet writer opens of a many-partition replacement. */
+  override def requiredNumPartitions(): Int =
+    if (newSpec.isEmpty) 0
+    else {
+      val conf = org.apache.spark.sql.classic.SparkSession.active.conf
+      conf.get("spark.graft.partitioned.write.shuffle.partitions", "").trim match {
+        case "" => conf.get("spark.sql.shuffle.partitions").toInt
+        case n => n.toInt // 0 = AQE-sized
+      }
+    }
+  /** Dir-contiguous task input → one open parquet writer at a time
+    * ([[PartitionSpecs.sortOrderFor]]). */
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+    newSpec.fold(Array.empty[org.apache.spark.sql.connector.expressions
+      .SortOrder])(PartitionSpecs.sortOrderFor)
 
   override def toBatch: BatchWrite = new BatchWrite {
     private def spark = org.apache.spark.sql.classic.SparkSession.active

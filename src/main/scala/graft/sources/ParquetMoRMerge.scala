@@ -387,8 +387,20 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
           else col(tColName(k.field)).isin(vals: _*)
         }.reduce(_ && _)
       }
-      val tgt = prefilter.fold(tgtBase)(tgtBase.filter)
+      // persist the PREFILTERED target: the join, the mask-exactness
+      // census, and the NOT-MATCHED anti-join each consume it, and
+      // without the cache each one re-scans the table (observed: p32
+      // paid the full scan 3×). Only when the IN prefilter bounds it —
+      // an uncapped source (rewrite regime territory) means `tgt` is
+      // the whole table, and caching 100 TB to evict it two jobs later
+      // costs more than the second scan. Caching also FREEZES `_grid`
+      // (monotonically_increasing_id is nondeterministic across
+      // recomputes, fine today only because each consumer groups by
+      // file+key, never by `_grid` across jobs).
+      val tgt0 = prefilter.fold(tgtBase)(tgtBase.filter)
         .withColumn("_grid", monotonically_increasing_id())
+      val tgt = if (srcKeyRows.isDefined)
+        tgt0.persist(StorageLevel.MEMORY_AND_DISK) else tgt0
 
       val onCol = colOf(onCond.e)
       joined = tgt.join(src, onCol, "inner").persist(StorageLevel.MEMORY_AND_DISK)
@@ -542,7 +554,7 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
             fs.delete(staging, true)
             val clustered = partLayout match {
               case Some(ps) =>
-                df.repartition(ps.fields.map(f => col(f.col)): _*)
+                df.repartition(PartitionSpecs.clusterColumnsFor(ps): _*)
               case None => df
             }
             val ordered = clustered.select(

@@ -102,8 +102,7 @@ object PartitionEvolution {
     // write path's required distribution: ~one file per target
     // partition, not (tasks × partitions)
     val clustered = spec match {
-      case Some(ps) => rows.repartition(
-        ps.fields.map(f => org.apache.spark.sql.functions.col(f.col)): _*)
+      case Some(ps) => rows.repartition(PartitionSpecs.clusterColumnsFor(ps): _*)
       case None => rows
     }
     val opId = java.util.UUID.randomUUID().toString.take(8)
@@ -158,7 +157,15 @@ object PartitionEvolution {
     val conf = new SerializableConfiguration(job.getConfiguration)
     val specV = spec
     val schemaV = schema
-    df.queryExecution.toRdd
+    // dir-contiguous task input → ONE open parquet writer at a time
+    // ([[PartitionSpecs.sortColumnsFor]] — dozens of concurrently-open
+    // writers serialize on parquet's global MemoryManager lock); the
+    // writer below still tolerates non-contiguous input by keeping
+    // revisited dirs' writers open
+    val sortCols = specV.toSeq.flatMap(PartitionSpecs.sortColumnsFor)
+    val shaped =
+      if (sortCols.isEmpty) df else df.sortWithinPartitions(sortCols: _*)
+    shaped.queryExecution.toRdd
       .mapPartitionsWithIndex { (pid, it) =>
         import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
         import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
@@ -174,29 +181,47 @@ object PartitionEvolution {
             case Some(ps) => PartitionSpecs.rowDirFn(ps, schemaV)
             case None => _ => ""
           }
-        def pathFor(relDir: String): String =
-          if (relDir.isEmpty) s"$stagingDir/stage-$pid-$attemptId.parquet"
-          else s"$stagingDir/$relDir/stage-$pid-$attemptId.parquet"
-        val writers = scala.collection.mutable.Map.empty[String,
+        def pathFor(relDir: String, k: Int): String =
+          if (relDir.isEmpty) s"$stagingDir/stage-$pid-$attemptId-$k.parquet"
+          else s"$stagingDir/$relDir/stage-$pid-$attemptId-$k.parquet"
+        val open = scala.collection.mutable.LinkedHashMap.empty[String,
           org.apache.spark.sql.execution.datasources.OutputWriter]
+        val fileSeq = scala.collection.mutable.Map.empty[String, Int]
+        val staged = Seq.newBuilder[(String, String)]
+        var cur: String = null
+        var mapMode = false
+        def openWriter(d: String)
+            : org.apache.spark.sql.execution.datasources.OutputWriter = {
+          val k = fileSeq.getOrElse(d, 0)
+          fileSeq(d) = k + 1
+          val p = pathFor(d, k)
+          staged += ((p, d))
+          owf.newInstance(p, schemaV, ctx)
+        }
         try {
           it.foreach { row =>
             val d = dirOf(row)
-            writers.getOrElseUpdate(d,
-              owf.newInstance(pathFor(d), schemaV, ctx)).write(row)
+            if (d != cur) {
+              if (!mapMode && cur != null) {
+                if (fileSeq.contains(d)) mapMode = true
+                else open.remove(cur).foreach(_.close())
+              }
+              cur = d
+            }
+            open.getOrElseUpdate(d, openWriter(d)).write(row)
           }
         } catch {
           case t: Throwable =>
             // a mid-write failure must not leak the open parquet
             // writers' handles and row-group buffers in the executor
-            writers.values.foreach { w =>
+            open.values.foreach { w =>
               try w.close()
               catch { case scala.util.control.NonFatal(_) => () }
             }
             throw t
         }
-        writers.values.foreach(_.close())
-        Iterator.single(writers.keys.toSeq.sorted.map(d => (pathFor(d), d)))
+        open.values.foreach(_.close())
+        Iterator.single(staged.result().sortBy(identity))
       }.collect().toSeq.flatten
   }
 }

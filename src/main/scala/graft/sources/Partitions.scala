@@ -269,6 +269,58 @@ object PartitionSpecs {
     }.toArray
   }
 
+  /** The write-side SORT that makes each task's partition dirs
+    * CONTIGUOUS, so the stage writer holds ONE open parquet writer at
+    * a time instead of one per partition it will ever touch. Dozens of
+    * concurrently-open writers serialize on parquet's global
+    * MemoryManager (every open re-balances all row-group allocations
+    * under one lock — measured ~13× slower than sequential for an
+    * 80-partition epoch); Spark's own FileFormatWriter sorts dynamic
+    * partitions for exactly this reason. The sort keys are the
+    * TRANSFORM expressions themselves (resolved against the catalog's
+    * [[PartitionTransformFns]] / [[LogBucketFunction]]): sorting by
+    * `hours(ts)` or `bucket(8, k)` groups rows of one DIR together,
+    * where the raw source column would interleave an hour partition's
+    * rows with its neighbors' and scatter a bucket's entirely. */
+  def sortOrderFor(spec: Spec)
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    toTransforms(spec).map(t => Expressions.sort(t, SortDirection.ASCENDING))
+  }
+
+  /** [[sortOrderFor]]'s DataFrame-API twin for the RDD staging path
+    * ([[PartitionEvolution.stageRouted]]), where V2 transform
+    * expressions can't be injected: identity and the MONOTONE time
+    * transforms sort by the source column (same dir grouping), bucket
+    * fields by the recomputed bucket id (`pmod(hash(col), n)` is the
+    * layout's own hash for every bucketable type). */
+  def sortColumnsFor(spec: Spec): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    spec.fields.map { f =>
+      if (f.transform == "bucket") pmod(hash(col(f.col)), lit(f.n.get))
+      else col(f.col)
+    }
+  }
+
+  /** CLUSTERING columns for `repartition` on the maintenance staging
+    * paths — per-dir equivalence classes, so one dir lands in one task
+    * (hashing the RAW source column scatters an hour's/month's rows
+    * across every task). In the session's UTC timezone the calendar
+    * truncations coincide with [[rowDirFn]]'s floorDiv routing; a
+    * mismatch would only cost an extra file, never correctness. */
+  def clusterColumnsFor(spec: Spec): Seq[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, date_trunc, hash, lit, pmod, to_date}
+    spec.fields.map { f =>
+      f.transform match {
+        case "bucket" => pmod(hash(col(f.col)), lit(f.n.get))
+        case "days" => to_date(col(f.col))
+        case "months" => date_trunc("month", col(f.col))
+        case "hours" => date_trunc("hour", col(f.col))
+        case _ => col(f.col)
+      }
+    }
+  }
+
   // --- directory-name codec ---------------------------------------
 
   private val NullDir = "~" // the encoded part; URLEncoder never emits '~'
@@ -528,18 +580,18 @@ class PartitionedWriteBuilder(tableDir: String, declared: StructType,
       with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
     /** Partitioned writes ask Spark to CLUSTER rows by the partition
-      * source columns before the write (same contract as the log
-      * tier's bucketed writes): each distinct partition value lands in
+      * TRANSFORM expressions before the write (resolved against the
+      * catalog's [[PartitionTransformFns]] — same contract as the log
+      * tier's bucketed writes): each distinct partition VALUE lands in
       * one task, so an INSERT writes ~one file per touched partition
       * instead of (tasks × partitions) small files — the file-count
-      * property that keeps a 100 TB table's metadata bounded. Exact
-      * for identity and days-on-date layouts; days(timestamp) clusters
-      * by the raw timestamp (no worse than unclustered, and the
-      * codegen'd exchange beats a per-task file explosion). The known
-      * trade-off is a HOT partition serializing through one task
-      * (e.g. a single-day bulk backfill) —
-      * `spark.graft.partitioned.write.distribution=none` opts out for
-      * that load shape. */
+      * property that keeps a 100 TB table's metadata bounded.
+      * Clustering by the transform (not the raw source column) is what
+      * keeps that true for `hours(ts)`/`months(ts)`/`bucket(n, k)`
+      * at ANY task count. The known trade-off is a HOT partition
+      * serializing through one task (e.g. a single-day bulk backfill)
+      * — `spark.graft.partitioned.write.distribution=none` opts out
+      * for that load shape. */
     override def requiredDistribution()
         : org.apache.spark.sql.connector.distributions.Distribution = {
       val mode = org.apache.spark.sql.classic.SparkSession.active.conf
@@ -548,15 +600,37 @@ class PartitionedWriteBuilder(tableDir: String, declared: StructType,
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
       } else {
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          spec.fields.map(f => org.apache.spark.sql.connector.expressions
-            .Expressions.column(f.col): org.apache.spark.sql.connector
-            .expressions.Expression).toArray)
+          PartitionSpecs.toTransforms(spec)
+            .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
       }
     }
-    override def requiredNumPartitions(): Int = 0
+    /** PINNED to the session's shuffle partitions (overridable via
+      * `spark.graft.partitioned.write.shuffle.partitions`; 0 restores
+      * AQE sizing): AQE coalesces a small epoch's exchange down to ONE
+      * task by byte size, which then opens every touched partition's
+      * parquet writer SERIALLY — for a many-partition trickle (the
+      * standing shape of a streaming sink) the writer-open constant,
+      * not bytes, is the cost, and it parallelizes exactly with the
+      * task count. Bytes-per-task still bounds above: the clustered
+      * exchange hashes whole partition values, and the session's
+      * shuffle-partition count is what a deployment sizes for its epoch
+      * volume anyway. Only pinned under a clustered distribution
+      * (Spark rejects a partition count on an unspecified one). */
+    override def requiredNumPartitions(): Int = {
+      val conf = org.apache.spark.sql.classic.SparkSession.active.conf
+      if (conf.get("spark.graft.partitioned.write.distribution", "clustered")
+          == "none") 0
+      else conf.get("spark.graft.partitioned.write.shuffle.partitions", "")
+        .trim match {
+        case "" => conf.get("spark.sql.shuffle.partitions").toInt
+        case n => n.toInt // 0 = AQE-sized
+      }
+    }
+    /** Dir-contiguous task input → one open parquet writer at a time
+      * ([[PartitionSpecs.sortOrderFor]]). */
     override def requiredOrdering()
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty
+      PartitionSpecs.sortOrderFor(spec)
 
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
@@ -736,28 +810,58 @@ class PartitionedStageWriterFactory(owf: OutputWriterFactory,
       (taskId % Int.MaxValue).toInt)
     val ctx = new TaskAttemptContextImpl(conf.value, attempt)
     val dirOf = PartitionSpecs.rowDirFn(spec, schema)
-    // task-unique staged names: speculative attempts never collide
-    def pathFor(relDir: String): String =
-      s"$stagingDir/$relDir/stage-$partitionId-$taskId.parquet"
+    // task-unique staged names: speculative attempts never collide;
+    // the -k suffix separates a dir's files when a run is re-opened
+    def pathFor(relDir: String, k: Int): String =
+      s"$stagingDir/$relDir/stage-$partitionId-$taskId-$k.parquet"
 
+    /** ADAPTIVE writer regime: the write plan sorts rows by the
+      * partition source columns ([[PartitionSpecs.sortOrderFor]]), so
+      * each dir arrives as ONE contiguous run and the previous run's
+      * writer closes as soon as the dir changes — one open parquet
+      * writer per task, instead of every open writer contending on
+      * parquet's global MemoryManager lock for the task's whole
+      * lifetime. A dir REVISIT means the input was not dir-contiguous
+      * after all (bucket layout, ordering not enforced): from then on
+      * writers stay open (the old map regime), costing at most one
+      * extra file per dir instead of a file per run. */
     new DataWriter[InternalRow] {
-      private val writers = scala.collection.mutable.Map.empty[String,
+      private val open = scala.collection.mutable.LinkedHashMap.empty[String,
         org.apache.spark.sql.execution.datasources.OutputWriter]
+      private val fileSeq = scala.collection.mutable.Map.empty[String, Int]
+      private val staged = Seq.newBuilder[(String, String)]
+      private var cur: String = null
+      private var mapMode = false
+
+      private def openWriter(relDir: String)
+          : org.apache.spark.sql.execution.datasources.OutputWriter = {
+        val k = fileSeq.getOrElse(relDir, 0)
+        fileSeq(relDir) = k + 1
+        val p = pathFor(relDir, k)
+        staged += ((p, relDir))
+        owf.newInstance(p, schema, ctx)
+      }
 
       override def write(row: InternalRow): Unit = {
         val relDir = dirOf(row)
-        writers.getOrElseUpdate(relDir,
-          owf.newInstance(pathFor(relDir), schema, ctx)).write(row)
+        if (relDir != cur) {
+          if (!mapMode && cur != null) {
+            if (fileSeq.contains(relDir)) mapMode = true
+            else open.remove(cur).foreach(_.close())
+          }
+          cur = relDir
+        }
+        open.getOrElseUpdate(relDir, openWriter(relDir)).write(row)
       }
       override def commit(): WriterCommitMessage = {
-        writers.values.foreach(_.close())
+        open.values.foreach(_.close())
         PartitionedStageCommit(
-          writers.keys.toSeq.sorted.map(d => (pathFor(d), d)), partitionId)
+          staged.result().sortBy(identity), partitionId)
       }
       override def abort(): Unit = {
-        writers.values.foreach(_.close())
-        writers.keys.foreach { d =>
-          val p = new Path(pathFor(d))
+        open.values.foreach(_.close())
+        staged.result().foreach { case (path, _) =>
+          val p = new Path(path)
           val fs = p.getFileSystem(conf.value)
           if (fs.exists(p)) fs.delete(p, false)
         }

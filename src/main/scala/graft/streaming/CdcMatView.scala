@@ -81,21 +81,6 @@ class CdcMatView(viewDir: String) extends Serializable {
     b
   }
 
-  /** The generation's recorded bucket count: its `_nb-<n>` marker, or
-    * 32 for the pre-marker round-11 layout (every file bucket-named),
-    * or None for a legacy flat layout (full migrate). */
-  private def genBucketCount(fs: org.apache.hadoop.fs.FileSystem,
-      gen: Path, genFiles: Seq[org.apache.hadoop.fs.FileStatus]): Option[Int] = {
-    val marker = fs.listStatus(gen).map(_.getPath.getName)
-      .find(_.startsWith("_nb-")).flatMap(_.stripPrefix("_nb-").toIntOption)
-    marker.orElse {
-      if (genFiles.nonEmpty &&
-          genFiles.forall(s => bucketOfName(s.getPath.getName).isDefined))
-        Some(MaxBuckets) // round-11 fixed-count layout
-      else None
-    }
-  }
-
   /** Fold the snapshot aggregate in as the pre-stream generation.
     * Input needs (user_id, amount); no-op if the view already exists
     * (a checkpoint restart must not re-seed). Staged through `.next` +
@@ -112,32 +97,35 @@ class CdcMatView(viewDir: String) extends Serializable {
     val next = new Path(viewDir + ".next")
     val grouped = snapshot.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"), sum(col("amount")).as("cents"))
-      .persist()
-    try {
-      // size the INITIAL bucket count from the aggregate's row count
-      // (bytes are unknowable before the write): a toy view starts at
-      // ONE bucket, a large one at the count its size warrants
-      val rowsPerBucket = math.max(1L,
-        confLong(spark, "spark.graft.cdcview.bucket.rows", 200000L))
-      val buckets = clampPow2(
-        (grouped.count() + rowsPerBucket - 1) / rowsPerBucket)
-      // repartition ON the bucket id first: without it every aggregate
-      // task holds keys of many buckets and partitionBy writes a
-      // (tasks × buckets) file explosion — one small shuffle caps the
-      // generation at ~one file per bucket
-      grouped
-        .withColumn("_b", lit(-1L))
-        .withColumn("_vb", bucketCol(buckets))
-        .repartition(buckets, col("_vb"))
-        .write.partitionBy("_vb").mode("overwrite").parquet(next.toString)
-      flattenBuckets(fs, next, "s")
-      fs.create(new Path(next, s"_nb-$buckets"), true).close()
-      // seed watermark: -1 (pre-stream) — also what makes the staged seed
-      // generation COMPLETE for repairSwap
-      fs.create(new Path(next, "_b--1"), true).close()
-      if (!fs.rename(next, main))
-        throw new java.io.IOException(s"CdcMatView seed: rename to $main failed")
-    } finally grouped.unpersist()
+    // size the INITIAL bucket count from the INPUT's plan-statistics
+    // size — zero jobs, where an exact `grouped.count()` paid a full
+    // snapshot scan before the write re-ran the same aggregate. The
+    // input size over-estimates the (aggregated) view, so a big seed
+    // may start over-bucketed — grow-only absorbs that for the cost of
+    // some near-empty files, while UNDER-bucketing is impossible
+    // (|view| ≤ |input| rows and the write still caps at MaxBuckets)
+    val bytesPerBucket = math.max(1L,
+      confLong(spark, "spark.graft.cdcview.bucket.bytes", 8L << 20))
+    val inputBytes = snapshot.queryExecution.optimizedPlan.stats.sizeInBytes
+    val buckets = clampPow2(
+      ((inputBytes + bytesPerBucket - 1) / bytesPerBucket)
+        .min(BigInt(MaxBuckets)).toLong)
+    // repartition ON the bucket id first: without it every aggregate
+    // task holds keys of many buckets and partitionBy writes a
+    // (tasks × buckets) file explosion — one small shuffle caps the
+    // generation at ~one file per bucket
+    grouped
+      .withColumn("_b", lit(-1L))
+      .withColumn("_vb", bucketCol(buckets))
+      .repartition(buckets, col("_vb"))
+      .write.partitionBy("_vb").mode("overwrite").parquet(next.toString)
+    flattenBuckets(fs, next, "s")
+    fs.create(new Path(next, s"_nb-$buckets"), true).close()
+    // seed watermark: -1 (pre-stream) — also what makes the staged seed
+    // generation COMPLETE for repairSwap
+    fs.create(new Path(next, "_b--1"), true).close()
+    if (!fs.rename(next, main))
+      throw new java.io.IOException(s"CdcMatView seed: rename to $main failed")
     ()
   }
 
@@ -155,13 +143,38 @@ class CdcMatView(viewDir: String) extends Serializable {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(viewDir).getFileSystem(conf)
     repairSwap(fs)
-    if (appliedBatch(fs, spark).exists(_ >= batchId)) return // replay: no-op
-    val genDir = currentGenDir(fs)
+    // after repairSwap the current generation IS `main` (a complete
+    // `.next` or surviving `.prev` was just promoted) or there is none
+    // at all — so ONE listing of it serves replay detection (the `_b-`
+    // watermark), the generation's files, and its `_nb-` bucket-count
+    // marker, where separate exists/listStatus probes paid five
+    // filesystem round-trips per trigger
+    val mainLs: Option[Seq[org.apache.hadoop.fs.FileStatus]] =
+      try Some(fs.listStatus(new Path(viewDir)).toSeq)
+      catch { case _: java.io.FileNotFoundException => None }
+    val genNames = mainLs.getOrElse(Seq.empty).map(_.getPath.getName)
+    val watermarks =
+      genNames.filter(_.startsWith("_b-")).flatMap(_.stripPrefix("_b-").toLongOption)
+    val applied: Option[Long] =
+      if (watermarks.nonEmpty) Some(watermarks.max)
+      else if (mainLs.isEmpty) None
+      else { // pre-marker legacy generation: the max `_b` data cell
+        val r = read(spark).agg(max(col("_b"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    if (applied.exists(_ >= batchId)) return // replay: no-op
     val genFiles: Seq[org.apache.hadoop.fs.FileStatus] =
-      genDir.toSeq.flatMap(d => fs.listStatus(d).toSeq)
+      mainLs.getOrElse(Seq.empty)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val curBuckets: Option[Int] =
-      genDir.flatMap(d => genBucketCount(fs, d, genFiles))
+      genNames.find(_.startsWith("_nb-"))
+        .flatMap(_.stripPrefix("_nb-").toIntOption)
+        .orElse {
+          if (genFiles.nonEmpty &&
+              genFiles.forall(s => bucketOfName(s.getPath.getName).isDefined))
+            Some(MaxBuckets) // round-11 fixed-count layout
+          else None
+        }
     // grow-only: the next count covers the current generation's bytes
     val bytesPerBucket = math.max(1L,
       confLong(spark, "spark.graft.cdcview.bucket.bytes", 8L << 20))
@@ -173,20 +186,35 @@ class CdcMatView(viewDir: String) extends Serializable {
     val migrate = genFiles.nonEmpty && !curBuckets.contains(nextBuckets)
 
     val w = when(col("_change_type") === "insert", lit(1L)).otherwise(lit(-1L))
-    val delta = batch
+    // raw signed rows: (+1, +amount) per insert, (−1, −amount) per
+    // delete — pre-aggregated only when bucket detection needs it
+    val signed = batch.select(col("user_id"), w.as("n"),
+      (w * col("amount")).as("cents"))
+    // touched-bucket detection needs a separate pass over the delta (a
+    // pre-aggregate + collect, and a persist so the merge below reuses
+    // it) — pay that ONLY when the generation actually spreads across
+    // buckets. A 1-bucket generation rewrites its whole (single-file)
+    // state either way, a migration rewrites everything by definition,
+    // and in both cases the raw signed rows fold STRAIGHT into the
+    // merge aggregate: per trigger that is one Spark job and one
+    // shuffle against the changelog, not two of each
+    val needTouched = !migrate && curBuckets.exists(_ > 1)
+    val delta = if (!needTouched) None else Some(signed
       .groupBy(col("user_id"))
-      .agg(sum(w).as("n"), sum(w * col("amount")).as("cents"))
+      .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
       // bucket ids of the CURRENT generation's layout (touched-file
       // detection); the merged output re-derives ids under nextBuckets
       .withColumn("_vb", bucketCol(curBuckets.getOrElse(nextBuckets)))
-      .persist()
+      .persist())
     try {
-      val touched: Set[Int] =
-        delta.select(col("_vb")).distinct().collect().map(_.getInt(0)).toSet
       val (rewriteFiles, carryFiles) =
-        if (migrate) (genFiles, Seq.empty)
-        else genFiles.partition(s =>
-          bucketOfName(s.getPath.getName).exists(touched))
+        if (!needTouched) (genFiles, Seq.empty)
+        else {
+          val touched: Set[Int] = delta.get.select(col("_vb")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          genFiles.partition(s =>
+            bucketOfName(s.getPath.getName).exists(touched))
+        }
       val existing =
         if (rewriteFiles.isEmpty) {
           spark.range(0).select(lit("").as("user_id"), lit(0L).as("n"),
@@ -194,7 +222,7 @@ class CdcMatView(viewDir: String) extends Serializable {
         } else spark.read.parquet(rewriteFiles.map(_.getPath.toString): _*)
           .select(col("user_id"), col("n"), col("cents"))
       val merged = existing
-        .union(delta.select(col("user_id"), col("n"), col("cents")))
+        .union(delta.fold(signed)(_.select(col("user_id"), col("n"), col("cents"))))
         .groupBy(col("user_id"))
         .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
         .filter(col("n") =!= 0L) // fully-retracted keys leave the view
@@ -228,39 +256,7 @@ class CdcMatView(viewDir: String) extends Serializable {
         throw new java.io.IOException(s"CdcMatView swap: rename $main -> $prev failed")
       if (!fs.rename(next, main))
         throw new java.io.IOException(s"CdcMatView swap: rename $next -> $main failed")
-    } finally delta.unpersist()
-  }
-
-  /** The directory the CURRENT generation lives in — same resolution
-    * order as [[read]] (main, proven-complete `.next`, `.prev`). */
-  private def currentGenDir(fs: org.apache.hadoop.fs.FileSystem): Option[Path] = {
-    val main = new Path(viewDir)
-    if (fs.exists(main)) return Some(main)
-    val next = new Path(viewDir + ".next")
-    if (fs.exists(new Path(next, "_SUCCESS")) &&
-        fs.exists(next) &&
-        fs.listStatus(next).exists(_.getPath.getName.startsWith("_b-")))
-      return Some(next)
-    val prev = new Path(viewDir + ".prev")
-    if (fs.exists(prev)) Some(prev) else None
-  }
-
-  /** The highest batchId folded into the CURRENT generation: the
-    * `_b-<id>` marker when present (authoritative — survives an empty
-    * generation), else the max `_b` data cell (pre-marker views). */
-  private def appliedBatch(fs: org.apache.hadoop.fs.FileSystem,
-      spark: SparkSession): Option[Long] = {
-    val dir = Seq(viewDir, viewDir + ".next", viewDir + ".prev")
-      .find(d => fs.exists(new Path(d)))
-    val marker = dir.toSeq.flatMap { d =>
-      fs.listStatus(new Path(d)).map(_.getPath.getName)
-        .filter(_.startsWith("_b-")).flatMap(_.stripPrefix("_b-").toLongOption)
-    }
-    if (marker.nonEmpty) Some(marker.max)
-    else {
-      val r = read(spark).agg(max(col("_b"))).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
-    }
+    } finally delta.foreach { d => d.unpersist(); () }
   }
 
   /** Same read-repair contract as [[MatView.repairSwap]], with one

@@ -256,6 +256,30 @@ class PartitionedTableSpec extends AnyFunSuite {
     assert(spark.table("graft_ptn.lake.pf").count() === 4100)
   }
 
+  test("INSERT clusters by the TRANSFORM value: hours(ts) from a " +
+      "many-task input lands one file per hour dir") {
+    // regression pin: clustering on the raw ts column scatters one
+    // hour's rows across tasks — under AQE-coalesced tiny exchanges it
+    // looked fine (one task total), but any pinned/larger task count
+    // then wrote (tasks × partitions) files. The write must cluster on
+    // hours(ts) resolved through the catalog's function
+    // (PartitionTransformFns), value-routing regardless of task count.
+    spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.hcl")
+    spark.sql("""CREATE TABLE graft_ptn.lake.hcl (ts TIMESTAMP, v BIGINT)
+                 PARTITIONED BY (hours(ts))""")
+    spark.range(0, 4000).repartition(8)
+      .selectExpr(
+        "timestamp_micros(CAST(1700000000000000 + (id % 3) * 3600000000 + " +
+          "(id * 1000) AS BIGINT)) AS ts",
+        "id AS v")
+      .writeTo("graft_ptn.lake.hcl").append()
+    val names = ParquetVersions.latest(s"$warehouse/lake/hcl").get._2
+    assert(names.size === 3,
+      s"transform-clustered write must produce one file per hour: $names")
+    assert(names.map(_.split("/").head).distinct.size === 3)
+    assert(spark.table("graft_ptn.lake.hcl").count() === 4000)
+  }
+
   test("UPDATE on a partitioned table stays correct") {
     spark.sql("DROP TABLE IF EXISTS graft_ptn.lake.pu")
     spark.sql("""CREATE TABLE graft_ptn.lake.pu (region STRING, amount BIGINT)

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, DecimalType, LongType, StringType}
+
+/** Scratch phase profiler for the s19/s21 constant-factor work (VERDICT
+  * r12 #7) — test scope only, never shipped. Reproduces each pipeline
+  * with nanoTime around its phases so the per-trigger / per-epoch cost
+  * split (setup vs stream startup vs maintain vs probe) is measured,
+  * not guessed. Run: `sbt "Test/runMain graft.ProfileStreams"`. */
+object ProfileStreams {
+
+  private def catalogFor(spark: org.apache.spark.sql.SparkSession,
+      tag: String, ns: String): Unit = {
+    val cat = s"graft_$tag"
+    if (spark.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      val wh = java.nio.file.Files.createTempDirectory(s"graft_lhcat_$tag").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.LogCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    }
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.$ns")
+    ()
+  }
+
+  private def t[A](label: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    println(f"PROF $label%-28s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.base()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // per-trigger duration breakdown (queryPlanning / addBatch / WAL /
+    // offset polling), the numbers the optimization has to move
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        println(s"PROF-TRIG batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durations=${p.durationMs}")
+      }
+    })
+    // per-stage wall/CPU split — driver gaps vs executor time
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val i = s.stageInfo
+        val wall = for {
+          a <- i.submissionTime; b <- i.completionTime
+        } yield b - a
+        println(s"PROF-STAGE id=${i.stageId} tasks=${i.numTasks} " +
+          s"wall=${wall.getOrElse(-1L)}ms name=${i.name.takeWhile(_ != '\n').take(60)}")
+      }
+    })
+    // warm-up: JVM + codegen + parquet reader paths
+    spark.read.parquet(s"$dir/orders.parquet").count()
+
+    val which = if (args.isEmpty) Set("s19", "s21") else args.toSet
+    if (which("s19")) {
+      println("=== s19 (CdcMatView) phases ===")
+      profileS19(spark, dir)
+    }
+    if (which("s21")) {
+      println("=== s21 (partitioned sink) phases ===")
+      profileS21(spark, dir)
+    }
+    spark.stop()
+  }
+
+  private def profileS19(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.sources.{LimitHashLog, LogDelete, LogVersions}
+    val logDir = java.nio.file.Files.createTempDirectory("prof_s19").toString
+    val ck = java.nio.file.Files.createTempDirectory("prof_s19_ck").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("prof_s19_v").toString + "/view"
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast(LongType).as("okey"),
+      concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+      (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"),
+      lit(null).cast(BinaryType).as("msg"),
+      sha2(col("o_orderkey").cast(StringType), 256).as("sha256sum"))
+    def writeThird(parity: Int): Unit =
+      base.filter(col("okey") % 3 === parity).drop("okey")
+        .repartition(4)
+        .write.format(LimitHashLog.FORMAT).mode("append").save(logDir)
+    t("write v0")(writeThird(0))
+    t("enable")(LogVersions.enable(logDir))
+    val view = new graft.streaming.CdcMatView(viewDir)
+    t("seed")(view.seed(spark.read.format(LimitHashLog.FORMAT)
+      .option("versionAsOf", "1").load(logDir)))
+    def run(tag: String): Unit = t(s"stream run $tag") {
+      val q = spark.readStream.format(LimitHashLog.FORMAT)
+        .option("changeFeed", "true").option("startVersion", "1").load(logDir)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) => t(s"  maintain($id)")(view.maintain(b.toDF(), id)))
+        .start()
+      t(s"  processAll $tag")(q.processAllAvailable())
+      q.stop()
+    }
+    t("write v2")(writeThird(1))
+    run("1")
+    t("write v3")(writeThird(2))
+    t("delete u7")(LogDelete.deleteWhere(spark, logDir,
+      Array(org.apache.spark.sql.sources.EqualTo("user_id", "u7"))))
+    run("2")
+    t("final read")(view.read(spark)
+      .select(col("user_id"), col("n"), col("cents"))
+      .orderBy(col("user_id")).collect())
+    ()
+  }
+
+  private def profileS21(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    catalogFor(spark, "profs21", "lake")
+    val ck = java.nio.file.Files.createTempDirectory("prof_s21_ck").toString
+    spark.sql("DROP TABLE IF EXISTS graft_profs21.lake.src")
+    spark.sql("DROP TABLE IF EXISTS graft_profs21.lake.dst")
+    spark.sql("CREATE TABLE graft_profs21.lake.src (okey BIGINT, mday DATE, cents BIGINT)")
+    spark.sql("""CREATE TABLE graft_profs21.lake.dst (okey BIGINT, mday DATE, cents BIGINT)
+                 PARTITIONED BY (days(mday))""")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast(LongType).as("okey"),
+      date_trunc("month", col("o_orderdate"))
+        .cast(org.apache.spark.sql.types.DateType).as("mday"),
+      (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+    def writeHalf(parity: Int): Unit =
+      base.filter(col("okey") % 2 === parity)
+        .repartition(2).writeTo("graft_profs21.lake.src").append()
+    t("write src v0")(writeHalf(0))
+    t("enable")(spark.sql(
+      "CALL graft_profs21.system.enable_versioning(table => 'lake.src')").collect())
+    // control: the SAME rows through the batch partitioned INSERT —
+    // separates partitioned-write cost from streaming overhead
+    spark.sql("DROP TABLE IF EXISTS graft_profs21.lake.ctl")
+    spark.sql("""CREATE TABLE graft_profs21.lake.ctl (okey BIGINT, mday DATE, cents BIGINT)
+                 PARTITIONED BY (days(mday))""")
+    t("ctl batch insert")(spark.sql(
+      """INSERT INTO graft_profs21.lake.ctl
+         SELECT * FROM graft_profs21.lake.src WHERE cents % 3 = 0""").collect())
+    t("ctl batch insert 2")(spark.sql(
+      """INSERT INTO graft_profs21.lake.ctl
+         SELECT * FROM graft_profs21.lake.src WHERE cents % 3 = 0""").collect())
+    spark.sql("DROP TABLE IF EXISTS graft_profs21.lake.ctlflat")
+    spark.sql("CREATE TABLE graft_profs21.lake.ctlflat (okey BIGINT, mday DATE, cents BIGINT)")
+    t("ctl flat insert")(spark.sql(
+      """INSERT INTO graft_profs21.lake.ctlflat
+         SELECT * FROM graft_profs21.lake.src WHERE cents % 3 = 0""").collect())
+    t("ctl scan+exchange only")(spark.sql(
+      """SELECT * FROM graft_profs21.lake.src WHERE cents % 3 = 0
+         DISTRIBUTE BY mday""").write.format("noop").mode("overwrite").save())
+    // micro: raw ParquetOutputWriter open/write/close, one thread
+    t("ctl 80 writers 1 thread") {
+      val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("okey", LongType),
+        org.apache.spark.sql.types.StructField("cents", LongType)))
+      val job = org.apache.hadoop.mapreduce.Job.getInstance(
+        classic.sessionState.newHadoopConf())
+      val owf = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetFileFormat().prepareWrite(classic, job, Map.empty, schema)
+      val tmp = java.nio.file.Files.createTempDirectory("prof_w").toString
+      import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+      import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+      val ctx = new TaskAttemptContextImpl(job.getConfiguration,
+        new TaskAttemptID(new TaskID(new JobID("prof", 0), TaskType.MAP, 0), 0))
+      val row = org.apache.spark.sql.catalyst.InternalRow(1L, 2L)
+      var i = 0
+      while (i < 80) {
+        val w = owf.newInstance(s"$tmp/f$i.parquet", schema, ctx)
+        var j = 0
+        while (j < 300) { w.write(row); j += 1 }
+        w.close()
+        i += 1
+      }
+    }
+    def run(tag: String): Unit = t(s"stream run $tag") {
+      val q = spark.readStream.table("graft_profs21.lake.src")
+        .filter(col("cents") % 3 === 0)
+        .writeStream.option("checkpointLocation", ck)
+        .toTable("graft_profs21.lake.dst")
+      t(s"  processAll $tag")(q.processAllAvailable())
+      q.stop()
+    }
+    run("1")
+    t("write src v2")(writeHalf(1))
+    run("2")
+    t("final probe")(spark.sql(
+      """SELECT mday, count(*) AS n, sum(cents) AS sum_cents
+         FROM graft_profs21.lake.dst
+         WHERE mday >= DATE'1993-01-01' AND mday <= DATE'1997-06-01'
+         GROUP BY mday ORDER BY mday""").collect())
+    t("probe warm")(spark.sql(
+      """SELECT mday, count(*) AS n, sum(cents) AS sum_cents
+         FROM graft_profs21.lake.dst
+         WHERE mday >= DATE'1993-01-01' AND mday <= DATE'1997-06-01'
+         GROUP BY mday ORDER BY mday""").collect())
+    val wh = spark.conf.get("spark.sql.catalog.graft_profs21.warehouse")
+    val n = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$wh/lake/dst/data"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    println(s"PROF dst parquet files: $n")
+    ()
+  }
+}
