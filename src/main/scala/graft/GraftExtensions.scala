@@ -31,5 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectOptimizerRule(_ => sources.ParquetMoRMerge.InterceptRule)
     // log-tier merge-on-read UPDATE (masks + appended image segments)
     extensions.injectOptimizerRule(_ => sources.LogMoRUpdate.InterceptRule)
+    // log-tier merge-on-read MERGE INTO (masks + routed appends)
+    extensions.injectOptimizerRule(_ => sources.LogMoRMerge.InterceptRule)
   }
 }

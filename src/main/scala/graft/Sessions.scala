@@ -74,6 +74,8 @@ object Sessions {
     graft.sources.ParquetMoRMerge.register(spark)
     // log-tier merge-on-read UPDATE interception (p37)
     graft.sources.LogMoRUpdate.register(spark)
+    // log-tier merge-on-read MERGE INTO interception (p38)
+    graft.sources.LogMoRMerge.register(spark)
     // warehouse dialect: jdbc:clickhouse URLs get exact type widening,
     // backtick quoting, and ClickHouse DDL types (sources/ClickHouseDialect)
     graft.sources.ClickHouseDialect.register()

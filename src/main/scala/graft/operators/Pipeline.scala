@@ -425,6 +425,59 @@ object Pipeline {
                  ORDER BY snap""")
   }
 
+  /** MERGE-ON-READ `MERGE INTO` on the LOG tier
+    * ([[graft.sources.LogMoRMerge]]) — the p32 shape on the entity
+    * log, closing the lightweight-DML symmetry (both tiers now
+    * decompose DELETE/UPDATE/MERGE into masks + appends): a CDC batch
+    * deletes ~half its matched keys, updates the rest and inserts a
+    * disjoint key range, all in ONE guarded publish of per-segment
+    * `sha256sum IN (…)` masks + appended image/insert segments. The
+    * probe straddles the MERGE via time travel; a resurrected deleted
+    * row, a lost update, a double-applied insert or a mask hiding an
+    * unmatched same-segment row breaks the hash. */
+  def p38_log_lightweight_merge(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p38", "ops")
+    spark.sql("DROP TABLE IF EXISTS graft_p38.ops.limits")
+    spark.sql("""CREATE TABLE graft_p38.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("okey"),
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"))
+      .createOrReplaceTempView("p38_base")
+    spark.sql("""INSERT INTO graft_p38.ops.limits
+                 SELECT user_id, amount, CAST(NULL AS BINARY),
+                        sha2(CAST(okey AS STRING), 256)
+                 FROM p38_base""")
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p38.warehouse") +
+      "/ops/limits"
+    graft.sources.LogVersions.enable(tableDir) // v1
+    spark.sql("""SELECT sha2(CAST(okey AS STRING), 256) AS k,
+                        amount AS cents, user_id AS u
+                 FROM p38_base WHERE okey % 29 = 5
+                 UNION ALL
+                 SELECT sha2(CAST(okey + 100000000 AS STRING), 256) AS k,
+                        amount AS cents, user_id AS u
+                 FROM p38_base WHERE okey % 31 = 2""")
+      .createOrReplaceTempView("p38_cdc")
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      spark.sql("""MERGE INTO graft_p38.ops.limits t USING p38_cdc s
+                   ON t.sha256sum = s.k
+                   WHEN MATCHED AND s.cents % 10 < 5 THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET amount = s.cents * 2 + 1
+                   WHEN NOT MATCHED THEN INSERT (user_id, amount, msg, sha256sum)
+                     VALUES (s.u, s.cents, NULL, s.k)""") // v2
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p38.ops.limits VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_cur' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p38.ops.limits
+                 ORDER BY snap""")
+  }
+
   /** Row-level DELETE on a catalog PARQUET table
     * ([[graft.sources.ParquetDelete]]): the p10 shape on the parquet
     * tier. The table is range-clustered on o_orderkey so the
@@ -1255,6 +1308,7 @@ object Pipeline {
     "p32_merge_lightweight" -> (p32_merge_lightweight _),
     "p34_log_lightweight" -> (p34_log_lightweight _),
     "p37_log_lightweight_update" -> (p37_log_lightweight_update _),
+    "p38_log_lightweight_merge" -> (p38_log_lightweight_merge _),
     "p35_rtas_partitioned" -> (p35_rtas_partitioned _),
     "p36_bucket_partitioned" -> (p36_bucket_partitioned _),
     "p31_partition_evolution" -> (p31_partition_evolution _),
@@ -1390,6 +1444,23 @@ object Pipeline {
         |FROM mid
         |UNION ALL
         |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM cur
+        |ORDER BY snap""".stripMargin,
+    "p38_log_lightweight_merge" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM orders),
+        |cur AS (
+        |  SELECT CASE WHEN k % 29 = 5 THEN amount * 2 + 1
+        |              ELSE amount END AS amount
+        |  FROM b WHERE NOT (k % 29 = 5 AND amount % 10 < 5)
+        |  UNION ALL
+        |  SELECT amount FROM b WHERE k % 31 = 2
+        |)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_cur' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
         |FROM cur
         |ORDER BY snap""".stripMargin,
     "p34_log_lightweight" ->

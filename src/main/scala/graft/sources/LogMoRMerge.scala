@@ -1,0 +1,332 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ReplaceData}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.write.RowLevelOperation
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{coalesce, col, lit, monotonically_increasing_id, when}
+import org.apache.spark.sql.{sources => v1}
+import org.apache.spark.storage.StorageLevel
+
+/** MERGE-ON-READ `MERGE INTO` for the ENTITY LOG — the log tier's twin
+  * of [[ParquetMoRMerge]], closing the lightweight-DML symmetry: both
+  * tiers now decompose DELETE, UPDATE and MERGE into delete masks +
+  * appended segments under one guarded publish (the reference mutates
+  * its warehouse rows server-side between test cases,
+  * `hashes_test.go:235-239`).
+  *
+  * The MERGE PROGRAM (arms, keys, source, cardinality flag) is
+  * re-derived by [[ParquetMoRMerge.extractProgram]] — the plan shape
+  * is tier-independent; only the scan, the writers and the ledger
+  * differ:
+  *
+  *   - the target reads through the log's OWN scan (prior masks apply
+  *     at parse, the `_segment` metadata column attributes each row to
+  *     its segment) with the distinct-source-key `InSet` prefilter;
+  *   - matched DELETE/UPDATE rows land as per-segment `key IN (…)`
+  *     masks — evaluable by the same raw-field evaluator every log
+  *     reader already runs ([[LogDelete.supported]]) — and UPDATE
+  *     images plus NOT-MATCHED inserts append through the log's staged
+  *     writers ([[LogMoRUpdate.appendImages]]: exact stats sidecars,
+  *     bucket tags on bucketed logs);
+  *   - a delta the mask cannot express EXACTLY (a same-segment
+  *     same-key row that stays visible, `maxMaskKeys` overflow) takes
+  *     a candidate segment-rewrite regime instead: only the touched
+  *     segments rewrite, under a [[VersionLedger.MaskGuard]];
+  *   - anything else falls back to the copy-on-write group rewrite
+  *     silently (the rule leaves the plan untouched).
+  *
+  * Write amplification: O(matched + inserted rows) bytes in the mask
+  * regime, O(touched segments) in the rewrite regime — never
+  * O(candidate segments) for a trickle upsert, which on a 100 TB log
+  * is the difference between appending megabytes and rewriting the
+  * tier. */
+object LogMoRMerge {
+
+  object InterceptRule extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+      case rd: ReplaceData => rewrite(rd).getOrElse(rd)
+      case other => other
+    }
+
+    private def rewrite(rd: ReplaceData): Option[LogicalPlan] = {
+      val op = rd.operation match {
+        case l: LogRowLevelOperation
+            if l.command() == RowLevelOperation.Command.MERGE => l
+        case _ => return None
+      }
+      if (conf.getConfString(DeleteMasks.MODE_KEY, "copy-on-write")
+          != "merge-on-read") return None
+      val dir = op.path
+      if (!LogVersions.enabled(dir)) return None
+      if (!rd.condition.deterministic) return None
+      ParquetMoRMerge.extractProgram(rd, LimitHashLog.SCHEMA).map { p =>
+        LogMoRMergeCommand(dir, p.onCond, p.matchedArms, p.insertArms,
+          p.keys, p.srcPresent, p.source, p.checkCardinality)
+      }
+    }
+  }
+
+  def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(InterceptRule)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ InterceptRule
+    }
+  }
+}
+
+/** The decomposed log MERGE: join the (mask-visible, key-prefiltered)
+  * target with the source, classify rows by arm, then mask+append —
+  * or rewrite only the touched segments — in one guarded publish. */
+case class LogMoRMergeCommand(dir: String,
+    onCond: ParquetMoRMerge.Cond,
+    matchedArms: Seq[ParquetMoRMerge.MatchedArm],
+    insertArms: Seq[ParquetMoRMerge.InsertArm],
+    keys: Seq[ParquetMoRMerge.MergeKey],
+    srcPresent: String,
+    source: LogicalPlan,
+    checkCardinality: Boolean)
+    extends LeafRunnableCommand {
+
+  import ParquetMoRMerge._
+
+  override def run(session: SparkSession): Seq[Row] =
+    ParquetVersions.retryOnMaskConflict() { runOnce(session) }
+
+  private def colOf(e: Expression): Column =
+    org.apache.spark.sql.GraftShims.column(e)
+
+  private def tColName(field: String): String =
+    s"_t${LimitHashLog.SCHEMA.fieldNames.indexWhere(_.equalsIgnoreCase(field))}"
+
+  private def runOnce(session: SparkSession): Seq[Row] = {
+    val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val declared = LimitHashLog.SCHEMA
+    val maskCap = spark.conf.get(MAX_MASK_KEYS_KEY, "10000").toInt
+    val priorMasks: Map[String, Seq[String]] =
+      LimitHashLog.segmentsAndMasksAllowed(dir, None, None)._2
+
+    val srcRaw = org.apache.spark.sql.GraftShims.ofRows(spark, source)
+    val src = srcRaw.toDF(srcRaw.columns.indices.map(i => s"_s$i"): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var tgt: DataFrame = null
+    var joined: DataFrame = null
+    try {
+      val srcKeyRows: Option[Array[Row]] = {
+        val rows = src.select(keys.map(k => colOf(k.srcExpr).as(k.field)): _*)
+          .distinct().limit(maskCap + 1).collect()
+        if (rows.length > maskCap) None else Some(rows)
+      }
+
+      // the target through the log's own scan: prior masks drop at
+      // parse, `_segment` attributes each row to its ledger name
+      val tSelect = declared.fieldNames.toSeq.zipWithIndex.map {
+        case (n, i) => col(n).as(s"_t$i")
+      } :+ col(LimitHashLog.SEGMENT_COL).as("_gfile")
+      val tgtBase = spark.read.format(LimitHashLog.FORMAT).load(dir)
+        .select(tSelect: _*)
+      // InSet prefilter over the distinct source keys (same rationale
+      // as the parquet command: one node, one hash probe per row)
+      val prefilter: Option[Column] = srcKeyRows.map { rows =>
+        keys.zipWithIndex.map { case (k, i) =>
+          val vals = rows.map(_.get(i)).filter(_ != null).distinct.toSeq
+          if (vals.isEmpty) lit(false)
+          else {
+            val dt = declared(declared.fieldNames
+              .indexWhere(_.equalsIgnoreCase(k.field))).dataType
+            colOf(ce.InSet(UnresolvedAttribute(Seq(tColName(k.field))),
+              vals.map(v => Literal.create(v, dt).value).toSet))
+          }
+        }.reduce(_ && _)
+      }
+      val tgt0 = prefilter.fold(tgtBase)(tgtBase.filter)
+        .withColumn("_grid", monotonically_increasing_id())
+      tgt = if (srcKeyRows.isDefined)
+        tgt0.persist(StorageLevel.MEMORY_AND_DISK) else tgt0
+
+      val onCol = colOf(onCond.e)
+      joined = tgt.join(src, onCol, "inner").persist(StorageLevel.MEMORY_AND_DISK)
+
+      if (checkCardinality) {
+        val viol = joined.groupBy("_grid").count()
+          .filter(col("count") > 1).limit(1).count()
+        if (viol > 0) {
+          throw new UnsupportedOperationException(
+            "MERGE_CARDINALITY_VIOLATION: a target row matched more than " +
+              "one source row; deduplicate the source or tighten the ON " +
+              "clause")
+        }
+      }
+
+      val armTag: Column = {
+        val chain = matchedArms.zipWithIndex.foldLeft(Option.empty[Column]) {
+          case (acc, (arm, i)) =>
+            val c = colOf(arm.cond)
+            Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
+        }
+        chain.fold(lit(-1))(_.otherwise(lit(-1)))
+      }
+      val classified = joined.withColumn("_gtag", armTag)
+      val hideTags = matchedArms.zipWithIndex.collect {
+        case (_: DeleteArm, i) => i
+        case (_: UpdateArm, i) => i
+      }
+      val hide =
+        if (hideTags.isEmpty) classified.limit(0)
+        else classified.filter(col("_gtag").isin(hideTags: _*))
+
+      val keyTCols = keys.map(k => tColName(k.field))
+      val maskRows = hide
+        .select((col("_gfile") +: keyTCols.map(col)): _*)
+        .distinct().limit(maskCap + 1).collect()
+
+      // exactness census — identical to the parquet command: every
+      // masked (segment, key) must be FULLY hidden or the mask regime
+      // would delete rows an arm kept
+      val morFits = maskRows.length <= maskCap
+      val morExact = morFits && {
+        if (maskRows.isEmpty) true
+        else {
+          val grpCols = "_gfile" +: keyTCols
+          val hideCnt = hide.groupBy(grpCols.map(col): _*).count()
+            .withColumnRenamed("count", "_hc")
+          val totCnt = tgt.groupBy(grpCols.map(col): _*).count()
+            .withColumnRenamed("count", "_tc")
+          totCnt.join(hideCnt, grpCols)
+            .filter(col("_tc") =!= col("_hc")).limit(1).count() == 0L
+        }
+      }
+
+      // per-segment masks; every predicate must be BOTH serializable
+      // and evaluable by the log's raw-field readers
+      val masksBySegment: Option[Map[String, Seq[String]]] =
+        if (!morFits || !morExact) None
+        else {
+          def keyFilter(r: Row): v1.Filter =
+            keys.zipWithIndex.map { case (k, i) =>
+              v1.EqualTo(k.field, r.get(i + 1)): v1.Filter
+            }.reduce(v1.And)
+          def balancedOr(fsq: Seq[v1.Filter]): v1.Filter =
+            if (fsq.length == 1) fsq.head
+            else {
+              val (l, r) = fsq.splitAt(fsq.length / 2)
+              v1.Or(balancedOr(l), balancedOr(r))
+            }
+          val bySeg = maskRows.toSeq.groupBy(_.getString(0))
+          val out = scala.collection.mutable.Map.empty[String, Seq[String]]
+          val ok = bySeg.forall { case (seg, rows) =>
+            val pred: v1.Filter =
+              if (keys.length == 1)
+                v1.In(keys.head.field, rows.map(_.get(1)).distinct.toArray)
+              else balancedOr(rows.map(keyFilter))
+            LogDelete.supported(pred) &&
+              DeleteMasks.serialize(pred).exists { json =>
+                out += (seg -> Seq(json)); true
+              }
+          }
+          if (ok) Some(out.toMap) else None
+        }
+
+      val opId = java.util.UUID.randomUUID().toString.take(8)
+      def updateImages(of: DataFrame): Option[DataFrame] =
+        matchedArms.zipWithIndex.collect { case (UpdateArm(_, outs), i) =>
+          of.filter(col("_gtag") === i)
+            .select(outs.map { case (n, e) => colOf(e).as(n) }: _*)
+        }.reduceOption(_ unionByName _)
+      val inserts: Option[DataFrame] =
+        if (insertArms.isEmpty) None
+        else {
+          val srcAnti = src.join(tgt, onCol, "left_anti")
+          insertArms.zipWithIndex.map { case (InsertArm(cond, outs), i) =>
+            val notPrior = insertArms.take(i)
+              .map(a => !coalesce(colOf(a.cond), lit(false)))
+              .foldLeft(lit(true))(_ && _)
+            srcAnti.filter(notPrior && coalesce(colOf(cond), lit(false)))
+              .select(outs.map { case (n, e) => colOf(e).as(n) }: _*)
+          }.reduceOption(_ unionByName _)
+        }
+      def ordered(df: DataFrame): DataFrame =
+        df.select(declared.fieldNames.toSeq.map(col): _*)
+
+      masksBySegment match {
+        case Some(masks) =>
+          // ---- MASK regime: masks + appended segments, one publish --
+          val appended = (updateImages(classified).toSeq ++ inserts.toSeq)
+            .reduceOption(_ unionByName _)
+          val added = appended.fold(Seq.empty[String])(df =>
+            LogMoRUpdate.appendImages(spark, dir, ordered(df), s"rlo-mrg-$opId"))
+          if (masks.isEmpty && added.isEmpty) return Seq.empty // no-op
+          LogVersions.commitGuarded(dir, masks, None) { prev =>
+            (prev ++ added).distinct
+          }
+          if (masks.nonEmpty) MaskPressure.afterMaskPublish(spark, dir)
+        case None =>
+          // ---- SEGMENT-REWRITE regime: only the touched segments ----
+          val candidates = hide.select("_gfile").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted
+          val candSet = candidates.toSet
+          val newContent: Option[DataFrame] =
+            if (candidates.isEmpty) inserts.map(ordered)
+            else {
+              // visible candidate rows (prior masks at parse), re-merged
+              val vis = spark.read.format(LimitHashLog.FORMAT)
+                .option("segments", candidates.mkString(","))
+                .load(dir)
+                .select(declared.fieldNames.toSeq.zipWithIndex.map {
+                  case (n, i) => col(n).as(s"_t$i")
+                }: _*)
+              val lj = vis.join(src, onCol, "left_outer")
+              val present = col(srcPresent).isNotNull
+              val tagged = lj.withColumn("_gtag",
+                when(present, armTag).otherwise(lit(-1)))
+              val delTags = matchedArms.zipWithIndex.collect {
+                case (_: DeleteArm, i) => i
+              }
+              val kept =
+                if (delTags.isEmpty) tagged
+                else tagged.filter(!col("_gtag").isin(delTags: _*))
+              val updIdx = matchedArms.zipWithIndex.collect {
+                case (UpdateArm(_, outs), i) => (i, outs.toMap)
+              }
+              val rewritten = kept.select(declared.fieldNames.toSeq.map { n =>
+                updIdx.foldRight(col(tColName(n))) { case ((i, outs), alt) =>
+                  when(col("_gtag") === i, colOf(outs(n))).otherwise(alt)
+                }.as(n)
+              }: _*)
+              (Seq(rewritten) ++ inserts.map(ordered).toSeq)
+                .reduceOption(_ unionByName _)
+            }
+          val added = newContent.fold(Seq.empty[String])(df =>
+            LogMoRUpdate.appendImages(spark, dir, ordered(df), s"rlo-mrg-$opId"))
+          if (candidates.isEmpty && added.isEmpty) return Seq.empty // no-op
+          try {
+            LogVersions.commitGuarded(dir, Map.empty,
+              Some(VersionLedger.MaskGuard(candSet,
+                priorMasks.view.filterKeys(candSet).toMap))) { prev =>
+              (prev.filterNot(candSet) ++ added).distinct
+            }
+          } catch {
+            case e: VersionLedger.MaskConflictException =>
+              // the retry re-classifies and re-appends: reclaim this
+              // attempt's segments rather than leaving them to vacuum
+              val base = new org.apache.hadoop.fs.Path(dir)
+              val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              added.foreach(n => fs.delete(
+                new org.apache.hadoop.fs.Path(base, n), false))
+              throw e
+          }
+          ()
+      }
+      Seq.empty
+    } finally {
+      if (joined != null) joined.unpersist()
+      if (tgt != null && tgt.storageLevel != StorageLevel.NONE) tgt.unpersist()
+      src.unpersist()
+      ()
+    }
+  }
+}

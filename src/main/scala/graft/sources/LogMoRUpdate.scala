@@ -74,6 +74,57 @@ object LogMoRUpdate {
         spark.experimental.extraOptimizations :+ InterceptRule
     }
   }
+
+  /** Append `images` as NEW segments through the log's own staged
+    * writers (exact stats sidecars, bucket tags on bucketed logs) and
+    * rename them to `segment-<queryId>-…` committed names —
+    * ledger-gated invisible until the caller's publish references
+    * them. Returns the added segment names. Shared by the
+    * merge-on-read UPDATE and MERGE ([[LogMoRMerge]]) commands. */
+  private[sources] def appendImages(
+      spark: org.apache.spark.sql.classic.SparkSession,
+      dir: String, images: org.apache.spark.sql.DataFrame,
+      queryId: String): Seq[String] = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucket = LogBucketing.readSpec(dir)
+    val factory = new LogWriterFactory(dir, queryId, bucket)
+    val messages = images.queryExecution.toRdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
+        val w = factory.createWriter(pid, attempt)
+        try {
+          it.foreach(w.write)
+          Iterator.single(w.commit())
+        } catch {
+          case t: Throwable => w.abort(); throw t
+        }
+      }.collect()
+
+    val manifest = Map.newBuilder[String, SegmentStats]
+    val added = Seq.newBuilder[String]
+    def rename(staged: String, to: Path, stats: Option[SegmentStats]): Unit = {
+      if (fs.exists(to)) fs.delete(to, false) // retried stage: replace
+      if (!fs.rename(new Path(staged), to)) {
+        throw new java.io.IOException(
+          s"LogMoRUpdate.appendImages: rename $staged -> $to failed")
+      }
+      stats.foreach(st => manifest += (to.getName -> st))
+      added += to.getName
+    }
+    messages.foreach {
+      case LogCommit(staged, pid, stats) if staged.nonEmpty =>
+        rename(staged, new Path(base, s"segment-$queryId-$pid"), stats)
+      case LogBucketedCommit(parts, pid) =>
+        parts.foreach { case (staged, b, st) =>
+          rename(staged, new Path(base, s"segment-$queryId-$pid-b$b"), Some(st))
+        }
+      case _ => () // empty partition: nothing staged
+    }
+    val entries = manifest.result()
+    if (entries.nonEmpty) LimitHashLog.writeManifest(fs, base, queryId, entries)
+    added.result()
+  }
 }
 
 /** The decomposed log UPDATE: zone-classify → read matched visible
@@ -88,8 +139,6 @@ case class LogMoRUpdateCommand(dir: String, maskJson: String,
 
   private def runOnce(session: SparkSession): Seq[Row] = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val base = new Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val schema = LimitHashLog.SCHEMA
     val filters: Array[org.apache.spark.sql.sources.Filter] =
       Array(DeleteMasks.deserialize(maskJson))
@@ -119,50 +168,12 @@ case class LogMoRUpdateCommand(dir: String, maskJson: String,
     // bucket tags on bucketed logs), executor-side
     val opId = java.util.UUID.randomUUID().toString.take(8)
     val queryId = s"rlo-upd-$opId"
-    val bucket = LogBucketing.readSpec(dir)
-    val factory = new LogWriterFactory(dir, queryId, bucket)
-    val messages = images.queryExecution.toRdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val attempt = org.apache.spark.TaskContext.get().taskAttemptId()
-        val w = factory.createWriter(pid, attempt)
-        try {
-          it.foreach(w.write)
-          Iterator.single(w.commit())
-        } catch {
-          case t: Throwable => w.abort(); throw t
-        }
-      }.collect()
-
-    // rename staged → committed names; fresh stats into a manifest
-    val manifest = Map.newBuilder[String, SegmentStats]
-    val added = Seq.newBuilder[String]
-    def rename(staged: String, to: Path, stats: Option[SegmentStats]): Unit = {
-      if (fs.exists(to)) fs.delete(to, false) // retried stage: replace
-      if (!fs.rename(new Path(staged), to)) {
-        throw new java.io.IOException(
-          s"LogMoRUpdate: rename $staged -> $to failed")
-      }
-      stats.foreach(st => manifest += (to.getName -> st))
-      added += to.getName
-    }
-    messages.foreach {
-      case LogCommit(staged, pid, stats) if staged.nonEmpty =>
-        rename(staged, new Path(base, s"segment-$queryId-$pid"), stats)
-      case LogBucketedCommit(parts, pid) =>
-        parts.foreach { case (staged, b, st) =>
-          rename(staged, new Path(base, s"segment-$queryId-$pid-b$b"), Some(st))
-        }
-      case _ => () // empty partition: nothing staged
-    }
-    val entries = manifest.result()
-    if (entries.nonEmpty) LimitHashLog.writeManifest(fs, base, queryId, entries)
-
     // ONE visibility event: the condition lands as a mask on every
     // candidate segment, the images join the membership. A concurrent
     // rewrite retiring a candidate throws MaskConflictException (the
     // retry re-classifies); appended images carry NO mask — a
     // self-referential SET cannot re-delete its own output.
-    val addedNames = added.result()
+    val addedNames = LogMoRUpdate.appendImages(spark, dir, images, queryId)
     LogVersions.commitGuarded(dir,
       candidates.map(_ -> Seq(maskJson)).toMap, None) { prev =>
       (prev ++ addedNames).distinct

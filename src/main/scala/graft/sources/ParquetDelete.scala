@@ -139,6 +139,13 @@ object ParquetDelete {
         attr(a).flatMap { ar =>
           val lits = vs.toSeq.map(v => litOf(ar, v))
           if (lits.exists(_.isEmpty)) None
+          // InSet past Spark's own conversion threshold: a key-mask IN
+          // can carry thousands of keys (merge-on-read MERGE), and a
+          // literal `In` evaluates them LINEARLY per row (the codegen
+          // blows past the JIT method limit and falls back interpreted)
+          // — measured seconds per masked scan; InSet is one hash probe
+          else if (lits.length > 10)
+            Some(ce.InSet(ar, lits.flatten.map(_.value).toSet))
           else Some(ce.In(ar, lits.flatten))
         }
       case StringStartsWith(a, p) => cmp(a, p, ce.StartsWith)

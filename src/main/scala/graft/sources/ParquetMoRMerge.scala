@@ -118,17 +118,26 @@ object ParquetMoRMerge {
     * optimizer's "plan became unresolved" validation. */
   case class Cond(e: Expression)
 
+  /** The tier-agnostic MERGE program re-derived from the group-based
+    * rewrite plan — everything a mask+append decomposition needs,
+    * expressed over positional `_t<i>`/`_s<i>` column names so either
+    * tier's command can bind it to its own scan. */
+  private[sources] case class Program(onCond: Cond,
+      matchedArms: Seq[MatchedArm], insertArms: Seq[InsertArm],
+      keys: Seq[MergeKey], srcPresent: String, source: LogicalPlan,
+      checkCardinality: Boolean)
+
+  private def maskableType(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | DateType | TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   object InterceptRule extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan match {
       case rd: ReplaceData => rewrite(rd).getOrElse(rd)
       case other => other
-    }
-
-    private def maskableType(dt: DataType): Boolean = dt match {
-      case BooleanType | ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | StringType | DateType | TimestampType => true
-      case _: DecimalType => true
-      case _ => false
     }
 
     private def rewrite(rd: ReplaceData): Option[LogicalPlan] = {
@@ -143,7 +152,19 @@ object ParquetMoRMerge {
       if (!ParquetVersions.enabled(tableDir)) return None
       if (!rd.condition.deterministic) return None
       val declared = op.declared
+      extractProgram(rd, declared).map { p =>
+        MergeOnReadMergeCommand(tableDir, declared, p.onCond,
+          p.matchedArms, p.insertArms, p.keys, p.srcPresent, p.source,
+          p.checkCardinality)
+      }
+    }
+  }
 
+  /** Re-derive the [[Program]] from `rd`'s analyzed `MergeRows` plan;
+    * None = a shape outside the mask machinery's reach (either tier
+    * then leaves the plan to the copy-on-write group rewrite). */
+  private[sources] def extractProgram(rd: ReplaceData,
+      declared: StructType): Option[Program] = {
       val m = rd.query.collectFirst { case mr: MergeRows => mr }
         .getOrElse(return None)
       // NOT MATCHED BY SOURCE DML arms act on the table's UNMATCHED
@@ -270,10 +291,8 @@ object ParquetMoRMerge {
       // let the trivial case fall through to CoW (it will no-op too)
       if (matchedArms.isEmpty && insertArms.isEmpty) return None
 
-      Some(MergeOnReadMergeCommand(tableDir, declared,
-        ParquetMoRMerge.Cond(onCond), matchedArms, insertArms, keys,
+      Some(Program(Cond(onCond), matchedArms, insertArms, keys,
         srcPresent, sSide, m.checkCardinality))
-    }
   }
 
   /** Session-builder registration (the imperative twin of
@@ -380,11 +399,22 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
         parts.map(_.select(tSelect: _*))
           .reduceOption(_ unionByName _).getOrElse(emptyTgt)
       }
+      // the prefilter is an InSet over INTERNAL values, not
+      // `isin(vals: _*)` — thousands of matched keys as individual
+      // Literal nodes make a tree every analyzer/optimizer rule pass
+      // re-walks (driver seconds), and the un-optimized In evaluates
+      // linearly; InSet is one node and one hash probe, and still
+      // pushes to the parquet footers through the v1 In translation
       val prefilter: Option[Column] = srcKeyRows.map { rows =>
         keys.zipWithIndex.map { case (k, i) =>
           val vals = rows.map(_.get(i)).filter(_ != null).distinct.toSeq
           if (vals.isEmpty) lit(false)
-          else col(tColName(k.field)).isin(vals: _*)
+          else {
+            val dt = declared(declared.fieldNames
+              .indexWhere(_.equalsIgnoreCase(k.field))).dataType
+            colOf(ce.InSet(UnresolvedAttribute(Seq(tColName(k.field))),
+              vals.map(v => Literal.create(v, dt).value).toSet))
+          }
         }.reduce(_ && _)
       }
       // persist the PREFILTERED target: the join, the mask-exactness

@@ -316,6 +316,119 @@ class LogMoRSpec extends AnyFunSuite {
     assert(spark.table("graft_lmor4.ops.t").count() === 40)
   }
 
+  test("MoR MERGE on the log: masks + appended images/inserts, segments " +
+      "byte-identical, exact result, time travel") {
+    val dir = freshLog()
+    val ident = catalogFor(dir, "graft_lmm1")
+    import spark.implicits._
+    Seq(("ha1", "d", 0L, ""), ("ha3", "u", 999L, ""),
+      ("hx1", "i", 111L, "u9"))
+      .toDF("k", "op", "amt", "u").createOrReplaceTempView("lmm1_src")
+    val before = segSigs(dir)
+    withMergeOnRead {
+      spark.sql(s"""MERGE INTO $ident t USING lmm1_src s
+                    ON t.sha256sum = s.k
+                    WHEN MATCHED AND s.op = 'd' THEN DELETE
+                    WHEN MATCHED THEN UPDATE SET amount = s.amt
+                    WHEN NOT MATCHED THEN INSERT (user_id, amount, msg, sha256sum)
+                      VALUES (s.u, s.amt, NULL, s.k)""")
+    }
+    val after = segSigs(dir)
+    before.foreach { case (name, sig) =>
+      assert(after.get(name).contains(sig),
+        s"merge-on-read MERGE must not rewrite pre-existing segment $name")
+    }
+    val appended = (after.keySet -- before.keySet).toSeq
+    assert(appended.nonEmpty && appended.forall(_.startsWith("segment-rlo-mrg-")),
+      s"update images + inserts append as new segments: $appended")
+    // only segment A (holding ha1/ha3) is masked
+    val masks = masksOf(dir)
+    assert(masks.size === 1, s"only the matched segment is masked: $masks")
+    assert(rows(dir) === Set(("u1", 20L, "ha2"), ("u2", 999L, "ha3"),
+      ("u2", 40L, "ha4"),
+      ("zz", 100L, "hb1"), ("zz", 200L, "hb2"),
+      ("u7", 700L, "hc1"), ("u8", 800L, "hc2"), ("u8", 900L, "hc3"),
+      ("u9", 111L, "hx1")),
+      s"delete/update/insert arms applied exactly: ${rows(dir)}")
+    // v1 shows the pre-merge state
+    assert(rows(dir, Some(1L)).size === 9)
+    assert(rows(dir, Some(1L)).contains(("u1", 10L, "ha1")))
+  }
+
+  test("MoR MERGE: a same-segment key the arms hide only PARTIALLY " +
+      "takes the segment-rewrite regime (no mask can express it)") {
+    val dir = freshLog()
+    val ident = catalogFor(dir, "graft_lmm2")
+    import spark.implicits._
+    // key on user_id: u1 has TWO rows in segment A, the arm deletes
+    // only the amount=10 one — a `user_id IN ('u1')` mask would also
+    // hide ha2, so the command must rewrite segment A instead
+    Seq(("u1", 0L)).toDF("k", "amt").createOrReplaceTempView("lmm2_src")
+    withMergeOnRead {
+      spark.sql(s"""MERGE INTO $ident t USING lmm2_src s
+                    ON t.user_id = s.k
+                    WHEN MATCHED AND t.amount = 10 THEN DELETE""")
+    }
+    assert(masksOf(dir).isEmpty,
+      "an inexact delta must not land as a mask")
+    val names = LogVersions.latest(dir).get._2.toSet
+    assert(names.exists(_.startsWith("segment-rlo-mrg-")),
+      s"segment A rewrites under the rlo-mrg prefix: $names")
+    assert(rows(dir) === Set(("u1", 20L, "ha2"), ("u2", 30L, "ha3"),
+      ("u2", 40L, "ha4"),
+      ("zz", 100L, "hb1"), ("zz", 200L, "hb2"),
+      ("u7", 700L, "hc1"), ("u8", 800L, "hc2"), ("u8", 900L, "hc3")))
+  }
+
+  test("MoR MERGE honors a prior masked DELETE: the deleted row is NOT " +
+      "MATCHED and re-enters through the INSERT arm") {
+    val dir = freshLog()
+    val ident = catalogFor(dir, "graft_lmm3")
+    import spark.implicits._
+    Seq(("ha1", 5L, "u1")).toDF("k", "amt", "u")
+      .createOrReplaceTempView("lmm3_src")
+    val table = new LimitHashLogTable(dir)
+    withMergeOnRead {
+      table.deleteWhere(Array[org.apache.spark.sql.sources.Filter](
+        EqualTo("amount", 10L))) // masks ha1 away
+      spark.sql(s"""MERGE INTO $ident t USING lmm3_src s
+                    ON t.sha256sum = s.k
+                    WHEN MATCHED THEN UPDATE SET amount = s.amt + 1000
+                    WHEN NOT MATCHED THEN INSERT (user_id, amount, msg, sha256sum)
+                      VALUES (s.u, s.amt, NULL, s.k)""")
+    }
+    // the masked row is invisible to the MERGE: INSERT arm fires, the
+    // UPDATE arm does not — amount is 5, not 1005 and not 10
+    assert(rows(dir).count(_._3 == "ha1") === 1)
+    assert(rows(dir).contains(("u1", 5L, "ha1")),
+      s"prior mask must make the row unmatched: ${rows(dir)}")
+  }
+
+  test("MoR MERGE: maxMaskKeys overflow falls to the rewrite regime " +
+      "and stays exact") {
+    val dir = freshLog()
+    val ident = catalogFor(dir, "graft_lmm4")
+    import spark.implicits._
+    Seq(("ha1", 1L), ("ha3", 3L), ("hc2", 2L)).toDF("k", "amt")
+      .createOrReplaceTempView("lmm4_src")
+    spark.conf.set(ParquetMoRMerge.MAX_MASK_KEYS_KEY, "1")
+    try withMergeOnRead {
+      spark.sql(s"""MERGE INTO $ident t USING lmm4_src s
+                    ON t.sha256sum = s.k
+                    WHEN MATCHED THEN UPDATE SET amount = s.amt""")
+    } finally spark.conf.unset(ParquetMoRMerge.MAX_MASK_KEYS_KEY)
+    assert(masksOf(dir).isEmpty, "cap overflow must not land masks")
+    assert(rows(dir) === Set(("u1", 1L, "ha1"), ("u1", 20L, "ha2"),
+      ("u2", 3L, "ha3"), ("u2", 40L, "ha4"),
+      ("zz", 100L, "hb1"), ("zz", 200L, "hb2"),
+      ("u7", 700L, "hc1"), ("u8", 2L, "hc2"), ("u8", 900L, "hc3")))
+    // only the touched segments rewrote: B (zz) survives by name
+    val names = LogVersions.latest(dir).get._2.toSet
+    assert(names.exists(n => segSigs(dir).contains(n) &&
+      !n.startsWith("segment-rlo-mrg-")),
+      s"untouched segments keep their names: $names")
+  }
+
   test("REPLACE WHERE (CoW with payload) on a masked log: no resurrection") {
     val warehouse = Files.createTempDirectory("graft_lhmor_wh3").toString
     spark.conf.set("spark.sql.catalog.graft_lmor3", "graft.sources.LogCatalog")

@@ -70,6 +70,10 @@ object ProfileStreams {
       println("=== s21 (partitioned sink) phases ===")
       profileS21(spark, dir)
     }
+    if (which("p32")) {
+      println("=== p32 (MoR MERGE) phases ===")
+      profileP32(spark, dir)
+    }
     spark.stop()
   }
 
@@ -113,6 +117,52 @@ object ProfileStreams {
     t("final read")(view.read(spark)
       .select(col("user_id"), col("n"), col("cents"))
       .orderBy(col("user_id")).collect())
+    ()
+  }
+
+  private def profileP32(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    catalogFor(spark, "pp32", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_pp32.lake.orders_pq")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("pp32_base")
+    t("ctas")(spark.sql(
+      "CREATE TABLE graft_pp32.lake.orders_pq AS SELECT * FROM pp32_base"))
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_pp32.warehouse") +
+      "/lake/orders_pq"
+    t("enable")(graft.sources.ParquetVersions.enable(tableDir))
+    spark.sql("""SELECT o_orderkey AS k, bucket, cents FROM pp32_base
+                 WHERE o_orderkey % 29 = 5
+                 UNION ALL
+                 SELECT o_orderkey + 100000000 AS k, bucket, cents
+                 FROM pp32_base WHERE o_orderkey % 31 = 2""")
+      .createOrReplaceTempView("pp32_cdc")
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      t("merge")(spark.sql("""MERGE INTO graft_pp32.lake.orders_pq t USING pp32_cdc s
+                   ON t.o_orderkey = s.k
+                   WHEN MATCHED AND s.cents % 10 < 5 THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET cents = s.cents * 2 + 1
+                   WHEN NOT MATCHED THEN INSERT (o_orderkey, bucket, cents)
+                     VALUES (s.k, s.bucket, s.cents)"""))
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    t("probe straddle")(spark.sql(
+      """SELECT 'a_pre' AS snap, count(*) AS n, sum(cents) AS cents
+         FROM graft_pp32.lake.orders_pq VERSION AS OF 1
+         UNION ALL
+         SELECT 'b_cur' AS snap, count(*) AS n, sum(cents) AS cents
+         FROM graft_pp32.lake.orders_pq
+         ORDER BY snap""").collect())
+    t("probe warm")(spark.sql(
+      """SELECT 'a_pre' AS snap, count(*) AS n, sum(cents) AS cents
+         FROM graft_pp32.lake.orders_pq VERSION AS OF 1
+         UNION ALL
+         SELECT 'b_cur' AS snap, count(*) AS n, sum(cents) AS cents
+         FROM graft_pp32.lake.orders_pq
+         ORDER BY snap""").collect())
     ()
   }
 
