@@ -478,6 +478,51 @@ object Pipeline {
                  ORDER BY snap""")
   }
 
+  /** MERGE-ON-READ `REPLACE WHERE` — the lightweight BACKFILL
+    * ([[graft.sources.ParquetDelete]] mask branch composed with the
+    * payload publish): re-load one key range of a range-clustered fact
+    * table without rewriting a byte of it. The range straddles file
+    * boundaries, so the classification exercises all three verdicts at
+    * once — interior files DROP whole (zone-proof), boundary files get
+    * the predicate as a delete MASK, out-of-range files stay
+    * untouched — and the recomputed payload rides the SAME version
+    * publish (protected from its own mask). The probe straddles the
+    * backfill via time travel; a leaked old row, a masked payload row,
+    * or a torn two-version publish breaks the hash. */
+  def p39_replace_where_lightweight(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p39", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p39.lake.orders_pq")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("p39_base")
+    spark.sql("DROP TABLE IF EXISTS graft_p39.lake.orders_rw")
+    spark.sql("""CREATE TABLE graft_p39.lake.orders_rw
+                 (o_orderkey BIGINT, bucket BIGINT, cents BIGINT)""")
+    spark.table("p39_base")
+      .repartitionByRange(8, col("o_orderkey"))
+      .writeTo("graft_p39.lake.orders_rw").append()
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p39.warehouse") +
+      "/lake/orders_rw"
+    graft.sources.ParquetVersions.enable(tableDir) // v1
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      spark.sql("""INSERT INTO graft_p39.lake.orders_rw
+                   REPLACE WHERE o_orderkey >= 20000 AND o_orderkey < 90000
+                   SELECT o_orderkey, bucket, cents * 3 AS cents
+                   FROM p39_base
+                   WHERE o_orderkey >= 20000 AND o_orderkey < 90000""") // v2
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p39.lake.orders_rw VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_cur' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p39.lake.orders_rw
+                 ORDER BY snap""")
+  }
+
   /** Row-level DELETE on a catalog PARQUET table
     * ([[graft.sources.ParquetDelete]]): the p10 shape on the parquet
     * tier. The table is range-clustered on o_orderkey so the
@@ -1309,6 +1354,7 @@ object Pipeline {
     "p34_log_lightweight" -> (p34_log_lightweight _),
     "p37_log_lightweight_update" -> (p37_log_lightweight_update _),
     "p38_log_lightweight_merge" -> (p38_log_lightweight_merge _),
+    "p39_replace_where_lightweight" -> (p39_replace_where_lightweight _),
     "p35_rtas_partitioned" -> (p35_rtas_partitioned _),
     "p36_bucket_partitioned" -> (p36_bucket_partitioned _),
     "p31_partition_evolution" -> (p31_partition_evolution _),
@@ -1444,6 +1490,21 @@ object Pipeline {
         |FROM mid
         |UNION ALL
         |SELECT 'c_cur' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM cur
+        |ORDER BY snap""".stripMargin,
+    "p39_replace_where_lightweight" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |cur AS (
+        |  SELECT CASE WHEN k >= 20000 AND k < 90000 THEN cents * 3
+        |              ELSE cents END AS cents
+        |  FROM b
+        |)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM cur
         |ORDER BY snap""".stripMargin,
     "p38_log_lightweight_merge" ->

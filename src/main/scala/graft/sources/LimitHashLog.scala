@@ -751,21 +751,62 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean,
     // see (old ∪ new) transiently, the delete tier's standing contract.
     require(overwrite.isEmpty || !truncate,
       "overwrite-by-filter and truncate are mutually exclusive")
+    // MERGE-ON-READ REPLACE WHERE — the backfill without the rewrite:
+    // zone-proof Drop segments retire metadata-only, the condition
+    // lands as a DELETE MASK on every might-match segment, and the
+    // payload joins the membership in the SAME publish — zero
+    // pre-existing bytes rewritten, O(payload) write amplification.
+    // THIS write's own renamed segments are fenced out of the
+    // classification (a backfill's payload typically matches the very
+    // condition it replaces). A trivially-TRUE condition or a shape
+    // the mask codec refuses keeps the copy-on-write path below.
+    val morReplace: Option[(Set[String], Map[String, Seq[String]])] =
+      overwrite.flatMap { filters =>
+        val spark = org.apache.spark.sql.classic.SparkSession.active
+        val whole: Filter = filters.toSeq
+          .reduceOption(org.apache.spark.sql.sources.And)
+          .getOrElse(org.apache.spark.sql.sources.AlwaysTrue())
+        if (!versioned || !DeleteMasks.mergeOnRead(spark) ||
+            whole == org.apache.spark.sql.sources.AlwaysTrue()) None
+        else DeleteMasks.serialize(whole).map { maskJson =>
+          val verdicts = LimitHashLog.segmentsWithStats(path)
+            .map { case (f, _, st) =>
+              (new Path(f).getName, LogDelete.classify(filters, st))
+            }
+            .filterNot { case (n, _) => committedNames(n) }
+          val drops = verdicts.collect { case (n, LogDelete.Drop) => n }.toSet
+          val masked = verdicts.collect { case (n, LogDelete.Rewrite) => n }
+          (drops, masked.map(_ -> Seq(maskJson)).toMap)
+        }
+      }
     // PRIOR delete masks on the replaced inputs (merge-on-read log
     // DELETEs): the rewrite must not resurrect masked rows, and the
     // publish is guarded so a mask landing mid-operation aborts loudly
     val priorMasks: Map[String, Seq[String]] =
-      if (versioned && overwrite.isDefined)
+      if (versioned && overwrite.isDefined && morReplace.isEmpty)
         LimitHashLog.segmentsAndMasksAllowed(path, None, None)._2
       else Map.empty
-    val replaced: Option[(Seq[String], Seq[String])] = overwrite.map { filters =>
-      val delId = s"ow-$queryId"
-      val spark = org.apache.spark.sql.classic.SparkSession.active
-      // a crashed prior attempt may have recorded removals it never
-      // finished (un-versioned tier): complete them before re-planning
-      LogDelete.resumeMarker(fs, dir, delId)
-      LogDelete.applyDelete(spark, path, filters, delId,
-        fence = Seq(s"segment-$queryId-", s"segment-$delId-"), priorMasks)
+    val replaced: Option[(Seq[String], Seq[String])] =
+      if (morReplace.isDefined) None
+      else overwrite.map { filters =>
+        val delId = s"ow-$queryId"
+        val spark = org.apache.spark.sql.classic.SparkSession.active
+        // a crashed prior attempt may have recorded removals it never
+        // finished (un-versioned tier): complete them before re-planning
+        LogDelete.resumeMarker(fs, dir, delId)
+        LogDelete.applyDelete(spark, path, filters, delId,
+          fence = Seq(s"segment-$queryId-", s"segment-$delId-"), priorMasks)
+      }
+
+    morReplace match {
+      case Some((drops, masks)) =>
+        LogVersions.commitGuarded(path, masks, None) { prev =>
+          (prev.toSet -- drops ++ committedNames).toSeq
+        }
+        MaskPressure.afterMaskPublish(
+          org.apache.spark.sql.classic.SparkSession.active, path)
+        return
+      case None => ()
     }
 
     if (versioned) {

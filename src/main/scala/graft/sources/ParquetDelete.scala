@@ -278,24 +278,41 @@ object ParquetDelete {
     // ([[DeleteMasks]]): instead of rewriting the partial-match files,
     // attach the predicate to each as a delete mask inside one version
     // publish. Zero data I/O; every data file stays byte-identical;
-    // scans filter masked rows until a rewrite purges them. Taken only
-    // for the plain DELETE verb (REPLACE WHERE composes retirement with
-    // its payload publish and keeps copy-on-write), on a versioned
-    // table, with `spark.graft.delete.mode=merge-on-read`.
+    // scans filter masked rows until a rewrite purges them. Taken for
+    // the plain DELETE verb AND for REPLACE WHERE's retirement side
+    // (`alsoPublish` carries the payload into the SAME publish; the
+    // payload files are `protect`ed so the mask never applies to the
+    // rows that replace the condition's range), on a versioned table
+    // with `spark.graft.delete.mode=merge-on-read`. A trivially-TRUE
+    // condition (truncate / unfiltered DELETE) keeps copy-on-write:
+    // masking every row of every file is strictly worse than the
+    // metadata-only retirement the CoW path already does.
     val maskPred: Option[String] =
-      if (versioned && !preCaughtUp && protect.isEmpty && alsoPublish.isEmpty &&
-          DeleteMasks.mergeOnRead(spark)) DeleteMasks.serialize(whole)
+      if (versioned && DeleteMasks.mergeOnRead(spark) &&
+          whole != AlwaysTrue()) DeleteMasks.serialize(whole)
       else None
     if (maskPred.isDefined) {
       val droppedNames = dropped.map(_._1).toSet
       // classification proved no row can match → genuine no-op, no
-      // version churn (same contract as the merge-on-read UPDATE)
-      if (rewrites.isEmpty && droppedNames.isEmpty) {
+      // version churn (same contract as the merge-on-read UPDATE) —
+      // unless a payload must still publish
+      if (rewrites.isEmpty && droppedNames.isEmpty && alsoPublish.isEmpty) {
         return ParquetDeleteStats(untouched.length.toLong, 0L, 0L)
       }
-      ParquetVersions.commit(tableDir, None,
-        rewrites.map { case (rel, _) => rel -> Seq(maskPred.get) }.toMap) { live =>
-        live.filterNot(droppedNames)
+      val addMasks =
+        rewrites.map { case (rel, _) => rel -> Seq(maskPred.get) }.toMap
+      if (preCaughtUp) {
+        // REPLACE WHERE: one publish covers drops, masks AND the
+        // appended payload — straight to the ledger, no internal
+        // catch-up (which would publish the payload as its own commit)
+        VersionLedger.commit(tableDir, None, addMasks, None,
+          Some(n => new Path(data, n))) { prev =>
+          (prev.filterNot(droppedNames) ++ alsoPublish).distinct.sorted
+        }
+      } else {
+        ParquetVersions.commit(tableDir, None, addMasks) { live =>
+          (live.filterNot(droppedNames) ++ alsoPublish).distinct.sorted
+        }
       }
       MaskPressure.afterMaskPublish(spark, tableDir)
       return ParquetDeleteStats(untouched.length.toLong, dropped.length.toLong,

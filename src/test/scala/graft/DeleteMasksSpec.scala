@@ -177,6 +177,57 @@ class DeleteMasksSpec extends AnyFunSuite {
     assert(spark.table("graft_dv.lake.t5").count() === 100)
   }
 
+  test("MoR REPLACE WHERE: masks + payload in ONE publish, pre-existing " +
+      "files byte-identical, truncate keeps copy-on-write") {
+    spark.sql("DROP TABLE IF EXISTS graft_dv.lake.rw")
+    spark.sql("CREATE TABLE graft_dv.lake.rw (id BIGINT, score BIGINT)")
+    (0 until 3).foreach { i =>
+      spark.range(i * 100, i * 100 + 100)
+        .select(col("id"), (col("id") * 2).as("score"))
+        .coalesce(1).writeTo("graft_dv.lake.rw").append()
+    }
+    val dir = s"$warehouse/lake/rw"
+    spark.sql("CALL graft_dv.system.enable_versioning(table => 'lake.rw')")
+    val vPre = ParquetVersions.latest(dir).get._1
+    val before = fileSigs(dir)
+    withMergeOnRead {
+      // ids 150..159 live in the middle file only → one mask; the
+      // replacement payload (same id range, recomputed scores) must be
+      // visible in the SAME version and NEVER masked itself
+      spark.sql("""INSERT INTO graft_dv.lake.rw
+                   REPLACE WHERE id >= 150 AND id < 160
+                   SELECT id, id * 10 AS score FROM range(150, 160)""")
+    }
+    before.foreach { case (name, sig) =>
+      assert(fileSigs(dir).get(name).contains(sig),
+        s"merge-on-read REPLACE WHERE must not rewrite pre-existing $name")
+    }
+    val masks = ParquetVersions.masksFor(dir, None)
+    assert(masks.values.count(_.nonEmpty) === 1,
+      s"exactly the might-match file is masked: $masks")
+    assert(ParquetVersions.latest(dir).get._1 === vPre + 1,
+      "retirement + payload must be ONE publish")
+    assert(spark.table("graft_dv.lake.rw").count() === 300)
+    assert(spark.sql(
+      "SELECT sum(score) AS s FROM graft_dv.lake.rw WHERE id >= 150 AND id < 160")
+      .head.getLong(0) === (150L until 160L).map(_ * 10).sum,
+      "the payload replaces the range exactly")
+    // straddle: the pinned pre-replace version shows the old scores
+    assert(spark.sql(
+      s"""SELECT sum(score) AS s FROM graft_dv.lake.rw VERSION AS OF $vPre
+          WHERE id >= 150 AND id < 160""")
+      .head.getLong(0) === (150L until 160L).map(_ * 2).sum)
+    // truncate (INSERT OVERWRITE) stays copy-on-write even in MoR mode:
+    // masking every row of every file would be strictly worse than the
+    // metadata-only retirement
+    withMergeOnRead {
+      spark.sql("INSERT OVERWRITE graft_dv.lake.rw SELECT id, id AS score FROM range(5)")
+    }
+    assert(spark.table("graft_dv.lake.rw").count() === 5)
+    assert(ParquetVersions.masksFor(dir, None).values.forall(_.isEmpty),
+      "truncate must not land masks")
+  }
+
   test("mask predicates round-trip the codec for every carried type") {
     import org.apache.spark.sql.sources._
     val filters: Seq[Filter] = Seq(

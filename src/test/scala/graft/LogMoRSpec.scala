@@ -429,6 +429,47 @@ class LogMoRSpec extends AnyFunSuite {
       s"untouched segments keep their names: $names")
   }
 
+  test("MoR REPLACE WHERE: drop-whole + masks + payload in one publish, " +
+      "segments byte-identical, time travel straddles") {
+    val dir = freshLog()
+    val ident = catalogFor(dir, "graft_lmrw")
+    val before = segSigs(dir)
+    withMergeOnRead {
+      // segment B is single-value zz → zone-proof DROP; A and C are
+      // clean (no zz) — no masks at all, payload rides the same publish
+      spark.sql(s"""INSERT INTO $ident REPLACE WHERE user_id = 'zz'
+                    SELECT 'zz' AS user_id, CAST(5000 AS BIGINT) AS amount,
+                           CAST(NULL AS BINARY) AS msg, 'hz9' AS sha256sum""")
+    }
+    assert(masksOf(dir).isEmpty,
+      "a drop-whole-only replace must land no masks")
+    assert(rows(dir) === Set(("u1", 10L, "ha1"), ("u1", 20L, "ha2"),
+      ("u2", 30L, "ha3"), ("u2", 40L, "ha4"),
+      ("u7", 700L, "hc1"), ("u8", 800L, "hc2"), ("u8", 900L, "hc3"),
+      ("zz", 5000L, "hz9")))
+    withMergeOnRead {
+      // segment C (700..900) partially matches → MASKED; the first
+      // replace's payload (5000) zone-drops whole; A (10..40) is clean
+      spark.sql(s"""INSERT INTO $ident REPLACE WHERE amount >= 800
+                    SELECT 'u8' AS user_id, CAST(42 AS BIGINT) AS amount,
+                           CAST(NULL AS BINARY) AS msg, 'hn1' AS sha256sum""")
+    }
+    val after = segSigs(dir)
+    before.foreach { case (name, sig) =>
+      assert(after.get(name).contains(sig),
+        s"merge-on-read REPLACE WHERE must not rewrite pre-existing segment $name")
+    }
+    assert(masksOf(dir).size === 1,
+      s"exactly the might-match segment is masked: ${masksOf(dir)}")
+    assert(rows(dir) === Set(("u1", 10L, "ha1"), ("u1", 20L, "ha2"),
+      ("u2", 30L, "ha3"), ("u2", 40L, "ha4"),
+      ("u7", 700L, "hc1"), ("u8", 42L, "hn1")),
+      s"masked 800/900, dropped 5000, payload in: ${rows(dir)}")
+    // straddle: v1 originals, the mid version holds the zz replacement
+    assert(rows(dir, Some(1L)).size === 9)
+    assert(rows(dir, Some(2L)).contains(("zz", 5000L, "hz9")))
+  }
+
   test("REPLACE WHERE (CoW with payload) on a masked log: no resurrection") {
     val warehouse = Files.createTempDirectory("graft_lhmor_wh3").toString
     spark.conf.set("spark.sql.catalog.graft_lmor3", "graft.sources.LogCatalog")
