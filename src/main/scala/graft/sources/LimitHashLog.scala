@@ -423,12 +423,27 @@ object SegmentBloom {
   private val SEED1 = 0x9747b28c
   private val SEED2 = 0x85ebca6b
   def empty(): SegmentBloom = new SegmentBloom(new Array[Long](M / 64))
+
+  /** Decode memo: a zone probe with an `In` of thousands of members
+    * (merge-on-read MERGE key masks) evaluates one `EqualTo` per
+    * member, and each used to re-decode the 8 KiB filter from base64 —
+    * thousands of decodes per segment per classification. Keyed by the
+    * base64 text itself; bounded by a wholesale clear (filters are
+    * per-segment and tables hold bounded segment counts, so the cap is
+    * a leak backstop, not a working-set limit). */
+  private val decodeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, SegmentBloom]()
   def fromBase64(b64: String): SegmentBloom = {
+    val hit = decodeCache.get(b64)
+    if (hit != null) return hit
     val bb = java.nio.ByteBuffer.wrap(java.util.Base64.getDecoder.decode(b64))
     val arr = new Array[Long](M / 64)
     var i = 0
     while (i < arr.length && bb.remaining() >= 8) { arr(i) = bb.getLong; i += 1 }
-    new SegmentBloom(arr)
+    val decoded = new SegmentBloom(arr)
+    if (decodeCache.size() > 4096) decodeCache.clear()
+    decodeCache.putIfAbsent(b64, decoded)
+    decoded
   }
 }
 
@@ -1489,14 +1504,16 @@ class LogColumnarReader(files: Seq[String], required: StructType,
   // updated at each file transition inside nextLine()
   private var segNameBytes: Array[Byte] = Array.empty
   // delete masks of the CURRENT file (merge-on-read log DELETEs),
-  // compiled at each file transition; a matching line is dropped
-  // (array + index loop — no per-line closure on the common unmasked path)
-  private var segMasks: Array[Filter] = Array.empty
+  // compiled at each file transition into per-row closures
+  // ([[LogDelete.compileRow]] — a thousands-of-keys IN mask is one
+  // hash-set probe per line, not a linear scan); array + index loop —
+  // the common unmasked path pays one length check per line
+  private var segMasks: Array[Array[String] => Boolean] = Array.empty
 
   private def maskedLine(parts: Array[String]): Boolean = {
     var i = 0
     while (i < segMasks.length) {
-      if (LogDelete.evalRow(segMasks(i), parts)) return true
+      if (segMasks(i)(parts)) return true
       i += 1
     }
     false
@@ -1516,7 +1533,8 @@ class LogColumnarReader(files: Seq[String], required: StructType,
         val p = new Path(fileIt.next())
         segNameBytes = p.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         segMasks = LimitHashLog.compileMasks(
-          masks.getOrElse(p.getName, Seq.empty)).toArray
+          masks.getOrElse(p.getName, Seq.empty))
+          .map(LogDelete.compileRow).toArray
         reader = new java.io.BufferedReader(new java.io.InputStreamReader(
           p.getFileSystem(new Configuration()).open(p),
           java.nio.charset.StandardCharsets.UTF_8))
@@ -1638,16 +1656,18 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
   private val colIdx = required.fields.map(f => LimitHashLog.fieldIdx(f.name))
   private val checks: Array[(Int, Set[String])] = LimitHashLog.parseChecks(pushed)
   // merge-on-read delete masks of THIS segment: a matching line is a
-  // deleted row — dropped at parse, before any materialization. Array
-  // + index loop: the unmasked common case pays one length check per
-  // line, never a closure
-  private val segMasks: Array[Filter] =
-    LimitHashLog.compileMasks(masks.getOrElse(p.getName, Seq.empty)).toArray
+  // deleted row — dropped at parse, before any materialization.
+  // Compiled per-row closures ([[LogDelete.compileRow]]: a
+  // thousands-of-keys IN mask is one hash-set probe per line); array +
+  // index loop — the unmasked common case pays one length check
+  private val segMasks: Array[Array[String] => Boolean] =
+    LimitHashLog.compileMasks(masks.getOrElse(p.getName, Seq.empty))
+      .map(LogDelete.compileRow).toArray
 
   private def maskedLine(parts: Array[String]): Boolean = {
     var i = 0
     while (i < segMasks.length) {
-      if (LogDelete.evalRow(segMasks(i), parts)) return true
+      if (segMasks(i)(parts)) return true
       i += 1
     }
     false

@@ -119,6 +119,34 @@ object LogDelete {
     UTF8String.fromString(fields(if (a == "user_id") UID else SHA))
       .compareTo(UTF8String.fromString(String.valueOf(v)))
 
+  /** Compile a filter into a per-row closure — built ONCE per reader /
+    * rewrite task, where [[evalRow]] re-walks the tree per line. The
+    * payoff is `In`: a merge-on-read MERGE's key mask carries thousands
+    * of keys, and `vs.exists` evaluated them LINEARLY per row (p38's
+    * masked scan measured seconds per task); here membership is one
+    * hash-set probe. Leaf comparisons delegate to [[evalRow]] —
+    * single-node, no recursion — so the two evaluators cannot drift. */
+  private[sources] def compileRow(f: Filter): Array[String] => Boolean = f match {
+    case And(l, r) =>
+      val a = compileRow(l); val b = compileRow(r)
+      fields => a(fields) && b(fields)
+    case Or(l, r) =>
+      val a = compileRow(l); val b = compileRow(r)
+      fields => a(fields) || b(fields)
+    case Not(c) =>
+      val a = compileRow(c)
+      fields => !a(fields)
+    case In("amount", vs) =>
+      val set = vs.iterator.filter(_ != null).map(long).toSet
+      fields => set.contains(fields(AMT).toLong)
+    case In(a, vs) =>
+      val idx = if (a == "user_id") UID else SHA
+      val set = vs.iterator.filter(_ != null).map(String.valueOf).toSet
+      fields => set.contains(fields(idx))
+    case leaf =>
+      fields => evalRow(leaf, fields)
+  }
+
   /** Three-valued zone evaluation: (mightMatch, mustMatch) for a whole
     * segment from its stats. `might=false` ⇒ no row matches (skip);
     * `must=true` ⇒ every row matches (drop without reading). Both are
@@ -237,6 +265,11 @@ object LogDelete {
           java.nio.charset.StandardCharsets.UTF_8))
       out.write(line); out.write('\n')
     }
+    // compile both filter sets once per segment ([[compileRow]]): the
+    // per-line tree walk — linear for a thousands-of-keys IN mask —
+    // becomes hash-set probes
+    val priorC = priorMasks.map(compileRow)
+    val filtersC = filters.map(compileRow)
     try {
       var line = in.readLine()
       while (line != null) {
@@ -245,8 +278,8 @@ object LogDelete {
         // a line a PRIOR merge-on-read mask already deleted is dropped
         // too (never a survivor — the rewrite PURGES the masks it
         // consumes; resurrecting it would undo a committed DELETE)
-        else if (priorMasks.exists(evalRow(_, fields))) ()
-        else if (!filters.forall(evalRow(_, fields))) { // survivor
+        else if (priorC.exists(_(fields))) ()
+        else if (!filtersC.forall(_(fields))) { // survivor
           keepLine(line)
           nRows += 1
           val uid = fields(UID); val amt = fields(AMT).toLong

@@ -74,6 +74,10 @@ object ProfileStreams {
       println("=== p32 (MoR MERGE) phases ===")
       profileP32(spark, dir)
     }
+    if (which("p38")) {
+      println("=== p38 (log MoR MERGE) phases ===")
+      profileP38(spark, dir)
+    }
     spark.stop()
   }
 
@@ -163,6 +167,54 @@ object ProfileStreams {
          SELECT 'b_cur' AS snap, count(*) AS n, sum(cents) AS cents
          FROM graft_pp32.lake.orders_pq
          ORDER BY snap""").collect())
+    ()
+  }
+
+  private def profileP38(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    catalogFor(spark, "pp38", "ops")
+    spark.sql("DROP TABLE IF EXISTS graft_pp38.ops.limits")
+    spark.sql("""CREATE TABLE graft_pp38.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("okey"),
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"))
+      .createOrReplaceTempView("pp38_base")
+    t("load")(spark.sql("""INSERT INTO graft_pp38.ops.limits
+                 SELECT user_id, amount, CAST(NULL AS BINARY),
+                        sha2(CAST(okey AS STRING), 256)
+                 FROM pp38_base"""))
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_pp38.warehouse") +
+      "/ops/limits"
+    t("enable")(graft.sources.LogVersions.enable(tableDir))
+    spark.sql("""SELECT sha2(CAST(okey AS STRING), 256) AS k,
+                        amount AS cents, user_id AS u
+                 FROM pp38_base WHERE okey % 29 = 5
+                 UNION ALL
+                 SELECT sha2(CAST(okey + 100000000 AS STRING), 256) AS k,
+                        amount AS cents, user_id AS u
+                 FROM pp38_base WHERE okey % 31 = 2""")
+      .createOrReplaceTempView("pp38_cdc")
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      t("merge")(spark.sql("""MERGE INTO graft_pp38.ops.limits t USING pp38_cdc s
+                   ON t.sha256sum = s.k
+                   WHEN MATCHED AND s.cents % 10 < 5 THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET amount = s.cents * 2 + 1
+                   WHEN NOT MATCHED THEN INSERT (user_id, amount, msg, sha256sum)
+                     VALUES (s.u, s.cents, NULL, s.k)"""))
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    t("probe straddle")(spark.sql(
+      """SELECT 'a_pre' AS snap, count(*) AS n, sum(amount) AS cents
+         FROM graft_pp38.ops.limits VERSION AS OF 1
+         UNION ALL
+         SELECT 'b_cur' AS snap, count(*) AS n, sum(amount) AS cents
+         FROM graft_pp38.ops.limits
+         ORDER BY snap""").collect())
+    t("probe warm")(spark.sql(
+      """SELECT 'b_cur' AS snap, count(*) AS n, sum(amount) AS cents
+         FROM graft_pp38.ops.limits""").collect())
     ()
   }
 
