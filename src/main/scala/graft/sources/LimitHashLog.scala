@@ -815,6 +815,9 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean,
 
     morReplace match {
       case Some((drops, masks)) =>
+        // classification proved no row matches AND the payload is
+        // empty → genuine no-op, no version churn
+        if (drops.isEmpty && masks.isEmpty && committedNames.isEmpty) return
         LogVersions.commitGuarded(path, masks, None) { prev =>
           (prev.toSet -- drops ++ committedNames).toSeq
         }

@@ -139,15 +139,21 @@ object LogBucketFunction extends UnboundFunction {
     }
   }
 
+  /** Null keys produce null (isResultNullable): clustering and sorting
+    * then group every null-key row together — the write-side analogue
+    * of [[PartitionSpecs.rowDirFn]] routing them to the per-type
+    * all-null domain dir. Reading the primitive slot of a null input
+    * would silently hash the zero value into bucket-of-0 instead. */
   object Bound extends ScalarFunction[Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
     override def canonicalName(): String = "graft.bucket"
     override def isDeterministic: Boolean = true
-    override def isResultNullable: Boolean = false
+    override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow): Integer =
-      LogBucketing.bucketOf(input.getUTF8String(1), input.getInt(0))
+      if (input.isNullAt(1)) null
+      else LogBucketing.bucketOf(input.getUTF8String(1), input.getInt(0))
   }
 
   class BoundTyped(dt: DataType) extends ScalarFunction[Integer] {
@@ -156,8 +162,9 @@ object LogBucketFunction extends UnboundFunction {
     override def name(): String = "bucket"
     override def canonicalName(): String = s"graft.bucket.${dt.typeName}"
     override def isDeterministic: Boolean = true
-    override def isResultNullable: Boolean = false
+    override def isResultNullable: Boolean = true
     override def produceResult(input: InternalRow): Integer = {
+      if (input.isNullAt(1)) return null
       val v: Any = dt match {
         case ByteType => input.getByte(1)
         case ShortType => input.getShort(1)

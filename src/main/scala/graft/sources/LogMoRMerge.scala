@@ -260,8 +260,18 @@ case class LogMoRMergeCommand(dir: String,
           val added = appended.fold(Seq.empty[String])(df =>
             LogMoRUpdate.appendImages(spark, dir, ordered(df), s"rlo-mrg-$opId"))
           if (masks.isEmpty && added.isEmpty) return Seq.empty // no-op
-          LogVersions.commitGuarded(dir, masks, None) { prev =>
-            (prev ++ added).distinct
+          try {
+            LogVersions.commitGuarded(dir, masks, None) { prev =>
+              (prev ++ added).distinct
+            }
+          } catch {
+            case e: VersionLedger.MaskConflictException =>
+              // a concurrent rewrite retired a masked candidate: the
+              // retry re-classifies and re-appends under a fresh opId —
+              // reclaim this attempt's segments instead of orphaning
+              // them to vacuum
+              LogMoRUpdate.deleteAppended(spark, dir, added)
+              throw e
           }
           if (masks.nonEmpty) MaskPressure.afterMaskPublish(spark, dir)
         case None =>
@@ -313,10 +323,7 @@ case class LogMoRMergeCommand(dir: String,
             case e: VersionLedger.MaskConflictException =>
               // the retry re-classifies and re-appends: reclaim this
               // attempt's segments rather than leaving them to vacuum
-              val base = new org.apache.hadoop.fs.Path(dir)
-              val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              added.foreach(n => fs.delete(
-                new org.apache.hadoop.fs.Path(base, n), false))
+              LogMoRUpdate.deleteAppended(spark, dir, added)
               throw e
           }
           ()

@@ -125,6 +125,20 @@ object LogMoRUpdate {
     if (entries.nonEmpty) LimitHashLog.writeManifest(fs, base, queryId, entries)
     added.result()
   }
+
+  /** Reclaim segments a conflicted publish attempt appended (the retry
+    * re-appends under a fresh opId — without this they orphan until
+    * vacuum). Best-effort: a missing file is already gone. */
+  private[sources] def deleteAppended(
+      spark: org.apache.spark.sql.classic.SparkSession,
+      dir: String, names: Seq[String]): Unit = {
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    names.foreach { n =>
+      try fs.delete(new Path(base, n), false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
 }
 
 /** The decomposed log UPDATE: zone-classify → read matched visible
@@ -174,9 +188,18 @@ case class LogMoRUpdateCommand(dir: String, maskJson: String,
     // retry re-classifies); appended images carry NO mask — a
     // self-referential SET cannot re-delete its own output.
     val addedNames = LogMoRUpdate.appendImages(spark, dir, images, queryId)
-    LogVersions.commitGuarded(dir,
-      candidates.map(_ -> Seq(maskJson)).toMap, None) { prev =>
-      (prev ++ addedNames).distinct
+    try {
+      LogVersions.commitGuarded(dir,
+        candidates.map(_ -> Seq(maskJson)).toMap, None) { prev =>
+        (prev ++ addedNames).distinct
+      }
+    } catch {
+      case e: VersionLedger.MaskConflictException =>
+        // a concurrent rewrite retired a candidate: the retry
+        // re-classifies and re-appends under a fresh opId — reclaim
+        // this attempt's image segments instead of orphaning them
+        LogMoRUpdate.deleteAppended(spark, dir, addedNames)
+        throw e
     }
     MaskPressure.afterMaskPublish(spark, dir)
     Seq.empty

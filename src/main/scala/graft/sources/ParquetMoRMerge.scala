@@ -357,6 +357,7 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
     val srcRaw = org.apache.spark.sql.GraftShims.ofRows(spark, source)
     val src = srcRaw.toDF(srcRaw.columns.indices.map(i => s"_s$i"): _*)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var tgt: DataFrame = null
     var joined: DataFrame = null
     try {
       // distinct source key tuples — the scan prefilter. Collect is
@@ -429,7 +430,7 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       // file+key, never by `_grid` across jobs).
       val tgt0 = prefilter.fold(tgtBase)(tgtBase.filter)
         .withColumn("_grid", monotonically_increasing_id())
-      val tgt = if (srcKeyRows.isDefined)
+      tgt = if (srcKeyRows.isDefined)
         tgt0.persist(StorageLevel.MEMORY_AND_DISK) else tgt0
 
       val onCol = colOf(onCond.e)
@@ -614,8 +615,17 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
             .reduceOption(_ unionByName _)
           val written = appended.fold(Seq.empty[String])(appendRouted(_, 0))
           if (masks.isEmpty && written.isEmpty) return Seq.empty // no-op
-          ParquetVersions.commit(tableDir, None, masks) { liveNow =>
-            (liveNow ++ written).distinct.sorted
+          try {
+            ParquetVersions.commit(tableDir, None, masks) { liveNow =>
+              (liveNow ++ written).distinct.sorted
+            }
+          } catch {
+            case e: VersionLedger.MaskConflictException =>
+              // a concurrent rewrite retired a masked candidate: the
+              // retry re-classifies and re-appends under a fresh opId —
+              // reclaim this attempt's files instead of orphaning them
+              written.foreach(n => fs.delete(new Path(data, n), false))
+              throw e
           }
           if (masks.nonEmpty) MaskPressure.afterMaskPublish(spark, tableDir)
         case None =>
@@ -669,6 +679,7 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       Seq.empty
     } finally {
       if (joined != null) joined.unpersist()
+      if (tgt != null && tgt.storageLevel != StorageLevel.NONE) tgt.unpersist()
       src.unpersist()
       ()
     }

@@ -47,7 +47,7 @@ object PartitionTransformFns {
   }
 
   private def timeFn(fnName: String)(
-      ofDate: Int => Long, ofMicros: Long => Long): UnboundFunction =
+      ofDate: Option[Int => Long], ofMicros: Long => Long): UnboundFunction =
     new UnboundFunction {
       override def name(): String = fnName
       override def description(): String =
@@ -56,9 +56,9 @@ object PartitionTransformFns {
         require(inputType.fields.length == 1,
           s"$fnName takes one argument, got $inputType")
         inputType.fields(0).dataType match {
-          case DateType => new TimeBound(fnName, DateType) {
+          case DateType if ofDate.isDefined => new TimeBound(fnName, DateType) {
             override def produceResult(input: InternalRow): java.lang.Long =
-              if (input.isNullAt(0)) null else ofDate(input.getInt(0))
+              if (input.isNullAt(0)) null else ofDate.get(input.getInt(0))
           }
           case dt @ (TimestampType | TimestampNTZType) => new TimeBound(fnName, dt) {
             override def produceResult(input: InternalRow): java.lang.Long =
@@ -72,17 +72,17 @@ object PartitionTransformFns {
 
   /** days: DATE → epoch day; TIMESTAMP[_NTZ] → floorDiv(micros, day). */
   val Days: UnboundFunction = timeFn("days")(
-    d => d.toLong, m => Math.floorDiv(m, MicrosPerDay))
+    Some(d => d.toLong), m => Math.floorDiv(m, MicrosPerDay))
 
   /** months: the (year, month) ordinal of the covering day. */
   val Months: UnboundFunction = timeFn("months")(
-    d => monthIndex(d.toLong), m => monthIndex(Math.floorDiv(m, MicrosPerDay)))
+    Some(d => monthIndex(d.toLong)),
+    m => monthIndex(Math.floorDiv(m, MicrosPerDay)))
 
-  /** hours: TIMESTAMP[_NTZ] → floorDiv(micros, hour); rejects DATE
-    * like the transform parser does. */
+  /** hours: TIMESTAMP[_NTZ] → floorDiv(micros, hour); DATE is rejected
+    * at BIND time, like the transform parser does. */
   val Hours: UnboundFunction = timeFn("hours")(
-    _ => throw new UnsupportedOperationException("hours(DATE) is not a transform"),
-    m => Math.floorDiv(m, MicrosPerHour))
+    None, m => Math.floorDiv(m, MicrosPerHour))
 
   /** The functions [[graft.sources.LogCatalog]] serves, by name. */
   val byName: Map[String, UnboundFunction] =

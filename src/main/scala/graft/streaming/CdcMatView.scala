@@ -103,13 +103,23 @@ class CdcMatView(viewDir: String) extends Serializable {
     // input size over-estimates the (aggregated) view, so a big seed
     // may start over-bucketed — grow-only absorbs that for the cost of
     // some near-empty files, while UNDER-bucketing is impossible
-    // (|view| ≤ |input| rows and the write still caps at MaxBuckets)
+    // (|view| ≤ |input| rows and the write still caps at MaxBuckets).
+    // A plan with no real size statistics (a join over non-file
+    // sources estimates toward defaultSizeInBytes ≈ Long.MaxValue)
+    // would seed every toy view at MaxBuckets FOREVER (grow-only) —
+    // past a sanity bound the exact count job is the better trade
     val bytesPerBucket = math.max(1L,
       confLong(spark, "spark.graft.cdcview.bucket.bytes", 8L << 20))
     val inputBytes = snapshot.queryExecution.optimizedPlan.stats.sizeInBytes
-    val buckets = clampPow2(
-      ((inputBytes + bytesPerBucket - 1) / bytesPerBucket)
-        .min(BigInt(MaxBuckets)).toLong)
+    val buckets =
+      if (inputBytes < BigInt(1L << 40)) clampPow2(
+        ((inputBytes + bytesPerBucket - 1) / bytesPerBucket)
+          .min(BigInt(MaxBuckets)).toLong)
+      else {
+        val rowsPerBucket = math.max(1L,
+          confLong(spark, "spark.graft.cdcview.bucket.rows", 200000L))
+        clampPow2((grouped.count() + rowsPerBucket - 1) / rowsPerBucket)
+      }
     // repartition ON the bucket id first: without it every aggregate
     // task holds keys of many buckets and partitionBy writes a
     // (tasks × buckets) file explosion — one small shuffle caps the

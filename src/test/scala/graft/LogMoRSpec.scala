@@ -468,6 +468,16 @@ class LogMoRSpec extends AnyFunSuite {
     // straddle: v1 originals, the mid version holds the zz replacement
     assert(rows(dir, Some(1L)).size === 9)
     assert(rows(dir, Some(2L)).contains(("zz", 5000L, "hz9")))
+    // a REPLACE WHERE that matches nothing with an empty payload is a
+    // genuine no-op — zero version churn
+    val vBefore = LogVersions.latest(dir).get._1
+    withMergeOnRead {
+      spark.sql(s"""INSERT INTO $ident REPLACE WHERE user_id = 'nosuch'
+                    SELECT user_id, amount, msg, sha256sum
+                    FROM $ident WHERE false""")
+    }
+    assert(LogVersions.latest(dir).get._1 === vBefore,
+      "no-op replace must not publish a version")
   }
 
   test("REPLACE WHERE (CoW with payload) on a masked log: no resurrection") {
