@@ -325,4 +325,27 @@ class ParquetMoRMergeSpec extends AnyFunSuite {
     assert(ParquetVersions.latest(dir).get._1 === vBefore,
       "nothing matched and nothing inserted: no commit")
   }
+
+  test("the command releases every cache it takes (no per-statement leak)") {
+    // the prefiltered target, the joined delta and the source are all
+    // persisted inside one MERGE — a trickle-upsert session runs
+    // thousands of these, so a single leaked block grows without bound
+    spark.sql("DROP TABLE IF EXISTS graft_mm.lake.mleak")
+    spark.sql("CREATE TABLE graft_mm.lake.mleak (k BIGINT, v BIGINT)")
+    spark.range(1000).selectExpr("id AS k", "id AS v")
+      .coalesce(1).writeTo("graft_mm.lake.mleak").append()
+    graft.sources.ParquetVersions.enable(s"$warehouse/lake/mleak")
+    spark.sql("SELECT CAST(7 AS BIGINT) AS k, CAST(1 AS BIGINT) AS v")
+      .createOrReplaceTempView("mleak_src")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    withMergeOnRead {
+      spark.sql("""MERGE INTO graft_mm.lake.mleak t USING mleak_src s ON t.k = s.k
+                   WHEN MATCHED THEN UPDATE SET v = s.v + 100
+                   WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "every cache the MERGE persisted must be released in its finally")
+    assert(spark.sql(
+      "SELECT v FROM graft_mm.lake.mleak WHERE k = 7").head.getLong(0) === 101L)
+  }
 }
