@@ -1,15 +1,12 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.catalyst.{expressions => ce}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ReplaceData}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.write.RowLevelOperation
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{coalesce, col, lit, monotonically_increasing_id, when}
-import org.apache.spark.sql.{sources => v1}
+import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
 import org.apache.spark.storage.StorageLevel
 
 /** MERGE-ON-READ `MERGE INTO` for the ENTITY LOG — the log tier's twin
@@ -116,11 +113,8 @@ case class LogMoRMergeCommand(dir: String,
     var tgt: DataFrame = null
     var joined: DataFrame = null
     try {
-      val srcKeyRows: Option[Array[Row]] = {
-        val rows = src.select(keys.map(k => colOf(k.srcExpr).as(k.field)): _*)
-          .distinct().limit(maskCap + 1).collect()
-        if (rows.length > maskCap) None else Some(rows)
-      }
+      val srcKeyRows: Option[Array[Row]] =
+        MoRMergeKernel.srcKeyRows(src, keys, maskCap)
 
       // the target through the log's own scan: prior masks drop at
       // parse, `_segment` attributes each row to its ledger name
@@ -129,20 +123,8 @@ case class LogMoRMergeCommand(dir: String,
       } :+ col(LimitHashLog.SEGMENT_COL).as("_gfile")
       val tgtBase = spark.read.format(LimitHashLog.FORMAT).load(dir)
         .select(tSelect: _*)
-      // InSet prefilter over the distinct source keys (same rationale
-      // as the parquet command: one node, one hash probe per row)
-      val prefilter: Option[Column] = srcKeyRows.map { rows =>
-        keys.zipWithIndex.map { case (k, i) =>
-          val vals = rows.map(_.get(i)).filter(_ != null).distinct.toSeq
-          if (vals.isEmpty) lit(false)
-          else {
-            val dt = declared(declared.fieldNames
-              .indexWhere(_.equalsIgnoreCase(k.field))).dataType
-            colOf(ce.InSet(UnresolvedAttribute(Seq(tColName(k.field))),
-              vals.map(v => Literal.create(v, dt).value).toSet))
-          }
-        }.reduce(_ && _)
-      }
+      val prefilter: Option[Column] = srcKeyRows.map(
+        MoRMergeKernel.inSetPrefilter(_, keys, declared, tColName))
       val tgt0 = prefilter.fold(tgtBase)(tgtBase.filter)
         .withColumn("_grid", monotonically_increasing_id())
       tgt = if (srcKeyRows.isDefined)
@@ -151,33 +133,11 @@ case class LogMoRMergeCommand(dir: String,
       val onCol = colOf(onCond.e)
       joined = tgt.join(src, onCol, "inner").persist(StorageLevel.MEMORY_AND_DISK)
 
-      if (checkCardinality) {
-        val viol = joined.groupBy("_grid").count()
-          .filter(col("count") > 1).limit(1).count()
-        if (viol > 0) {
-          throw new UnsupportedOperationException(
-            "MERGE_CARDINALITY_VIOLATION: a target row matched more than " +
-              "one source row; deduplicate the source or tighten the ON " +
-              "clause")
-        }
-      }
+      if (checkCardinality) MoRMergeKernel.requireCardinality(joined)
 
-      val armTag: Column = {
-        val chain = matchedArms.zipWithIndex.foldLeft(Option.empty[Column]) {
-          case (acc, (arm, i)) =>
-            val c = colOf(arm.cond)
-            Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
-        }
-        chain.fold(lit(-1))(_.otherwise(lit(-1)))
-      }
-      val classified = joined.withColumn("_gtag", armTag)
-      val hideTags = matchedArms.zipWithIndex.collect {
-        case (_: DeleteArm, i) => i
-        case (_: UpdateArm, i) => i
-      }
-      val hide =
-        if (hideTags.isEmpty) classified.limit(0)
-        else classified.filter(col("_gtag").isin(hideTags: _*))
+      val classified =
+        joined.withColumn("_gtag", MoRMergeKernel.armTag(matchedArms))
+      val hide = MoRMergeKernel.hideOf(classified, matchedArms)
 
       val keyTCols = keys.map(k => tColName(k.field))
       val maskRows = hide
@@ -188,67 +148,21 @@ case class LogMoRMergeCommand(dir: String,
       // masked (segment, key) must be FULLY hidden or the mask regime
       // would delete rows an arm kept
       val morFits = maskRows.length <= maskCap
-      val morExact = morFits && {
-        if (maskRows.isEmpty) true
-        else {
-          val grpCols = "_gfile" +: keyTCols
-          val hideCnt = hide.groupBy(grpCols.map(col): _*).count()
-            .withColumnRenamed("count", "_hc")
-          val totCnt = tgt.groupBy(grpCols.map(col): _*).count()
-            .withColumnRenamed("count", "_tc")
-          totCnt.join(hideCnt, grpCols)
-            .filter(col("_tc") =!= col("_hc")).limit(1).count() == 0L
-        }
-      }
+      val morExact = morFits && (maskRows.isEmpty ||
+        MoRMergeKernel.morExact(hide, tgt, "_gfile" +: keyTCols))
 
       // per-segment masks; every predicate must be BOTH serializable
       // and evaluable by the log's raw-field readers
       val masksBySegment: Option[Map[String, Seq[String]]] =
         if (!morFits || !morExact) None
-        else {
-          def keyFilter(r: Row): v1.Filter =
-            keys.zipWithIndex.map { case (k, i) =>
-              v1.EqualTo(k.field, r.get(i + 1)): v1.Filter
-            }.reduce(v1.And)
-          def balancedOr(fsq: Seq[v1.Filter]): v1.Filter =
-            if (fsq.length == 1) fsq.head
-            else {
-              val (l, r) = fsq.splitAt(fsq.length / 2)
-              v1.Or(balancedOr(l), balancedOr(r))
-            }
-          val bySeg = maskRows.toSeq.groupBy(_.getString(0))
-          val out = scala.collection.mutable.Map.empty[String, Seq[String]]
-          val ok = bySeg.forall { case (seg, rows) =>
-            val pred: v1.Filter =
-              if (keys.length == 1)
-                v1.In(keys.head.field, rows.map(_.get(1)).distinct.toArray)
-              else balancedOr(rows.map(keyFilter))
-            LogDelete.supported(pred) &&
-              DeleteMasks.serialize(pred).exists { json =>
-                out += (seg -> Seq(json)); true
-              }
-          }
-          if (ok) Some(out.toMap) else None
-        }
+        else MoRMergeKernel.masksByFile(maskRows.toSeq, keys,
+          fileKeyOf = identity, supported = LogDelete.supported)
 
       val opId = java.util.UUID.randomUUID().toString.take(8)
       def updateImages(of: DataFrame): Option[DataFrame] =
-        matchedArms.zipWithIndex.collect { case (UpdateArm(_, outs), i) =>
-          of.filter(col("_gtag") === i)
-            .select(outs.map { case (n, e) => colOf(e).as(n) }: _*)
-        }.reduceOption(_ unionByName _)
+        MoRMergeKernel.updateImages(of, matchedArms)
       val inserts: Option[DataFrame] =
-        if (insertArms.isEmpty) None
-        else {
-          val srcAnti = src.join(tgt, onCol, "left_anti")
-          insertArms.zipWithIndex.map { case (InsertArm(cond, outs), i) =>
-            val notPrior = insertArms.take(i)
-              .map(a => !coalesce(colOf(a.cond), lit(false)))
-              .foldLeft(lit(true))(_ && _)
-            srcAnti.filter(notPrior && coalesce(colOf(cond), lit(false)))
-              .select(outs.map { case (n, e) => colOf(e).as(n) }: _*)
-          }.reduceOption(_ unionByName _)
-        }
+        MoRMergeKernel.insertsOf(src, tgt, onCol, insertArms)
       def ordered(df: DataFrame): DataFrame =
         df.select(declared.fieldNames.toSeq.map(col): _*)
 
@@ -289,24 +203,9 @@ case class LogMoRMergeCommand(dir: String,
                 .select(declared.fieldNames.toSeq.zipWithIndex.map {
                   case (n, i) => col(n).as(s"_t$i")
                 }: _*)
-              val lj = vis.join(src, onCol, "left_outer")
-              val present = col(srcPresent).isNotNull
-              val tagged = lj.withColumn("_gtag",
-                when(present, armTag).otherwise(lit(-1)))
-              val delTags = matchedArms.zipWithIndex.collect {
-                case (_: DeleteArm, i) => i
-              }
-              val kept =
-                if (delTags.isEmpty) tagged
-                else tagged.filter(!col("_gtag").isin(delTags: _*))
-              val updIdx = matchedArms.zipWithIndex.collect {
-                case (UpdateArm(_, outs), i) => (i, outs.toMap)
-              }
-              val rewritten = kept.select(declared.fieldNames.toSeq.map { n =>
-                updIdx.foldRight(col(tColName(n))) { case ((i, outs), alt) =>
-                  when(col("_gtag") === i, colOf(outs(n))).otherwise(alt)
-                }.as(n)
-              }: _*)
+              val rewritten = MoRMergeKernel.rewriteRows(
+                vis.join(src, onCol, "left_outer"), srcPresent, matchedArms,
+                declared, tColName)
               (Seq(rewritten) ++ inserts.map(ordered).toSeq)
                 .reduceOption(_ unionByName _)
             }

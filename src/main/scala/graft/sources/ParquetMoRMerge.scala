@@ -305,6 +305,179 @@ object ParquetMoRMerge {
   }
 }
 
+/** The runtime pieces BOTH tiers' decomposed-MERGE commands share —
+  * pure DataFrame algebra over the positional `_t<i>`/`_s<i>` frames
+  * and the v1-filter mask construction. The tier-specific parts (the
+  * scan, the writers, the ledger publish) stay in each command; ONE
+  * definition of everything else so the twins cannot drift (r13
+  * self-review: the census, arm chain and prefilter were duplicated
+  * verbatim, and a bug fix in one had already missed the other). */
+private[sources] object MoRMergeKernel {
+  import ParquetMoRMerge._
+
+  private def colOf(e: Expression): Column =
+    org.apache.spark.sql.GraftShims.column(e)
+
+  /** Distinct source key tuples — the scan prefilter. None past the
+    * cap: the full scan stays (and the mask keys exceed the cap too,
+    * so the rewrite regime is coming anyway). */
+  def srcKeyRows(src: DataFrame, keys: Seq[MergeKey],
+      cap: Int): Option[Array[Row]] = {
+    val rows = src.select(keys.map(k => colOf(k.srcExpr).as(k.field)): _*)
+      .distinct().limit(cap + 1).collect()
+    if (rows.length > cap) None else Some(rows)
+  }
+
+  /** InSet prefilter over the distinct key tuples: one expression node
+    * and one hash probe per row (thousands of `isin` Literal nodes
+    * cost the driver seconds of analyzer/optimizer re-walks, and an
+    * un-optimized `In` evaluates linearly); still pushes down through
+    * the v1 `In` translation. */
+  def inSetPrefilter(rows: Array[Row], keys: Seq[MergeKey],
+      declared: StructType, tColName: String => String): Column = {
+    keys.zipWithIndex.map { case (k, i) =>
+      val vals = rows.map(_.get(i)).filter(_ != null).distinct.toSeq
+      if (vals.isEmpty) lit(false)
+      else {
+        val dt = declared(declared.fieldNames
+          .indexWhere(_.equalsIgnoreCase(k.field))).dataType
+        colOf(ce.InSet(UnresolvedAttribute(Seq(tColName(k.field))),
+          vals.map(v => Literal.create(v, dt).value).toSet))
+      }
+    }.reduce(_ && _)
+  }
+
+  /** MERGE_CARDINALITY_VIOLATION: a target row (`_grid`) matched more
+    * than one source row. */
+  def requireCardinality(joined: DataFrame): Unit = {
+    val viol = joined.groupBy("_grid").count()
+      .filter(col("count") > 1).limit(1).count()
+    if (viol > 0) {
+      throw new UnsupportedOperationException(
+        "MERGE_CARDINALITY_VIOLATION: a target row matched more than " +
+          "one source row; deduplicate the source or tighten the ON " +
+          "clause")
+    }
+  }
+
+  /** First-match-wins arm tag (−1 = no arm took the row). */
+  def armTag(matchedArms: Seq[MatchedArm]): Column = {
+    val chain = matchedArms.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, (arm, i)) =>
+        val c = colOf(arm.cond)
+        Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
+    }
+    chain.fold(lit(-1))(_.otherwise(lit(-1)))
+  }
+
+  /** Rows a DELETE/UPDATE arm HIDES (the mask candidates). */
+  def hideOf(classified: DataFrame,
+      matchedArms: Seq[MatchedArm]): DataFrame = {
+    val hideTags = matchedArms.zipWithIndex.collect {
+      case (_: DeleteArm, i) => i
+      case (_: UpdateArm, i) => i
+    }
+    if (hideTags.isEmpty) classified.limit(0)
+    else classified.filter(col("_gtag").isin(hideTags: _*))
+  }
+
+  /** Mask-regime exactness census: every masked (file, key) must be
+    * FULLY hidden — a same-key row in the same file that stays visible
+    * (copy arm, or unmatched under a residual ON conjunct) would be
+    * deleted by the key mask too. */
+  def morExact(hide: DataFrame, tgt: DataFrame,
+      grpCols: Seq[String]): Boolean = {
+    val hideCnt = hide.groupBy(grpCols.map(col): _*).count()
+      .withColumnRenamed("count", "_hc")
+    val totCnt = tgt.groupBy(grpCols.map(col): _*).count()
+      .withColumnRenamed("count", "_tc")
+    totCnt.join(hideCnt, grpCols)
+      .filter(col("_tc") =!= col("_hc")).limit(1).count() == 0L
+  }
+
+  /** Per-file/segment key masks from the collected hidden rows (column
+    * 0 = the file key, columns 1.. = the merge keys). `fileKeyOf` maps
+    * the collected value to the ledger name; `supported` is the tier's
+    * read-side evaluability check. None = some predicate the tier
+    * cannot carry → rewrite regime. */
+  def masksByFile(maskRows: Seq[Row], keys: Seq[MergeKey],
+      fileKeyOf: String => String,
+      supported: v1.Filter => Boolean): Option[Map[String, Seq[String]]] = {
+    def keyFilter(r: Row): v1.Filter =
+      keys.zipWithIndex.map { case (k, i) =>
+        v1.EqualTo(k.field, r.get(i + 1)): v1.Filter
+      }.reduce(v1.And)
+    def balancedOr(fsq: Seq[v1.Filter]): v1.Filter =
+      if (fsq.length == 1) fsq.head
+      else {
+        val (l, r) = fsq.splitAt(fsq.length / 2)
+        v1.Or(balancedOr(l), balancedOr(r))
+      }
+    val byFile = maskRows.groupBy(_.getString(0))
+    val out = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val ok = byFile.forall { case (full, rows) =>
+      val pred: v1.Filter =
+        if (keys.length == 1)
+          v1.In(keys.head.field, rows.map(_.get(1)).distinct.toArray)
+        else balancedOr(rows.map(keyFilter))
+      supported(pred) &&
+        DeleteMasks.serialize(pred).exists { json =>
+          out += (fileKeyOf(full) -> Seq(json)); true
+        }
+    }
+    if (ok) Some(out.toMap) else None
+  }
+
+  /** UPDATE-arm images of `of` in declared field order. */
+  def updateImages(of: DataFrame,
+      matchedArms: Seq[MatchedArm]): Option[DataFrame] =
+    matchedArms.zipWithIndex.collect { case (UpdateArm(_, outs), i) =>
+      of.filter(col("_gtag") === i)
+        .select(outs.map { case (n, e) => colOf(e).as(n) }: _*)
+    }.reduceOption(_ unionByName _)
+
+  /** NOT MATCHED inserts: anti-join then the first-match-wins arm
+    * chain. */
+  def insertsOf(src: DataFrame, tgt: DataFrame, onCol: Column,
+      insertArms: Seq[InsertArm]): Option[DataFrame] =
+    if (insertArms.isEmpty) None
+    else {
+      val srcAnti = src.join(tgt, onCol, "left_anti")
+      insertArms.zipWithIndex.map { case (InsertArm(cond, outs), i) =>
+        val notPrior = insertArms.take(i)
+          .map(a => !coalesce(colOf(a.cond), lit(false)))
+          .foldLeft(lit(true))(_ && _)
+        srcAnti.filter(notPrior && coalesce(colOf(cond), lit(false)))
+          .select(outs.map { case (n, e) => colOf(e).as(n) }: _*)
+      }.reduceOption(_ unionByName _)
+    }
+
+  /** Rewrite-regime projection: the visible-candidate ⟕ source frame,
+    * arms applied — deletes dropped, updates imaged, copies and
+    * unmatched rows carried in declared field order. */
+  def rewriteRows(visJoinedSrc: DataFrame, srcPresent: String,
+      matchedArms: Seq[MatchedArm], declared: StructType,
+      tColName: String => String): DataFrame = {
+    val present = col(srcPresent).isNotNull
+    val tagged = visJoinedSrc.withColumn("_gtag",
+      when(present, armTag(matchedArms)).otherwise(lit(-1)))
+    val delTags = matchedArms.zipWithIndex.collect {
+      case (_: DeleteArm, i) => i
+    }
+    val kept =
+      if (delTags.isEmpty) tagged
+      else tagged.filter(!col("_gtag").isin(delTags: _*))
+    val updIdx = matchedArms.zipWithIndex.collect {
+      case (UpdateArm(_, outs), i) => (i, outs.toMap)
+    }
+    kept.select(declared.fieldNames.toSeq.map { n =>
+      updIdx.foldRight(col(tColName(n))) { case ((i, outs), alt) =>
+        when(col("_gtag") === i, colOf(outs(n))).otherwise(alt)
+      }.as(n)
+    }: _*)
+  }
+}
+
 /** The decomposed MERGE: join the (pruned, mask-visible) target with
   * the source, classify rows by arm, then either mask+append (small
   * exact deltas) or rewrite the candidate files (huge/mixed deltas) —
@@ -360,14 +533,8 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
     var tgt: DataFrame = null
     var joined: DataFrame = null
     try {
-      // distinct source key tuples — the scan prefilter. Collect is
-      // bounded: past the cap we keep the full scan (and will land in
-      // the rewrite regime anyway, since the mask keys exceed it too).
-      val srcKeyRows: Option[Array[Row]] = {
-        val rows = src.select(keys.map(k => colOf(k.srcExpr).as(k.field)): _*)
-          .distinct().limit(maskCap + 1).collect()
-        if (rows.length > maskCap) None else Some(rows)
-      }
+      val srcKeyRows: Option[Array[Row]] =
+        MoRMergeKernel.srcKeyRows(src, keys, maskCap)
 
       // --- target: mask-visible rows + originating file ---------------
       // (the per-scan file column binds before the union, so it stays
@@ -400,24 +567,8 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
         parts.map(_.select(tSelect: _*))
           .reduceOption(_ unionByName _).getOrElse(emptyTgt)
       }
-      // the prefilter is an InSet over INTERNAL values, not
-      // `isin(vals: _*)` — thousands of matched keys as individual
-      // Literal nodes make a tree every analyzer/optimizer rule pass
-      // re-walks (driver seconds), and the un-optimized In evaluates
-      // linearly; InSet is one node and one hash probe, and still
-      // pushes to the parquet footers through the v1 In translation
-      val prefilter: Option[Column] = srcKeyRows.map { rows =>
-        keys.zipWithIndex.map { case (k, i) =>
-          val vals = rows.map(_.get(i)).filter(_ != null).distinct.toSeq
-          if (vals.isEmpty) lit(false)
-          else {
-            val dt = declared(declared.fieldNames
-              .indexWhere(_.equalsIgnoreCase(k.field))).dataType
-            colOf(ce.InSet(UnresolvedAttribute(Seq(tColName(k.field))),
-              vals.map(v => Literal.create(v, dt).value).toSet))
-          }
-        }.reduce(_ && _)
-      }
+      val prefilter: Option[Column] = srcKeyRows.map(
+        MoRMergeKernel.inSetPrefilter(_, keys, declared, tColName))
       // persist the PREFILTERED target: the join, the mask-exactness
       // census, and the NOT-MATCHED anti-join each consume it, and
       // without the cache each one re-scans the table (observed: p32
@@ -436,34 +587,12 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       val onCol = colOf(onCond.e)
       joined = tgt.join(src, onCol, "inner").persist(StorageLevel.MEMORY_AND_DISK)
 
-      if (checkCardinality) {
-        val viol = joined.groupBy("_grid").count()
-          .filter(col("count") > 1).limit(1).count()
-        if (viol > 0) {
-          throw new UnsupportedOperationException(
-            "MERGE_CARDINALITY_VIOLATION: a target row matched more than " +
-              "one source row; deduplicate the source or tighten the ON " +
-              "clause")
-        }
-      }
+      if (checkCardinality) MoRMergeKernel.requireCardinality(joined)
 
       // --- arm classification (first-match-wins, null ≠ true) ---------
-      val armTag: Column = {
-        val chain = matchedArms.zipWithIndex.foldLeft(Option.empty[Column]) {
-          case (acc, (arm, i)) =>
-            val c = colOf(arm.cond)
-            Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
-        }
-        chain.fold(lit(-1))(_.otherwise(lit(-1)))
-      }
-      val classified = joined.withColumn("_gtag", armTag)
-      val hideTags = matchedArms.zipWithIndex.collect {
-        case (_: DeleteArm, i) => i
-        case (_: UpdateArm, i) => i
-      }
-      val hide =
-        if (hideTags.isEmpty) classified.limit(0)
-        else classified.filter(col("_gtag").isin(hideTags: _*))
+      val classified =
+        joined.withColumn("_gtag", MoRMergeKernel.armTag(matchedArms))
+      val hide = MoRMergeKernel.hideOf(classified, matchedArms)
 
       val keyTCols = keys.map(k => tColName(k.field))
       val maskRows = hide
@@ -475,68 +604,22 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       // visible (copy arm, or unmatched under a residual ON conjunct)
       // forces the rewrite regime
       val morFits = maskRows.length <= maskCap
-      val morExact = morFits && {
-        if (maskRows.isEmpty) true
-        else {
-          val grpCols = "_gfilefull" +: keyTCols
-          val hideCnt = hide.groupBy(grpCols.map(col): _*).count()
-            .withColumnRenamed("count", "_hc")
-          val totCnt = tgt.groupBy(grpCols.map(col): _*).count()
-            .withColumnRenamed("count", "_tc")
-          totCnt.join(hideCnt, grpCols)
-            .filter(col("_tc") =!= col("_hc")).limit(1).count() == 0L
-        }
-      }
+      val morExact = morFits && (maskRows.isEmpty ||
+        MoRMergeKernel.morExact(hide, tgt, "_gfilefull" +: keyTCols))
 
       // per-file masks; a value the codec cannot carry (shouldn't
       // happen — key types are vetted at intercept) forces the rewrite
       val masksByFile: Option[Map[String, Seq[String]]] =
         if (!morFits || !morExact) None
-        else {
-          def keyFilter(r: Row): v1.Filter =
-            keys.zipWithIndex.map { case (k, i) =>
-              v1.EqualTo(k.field, r.get(i + 1)): v1.Filter
-            }.reduce(v1.And)
-          def balancedOr(fsq: Seq[v1.Filter]): v1.Filter =
-            if (fsq.length == 1) fsq.head
-            else {
-              val (l, r) = fsq.splitAt(fsq.length / 2)
-              v1.Or(balancedOr(l), balancedOr(r))
-            }
-          val byFile = maskRows.toSeq.groupBy(_.getString(0))
-          val out = scala.collection.mutable.Map.empty[String, Seq[String]]
-          val ok = byFile.forall { case (full, rows) =>
-            val pred: v1.Filter =
-              if (keys.length == 1)
-                v1.In(keys.head.field, rows.map(_.get(1)).distinct.toArray)
-              else balancedOr(rows.map(keyFilter))
-            ParquetDelete.supported(declared)(pred) &&
-              DeleteMasks.serialize(pred).exists { json =>
-                out += (relOf(full) -> Seq(json)); true
-              }
-          }
-          if (ok) Some(out.toMap) else None
-        }
+        else MoRMergeKernel.masksByFile(maskRows.toSeq, keys,
+          fileKeyOf = relOf, supported = ParquetDelete.supported(declared))
 
       // --- the appends shared by both regimes --------------------------
       val opId = java.util.UUID.randomUUID().toString.take(8)
       def updateImages(of: DataFrame): Option[DataFrame] =
-        matchedArms.zipWithIndex.collect { case (UpdateArm(_, outs), i) =>
-          of.filter(col("_gtag") === i)
-            .select(outs.map { case (n, e) => colOf(e).as(n) }: _*)
-        }.reduceOption(_ unionByName _)
+        MoRMergeKernel.updateImages(of, matchedArms)
       val inserts: Option[DataFrame] =
-        if (insertArms.isEmpty) None
-        else {
-          val srcAnti = src.join(tgt, onCol, "left_anti")
-          insertArms.zipWithIndex.map { case (InsertArm(cond, outs), i) =>
-            val notPrior = insertArms.take(i)
-              .map(a => !coalesce(colOf(a.cond), lit(false)))
-              .foldLeft(lit(true))(_ && _)
-            srcAnti.filter(notPrior && coalesce(colOf(cond), lit(false)))
-              .select(outs.map { case (n, e) => colOf(e).as(n) }: _*)
-          }.reduceOption(_ unionByName _)
-        }
+        MoRMergeKernel.insertsOf(src, tgt, onCol, insertArms)
 
       /** Route `df` into the table's layout under the `rlo-mrg`
         * maintenance prefix; returns the data/-relative names. */
@@ -641,24 +724,9 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
             .select(declared.fieldNames.toSeq.zipWithIndex.map {
               case (n, i) => col(n).as(s"_t$i")
             }: _*)
-          val lj = vis.join(src, onCol, "left_outer")
-          val present = col(srcPresent).isNotNull
-          val tagged = lj.withColumn("_gtag",
-            when(present, armTag).otherwise(lit(-1)))
-          val delTags = matchedArms.zipWithIndex.collect {
-            case (_: DeleteArm, i) => i
-          }
-          val kept =
-            if (delTags.isEmpty) tagged
-            else tagged.filter(!col("_gtag").isin(delTags: _*))
-          val updIdx = matchedArms.zipWithIndex.collect {
-            case (UpdateArm(_, outs), i) => (i, outs.toMap)
-          }
-          val rewritten = kept.select(declared.fieldNames.toSeq.map { n =>
-            updIdx.foldRight(col(tColName(n))) { case ((i, outs), alt) =>
-              when(col("_gtag") === i, colOf(outs(n))).otherwise(alt)
-            }.as(n)
-          }: _*)
+          val rewritten = MoRMergeKernel.rewriteRows(
+            vis.join(src, onCol, "left_outer"), srcPresent, matchedArms,
+            declared, tColName)
           val newContent =
             if (candRels.isEmpty) inserts
             else (Seq(rewritten) ++ inserts.toSeq).reduceOption(_ unionByName _)
