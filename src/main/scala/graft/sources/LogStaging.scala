@@ -256,21 +256,28 @@ class ParquetReplaceAllWrite(tableDir: String, writeSchema: StructType,
     * value lands in ~one task → ~one file per partition, the
     * file-count property that keeps a 100 TB table's metadata
     * bounded. */
+  private def distributionMode: String =
+    org.apache.spark.sql.classic.SparkSession.active.conf
+      .get("spark.graft.partitioned.write.distribution", "clustered")
+
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
     newSpec match {
-      case Some(spec) =>
+      // the hot-partition opt-out the INSERT path honors applies here
+      // too (a single-day bulk RTAS backfill would otherwise serialize
+      // the whole partition through one task)
+      case Some(spec) if distributionMode != "none" =>
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
           PartitionSpecs.toTransforms(spec)
             .map(t => t: org.apache.spark.sql.connector.expressions.Expression))
-      case None =>
+      case _ =>
         org.apache.spark.sql.connector.distributions.Distributions.unspecified()
     }
   /** Pinned like the partitioned INSERT path ([[PartitionedWriteBuilder]]
     * Scaladoc) — AQE's byte-sized coalescing serializes the per-dir
     * parquet writer opens of a many-partition replacement. */
   override def requiredNumPartitions(): Int =
-    if (newSpec.isEmpty) 0
+    if (newSpec.isEmpty || distributionMode == "none") 0
     else {
       val conf = org.apache.spark.sql.classic.SparkSession.active.conf
       conf.get("spark.graft.partitioned.write.shuffle.partitions", "").trim match {

@@ -181,47 +181,21 @@ object PartitionEvolution {
             case Some(ps) => PartitionSpecs.rowDirFn(ps, schemaV)
             case None => _ => ""
           }
-        def pathFor(relDir: String, k: Int): String =
-          if (relDir.isEmpty) s"$stagingDir/stage-$pid-$attemptId-$k.parquet"
-          else s"$stagingDir/$relDir/stage-$pid-$attemptId-$k.parquet"
-        val open = scala.collection.mutable.LinkedHashMap.empty[String,
-          org.apache.spark.sql.execution.datasources.OutputWriter]
-        val fileSeq = scala.collection.mutable.Map.empty[String, Int]
-        val staged = Seq.newBuilder[(String, String)]
-        var cur: String = null
-        var mapMode = false
-        def openWriter(d: String)
-            : org.apache.spark.sql.execution.datasources.OutputWriter = {
-          val k = fileSeq.getOrElse(d, 0)
-          fileSeq(d) = k + 1
-          val p = pathFor(d, k)
-          staged += ((p, d))
-          owf.newInstance(p, schemaV, ctx)
-        }
+        // one shared adaptive-writer state machine with the DSv2 stage
+        // writer ([[RoutedStageWriter]]) — one open writer per task on
+        // sorted runs, map-regime fallback on dir revisits
+        val routed = new RoutedStageWriter(owf, schemaV, ctx, dirOf,
+          (relDir, k) =>
+            if (relDir.isEmpty) s"$stagingDir/stage-$pid-$attemptId-$k.parquet"
+            else s"$stagingDir/$relDir/stage-$pid-$attemptId-$k.parquet")
         try {
-          it.foreach { row =>
-            val d = dirOf(row)
-            if (d != cur) {
-              if (!mapMode && cur != null) {
-                if (fileSeq.contains(d)) mapMode = true
-                else open.remove(cur).foreach(_.close())
-              }
-              cur = d
-            }
-            open.getOrElseUpdate(d, openWriter(d)).write(row)
-          }
+          it.foreach(routed.write)
         } catch {
           case t: Throwable =>
-            // a mid-write failure must not leak the open parquet
-            // writers' handles and row-group buffers in the executor
-            open.values.foreach { w =>
-              try w.close()
-              catch { case scala.util.control.NonFatal(_) => () }
-            }
+            routed.closeQuietly()
             throw t
         }
-        open.values.foreach(_.close())
-        Iterator.single(staged.result().sortBy(identity))
+        Iterator.single(routed.finish())
       }.collect().toSeq.flatten
   }
 }

@@ -798,6 +798,77 @@ class PartitionedStreamingWrite(tableDir: String, declared: StructType,
 case class PartitionedStageCommit(staged: Seq[(String, String)], pid: Int)
     extends WriterCommitMessage
 
+/** The ADAPTIVE one-open-writer state machine — ONE definition shared
+  * by the DSv2 stage writer ([[PartitionedStageWriterFactory]]) and the
+  * RDD staging path ([[PartitionEvolution.stageRouted]]), so the
+  * revisit-detection and error-path close semantics cannot drift.
+  *
+  * The write plan sorts rows by the partition transforms
+  * ([[PartitionSpecs.sortOrderFor]]), so each dir arrives as ONE
+  * contiguous run and the previous run's writer closes as soon as the
+  * dir changes — one open parquet writer per task, instead of every
+  * open writer contending on parquet's global MemoryManager lock for
+  * the task's whole lifetime (measured ~13× slower for an
+  * 80-partition epoch). A dir REVISIT means the input was not
+  * dir-contiguous after all (ordering not enforced): from then on
+  * writers stay open (the old map regime), costing at most one extra
+  * file per dir instead of a file per run. */
+private[sources] class RoutedStageWriter(
+    owf: OutputWriterFactory, schema: StructType,
+    ctx: org.apache.hadoop.mapreduce.TaskAttemptContext,
+    dirOf: InternalRow => String,
+    pathFor: (String, Int) => String) {
+
+  private val open = scala.collection.mutable.LinkedHashMap.empty[String,
+    org.apache.spark.sql.execution.datasources.OutputWriter]
+  private val fileSeq = scala.collection.mutable.Map.empty[String, Int]
+  private val staged = Seq.newBuilder[(String, String)]
+  private var cur: String = null
+  private var mapMode = false
+
+  private def openWriter(relDir: String)
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    val k = fileSeq.getOrElse(relDir, 0)
+    fileSeq(relDir) = k + 1
+    val p = pathFor(relDir, k)
+    staged += ((p, relDir))
+    owf.newInstance(p, schema, ctx)
+  }
+
+  def write(row: InternalRow): Unit = {
+    val relDir = dirOf(row)
+    if (relDir != cur) {
+      if (!mapMode && cur != null) {
+        if (fileSeq.contains(relDir)) mapMode = true
+        else open.remove(cur).foreach(_.close())
+      }
+      cur = relDir
+    }
+    open.getOrElseUpdate(relDir, openWriter(relDir)).write(row)
+  }
+
+  /** Close everything still open and return (staged path, dir) pairs,
+    * deterministically ordered. */
+  def finish(): Seq[(String, String)] = {
+    open.values.foreach(_.close())
+    open.clear()
+    staged.result().sortBy(identity)
+  }
+
+  /** Error-path close: a mid-write failure must not leak the open
+    * parquet writers' handles and row-group buffers. */
+  def closeQuietly(): Unit = {
+    open.values.foreach { w =>
+      try w.close()
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    open.clear()
+  }
+
+  /** Every staged path this writer created (for abort cleanup). */
+  def stagedPaths: Seq[String] = staged.result().map(_._1)
+}
+
 class PartitionedStageWriterFactory(owf: OutputWriterFactory,
     conf: SerializableConfiguration, schema: StructType,
     spec: PartitionSpecs.Spec, stagingDir: String) extends DataWriterFactory {
@@ -812,55 +883,16 @@ class PartitionedStageWriterFactory(owf: OutputWriterFactory,
     val dirOf = PartitionSpecs.rowDirFn(spec, schema)
     // task-unique staged names: speculative attempts never collide;
     // the -k suffix separates a dir's files when a run is re-opened
-    def pathFor(relDir: String, k: Int): String =
-      s"$stagingDir/$relDir/stage-$partitionId-$taskId-$k.parquet"
+    val routed = new RoutedStageWriter(owf, schema, ctx, dirOf,
+      (relDir, k) => s"$stagingDir/$relDir/stage-$partitionId-$taskId-$k.parquet")
 
-    /** ADAPTIVE writer regime: the write plan sorts rows by the
-      * partition source columns ([[PartitionSpecs.sortOrderFor]]), so
-      * each dir arrives as ONE contiguous run and the previous run's
-      * writer closes as soon as the dir changes — one open parquet
-      * writer per task, instead of every open writer contending on
-      * parquet's global MemoryManager lock for the task's whole
-      * lifetime. A dir REVISIT means the input was not dir-contiguous
-      * after all (bucket layout, ordering not enforced): from then on
-      * writers stay open (the old map regime), costing at most one
-      * extra file per dir instead of a file per run. */
     new DataWriter[InternalRow] {
-      private val open = scala.collection.mutable.LinkedHashMap.empty[String,
-        org.apache.spark.sql.execution.datasources.OutputWriter]
-      private val fileSeq = scala.collection.mutable.Map.empty[String, Int]
-      private val staged = Seq.newBuilder[(String, String)]
-      private var cur: String = null
-      private var mapMode = false
-
-      private def openWriter(relDir: String)
-          : org.apache.spark.sql.execution.datasources.OutputWriter = {
-        val k = fileSeq.getOrElse(relDir, 0)
-        fileSeq(relDir) = k + 1
-        val p = pathFor(relDir, k)
-        staged += ((p, relDir))
-        owf.newInstance(p, schema, ctx)
-      }
-
-      override def write(row: InternalRow): Unit = {
-        val relDir = dirOf(row)
-        if (relDir != cur) {
-          if (!mapMode && cur != null) {
-            if (fileSeq.contains(relDir)) mapMode = true
-            else open.remove(cur).foreach(_.close())
-          }
-          cur = relDir
-        }
-        open.getOrElseUpdate(relDir, openWriter(relDir)).write(row)
-      }
-      override def commit(): WriterCommitMessage = {
-        open.values.foreach(_.close())
-        PartitionedStageCommit(
-          staged.result().sortBy(identity), partitionId)
-      }
+      override def write(row: InternalRow): Unit = routed.write(row)
+      override def commit(): WriterCommitMessage =
+        PartitionedStageCommit(routed.finish(), partitionId)
       override def abort(): Unit = {
-        open.values.foreach(_.close())
-        staged.result().foreach { case (path, _) =>
+        routed.closeQuietly()
+        routed.stagedPaths.foreach { path =>
           val p = new Path(path)
           val fs = p.getFileSystem(conf.value)
           if (fs.exists(p)) fs.delete(p, false)
