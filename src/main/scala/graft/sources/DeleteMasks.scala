@@ -286,7 +286,25 @@ object MaskPressure extends org.apache.spark.internal.Logging {
   val MAX_PREDS_KEY = "spark.graft.mask.pressure.maxPreds"
   val AUTOPURGE_KEY = "spark.graft.mask.pressure.autopurge"
 
+  /** Advisory post-publish hook — MUST NOT throw (ADVICE r13, low):
+    * the triggering DML has already committed, and several callers sit
+    * inside `retryOnMaskConflict`, so a purge-side
+    * `MaskConflictException` escaping here would re-run the committed
+    * DML body (double-applied UPDATE/MERGE: re-masked candidates plus
+    * duplicate appended images). Any failure of the synchronous
+    * auto-purge leaves the masks in place — pressure persists and the
+    * next publish retries — so swallowing with a warning is lossless. */
   def afterMaskPublish(spark: org.apache.spark.sql.SparkSession,
+      tableDir: String): Unit =
+    try afterMaskPublishUnsafe(spark, tableDir)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"mask-pressure hook failed on $tableDir (the DML " +
+          "itself already committed; masks stay until the next purge): " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+
+  private def afterMaskPublishUnsafe(spark: org.apache.spark.sql.SparkSession,
       tableDir: String): Unit = {
     val maxPreds = spark.conf.get(MAX_PREDS_KEY, "64").toInt
     if (maxPreds <= 0) return // policy disabled

@@ -338,8 +338,15 @@ object LogDelete {
           val masked = verdicts.collect { case (n, Rewrite) => n }
           // classification proved no row can match → genuine no-op
           if (drops.isEmpty && masked.isEmpty) return
+          // guard the DROPPED segments (ADVICE r13 follow-through): a
+          // concurrent rewrite retiring a drop-whole candidate moved
+          // its rows into unmasked outputs — `filterNot` would no-op
+          // and the DELETE silently lose those rows. Mask-target
+          // retirement already throws at the ledger (merged()).
           LogVersions.commitGuarded(dir,
-            masked.map(_ -> Seq(maskJson)).toMap, None) { prev =>
+            masked.map(_ -> Seq(maskJson)).toMap,
+            ParquetVersions.guardFor(drops,
+              LimitHashLog.segmentsAndMasksAllowed(dir, None, None)._2)) { prev =>
             prev.filterNot(drops)
           }
           MaskPressure.afterMaskPublish(spark, dir)

@@ -175,7 +175,13 @@ case class LogMoRMergeCommand(dir: String,
             LogMoRUpdate.appendImages(spark, dir, ordered(df), s"rlo-mrg-$opId"))
           if (masks.isEmpty && added.isEmpty) return Seq.empty // no-op
           try {
-            LogVersions.commitGuarded(dir, masks, None) { prev =>
+            // guarded like the rewrite regime (ADVICE r13, medium): a
+            // concurrent lightweight DELETE masking a matched key in a
+            // candidate segment between classification and publish must
+            // abort — the appended unmasked image would resurrect the
+            // deleted row in either commit order
+            LogVersions.commitGuarded(dir, masks,
+              ParquetVersions.guardFor(masks.keySet, priorMasks)) { prev =>
               (prev ++ added).distinct
             }
           } catch {

@@ -166,6 +166,11 @@ case class LogMoRUpdateCommand(dir: String, maskJson: String,
     }
     if (candidates.isEmpty) return Seq.empty // proof: no row matches
 
+    // prior masks observed at classification — the publish guard's
+    // baseline (the scan below applies the same masks at parse)
+    val priorMasks: Map[String, Seq[String]] =
+      LimitHashLog.segmentsAndMasksAllowed(dir, None, None)._2
+
     // matched visible rows of the candidates, via the scan itself
     // (prior masks apply automatically; `segments` restricts the
     // snapshot to the candidate set)
@@ -186,11 +191,15 @@ case class LogMoRUpdateCommand(dir: String, maskJson: String,
     // candidate segment, the images join the membership. A concurrent
     // rewrite retiring a candidate throws MaskConflictException (the
     // retry re-classifies); appended images carry NO mask — a
-    // self-referential SET cannot re-delete its own output.
+    // self-referential SET cannot re-delete its own output. Guarded
+    // (ADVICE r13, medium): a concurrent lightweight DELETE masking a
+    // row of a candidate between the image read and this publish also
+    // aborts — the appended unmasked image would resurrect it.
     val addedNames = LogMoRUpdate.appendImages(spark, dir, images, queryId)
     try {
       LogVersions.commitGuarded(dir,
-        candidates.map(_ -> Seq(maskJson)).toMap, None) { prev =>
+        candidates.map(_ -> Seq(maskJson)).toMap,
+        ParquetVersions.guardFor(candidates.toSet, priorMasks)) { prev =>
         (prev ++ addedNames).distinct
       }
     } catch {

@@ -301,16 +301,27 @@ object ParquetDelete {
       }
       val addMasks =
         rewrites.map { case (rel, _) => rel -> Seq(maskPred.get) }.toMap
+      // Guard the DROPPED files (ADVICE r13 follow-through): a
+      // concurrent rewrite (compaction/Z-order) retiring a drop-whole
+      // candidate moved its rows into new unmasked outputs — the
+      // `filterNot` would silently no-op and the DELETE lose exactly
+      // those rows. Mask-target retirement is already a ledger-level
+      // conflict (merged() throws); drift on a dropped file is
+      // harmless (its every row matches the predicate regardless), so
+      // the guard carries the masks observed now to keep spurious
+      // conflicts rare.
+      val dropGuard = ParquetVersions.guardFor(droppedNames,
+        ParquetVersions.masksFor(tableDir, None))
       if (preCaughtUp) {
         // REPLACE WHERE: one publish covers drops, masks AND the
         // appended payload — straight to the ledger, no internal
         // catch-up (which would publish the payload as its own commit)
-        VersionLedger.commit(tableDir, None, addMasks, None,
+        VersionLedger.commit(tableDir, None, addMasks, dropGuard,
           Some(n => new Path(data, n))) { prev =>
           (prev.filterNot(droppedNames) ++ alsoPublish).distinct.sorted
         }
       } else {
-        ParquetVersions.commit(tableDir, None, addMasks) { live =>
+        ParquetVersions.commitGuarded(tableDir, None, addMasks, dropGuard) { live =>
           (live.filterNot(droppedNames) ++ alsoPublish).distinct.sorted
         }
       }

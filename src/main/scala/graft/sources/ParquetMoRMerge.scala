@@ -384,10 +384,19 @@ private[sources] object MoRMergeKernel {
   /** Mask-regime exactness census: every masked (file, key) must be
     * FULLY hidden — a same-key row in the same file that stays visible
     * (copy arm, or unmatched under a residual ON conjunct) would be
-    * deleted by the key mask too. */
+    * deleted by the key mask too.
+    *
+    * The hidden side counts DISTINCT TARGET rows (`_grid`), not raw
+    * join rows (ADVICE r13, high): with a single unconditional WHEN
+    * MATCHED THEN DELETE Spark plans `checkCardinality = false`, so
+    * duplicate source key tuples legally multiply the hide join — a
+    * raw count can equal `totCnt` while a same-file same-key row
+    * actually stays visible, and the published key mask would silently
+    * delete it. */
   def morExact(hide: DataFrame, tgt: DataFrame,
       grpCols: Seq[String]): Boolean = {
-    val hideCnt = hide.groupBy(grpCols.map(col): _*).count()
+    val hideCnt = hide.select((grpCols :+ "_grid").map(col): _*)
+      .distinct().groupBy(grpCols.map(col): _*).count()
       .withColumnRenamed("count", "_hc")
     val totCnt = tgt.groupBy(grpCols.map(col): _*).count()
       .withColumnRenamed("count", "_tc")
@@ -699,7 +708,15 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
           val written = appended.fold(Seq.empty[String])(appendRouted(_, 0))
           if (masks.isEmpty && written.isEmpty) return Seq.empty // no-op
           try {
-            ParquetVersions.commit(tableDir, None, masks) { liveNow =>
+            // guarded like the rewrite regime (ADVICE r13, medium): a
+            // concurrent lightweight DELETE masking a matched key in a
+            // candidate between classification and publish must abort —
+            // the appended unmasked image would resurrect the deleted
+            // row in either commit order. Retirement alone is already a
+            // ledger-level conflict (merged() throws for retired mask
+            // targets); the guard adds mask-DRIFT detection.
+            ParquetVersions.commitGuarded(tableDir, None, masks,
+              ParquetVersions.guardFor(masks.keySet, priorMasks)) { liveNow =>
               (liveNow ++ written).distinct.sorted
             }
           } catch {

@@ -406,9 +406,24 @@ case class MergeOnReadUpdateCommand(tableDir: String, declared: StructType,
     // every candidate file and the updated images join the membership.
     // The commit's carry-forward keeps masks version-accurate; a
     // concurrent append lands under new names and is never masked.
-    ParquetVersions.commit(tableDir, None,
-      candidates.map(_ -> Seq(maskJson)).toMap) { liveNow =>
-      (liveNow ++ written).distinct.sorted
+    // Guarded (ADVICE r13, medium): a concurrent lightweight DELETE
+    // masking a row of a candidate between the image read above and
+    // this publish must abort — the appended unmasked image would
+    // resurrect the deleted row — and a retired candidate means a
+    // rewrite moved its rows into unmasked outputs. Either conflict
+    // throws MaskConflictException; the retry re-classifies.
+    try {
+      ParquetVersions.commitGuarded(tableDir, None,
+        candidates.map(_ -> Seq(maskJson)).toMap,
+        ParquetVersions.guardFor(candidates.toSet, priorMasks)) { liveNow =>
+        (liveNow ++ written).distinct.sorted
+      }
+    } catch {
+      case e: VersionLedger.MaskConflictException =>
+        // the retry re-appends under a fresh opId — reclaim this
+        // attempt's image files instead of orphaning them to vacuum
+        written.foreach(n => fs.delete(new Path(data, n), false))
+        throw e
     }
     MaskPressure.afterMaskPublish(spark, tableDir)
     Seq.empty
