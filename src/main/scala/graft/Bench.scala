@@ -44,7 +44,12 @@ object Bench {
     val calibrationSec = (System.nanoTime() - calT0) / 1e9
     val suiteT0 = System.nanoTime()
     def elapsedSec: Double = (System.nanoTime() - suiteT0) / 1e9
+    // SPARK_GRAFT_BENCH_ONLY=p14,p15 → run only the queries whose id
+    // prefix matches (local iteration aid; the driver never sets it)
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n.takeWhile(_ != '_'))) }
     // Reps run as ROUND-ROBIN PASSES (q1..qN, q1..qN, ...), not
     // back-to-back per query: a transient load spike then inflates one
     // pass, and the per-query median recovers from the other passes —
