@@ -168,14 +168,21 @@ object ChangeFeed {
     common.groupBy(n => (fromP.masks.getOrElse(n, Seq.empty).sorted,
         toP.masks.getOrElse(n, Seq.empty).sorted)).foreach {
       case ((o, nw), ns) if o != nw =>
+        // visibleAllColumn handles DV entries ([[DeletionVectors]]) —
+        // the position column resolves from `_metadata` inside the
+        // filter, so the projected output keeps the data schema
         def read() = spark.read.schema(schema)
           .parquet(ns.map(n => new Path(data, n).toString): _*)
+        def proj(df: DataFrame) =
+          df.select(schema.fieldNames.toSeq.map(col): _*)
         if (nw.exists(!o.contains(_)))
-          delParts += read().filter(DeleteMasks.visibleColumn(schema, o) &&
-            !DeleteMasks.visibleColumn(schema, nw))
+          delParts += proj(read()
+            .filter(DeleteMasks.visibleAllColumn(dir, schema, o) &&
+              !DeleteMasks.visibleAllColumn(dir, schema, nw)))
         if (o.exists(!nw.contains(_)))
-          insParts += read().filter(DeleteMasks.visibleColumn(schema, nw) &&
-            !DeleteMasks.visibleColumn(schema, o))
+          insParts += proj(read()
+            .filter(DeleteMasks.visibleAllColumn(dir, schema, nw) &&
+              !DeleteMasks.visibleAllColumn(dir, schema, o)))
       case _ => ()
     }
     val emptyDf = spark.createDataFrame(
@@ -568,13 +575,20 @@ object ParquetChangesMicroBatchStream {
   private[sources] def rowReaderFactory(tableDir: String,
       dataSchema: StructType): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.classic.SparkSession.active
-    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-      spark, Seq.empty, Map.empty, Some(dataSchema))
-    val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-      spark, index, dataSchema, dataSchema,
-      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-    builder.pruneColumns(dataSchema)
-    new CdcParquetReaderFactory(builder.build().createReaderFactory(), dataSchema)
+    def factoryFor(schema: StructType): PartitionReaderFactory = {
+      val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+        spark, Seq.empty, Map.empty, Some(dataSchema))
+      val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+        spark, index, dataSchema, dataSchema,
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      builder.pruneColumns(schema)
+      builder.build().createReaderFactory()
+    }
+    val widenedSchema = StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField(DeleteMasks.POS_COL,
+        org.apache.spark.sql.types.LongType))
+    new CdcParquetReaderFactory(factoryFor(dataSchema),
+      factoryFor(widenedSchema), dataSchema, widenedSchema, tableDir)
   }
 }
 
@@ -629,18 +643,31 @@ case class CdcParquetPartition(
     delPreds: Seq[String] = Seq.empty) extends InputPartition
 
 class CdcParquetReaderFactory(inner: PartitionReaderFactory,
-    dataSchema: StructType) extends PartitionReaderFactory {
+    innerPos: PartitionReaderFactory, dataSchema: StructType,
+    widenedSchema: StructType, tableDir: String)
+    extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case CdcParquetPartition(f, kind, commit, vis, del) =>
-        val delegate = inner.createReader(
+        // DV entries in either mask list ([[DeletionVectors]]) switch
+        // the block to the position-widened reader; survivors project
+        // back to the data schema before the (change_type, commit) tail
+        val dv = DeletionVectors.anyDv(vis) || DeletionVectors.anyDv(del)
+        val rowSchema = if (dv) widenedSchema else dataSchema
+        val delegate = (if (dv) innerPos else inner).createReader(
           org.apache.spark.sql.execution.datasources.FilePartition(0, Array(f)))
-        val visTest = if (vis.isEmpty) None
-          else Some(DeleteMasks.compileDeleted(dataSchema, vis))
-        val delTest = if (del.isEmpty) None
-          else Some(DeleteMasks.compileDeleted(dataSchema, del))
+        val visTest: Option[InternalRow => Boolean] = if (vis.isEmpty) None
+          else Some(DeleteMasks.compiledRowFilter(tableDir, rowSchema, vis))
+        val delTest: Option[InternalRow => Boolean] = if (del.isEmpty) None
+          else Some(DeleteMasks.compiledRowFilter(tableDir, rowSchema, del))
+        val proj: InternalRow => InternalRow =
+          if (dv) {
+            val up = org.apache.spark.sql.catalyst.expressions
+              .UnsafeProjection.create(dataSchema)
+            r => up(r)
+          } else identity
         val tail = new GenericInternalRow(
           Array[Any](UTF8String.fromString(kind), commit))
         val joined = new JoinedRow()
@@ -649,8 +676,8 @@ class CdcParquetReaderFactory(inner: PartitionReaderFactory,
           override def next(): Boolean = {
             while (delegate.next()) {
               val r = delegate.get()
-              if (visTest.forall(!_.eval(r)) && delTest.forall(_.eval(r))) {
-                cur = r; return true
+              if (visTest.forall(t => !t(r)) && delTest.forall(t => t(r))) {
+                cur = proj(r); return true
               }
             }
             false

@@ -159,9 +159,19 @@ object DeleteMasks {
 
   def deserialize(s: String): Filter = filterOf(JsonMethods.parse(s))
 
+  /** Spark's parquet readers populate a LongType column of this name
+    * with each row's 0-based position in its file (correct under
+    * pushdown and row-group skipping) — the read-side carrier for
+    * positional deletion vectors ([[DeletionVectors]]). */
+  val POS_COL: String = org.apache.spark.sql.execution.datasources.parquet
+    .ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+
   /** Column names a serialized mask references (for read-schema
-    * widening: the mask must be evaluable on the scan's output rows). */
+    * widening: the mask must be evaluable on the scan's output rows).
+    * DV entries reference no DATA column (their carrier is the
+    * synthetic row-position column, handled by the scan builder). */
   def references(pred: String): Set[String] = {
+    if (DeletionVectors.isDv(pred)) return Set.empty
     def refs(f: Filter): Set[String] = f match {
       case And(l, r) => refs(l) ++ refs(r)
       case Or(l, r) => refs(l) ++ refs(r)
@@ -203,11 +213,39 @@ object DeleteMasks {
       org.apache.spark.sql.functions.lit(false))
   }
 
+  /** [[compileDeleted]] generalized to mask lists that may contain DV
+    * entries ([[DeletionVectors]]): the predicate part compiles as
+    * before; the DV part tests the row's position (the synthetic
+    * [[POS_COL]] the scan builder widened into `rowSchema`) against
+    * the sidecar bitmaps. Throws loudly when a DV entry is present but
+    * the reader's rows carry no position column — silently ignoring it
+    * would resurrect deleted rows. */
+  def compiledRowFilter(tableDir: String, rowSchema: StructType,
+      preds: Seq[String]): InternalRow => Boolean = {
+    val (dvRefs, predJsons) = DeletionVectors.split(preds)
+    val predTest: Option[BasePredicate] =
+      if (predJsons.isEmpty) None else Some(compileDeleted(rowSchema, predJsons))
+    if (dvRefs.isEmpty) {
+      val p = predTest.getOrElse(return (_: InternalRow) => false)
+      row => p.eval(row)
+    } else {
+      val posIdx = rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(POS_COL))
+      if (posIdx < 0) throw new IllegalStateException(
+        s"deletion-vector mask on a reader without the $POS_COL row-position " +
+          s"column (schema ${rowSchema.fieldNames.mkString(",")})")
+      val pd = new DeletionVectors.PositionDeleted(tableDir, dvRefs)
+      row =>
+        predTest.exists(_.eval(row)) ||
+          (!row.isNullAt(posIdx) && pd.deleted(row.getLong(posIdx)))
+    }
+  }
+
   /** Compile a row-level DELETED test bound by NAME against `rowSchema`
     * (the physical row layout a reader produces). `eval(row)` is true
     * only when some predicate evaluates TRUE; NULL counts as kept.
     * Codegen with interpreted fallback — executor-side, built once per
-    * (partition, mask set). */
+    * (partition, mask set). PREDICATE masks only — DV-bearing lists go
+    * through [[compiledRowFilter]]. */
   def compileDeleted(rowSchema: StructType, preds: Seq[String]): BasePredicate = {
     val expr = deletedExpr(rowSchema, preds)
     val bound = expr.transform {
@@ -226,18 +264,46 @@ object DeleteMasks {
       inner: org.apache.spark.sql.connector.read.PartitionReader[InternalRow],
       deleted: BasePredicate)
       : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    filteringReaderFn(inner, r => deleted.eval(r))
+
+  /** [[filteringReader]] over an arbitrary row test (the DV-composed
+    * filter of [[compiledRowFilter]]). */
+  def filteringReaderFn(
+      inner: org.apache.spark.sql.connector.read.PartitionReader[InternalRow],
+      deleted: InternalRow => Boolean)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean = {
         while (inner.next()) {
           val r = inner.get()
-          if (!deleted.eval(r)) { cur = r; return true }
+          if (!deleted(r)) { cur = r; return true }
         }
         false
       }
       override def get(): InternalRow = cur
       override def close(): Unit = inner.close()
     }
+
+  /** Whole-file reader for DV-bearing mask lists in paths whose OUTPUT
+    * rows must stay `out`-width (streaming tail, CDC): `inner` reads
+    * with `widenedSchema` (= `out` :+ [[POS_COL]]), the composed mask
+    * test drops deleted rows, and survivors project back to `out`. */
+  def projectingDvReader(
+      inner: org.apache.spark.sql.connector.read.PartitionReader[InternalRow],
+      tableDir: String, widenedSchema: StructType, out: StructType,
+      preds: Seq[String])
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+    val deleted = compiledRowFilter(tableDir, widenedSchema, preds)
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(out)
+    val filtered = filteringReaderFn(inner, deleted)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      override def next(): Boolean = filtered.next()
+      override def get(): InternalRow = proj(filtered.get())
+      override def close(): Unit = filtered.close()
+    }
+  }
 
   /** Maintenance-read helper: the VISIBLE rows of `names` under
     * `masks`, as one DataFrame — unmasked files in a single scan,
@@ -253,12 +319,39 @@ object DeleteMasks {
       .parquet(ns.map(n => new org.apache.hadoop.fs.Path(dataDir, n).toString): _*)
     val (masked, clean) = names.partition(n => masks.get(n).exists(_.nonEmpty))
     val cleanDf = if (clean.nonEmpty) Some(read(clean)) else None
+    val tableDir = dataDir.getParent.toString
     val maskedDfs = masked.groupBy(n => masks(n).sorted).toSeq.map {
-      case (preds, ns) => read(ns).filter(visibleColumn(declared, preds))
+      case (preds, ns) =>
+        read(ns).filter(visibleAllColumn(tableDir, declared, preds))
+          .select(declared.fieldNames.toSeq
+            .map(org.apache.spark.sql.functions.col): _*)
     }
     (cleanDf.toSeq ++ maskedDfs).reduceOption(_ unionByName _).getOrElse {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         declared)
+    }
+  }
+
+  /** A VISIBLE-row Column over a mask list that may carry DV entries
+    * ([[DeletionVectors]]): predicate part as [[visibleColumn]]; the
+    * DV part tests `_metadata.row_index` (served by the file source on
+    * any parquet read — no schema widening needed at the DataFrame
+    * level) against the sidecar bitmaps. Callers projecting to the
+    * declared columns afterwards lose nothing: the metadata struct is
+    * resolved inside the filter only. */
+  def visibleAllColumn(tableDir: String, schema: StructType,
+      preds: Seq[String]): org.apache.spark.sql.Column = {
+    val (dvRefs, predJsons) = DeletionVectors.split(preds)
+    val predVisible =
+      if (predJsons.isEmpty) org.apache.spark.sql.functions.lit(true)
+      else visibleColumn(schema, predJsons)
+    if (dvRefs.isEmpty) predVisible
+    else {
+      val dvDeleted = org.apache.spark.sql.GraftShims.column(
+        DeletionVectors.DvContainsExpr(tableDir, dvRefs,
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq("_metadata", "row_index"))))
+      predVisible && !dvDeleted
     }
   }
 }

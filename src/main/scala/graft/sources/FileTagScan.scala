@@ -44,7 +44,12 @@ class FileTagParquetScanBuilder(sparkSession: SparkSession,
   /** Delete masks widen the pruned read schema by their referenced
     * columns — the mask must be evaluable on the rows the reader
     * produces (Spark projects the extras away upstream; pruning is
-    * advisory, `readSchema()` is authoritative). */
+    * advisory, `readSchema()` is authoritative). A POSITIONAL mask
+    * ([[DeletionVectors]]) references no data column; its carrier is
+    * the synthetic row-position column Spark's parquet readers
+    * populate ([[DeleteMasks.POS_COL]]) — appended whenever any live
+    * file carries a DV, correct under pushdown and row-group
+    * skipping. */
   override def pruneColumns(requiredSchema: StructType): Unit = {
     wantsFile = requiredSchema.fieldNames.contains(ParquetFileMetaColumn.name())
     val base = requiredSchema.fields.filterNot(
@@ -53,8 +58,12 @@ class FileTagParquetScanBuilder(sparkSession: SparkSession,
       val need = masks.valuesIterator.flatten
         .flatMap(DeleteMasks.references).map(_.toLowerCase).toSet
       val have = base.map(_.name.toLowerCase).toSet
-      base ++ dataSchema.fields.filter(f =>
+      val withRefs = base ++ dataSchema.fields.filter(f =>
         need(f.name.toLowerCase) && !have(f.name.toLowerCase))
+      if (masks.valuesIterator.exists(DeletionVectors.anyDv))
+        withRefs :+ StructField(DeleteMasks.POS_COL,
+          org.apache.spark.sql.types.LongType)
+      else withRefs
     }
     super.pruneColumns(StructType(widened))
   }
@@ -135,7 +144,8 @@ class FileTaggedScan(val inner: ParquetScan,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new FileTaggedReaderFactory(super.createReaderFactory(), masks,
-      inner.readDataSchema)
+      inner.readDataSchema,
+      inner.fileIndex.rootPaths.head.getParent.toString)
 
   override def description(): String =
     s"FileTagged(${super.description()})"
@@ -201,7 +211,8 @@ class MaskedParquetScan(val inner: ParquetScan, val masks: Map[String, Seq[Strin
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MaskedReaderFactory(super.createReaderFactory(), inner.readDataSchema)
+    new MaskedReaderFactory(super.createReaderFactory(), inner.readDataSchema,
+      Some(inner.fileIndex.rootPaths.head.getParent.toString))
 
   override def description(): String =
     s"Masked(files=${masks.size})(${super.description()})"
@@ -220,7 +231,8 @@ case class MaskedFilePartition(fp: FilePartition, preds: Seq[String])
 }
 
 class MaskedReaderFactory(inner: PartitionReaderFactory,
-    rowSchema: StructType) extends PartitionReaderFactory {
+    rowSchema: StructType, tableDir: Option[String] = None)
+    extends PartitionReaderFactory {
 
   /** Spark rejects scans that MIX columnar and row partitions, so the
     * answer is per-partition-TYPE and the planners keep each batch
@@ -243,8 +255,14 @@ class MaskedReaderFactory(inner: PartitionReaderFactory,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case MaskedFilePartition(fp, preds) if preds.nonEmpty =>
-        DeleteMasks.filteringReader(inner.createReader(fp),
-          DeleteMasks.compileDeleted(rowSchema, preds))
+        // DV entries bind to the row-position column the builder
+        // widened in; a DV mask reaching a factory with no tableDir
+        // (the streaming tail constructs its own dv-aware readers)
+        // fails loudly in compiledRowFilter rather than resurrecting
+        val dir = tableDir.getOrElse(
+          fp.files.head.toPath.getParent.getParent.toString)
+        DeleteMasks.filteringReaderFn(inner.createReader(fp),
+          DeleteMasks.compiledRowFilter(dir, rowSchema, preds))
       case MaskedFilePartition(fp, _) => inner.createReader(fp)
       case p => inner.createReader(p)
     }
@@ -277,7 +295,8 @@ class TailableParquetScan(val inner: ParquetScan)
 
 class FileTaggedReaderFactory(inner: PartitionReaderFactory,
     masks: Map[String, Seq[String]] = Map.empty,
-    rowSchema: StructType = new StructType()) extends PartitionReaderFactory {
+    rowSchema: StructType = new StructType(),
+    tableDir: String = "") extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean = false
 
@@ -291,8 +310,8 @@ class FileTaggedReaderFactory(inner: PartitionReaderFactory,
     // masked rows are deleted on the `_file` surface too — the runtime
     // group-filter subquery and provenance queries must not see them
     val delegate = masks.get(name).filter(_.nonEmpty) match {
-      case Some(preds) => DeleteMasks.filteringReader(raw,
-        DeleteMasks.compileDeleted(rowSchema, preds))
+      case Some(preds) => DeleteMasks.filteringReaderFn(raw,
+        DeleteMasks.compiledRowFilter(tableDir, rowSchema, preds))
       case None => raw
     }
     new PartitionReader[InternalRow] {

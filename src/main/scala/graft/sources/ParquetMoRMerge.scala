@@ -551,18 +551,23 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       // parquet footers and drops untouched files with zero row I/O)
       val tSelect = declared.fieldNames.toSeq.zipWithIndex.map {
         case (n, i) => col(n).as(s"_t$i")
-      } :+ col("_gfilefull")
+      } :+ col("_gfilefull") :+ col("_gpos")
       def readGroup(ns: Seq[String], preds: Seq[String]): DataFrame = {
+        // _gpos: the row's position in its file — both the DV read
+        // side (prior positional masks drop here) and the DV WRITE
+        // side (the hidden rows' positions become the new bitmaps)
         val df0 = spark.read.schema(declared)
           .parquet(ns.map(n => new Path(data, n).toString): _*)
           .withColumn("_gfilefull", input_file_name())
+          .withColumn("_gpos", col("_metadata.row_index"))
         if (preds.isEmpty) df0
-        else df0.filter(DeleteMasks.visibleColumn(declared, preds))
+        else df0.filter(DeleteMasks.visibleAllColumn(tableDir, declared, preds))
       }
       val emptyTgt = {
         val sch = StructType(declared.fields.zipWithIndex.map { case (f, i) =>
           StructField(s"_t$i", f.dataType, f.nullable)
-        } :+ StructField("_gfilefull", StringType))
+        } :+ StructField("_gfilefull", StringType)
+          :+ StructField("_gpos", LongType))
         spark.createDataFrame(new java.util.ArrayList[Row](), sch)
       }
       val tgtBase: DataFrame = {

@@ -197,12 +197,22 @@ class ParquetGroupScan(tableDir: String, declared: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     // Spark's own parquet reader (vectorized decode, returning rows):
-    // built on the driver, serializable, closes over the session conf
+    // built on the driver, serializable, closes over the session conf.
+    // The second, position-widened variant serves partitions whose
+    // masks carry deletion vectors ([[DeletionVectors]]) — the extra
+    // [[DeleteMasks.POS_COL]] long is populated by the reader itself.
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark, declared, new StructType(), declared, Seq.empty,
       Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
-    new ParquetGroupReaderFactory(readFunc, declared)
+    val widenedSchema = StructType(declared.fields :+
+      StructField(DeleteMasks.POS_COL, org.apache.spark.sql.types.LongType))
+    val readFuncPos = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, declared, new StructType(), widenedSchema, Seq.empty,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+    new ParquetGroupReaderFactory(readFunc, readFuncPos, declared,
+      widenedSchema, tableDir)
   }
 
   override def description(): String =
@@ -217,17 +227,30 @@ case class ParquetGroupPartition(name: String, path: String, len: Long,
 
 class ParquetGroupReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
-    declared: StructType) extends PartitionReaderFactory {
+    readFuncPos: PartitionedFile => Iterator[InternalRow],
+    declared: StructType, widenedSchema: StructType,
+    tableDir: String) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ParquetGroupPartition]
     val pf = PartitionedFile(InternalRow.empty,
       org.apache.spark.paths.SparkPath.fromPathString(p.path), 0L, p.len,
       Array.empty, p.mtime, p.len)
-    val deleted = if (p.maskPreds.isEmpty) None
-      else Some(DeleteMasks.compileDeleted(declared, p.maskPreds))
+    // DV-bearing masks read through the position-widened variant and
+    // project survivors back to declared width before the `_file` tag
+    val dv = DeletionVectors.anyDv(p.maskPreds)
+    val it = if (dv) readFuncPos(pf) else readFunc(pf)
+    val deleted: InternalRow => Boolean =
+      if (p.maskPreds.isEmpty) _ => false
+      else DeleteMasks.compiledRowFilter(tableDir,
+        if (dv) widenedSchema else declared, p.maskPreds)
+    val proj: InternalRow => InternalRow =
+      if (dv) {
+        val up = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(declared)
+        r => up(r)
+      } else identity
     new PartitionReader[InternalRow] {
-      private val it = readFunc(pf)
       private val fileRow =
         new GenericInternalRow(Array[Any](UTF8String.fromString(p.name)))
       private val joined = new JoinedRow
@@ -235,7 +258,7 @@ class ParquetGroupReaderFactory(
       override def next(): Boolean = {
         while (it.hasNext) {
           val r = it.next()
-          if (deleted.forall(!_.eval(r))) { cur = r; return true }
+          if (!deleted(r)) { cur = proj(r); return true }
         }
         false
       }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan}
 import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.types.StructType
@@ -136,15 +136,41 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
     * micro-batch for nothing. */
   private lazy val readerFactory: PartitionReaderFactory = {
     val spark = org.apache.spark.sql.classic.SparkSession.active
-    val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-      spark, Seq.empty, Map.empty, Some(dataSchema))
-    val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-      spark, index, dataSchema, dataSchema,
-      new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-    builder.pruneColumns(dataSchema)
+    def factoryFor(schema: StructType): PartitionReaderFactory = {
+      val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
+        spark, Seq.empty, Map.empty, Some(dataSchema))
+      val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+        spark, index, dataSchema, dataSchema,
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
+      builder.pruneColumns(schema)
+      builder.build().createReaderFactory()
+    }
+    val plain = factoryFor(dataSchema)
     // mask-aware wrapper: snapshot partitions of masked files filter
-    // their lightweight-deleted rows; unmasked partitions delegate
-    new MaskedReaderFactory(builder.build().createReaderFactory(), dataSchema)
+    // their lightweight-deleted rows; unmasked partitions delegate.
+    // Predicate masks evaluate on the data row; a DV-bearing list
+    // ([[DeletionVectors]]) routes to a second, position-widened
+    // factory and projects the survivors back to the stream schema.
+    lazy val widenedSchema = StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField(DeleteMasks.POS_COL,
+        org.apache.spark.sql.types.LongType))
+    lazy val widened = factoryFor(widenedSchema)
+    val inner = new MaskedReaderFactory(plain, dataSchema)
+    new PartitionReaderFactory {
+      override def supportColumnarReads(p: InputPartition): Boolean =
+        inner.supportColumnarReads(p)
+      override def createColumnarReader(p: InputPartition)
+          : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+        inner.createColumnarReader(p)
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        p match {
+          case MaskedFilePartition(fp, preds)
+              if DeletionVectors.anyDv(preds) =>
+            DeleteMasks.projectingDvReader(widened.createReader(fp),
+              tableDir, widenedSchema, dataSchema, preds)
+          case other => inner.createReader(other)
+        }
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = readerFactory
