@@ -23,6 +23,24 @@ package graft
   * last JSON line). Only passes ≥ 3 are gated on the soft budget.
   */
 object Bench {
+  /** The one-line JSON summary. `entries`: query name → min successful
+    * wall time, or None when the query NEVER succeeded — such queries
+    * report under "errs" with an "errors" count instead of a time
+    * (round 14: two crashed queries' elapsed-to-crash read as 2×
+    * speedups and rc stayed 0; a crash is not a wall time). */
+  def summaryLine(entries: Seq[(String, Option[Double])], sfName: String,
+      calibrationSec: Double): String = {
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def id(n: String): String = n.takeWhile(_ != '_')
+    val results = entries.collect { case (n, Some(v)) => n -> v }
+    val errNames = entries.collect { case (n, None) => n }
+    val qs = results.map { case (k, v) => "\"" + id(k) + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val errsJson = if (errNames.isEmpty) "" else errNames
+      .map(n => "\"" + id(n) + "\"").mkString(""","errs":[""", ",", "]")
+    s"""{"metric":"total","value":${f3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":${errNames.size}$errsJson,"sf":"$sfName","calibration":${f3(calibrationSec)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -62,28 +80,25 @@ object Bench {
     // full-name, full-precision line was ~2.7 KB and got truncated →
     // "parsed": null). Query keys shrink to their unique id prefix
     // (q01..q46, d01.., s01.., t01.., u01.., v01.., m01.., p01).
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def currentLine(): String = {
-      val results = names.map { case (name, _) =>
-        name -> samples(name).min // contention-robust: see object doc
-      }
-      val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
-        .mkString("{", ",", "}")
-      val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${f3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"sf":"$sfName","calibration":${f3(calibrationSec)}}"""
-    }
+    def currentLine(): String = Bench.summaryLine(
+      names.map { case (name, _) =>
+        name -> samples.get(name).filter(_.nonEmpty).map(_.min) // min: contention-robust, see object doc
+      }, new java.io.File(sfDir).getName, calibrationSec)
     for (rep <- 0 until reps if rep <= 1 || elapsedSec <= budgetSec) {
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators may cache intermediates; drop them so queries are
         // measured in isolation instead of under accumulated memory pressure
         spark.catalog.clearCache()
-        samples(name) = dt :: samples.getOrElse(name, Nil)
+        if (ok) samples(name) = dt :: samples.getOrElse(name, Nil)
+        else samples.getOrElseUpdate(name, Nil)
       }
       // Emit the cumulative-median line after EVERY pass: if an external
       // timeout kills a later pass, the output tail still ends with a

@@ -55,7 +55,13 @@ def main():
         sql = oracle[name]
         got = load_spark(outdir, name)
         if got is None:
-            print(f"FAIL {name}: no spark output")
+            import os
+            marker = f"{outdir}/{name}/_ERROR"
+            if os.path.exists(marker):
+                msg = open(marker).read().strip()[:200]
+                print(f"ERR  {name}: query crashed: {msg}")
+            else:
+                print(f"FAIL {name}: no spark output")
             n_fail += 1
             continue
         try:
