@@ -134,6 +134,43 @@ object DeletionVectors {
     ()
   }
 
+  /** Deterministic sidecar name for (operation, data file): task
+    * retries and speculative duplicates rewrite the SAME name with
+    * identical bytes instead of leaking extra sidecars. The data-file
+    * digest keys by its data/-relative path, unique within a table. */
+  def sidecarName(opId: String, rel: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val hex = md.digest(rel.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    s"dv-$opId-$hex.bin"
+  }
+
+  /** Aggregator: row positions of one data file → one serialized GDV1
+    * bitmap. Bitmaps build and merge executor-side (the driver never
+    * sees raw positions — O(touched files) result rows, not O(deleted
+    * rows)); the buffer java-serializes only at partial/final
+    * boundaries (RoaringBitmap is Externalizable). Positions outside
+    * [0, 2^31) are SKIPPED, not clamped — the writer checks
+    * `max(pos)` alongside and discards the whole DV batch when any
+    * file overflows the 32-bit domain (falls back to the rewrite
+    * regime), so a skipped add can never publish. */
+  final class BitmapAgg
+      extends org.apache.spark.sql.expressions.Aggregator[Long, RoaringBitmap, Array[Byte]] {
+    override def zero: RoaringBitmap = new RoaringBitmap()
+    override def reduce(b: RoaringBitmap, pos: Long): RoaringBitmap = {
+      if (pos >= 0L && pos <= Int.MaxValue.toLong) b.add(pos.toInt)
+      b
+    }
+    override def merge(a: RoaringBitmap, b: RoaringBitmap): RoaringBitmap = {
+      a.or(b); a
+    }
+    override def finish(b: RoaringBitmap): Array[Byte] = serialize(b)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[RoaringBitmap] =
+      org.apache.spark.sql.Encoders.javaSerialization[RoaringBitmap]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
   // --- read-side cache ----------------------------------------------
 
   /** Decoded-bitmap cache, executor-side (and driver-side for
@@ -144,9 +181,16 @@ object DeletionVectors {
     new java.util.concurrent.ConcurrentHashMap[String,
       java.lang.ref.SoftReference[RoaringBitmap]]
 
+  /** One conf per JVM for sidecar loads — load() runs executor-side
+    * inside partition readers, where a bare `new Configuration()`
+    * drops every spark.hadoop.* setting (credentials on s3a/abfs;
+    * ADVICE r14). Derived from the running SparkEnv's SparkConf. */
+  @transient private lazy val loadConf =
+    org.apache.spark.sql.GraftShims.hadoopConf()
+
   def load(tableDir: String, name: String): RoaringBitmap = {
     val p = sidecarPath(tableDir, name)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(loadConf)
     val st = fs.getFileStatus(p)
     val key = fs.makeQualified(p).toString + "#" + st.getLen
     val hit = cache.get(key)

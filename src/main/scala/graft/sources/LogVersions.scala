@@ -119,7 +119,7 @@ object LogVersions {
     // `RETAIN n HOURS` survives copied/rsynced directories.
     val view = VersionLedger.vacuumView(dir)
     if (view.isEmpty) return Seq.empty
-    val payloads = view.map { case (o, p, names, _) => (o, p, names) }
+    val payloads = view.map { case (o, p, names, _, _) => (o, p, names) }
     val retainedOrds = VersionLedger.retainedOf(
       view.map(v => (v._1, v._4)), retainLast, olderThanMs)
     val (droppedVs, retainedVs) = payloads.partition(p => !retainedOrds(p._1))
@@ -893,12 +893,15 @@ private[sources] object VersionLedger {
   }
 
   /** ONE consistent listing for vacuum: (ordinal, version file, names,
-    * publish millis) — membership and the retention window must come
-    * from the same snapshot ([[retainedOf]]). */
-  private[sources] def vacuumView(dir: String): Seq[(Long, Path, Seq[String], Long)] =
+    * publish millis, masks) — membership, the retention window AND the
+    * DV-sidecar reference set must come from the same snapshot
+    * ([[retainedOf]]). */
+  private[sources] def vacuumView(dir: String)
+      : Seq[(Long, Path, Seq[String], Long, Map[String, Seq[String]])] =
     versionStatuses(new Path(dir)).map { case (o, s) =>
       val p = cachedPayload(s)
-      (o, s.getPath, p.names, if (p.ts >= 0) p.ts else s.getModificationTime)
+      (o, s.getPath, p.names,
+        if (p.ts >= 0) p.ts else s.getModificationTime, p.masks)
     }
 
   /** Table history, ascending: (ordinal, publish millis — the embedded

@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, MergeRows
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.write.RowLevelOperation
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{coalesce, col, hash, input_file_name, lit, monotonically_increasing_id, pmod, when}
+import org.apache.spark.sql.functions.{coalesce, col, hash, input_file_name, lit, pmod, when}
 import org.apache.spark.sql.{sources => v1}
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -347,10 +347,13 @@ private[sources] object MoRMergeKernel {
     }.reduce(_ && _)
   }
 
-  /** MERGE_CARDINALITY_VIOLATION: a target row (`_grid`) matched more
-    * than one source row. */
-  def requireCardinality(joined: DataFrame): Unit = {
-    val viol = joined.groupBy("_grid").count()
+  /** MERGE_CARDINALITY_VIOLATION: a target row (identified by
+    * `rowIdCols` — (file, position) on the parquet tier, the
+    * synthetic `_grid` on the log tier) matched more than one source
+    * row. */
+  def requireCardinality(joined: DataFrame,
+      rowIdCols: Seq[String] = Seq("_grid")): Unit = {
+    val viol = joined.groupBy(rowIdCols.map(col): _*).count()
       .filter(col("count") > 1).limit(1).count()
     if (viol > 0) {
       throw new UnsupportedOperationException(
@@ -386,16 +389,23 @@ private[sources] object MoRMergeKernel {
     * (copy arm, or unmatched under a residual ON conjunct) would be
     * deleted by the key mask too.
     *
-    * The hidden side counts DISTINCT TARGET rows (`_grid`), not raw
+    * The hidden side counts DISTINCT TARGET rows (`rowId`), not raw
     * join rows (ADVICE r13, high): with a single unconditional WHEN
     * MATCHED THEN DELETE Spark plans `checkCardinality = false`, so
     * duplicate source key tuples legally multiply the hide join — a
     * raw count can equal `totCnt` while a same-file same-key row
     * actually stays visible, and the published key mask would silently
-    * delete it. */
+    * delete it.
+    *
+    * `rowId` is the row-identity column: `_gpos` (file position —
+    * DETERMINISTIC across recomputes) on the parquet tier; the log
+    * tier still passes `_grid` (monotonically_increasing_id), where a
+    * persisted-partition eviction could in principle reassign ids —
+    * the census then over-counts and flips to the rewrite regime,
+    * which is the fail-safe direction (ADVICE r14, low). */
   def morExact(hide: DataFrame, tgt: DataFrame,
-      grpCols: Seq[String]): Boolean = {
-    val hideCnt = hide.select((grpCols :+ "_grid").map(col): _*)
+      grpCols: Seq[String], rowId: String = "_grid"): Boolean = {
+    val hideCnt = hide.select((grpCols :+ rowId).map(col): _*)
       .distinct().groupBy(grpCols.map(col): _*).count()
       .withColumnRenamed("count", "_hc")
     val totCnt = tgt.groupBy(grpCols.map(col): _*).count()
@@ -516,6 +526,64 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
   private def tColName(field: String): String =
     s"_t${declared.fieldNames.indexWhere(_.equalsIgnoreCase(field))}"
 
+  /** Positional-DV construction: per-file bitmaps of the hidden rows'
+    * positions, aggregated EXECUTOR-SIDE ([[DeletionVectors.BitmapAgg]]
+    * — the driver never holds raw positions, only O(touched files)
+    * (rel, sidecar, cardinality) triples), sidecars written executor-
+    * side under deterministic names (task retries idempotent), then
+    * referenced by DV mask entries that ride the same atomic publish
+    * as key masks would. The byte budget (`dv.maxBytes`) and the
+    * 32-bit position domain are checked on the PERSISTED aggregate
+    * BEFORE any sidecar writes, so a rejected batch leaves no debris.
+    * None → the caller falls back to the group-rewrite regime. */
+  private def buildDvMasks(spark: org.apache.spark.sql.classic.SparkSession,
+      hide: DataFrame, dataPathPrefix: String, opId: String)
+      : Option[(Map[String, Seq[String]], Seq[String])] = {
+    import org.apache.spark.sql.{functions => F}
+    if (!spark.conf.get(DeletionVectors.ENABLED_KEY, "true").toBoolean) return None
+    val maxBytes = spark.conf.get(DeletionVectors.MAX_BYTES_KEY,
+      DeletionVectors.MAX_BYTES_DEFAULT.toString).toLong
+    val dvAgg = F.udaf(new DeletionVectors.BitmapAgg(),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val grouped = hide.select(col("_gfilefull"), col("_gpos")).distinct()
+      .groupBy("_gfilefull")
+      .agg(dvAgg(col("_gpos")).as("_gdv"), F.max(col("_gpos")).as("_gmax"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = grouped.agg(F.sum(F.length(col("_gdv"))).as("_b"),
+        F.max(col("_gmax")).as("_m")).collect()(0)
+      if (st.isNullAt(0)) return None // empty hide set — nothing to mask
+      if (st.getLong(0) > maxBytes ||
+          st.getLong(1) > Int.MaxValue.toLong) return None
+      val dirLocal = tableDir
+      val prefixLocal = dataPathPrefix
+      val opLocal = opId
+      import spark.implicits._
+      val refs: Array[(String, String, Long)] = grouped
+        .select(col("_gfilefull"), col("_gdv"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          val conf = org.apache.spark.sql.GraftShims.hadoopConf()
+          it.map { case (full, bytes) =>
+            val p = new java.net.URI(full).getPath
+            require(p.startsWith(prefixLocal + "/"),
+              s"scanned file $p outside table data dir $prefixLocal")
+            val rel = p.substring(prefixLocal.length + 1)
+            val name = DeletionVectors.sidecarName(opLocal, rel)
+            val sp = DeletionVectors.sidecarPath(dirLocal, name)
+            val fsx = sp.getFileSystem(conf)
+            fsx.mkdirs(sp.getParent)
+            val out = fsx.create(sp, true)
+            try out.write(bytes) finally out.close()
+            (rel, name, DeletionVectors.deserialize(bytes).getLongCardinality)
+          }
+        }.collect()
+      Some((refs.map { case (rel, name, card) =>
+        rel -> Seq(DeletionVectors.refJson(name, card))
+      }.toMap, refs.map(_._2).toSeq))
+    } finally { grouped.unpersist(); () }
+  }
+
   private def runOnce(session: SparkSession): Seq[Row] = {
     val spark = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val base = new Path(tableDir)
@@ -589,19 +657,19 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       // paid the full scan 3×). Only when the IN prefilter bounds it —
       // an uncapped source (rewrite regime territory) means `tgt` is
       // the whole table, and caching 100 TB to evict it two jobs later
-      // costs more than the second scan. Caching also FREEZES `_grid`
-      // (monotonically_increasing_id is nondeterministic across
-      // recomputes, fine today only because each consumer groups by
-      // file+key, never by `_grid` across jobs).
+      // costs more than the second scan. Row identity on this tier is
+      // (`_gfilefull`, `_gpos`) — deterministic across recomputes
+      // (ADVICE r14: the previous monotonically_increasing_id `_grid`
+      // could reassign on persisted-partition eviction).
       val tgt0 = prefilter.fold(tgtBase)(tgtBase.filter)
-        .withColumn("_grid", monotonically_increasing_id())
       tgt = if (srcKeyRows.isDefined)
         tgt0.persist(StorageLevel.MEMORY_AND_DISK) else tgt0
 
       val onCol = colOf(onCond.e)
       joined = tgt.join(src, onCol, "inner").persist(StorageLevel.MEMORY_AND_DISK)
 
-      if (checkCardinality) MoRMergeKernel.requireCardinality(joined)
+      if (checkCardinality)
+        MoRMergeKernel.requireCardinality(joined, Seq("_gfilefull", "_gpos"))
 
       // --- arm classification (first-match-wins, null ≠ true) ---------
       val classified =
@@ -619,7 +687,8 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       // forces the rewrite regime
       val morFits = maskRows.length <= maskCap
       val morExact = morFits && (maskRows.isEmpty ||
-        MoRMergeKernel.morExact(hide, tgt, "_gfilefull" +: keyTCols))
+        MoRMergeKernel.morExact(hide, tgt, "_gfilefull" +: keyTCols,
+          rowId = "_gpos"))
 
       // per-file masks; a value the codec cannot carry (shouldn't
       // happen — key types are vetted at intercept) forces the rewrite
@@ -705,9 +774,20 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
         written.result()
       }
 
-      masksByFile match {
-        case Some(masks) =>
-          // ---- MASK regime ------------------------------------------
+      // ---- positional-DV fallback (VERDICT r13/r14 #1): when key
+      // masks cannot carry the delta (> maxMaskKeys, or mixed same-key
+      // visibility), hide the rows by POSITION instead of rewriting
+      // the candidate files — positions identify rows exactly, so
+      // neither downgrade reason applies. None = DV disabled, over the
+      // sidecar byte budget, or a file past the 2^31-row domain →
+      // group rewrite as before.
+      val dvMasks: Option[(Map[String, Seq[String]], Seq[String])] =
+        if (masksByFile.isDefined) None
+        else buildDvMasks(spark, hide, dataPathPrefix, opId)
+
+      masksByFile.map((_, Seq.empty[String])).orElse(dvMasks) match {
+        case Some((masks, sidecars)) =>
+          // ---- MASK/DV regime ---------------------------------------
           val appended = (updateImages(classified).toSeq ++ inserts.toSeq)
             .reduceOption(_ unionByName _)
           val written = appended.fold(Seq.empty[String])(appendRouted(_, 0))
@@ -728,8 +808,10 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
             case e: VersionLedger.MaskConflictException =>
               // a concurrent rewrite retired a masked candidate: the
               // retry re-classifies and re-appends under a fresh opId —
-              // reclaim this attempt's files instead of orphaning them
+              // reclaim this attempt's files (and unpublished DV
+              // sidecars) instead of orphaning them
               written.foreach(n => fs.delete(new Path(data, n), false))
+              sidecars.foreach(n => DeletionVectors.delete(fs, tableDir, n))
               throw e
           }
           if (masks.nonEmpty) MaskPressure.afterMaskPublish(spark, tableDir)

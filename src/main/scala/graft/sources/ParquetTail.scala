@@ -136,30 +136,20 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
     * micro-batch for nothing. */
   private lazy val readerFactory: PartitionReaderFactory = {
     val spark = org.apache.spark.sql.classic.SparkSession.active
-    def factoryFor(schema: StructType): PartitionReaderFactory = {
-      val index = new org.apache.spark.sql.execution.datasources.InMemoryFileIndex(
-        spark, Seq.empty, Map.empty, Some(dataSchema))
-      val builder = new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-        spark, index, dataSchema, dataSchema,
-        new CaseInsensitiveStringMap(java.util.Collections.emptyMap()))
-      builder.pruneColumns(schema)
-      builder.build().createReaderFactory()
-    }
-    val plain = factoryFor(dataSchema)
     // mask-aware wrapper: snapshot partitions of masked files filter
     // their lightweight-deleted rows; unmasked partitions delegate.
     // Predicate masks evaluate on the data row; a DV-bearing list
     // ([[DeletionVectors]]) routes to a second, position-widened
     // factory and projects the survivors back to the stream schema.
-    // Both factories are built EAGERLY here on the driver — factoryFor
-    // touches the active SparkSession, which does not exist on
-    // executors — and the wrapper is a NAMED serializable class: an
+    // Both factories are built EAGERLY here on the driver —
+    // PinnedParquetFactory touches the session, which does not exist
+    // on executors — and the wrapper is a NAMED serializable class: an
     // anonymous PartitionReaderFactory would capture `$outer` = this
     // stream, which is not Serializable, and die on task ship.
-    val widenedSchema = StructType(dataSchema.fields :+
-      org.apache.spark.sql.types.StructField(DeleteMasks.POS_COL,
-        org.apache.spark.sql.types.LongType))
-    new TailDvReaderFactory(plain, factoryFor(widenedSchema),
+    val widenedSchema = PinnedParquetFactory.widen(dataSchema)
+    new DvMaskedReaderFactory(
+      PinnedParquetFactory(spark, dataSchema, dataSchema),
+      PinnedParquetFactory(spark, dataSchema, widenedSchema),
       tableDir, widenedSchema, dataSchema)
   }
 
@@ -170,32 +160,6 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
 
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
-}
-
-/** Tail-stream reader factory: [[MaskedReaderFactory]] semantics for
-  * predicate masks, plus DV-bearing partitions rerouted through the
-  * position-widened factory with survivors projected back to the data
-  * schema. A top-level class on purpose — PartitionReaderFactory is
-  * shipped to every task, so every field here must be Serializable
-  * (both delegates are Spark parquet factories, which are). */
-class TailDvReaderFactory(plain: PartitionReaderFactory,
-    widened: PartitionReaderFactory, tableDir: String,
-    widenedSchema: StructType, dataSchema: StructType)
-    extends PartitionReaderFactory {
-  private val inner = new MaskedReaderFactory(plain, dataSchema, Some(tableDir))
-
-  override def supportColumnarReads(p: InputPartition): Boolean =
-    inner.supportColumnarReads(p)
-  override def createColumnarReader(p: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    inner.createColumnarReader(p)
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    p match {
-      case MaskedFilePartition(fp, preds) if DeletionVectors.anyDv(preds) =>
-        DeleteMasks.projectingDvReader(widened.createReader(fp),
-          tableDir, widenedSchema, dataSchema, preds)
-      case other => inner.createReader(other)
-    }
 }
 
 /** Ledger position of a tail stream: the last fully-read version, plus

@@ -364,7 +364,7 @@ object ParquetVersions {
     // (RETAIN n HOURS over the embedded publish stamps) composes with
     // the count-based window: either rule keeps a version.
     val view = VersionLedger.vacuumView(tableDir)
-    val payloads = view.map { case (o, p, names, _) => (o, p, names) }
+    val payloads = view.map { case (o, p, names, _, _) => (o, p, names) }
     val retainedOrds = VersionLedger.retainedOf(
       view.map(v => (v._1, v._4)), retainLast, olderThanMs)
     val (droppedVs, retainedVs) = payloads.partition(p => !retainedOrds(p._1))
@@ -385,6 +385,23 @@ object ParquetVersions {
     }.map(_._1)
     deleted.foreach(n => fs.delete(new Path(dataDir(tableDir), n), false))
     droppedVs.foreach { case (_, p, _) => fs.delete(p, false) }
+    // DV sidecar retention follows the SAME window: a sidecar is live
+    // while any RETAINED version's masks reference it ([[DeletionVectors]]);
+    // unreferenced sidecars get the in-flight grace (a DML may have
+    // written one and not yet published its commit), then reclaim.
+    val referencedDv: Set[String] = view.iterator
+      .filter(v => retainedOrds(v._1))
+      .flatMap(_._5.valuesIterator.flatten)
+      .flatMap(DeletionVectors.parse(_).map(_.sidecar)).toSet
+    val dvDir = new Path(tableDir, DeletionVectors.DIR)
+    if (fs.exists(dvDir)) {
+      fs.listStatus(dvDir).foreach { s =>
+        if (s.isFile && !referencedDv(s.getPath.getName) &&
+            now - s.getModificationTime > InFlightGraceMs) {
+          fs.delete(s.getPath, false)
+        }
+      }
+    }
     deleted.sorted
   }
 

@@ -50,6 +50,20 @@ object GraftShims {
   def murmur3(s: org.apache.spark.unsafe.types.UTF8String): Int =
     catalyst.expressions.Murmur3HashFunction.hash(
       s, org.apache.spark.sql.types.StringType, 42).toInt
+  /** A Hadoop Configuration that works on BOTH driver and executors:
+    * built from the running SparkEnv's SparkConf (so `spark.hadoop.*`
+    * credentials/settings apply — `SparkHadoopUtil` is
+    * `private[spark]`), falling back to a bare Configuration outside
+    * any Spark process (plain unit-test code paths). Executor-side
+    * partition readers that must resolve a FileSystem (deletion-vector
+    * sidecar loads) use this instead of `new Configuration()`, which
+    * would drop every spark.hadoop.* setting on s3a/abfs/kerberized
+    * clusters. */
+  def hadoopConf(): org.apache.hadoop.conf.Configuration = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env == null) new org.apache.hadoop.conf.Configuration()
+    else org.apache.spark.deploy.SparkHadoopUtil.get.newConfiguration(env.conf)
+  }
   /** Typed twin for non-string bucket keys: hash the INTERNAL value
     * with its own Spark type (seed 42) — integral/date columns hash
     * through different byte paths than strings, and only hashing with

@@ -141,7 +141,10 @@ class ParquetMoRMergeSpec extends AnyFunSuite {
   }
 
   test("mixed keys (duplicate-key rows split across arms) take the " +
-      "group-rewrite regime, exactly") {
+      "group-rewrite regime, exactly (DV disabled — the positional " +
+      "regime has its own spec)") {
+    spark.conf.set(DeletionVectors.ENABLED_KEY, "false")
+    try {
     spark.sql("DROP TABLE IF EXISTS graft_mm.lake.m3")
     // two rows per key IN THE SAME FILE: v = k and v = k + 1000 (a
     // cross-file duplicate key is NOT mixed — each file's mask is
@@ -168,9 +171,13 @@ class ParquetMoRMergeSpec extends AnyFunSuite {
     assert(spark.sql(
       "SELECT count(*) AS c FROM graft_mm.lake.m3 WHERE k IN (3,4,5)")
       .head.getLong(0) === 3, "high rows of matched keys survive")
+    } finally spark.conf.unset(DeletionVectors.ENABLED_KEY)
   }
 
-  test("mask-key cap overflow takes the group-rewrite regime, exactly") {
+  test("mask-key cap overflow takes the group-rewrite regime, exactly " +
+      "(DV disabled)") {
+    spark.conf.set(DeletionVectors.ENABLED_KEY, "false")
+    try {
     spark.sql("DROP TABLE IF EXISTS graft_mm.lake.m4")
     spark.sql("CREATE TABLE graft_mm.lake.m4 AS " +
       "SELECT id AS k, id AS v FROM range(100)")
@@ -188,6 +195,7 @@ class ParquetMoRMergeSpec extends AnyFunSuite {
     assert(spark.table("graft_mm.lake.m4").count() === 100)
     assert(spark.sql("SELECT sum(v) AS s FROM graft_mm.lake.m4")
       .head.getLong(0) === (0L until 50L).map(_ + 7).sum + (50L until 100L).sum)
+    } finally spark.conf.unset(DeletionVectors.ENABLED_KEY)
   }
 
   test("cardinality violation fails loudly") {
