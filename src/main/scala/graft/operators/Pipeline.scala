@@ -1237,6 +1237,87 @@ object Pipeline {
                  ORDER BY snap""")
   }
 
+  /** POSITIONAL DELETION VECTORS under merge-on-read MERGE
+    * ([[graft.sources.DeletionVectors]], VERDICT r13/r14 #1): the p32
+    * CDC-upsert shape with the key-mask cap forced BELOW the matched
+    * key count, so the delta lands as per-file position bitmaps —
+    * sidecars under `_dv/`, DV entries riding the ledger masks — and
+    * the pre-existing data files stay byte-identical (the 100 TB
+    * high-churn contract: a trickle MERGE past the mask cap must not
+    * rewrite its candidate files forever). The result carries a
+    * REGIME-EVIDENCE row the oracle pins to constants: dv_ok = every
+    * published mask is a DV entry AND at least one sidecar exists;
+    * files_ok = every pre-merge file kept its (length, head-bytes)
+    * signature. A silent downgrade to the rewrite regime, a predicate
+    * mask sneaking in, or a touched candidate file fails the hash
+    * compare, not just a spec. */
+  def p40_merge_deletion_vectors(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p40", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p40.lake.orders_pq")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("p40_base")
+    spark.sql("CREATE TABLE graft_p40.lake.orders_pq AS SELECT * FROM p40_base")
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p40.warehouse") +
+      "/lake/orders_pq"
+    graft.sources.ParquetVersions.enable(tableDir) // v1
+    // pre-merge byte signature of every live file (length + head bytes)
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sigs(): Map[String, (Long, Int)] =
+      graft.sources.ParquetVersions.latest(tableDir).get._2.map { rel =>
+        val p = new org.apache.hadoop.fs.Path(s"$tableDir/data", rel)
+        val st = fs.getFileStatus(p)
+        val in = fs.open(p)
+        val head = try { val b = new Array[Byte](64); in.readFully(0, b); b }
+          finally in.close()
+        rel -> ((st.getLen, java.util.Arrays.hashCode(head)))
+      }.toMap
+    val before = sigs()
+    spark.sql("""SELECT o_orderkey AS k, bucket, cents FROM p40_base
+                 WHERE o_orderkey % 29 = 5
+                 UNION ALL
+                 SELECT o_orderkey + 100000000 AS k, bucket, cents
+                 FROM p40_base WHERE o_orderkey % 31 = 2""")
+      .createOrReplaceTempView("p40_cdc")
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    // cap far below the matched-key count (sf0.001 already matches ~50)
+    spark.conf.set(graft.sources.ParquetMoRMerge.MAX_MASK_KEYS_KEY, "16")
+    try {
+      spark.sql("""MERGE INTO graft_p40.lake.orders_pq t USING p40_cdc s
+                   ON t.o_orderkey = s.k
+                   WHEN MATCHED AND s.cents % 10 < 5 THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET cents = s.cents * 2 + 1
+                   WHEN NOT MATCHED THEN INSERT (o_orderkey, bucket, cents)
+                     VALUES (s.k, s.bucket, s.cents)""") // v2
+    } finally {
+      spark.conf.unset(graft.sources.ParquetMoRMerge.MAX_MASK_KEYS_KEY)
+      spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    }
+    val masks = graft.sources.ParquetVersions.masksFor(tableDir, None)
+    val dvOk = masks.nonEmpty &&
+      masks.valuesIterator.flatten.forall(graft.sources.DeletionVectors.isDv) && {
+        val dvDir = new org.apache.hadoop.fs.Path(tableDir,
+          graft.sources.DeletionVectors.DIR)
+        fs.exists(dvDir) && fs.listStatus(dvDir).exists(_.isFile)
+      }
+    val after = sigs()
+    val filesOk = before.forall { case (n, s) => after.get(n).contains(s) }
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p40.lake.orders_pq VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_cur' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p40.lake.orders_pq""")
+      .unionAll(spark.sql(
+        s"""SELECT 'c_dv_regime' AS snap,
+                   CAST(${if (dvOk) 1 else 0} AS BIGINT) AS n,
+                   CAST(${if (filesOk) 1 else 0} AS BIGINT) AS cents"""))
+      .orderBy("snap")
+  }
+
   /** REPLACE TABLE AS SELECT on a PARTITIONED target
     * ([[graft.sources.LogStaging]], VERDICT r12 #4): a region-
     * partitioned load is REPLACED — new schema, new contents, new
@@ -1351,6 +1432,7 @@ object Pipeline {
     "p28_lightweight_delete" -> (p28_lightweight_delete _),
     "p30_lightweight_update" -> (p30_lightweight_update _),
     "p32_merge_lightweight" -> (p32_merge_lightweight _),
+    "p40_merge_deletion_vectors" -> (p40_merge_deletion_vectors _),
     "p34_log_lightweight" -> (p34_log_lightweight _),
     "p37_log_lightweight_update" -> (p37_log_lightweight_update _),
     "p38_log_lightweight_merge" -> (p38_log_lightweight_merge _),
@@ -1561,6 +1643,33 @@ object Pipeline {
         |UNION ALL
         |SELECT 'b_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM cur
+        |ORDER BY snap""".stripMargin,
+    "p40_merge_deletion_vectors" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |s AS (SELECT o_orderkey AS k, bucket, cents FROM b
+        |    WHERE o_orderkey % 29 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, bucket, cents
+        |  FROM b WHERE o_orderkey % 31 = 2),
+        |cur AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.k IS NOT NULL THEN s.cents * 2 + 1 ELSE t.cents END AS cents
+        |  FROM b t LEFT JOIN s ON t.o_orderkey = s.k
+        |  WHERE s.k IS NULL OR NOT (s.cents % 10 < 5)
+        |  UNION ALL
+        |  SELECT s.k AS o_orderkey, s.cents
+        |  FROM s LEFT JOIN b t ON t.o_orderkey = s.k
+        |  WHERE t.o_orderkey IS NULL)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM cur
+        |UNION ALL
+        |SELECT 'c_dv_regime' AS snap, CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS cents
         |ORDER BY snap""".stripMargin,
     "p31_partition_evolution" ->
       """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mday,
