@@ -1318,6 +1318,135 @@ object Pipeline {
       .orderBy("snap")
   }
 
+  /** MERGE with ALL THREE ARM FAMILIES under merge-on-read
+    * ([[graft.sources.ParquetMoRMerge]], VERDICT r13 #3): matched
+    * DELETE/UPDATE, NOT MATCHED INSERT, and NOT MATCHED BY SOURCE
+    * DELETE/UPDATE — the standard two-table-sync idiom — decomposed
+    * into masks (key or DV, chosen from the delta size) + appends with
+    * the pre-existing files byte-identical. The by-source arms act on
+    * the source-UNMATCHED complement (buckets 7 and 11 here), which
+    * the source-key prefilter could never reach. The regime-evidence
+    * row pins lightweight-ness in the hash compare: n = masks
+    * published (no rewrite), cents = every pre-merge file kept its
+    * byte signature. */
+  def p41_merge_by_source(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p41", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p41.lake.orders_pq")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("o_orderkey"),
+        (col("o_custkey") % 19).cast(LongType).as("bucket"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("cents"))
+      .createOrReplaceTempView("p41_base")
+    spark.sql("CREATE TABLE graft_p41.lake.orders_pq AS SELECT * FROM p41_base")
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p41.warehouse") +
+      "/lake/orders_pq"
+    graft.sources.ParquetVersions.enable(tableDir) // v1
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sigs(): Map[String, (Long, Int)] =
+      graft.sources.ParquetVersions.latest(tableDir).get._2.map { rel =>
+        val p = new org.apache.hadoop.fs.Path(s"$tableDir/data", rel)
+        val st = fs.getFileStatus(p)
+        val in = fs.open(p)
+        val head = try { val b = new Array[Byte](64); in.readFully(0, b); b }
+          finally in.close()
+        rel -> ((st.getLen, java.util.Arrays.hashCode(head)))
+      }.toMap
+    val before = sigs()
+    spark.sql("""SELECT o_orderkey AS k, bucket, cents FROM p41_base
+                 WHERE o_orderkey % 29 = 5
+                 UNION ALL
+                 SELECT o_orderkey + 100000000 AS k, bucket, cents
+                 FROM p41_base WHERE o_orderkey % 31 = 2""")
+      .createOrReplaceTempView("p41_cdc")
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      spark.sql("""MERGE INTO graft_p41.lake.orders_pq t USING p41_cdc s
+                   ON t.o_orderkey = s.k
+                   WHEN MATCHED AND s.cents % 10 < 5 THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET cents = s.cents * 2 + 1
+                   WHEN NOT MATCHED THEN INSERT (o_orderkey, bucket, cents)
+                     VALUES (s.k, s.bucket, s.cents)
+                   WHEN NOT MATCHED BY SOURCE AND t.bucket = 7 THEN DELETE
+                   WHEN NOT MATCHED BY SOURCE AND t.bucket = 11
+                     THEN UPDATE SET cents = 0""") // v2
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    val masksOk = graft.sources.ParquetVersions.masksFor(tableDir, None).nonEmpty
+    val after = sigs()
+    val filesOk = before.forall { case (n, s) => after.get(n).contains(s) }
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p41.lake.orders_pq VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_cur' AS snap, count(*) AS n, sum(cents) AS cents
+                 FROM graft_p41.lake.orders_pq""")
+      .unionAll(spark.sql(
+        s"""SELECT 'c_regime' AS snap,
+                   CAST(${if (masksOk) 1 else 0} AS BIGINT) AS n,
+                   CAST(${if (filesOk) 1 else 0} AS BIGINT) AS cents"""))
+      .orderBy("snap")
+  }
+
+  /** The p41 arm-family-complete MERGE on the LOG tier
+    * ([[graft.sources.LogMoRMerge]]): by-source DELETE sweeps one
+    * user's stale unmatched rows, by-source UPDATE zeroes another's,
+    * alongside the matched CDC arms and inserts — all per-segment key
+    * masks + appended segments in one guarded publish, pre-existing
+    * segments never retired. */
+  def p42_log_merge_by_source(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p42", "ops")
+    spark.sql("DROP TABLE IF EXISTS graft_p42.ops.limits")
+    spark.sql("""CREATE TABLE graft_p42.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("okey"),
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"))
+      .createOrReplaceTempView("p42_base")
+    spark.sql("""INSERT INTO graft_p42.ops.limits
+                 SELECT user_id, amount, CAST(NULL AS BINARY),
+                        sha2(CAST(okey AS STRING), 256)
+                 FROM p42_base""")
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p42.warehouse") +
+      "/ops/limits"
+    graft.sources.LogVersions.enable(tableDir) // v1
+    val segsBefore = graft.sources.LogVersions.latest(tableDir).get._2.toSet
+    spark.sql("""SELECT sha2(CAST(okey AS STRING), 256) AS k,
+                        amount AS cents, user_id AS u
+                 FROM p42_base WHERE okey % 29 = 5
+                 UNION ALL
+                 SELECT sha2(CAST(okey + 100000000 AS STRING), 256) AS k,
+                        amount AS cents, user_id AS u
+                 FROM p42_base WHERE okey % 31 = 2""")
+      .createOrReplaceTempView("p42_cdc")
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try {
+      spark.sql("""MERGE INTO graft_p42.ops.limits t USING p42_cdc s
+                   ON t.sha256sum = s.k
+                   WHEN MATCHED AND s.cents % 10 < 5 THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET amount = s.cents * 2 + 1
+                   WHEN NOT MATCHED THEN INSERT (user_id, amount, msg, sha256sum)
+                     VALUES (s.u, s.cents, NULL, s.k)
+                   WHEN NOT MATCHED BY SOURCE AND t.user_id = 'u13' THEN DELETE
+                   WHEN NOT MATCHED BY SOURCE AND t.user_id = 'u14'
+                     THEN UPDATE SET amount = 0""") // v2
+    } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    val masksOk = graft.sources.ParquetVersions.masksFor(tableDir, None).nonEmpty
+    val segsOk = segsBefore.subsetOf(
+      graft.sources.LogVersions.latest(tableDir).get._2.toSet)
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p42.ops.limits VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_cur' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p42.ops.limits""")
+      .unionAll(spark.sql(
+        s"""SELECT 'c_regime' AS snap,
+                   CAST(${if (masksOk) 1 else 0} AS BIGINT) AS n,
+                   CAST(${if (segsOk) 1 else 0} AS BIGINT) AS cents"""))
+      .orderBy("snap")
+  }
+
   /** REPLACE TABLE AS SELECT on a PARTITIONED target
     * ([[graft.sources.LogStaging]], VERDICT r12 #4): a region-
     * partitioned load is REPLACED — new schema, new contents, new
@@ -1433,6 +1562,8 @@ object Pipeline {
     "p30_lightweight_update" -> (p30_lightweight_update _),
     "p32_merge_lightweight" -> (p32_merge_lightweight _),
     "p40_merge_deletion_vectors" -> (p40_merge_deletion_vectors _),
+    "p41_merge_by_source" -> (p41_merge_by_source _),
+    "p42_log_merge_by_source" -> (p42_log_merge_by_source _),
     "p34_log_lightweight" -> (p34_log_lightweight _),
     "p37_log_lightweight_update" -> (p37_log_lightweight_update _),
     "p38_log_lightweight_merge" -> (p38_log_lightweight_merge _),
@@ -1670,6 +1801,63 @@ object Pipeline {
         |FROM cur
         |UNION ALL
         |SELECT 'c_dv_regime' AS snap, CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS cents
+        |ORDER BY snap""".stripMargin,
+    "p41_merge_by_source" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |    CAST(o_custkey % 19 AS BIGINT) AS bucket,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |s AS (SELECT o_orderkey AS k, bucket, cents FROM b
+        |    WHERE o_orderkey % 29 = 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS k, bucket, cents
+        |  FROM b WHERE o_orderkey % 31 = 2),
+        |cur AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.k IS NOT NULL THEN s.cents * 2 + 1
+        |         WHEN t.bucket = 11 THEN 0
+        |         ELSE t.cents END AS cents
+        |  FROM b t LEFT JOIN s ON t.o_orderkey = s.k
+        |  WHERE (s.k IS NOT NULL AND NOT (s.cents % 10 < 5))
+        |     OR (s.k IS NULL AND t.bucket <> 7)
+        |  UNION ALL
+        |  SELECT s.k AS o_orderkey, s.cents
+        |  FROM s LEFT JOIN b t ON t.o_orderkey = s.k
+        |  WHERE t.o_orderkey IS NULL)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+        |FROM cur
+        |UNION ALL
+        |SELECT 'c_regime' AS snap, CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS cents
+        |ORDER BY snap""".stripMargin,
+    "p42_log_merge_by_source" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM orders),
+        |s AS (SELECT okey AS sk, amount AS cents, user_id AS u, 1 AS matched
+        |    FROM b WHERE okey % 29 = 5
+        |  UNION ALL
+        |  SELECT okey + 100000000 AS sk, amount AS cents, user_id AS u, 0 AS matched
+        |  FROM b WHERE okey % 31 = 2),
+        |cur AS (
+        |  SELECT CASE WHEN s.sk IS NOT NULL THEN s.cents * 2 + 1
+        |              WHEN t.user_id = 'u14' THEN 0
+        |              ELSE t.amount END AS amount
+        |  FROM b t LEFT JOIN s ON t.okey = s.sk AND s.matched = 1
+        |  WHERE (s.sk IS NOT NULL AND NOT (s.cents % 10 < 5))
+        |     OR (s.sk IS NULL AND t.user_id <> 'u13')
+        |  UNION ALL
+        |  SELECT s.cents AS amount FROM s WHERE s.matched = 0)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_cur' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM cur
+        |UNION ALL
+        |SELECT 'c_regime' AS snap, CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS cents
         |ORDER BY snap""".stripMargin,
     "p31_partition_evolution" ->
       """WITH b AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mday,

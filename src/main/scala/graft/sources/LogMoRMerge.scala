@@ -63,7 +63,7 @@ object LogMoRMerge {
       if (!rd.condition.deterministic) return None
       ParquetMoRMerge.extractProgram(rd, LimitHashLog.SCHEMA).map { p =>
         LogMoRMergeCommand(dir, p.onCond, p.matchedArms, p.insertArms,
-          p.keys, p.srcPresent, p.source, p.checkCardinality)
+          p.bySourceArms, p.keys, p.srcPresent, p.source, p.checkCardinality)
       }
     }
   }
@@ -83,6 +83,7 @@ case class LogMoRMergeCommand(dir: String,
     onCond: ParquetMoRMerge.Cond,
     matchedArms: Seq[ParquetMoRMerge.MatchedArm],
     insertArms: Seq[ParquetMoRMerge.InsertArm],
+    bySourceArms: Seq[ParquetMoRMerge.MatchedArm],
     keys: Seq[ParquetMoRMerge.MergeKey],
     srcPresent: String,
     source: LogicalPlan,
@@ -123,11 +124,15 @@ case class LogMoRMergeCommand(dir: String,
       } :+ col(LimitHashLog.SEGMENT_COL).as("_gfile")
       val tgtBase = spark.read.format(LimitHashLog.FORMAT).load(dir)
         .select(tSelect: _*)
-      val prefilter: Option[Column] = srcKeyRows.map(
-        MoRMergeKernel.inSetPrefilter(_, keys, declared, tColName))
+      // by-source arms scope the whole source-unmatched complement —
+      // the prefilter would prune exactly their candidates
+      val prefilter: Option[Column] =
+        if (bySourceArms.nonEmpty) None
+        else srcKeyRows.map(
+          MoRMergeKernel.inSetPrefilter(_, keys, declared, tColName))
       val tgt0 = prefilter.fold(tgtBase)(tgtBase.filter)
         .withColumn("_grid", monotonically_increasing_id())
-      tgt = if (srcKeyRows.isDefined)
+      tgt = if (prefilter.isDefined)
         tgt0.persist(StorageLevel.MEMORY_AND_DISK) else tgt0
 
       val onCol = colOf(onCond.e)
@@ -139,8 +144,20 @@ case class LogMoRMergeCommand(dir: String,
         joined.withColumn("_gtag", MoRMergeKernel.armTag(matchedArms))
       val hide = MoRMergeKernel.hideOf(classified, matchedArms)
 
+      // NOT MATCHED BY SOURCE complement, its own first-match chain
+      val bsClassified: Option[DataFrame] =
+        if (bySourceArms.isEmpty) None
+        else Some(tgt.join(src, onCol, "left_anti")
+          .withColumn("_gtag", MoRMergeKernel.armTag(bySourceArms)))
+      val bsHide: Option[DataFrame] =
+        bsClassified.map(MoRMergeKernel.hideOf(_, bySourceArms))
+
       val keyTCols = keys.map(k => tColName(k.field))
-      val maskRows = hide
+      val hideCols = (col("_gfile") +: keyTCols.map(col)) :+ col("_grid")
+      val hideAll: DataFrame = bsHide.foldLeft(hide.select(hideCols: _*)) {
+        (acc, b) => acc.unionByName(b.select(hideCols: _*))
+      }
+      val maskRows = hideAll
         .select((col("_gfile") +: keyTCols.map(col)): _*)
         .distinct().limit(maskCap + 1).collect()
 
@@ -149,7 +166,7 @@ case class LogMoRMergeCommand(dir: String,
       // would delete rows an arm kept
       val morFits = maskRows.length <= maskCap
       val morExact = morFits && (maskRows.isEmpty ||
-        MoRMergeKernel.morExact(hide, tgt, "_gfile" +: keyTCols))
+        MoRMergeKernel.morExact(hideAll, tgt, "_gfile" +: keyTCols))
 
       // per-segment masks; every predicate must be BOTH serializable
       // and evaluable by the log's raw-field readers
@@ -166,10 +183,14 @@ case class LogMoRMergeCommand(dir: String,
       def ordered(df: DataFrame): DataFrame =
         df.select(declared.fieldNames.toSeq.map(col): _*)
 
+      val bsImages: Option[DataFrame] = bsClassified.flatMap(
+        MoRMergeKernel.updateImages(_, bySourceArms))
+
       masksBySegment match {
         case Some(masks) =>
           // ---- MASK regime: masks + appended segments, one publish --
-          val appended = (updateImages(classified).toSeq ++ inserts.toSeq)
+          val appended =
+            (updateImages(classified).toSeq ++ bsImages.toSeq ++ inserts.toSeq)
             .reduceOption(_ unionByName _)
           val added = appended.fold(Seq.empty[String])(df =>
             LogMoRUpdate.appendImages(spark, dir, ordered(df), s"rlo-mrg-$opId"))
@@ -196,7 +217,7 @@ case class LogMoRMergeCommand(dir: String,
           if (masks.nonEmpty) MaskPressure.afterMaskPublish(spark, dir)
         case None =>
           // ---- SEGMENT-REWRITE regime: only the touched segments ----
-          val candidates = hide.select("_gfile").distinct()
+          val candidates = hideAll.select("_gfile").distinct()
             .collect().map(_.getString(0)).toSeq.sorted
           val candSet = candidates.toSet
           val newContent: Option[DataFrame] =
@@ -211,7 +232,7 @@ case class LogMoRMergeCommand(dir: String,
                 }: _*)
               val rewritten = MoRMergeKernel.rewriteRows(
                 vis.join(src, onCol, "left_outer"), srcPresent, matchedArms,
-                declared, tColName)
+                declared, tColName, bySourceArms)
               (Seq(rewritten) ++ inserts.map(ordered).toSeq)
                 .reduceOption(_ unionByName _)
             }

@@ -45,13 +45,17 @@ import org.apache.spark.storage.StorageLevel
   * DELETE arm, `Keep(Update, cond, output)` = UPDATE arm,
   * `Keep(Copy, …)` = carry; not-matched `Keep(Insert, cond, output)`
   * = INSERT arm (first-match-wins order preserved) — and swaps the
-  * plan for [[MergeOnReadMergeCommand]]. Anything outside the mask
-  * machinery's reach leaves the plan untouched and the copy-on-write
-  * path runs unchanged (silent, always-correct fallback): an
-  * un-versioned table, a nondeterministic ON/arm condition, NOT
-  * MATCHED BY SOURCE DML arms (their scope is the whole table, not
-  * the matched delta), an ON clause with no serializable target-side
-  * equality key, or expressions referencing non-declared columns.
+  * plan for [[MergeOnReadMergeCommand]]. NOT MATCHED BY SOURCE
+  * DELETE/UPDATE arms decompose too (r15): their scope is the
+  * source-UNMATCHED complement, evaluated as a target anti-join and
+  * hidden through the same mask/DV/rewrite ladder — the source-key
+  * prefilter is skipped when they exist, since it would prune exactly
+  * their candidates. Anything outside the mask machinery's reach
+  * leaves the plan untouched and the copy-on-write path runs
+  * unchanged (silent, always-correct fallback): an un-versioned
+  * table, a nondeterministic ON/arm condition, an ON clause with no
+  * serializable target-side equality key, a BY-SOURCE arm referencing
+  * source columns, or expressions referencing non-declared columns.
   *
   * TWO EXECUTION REGIMES, chosen at runtime from the actual matched
   * delta (both end in one atomic publish):
@@ -121,9 +125,14 @@ object ParquetMoRMerge {
   /** The tier-agnostic MERGE program re-derived from the group-based
     * rewrite plan — everything a mask+append decomposition needs,
     * expressed over positional `_t<i>`/`_s<i>` column names so either
-    * tier's command can bind it to its own scan. */
+    * tier's command can bind it to its own scan. `bySourceArms` are
+    * the NOT MATCHED BY SOURCE instructions (target-only scope: their
+    * conditions and outputs reference only `_t<i>` columns — enforced
+    * at extraction; the commands evaluate them on the source-unmatched
+    * anti-join complement). */
   private[sources] case class Program(onCond: Cond,
       matchedArms: Seq[MatchedArm], insertArms: Seq[InsertArm],
+      bySourceArms: Seq[MatchedArm],
       keys: Seq[MergeKey], srcPresent: String, source: LogicalPlan,
       checkCardinality: Boolean)
 
@@ -154,8 +163,8 @@ object ParquetMoRMerge {
       val declared = op.declared
       extractProgram(rd, declared).map { p =>
         MergeOnReadMergeCommand(tableDir, declared, p.onCond,
-          p.matchedArms, p.insertArms, p.keys, p.srcPresent, p.source,
-          p.checkCardinality)
+          p.matchedArms, p.insertArms, p.bySourceArms, p.keys,
+          p.srcPresent, p.source, p.checkCardinality)
       }
     }
   }
@@ -167,16 +176,6 @@ object ParquetMoRMerge {
       declared: StructType): Option[Program] = {
       val m = rd.query.collectFirst { case mr: MergeRows => mr }
         .getOrElse(return None)
-      // NOT MATCHED BY SOURCE DML arms act on the table's UNMATCHED
-      // complement — a whole-table scope the matched-delta machinery
-      // cannot mask; only the rewrite-generated unconditional carry is
-      // in reach here.
-      val bySourceOk = m.notMatchedBySourceInstructions.forall {
-        case MergeRows.Keep(MergeRows.Copy, Literal(true, BooleanType), _) => true
-        case _ => false
-      }
-      if (!bySourceOk) return None
-
       val join = m.child.collectFirst { case j: Join => j }.getOrElse(return None)
       // the SOURCE side always carries the `__row_from_source` marker;
       // the target side's `__row_from_target` twin exists only on the
@@ -219,7 +218,12 @@ object ParquetMoRMerge {
         if (ok) Some(out) else None
       }
 
-      val onCond = subst(rd.condition).getOrElse(return None)
+      // the ON clause comes from the JOIN, not rd.condition: the
+      // latter is the group-FILTER condition, which degenerates to
+      // literal TRUE when BY-SOURCE arms exist (every target row is a
+      // candidate) — keys extracted from it would come back empty
+      val onExpr = join.condition.getOrElse(return None)
+      val onCond = subst(onExpr).getOrElse(return None)
       val srcPresent: String = m.isSourceRowPresent match {
         case ce.IsNotNull(a: AttributeReference) =>
           sAttrMap.getOrElse(a.exprId.id, return None)
@@ -241,7 +245,7 @@ object ParquetMoRMerge {
         if (tAttrMap.contains(a.exprId.id))
           declaredNames.find(_.equalsIgnoreCase(a.name))
         else None
-      val keys: Seq[MergeKey] = conjuncts(rd.condition).flatMap {
+      val keys: Seq[MergeKey] = conjuncts(onExpr).flatMap {
         case ce.EqualTo(a: AttributeReference, b)
             if fieldOf(a).isDefined && sourceOnly(b) &&
               maskableType(a.dataType) =>
@@ -287,12 +291,43 @@ object ParquetMoRMerge {
             .getOrElse(return None)
         case _ => return None
       }
+
+      // NOT MATCHED BY SOURCE arms act on the table's source-UNMATCHED
+      // complement: the commands evaluate them over a target-only
+      // anti-join frame, so every condition/output must reference `_t`
+      // columns ONLY (SQL guarantees this for user-written arms; a
+      // source-referencing shape falls back to copy-on-write). The
+      // rewrite-generated unconditional carry contributes nothing.
+      def targetOnly(e: Expression): Boolean = !e.exists {
+        case UnresolvedAttribute(parts) => parts.last.startsWith("_s")
+        case _ => false
+      }
+      val bySourceArms: Seq[MatchedArm] = m.notMatchedBySourceInstructions.map {
+        case MergeRows.Keep(MergeRows.Copy, cond, _) =>
+          subst(cond).filter(targetOnly).map(CopyArm).getOrElse(return None)
+        case MergeRows.Discard(cond) =>
+          subst(cond).filter(targetOnly).map(DeleteArm).getOrElse(return None)
+        case MergeRows.Keep(MergeRows.Update, cond, output) =>
+          (for {
+            c <- subst(cond) if targetOnly(c)
+            o <- outsOf(output) if o.forall(kv => targetOnly(kv._2))
+          } yield UpdateArm(c, o)).getOrElse(return None)
+        case _ => return None
+      }.filter {
+        // drop UNCONDITIONAL carries (the rewrite's identity arm);
+        // conditional copies stay in the chain — first-match-wins
+        // means they shield later DML arms
+        case CopyArm(Literal(true, BooleanType)) => false
+        case _ => true
+      }
+
       // nothing to hide and nothing to insert would be a no-op MERGE;
       // let the trivial case fall through to CoW (it will no-op too)
-      if (matchedArms.isEmpty && insertArms.isEmpty) return None
+      if (matchedArms.isEmpty && insertArms.isEmpty && bySourceArms.isEmpty)
+        return None
 
-      Some(Program(Cond(onCond), matchedArms, insertArms, keys,
-        srcPresent, sSide, m.checkCardinality))
+      Some(Program(Cond(onCond), matchedArms, insertArms, bySourceArms,
+        keys, srcPresent, sSide, m.checkCardinality))
   }
 
   /** Session-builder registration (the imperative twin of
@@ -363,12 +398,14 @@ private[sources] object MoRMergeKernel {
     }
   }
 
-  /** First-match-wins arm tag (−1 = no arm took the row). */
-  def armTag(matchedArms: Seq[MatchedArm]): Column = {
+  /** First-match-wins arm tag (−1 = no arm took the row). `offset`
+    * shifts the tag space so two arm families (matched / not-matched-
+    * by-source) can share one `_gtag` column without collisions. */
+  def armTag(matchedArms: Seq[MatchedArm], offset: Int = 0): Column = {
     val chain = matchedArms.zipWithIndex.foldLeft(Option.empty[Column]) {
       case (acc, (arm, i)) =>
         val c = colOf(arm.cond)
-        Some(acc.fold(when(c, lit(i)))(_.when(c, lit(i))))
+        Some(acc.fold(when(c, lit(i + offset)))(_.when(c, lit(i + offset))))
     }
     chain.fold(lit(-1))(_.otherwise(lit(-1)))
   }
@@ -473,20 +510,28 @@ private[sources] object MoRMergeKernel {
 
   /** Rewrite-regime projection: the visible-candidate ⟕ source frame,
     * arms applied — deletes dropped, updates imaged, copies and
-    * unmatched rows carried in declared field order. */
+    * untaken rows carried in declared field order. Source-UNMATCHED
+    * rows run the NOT MATCHED BY SOURCE chain (tag space shifted past
+    * the matched arms). */
   def rewriteRows(visJoinedSrc: DataFrame, srcPresent: String,
       matchedArms: Seq[MatchedArm], declared: StructType,
-      tColName: String => String): DataFrame = {
+      tColName: String => String,
+      bySourceArms: Seq[MatchedArm] = Seq.empty): DataFrame = {
     val present = col(srcPresent).isNotNull
+    val bsTag =
+      if (bySourceArms.isEmpty) lit(-1)
+      else armTag(bySourceArms, offset = matchedArms.length)
     val tagged = visJoinedSrc.withColumn("_gtag",
-      when(present, armTag(matchedArms)).otherwise(lit(-1)))
-    val delTags = matchedArms.zipWithIndex.collect {
-      case (_: DeleteArm, i) => i
-    }
+      when(present, armTag(matchedArms)).otherwise(bsTag))
+    val allArms = matchedArms.zipWithIndex ++
+      bySourceArms.zipWithIndex.map { case (a, i) =>
+        (a, i + matchedArms.length)
+      }
+    val delTags = allArms.collect { case (_: DeleteArm, i) => i }
     val kept =
       if (delTags.isEmpty) tagged
       else tagged.filter(!col("_gtag").isin(delTags: _*))
-    val updIdx = matchedArms.zipWithIndex.collect {
+    val updIdx = allArms.collect {
       case (UpdateArm(_, outs), i) => (i, outs.toMap)
     }
     kept.select(declared.fieldNames.toSeq.map { n =>
@@ -505,6 +550,7 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
     onCond: ParquetMoRMerge.Cond,
     matchedArms: Seq[ParquetMoRMerge.MatchedArm],
     insertArms: Seq[ParquetMoRMerge.InsertArm],
+    bySourceArms: Seq[ParquetMoRMerge.MatchedArm],
     keys: Seq[ParquetMoRMerge.MergeKey],
     srcPresent: String,
     source: LogicalPlan,
@@ -649,8 +695,14 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
         parts.map(_.select(tSelect: _*))
           .reduceOption(_ unionByName _).getOrElse(emptyTgt)
       }
-      val prefilter: Option[Column] = srcKeyRows.map(
-        MoRMergeKernel.inSetPrefilter(_, keys, declared, tColName))
+      // NOT MATCHED BY SOURCE arms scope the WHOLE source-unmatched
+      // complement, so the source-key prefilter must not prune the
+      // target when any exist (their candidates are exactly the rows
+      // the prefilter would drop)
+      val prefilter: Option[Column] =
+        if (bySourceArms.nonEmpty) None
+        else srcKeyRows.map(
+          MoRMergeKernel.inSetPrefilter(_, keys, declared, tColName))
       // persist the PREFILTERED target: the join, the mask-exactness
       // census, and the NOT-MATCHED anti-join each consume it, and
       // without the cache each one re-scans the table (observed: p32
@@ -662,7 +714,7 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       // (ADVICE r14: the previous monotonically_increasing_id `_grid`
       // could reassign on persisted-partition eviction).
       val tgt0 = prefilter.fold(tgtBase)(tgtBase.filter)
-      tgt = if (srcKeyRows.isDefined)
+      tgt = if (prefilter.isDefined)
         tgt0.persist(StorageLevel.MEMORY_AND_DISK) else tgt0
 
       val onCol = colOf(onCond.e)
@@ -676,8 +728,25 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
         joined.withColumn("_gtag", MoRMergeKernel.armTag(matchedArms))
       val hide = MoRMergeKernel.hideOf(classified, matchedArms)
 
+      // the NOT MATCHED BY SOURCE complement, classified by its own
+      // chain (tags 0-based within bySourceArms — the two families
+      // never share a frame outside rewriteRows)
+      val bsClassified: Option[DataFrame] =
+        if (bySourceArms.isEmpty) None
+        else Some(tgt.join(src, onCol, "left_anti")
+          .withColumn("_gtag", MoRMergeKernel.armTag(bySourceArms)))
+      val bsHide: Option[DataFrame] =
+        bsClassified.map(MoRMergeKernel.hideOf(_, bySourceArms))
+
       val keyTCols = keys.map(k => tColName(k.field))
-      val maskRows = hide
+      // ONE hidden-row set feeds the cap probe, the exactness census,
+      // the DV builder and the candidate list — matched and by-source
+      // arms hide through the same machinery
+      val hideCols = (col("_gfilefull") +: keyTCols.map(col)) :+ col("_gpos")
+      val hideAll: DataFrame = bsHide.foldLeft(hide.select(hideCols: _*)) {
+        (acc, b) => acc.unionByName(b.select(hideCols: _*))
+      }
+      val maskRows = hideAll
         .select((col("_gfilefull") +: keyTCols.map(col)): _*)
         .distinct().limit(maskCap + 1).collect()
 
@@ -687,7 +756,7 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       // forces the rewrite regime
       val morFits = maskRows.length <= maskCap
       val morExact = morFits && (maskRows.isEmpty ||
-        MoRMergeKernel.morExact(hide, tgt, "_gfilefull" +: keyTCols,
+        MoRMergeKernel.morExact(hideAll, tgt, "_gfilefull" +: keyTCols,
           rowId = "_gpos"))
 
       // per-file masks; a value the codec cannot carry (shouldn't
@@ -783,12 +852,18 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       // group rewrite as before.
       val dvMasks: Option[(Map[String, Seq[String]], Seq[String])] =
         if (masksByFile.isDefined) None
-        else buildDvMasks(spark, hide, dataPathPrefix, opId)
+        else buildDvMasks(spark, hideAll, dataPathPrefix, opId)
+
+      // by-source UPDATE images (target-only projections over the
+      // anti-join frame) append alongside the matched images
+      val bsImages: Option[DataFrame] = bsClassified.flatMap(
+        MoRMergeKernel.updateImages(_, bySourceArms))
 
       masksByFile.map((_, Seq.empty[String])).orElse(dvMasks) match {
         case Some((masks, sidecars)) =>
           // ---- MASK/DV regime ---------------------------------------
-          val appended = (updateImages(classified).toSeq ++ inserts.toSeq)
+          val appended =
+            (updateImages(classified).toSeq ++ bsImages.toSeq ++ inserts.toSeq)
             .reduceOption(_ unionByName _)
           val written = appended.fold(Seq.empty[String])(appendRouted(_, 0))
           if (masks.isEmpty && written.isEmpty) return Seq.empty // no-op
@@ -817,12 +892,13 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
           if (masks.nonEmpty) MaskPressure.afterMaskPublish(spark, tableDir)
         case None =>
           // ---- GROUP-REWRITE regime ---------------------------------
-          val candRels = hide.select("_gfilefull").distinct()
+          val candRels = hideAll.select("_gfilefull").distinct()
             .collect().map(r => relOf(r.getString(0))).toSeq.sorted
           val candSet = candRels.toSet
           // rewritten content: visible candidate rows, left-joined to
           // the source, arms applied (deletes dropped, updates imaged,
-          // copies and unmatched rows carried)
+          // copies carried; source-unmatched rows run the by-source
+          // chain)
           val vis = DeleteMasks
             .readVisible(spark, declared, data, candRels, priorMasks)
             .select(declared.fieldNames.toSeq.zipWithIndex.map {
@@ -830,7 +906,7 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
             }: _*)
           val rewritten = MoRMergeKernel.rewriteRows(
             vis.join(src, onCol, "left_outer"), srcPresent, matchedArms,
-            declared, tColName)
+            declared, tColName, bySourceArms)
           val newContent =
             if (candRels.isEmpty) inserts
             else (Seq(rewritten) ++ inserts.toSeq).reduceOption(_ unionByName _)
