@@ -349,6 +349,44 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
         if (!n.nullable) throw new UnsupportedOperationException(
           "tightening nullability cannot be validated against existing files")
       case _: TableChange.UpdateColumnComment => ()
+      case t: TableChange.UpdateColumnType =>
+        // TYPE WIDENING without a rewrite (VERDICT r13 #2): Spark 4's
+        // parquet readers serve the old physical type under the new
+        // declared type natively (probed in WideningProbeSpec), and
+        // footer pruning stays sound — integral widenings share the
+        // stats DOMAIN (exact compares), cross-domain widenings
+        // (int→double, date→ts) mismatch the domain and degrade to
+        // no-prune (conservative). Narrowing or type CHANGES rewrite.
+        if (t.fieldNames().length != 1) throw new UnsupportedOperationException(
+          "ALTER COLUMN TYPE on nested fields is not supported")
+        val colName = t.fieldNames().head
+        val curT = SchemaManifest.read(dir.toString)
+        val idx = curT.fieldNames.indexWhere(_.equalsIgnoreCase(colName))
+        if (idx < 0) throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "FIELD_NOT_FOUND",
+          messageParameters = Map("fieldName" -> colName,
+            "fields" -> curT.fieldNames.mkString(", ")))
+        val from = curT(idx).dataType
+        if (!LogCatalog.widens(from, t.newDataType())) {
+          throw new UnsupportedOperationException(
+            s"ALTER COLUMN $colName TYPE ${t.newDataType().simpleString}: " +
+              s"not a lossless widening of ${from.simpleString} — existing " +
+              "files cannot be re-read under it; rewrite into a new table")
+        }
+        if (partCols(colName.toLowerCase)) throw new UnsupportedOperationException(
+          s"ALTER COLUMN $colName TYPE: it is a partition column of this " +
+            "table's layout (dir values and transform hashes bind to the " +
+            "declared type)")
+        if (ParquetBucketing.readSpec(dir.toString)
+            .exists(_.col.equalsIgnoreCase(colName))) {
+          throw new UnsupportedOperationException(
+            s"ALTER COLUMN $colName TYPE: it is this table's bucket column — " +
+              "murmur3 hashes differ by type, the layout claim would lie")
+        }
+        if (maskCols(colName.toLowerCase)) throw new UnsupportedOperationException(
+          s"ALTER COLUMN $colName TYPE: live merge-on-read delete masks " +
+            "reference it with values of the old type — CALL compact_table " +
+            "first to materialize the deletes")
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER on a parquet catalog table: $other " +
           "(rename/retype require a rewrite on a by-name format)")
@@ -433,9 +471,18 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
     val data = dataDir(dir)
     if (!fs.exists(data) || !fs.listStatus(data).exists(f =>
         f.isFile && f.getPath.getName.endsWith(".parquet"))) return
-    val onDisk = org.apache.spark.sql.classic.SparkSession.active
-      .read.option("mergeSchema", true).parquet(data.toString).schema
-    if (onDisk.fieldNames.exists(_.equalsIgnoreCase(fieldNames.head))) {
+    // only the NAME SET matters here; a merged-schema read would throw
+    // on physically-mixed widths after a TYPE WIDENING (int32 files +
+    // int64 files are one logical column), so fall back to a per-file
+    // footer walk when the merge refuses
+    val onDiskNames: Set[String] =
+      try org.apache.spark.sql.classic.SparkSession.active
+        .read.option("mergeSchema", true).parquet(data.toString)
+        .schema.fieldNames.map(_.toLowerCase).toSet
+      catch { case scala.util.control.NonFatal(_) =>
+        LogCatalog.footerColumnNames(fs.getConf, data)
+      }
+    if (onDiskNames(fieldNames.head.toLowerCase)) {
       throw new UnsupportedOperationException(
         s"ADD COLUMN ${fieldNames.head}: existing data files already carry " +
           "this column (dropped earlier?) — re-adding would resurrect stale " +
@@ -540,4 +587,54 @@ object LogCatalog {
   def validPathPart(part: String): Boolean =
     part.nonEmpty && !part.startsWith(".") &&
       !part.contains("/") && !part.contains("\\") && !part.contains(":")
+
+  /** Union of top-level column names across every parquet footer under
+    * `data` (recursive — partitioned layouts nest one dir level).
+    * Driver-side walk: callers are rare admin paths (ALTER). */
+  private[sources] def footerColumnNames(
+      conf: org.apache.hadoop.conf.Configuration,
+      data: Path): Set[String] = {
+    val fs = data.getFileSystem(conf)
+    val names = Set.newBuilder[String]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else if (s.isFile && s.getPath.getName.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(s, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          r.getFileMetaData.getSchema.getFields.forEach(f =>
+            names += f.getName.toLowerCase)
+        } finally r.close()
+      }
+    }
+    walk(data)
+    names.result()
+  }
+
+  /** Losless widenings Spark 4's parquet readers serve natively over
+    * the OLD physical type (WideningProbeSpec pins each): integral
+    * upcasts, float→double, integral→double, decimal precision growth
+    * at the same scale, date→timestamp_ntz. Everything else needs a
+    * rewrite. */
+  def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    (from, to) match {
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(f) < rank(t)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case (DateType, TimestampNTZType) => true
+      case _ => false
+    }
+  }
 }

@@ -57,12 +57,66 @@ class AlterTableSpec extends AnyFunSuite {
     assert(spark.table(t).schema.fieldNames.toSeq == Seq("id", "w"))
   }
 
-  test("rename and retype are rejected as rewrites") {
+  test("narrowing retype is rejected (analyzer up-cast gate ahead of " +
+      "the catalog's reader-support allowlist)") {
     val t = fresh("t_rej")
     assert(intercept[Exception](
-      spark.sql(s"ALTER TABLE $t RENAME COLUMN v TO w")).getMessage.contains("rewrite"))
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE INT"))
+      .getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
     assert(intercept[Exception](
-      spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE INT")).getMessage.nonEmpty)
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN v TYPE BIGINT"))
+      .getMessage.nonEmpty, "string→bigint is a type CHANGE")
+    // an up-cast Spark's analyzer allows but the parquet reader cannot
+    // serve over old files must still be refused by the catalog
+    assert(intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN id TYPE DECIMAL(20,0)"))
+      .getMessage.contains("widening"))
+  }
+
+  test("TYPE WIDENING: old int32 files read under the widened BIGINT " +
+      "declared type, straddling the ALTER") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS graft_alt.lake.t_widen")
+    spark.sql("CREATE TABLE graft_alt.lake.t_widen (id BIGINT, score INT)")
+    spark.sql("INSERT INTO graft_alt.lake.t_widen VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft_alt.lake.t_widen ALTER COLUMN score TYPE BIGINT")
+    assert(spark.table("graft_alt.lake.t_widen").schema("score").dataType ===
+      org.apache.spark.sql.types.LongType)
+    // new writes land 64-bit; old files stay int32 and read widened
+    spark.sql("INSERT INTO graft_alt.lake.t_widen VALUES (3, 5000000000)")
+    val got = spark.sql(
+      "SELECT id, score FROM graft_alt.lake.t_widen ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 10L), (2L, 20L), (3L, 5000000000L)))
+    // filters (incl. footer pruning: int stats vs long probe share the
+    // integral domain) stay exact across the mixed physical types
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_alt.lake.t_widen WHERE score > 15")
+      .head.getLong(0) === 2L)
+    // float→double and decimal precision growth also widen
+    spark.sql("ALTER TABLE graft_alt.lake.t_widen ADD COLUMNS (f FLOAT)")
+    spark.sql("ALTER TABLE graft_alt.lake.t_widen ALTER COLUMN f TYPE DOUBLE")
+    assert(spark.table("graft_alt.lake.t_widen").schema("f").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("TYPE WIDENING refuses mask-referenced and bucket columns") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS graft_alt.lake.t_wmask")
+    spark.sql("CREATE TABLE graft_alt.lake.t_wmask (id BIGINT, score INT)")
+    // ONE file holding matching and non-matching rows — the DELETE can
+    // neither drop it whole nor zone-prove it clear, so a mask lands
+    spark.range(1, 3).selectExpr("id", "CAST(id * 10 AS INT) AS score")
+      .coalesce(1).writeTo("graft_alt.lake.t_wmask").append()
+    val dir = s"$wh/lake/t_wmask"
+    graft.sources.ParquetVersions.enable(dir)
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    try spark.sql("DELETE FROM graft_alt.lake.t_wmask WHERE score = 10")
+    finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    assert(graft.sources.ParquetVersions.masksFor(dir, None).nonEmpty)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_alt.lake.t_wmask ALTER COLUMN score TYPE BIGINT"))
+    assert(e.getMessage.contains("masks"))
   }
 
   test("entity log tables stay layout-immutable") {
