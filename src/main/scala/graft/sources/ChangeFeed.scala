@@ -168,21 +168,19 @@ object ChangeFeed {
     common.groupBy(n => (fromP.masks.getOrElse(n, Seq.empty).sorted,
         toP.masks.getOrElse(n, Seq.empty).sorted)).foreach {
       case ((o, nw), ns) if o != nw =>
-        // visibleAllColumn handles DV entries ([[DeletionVectors]]) —
-        // the position column resolves from `_metadata` inside the
-        // filter, so the projected output keeps the data schema
-        def read() = spark.read.schema(schema)
-          .parquet(ns.map(n => new Path(data, n).toString): _*)
+        // visibleAllColumnAt handles DV entries ([[DeletionVectors]])
+        // against the `_gpos` column Renames.read materializes (the
+        // rename-aware read aliases old-name files back to the
+        // declared names; `_metadata` does not survive that)
+        def read() = Renames.read(spark, schema, data, ns)
+        def vis(preds: Seq[String]) =
+          DeleteMasks.visibleAllColumnAt(dir, schema, preds, Seq("_gpos"))
         def proj(df: DataFrame) =
           df.select(schema.fieldNames.toSeq.map(col): _*)
         if (nw.exists(!o.contains(_)))
-          delParts += proj(read()
-            .filter(DeleteMasks.visibleAllColumn(dir, schema, o) &&
-              !DeleteMasks.visibleAllColumn(dir, schema, nw)))
+          delParts += proj(read().filter(vis(o) && !vis(nw)))
         if (o.exists(!nw.contains(_)))
-          insParts += proj(read()
-            .filter(DeleteMasks.visibleAllColumn(dir, schema, nw) &&
-              !DeleteMasks.visibleAllColumn(dir, schema, o)))
+          insParts += proj(read().filter(vis(nw) && !vis(o)))
       case _ => ()
     }
     val emptyDf = spark.createDataFrame(
@@ -587,8 +585,10 @@ object ParquetChangesMicroBatchStream {
     val widenedSchema = StructType(dataSchema.fields :+
       org.apache.spark.sql.types.StructField(DeleteMasks.POS_COL,
         org.apache.spark.sql.types.LongType))
-    new CdcParquetReaderFactory(factoryFor(dataSchema),
-      factoryFor(widenedSchema), dataSchema, widenedSchema, tableDir)
+    new CdcParquetReaderFactory(
+      EpochRouted.wrap(spark, dataSchema, dataSchema, factoryFor(dataSchema)),
+      EpochRouted.wrap(spark, dataSchema, widenedSchema, factoryFor(widenedSchema)),
+      dataSchema, widenedSchema, tableDir)
   }
 }
 

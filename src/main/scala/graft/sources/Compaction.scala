@@ -634,8 +634,15 @@ object Compaction {
         linkOrCopy(fs, spark.sparkContext.hadoopConfiguration, src.getPath, to)
       } else {
         val staging = new Path(next, s".bin-$i")
-        val merged = spark.read.schema(declared)
-          .parquet(bin.map(_._2.getPath.toString): _*)
+        // rename-aware: a pre-rename file reads under its own name
+        // vector and the merged output lands with CURRENT names —
+        // compaction migrates old vintages forward
+        val merged =
+          if (Renames.hasRenames(declared))
+            Renames.readPlain(spark, declared,
+              bin.head._2.getPath.getParent, bin.map(b => b._2.getPath.getName))
+          else spark.read.schema(declared)
+            .parquet(bin.map(_._2.getPath.toString): _*)
         merged.coalesce(1).write.mode("overwrite").parquet(staging.toString)
         val part = fs.listStatus(staging)
           .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

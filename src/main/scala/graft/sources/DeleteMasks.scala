@@ -315,16 +315,29 @@ object DeleteMasks {
       declared: StructType, dataDir: org.apache.hadoop.fs.Path,
       names: Seq[String],
       masks: Map[String, Seq[String]]): org.apache.spark.sql.DataFrame = {
-    def read(ns: Seq[String]) = spark.read.schema(declared)
-      .parquet(ns.map(n => new org.apache.hadoop.fs.Path(dataDir, n).toString): _*)
+    val renamed = Renames.hasRenames(declared)
+    val dataCols = declared.fieldNames.toSeq
+      .map(org.apache.spark.sql.functions.col)
+    // rename-aware path: [[Renames.read]] resolves each file's epoch
+    // and aliases back to declared names; the DV leg then tests the
+    // materialized `_gpos` (the aliasing projection drops `_metadata`)
+    def read(ns: Seq[String]) =
+      if (renamed) Renames.readPlain(spark, declared, dataDir, ns)
+      else spark.read.schema(declared)
+        .parquet(ns.map(n => new org.apache.hadoop.fs.Path(dataDir, n).toString): _*)
     val (masked, clean) = names.partition(n => masks.get(n).exists(_.nonEmpty))
     val cleanDf = if (clean.nonEmpty) Some(read(clean)) else None
     val tableDir = dataDir.getParent.toString
     val maskedDfs = masked.groupBy(n => masks(n).sorted).toSeq.map {
       case (preds, ns) =>
-        read(ns).filter(visibleAllColumn(tableDir, declared, preds))
-          .select(declared.fieldNames.toSeq
-            .map(org.apache.spark.sql.functions.col): _*)
+        if (renamed) {
+          Renames.read(spark, declared, dataDir, ns)
+            .filter(visibleAllColumnAt(tableDir, declared, preds, Seq("_gpos")))
+            .select(dataCols: _*)
+        } else {
+          read(ns).filter(visibleAllColumn(tableDir, declared, preds))
+            .select(dataCols: _*)
+        }
     }
     (cleanDf.toSeq ++ maskedDfs).reduceOption(_ unionByName _).getOrElse {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -340,7 +353,16 @@ object DeleteMasks {
     * declared columns afterwards lose nothing: the metadata struct is
     * resolved inside the filter only. */
   def visibleAllColumn(tableDir: String, schema: StructType,
-      preds: Seq[String]): org.apache.spark.sql.Column = {
+      preds: Seq[String]): org.apache.spark.sql.Column =
+    visibleAllColumnAt(tableDir, schema, preds, Seq("_metadata", "row_index"))
+
+  /** [[visibleAllColumn]] with an explicit row-position column — for
+    * frames where the position was already materialized as a regular
+    * column (the rename-aware reads of [[Renames.read]] expose it as
+    * `_gpos`, since `_metadata` does not survive their aliasing
+    * projection). */
+  def visibleAllColumnAt(tableDir: String, schema: StructType,
+      preds: Seq[String], posParts: Seq[String]): org.apache.spark.sql.Column = {
     val (dvRefs, predJsons) = DeletionVectors.split(preds)
     val predVisible =
       if (predJsons.isEmpty) org.apache.spark.sql.functions.lit(true)
@@ -349,8 +371,7 @@ object DeleteMasks {
     else {
       val dvDeleted = org.apache.spark.sql.GraftShims.column(
         DeletionVectors.DvContainsExpr(tableDir, dvRefs,
-          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
-            Seq("_metadata", "row_index"))))
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(posParts)))
       predVisible && !dvDeleted
     }
   }

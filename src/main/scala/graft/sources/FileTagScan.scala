@@ -70,9 +70,12 @@ class FileTagParquetScanBuilder(sparkSession: SparkSession,
 
   /** Aggregate pushdown answers from footer metadata, which counts
     * MASKED rows — declined whenever masks exist (and on `_file`
-    * scans, which a metadata-served aggregate would bypass). */
+    * scans, which a metadata-served aggregate would bypass; and on
+    * RENAMED tables, whose pre-rename footers key their stats by the
+    * old column names). */
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    !wantsFile && masks.isEmpty && super.pushAggregation(aggregation)
+    !wantsFile && masks.isEmpty && !Renames.hasRenames(dataSchema) &&
+      super.pushAggregation(aggregation)
 
   override def build(): ParquetScan = {
     val inner = super.build()
@@ -143,14 +146,18 @@ class FileTaggedScan(val inner: ParquetScan,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    def routed(readSchema: StructType, f: PartitionReaderFactory) =
+      EpochRouted.wrap(inner.sparkSession, inner.dataSchema, readSchema, f)
     // DV masks need the position-widened second factory (built on the
     // driver) — rows tag with `_file` AFTER the DV filter+project
     val widened =
       if (masks.valuesIterator.exists(DeletionVectors.anyDv)) {
         val ws = PinnedParquetFactory.widen(inner.readDataSchema)
-        Some((PinnedParquetFactory(inner.sparkSession, inner.dataSchema, ws), ws))
+        Some((routed(ws,
+          PinnedParquetFactory(inner.sparkSession, inner.dataSchema, ws)), ws))
       } else None
-    new FileTaggedReaderFactory(super.createReaderFactory(), masks,
+    new FileTaggedReaderFactory(
+      routed(inner.readDataSchema, super.createReaderFactory()), masks,
       inner.readDataSchema,
       inner.fileIndex.rootPaths.head.getParent.toString, widened)
   }
@@ -220,14 +227,21 @@ class MaskedParquetScan(val inner: ParquetScan, val masks: Map[String, Seq[Strin
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val tableDir = inner.fileIndex.rootPaths.head.getParent.toString
+    // every bottom factory is epoch-routed ([[EpochRouted]]): files
+    // still carrying pre-rename names read through a name-vector-
+    // matched twin; mask wrappers stack above unchanged
+    def routed(readSchema: StructType, f: PartitionReaderFactory) =
+      EpochRouted.wrap(inner.sparkSession, inner.dataSchema, readSchema, f)
+    val primary = routed(inner.readDataSchema, super.createReaderFactory())
     if (masks.valuesIterator.exists(DeletionVectors.anyDv)) {
       // positional masks: route DV-bearing partitions through a
       // position-widened second factory, built HERE on the driver
       val widenedSchema = PinnedParquetFactory.widen(inner.readDataSchema)
-      new DvMaskedReaderFactory(super.createReaderFactory(),
-        PinnedParquetFactory(inner.sparkSession, inner.dataSchema, widenedSchema),
+      new DvMaskedReaderFactory(primary,
+        routed(widenedSchema,
+          PinnedParquetFactory(inner.sparkSession, inner.dataSchema, widenedSchema)),
         tableDir, widenedSchema, inner.readDataSchema)
-    } else new MaskedReaderFactory(super.createReaderFactory(),
+    } else new MaskedReaderFactory(primary,
       inner.readDataSchema, Some(tableDir))
   }
 
@@ -365,6 +379,10 @@ class TailableParquetScan(val inner: ParquetScan)
   override protected def tailDataSchema: StructType = inner.dataSchema
   override protected def tailOptions
       : org.apache.spark.sql.util.CaseInsensitiveStringMap = inner.options
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    EpochRouted.wrap(inner.sparkSession, inner.dataSchema,
+      inner.readDataSchema, super.createReaderFactory())
 
   override def equals(obj: Any): Boolean = obj match {
     case t: TailableParquetScan => inner == t.inner

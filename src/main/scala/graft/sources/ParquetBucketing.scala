@@ -310,6 +310,11 @@ class BucketedParquetScan(val inner: ParquetScan,
     }.toArray
   }
 
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    EpochRouted.wrap(inner.sparkSession, inner.dataSchema,
+      inner.readDataSchema, super.createReaderFactory())
+
   override def description(): String =
     s"Bucketed(${spec.col} into ${spec.n})(${super.description()})"
 

@@ -669,13 +669,14 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       def readGroup(ns: Seq[String], preds: Seq[String]): DataFrame = {
         // _gpos: the row's position in its file — both the DV read
         // side (prior positional masks drop here) and the DV WRITE
-        // side (the hidden rows' positions become the new bitmaps)
-        val df0 = spark.read.schema(declared)
-          .parquet(ns.map(n => new Path(data, n).toString): _*)
-          .withColumn("_gfilefull", input_file_name())
-          .withColumn("_gpos", col("_metadata.row_index"))
+        // side (the hidden rows' positions become the new bitmaps).
+        // Renames.read is the rename-aware reader (per-file epoch
+        // resolution); on a rename-free table it is the same plain
+        // declared-schema scan as before.
+        val df0 = Renames.read(spark, declared, data, ns)
         if (preds.isEmpty) df0
-        else df0.filter(DeleteMasks.visibleAllColumn(tableDir, declared, preds))
+        else df0.filter(DeleteMasks.visibleAllColumnAt(
+          tableDir, declared, preds, Seq("_gpos")))
       }
       val emptyTgt = {
         val sch = StructType(declared.fields.zipWithIndex.map { case (f, i) =>

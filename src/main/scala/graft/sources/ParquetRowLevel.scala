@@ -201,18 +201,27 @@ class ParquetGroupScan(tableDir: String, declared: StructType)
     // The second, position-widened variant serves partitions whose
     // masks carry deletion vectors ([[DeletionVectors]]) — the extra
     // [[DeleteMasks.POS_COL]] long is populated by the reader itself.
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, declared, new StructType(), declared, Seq.empty,
-      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
-      spark.sessionState.newHadoopConf())
+    def buildFn(full: StructType, read: StructType)
+        : PartitionedFile => Iterator[InternalRow] =
+      new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, full, new StructType(), read, Seq.empty,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        spark.sessionState.newHadoopConf())
     val widenedSchema = StructType(declared.fields :+
       StructField(DeleteMasks.POS_COL, org.apache.spark.sql.types.LongType))
-    val readFuncPos = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, declared, new StructType(), widenedSchema, Seq.empty,
-      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
-      spark.sessionState.newHadoopConf())
+    val readFunc = buildFn(declared, declared)
+    val readFuncPos = buildFn(declared, widenedSchema)
+    // renamed tables ([[Renames]]): pre-rename files read under their
+    // own name vectors through epoch twins (layout-identical rows);
+    // the factory resolves each file's vintage from its footer
+    val epochFns = Renames.epochReadSchemas(declared, declared).map {
+      case (full, rs) =>
+        val rsPos = StructType(rs.fields :+
+          StructField(DeleteMasks.POS_COL, org.apache.spark.sql.types.LongType))
+        (rs, buildFn(full, rs), buildFn(full, rsPos))
+    }
     new ParquetGroupReaderFactory(readFunc, readFuncPos, declared,
-      widenedSchema, tableDir)
+      widenedSchema, tableDir, epochFns)
   }
 
   override def description(): String =
@@ -229,7 +238,11 @@ class ParquetGroupReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     readFuncPos: PartitionedFile => Iterator[InternalRow],
     declared: StructType, widenedSchema: StructType,
-    tableDir: String) extends PartitionReaderFactory {
+    tableDir: String,
+    epochFns: Seq[(StructType,
+      PartitionedFile => Iterator[InternalRow],
+      PartitionedFile => Iterator[InternalRow])] = Seq.empty)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ParquetGroupPartition]
@@ -239,7 +252,18 @@ class ParquetGroupReaderFactory(
     // DV-bearing masks read through the position-widened variant and
     // project survivors back to declared width before the `_file` tag
     val dv = DeletionVectors.anyDv(p.maskPreds)
-    val it = if (dv) readFuncPos(pf) else readFunc(pf)
+    // pre-rename files route to their epoch's read functions
+    val (fn, fnPos) =
+      if (epochFns.isEmpty) (readFunc, readFuncPos)
+      else {
+        val conf = org.apache.spark.sql.GraftShims.hadoopConf()
+        val cols = Renames.fileColumns(conf,
+          new Path(new java.net.URI(p.path)), p.len)
+        val i = Renames.resolve(cols, declared, epochFns.map(_._1), declared)
+        if (i < 0) (readFunc, readFuncPos)
+        else (epochFns(i)._2, epochFns(i)._3)
+      }
+    val it = if (dv) fnPos(pf) else fn(pf)
     val deleted: InternalRow => Boolean =
       if (p.maskPreds.isEmpty) _ => false
       else DeleteMasks.compiledRowFilter(tableDir,

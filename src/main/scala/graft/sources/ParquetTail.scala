@@ -148,8 +148,10 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
     // stream, which is not Serializable, and die on task ship.
     val widenedSchema = PinnedParquetFactory.widen(dataSchema)
     new DvMaskedReaderFactory(
-      PinnedParquetFactory(spark, dataSchema, dataSchema),
-      PinnedParquetFactory(spark, dataSchema, widenedSchema),
+      EpochRouted.wrap(spark, dataSchema, dataSchema,
+        PinnedParquetFactory(spark, dataSchema, dataSchema)),
+      EpochRouted.wrap(spark, dataSchema, widenedSchema,
+        PinnedParquetFactory(spark, dataSchema, widenedSchema)),
       tableDir, widenedSchema, dataSchema)
   }
 

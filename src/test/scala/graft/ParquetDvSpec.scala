@@ -20,9 +20,9 @@ class ParquetDvSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = {
     val s = graft.Sessions.base("local[4]", 4)
-    s.conf.set("spark.sql.catalog.graft_dv", "graft.sources.LogCatalog")
-    s.conf.set("spark.sql.catalog.graft_dv.warehouse", warehouse)
-    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_dv.lake")
+    s.conf.set("spark.sql.catalog.graft_pdv", "graft.sources.LogCatalog")
+    s.conf.set("spark.sql.catalog.graft_pdv.warehouse", warehouse)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_pdv.lake")
     s
   }
 
@@ -59,20 +59,20 @@ class ParquetDvSpec extends AnyFunSuite {
 
   test("mask-cap overflow stays lightweight: DV masks, pre-existing " +
       "files byte-identical, exact result, time travel intact") {
-    spark.sql("DROP TABLE IF EXISTS graft_dv.lake.d1")
-    spark.sql("CREATE TABLE graft_dv.lake.d1 (k BIGINT, v BIGINT)")
+    spark.sql("DROP TABLE IF EXISTS graft_pdv.lake.d1")
+    spark.sql("CREATE TABLE graft_pdv.lake.d1 (k BIGINT, v BIGINT)")
     (0 until 2).foreach { i =>
       spark.range(i * 100, i * 100 + 100).selectExpr("id AS k", "id AS v")
-        .coalesce(1).writeTo("graft_dv.lake.d1").append()
+        .coalesce(1).writeTo("graft_pdv.lake.d1").append()
     }
     val dir = s"$warehouse/lake/d1"
-    spark.sql("CALL graft_dv.system.enable_versioning(table => 'lake.d1')")
+    spark.sql("CALL graft_pdv.system.enable_versioning(table => 'lake.d1')")
     val before = fileSigs(dir)
     val vBefore = ParquetVersions.latest(dir).get._1
     spark.range(0, 50).selectExpr("id AS k", "id + 7 AS nv")
       .createOrReplaceTempView("d1_src")
     withMoR(maskCap = 5) {
-      spark.sql("""MERGE INTO graft_dv.lake.d1 t USING d1_src s ON t.k = s.k
+      spark.sql("""MERGE INTO graft_pdv.lake.d1 t USING d1_src s ON t.k = s.k
                    WHEN MATCHED THEN UPDATE SET v = s.nv""")
     }
     assert(ParquetVersions.latest(dir).get._1 === vBefore + 1,
@@ -91,28 +91,28 @@ class ParquetDvSpec extends AnyFunSuite {
     val cards = masks.valuesIterator.flatten
       .flatMap(DeletionVectors.parse).map(_.card).sum
     assert(cards === 50L, s"DV cardinalities sum to the matched rows, got $cards")
-    assert(spark.table("graft_dv.lake.d1").count() === 200)
-    assert(spark.sql("SELECT sum(v) AS s FROM graft_dv.lake.d1")
+    assert(spark.table("graft_pdv.lake.d1").count() === 200)
+    assert(spark.sql("SELECT sum(v) AS s FROM graft_pdv.lake.d1")
       .head.getLong(0) === (0L until 50L).map(_ + 7).sum + (50L until 200L).sum)
     // time travel: the pinned pre-merge version ignores the DV
     assert(spark.sql(
-      s"SELECT sum(v) AS s FROM graft_dv.lake.d1 VERSION AS OF $vBefore")
+      s"SELECT sum(v) AS s FROM graft_pdv.lake.d1 VERSION AS OF $vBefore")
       .head.getLong(0) === (0L until 200L).sum)
   }
 
   test("mixed same-key visibility is positionally exact under the DV regime") {
-    spark.sql("DROP TABLE IF EXISTS graft_dv.lake.d2")
-    spark.sql("CREATE TABLE graft_dv.lake.d2 (k BIGINT, v BIGINT)")
+    spark.sql("DROP TABLE IF EXISTS graft_pdv.lake.d2")
+    spark.sql("CREATE TABLE graft_pdv.lake.d2 (k BIGINT, v BIGINT)")
     // two rows per key IN THE SAME FILE — a key mask cannot hide only
     // one of them; a position bitmap can
     spark.range(20).selectExpr("id % 10 AS k", "id % 10 + (id DIV 10) * 1000 AS v")
-      .coalesce(1).writeTo("graft_dv.lake.d2").append()
+      .coalesce(1).writeTo("graft_pdv.lake.d2").append()
     val dir = s"$warehouse/lake/d2"
-    spark.sql("CALL graft_dv.system.enable_versioning(table => 'lake.d2')")
+    spark.sql("CALL graft_pdv.system.enable_versioning(table => 'lake.d2')")
     val before = fileSigs(dir)
     spark.range(3, 6).selectExpr("id AS k").createOrReplaceTempView("d2_src")
     withMoR(maskCap = 10000) {
-      spark.sql("""MERGE INTO graft_dv.lake.d2 t USING d2_src s ON t.k = s.k
+      spark.sql("""MERGE INTO graft_pdv.lake.d2 t USING d2_src s ON t.k = s.k
                    WHEN MATCHED AND t.v < 1000 THEN DELETE""")
     }
     val masks = ParquetVersions.masksFor(dir, None)
@@ -122,27 +122,27 @@ class ParquetDvSpec extends AnyFunSuite {
       if (before.contains(name))
         assert(before(name) === sig, s"file $name must stay byte-identical")
     }
-    assert(spark.table("graft_dv.lake.d2").count() === 17)
+    assert(spark.table("graft_pdv.lake.d2").count() === 17)
     assert(spark.sql(
-      "SELECT count(*) AS c FROM graft_dv.lake.d2 WHERE k IN (3,4,5) AND v < 1000")
+      "SELECT count(*) AS c FROM graft_pdv.lake.d2 WHERE k IN (3,4,5) AND v < 1000")
       .head.getLong(0) === 0, "low rows of matched keys deleted")
     assert(spark.sql(
-      "SELECT count(*) AS c FROM graft_dv.lake.d2 WHERE k IN (3,4,5)")
+      "SELECT count(*) AS c FROM graft_pdv.lake.d2 WHERE k IN (3,4,5)")
       .head.getLong(0) === 3, "high rows of the same keys survive")
   }
 
   test("stacked DVs OR across commits; purge consumes them; vacuum " +
       "reclaims orphaned sidecars and keeps referenced ones") {
-    spark.sql("DROP TABLE IF EXISTS graft_dv.lake.d3")
-    spark.sql("CREATE TABLE graft_dv.lake.d3 AS " +
+    spark.sql("DROP TABLE IF EXISTS graft_pdv.lake.d3")
+    spark.sql("CREATE TABLE graft_pdv.lake.d3 AS " +
       "SELECT id AS k, id AS v FROM range(100)")
     val dir = s"$warehouse/lake/d3"
-    spark.sql("CALL graft_dv.system.enable_versioning(table => 'lake.d3')")
+    spark.sql("CALL graft_pdv.system.enable_versioning(table => 'lake.d3')")
     def mergeDelete(lo: Int, hi: Int): Unit = {
       spark.range(lo, hi).selectExpr("id AS k")
         .createOrReplaceTempView("d3_src")
       withMoR(maskCap = 3) {
-        spark.sql("""MERGE INTO graft_dv.lake.d3 t USING d3_src s ON t.k = s.k
+        spark.sql("""MERGE INTO graft_pdv.lake.d3 t USING d3_src s ON t.k = s.k
                      WHEN MATCHED THEN DELETE""")
       }
     }
@@ -153,15 +153,15 @@ class ParquetDvSpec extends AnyFunSuite {
     assert(stacked.nonEmpty && stacked.forall(DeletionVectors.isDv))
     assert(masks.exists(_._2.size === 2),
       "the second commit STACKS a DV on the already-masked file")
-    assert(spark.table("graft_dv.lake.d3").count() === 80,
+    assert(spark.table("graft_pdv.lake.d3").count() === 80,
       "stacked DVs OR: both deleted ranges hidden")
     val referenced = sidecarNames(dir)
     assert(referenced.size >= 2)
 
     // purge: the mask-consuming rewrite drops the DV entries
-    spark.sql("CALL graft_dv.system.purge_masks(table => 'lake.d3')")
+    spark.sql("CALL graft_pdv.system.purge_masks(table => 'lake.d3')")
     assert(ParquetVersions.masksFor(dir, None).isEmpty)
-    assert(spark.table("graft_dv.lake.d3").count() === 80)
+    assert(spark.table("graft_pdv.lake.d3").count() === 80)
 
     // vacuum with the DV-bearing version still retained → sidecars stay
     // (age them past the in-flight grace first so retention, not the
@@ -179,41 +179,41 @@ class ParquetDvSpec extends AnyFunSuite {
     ParquetVersions.vacuum(dir, retainLast = 1)
     assert(sidecarNames(dir).isEmpty,
       "orphaned sidecars are reclaimed once no retained version references them")
-    assert(spark.table("graft_dv.lake.d3").count() === 80)
+    assert(spark.table("graft_pdv.lake.d3").count() === 80)
   }
 
   test("dv.maxBytes budget: over budget falls to the rewrite regime " +
       "with zero sidecar debris") {
-    spark.sql("DROP TABLE IF EXISTS graft_dv.lake.d4")
-    spark.sql("CREATE TABLE graft_dv.lake.d4 AS " +
+    spark.sql("DROP TABLE IF EXISTS graft_pdv.lake.d4")
+    spark.sql("CREATE TABLE graft_pdv.lake.d4 AS " +
       "SELECT id AS k, id AS v FROM range(100)")
     val dir = s"$warehouse/lake/d4"
-    spark.sql("CALL graft_dv.system.enable_versioning(table => 'lake.d4')")
+    spark.sql("CALL graft_pdv.system.enable_versioning(table => 'lake.d4')")
     spark.range(0, 50).selectExpr("id AS k", "id + 7 AS nv")
       .createOrReplaceTempView("d4_src")
     spark.conf.set(DeletionVectors.MAX_BYTES_KEY, "4")
     try withMoR(maskCap = 5) {
-      spark.sql("""MERGE INTO graft_dv.lake.d4 t USING d4_src s ON t.k = s.k
+      spark.sql("""MERGE INTO graft_pdv.lake.d4 t USING d4_src s ON t.k = s.k
                    WHEN MATCHED THEN UPDATE SET v = s.nv""")
     } finally spark.conf.unset(DeletionVectors.MAX_BYTES_KEY)
     assert(ParquetVersions.masksFor(dir, None).isEmpty,
       "over the byte budget the rewrite regime carries no masks")
     assert(sidecarNames(dir).isEmpty,
       "the budget check runs BEFORE any sidecar writes — no debris")
-    assert(spark.sql("SELECT sum(v) AS s FROM graft_dv.lake.d4")
+    assert(spark.sql("SELECT sum(v) AS s FROM graft_pdv.lake.d4")
       .head.getLong(0) === (0L until 50L).map(_ + 7).sum + (50L until 100L).sum)
   }
 
   test("change feed: DV commits emit their deltas as deletes") {
-    spark.sql("DROP TABLE IF EXISTS graft_dv.lake.d5")
-    spark.sql("CREATE TABLE graft_dv.lake.d5 AS " +
+    spark.sql("DROP TABLE IF EXISTS graft_pdv.lake.d5")
+    spark.sql("CREATE TABLE graft_pdv.lake.d5 AS " +
       "SELECT id AS k, id AS v FROM range(50)")
     val dir = s"$warehouse/lake/d5"
-    spark.sql("CALL graft_dv.system.enable_versioning(table => 'lake.d5')")
+    spark.sql("CALL graft_pdv.system.enable_versioning(table => 'lake.d5')")
     val vFrom = ParquetVersions.latest(dir).get._1
     spark.range(5, 25).selectExpr("id AS k").createOrReplaceTempView("d5_src")
     withMoR(maskCap = 3) {
-      spark.sql("""MERGE INTO graft_dv.lake.d5 t USING d5_src s ON t.k = s.k
+      spark.sql("""MERGE INTO graft_pdv.lake.d5 t USING d5_src s ON t.k = s.k
                    WHEN MATCHED THEN DELETE""")
     }
     assert(ParquetVersions.masksFor(dir, None)
@@ -227,19 +227,19 @@ class ParquetDvSpec extends AnyFunSuite {
   }
 
   test("dv.enabled=false restores the pre-DV ladder (rewrite regime)") {
-    spark.sql("DROP TABLE IF EXISTS graft_dv.lake.d6")
-    spark.sql("CREATE TABLE graft_dv.lake.d6 AS " +
+    spark.sql("DROP TABLE IF EXISTS graft_pdv.lake.d6")
+    spark.sql("CREATE TABLE graft_pdv.lake.d6 AS " +
       "SELECT id AS k, id AS v FROM range(40)")
     val dir = s"$warehouse/lake/d6"
-    spark.sql("CALL graft_dv.system.enable_versioning(table => 'lake.d6')")
+    spark.sql("CALL graft_pdv.system.enable_versioning(table => 'lake.d6')")
     spark.range(0, 20).selectExpr("id AS k").createOrReplaceTempView("d6_src")
     spark.conf.set(DeletionVectors.ENABLED_KEY, "false")
     try withMoR(maskCap = 3) {
-      spark.sql("""MERGE INTO graft_dv.lake.d6 t USING d6_src s ON t.k = s.k
+      spark.sql("""MERGE INTO graft_pdv.lake.d6 t USING d6_src s ON t.k = s.k
                    WHEN MATCHED THEN DELETE""")
     } finally spark.conf.unset(DeletionVectors.ENABLED_KEY)
     assert(ParquetVersions.masksFor(dir, None).isEmpty)
     assert(sidecarNames(dir).isEmpty)
-    assert(spark.table("graft_dv.lake.d6").count() === 20)
+    assert(spark.table("graft_pdv.lake.d6").count() === 20)
   }
 }
