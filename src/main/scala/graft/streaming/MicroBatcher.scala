@@ -102,6 +102,23 @@ sealed trait MergeIdiom extends Serializable {
   def quote(c: String): String
   def deleteStaged(stage: String, batchId: Long): String
   def merge(target: String, stage: String, keyCols: Seq[String], cols: Seq[String]): String
+
+  /** Row MUTATIONS on the warehouse — the reference clears its table
+    * with `DELETE FROM limits_hashes WHERE user_id = '…'`
+    * (hashes_test.go:237). `predicate`/`sets` values are SQL text the
+    * caller already rendered (these are admin/maintenance statements,
+    * not a per-row data path). ANSI targets run the standard
+    * DELETE/UPDATE; ClickHouse's DELETE is the lightweight form
+    * (≥ 22.8) and its only UPDATE is the `ALTER TABLE … UPDATE`
+    * mutation. */
+  def deleteWhere(table: String, predicate: String): String =
+    s"DELETE FROM $table WHERE $predicate"
+  def updateWhere(table: String, sets: Seq[(String, String)],
+      predicate: String): String = {
+    require(sets.nonEmpty, "UPDATE needs at least one SET")
+    val assigns = sets.map { case (c, v) => s"${quote(c)} = $v" }.mkString(", ")
+    s"UPDATE $table SET $assigns WHERE $predicate"
+  }
 }
 
 object MergeIdiom {
@@ -136,6 +153,23 @@ case object ClickHouseMergeIdiom extends MergeIdiom {
   override def quote(c: String): String = "`" + c.replace("`", "``") + "`"
   override def deleteStaged(stage: String, batchId: Long): String =
     s"DELETE FROM $stage WHERE ${quote("batch_id")} = $batchId"
+
+  /** ClickHouse has NO standard UPDATE statement — the only row
+    * update is the `ALTER TABLE … UPDATE` mutation (asynchronous
+    * server-side rewrite; add `SETTINGS mutations_sync = 1` at the
+    * call site to block). */
+  override def updateWhere(table: String, sets: Seq[(String, String)],
+      predicate: String): String = {
+    require(sets.nonEmpty, "UPDATE needs at least one SET")
+    val assigns = sets.map { case (c, v) => s"${quote(c)} = $v" }.mkString(", ")
+    s"ALTER TABLE $table UPDATE $assigns WHERE $predicate"
+  }
+
+  /** The classic mutation DELETE for deployments predating the
+    * lightweight `DELETE FROM` (< 22.8); [[deleteWhere]] stays the
+    * default. */
+  def alterDelete(table: String, predicate: String): String =
+    s"ALTER TABLE $table DELETE WHERE $predicate"
   override def merge(target: String, stage: String,
       keyCols: Seq[String], cols: Seq[String]): String = {
     val on = keyCols.map(k => s"s.${quote(k)} = t.${quote(k)}").mkString(" AND ")

@@ -30,3 +30,15 @@ CREATE TABLE schema_migrations (
   description String,
   applied_at DateTime64(3))
 ENGINE = MergeTree() ORDER BY version
+
+-- [mutation-delete] warehouse row mutation, lightweight form — the
+-- exact statement shape the reference runs (hashes_test.go:237).
+DELETE FROM `limits_hashes` WHERE `user_id` = 'test_user_001'
+
+-- [mutation-alter-delete] the classic ALTER mutation for deployments
+-- predating lightweight DELETE (< 22.8).
+ALTER TABLE `limits_hashes` DELETE WHERE `user_id` = 'test_user_001'
+
+-- [mutation-update] ClickHouse has no UPDATE statement; the only row
+-- update is the ALTER TABLE mutation.
+ALTER TABLE `limits_hashes` UPDATE `amount` = 0 WHERE `user_id` = 'test_user_001'

@@ -37,6 +37,12 @@ class ClickHouseContractSpec extends AnyFunSuite {
     val ansi = AnsiMergeIdiom.merge(
       "\"limits_hashes\"", "\"limits_hashes_stage\"", Seq("sha256sum"), cols)
     val ledger = graft.sources.Migrations.ClickHouseLedgerDdl
+    val mutDel = ClickHouseMergeIdiom.deleteWhere("`limits_hashes`",
+      "`user_id` = 'test_user_001'")
+    val mutAlterDel = ClickHouseMergeIdiom.alterDelete("`limits_hashes`",
+      "`user_id` = 'test_user_001'")
+    val mutUpd = ClickHouseMergeIdiom.updateWhere("`limits_hashes`",
+      Seq("amount" -> "0"), "`user_id` = 'test_user_001'")
     s"""-- Golden contract: the EXACT SQL graft's JDBC tier emits against
        |-- ClickHouse for the reference's limits_hashes schema (hashes.go:25,
        |-- types per hashes_test.go:146). Reviewed against ClickHouse 23.3
@@ -61,11 +67,53 @@ class ClickHouseContractSpec extends AnyFunSuite {
        |-- [migrations-ledger] Migrations.up bootstrap on ClickHouse: ENGINE
        |-- clause + ordering key (the ANSI inline-PRIMARY-KEY form is
        |-- Derby-only; ClickHouse rejects it).
-       |$ledger""".stripMargin
+       |$ledger
+       |
+       |-- [mutation-delete] warehouse row mutation, lightweight form — the
+       |-- exact statement shape the reference runs (hashes_test.go:237).
+       |$mutDel
+       |
+       |-- [mutation-alter-delete] the classic ALTER mutation for deployments
+       |-- predating lightweight DELETE (< 22.8).
+       |$mutAlterDel
+       |
+       |-- [mutation-update] ClickHouse has no UPDATE statement; the only row
+       |-- update is the ALTER TABLE mutation.
+       |$mutUpd""".stripMargin
   }
 
   test("dialect + merge idiom emit exactly the pinned ClickHouse SQL") {
     assert(norm(render()) === norm(golden),
       "\n--- emitted ---\n" + render() + "\n--- golden ---\n" + golden)
+  }
+
+  test("mutation SQL: ClickHouse forms pinned, ANSI forms Derby-executable") {
+    // ClickHouse: lightweight DELETE, classic ALTER mutations
+    assert(ClickHouseMergeIdiom.deleteWhere("t", "`u` = 'x'") ===
+      "DELETE FROM t WHERE `u` = 'x'")
+    assert(ClickHouseMergeIdiom.alterDelete("t", "`u` = 'x'") ===
+      "ALTER TABLE t DELETE WHERE `u` = 'x'")
+    assert(ClickHouseMergeIdiom.updateWhere("t",
+      Seq("amount" -> "0", "msg" -> "NULL"), "`u` = 'x'") ===
+      "ALTER TABLE t UPDATE `amount` = 0, `msg` = NULL WHERE `u` = 'x'")
+    // ANSI twins execute for real on Derby — the generated text is
+    // valid SQL, not just a pinned string
+    val url = s"jdbc:derby:memory:chmut_${java.util.UUID.randomUUID().toString.take(8)};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE mut_t (\"user_id\" VARCHAR(32), \"amount\" BIGINT)")
+      st.executeUpdate("INSERT INTO mut_t VALUES ('a', 1), ('b', 2), ('a', 3)")
+      val upd = AnsiMergeIdiom.updateWhere("mut_t",
+        Seq("amount" -> "0"), "\"user_id\" = 'a'")
+      assert(upd === "UPDATE mut_t SET \"amount\" = 0 WHERE \"user_id\" = 'a'")
+      assert(st.executeUpdate(upd) === 2)
+      val del = AnsiMergeIdiom.deleteWhere("mut_t", "\"user_id\" = 'b'")
+      assert(del === "DELETE FROM mut_t WHERE \"user_id\" = 'b'")
+      assert(st.executeUpdate(del) === 1)
+      val rs = st.executeQuery("SELECT COUNT(*), SUM(\"amount\") FROM mut_t")
+      rs.next()
+      assert(rs.getLong(1) === 2 && rs.getLong(2) === 0)
+    } finally conn.close()
   }
 }
