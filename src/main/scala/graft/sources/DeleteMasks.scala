@@ -305,6 +305,69 @@ object DeleteMasks {
     }
   }
 
+  /** Row-level VISIBLE test that dispatches the mask list on the
+    * row's ORIGINATING FILE — one scan serves files with arbitrarily
+    * DIVERSE mask sets. Without it, a reader grouping files by
+    * identical mask signature plans O(distinct mask sets) separate
+    * scans: after a trickle MERGE leaves a different key mask on every
+    * file of a 400-file table, the NEXT merge's target read became a
+    * 400-way union of single-file scans (r15 soak: 76 s where one
+    * scan takes 3 s). Children: file path (full URI), row position,
+    * then the declared columns in order; per-file tests compile
+    * lazily executor-side and cache for the expression's lifetime.
+    * Eval-only (CodegenFallback) — it serves already-row-based masked
+    * reads. */
+  case class FileDispatchVisible(tableDir: String, dataPathPrefix: String,
+      masks: Map[String, Seq[String]], schema: StructType,
+      children: Seq[Expression])
+      extends Expression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: org.apache.spark.sql.types.DataType = BooleanType
+    override def nullable: Boolean = false
+    override def foldable: Boolean = false
+
+    @transient private lazy val widened =
+      StructType(schema.fields :+ StructField(POS_COL, LongType))
+    @transient private lazy val compiled =
+      new java.util.concurrent.ConcurrentHashMap[String, InternalRow => Boolean]
+    @transient private lazy val alwaysVisible: InternalRow => Boolean = _ => false
+
+    private def testFor(rel: String): InternalRow => Boolean = {
+      val hit = compiled.get(rel)
+      if (hit != null) return hit
+      val t = masks.get(rel).filter(_.nonEmpty) match {
+        case Some(preds) => compiledRowFilter(tableDir, widened, preds)
+        case None => alwaysVisible
+      }
+      compiled.put(rel, t)
+      t
+    }
+
+    override def eval(input: InternalRow): Any = {
+      val file = children.head.eval(input)
+      if (file == null) return true
+      val p = new java.net.URI(file.toString).getPath
+      val rel =
+        if (p.startsWith(dataPathPrefix + "/")) p.substring(dataPathPrefix.length + 1)
+        else p
+      val deleted = testFor(rel)
+      if (deleted eq alwaysVisible) return true
+      val vals = new Array[Any](children.length - 1)
+      var i = 2
+      while (i < children.length) {
+        vals(i - 2) = children(i).eval(input)
+        i += 1
+      }
+      vals(children.length - 2) = children(1).eval(input) // pos last
+      !deleted(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(children = newChildren)
+    override def prettyName: String = "mask_file_dispatch_visible"
+  }
+
   /** Maintenance-read helper: the VISIBLE rows of `names` under
     * `masks`, as one DataFrame — unmasked files in a single scan,
     * masked files grouped by identical mask set (each group one scan +

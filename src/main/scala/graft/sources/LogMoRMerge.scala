@@ -115,7 +115,9 @@ case class LogMoRMergeCommand(dir: String,
     var joined: DataFrame = null
     try {
       val srcKeyRows: Option[Array[Row]] =
-        MoRMergeKernel.srcKeyRows(src, keys, maskCap)
+        MoRMergeKernel.srcKeyRows(src, keys, math.max(maskCap,
+          spark.conf.get(PREFILTER_KEYS_KEY,
+            PREFILTER_KEYS_DEFAULT.toString).toInt))
 
       // the target through the log's own scan: prior masks drop at
       // parse, `_segment` attributes each row to its ledger name

@@ -93,6 +93,16 @@ object ParquetMoRMerge {
 
   val MAX_MASK_KEYS_KEY = "spark.graft.merge.mor.maxMaskKeys"
 
+  /** Cap on the distinct source-key tuples collected for the target
+    * scan's `InSet` PREFILTER — decoupled from [[MAX_MASK_KEYS_KEY]]
+    * (r15): a delta past the MASK cap still lands lightweight through
+    * the DV regime, and the prefilter is exactly what keeps that
+    * merge O(matched) instead of a full-table join (soak: the DV
+    * merge's wall-time exponent dropped from 0.60 once the prefilter
+    * survived the cap split). */
+  val PREFILTER_KEYS_KEY = "spark.graft.merge.prefilter.maxKeys"
+  val PREFILTER_KEYS_DEFAULT = 100000
+
   // --- the merge program, re-derived from MergeRows ------------------
 
   sealed trait MatchedArm extends Serializable {
@@ -354,8 +364,11 @@ private[sources] object MoRMergeKernel {
     org.apache.spark.sql.GraftShims.column(e)
 
   /** Distinct source key tuples — the scan prefilter. None past the
-    * cap: the full scan stays (and the mask keys exceed the cap too,
-    * so the rewrite regime is coming anyway). */
+    * cap (driver-memory bound, [[ParquetMoRMerge.PREFILTER_KEYS_KEY]]):
+    * the full scan stays. The cap is deliberately LARGER than the mask
+    * cap — a delta past the mask cap still lands lightweight through
+    * the DV regime, and the prefilter is what keeps that path
+    * O(matched). */
   def srcKeyRows(src: DataFrame, keys: Seq[MergeKey],
       cap: Int): Option[Array[Row]] = {
     val rows = src.select(keys.map(k => colOf(k.srcExpr).as(k.field)): _*)
@@ -657,7 +670,9 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
     var joined: DataFrame = null
     try {
       val srcKeyRows: Option[Array[Row]] =
-        MoRMergeKernel.srcKeyRows(src, keys, maskCap)
+        MoRMergeKernel.srcKeyRows(src, keys, math.max(maskCap,
+          spark.conf.get(PREFILTER_KEYS_KEY,
+            PREFILTER_KEYS_DEFAULT.toString).toInt))
 
       // --- target: mask-visible rows + originating file ---------------
       // (the per-scan file column binds before the union, so it stays
@@ -666,17 +681,27 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
       val tSelect = declared.fieldNames.toSeq.zipWithIndex.map {
         case (n, i) => col(n).as(s"_t$i")
       } :+ col("_gfilefull") :+ col("_gpos")
-      def readGroup(ns: Seq[String], preds: Seq[String]): DataFrame = {
-        // _gpos: the row's position in its file — both the DV read
-        // side (prior positional masks drop here) and the DV WRITE
-        // side (the hidden rows' positions become the new bitmaps).
-        // Renames.read is the rename-aware reader (per-file epoch
-        // resolution); on a rename-free table it is the same plain
-        // declared-schema scan as before.
-        val df0 = Renames.read(spark, declared, data, ns)
-        if (preds.isEmpty) df0
-        else df0.filter(DeleteMasks.visibleAllColumnAt(
-          tableDir, declared, preds, Seq("_gpos")))
+      // _gpos: the row's position in its file — both the DV read
+      // side (prior positional masks drop here) and the DV WRITE
+      // side (the hidden rows' positions become the new bitmaps).
+      // Renames.read is the rename-aware reader (per-file epoch
+      // resolution); on a rename-free table it is the same plain
+      // declared-schema scan as before. Masked files read in ONE scan
+      // with the per-file mask DISPATCH ([[DeleteMasks
+      // .FileDispatchVisible]]) — grouping by identical mask set
+      // planned O(distinct mask sets) scans, which after a trickle
+      // MERGE (every file its own key mask) meant one scan PER FILE.
+      def readClean(ns: Seq[String]): DataFrame =
+        Renames.read(spark, declared, data, ns)
+      def readMasked(ns: Seq[String]): DataFrame = {
+        val children: Seq[Expression] =
+          UnresolvedAttribute(Seq("_gfilefull")) +:
+            UnresolvedAttribute(Seq("_gpos")) +:
+            declared.fieldNames.toSeq.map(n => UnresolvedAttribute(Seq(n)))
+        Renames.read(spark, declared, data, ns)
+          .filter(colOf(DeleteMasks.FileDispatchVisible(tableDir,
+            dataPathPrefix, priorMasks.view.filterKeys(ns.toSet).toMap,
+            declared, children)))
       }
       val emptyTgt = {
         val sch = StructType(declared.fields.zipWithIndex.map { case (f, i) =>
@@ -689,10 +714,8 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
         val (masked, clean) =
           live.partition(n => priorMasks.get(n).exists(_.nonEmpty))
         val parts =
-          (if (clean.nonEmpty) Seq(readGroup(clean, Seq.empty)) else Seq.empty) ++
-            masked.groupBy(n => priorMasks(n).sorted).toSeq.map {
-              case (preds, ns) => readGroup(ns, preds)
-            }
+          (if (clean.nonEmpty) Seq(readClean(clean)) else Seq.empty) ++
+            (if (masked.nonEmpty) Seq(readMasked(masked)) else Seq.empty)
         parts.map(_.select(tSelect: _*))
           .reduceOption(_ unionByName _).getOrElse(emptyTgt)
       }
