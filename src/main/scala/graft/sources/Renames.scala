@@ -179,11 +179,12 @@ object Renames {
       .withColumn("_gpos", col("_metadata.row_index"))
     def pathsOf(ns: Seq[String]) = ns.map(n => new Path(dataDir, n).toString)
     if (names.isEmpty) {
-      return metaOf(spark.createDataFrame(
+      // no _metadata on a local relation — synthesize the meta columns
+      return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), declared)
         .withColumn("_gfilefull", org.apache.spark.sql.functions.lit(""))
         .withColumn("_gpos", org.apache.spark.sql.functions.lit(0L))
-        .limit(0))
+        .limit(0)
     }
     if (!hasRenames(declared)) {
       return metaOf(spark.read.schema(declared).parquet(pathsOf(names): _*))
