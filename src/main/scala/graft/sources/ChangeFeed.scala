@@ -164,24 +164,57 @@ object ChangeFeed {
       insParts += DeleteMasks.readVisible(spark, schema, data, added, toP.masks)
     if (removed.nonEmpty)
       delParts += DeleteMasks.readVisible(spark, schema, data, removed, fromP.masks)
+    // mask-delta files read in at most TWO scans regardless of how
+    // many DISTINCT mask sets the span carries: the per-file dispatch
+    // ([[DeleteMasks.FileDispatchVisible]]) binds each row to ITS
+    // file's old/new mask lists — the former per-(old,new)-pair
+    // grouping planned one scan per distinct pair, which after a
+    // trickle MERGE (every file its own key mask) meant one scan per
+    // FILE. DV entries test the `_gpos` column Renames.read
+    // materializes (rename-aware; `_metadata` does not survive its
+    // aliasing projection).
     val common = (fromNames intersect toNames).toSeq.sorted
-    common.groupBy(n => (fromP.masks.getOrElse(n, Seq.empty).sorted,
-        toP.masks.getOrElse(n, Seq.empty).sorted)).foreach {
-      case ((o, nw), ns) if o != nw =>
-        // visibleAllColumnAt handles DV entries ([[DeletionVectors]])
-        // against the `_gpos` column Renames.read materializes (the
-        // rename-aware read aliases old-name files back to the
-        // declared names; `_metadata` does not survive that)
-        def read() = Renames.read(spark, schema, data, ns)
-        def vis(preds: Seq[String]) =
-          DeleteMasks.visibleAllColumnAt(dir, schema, preds, Seq("_gpos"))
-        def proj(df: DataFrame) =
-          df.select(schema.fieldNames.toSeq.map(col): _*)
-        if (nw.exists(!o.contains(_)))
-          delParts += proj(read().filter(vis(o) && !vis(nw)))
-        if (o.exists(!nw.contains(_)))
-          insParts += proj(read().filter(vis(nw) && !vis(o)))
-      case _ => ()
+    val delta = common.filter { n =>
+      fromP.masks.getOrElse(n, Seq.empty).sorted !=
+        toP.masks.getOrElse(n, Seq.empty).sorted
+    }
+    if (delta.nonEmpty) {
+      val dataPrefix = data.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+        .makeQualified(data).toUri.getPath
+      def proj(df: DataFrame) =
+        df.select(schema.fieldNames.toSeq.map(col): _*)
+      def visDispatch(masks: Map[String, Seq[String]], ns: Seq[String]) = {
+        val children: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("_gfilefull")) +:
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("_gpos")) +:
+            schema.fieldNames.toSeq.map(n =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n)))
+        org.apache.spark.sql.GraftShims.column(
+          DeleteMasks.FileDispatchVisible(dir, dataPrefix,
+            masks.view.filterKeys(ns.toSet).toMap, schema, children))
+      }
+      // newly-DELETED rows: visible under the old masks, hidden under
+      // the new — only files whose NEW list grew can contribute
+      val delFiles = delta.filter { n =>
+        val o = fromP.masks.getOrElse(n, Seq.empty)
+        toP.masks.getOrElse(n, Seq.empty).exists(!o.contains(_))
+      }
+      if (delFiles.nonEmpty) {
+        val df = Renames.read(spark, schema, data, delFiles)
+        delParts += proj(df.filter(
+          visDispatch(fromP.masks, delFiles) && !visDispatch(toP.masks, delFiles)))
+      }
+      // un-masked (resurfaced) rows: the reverse direction
+      val insFiles = delta.filter { n =>
+        val nw = toP.masks.getOrElse(n, Seq.empty)
+        fromP.masks.getOrElse(n, Seq.empty).exists(!nw.contains(_))
+      }
+      if (insFiles.nonEmpty) {
+        val df = Renames.read(spark, schema, data, insFiles)
+        insParts += proj(df.filter(
+          visDispatch(toP.masks, insFiles) && !visDispatch(fromP.masks, insFiles)))
+      }
     }
     val emptyDf = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
