@@ -438,6 +438,151 @@ object Compaction {
     }
   }
 
+  final case class MaskCompactStats(maskedFiles: Long, compacted: Long,
+      unmasked: Long, remainingMasked: Long, sidecarBytes: Long)
+
+  /** MASK-STACK COMPACTION WITHOUT A DATA REWRITE (r15): fold each
+    * pressured file's stacked mask entries (predicates and/or DVs)
+    * into ONE consolidated position bitmap, attached to a HARDLINK of
+    * the same bytes under a fresh maintenance name — the old name
+    * retires and the version carry-forward drops its stack. Steady-
+    * state churn cost becomes O(deleted-row BITS) per pressured file
+    * instead of [[purgeMasks]]'s full rewrite: a sustained trickle of
+    * MoR MERGEs can be stack-compacted forever at near-zero write
+    * amplification, and the per-row read tax drops from N predicate
+    * evaluations to one bitmap probe. Files whose consolidated stack
+    * hides NOTHING come back mask-free (pure un-mask). `purgeMasks`
+    * stays the columnar-restoring endgame (any mask still forces
+    * row-based decode); this verb is the cheap middle gear.
+    *
+    * Correctness rails shared with every rewrite: deleted positions
+    * compute under the SAME per-file dispatch the scans use, the
+    * publish is guarded (concurrent DML on a target aborts and the
+    * retry re-reads), a conflicted attempt reclaims its links and
+    * sidecars, time travel keeps serving the retired names' stacks,
+    * and vacuum reclaims the retired files (the hardlink keeps the
+    * shared bytes alive) plus any orphaned sidecars. A file past the
+    * 2^31-position domain is left as-is (purge handles it). */
+  def compactMasks(spark: SparkSession, tableDir: String,
+      minPreds: Int = 2): MaskCompactStats =
+    MaintenanceLease.withLease(tableDir) {
+    require(minPreds >= 1, "minPreds must be at least 1")
+    val base = new Path(tableDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = base.getFileSystem(conf)
+    require(SchemaManifest.exists(tableDir),
+      s"$tableDir is not a catalog parquet table (no _schema.json)")
+    val declared = SchemaManifest.read(tableDir, "compactMasks")
+    val data = new Path(base, "data")
+    if (!ParquetVersions.enabled(tableDir)) {
+      return MaskCompactStats(0L, 0L, 0L, 0L, 0L)
+    }
+    val dataPathPrefix = fs.makeQualified(data).toUri.getPath
+    val tagOf: String => String =
+      if (ParquetBucketing.readSpec(tableDir).isEmpty) _ => ""
+      else rel => ParquetBucketing.bucketOfName(PartitionSpecs.nameOfRel(rel))
+        .fold("")(k => s"-b$k")
+    val opId = java.util.UUID.randomUUID().toString.take(8)
+    ParquetVersions.retryOnMaskConflict() {
+      val live = ParquetVersions.live(tableDir).toSet
+      val priorMasks = ParquetVersions.masksFor(tableDir, None)
+        .filter(_._2.nonEmpty)
+      val targets = priorMasks.view.filterKeys(live).toMap
+        .filter(_._2.size >= minPreds)
+      val maskedLive = priorMasks.keySet.count(live).toLong
+      if (targets.isEmpty) {
+        return MaskCompactStats(maskedLive, 0L, 0L, maskedLive, 0L)
+      }
+      // DELETED positions of every target, one distributed job: plain
+      // read + per-file mask dispatch (the exact test the scans run),
+      // bitmaps aggregated executor-side
+      import spark.implicits._
+      import org.apache.spark.sql.{functions => F}
+      val children: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("_gfilefull")) +:
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("_gpos")) +:
+          declared.fieldNames.toSeq.map(n =>
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n)))
+      val visible = org.apache.spark.sql.GraftShims.column(
+        DeleteMasks.FileDispatchVisible(tableDir, dataPathPrefix,
+          targets, declared, children))
+      val dvAgg = F.udaf(new DeletionVectors.BitmapAgg(),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val perFile: Array[(String, Array[Byte], Long)] =
+        Renames.read(spark, declared, data, targets.keys.toSeq.sorted)
+          .filter(!visible)
+          .groupBy("_gfilefull")
+          .agg(dvAgg(F.col("_gpos")).as("_gdv"), F.max("_gpos").as("_gmax"))
+          .as[(String, Array[Byte], Long)].collect()
+      def relOf(full: String): String = {
+        val p = new java.net.URI(full).getPath
+        require(p.startsWith(dataPathPrefix + "/"),
+          s"scanned file $p outside table data dir $dataPathPrefix")
+        p.substring(dataPathPrefix.length + 1)
+      }
+      val hidden: Map[String, (Array[Byte], Long)] = perFile
+        .filter(_._3 <= Int.MaxValue.toLong) // overflow: leave to purge
+        .map { case (full, bytes, _) =>
+          relOf(full) -> ((bytes,
+            DeletionVectors.deserialize(bytes).getLongCardinality))
+        }.toMap
+      val present = perFile.map(p => relOf(p._1)).toSet
+      val eligible = targets.keys.toSeq.sorted.filter { rel =>
+        // a target absent from `perFile` hides nothing (pure un-mask);
+        // one past the position domain is skipped entirely
+        hidden.contains(rel) || !present(rel)
+      }
+      if (eligible.isEmpty) {
+        return MaskCompactStats(maskedLive, 0L, 0L, maskedLive, 0L)
+      }
+      // hardlink + sidecar per eligible target; publish retires the
+      // old names (their stacks drop with them)
+      val links = Seq.newBuilder[(String, String)] // old rel -> new rel
+      val sidecars = Seq.newBuilder[String]
+      var sidecarBytes = 0L
+      eligible.zipWithIndex.foreach { case (rel, i) =>
+        val dirPart = PartitionSpecs.dirOfRel(rel)
+        val name = f"compact-dv-$opId-$i%05d${tagOf(rel)}.parquet"
+        val newRel = if (dirPart.isEmpty) name else s"$dirPart/$name"
+        val to = new Path(data, newRel)
+        if (fs.exists(to)) fs.delete(to, false) // prior conflicted attempt
+        linkOrCopy(fs, conf, new Path(data, rel), to)
+        links += ((rel, newRel))
+        hidden.get(rel).foreach { case (bytes, _) =>
+          sidecarBytes += bytes.length
+        }
+      }
+      val linkMap = links.result()
+      val addMasks: Map[String, Seq[String]] = linkMap.flatMap {
+        case (oldRel, newRel) => hidden.get(oldRel).map { case (bytes, card) =>
+          val sidecar = DeletionVectors.sidecarName(opId, oldRel)
+          val sp = DeletionVectors.sidecarPath(tableDir, sidecar)
+          fs.mkdirs(sp.getParent)
+          val out = fs.create(sp, true)
+          try out.write(bytes) finally out.close()
+          sidecars += sidecar
+          newRel -> Seq(DeletionVectors.refJson(sidecar, card))
+        }
+      }.toMap
+      val retired = linkMap.map(_._1).toSet
+      try {
+        ParquetVersions.commitGuarded(tableDir, None, addMasks,
+          ParquetVersions.guardFor(retired, priorMasks)) { liveNow =>
+          (liveNow.filterNot(retired) ++ linkMap.map(_._2)).distinct.sorted
+        }
+      } catch {
+        case e: VersionLedger.MaskConflictException =>
+          linkMap.foreach { case (_, nr) => fs.delete(new Path(data, nr), false) }
+          sidecars.result().foreach(n => DeletionVectors.delete(fs, tableDir, n))
+          throw e
+      }
+      val remaining = ParquetVersions.masksFor(tableDir, None)
+        .count(_._2.nonEmpty).toLong
+      MaskCompactStats(maskedLive, addMasks.size.toLong,
+        (linkMap.size - addMasks.size).toLong, remaining, sidecarBytes)
+    }
+  }
+
   /** Bin-pack the small files of a catalog parquet table into
     * ~`targetBytes` files, IN PLACE and crash-safe, preserving the
     * table's clustering: files are packed ADJACENT in (mtime, name)

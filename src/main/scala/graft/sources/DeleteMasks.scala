@@ -452,10 +452,15 @@ object DeleteMasks {
   *     `spark.graft.mask.pressure.maxPreds` (default 64) is OVER
   *     PRESSURE: with `spark.graft.mask.pressure.autopurge=true` the
   *     DML synchronously runs [[Compaction.purgeMasks]] scoped to the
-  *     pressured files (surgical — only those files rewrite); with it
-  *     off (default) a loud warning names the table and the verb
-  *     (`CALL graft.system.purge_masks(table => …)`), leaving the
-  *     latency trade to the operator;
+  *     pressured files (surgical — only those files rewrite); with
+  *     `…autopurge=dv` (parquet tier) it runs
+  *     [[Compaction.compactMasks]] instead — each pressured file's
+  *     stack folds into ONE deletion-vector sidecar on a hardlink of
+  *     the same bytes, O(deleted bits) written instead of a rewrite
+  *     (decode stays row-based, but the per-row tax drops to one
+  *     bitmap probe); with it off (default) a loud warning names the
+  *     table and the verbs (`CALL graft.system.purge_masks` /
+  *     `compact_masks`), leaving the latency trade to the operator;
   *   - the purge takes the maintenance lease, so an auto-purge racing
   *     a running compaction just queues behind it. */
 object MaskPressure extends org.apache.spark.internal.Logging {
@@ -496,7 +501,20 @@ object MaskPressure extends org.apache.spark.internal.Logging {
         }
     }
     if (over.isEmpty) return
-    if (spark.conf.get(AUTOPURGE_KEY, "false").toBoolean) {
+    val mode = spark.conf.get(AUTOPURGE_KEY, "false")
+    if (mode == "dv" && SchemaManifest.exists(tableDir)) {
+      // stack-compaction instead of a rewrite: fold each pressured
+      // file's entries into ONE DV on a hardlink ([[Compaction
+      // .compactMasks]]) — O(deleted bits) instead of O(file bytes);
+      // the per-row tax drops to one bitmap probe (decode stays
+      // row-based until a real purge)
+      val st = Compaction.compactMasks(spark, tableDir, minPreds = maxPreds)
+      logInfo(s"mask pressure DV-compaction on $tableDir: " +
+        s"${st.compacted} stacks folded, ${st.unmasked} files unmasked, " +
+        s"${st.remainingMasked} still masked")
+      return
+    }
+    if (mode == "dv" || mode.toBoolean) { // "dv" on the log tier: purge
       if (SchemaManifest.exists(tableDir)) {
         val st = Compaction.purgeMasks(spark, tableDir, minPreds = maxPreds)
         logInfo(s"mask pressure auto-purge on $tableDir: " +

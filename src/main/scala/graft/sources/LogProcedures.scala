@@ -374,6 +374,29 @@ object LogProcedures {
           Seq(maskedF, rewrittenF, outF, remaining))
       }
     },
+    "compact_masks" -> new MaintenanceProcedure("compact_masks",
+      "fold each pressured file's stacked mask entries into ONE " +
+        "deletion-vector sidecar on a hardlink of the same bytes — " +
+        "pressure relief at zero data-rewrite cost (parquet tier only)") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("min_preds", IntegerType)
+          .defaultValue("2").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        require(SchemaManifest.exists(dir),
+          "compact_masks consolidates parquet-tier masks; the log tier " +
+            "purges via purge_masks")
+        val st = Compaction.compactMasks(spark, dir, input.getInt(1))
+        oneRow(StructType(Seq(
+          StructField("masked_files", LongType, nullable = false),
+          StructField("compacted", LongType, nullable = false),
+          StructField("unmasked", LongType, nullable = false),
+          StructField("remaining_masked", LongType, nullable = false),
+          StructField("sidecar_bytes", LongType, nullable = false))),
+          Seq(st.maskedFiles, st.compacted, st.unmasked,
+            st.remainingMasked, st.sidecarBytes))
+      }
+    },
     "compact_table" -> new MaintenanceProcedure("compact_table",
       "bin-pack a catalog parquet table's data files (crash-safe generation swap)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,

@@ -169,6 +169,28 @@ class RenameColumnSpec extends AnyFunSuite {
       .getMessage.contains("masks"))
   }
 
+  test("rename COMPOSED with type widening: old files carry the old " +
+      "name AND the old physical type") {
+    spark.sql("DROP TABLE IF EXISTS graft_rn.lake.r8")
+    spark.sql("CREATE TABLE graft_rn.lake.r8 (id BIGINT, amt INT)")
+    spark.range(0, 30).selectExpr("id", "CAST(id * 2 AS INT) AS amt")
+      .coalesce(1).writeTo("graft_rn.lake.r8").append()
+    spark.sql("ALTER TABLE graft_rn.lake.r8 ALTER COLUMN amt TYPE BIGINT")
+    spark.sql("ALTER TABLE graft_rn.lake.r8 RENAME COLUMN amt TO cents")
+    // new slice: new name, 64-bit values
+    spark.range(30, 40).selectExpr("id", "id * 5000000000 AS cents")
+      .coalesce(1).writeTo("graft_rn.lake.r8").append()
+    // one scan spans (old name + int32) and (new name + int64) files
+    assert(spark.sql("SELECT sum(cents) AS s FROM graft_rn.lake.r8")
+      .head.getLong(0) ===
+        (0L until 30L).map(_ * 2).sum + (30L until 40L).map(_ * 5000000000L).sum)
+    assert(spark.sql(
+      "SELECT cents FROM graft_rn.lake.r8 WHERE id = 4").head.getLong(0) === 8L)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_rn.lake.r8 WHERE cents >= 20")
+      .head.getLong(0) === 30L)
+  }
+
   test("streaming tail of a renamed table serves old files under the " +
       "current names") {
     spark.sql("DROP TABLE IF EXISTS graft_rn.lake.r7")
