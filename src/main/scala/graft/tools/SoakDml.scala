@@ -113,6 +113,20 @@ object SoakDml {
                      WHEN MATCHED THEN DELETE""")
       } finally spark.conf.unset(graft.sources.ParquetMoRMerge.MAX_MASK_KEYS_KEY)
 
+      // the cheap middle gear: fold every file's stack into ONE DV on
+      // a hardlink — bytes written = the sidecar bits (the links share
+      // their data bytes, so the ledger-diff accounting of `timed`
+      // would lie; the CALL reports its own sidecar_bytes)
+      locally {
+        val t0 = System.nanoTime()
+        val row = spark.sql(
+          "CALL graft_sd.system.compact_masks(table => 'lake.t', min_preds => 1)").head
+        val sec = (System.nanoTime() - t0) / 1e9
+        secs(("dv_fold", scale)) = sec
+        bytes(("dv_fold", scale)) = row.getLong(4)
+        println(f"""{"op":"dv_fold","scale":$scale,"sec":$sec%.3f,"bytes_written":${row.getLong(4)},"compacted":${row.getLong(1)},"unmasked":${row.getLong(2)}}""")
+      }
+
       // the deferred rewrite: purge everything masked (churn budget leg)
       timed("purge", scale, dir) {
         spark.sql("CALL graft_sd.system.purge_masks(table => 'lake.t')")
@@ -127,7 +141,7 @@ object SoakDml {
         math.log(hi.toDouble / lo)
       f"$e%.2f"
     }
-    val ops = Seq("merge_mask", "update_mask", "merge_dv", "purge")
+    val ops = Seq("merge_mask", "update_mask", "merge_dv", "dv_fold", "purge")
     val secExps = ops.map(o => s""""${o}_sec":${exp(secs.toMap, o)}""")
     val byteExps = ops.map(o =>
       s""""${o}_bytes":${exp(bytes.toMap.map { case (k, v) => k -> v.toDouble }, o)}""")
