@@ -146,11 +146,20 @@ case class LogMoRMergeCommand(dir: String,
         joined.withColumn("_gtag", MoRMergeKernel.armTag(matchedArms))
       val hide = MoRMergeKernel.hideOf(classified, matchedArms)
 
-      // NOT MATCHED BY SOURCE complement, its own first-match chain
+      // NOT MATCHED BY SOURCE complement, its own first-match chain;
+      // candidates prefilter on the OR of the (target-only) arm
+      // conditions so the anti-join shuffle carries only rows an arm
+      // could take (pushes into the log scan's zone maps)
       val bsClassified: Option[DataFrame] =
         if (bySourceArms.isEmpty) None
-        else Some(tgt.join(src, onCol, "left_anti")
-          .withColumn("_gtag", MoRMergeKernel.armTag(bySourceArms)))
+        else {
+          val anyArm = bySourceArms
+            .map(a => org.apache.spark.sql.functions.coalesce(
+              colOf(a.cond), org.apache.spark.sql.functions.lit(false)))
+            .reduce(_ || _)
+          Some(tgt.filter(anyArm).join(src, onCol, "left_anti")
+            .withColumn("_gtag", MoRMergeKernel.armTag(bySourceArms)))
+        }
       val bsHide: Option[DataFrame] =
         bsClassified.map(MoRMergeKernel.hideOf(_, bySourceArms))
 

@@ -754,11 +754,21 @@ case class MergeOnReadMergeCommand(tableDir: String, declared: StructType,
 
       // the NOT MATCHED BY SOURCE complement, classified by its own
       // chain (tags 0-based within bySourceArms — the two families
-      // never share a frame outside rewriteRows)
+      // never share a frame outside rewriteRows). Candidates prefilter
+      // on the OR of the arm conditions BEFORE the anti join — they
+      // are target-only predicates, so they push into the scan
+      // (footer zone maps) and the anti-join shuffle carries only
+      // condition-matching rows, not the whole table; a row matching
+      // no arm is carried unchanged either way.
       val bsClassified: Option[DataFrame] =
         if (bySourceArms.isEmpty) None
-        else Some(tgt.join(src, onCol, "left_anti")
-          .withColumn("_gtag", MoRMergeKernel.armTag(bySourceArms)))
+        else {
+          val anyArm = bySourceArms
+            .map(a => coalesce(colOf(a.cond), lit(false)))
+            .reduce(_ || _)
+          Some(tgt.filter(anyArm).join(src, onCol, "left_anti")
+            .withColumn("_gtag", MoRMergeKernel.armTag(bySourceArms)))
+        }
       val bsHide: Option[DataFrame] =
         bsClassified.map(MoRMergeKernel.hideOf(_, bySourceArms))
 
