@@ -192,11 +192,17 @@ object Renames {
     val conf = org.apache.spark.sql.GraftShims.hadoopConf()
     val fs = dataDir.getFileSystem(conf)
     val epochs = epochReadSchemas(declared, declared)
-    val groups: Map[Int, Seq[String]] = names.groupBy { n =>
-      val p = new Path(dataDir, n)
-      resolve(fileColumns(conf, p, fs.getFileStatus(p).getLen),
-        declared, epochs.map(_._2), declared)
-    }
+    // footer sniffs in parallel (cached, ~8 KB each) — a large
+    // maintenance read over a renamed table would otherwise pay an
+    // O(files) SERIAL driver walk
+    val resolved: Seq[(String, Int)] =
+      Compaction.inParallel(names, par = 16) { n =>
+        val p = new Path(dataDir, n)
+        n -> resolve(fileColumns(conf, p, fs.getFileStatus(p).getLen),
+          declared, epochs.map(_._2), declared)
+      }
+    val groups: Map[Int, Seq[String]] =
+      resolved.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
     groups.toSeq.sortBy(_._1).map { case (idx, ns) =>
       if (idx < 0) metaOf(spark.read.schema(declared).parquet(pathsOf(ns): _*))
       else {
