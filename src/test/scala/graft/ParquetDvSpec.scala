@@ -226,6 +226,71 @@ class ParquetDvSpec extends AnyFunSuite {
       "the DV delta streams as row-level deletes")
   }
 
+  test("streaming tail snapshot hides DV-deleted rows (projecting DV reader)") {
+    spark.sql("DROP TABLE IF EXISTS graft_pdv.lake.d7")
+    spark.sql("CREATE TABLE graft_pdv.lake.d7 AS " +
+      "SELECT id AS k, id AS v FROM range(60)")
+    val dir = s"$warehouse/lake/d7"
+    spark.sql("CALL graft_pdv.system.enable_versioning(table => 'lake.d7')")
+    spark.range(10, 30).selectExpr("id AS k").createOrReplaceTempView("d7_src")
+    withMoR(maskCap = 3) {
+      spark.sql("""MERGE INTO graft_pdv.lake.d7 t USING d7_src s ON t.k = s.k
+                   WHEN MATCHED THEN DELETE""")
+    }
+    assert(ParquetVersions.masksFor(dir, None)
+      .valuesIterator.flatten.forall(DeletionVectors.isDv))
+    // a FRESH stream's first batch is the snapshot of the DV-bearing
+    // version — the masked rows must not leak into the sink
+    val ckpt = Files.createTempDirectory("graft_pdv_ck").toString
+    val q = spark.readStream.table("graft_pdv.lake.d7")
+      .writeStream.format("memory").queryName("dv_tail")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k FROM dv_tail").collect().map(_.getLong(0)).toSet
+      assert(got === ((0L until 10L) ++ (30L until 60L)).toSet,
+        "DV-hidden rows must not stream")
+    } finally q.stop()
+  }
+
+  test("_file scans and copy-on-write rewrites honor DV masks") {
+    spark.sql("DROP TABLE IF EXISTS graft_pdv.lake.d8")
+    spark.sql("CREATE TABLE graft_pdv.lake.d8 AS " +
+      "SELECT id AS k, id AS v FROM range(40)")
+    val dir = s"$warehouse/lake/d8"
+    spark.sql("CALL graft_pdv.system.enable_versioning(table => 'lake.d8')")
+    spark.range(5, 15).selectExpr("id AS k").createOrReplaceTempView("d8_src")
+    withMoR(maskCap = 3) {
+      spark.sql("""MERGE INTO graft_pdv.lake.d8 t USING d8_src s ON t.k = s.k
+                   WHEN MATCHED THEN DELETE""")
+    }
+    assert(ParquetVersions.masksFor(dir, None)
+      .valuesIterator.flatten.forall(DeletionVectors.isDv))
+    // `_file` scan (FileTaggedReaderFactory DV branch): masked rows
+    // invisible on the provenance surface too
+    val viaFile = spark.table("graft_pdv.lake.d8")
+      .select(org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("_file"))
+      .collect()
+    assert(viaFile.map(_.getLong(0)).toSet ===
+      ((0L until 5L) ++ (15L until 40L)).toSet,
+      "_file scans must not resurrect DV-hidden rows")
+    assert(viaFile.forall(r => r.getString(1).nonEmpty))
+    // copy-on-write UPDATE (ParquetGroupReaderFactory DV branch): the
+    // rewrite reads visible rows only — DV-hidden rows must neither
+    // update nor resurrect into the replacement files
+    spark.sql("UPDATE graft_pdv.lake.d8 SET v = v + 1000 WHERE k < 20")
+    val got = spark.table("graft_pdv.lake.d8").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected: Set[(Long, Long)] =
+      (0L until 5L).map(k => (k, k + 1000)).toSet ++
+        (15L until 20L).map(k => (k, k + 1000)).toSet ++
+        (20L until 40L).map(k => (k, k)).toSet
+    assert(got === expected, s"extra=${got -- expected} missing=${expected -- got}")
+    // the rewrite consumed the masks it touched
+    assert(spark.table("graft_pdv.lake.d8").count() === 30)
+  }
+
   test("dv.enabled=false restores the pre-DV ladder (rewrite regime)") {
     spark.sql("DROP TABLE IF EXISTS graft_pdv.lake.d6")
     spark.sql("CREATE TABLE graft_pdv.lake.d6 AS " +
