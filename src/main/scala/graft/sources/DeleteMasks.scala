@@ -332,6 +332,14 @@ object DeleteMasks {
       new java.util.concurrent.ConcurrentHashMap[String, InternalRow => Boolean]
     @transient private lazy val alwaysVisible: InternalRow => Boolean = _ => false
 
+    // rows arrive clustered by file within a partition — memoize the
+    // last (file-string → compiled test) pair so the URI parse and
+    // map lookup run once per FILE per partition, not once per row
+    // (ADVICE r15; per-instance mutable state is safe: each task
+    // deserializes its own expression tree)
+    @transient private var lastFile: String = _
+    @transient private var lastTest: InternalRow => Boolean = _
+
     private def testFor(rel: String): InternalRow => Boolean = {
       val hit = compiled.get(rel)
       if (hit != null) return hit
@@ -346,11 +354,19 @@ object DeleteMasks {
     override def eval(input: InternalRow): Any = {
       val file = children.head.eval(input)
       if (file == null) return true
-      val p = new java.net.URI(file.toString).getPath
-      val rel =
-        if (p.startsWith(dataPathPrefix + "/")) p.substring(dataPathPrefix.length + 1)
-        else p
-      val deleted = testFor(rel)
+      val fileStr = file.toString
+      val deleted =
+        if (fileStr == lastFile) lastTest
+        else {
+          val p = new java.net.URI(fileStr).getPath
+          val rel =
+            if (p.startsWith(dataPathPrefix + "/")) p.substring(dataPathPrefix.length + 1)
+            else p
+          val t = testFor(rel)
+          lastFile = fileStr
+          lastTest = t
+          t
+        }
       if (deleted eq alwaysVisible) return true
       val vals = new Array[Any](children.length - 1)
       var i = 2

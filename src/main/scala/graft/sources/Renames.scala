@@ -157,7 +157,19 @@ object Renames {
     if (compatible(current)) -1
     else {
       val i = epochSchemas.indexWhere(compatible)
-      if (i >= 0) i else -1 // unknown vintage: primary (fails loud on scan)
+      // unknown vintage: REFUSE rather than fall back to the primary —
+      // Spark's parquet readers silently null-fill columns absent from
+      // a file, so an externally-copied file of no known epoch would
+      // serve silent NULLs for a renamed column, the exact failure
+      // mode this module exists to prevent (ADVICE r15)
+      if (i >= 0) i else throw new IllegalStateException(
+        s"parquet file of unknown schema vintage: its columns " +
+          s"[${fileCols.toSeq.sorted.mkString(", ")}] match neither the " +
+          s"current schema nor any recorded rename epoch of " +
+          s"[${current.fieldNames.mkString(", ")}] — refusing to read it " +
+          "(Spark would silently null-fill the renamed column). If the " +
+          "file is legitimate, register its name vector via ALTER or " +
+          "rewrite it through compaction.")
     }
   }
 

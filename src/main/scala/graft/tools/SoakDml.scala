@@ -137,9 +137,17 @@ object SoakDml {
     val lo = scales.min
     val hi = scales.max
     def exp(m: Map[(String, Int), Double], op: String): String = {
-      val e = math.log(m((op, hi)) / math.max(m((op, lo)), 1e-9)) /
-        math.log(hi.toDouble / lo)
-      f"$e%.2f"
+      // single-scale invocations (log(1)=0) and legs that errored
+      // mid-run must not produce Infinity/NaN or throw away the whole
+      // summary — emit null for exponents that cannot be computed
+      // (ADVICE r15)
+      if (scales.size < 2 || lo == hi ||
+          !m.contains((op, lo)) || !m.contains((op, hi))) "null"
+      else {
+        val e = math.log(m((op, hi)) / math.max(m((op, lo)), 1e-9)) /
+          math.log(hi.toDouble / lo)
+        if (e.isNaN || e.isInfinite) "null" else f"$e%.2f"
+      }
     }
     val ops = Seq("merge_mask", "update_mask", "merge_dv", "dv_fold", "purge")
     val secExps = ops.map(o => s""""${o}_sec":${exp(secs.toMap, o)}""")

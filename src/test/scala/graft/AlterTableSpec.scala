@@ -100,6 +100,39 @@ class AlterTableSpec extends AnyFunSuite {
       org.apache.spark.sql.types.DoubleType)
   }
 
+  test("TYPE WIDENING: pushed global MIN/MAX over mixed int32+int64 " +
+      "footers is exact (ADVICE r15 probe)") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS graft_alt.lake.t_wagg")
+    spark.sql("CREATE TABLE graft_alt.lake.t_wagg (id BIGINT, score INT)")
+    spark.sql("INSERT INTO graft_alt.lake.t_wagg VALUES (1, 10), (2, 20)")
+    spark.sql("ALTER TABLE graft_alt.lake.t_wagg ALTER COLUMN score TYPE BIGINT")
+    // a value only BIGINT can carry, in a 64-bit file next to the
+    // 32-bit ones — footer-served MIN/MAX must mix the two widths
+    spark.sql("INSERT INTO graft_alt.lake.t_wagg VALUES (3, 5000000000), (4, -7)")
+    val q = spark.sql(
+      "SELECT MIN(score) AS mn, MAX(score) AS mx FROM graft_alt.lake.t_wagg")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [MIN(score), MAX(score)]"),
+      s"expected footer-served MIN/MAX; plan was:\n$plan")
+    val r = q.head
+    assert((r.getLong(0), r.getLong(1)) === (-7L, 5000000000L))
+    // the date→timestamp_ntz widening too: footer stats are int32
+    // days in old files, int64 micros in new ones
+    spark.sql("DROP TABLE IF EXISTS graft_alt.lake.t_wagg2")
+    spark.sql("CREATE TABLE graft_alt.lake.t_wagg2 (d DATE)")
+    spark.sql("INSERT INTO graft_alt.lake.t_wagg2 VALUES (DATE'2024-03-05')")
+    spark.sql("ALTER TABLE graft_alt.lake.t_wagg2 ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+    spark.sql("INSERT INTO graft_alt.lake.t_wagg2 VALUES " +
+      "(TIMESTAMP_NTZ'2020-01-01 01:02:03'), (TIMESTAMP_NTZ'2030-06-01 00:00:00')")
+    val q2 = spark.sql(
+      "SELECT MIN(d) AS mn, MAX(d) AS mx FROM graft_alt.lake.t_wagg2")
+    val got = q2.collect().map(r2 =>
+      (String.valueOf(r2.get(0)), String.valueOf(r2.get(1)))).head
+    assert(got === ("2020-01-01T01:02:03", "2030-06-01T00:00"),
+      s"plan was:\n${q2.queryExecution.executedPlan}")
+  }
+
   test("TYPE WIDENING refuses mask-referenced and bucket columns") {
     wh
     spark.sql("DROP TABLE IF EXISTS graft_alt.lake.t_wmask")
