@@ -289,6 +289,88 @@ object ChangeFeed {
 
   /** The log tier's streaming changelog schema. */
   val LOG_STREAM_SCHEMA: StructType = streamSchemaOf(LimitHashLog.SCHEMA)
+
+  // --- streaming admission control (shared by both tiers) -----------
+
+  /** Flatten a [[sread.ReadLimit]] to (maxFiles, maxBytes) caps — a
+    * composite is the min over its parts; allAvailable/minRows and
+    * other kinds impose no cap here. */
+  private[sources] def limitParts(limit: sread.ReadLimit): (Option[Int], Option[Long]) =
+    limit match {
+      case m: sread.ReadMaxFiles => (Some(m.maxFiles()), None)
+      case b: sread.ReadMaxBytes => (None, Some(b.maxBytes()))
+      case c: sread.CompositeReadLimit =>
+        val parts = c.getReadLimits.toSeq.map(limitParts)
+        (parts.flatMap(_._1).reduceOption(_ min _),
+          parts.flatMap(_._2).reduceOption(_ min _))
+      case _ => (None, None)
+    }
+
+  /** The [[sread.ReadLimit]] a stream advertises for its
+    * maxFilesPerTrigger / maxBytesPerTrigger options (both set → both
+    * bind). `maxCommitsPerTrigger` has no ReadLimit kind — streams
+    * apply it directly inside `latestOffset(start, limit)`. */
+  private[sources] def readLimitOf(maxFiles: Option[Int],
+      maxBytes: Option[Long]): sread.ReadLimit = {
+    val limits = Seq(
+      maxFiles.map(n => sread.ReadLimit.maxFiles(n)),
+      maxBytes.map(b => sread.ReadLimit.maxBytes(b))).flatten
+    limits match {
+      case Seq() => sread.ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => sread.ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** Admitted END ordinal of a version catch-up span: walk
+    * `(from, latest]` admitting WHOLE commits (the commit is the
+    * offset unit — a partial commit could not checkpoint) until the
+    * commit / file / byte budget is spent, always admitting at least
+    * one commit for progress (Spark's own file-source rule).
+    * `diffOf(v)` = (diff-file count, diff bytes) of commit v —
+    * consulted lazily, so a deep backlog only pays for the commits it
+    * admits this trigger. */
+  private[sources] def admitSpan(from: Long, latest: Long,
+      maxCommits: Option[Int], maxFiles: Option[Int], maxBytes: Option[Long],
+      diffOf: Long => (Int, Long)): Long = {
+    if (latest <= from) return from
+    if (maxCommits.isEmpty && maxFiles.isEmpty && maxBytes.isEmpty) return latest
+    var end = from
+    var files = 0
+    var bytes = 0L
+    var done = false
+    while (!done && end < latest) {
+      val (f, b) = diffOf(end + 1)
+      val overF = maxFiles.exists(m => files + f > m)
+      val overB = maxBytes.exists(m => bytes + b > m)
+      if ((overF || overB) && end > from) done = true
+      else {
+        end += 1; files += f; bytes += b
+        if (maxCommits.exists(c => end - from >= c) ||
+            maxFiles.exists(m => files >= m) ||
+            maxBytes.exists(m => bytes >= m)) done = true
+      }
+    }
+    end
+  }
+
+  /** Admitted PREFIX length of `remaining` (name, size) files under
+    * file/byte caps — the snapshot-chunking twin of [[admitSpan]];
+    * at least one file always admits. */
+  private[sources] def admitPrefix(remaining: Seq[(String, Long)],
+      maxFiles: Option[Int], maxBytes: Option[Long]): Int = {
+    var n = remaining.length
+    maxFiles.foreach(m => n = math.min(n, math.max(1, m)))
+    maxBytes.foreach { budget =>
+      var tot = 0L
+      var k = 0
+      while (k < n && (k == 0 || tot + remaining(k)._2 <= budget)) {
+        tot += remaining(k)._2; k += 1
+      }
+      n = k
+    }
+    n
+  }
 }
 
 /** Changelog of a versioned log —
@@ -325,7 +407,10 @@ class LogChangesTable(path: String) extends Table with SupportsRead {
         override def readSchema(): StructType = ChangeFeed.LOG_STREAM_SCHEMA
         override def toMicroBatchStream(checkpointLocation: String): sread.MicroBatchStream =
           new LogChangesMicroBatchStream(path,
-            Option(options.get("startVersion")).map(_.toLong))
+            Option(options.get("startVersion")).map(_.toLong),
+            Option(options.get("maxCommitsPerTrigger")).map(_.toInt),
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong))
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] = {
           val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(
@@ -412,12 +497,60 @@ object LogChangesMicroBatchStream {
   }
 }
 
-class LogChangesMicroBatchStream(path: String, startVersion: Option[Long])
-    extends sread.MicroBatchStream {
+class LogChangesMicroBatchStream(path: String, startVersion: Option[Long],
+    maxCommitsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends sread.MicroBatchStream with sread.SupportsAdmissionControl {
 
   private def requireVersioned(): Unit =
     require(LogVersions.enabled(path),
       s"change feed needs a versioned log — enable versioning on $path first")
+
+  /** Admission control: maxCommitsPerTrigger bounds each micro-batch
+    * to that many ledger commits; maxFilesPerTrigger / maxBytesPerTrigger
+    * to roughly that many diff segments / bytes — so a stream catching
+    * up after downtime drains the backlog in bounded batches instead
+    * of one batch spanning every pending commit. Commits admit WHOLE
+    * (the ordinal is the offset unit); at least one always admits. */
+  override def getDefaultReadLimit: sread.ReadLimit =
+    ChangeFeed.readLimitOf(maxFilesPerTrigger, maxBytesPerTrigger)
+
+  override def latestOffset(start: sread.Offset,
+      limit: sread.ReadLimit): sread.Offset = {
+    requireVersioned()
+    val s = start.asInstanceOf[LogVersionOffset].ordinal
+    val latest = LogVersions.latest(path).get._1
+    val (maxF, maxB) = ChangeFeed.limitParts(limit)
+    if (maxF.isEmpty && maxB.isEmpty && maxCommitsPerTrigger.isEmpty)
+      return if (latest == s) start else LogVersionOffset(latest)
+    // diff cost of one commit: segment-name diffs + mask-delta blocks;
+    // sizes come from ONE listing per trigger, taken only under a
+    // byte budget
+    lazy val sizes: Map[String, Long] = LimitHashLog.segments(path)
+      .map { case (f, len) => (new Path(f).getName, len) }.toMap
+    def diffOf(v: Long): (Int, Long) = {
+      def payload(o: Long): VersionLedger.Payload =
+        VersionLedger.getPayload(path, o).getOrElse(
+          throw new IllegalStateException(
+            s"version $o of $path was vacuumed under a running change feed"))
+      val prevP = payload(v - 1)
+      val curP = payload(v)
+      val prev = prevP.names.toSet
+      val cur = curP.names.toSet
+      val touched = ((cur -- prev) ++ (prev -- cur) ++
+        (cur intersect prev).filter { n =>
+          prevP.masks.getOrElse(n, Seq.empty).toSet !=
+            curP.masks.getOrElse(n, Seq.empty).toSet
+        }).toSeq
+      val bytes = if (maxB.isEmpty) 0L
+        else touched.map(n => sizes.getOrElse(n, 0L)).sum
+      (touched.size, bytes)
+    }
+    val end = ChangeFeed.admitSpan(s, latest, maxCommitsPerTrigger,
+      maxF, maxB, diffOf)
+    if (end == s) start else LogVersionOffset(end)
+  }
 
   override def initialOffset(): sread.Offset = {
     requireVersioned()
@@ -540,7 +673,10 @@ class ParquetChangesTable(tableDir: String, dataSchema: StructType)
         override def readSchema(): StructType = schema()
         override def toMicroBatchStream(checkpointLocation: String): sread.MicroBatchStream =
           new ParquetChangesMicroBatchStream(tableDir, dataSchema,
-            Option(options.get("startVersion")).map(_.toLong))
+            Option(options.get("startVersion")).map(_.toLong),
+            Option(options.get("maxCommitsPerTrigger")).map(_.toInt),
+            Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+            Option(options.get("maxBytesPerTrigger")).map(_.toLong))
         override def toBatch: Batch = this
         override def planInputPartitions(): Array[InputPartition] = {
           val from = Option(options.get("fromVersion")).map(_.toLong).getOrElse(
@@ -626,11 +762,48 @@ object ParquetChangesMicroBatchStream {
 }
 
 class ParquetChangesMicroBatchStream(tableDir: String, dataSchema: StructType,
-    startVersion: Option[Long]) extends sread.MicroBatchStream {
+    startVersion: Option[Long],
+    maxCommitsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends sread.MicroBatchStream with sread.SupportsAdmissionControl {
 
   private def requireVersioned(): Unit =
     require(ParquetVersions.enabled(tableDir),
       s"change feed needs a versioned table — enable versioning on $tableDir first")
+
+  /** Admission control — the parquet tier's twin of
+    * [[LogChangesMicroBatchStream]]'s: commit / file / byte budgets
+    * bound every micro-batch; a catch-up after downtime drains in
+    * bounded units. */
+  override def getDefaultReadLimit: sread.ReadLimit =
+    ChangeFeed.readLimitOf(maxFilesPerTrigger, maxBytesPerTrigger)
+
+  override def latestOffset(start: sread.Offset,
+      limit: sread.ReadLimit): sread.Offset = {
+    requireVersioned()
+    val s = start.asInstanceOf[LogVersionOffset].ordinal
+    val latest = ParquetVersions.latest(tableDir).get._1
+    val (maxF, maxB) = ChangeFeed.limitParts(limit)
+    if (maxF.isEmpty && maxB.isEmpty && maxCommitsPerTrigger.isEmpty)
+      return if (latest == s) start else LogVersionOffset(latest)
+    lazy val sizes: Map[String, Long] = {
+      val data = new Path(tableDir, "data")
+      val fs = data.getFileSystem(org.apache.spark.sql.GraftShims.hadoopConf())
+      ParquetVersions.walkData(fs, data)
+        .map { case (n, st) => n -> st.getLen }.toMap
+    }
+    def diffOf(v: Long): (Int, Long) = {
+      val blocks = ChangeFeed.parquetSpanBlocks(tableDir, v - 1, v)
+      val names = blocks.map(_._1).distinct
+      val bytes = if (maxB.isEmpty) 0L
+        else names.map(n => sizes.getOrElse(n, 0L)).sum
+      (blocks.size, bytes)
+    }
+    val end = ChangeFeed.admitSpan(s, latest, maxCommitsPerTrigger,
+      maxF, maxB, diffOf)
+    if (end == s) start else LogVersionOffset(end)
+  }
 
   override def initialOffset(): sread.Offset = {
     requireVersioned()

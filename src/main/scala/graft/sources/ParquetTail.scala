@@ -38,8 +38,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * not-yet-vacuumed files — duplicates by construction. The ledger is
   * the only correct tailing index. */
 class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
-    startVersion: Option[Long], skipNonAppends: Boolean)
-    extends streaming.MicroBatchStream {
+    startVersion: Option[Long], skipNonAppends: Boolean,
+    maxCommitsPerTrigger: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
+    extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl {
 
   private def requireVersioned(): Unit =
     require(ParquetVersions.enabled(tableDir),
@@ -67,6 +71,93 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
     ParquetTailOffset(ParquetVersions.latest(tableDir).get._1, snapshotDone = true)
   }
 
+  /** Admission control — maxCommitsPerTrigger / maxFilesPerTrigger /
+    * maxBytesPerTrigger bound every micro-batch, and the initial
+    * SNAPSHOT batch splits into bounded chunks (offset carries a
+    * file-index into the snapshot's sorted membership), so a 100 TB
+    * table's first batch and a post-downtime catch-up both stream in
+    * bounded units instead of one giant batch — the read-side twin of
+    * the log tier's cap (LimitHashLog.scala; `hashes.go:68`). Commits
+    * admit WHOLE (the commit is the offset unit); at least one chunk /
+    * commit always admits for progress. */
+  override def getDefaultReadLimit: streaming.ReadLimit =
+    ChangeFeed.readLimitOf(maxFilesPerTrigger, maxBytesPerTrigger)
+
+  override def latestOffset(start: streaming.Offset,
+      limit: streaming.ReadLimit): streaming.Offset = {
+    requireVersioned()
+    ParquetVersions.catchUp(tableDir)
+    val s = start.asInstanceOf[ParquetTailOffset]
+    val (maxF, maxB) = ChangeFeed.limitParts(limit)
+    val latest = ParquetVersions.latest(tableDir).get._1
+    if (maxF.isEmpty && maxB.isEmpty && maxCommitsPerTrigger.isEmpty) {
+      // unlimited: snapshot + full catch-up in one batch, as before
+      if (s.snapshotDone && latest == s.version) s
+      else ParquetTailOffset(latest, snapshotDone = true)
+    } else if (!s.snapshotDone) {
+      // snapshot chunking: admit a bounded prefix of the remaining
+      // sorted membership; versions advance only once the snapshot
+      // completes (its final chunk flips snapshotDone)
+      val files = snapshotSorted(s.version)
+      if (s.snapIdx >= files.length)
+        ParquetTailOffset(s.version, snapshotDone = true, files.length)
+      else {
+        val sized: Seq[(String, Long)] =
+          if (maxB.isEmpty) files.drop(s.snapIdx).map((_, 0L))
+          else {
+            val sizes = dataSizes()
+            files.drop(s.snapIdx).map(n => (n, sizes.getOrElse(n, 0L)))
+          }
+        val take = ChangeFeed.admitPrefix(sized, maxF, maxB)
+        val newIdx = s.snapIdx + take
+        ParquetTailOffset(s.version, newIdx >= files.length, newIdx)
+      }
+    } else {
+      // version catch-up: admit whole commits up to the budget;
+      // diff bytes are consulted lazily so a deep backlog only stats
+      // the files it admits this trigger
+      val end = ChangeFeed.admitSpan(s.version, latest,
+        maxCommitsPerTrigger, maxF, maxB, diffOf(maxB.isDefined))
+      if (end == s.version) s
+      else ParquetTailOffset(end, snapshotDone = true)
+    }
+  }
+
+  /** (file count, bytes) of the files commit `v` APPENDS. */
+  private def diffOf(needBytes: Boolean)(v: Long): (Int, Long) = {
+    val added = (membership(v) -- membership(v - 1)).toSeq
+    if (!needBytes || added.isEmpty) (added.size, 0L)
+    else {
+      val data = new Path(tableDir, "data")
+      val fs = data.getFileSystem(org.apache.spark.sql.GraftShims.hadoopConf())
+      val bytes = added.map { n =>
+        try fs.getFileStatus(new Path(data, n)).getLen
+        catch { case _: java.io.FileNotFoundException => 0L }
+      }.sum
+      (added.size, bytes)
+    }
+  }
+
+  // snapshot membership is immutable per version — cache the sorted
+  // listing (and, for byte budgets, one data/ walk) per stream
+  @transient private var snapCache: (Long, Seq[String]) = _
+  private def snapshotSorted(v: Long): Seq[String] = {
+    if (snapCache == null || snapCache._1 != v)
+      snapCache = (v, membership(v).toSeq.sorted)
+    snapCache._2
+  }
+
+  @transient private var sizeCache: Map[String, Long] = _
+  private def dataSizes(): Map[String, Long] = {
+    if (sizeCache == null) {
+      val data = new Path(tableDir, "data")
+      val fs = data.getFileSystem(org.apache.spark.sql.GraftShims.hadoopConf())
+      sizeCache = ParquetVersions.walkData(fs, data)
+        .map { case (n, st) => n -> st.getLen }.toMap
+    }
+    sizeCache
+  }
+
   private def membership(v: Long): Set[String] =
     ParquetVersions.get(tableDir, v).getOrElse(throw new IllegalStateException(
       s"version $v of $tableDir was vacuumed under a running stream")).toSet
@@ -83,7 +174,17 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
       else VersionLedger.getPayload(tableDir, s.version)
         .map(_.masks).getOrElse(Map.empty)
     val snapshot: Seq[String] =
-      if (s.snapshotDone) Nil else membership(s.version).toSeq.sorted
+      if (s.snapshotDone) Nil
+      else {
+        // a CHUNKED snapshot batch ends inside the same version: emit
+        // exactly [start.snapIdx, end.snapIdx) of the sorted
+        // membership; an unchunked (or final) batch takes the rest
+        val all = snapshotSorted(s.version)
+        val until =
+          if (e.version == s.version && !e.snapshotDone) e.snapIdx
+          else all.length
+        all.slice(s.snapIdx, until)
+      }
     val appended: Seq[String] = ((s.version + 1) to e.version).flatMap { v =>
       val prevP = VersionLedger.getPayload(tableDir, v - 1)
       val curP = VersionLedger.getPayload(tableDir, v)
@@ -166,10 +267,16 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
 
 /** Ledger position of a tail stream: the last fully-read version, plus
   * whether that version's full snapshot has been emitted (false only
-  * for a fresh stream's first batch). */
-case class ParquetTailOffset(version: Long, snapshotDone: Boolean)
+  * while a fresh stream drains its first-snapshot chunks). `snapIdx`
+  * is the count of snapshot files (of the sorted membership) already
+  * emitted — nonzero only mid-snapshot under admission control; the
+  * field is omitted from checkpoints written before r16 and defaults
+  * to 0 on read. */
+case class ParquetTailOffset(version: Long, snapshotDone: Boolean,
+    snapIdx: Int = 0)
     extends streaming.Offset {
-  override def json(): String = s"""{"version":$version,"snapshotDone":$snapshotDone}"""
+  override def json(): String =
+    s"""{"version":$version,"snapshotDone":$snapshotDone,"snapIdx":$snapIdx}"""
 }
 
 object ParquetTailOffset {
@@ -179,7 +286,9 @@ object ParquetTailOffset {
       .group(1).toLong
     val done = "\"snapshotDone\"\\s*:\\s*(true|false)".r.findFirstMatchIn(json)
       .map(_.group(1).toBoolean).getOrElse(true)
-    ParquetTailOffset(v, done)
+    val idx = "\"snapIdx\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toInt).getOrElse(0)
+    ParquetTailOffset(v, done, idx)
   }
 }
 
@@ -194,5 +303,8 @@ trait ParquetTailable extends Scan {
   override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
     new ParquetTailMicroBatchStream(tailTableDir, tailDataSchema,
       Option(tailOptions.get("startVersion")).map(_.toLong),
-      Option(tailOptions.get("skipNonAppends")).exists(_.toBoolean))
+      Option(tailOptions.get("skipNonAppends")).exists(_.toBoolean),
+      Option(tailOptions.get("maxCommitsPerTrigger")).map(_.toInt),
+      Option(tailOptions.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(tailOptions.get("maxBytesPerTrigger")).map(_.toLong))
 }

@@ -169,6 +169,84 @@ class ChangeFeedSpec extends AnyFunSuite {
       Option(err.getCause).exists(_.getMessage.contains("versioned")))
   }
 
+  test("admission control: changelog catch-up drains in bounded commit " +
+      "batches on both tiers; exact union") {
+    // log tier: 6 pending commits, maxCommitsPerTrigger=2 -> 3 batches
+    val dir = Files.createTempDirectory("graft_cdc_admit").toString
+    write(dir, Seq(("u0", 0L, "h0")))
+    LogVersions.enable(dir) // v1
+    (1 to 6).foreach(i => write(dir, Seq((s"u$i", i.toLong, s"h$i")))) // v2..v7
+    val ck = Files.createTempDirectory("graft_cdc_admit_ck").toString
+    val batchCount = new java.util.concurrent.atomic.AtomicInteger
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val q = spark.readStream.format(LimitHashLog.FORMAT)
+      .option("changeFeed", "true").option("startVersion", "1")
+      .option("maxCommitsPerTrigger", "2").load(dir)
+      .select("user_id", ChangeFeed.COMMIT_VERSION_COL)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.collect()
+        if (rows.nonEmpty) {
+          batchCount.incrementAndGet()
+          rows.foreach(r => seen.add((r.getString(0), r.getLong(1))))
+          // a 2-commit batch never carries more than 2 distinct commits
+          assert(rows.map(_.getLong(1)).distinct.length <= 2)
+        }
+        () }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(batchCount.get() === 3,
+      s"6 commits under maxCommitsPerTrigger=2 must drain in 3 batches, got ${batchCount.get()}")
+    assert(seen.asScala.toSet === (1 to 6).map(i => (s"u$i", (i + 1).toLong)).toSet)
+
+    // parquet tier: same shape through the stream object (offset math)
+    val wh = Files.createTempDirectory("graft_cdc_admit_pwh").toString
+    spark.conf.set("spark.sql.catalog.graft_cdca", "graft.sources.LogCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cdca.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cdca.lake")
+    spark.sql("CREATE TABLE graft_cdca.lake.t (id BIGINT)")
+    import spark.implicits._
+    Seq(0L).toDF("id").writeTo("graft_cdca.lake.t").append()
+    val pdir = s"$wh/lake/t"
+    ParquetVersions.enable(pdir) // v1
+    (1 to 5).foreach { i =>
+      Seq(i.toLong).toDF("id").repartition(1).writeTo("graft_cdca.lake.t").append()
+      ParquetVersions.catchUp(pdir) // v2..v6
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val stream = new ParquetChangesMicroBatchStream(pdir, schema, Some(1L),
+      maxCommitsPerTrigger = Some(2))
+    var off = stream.initialOffset()
+    val steps = Iterator.continually {
+      val next = stream.latestOffset(off, stream.getDefaultReadLimit)
+      val advanced = next.json() != off.json()
+      if (advanced) {
+        val parts = stream.planInputPartitions(off, next)
+        assert(parts.length <= 2, s"batch spans >2 commits: ${parts.length}")
+        off = next
+      }
+      advanced
+    }.takeWhile(identity).size
+    assert(steps === 3, s"5 commits under maxCommitsPerTrigger=2 must take 3 steps, got $steps")
+    assert(off.asInstanceOf[LogVersionOffset].ordinal === 6L)
+
+    // byte budget: 1 byte still admits one commit per step (progress)
+    val bstream = new ParquetChangesMicroBatchStream(pdir, schema, Some(1L),
+      maxBytesPerTrigger = Some(1L))
+    var boff = bstream.initialOffset()
+    var bsteps = 0
+    var moved = true
+    while (moved) {
+      val next = bstream.latestOffset(boff, bstream.getDefaultReadLimit)
+      moved = next.json() != boff.json()
+      if (moved) { bsteps += 1; boff = next }
+    }
+    assert(bsteps === 5, s"1-byte budget must admit exactly one commit per step, got $bsteps")
+  }
+
   test("CdcMatView: replayed batches fold exactly once; retraction empties a key") {
     import spark.implicits._
     val viewDir = Files.createTempDirectory("graft_cdcmv").toString + "/v"

@@ -140,6 +140,119 @@ class ParquetTailSpec extends AnyFunSuite {
     assert(messages(e).contains("enable versioning"), messages(e))
   }
 
+  test("admission control: snapshot streams in bounded chunks, catch-up " +
+      "in bounded commit batches, exact union") {
+    val t = mkTable("ac1")
+    val dir = s"$warehouse/lake/ac1"
+    // 6 single-file commits' worth of snapshot (5 rows each)
+    (0 until 6).foreach(i => feed(t, i * 5L, (i + 1) * 5L))
+    spark.sql("CALL graft_pt.system.enable_versioning(table => 'lake.ac1')")
+    val ck = Files.createTempDirectory("graft_ptail_ac1").toString
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", "2").table(t)
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = df.select("id").collect().map(_.getLong(0))
+        if (ids.nonEmpty) { batches.add(ids.length.toLong); ids.foreach(i => seen.add(i)) }
+        () }
+      .start()
+    q.processAllAvailable()
+    import scala.jdk.CollectionConverters._
+    val snapBatches = batches.asScala.toSeq
+    assert(snapBatches.size >= 3,
+      s"6-file snapshot under maxFilesPerTrigger=2 must take >=3 batches, got $snapBatches")
+    assert(snapBatches.forall(_ <= 10L),
+      s"each batch must carry at most 2 files (10 rows): $snapBatches")
+    assert(seen.asScala.toSet === (0L until 30L).toSet, "snapshot union must be exact")
+    // three more COMMITS (catchUp after each feed makes each its own
+    // ledger version); 1 file per commit -> 2-commit batches
+    (6 until 9).foreach { i =>
+      feed(t, i * 5L, (i + 1) * 5L)
+      ParquetVersions.catchUp(dir)
+    }
+    batches.clear()
+    q.processAllAvailable()
+    q.stop()
+    val tailBatches = batches.asScala.toSeq
+    assert(tailBatches.size >= 2,
+      s"3-commit catch-up under maxFilesPerTrigger=2 must take >=2 batches, got $tailBatches")
+    assert(seen.asScala.toSet === (0L until 45L).toSet, "catch-up union must be exact")
+  }
+
+  test("admission control: maxCommitsPerTrigger progression, checkpoint " +
+      "resume mid-catch-up, legacy offsets deserialize") {
+    val t = mkTable("ac2")
+    val dir = s"$warehouse/lake/ac2"
+    feed(t, 0L, 5L)
+    spark.sql("CALL graft_pt.system.enable_versioning(table => 'lake.ac2')") // v1
+    (1 until 5).foreach { i => // v2..v5, one file each
+      feed(t, i * 5L, (i + 1) * 5L)
+      ParquetVersions.catchUp(dir)
+    }
+    val schema = spark.table(t).schema
+    // pin the snapshot at v1 so versions v2..v5 form a catch-up span
+    val stream = new ParquetTailMicroBatchStream(dir, schema,
+      startVersion = Some(1L), skipNonAppends = false,
+      maxCommitsPerTrigger = Some(1))
+    val limit = stream.getDefaultReadLimit
+    val o0 = stream.initialOffset().asInstanceOf[ParquetTailOffset]
+    assert(!o0.snapshotDone && o0.version === 1L)
+    // batch 1: the whole snapshot of v1 (no file/byte caps set)
+    val o1 = stream.latestOffset(o0, limit).asInstanceOf[ParquetTailOffset]
+    assert(o1.version === o0.version && o1.snapshotDone)
+    assert(stream.planInputPartitions(o0, o1).length === 1)
+    // catch-up: exactly ONE commit per trigger — and a RESTART
+    // mid-catch-up (offset round-tripped through json, fresh stream
+    // object) resumes from the same position
+    val o2 = stream.latestOffset(o1, limit).asInstanceOf[ParquetTailOffset]
+    assert(o2.version === o1.version + 1 && stream.planInputPartitions(o1, o2).length === 1)
+    val restarted = new ParquetTailMicroBatchStream(dir, schema,
+      startVersion = Some(1L), skipNonAppends = false,
+      maxCommitsPerTrigger = Some(1))
+    val o2r = restarted.deserializeOffset(o2.json()).asInstanceOf[ParquetTailOffset]
+    assert(o2r === o2)
+    val o3 = restarted.latestOffset(o2r, restarted.getDefaultReadLimit)
+      .asInstanceOf[ParquetTailOffset]
+    assert(o3.version === o2.version + 1)
+    assert(restarted.planInputPartitions(o2r, o3).length === 1)
+    // drained: the offset must come back IDENTICAL (json-stable) so
+    // the engine plans no batch
+    val o4 = restarted.latestOffset(o3, restarted.getDefaultReadLimit)
+      .asInstanceOf[ParquetTailOffset]
+    val o5 = restarted.latestOffset(o4, restarted.getDefaultReadLimit)
+      .asInstanceOf[ParquetTailOffset]
+    val o6 = restarted.latestOffset(o5, restarted.getDefaultReadLimit)
+    assert(o6.json() === o5.json(), "drained stream must return a stable offset")
+    // a pre-r16 checkpoint (no snapIdx field) still deserializes
+    val legacy = ParquetTailOffset.fromJson("""{"version":3,"snapshotDone":true}""")
+    assert(legacy === ParquetTailOffset(3L, snapshotDone = true, snapIdx = 0))
+  }
+
+  test("admission control: byte budget chunks the snapshot; every chunk " +
+      "admits at least one file") {
+    val t = mkTable("ac3")
+    (0 until 4).foreach(i => feed(t, i * 5L, (i + 1) * 5L))
+    spark.sql("CALL graft_pt.system.enable_versioning(table => 'lake.ac3')")
+    val ck = Files.createTempDirectory("graft_ptail_ac3").toString
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    val total = new java.util.concurrent.atomic.AtomicLong
+    val q = spark.readStream
+      .option("maxBytesPerTrigger", "1").table(t) // < any single file
+      .writeStream.option("checkpointLocation", ck)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val n = df.count()
+        if (n > 0) { batches.incrementAndGet(); total.addAndGet(n) }
+        () }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // a 1-byte budget still admits one file per batch: 4 files -> 4 batches
+    assert(batches.get() === 4, s"expected one file per batch, got ${batches.get()}")
+    assert(total.get() === 20L)
+  }
+
   test("masks: the snapshot filters lightweight-deleted rows; mask commits are loud") {
     val t = mkTable("m1")
     val out = mkTable("m2")
