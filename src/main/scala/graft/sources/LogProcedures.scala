@@ -397,6 +397,25 @@ object LogProcedures {
             st.remainingMasked, st.sidecarBytes))
       }
     },
+    "build_bloom" -> new MaintenanceProcedure("build_bloom",
+      "build (incrementally) the per-file Bloom skip index over the " +
+        "named probe columns — point lookups on high-cardinality, " +
+        "non-clustered keys then skip files at planning time " +
+        "(parquet tier; the log tier builds blooms at commit)") {
+      override def parameters(): Array[ProcedureParameter] = Array(tableParam,
+        ProcedureParameter.in("columns", StringType)
+          .comment("comma-separated probe columns (string/integral)").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val dir = dirOf(warehouse, input.getUTF8String(0).toString)
+        val (indexed, total, bytes) = ParquetBloom.build(spark, dir,
+          input.getUTF8String(1).toString.split(",").toSeq)
+        oneRow(StructType(Seq(
+          StructField("files_indexed", LongType, nullable = false),
+          StructField("files_covered", LongType, nullable = false),
+          StructField("sidecar_bytes", LongType, nullable = false))),
+          Seq(indexed, total, bytes))
+      }
+    },
     "compact_table" -> new MaintenanceProcedure("compact_table",
       "bin-pack a catalog parquet table's data files (crash-safe generation swap)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,

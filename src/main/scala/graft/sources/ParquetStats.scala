@@ -612,14 +612,27 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
       try ParquetFooterStats.get(conf, f.getPath, f.getLen, f.getModificationTime)
       catch { case _: Exception => () } // unreadable footer → no pruning
     }
+    // PASS 3 input — the bloom sidecar ([[ParquetBloom]]): point
+    // probes on high-cardinality, non-clustered keys, where min/max
+    // can never prove a miss. Entries validate by (len, mtime); a
+    // file without a (valid) bloom is kept on bounds alone.
+    val blooms = ParquetBloom.readSidecar(conf, dataDir)
+    def bloomKeeps(
+        f: org.apache.spark.sql.execution.datasources.FileStatusWithMetadata): Boolean =
+      blooms.get(PartitionSpecs.relFromData(f.getPath)) match {
+        case Some((len, mt, colMap)) if len == f.getLen &&
+            mt == f.getModificationTime && colMap.nonEmpty =>
+          !conjuncts.exists(c => BloomPrune.excludes(colMap, c))
+        case _ => true
+      }
     var kept = 0
     val pruned = afterPartitions.map { pd =>
       pd.copy(files = pd.files.filter { f =>
-        val keep = try {
+        val keep = (try {
           val fs = fromSidecar(f).getOrElse(
             ParquetFooterStats.get(conf, f.getPath, f.getLen, f.getModificationTime))
           !conjuncts.exists(c => FooterPrune.excludes(fs, c))
-        } catch { case _: Exception => true }
+        } catch { case _: Exception => true }) && bloomKeeps(f)
         if (keep) kept += 1
         keep
       })

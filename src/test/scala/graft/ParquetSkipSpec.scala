@@ -180,6 +180,83 @@ class ParquetSkipSpec extends AnyFunSuite {
     assert(StatsPrunedFileIndex.lastListing.get(klin)._1 === 16)
   }
 
+  test("bloom skip index: a point probe on a non-clustered key skips " +
+      "files min/max cannot prune; false-positive-safe; incremental") {
+    // every file's [min, max] on `h` spans the whole hex space — the
+    // exact layout where range pruning is useless (the sha256sum
+    // lookup pattern)
+    spark.sql("CREATE TABLE graft_skip.lake.b (id BIGINT, h STRING)")
+    (0 until 8).foreach { i =>
+      spark.range(i * 100, i * 100 + 100)
+        .select(col("id"), sha2(col("id").cast("string"), 256).as("h"))
+        .repartition(1)
+        .writeTo("graft_skip.lake.b").append()
+    }
+    val key = s"$warehouse/lake/b/data"
+    def kept(cond: String): (Int, Int, Long) = {
+      StatsPrunedFileIndex.lastListing.remove(key)
+      val n = spark.sql(s"SELECT * FROM graft_skip.lake.b WHERE $cond").count()
+      val (k, t) = StatsPrunedFileIndex.lastListing.get(key)
+      (k, t, n)
+    }
+    val probe307 = // a value in file 3
+      spark.range(307, 308).select(sha2(col("id").cast("string"), 256))
+        .head.getString(0)
+    // BEFORE the index: min/max prunes nothing on a uniform key
+    val (k0, t0, n0) = kept(s"h = '$probe307'")
+    assert(t0 === 8 && k0 === 8 && n0 === 1,
+      s"uniform key must defeat range pruning: kept $k0 of $t0")
+    // build the index; point probe now schedules ~1 file
+    val row = spark.sql(
+      "CALL graft_skip.system.build_bloom(table => 'lake.b', columns => 'h')").head
+    assert(row.getLong(0) === 8 && row.getLong(1) === 8)
+    val (k1, _, n1) = kept(s"h = '$probe307'")
+    assert(n1 === 1, "the probe row itself must survive")
+    assert(k1 <= 2, s"bloom must skip the definite misses: kept $k1 of 8")
+    // absent value: zero rows, (almost) zero files — and NEVER wrong
+    val (k2, _, n2) = kept("h = 'no-such-hash'")
+    assert(n2 === 0 && k2 <= 1, s"absent probe kept $k2 files")
+    // IN-list: union of member files
+    val probe701 = spark.range(701, 702).select(sha2(col("id").cast("string"), 256))
+      .head.getString(0)
+    val (k3, _, n3) = kept(s"h IN ('$probe307', '$probe701')")
+    assert(n3 === 2 && k3 <= 3, s"IN probe kept $k3 of 8")
+    // a NEW file without a bloom entry is always kept — appends stay
+    // correct between index builds
+    spark.range(800, 900)
+      .select(col("id"), sha2(col("id").cast("string"), 256).as("h"))
+      .repartition(1).writeTo("graft_skip.lake.b").append()
+    val probe850 = spark.range(850, 851).select(sha2(col("id").cast("string"), 256))
+      .head.getString(0)
+    val (k4, t4, n4) = kept(s"h = '$probe850'")
+    assert(t4 === 9 && n4 === 1 && k4 <= 3,
+      s"uncovered append must be kept (and old files still skip): kept $k4 of $t4")
+    // the re-CALL is incremental: only the append is indexed
+    val row2 = spark.sql(
+      "CALL graft_skip.system.build_bloom(table => 'lake.b', columns => 'h')").head
+    assert(row2.getLong(0) === 1 && row2.getLong(1) === 9,
+      s"incremental rebuild must index only the new file: ${row2}")
+    val (k5, _, n5) = kept(s"h = '$probe850'")
+    assert(n5 === 1 && k5 <= 2)
+    // integral probe column: same machinery on a scrambled BIGINT
+    spark.sql("""CREATE TABLE graft_skip.lake.bi (id BIGINT, v BIGINT)""")
+    (0 until 4).foreach { i =>
+      spark.range(i * 100, i * 100 + 100)
+        .select(col("id"), pmod(col("id") * 2654435761L, lit(1000000007L)).as("v"))
+        .repartition(1).writeTo("graft_skip.lake.bi").append()
+    }
+    spark.sql("CALL graft_skip.system.build_bloom(table => 'lake.bi', columns => 'v')")
+    val v42 = spark.sql("SELECT v FROM graft_skip.lake.bi WHERE id = 42").head.getLong(0)
+    val keyI = s"$warehouse/lake/bi/data"
+    StatsPrunedFileIndex.lastListing.remove(keyI)
+    assert(spark.sql(s"SELECT * FROM graft_skip.lake.bi WHERE v = $v42").count() === 1)
+    assert(StatsPrunedFileIndex.lastListing.get(keyI)._1 <= 2)
+    // non-indexable column type is rejected loudly
+    val e = intercept[Exception] { spark.sql(
+      "CALL graft_skip.system.build_bloom(table => 'lake.t', columns => 'score')") }
+    assert(e.getMessage.contains("string and integral"), e.getMessage)
+  }
+
   test("pruning composes with column pruning and aggregation") {
     val df = spark.sql(
       s"SELECT count(*) AS n, sum(id) AS s FROM $table WHERE id BETWEEN 100 AND 199")
