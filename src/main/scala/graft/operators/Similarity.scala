@@ -227,7 +227,31 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** The PERSISTED-index serving path made ORACLE-CHECKABLE (v10's
+    * planted technique through [[IvfIndex]]): build the index as
+    * catalog tables (centroids + cell-partitioned inverted lists +
+    * version meta), then answer planted copy queries of the first 15
+    * vectors ENTIRELY from the persisted tables — centroids read back
+    * from `_centroids`, candidates from the probed partitions of
+    * `_assign`. A copy's nearest centroid is its original's persisted
+    * cell (identical arithmetic on the same persisted quantizer), so
+    * the original is a candidate at any nProbe and, at cosine 1.0, the
+    * unique top-1 — which DuckDB recomputes by brute force. Pins
+    * build → persist → read-back → probe → prune → re-rank end to end;
+    * IvfIndexSpec pins the O(delta) incremental refresh. */
+  def v11_ivf_persisted(spark: SparkSession, dir: String): DataFrame = {
+    Pipeline.catalogFor(spark, "v11", "ann")
+    val emb = Tables.embeddings(spark, dir)
+    IvfIndex.build(spark, emb, "graft_v11.ann.emb", k = 16)
+    val queries = emb.filter(col("vec_id") < 15)
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    IvfIndex.search(spark, queries, "graft_v11.ann.emb", nProbe = 3, topK = 1)
+      .select(col("qid"), col("nid"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v11_ivf_persisted" -> (v11_ivf_persisted _),
     "v10_ivf_planted" -> (v10_ivf_planted _),
     "v09_ann_planted" -> (v09_ann_planted _),
     "v05_knn_classify" -> (v05_knn_classify _),
@@ -339,6 +363,15 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "v11_ivf_persisted" ->
+      """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 15),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY LIST_COSINE_SIMILARITY(q.qe, e.embedding) DESC, e.vec_id) AS rn
+        |  FROM q, embeddings e)
+        |SELECT qid, nid FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     "v10_ivf_planted" ->
       """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
         |           FROM embeddings WHERE vec_id < 15),
