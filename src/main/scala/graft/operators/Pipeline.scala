@@ -1509,6 +1509,91 @@ object Pipeline {
                  GROUP BY bucket ORDER BY bucket""")
   }
 
+  /** Positional DELETION VECTORS on the LOG tier (VERDICT r15 #4 —
+    * p40's log twin, [[graft.sources.LogMoRMergeCommand.buildDvMasks]]):
+    * a MoR MERGE whose matched-key count exceeds `maxMaskKeys`
+    * publishes per-SEGMENT line-position bitmaps instead of key masks
+    * or segment rewrites. The oracle pins the REGIME, not just the
+    * rows: the `c_dv_regime` evidence row folds (every mask entry is a
+    * DV) ∧ (a sidecar exists under `_dv/`) ∧ (every pre-existing
+    * segment is byte-identical) into the hash compare, alongside the
+    * pre/post snapshot aggregates served through the DV-masked scan
+    * and time travel. */
+  def p45_log_deletion_vectors(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p45", "ops")
+    spark.sql("DROP TABLE IF EXISTS graft_p45.ops.limits")
+    spark.sql("""CREATE TABLE graft_p45.ops.limits
+                 (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+    Tables.orders(spark, dir)
+      .select(
+        col("o_orderkey").cast(LongType).as("okey"),
+        concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+        (col("o_totalprice").cast(DecimalType(9, 2)) * 100).cast(LongType).as("amount"))
+      .createOrReplaceTempView("p45_base")
+    spark.sql("""INSERT INTO graft_p45.ops.limits
+                 SELECT user_id, amount, CAST(NULL AS BINARY),
+                        sha2(CAST(okey AS STRING), 256)
+                 FROM p45_base""")
+    val tableDir = spark.conf.get("spark.sql.catalog.graft_p45.warehouse") +
+      "/ops/limits"
+    graft.sources.LogVersions.enable(tableDir) // v1
+    // pre-merge byte signature of every live segment
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sigs(): Map[String, (Long, Int)] =
+      graft.sources.LogVersions.latest(tableDir).get._2.map { name =>
+        val p = new org.apache.hadoop.fs.Path(tableDir, name)
+        val st = fs.getFileStatus(p)
+        val in = fs.open(p)
+        val head = try { val b = new Array[Byte](64); in.readFully(0, b); b }
+          finally in.close()
+        name -> ((st.getLen, java.util.Arrays.hashCode(head)))
+      }.toMap
+    val before = sigs()
+    spark.sql("""SELECT sha2(CAST(okey AS STRING), 256) AS k,
+                        amount AS cents, user_id AS u
+                 FROM p45_base WHERE okey % 29 = 5
+                 UNION ALL
+                 SELECT sha2(CAST(okey + 100000000 AS STRING), 256) AS k,
+                        amount AS cents, user_id AS u
+                 FROM p45_base WHERE okey % 31 = 2""")
+      .createOrReplaceTempView("p45_cdc")
+    spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+    // cap far below the matched-key count (sf0.001 already matches ~50)
+    spark.conf.set(graft.sources.ParquetMoRMerge.MAX_MASK_KEYS_KEY, "16")
+    try {
+      spark.sql("""MERGE INTO graft_p45.ops.limits t USING p45_cdc s
+                   ON t.sha256sum = s.k
+                   WHEN MATCHED AND s.cents % 10 < 5 THEN DELETE
+                   WHEN MATCHED THEN UPDATE SET amount = s.cents * 2 + 1
+                   WHEN NOT MATCHED THEN INSERT (user_id, amount, msg, sha256sum)
+                     VALUES (s.u, s.cents, NULL, s.k)""") // v2
+    } finally {
+      spark.conf.unset(graft.sources.ParquetMoRMerge.MAX_MASK_KEYS_KEY)
+      spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+    }
+    val masks = graft.sources.LogVersions.masksFor(tableDir, None)
+      .filter(_._2.nonEmpty)
+    val dvOk = masks.nonEmpty &&
+      masks.valuesIterator.flatten.forall(graft.sources.DeletionVectors.isDv) && {
+        val dvDir = new org.apache.hadoop.fs.Path(tableDir,
+          graft.sources.DeletionVectors.DIR)
+        fs.exists(dvDir) && fs.listStatus(dvDir).exists(_.isFile)
+      }
+    val after = sigs()
+    val filesOk = before.forall { case (n, s) => after.get(n).contains(s) }
+    spark.sql("""SELECT 'a_pre' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p45.ops.limits VERSION AS OF 1
+                 UNION ALL
+                 SELECT 'b_cur' AS snap, count(*) AS n, sum(amount) AS cents
+                 FROM graft_p45.ops.limits""")
+      .unionAll(spark.sql(
+        s"""SELECT 'c_dv_regime' AS snap,
+                   CAST(${if (dvOk) 1 else 0} AS BIGINT) AS n,
+                   CAST(${if (filesOk) 1 else 0} AS BIGINT) AS cents"""))
+      .orderBy("snap")
+  }
+
   /** REPLACE TABLE AS SELECT on a PARTITIONED target
     * ([[graft.sources.LogStaging]], VERDICT r12 #4): a region-
     * partitioned load is REPLACED — new schema, new contents, new
@@ -1623,6 +1708,7 @@ object Pipeline {
     "p28_lightweight_delete" -> (p28_lightweight_delete _),
     "p30_lightweight_update" -> (p30_lightweight_update _),
     "p32_merge_lightweight" -> (p32_merge_lightweight _),
+    "p45_log_deletion_vectors" -> (p45_log_deletion_vectors _),
     "p40_merge_deletion_vectors" -> (p40_merge_deletion_vectors _),
     "p41_merge_by_source" -> (p41_merge_by_source _),
     "p42_log_merge_by_source" -> (p42_log_merge_by_source _),
@@ -1783,6 +1869,25 @@ object Pipeline {
         |UNION ALL
         |SELECT 'b_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM cur
+        |ORDER BY snap""".stripMargin,
+    "p45_log_deletion_vectors" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount
+        |  FROM orders),
+        |cur AS (
+        |  SELECT CASE WHEN k % 29 = 5 THEN amount * 2 + 1
+        |              ELSE amount END AS amount
+        |  FROM b WHERE NOT (k % 29 = 5 AND amount % 10 < 5)
+        |  UNION ALL
+        |  SELECT amount FROM b WHERE k % 31 = 2
+        |)
+        |SELECT 'a_pre' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM b
+        |UNION ALL
+        |SELECT 'b_cur' AS snap, COUNT(*) AS n, CAST(SUM(amount) AS BIGINT) AS cents
+        |FROM cur
+        |UNION ALL
+        |SELECT 'c_dv_regime' AS snap, CAST(1 AS BIGINT) AS n, CAST(1 AS BIGINT) AS cents
         |ORDER BY snap""".stripMargin,
     "p38_log_lightweight_merge" ->
       """WITH b AS (SELECT o_orderkey AS k,

@@ -111,10 +111,24 @@ object ChangeFeed {
         if (kind == "delete") (fromVersion, toMasks.getOrElse(n, Seq.empty))
         else (toVersion, fromMasks.getOrElse(n, Seq.empty))
       if (opposite.isEmpty) None
-      else Some(read(Seq(n), pinned)
-        .filter(!DeleteMasks.visibleColumn(LimitHashLog.SCHEMA, opposite))
-        .withColumn(CHANGE_TYPE_COL, lit(kind))
-        .withColumn(COMMIT_VERSION_COL, lit(toVersion)))
+      else {
+        // DV entries in the opposite mask set test the row's line
+        // ordinal (`_lpos`, projected off again below); predicate
+        // entries evaluate on the data columns as before
+        val dataCols = LimitHashLog.SCHEMA.fieldNames.toSeq.map(col)
+        val base = read(Seq(n), pinned)
+        val deltaed =
+          if (!graft.sources.DeletionVectors.anyDv(opposite))
+            base.filter(!DeleteMasks.visibleColumn(LimitHashLog.SCHEMA, opposite))
+          else base
+            .select(dataCols :+ col(LimitHashLog.LPOS_COL): _*)
+            .filter(!DeleteMasks.visibleAllColumnAt(dir, LimitHashLog.SCHEMA,
+              opposite, Seq(LimitHashLog.LPOS_COL)))
+            .select(dataCols: _*)
+        Some(deltaed
+          .withColumn(CHANGE_TYPE_COL, lit(kind))
+          .withColumn(COMMIT_VERSION_COL, lit(toVersion)))
+      }
     }
     val ins = (Option.when(added.nonEmpty)(block(added, toVersion, "insert")).toSeq ++
       deltaBlock("insert")).reduceOption(_ unionByName _).getOrElse(emptyBlock)
@@ -593,23 +607,36 @@ class CdcSegmentReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case CdcSegmentPartition(f, kind, commit, visiblePreds, deletedPreds) =>
-        val inner0 = new LogSegmentReader(f, LimitHashLog.SCHEMA, Array.empty)
+        val tableDir = new Path(f).getParent.toString
+        // DV entries in either list need the row's line ordinal — the
+        // inner reader widens with the `_lpos` metadata column, tested
+        // against the sidecar bitmaps, then projected back off
+        val needPos = DeletionVectors.anyDv(visiblePreds) ||
+          DeletionVectors.anyDv(deletedPreds)
+        val rowSchema =
+          if (!needPos) LimitHashLog.SCHEMA
+          else org.apache.spark.sql.types.StructType(
+            LimitHashLog.SCHEMA.fields :+ org.apache.spark.sql.types.StructField(
+              LimitHashLog.LPOS_COL, org.apache.spark.sql.types.LongType,
+              nullable = false))
+        val inner0 = new LogSegmentReader(f, rowSchema, Array.empty)
         val visible =
           if (visiblePreds.isEmpty) inner0
-          else DeleteMasks.filteringReader(inner0,
-            DeleteMasks.compileDeleted(LimitHashLog.SCHEMA, visiblePreds))
+          else DeleteMasks.filteringReaderFn(inner0,
+            DeleteMasks.compiledRowFilterAt(tableDir, rowSchema, visiblePreds,
+              LimitHashLog.LPOS_COL))
         val inner =
           if (deletedPreds.isEmpty) visible
           else {
             // keep-if-deleted: the mask-delta rows
-            val deleted =
-              DeleteMasks.compileDeleted(LimitHashLog.SCHEMA, deletedPreds)
+            val deleted = DeleteMasks.compiledRowFilterAt(
+              tableDir, rowSchema, deletedPreds, LimitHashLog.LPOS_COL)
             new PartitionReader[InternalRow] {
               private var cur: InternalRow = _
               override def next(): Boolean = {
                 while (visible.next()) {
                   val r = visible.get()
-                  if (deleted.eval(r)) { cur = r; return true }
+                  if (deleted(r)) { cur = r; return true }
                 }
                 false
               }
@@ -617,12 +644,26 @@ class CdcSegmentReaderFactory extends PartitionReaderFactory {
               override def close(): Unit = visible.close()
             }
           }
+        val nData = LimitHashLog.SCHEMA.length
         val tail = new GenericInternalRow(
           Array[Any](UTF8String.fromString(kind), commit))
         val joined = new JoinedRow()
         new PartitionReader[InternalRow] {
           override def next(): Boolean = inner.next()
-          override def get(): InternalRow = joined(inner.get(), tail)
+          override def get(): InternalRow = {
+            val r = inner.get()
+            // drop the widened position column before the tail join
+            val data = if (!needPos) r else {
+              val vals = new Array[Any](nData)
+              var i = 0
+              while (i < nData) {
+                vals(i) = r.get(i, LimitHashLog.SCHEMA(i).dataType)
+                i += 1
+              }
+              new GenericInternalRow(vals)
+            }
+            joined(data, tail)
+          }
           override def close(): Unit = inner.close()
         }
     }

@@ -221,7 +221,15 @@ object DeleteMasks {
     * the reader's rows carry no position column — silently ignoring it
     * would resurrect deleted rows. */
   def compiledRowFilter(tableDir: String, rowSchema: StructType,
-      preds: Seq[String]): InternalRow => Boolean = {
+      preds: Seq[String]): InternalRow => Boolean =
+    compiledRowFilterAt(tableDir, rowSchema, preds, POS_COL)
+
+  /** [[compiledRowFilter]] with an explicit position-column name — the
+    * log tier's readers expose line ordinals as
+    * [[LimitHashLog.LPOS_COL]] instead of the parquet row-index
+    * column. */
+  def compiledRowFilterAt(tableDir: String, rowSchema: StructType,
+      preds: Seq[String], posCol: String): InternalRow => Boolean = {
     val (dvRefs, predJsons) = DeletionVectors.split(preds)
     val predTest: Option[BasePredicate] =
       if (predJsons.isEmpty) None else Some(compileDeleted(rowSchema, predJsons))
@@ -229,9 +237,9 @@ object DeleteMasks {
       val p = predTest.getOrElse(return (_: InternalRow) => false)
       row => p.eval(row)
     } else {
-      val posIdx = rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(POS_COL))
+      val posIdx = rowSchema.fieldNames.indexWhere(_.equalsIgnoreCase(posCol))
       if (posIdx < 0) throw new IllegalStateException(
-        s"deletion-vector mask on a reader without the $POS_COL row-position " +
+        s"deletion-vector mask on a reader without the $posCol row-position " +
           s"column (schema ${rowSchema.fieldNames.mkString(",")})")
       val pd = new DeletionVectors.PositionDeleted(tableDir, dvRefs)
       row =>

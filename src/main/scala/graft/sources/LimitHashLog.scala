@@ -110,10 +110,22 @@ object LimitHashLog {
     * MERGE / rewrite-DELETE) group and runtime-filter on it. */
   val SEGMENT_COL = "_segment"
 
+  /** Metadata column exposing a row's 0-based LINE ordinal within its
+    * segment file — the log tier's row-position domain (the parquet
+    * tier's `_metadata.row_index` twin): every physical line counts,
+    * visible or masked, so positions are stable under pushdown and
+    * masking. Carrier for positional deletion vectors
+    * ([[DeletionVectors]]) on the log tier — the DV write side reads
+    * it, the read side tests it against the sidecar bitmaps. */
+  val LPOS_COL = "_lpos"
+
   /** Parse-layout index of a projected column: the four data fields sit
-    * at their raw TSV positions; [[SEGMENT_COL]] is the virtual fifth. */
+    * at their raw TSV positions; [[SEGMENT_COL]] is the virtual fifth,
+    * [[LPOS_COL]] the virtual sixth. */
   private[sources] def fieldIdx(name: String): Int =
-    if (name == SEGMENT_COL) 4 else SCHEMA.fieldIndex(name)
+    if (name == SEGMENT_COL) 4
+    else if (name == LPOS_COL) 5
+    else SCHEMA.fieldIndex(name)
 
   /** Segment files of a log directory (sorted for determinism). */
   private[sources] def segments(dir: String): Seq[(String, Long)] = {
@@ -277,7 +289,8 @@ object LimitHashLog {
   /** Compile one segment's serialized masks into row evaluators over
     * the raw split fields. A mask that deserializes to a shape
     * [[LogDelete.supported]] cannot evaluate fails LOUDLY — silently
-    * skipping it would resurrect deleted rows. */
+    * skipping it would resurrect deleted rows. PREDICATE masks only —
+    * split DV entries off first ([[DeletionVectors.split]]). */
   private[sources] def compileMasks(preds: Seq[String]): Seq[Filter] =
     preds.map { json =>
       val f = DeleteMasks.deserialize(json)
@@ -286,6 +299,21 @@ object LimitHashLog {
           s"(from $json) — refusing to read rows it might have deleted")
       f
     }
+
+  /** One segment's mask list compiled for the line readers: predicate
+    * entries as raw-field closures ([[LogDelete.compileRow]]), DV
+    * entries as ONE position test over the sidecar bitmaps (positions
+    * are 0-based line ordinals within the segment, [[LPOS_COL]]).
+    * `tableDir` resolves the `_dv/` sidecars — the segment's parent
+    * directory on this tier. */
+  private[sources] def compileLineMasks(tableDir: String, preds: Seq[String])
+      : (Array[Array[String] => Boolean], DeletionVectors.PositionDeleted) = {
+    val (dvRefs, predJsons) = DeletionVectors.split(preds)
+    val rows = compileMasks(predJsons).map(LogDelete.compileRow).toArray
+    val pd = if (dvRefs.isEmpty) null
+      else new DeletionVectors.PositionDeleted(tableDir, dvRefs)
+    (rows, pd)
+  }
 
   /** Parse-stage compilation of pushed filters: EqualTo → singleton,
     * In → value set; a raw line passes when every checked field is in
@@ -463,7 +491,7 @@ class LimitHashLogTable(path: String, version: Option[Long] = None)
     * `_file`): provenance when projected, the GROUP identity for
     * copy-on-write UPDATE / MERGE / DELETE ([[LogRowLevelOperation]]). */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(LogSegmentMetaColumn)
+    Array(LogSegmentMetaColumn, LogLposMetaColumn)
 
   /** SQL `UPDATE` / `MERGE INTO` / rewrite-`DELETE` — Spark's
     * group-based row-level-operations API; full design on
@@ -1510,8 +1538,15 @@ class LogColumnarReader(files: Seq[String], required: StructType,
   // compiled at each file transition into per-row closures
   // ([[LogDelete.compileRow]] — a thousands-of-keys IN mask is one
   // hash-set probe per line, not a linear scan); array + index loop —
-  // the common unmasked path pays one length check per line
+  // the common unmasked path pays one length check per line. DV
+  // entries compile to ONE bitmap probe over the line ordinal.
   private var segMasks: Array[Array[String] => Boolean] = Array.empty
+  private var segDv: DeletionVectors.PositionDeleted = _
+  // 0-based line ordinal WITHIN the current file (every physical
+  // line counts — the [[LimitHashLog.LPOS_COL]] position domain);
+  // curPos is the ordinal of the line nextLine() just returned
+  private var segLine = 0L
+  private var curPos = -1L
 
   private def maskedLine(parts: Array[String]): Boolean = {
     var i = 0
@@ -1519,7 +1554,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
       if (segMasks(i)(parts)) return true
       i += 1
     }
-    false
+    segDv != null && segDv.deleted(curPos)
   }
 
   private val colIdx = required.fields.map(f => LimitHashLog.fieldIdx(f.name))
@@ -1535,15 +1570,17 @@ class LogColumnarReader(files: Seq[String], required: StructType,
         if (!fileIt.hasNext) return null
         val p = new Path(fileIt.next())
         segNameBytes = p.getName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        segMasks = LimitHashLog.compileMasks(
-          masks.getOrElse(p.getName, Seq.empty))
-          .map(LogDelete.compileRow).toArray
+        val (rows, pd) = LimitHashLog.compileLineMasks(
+          p.getParent.toString, masks.getOrElse(p.getName, Seq.empty))
+        segMasks = rows
+        segDv = pd
+        segLine = 0L
         reader = new java.io.BufferedReader(new java.io.InputStreamReader(
           p.getFileSystem(new Configuration()).open(p),
           java.nio.charset.StandardCharsets.UTF_8))
       }
       val line = reader.readLine()
-      if (line != null) return line
+      if (line != null) { curPos = segLine; segLine += 1; return line }
       reader.close(); reader = null
     }
     null // unreachable
@@ -1561,7 +1598,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
         linesSeen += 1
         val parts = line.split("\t", -1)
         if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1))) &&
-            (segMasks.length == 0 || !maskedLine(parts))) {
+            ((segMasks.length == 0 && segDv == null) || !maskedLine(parts))) {
           rowsKept += 1
           var j = 0
           while (j < colIdx.length) {
@@ -1581,6 +1618,8 @@ class LogColumnarReader(files: Seq[String], required: StructType,
                 vectors(j).putByteArray(n, b, 0, b.length)
               case 4 => // _segment metadata column
                 vectors(j).putByteArray(n, segNameBytes, 0, segNameBytes.length)
+              case 5 => // _lpos metadata column: line ordinal in file
+                vectors(j).putLong(n, curPos)
             }
             j += 1
           }
@@ -1662,18 +1701,25 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
   // deleted row — dropped at parse, before any materialization.
   // Compiled per-row closures ([[LogDelete.compileRow]]: a
   // thousands-of-keys IN mask is one hash-set probe per line); array +
-  // index loop — the unmasked common case pays one length check
-  private val segMasks: Array[Array[String] => Boolean] =
-    LimitHashLog.compileMasks(masks.getOrElse(p.getName, Seq.empty))
-      .map(LogDelete.compileRow).toArray
+  // index loop — the unmasked common case pays one length check. DV
+  // entries compile to ONE bitmap probe over the line ordinal.
+  // plain field assignment, NOT a val tuple-destructure: a type
+  // pattern in a destructure is a runtime match, and segDv is null
+  // for DV-free segments (the common case) — null fails a type
+  // pattern with a MatchError
+  private val compiledLineMasks =
+    LimitHashLog.compileLineMasks(p.getParent.toString,
+      masks.getOrElse(p.getName, Seq.empty))
+  private val segMasks: Array[Array[String] => Boolean] = compiledLineMasks._1
+  private val segDv: DeletionVectors.PositionDeleted = compiledLineMasks._2
 
-  private def maskedLine(parts: Array[String]): Boolean = {
+  private def maskedLine(parts: Array[String], pos: Long): Boolean = {
     var i = 0
     while (i < segMasks.length) {
       if (segMasks(i)(parts)) return true
       i += 1
     }
-    false
+    segDv != null && segDv.deleted(pos)
   }
 
   private[sources] var linesSeen = 0L
@@ -1683,10 +1729,13 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
     if (limit.exists(rowsKept >= _)) return false
     var line = reader.readLine()
     while (line != null) {
+      // position = linesSeen BEFORE increment: the 0-based line
+      // ordinal within this segment (every physical line counts)
+      val pos = linesSeen
       linesSeen += 1
       val parts = line.split("\t", -1)
       if (parts.length == 4 && checks.forall(c => c._2.contains(parts(c._1))) &&
-          (segMasks.length == 0 || !maskedLine(parts))) {
+          ((segMasks.length == 0 && segDv == null) || !maskedLine(parts, pos))) {
         rowsKept += 1
         val values = new Array[Any](colIdx.length)
         var i = 0
@@ -1698,6 +1747,7 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
                       else java.util.Base64.getDecoder.decode(parts(2))
             case 3 => UTF8String.fromString(parts(3))
             case 4 => segName // _segment metadata column
+            case 5 => pos // _lpos metadata column: line ordinal in file
           }
           i += 1
         }

@@ -248,7 +248,9 @@ object LogDelete {
     * scan reads them as zero rows anyway). */
   private[sources] def rewriteSegment(dir: String, delId: String, oldPath: String,
       filters: Array[Filter],
-      priorMasks: Seq[Filter] = Seq.empty): (String, Option[(String, Option[SegmentStats])]) = {
+      priorMasks: Seq[Filter] = Seq.empty,
+      priorDvs: Seq[DeletionVectors.DvRef] = Seq.empty)
+      : (String, Option[(String, Option[SegmentStats])]) = {
     val old = new Path(oldPath)
     val fs = old.getFileSystem(new Configuration())
     val staged = new Path(dir, s"_staged-$delId-${old.getName}")
@@ -267,18 +269,25 @@ object LogDelete {
     }
     // compile both filter sets once per segment ([[compileRow]]): the
     // per-line tree walk — linear for a thousands-of-keys IN mask —
-    // becomes hash-set probes
+    // becomes hash-set probes; prior DV entries become one bitmap
+    // probe over the line ordinal ([[LimitHashLog.LPOS_COL]] domain:
+    // every physical line counts, malformed included)
     val priorC = priorMasks.map(compileRow)
+    val priorDv = if (priorDvs.isEmpty) null
+      else new DeletionVectors.PositionDeleted(dir, priorDvs)
     val filtersC = filters.map(compileRow)
+    var lpos = -1L
     try {
       var line = in.readLine()
       while (line != null) {
+        lpos += 1
         val fields = line.split("\t", -1)
         if (fields.length != 4) keepLine(line) // malformed: pass through, no stats
         // a line a PRIOR merge-on-read mask already deleted is dropped
         // too (never a survivor — the rewrite PURGES the masks it
         // consumes; resurrecting it would undo a committed DELETE)
-        else if (priorC.exists(_(fields))) ()
+        else if (priorC.exists(_(fields)) ||
+            (priorDv != null && priorDv.deleted(lpos))) ()
         else if (!filtersC.forall(_(fields))) { // survivor
           keepLine(line)
           nRows += 1
@@ -442,11 +451,15 @@ object LogDelete {
     // not an unrelated DELETE's write amplification
     val rewrites = verdicts.collect { case (f, Rewrite) => f }
     // compile each rewrite's prior masks once, driver-side (v1 Filters
-    // are small and Serializable — they ship in the task closure)
-    val maskFiltersOf: Map[String, Seq[Filter]] = rewrites.map { f =>
-      val n = new Path(f).getName
-      f -> LimitHashLog.compileMasks(priorMasks.getOrElse(n, Seq.empty))
-    }.toMap
+    // and DvRefs are small and Serializable — they ship in the task
+    // closure; the DV bitmaps themselves load executor-side)
+    val maskFiltersOf: Map[String, (Seq[Filter], Seq[DeletionVectors.DvRef])] =
+      rewrites.map { f =>
+        val n = new Path(f).getName
+        val (dvRefs, predJsons) =
+          DeletionVectors.split(priorMasks.getOrElse(n, Seq.empty))
+        f -> ((LimitHashLog.compileMasks(predJsons), dvRefs))
+      }.toMap
 
     val rewritten: Seq[(String, Option[(String, Option[SegmentStats])])] =
       if (rewrites.isEmpty) Seq.empty
@@ -454,8 +467,8 @@ object LogDelete {
         .parallelize(rewrites.map(f => (f, maskFiltersOf(f))),
           math.min(rewrites.size,
             math.max(1, spark.sparkContext.defaultParallelism)))
-        .map { case (f, ms) =>
-          LogDelete.rewriteSegment(dir, delId, f, filters, ms)
+        .map { case (f, (ms, dvs)) =>
+          LogDelete.rewriteSegment(dir, delId, f, filters, ms, dvs)
         }
         .collect().toSeq
 
@@ -526,7 +539,8 @@ object LogDelete {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val purgeId = "mp-" + digest.take(6).map(b => f"$b%02x").mkString
       val jobs = targets.toSeq.sortBy(_._1).map { case (n, preds) =>
-        (liveByName(n), LimitHashLog.compileMasks(preds))
+        val (dvRefs, predJsons) = DeletionVectors.split(preds)
+        (liveByName(n), LimitHashLog.compileMasks(predJsons), dvRefs)
       }
       // AlwaysFalse delete predicate: nothing deleted BY THIS PASS —
       // only the prior masks filter (an empty filter array would mean
@@ -535,7 +549,7 @@ object LogDelete {
       val rewritten = spark.sparkContext
         .parallelize(jobs, math.min(jobs.size,
           math.max(1, spark.sparkContext.defaultParallelism)))
-        .map { case (f, ms) => rewriteSegment(dir, purgeId, f, keepAll, ms) }
+        .map { case (f, ms, dvs) => rewriteSegment(dir, purgeId, f, keepAll, ms, dvs) }
         .collect().toSeq
       val manifest = Map.newBuilder[String, SegmentStats]
       val added = Seq.newBuilder[String]

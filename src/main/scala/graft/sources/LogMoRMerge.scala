@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ReplaceData}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.write.RowLevelOperation
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 /** MERGE-ON-READ `MERGE INTO` for the ENTITY LOG — the log tier's twin
@@ -31,14 +31,19 @@ import org.apache.spark.storage.StorageLevel
   *     writers ([[LogMoRUpdate.appendImages]]: exact stats sidecars,
   *     bucket tags on bucketed logs);
   *   - a delta the mask cannot express EXACTLY (a same-segment
-  *     same-key row that stays visible, `maxMaskKeys` overflow) takes
-  *     a candidate segment-rewrite regime instead: only the touched
-  *     segments rewrite, under a [[VersionLedger.MaskGuard]];
+  *     same-key row that stays visible, `maxMaskKeys` overflow)
+  *     publishes per-segment POSITIONAL DELETION VECTORS instead
+  *     ([[LogMoRMergeCommand.buildDvMasks]] — line ordinals are the
+  *     position domain, [[LimitHashLog.LPOS_COL]]): segments stay
+  *     byte-identical, the reader tests one bitmap probe per line;
+  *   - only when DVs are disabled / over budget does the candidate
+  *     segment-rewrite regime run: the touched segments rewrite under
+  *     a [[VersionLedger.MaskGuard]];
   *   - anything else falls back to the copy-on-write group rewrite
   *     silently (the rule leaves the plan untouched).
   *
-  * Write amplification: O(matched + inserted rows) bytes in the mask
-  * regime, O(touched segments) in the rewrite regime — never
+  * Write amplification: O(matched + inserted rows) bytes in the
+  * mask/DV regimes, O(touched segments) in the rewrite regime — never
   * O(candidate segments) for a trickle upsert, which on a 100 TB log
   * is the difference between appending megabytes and rewriting the
   * tier. */
@@ -73,6 +78,66 @@ object LogMoRMerge {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ InterceptRule
     }
+  }
+}
+
+object LogMoRMergeCommand {
+
+  /** Positional-DV construction on the LOG tier — the twin of
+    * [[MergeOnReadMergeCommand.buildDvMasks]] with the segment NAME as
+    * the file key and LINE ordinals ([[LimitHashLog.LPOS_COL]]) as the
+    * position domain: per-segment bitmaps of the hidden rows' line
+    * positions, aggregated EXECUTOR-SIDE (the driver never holds raw
+    * positions — O(touched segments) (name, sidecar, cardinality)
+    * triples only), sidecars written executor-side under deterministic
+    * names into `<dir>/_dv/` (task retries idempotent), referenced by
+    * DV mask entries riding the same guarded publish key masks would.
+    * Byte budget and the 32-bit position domain are checked on the
+    * persisted aggregate BEFORE any sidecar writes (a rejected batch
+    * leaves no debris). None → the caller falls back to the
+    * segment-rewrite regime. */
+  private[sources] def buildDvMasks(
+      spark: org.apache.spark.sql.classic.SparkSession, dir: String,
+      hide: DataFrame, opId: String)
+      : Option[(Map[String, Seq[String]], Seq[String])] = {
+    import org.apache.spark.sql.{functions => F}
+    if (!spark.conf.get(DeletionVectors.ENABLED_KEY, "true").toBoolean) return None
+    val maxBytes = spark.conf.get(DeletionVectors.MAX_BYTES_KEY,
+      DeletionVectors.MAX_BYTES_DEFAULT.toString).toLong
+    val dvAgg = F.udaf(new DeletionVectors.BitmapAgg(),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val grouped = hide.select(col("_gfile"), col("_gpos")).distinct()
+      .groupBy("_gfile")
+      .agg(dvAgg(col("_gpos")).as("_gdv"), F.max(col("_gpos")).as("_gmax"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val st = grouped.agg(F.sum(F.length(col("_gdv"))).as("_b"),
+        F.max(col("_gmax")).as("_m")).collect()(0)
+      if (st.isNullAt(0)) return None // empty hide set — nothing to mask
+      if (st.getLong(0) > maxBytes ||
+          st.getLong(1) > Int.MaxValue.toLong) return None
+      val dirLocal = dir
+      val opLocal = opId
+      import spark.implicits._
+      val refs: Array[(String, String, Long)] = grouped
+        .select(col("_gfile"), col("_gdv"))
+        .as[(String, Array[Byte])]
+        .mapPartitions { it =>
+          val conf = org.apache.spark.sql.GraftShims.hadoopConf()
+          it.map { case (seg, bytes) =>
+            val name = DeletionVectors.sidecarName(opLocal, seg)
+            val sp = DeletionVectors.sidecarPath(dirLocal, name)
+            val fsx = sp.getFileSystem(conf)
+            fsx.mkdirs(sp.getParent)
+            val out = fsx.create(sp, true)
+            try out.write(bytes) finally out.close()
+            (seg, name, DeletionVectors.deserialize(bytes).getLongCardinality)
+          }
+        }.collect()
+      Some((refs.map { case (seg, name, card) =>
+        seg -> Seq(DeletionVectors.refJson(name, card))
+      }.toMap, refs.map(_._2).toSeq))
+    } finally { grouped.unpersist(); () }
   }
 }
 
@@ -120,10 +185,16 @@ case class LogMoRMergeCommand(dir: String,
             PREFILTER_KEYS_DEFAULT.toString).toInt))
 
       // the target through the log's own scan: prior masks drop at
-      // parse, `_segment` attributes each row to its ledger name
+      // parse, `_segment` attributes each row to its ledger name,
+      // `_lpos` is its line ordinal — the DETERMINISTIC row identity
+      // (`_gfile`, `_gpos`) shared with the parquet tier (the former
+      // monotonically_increasing_id `_grid` could reassign on
+      // persisted-partition eviction — ADVICE r14's fail-safe note,
+      // now closed) and the position domain the DV regime writes
       val tSelect = declared.fieldNames.toSeq.zipWithIndex.map {
         case (n, i) => col(n).as(s"_t$i")
-      } :+ col(LimitHashLog.SEGMENT_COL).as("_gfile")
+      } :+ col(LimitHashLog.SEGMENT_COL).as("_gfile") :+
+        col(LimitHashLog.LPOS_COL).as("_gpos")
       val tgtBase = spark.read.format(LimitHashLog.FORMAT).load(dir)
         .select(tSelect: _*)
       // by-source arms scope the whole source-unmatched complement —
@@ -133,14 +204,14 @@ case class LogMoRMergeCommand(dir: String,
         else srcKeyRows.map(
           MoRMergeKernel.inSetPrefilter(_, keys, declared, tColName))
       val tgt0 = prefilter.fold(tgtBase)(tgtBase.filter)
-        .withColumn("_grid", monotonically_increasing_id())
       tgt = if (prefilter.isDefined)
         tgt0.persist(StorageLevel.MEMORY_AND_DISK) else tgt0
 
       val onCol = colOf(onCond.e)
       joined = tgt.join(src, onCol, "inner").persist(StorageLevel.MEMORY_AND_DISK)
 
-      if (checkCardinality) MoRMergeKernel.requireCardinality(joined)
+      if (checkCardinality)
+        MoRMergeKernel.requireCardinality(joined, Seq("_gfile", "_gpos"))
 
       val classified =
         joined.withColumn("_gtag", MoRMergeKernel.armTag(matchedArms))
@@ -164,7 +235,7 @@ case class LogMoRMergeCommand(dir: String,
         bsClassified.map(MoRMergeKernel.hideOf(_, bySourceArms))
 
       val keyTCols = keys.map(k => tColName(k.field))
-      val hideCols = (col("_gfile") +: keyTCols.map(col)) :+ col("_grid")
+      val hideCols = (col("_gfile") +: keyTCols.map(col)) :+ col("_gpos")
       val hideAll: DataFrame = bsHide.foldLeft(hide.select(hideCols: _*)) {
         (acc, b) => acc.unionByName(b.select(hideCols: _*))
       }
@@ -174,10 +245,12 @@ case class LogMoRMergeCommand(dir: String,
 
       // exactness census — identical to the parquet command: every
       // masked (segment, key) must be FULLY hidden or the mask regime
-      // would delete rows an arm kept
+      // would delete rows an arm kept. Keyed on the deterministic
+      // (_gfile, _gpos) row identity (line ordinals survive recompute)
       val morFits = maskRows.length <= maskCap
       val morExact = morFits && (maskRows.isEmpty ||
-        MoRMergeKernel.morExact(hideAll, tgt, "_gfile" +: keyTCols))
+        MoRMergeKernel.morExact(hideAll, tgt, "_gfile" +: keyTCols,
+          rowId = "_gpos"))
 
       // per-segment masks; every predicate must be BOTH serializable
       // and evaluable by the log's raw-field readers
@@ -186,7 +259,19 @@ case class LogMoRMergeCommand(dir: String,
         else MoRMergeKernel.masksByFile(maskRows.toSeq, keys,
           fileKeyOf = identity, supported = LogDelete.supported)
 
-      val opId = java.util.UUID.randomUUID().toString.take(8)
+      // positional-DV fallback (the parquet ladder's log twin, VERDICT
+      // r15 #4): when key masks cannot carry the delta (> maxMaskKeys,
+      // or a same-segment same-key row stays visible), hide the rows
+      // by LINE POSITION instead of rewriting the touched segments —
+      // positions identify rows exactly, so neither downgrade reason
+      // applies. None = DV disabled / over the sidecar byte budget /
+      // past the 2^31-line domain → segment rewrite as before.
+      val opId0 = java.util.UUID.randomUUID().toString.take(8)
+      val dvMasks: Option[(Map[String, Seq[String]], Seq[String])] =
+        if (masksBySegment.isDefined) None
+        else LogMoRMergeCommand.buildDvMasks(spark, dir, hideAll, opId0)
+
+      val opId = opId0
       def updateImages(of: DataFrame): Option[DataFrame] =
         MoRMergeKernel.updateImages(of, matchedArms)
       val inserts: Option[DataFrame] =
@@ -197,9 +282,9 @@ case class LogMoRMergeCommand(dir: String,
       val bsImages: Option[DataFrame] = bsClassified.flatMap(
         MoRMergeKernel.updateImages(_, bySourceArms))
 
-      masksBySegment match {
-        case Some(masks) =>
-          // ---- MASK regime: masks + appended segments, one publish --
+      masksBySegment.map((_, Seq.empty[String])).orElse(dvMasks) match {
+        case Some((masks, sidecars)) =>
+          // ---- MASK/DV regime: masks + appended segments, one publish
           val appended =
             (updateImages(classified).toSeq ++ bsImages.toSeq ++ inserts.toSeq)
             .reduceOption(_ unionByName _)
@@ -220,9 +305,12 @@ case class LogMoRMergeCommand(dir: String,
             case e: VersionLedger.MaskConflictException =>
               // a concurrent rewrite retired a masked candidate: the
               // retry re-classifies and re-appends under a fresh opId —
-              // reclaim this attempt's segments instead of orphaning
-              // them to vacuum
+              // reclaim this attempt's segments (and unpublished DV
+              // sidecars) instead of orphaning them to vacuum
               LogMoRUpdate.deleteAppended(spark, dir, added)
+              val fsx = new org.apache.hadoop.fs.Path(dir)
+                .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              sidecars.foreach(n => DeletionVectors.delete(fsx, dir, n))
               throw e
           }
           if (masks.nonEmpty) MaskPressure.afterMaskPublish(spark, dir)

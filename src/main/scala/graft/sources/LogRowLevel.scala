@@ -21,6 +21,19 @@ object LogSegmentMetaColumn extends MetadataColumn {
   override def comment(): String = "log segment file holding the row"
 }
 
+/** The `_lpos` metadata column: the row's 0-based line ordinal within
+  * its segment file — the log tier's row-position domain (parquet's
+  * `_metadata.row_index` twin). Positions count every physical line,
+  * so they are stable under pushdown and masking; the positional-DV
+  * machinery ([[DeletionVectors]]) keys on them. */
+object LogLposMetaColumn extends MetadataColumn {
+  override def name(): String = LimitHashLog.LPOS_COL
+  override def dataType(): DataType =
+    org.apache.spark.sql.types.LongType
+  override def isNullable: Boolean = false
+  override def comment(): String = "0-based line ordinal within the segment"
+}
+
 /** Group-based (copy-on-write) row-level operations for the entity log —
   * SQL `UPDATE`, `MERGE INTO`, and arbitrary-predicate `DELETE` through
   * Spark's `SupportsRowLevelOperations` API, completing the DML triangle

@@ -49,6 +49,15 @@ object LogVersions {
   def get(dir: String, ordinal: Long): Option[Seq[String]] =
     VersionLedger.get(dir, ordinal)
 
+  /** Per-segment delete-mask lists of `version` (None = latest) — the
+    * public twin of [[ParquetVersions.masksFor]]; entries may be
+    * predicate JSONs or DV references ([[DeletionVectors]]). */
+  def masksFor(dir: String, version: Option[Long]): Map[String, Seq[String]] =
+    (version match {
+      case Some(v) => VersionLedger.getPayload(dir, v)
+      case None => VersionLedger.latestPayload(dir).map(_._2)
+    }).map(_.masks).getOrElse(Map.empty)
+
   /** Opt a log into versioning: snapshot the current listing as v1.
     * Idempotent; concurrent enables converge (one wins the v1 CAS). */
   def enable(dir: String): Long =
@@ -130,6 +139,25 @@ object LogVersions {
       .filter(n => referencedAny(n) && !referencedRetained(n))
     deleted.foreach(n => fs.delete(new Path(base, n), false))
     droppedVs.foreach { case (_, p, _) => fs.delete(p, false) }
+    // DV sidecar retention follows the SAME window as the parquet
+    // tier's ([[ParquetVersions.vacuum]]): a sidecar is live while any
+    // RETAINED version's masks reference it; unreferenced ones get the
+    // in-flight grace (a MERGE may have written one and not yet
+    // published), then reclaim.
+    val referencedDv: Set[String] = view.iterator
+      .filter(v => retainedOrds(v._1))
+      .flatMap(_._5.valuesIterator.flatten)
+      .flatMap(DeletionVectors.parse(_).map(_.sidecar)).toSet
+    val dvDir = new Path(base, DeletionVectors.DIR)
+    val now = System.currentTimeMillis()
+    if (fs.exists(dvDir)) {
+      fs.listStatus(dvDir).foreach { s =>
+        if (s.isFile && !referencedDv(s.getPath.getName) &&
+            now - s.getModificationTime > ParquetVersions.InFlightGraceMs) {
+          fs.delete(s.getPath, false)
+        }
+      }
+    }
     deleted
   }
 }

@@ -356,7 +356,8 @@ class LogMoRSpec extends AnyFunSuite {
   }
 
   test("MoR MERGE: a same-segment key the arms hide only PARTIALLY " +
-      "takes the segment-rewrite regime (no mask can express it)") {
+      "takes the segment-rewrite regime when DVs are disabled " +
+      "(no key mask can express it; LogDvSpec pins the DV default)") {
     val dir = freshLog()
     val ident = catalogFor(dir, "graft_lmm2")
     import spark.implicits._
@@ -364,11 +365,12 @@ class LogMoRSpec extends AnyFunSuite {
     // only the amount=10 one — a `user_id IN ('u1')` mask would also
     // hide ha2, so the command must rewrite segment A instead
     Seq(("u1", 0L)).toDF("k", "amt").createOrReplaceTempView("lmm2_src")
-    withMergeOnRead {
+    spark.conf.set(DeletionVectors.ENABLED_KEY, "false")
+    try withMergeOnRead {
       spark.sql(s"""MERGE INTO $ident t USING lmm2_src s
                     ON t.user_id = s.k
                     WHEN MATCHED AND t.amount = 10 THEN DELETE""")
-    }
+    } finally spark.conf.unset(DeletionVectors.ENABLED_KEY)
     assert(masksOf(dir).isEmpty,
       "an inexact delta must not land as a mask")
     val names = LogVersions.latest(dir).get._2.toSet
@@ -405,18 +407,22 @@ class LogMoRSpec extends AnyFunSuite {
   }
 
   test("MoR MERGE: maxMaskKeys overflow falls to the rewrite regime " +
-      "and stays exact") {
+      "when DVs are disabled, and stays exact") {
     val dir = freshLog()
     val ident = catalogFor(dir, "graft_lmm4")
     import spark.implicits._
     Seq(("ha1", 1L), ("ha3", 3L), ("hc2", 2L)).toDF("k", "amt")
       .createOrReplaceTempView("lmm4_src")
     spark.conf.set(ParquetMoRMerge.MAX_MASK_KEYS_KEY, "1")
+    spark.conf.set(DeletionVectors.ENABLED_KEY, "false")
     try withMergeOnRead {
       spark.sql(s"""MERGE INTO $ident t USING lmm4_src s
                     ON t.sha256sum = s.k
                     WHEN MATCHED THEN UPDATE SET amount = s.amt""")
-    } finally spark.conf.unset(ParquetMoRMerge.MAX_MASK_KEYS_KEY)
+    } finally {
+      spark.conf.unset(ParquetMoRMerge.MAX_MASK_KEYS_KEY)
+      spark.conf.unset(DeletionVectors.ENABLED_KEY)
+    }
     assert(masksOf(dir).isEmpty, "cap overflow must not land masks")
     assert(rows(dir) === Set(("u1", 1L, "ha1"), ("u1", 20L, "ha2"),
       ("u2", 3L, "ha3"), ("u2", 40L, "ha4"),
