@@ -211,4 +211,40 @@ class RenameColumnSpec extends AnyFunSuite {
       assert(got === (0L until 10L).map(k => (k, k)).toSet)
     } finally q.stop()
   }
+
+  test("footer pruning on a renamed column equals the pre-rename counts " +
+      "(old-name stats translate through the name history — no permanent tax)") {
+    spark.sql("DROP TABLE IF EXISTS graft_rn.lake.r9")
+    spark.sql("CREATE TABLE graft_rn.lake.r9 (id BIGINT, amt BIGINT)")
+    (0 until 6).foreach { i =>
+      spark.range(i * 100, i * 100 + 100).selectExpr("id", "id AS amt")
+        .coalesce(1).writeTo("graft_rn.lake.r9").append()
+    }
+    val dataKey = s"$warehouse/lake/r9/data"
+    def keptOf(sql: String): (Int, Int, Long) = {
+      StatsPrunedFileIndex.lastListing.remove(dataKey)
+      val n = spark.sql(sql).count()
+      val (kept, total) = StatsPrunedFileIndex.lastListing.get(dataKey)
+      (kept, total, n)
+    }
+    assert(keptOf("SELECT * FROM graft_rn.lake.r9 WHERE amt = 250") ===
+      ((1, 6, 1L)), "pre-rename baseline: range-disjoint files prune to 1")
+    spark.sql("ALTER TABLE graft_rn.lake.r9 RENAME COLUMN amt TO cents")
+    // one new-name file so both vintages coexist in the listing
+    spark.range(600, 700).selectExpr("id", "id AS cents")
+      .coalesce(1).writeTo("graft_rn.lake.r9").append()
+    assert(keptOf("SELECT * FROM graft_rn.lake.r9 WHERE cents = 250") ===
+      ((1, 7, 1L)),
+      "old-vintage footers must keep pruning via their old-name stats")
+    // the new-vintage file prunes on its own (current-name) stats too
+    assert(keptOf("SELECT * FROM graft_rn.lake.r9 WHERE cents = 650") ===
+      ((1, 7, 1L)))
+    // a second rename translates through the WHOLE history
+    spark.sql("ALTER TABLE graft_rn.lake.r9 RENAME COLUMN cents TO pennies")
+    assert(keptOf("SELECT * FROM graft_rn.lake.r9 WHERE pennies = 250") ===
+      ((1, 7, 1L)))
+    // correctness unchanged: translated pruning never drops a match
+    assert(spark.sql("SELECT sum(pennies) AS s FROM graft_rn.lake.r9")
+      .head.getLong(0) === (0L until 700L).sum)
+  }
 }
