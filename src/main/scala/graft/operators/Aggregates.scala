@@ -274,6 +274,54 @@ object Aggregates {
       .orderBy(col("week"))
   }
 
+  /** q29's HLL++ estimator made ORACLE-CHECKABLE (VERDICT r15 #7, the
+    * d10/v09 planted technique on a sketch): the probed domains are
+    * BOUNDED (`l_partkey % 50` ≤ 50 values, `l_linestatus` 3 values) —
+    * far below the estimator's register count at rsd 0.01 (2^14), so
+    * HLL++ is in its linear-counting range where the rounded estimate
+    * equals the exact count unless two planted values collide in one
+    * register. The inputs are FIXED deterministic data and the hash is
+    * seeded constant, so "no collision" is a property of the corpus,
+    * verified at sf 0.001/0.01/0.1 — DuckDB recomputes the EXACT
+    * distinct counts and the hash compare pins the estimator end to
+    * end. (q29 itself stays rows-only: its unbounded domains are
+    * genuinely approximate.) */
+  def q84_hll_exact_small(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(pmod(col("l_partkey"), lit(50)), rsd = 0.01)
+          .as("approx_k"),
+        approx_count_distinct(col("l_linestatus"), rsd = 0.01).as("approx_ls"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** q71's persisted-sketch-state pipeline made ORACLE-CHECKABLE: the
+    * same shape — per-day Datasketches HLL states persisted to parquet,
+    * weekly register union, estimate — over a BOUNDED domain
+    * (`user_id % 100`). A Datasketches HLL sketch at lgK 12 holds up
+    * to ~3/4·2^12 coupons in exact SET mode before promoting to
+    * estimating registers, so ≤ 100 distinct values stay EXACT through
+    * any number of unions — the estimate IS the distinct count, which
+    * DuckDB recomputes exactly. Pins sketch-agg → persist → re-read →
+    * union-agg → estimate end to end. (q71 itself stays rows-only:
+    * real user_ids outgrow SET mode at scale.) */
+  def q85_sketch_state_planted(spark: SparkSession, dir: String): DataFrame = {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_aggstate2").toString
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(pmod(col("user_id"), lit(100)), 12).as("users_state"),
+        count(lit(1)).as("n_events"))
+      .write.mode("overwrite").parquet(stateDir)
+    spark.read.parquet(stateDir)
+      .groupBy(weekofyear(col("day")).as("week"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("users_state"), true))
+          .as("approx_users"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("week"))
+  }
+
   /** MERGEABLE QUANTILE STATE — q71's persisted-state pattern for
     * quantiles, with a sketch that is DETERMINISTIC and therefore
     * oracle-checkable end to end (t-digest/GK centroids are
@@ -311,6 +359,8 @@ object Aggregates {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_hll_exact_small" -> (q84_hll_exact_small _),
+    "q85_sketch_state_planted" -> (q85_sketch_state_planted _),
     "q71_sketch_state" -> (q71_sketch_state _),
     "q78_quantile_state" -> (q78_quantile_state _),
     "q72_weighted_quantile" -> (q72_weighted_quantile _),
@@ -327,6 +377,17 @@ object Aggregates {
     "q29_agg_approx_distinct" -> (q29_agg_approx_distinct _))
 
   val oracle: Map[String, String] = Map(
+    "q84_hll_exact_small" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey % 50) AS approx_k,
+        |  COUNT(DISTINCT l_linestatus) AS approx_ls,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q85_sketch_state_planted" ->
+      """SELECT WEEKOFYEAR(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS week,
+        |  COUNT(DISTINCT user_id % 100) AS approx_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
     // the oracle rebuilds the same two-level bottom-256 sample with
     // ROW_NUMBER (same (prio, event_id) total order) — merge-then-trim
     // must equal single-pass trim, so one flat weekly trim suffices
