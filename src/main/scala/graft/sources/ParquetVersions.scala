@@ -318,14 +318,25 @@ object ParquetVersions {
     * and the publish. Bounded: steady conflicting DML eventually
     * surfaces the conflict to the operator instead of livelocking the
     * maintenance pass. */
+  /** Total MaskConflict retries taken JVM-wide — observability for the
+    * concurrent-writer soak (how much re-classification work sustained
+    * multi-writer contention actually costs). */
+  val maskConflictRetries = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[sources] def retryOnMaskConflict[A](attempts: Int = 3)(body: => A): A = {
+    // sustained multi-writer churn (SoakConcurrent) legitimately needs
+    // a deeper budget than the 3 attempts interactive DML wants —
+    // overridable without threading a parameter through every command
+    val budget = sys.props.get("graft.mor.retry.attempts")
+      .map(_.toInt).getOrElse(attempts)
     var i = 0
     while (true) {
       try return body
       catch {
         case e: VersionLedger.MaskConflictException =>
+          maskConflictRetries.incrementAndGet()
           i += 1
-          if (i >= attempts) throw e
+          if (i >= budget) throw e
       }
     }
     throw new IllegalStateException("unreachable")
