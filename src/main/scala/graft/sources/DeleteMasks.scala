@@ -415,17 +415,37 @@ object DeleteMasks {
     val (masked, clean) = names.partition(n => masks.get(n).exists(_.nonEmpty))
     val cleanDf = if (clean.nonEmpty) Some(read(clean)) else None
     val tableDir = dataDir.getParent.toString
-    val maskedDfs = masked.groupBy(n => masks(n).sorted).toSeq.map {
-      case (preds, ns) =>
-        if (renamed) {
-          Renames.read(spark, declared, dataDir, ns)
-            .filter(visibleAllColumnAt(tableDir, declared, preds, Seq("_gpos")))
-            .select(dataCols: _*)
-        } else {
-          read(ns).filter(visibleAllColumn(tableDir, declared, preds))
-            .select(dataCols: _*)
-        }
-    }
+    // ONE scan for ALL masked files, however diverse their mask sets:
+    // the per-file dispatch ([[FileDispatchVisible]]) binds each row to
+    // ITS file's compiled test — the former per-(distinct mask set)
+    // grouping planned one scan per SET, which after a trickle MERGE
+    // (every file its own key mask) meant one scan per FILE (the
+    // VERDICT r15 `readVisible` watch item, same fix as the change
+    // feed's). Non-renamed reads materialize the dispatch inputs from
+    // `_metadata`; rename-aware reads expose them already.
+    val maskedDfs: Seq[org.apache.spark.sql.DataFrame] =
+      if (masked.isEmpty) Seq.empty
+      else {
+        val sub = masks.view.filterKeys(masked.toSet).toMap
+        val dataPrefix = dataDir
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .makeQualified(dataDir).toUri.getPath
+        val children: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("_gfilefull")) +:
+            org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("_gpos")) +:
+            declared.fieldNames.toSeq.map(n =>
+              org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(n)))
+        val dispatch = org.apache.spark.sql.GraftShims.column(
+          FileDispatchVisible(tableDir, dataPrefix, sub, declared, children))
+        val df =
+          if (renamed) Renames.read(spark, declared, dataDir, masked)
+          else read(masked)
+            .withColumn("_gfilefull",
+              org.apache.spark.sql.functions.col("_metadata.file_path"))
+            .withColumn("_gpos",
+              org.apache.spark.sql.functions.col("_metadata.row_index"))
+        Seq(df.filter(dispatch).select(dataCols: _*))
+      }
     (cleanDf.toSeq ++ maskedDfs).reduceOption(_ unionByName _).getOrElse {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         declared)

@@ -132,6 +132,60 @@ object SoakDml {
         spark.sql("CALL graft_sd.system.purge_masks(table => 'lake.t')")
       }
       spark.catalog.clearCache()
+
+      // ---- LOG-tier twins (r16: line-ordinal DVs) — same claims on
+      // the entity-log tier: key masks and positional DVs are
+      // O(matched) bytes however large the log grows; purge is the
+      // deferred rewrite
+      spark.sql("DROP TABLE IF EXISTS graft_sd.lake.lg")
+      spark.sql("""CREATE TABLE graft_sd.lake.lg
+                   (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+      spark.range(n).selectExpr("concat('u', id % 9973) AS user_id",
+          "id AS amount", "CAST(NULL AS BINARY) AS msg",
+          "CAST(id AS STRING) AS sha256sum")
+        .repartitionByRange(4 * scale, org.apache.spark.sql.functions.col("amount"))
+        .writeTo("graft_sd.lake.lg").append()
+      val ldir = s"$wh/lake/lg"
+      graft.sources.LogVersions.enable(ldir)
+      def timedLog[A](op: String)(body: => A): A = {
+        val before = graft.sources.LogVersions.latest(ldir).get._2.toSet
+        val dvBefore = dvBytes(fs, ldir)
+        val t0 = System.nanoTime()
+        val out = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = graft.sources.LogVersions.latest(ldir).get._2.toSet
+        val written = (after -- before).toSeq.map { nm =>
+          try fs.getFileStatus(new Path(ldir, nm)).getLen
+          catch { case _: java.io.FileNotFoundException => 0L }
+        }.sum + math.max(0L, dvBytes(fs, ldir) - dvBefore)
+        secs((op, scale)) = sec
+        bytes((op, scale)) = written
+        val masks = graft.sources.LogVersions.masksFor(ldir, None)
+          .filter(_._2.nonEmpty)
+        val dvMasks = masks.valuesIterator.flatten
+          .count(graft.sources.DeletionVectors.isDv)
+        println(f"""{"op":"$op","scale":$scale,"sec":$sec%.3f,"bytes_written":$written,"masked_files":${masks.size},"dv_entries":$dvMasks}""")
+        out
+      }
+      spark.range(1000).selectExpr(s"CAST(id * $stride AS STRING) AS k", "id AS nv")
+        .createOrReplaceTempView("sd_lsrc")
+      timedLog("log_merge_mask") {
+        spark.sql("""MERGE INTO graft_sd.lake.lg t USING sd_lsrc s
+                     ON t.sha256sum = s.k
+                     WHEN MATCHED THEN UPDATE SET amount = s.nv""")
+      }
+      spark.range(5000).selectExpr(s"CAST(id * $stride5 + 7 AS STRING) AS k")
+        .createOrReplaceTempView("sd_ldv_src")
+      spark.conf.set(graft.sources.ParquetMoRMerge.MAX_MASK_KEYS_KEY, "100")
+      try timedLog("log_merge_dv") {
+        spark.sql("""MERGE INTO graft_sd.lake.lg t USING sd_ldv_src s
+                     ON t.sha256sum = s.k
+                     WHEN MATCHED THEN DELETE""")
+      } finally spark.conf.unset(graft.sources.ParquetMoRMerge.MAX_MASK_KEYS_KEY)
+      timedLog("log_purge") {
+        spark.sql("CALL graft_sd.system.purge_masks(table => 'lake.lg')")
+      }
+      spark.catalog.clearCache()
     } finally spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
 
     val lo = scales.min
@@ -149,7 +203,8 @@ object SoakDml {
         if (e.isNaN || e.isInfinite) "null" else f"$e%.2f"
       }
     }
-    val ops = Seq("merge_mask", "update_mask", "merge_dv", "dv_fold", "purge")
+    val ops = Seq("merge_mask", "update_mask", "merge_dv", "dv_fold", "purge",
+      "log_merge_mask", "log_merge_dv", "log_purge")
     val secExps = ops.map(o => s""""${o}_sec":${exp(secs.toMap, o)}""")
     val byteExps = ops.map(o =>
       s""""${o}_bytes":${exp(bytes.toMap.map { case (k, v) => k -> v.toDouble }, o)}""")
