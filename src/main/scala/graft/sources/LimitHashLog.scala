@@ -1895,8 +1895,17 @@ class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
     kept.map(f => LogSegmentPartition(f): InputPartition).toArray
   }
 
+  /** Each micro-batch applies the delete masks CURRENT at its planning
+    * time (predicate masks and DVs both — the factory's readers test
+    * them at parse), so a fresh stream's snapshot batch serves exactly
+    * what a batch read at that moment would: lightweight-deleted rows
+    * never resurrect into the stream (the parquet tail's contract,
+    * ParquetTailSpec "masks" case). A mask landing on an ALREADY-
+    * emitted segment is inherently unretractable in an append tail —
+    * the changelog stream (`logChanges`) is the retraction-aware feed. */
   override def createReaderFactory(): PartitionReaderFactory =
-    new LogSegmentReaderFactory(required, pushed)
+    new LogSegmentReaderFactory(required, pushed,
+      masks = LimitHashLog.segmentsAndMasksAllowed(path, None, None)._2)
 
   override def deserializeOffset(json: String): sread.Offset = LogOffset.fromJson(json)
   override def commit(end: sread.Offset): Unit = ()

@@ -233,6 +233,33 @@ class LogDvSpec extends AnyFunSuite {
       "unreferenced sidecars reclaimed once their versions drop")
   }
 
+  test("streaming tail applies current masks: a fresh stream's snapshot " +
+      "excludes DV-deleted AND predicate-deleted rows") {
+    val dir = freshLog()
+    val ident = catalogFor(dir, "graft_ldv6")
+    import spark.implicits._
+    Seq(("u1", 0L)).toDF("k", "amt").createOrReplaceTempView("ldv6_src")
+    withMergeOnRead {
+      spark.sql(s"""MERGE INTO $ident t USING ldv6_src s
+                    ON t.user_id = s.k
+                    WHEN MATCHED AND t.amount = 10 THEN DELETE""") // DV hides ha1
+      new LimitHashLogTable(dir).deleteWhere(
+        Array[org.apache.spark.sql.sources.Filter](
+          org.apache.spark.sql.sources.EqualTo("amount", 40L))) // predicate hides ha4
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ldv_ck").toString
+    val q = spark.readStream.format(LimitHashLog.FORMAT).load(dir)
+      .writeStream.format("memory").queryName("ldv_tail")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT sha256sum FROM ldv_tail").collect()
+        .map(_.getString(0)).toSet
+      assert(got === Set("ha2", "ha3", "hb1", "hb2", "hc1", "hc2", "hc3"),
+        s"tail snapshot must exclude masked rows: $got")
+    } finally q.stop()
+  }
+
   test("rewrite-DELETE on a DV-masked segment drops the DV positions " +
       "too (no resurrection through the CoW path)") {
     val dir = freshLog()
