@@ -1594,6 +1594,55 @@ object Pipeline {
       .orderBy("snap")
   }
 
+  /** PARQUET BLOOM SKIP INDEX oracle-checked (r16, VERDICT r15 #2
+    * promoted into the correctness gate — the `sha256sum` point-probe
+    * pattern, reference `hashes_test.go:191-203`): a catalog parquet
+    * table keyed by a content hash is written so every file's [min,
+    * max] on the hash spans the whole hex space (range pruning
+    * useless), `CALL system.build_bloom` persists 8 KiB split-block
+    * Bloom sidecars, and a 3-key point probe must (a) return exactly
+    * the probed rows — DuckDB recomputes the SHA-256 from first
+    * principles — and (b) SCHEDULE only the Bloom-positive files: the
+    * kept/total counter folds into the hash compare as an evidence
+    * row, so a regression to scan-everything flips the row even
+    * though the returned rows would still match. */
+  def p46_bloom_point_probe(spark: SparkSession, dir: String): DataFrame = {
+    catalogFor(spark, "p46", "lake")
+    spark.sql("DROP TABLE IF EXISTS graft_p46.lake.orders_h")
+    spark.sql("CREATE TABLE graft_p46.lake.orders_h (okey BIGINT, h STRING)")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast(LongType).as("okey"),
+      sha2(col("o_orderkey").cast(StringType), 256).as("h"))
+    base.createOrReplaceTempView("p46_base")
+    (0 until 8).foreach { r =>
+      spark.table("p46_base").filter(col("okey") % 8 === r)
+        .repartition(1).writeTo("graft_p46.lake.orders_h").append()
+    }
+    spark.sql("CALL graft_p46.system.build_bloom(" +
+      "table => 'lake.orders_h', columns => 'h')")
+    // 3 probe keys, derived deterministically (bounded driver collect)
+    val keys = spark.table("p46_base").orderBy(col("okey")).limit(3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dataKey = spark.conf.get("spark.sql.catalog.graft_p46.warehouse") +
+      "/lake/orders_h/data"
+    graft.sources.StatsPrunedFileIndex.lastListing.remove(dataKey)
+    val probed = spark.table("graft_p46.lake.orders_h")
+      .filter(col("h").isin(keys.map(_._2).toSeq: _*))
+      .select(col("okey"), col("h"))
+    val rows = probed.collect() // forces the pruned scan
+    val (kept, total) = Option(
+      graft.sources.StatsPrunedFileIndex.lastListing.get(dataKey))
+      .getOrElse((Int.MaxValue, 0))
+    // ≤ 3 probed keys live in ≤ 3 files; Blooms are false-positive-
+    // safe so allow one stray, but a scan-everything regression fails
+    val prunedOk = total >= 8 && kept <= 4 && rows.length == 3
+    probed
+      .unionAll(spark.sql(
+        s"""SELECT CAST(-1 AS BIGINT) AS okey,
+                   'pruned:${if (prunedOk) 1 else 0}' AS h"""))
+      .orderBy(col("okey"))
+  }
+
   /** REPLACE TABLE AS SELECT on a PARTITIONED target
     * ([[graft.sources.LogStaging]], VERDICT r12 #4): a region-
     * partitioned load is REPLACED — new schema, new contents, new
@@ -1708,6 +1757,7 @@ object Pipeline {
     "p28_lightweight_delete" -> (p28_lightweight_delete _),
     "p30_lightweight_update" -> (p30_lightweight_update _),
     "p32_merge_lightweight" -> (p32_merge_lightweight _),
+    "p46_bloom_point_probe" -> (p46_bloom_point_probe _),
     "p45_log_deletion_vectors" -> (p45_log_deletion_vectors _),
     "p40_merge_deletion_vectors" -> (p40_merge_deletion_vectors _),
     "p41_merge_by_source" -> (p41_merge_by_source _),
@@ -1870,6 +1920,15 @@ object Pipeline {
         |SELECT 'b_cur' AS snap, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
         |FROM cur
         |ORDER BY snap""".stripMargin,
+    "p46_bloom_point_probe" ->
+      """WITH b AS (SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        |    SHA256(CAST(o_orderkey AS VARCHAR)) AS h
+        |  FROM orders),
+        |k AS (SELECT okey, h FROM b ORDER BY okey LIMIT 3)
+        |SELECT okey, h FROM k
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS okey, 'pruned:1' AS h
+        |ORDER BY okey""".stripMargin,
     "p45_log_deletion_vectors" ->
       """WITH b AS (SELECT o_orderkey AS k,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS amount

@@ -714,6 +714,58 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** PARQUET-TAIL ADMISSION CONTROL oracle-checked (r16, VERDICT r15
+    * #1's "done" shape promoted into the correctness gate): the s20
+    * table-to-table pipeline under `maxFilesPerTrigger = 2` — a 6-file
+    * snapshot must stream in ≥ 3 BOUNDED micro-batches and the
+    * post-checkpoint append wave in ≥ 1 more, with the union EXACT.
+    * The bounded-batch count folds into the hash compare as an
+    * evidence row (a regression to one giant snapshot batch flips it
+    * to 0 even though the rows would still match). At 100 TB this cap
+    * is what keeps a fresh derived-table backfill from taking the
+    * entire source as one multi-TB micro-batch. */
+  def s22_tail_admission(spark: SparkSession, dir: String): DataFrame = {
+    Pipeline.catalogFor(spark, "s22", "lake")
+    val ck = java.nio.file.Files.createTempDirectory("graft_lhcat_s22_ck").toString
+    spark.sql("DROP TABLE IF EXISTS graft_s22.lake.src")
+    spark.sql("DROP TABLE IF EXISTS graft_s22.lake.dst")
+    spark.sql("CREATE TABLE graft_s22.lake.src (user_id STRING, cents BIGINT)")
+    spark.sql("CREATE TABLE graft_s22.lake.dst (user_id STRING, cents BIGINT)")
+    val base = Tables.orders(spark, dir).select(
+      col("o_orderkey").cast(LongType).as("okey"),
+      concat(lit("u"), col("o_custkey") % 97).as("user_id"),
+      (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(9, 2)) * 100)
+        .cast(LongType).as("cents"))
+    def writeWave(r: Int): Unit =
+      base.filter(col("okey") % 6 === r).drop("okey")
+        .repartition(2).writeTo("graft_s22.lake.src").append()
+    (0 to 2).foreach(writeWave) // 6-file baseline
+    spark.sql("CALL graft_s22.system.enable_versioning(table => 'lake.src')")
+    var nonEmptyBatches = 0L
+    def run(): Unit = {
+      val q = spark.readStream.option("maxFilesPerTrigger", "2")
+        .table("graft_s22.lake.src")
+        .writeStream.option("checkpointLocation", ck)
+        .toTable("graft_s22.lake.dst")
+      q.processAllAvailable()
+      nonEmptyBatches += q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+    }
+    run()                       // snapshot: 6 files / cap 2 → ≥ 3 batches
+    val snapBatches = nonEmptyBatches
+    (3 to 5).foreach(writeWave) // plain INSERTs — catch-up territory
+    run()                       // checkpoint resume, bounded catch-up
+    val bounded = snapBatches >= 3 && nonEmptyBatches >= snapBatches + 1
+    spark.table("graft_s22.lake.dst")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .unionAll(spark.sql(
+        s"""SELECT 'zz_bounded_batches' AS user_id,
+                   CAST(${if (bounded) 1 else 0} AS BIGINT) AS n,
+                   CAST(1 AS BIGINT) AS sum_cents"""))
+      .orderBy(col("user_id"))
+  }
+
   /** STREAMING INTO A PARTITIONED TABLE
     * ([[graft.sources.PartitionedStreamingWrite]]): the s20 pipeline
     * shape with a `PARTITIONED BY (days(mday))` destination — every
@@ -760,6 +812,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_tail_admission" -> (s22_tail_admission _),
     "s21_stream_partitioned_sink" -> (s21_stream_partitioned_sink _),
     "s20_stream_table_pipeline" -> (s20_stream_table_pipeline _),
     "s19_stream_cdc_matview" -> (s19_stream_cdc_matview _),
@@ -832,6 +885,17 @@ object StreamingQueries {
         |WHERE cents % 3 = 0
         |  AND mday >= DATE '1993-01-01' AND mday <= DATE '1997-06-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s22_tail_admission" ->
+      """WITH b AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT user_id, n, sum_cents FROM (
+        |  SELECT user_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |  FROM b GROUP BY user_id
+        |  UNION ALL
+        |  SELECT 'zz_bounded_batches' AS user_id, CAST(1 AS BIGINT) AS n,
+        |         CAST(1 AS BIGINT) AS sum_cents)
+        |ORDER BY user_id""".stripMargin,
     "s20_stream_table_pipeline" ->
       """WITH b AS (SELECT 'u' || CAST(o_custkey % 97 AS VARCHAR) AS user_id,
         |    CAST(CAST(o_totalprice AS DECIMAL(9,2)) * 100 AS BIGINT) AS cents
