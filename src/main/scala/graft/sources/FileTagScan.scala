@@ -70,14 +70,125 @@ class FileTagParquetScanBuilder(sparkSession: SparkSession,
 
   /** Aggregate pushdown answers from footer metadata, which counts
     * MASKED rows — declined whenever masks exist (and on `_file`
-    * scans, which a metadata-served aggregate would bypass; and on
-    * RENAMED tables, whose pre-rename footers key their stats by the
-    * old column names). */
+    * scans, which a metadata-served aggregate would bypass).
+    *
+    * RENAMED tables cannot take Spark's own parquet aggregate path
+    * (its footer reads key stats by the REQUESTED name; a pre-rename
+    * file would answer wrong or crash) — instead the aggregate is
+    * served HERE from the SAME translated stats the pruning index
+    * uses ([[StatsPrunedFileIndex.translateStats]]), as a COMPLETE
+    * pushdown: MIN/MAX over the exact-stats domains (integral, date,
+    * timestamp — strings excluded for footer truncation, floats for
+    * NaN hazards, decimals for scale semantics), COUNT(*) from row
+    * counts, COUNT(col) from row − null counts; any file missing a
+    * needed stat declines the whole push (row scan, correct). Values
+    * are computed at ACCEPTANCE time from the index's pinned listing —
+    * the snapshot rule the log tier established (ADVICE r7). */
+  private var renamedAggValues: Option[(StructType, Seq[Any], Seq[String])] = None
+
+  private def renamedAggOf(aggregation: Aggregation)
+      : Option[(StructType, Seq[Any], Seq[String])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (!sparkSession.sessionState.conf.parquetAggregatePushDown) return None
+    if (wantsFile || masks.nonEmpty) return None
+    if (pushedFilters.nonEmpty) return None
+    if (aggregation.groupByExpressions.nonEmpty) return None
+    if (aggregation.aggregateExpressions.isEmpty) return None
+    val index = fileIndex match {
+      case s: StatsPrunedFileIndex => s
+      case _ => return None
+    }
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        dataSchema.fields.find(_.name.equalsIgnoreCase(nr.fieldNames.head))
+      case _ => None
+    }
+    // declared type → (expected stats domain, stats value → internal)
+    def domainOf(dt: DataType): Option[(ParquetFooterStats.Domain, Any => Any)] =
+      dt match {
+        case LongType => Some((ParquetFooterStats.DInt, identity))
+        case IntegerType => Some((ParquetFooterStats.DInt,
+          v => v.asInstanceOf[Long].toInt))
+        case ShortType => Some((ParquetFooterStats.DInt,
+          v => v.asInstanceOf[Long].toShort))
+        case ByteType => Some((ParquetFooterStats.DInt,
+          v => v.asInstanceOf[Long].toByte))
+        case DateType => Some((ParquetFooterStats.DDays,
+          v => v.asInstanceOf[Long].toInt))
+        case TimestampType | TimestampNTZType =>
+          Some((ParquetFooterStats.DMicros, identity))
+        case _ => None // strings truncate, floats carry NaN, decimals scale
+      }
+    val stats = index.translatedStatsOfAll().getOrElse(return None)
+    def colStatsOf(f: StructField): Option[Seq[ParquetFooterStats.ColStats]] = {
+      val (dom, _) = domainOf(f.dataType).getOrElse(return None)
+      val per = stats.map(_.cols.get(f.name.toLowerCase))
+      if (per.exists(_.isEmpty)) return None
+      val cs = per.flatten
+      if (cs.exists(_.domain != dom)) return None
+      Some(cs)
+    }
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    val tags = Seq.newBuilder[String]
+    aggregation.aggregateExpressions.toSeq.zipWithIndex.foreach {
+      case (_: CountStar, i) =>
+        fields += StructField(s"agg_$i", LongType, nullable = false)
+        values += stats.map(_.rowCount).sum
+        tags += "count_star"
+      case (c: Count, i) if !c.isDistinct =>
+        val f = fieldOf(c.column).getOrElse(return None)
+        // COUNT(col) = rows − nulls; needs a null count from EVERY file
+        // (domain doesn't matter — null counts are type-agnostic, but
+        // the column must be stats-covered everywhere)
+        val per = stats.map(_.cols.get(f.name.toLowerCase))
+        if (per.exists(_.isEmpty)) return None
+        val nulls = per.flatten.map(_.nulls.getOrElse(return None))
+        fields += StructField(s"agg_$i", LongType, nullable = false)
+        values += stats.map(_.rowCount).sum - nulls.sum
+        tags += s"count(${f.name})"
+      case (m: Min, i) =>
+        val f = fieldOf(m.column).getOrElse(return None)
+        val (_, conv) = domainOf(f.dataType).getOrElse(return None)
+        val cs = colStatsOf(f).getOrElse(return None)
+        val mins = cs.flatMap(_.min) // all-null files contribute nothing
+        fields += StructField(s"agg_$i", f.dataType, nullable = true)
+        values += (if (mins.isEmpty) null
+          else conv(mins.map(_.asInstanceOf[Long]).min))
+        tags += s"min(${f.name})"
+      case (m: Max, i) =>
+        val f = fieldOf(m.column).getOrElse(return None)
+        val (_, conv) = domainOf(f.dataType).getOrElse(return None)
+        val cs = colStatsOf(f).getOrElse(return None)
+        val maxs = cs.flatMap(_.max)
+        fields += StructField(s"agg_$i", f.dataType, nullable = true)
+        values += (if (maxs.isEmpty) null
+          else conv(maxs.map(_.asInstanceOf[Long]).max))
+        tags += s"max(${f.name})"
+      case _ => return None
+    }
+    Some((StructType(fields.result()), values.result(), tags.result()))
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    if (Renames.hasRenames(dataSchema)) renamedAggOf(aggregation).isDefined
+    else super.supportCompletePushDown(aggregation)
+
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    !wantsFile && masks.isEmpty && !Renames.hasRenames(dataSchema) &&
-      super.pushAggregation(aggregation)
+    if (Renames.hasRenames(dataSchema)) {
+      renamedAggValues = renamedAggOf(aggregation)
+      renamedAggValues.isDefined
+    } else {
+      !wantsFile && masks.isEmpty && super.pushAggregation(aggregation)
+    }
 
   override def build(): ParquetScan = {
+    renamedAggValues.foreach { case (aggSchema, vals, tags) =>
+      return new PrecomputedAggScan(super.build(), aggSchema, vals, tags)
+    }
     val inner = super.build()
     if (wantsFile) new FileTaggedScan(inner, masks)
     else if (masks.nonEmpty) new MaskedParquetScan(inner, masks)
@@ -429,4 +540,64 @@ class FileTaggedReaderFactory(inner: PartitionReaderFactory,
       override def close(): Unit = delegate.close()
     }
   }
+}
+
+/** A pushed aggregate over a RENAMED table served ENTIRELY from the
+  * translated footer/sidecar stats ([[StatsPrunedFileIndex]]): one
+  * value partition, no data file opened — the parquet twin of the log
+  * tier's metadata-served aggregates, for the tables Spark's own
+  * footer-aggregate path cannot read (stats keyed by historical
+  * names). Values were computed and PINNED at pushdown-acceptance
+  * time from the index's listing snapshot. */
+class PrecomputedAggScan(val inner: ParquetScan, aggSchema: StructType,
+    values: Seq[Any], tags: Seq[String])
+    extends ParquetScan(inner.sparkSession, inner.hadoopConf, inner.fileIndex,
+      inner.dataSchema, inner.readDataSchema, inner.readPartitionSchema,
+      inner.pushedFilters, inner.options, inner.pushedAggregate,
+      inner.partitionFilters, inner.dataFilters,
+      inner.pushedVariantExtractions) {
+
+  override def readSchema(): StructType = aggSchema
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(PrecomputedAggPartition(values))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PrecomputedAggReaderFactory
+
+  override def description(): String =
+    s"PrecomputedAgg(translated-stats)[${tags.mkString(", ")}]" +
+      s"(${inner.description()})"
+
+  override def equals(obj: Any): Boolean = obj match {
+    case p: PrecomputedAggScan =>
+      inner == p.inner && aggSchema == p.aggSchema0 && values == p.values0
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (inner.hashCode() ^ 0x51a7c0de) + values.hashCode()
+  private[sources] def aggSchema0: StructType = aggSchema
+  private[sources] def values0: Seq[Any] = values
+}
+
+case class PrecomputedAggPartition(values: Seq[Any]) extends InputPartition
+
+class PrecomputedAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case PrecomputedAggPartition(values) => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow = new GenericInternalRow(
+          values.map {
+            case s: String => UTF8String.fromString(s)
+            case other => other
+          }.toArray)
+        override def close(): Unit = ()
+      }
+      case other => throw new IllegalStateException(
+        s"unexpected partition for a precomputed aggregate: $other")
+    }
+  // one constant row: the row reader is the whole story
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
 }

@@ -556,7 +556,7 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
     * renames that would collide with any live footer's other columns
     * (RenameColumnSpec pins the refusals), so a historical name in a
     * footer can only mean THIS field's data. */
-  private def translateStats(fs: ParquetFooterStats.FileStats)
+  private[sources] def translateStats(fs: ParquetFooterStats.FileStats)
       : ParquetFooterStats.FileStats =
     if (renameAliases.isEmpty) fs
     else {
@@ -695,6 +695,37 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
     }
     StatsPrunedFileIndex.lastListing.put(dataDir.toString, (kept, total))
     pruned
+  }
+
+  /** TRANSLATED per-file stats of the ENTIRE current listing (honoring
+    * a pinned `allowed` set) — the metadata snapshot a renamed table's
+    * pushed aggregate answers from ([[FileTagParquetScanBuilder]]).
+    * None when any file's footer is unreadable: the caller must fall
+    * back to the row scan rather than under-count. Sidecar entries
+    * serve most files with zero footer opens; misses read the footer
+    * once into the process cache (the same cost the pruning pass
+    * pays). */
+  private[sources] def translatedStatsOfAll()
+      : Option[Seq[ParquetFooterStats.FileStats]] = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val sidecar = ParquetFooterStats.readSidecar(conf, dataDir)
+    val files = listFiles(Seq.empty, Seq.empty).flatMap(_.files)
+    val out = Seq.newBuilder[ParquetFooterStats.FileStats]
+    files.foreach { f =>
+      val rel = PartitionSpecs.relFromData(f.getPath)
+      val st = sidecar.get(rel).collect {
+        case (l, m, s) if l == f.getLen && m == f.getModificationTime => s
+      }.orElse {
+        try Some(ParquetFooterStats.get(conf, f.getPath, f.getLen,
+          f.getModificationTime))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+      st match {
+        case Some(s) => out += translateStats(s)
+        case None => return None
+      }
+    }
+    Some(out.result())
   }
 }
 

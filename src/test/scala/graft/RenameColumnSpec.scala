@@ -212,6 +212,49 @@ class RenameColumnSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("aggregate pushdown on a renamed table serves MIN/MAX/COUNT from " +
+      "translated stats — no data file opened, exact values") {
+    spark.sql("DROP TABLE IF EXISTS graft_rn.lake.r10")
+    spark.sql("CREATE TABLE graft_rn.lake.r10 (id BIGINT, amt BIGINT)")
+    (0 until 4).foreach { i =>
+      spark.range(i * 100, i * 100 + 100).selectExpr("id", "id * 3 AS amt")
+        .coalesce(1).writeTo("graft_rn.lake.r10").append()
+    }
+    spark.sql("ALTER TABLE graft_rn.lake.r10 RENAME COLUMN amt TO cents")
+    spark.range(400, 450).selectExpr("id", "id * 3 AS cents")
+      .coalesce(1).writeTo("graft_rn.lake.r10").append()
+    val agg = spark.sql("""SELECT min(cents) AS mn, max(cents) AS mx,
+                                  count(*) AS n, count(cents) AS nc
+                           FROM graft_rn.lake.r10""")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PrecomputedAgg"),
+      s"renamed-table aggregate must serve from translated stats:\n${plan.take(1500)}")
+    val r = agg.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((0L, 449L * 3, 450L, 450L)))
+    // composed with widening: the r8 table carries old-name int32 files
+    // AND new-name int64 files under one BIGINT column — same DInt
+    // stats domain, still metadata-served
+    val agg8 = spark.sql(
+      "SELECT min(cents) AS mn, max(cents) AS mx FROM graft_rn.lake.r8")
+    assert(agg8.queryExecution.executedPlan.toString.contains("PrecomputedAgg"))
+    val want = spark.sql(
+      "SELECT /*+ REPARTITION(1) */ cents FROM graft_rn.lake.r8")
+      .collect().map(_.getLong(0))
+    assert(agg8.head.getLong(0) === want.min)
+    assert(agg8.head.getLong(1) === want.max)
+    // a filtered aggregate falls back to the row scan and stays exact
+    val filtered = spark.sql(
+      "SELECT max(cents) AS mx FROM graft_rn.lake.r10 WHERE id < 100")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("PrecomputedAgg"))
+    assert(filtered.head.getLong(0) === 99L * 3)
+    // a GROUP BY falls back too
+    val grouped = spark.sql(
+      "SELECT id % 2 AS g, max(cents) FROM graft_rn.lake.r10 GROUP BY 1")
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PrecomputedAgg"))
+    assert(grouped.collect().length === 2)
+  }
+
   test("footer pruning on a renamed column equals the pre-rename counts " +
       "(old-name stats translate through the name history — no permanent tax)") {
     spark.sql("DROP TABLE IF EXISTS graft_rn.lake.r9")
