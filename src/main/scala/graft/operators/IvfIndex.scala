@@ -166,4 +166,25 @@ object IvfIndex {
     spark.sql(s"INSERT OVERWRITE ${fq}_meta SELECT CAST($v1 AS BIGINT) AS indexed_version")
     v1
   }
+
+  /** CONTINUOUS maintenance: the corpus table's streaming CHANGELOG
+    * (ledger-ordinal offsets, checkpointed) drives [[refresh]] on every
+    * commit — the standing form of "the index follows the corpus".
+    * The changelog is the change NOTIFICATION; the fold itself
+    * re-derives its span from the persisted `_meta` version, so it is
+    * IDEMPOTENT under micro-batch replay (a retried batch sees the
+    * meta already advanced and no-ops) and safe across restarts — the
+    * effectively-once shape every maintenance consumer of the feed
+    * uses. At 100 TB: per-commit increments only, the inverted lists
+    * never rewrite, the quantizer never re-fits. */
+  def maintainStream(spark: SparkSession, corpusDir: String, fq: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft.sources.ParquetChanges")
+      .option("path", corpusDir).load()
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, corpusDir, fq)
+        ()
+      }
+      .start()
 }

@@ -149,6 +149,48 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got === Map(350L -> 350L, 377L -> 377L))
   }
 
+  test("maintainStream: the corpus changelog drives continuous index " +
+      "maintenance — appends searchable, deletes gone, restart-safe") {
+    val fq = "graft_ivf.ann.e5"
+    spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus5")
+    corpusDf(200).createOrReplaceTempView("ivf_c5")
+    spark.sql("CREATE TABLE graft_ivf.ann.corpus5 AS SELECT * FROM ivf_c5")
+    val corpusDir = s"$warehouse/ann/corpus5"
+    graft.sources.ParquetVersions.enable(corpusDir) // v1
+    IvfIndex.build(spark, spark.table("graft_ivf.ann.corpus5"), fq,
+      k = 8, indexedVersion = 1L)
+    val ck = java.nio.file.Files.createTempDirectory("graft_ivf_ck").toString
+    val q = IvfIndex.maintainStream(spark, corpusDir, fq, ck)
+    try {
+      corpusDf(260, from = 200).createOrReplaceTempView("ivf_c5b")
+      spark.sql("INSERT INTO graft_ivf.ann.corpus5 SELECT * FROM ivf_c5b")
+      graft.sources.ParquetVersions.catchUp(corpusDir) // publish the append
+      q.processAllAvailable()
+      assert(IvfIndex.indexedVersion(spark, fq) >= 2L)
+      assert(spark.table(s"${fq}_assign").count() === 260L)
+      val got = searchCopiesOf(Seq(230L), spark.table("graft_ivf.ann.corpus5"), fq)
+      assert(got === Map(230L -> 230L), "streamed-in append must be searchable")
+      spark.sql("DELETE FROM graft_ivf.ann.corpus5 WHERE vec_id = 230")
+      q.processAllAvailable()
+      assert(spark.table(s"${fq}_assign").filter(col("vec_id") === 230L).count() === 0L,
+        "streamed-in delete must leave the index")
+    } finally q.stop()
+    // restart from the checkpoint: nothing replays (refresh idempotent
+    // on a no-op span), another append still folds
+    val metaAfter = IvfIndex.indexedVersion(spark, fq)
+    val q2 = IvfIndex.maintainStream(spark, corpusDir, fq, ck)
+    try {
+      q2.processAllAvailable()
+      assert(IvfIndex.indexedVersion(spark, fq) === metaAfter)
+      assert(spark.table(s"${fq}_assign").count() === 259L)
+      corpusDf(265, from = 260).createOrReplaceTempView("ivf_c5c")
+      spark.sql("INSERT INTO graft_ivf.ann.corpus5 SELECT * FROM ivf_c5c")
+      graft.sources.ParquetVersions.catchUp(corpusDir)
+      q2.processAllAvailable()
+      assert(spark.table(s"${fq}_assign").count() === 264L)
+    } finally q2.stop()
+  }
+
   test("refresh propagates corpus deletes") {
     val fq = "graft_ivf.ann.e4"
     spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus4")
