@@ -1871,7 +1871,23 @@ class LogMicroBatchStream(path: String, required: StructType, pushed: Array[Filt
   override def latestOffset(start: sread.Offset, limit: sread.ReadLimit): sread.Offset = {
     val seen = start.asInstanceOf[LogOffset].segments
     val seenSet = seen.toSet
-    val unseen = LimitHashLog.liveSegments(path).filterNot(s => seenSet.contains(s._1))
+    val live = LimitHashLog.liveSegments(path)
+    // a RETIRING commit (compaction, CoW DML, zone DELETE) replaced or
+    // dropped segments this stream already emitted — the replacement
+    // outputs would DOUBLE-EMIT their carried-over rows and dropped
+    // rows cannot be retracted, so fail loudly (the parquet tail's
+    // contract, ParquetTailSpec "retiring commit" case). The changelog
+    // stream (`option("changeFeed")`) is the rewrite-aware feed.
+    val liveSet = live.map(_._1).toSet
+    val retired = seen.filterNot(liveSet)
+    if (retired.nonEmpty) throw new IllegalStateException(
+      s"log tail of $path: ${retired.size} segment(s) this stream already " +
+        s"emitted were retired by a rewrite (e.g. ${retired.head}) — an " +
+        "append tail can neither retract their rows nor distinguish a " +
+        "rewrite's carried-over rows from new data; restart from a fresh " +
+        "checkpoint after maintenance, or consume the changelog stream " +
+        "(option(\"changeFeed\", \"true\")) for rewrite-aware semantics")
+    val unseen = live.filterNot(s => seenSet.contains(s._1))
     val admitted = unseen.take(admitCount(unseen, limit)).map(_._1)
     LogOffset(seen ++ admitted)
   }

@@ -881,4 +881,37 @@ class DsV2SourceSpec extends AnyFunSuite {
       .filter(col("user_id") === "u3-2").select("user_id").limit(1)
     assert(filtered.collect().map(_.getString(0)).toSeq == Seq("u3-2"))
   }
+
+  test("streaming tail fails LOUDLY when a rewrite retires segments it " +
+      "already emitted (compaction outputs must not double-emit)") {
+    val dir = Files.createTempDirectory("graft_lhlog_ret").toString
+    val ck = Files.createTempDirectory("graft_lhlog_ret_ck").toString
+    writeDir(sampleDf("a", 5), dir, "append")
+    writeDir(sampleDf("b", 3), dir, "append")
+    graft.sources.LogVersions.enable(dir)
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val q = spark.readStream.format(LimitHashLog.FORMAT).load(dir)
+      .select("user_id")
+      .writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add(r.getString(0))): Unit)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.size === 8)
+      // compaction packs the two emitted segments into one NEW segment —
+      // an unseen name carrying only already-emitted rows
+      graft.sources.Compaction.compactLog(spark, dir, "cmpRet")
+      writeDir(sampleDf("c", 2), dir, "append")
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("retired by a rewrite")),
+        s"tail must fail loudly on retirement, got: ${messages(e).mkString(" | ")}")
+      // and it must NOT have double-emitted the packed rows
+      assert(seen.size === 8, s"no duplicates through the failure: ${seen.size}")
+    } finally q.stop()
+  }
 }
