@@ -26,6 +26,10 @@ import org.apache.spark.sql.SparkSession
   * growth exponent — contention cost must not super-scale with table
   * size (the conflict window is per-FILE mask drift, not table scan).
   *
+  * The LOG-tier leg runs the same two-writer/maintenance shape against
+  * an entity-log table (fixed schema, MERGE on sha256sum) — the r16
+  * line-ordinal DV machinery under the same contention.
+  *
   * Usage: runMain graft.tools.SoakConcurrent [baseRows] [scales] [rounds]
   * (defaults 50000, "1,10", 6). */
 object SoakConcurrent {
@@ -119,6 +123,79 @@ object SoakConcurrent {
         s""""row_count_ok":${total == n}}""")
       require(bad == 0L && untouchedBad == 0L && total == n,
         s"LOST UPDATES at scale=$scale: touched=$bad untouched=$untouchedBad total=$total/$n")
+      spark.catalog.clearCache()
+
+      // ---- LOG-tier leg: same contention shape on the entity log ----
+      spark.sql("DROP TABLE IF EXISTS graft_sc.lake.lg")
+      spark.sql("""CREATE TABLE graft_sc.lake.lg
+                   (user_id STRING, amount BIGINT, msg BINARY, sha256sum STRING)""")
+      spark.range(n).selectExpr("concat('u', id % 97) AS user_id",
+          "id AS amount", "CAST(NULL AS BINARY) AS msg",
+          "CAST(id AS STRING) AS sha256sum")
+        .repartitionByRange(4 * scale, org.apache.spark.sql.functions.col("amount"))
+        .writeTo("graft_sc.lake.lg").append()
+      val ldir = s"$wh/lake/lg"
+      graft.sources.LogVersions.enable(ldir)
+      (0 to 1).foreach { w =>
+        spark.range(nKeys).selectExpr(s"CAST(id * $stride + $w AS STRING) AS k")
+          .createOrReplaceTempView(s"sc_lsrc_$w")
+      }
+      spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
+      val lRetries0 = graft.sources.ParquetVersions.maskConflictRetries.get()
+      val lErrors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val lDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val lWall = scala.collection.mutable.Map[Int, Double]()
+      var lPurges = 0L
+      def lWriter(w: Int): Thread = new Thread(() => {
+        try {
+          val t0 = System.nanoTime()
+          (1 to rounds).foreach { _ =>
+            spark.sql(s"""MERGE INTO graft_sc.lake.lg t USING sc_lsrc_$w s
+                          ON t.sha256sum = s.k
+                          WHEN MATCHED THEN UPDATE SET amount = t.amount + 1""")
+          }
+          lWall.synchronized { lWall(w) = (System.nanoTime() - t0) / 1e9 }
+        } catch { case t: Throwable => lErrors.add(t) }
+      }, s"soak-lwriter-$w")
+      val lMaint = new Thread(() => {
+        try while (!lDone.get()) {
+          spark.sql(
+            "CALL graft_sc.system.purge_masks(table => 'lake.lg', min_preds => 3)")
+          lPurges += 1
+          Thread.sleep(150L)
+        } catch { case t: Throwable => lErrors.add(t) }
+      }, "soak-lmaint")
+      val lws = Seq(lWriter(0), lWriter(1))
+      lMaint.start(); lws.foreach(_.start())
+      lws.foreach(_.join())
+      lDone.set(true)
+      lMaint.join()
+      spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
+      if (!lErrors.isEmpty) {
+        lErrors.forEach(_.printStackTrace())
+        throw new IllegalStateException(
+          s"log concurrent soak leg scale=$scale had ${lErrors.size} failures")
+      }
+      val lRetries =
+        graft.sources.ParquetVersions.maskConflictRetries.get() - lRetries0
+      val lBad = spark.sql(
+        s"""SELECT count(*) FROM graft_sc.lake.lg
+            WHERE (CAST(sha256sum AS BIGINT) % $stride) IN (0, 1)
+              AND CAST(sha256sum AS BIGINT) < ${stride * nKeys}
+              AND amount != CAST(sha256sum AS BIGINT) + $rounds""").head.getLong(0)
+      val lUntouchedBad = spark.sql(
+        s"""SELECT count(*) FROM graft_sc.lake.lg
+            WHERE NOT ((CAST(sha256sum AS BIGINT) % $stride) IN (0, 1)
+                       AND CAST(sha256sum AS BIGINT) < ${stride * nKeys})
+              AND amount != CAST(sha256sum AS BIGINT)""").head.getLong(0)
+      val lTotal = spark.table("graft_sc.lake.lg").count()
+      println(s"""{"op":"log_concurrent_merge","scale":$scale,"rows":$n,""" +
+        f""""writer0_sec":${lWall.getOrElse(0, -1.0)}%.3f,""" +
+        f""""writer1_sec":${lWall.getOrElse(1, -1.0)}%.3f,""" +
+        s""""retries":$lRetries,"purges":$lPurges,""" +
+        s""""lost_or_double":${lBad + lUntouchedBad},"row_count_ok":${lTotal == n}}""")
+      require(lBad == 0L && lUntouchedBad == 0L && lTotal == n,
+        s"LOG LOST UPDATES at scale=$scale: touched=$lBad untouched=$lUntouchedBad total=$lTotal/$n")
       spark.catalog.clearCache()
     } finally sys.props.remove("graft.mor.retry.attempts")
 
