@@ -105,7 +105,17 @@ object Aggregates {
     * The UNBOUNDED regime (genuinely approximate, no cross-engine
     * oracle possible — sketches differ by implementation) stays
     * spec-covered: FrequencySpec asserts raw-domain estimates land
-    * within 5% of exact. */
+    * within 5% of exact.
+    *
+    * DEPENDENCY-VERSION ASSUMPTION (ADVICE r16): this oracle's
+    * bit-exactness rides Spark 4.1's HyperLogLogPlusPlus
+    * linear-counting rounding (and q71's rides Datasketches' exact
+    * SET-mode at lgK 12, see Frequency.q71). Both libraries ship
+    * pinned in `/opt/spark/jars`; if a future Spark/Datasketches
+    * upgrade flips this gate, triage as an estimator REGIME SHIFT
+    * (re-verify the 5%-band specs still pass, then re-derive the
+    * exactness argument or demote the query to rows-only), not as a
+    * correctness bug. */
   def q29_agg_approx_distinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
@@ -279,7 +289,11 @@ object Aggregates {
     * to estimating registers, so ≤ 100 distinct values stay EXACT
     * through any number of unions and the estimate IS the distinct
     * count, which DuckDB recomputes from first principles. Pins
-    * sketch-agg → persist → re-read → union-agg → estimate. */
+    * sketch-agg → persist → re-read → union-agg → estimate.
+    * Dependency-version assumption recorded on
+    * [[q29_agg_approx_distinct]] (ADVICE r16): a Datasketches upgrade
+    * that changes SET-mode promotion would be a regime shift, not a
+    * correctness bug. */
   def q71_sketch_state(spark: SparkSession, dir: String): DataFrame = {
     val stateDir = java.nio.file.Files.createTempDirectory("graft_aggstate").toString
     Tables.events(spark, dir)

@@ -36,6 +36,16 @@ import graft.functions.VectorFns
   */
 object IvfIndex {
 
+  /** Staging temp-view names are derived from the INDEX prefix, so two
+    * concurrent maintenance flows in one session (two `maintainStream`
+    * queries on different indexes, or a manual [[refresh]] racing one)
+    * can never clobber each other's staged delta between
+    * `createOrReplaceTempView` and the statement that reads it
+    * (ADVICE r16: session-global fixed names merged one corpus's delta
+    * into another index's lists). */
+  private def viewName(kind: String, fq: String): String =
+    s"graft_ivf_${kind}_" + fq.map(c => if (c.isLetterOrDigit) c else '_')
+
   /** Fit the coarse quantizer on a deterministic bounded sample of
     * `corpus` and persist centroids + cell assignments + version meta.
     * `fq` is the fully-qualified table prefix (`cat.ns.name`).
@@ -53,20 +63,22 @@ object IvfIndex {
     spark.sql(s"DROP TABLE IF EXISTS ${fq}_centroids")
     spark.sql(s"DROP TABLE IF EXISTS ${fq}_assign")
     spark.sql(s"DROP TABLE IF EXISTS ${fq}_meta")
+    val centroidsView = viewName("centroids_in", fq)
+    val assignView = viewName("assign_in", fq)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
-      .createOrReplaceTempView("graft_ivf_centroids_in")
+      .createOrReplaceTempView(centroidsView)
     spark.sql(s"""CREATE TABLE ${fq}_centroids AS
-                  SELECT * FROM graft_ivf_centroids_in""")
+                  SELECT * FROM $centroidsView""")
     corpus.select(
         col("vec_id").cast("long").as("vec_id"),
         element_at(VectorFns.nearestCells(col("embedding"), centroids, 1), 1)
           .cast("int").as("cell"),
         col("embedding"))
-      .createOrReplaceTempView("graft_ivf_assign_in")
+      .createOrReplaceTempView(assignView)
     spark.sql(s"""CREATE TABLE ${fq}_assign PARTITIONED BY (cell) AS
-                  SELECT * FROM graft_ivf_assign_in""")
+                  SELECT * FROM $assignView""")
     spark.sql(s"CREATE TABLE ${fq}_meta AS SELECT CAST($indexedVersion AS BIGINT) AS indexed_version")
     ()
   }
@@ -84,11 +96,27 @@ object IvfIndex {
   def indexedVersion(spark: SparkSession, fq: String): Long =
     spark.table(s"${fq}_meta").head().getLong(0)
 
+  /** How many query rows [[search]] will ship as a BROADCAST probe
+    * side before falling back to a shuffle join. The broadcast (and the
+    * driver-collected probed-cell list, bounded by k regardless) is the
+    * serving fast path for the contract case — a bounded online query
+    * batch; a bulk offline query set past this threshold joins by
+    * shuffle instead of exhausting the driver (ADVICE r16). */
+  private[operators] val BroadcastQueryLimit: Long = 100000L
+
   /** Top-k cosine search THROUGH the persisted index: probe the nProbe
     * nearest cells per query, scan only those inverted lists (literal
     * `cell IN` → identity-partition pruning; the probed-cell set is
     * bounded by k, not by corpus or query count), exact-cosine re-rank.
-    * `queries` needs (qid, qe). Returns (qid, rn, nid, cos). */
+    * `queries` needs (qid, qe). Returns (qid, rn, nid, cos).
+    *
+    * CONTRACT: `queries` is a bounded batch. Up to
+    * [[BroadcastQueryLimit]] rows it broadcasts as the probe side
+    * (cost: queries × dim floats shipped once per executor); larger
+    * sets switch to a shuffle join on `cell` — still correct, still
+    * pruned to the probed cells, just not driver-staged. `queries` is
+    * evaluated twice (size probe + join); cache it if its lineage is
+    * expensive. */
   def search(spark: SparkSession, queries: DataFrame, fq: String,
       nProbe: Int, topK: Int): DataFrame = {
     val centroids = centroidsOf(spark, fq)
@@ -98,9 +126,17 @@ object IvfIndex {
       .collect().map(_.getInt(0)).sorted // ≤ k values — prunes the scan
     val lists = spark.table(s"${fq}_assign")
       .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val probeSide = {
+      val q = qcells.withColumn("cell", col("cell").cast("int"))
+      // limit(n+1).count() bounds the size probe itself — it never
+      // scans past the threshold on a huge query set
+      if (queries.limit((BroadcastQueryLimit + 1).toInt).count() <= BroadcastQueryLimit)
+        broadcast(q)
+      else q
+    }
     // each vector lives in exactly one cell and (qid, cell) pairs are
     // distinct, so (qid, nid) pairs are unique — no dedup shuffle needed
-    val pairs = broadcast(qcells.withColumn("cell", col("cell").cast("int")))
+    val pairs = probeSide
       .join(lists, Seq("cell"))
       .select(col("qid"), col("vec_id").as("nid"),
         VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
@@ -145,13 +181,13 @@ object IvfIndex {
           .cast("int").as("cell"),
         col("ins.embedding").as("embedding"),
         when(col("ins").isNull, "delete").otherwise("insert").as("ct"))
-      .createOrReplaceTempView("graft_ivf_delta")
+      .createOrReplaceTempView(viewName("delta", fq))
     // merge-on-read: deletes/updates publish masks, inserts append —
     // existing inverted-list files are never rewritten by maintenance
     val modeBefore = spark.conf.getOption(graft.sources.DeleteMasks.MODE_KEY)
     spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
     try {
-      spark.sql(s"""MERGE INTO ${fq}_assign t USING graft_ivf_delta s
+      spark.sql(s"""MERGE INTO ${fq}_assign t USING ${viewName("delta", fq)} s
                     ON t.vec_id = s.vec_id
                     WHEN MATCHED AND s.ct = 'delete' THEN DELETE
                     WHEN MATCHED THEN UPDATE SET cell = s.cell, embedding = s.embedding

@@ -86,6 +86,24 @@ class FileTagParquetScanBuilder(sparkSession: SparkSession,
     * the snapshot rule the log tier established (ADVICE r7). */
   private var renamedAggValues: Option[(StructType, Seq[Any], Seq[String])] = None
 
+  /** `supportCompletePushDown` and `pushAggregation` both ask for the
+    * same Aggregation's translated values; computing twice re-listed
+    * every file and re-resolved stats twice per query, and could
+    * observe two different listings under concurrent appends (ADVICE
+    * r16). Memoized on the Aggregation INSTANCE — Spark passes the
+    * same object to both calls of one pushdown negotiation, and a new
+    * negotiation brings a new instance. */
+  private var renamedAggMemo: Option[(Aggregation, Option[(StructType, Seq[Any], Seq[String])])] = None
+
+  private def renamedAggMemoized(aggregation: Aggregation)
+      : Option[(StructType, Seq[Any], Seq[String])] = renamedAggMemo match {
+    case Some((a, v)) if a eq aggregation => v
+    case _ =>
+      val v = renamedAggOf(aggregation)
+      renamedAggMemo = Some((aggregation, v))
+      v
+  }
+
   private def renamedAggOf(aggregation: Aggregation)
       : Option[(StructType, Seq[Any], Seq[String])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
@@ -174,12 +192,12 @@ class FileTagParquetScanBuilder(sparkSession: SparkSession,
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    if (Renames.hasRenames(dataSchema)) renamedAggOf(aggregation).isDefined
+    if (Renames.hasRenames(dataSchema)) renamedAggMemoized(aggregation).isDefined
     else super.supportCompletePushDown(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     if (Renames.hasRenames(dataSchema)) {
-      renamedAggValues = renamedAggOf(aggregation)
+      renamedAggValues = renamedAggMemoized(aggregation)
       renamedAggValues.isDefined
     } else {
       !wantsFile && masks.isEmpty && super.pushAggregation(aggregation)

@@ -323,12 +323,23 @@ object ParquetVersions {
     * multi-writer contention actually costs). */
   val maskConflictRetries = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private[sources] def retryOnMaskConflict[A](attempts: Int = 3)(body: => A): A = {
+  private[sources] val DefaultRetryAttempts = 3
+
+  private[sources] def retryOnMaskConflict[A](
+      attempts: Int = DefaultRetryAttempts)(body: => A): A = {
     // sustained multi-writer churn (SoakConcurrent) legitimately needs
     // a deeper budget than the 3 attempts interactive DML wants —
-    // overridable without threading a parameter through every command
-    val budget = sys.props.get("graft.mor.retry.attempts")
-      .map(_.toInt).getOrElse(attempts)
+    // overridable without threading a parameter through every command.
+    // The property only REPLACES the default: a caller that chose its
+    // own budget keeps it, and a malformed/non-positive property value
+    // falls back instead of throwing inside every retry wrapper
+    // (ADVICE r16).
+    val budget =
+      if (attempts != DefaultRetryAttempts) attempts
+      else sys.props.get("graft.mor.retry.attempts")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .filter(_ >= 1)
+        .getOrElse(attempts)
     var i = 0
     while (true) {
       try return body
