@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
   *
   * A `[min, max]` zone map prunes nothing for a high-cardinality,
   * non-clustered key: every file's range spans the whole value space.
-  * The `.fbloom` sidecar carries an 8 KiB Bloom filter per (file,
+  * The `_fbloom/` shard store carries an 8 KiB Bloom filter per (file,
   * column) for OPERATOR-CONFIGURED probe columns; a definite miss
   * skips the whole file at PLANNING time ([[StatsPrunedFileIndex]]
   * consults it alongside the `.fstats` bounds), a false positive
@@ -37,13 +37,16 @@ import org.apache.spark.sql.types._
   * 100 TB posture: the scan is one distributed pass over the
   * UNCOVERED files only; shuffle traffic is one 8 KiB partial per
   * (file, column) per executor — independent of row count. Driver
-  * memory holds 8 KiB × files × columns (80 MB per column at 10k
-  * files); the sidecar is one JSON object read once per plan, same
-  * lifecycle as `.fstats`. */
+  * memory during a build holds 8 KiB × NEW files × columns (coverage
+  * of already-indexed files is judged from names alone,
+  * [[parseCoverage]]); entries persist as per-build SHARDS
+  * ([[SidecarShards]] — an incremental build appends, never rewrites,
+  * the manifest), and planning reads back only the pass-1 survivors'
+  * payloads when the query actually carries a bloom-judgeable
+  * conjunct. */
 object ParquetBloom {
 
-  private def sidecarPath(dataDir: Path): Path =
-    new Path(dataDir.getParent, ".fbloom")
+  private val SIDECAR_KIND = "_fbloom"
 
   /** Bloom-indexable columns: strings and integrals — the types whose
     * probe-time literal and build-time value canonicalize identically.
@@ -68,32 +71,44 @@ object ParquetBloom {
   import org.json4s.jackson.JsonMethods
   private implicit val jsonFmt: Formats = DefaultFormats
 
-  /** rel name → (len, mtime, col → base64 bloom). Empty on absence or
-    * parse trouble — the sidecar is an accelerator, never the truth. */
-  def readSidecar(conf: Configuration,
-      dataDir: Path): Map[String, (Long, Long, Map[String, String])] = try {
-    val p = sidecarPath(dataDir)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) match {
-      case JObject(files) => files.toMap.collect {
-        case (name, o: JObject) =>
+  /** One shard's entries, restricted to `keep` names — planning
+    * retains 8 KiB payloads only for the files it actually probes. */
+  private def parseEntries(text: String, keep: String => Boolean)
+      : Map[String, (Long, Long, Map[String, String])] = try {
+    JsonMethods.parse(text) match {
+      case JObject(files) => files.iterator.collect {
+        case (name, o: JObject) if keep(name) =>
           val blooms = (o \ "b") match {
             case JObject(bs) => bs.toMap.collect { case (c, JString(b64)) => c -> b64 }
             case _ => Map.empty[String, String]
           }
           name -> (((o \ "len").extract[Long], (o \ "mt").extract[Long], blooms))
-      }
+      }.toMap
       case _ => Map.empty
     }
   } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
-  def writeSidecar(conf: Configuration, dataDir: Path,
-      entries: Map[String, (Long, Long, Map[String, String])]): Unit = try {
-    val p = sidecarPath(dataDir)
-    val fs = p.getFileSystem(conf)
+  /** [[parseEntries]] without the filter payloads — [[build]]'s
+    * coverage probe needs (len, mtime, column names) only, so an
+    * incremental build over a huge table never holds every 8 KiB
+    * filter in driver memory just to decide what is already covered. */
+  private def parseCoverage(text: String)
+      : Map[String, (Long, Long, Set[String])] = try {
+    JsonMethods.parse(text) match {
+      case JObject(files) => files.iterator.collect {
+        case (name, o: JObject) =>
+          val cols = (o \ "b") match {
+            case JObject(bs) => bs.iterator.map(_._1).toSet
+            case _ => Set.empty[String]
+          }
+          name -> (((o \ "len").extract[Long], (o \ "mt").extract[Long], cols))
+      }.toMap
+      case _ => Map.empty
+    }
+  } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  private def renderEntries(
+      entries: Map[String, (Long, Long, Map[String, String])]): String = {
     val json: JObject = JObject(entries.toList.sortBy(_._1).map {
       case (name, (len, mt, blooms)) =>
         name -> (("len" -> len) ~ ("mt" -> mt) ~
@@ -101,16 +116,36 @@ object ParquetBloom {
             case (c, b64) => c -> JString(b64)
           })))
     })
-    val tmp = new Path(p.getParent,
-      s".fbloom.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(JsonMethods.compact(JsonMethods.render(json))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
-    ()
-  } catch { case scala.util.control.NonFatal(_) => () } // best-effort cache
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  /** rel name → (len, mtime, col → base64 bloom): union of every
+    * shard (legacy single file included), later shards winning name
+    * collisions. Empty on absence or parse trouble — the sidecar is an
+    * accelerator, never the truth. */
+  def readSidecar(conf: Configuration, dataDir: Path,
+      keep: String => Boolean = _ => true)
+      : Map[String, (Long, Long, Map[String, String])] =
+    SidecarShards.readAll(conf, dataDir, SIDECAR_KIND)
+      .foldLeft(Map.empty[String, (Long, Long, Map[String, String])]) {
+        case (acc, (_, text)) => acc ++ parseEntries(text, keep)
+      }
+
+  /** Fold the shards to one member once past the threshold, dropping
+    * entries that no longer validate against `liveNow`. */
+  def maybeFold(conf: Configuration, dataDir: Path,
+      liveNow: => Map[String, (Long, Long)]): Unit = {
+    if (SidecarShards.memberCount(conf, dataDir, SIDECAR_KIND) <
+      SidecarShards.foldThreshold) return
+    val live = liveNow
+    val members = SidecarShards.readAll(conf, dataDir, SIDECAR_KIND)
+    val merged = members
+      .foldLeft(Map.empty[String, (Long, Long, Map[String, String])]) {
+        case (acc, (_, text)) => acc ++ parseEntries(text, live.contains)
+      }.filter { case (name, (len, mt, _)) => live.get(name).contains((len, mt)) }
+    SidecarShards.fold(conf, dataDir, SIDECAR_KIND, renderEntries(merged),
+      members.map(_._1))
+  }
 
   // --- build --------------------------------------------------------
 
@@ -149,7 +184,13 @@ object ParquetBloom {
           (rel, st.getLen, st.getModificationTime)
       }
     }
-    val existing = readSidecar(conf, dataDir)
+    // coverage probe WITHOUT the 8 KiB payloads: an incremental build
+    // over a huge table decides what to skip from (len, mtime, column
+    // names) alone
+    val existing = SidecarShards.readAll(conf, dataDir, SIDECAR_KIND)
+      .foldLeft(Map.empty[String, (Long, Long, Set[String])]) {
+        case (acc, (_, text)) => acc ++ parseCoverage(text)
+      }
     def covered(rel: String, len: Long, mt: Long): Boolean =
       existing.get(rel).exists { case (l, m, bs) =>
         l == len && m == mt && cols.forall(c => bs.contains(c.toLowerCase))
@@ -196,29 +237,31 @@ object ParquetBloom {
           }.toMap
         }
       }
-    // merge: keep valid entries of live files (their existing columns
-    // too), fold in the fresh blooms, drop vanished files
-    val liveMap = live.map(e => e._1 -> ((e._2, e._3))).toMap
+    // APPEND one shard carrying only THIS build's files — untouched
+    // files' entries stay in their existing shards (no whole-manifest
+    // rewrite, so an incremental build writes O(new files), and a
+    // concurrent planner's learned-stats shard is never clobbered).
+    // A todo file with a still-valid entry for OTHER columns merges
+    // those in (the union is per-ENTRY, later shard wins wholesale).
     val todoSet = todo.map(_._1).toSet
-    val merged: Map[String, (Long, Long, Map[String, String])] =
-      liveMap.map { case (rel, (len, mt)) =>
-        val keep = existing.get(rel) match {
+    val existingPayloads = readSidecar(conf, dataDir, todoSet)
+    val todoEntries: Map[String, (Long, Long, Map[String, String])] =
+      todo.map { case (rel, len, mt) =>
+        val keep = existingPayloads.get(rel) match {
           case Some((l, m, bs)) if l == len && m == mt => bs
           case _ => Map.empty[String, String]
         }
         // an all-null / empty file builds no partial: record an EMPTY
         // bloom (excludes everything) rather than leaving it uncovered
-        val built = fresh.getOrElse(rel, Map.empty)
         val blank: Map[String, String] =
-          if (todoSet(rel))
-            cols.map(c => c.toLowerCase -> SegmentBloom.empty().toBase64).toMap
-          else Map.empty
-        rel -> ((len, mt, blank ++ keep ++ built))
-      }
-    writeSidecar(conf, dataDir, merged)
-    val bytes = try fs.getFileStatus(sidecarPath(dataDir)).getLen
-      catch { case _: java.io.FileNotFoundException => 0L }
-    (todo.size.toLong, merged.size.toLong, bytes)
+          cols.map(c => c.toLowerCase -> SegmentBloom.empty().toBase64).toMap
+        rel -> ((len, mt, blank ++ keep ++ fresh.getOrElse(rel, Map.empty)))
+      }.toMap
+    if (todoEntries.nonEmpty)
+      SidecarShards.append(conf, dataDir, SIDECAR_KIND, renderEntries(todoEntries))
+    maybeFold(conf, dataDir, live.map(e => e._1 -> ((e._2, e._3))).toMap)
+    val bytes = SidecarShards.totalBytes(conf, dataDir, SIDECAR_KIND)
+    (todo.size.toLong, live.size.toLong, bytes)
   }
 }
 
@@ -227,6 +270,24 @@ object ParquetBloom {
   * no bloom for the column, unknown expression shape, or any
   * non-canonical probe keeps the file. */
 object BloomPrune {
+
+  /** Whether `e` contains a shape [[excludes]] could ever judge — the
+    * gate deciding if the 8 KiB-per-(file, column) shards are worth
+    * reading for this plan at all. Mirrors [[excludes]]' structure:
+    * under OR both branches must be judgeable for the bloom to prove
+    * anything, under AND either suffices. */
+  def relevant(e: Expression): Boolean = e match {
+    case And(l, r) => relevant(l) || relevant(r)
+    case Or(l, r) => relevant(l) && relevant(r)
+    case EqualTo(_: AttributeReference, _: Literal) => true
+    case EqualTo(_: Literal, _: AttributeReference) => true
+    case EqualNullSafe(_: AttributeReference, _: Literal) => true
+    case EqualNullSafe(_: Literal, _: AttributeReference) => true
+    case In(_: AttributeReference, members) =>
+      members.forall(_.isInstanceOf[Literal])
+    case InSet(_: AttributeReference, _) => true
+    case _ => false
+  }
 
   /** True only when NO row of the file can satisfy `e`, judged on the
     * file's (col → base64 bloom) map. */

@@ -243,20 +243,19 @@ object ParquetFooterStats {
 
   // --- persisted stats sidecar ------------------------------------
 
-  /** The `.fstats` SIDECAR: consolidated footer stats of a table's
-    * data files, persisted in the TABLE dir so a FRESH driver's first
-    * selective plan reads ONE manifest instead of opening O(files)
-    * footers (VERDICT r10 #3 — the log tier's `.stats-manifest-*`
-    * shape for the parquet tier). Maintained LAZILY at plan time: any
-    * plan that had to open footers merges what it learned and
-    * atomically rewrites the sidecar (temp + rename, last-writer-wins
-    * — entries are validated by (len, mtime), so a lost update only
-    * costs the next driver those opens, never correctness). Covering
-    * every write path by construction beats hooking each writer.
-    * Entries of vanished files are dropped on rewrite, keeping the
-    * sidecar O(live files). */
-  private def sidecarPath(dataDir: Path): Path =
-    new Path(dataDir.getParent, ".fstats")
+  /** The persisted stats SIDECAR: footer stats of a table's data
+    * files, persisted in the TABLE dir so a FRESH driver's first
+    * selective plan reads a handful of manifests instead of opening
+    * O(files) footers (VERDICT r10 #3). SHARDED per writer since r17
+    * ([[SidecarShards]] — VERDICT r16 #1): plan-time maintenance
+    * APPENDS a shard holding only the entries that plan learned, so an
+    * append never rewrites the whole manifest and concurrent planners
+    * never lose each other's entries; shards fold back to one member
+    * when their count crosses the threshold, keeping cold-planning I/O
+    * O(commits-since-fold), not O(live files). Maintained LAZILY at
+    * plan time — covering every write path by construction beats
+    * hooking each writer. Entries validate by (len, mtime) at use. */
+  private val SIDECAR_KIND = "_fstats"
 
   private def domTag(d: Domain): String = d match {
     case DInt => "i"; case DDays => "d"; case DMicros => "m"
@@ -288,18 +287,14 @@ object ParquetFooterStats {
   import org.json4s.jackson.JsonMethods
   private implicit val jsonFmt: Formats = DefaultFormats
 
-  /** Load the sidecar's (name → (len, mtime, stats)) map; empty on
-    * absence or any parse trouble (it is a cache, never the truth). */
-  def readSidecar(conf: Configuration,
-      dataDir: Path): Map[String, (Long, Long, FileStats)] = try {
-    val p = sidecarPath(dataDir)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    JsonMethods.parse(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)) match {
-      case JObject(files) => files.toMap.collect {
-        case (name, o: JObject) =>
+  /** One shard's (name → (len, mtime, stats)) entries, restricted to
+    * names `keep` accepts (driver-memory bound: a plan retains only
+    * its probe set). Empty on parse trouble — a cache, never truth. */
+  private def parseEntries(text: String,
+      keep: String => Boolean): Map[String, (Long, Long, FileStats)] = try {
+    JsonMethods.parse(text) match {
+      case JObject(files) => files.iterator.collect {
+        case (name, o: JObject) if keep(name) =>
           val cols = (o \ "cols") match {
             case JObject(cs) => cs.toMap.collect { case (cn, c: JObject) =>
               val dom = domOf((c \ "t").extract[String])
@@ -312,16 +307,13 @@ object ParquetFooterStats {
           }
           name -> (((o \ "len").extract[Long], (o \ "mt").extract[Long],
             FileStats((o \ "rows").extract[Long], cols)))
-      }
+      }.toMap
       case _ => Map.empty
     }
   } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
-  /** Atomically rewrite the sidecar with `entries` (temp + rename). */
-  def writeSidecar(conf: Configuration, dataDir: Path,
-      entries: Map[String, (Long, Long, FileStats)]): Unit = try {
-    val p = sidecarPath(dataDir)
-    val fs = p.getFileSystem(conf)
+  private def renderEntries(
+      entries: Map[String, (Long, Long, FileStats)]): String = {
     val json: JObject = JObject(entries.toList.sortBy(_._1).map {
       case (name, (len, mt, st)) =>
         val cols: JObject = JObject(st.cols.toList.sortBy(_._1).map {
@@ -334,15 +326,43 @@ object ParquetFooterStats {
         name -> (("len" -> len) ~ ("mt" -> mt) ~ ("rows" -> st.rowCount) ~
           ("cols" -> cols))
     })
-    val tmp = new Path(p.getParent, s".fstats.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(JsonMethods.compact(JsonMethods.render(json))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
-    ()
-  } catch { case scala.util.control.NonFatal(_) => () } // best-effort cache
+    JsonMethods.compact(JsonMethods.render(json))
+  }
+
+  /** Union of every shard (legacy single file included), later shards
+    * winning name collisions. `keep` bounds what is retained. */
+  def readSidecar(conf: Configuration, dataDir: Path,
+      keep: String => Boolean = _ => true): Map[String, (Long, Long, FileStats)] =
+    SidecarShards.readAll(conf, dataDir, SIDECAR_KIND)
+      .foldLeft(Map.empty[String, (Long, Long, FileStats)]) {
+        case (acc, (_, text)) => acc ++ parseEntries(text, keep)
+      }
+
+  /** Append the entries one plan LEARNED as a new shard — never a
+    * rewrite of existing members (concurrent planners each append
+    * their own shard; the union loses nothing). */
+  def appendSidecar(conf: Configuration, dataDir: Path,
+      entries: Map[String, (Long, Long, FileStats)]): Unit =
+    if (entries.nonEmpty)
+      SidecarShards.append(conf, dataDir, SIDECAR_KIND, renderEntries(entries))
+
+  /** Fold the shards to one member once their count crosses the
+    * threshold, dropping entries that no longer validate against the
+    * live listing (`live`: name → (len, mtime)). Cheap no-op probe
+    * otherwise (one listStatus). */
+  def maybeFold(conf: Configuration, dataDir: Path,
+      liveNow: => Map[String, (Long, Long)]): Unit = {
+    if (SidecarShards.memberCount(conf, dataDir, SIDECAR_KIND) <
+      SidecarShards.foldThreshold) return
+    val live = liveNow
+    val members = SidecarShards.readAll(conf, dataDir, SIDECAR_KIND)
+    val merged = members.foldLeft(Map.empty[String, (Long, Long, FileStats)]) {
+      case (acc, (_, text)) => acc ++ parseEntries(text,
+        name => live.contains(name))
+    }.filter { case (name, (len, mt, _)) => live.get(name).contains((len, mt)) }
+    SidecarShards.fold(conf, dataDir, SIDECAR_KIND, renderEntries(merged),
+      members.map(_._1))
+  }
 
   /** Same-domain comparison (guaranteed by construction). */
   def compare(a: Any, b: Any): Int = (a, b) match {
@@ -635,10 +655,15 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
     }
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     // PASS 2 — file-level bounds on the partition survivors: the
-    // persisted `.fstats` sidecar first (a FRESH driver's selective
-    // plan is then ONE manifest read, zero footer opens), footers only
-    // for files the sidecar doesn't cover (new appends, stale entries)
-    val sidecar = ParquetFooterStats.readSidecar(conf, dataDir)
+    // persisted stats shards first (a FRESH driver's selective plan is
+    // then a handful of shard reads, zero footer opens), footers only
+    // for files the shards don't cover (new appends, stale entries).
+    // Retention is bounded to PASS-1 SURVIVORS: a probe over a
+    // partition-pruned table never materializes the whole table's
+    // stats map on the driver.
+    val survivors: Set[String] = afterPartitions.iterator.flatMap(_.files)
+      .map(f => PartitionSpecs.relFromData(f.getPath)).toSet
+    val sidecar = ParquetFooterStats.readSidecar(conf, dataDir, survivors)
     def fromSidecar(
         f: org.apache.spark.sql.execution.datasources.FileStatusWithMetadata)
         : Option[ParquetFooterStats.FileStats] =
@@ -653,11 +678,17 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
       try ParquetFooterStats.get(conf, f.getPath, f.getLen, f.getModificationTime)
       catch { case _: Exception => () } // unreadable footer → no pruning
     }
-    // PASS 3 input — the bloom sidecar ([[ParquetBloom]]): point
-    // probes on high-cardinality, non-clustered keys, where min/max
-    // can never prove a miss. Entries validate by (len, mtime); a
-    // file without a (valid) bloom is kept on bounds alone.
-    val blooms = ParquetBloom.readSidecar(conf, dataDir)
+    // PASS 3 input — the bloom shards ([[ParquetBloom]]): point probes
+    // on high-cardinality, non-clustered keys, where min/max can never
+    // prove a miss. Entries validate by (len, mtime); a file without a
+    // (valid) bloom is kept on bounds alone. Read ONLY when some
+    // conjunct is bloom-judgeable, and retain only pass-1 survivors —
+    // an 8 KiB-per-(file, column) payload must not ride along on range
+    // scans that can never consult it.
+    val blooms: Map[String, (Long, Long, Map[String, String])] =
+      if (conjuncts.exists(BloomPrune.relevant))
+        ParquetBloom.readSidecar(conf, dataDir, survivors)
+      else Map.empty
     def bloomKeeps(
         f: org.apache.spark.sql.execution.datasources.FileStatusWithMetadata): Boolean =
       blooms.get(PartitionSpecs.relFromData(f.getPath)) match {
@@ -678,21 +709,27 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
         keep
       })
     }
-    // any footer this plan HAD to open becomes a sidecar entry for the
-    // next (possibly fresh) driver; entries for files gone from the
-    // current listing drop out. Only stats ALREADY IN MEMORY are
-    // persisted (peek — a partition-pruned file must not be opened just
-    // to cache it). Best-effort, atomic rewrite.
+    // any footer this plan HAD to open becomes ONE appended shard for
+    // the next (possibly fresh) driver — never a whole-manifest
+    // rewrite, and concurrent planners' shards union instead of
+    // last-wins (VERDICT r16 #1). Only stats ALREADY IN MEMORY are
+    // persisted (peek — a partition-pruned file must not be opened
+    // just to cache it). Best-effort.
     if (misses.nonEmpty) {
-      val current = base.flatMap(_.files)
-        .map(f => (PartitionSpecs.relFromData(f.getPath), f)).toMap
-      val merged = current.flatMap { case (rel, f) =>
-        fromSidecar(f)
-          .orElse(ParquetFooterStats.peek(f.getPath, f.getLen, f.getModificationTime))
-          .map(st => rel -> ((f.getLen, f.getModificationTime, st)))
-      }
-      ParquetFooterStats.writeSidecar(conf, dataDir, merged)
+      val learned = misses.iterator.flatMap { f =>
+        ParquetFooterStats.peek(f.getPath, f.getLen, f.getModificationTime)
+          .map(st => PartitionSpecs.relFromData(f.getPath) ->
+            ((f.getLen, f.getModificationTime, st)))
+      }.toMap
+      ParquetFooterStats.appendSidecar(conf, dataDir, learned)
     }
+    // fold probe each plan (one listStatus when under threshold); the
+    // live map is computed only when a fold actually runs
+    def liveNow: Map[String, (Long, Long)] = base.iterator.flatMap(_.files)
+      .map(f => PartitionSpecs.relFromData(f.getPath) ->
+        ((f.getLen, f.getModificationTime))).toMap
+    ParquetFooterStats.maybeFold(conf, dataDir, liveNow)
+    ParquetBloom.maybeFold(conf, dataDir, liveNow)
     StatsPrunedFileIndex.lastListing.put(dataDir.toString, (kept, total))
     pruned
   }

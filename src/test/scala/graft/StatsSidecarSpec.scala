@@ -6,10 +6,13 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The persisted `.fstats` sidecar ([[ParquetFooterStats]]): a fresh
-  * driver's selective plan reads one manifest instead of opening
-  * O(files) footers (VERDICT r10 #3 — the parquet tier's analogue of
-  * the log tier's per-commit stats manifests). */
+/** The persisted stats sidecar ([[ParquetFooterStats]] +
+  * [[SidecarShards]]): a fresh driver's selective plan reads a handful
+  * of SHARDS instead of opening O(files) footers (VERDICT r10 #3), and
+  * — since r17 (VERDICT r16 #1) — growing the table appends shards
+  * without ever rewriting the manifest, concurrent planners cannot
+  * lose each other's entries, and shards fold back to one member when
+  * their count crosses the threshold. */
 class StatsSidecarSpec extends AnyFunSuite {
 
   private val warehouse: String =
@@ -23,6 +26,18 @@ class StatsSidecarSpec extends AnyFunSuite {
     s
   }
 
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  /** (name, len, mtime) of every stats shard of a table — the rewrite
+    * detector: an append must leave existing members byte-untouched. */
+  private def shardSigs(tableDir: String): Set[(String, Long, Long)] = {
+    val dir = new Path(tableDir, "_fstats")
+    val fs = dir.getFileSystem(hconf)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toSeq.filter(_.isFile)
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime)).toSet
+  }
+
   test("cold session plans a selective probe with ZERO footer opens") {
     spark.sql("DROP TABLE IF EXISTS graft_fst.lake.t")
     spark.sql("CREATE TABLE graft_fst.lake.t (id BIGINT, score BIGINT)")
@@ -32,12 +47,11 @@ class StatsSidecarSpec extends AnyFunSuite {
     }
     val probe = "SELECT sum(score) AS s FROM graft_fst.lake.t WHERE id BETWEEN 150 AND 160"
     val expect = (150L to 160L).map(_ * 2).sum
-    // FIRST plan (no sidecar yet): opens footers, learns the stats,
-    // persists them
+    // FIRST plan (no shards yet): opens footers, learns the stats,
+    // persists them as one shard
     assert(spark.sql(probe).head.getLong(0) === expect)
-    val sidecar = new Path(s"$warehouse/lake/t", ".fstats")
-    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(sidecar), "plan must persist the stats it learned")
+    assert(shardSigs(s"$warehouse/lake/t").nonEmpty,
+      "plan must persist the stats it learned")
     // simulate a FRESH driver: forget every in-memory footer (the
     // counter is scoped to this table so parallel suites can't inflate it)
     val under = s"$warehouse/lake/t"
@@ -45,13 +59,14 @@ class StatsSidecarSpec extends AnyFunSuite {
     val before = ParquetFooterStats.footerReadsUnder(under)
     assert(spark.sql(probe).head.getLong(0) === expect)
     assert(ParquetFooterStats.footerReadsUnder(under) === before,
-      "cold planning must be served by the sidecar, zero footer opens")
-    // pruning still effective through the sidecar: only 1 of 4 files kept
+      "cold planning must be served by the shards, zero footer opens")
+    // pruning still effective through the shards: only 1 of 4 files kept
     val (kept, total) = StatsPrunedFileIndex.lastListing.get(s"$warehouse/lake/t/data")
     assert(total === 4 && kept === 1, s"kept=$kept total=$total")
   }
 
-  test("new appends miss the sidecar, get opened once, then join it") {
+  test("appends add a shard WITHOUT rewriting existing members, get opened once, then join") {
+    val sigsBefore = shardSigs(s"$warehouse/lake/t")
     spark.range(1000, 1100).selectExpr("id", "id * 2 AS score")
       .coalesce(1).writeTo("graft_fst.lake.t").append()
     val under = s"$warehouse/lake/t"
@@ -61,22 +76,144 @@ class StatsSidecarSpec extends AnyFunSuite {
     assert(spark.sql(probe).head.getLong(0) === 100)
     val opened1 = ParquetFooterStats.footerReadsUnder(under) - before
     assert(opened1 === 1, s"only the new file may be opened, got $opened1")
-    // and after that plan, the sidecar covers it too
+    // the append's learned stats arrive as a NEW shard; every
+    // pre-existing member is byte-identical (no whole-manifest rewrite)
+    val sigsAfter = shardSigs(s"$warehouse/lake/t")
+    assert(sigsBefore.subsetOf(sigsAfter),
+      s"existing shards must not be rewritten: $sigsBefore vs $sigsAfter")
+    assert(sigsAfter.size === sigsBefore.size + 1,
+      "one appended shard expected")
+    // and after that plan, the shards cover the append too
     ParquetFooterStats.clearCacheForTesting()
     val b2 = ParquetFooterStats.footerReadsUnder(under)
     assert(spark.sql(probe).head.getLong(0) === 100)
     assert(ParquetFooterStats.footerReadsUnder(under) === b2)
   }
 
-  test("a stale sidecar entry is ignored, corrected, and never wrong") {
+  test("concurrent planners append independent shards; the union loses neither") {
+    val dataDir = new Path(s"$warehouse/lake/t/data")
+    val conf = new org.apache.hadoop.conf.Configuration(hconf)
+    val stA = ParquetFooterStats.FileStats(1L, Map("id" ->
+      ParquetFooterStats.ColStats(ParquetFooterStats.DInt, Some(1L), Some(2L), Some(0L))))
+    val stB = stA.copy(rowCount = 2L)
+    val t1 = new Thread(() => ParquetFooterStats.appendSidecar(conf, dataDir,
+      Map("planner-a.parquet" -> ((10L, 10L, stA)))))
+    val t2 = new Thread(() => ParquetFooterStats.appendSidecar(conf, dataDir,
+      Map("planner-b.parquet" -> ((20L, 20L, stB)))))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val union = ParquetFooterStats.readSidecar(conf, dataDir)
+    assert(union.contains("planner-a.parquet") && union.contains("planner-b.parquet"),
+      s"concurrent appends must both survive, got ${union.keySet}")
+  }
+
+  test("shards FOLD to one member past the threshold; planning stays zero-open and stale entries drop") {
+    val prev = sys.props.put("graft.sidecar.fold.threshold", "4")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_fst.lake.f")
+      spark.sql("CREATE TABLE graft_fst.lake.f (id BIGINT, v BIGINT)")
+      val dataDir = new Path(s"$warehouse/lake/f/data")
+      val conf = new org.apache.hadoop.conf.Configuration(hconf)
+      // grow the table over N commits, planning after each — every plan
+      // appends the shard it learned, and the fold keeps the member
+      // count bounded by the threshold
+      (0 until 8).foreach { i =>
+        spark.range(i * 10, i * 10 + 10).selectExpr("id", "id * 3 AS v")
+          .coalesce(1).writeTo("graft_fst.lake.f").append()
+        assert(spark.sql(
+          s"SELECT count(*) AS c FROM graft_fst.lake.f WHERE id >= ${i * 10}")
+          .head.getLong(0) === 10)
+      }
+      val members = SidecarShards.memberCount(conf, dataDir, "_fstats")
+      assert(members <= 4, s"fold must bound the member count, got $members")
+      // a fresh driver still plans with zero footer opens through the
+      // folded shard, and pruning is intact
+      val under = s"$warehouse/lake/f"
+      ParquetFooterStats.clearCacheForTesting()
+      val before = ParquetFooterStats.footerReadsUnder(under)
+      StatsPrunedFileIndex.lastListing.remove(s"$under/data")
+      assert(spark.sql(
+        "SELECT sum(v) AS s FROM graft_fst.lake.f WHERE id BETWEEN 31 AND 33")
+        .head.getLong(0) === (31L to 33L).map(_ * 3).sum)
+      assert(ParquetFooterStats.footerReadsUnder(under) === before,
+        "post-fold cold planning must be zero-open")
+      val (kept, total) = StatsPrunedFileIndex.lastListing.get(s"$under/data")
+      assert(total === 8 && kept === 1, s"kept=$kept total=$total")
+      // stale entries (vanished files) do not survive a fold
+      ParquetFooterStats.appendSidecar(conf, dataDir, Map("gone.parquet" ->
+        ((1L, 1L, ParquetFooterStats.FileStats(0L, Map.empty)))))
+      (8 until 12).foreach { i =>
+        spark.range(i * 10, i * 10 + 10).selectExpr("id", "id * 3 AS v")
+          .coalesce(1).writeTo("graft_fst.lake.f").append()
+        spark.sql(s"SELECT count(*) FROM graft_fst.lake.f WHERE id >= ${i * 10}").collect()
+      }
+      assert(!ParquetFooterStats.readSidecar(conf, dataDir).contains("gone.parquet"),
+        "fold must drop entries of vanished files")
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.sidecar.fold.threshold", v)
+        case None => sys.props.remove("graft.sidecar.fold.threshold")
+      }
+      ()
+    }
+  }
+
+  test("a legacy single-file sidecar is read as a shard and retired by the first fold") {
+    val prev = sys.props.put("graft.sidecar.fold.threshold", "2")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_fst.lake.m")
+      spark.sql("CREATE TABLE graft_fst.lake.m AS SELECT id, id * 2 AS v FROM range(20)")
+      spark.sql("SELECT count(*) FROM graft_fst.lake.m WHERE id = 3").collect()
+      val tableDir = s"$warehouse/lake/m"
+      val dataDir = new Path(tableDir, "data")
+      val conf = new org.apache.hadoop.conf.Configuration(hconf)
+      val fs = dataDir.getFileSystem(conf)
+      // demote the learned shard to the PRE-SHARD layout: one
+      // monolithic .fstats file in the table dir
+      val shardDir = new Path(tableDir, "_fstats")
+      val shard = fs.listStatus(shardDir).filter(_.isFile).head.getPath
+      assert(fs.rename(shard, new Path(tableDir, ".fstats")))
+      // the legacy file serves cold planning as the lowest-priority shard
+      ParquetFooterStats.clearCacheForTesting()
+      val before = ParquetFooterStats.footerReadsUnder(tableDir)
+      assert(spark.sql("SELECT count(*) AS c FROM graft_fst.lake.m WHERE id = 3")
+        .head.getLong(0) === 1)
+      assert(ParquetFooterStats.footerReadsUnder(tableDir) === before,
+        "legacy sidecar must serve cold planning")
+      // grow + plan until a fold runs: the legacy file is one of its
+      // inputs and is reclaimed
+      (0 until 3).foreach { i =>
+        spark.range(100 + i * 10, 110 + i * 10).selectExpr("id", "id * 2 AS v")
+          .coalesce(1).writeTo("graft_fst.lake.m").append()
+        spark.sql(s"SELECT count(*) FROM graft_fst.lake.m WHERE id >= ${100 + i * 10}").collect()
+      }
+      assert(!fs.exists(new Path(tableDir, ".fstats")),
+        "the first fold must migrate the legacy sidecar into the shard store")
+      // and everything it knew still serves planning
+      ParquetFooterStats.clearCacheForTesting()
+      val b2 = ParquetFooterStats.footerReadsUnder(tableDir)
+      assert(spark.sql("SELECT count(*) AS c FROM graft_fst.lake.m WHERE id = 3")
+        .head.getLong(0) === 1)
+      assert(ParquetFooterStats.footerReadsUnder(tableDir) === b2)
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.sidecar.fold.threshold", v)
+        case None => sys.props.remove("graft.sidecar.fold.threshold")
+      }
+      ()
+    }
+  }
+
+  test("a corrupt shard is ignored, corrected, and never wrong") {
     spark.sql("DROP TABLE IF EXISTS graft_fst.lake.s")
     spark.sql("CREATE TABLE graft_fst.lake.s AS SELECT id FROM range(10)")
     spark.sql("SELECT count(*) FROM graft_fst.lake.s WHERE id = 3").collect()
     val dir = s"$warehouse/lake/s"
-    // corrupt the sidecar wholesale — planning must shrug it off
-    val p = new Path(dir, ".fstats")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true); out.write("NOT JSON".getBytes); out.close()
+    // corrupt every shard wholesale — planning must shrug it off
+    val shardDir = new Path(dir, "_fstats")
+    val fs = shardDir.getFileSystem(hconf)
+    fs.listStatus(shardDir).filter(_.isFile).foreach { s =>
+      val out = fs.create(s.getPath, true); out.write("NOT JSON".getBytes); out.close()
+    }
     assert(spark.sql("SELECT count(*) AS c FROM graft_fst.lake.s WHERE id = 3")
       .head.getLong(0) === 1)
   }
