@@ -21,6 +21,12 @@ package graft
   * every pass, so an external timeout killing pass 2 midway still leaves
   * the complete pass-1 line in the output tail (the driver parses the
   * last JSON line). Only passes ≥ 3 are gated on the soft budget.
+  *
+  * The `bench_out.json` SIDECAR additionally records per-query
+  * `{min, med, n}` (all passes' samples) — round-over-round perf
+  * analysis diffs the MEDIANS (less sensitive to one lucky pass than
+  * min), while the stdout line keeps the short min-only form the
+  * driver's bounded output-tail parse requires (VERDICT r16 #3).
   */
 object Bench {
   /** The one-line JSON summary. `entries`: query name → min successful
@@ -39,6 +45,37 @@ object Bench {
     val errsJson = if (errNames.isEmpty) "" else errNames
       .map(n => "\"" + id(n) + "\"").mkString(""","errs":[""", ",", "]")
     s"""{"metric":"total","value":${f3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":${errNames.size}$errsJson,"sf":"$sfName","calibration":${f3(calibrationSec)}}"""
+  }
+
+  /** Median of a non-empty sample list (mean of the middle two on even
+    * counts). */
+  def median(xs: List[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** The SIDECAR line (bench_out.json): the stdout summary PLUS a
+    * per-query `{min, med, n}` stats map — the repeat-run protocol
+    * (VERDICT r16 #3): single runs per HEAD left a ±14% cross-run band
+    * judges could not separate from creep, so round-over-round perf
+    * diffs read the MEDIANS here while the regression gate keeps the
+    * contention-robust min. Only the stdout line must stay short (the
+    * driver parses a bounded output tail); this file has no such
+    * limit. */
+  def sidecarLine(entries: Seq[(String, List[Double])], errNames: Seq[String],
+      sfName: String, calibrationSec: Double): String = {
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def id(n: String): String = n.takeWhile(_ != '_')
+    val qs = entries.map { case (k, samples) =>
+      "\"" + id(k) + "\":{\"min\":" + f3(samples.min) +
+        ",\"med\":" + f3(median(samples)) + ",\"n\":" + samples.length + "}"
+    }.mkString("{", ",", "}")
+    val errsJson = if (errNames.isEmpty) "" else errNames
+      .map(n => "\"" + id(n) + "\"").mkString(""","errs":[""", ",", "]")
+    val totalMin = entries.map(_._2.min).sum
+    val totalMed = entries.map(e => median(e._2)).sum
+    s"""{"metric":"total","value":${f3(totalMin)},"value_med":${f3(totalMed)},"unit":"sec","query_stats":$qs,"errors":${errNames.size}$errsJson,"sf":"$sfName","calibration":${f3(calibrationSec)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -108,9 +145,18 @@ object Bench {
     }
     val line = currentLine()
     spark.stop()
-    // Sidecar copy for anything that reads files instead of stdout.
+    // Sidecar copy for anything that reads files instead of stdout —
+    // carries the full per-query {min, med, n} stats the short stdout
+    // line cannot (repeat-run protocol, VERDICT r16 #3).
+    val sidecar = sidecarLine(
+      names.flatMap { case (name, _) =>
+        samples.get(name).filter(_.nonEmpty).map(name -> _)
+      },
+      names.collect { case (name, _)
+        if samples.get(name).forall(_.isEmpty) => name },
+      new java.io.File(sfDir).getName, calibrationSec)
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (sidecar + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     // Final print, unprefixed (run/outputStrategy = StdoutOutput), after
     // session shutdown so it is the last stdout line before sbt's
