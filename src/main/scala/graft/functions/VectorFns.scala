@@ -61,6 +61,30 @@ object VectorFns {
       signBucket(vec, nBits, dim, seed = 7L + t) + lit(t.toLong << 48)
     }: _*)
 
+  /** Mean Euclidean distance of each sample vector to its nearest
+    * centroid — the quantizer-fit statistic behind the IVF index's
+    * DRIFT gauge ([[graft.operators.IvfIndex.drift]]): computed over
+    * the build sample at build time (the baseline) and over an
+    * equally-bounded current sample later; the ratio of the two says
+    * how far the corpus has walked away from the quantizer. */
+  def meanNearestDist(sample: Array[Array[Float]],
+      centroids: Array[Array[Double]]): Double = {
+    require(sample.nonEmpty && centroids.nonEmpty)
+    var sum = 0.0
+    sample.foreach { v =>
+      var best = Double.MaxValue
+      var c = 0
+      while (c < centroids.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - centroids(c)(i); d += t * t; i += 1 }
+        if (d < best) best = d
+        c += 1
+      }
+      sum += math.sqrt(best)
+    }
+    sum / sample.length
+  }
+
   /** Lloyd's k-means over a driver-held sample — the IVF coarse
     * quantizer. At 100 TB the sample (thousands of vectors) still fits
     * the driver; the resulting centroids ship to executors as plan

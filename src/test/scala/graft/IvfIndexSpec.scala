@@ -216,4 +216,102 @@ class IvfIndexSpec extends AnyFunSuite {
     // idempotent no-op when the corpus hasn't moved
     assert(IvfIndex.refresh(spark, corpusDir, fq) === 2L)
   }
+
+  test("sustained churn: hygiene bounds masks, versions and files; " +
+      "search and drift stay flat across rounds") {
+    val fq = "graft_ivf.ann.e6"
+    spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus6")
+    corpusDf(300).createOrReplaceTempView("ivf_c6")
+    spark.sql("CREATE TABLE graft_ivf.ann.corpus6 AS SELECT * FROM ivf_c6")
+    val corpusDir = s"$warehouse/ann/corpus6"
+    graft.sources.ParquetVersions.enable(corpusDir) // v1
+    IvfIndex.build(spark, spark.table("graft_ivf.ann.corpus6"), fq,
+      k = 8, indexedVersion = 1L)
+    val assignDir = s"$warehouse/ann/e6_assign"
+    val rounds = 10
+    var maxStackSeen = 0
+    (0 until rounds).foreach { r =>
+      // churn: re-land 5 scattered vectors (same distribution — a
+      // delete+insert pair per key; refresh folds it as one MoR MERGE
+      // that masks the old rows and appends the new)
+      val ids = (0 until 5).map(i => ((r * 37 + i * 61) % 300).toLong).distinct
+      spark.sql(s"DELETE FROM graft_ivf.ann.corpus6 WHERE vec_id IN (${ids.mkString(",")})")
+      corpusDf(300).filter(col("vec_id").isin(ids.map(Long.box): _*))
+        .createOrReplaceTempView("ivf_c6_delta")
+      spark.sql("INSERT INTO graft_ivf.ann.corpus6 SELECT * FROM ivf_c6_delta")
+      IvfIndex.refresh(spark, corpusDir, fq)
+      // the stream's per-batch hygiene, called directly for determinism
+      IvfIndex.hygiene(spark, fq, foldPreds = 2, retainLast = 2, fileCap = 12)
+      val masks = graft.sources.ParquetVersions.masksFor(assignDir, None)
+      val maxStack = (0 +: masks.valuesIterator.map(_.size).toSeq).max
+      maxStackSeen = math.max(maxStackSeen, maxStack)
+    }
+    // SOAK-style evidence: per-file mask stacks never outgrow the fold
+    // threshold (+1 for the entry landed since the last fold), the
+    // ledger holds only the retained window, and the live file count
+    // stays under the bin-pack cap
+    assert(maxStackSeen <= 3,
+      s"mask stacks must stay folded under churn, saw $maxStackSeen")
+    val versionFiles = new java.io.File(assignDir).listFiles()
+      .count(_.getName.startsWith(".v-"))
+    assert(versionFiles <= 4,
+      s"vacuum must bound the ledger, found $versionFiles version files")
+    val liveFiles = graft.sources.ParquetVersions.live(assignDir).size
+    assert(liveFiles <= 12 + 5,
+      s"bin-packing must bound the live file count, found $liveFiles")
+    // correctness held throughout: full cardinality, planted copies
+    // resolve to their originals, drift flat on an unchanged distribution
+    assert(spark.table(s"${fq}_assign").count() === 300L)
+    val got = searchCopiesOf(Seq(7L, 133L, 299L),
+      spark.table("graft_ivf.ann.corpus6"), fq)
+    assert(got === Map(7L -> 7L, 133L -> 133L, 299L -> 299L))
+    val d = IvfIndex.drift(spark, fq)
+    assert(d.ratio.exists(_ < 1.5),
+      s"same-distribution churn must not read as drift: $d")
+    assert(!IvfIndex.needsRebuild(spark, fq))
+  }
+
+  test("drift gauge: a distribution shift flags rebuild; re-build resets it") {
+    val fq = "graft_ivf.ann.e7"
+    spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus7")
+    corpusDf(200).createOrReplaceTempView("ivf_c7")
+    spark.sql("CREATE TABLE graft_ivf.ann.corpus7 AS SELECT * FROM ivf_c7")
+    val corpusDir = s"$warehouse/ann/corpus7"
+    graft.sources.ParquetVersions.enable(corpusDir) // v1
+    IvfIndex.build(spark, spark.table("graft_ivf.ann.corpus7"), fq,
+      k = 8, indexedVersion = 1L)
+    assert(IvfIndex.driftBaseline(spark, fq).exists(_ > 0.0))
+    assert(!IvfIndex.needsRebuild(spark, fq),
+      "a freshly built index must not want a rebuild")
+    // the corpus walks away from the quantizer: every vector replaced
+    // by one from a far-off distribution (constant large offset on all
+    // dims — nothing like the archetype directions the centroids fit)
+    import spark.implicits._
+    val shifted = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(DIM)(d =>
+        5.0f + 0.05f * (((i * 13 + d * 7) % 101) - 50)))
+    }.toDF("vec_id", "embedding")
+    spark.sql("DELETE FROM graft_ivf.ann.corpus7 WHERE vec_id >= 0")
+    shifted.createOrReplaceTempView("ivf_c7_shift")
+    spark.sql("INSERT INTO graft_ivf.ann.corpus7 SELECT * FROM ivf_c7_shift")
+    IvfIndex.refresh(spark, corpusDir, fq)
+    val d1 = IvfIndex.drift(spark, fq)
+    assert(d1.ratio.exists(_ > 1.5),
+      s"a full distribution shift must read as drift: $d1")
+    assert(IvfIndex.needsRebuild(spark, fq))
+    // the documented response: an explicit re-build re-fits the
+    // quantizer on the corpus as it now stands and resets the gauge
+    val vNow = graft.sources.ParquetVersions.latest(corpusDir).get._1
+    IvfIndex.build(spark, spark.table("graft_ivf.ann.corpus7"), fq,
+      k = 8, indexedVersion = vNow)
+    val d2 = IvfIndex.drift(spark, fq)
+    assert(d2.ratio.exists(_ < 1.5), s"re-build must reset the gauge: $d2")
+    assert(!IvfIndex.needsRebuild(spark, fq))
+    // and the rebuilt index serves the shifted corpus
+    val q = spark.table("graft_ivf.ann.corpus7").filter(col("vec_id") === 55L)
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    val top = IvfIndex.search(spark, q, fq, nProbe = 2, topK = 1)
+      .select(col("nid")).collect().map(_.getLong(0))
+    assert(top.toSeq === Seq(55L))
+  }
 }
