@@ -250,7 +250,32 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** The SAME persisted-index serving path reached from PURE SQL
+    * (VERDICT r16 #5): the index is built once as catalog tables, the
+    * bounded query batch is staged as a catalog table, and the search
+    * itself is `CALL <cat>.system.ann_search(...)` — no Scala entry
+    * point, the serving verb lives next to the maintenance verbs
+    * ([[graft.sources.LogProcedures]]). Result and oracle are v11's:
+    * planted copies' unique top-1 is their original, which DuckDB
+    * recomputes by brute force. */
+  def v12_ann_sql(spark: SparkSession, dir: String): DataFrame = {
+    Pipeline.catalogFor(spark, "v12", "ann")
+    val emb = Tables.embeddings(spark, dir)
+    IvfIndex.build(spark, emb, "graft_v12.ann.emb", k = 16)
+    spark.sql("DROP TABLE IF EXISTS graft_v12.ann.q")
+    emb.filter(col("vec_id") < 15)
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+      .createOrReplaceTempView("graft_v12_queries_in")
+    spark.sql("CREATE TABLE graft_v12.ann.q AS SELECT * FROM graft_v12_queries_in")
+    spark.sql(
+      """CALL graft_v12.system.ann_search(index => 'ann.emb',
+        |  queries => 'ann.q', n_probe => 3, top_k => 1)""".stripMargin)
+      .select(col("qid"), col("nid"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v12_ann_sql" -> (v12_ann_sql _),
     "v11_ivf_persisted" -> (v11_ivf_persisted _),
     "v10_ivf_planted" -> (v10_ivf_planted _),
     "v09_ann_planted" -> (v09_ann_planted _),
@@ -363,6 +388,15 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "v12_ann_sql" ->
+      """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 15),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY LIST_COSINE_SIMILARITY(q.qe, e.embedding) DESC, e.vec_id) AS rn
+        |  FROM q, embeddings e)
+        |SELECT qid, nid FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     "v11_ivf_persisted" ->
       """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
         |           FROM embeddings WHERE vec_id < 15),

@@ -416,6 +416,49 @@ object LogProcedures {
           Seq(indexed, total, bytes))
       }
     },
+    "ann_search" -> new MaintenanceProcedure("ann_search",
+      "top-k cosine search THROUGH a persisted IVF index " +
+        "(graft.operators.IvfIndex tables): probe n_probe cells per " +
+        "query, scan only those inverted-list partitions, exact-cosine " +
+        "re-rank — the SQL-callable serving verb (queries is a " +
+        "bounded-batch table with (qid BIGINT, qe ARRAY<FLOAT>))") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index", StringType)
+          .comment("catalog-relative index prefix, e.g. 'ann.emb' " +
+            "(the <prefix>_centroids/_assign/_meta tables)").build(),
+        ProcedureParameter.in("queries", StringType)
+          .comment("catalog-relative query table with (qid, qe)").build(),
+        ProcedureParameter.in("n_probe", IntegerType).defaultValue("2").build(),
+        ProcedureParameter.in("top_k", IntegerType).defaultValue("10").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val cat = catalogName.getOrElse(throw new IllegalStateException(
+          "ann_search needs the owning catalog name (procedure loaded outside a catalog?)"))
+        val index = input.getUTF8String(0).toString
+        val queries = input.getUTF8String(1).toString
+        // identifier sanitation, same rule as dirOf — these splice
+        // into table identifiers
+        Seq(index, queries).foreach { id =>
+          require(id.split("\\.", -1).forall(LogCatalog.validPathPart),
+            s"bad identifier '$id' (want ns.name; plain names only)")
+        }
+        val result = graft.operators.IvfIndex.search(spark,
+          spark.table(s"$cat.$queries"), s"$cat.$index",
+          nProbe = input.getInt(2), topK = input.getInt(3))
+        // procedure results are driver-local rows; this one is bounded
+        // by queries × top_k (the search contract already requires a
+        // bounded query batch)
+        localRows(StructType(Seq(
+          StructField("qid", LongType, nullable = false),
+          StructField("rn", IntegerType, nullable = false),
+          StructField("nid", LongType, nullable = false),
+          StructField("cos", DoubleType, nullable = false))),
+          result.orderBy("qid", "rn").collect().toSeq.map(r =>
+            Seq[Any](r.getAs[Number]("qid").longValue,
+              r.getAs[Number]("rn").intValue,
+              r.getAs[Number]("nid").longValue,
+              r.getAs[Number]("cos").doubleValue)))
+      }
+    },
     "compact_table" -> new MaintenanceProcedure("compact_table",
       "bin-pack a catalog parquet table's data files (crash-safe generation swap)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,

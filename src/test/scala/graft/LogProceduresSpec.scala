@@ -252,4 +252,46 @@ class LogProceduresSpec extends AnyFunSuite {
     assert(err.getMessage.contains("bad table identifier") ||
       err.getMessage.contains("plain names"))
   }
+
+  test("ann_search serves the persisted IVF index from pure SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_proc.ann")
+    import spark.implicits._
+    // 4 well-separated archetypes (IvfIndexSpec's corpus shape): a
+    // planted copy's unique top-1 is its original
+    val dim = 16
+    val corpus = (0 until 120).map { i =>
+      val arch = i % 4
+      (i.toLong, Array.tabulate(dim) { d =>
+        (if (d % 4 == arch) 1.0f else 0.05f) +
+          0.005f * (((i * 31 + d * 17) % 101) - 50)
+      })
+    }.toDF("vec_id", "embedding")
+    graft.operators.IvfIndex.build(spark, corpus, "graft_proc.ann.e", k = 8)
+    spark.sql("DROP TABLE IF EXISTS graft_proc.ann.q")
+    corpus.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 1000).as("qid"), col("embedding").as("qe"))
+      .createOrReplaceTempView("proc_ann_q_in")
+    spark.sql("CREATE TABLE graft_proc.ann.q AS SELECT * FROM proc_ann_q_in")
+    val rows = spark.sql(
+      """CALL graft_proc.system.ann_search(index => 'ann.e',
+        |  queries => 'ann.q', n_probe => 2, top_k => 2)""".stripMargin)
+      .collect()
+    assert(rows.length === 6, s"3 queries × top_k 2, got ${rows.length}")
+    val top1 = rows.filter(_.getInt(1) === 1)
+      .map(r => r.getLong(0) - 1000 -> r.getLong(2)).toMap
+    assert(top1 === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    assert(rows.filter(_.getInt(1) === 1).forall(_.getDouble(3) > 0.999),
+      "a planted copy's top-1 cosine must be ~1.0")
+    // defaults apply (n_probe 2, top_k 10 — each probed pool is ~30
+    // candidates, so every query fills its 10)
+    val withDefaults = spark.sql(
+      "CALL graft_proc.system.ann_search(index => 'ann.e', queries => 'ann.q')")
+      .collect()
+    assert(withDefaults.length === 30, s"got ${withDefaults.length}")
+    // identifier sanitation
+    val err = intercept[Exception] {
+      spark.sql("CALL graft_proc.system.ann_search(index => '../x', queries => 'ann.q')")
+    }
+    assert(err.getMessage.contains("plain names"), err.getMessage)
+  }
 }
