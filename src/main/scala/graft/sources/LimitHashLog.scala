@@ -185,6 +185,47 @@ object LimitHashLog {
       }
   }
 
+  /** Fold the commit manifests into ONE once their count crosses the
+    * shard-fold threshold ([[SidecarShards.foldThreshold]] — the same
+    * O(commits-since-fold) planning contract the parquet tier's shard
+    * store keeps, r17): a producer flushing thousands of micro-batches
+    * otherwise accumulates one manifest per commit until the next
+    * compactLog, and every plan's zone-map load pays the whole
+    * listing. Called WRITE-side (after a commit's own manifest lands)
+    * so read paths stay read-only. Entries merge later-name-wins (the
+    * [[loadStats]] rule; the fold file's `zfold-` id sorts after every
+    * uuid-keyed commit manifest). Best-effort and concurrency-
+    * tolerant: the fold file lands BEFORE its inputs delete, a
+    * vanished input is skipped by any racing reader, duplicate folds
+    * union to the same entries, a replayed epoch recreates its folded
+    * manifest with identical stats, and compactLog's
+    * dropOtherManifests still resets everything on truncate/compact.
+    * Stale entries for since-deleted segments stay harmless — lookups
+    * key off the LIVE segment listing. */
+  private[sources] def maybeFoldManifests(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Unit = try {
+    import org.json4s.jackson.Serialization
+    implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
+    val manifests = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".stats-manifest-"))
+      .map(_.getPath).sortBy(_.getName)
+    if (manifests.length < SidecarShards.foldThreshold) return
+    val merged = manifests.foldLeft(Map.empty[String, SegmentStats]) { (acc, p) =>
+      try {
+        val in = fs.open(p)
+        val bytes = try in.readAllBytes() finally in.close()
+        acc ++ Serialization.read[Map[String, SegmentStats]](
+          new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case scala.util.control.NonFatal(_) => acc }
+    }
+    writeManifest(fs, dir, f"zfold-${System.currentTimeMillis()}%013d-" +
+      java.util.UUID.randomUUID().toString.take(8), merged)
+    manifests.foreach { p =>
+      try fs.delete(p, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Delete every stats manifest except `keep` — truncate semantics:
     * all prior segments are gone, so all prior manifests are stale. */
   private[sources] def dropOtherManifests(fs: org.apache.hadoop.fs.FileSystem,
@@ -700,8 +741,11 @@ class LogStreamingWrite(path: String, queryId: String, truncate: Boolean = false
         committedNames += to.getName
       }
     }
-    // one manifest per epoch (replay overwrites the same name)
+    // one manifest per epoch (replay overwrites the same name); fold
+    // once the count crosses the threshold so a long-running stream's
+    // planning I/O stays O(commits-since-fold)
     LimitHashLog.writeManifest(fs, dir, s"$queryId-$epochId", manifest.result())
+    LimitHashLog.maybeFoldManifests(fs, dir)
     if (versioned) {
       // snapshot commit: the new version IS the visibility event; old
       // segments stay on disk for pinned readers until vacuum
@@ -780,8 +824,10 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean,
           rename(staged, new Path(dir, s"segment-$queryId-$pid-b$b"), Some(st))
         }
     }
-    // one manifest per commit (a retried query overwrites its own)
+    // one manifest per commit (a retried query overwrites its own);
+    // fold past the threshold — planning I/O O(commits-since-fold)
     LimitHashLog.writeManifest(fs, dir, queryId, manifest.result())
+    LimitHashLog.maybeFoldManifests(fs, dir)
 
     // REPLACE WHERE: retire every pre-existing row matching the
     // condition, via the delete tier's zone classify + distributed

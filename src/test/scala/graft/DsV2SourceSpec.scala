@@ -696,6 +696,42 @@ class DsV2SourceSpec extends AnyFunSuite {
     assert(readDir(dir).filter(col("sha256sum") === "sha-c3--7").count() === 1L)
   }
 
+  test("commit manifests fold past the threshold; zone maps and pushdown survive (r17)") {
+    val prev = sys.props.put("graft.sidecar.fold.threshold", "4")
+    try {
+      val dir = Files.createTempDirectory("graft_lhlog_mf").toString
+      (0 until 10).foreach { g =>
+        sampleDf(s"f$g-", 10).coalesce(1)
+          .write.format(LimitHashLog.FORMAT).mode("append").save(dir)
+      }
+      val d = new java.io.File(dir)
+      val manifests = d.listFiles().count(_.getName.startsWith(".stats-manifest-"))
+      assert(manifests <= 4,
+        s"write-side fold must bound the manifest count, got $manifests")
+      assert(d.listFiles().count(_.getName.startsWith("segment-")) === 10,
+        "folding manifests must never touch segments")
+      // the folded stats still serve planning exactly: metadata-served
+      // aggregates and zone-map pruning both intact
+      val agg = readDir(dir)
+        .selectExpr("count(*) AS n", "min(amount) AS lo", "max(amount) AS hi")
+      assert(scanOf(agg).scan.description().contains("PushedAggregates"))
+      val r = agg.head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((100L, 1L, 10L)))
+      val probe = spark.read.format(LimitHashLog.FORMAT)
+        .option("maxPartitionBytes", "1").load(dir)
+        .filter(col("user_id") === "f3-7")
+      assert(probe.rdd.getNumPartitions <= 1,
+        "folded zone maps must still prune the probe to one segment")
+      assert(probe.count() === 1L)
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.sidecar.fold.threshold", v)
+        case None => sys.props.remove("graft.sidecar.fold.threshold")
+      }
+      ()
+    }
+  }
+
   test("log compaction retry: same-id re-run and crash states never lose or duplicate rows") {
     def segFiles(dir: String): Seq[java.io.File] =
       new java.io.File(dir).listFiles().filter(_.getName.startsWith("segment-")).sortBy(_.getName).toSeq
