@@ -416,6 +416,127 @@ object LogProcedures {
           Seq(indexed, total, bytes))
       }
     },
+    "ann_build" -> new MaintenanceProcedure("ann_build",
+      "fit the IVF coarse quantizer on the corpus table's bounded " +
+        "deterministic sample and persist centroids + cell-partitioned " +
+        "inverted lists + version meta (graft.operators.IvfIndex.build); " +
+        "replaces any prior index under the prefix") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index", StringType)
+          .comment("catalog-relative index prefix, e.g. 'ann.emb'").build(),
+        ProcedureParameter.in("corpus", StringType)
+          .comment("catalog-relative corpus table with (vec_id, embedding)").build(),
+        ProcedureParameter.in("k", IntegerType).defaultValue("16").build(),
+        ProcedureParameter.in("iters", IntegerType).defaultValue("8").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val cat = catalogName.getOrElse(throw new IllegalStateException(
+          "ann_build needs the owning catalog name (procedure loaded outside a catalog?)"))
+        val index = input.getUTF8String(0).toString
+        val corpus = input.getUTF8String(1).toString
+        require(index.split("\\.", -1).forall(LogCatalog.validPathPart),
+          s"bad identifier '$index' (want ns.name; plain names only)")
+        val corpusDir = dirOf(warehouse, corpus) // validates too
+        // on a versioned corpus the build records which ledger version
+        // the assignments cover, so a later ann_refresh folds exactly
+        // the span since this build
+        val v = if (ParquetVersions.enabled(corpusDir)) {
+          ParquetVersions.catchUp(corpusDir)
+          ParquetVersions.latest(corpusDir).get._1
+        } else 0L
+        val fq = s"$cat.$index"
+        graft.operators.IvfIndex.build(spark, spark.table(s"$cat.$corpus"),
+          fq, k = input.getInt(2), iters = input.getInt(3), indexedVersion = v)
+        oneRow(StructType(Seq(
+          StructField("cells", LongType, nullable = false),
+          StructField("vectors", LongType, nullable = false),
+          StructField("indexed_version", LongType, nullable = false),
+          StructField("base_drift", DoubleType, nullable = false))),
+          // Seq[Any], NOT Seq(...): Long and Double elements would
+          // otherwise unify to Seq[Double] by weak conformance,
+          // silently converting every LONG field's value
+          Seq[Any](spark.table(s"${fq}_centroids").count(),
+            spark.table(s"${fq}_assign").count(), v,
+            graft.operators.IvfIndex.driftBaseline(spark, fq).getOrElse(0.0)))
+      }
+    },
+    "ann_refresh" -> new MaintenanceProcedure("ann_refresh",
+      "fold the corpus change feed since the indexed version into the " +
+        "inverted lists in O(delta) (existing list files byte-identical, " +
+        "centroids not re-fit), then run index hygiene: fold mask stacks " +
+        "past fold_preds into DV sidecars, bin-pack the small-file tail " +
+        "past file_cap, vacuum to retain_last versions") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index", StringType).build(),
+        ProcedureParameter.in("corpus", StringType).build(),
+        ProcedureParameter.in("fold_preds", IntegerType).defaultValue("8").build(),
+        ProcedureParameter.in("retain_last", IntegerType).defaultValue("4").build(),
+        ProcedureParameter.in("file_cap", IntegerType).defaultValue("64").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val cat = catalogName.getOrElse(throw new IllegalStateException(
+          "ann_refresh needs the owning catalog name (procedure loaded outside a catalog?)"))
+        val index = input.getUTF8String(0).toString
+        require(index.split("\\.", -1).forall(LogCatalog.validPathPart),
+          s"bad identifier '$index' (want ns.name; plain names only)")
+        val corpusDir = dirOf(warehouse, input.getUTF8String(1).toString)
+        val fq = s"$cat.$index"
+        val v = graft.operators.IvfIndex.refresh(spark, corpusDir, fq)
+        val (folded, packed, vacuumed) = graft.operators.IvfIndex.hygiene(
+          spark, fq, input.getInt(2), input.getInt(3), input.getInt(4))
+        oneRow(StructType(Seq(
+          StructField("indexed_version", LongType, nullable = false),
+          StructField("masks_folded", LongType, nullable = false),
+          StructField("files_packed", LongType, nullable = false),
+          StructField("files_vacuumed", LongType, nullable = false))),
+          Seq(v, folded, packed, vacuumed))
+      }
+    },
+    "ann_stats" -> new MaintenanceProcedure("ann_stats",
+      "health of a persisted IVF index: cardinalities, mask pressure, " +
+        "indexed version, and the DRIFT gauge (current quantizer-fit vs " +
+        "the build-time baseline; needs_rebuild once the ratio crosses " +
+        "factor) — the SQL face of the rebuild policy") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index", StringType).build(),
+        ProcedureParameter.in("factor", DoubleType).defaultValue("1.5").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val cat = catalogName.getOrElse(throw new IllegalStateException(
+          "ann_stats needs the owning catalog name (procedure loaded outside a catalog?)"))
+        val index = input.getUTF8String(0).toString
+        require(index.split("\\.", -1).forall(LogCatalog.validPathPart),
+          s"bad identifier '$index' (want ns.name; plain names only)")
+        val fq = s"$cat.$index"
+        val factor = input.getDouble(1)
+        val d = graft.operators.IvfIndex.drift(spark, fq)
+        val assignDir = {
+          val parts = index.split("\\.", -1)
+          dirOf(warehouse,
+            (parts.dropRight(1) :+ (parts.last + "_assign")).mkString("."))
+        }
+        val masked = ParquetVersions.masksFor(assignDir, None)
+          .count(_._2.nonEmpty).toLong
+        val liveFiles =
+          if (ParquetVersions.enabled(assignDir))
+            ParquetVersions.live(assignDir).size.toLong
+          else -1L
+        oneRow(StructType(Seq(
+          StructField("cells", LongType, nullable = false),
+          StructField("vectors", LongType, nullable = false),
+          StructField("live_files", LongType, nullable = false),
+          StructField("masked_files", LongType, nullable = false),
+          StructField("indexed_version", LongType, nullable = false),
+          StructField("base_drift", DoubleType, nullable = true),
+          StructField("drift", DoubleType, nullable = false),
+          StructField("drift_ratio", DoubleType, nullable = true),
+          StructField("needs_rebuild", BooleanType, nullable = false))),
+          Seq[Any](spark.table(s"${fq}_centroids").count(),
+            spark.table(s"${fq}_assign").count(),
+            liveFiles, masked,
+            graft.operators.IvfIndex.indexedVersion(spark, fq),
+            d.baseline.map(Double.box).orNull, d.current,
+            d.ratio.map(Double.box).orNull,
+            d.ratio.exists(_ > factor)))
+      }
+    },
     "ann_search" -> new MaintenanceProcedure("ann_search",
       "top-k cosine search THROUGH a persisted IVF index " +
         "(graft.operators.IvfIndex tables): probe n_probe cells per " +

@@ -294,4 +294,49 @@ class LogProceduresSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("plain names"), err.getMessage)
   }
+
+  test("the full IVF lifecycle is SQL-native: ann_build -> ann_stats -> ann_refresh -> ann_search") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_proc.ann")
+    import spark.implicits._
+    val dim = 16
+    def vecs(from: Int, until: Int) = (from until until).map { i =>
+      val arch = i % 4
+      (i.toLong, Array.tabulate(dim) { d =>
+        (if (d % 4 == arch) 1.0f else 0.05f) +
+          0.005f * (((i * 31 + d * 17) % 101) - 50)
+      })
+    }.toDF("vec_id", "embedding")
+    spark.sql("DROP TABLE IF EXISTS graft_proc.ann.c")
+    vecs(0, 120).createOrReplaceTempView("proc_ann_c_in")
+    spark.sql("CREATE TABLE graft_proc.ann.c AS SELECT * FROM proc_ann_c_in")
+    spark.sql("CALL graft_proc.system.enable_versioning(table => 'ann.c')")
+    // build from SQL: cells, vectors, version, baseline all reported
+    val built = spark.sql(
+      "CALL graft_proc.system.ann_build(index => 'ann.e2', corpus => 'ann.c', k => 8)").head
+    assert(built.getLong(0) === 8L && built.getLong(1) === 120L)
+    assert(built.getLong(2) >= 1L && built.getDouble(3) > 0.0)
+    // the drift gauge from SQL: fresh index reads healthy
+    val st0 = spark.sql("CALL graft_proc.system.ann_stats(index => 'ann.e2')").head
+    assert(st0.getLong(0) === 8L && st0.getLong(1) === 120L)
+    assert(!st0.getBoolean(8), s"fresh index must not want a rebuild: $st0")
+    assert(st0.getDouble(7) < 1.5, s"drift ratio ~1 expected: $st0")
+    // corpus grows; refresh from SQL folds the delta + runs hygiene
+    vecs(120, 140).createOrReplaceTempView("proc_ann_c2_in")
+    spark.sql("INSERT INTO graft_proc.ann.c SELECT * FROM proc_ann_c2_in")
+    val rf = spark.sql(
+      "CALL graft_proc.system.ann_refresh(index => 'ann.e2', corpus => 'ann.c')").head
+    assert(rf.getLong(0) > built.getLong(2), s"refresh must advance the version: $rf")
+    val st1 = spark.sql("CALL graft_proc.system.ann_stats(index => 'ann.e2')").head
+    assert(st1.getLong(1) === 140L, s"refreshed index must carry the appends: $st1")
+    // an appended vector's planted copy is served through the SQL verb
+    spark.sql("DROP TABLE IF EXISTS graft_proc.ann.q2")
+    vecs(0, 140).filter(col("vec_id") === 133L)
+      .select((col("vec_id") + 1000).as("qid"), col("embedding").as("qe"))
+      .createOrReplaceTempView("proc_ann_q2_in")
+    spark.sql("CREATE TABLE graft_proc.ann.q2 AS SELECT * FROM proc_ann_q2_in")
+    val hit = spark.sql(
+      """CALL graft_proc.system.ann_search(index => 'ann.e2',
+        |  queries => 'ann.q2', n_probe => 2, top_k => 1)""".stripMargin).head
+    assert(hit.getLong(2) === 133L, s"appended vector must be servable: $hit")
+  }
 }
