@@ -259,7 +259,12 @@ object ParquetBloom {
       }.toMap
     if (todoEntries.nonEmpty)
       SidecarShards.append(conf, dataDir, SIDECAR_KIND, renderEntries(todoEntries))
-    maybeFold(conf, dataDir, live.map(e => e._1 -> ((e._2, e._3))).toMap)
+    // fold validates against the RAW on-disk walk, not the versioned
+    // live set — retired-but-retained files are still listed by pinned
+    // readers, whose bloom coverage a fold must not destroy
+    maybeFold(conf, dataDir, ParquetVersions.walkData(fs, dataDir)
+      .map { case (rel, st) => rel -> ((st.getLen, st.getModificationTime)) }
+      .toMap)
     val bytes = SidecarShards.totalBytes(conf, dataDir, SIDECAR_KIND)
     (todo.size.toLong, live.size.toLong, bytes)
   }

@@ -724,8 +724,12 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
       ParquetFooterStats.appendSidecar(conf, dataDir, learned)
     }
     // fold probe each plan (one listStatus when under threshold); the
-    // live map is computed only when a fold actually runs
-    def liveNow: Map[String, (Long, Long)] = base.iterator.flatMap(_.files)
+    // validation map is computed only when a fold actually runs, and
+    // from the RAW listing, not the version-pinned `base` — a fold
+    // triggered by a time-travel plan must not drop CURRENT files'
+    // entries (any on-disk file's matching entry is a valid cache
+    // line; only vanished/rewritten files are stale)
+    def liveNow: Map[String, (Long, Long)] = listed.iterator.flatMap(_.files)
       .map(f => PartitionSpecs.relFromData(f.getPath) ->
         ((f.getLen, f.getModificationTime))).toMap
     ParquetFooterStats.maybeFold(conf, dataDir, liveNow)

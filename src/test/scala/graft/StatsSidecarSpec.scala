@@ -203,6 +203,44 @@ class StatsSidecarSpec extends AnyFunSuite {
     }
   }
 
+  test("a fold triggered by a TIME-TRAVEL plan keeps current files' entries") {
+    val prev = sys.props.put("graft.sidecar.fold.threshold", "2")
+    try {
+      spark.sql("DROP TABLE IF EXISTS graft_fst.lake.tt")
+      spark.sql("CREATE TABLE graft_fst.lake.tt (id BIGINT, v BIGINT)")
+      spark.range(0, 50).selectExpr("id", "id * 2 AS v")
+        .coalesce(1).writeTo("graft_fst.lake.tt").append()
+      spark.sql("CALL graft_fst.system.enable_versioning(table => 'lake.tt')") // v1
+      spark.sql("SELECT count(*) FROM graft_fst.lake.tt WHERE id < 10").collect()
+      // v2 adds a file; plan it so its stats join the shards
+      spark.range(100, 150).selectExpr("id", "id * 2 AS v")
+        .coalesce(1).writeTo("graft_fst.lake.tt").append()
+      spark.sql("SELECT count(*) FROM graft_fst.lake.tt WHERE id >= 100").collect()
+      graft.sources.ParquetVersions.catchUp(s"$warehouse/lake/tt")
+      // a PINNED plan triggers the next fold (threshold 2); the fold
+      // must validate against the raw listing, not the pinned set
+      assert(spark.sql(
+        "SELECT count(*) AS c FROM graft_fst.lake.tt VERSION AS OF 1 WHERE id < 10")
+        .head.getLong(0) === 10)
+      // current files' learned stats survived: a fresh driver's CURRENT
+      // plan is still zero-open
+      val under = s"$warehouse/lake/tt"
+      ParquetFooterStats.clearCacheForTesting()
+      val before = ParquetFooterStats.footerReadsUnder(under)
+      assert(spark.sql(
+        "SELECT count(*) AS c FROM graft_fst.lake.tt WHERE id >= 100")
+        .head.getLong(0) === 50)
+      assert(ParquetFooterStats.footerReadsUnder(under) === before,
+        "a time-travel-triggered fold must not evict current files' entries")
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.sidecar.fold.threshold", v)
+        case None => sys.props.remove("graft.sidecar.fold.threshold")
+      }
+      ()
+    }
+  }
+
   test("a corrupt shard is ignored, corrected, and never wrong") {
     spark.sql("DROP TABLE IF EXISTS graft_fst.lake.s")
     spark.sql("CREATE TABLE graft_fst.lake.s AS SELECT id FROM range(10)")
