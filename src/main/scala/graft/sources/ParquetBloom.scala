@@ -120,16 +120,21 @@ object ParquetBloom {
   }
 
   /** rel name → (len, mtime, col → base64 bloom): union of every
-    * shard (legacy single file included), later shards winning name
-    * collisions. Empty on absence or parse trouble — the sidecar is an
-    * accelerator, never the truth. */
+    * RELEVANT shard (legacy single file included), later shards
+    * winning name collisions. `candidates` bounds both retention and
+    * I/O — bucketed fold shards holding none of the candidate names
+    * are never read, so a point probe on a million-file table parses
+    * kilobytes of bloom payloads, not gigabytes. Empty on absence or
+    * parse trouble — the sidecar is an accelerator, never the truth. */
   def readSidecar(conf: Configuration, dataDir: Path,
-      keep: String => Boolean = _ => true)
-      : Map[String, (Long, Long, Map[String, String])] =
-    SidecarShards.readAll(conf, dataDir, SIDECAR_KIND)
+      candidates: Option[Set[String]] = None)
+      : Map[String, (Long, Long, Map[String, String])] = {
+    val keep: String => Boolean = n => candidates.forall(_.contains(n))
+    SidecarShards.readAll(conf, dataDir, SIDECAR_KIND, candidates)
       .foldLeft(Map.empty[String, (Long, Long, Map[String, String])]) {
         case (acc, (_, text)) => acc ++ parseEntries(text, keep)
       }
+  }
 
   /** Fold the shards to one member once past the threshold, dropping
     * entries that no longer validate against `liveNow`. */
@@ -143,7 +148,9 @@ object ParquetBloom {
       .foldLeft(Map.empty[String, (Long, Long, Map[String, String])]) {
         case (acc, (_, text)) => acc ++ parseEntries(text, live.contains)
       }.filter { case (name, (len, mt, _)) => live.get(name).contains((len, mt)) }
-    SidecarShards.fold(conf, dataDir, SIDECAR_KIND, renderEntries(merged),
+    // 256 entries × 8 KiB payloads ≈ 2 MB per bucket shard
+    SidecarShards.fold(conf, dataDir, SIDECAR_KIND,
+      SidecarShards.bucketed(merged, perBucket = 256, renderEntries),
       members.map(_._1))
   }
 
@@ -244,7 +251,7 @@ object ParquetBloom {
     // A todo file with a still-valid entry for OTHER columns merges
     // those in (the union is per-ENTRY, later shard wins wholesale).
     val todoSet = todo.map(_._1).toSet
-    val existingPayloads = readSidecar(conf, dataDir, todoSet)
+    val existingPayloads = readSidecar(conf, dataDir, Some(todoSet))
     val todoEntries: Map[String, (Long, Long, Map[String, String])] =
       todo.map { case (rel, len, mt) =>
         val keep = existingPayloads.get(rel) match {

@@ -329,14 +329,20 @@ object ParquetFooterStats {
     JsonMethods.compact(JsonMethods.render(json))
   }
 
-  /** Union of every shard (legacy single file included), later shards
-    * winning name collisions. `keep` bounds what is retained. */
+  /** Union of every relevant shard (legacy single file included),
+    * later shards winning name collisions. `candidates` bounds BOTH
+    * what is retained and what is READ: bucketed fold shards holding
+    * none of the candidate names are skipped without parsing, so a
+    * selective plan's sidecar I/O is O(probe set), not O(live files). */
   def readSidecar(conf: Configuration, dataDir: Path,
-      keep: String => Boolean = _ => true): Map[String, (Long, Long, FileStats)] =
-    SidecarShards.readAll(conf, dataDir, SIDECAR_KIND)
+      candidates: Option[Set[String]] = None)
+      : Map[String, (Long, Long, FileStats)] = {
+    val keep: String => Boolean = n => candidates.forall(_.contains(n))
+    SidecarShards.readAll(conf, dataDir, SIDECAR_KIND, candidates)
       .foldLeft(Map.empty[String, (Long, Long, FileStats)]) {
         case (acc, (_, text)) => acc ++ parseEntries(text, keep)
       }
+  }
 
   /** Append the entries one plan LEARNED as a new shard — never a
     * rewrite of existing members (concurrent planners each append
@@ -360,7 +366,8 @@ object ParquetFooterStats {
       case (acc, (_, text)) => acc ++ parseEntries(text,
         name => live.contains(name))
     }.filter { case (name, (len, mt, _)) => live.get(name).contains((len, mt)) }
-    SidecarShards.fold(conf, dataDir, SIDECAR_KIND, renderEntries(merged),
+    SidecarShards.fold(conf, dataDir, SIDECAR_KIND,
+      SidecarShards.bucketed(merged, perBucket = 4096, renderEntries),
       members.map(_._1))
   }
 
@@ -663,7 +670,7 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
     // stats map on the driver.
     val survivors: Set[String] = afterPartitions.iterator.flatMap(_.files)
       .map(f => PartitionSpecs.relFromData(f.getPath)).toSet
-    val sidecar = ParquetFooterStats.readSidecar(conf, dataDir, survivors)
+    val sidecar = ParquetFooterStats.readSidecar(conf, dataDir, Some(survivors))
     def fromSidecar(
         f: org.apache.spark.sql.execution.datasources.FileStatusWithMetadata)
         : Option[ParquetFooterStats.FileStats] =
@@ -687,7 +694,7 @@ class StatsPrunedFileIndex(spark: SparkSession, dataDir: Path, schema: StructTyp
     // scans that can never consult it.
     val blooms: Map[String, (Long, Long, Map[String, String])] =
       if (conjuncts.exists(BloomPrune.relevant))
-        ParquetBloom.readSidecar(conf, dataDir, survivors)
+        ParquetBloom.readSidecar(conf, dataDir, Some(survivors))
       else Map.empty
     def bloomKeeps(
         f: org.apache.spark.sql.execution.datasources.FileStatusWithMetadata): Boolean =

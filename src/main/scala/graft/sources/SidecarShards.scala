@@ -65,6 +65,20 @@ object SidecarShards {
   private def isShard(name: String): Boolean =
     name.startsWith("shard-") && name.endsWith(".json")
 
+  /** Fold shards carry a `-b<k>of<B>` suffix: the fold splits its
+    * merged entries into B HASH BUCKETS of bounded size (keyed by
+    * entry name), so a probe that survived partition pruning reads
+    * only the buckets its candidate names hash into — cold-plan
+    * sidecar I/O is O(probe set), not O(live files), even right after
+    * a fold of a million-file table. Delta shards (no suffix) are
+    * always read. */
+  private val BucketRe = "-b(\\d+)of(\\d+)\\.json$".r.unanchored
+
+  /** Stable bucket of an entry name (String.hashCode is specified by
+    * the JLS — identical across JVMs and runs). */
+  def bucketOf(name: String, buckets: Int): Int =
+    Math.floorMod(name.hashCode, buckets)
+
   /** (shard path, json text) in FOLD ORDER: the legacy file first (it
     * predates every shard), then shards by name — names embed a
     * zero-padded write-time millis stamp, so later writers win name
@@ -72,7 +86,15 @@ object SidecarShards {
     * under a concurrent fold, or corrupt bytes, degrade to missing
     * cache entries. */
   def readAll(conf: Configuration, dataDir: Path,
-      kind: String): Seq[(Path, String)] = {
+      kind: String): Seq[(Path, String)] =
+    readAll(conf, dataDir, kind, None)
+
+  /** [[readAll]] with a candidate-name pre-filter: bucketed FOLD
+    * shards whose bucket contains none of the candidates are skipped
+    * WITHOUT being read or parsed — the I/O face of the keep-filter.
+    * `None` reads everything (maintenance, coverage probes, folds). */
+  def readAll(conf: Configuration, dataDir: Path, kind: String,
+      candidates: Option[Set[String]]): Seq[(Path, String)] = {
     val dir = dirFor(dataDir, kind)
     val fs = dir.getFileSystem(conf)
     def textOf(p: Path): Option[String] =
@@ -81,6 +103,15 @@ object SidecarShards {
         val bytes = try in.readAllBytes() finally in.close()
         Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
       } catch { case scala.util.control.NonFatal(_) => None }
+    def wanted(name: String): Boolean = (candidates, name) match {
+      case (Some(cands), BucketRe(k, b)) =>
+        val buckets = b.toInt
+        buckets <= 0 || {
+          val bucket = k.toInt
+          cands.exists(c => bucketOf(c, buckets) == bucket)
+        }
+      case _ => true // delta shard, unparseable suffix, or no filter
+    }
     val legacy = legacyFor(dataDir, kind)
     val head: Seq[(Path, String)] =
       if (try fs.exists(legacy) catch { case _: java.io.IOException => false })
@@ -88,7 +119,8 @@ object SidecarShards {
       else Seq.empty
     val shards: Seq[(Path, String)] =
       try fs.listStatus(dir).toSeq
-        .filter(s => s.isFile && isShard(s.getPath.getName))
+        .filter(s => s.isFile && isShard(s.getPath.getName) &&
+          wanted(s.getPath.getName))
         .sortBy(_.getPath.getName)
         .flatMap(s => textOf(s.getPath).map(s.getPath -> _))
       catch { case _: java.io.FileNotFoundException => Seq.empty
@@ -96,13 +128,17 @@ object SidecarShards {
     head ++ shards
   }
 
-  /** Number of members a fold would consume (legacy + shards) — the
-    * cheap trigger probe: one listStatus of a small directory. */
+  /** Number of UN-FOLDED members (legacy + delta shards) — the fold
+    * trigger probe: one listStatus of a small directory. Bucketed
+    * fold shards are the folded state and must not re-trigger. */
   def memberCount(conf: Configuration, dataDir: Path, kind: String): Int = {
     val dir = dirFor(dataDir, kind)
     val fs = dir.getFileSystem(conf)
     val n = try fs.listStatus(dir)
-        .count(s => s.isFile && isShard(s.getPath.getName))
+        .count { s =>
+          s.isFile && isShard(s.getPath.getName) &&
+            !BucketRe.pattern.matcher(s.getPath.getName).find()
+        }
       catch { case _: java.io.FileNotFoundException => 0
               case scala.util.control.NonFatal(_) => 0 }
     val legacy =
@@ -132,12 +168,12 @@ object SidecarShards {
     * Never touches existing members. Best-effort — a failed append
     * costs the next planner its footer opens, nothing else. */
   def append(conf: Configuration, dataDir: Path, kind: String,
-      json: String): Unit = try {
+      json: String, suffix: String = ""): Unit = try {
     val dir = dirFor(dataDir, kind)
     val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val name = f"shard-${System.currentTimeMillis()}%013d-" +
-      java.util.UUID.randomUUID().toString.take(8) + ".json"
+      java.util.UUID.randomUUID().toString.take(8) + suffix + ".json"
     val tmp = new Path(dir, s".tmp-$name")
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -146,19 +182,35 @@ object SidecarShards {
     ()
   } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** Fold `inputs` (paths returned by [[readAll]]) into one merged
-    * shard: write the merged member FIRST, then delete the inputs (and
-    * the legacy file if it was one of them). A crash between the two
-    * steps leaves duplicate entries — harmless, the next fold collapses
-    * them. Concurrent appenders' fresh shards are never in `inputs`
-    * and survive untouched. */
+  /** Fold `inputs` (paths returned by [[readAll]]) into hash-BUCKETED
+    * members: each part is a (bucket, buckets, json) triple written
+    * under the `-b<k>of<B>` suffix [[readAll]]'s candidate filter can
+    * skip. Parts land FIRST, then the inputs delete (legacy file
+    * included when it was one). A crash between the two leaves
+    * duplicate entries — harmless, entry union is idempotent and the
+    * next fold collapses them. Concurrent appenders' fresh shards are
+    * never in `inputs` and survive untouched. The fold itself re-reads
+    * and rewrites all buckets — O(live entries) once per threshold
+    * crossing, i.e. amortized O(live/threshold) per commit, the same
+    * amortization the log tier's manifest compaction carries. */
   def fold(conf: Configuration, dataDir: Path, kind: String,
-      mergedJson: String, inputs: Seq[Path]): Unit = try {
-    append(conf, dataDir, kind, mergedJson)
+      parts: Seq[(Int, Int, String)], inputs: Seq[Path]): Unit = try {
+    parts.foreach { case (k, b, json) =>
+      append(conf, dataDir, kind, json, suffix = s"-b${k}of$b")
+    }
     val fs = dirFor(dataDir, kind).getFileSystem(conf)
     inputs.foreach { p =>
       try fs.delete(p, false)
       catch { case scala.util.control.NonFatal(_) => () }
     }
   } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Split merged entries into bounded hash buckets for [[fold]]. */
+  def bucketed[T](merged: Map[String, T], perBucket: Int,
+      render: Map[String, T] => String): Seq[(Int, Int, String)] = {
+    val buckets = math.max(1,
+      math.ceil(merged.size.toDouble / perBucket).toInt)
+    merged.groupBy { case (n, _) => bucketOf(n, buckets) }
+      .toSeq.map { case (k, es) => (k, buckets, render(es)) }
+  }
 }

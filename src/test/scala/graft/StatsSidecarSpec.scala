@@ -241,6 +241,37 @@ class StatsSidecarSpec extends AnyFunSuite {
     }
   }
 
+  test("folds are hash-bucketed; candidate reads skip foreign buckets entirely") {
+    val conf = new org.apache.hadoop.conf.Configuration(hconf)
+    val dataDir = new Path(
+      java.nio.file.Files.createTempDirectory("graft_buckets").toString, "data")
+    def render(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+        .mkString("{", ",", "}")
+    val entries = (0 until 600).map(i => s"f$i.parquet" -> s"""{"x":$i}""").toMap
+    // one delta shard, then a bucketed fold at 100 entries per bucket
+    SidecarShards.append(conf, dataDir, "_fstats", render(entries))
+    val members = SidecarShards.readAll(conf, dataDir, "_fstats")
+    assert(members.size === 1)
+    val parts = SidecarShards.bucketed(entries, perBucket = 100, render)
+    assert(parts.size === 6 && parts.map(_._2).toSet === Set(6),
+      s"600 entries at 100/bucket must make 6 buckets: ${parts.map(t => (t._1, t._2))}")
+    SidecarShards.fold(conf, dataDir, "_fstats", parts, members.map(_._1))
+    // the folded state: 6 bucket shards, ZERO un-folded members (the
+    // fold trigger sees an empty delta set, no immediate re-fold)
+    assert(SidecarShards.readAll(conf, dataDir, "_fstats").size === 6)
+    assert(SidecarShards.memberCount(conf, dataDir, "_fstats") === 0)
+    // a candidate read touches exactly the one bucket its name hashes
+    // into — the other five are never opened
+    val one = SidecarShards.readAll(conf, dataDir, "_fstats",
+      Some(Set("f7.parquet")))
+    assert(one.size === 1, s"expected one bucket read, got ${one.map(_._1)}")
+    assert(one.head._2.contains("\"f7.parquet\""))
+    // a full read still unions everything
+    val all = SidecarShards.readAll(conf, dataDir, "_fstats", None)
+    assert(all.flatMap(t => "f\\d+\\.parquet".r.findAllIn(t._2)).toSet.size === 600)
+  }
+
   test("a corrupt shard is ignored, corrected, and never wrong") {
     spark.sql("DROP TABLE IF EXISTS graft_fst.lake.s")
     spark.sql("CREATE TABLE graft_fst.lake.s AS SELECT id FROM range(10)")
