@@ -103,13 +103,16 @@ object SidecarShards {
         val bytes = try in.readAllBytes() finally in.close()
         Some(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
       } catch { case scala.util.control.NonFatal(_) => None }
+    // candidate buckets per distinct B, computed once — a near-full
+    // candidate set (unselective probe) must not re-hash every name
+    // for every bucket shard
+    val bucketsFor = scala.collection.mutable.Map.empty[Int, Set[Int]]
     def wanted(name: String): Boolean = (candidates, name) match {
       case (Some(cands), BucketRe(k, b)) =>
         val buckets = b.toInt
-        buckets <= 0 || {
-          val bucket = k.toInt
-          cands.exists(c => bucketOf(c, buckets) == bucket)
-        }
+        buckets <= 0 ||
+          bucketsFor.getOrElseUpdate(buckets,
+            cands.map(bucketOf(_, buckets))).contains(k.toInt)
       case _ => true // delta shard, unparseable suffix, or no filter
     }
     val legacy = legacyFor(dataDir, kind)
