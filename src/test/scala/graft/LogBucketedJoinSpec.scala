@@ -76,6 +76,35 @@ class LogBucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("the bucket claim survives a manifest FOLD: join stays shuffle-free past the threshold (r17)") {
+    val prev = sys.props.put("graft.sidecar.fold.threshold", "3")
+    try {
+      val t1 = mkTable("jf1"); val t2 = mkTable("jf2")
+      // enough same-spec bucketed commits to trigger the write-side
+      // manifest fold several times — the folded manifest must keep
+      // every segment's bucket tag or the layout silently downgrades
+      (0 until 6).foreach { i =>
+        LogBucketing.writeBucketed(logDf(40, 60, s"fa$i"), t1, "user_id", 4)
+        LogBucketing.writeBucketed(logDf(25, 30, s"fb$i"), t2, "user_id", 4)
+      }
+      withPlainPlans {
+        val joined = spark.table(t1).alias("l")
+          .join(spark.table(t2).alias("r"), "user_id")
+          .select(col("user_id"), col("l.amount"), col("r.amount"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(!plan.contains("Exchange"),
+          s"bucketed join must stay shuffle-free after manifest folds, got:\n$plan")
+        assert(joined.count() > 0)
+      }
+    } finally {
+      prev match {
+        case Some(v) => sys.props.put("graft.sidecar.fold.threshold", v)
+        case None => sys.props.remove("graft.sidecar.fold.threshold")
+      }
+      ()
+    }
+  }
+
   test("GROUP BY the bucket key aggregates without an exchange") {
     val t = mkTable("agg1")
     LogBucketing.writeBucketed(logDf(30, 300, "g"), t, "user_id", 4)
