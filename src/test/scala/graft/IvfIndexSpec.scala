@@ -271,6 +271,45 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(!IvfIndex.needsRebuild(spark, fq))
   }
 
+  test("maintainStream runs hygiene itself: masks fold and versions stay bounded under streamed churn") {
+    val fq = "graft_ivf.ann.e8"
+    spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus8")
+    corpusDf(200).createOrReplaceTempView("ivf_c8")
+    spark.sql("CREATE TABLE graft_ivf.ann.corpus8 AS SELECT * FROM ivf_c8")
+    val corpusDir = s"$warehouse/ann/corpus8"
+    graft.sources.ParquetVersions.enable(corpusDir) // v1
+    IvfIndex.build(spark, spark.table("graft_ivf.ann.corpus8"), fq,
+      k = 8, indexedVersion = 1L)
+    val assignDir = s"$warehouse/ann/e8_assign"
+    val ck = java.nio.file.Files.createTempDirectory("graft_ivf_ck8").toString
+    val q = IvfIndex.maintainStream(spark, corpusDir, fq, ck,
+      hygieneFoldPreds = 2, hygieneRetainLast = 2, rebuildFactor = 1.5)
+    try {
+      (0 until 4).foreach { r =>
+        val ids = (0 until 5).map(i => ((r * 41 + i * 53) % 200).toLong).distinct
+        spark.sql(s"DELETE FROM graft_ivf.ann.corpus8 WHERE vec_id IN (${ids.mkString(",")})")
+        corpusDf(200).filter(col("vec_id").isin(ids.map(Long.box): _*))
+          .createOrReplaceTempView("ivf_c8_delta")
+        spark.sql("INSERT INTO graft_ivf.ann.corpus8 SELECT * FROM ivf_c8_delta")
+        graft.sources.ParquetVersions.catchUp(corpusDir)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the STREAM's own hygiene kept the pressure down: no mask stack
+    // outgrew the fold threshold (+1 landed since), the ledger holds
+    // only the retained window
+    val masks = graft.sources.ParquetVersions.masksFor(assignDir, None)
+    val maxStack = (0 +: masks.valuesIterator.map(_.size).toSeq).max
+    assert(maxStack <= 3, s"stream hygiene must fold mask stacks, saw $maxStack")
+    val versionFiles = new java.io.File(assignDir).listFiles()
+      .count(_.getName.startsWith(".v-"))
+    assert(versionFiles <= 4,
+      s"stream hygiene must vacuum the ledger, found $versionFiles version files")
+    assert(spark.table(s"${fq}_assign").count() === 200L)
+    val got = searchCopiesOf(Seq(11L, 187L), spark.table("graft_ivf.ann.corpus8"), fq)
+    assert(got === Map(11L -> 11L, 187L -> 187L))
+  }
+
   test("drift gauge: a distribution shift flags rebuild; re-build resets it") {
     val fq = "graft_ivf.ann.e7"
     spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus7")
