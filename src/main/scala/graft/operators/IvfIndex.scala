@@ -176,7 +176,9 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     // one-source-row-per-target-row rule — the insert (if any) wins
     // and carries the new embedding; a bare delete stays a delete.
     // (vec_id is the index key: one vector per id by contract.)
-    graft.sources.ChangeFeed.parquetChanges(spark, corpusDir, v0, v1, net = true)
+    val quantized = isQuantized(spark, fq)
+    val collapsed = graft.sources.ChangeFeed
+      .parquetChanges(spark, corpusDir, v0, v1, net = true)
       .groupBy(col("vec_id").cast("long").as("vec_id"))
       .agg(max(when(
         col(graft.sources.ChangeFeed.CHANGE_TYPE_COL) === "insert",
@@ -187,36 +189,199 @@ object IvfIndex extends org.apache.spark.internal.Logging {
           .cast("int").as("cell"),
         col("ins.embedding").as("embedding"),
         when(col("ins").isNull, "delete").otherwise("insert").as("ct"))
-      .createOrReplaceTempView(viewName("delta", fq))
+    val delta =
+      if (!quantized) collapsed
+      else {
+        // quantized lists: the delta carries codes, not raw vectors
+        // (deletes carry nulls through — the quantize expression is
+        // null-safe and the DELETE arm never reads these columns)
+        import org.apache.spark.sql.functions.{array_max, array_min}
+        collapsed
+          .withColumn("vmin", array_min(col("embedding")).cast("float"))
+          .withColumn("vscale",
+            ((array_max(col("embedding")) - array_min(col("embedding"))) / 255.0)
+              .cast("float"))
+          .select(col("vec_id"), col("cell"),
+            graft.functions.QuantizeVecExpr(
+              col("embedding"), col("vmin"), col("vscale")).as("q8"),
+            col("vmin"), col("vscale"), col("ct"))
+      }
+    delta.createOrReplaceTempView(viewName("delta", fq))
     // merge-on-read: deletes/updates publish masks, inserts append —
     // existing inverted-list files are never rewritten by maintenance
     val modeBefore = spark.conf.getOption(graft.sources.DeleteMasks.MODE_KEY)
     spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, "merge-on-read")
     try {
-      spark.sql(s"""MERGE INTO ${fq}_assign t USING ${viewName("delta", fq)} s
-                    ON t.vec_id = s.vec_id
-                    WHEN MATCHED AND s.ct = 'delete' THEN DELETE
-                    WHEN MATCHED THEN UPDATE SET cell = s.cell, embedding = s.embedding
-                    WHEN NOT MATCHED AND s.ct = 'insert' THEN
-                      INSERT (vec_id, cell, embedding) VALUES (s.vec_id, s.cell, s.embedding)""")
+      if (quantized) {
+        spark.sql(s"""MERGE INTO ${fq}_assign t USING ${viewName("delta", fq)} s
+                      ON t.vec_id = s.vec_id
+                      WHEN MATCHED AND s.ct = 'delete' THEN DELETE
+                      WHEN MATCHED THEN UPDATE SET cell = s.cell, q8 = s.q8,
+                        vmin = s.vmin, vscale = s.vscale
+                      WHEN NOT MATCHED AND s.ct = 'insert' THEN
+                        INSERT (vec_id, cell, q8, vmin, vscale)
+                        VALUES (s.vec_id, s.cell, s.q8, s.vmin, s.vscale)""")
+      } else {
+        spark.sql(s"""MERGE INTO ${fq}_assign t USING ${viewName("delta", fq)} s
+                      ON t.vec_id = s.vec_id
+                      WHEN MATCHED AND s.ct = 'delete' THEN DELETE
+                      WHEN MATCHED THEN UPDATE SET cell = s.cell, embedding = s.embedding
+                      WHEN NOT MATCHED AND s.ct = 'insert' THEN
+                        INSERT (vec_id, cell, embedding) VALUES (s.vec_id, s.cell, s.embedding)""")
+      }
     } finally {
       modeBefore match {
         case Some(m) => spark.conf.set(graft.sources.DeleteMasks.MODE_KEY, m)
         case None => spark.conf.unset(graft.sources.DeleteMasks.MODE_KEY)
       }
     }
-    // advance the version, carrying the build-time drift baseline
-    // forward unchanged (it belongs to the CENTROIDS, which refresh
-    // never re-fits); pre-drift-gauge indexes keep their 1-col shape
-    driftBaseline(spark, fq) match {
-      case Some(b) => spark.sql(
+    // advance the version, carrying the build-time drift baseline (it
+    // belongs to the CENTROIDS, which refresh never re-fits) and the
+    // quantized layout's corpus pointer forward unchanged;
+    // pre-drift-gauge indexes keep their 1-col shape
+    (driftBaseline(spark, fq), corpusOf(spark, fq)) match {
+      case (Some(b), Some(cf)) => spark.sql(
+        s"""INSERT OVERWRITE ${fq}_meta
+            SELECT CAST($v1 AS BIGINT) AS indexed_version,
+                   CAST($b AS DOUBLE) AS base_drift, '$cf' AS corpus_fq""")
+      case (Some(b), None) => spark.sql(
         s"""INSERT OVERWRITE ${fq}_meta
             SELECT CAST($v1 AS BIGINT) AS indexed_version,
                    CAST($b AS DOUBLE) AS base_drift""")
-      case None => spark.sql(
+      case _ => spark.sql(
         s"INSERT OVERWRITE ${fq}_meta SELECT CAST($v1 AS BIGINT) AS indexed_version")
     }
     v1
+  }
+
+  // --- quantized (SQ8) layout ---------------------------------------
+
+  /** [[build]]'s QUANTIZED twin (FAISS IVF-SQ8 re-expressed for
+    * columnar scans): the inverted lists store one int8 code per
+    * dimension plus a per-vector (vmin, vscale) pair INSTEAD of the
+    * raw float vector — the index is ~4× smaller, and the coarse
+    * search pass scans only codes. The raw vectors stay exactly where
+    * they already live: in the corpus table, which
+    * [[searchQuantized]]'s refine pass reads back through the engine's
+    * own skip indexes (vec_id InSet → zone-map/Bloom file pruning), so
+    * nothing is stored twice. `corpusFq` (the corpus's catalog
+    * identifier) persists in `_meta` for the refine pass. */
+  def buildQuantized(spark: SparkSession, corpus: DataFrame, corpusFq: String,
+      fq: String, k: Int = 16, iters: Int = 8, indexedVersion: Long = 0L): Unit = {
+    import spark.implicits._
+    val sample = corpus.filter(col("vec_id") % 7 === 0)
+      .orderBy(col("vec_id")).limit(4096)
+      .select(col("embedding")).as[Array[Float]].collect()
+    val centroids = VectorFns.kmeans(sample, k = k, iters = iters)
+    val baseDrift = VectorFns.meanNearestDist(sample, centroids)
+    spark.sql(s"DROP TABLE IF EXISTS ${fq}_centroids")
+    spark.sql(s"DROP TABLE IF EXISTS ${fq}_assign")
+    spark.sql(s"DROP TABLE IF EXISTS ${fq}_meta")
+    val centroidsView = viewName("centroids_in", fq)
+    val assignView = viewName("assign_in", fq)
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "centroid")
+      .createOrReplaceTempView(centroidsView)
+    spark.sql(s"""CREATE TABLE ${fq}_centroids AS
+                  SELECT * FROM $centroidsView""")
+    quantizedImages(corpus, centroids)
+      .createOrReplaceTempView(assignView)
+    spark.sql(s"""CREATE TABLE ${fq}_assign PARTITIONED BY (cell) AS
+                  SELECT * FROM $assignView""")
+    spark.sql(s"""CREATE TABLE ${fq}_meta AS
+                  SELECT CAST($indexedVersion AS BIGINT) AS indexed_version,
+                         CAST($baseDrift AS DOUBLE) AS base_drift,
+                         '$corpusFq' AS corpus_fq""")
+    ()
+  }
+
+  /** (vec_id, cell, q8, vmin, vscale) images of `rows` (which must
+    * carry vec_id + embedding) against literal `centroids` — the
+    * quantized-list projection shared by build and refresh. */
+  private def quantizedImages(rows: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import org.apache.spark.sql.functions.{array_max, array_min}
+    rows
+      .withColumn("vmin", array_min(col("embedding")).cast("float"))
+      .withColumn("vscale",
+        ((array_max(col("embedding")) - array_min(col("embedding"))) / 255.0)
+          .cast("float"))
+      .select(
+        col("vec_id").cast("long").as("vec_id"),
+        element_at(VectorFns.nearestCells(col("embedding"), centroids, 1), 1)
+          .cast("int").as("cell"),
+        graft.functions.QuantizeVecExpr(
+          col("embedding"), col("vmin"), col("vscale")).as("q8"),
+        col("vmin"), col("vscale"))
+  }
+
+  /** Whether the persisted lists are the quantized layout. */
+  private[graft] def isQuantized(spark: SparkSession, fq: String): Boolean =
+    spark.table(s"${fq}_assign").schema.fieldNames.contains("q8")
+
+  /** The corpus table a quantized index refines against. */
+  def corpusOf(spark: SparkSession, fq: String): Option[String] = {
+    val meta = spark.table(s"${fq}_meta")
+    if (!meta.schema.fieldNames.contains("corpus_fq")) None
+    else Some(meta.head().getString(meta.schema.fieldIndex("corpus_fq")))
+  }
+
+  /** Top-k cosine search through the QUANTIZED index: the coarse pass
+    * scans only the probed cells' int8 codes (the lists hold no raw
+    * vectors at all), ranks by dequantized cosine in a codegen'd
+    * primitive loop, keeps `refineFactor × topK` candidates per query,
+    * and the refine pass re-ranks those by EXACT cosine against the
+    * raw corpus — read back with a vec_id InSet that the corpus scan's
+    * zone maps and Bloom shards turn into file-level skipping.
+    *
+    * CONTRACT: `queries` is a bounded batch (same as [[search]]); the
+    * candidate set (≤ queries × topK × refineFactor ids) ships driver-
+    * side for the pushdown. Planted-copy exactness survives
+    * quantization outright: identical vectors take identical codes, so
+    * a copy's coarse score against its original is the maximum
+    * achievable and the exact refine restores brute-force order. */
+  def searchQuantized(spark: SparkSession, queries: DataFrame, fq: String,
+      nProbe: Int, topK: Int, refineFactor: Int = 4): DataFrame = {
+    val corpusFq = corpusOf(spark, fq).getOrElse(throw new IllegalStateException(
+      s"$fq is not a quantized index (no corpus_fq in ${fq}_meta) — " +
+        "searchQuantized serves buildQuantized indexes; use search otherwise"))
+    val centroids = centroidsOf(spark, fq)
+    val qcells = queries.select(col("qid"), col("qe"),
+      explode(VectorFns.nearestCells(col("qe"), centroids, nProbe)).as("cell"))
+    val probed = qcells.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = spark.table(s"${fq}_assign")
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+    val probeSide = {
+      val q = qcells.withColumn("cell", col("cell").cast("int"))
+      if (queries.limit((BroadcastQueryLimit + 1).toInt).count() <= BroadcastQueryLimit)
+        broadcast(q)
+      else q
+    }
+    val coarse = probeSide.join(lists, Seq("cell"))
+      .select(col("qid"), col("qe"), col("vec_id").as("nid"),
+        graft.functions.QuantizedCosineExpr(
+          col("q8"), col("vmin"), col("vscale"), col("qe")).as("qcos"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("nid"))
+    val candidates = coarse.withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= topK.toLong * refineFactor)
+      .select(col("qid"), col("qe"), col("nid"))
+    // bounded by construction: ≤ queries × topK × refineFactor ids —
+    // the InSet reaches the corpus scan as a pushed filter, where zone
+    // maps / Bloom shards skip every file that cannot hold a candidate
+    val nids = candidates.select(col("nid")).distinct()
+      .collect().map(_.getLong(0))
+    val raw = spark.table(corpusFq)
+      .filter(col("vec_id").isin(nids.map(Long.box): _*))
+      .select(col("vec_id").as("nid"), col("embedding"))
+    val exact = candidates.join(broadcast(raw), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    exact.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
   }
 
   // --- lifecycle under sustained churn (VERDICT r16 #2) -------------
@@ -240,10 +405,20 @@ object IvfIndex extends org.apache.spark.internal.Logging {
   def drift(spark: SparkSession, fq: String): DriftStats = {
     import spark.implicits._
     val centroids = centroidsOf(spark, fq)
-    val sample = spark.table(s"${fq}_assign")
+    val sampled = spark.table(s"${fq}_assign")
       .filter(col("vec_id") % 7 === 0)
       .orderBy(col("vec_id")).limit(4096)
-      .select(col("embedding")).as[Array[Float]].collect()
+    // quantized lists carry no raw vectors: gauge on the DEQUANTIZED
+    // sample (the quantization error is orders below any drift worth a
+    // rebuild — documented approximation)
+    val sample: Array[Array[Float]] =
+      if (isQuantized(spark, fq))
+        sampled.select(col("q8"), col("vmin"), col("vscale"))
+          .as[(Array[Byte], Float, Float)].collect()
+          .map { case (codes, vmin, vscale) =>
+            codes.map(c => vmin + vscale * (c & 0xFF))
+          }
+      else sampled.select(col("embedding")).as[Array[Float]].collect()
     val current =
       if (sample.isEmpty) 0.0
       else VectorFns.meanNearestDist(sample, centroids)

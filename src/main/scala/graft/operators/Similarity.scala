@@ -274,7 +274,36 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** The QUANTIZED (SQ8) index end to end (v11's planted technique
+    * through [[IvfIndex.buildQuantized]]/[[IvfIndex.searchQuantized]]):
+    * the inverted lists store int8 codes + per-vector (min, scale) —
+    * no raw vectors at all, ~4× smaller — the coarse pass ranks by
+    * dequantized cosine in a codegen'd loop over the probed cells'
+    * codes, and the refine pass re-ranks the bounded candidate set by
+    * EXACT cosine against the raw corpus, read back through a vec_id
+    * InSet the corpus scan's zone maps can skip files with. Planted
+    * copies quantize to their originals' exact codes, so the original
+    * tops the coarse order by a margin quantization noise cannot
+    * close, and the exact refine restores brute-force order — which
+    * DuckDB recomputes. */
+  def v13_ivf_quantized(spark: SparkSession, dir: String): DataFrame = {
+    Pipeline.catalogFor(spark, "v13", "ann")
+    val emb = Tables.embeddings(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS graft_v13.ann.corpus")
+    emb.createOrReplaceTempView("graft_v13_corpus_in")
+    spark.sql("CREATE TABLE graft_v13.ann.corpus AS SELECT * FROM graft_v13_corpus_in")
+    IvfIndex.buildQuantized(spark, spark.table("graft_v13.ann.corpus"),
+      "graft_v13.ann.corpus", "graft_v13.ann.emb", k = 16)
+    val queries = emb.filter(col("vec_id") < 15)
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    IvfIndex.searchQuantized(spark, queries, "graft_v13.ann.emb",
+      nProbe = 3, topK = 1)
+      .select(col("qid"), col("nid"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v13_ivf_quantized" -> (v13_ivf_quantized _),
     "v12_ann_sql" -> (v12_ann_sql _),
     "v11_ivf_persisted" -> (v11_ivf_persisted _),
     "v10_ivf_planted" -> (v10_ivf_planted _),
@@ -388,6 +417,15 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "v13_ivf_quantized" ->
+      """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 15),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY LIST_COSINE_SIMILARITY(q.qe, e.embedding) DESC, e.vec_id) AS rn
+        |  FROM q, embeddings e)
+        |SELECT qid, nid FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     "v12_ann_sql" ->
       """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
         |           FROM embeddings WHERE vec_id < 15),

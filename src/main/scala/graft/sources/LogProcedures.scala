@@ -427,7 +427,11 @@ object LogProcedures {
         ProcedureParameter.in("corpus", StringType)
           .comment("catalog-relative corpus table with (vec_id, embedding)").build(),
         ProcedureParameter.in("k", IntegerType).defaultValue("16").build(),
-        ProcedureParameter.in("iters", IntegerType).defaultValue("8").build())
+        ProcedureParameter.in("iters", IntegerType).defaultValue("8").build(),
+        ProcedureParameter.in("quantized", BooleanType)
+          .defaultValue("false")
+          .comment("SQ8 lists: int8 codes instead of raw vectors — " +
+            "~4x smaller index; search refines against the corpus").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_build needs the owning catalog name (procedure loaded outside a catalog?)"))
@@ -444,8 +448,14 @@ object LogProcedures {
           ParquetVersions.latest(corpusDir).get._1
         } else 0L
         val fq = s"$cat.$index"
-        graft.operators.IvfIndex.build(spark, spark.table(s"$cat.$corpus"),
-          fq, k = input.getInt(2), iters = input.getInt(3), indexedVersion = v)
+        if (input.getBoolean(4)) {
+          graft.operators.IvfIndex.buildQuantized(spark,
+            spark.table(s"$cat.$corpus"), s"$cat.$corpus", fq,
+            k = input.getInt(2), iters = input.getInt(3), indexedVersion = v)
+        } else {
+          graft.operators.IvfIndex.build(spark, spark.table(s"$cat.$corpus"),
+            fq, k = input.getInt(2), iters = input.getInt(3), indexedVersion = v)
+        }
         oneRow(StructType(Seq(
           StructField("cells", LongType, nullable = false),
           StructField("vectors", LongType, nullable = false),
@@ -562,9 +572,19 @@ object LogProcedures {
           require(id.split("\\.", -1).forall(LogCatalog.validPathPart),
             s"bad identifier '$id' (want ns.name; plain names only)")
         }
-        val result = graft.operators.IvfIndex.search(spark,
-          spark.table(s"$cat.$queries"), s"$cat.$index",
-          nProbe = input.getInt(2), topK = input.getInt(3))
+        // quantized indexes (built with quantized => true) carry their
+        // corpus pointer in _meta and dispatch to the coarse+refine
+        // path automatically — same result shape either way
+        val fqIx = s"$cat.$index"
+        val result =
+          if (graft.operators.IvfIndex.corpusOf(spark, fqIx).isDefined &&
+              graft.operators.IvfIndex.isQuantized(spark, fqIx))
+            graft.operators.IvfIndex.searchQuantized(spark,
+              spark.table(s"$cat.$queries"), fqIx,
+              nProbe = input.getInt(2), topK = input.getInt(3))
+          else graft.operators.IvfIndex.search(spark,
+            spark.table(s"$cat.$queries"), fqIx,
+            nProbe = input.getInt(2), topK = input.getInt(3))
         // procedure results are driver-local rows; this one is bounded
         // by queries × top_k (the search contract already requires a
         // bounded query batch)

@@ -217,6 +217,54 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(IvfIndex.refresh(spark, corpusDir, fq) === 2L)
   }
 
+  test("quantized (SQ8) index: code-only lists, exact planted search " +
+      "through coarse+refine, O(delta) refresh, drift on the dequantized sample") {
+    val fq = "graft_ivf.ann.e9"
+    spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus9")
+    corpusDf(300).createOrReplaceTempView("ivf_c9")
+    spark.sql("CREATE TABLE graft_ivf.ann.corpus9 AS SELECT * FROM ivf_c9")
+    val corpusDir = s"$warehouse/ann/corpus9"
+    graft.sources.ParquetVersions.enable(corpusDir) // v1
+    IvfIndex.buildQuantized(spark, spark.table("graft_ivf.ann.corpus9"),
+      "graft_ivf.ann.corpus9", fq, k = 8, indexedVersion = 1L)
+    // the lists hold CODES, no raw vectors at all
+    assert(spark.table(s"${fq}_assign").schema.fieldNames.toSet ===
+      Set("vec_id", "cell", "q8", "vmin", "vscale"))
+    assert(IvfIndex.corpusOf(spark, fq) === Some("graft_ivf.ann.corpus9"))
+    // planted copies resolve exactly through coarse (dequantized) +
+    // refine (exact cosine against the raw corpus)
+    val queries = spark.table("graft_ivf.ann.corpus9")
+      .filter(col("vec_id").isin(Seq(0L, 5L, 42L).map(Long.box): _*))
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    val got = IvfIndex.searchQuantized(spark, queries, fq, nProbe = 2, topK = 1)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0) - 100000) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 5L -> 5L, 42L -> 42L))
+    // the drift gauge reads the dequantized sample
+    assert(IvfIndex.drift(spark, fq).ratio.exists(_ < 1.5))
+    assert(!IvfIndex.needsRebuild(spark, fq))
+    // O(delta) refresh: appends searchable, pre-existing quantized list
+    // files byte-identical, deletes propagate
+    val assignDir = s"$warehouse/ann/e9_assign"
+    val before = sigs(assignDir)
+    assert(before.nonEmpty)
+    corpusDf(400, from = 300).createOrReplaceTempView("ivf_c9b")
+    spark.sql("INSERT INTO graft_ivf.ann.corpus9 SELECT * FROM ivf_c9b")
+    IvfIndex.refresh(spark, corpusDir, fq)
+    assert(spark.table(s"${fq}_assign").count() === 400L)
+    val after = sigs(assignDir)
+    assert(before.forall { case (p, s) => after.get(p).contains(s) },
+      "quantized refresh rewrote a pre-existing inverted-list file")
+    val q2 = spark.table("graft_ivf.ann.corpus9").filter(col("vec_id") === 350L)
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    assert(IvfIndex.searchQuantized(spark, q2, fq, nProbe = 2, topK = 1)
+      .select(col("nid")).head.getLong(0) === 350L)
+    spark.sql("DELETE FROM graft_ivf.ann.corpus9 WHERE vec_id = 350")
+    IvfIndex.refresh(spark, corpusDir, fq)
+    assert(spark.table(s"${fq}_assign")
+      .filter(col("vec_id") === 350L).count() === 0L)
+  }
+
   test("sustained churn: hygiene bounds masks, versions and files; " +
       "search and drift stay flat across rounds") {
     val fq = "graft_ivf.ann.e6"

@@ -338,5 +338,20 @@ class LogProceduresSpec extends AnyFunSuite {
       """CALL graft_proc.system.ann_search(index => 'ann.e2',
         |  queries => 'ann.q2', n_probe => 2, top_k => 1)""".stripMargin).head
     assert(hit.getLong(2) === 133L, s"appended vector must be servable: $hit")
+
+    // QUANTIZED build from SQL: code-only lists, and ann_search
+    // auto-dispatches through the coarse+refine path
+    spark.sql("""CALL graft_proc.system.ann_build(index => 'ann.eq',
+      corpus => 'ann.c', k => 8, quantized => true)""")
+    assert(spark.table("graft_proc.ann.eq_assign")
+      .schema.fieldNames.contains("q8"))
+    val qhit = spark.sql(
+      """CALL graft_proc.system.ann_search(index => 'ann.eq',
+        |  queries => 'ann.q2', n_probe => 2, top_k => 1)""".stripMargin).head
+    assert(qhit.getLong(2) === 133L && qhit.getDouble(3) > 0.999,
+      s"quantized index must serve the planted copy exactly: $qhit")
+    // the drift gauge reads the dequantized sample on quantized indexes
+    val qst = spark.sql("CALL graft_proc.system.ann_stats(index => 'ann.eq')").head
+    assert(!qst.getBoolean(8) && qst.getDouble(7) < 1.5, s"$qst")
   }
 }
