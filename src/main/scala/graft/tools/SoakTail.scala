@@ -43,10 +43,13 @@ object SoakTail {
 
     val secPerBatch = scala.collection.mutable.Map[Int, Double]()
     val batchCounts = scala.collection.mutable.Map[Int, Double]()
+    val logSecPerBatch = scala.collection.mutable.Map[Int, Double]()
+    val logBatchCounts = scala.collection.mutable.Map[Int, Double]()
     // the byte cap is FIXED across scales (sized off the base table) —
     // the claim under test is that a 100× backlog splits into 100×
     // batches of the same size, not 1 batch of 100× the size
     var capBytes = 0L
+    var logCapBytes = 0L
 
     for (scale <- scales) {
       val n = baseRows * scale
@@ -139,6 +142,79 @@ object SoakTail {
       batchCounts(scale) = batches.toDouble
       println(f"""{"op":"tail_catchup","scale":$scale,"batches":$batches,"resumed_after":$resumedFrom,"max_batch_bytes":$maxBatchBytes,"cap":$capBytes,"rows":$rowsSeen,"sec":$wallSec%.3f,"sec_per_batch_med":$medWall%.4f,"exact":true}""")
       spark.catalog.clearCache()
+
+      // ---- LOG-tier twin: the entity log's tail under the same fixed
+      // byte cap (LogMicroBatchStream's admission is a byte-budgeted
+      // segment prefix, at least one per trigger) — same gates, so
+      // both tiers carry the same admission-scale evidence
+      val ldir = s"$wh/logtail$scale"
+      spark.range(n).selectExpr(
+          "concat('u', id % 9973) AS user_id", "id AS amount",
+          "CAST(NULL AS BINARY) AS msg", "CAST(id AS STRING) AS sha256sum")
+        .repartitionByRange(4 * scale, col("amount"))
+        .write.format(graft.sources.LimitHashLog.FORMAT)
+        .mode("append").save(ldir)
+      val segs = fs.listStatus(new Path(ldir)).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith(".") && !s.getPath.getName.startsWith("_"))
+      val logBytes = segs.map(_.getLen).sum
+      val rowsPerSeg = math.max(1L, n / (4L * scale))
+      if (logCapBytes == 0L) logCapBytes = math.max(1L, logBytes / 4)
+      val segsPerBatchCap =
+        math.max(1L, logCapBytes / math.max(1L, segs.map(_.getLen).max)) + 1L
+      println(s"""{"setup":"log_tail","scale":$scale,"rows":$n,"segments":${segs.length},"bytes":$logBytes,"cap":$logCapBytes}""")
+      val lPerBatch = new ConcurrentHashMap[Long, (Long, Long)]() // id -> (rows, sum)
+      val lWalls = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val lLastEnd = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+      def lHandle(df: Dataset[Row], id: Long): Unit = {
+        val agg = df.agg(
+          org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          sum(col("amount"))).head
+        val rows = agg.getLong(0)
+        if (rows > 0) {
+          lPerBatch.put(id, (rows, agg.getLong(1)))
+          val now = System.nanoTime()
+          lWalls.add((now - lLastEnd.getAndSet(now)) / 1e9)
+        }
+        ()
+      }
+      val lck = java.nio.file.Files.createTempDirectory(s"graft_st_lck$scale").toString
+      val lt0 = System.nanoTime()
+      val lStopAt = math.max(1, (logBytes / logCapBytes / 3).toInt)
+      val lq1 = spark.readStream.format(graft.sources.LimitHashLog.FORMAT)
+        .option("maxBytesPerTrigger", logCapBytes.toString).load(ldir)
+        .writeStream.option("checkpointLocation", lck)
+        .foreachBatch(lHandle _).start()
+      while (lq1.isActive && lPerBatch.size < lStopAt) Thread.sleep(20)
+      lq1.stop(); lq1.awaitTermination()
+      val lResumedFrom = lPerBatch.size
+      val lq2 = spark.readStream.format(graft.sources.LimitHashLog.FORMAT)
+        .option("maxBytesPerTrigger", logCapBytes.toString).load(ldir)
+        .writeStream.option("checkpointLocation", lck)
+        .foreachBatch(lHandle _).start()
+      lq2.processAllAvailable(); lq2.stop()
+      val lWallSec = (System.nanoTime() - lt0) / 1e9
+      val lSnap = lPerBatch.values.asScala.toSeq
+      val lBatches = lSnap.size
+      val lRows = lSnap.map(_._1).sum
+      val lSum = lSnap.map(_._2).sum
+      val lMaxRows = (0L +: lSnap.map(_._1)).max
+      val lWallList = lWalls.asScala.toList
+      val lMedWall = if (lWallList.isEmpty) 0.0 else {
+        val s = lWallList.sorted; s(s.length / 2)
+      }
+      require(lRows == n && lSum == n * (n - 1) / 2,
+        s"LOG EXACTNESS GATE FAILED at scale $scale after restart: " +
+          s"rows $lRows/$n sum $lSum/${n * (n - 1) / 2}")
+      require(lMaxRows <= segsPerBatchCap * rowsPerSeg,
+        s"LOG ADMISSION GATE FAILED at scale $scale: batch of $lMaxRows rows " +
+          s"exceeds ${segsPerBatchCap * rowsPerSeg} (cap $logCapBytes)")
+      val lExpected = (logBytes.toDouble / logCapBytes).ceil
+      require(lBatches >= lExpected.toInt / 2 && lBatches <= 2 * lExpected.toInt + 4,
+        s"LOG BATCH-COUNT GATE FAILED at scale $scale: $lBatches for ≈ $lExpected")
+      logSecPerBatch(scale) = lMedWall
+      logBatchCounts(scale) = lBatches.toDouble
+      println(f"""{"op":"log_tail_catchup","scale":$scale,"batches":$lBatches,"resumed_after":$lResumedFrom,"max_batch_rows":$lMaxRows,"cap":$logCapBytes,"rows":$lRows,"sec":$lWallSec%.3f,"sec_per_batch_med":$lMedWall%.4f,"exact":true}""")
+      spark.catalog.clearCache()
     }
 
     val lo = scales.min
@@ -151,7 +227,8 @@ object SoakTail {
       }
     println(s"""{"soak":"tail_admission_batch_is_the_unit_of_work","base_rows":$baseRows,""" +
       s""""scales":[${scales.mkString(",")}],""" +
-      s""""sec_per_batch":${exp(secPerBatch.toMap)},"batches":${exp(batchCounts.toMap)}}""")
+      s""""sec_per_batch":${exp(secPerBatch.toMap)},"batches":${exp(batchCounts.toMap)},""" +
+      s""""log_sec_per_batch":${exp(logSecPerBatch.toMap)},"log_batches":${exp(logBatchCounts.toMap)}}""")
     spark.stop()
   }
 }
