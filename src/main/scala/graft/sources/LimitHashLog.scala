@@ -157,31 +157,65 @@ object LimitHashLog {
     import org.json4s.jackson.Serialization
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
     if (stats.isEmpty) return
-    val out = fs.create(manifestPath(dir, commitId), true)
+    // temp + rename: a concurrent reader (loadStats, a racing fold)
+    // must never observe a half-written manifest (ADVICE r17: an
+    // in-place create raced a fold's read, parsed as garbage, and the
+    // fold deleted it — losing the stats). The "_" prefix keeps the
+    // temp out of both the segment listing and the manifest readers.
+    // On a same-name replace (epoch replay / query retry) the delete+
+    // rename window exposes either absence or a complete file, never a
+    // partial one; a reader that catches the gap just skips the entry.
+    val dst = manifestPath(dir, commitId)
+    val tmp = new Path(dir,
+      s"_tmp-stats-manifest-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = fs.create(tmp, true)
     try out.write(Serialization.write(stats).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) {
+      // lost a replace race to an equivalent writer (replays are
+      // deterministic per commitId) — drop our temp and defer
+      try fs.delete(tmp, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
-  /** Union of every commit manifest in the directory (later files win
-    * on a name collision, which only happens on same-commit replace).
-    * Entries for since-deleted segments are harmless — lookups key off
-    * the LIVE segment listing. */
+  /** The stats-manifest listing in MERGE-PRECEDENCE order: fold
+    * manifests first (later fold wins among folds), then commit
+    * manifests (later name wins, which only collides on same-commit
+    * replace). Commit manifests OVERRIDE fold entries: a fold is
+    * derived state, and a commit manifest that reappears AFTER its
+    * original was folded away (epoch replay, query retry) carries the
+    * fresher stats for its own segments — a plain lexicographic sort
+    * would let the stale fold win forever (ADVICE r17). */
+  private def manifestsOrdered(
+      fs: org.apache.hadoop.fs.FileSystem, path: Path): Seq[Path] = {
+    val all = fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".stats-manifest-"))
+      .map(_.getPath)
+    val (folds, commits) =
+      all.partition(_.getName.startsWith(".stats-manifest-zfold-"))
+    folds.sortBy(_.getName) ++ commits.sortBy(_.getName)
+  }
+
+  /** Union of every stats manifest in the directory, merged in
+    * [[manifestsOrdered]] precedence (folds first, commit manifests
+    * override). Entries for since-deleted segments are harmless —
+    * lookups key off the LIVE segment listing. */
   private[sources] def loadStats(dir: String): Map[String, SegmentStats] = {
     import org.json4s.jackson.Serialization
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
     val path = new Path(dir)
     val fs = path.getFileSystem(new Configuration())
     if (!fs.exists(path)) return Map.empty
-    fs.listStatus(path).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith(".stats-manifest-"))
-      .sortBy(_.getPath.getName)
-      .foldLeft(Map.empty[String, SegmentStats]) { (acc, s) =>
+    manifestsOrdered(fs, path)
+      .foldLeft(Map.empty[String, SegmentStats]) { (acc, p) =>
         try {
-          val in = fs.open(s.getPath)
+          val in = fs.open(p)
           val bytes = try in.readAllBytes() finally in.close()
           acc ++ Serialization.read[Map[String, SegmentStats]](
             new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-        } catch { case _: java.io.IOException => acc }
+        } catch { case scala.util.control.NonFatal(_) => acc }
       }
   }
 
@@ -192,13 +226,17 @@ object LimitHashLog {
     * otherwise accumulates one manifest per commit until the next
     * compactLog, and every plan's zone-map load pays the whole
     * listing. Called WRITE-side (after a commit's own manifest lands)
-    * so read paths stay read-only. Entries merge later-name-wins (the
-    * [[loadStats]] rule; the fold file's `zfold-` id sorts after every
-    * uuid-keyed commit manifest). Best-effort and concurrency-
-    * tolerant: the fold file lands BEFORE its inputs delete, a
-    * vanished input is skipped by any racing reader, duplicate folds
-    * union to the same entries, a replayed epoch recreates its folded
-    * manifest with identical stats, and compactLog's
+    * so read paths stay read-only. Entries merge in
+    * [[manifestsOrdered]] precedence (folds first, commit manifests
+    * override — the [[loadStats]] rule, so a commit manifest REPLAYED
+    * after its original was folded away still beats the stale fold
+    * entry, ADVICE r17). Best-effort and concurrency-tolerant: the
+    * fold file lands BEFORE its inputs delete, a vanished input is
+    * skipped by any racing reader, only inputs that PARSED delete (an
+    * unreadable one — corruption, a mid-replace gap — survives for
+    * the next fold rather than silently losing its stats), duplicate
+    * folds union to the same entries, a replayed epoch recreates its
+    * folded manifest with identical stats, and compactLog's
     * dropOtherManifests still resets everything on truncate/compact.
     * Stale entries for since-deleted segments stay harmless — lookups
     * key off the LIVE segment listing. */
@@ -206,21 +244,22 @@ object LimitHashLog {
       dir: Path): Unit = try {
     import org.json4s.jackson.Serialization
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
-    val manifests = fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith(".stats-manifest-"))
-      .map(_.getPath).sortBy(_.getName)
+    val manifests = manifestsOrdered(fs, dir)
     if (manifests.length < SidecarShards.foldThreshold) return
+    val parsed = scala.collection.mutable.ArrayBuffer.empty[Path]
     val merged = manifests.foldLeft(Map.empty[String, SegmentStats]) { (acc, p) =>
       try {
         val in = fs.open(p)
         val bytes = try in.readAllBytes() finally in.close()
-        acc ++ Serialization.read[Map[String, SegmentStats]](
+        val entries = Serialization.read[Map[String, SegmentStats]](
           new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+        parsed += p
+        acc ++ entries
       } catch { case scala.util.control.NonFatal(_) => acc }
     }
     writeManifest(fs, dir, f"zfold-${System.currentTimeMillis()}%013d-" +
       java.util.UUID.randomUUID().toString.take(8), merged)
-    manifests.foreach { p =>
+    parsed.foreach { p =>
       try fs.delete(p, false)
       catch { case scala.util.control.NonFatal(_) => () }
     }
