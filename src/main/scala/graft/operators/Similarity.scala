@@ -302,7 +302,43 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** FILTERED ANN search (VERDICT r17 missing #2): real LLM-pipeline
+    * similarity queries carry predicates ("nearest neighbors within
+    * this language/source/date slice"). Post-filtering a top-k
+    * under-returns whenever the filter is selective; this index
+    * carries the filter attribute (`label`) into the inverted lists as
+    * a PAYLOAD column, so the predicate prunes candidates INSIDE the
+    * probed-cell scan — before the top-k cut — with automatic
+    * over-probing.
+    *
+    * Planted construction proves PRE-filter semantics end to end: each
+    * base vector (label ≠ 7) gets an identical copy planted at
+    * vec_id+10000 with label 7. Querying the base embedding under
+    * `label = 7` must return the in-slice COPY — the global top-1 is
+    * the out-of-slice ORIGINAL (it wins the cosine-1.0 tie on the
+    * smaller nid), so a post-filter implementation returns the wrong
+    * row or nothing. The copy shares the query's exact cells, so the
+    * probed scan provably contains the filtered true top-1; DuckDB
+    * brute-forces the filtered answer over the same planted corpus. */
+  def v14_ann_filtered(spark: SparkSession, dir: String): DataFrame = {
+    Pipeline.catalogFor(spark, "v14", "ann")
+    val emb = Tables.embeddings(spark, dir)
+    val bases = emb.filter(col("vec_id") < 15 && col("label") =!= 7)
+    val corpus = emb.unionByName(bases.select(
+      (col("vec_id") + 10000).as("vec_id"), col("embedding"),
+      lit(7).as("label")))
+    IvfIndex.build(spark, corpus, "graft_v14.ann.emb", k = 16,
+      payload = Seq("label"))
+    val queries = bases
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    IvfIndex.search(spark, queries, "graft_v14.ann.emb", nProbe = 3, topK = 1,
+      where = Some(col("label") === 7))
+      .select(col("qid"), col("nid"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v14_ann_filtered" -> (v14_ann_filtered _),
     "v13_ivf_quantized" -> (v13_ivf_quantized _),
     "v12_ann_sql" -> (v12_ann_sql _),
     "v11_ivf_persisted" -> (v11_ivf_persisted _),
@@ -417,6 +453,20 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "v14_ann_filtered" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, embedding, 7
+        |  FROM embeddings WHERE vec_id < 15 AND label <> 7),
+        |q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
+        |      FROM embeddings WHERE vec_id < 15 AND label <> 7),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY LIST_COSINE_SIMILARITY(q.qe, e.embedding) DESC, e.vec_id) AS rn
+        |  FROM q, corpus e WHERE e.label = 7)
+        |SELECT qid, nid FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     "v13_ivf_quantized" ->
       """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
         |           FROM embeddings WHERE vec_id < 15),

@@ -431,7 +431,12 @@ object LogProcedures {
         ProcedureParameter.in("quantized", BooleanType)
           .defaultValue("false")
           .comment("SQ8 lists: int8 codes instead of raw vectors — " +
-            "~4x smaller index; search refines against the corpus").build())
+            "~4x smaller index; search refines against the corpus").build(),
+        ProcedureParameter.in("payload", StringType)
+          .defaultValue("''")
+          .comment("comma-separated corpus columns carried into the " +
+            "inverted lists so ann_search's where-predicates prune " +
+            "inside the probed-cell scan").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_build needs the owning catalog name (procedure loaded outside a catalog?)"))
@@ -448,13 +453,17 @@ object LogProcedures {
           ParquetVersions.latest(corpusDir).get._1
         } else 0L
         val fq = s"$cat.$index"
+        val payload = input.getUTF8String(5).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
         if (input.getBoolean(4)) {
           graft.operators.IvfIndex.buildQuantized(spark,
             spark.table(s"$cat.$corpus"), s"$cat.$corpus", fq,
-            k = input.getInt(2), iters = input.getInt(3), indexedVersion = v)
+            k = input.getInt(2), iters = input.getInt(3), indexedVersion = v,
+            payload = payload)
         } else {
           graft.operators.IvfIndex.build(spark, spark.table(s"$cat.$corpus"),
-            fq, k = input.getInt(2), iters = input.getInt(3), indexedVersion = v)
+            fq, k = input.getInt(2), iters = input.getInt(3), indexedVersion = v,
+            payload = payload)
         }
         oneRow(StructType(Seq(
           StructField("cells", LongType, nullable = false),
@@ -464,8 +473,9 @@ object LogProcedures {
           // Seq[Any], NOT Seq(...): Long and Double elements would
           // otherwise unify to Seq[Double] by weak conformance,
           // silently converting every LONG field's value
-          Seq[Any](spark.table(s"${fq}_centroids").count(),
-            spark.table(s"${fq}_assign").count(), v,
+          Seq[Any](
+            spark.table(graft.operators.IvfIndex.centroidsTableName(spark, fq)).count(),
+            spark.table(graft.operators.IvfIndex.assignTableName(spark, fq)).count(), v,
             graft.operators.IvfIndex.driftBaseline(spark, fq).getOrElse(0.0)))
       }
     },
@@ -500,6 +510,46 @@ object LogProcedures {
           Seq(v, folded, packed, vacuumed))
       }
     },
+    "ann_rebuild" -> new MaintenanceProcedure("ann_rebuild",
+      "re-fit the IVF quantizer ONLINE with no serving gap (the answer " +
+        "to ann_stats' needs_rebuild): the new generation is built under " +
+        "staged names while searches keep serving the current one, then " +
+        "swapped in by one atomic replace of the index meta root — " +
+        "resetting the drift baseline. Keeps the index's layout " +
+        "(raw/quantized) and corpus pointer; serializes with ann_refresh " +
+        "via the maintenance lease") {
+      override def parameters(): Array[ProcedureParameter] = Array(
+        ProcedureParameter.in("index", StringType).build(),
+        ProcedureParameter.in("corpus", StringType).build(),
+        ProcedureParameter.in("k", IntegerType).defaultValue("16").build(),
+        ProcedureParameter.in("iters", IntegerType).defaultValue("8").build())
+      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+        val cat = catalogName.getOrElse(throw new IllegalStateException(
+          "ann_rebuild needs the owning catalog name (procedure loaded outside a catalog?)"))
+        val index = input.getUTF8String(0).toString
+        val corpus = input.getUTF8String(1).toString
+        Seq(index, corpus).foreach { id =>
+          require(id.split("\\.", -1).forall(LogCatalog.validPathPart),
+            s"bad identifier '$id' (want ns.name; plain names only)")
+        }
+        val corpusDir = dirOf(warehouse, corpus)
+        val fq = s"$cat.$index"
+        val v = graft.operators.IvfIndex.rebuild(spark,
+          spark.table(s"$cat.$corpus"), corpusDir, fq,
+          k = input.getInt(2), iters = input.getInt(3))
+        oneRow(StructType(Seq(
+          StructField("cells", LongType, nullable = false),
+          StructField("vectors", LongType, nullable = false),
+          StructField("indexed_version", LongType, nullable = false),
+          StructField("base_drift", DoubleType, nullable = false),
+          StructField("gen", LongType, nullable = false))),
+          Seq[Any](
+            spark.table(graft.operators.IvfIndex.centroidsTableName(spark, fq)).count(),
+            spark.table(graft.operators.IvfIndex.assignTableName(spark, fq)).count(), v,
+            graft.operators.IvfIndex.driftBaseline(spark, fq).getOrElse(0.0),
+            graft.operators.IvfIndex.generation(spark, fq).getOrElse(0L)))
+      }
+    },
     "ann_stats" -> new MaintenanceProcedure("ann_stats",
       "health of a persisted IVF index: cardinalities, mask pressure, " +
         "indexed version, and the DRIFT gauge (current quantizer-fit vs " +
@@ -517,11 +567,9 @@ object LogProcedures {
         val fq = s"$cat.$index"
         val factor = input.getDouble(1)
         val d = graft.operators.IvfIndex.drift(spark, fq)
-        val assignDir = {
-          val parts = index.split("\\.", -1)
-          dirOf(warehouse,
-            (parts.dropRight(1) :+ (parts.last + "_assign")).mkString("."))
-        }
+        // the physical tables live at the CURRENT generation's names
+        // once the index has been rebuilt online (gen in _meta)
+        val assignDir = graft.operators.IvfIndex.assignDir(spark, fq)
         val masked = ParquetVersions.masksFor(assignDir, None)
           .count(_._2.nonEmpty).toLong
         val liveFiles =
@@ -538,8 +586,9 @@ object LogProcedures {
           StructField("drift", DoubleType, nullable = false),
           StructField("drift_ratio", DoubleType, nullable = true),
           StructField("needs_rebuild", BooleanType, nullable = false))),
-          Seq[Any](spark.table(s"${fq}_centroids").count(),
-            spark.table(s"${fq}_assign").count(),
+          Seq[Any](
+            spark.table(graft.operators.IvfIndex.centroidsTableName(spark, fq)).count(),
+            spark.table(graft.operators.IvfIndex.assignTableName(spark, fq)).count(),
             liveFiles, masked,
             graft.operators.IvfIndex.indexedVersion(spark, fq),
             d.baseline.map(Double.box).orNull, d.current,
@@ -560,7 +609,13 @@ object LogProcedures {
         ProcedureParameter.in("queries", StringType)
           .comment("catalog-relative query table with (qid, qe)").build(),
         ProcedureParameter.in("n_probe", IntegerType).defaultValue("2").build(),
-        ProcedureParameter.in("top_k", IntegerType).defaultValue("10").build())
+        ProcedureParameter.in("top_k", IntegerType).defaultValue("10").build(),
+        ProcedureParameter.in("where", StringType)
+          .defaultValue("''")
+          .comment("optional boolean SQL expression over the index's " +
+            "payload columns (and vec_id) — applied INSIDE the " +
+            "probed-cell scan before the top-k cut (pre-filter), with " +
+            "automatic over-probing").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_search needs the owning catalog name (procedure loaded outside a catalog?)"))
@@ -572,6 +627,11 @@ object LogProcedures {
           require(id.split("\\.", -1).forall(LogCatalog.validPathPart),
             s"bad identifier '$id' (want ns.name; plain names only)")
         }
+        // the predicate is PARSED as one expression (never spliced into
+        // statement text) and becomes a plan filter on the list scan
+        val where = Option(input.getUTF8String(4).toString)
+          .map(_.trim).filter(_.nonEmpty)
+          .map(org.apache.spark.sql.functions.expr)
         // quantized indexes (built with quantized => true) carry their
         // corpus pointer in _meta and dispatch to the coarse+refine
         // path automatically — same result shape either way
@@ -581,10 +641,10 @@ object LogProcedures {
               graft.operators.IvfIndex.isQuantized(spark, fqIx))
             graft.operators.IvfIndex.searchQuantized(spark,
               spark.table(s"$cat.$queries"), fqIx,
-              nProbe = input.getInt(2), topK = input.getInt(3))
+              nProbe = input.getInt(2), topK = input.getInt(3), where = where)
           else graft.operators.IvfIndex.search(spark,
             spark.table(s"$cat.$queries"), fqIx,
-            nProbe = input.getInt(2), topK = input.getInt(3))
+            nProbe = input.getInt(2), topK = input.getInt(3), where = where)
         // procedure results are driver-local rows; this one is bounded
         // by queries × top_k (the search contract already requires a
         // bounded query batch)

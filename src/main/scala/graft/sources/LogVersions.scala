@@ -181,7 +181,7 @@ object LogVersions {
   * TTL is out of contract, as with any TTL lease. User DML (DELETE /
   * UPDATE / MERGE / writes) never takes the lease: the ledger CAS
   * already serializes those safely. */
-private[sources] object MaintenanceLease {
+private[graft] object MaintenanceLease {
 
   case class Token(dir: Path, id: String, ord: Long,
       ttlMs: Long = 10 * 60 * 1000L)

@@ -354,4 +354,113 @@ class LogProceduresSpec extends AnyFunSuite {
     val qst = spark.sql("CALL graft_proc.system.ann_stats(index => 'ann.eq')").head
     assert(!qst.getBoolean(8) && qst.getDouble(7) < 1.5, s"$qst")
   }
+
+  test("ann_search where: payload predicate pre-filters inside the scan from pure SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_proc.ann")
+    import spark.implicits._
+    val dim = 16
+    def emb(i: Int) = Array.tabulate(dim) { d =>
+      (if (d % 4 == i % 4) 1.0f else 0.05f) +
+        0.005f * (((i * 31 + d * 17) % 101) - 50)
+    }
+    // corpus with a `label` attribute + one in-slice planted copy of
+    // vector 3 — the out-of-slice original wins the global tie, so a
+    // post-filtered search would answer wrongly (v14's construction)
+    val corpus = ((0 until 120).map(i => (i.toLong, emb(i), i % 5)) :+
+      ((10003L, emb(3), 99))).toDF("vec_id", "embedding", "label")
+    spark.sql("DROP TABLE IF EXISTS graft_proc.ann.c4")
+    corpus.createOrReplaceTempView("proc_ann_c4_in")
+    spark.sql("CREATE TABLE graft_proc.ann.c4 AS SELECT * FROM proc_ann_c4_in")
+    spark.sql("""CALL graft_proc.system.ann_build(index => 'ann.e4',
+      corpus => 'ann.c4', k => 8, payload => 'label')""")
+    spark.sql("DROP TABLE IF EXISTS graft_proc.ann.q4")
+    corpus.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 1000).as("qid"), col("embedding").as("qe"))
+      .createOrReplaceTempView("proc_ann_q4_in")
+    spark.sql("CREATE TABLE graft_proc.ann.q4 AS SELECT * FROM proc_ann_q4_in")
+    val unfiltered = spark.sql(
+      """CALL graft_proc.system.ann_search(index => 'ann.e4',
+        |  queries => 'ann.q4', n_probe => 2, top_k => 1)""".stripMargin).head
+    assert(unfiltered.getLong(2) === 3L, s"global top-1 is the original: $unfiltered")
+    val filtered = spark.sql(
+      """CALL graft_proc.system.ann_search(index => 'ann.e4',
+        |  queries => 'ann.q4', n_probe => 2, top_k => 1,
+        |  where => 'label = 99')""".stripMargin).head
+    assert(filtered.getLong(2) === 10003L && filtered.getDouble(3) > 0.999,
+      s"the where-predicate must pre-filter to the in-slice copy: $filtered")
+  }
+
+  test("ann_rebuild re-fits ONLINE: atomic generation swap, drift gauge reset, " +
+      "search + refresh keep serving — raw and quantized layouts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_proc.ann")
+    import spark.implicits._
+    val dim = 16
+    def vecs(from: Int, until: Int, shifted: Boolean = false) =
+      (from until until).map { i =>
+        val arch = i % 4
+        (i.toLong, Array.tabulate(dim) { d =>
+          if (shifted) 5.0f + 0.05f * (((i * 13 + d * 7) % 101) - 50)
+          else (if (d % 4 == arch) 1.0f else 0.05f) +
+            0.005f * (((i * 31 + d * 17) % 101) - 50)
+        })
+      }.toDF("vec_id", "embedding")
+    spark.sql("DROP TABLE IF EXISTS graft_proc.ann.c3")
+    vecs(0, 150).createOrReplaceTempView("proc_ann_c3_in")
+    spark.sql("CREATE TABLE graft_proc.ann.c3 AS SELECT * FROM proc_ann_c3_in")
+    spark.sql("CALL graft_proc.system.enable_versioning(table => 'ann.c3')")
+    spark.sql(
+      "CALL graft_proc.system.ann_build(index => 'ann.e3', corpus => 'ann.c3', k => 8)")
+    // the corpus walks away from the quantizer (full shift), refresh
+    // folds it in, and the SQL gauge asks for a rebuild
+    spark.sql("DELETE FROM graft_proc.ann.c3 WHERE vec_id >= 0")
+    vecs(0, 150, shifted = true).createOrReplaceTempView("proc_ann_c3_shift")
+    spark.sql("INSERT INTO graft_proc.ann.c3 SELECT * FROM proc_ann_c3_shift")
+    spark.sql(
+      "CALL graft_proc.system.ann_refresh(index => 'ann.e3', corpus => 'ann.c3')")
+    val stBad = spark.sql("CALL graft_proc.system.ann_stats(index => 'ann.e3')").head
+    assert(stBad.getBoolean(8), s"the shift must flag needs_rebuild: $stBad")
+    // the ONLINE answer — no DROP-then-repersist outage (ann_build's
+    // shape); one atomic meta swap, baseline reset, generation advanced
+    val rb = spark.sql(
+      "CALL graft_proc.system.ann_rebuild(index => 'ann.e3', corpus => 'ann.c3', k => 8)").head
+    assert(rb.getLong(0) === 8L && rb.getLong(1) === 150L, s"$rb")
+    assert(rb.getDouble(3) > 0.0 && rb.getLong(4) === 1L, s"$rb")
+    val stGood = spark.sql("CALL graft_proc.system.ann_stats(index => 'ann.e3')").head
+    assert(!stGood.getBoolean(8) && stGood.getDouble(7) < 1.5,
+      s"rebuild must reset the gauge: $stGood")
+    // post-swap search is exact on the shifted corpus
+    spark.sql("DROP TABLE IF EXISTS graft_proc.ann.q3")
+    spark.table("graft_proc.ann.c3").filter(col("vec_id") === 77L)
+      .select((col("vec_id") + 1000).as("qid"), col("embedding").as("qe"))
+      .createOrReplaceTempView("proc_ann_q3_in")
+    spark.sql("CREATE TABLE graft_proc.ann.q3 AS SELECT * FROM proc_ann_q3_in")
+    val hit = spark.sql(
+      """CALL graft_proc.system.ann_search(index => 'ann.e3',
+        |  queries => 'ann.q3', n_probe => 2, top_k => 1)""".stripMargin).head
+    assert(hit.getLong(2) === 77L && hit.getDouble(3) > 0.999, s"$hit")
+    // refresh keeps working against the new generation
+    vecs(150, 170, shifted = true).createOrReplaceTempView("proc_ann_c3_app")
+    spark.sql("INSERT INTO graft_proc.ann.c3 SELECT * FROM proc_ann_c3_app")
+    spark.sql(
+      "CALL graft_proc.system.ann_refresh(index => 'ann.e3', corpus => 'ann.c3')")
+    val stApp = spark.sql("CALL graft_proc.system.ann_stats(index => 'ann.e3')").head
+    assert(stApp.getLong(1) === 170L, s"post-rebuild refresh must fold appends: $stApp")
+
+    // QUANTIZED index: rebuild keeps the SQ8 layout and the corpus
+    // pointer — ann_search still dispatches coarse+refine and answers
+    // the planted copy exactly through the new generation
+    spark.sql("""CALL graft_proc.system.ann_build(index => 'ann.eq3',
+      corpus => 'ann.c3', k => 8, quantized => true)""")
+    val rbq = spark.sql(
+      "CALL graft_proc.system.ann_rebuild(index => 'ann.eq3', corpus => 'ann.c3', k => 8)").head
+    assert(rbq.getLong(4) === 1L, s"$rbq")
+    assert(spark.table(
+      graft.operators.IvfIndex.assignTableName(spark, "graft_proc.ann.eq3"))
+      .schema.fieldNames.contains("q8"),
+      "rebuild must keep the quantized layout")
+    val qhit = spark.sql(
+      """CALL graft_proc.system.ann_search(index => 'ann.eq3',
+        |  queries => 'ann.q3', n_probe => 2, top_k => 1)""".stripMargin).head
+    assert(qhit.getLong(2) === 77L && qhit.getDouble(3) > 0.999, s"$qhit")
+  }
 }
