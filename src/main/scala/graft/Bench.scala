@@ -17,16 +17,25 @@ package graft
   * cost of deterministic single-JVM query execution (what the regression
   * analysis needs) min is the estimator with the least upward bias.
   *
-  * Pass policy: pass 2 ALWAYS runs — a cumulative line is printed after
-  * every pass, so an external timeout killing pass 2 midway still leaves
-  * the complete pass-1 line in the output tail (the driver parses the
-  * last JSON line). Only passes ≥ 3 are gated on the soft budget.
+  * Pass policy: the first THREE passes always run — with n=2 the
+  * recorded median is a max and one host stall pollutes the drift
+  * statistic (VERDICT r17 #5); only passes ≥ 4 (SPARK_GRAFT_BENCH_REPS
+  * raised) are gated on the soft budget. A cumulative line pair is
+  * printed after every pass, so an external timeout killing a later
+  * pass still leaves complete lines in the output tail.
   *
-  * The `bench_out.json` SIDECAR additionally records per-query
-  * `{min, med, n}` (all passes' samples) — round-over-round perf
-  * analysis diffs the MEDIANS (less sensitive to one lucky pass than
-  * min), while the stdout line keeps the short min-only form the
-  * driver's bounded output-tail parse requires (VERDICT r16 #3).
+  * TWO stdout lines per emission (r18): the full per-query line grew
+  * past the driver's bounded (~2 KB) output-tail capture around r14 —
+  * 200+ queries × 14 bytes cannot fit — so the driver's parse had read
+  * None ever since. The full line still prints (the tail window shows
+  * most per-query values to a human reader), followed by a SHORT
+  * headline line (total, median total, counts, calibration — a few
+  * hundred bytes) that always fits the tail whole, so the mechanical
+  * parse works again. Per-query {min, med, n} stats live in the
+  * `bench_out.json` SIDECAR, rewritten after every pass (an external
+  * kill cannot lose it) — round-over-round perf analysis diffs the
+  * MEDIANS there (less sensitive to one lucky pass than min), while
+  * the regression gate keeps the contention-robust min (VERDICT r16 #3).
   */
 object Bench {
   /** The one-line JSON summary. `entries`: query name → min successful
@@ -45,6 +54,18 @@ object Bench {
     val errsJson = if (errNames.isEmpty) "" else errNames
       .map(n => "\"" + id(n) + "\"").mkString(""","errs":[""", ",", "]")
     s"""{"metric":"total","value":${f3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":${errNames.size}$errsJson,"sf":"$sfName","calibration":${f3(calibrationSec)}}"""
+  }
+
+  /** The SHORT headline line — guaranteed to fit the driver's bounded
+    * output-tail capture whole (the full per-query line cannot, see
+    * object doc): suite totals by both estimators, query/error counts,
+    * and the contention sentinel. */
+  def headlineLine(entries: Seq[(String, List[Double])], errCount: Int,
+      sfName: String, calibrationSec: Double): String = {
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val totalMin = entries.map(_._2.min).sum
+    val totalMed = entries.map(e => median(e._2)).sum
+    s"""{"metric":"total","value":${f3(totalMin)},"value_med":${f3(totalMed)},"unit":"sec","queries_total":${entries.length},"errors":$errCount,"sf":"$sfName","calibration":${f3(calibrationSec)}}"""
   }
 
   /** Median of a non-empty sample list (mean of the middle two on even
@@ -121,7 +142,24 @@ object Bench {
       names.map { case (name, _) =>
         name -> samples.get(name).filter(_.nonEmpty).map(_.min) // min: contention-robust, see object doc
       }, new java.io.File(sfDir).getName, calibrationSec)
-    for (rep <- 0 until reps if rep <= 1 || elapsedSec <= budgetSec) {
+    def okEntries: Seq[(String, List[Double])] = names.flatMap { case (name, _) =>
+      samples.get(name).filter(_.nonEmpty).map(name -> _)
+    }
+    def errNames: Seq[String] = names.collect { case (name, _)
+      if samples.get(name).forall(_.isEmpty) => name }
+    def shortLine(): String = Bench.headlineLine(okEntries, errNames.size,
+      new java.io.File(sfDir).getName, calibrationSec)
+    def writeSidecar(): Unit = {
+      val sidecar = sidecarLine(okEntries, errNames,
+        new java.io.File(sfDir).getName, calibrationSec)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+        (sidecar + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
+    // the first 3 passes ALWAYS run (median of 2 is a max — one host
+    // stall would pollute the drift statistic, VERDICT r17 #5); the
+    // soft budget gates only explicitly-requested extra passes
+    for (rep <- 0 until reps if rep <= 2 || elapsedSec <= budgetSec) {
       names.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try {
@@ -137,30 +175,27 @@ object Bench {
         if (ok) samples(name) = dt :: samples.getOrElse(name, Nil)
         else samples.getOrElseUpdate(name, Nil)
       }
-      // Emit the cumulative-median line after EVERY pass: if an external
-      // timeout kills a later pass, the output tail still ends with a
-      // complete, parseable line from the last finished pass.
+      // Emit the cumulative line PAIR after EVERY pass (full, then
+      // short) and refresh the sidecar: if an external timeout kills a
+      // later pass, the output tail still ends with a complete,
+      // mechanically-parseable short line and the sidecar still holds
+      // the last finished pass's full stats.
       println(currentLine())
+      println(shortLine())
       System.out.flush()
+      writeSidecar()
     }
     val line = currentLine()
+    val short = shortLine()
     spark.stop()
-    // Sidecar copy for anything that reads files instead of stdout —
-    // carries the full per-query {min, med, n} stats the short stdout
-    // line cannot (repeat-run protocol, VERDICT r16 #3).
-    val sidecar = sidecarLine(
-      names.flatMap { case (name, _) =>
-        samples.get(name).filter(_.nonEmpty).map(name -> _)
-      },
-      names.collect { case (name, _)
-        if samples.get(name).forall(_.isEmpty) => name },
-      new java.io.File(sfDir).getName, calibrationSec)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
-      (sidecar + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
-    // Final print, unprefixed (run/outputStrategy = StdoutOutput), after
-    // session shutdown so it is the last stdout line before sbt's
-    // [success] footer — the driver parses it from the output tail.
+    writeSidecar()
+    // Final prints, unprefixed (run/outputStrategy = StdoutOutput),
+    // after session shutdown so they are the last stdout lines before
+    // sbt's [success] footer. The full line first (human-readable
+    // per-query values inside the tail window), the SHORT line last —
+    // the one the driver's bounded-tail parse is guaranteed to capture
+    // whole.
     println(line)
+    println(short)
   }
 }
