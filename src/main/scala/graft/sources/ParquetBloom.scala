@@ -150,7 +150,7 @@ object ParquetBloom {
       }.filter { case (name, (len, mt, _)) => live.get(name).contains((len, mt)) }
     // 256 entries × 8 KiB payloads ≈ 2 MB per bucket shard
     SidecarShards.fold(conf, dataDir, SIDECAR_KIND,
-      SidecarShards.bucketed(merged, perBucket = 256, renderEntries),
+      SidecarShards.bucketed(merged, SidecarShards.perBucket(256), renderEntries),
       members.map(_._1))
   }
 

@@ -367,7 +367,7 @@ object ParquetFooterStats {
         name => live.contains(name))
     }.filter { case (name, (len, mt, _)) => live.get(name).contains((len, mt)) }
     SidecarShards.fold(conf, dataDir, SIDECAR_KIND,
-      SidecarShards.bucketed(merged, perBucket = 4096, renderEntries),
+      SidecarShards.bucketed(merged, SidecarShards.perBucket(4096), renderEntries),
       members.map(_._1))
   }
 

@@ -54,6 +54,17 @@ object SidecarShards {
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
       .filter(_ >= 2).getOrElse(16)
 
+  /** Entries per fold bucket — the bucket-skip granularity (a probe
+    * reads ≤ |candidate buckets| × this many entries). Each kind picks
+    * a production default sized to its entry payload (stats ~200 B →
+    * 4096 ≈ 1 MB buckets; Bloom ~1 KB → 256); overridable so
+    * soaks/tests can exercise the skip mechanism at small file
+    * counts. */
+  def perBucket(default: Int): Int =
+    sys.props.get("graft.sidecar.fold.perbucket")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(default)
+
   /** `kind` is the shard directory name: `_fstats` or `_fbloom`. */
   def dirFor(dataDir: Path, kind: String): Path =
     new Path(dataDir.getParent, kind)
