@@ -770,16 +770,23 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * Each batch that ADVANCED the index also runs [[hygiene]]
     * (VERDICT r16 #2: a year of churn must not accumulate masks,
     * retired list files, or ledger versions without bound) and gauges
-    * [[drift]], logging a loud warning once the rebuild factor is
-    * crossed — the stream cannot re-fit the quantizer itself (a
-    * rebuild rewrites every inverted list; that latency/availability
-    * trade belongs to the operator), but the signal is continuous.
+    * [[drift]]. Once the rebuild factor is crossed the stream either
+    * logs a loud warning (the default) or — with `autoRebuild` — runs
+    * the ONLINE [[rebuild]] itself: now that a rebuild is gap-free
+    * (staged generation + one atomic meta swap) and lease-serialized
+    * against refresh, there is no latency/availability trade left to
+    * defer to the operator, and "the index follows the corpus" closes
+    * fully autonomously. Auto-rebuild keeps the current cell count and
+    * needs the corpus's CATALOG identifier (`corpusTable`; a quantized
+    * index's persisted corpus pointer is the default) — raw-layout
+    * indexes without one stay in warn-only mode.
     * At 100 TB: per-commit increments only, the inverted lists never
-    * rewrite outside the bounded mask folds, the quantizer never
-    * re-fits. */
+    * rewrite outside the bounded mask folds and the (rare, drift-
+    * gated, still-serving) re-fits. */
   def maintainStream(spark: SparkSession, corpusDir: String, fq: String,
       checkpoint: String, hygieneFoldPreds: Int = 8,
-      hygieneRetainLast: Int = 4, rebuildFactor: Double = 1.5)
+      hygieneRetainLast: Int = 4, rebuildFactor: Double = 1.5,
+      autoRebuild: Boolean = false, corpusTable: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("graft.sources.ParquetChanges")
       .option("path", corpusDir).load()
@@ -789,16 +796,26 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         val v1 = refresh(spark, corpusDir, fq)
         if (v1 != v0) {
           // advisory like MaskPressure's hook: the refresh itself has
-          // committed; a hygiene/drift failure must not fail the batch
-          // (pressure persists and the next batch retries)
+          // committed; a hygiene/drift/rebuild failure must not fail
+          // the batch (pressure persists and the next batch retries)
           try {
             hygiene(spark, fq, hygieneFoldPreds, hygieneRetainLast)
             drift(spark, fq) match {
               case DriftStats(cur, Some(base), Some(ratio)) if ratio > rebuildFactor =>
-                logWarning(
+                val corpusTbl = corpusTable.orElse(corpusOf(spark, fq))
+                if (autoRebuild && corpusTbl.isDefined) {
+                  val k = spark.table(centroidsTableName(spark, fq)).count().toInt
+                  val v = rebuild(spark, spark.table(corpusTbl.get),
+                    corpusDir, fq, k = k)
+                  logWarning(
+                    f"IVF index $fq drift ratio $ratio%.2f > $rebuildFactor%.2f: " +
+                      s"auto-rebuilt ONLINE (gen ${generation(spark, fq).getOrElse(0L)}, " +
+                      s"indexed version $v) — searches kept serving through the swap")
+                } else logWarning(
                   f"IVF index $fq drift $cur%.4f vs baseline $base%.4f " +
                     f"(ratio $ratio%.2f > $rebuildFactor%.2f): the quantizer no " +
-                    "longer fits the corpus — schedule IvfIndex.build to re-fit")
+                    "longer fits the corpus — run CALL ann_rebuild (online, " +
+                    "no serving gap) or enable autoRebuild")
               case _ => ()
             }
           } catch { case scala.util.control.NonFatal(_) => () }

@@ -358,6 +358,46 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got === Map(11L -> 11L, 187L -> 187L))
   }
 
+  test("maintainStream autoRebuild: a drift breach re-fits ONLINE from the stream — " +
+      "gauge resets, generation advances, searches stay exact") {
+    val fq = "graft_ivf.ann.e13"
+    spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus13")
+    corpusDf(200).createOrReplaceTempView("ivf_c13")
+    spark.sql("CREATE TABLE graft_ivf.ann.corpus13 AS SELECT * FROM ivf_c13")
+    val corpusDir = s"$warehouse/ann/corpus13"
+    graft.sources.ParquetVersions.enable(corpusDir) // v1
+    IvfIndex.build(spark, spark.table("graft_ivf.ann.corpus13"), fq,
+      k = 8, indexedVersion = 1L)
+    val ck = java.nio.file.Files.createTempDirectory("graft_ivf_ck13").toString
+    val q = IvfIndex.maintainStream(spark, corpusDir, fq, ck,
+      rebuildFactor = 1.5, autoRebuild = true,
+      corpusTable = Some("graft_ivf.ann.corpus13"))
+    try {
+      // the corpus walks away from the quantizer (the e7 shift) — the
+      // stream's batch folds the delta, gauges the breach, and re-fits
+      // ONLINE itself, with no operator in the loop
+      import spark.implicits._
+      val shifted = (0 until 200).map { i =>
+        (i.toLong, Array.tabulate(DIM)(d =>
+          5.0f + 0.05f * (((i * 13 + d * 7) % 101) - 50)))
+      }.toDF("vec_id", "embedding")
+      spark.sql("DELETE FROM graft_ivf.ann.corpus13 WHERE vec_id >= 0")
+      shifted.createOrReplaceTempView("ivf_c13_shift")
+      spark.sql("INSERT INTO graft_ivf.ann.corpus13 SELECT * FROM ivf_c13_shift")
+      graft.sources.ParquetVersions.catchUp(corpusDir)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(IvfIndex.generation(spark, fq) === Some(1L),
+      "the stream must have rebuilt online (generation advance)")
+    val d = IvfIndex.drift(spark, fq)
+    assert(d.ratio.exists(_ < 1.5), s"auto-rebuild must reset the gauge: $d")
+    assert(!IvfIndex.needsRebuild(spark, fq))
+    // the rebuilt index serves the shifted corpus exactly
+    val got = searchCopiesOf(Seq(55L, 120L),
+      spark.table("graft_ivf.ann.corpus13"), fq)
+    assert(got === Map(55L -> 55L, 120L -> 120L))
+  }
+
   test("drift gauge: a distribution shift flags rebuild; re-build resets it") {
     val fq = "graft_ivf.ann.e7"
     spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus7")
