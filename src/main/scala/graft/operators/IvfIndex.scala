@@ -683,6 +683,35 @@ object IvfIndex extends org.apache.spark.internal.Logging {
   case class DriftStats(current: Double, baseline: Option[Double],
       ratio: Option[Double])
 
+  /** O(delta) drift SIGNAL for the streaming maintainer: the [[drift]]
+    * statistic computed over a bounded deterministic sample of the
+    * vectors INSERTED in the (v0, v1] change-feed span instead of the
+    * whole lists. The full gauge's corpus-sample scan is right for an
+    * explicit `ann_stats` probe but wrong as a PER-BATCH tax at
+    * 100 TB — while the delta is already the batch's working set, and
+    * new data is exactly where append-driven drift lives, so this
+    * signal is ~free at steady state and reacts to out-of-distribution
+    * growth within one batch. None when the span inserted nothing
+    * (deletes carry no vectors — delete-driven drift is covered by the
+    * maintainer's periodic full gauge). */
+  private[graft] def deltaDrift(spark: SparkSession, corpusDir: String,
+      v0: Long, v1: Long, fq: String): Option[DriftStats] = {
+    import spark.implicits._
+    val centroids = centroidsOf(spark, fq)
+    val inserts = graft.sources.ChangeFeed
+      .parquetChanges(spark, corpusDir, v0, v1, net = true)
+      .filter(col(graft.sources.ChangeFeed.CHANGE_TYPE_COL) === "insert")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    val sample = quantizerSample(inserts)
+      .select(col("embedding")).as[Array[Float]].collect()
+    if (sample.isEmpty) None
+    else {
+      val cur = VectorFns.meanNearestDist(sample, centroids)
+      val base = driftBaseline(spark, fq)
+      Some(DriftStats(cur, base, base.filter(_ > 0.0).map(cur / _)))
+    }
+  }
+
   /** REBUILD POLICY: re-fit the quantizer when mean drift exceeds
     * `factor` × the build-time baseline. Refresh deliberately never
     * re-clusters (it would rewrite every inverted list on every
@@ -770,7 +799,12 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * Each batch that ADVANCED the index also runs [[hygiene]]
     * (VERDICT r16 #2: a year of churn must not accumulate masks,
     * retired list files, or ledger versions without bound) and gauges
-    * [[drift]]. Once the rebuild factor is crossed the stream either
+    * drift TWO-TIERED: the O(delta) [[deltaDrift]] signal every batch
+    * (the delta is already the batch's working set — no per-batch
+    * corpus-sample scan), and the full [[drift]] gauge only when the
+    * signal breaches or every `fullGaugeEvery`-th batch (the safety
+    * net for DELETE-driven drift, which leaves no inserted vectors to
+    * gauge). Once the FULL gauge confirms a breach the stream either
     * logs a loud warning (the default) or — with `autoRebuild` — runs
     * the ONLINE [[rebuild]] itself: now that a rebuild is gap-free
     * (staged generation + one atomic meta swap) and lease-serialized
@@ -782,16 +816,18 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * indexes without one stay in warn-only mode.
     * At 100 TB: per-commit increments only, the inverted lists never
     * rewrite outside the bounded mask folds and the (rare, drift-
-    * gated, still-serving) re-fits. */
+    * gated, still-serving) re-fits, and the standing per-batch cost is
+    * O(delta) — including the drift signal. */
   def maintainStream(spark: SparkSession, corpusDir: String, fq: String,
       checkpoint: String, hygieneFoldPreds: Int = 8,
       hygieneRetainLast: Int = 4, rebuildFactor: Double = 1.5,
-      autoRebuild: Boolean = false, corpusTable: Option[String] = None)
+      autoRebuild: Boolean = false, corpusTable: Option[String] = None,
+      fullGaugeEvery: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("graft.sources.ParquetChanges")
       .option("path", corpusDir).load()
       .writeStream.option("checkpointLocation", checkpoint)
-      .foreachBatch { (_: DataFrame, _: Long) =>
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
         val v0 = indexedVersion(spark, fq)
         val v1 = refresh(spark, corpusDir, fq)
         if (v1 != v0) {
@@ -800,7 +836,10 @@ object IvfIndex extends org.apache.spark.internal.Logging {
           // the batch (pressure persists and the next batch retries)
           try {
             hygiene(spark, fq, hygieneFoldPreds, hygieneRetainLast)
-            drift(spark, fq) match {
+            val suspect = deltaDrift(spark, corpusDir, v0, v1, fq)
+              .flatMap(_.ratio).exists(_ > rebuildFactor) ||
+              (fullGaugeEvery > 0 && batchId % fullGaugeEvery == 0)
+            if (suspect) drift(spark, fq) match {
               case DriftStats(cur, Some(base), Some(ratio)) if ratio > rebuildFactor =>
                 val corpusTbl = corpusTable.orElse(corpusOf(spark, fq))
                 if (autoRebuild && corpusTbl.isDefined) {

@@ -585,7 +585,8 @@ object LogProcedures {
           StructField("base_drift", DoubleType, nullable = true),
           StructField("drift", DoubleType, nullable = false),
           StructField("drift_ratio", DoubleType, nullable = true),
-          StructField("needs_rebuild", BooleanType, nullable = false))),
+          StructField("needs_rebuild", BooleanType, nullable = false),
+          StructField("gen", LongType, nullable = false))),
           Seq[Any](
             spark.table(graft.operators.IvfIndex.centroidsTableName(spark, fq)).count(),
             spark.table(graft.operators.IvfIndex.assignTableName(spark, fq)).count(),
@@ -593,7 +594,11 @@ object LogProcedures {
             graft.operators.IvfIndex.indexedVersion(spark, fq),
             d.baseline.map(Double.box).orNull, d.current,
             d.ratio.map(Double.box).orNull,
-            d.ratio.exists(_ > factor)))
+            d.ratio.exists(_ > factor),
+            // 0 = the pre-rebuild legacy generation; advances with each
+            // online ann_rebuild — pairs with needs_rebuild so the
+            // operator can see the policy AND its last answer
+            graft.operators.IvfIndex.generation(spark, fq).getOrElse(0L)))
       }
     },
     "ann_search" -> new MaintenanceProcedure("ann_search",
@@ -615,7 +620,15 @@ object LogProcedures {
           .comment("optional boolean SQL expression over the index's " +
             "payload columns (and vec_id) — applied INSIDE the " +
             "probed-cell scan before the top-k cut (pre-filter), with " +
-            "automatic over-probing").build())
+            "automatic over-probing").build(),
+        ProcedureParameter.in("over_probe", IntegerType)
+          .defaultValue("4")
+          .comment("filtered searches probe n_probe × this many cells " +
+            "(capped at k) so selective slices don't under-return").build(),
+        ProcedureParameter.in("refine_factor", IntegerType)
+          .defaultValue("4")
+          .comment("quantized indexes keep top_k × this many coarse " +
+            "candidates per query for the exact refine").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_search needs the owning catalog name (procedure loaded outside a catalog?)"))
@@ -641,10 +654,13 @@ object LogProcedures {
               graft.operators.IvfIndex.isQuantized(spark, fqIx))
             graft.operators.IvfIndex.searchQuantized(spark,
               spark.table(s"$cat.$queries"), fqIx,
-              nProbe = input.getInt(2), topK = input.getInt(3), where = where)
+              nProbe = input.getInt(2), topK = input.getInt(3),
+              refineFactor = input.getInt(6), where = where,
+              overProbe = input.getInt(5))
           else graft.operators.IvfIndex.search(spark,
             spark.table(s"$cat.$queries"), fqIx,
-            nProbe = input.getInt(2), topK = input.getInt(3), where = where)
+            nProbe = input.getInt(2), topK = input.getInt(3), where = where,
+            overProbe = input.getInt(5))
         // procedure results are driver-local rows; this one is bounded
         // by queries × top_k (the search contract already requires a
         // bounded query batch)

@@ -392,10 +392,55 @@ class IvfIndexSpec extends AnyFunSuite {
     val d = IvfIndex.drift(spark, fq)
     assert(d.ratio.exists(_ < 1.5), s"auto-rebuild must reset the gauge: $d")
     assert(!IvfIndex.needsRebuild(spark, fq))
-    // the rebuilt index serves the shifted corpus exactly
-    val got = searchCopiesOf(Seq(55L, 120L),
+    // the rebuilt index serves the shifted corpus exactly. NOTE: the
+    // shifted synthetic repeats with period 101 (i*13 mod 101), so ids
+    // ≥ 101 are exact duplicates of id−101 and lose the cosine-1.0 tie
+    // to the smaller nid — query ids < 101, which win theirs.
+    val got = searchCopiesOf(Seq(55L, 77L),
       spark.table("graft_ivf.ann.corpus13"), fq)
-    assert(got === Map(55L -> 55L, 120L -> 120L))
+    assert(got === Map(55L -> 55L, 77L -> 77L))
+  }
+
+  test("deltaDrift: the O(delta) stream signal gauges INSERTED vectors, " +
+      "in-distribution appends read flat, OOD appends breach, delete-only spans are None") {
+    val fq = "graft_ivf.ann.e14"
+    spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus14")
+    corpusDf(200).createOrReplaceTempView("ivf_c14")
+    spark.sql("CREATE TABLE graft_ivf.ann.corpus14 AS SELECT * FROM ivf_c14")
+    val corpusDir = s"$warehouse/ann/corpus14"
+    graft.sources.ParquetVersions.enable(corpusDir) // v1
+    IvfIndex.build(spark, spark.table("graft_ivf.ann.corpus14"), fq,
+      k = 8, indexedVersion = 1L)
+    def latest(): Long = graft.sources.ParquetVersions.latest(corpusDir).get._1
+    // in-distribution append: the signal reads ~1 (no false rebuild)
+    corpusDf(240, from = 200).createOrReplaceTempView("ivf_c14_app")
+    spark.sql("INSERT INTO graft_ivf.ann.corpus14 SELECT * FROM ivf_c14_app")
+    graft.sources.ParquetVersions.catchUp(corpusDir)
+    val v2 = latest()
+    val d1 = IvfIndex.deltaDrift(spark, corpusDir, 1L, v2, fq)
+    assert(d1.exists(_.ratio.exists(_ < 1.5)),
+      s"in-distribution appends must not read as drift: $d1")
+    // out-of-distribution append at new higher ids: breaches within
+    // ONE span — the reaction time of the autoRebuild loop
+    import spark.implicits._
+    val ood = (0 until 80).map { i =>
+      (10000L + i, Array.tabulate(DIM)(d =>
+        5.0f + 0.05f * (((i * 13 + d * 7) % 101) - 50)))
+    }.toDF("vec_id", "embedding")
+    ood.createOrReplaceTempView("ivf_c14_ood")
+    spark.sql("INSERT INTO graft_ivf.ann.corpus14 SELECT * FROM ivf_c14_ood")
+    graft.sources.ParquetVersions.catchUp(corpusDir)
+    val v3 = latest()
+    val d2 = IvfIndex.deltaDrift(spark, corpusDir, v2, v3, fq)
+    assert(d2.exists(_.ratio.exists(_ > 1.5)),
+      s"an OOD insert span must breach the delta signal: $d2")
+    // a delete-only span carries no vectors — the signal is None (the
+    // maintainer's periodic full gauge covers delete-driven drift)
+    spark.sql("DELETE FROM graft_ivf.ann.corpus14 WHERE vec_id >= 10000")
+    graft.sources.ParquetVersions.catchUp(corpusDir)
+    val v4 = latest()
+    assert(IvfIndex.deltaDrift(spark, corpusDir, v3, v4, fq).isEmpty,
+      "a delete-only span has nothing to gauge")
   }
 
   test("drift gauge: a distribution shift flags rebuild; re-build resets it") {

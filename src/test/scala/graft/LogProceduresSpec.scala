@@ -428,6 +428,9 @@ class LogProceduresSpec extends AnyFunSuite {
     val stGood = spark.sql("CALL graft_proc.system.ann_stats(index => 'ann.e3')").head
     assert(!stGood.getBoolean(8) && stGood.getDouble(7) < 1.5,
       s"rebuild must reset the gauge: $stGood")
+    assert(stGood.getLong(9) === 1L,
+      s"ann_stats must expose the advanced generation: $stGood")
+    assert(stBad.getLong(9) === 0L, "pre-rebuild legacy generation reads 0")
     // post-swap search is exact on the shifted corpus
     spark.sql("DROP TABLE IF EXISTS graft_proc.ann.q3")
     spark.table("graft_proc.ann.c3").filter(col("vec_id") === 77L)
