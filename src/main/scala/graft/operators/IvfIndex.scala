@@ -74,12 +74,37 @@ object IvfIndex extends org.apache.spark.internal.Logging {
   // generation is fully built under names nothing references, then ONE
   // atomic replace of `_meta` (ledger-staged RTAS) flips every reader.
 
-  /** The CURRENT physical generation, None on a pre-rebuild index. */
-  private[graft] def generation(spark: SparkSession, fq: String): Option[Long] = {
-    val meta = spark.table(s"${fq}_meta")
-    if (!meta.schema.fieldNames.contains("gen")) None
-    else Some(meta.head().getLong(meta.schema.fieldIndex("gen")))
+  /** The single-row `_meta` SNAPSHOT — one driver read serving every
+    * field a verb needs. The serving verbs each fetch this exactly
+    * once: a search that read generation, corpus pointer and baseline
+    * through separate helpers paid up to three head() jobs on the same
+    * one-row table (visible as ~0.5 s of pure driver-job overhead per
+    * v11/v13 bench invocation), and — worse — three SEPARATE reads
+    * could interleave with a rebuild's swap. One snapshot is both the
+    * cheap and the consistent shape. */
+  private[graft] case class IndexMeta(indexedVersion: Long,
+      baseline: Option[Double], corpusFq: Option[String], gen: Option[Long]) {
+    def suffix: String = gen.map(g => s"__g$g").getOrElse("")
   }
+
+  private[graft] def metaOf(spark: SparkSession, fq: String): IndexMeta = {
+    val meta = spark.table(s"${fq}_meta")
+    val row = meta.head()
+    val names = meta.schema.fieldNames.toSeq
+    def get[T](n: String, f: Int => T): Option[T] = {
+      val i = names.indexOf(n)
+      if (i < 0 || row.isNullAt(i)) None else Some(f(i))
+    }
+    IndexMeta(
+      get("indexed_version", row.getLong).getOrElse(0L),
+      get("base_drift", row.getDouble),
+      get("corpus_fq", row.getString),
+      get("gen", row.getLong))
+  }
+
+  /** The CURRENT physical generation, None on a pre-rebuild index. */
+  private[graft] def generation(spark: SparkSession, fq: String): Option[Long] =
+    metaOf(spark, fq).gen
 
   private def suffixFor(gen: Option[Long]): String =
     gen.map(g => s"__g$g").getOrElse("")
@@ -196,7 +221,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
 
   /** The corpus ledger version the persisted assignments cover. */
   def indexedVersion(spark: SparkSession, fq: String): Long =
-    spark.table(s"${fq}_meta").head().getLong(0)
+    metaOf(spark, fq).indexedVersion
 
   /** How many query rows [[search]] will ship as a BROADCAST probe
     * side before falling back to a shuffle join. The broadcast (and the
@@ -241,11 +266,17 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * expensive. */
   def search(spark: SparkSession, queries: DataFrame, fq: String,
       nProbe: Int, topK: Int, where: Option[org.apache.spark.sql.Column] = None,
-      overProbe: Int = 4): DataFrame = {
-    // ONE generation resolve per search: centroids and lists must come
+      overProbe: Int = 4): DataFrame =
+    searchImpl(spark, queries, fq, nProbe, topK, where, overProbe,
+      metaOf(spark, fq))
+
+  private def searchImpl(spark: SparkSession, queries: DataFrame, fq: String,
+      nProbe: Int, topK: Int, where: Option[org.apache.spark.sql.Column],
+      overProbe: Int, m: IndexMeta): DataFrame = {
+    // ONE meta snapshot per search: centroids and lists must come
     // from the SAME generation even if a rebuild's swap lands mid-plan
     // (the retired generation's tables stay readable for a full cycle)
-    val sfx = suffixFor(generation(spark, fq))
+    val sfx = m.suffix
     val centroids = centroidsAt(spark, fq, sfx)
     val effProbe =
       if (where.isEmpty) nProbe
@@ -301,19 +332,22 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     // corpus scan would serve (partitioned tables publish per write —
     // this is a no-op there)
     graft.sources.ParquetVersions.catchUp(corpusDir)
-    val v0 = indexedVersion(spark, fq)
+    // one meta snapshot (version + generation together — consistent
+    // under the held lease, and one driver job instead of four)
+    val m = metaOf(spark, fq)
+    val v0 = m.indexedVersion
     val v1 = graft.sources.ParquetVersions.latest(corpusDir)
       .getOrElse(throw new IllegalStateException(
         s"$corpusDir has no version ledger — enable versions before refresh"))._1
     if (v1 == v0) return v0
-    val assignTbl = assignTableName(spark, fq)
-    val centroids = centroidsOf(spark, fq)
+    val assignTbl = s"$fq${m.suffix}_assign"
+    val centroids = centroidsAt(spark, fq, m.suffix)
     // collapse the net feed to ONE row per key: an updated vec_id
     // arrives as a delete+insert pair, which would violate MERGE's
     // one-source-row-per-target-row rule — the insert (if any) wins
     // and carries the new embedding; a bare delete stays a delete.
     // (vec_id is the index key: one vector per id by contract.)
-    val quantized = isQuantized(spark, fq)
+    val quantized = spark.table(assignTbl).schema.fieldNames.contains("q8")
     // payload columns travel with the delta: an inserted/updated row's
     // corpus attributes land in the lists next to its vector, so
     // filtered searches keep pruning inside the probed-cell scan
@@ -448,16 +482,20 @@ object IvfIndex extends org.apache.spark.internal.Logging {
   def rebuild(spark: SparkSession, corpus: DataFrame, corpusDir: String,
       fq: String, k: Int = 16, iters: Int = 8): Long =
     graft.sources.MaintenanceLease.withLease(metaDir(spark, fq)) {
-      val quantized = isQuantized(spark, fq)
-      val corpusFq = corpusOf(spark, fq)
-      val payload = payloadColumns(spark, fq) // carried into the new generation
+      val m = metaOf(spark, fq)
+      val corpusFq = m.corpusFq
+      val currentAssign = s"$fq${m.suffix}_assign"
+      val quantized = spark.table(currentAssign).schema.fieldNames.contains("q8")
+      // payload columns carried into the new generation
+      val payload = spark.table(currentAssign).schema.fieldNames.toSeq
+        .filterNot(ReservedListCols)
       // index the corpus AS OF its current ledger version, so a later
       // refresh folds exactly the span since this rebuild
       val v = if (graft.sources.ParquetVersions.enabled(corpusDir)) {
         graft.sources.ParquetVersions.catchUp(corpusDir)
         graft.sources.ParquetVersions.latest(corpusDir).get._1
       } else 0L
-      val oldGen = generation(spark, fq)
+      val oldGen = m.gen
       val newGen = oldGen.getOrElse(0L) + 1L
       // the generation retired by the PREVIOUS rebuild has been
       // unreferenced for a full cycle — reclaim it now
@@ -538,16 +576,9 @@ object IvfIndex extends org.apache.spark.internal.Logging {
           col("vmin") +: col("vscale") +: payload.map(col): _*)
   }
 
-  /** Whether the persisted lists are the quantized layout. */
-  private[graft] def isQuantized(spark: SparkSession, fq: String): Boolean =
-    spark.table(assignTableName(spark, fq)).schema.fieldNames.contains("q8")
-
   /** The corpus table a quantized index refines against. */
-  def corpusOf(spark: SparkSession, fq: String): Option[String] = {
-    val meta = spark.table(s"${fq}_meta")
-    if (!meta.schema.fieldNames.contains("corpus_fq")) None
-    else Some(meta.head().getString(meta.schema.fieldIndex("corpus_fq")))
-  }
+  def corpusOf(spark: SparkSession, fq: String): Option[String] =
+    metaOf(spark, fq).corpusFq
 
   /** Top-k cosine search through the QUANTIZED index: the coarse pass
     * scans only the probed cells' int8 codes (the lists hold no raw
@@ -568,12 +599,18 @@ object IvfIndex extends org.apache.spark.internal.Logging {
   def searchQuantized(spark: SparkSession, queries: DataFrame, fq: String,
       nProbe: Int, topK: Int, refineFactor: Int = 4,
       where: Option[org.apache.spark.sql.Column] = None,
-      overProbe: Int = 4): DataFrame = {
-    val corpusFq = corpusOf(spark, fq).getOrElse(throw new IllegalStateException(
+      overProbe: Int = 4): DataFrame =
+    searchQuantizedImpl(spark, queries, fq, nProbe, topK, refineFactor,
+      where, overProbe, metaOf(spark, fq))
+
+  private def searchQuantizedImpl(spark: SparkSession, queries: DataFrame,
+      fq: String, nProbe: Int, topK: Int, refineFactor: Int,
+      where: Option[org.apache.spark.sql.Column], overProbe: Int,
+      m: IndexMeta): DataFrame = {
+    val corpusFq = m.corpusFq.getOrElse(throw new IllegalStateException(
       s"$fq is not a quantized index (no corpus_fq in ${fq}_meta) — " +
         "searchQuantized serves buildQuantized indexes; use search otherwise"))
-    // one generation resolve per search (see [[search]])
-    val sfx = suffixFor(generation(spark, fq))
+    val sfx = m.suffix
     val centroids = centroidsAt(spark, fq, sfx)
     // filtered search: the predicate prunes candidates inside the
     // probed-cell CODE scan — before the coarse top cut, so the refine
@@ -635,14 +672,30 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .select(col("qid"), col("rn"), col("nid"), col("cos"))
   }
 
+  /** Serve a top-k search through WHICHEVER layout the index has —
+    * one meta snapshot resolves the generation and the layout, then
+    * dispatches to the raw or quantized path (the SQL `ann_search`
+    * verb; a quantized index without a corpus pointer falls through to
+    * searchQuantized's loud error rather than a confusing
+    * missing-column failure). */
+  def searchAuto(spark: SparkSession, queries: DataFrame, fq: String,
+      nProbe: Int, topK: Int, refineFactor: Int = 4,
+      where: Option[org.apache.spark.sql.Column] = None,
+      overProbe: Int = 4): DataFrame = {
+    val m = metaOf(spark, fq)
+    val quantized = spark.table(s"$fq${m.suffix}_assign")
+      .schema.fieldNames.contains("q8")
+    if (quantized)
+      searchQuantizedImpl(spark, queries, fq, nProbe, topK, refineFactor,
+        where, overProbe, m)
+    else searchImpl(spark, queries, fq, nProbe, topK, where, overProbe, m)
+  }
+
   // --- lifecycle under sustained churn (VERDICT r16 #2) -------------
 
   /** The build-time quantizer-fit baseline, None on a pre-gauge index. */
-  def driftBaseline(spark: SparkSession, fq: String): Option[Double] = {
-    val meta = spark.table(s"${fq}_meta")
-    if (!meta.schema.fieldNames.contains("base_drift")) None
-    else Some(meta.head().getDouble(meta.schema.fieldIndex("base_drift")))
-  }
+  def driftBaseline(spark: SparkSession, fq: String): Option[Double] =
+    metaOf(spark, fq).baseline
 
   /** Quantizer-fit DRIFT: mean nearest-centroid distance of a bounded
     * deterministic sample of the CURRENT inverted lists (the same
@@ -656,16 +709,17 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * on the driver, independent of corpus size. */
   def drift(spark: SparkSession, fq: String): DriftStats = {
     import spark.implicits._
-    // one generation resolve (see [[search]]): the gauge must compare
+    // one meta snapshot (see [[search]]): the gauge must compare
     // centroids against the SAME generation's lists
-    val sfx = suffixFor(generation(spark, fq))
+    val m = metaOf(spark, fq)
+    val sfx = m.suffix
     val centroids = centroidsAt(spark, fq, sfx)
     val sampled = quantizerSample(spark.table(s"$fq${sfx}_assign"))
     // quantized lists carry no raw vectors: gauge on the DEQUANTIZED
     // sample (the quantization error is orders below any drift worth a
     // rebuild — documented approximation)
     val sample: Array[Array[Float]] =
-      if (isQuantized(spark, fq))
+      if (spark.table(s"$fq${sfx}_assign").schema.fieldNames.contains("q8"))
         sampled.select(col("q8"), col("vmin"), col("vscale"))
           .as[(Array[Byte], Float, Float)].collect()
           .map { case (codes, vmin, vscale) =>
@@ -675,9 +729,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     val current =
       if (sample.isEmpty) 0.0
       else VectorFns.meanNearestDist(sample, centroids)
-    val base = driftBaseline(spark, fq)
-    DriftStats(current, base,
-      base.filter(_ > 0.0).map(b => current / b))
+    DriftStats(current, m.baseline,
+      m.baseline.filter(_ > 0.0).map(b => current / b))
   }
 
   case class DriftStats(current: Double, baseline: Option[Double],
@@ -697,7 +750,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
   private[graft] def deltaDrift(spark: SparkSession, corpusDir: String,
       v0: Long, v1: Long, fq: String): Option[DriftStats] = {
     import spark.implicits._
-    val centroids = centroidsOf(spark, fq)
+    val m = metaOf(spark, fq)
+    val centroids = centroidsAt(spark, fq, m.suffix)
     val inserts = graft.sources.ChangeFeed
       .parquetChanges(spark, corpusDir, v0, v1, net = true)
       .filter(col(graft.sources.ChangeFeed.CHANGE_TYPE_COL) === "insert")
@@ -707,8 +761,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     if (sample.isEmpty) None
     else {
       val cur = VectorFns.meanNearestDist(sample, centroids)
-      val base = driftBaseline(spark, fq)
-      Some(DriftStats(cur, base, base.filter(_ > 0.0).map(cur / _)))
+      Some(DriftStats(cur, m.baseline, m.baseline.filter(_ > 0.0).map(cur / _)))
     }
   }
 

@@ -645,22 +645,15 @@ object LogProcedures {
         val where = Option(input.getUTF8String(4).toString)
           .map(_.trim).filter(_.nonEmpty)
           .map(org.apache.spark.sql.functions.expr)
-        // quantized indexes (built with quantized => true) carry their
-        // corpus pointer in _meta and dispatch to the coarse+refine
-        // path automatically — same result shape either way
+        // quantized indexes (built with quantized => true) dispatch to
+        // the coarse+refine path automatically — one meta snapshot
+        // resolves generation and layout, same result shape either way
         val fqIx = s"$cat.$index"
-        val result =
-          if (graft.operators.IvfIndex.corpusOf(spark, fqIx).isDefined &&
-              graft.operators.IvfIndex.isQuantized(spark, fqIx))
-            graft.operators.IvfIndex.searchQuantized(spark,
-              spark.table(s"$cat.$queries"), fqIx,
-              nProbe = input.getInt(2), topK = input.getInt(3),
-              refineFactor = input.getInt(6), where = where,
-              overProbe = input.getInt(5))
-          else graft.operators.IvfIndex.search(spark,
-            spark.table(s"$cat.$queries"), fqIx,
-            nProbe = input.getInt(2), topK = input.getInt(3), where = where,
-            overProbe = input.getInt(5))
+        val result = graft.operators.IvfIndex.searchAuto(spark,
+          spark.table(s"$cat.$queries"), fqIx,
+          nProbe = input.getInt(2), topK = input.getInt(3),
+          refineFactor = input.getInt(6), where = where,
+          overProbe = input.getInt(5))
         // procedure results are driver-local rows; this one is bounded
         // by queries × top_k (the search contract already requires a
         // bounded query batch)
