@@ -167,14 +167,26 @@ object Dedup {
 
   /** (doc_id, sh64, bands): 64-bit SimHash + its 4 × 16-bit band
     * chunks, cached. Tokens materialized before the per-element hash
-    * transform. SimHash votes over all 64 bits, so it needs RAW
-    * xxhash64 values (rawHashes) — the mod-P baseHashes family is
-    * MinHash-only, and feeding it here would leave bits 31–63
-    * constant: the two upper 16-bit bands would put the entire corpus
-    * in one bucket. */
+    * transform. SimHash votes over all 64 bits, so it needs full-width
+    * RAW hash values — the mod-P baseHashes family is MinHash-only,
+    * and feeding it here would leave bits 31–63 constant: the two
+    * upper 16-bit bands would put the entire corpus in one bucket.
+    * The per-token hash is the engine's own FNV-1a 64 codegen
+    * expression (NOT xxhash64) so the WHOLE pipeline is
+    * oracle-mirrorable: DuckDB folds the identical hash per token with
+    * HUGEINT mod-2^64 arithmetic (the u02 precedent), recomputes the
+    * bit votes, and brute-forces the Hamming-≤3 pair set — which the
+    * banded path finds EXACTLY (≤ 3 differing bits across 4 disjoint
+    * 16-bit bands leave at least one band identical, so banding is a
+    * guaranteed-complete candidate generator at this threshold, not a
+    * probabilistic one; only the d03 bucket cap (1000) could drop
+    * candidates, and only on a corpus with >1000 docs sharing a band
+    * value). OperatorsSpec's live-bands leg pins that FNV keeps all
+    * four bands discriminating. */
   private def simhashDocs(docsRaw: DataFrame): DataFrame = docsRaw
     .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-    .select(col("doc_id"), HashFns.rawHashes(col("toks")).as("tok_h"))
+    .select(col("doc_id"),
+      transform(col("toks"), t => graft.functions.Udx.graft_fnv64(t)).as("tok_h"))
     .select(col("doc_id"), HashFns.simhashFromHashes(col("tok_h")).as("sh64"))
     .withColumn("bands", array((0 until 4).map(j =>
       shiftrightunsigned(col("sh64"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -777,6 +789,38 @@ object Dedup {
       |SELECT a, b FROM ver ORDER BY a, b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    /** d03 oracle (VERDICT r18 missing #4): DuckDB recomputes the
+      * SAME per-token FNV-1a 64 fold (u02's HUGEINT technique), the
+      * same ±1 bit votes, packs the same 64-bit signature, and then
+      * brute-forces Hamming ≤ 3 over all pairs — which equals the
+      * banded candidate set exactly (pigeonhole over 4 × 16-bit
+      * bands; see simhashDocs). Verdict mirrors perDocVerdict:
+      * is_dup ⇔ the doc is the LARGER id of a verified pair. */
+    "d03_dedup_simhash" ->
+      """WITH d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents),
+        |tok AS (SELECT doc_id, UNNEST(STRING_SPLIT(norm, ' ')) AS tok FROM d),
+        |th AS (SELECT doc_id, CAST(LIST_REDUCE(
+        |    LIST_PREPEND(14695981039346656037::HUGEINT,
+        |      LIST_TRANSFORM(RANGE(1, LENGTH(tok) + 1),
+        |        i -> CAST(ORD(SUBSTRING(tok, CAST(i AS INT), 1)) AS HUGEINT))),
+        |    (h, b) -> (xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT))::HUGEINT
+        |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  ) AS UBIGINT) AS h FROM tok),
+        |v AS (SELECT doc_id, bits.b AS b,
+        |    SUM(CASE WHEN (h >> CAST(bits.b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+        |  FROM th, (SELECT UNNEST(RANGE(0, 64)) AS b) bits
+        |  GROUP BY doc_id, bits.b),
+        |sig AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN votes > 0
+        |      THEN (1::UBIGINT << CAST(b AS INT)) ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+        |  FROM v GROUP BY doc_id),
+        |dup AS (SELECT DISTINCT y.doc_id AS b FROM sig x JOIN sig y
+        |  ON x.doc_id < y.doc_id AND BIT_COUNT(xor(x.sh, y.sh)) <= 3)
+        |SELECT docs.doc_id, (dup.b IS NOT NULL) AS is_dup
+        |FROM (SELECT doc_id FROM documents) docs
+        |LEFT JOIN dup ON docs.doc_id = dup.b
+        |ORDER BY docs.doc_id""".stripMargin,
     "d13_dedup_chunks" ->
       """WITH t AS (SELECT doc_id,
         |    REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS toks FROM documents),

@@ -152,11 +152,17 @@ object LimitHashLog {
   private[sources] def manifestPath(dir: Path, commitId: String): Path =
     new Path(dir, s".stats-manifest-$commitId")
 
+  /** Returns whether the manifest actually LANDED (rename succeeded).
+    * Commit-side callers may ignore the result — a deterministic
+    * replay rewrites the same content under the same name — but a FOLD
+    * must not: its zfold name is unique, so a lost rename means the
+    * fold file never existed anywhere, and deleting the fold's inputs
+    * anyway would permanently lose their stats (ADVICE r18). */
   private[sources] def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path, commitId: String, stats: Map[String, SegmentStats]): Unit = {
+      dir: Path, commitId: String, stats: Map[String, SegmentStats]): Boolean = {
     import org.json4s.jackson.Serialization
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
-    if (stats.isEmpty) return
+    if (stats.isEmpty) return true
     // temp + rename: a concurrent reader (loadStats, a racing fold)
     // must never observe a half-written manifest (ADVICE r17: an
     // in-place create raced a fold's read, parsed as garbage, and the
@@ -177,7 +183,8 @@ object LimitHashLog {
       // deterministic per commitId) — drop our temp and defer
       try fs.delete(tmp, false)
       catch { case scala.util.control.NonFatal(_) => () }
-    }
+      false
+    } else true
   }
 
   /** The stats-manifest listing in MERGE-PRECEDENCE order: fold
@@ -257,11 +264,28 @@ object LimitHashLog {
         acc ++ entries
       } catch { case scala.util.control.NonFatal(_) => acc }
     }
-    writeManifest(fs, dir, f"zfold-${System.currentTimeMillis()}%013d-" +
-      java.util.UUID.randomUUID().toString.take(8), merged)
-    parsed.foreach { p =>
+    val landed = writeManifest(fs, dir,
+      f"zfold-${System.currentTimeMillis()}%013d-" +
+        java.util.UUID.randomUUID().toString.take(8), merged)
+    // inputs delete ONLY once the fold file is durably in place: a
+    // zfold name is unique (timestamp + uuid), so a lost rename has no
+    // "equivalent writer" to fall back on — deleting the parsed inputs
+    // would lose the folded segments' stats forever, degrading pruning
+    // silently (ADVICE r18). The un-deleted inputs just fold again
+    // next time.
+    if (landed) parsed.foreach { p =>
       try fs.delete(p, false)
       catch { case scala.util.control.NonFatal(_) => () }
+    }
+    // reap temp debris crashed writers left behind — age-gated so a
+    // LIVE writer's in-flight temp (created, not yet renamed) survives
+    val cutoff = System.currentTimeMillis() - 10L * 60L * 1000L
+    fs.listStatus(dir).foreach { s =>
+      if (s.isFile && s.getPath.getName.startsWith("_tmp-stats-manifest-") &&
+          s.getModificationTime < cutoff) {
+        try fs.delete(s.getPath, false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
   } catch { case scala.util.control.NonFatal(_) => () }
 

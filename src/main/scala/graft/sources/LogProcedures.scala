@@ -521,8 +521,19 @@ object LogProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("index", StringType).build(),
         ProcedureParameter.in("corpus", StringType).build(),
-        ProcedureParameter.in("k", IntegerType).defaultValue("16").build(),
-        ProcedureParameter.in("iters", IntegerType).defaultValue("8").build())
+        ProcedureParameter.in("k", IntegerType).defaultValue("-1")
+          .comment("cell count for the new generation; any value <= 0 " +
+            "(the default) auto-sizes from the corpus — ceil(sqrt(n)) " +
+            "clamped to [16, 1024] — so a rebuilt index keeps probed " +
+            "lists O(sqrt n) as the corpus grows").build(),
+        ProcedureParameter.in("iters", IntegerType).defaultValue("8").build(),
+        ProcedureParameter.in("payload", StringType)
+          .defaultValue("''")
+          .comment("comma-separated corpus columns to carry into the " +
+            "new generation's inverted lists — REPLACES the payload " +
+            "set, so a live index gains a filter attribute through a " +
+            "gap-free rebuild; empty (the default) carries the current " +
+            "set forward unchanged").build())
       override def call(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_rebuild needs the owning catalog name (procedure loaded outside a catalog?)"))
@@ -534,9 +545,12 @@ object LogProcedures {
         }
         val corpusDir = dirOf(warehouse, corpus)
         val fq = s"$cat.$index"
+        val payload = Option(input.getUTF8String(4).toString)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty)
         val v = graft.operators.IvfIndex.rebuild(spark,
           spark.table(s"$cat.$corpus"), corpusDir, fq,
-          k = input.getInt(2), iters = input.getInt(3))
+          k = input.getInt(2), iters = input.getInt(3), payload = payload)
         oneRow(StructType(Seq(
           StructField("cells", LongType, nullable = false),
           StructField("vectors", LongType, nullable = false),

@@ -97,4 +97,28 @@ class LogManifestSpec extends AnyFunSuite {
       _.getPath.getName.startsWith(".stats-manifest-")) === 1)
     assert(fs.listStatus(dir).count(_.getPath.getName.startsWith("_tmp-")) === 0)
   }
+
+  test("fold reaps AGED temp debris from crashed writers but never a live writer's fresh temp") {
+    withFoldThreshold(2) {
+      val (dir, fs) = freshDir()
+      LimitHashLog.writeManifest(fs, dir, "c1", Map("segment-x" -> st(10)))
+      LimitHashLog.writeManifest(fs, dir, "c2", Map("segment-y" -> st(5)))
+      // a crashed writer's orphan: created, never renamed — nothing
+      // reaped these before (ADVICE r18), so they accumulated forever
+      val stale = new Path(dir, "_tmp-stats-manifest-deadbeef0000")
+      val outS = fs.create(stale, true)
+      try outS.write("{}".getBytes("UTF-8")) finally outS.close()
+      fs.setTimes(stale, System.currentTimeMillis() - 11L * 60L * 1000L, -1L)
+      // a LIVE writer's in-flight temp (fresh mtime) must survive the fold
+      val fresh = new Path(dir, "_tmp-stats-manifest-cafebabe0000")
+      val outF = fs.create(fresh, true)
+      try outF.write("{}".getBytes("UTF-8")) finally outF.close()
+      LimitHashLog.maybeFoldManifests(fs, dir)
+      assert(!fs.exists(stale), "aged temp debris must be reaped by the fold")
+      assert(fs.exists(fresh), "a fresh in-flight temp must survive the fold")
+      // and the fold itself behaved: one zfold, stats intact
+      val loaded = LimitHashLog.loadStats(dir.toString)
+      assert(loaded("segment-x").rows === 10L && loaded("segment-y").rows === 5L)
+    }
+  }
 }

@@ -466,4 +466,53 @@ class LogProceduresSpec extends AnyFunSuite {
         |  queries => 'ann.q3', n_probe => 2, top_k => 1)""".stripMargin).head
     assert(qhit.getLong(2) === 77L && qhit.getDouble(3) > 0.999, s"$qhit")
   }
+
+  test("ann_rebuild(payload => ...): a live index gains a filter attribute " +
+      "through a gap-free rebuild, and the default k auto-sizes from the corpus") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_proc.ann")
+    import spark.implicits._
+    val dim = 16
+    def emb(i: Int) = Array.tabulate(dim) { d =>
+      (if (d % 4 == i % 4) 1.0f else 0.05f) +
+        0.005f * (((i * 31 + d * 17) % 101) - 50)
+    }
+    // v14's construction: one in-slice (label 99) planted copy of
+    // vector 3 — the out-of-slice original wins the global tie, so only
+    // true pre-filter semantics on the NEW column find the copy
+    val corpus = ((0 until 120).map(i => (i.toLong, emb(i), i % 5)) :+
+      ((10003L, emb(3), 99))).toDF("vec_id", "embedding", "label")
+    spark.sql("DROP TABLE IF EXISTS graft_proc.ann.c5")
+    corpus.createOrReplaceTempView("proc_ann_c5_in")
+    spark.sql("CREATE TABLE graft_proc.ann.c5 AS SELECT * FROM proc_ann_c5_in")
+    // built WITHOUT payload: adding the filter attribute must not need
+    // ann_build's drop-then-repersist serving gap (VERDICT r18 missing #3)
+    spark.sql(
+      "CALL graft_proc.system.ann_build(index => 'ann.e5', corpus => 'ann.c5', k => 8)")
+    assert(graft.operators.IvfIndex.payloadColumns(spark, "graft_proc.ann.e5").isEmpty)
+    val rb = spark.sql(
+      """CALL graft_proc.system.ann_rebuild(index => 'ann.e5',
+        |  corpus => 'ann.c5', k => 8, payload => 'label')""".stripMargin).head
+    assert(rb.getLong(4) === 1L, s"$rb")
+    assert(graft.operators.IvfIndex.payloadColumns(spark, "graft_proc.ann.e5")
+      === Seq("label"))
+    spark.sql("DROP TABLE IF EXISTS graft_proc.ann.q5")
+    corpus.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 1000).as("qid"), col("embedding").as("qe"))
+      .createOrReplaceTempView("proc_ann_q5_in")
+    spark.sql("CREATE TABLE graft_proc.ann.q5 AS SELECT * FROM proc_ann_q5_in")
+    val filtered = spark.sql(
+      """CALL graft_proc.system.ann_search(index => 'ann.e5',
+        |  queries => 'ann.q5', n_probe => 2, top_k => 1,
+        |  where => 'label = 99')""".stripMargin).head
+    assert(filtered.getLong(2) === 10003L && filtered.getDouble(3) > 0.999,
+      s"filtered search on the rebuilt-in column must find the in-slice copy: $filtered")
+    // default k: auto-sized from the corpus (121 rows clamps to KMin=16),
+    // and an unspecified payload carries the current set forward
+    val rb2 = spark.sql(
+      "CALL graft_proc.system.ann_rebuild(index => 'ann.e5', corpus => 'ann.c5')").head
+    assert(rb2.getLong(0) === 16L, s"auto-k on a 121-row corpus clamps to KMin: $rb2")
+    assert(graft.operators.IvfIndex.payloadColumns(spark, "graft_proc.ann.e5")
+      === Seq("label"),
+      "an unspecified payload must carry the current set forward")
+  }
 }

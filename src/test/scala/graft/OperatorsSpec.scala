@@ -18,10 +18,18 @@ class OperatorsSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  // ~96 tokens: long enough that SimHash's per-bit vote margins are
+  // mostly > 2, so a 2-token tail append can only flip the few
+  // near-tied bits (measured: Hamming 2 under the FNV family, vs 26
+  // for the unrelated doc) — the 20-token original made every verdict
+  // a hash-family coin flip (the r19 FNV switch flipped it to 5).
   private val base =
-    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill near the garden gate"
-  // tail append: shingle Jaccard ≈ 18/20 ≈ 0.9, above the 0.8 dedup bar
-  // (a mid-string word swap kills 3 of ~19 shingles → ≈0.72, below it)
+    "the quick brown fox jumps over the lazy dog while the cat watches from the warm windowsill near the garden gate " +
+      "as evening settles across the quiet village and lanterns begin to glow along the cobbled street where children " +
+      "carry baskets of ripe apples toward the old market square and fishermen mend their nets beside the slow river " +
+      "under willows that lean over the water while distant bells ring softly from the chapel on the hill and farmers " +
+      "drive their carts home through fields of barley that sway gently in the cooling wind of early autumn"
+  // tail append: shingle Jaccard ≈ 93/95 ≈ 0.98, above the 0.8 dedup bar
   private val nearDup = base + " at dusk"
   private val unrelated =
     "completely different content about database engines and distributed query processing with columnar storage formats"
@@ -49,12 +57,15 @@ class OperatorsSpec extends AnyFunSuite {
     import graft.functions.{HashFns, TextFns}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val total = docs.count()
-    // same sketch construction as Dedup.simhashDedup: raw 64-bit token
-    // hashes → simhash → 4 × 16-bit bands (the r2 bug fed mod-P 31-bit
-    // hashes here, which made bands 2-3 the constant bucket 0)
+    // same sketch construction as Dedup.simhashDedup: full-width FNV-1a
+    // token hashes (the r19 oracle-mirrorable family) → simhash →
+    // 4 × 16-bit bands (the r2 bug fed mod-P 31-bit hashes here, which
+    // made bands 2-3 the constant bucket 0 — this leg also guards the
+    // FNV family against any such upper-bit degeneration)
     val bands = docs
       .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), HashFns.rawHashes(col("toks")).as("h"))
+      .select(col("doc_id"), transform(col("toks"),
+        t => graft.functions.Udx.graft_fnv64(t)).as("h"))
       .select(col("doc_id"), HashFns.simhashFromHashes(col("h")).as("sh64"))
       .select(posexplode(array((0 until 4).map(j =>
         shiftrightunsigned(col("sh64"), j * 16).bitwiseAND(lit(0xFFFFL))): _*))
