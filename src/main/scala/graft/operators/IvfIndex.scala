@@ -306,16 +306,21 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * `corpus` and persist centroids + cell assignments + version meta.
     * `fq` is the fully-qualified table prefix (`cat.ns.name`).
     * `indexedVersion` records which corpus ledger version the build
-    * covers (0 for non-versioned corpora). Replaces any prior index. */
+    * covers (0 for non-versioned corpora). Replaces any prior index.
+    * `k` ≤ 0 ([[AutoK]]) sizes the cell count from the corpus like
+    * [[rebuild]] does; the default stays the historical 16 (an
+    * explicit initial build is a deliberate choice — only the
+    * autonomous rebuild path defaults to the policy). */
   def build(spark: SparkSession, corpus: DataFrame, fq: String,
       k: Int = 16, iters: Int = 8, indexedVersion: Long = 0L,
       payload: Seq[String] = Nil): Unit = {
     dropIndexTables(spark, fq)
+    val kEff = if (k > 0) k else adaptiveCellCount(corpus.count())
     // the build-time quantizer-fit BASELINE the drift gauge compares
     // against ([[drift]]): mean distance of the build sample to its
     // nearest centroid, persisted alongside the indexed version
     val baseDrift = fitAndWrite(spark, corpus,
-      s"${fq}_centroids", s"${fq}_assign", quantized = false, k, iters, payload)
+      s"${fq}_centroids", s"${fq}_assign", quantized = false, kEff, iters, payload)
     spark.sql(s"""CREATE TABLE ${fq}_meta AS
                   SELECT CAST($indexedVersion AS BIGINT) AS indexed_version,
                          CAST($baseDrift AS DOUBLE) AS base_drift""")
@@ -708,8 +713,9 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         corpusFq.split("\\.", -1).forall(graft.sources.LogCatalog.validPathPart),
       s"bad corpus identifier '$corpusFq' (want cat.ns.name; plain names only)")
     dropIndexTables(spark, fq)
+    val kEff = if (k > 0) k else adaptiveCellCount(corpus.count())
     val baseDrift = fitAndWrite(spark, corpus,
-      s"${fq}_centroids", s"${fq}_assign", quantized = true, k, iters, payload)
+      s"${fq}_centroids", s"${fq}_assign", quantized = true, kEff, iters, payload)
     spark.sql(s"""CREATE TABLE ${fq}_meta AS
                   SELECT CAST($indexedVersion AS BIGINT) AS indexed_version,
                          CAST($baseDrift AS DOUBLE) AS base_drift,

@@ -426,7 +426,9 @@ object LogProcedures {
           .comment("catalog-relative index prefix, e.g. 'ann.emb'").build(),
         ProcedureParameter.in("corpus", StringType)
           .comment("catalog-relative corpus table with (vec_id, embedding)").build(),
-        ProcedureParameter.in("k", IntegerType).defaultValue("16").build(),
+        ProcedureParameter.in("k", IntegerType).defaultValue("16")
+          .comment("cell count; <= 0 auto-sizes from the corpus like " +
+            "ann_rebuild's default (ceil(sqrt(n)) clamped to [16, 1024])").build(),
         ProcedureParameter.in("iters", IntegerType).defaultValue("8").build(),
         ProcedureParameter.in("quantized", BooleanType)
           .defaultValue("false")

@@ -814,4 +814,16 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("corpus_fq"), e.getMessage)
   }
+
+  test("build accepts AutoK too: k <= 0 sizes the initial cell count from the corpus") {
+    val fq = "graft_ivf.ann.e18"
+    spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus18")
+    corpusDf(300).createOrReplaceTempView("ivf_c18")
+    spark.sql("CREATE TABLE graft_ivf.ann.corpus18 AS SELECT * FROM ivf_c18")
+    IvfIndex.build(spark, spark.table("graft_ivf.ann.corpus18"), fq, k = IvfIndex.AutoK)
+    assert(spark.table(s"${fq}_centroids").count() ===
+      IvfIndex.adaptiveCellCount(300).toLong)
+    val got = searchCopiesOf(Seq(42L), spark.table("graft_ivf.ann.corpus18"), fq)
+    assert(got === Map(42L -> 42L))
+  }
 }
