@@ -59,8 +59,9 @@ object TextExprs {
     * start to the last one's end, so hashing that byte range in place
     * equals xxhash64 of the concat_ws materialization — without the
     * per-position slice() array, concat copy, and string allocation. */
-  def wordGramHashes(norm: Column, k: Int, distinct: Boolean): Column =
-    column(WordGramHashesExpr(expression(norm), k, distinct))
+  def wordGramHashes(norm: Column, k: Int, distinct: Boolean,
+      fnv: Boolean = false): Column =
+    column(WordGramHashesExpr(expression(norm), k, distinct, fnv))
 
   /** Analysis-time STRING check shared by the three expressions. */
   private[functions] def requireString(e: UnaryExpression): TypeCheckResult =
@@ -151,7 +152,8 @@ case class GramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class WordGramHashesExpr(child: Expression, k: Int, distinct: Boolean)
+case class WordGramHashesExpr(child: Expression, k: Int, distinct: Boolean,
+    fnv: Boolean = false)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = TextExprs.requireString(this)
   require(k > 0, "gram width must be positive")
@@ -159,11 +161,11 @@ case class WordGramHashesExpr(child: Expression, k: Int, distinct: Boolean)
   override def prettyName: String = "graft_word_gram_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    WordGramHashesExpr.wordGramHashes(input.asInstanceOf[UTF8String], k, distinct)
+    WordGramHashesExpr.wordGramHashes(input.asInstanceOf[UTF8String], k, distinct, fnv)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.WordGramHashesExpr.wordGramHashes($c, $k, $distinct)")
+      s"graft.functions.WordGramHashesExpr.wordGramHashes($c, $k, $distinct, $fnv)")
 
   override protected def withNewChildInternal(newChild: Expression): WordGramHashesExpr =
     copy(child = newChild)
@@ -171,6 +173,27 @@ case class WordGramHashesExpr(child: Expression, k: Int, distinct: Boolean)
 
 object WordGramHashesExpr {
   private val SEED = 42L // Spark's xxhash64 default seed
+
+  /** FNV-1a 64 over a byte range — the per-gram hash of the `fnv = true`
+    * mode, identical to [[Udx.fnv64]] over the gram's own bytes. The
+    * ORACLE-MIRRORABLE family (r19, the d03/u02 precedent): DuckDB can
+    * refold FNV per gram with HUGEINT mod-2^64 arithmetic, which
+    * xxhash64 does not allow — this is what lets d02's whole
+    * MinHash-LSH pipeline (signature → banding → capped buckets →
+    * Jaccard verify) be recomputed exactly by the DuckDB oracle. */
+  private def fnv64Range(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def wordGramHashes(s: UTF8String, k: Int, distinct: Boolean): GenericArrayData =
+    wordGramHashes(s, k, distinct, fnv = false)
 
   /** Mirrors `filter(transform(sequence(0, greatest(size(toks)-k, 0)),
     * i => concat_ws(" ", slice(toks, i+1, k))), length(_) > 0)` over
@@ -180,7 +203,8 @@ object WordGramHashesExpr {
     * empty strings, so the identity is unconditional). A doc with
     * ≤ k tokens yields the whole string as its single gram; an empty
     * string yields none (the length filter). */
-  def wordGramHashes(s: UTF8String, k: Int, distinct: Boolean): GenericArrayData = {
+  def wordGramHashes(s: UTF8String, k: Int, distinct: Boolean,
+      fnv: Boolean): GenericArrayData = {
     val len = s.numBytes()
     if (len == 0) return new GenericArrayData(Array.emptyLongArray)
     val bytes = s.getBytes
@@ -190,7 +214,9 @@ object WordGramHashesExpr {
     while (i < len) { if (bytes(i) == ' ') nsp += 1; i += 1 }
     val nToks = nsp + 1
     if (nToks <= k)
-      return dedup(Array(XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, SEED)),
+      return dedup(Array(
+        if (fnv) fnv64Range(bytes, 0, len)
+        else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, len, SEED)),
         distinct)
     val sp = new Array[Int](nsp)
     var w = 0
@@ -206,8 +232,10 @@ object WordGramHashesExpr {
       val from = if (i == 0) 0 else sp(i - 1) + 1
       val until = if (i + k - 1 == nsp) len else sp(i + k - 1)
       if (until > from) { // the HOF's length(_) > 0 filter (k = 1 + empty token)
-        hs(out) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from,
-          until - from, SEED)
+        hs(out) =
+          if (fnv) fnv64Range(bytes, from, until)
+          else XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from,
+            until - from, SEED)
         out += 1
       }
       i += 1

@@ -25,6 +25,7 @@ object Dedup {
   private val MINHASH_N = 64
   private val LSH_BANDS = 16 // 16 bands × 4 rows
   private val JACCARD_T = 0.8
+  private val BUCKET_CAP = 1000L // LSH band-bucket size cap (skew guard)
 
   /** Exact dedup via content hash — oracle-checked. At 100 TB: one
     * hash-groupBy shuffle on sha256 (uniformly distributed keys — no
@@ -38,15 +39,19 @@ object Dedup {
   /** Docs + MinHash signature + LSH band hashes (all per-row compute). */
   private def minhashDocs(docsRaw: DataFrame): DataFrame =
     docsRaw
-      // fused native normalize → shingle windows → xxhash64 (multiset,
-      // position order — MinHash and set-Jaccard are both
-      // multiset-insensitive but the values are bit-identical to the
-      // HOF transform(shinglesFromTokens(...), xxhash64) chain), then
-      // the same mod-P reduction baseHashes applied. Hashed shingles
-      // (8-byte elements) serve both the signature and the
-      // exact-Jaccard verify — string shingle arrays never exist.
+      // fused native normalize → shingle windows → per-gram hash
+      // (multiset, position order), then the same mod-P reduction
+      // baseHashes applied. Hashed shingles (8-byte elements) serve
+      // both the signature and the exact-Jaccard verify — string
+      // shingle arrays never exist. The per-gram hash is FNV-1a 64
+      // (r19, the d03/u02 precedent) rather than xxhash64 so the WHOLE
+      // pipeline — signature → banding → capped buckets → Jaccard
+      // verify → verdict — is recomputable by the DuckDB oracle
+      // ([[minhashLshOracleSql]], which splices the same (a_i, b_i)
+      // universal-hash family as SQL literals). */
       .select(col("doc_id"), graft.functions.TextExprs.wordGramHashes(
-        TextFns.normalized(col("text")), SHINGLE_K, distinct = false).as("sh_raw"))
+        TextFns.normalized(col("text")), SHINGLE_K, distinct = false,
+        fnv = true).as("sh_raw"))
       .select(col("doc_id"),
         transform(col("sh_raw"), h => pmod(h, lit(HashFns.P))).as("sh_h"))
       .withColumn("sig", HashFns.minhashFromBases(col("sh_h"), MINHASH_N))
@@ -93,7 +98,7 @@ object Dedup {
   private def lshCandidates(docs: DataFrame): DataFrame = {
     val postings = docs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band_i", "band_h")))
-    cappedBuckets(postings, Seq("band_i", "band_h"), col("doc_id"), 1000)
+    cappedBuckets(postings, Seq("band_i", "band_h"), col("doc_id"), BUCKET_CAP)
       .select(explode(bucketPairs(col("es"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
@@ -104,8 +109,10 @@ object Dedup {
 
   /** MinHash + LSH near-dedup: shingle → 64-hash signature → 16-band
     * bucketing → candidate join → exact shingle-Jaccard verify ≥ 0.8.
-    * Output: one row per doc with its dup verdict (rows-only check;
-    * DedupSpec verifies detection on planted near-duplicates). */
+    * Output: one row per doc with its dup verdict. ORACLE-CHECKED as of
+    * r19 ([[minhashLshOracleSql]] recomputes the whole pipeline in
+    * DuckDB); DedupSpec additionally verifies detection on planted
+    * near-duplicates. */
   def d02_dedup_minhash_lsh(spark: SparkSession, dir: String): DataFrame =
     minhashDedup(Tables.documents(spark, dir))
 
@@ -123,8 +130,9 @@ object Dedup {
     perDocVerdict(docs.select("doc_id"), minhashVerifiedPairs(docs))
   }
 
-  /** The MinHash-LSH pipeline made ORACLE-CHECKABLE (the family's one
-    * cross-engine anchor besides d04): a planted corpus where the exact
+  /** The MinHash-LSH pipeline on a PLANTED corpus (the construction
+    * predates d02's own full-pipeline oracle and stays as the
+    * recall-1 anchor): a planted corpus where the exact
     * verify set is computable in plain SQL. Every token is prefixed
     * with its doc_id, so DISTINCT docs share ZERO shingles — the only
     * pairs with any overlap are (doc, its variant), where the variant
@@ -788,7 +796,73 @@ object Dedup {
       |  WHERE CAST(ns AS DOUBLE) / (za.n + zb.n - ns) >= 0.8)
       |SELECT a, b FROM ver ORDER BY a, b""".stripMargin
 
+  /** d02 oracle (r19 — the d03 technique applied to the WHOLE
+    * MinHash-LSH pipeline): DuckDB recomputes normalization, word
+    * 3-shingles, the per-gram FNV-1a 64 fold (u02's HUGEINT
+    * technique), the mod-P reduction, the 64-permutation signature
+    * with the SAME (a_i, b_i) universal-hash family (spliced below as
+    * literals from [[HashFns.hashFamily]] — every intermediate
+    * a·h + b < 2^62 fits BIGINT exactly as on the Spark side), the
+    * 16 × 4 banding with the 1000 bucket cap, the in-bucket pair
+    * expansion, and the exact set-Jaccard ≥ 0.8 verify. ONE deliberate
+    * abstraction: Spark keys buckets on xxhash64 of the band's
+    * 4-tuple, the oracle on the 4-tuple VALUE — equal tuples always
+    * collide on both sides, and a cross-tuple xxhash64 collision
+    * (≈ 2⁻⁶⁴ per tuple pair) could only ADD a candidate that the exact
+    * Jaccard verify then rejects, so the verified output is identical.
+    * Docs with no grams (empty after normalization) carry all-NULL
+    * signatures; they group together in both engines and their pairs
+    * die at the verify (0/0 Jaccard = NULL ≥ 0.8 = false — mirrored by
+    * the LEFT-JOIN count shape below). */
+  private def minhashLshOracleSql: String = {
+    val fam = graft.functions.HashFns.hashFamily(MINHASH_N)
+    val famRows = fam.zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
+      .mkString(", ")
+    val P = graft.functions.HashFns.P
+    val rpb = MINHASH_N / LSH_BANDS
+    s"""WITH d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+       |    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents),
+       |t AS (SELECT doc_id, norm, STRING_SPLIT(norm, ' ') AS toks FROM d WHERE norm <> ''),
+       |g AS (
+       |  SELECT doc_id, norm AS gram FROM t WHERE LEN(toks) <= $SHINGLE_K
+       |  UNION ALL
+       |  SELECT doc_id, ARRAY_TO_STRING(toks[CAST(i AS INT):CAST(i + ${SHINGLE_K - 1} AS INT)], ' ') AS gram
+       |  FROM t, UNNEST(RANGE(1, LEN(toks) - $SHINGLE_K + 2)) AS u(i) WHERE LEN(toks) > $SHINGLE_K),
+       |h AS (SELECT DISTINCT doc_id, ((CAST(CASE WHEN v >= 9223372036854775808::HUGEINT
+       |        THEN v - 18446744073709551616::HUGEINT ELSE v END AS BIGINT) % $P) + $P) % $P AS h
+       |  FROM (SELECT doc_id, LIST_REDUCE(
+       |    LIST_PREPEND(14695981039346656037::HUGEINT,
+       |      LIST_TRANSFORM(RANGE(1, LENGTH(gram) + 1),
+       |        i -> CAST(ORD(SUBSTRING(gram, CAST(i AS INT), 1)) AS HUGEINT))),
+       |    (x, b) -> (xor(CAST(x AS UBIGINT), CAST(b AS UBIGINT))::HUGEINT
+       |               * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS v
+       |    FROM g)),
+       |fam(i, a, b) AS (SELECT * FROM (VALUES $famRows)),
+       |sig AS (SELECT doc_id, fam.i AS i, MIN((fam.a * h.h + fam.b) % $P) AS s
+       |  FROM h, fam GROUP BY doc_id, fam.i),
+       |bk AS (SELECT doc_id, CAST(i // $rpb AS VARCHAR) || ':' ||
+       |    ARRAY_TO_STRING(LIST(COALESCE(CAST(s AS VARCHAR), 'x') ORDER BY i), ',') AS key
+       |  FROM sig GROUP BY doc_id, i // $rpb),
+       |keyok AS (SELECT key FROM bk GROUP BY key HAVING COUNT(*) BETWEEN 2 AND $BUCKET_CAP),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bk x JOIN keyok USING (key) JOIN bk y USING (key) WHERE x.doc_id < y.doc_id),
+       |jac AS (SELECT c.a, c.b,
+       |    CAST(COUNT(hb.h) AS DOUBLE) /
+       |    ((SELECT COUNT(*) FROM h WHERE doc_id = c.a) +
+       |     (SELECT COUNT(*) FROM h WHERE doc_id = c.b) - COUNT(hb.h)) AS j
+       |  FROM cand c
+       |  LEFT JOIN h ha ON ha.doc_id = c.a
+       |  LEFT JOIN h hb ON hb.doc_id = c.b AND hb.h = ha.h
+       |  GROUP BY c.a, c.b),
+       |dup AS (SELECT DISTINCT b FROM jac WHERE j >= $JACCARD_T)
+       |SELECT docs.doc_id, (dup.b IS NOT NULL) AS is_dup
+       |FROM (SELECT doc_id FROM documents) docs LEFT JOIN dup ON docs.doc_id = dup.b
+       |ORDER BY docs.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "d02_dedup_minhash_lsh" -> minhashLshOracleSql,
     /** d03 oracle (VERDICT r18 missing #4): DuckDB recomputes the
       * SAME per-token FNV-1a 64 fold (u02's HUGEINT technique), the
       * same ±1 bit votes, packs the same 64-bit signature, and then
