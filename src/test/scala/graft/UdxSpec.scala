@@ -294,4 +294,27 @@ class UdxSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("WordGramHashesExpr(fnv) == transform(shinglesFromTokens, graft_fnv64) [k=3,5]") {
+    // the r19 oracle-mirrorable mode (d02): the fused byte-range FNV
+    // fold must equal FNV over the materialized shingle strings —
+    // which is exactly what the DuckDB oracle recomputes per gram
+    import spark.implicits._
+    import graft.functions.{TextExprs, TextFns, Udx}
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("text").as[String].collect().toSeq
+    val inputs = Seq("", "one", "one two", "one two three four five six",
+      "exactly five tokens right here", "   ", " ", "  a  ") ++ corpus
+    for (k <- Seq(3, 5)) {
+      val rows = inputs.toDF("text")
+        .select(TextFns.normalized(col("text")).as("norm"))
+        .select(
+          TextExprs.wordGramHashes(col("norm"), k, distinct = false,
+            fnv = true).as("fused"),
+          transform(TextFns.shinglesFromTokens(split(col("norm"), " "), k),
+            g => Udx.graft_fnv64(g)).as("ref"))
+        .collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"k=$k"))
+    }
+  }
 }
