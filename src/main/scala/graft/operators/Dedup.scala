@@ -865,11 +865,17 @@ object Dedup {
     "d02_dedup_minhash_lsh" -> minhashLshOracleSql,
     /** d03 oracle (VERDICT r18 missing #4): DuckDB recomputes the
       * SAME per-token FNV-1a 64 fold (u02's HUGEINT technique), the
-      * same ±1 bit votes, packs the same 64-bit signature, and then
-      * brute-forces Hamming ≤ 3 over all pairs — which equals the
-      * banded candidate set exactly (pigeonhole over 4 × 16-bit
-      * bands; see simhashDocs). Verdict mirrors perDocVerdict:
-      * is_dup ⇔ the doc is the LARGER id of a verified pair. */
+      * same ±1 bit votes, packs the same 64-bit signature, bands it
+      * into the same 4 × 16-bit chunks, applies the same bucket-size
+      * pre-filter (COUNT BETWEEN 2 AND 1000 — mirroring
+      * simhashVerifiedPairs' cappedBuckets cap, the way the d02 oracle
+      * mirrors its keyok cap; ADVICE r19: without this a corpus where
+      * >1000 docs share a band value would make the oracle find pairs
+      * Spark by design drops), and verifies Hamming ≤ 3 on the banded
+      * candidates. Under the cap the banded set equals brute force
+      * (pigeonhole over 4 disjoint 16-bit bands; see simhashDocs).
+      * Verdict mirrors perDocVerdict: is_dup ⇔ the doc is the LARGER
+      * id of a verified pair. */
     "d03_dedup_simhash" ->
       """WITH d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm FROM documents),
@@ -889,8 +895,18 @@ object Dedup {
         |    CAST(SUM(CASE WHEN votes > 0
         |      THEN (1::UBIGINT << CAST(b AS INT)) ELSE 0::UBIGINT END) AS UBIGINT) AS sh
         |  FROM v GROUP BY doc_id),
-        |dup AS (SELECT DISTINCT y.doc_id AS b FROM sig x JOIN sig y
-        |  ON x.doc_id < y.doc_id AND BIT_COUNT(xor(x.sh, y.sh)) <= 3)
+        |bands AS (SELECT doc_id, sh, CAST(j.j AS INT) AS band_i,
+        |    (sh >> CAST(j.j * 16 AS INT)) & 65535::UBIGINT AS band_h
+        |  FROM sig, (SELECT UNNEST(RANGE(0, 4)) AS j) j),
+        |bok AS (SELECT band_i, band_h FROM bands
+        |  GROUP BY band_i, band_h HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM bands x JOIN bok USING (band_i, band_h)
+        |  JOIN bands y USING (band_i, band_h)
+        |  WHERE x.doc_id < y.doc_id),
+        |dup AS (SELECT DISTINCT c.b FROM cand c
+        |  JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b
+        |  WHERE BIT_COUNT(xor(sa.sh, sb.sh)) <= 3)
         |SELECT docs.doc_id, (dup.b IS NOT NULL) AS is_dup
         |FROM (SELECT doc_id FROM documents) docs
         |LEFT JOIN dup ON docs.doc_id = dup.b

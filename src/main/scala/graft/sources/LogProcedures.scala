@@ -59,6 +59,24 @@ object LogProcedures {
     override def description(): String = desc
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false // mutates storage state
+    /** Every parameter of every maintenance procedure is required
+      * non-NULL (optional semantics go through '' / 'none' sentinels
+      * with documented defaults); an explicit NULL argument used to NPE
+      * inside the body at `getUTF8String(i).toString` (ADVICE r19 —
+      * ann_rebuild's payload, and latently every `where` param). Guard
+      * once here with a named error instead. */
+    final override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val ps = parameters()
+      var i = 0
+      while (i < ps.length) {
+        require(!input.isNullAt(i),
+          s"$procName: parameter '${ps(i).name}' must not be NULL — " +
+            "omit it to take the default, or pass the documented sentinel")
+        i += 1
+      }
+      run(input)
+    }
+    def run(input: InternalRow): java.util.Iterator[Scan]
   }
 
   private def tableParam: ProcedureParameter =
@@ -93,7 +111,7 @@ object LogProcedures {
     "history" -> new MaintenanceProcedure("history",
       "version history of a versioned table: ordinal, publish time, file count") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam)
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         val hist = VersionLedger.history(dir)
         require(hist.nonEmpty,
@@ -110,7 +128,7 @@ object LogProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,
         ProcedureParameter.in("version", LongType)
           .comment("target snapshot ordinal (as shown by VERSION AS OF)").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         val target = input.getLong(1)
         // Iceberg-style rollback: publish a NEW version whose membership
@@ -145,7 +163,7 @@ object LogProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,
         ProcedureParameter.in("predicate", StringType)
           .comment("SQL boolean expression over the table's columns").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "delete_where needs the owning catalog name (procedure loaded outside a catalog?)"))
         val table = input.getUTF8String(0).toString
@@ -174,7 +192,7 @@ object LogProcedures {
         ProcedureParameter.in("older_than_hours", IntegerType).defaultValue("24")
           .comment("only staging dirs idle at least this long — a LIVE " +
             "CTAS is still writing; don't sweep under it").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val nsDir = new Path(dirOf(warehouse, input.getUTF8String(0).toString))
         val hours = input.getInt(1)
         require(hours >= 0, "older_than_hours must be non-negative")
@@ -207,7 +225,7 @@ object LogProcedures {
     "enable_versioning" -> new MaintenanceProcedure("enable_versioning",
       "opt a log or parquet table into snapshot versioning (v1 = current listing)") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam)
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         val v = if (isParquetTable(dir)) ParquetVersions.enable(dir)
           else LogVersions.enable(dir)
@@ -224,7 +242,7 @@ object LogProcedures {
           .comment("ALSO keep every version published within this many " +
             "hours (wall-clock retention over the embedded publish " +
             "stamps); negative = count-based only").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         val hours = input.getDouble(2)
         val olderThan =
@@ -243,7 +261,7 @@ object LogProcedures {
         ProcedureParameter.in("compaction_id", StringType).build(),
         ProcedureParameter.in("target_bytes", LongType)
           .defaultValue((64L << 20).toString).build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val st = Compaction.compactLog(spark,
           dirOf(warehouse, input.getUTF8String(0).toString),
           input.getUTF8String(1).toString, input.getLong(2))
@@ -261,7 +279,7 @@ object LogProcedures {
           .comment("bucket key column").build(),
         ProcedureParameter.in("n", IntegerType)
           .comment("bucket count").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         require(!PartitionSpecs.exists(dir),
           s"$dir is partitioned — bucket layouts and partition layouts " +
@@ -278,7 +296,7 @@ object LogProcedures {
     "rebucket_table" -> new MaintenanceProcedure("rebucket_table",
       "re-tag a bucketed parquet table's untagged files; restores shuffle-free joins") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam)
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         require(isParquetTable(dir),
           s"rebucket_table repairs catalog parquet tables; log writers re-tag in place")
@@ -296,7 +314,7 @@ object LogProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,
         ProcedureParameter.in("spec", StringType)
           .comment("comma-separated: col or days(col); 'none' clears").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         require(isParquetTable(dir),
           s"set_partition_spec lays out catalog parquet tables")
@@ -311,7 +329,7 @@ object LogProcedures {
     "repartition_table" -> new MaintenanceProcedure("repartition_table",
       "rewrite live files that do not conform to the current partition spec") {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam)
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         require(isParquetTable(dir),
           s"repartition_table migrates catalog parquet tables")
@@ -330,7 +348,7 @@ object LogProcedures {
           .comment("comma-separated numeric/date columns to interleave").build(),
         ProcedureParameter.in("files", IntegerType)
           .defaultValue("16").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         require(isParquetTable(dir),
           s"zorder_table lays out catalog parquet tables; the log tier clusters via compact_log")
@@ -350,7 +368,7 @@ object LogProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,
         ProcedureParameter.in("min_preds", IntegerType)
           .defaultValue("1").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         val minPreds = input.getInt(1)
         // tier dispatch: catalog parquet tables carry _schema.json;
@@ -381,7 +399,7 @@ object LogProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,
         ProcedureParameter.in("min_preds", IntegerType)
           .defaultValue("2").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         require(SchemaManifest.exists(dir),
           "compact_masks consolidates parquet-tier masks; the log tier " +
@@ -405,7 +423,7 @@ object LogProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,
         ProcedureParameter.in("columns", StringType)
           .comment("comma-separated probe columns (string/integral)").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val dir = dirOf(warehouse, input.getUTF8String(0).toString)
         val (indexed, total, bytes) = ParquetBloom.build(spark, dir,
           input.getUTF8String(1).toString.split(",").toSeq)
@@ -439,7 +457,7 @@ object LogProcedures {
           .comment("comma-separated corpus columns carried into the " +
             "inverted lists so ann_search's where-predicates prune " +
             "inside the probed-cell scan").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_build needs the owning catalog name (procedure loaded outside a catalog?)"))
         val index = input.getUTF8String(0).toString
@@ -493,7 +511,7 @@ object LogProcedures {
         ProcedureParameter.in("fold_preds", IntegerType).defaultValue("8").build(),
         ProcedureParameter.in("retain_last", IntegerType).defaultValue("4").build(),
         ProcedureParameter.in("file_cap", IntegerType).defaultValue("64").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_refresh needs the owning catalog name (procedure loaded outside a catalog?)"))
         val index = input.getUTF8String(0).toString
@@ -535,8 +553,9 @@ object LogProcedures {
             "new generation's inverted lists — REPLACES the payload " +
             "set, so a live index gains a filter attribute through a " +
             "gap-free rebuild; empty (the default) carries the current " +
-            "set forward unchanged").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+            "set forward unchanged; the sentinel 'none' CLEARS the " +
+            "payload set back to empty").build())
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_rebuild needs the owning catalog name (procedure loaded outside a catalog?)"))
         val index = input.getUTF8String(0).toString
@@ -547,9 +566,14 @@ object LogProcedures {
         }
         val corpusDir = dirOf(warehouse, corpus)
         val fq = s"$cat.$index"
-        val payload = Option(input.getUTF8String(4).toString)
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .filter(_.nonEmpty)
+        // ADVICE r19: '' (the carry-forward sentinel) could never CLEAR
+        // a payload set — 'none' clears back to empty. NULL is rejected
+        // by the base-class guard.
+        val payloadArg = input.getUTF8String(4).toString.trim
+        val payload: Option[Seq[String]] =
+          if (payloadArg.isEmpty) None
+          else if (payloadArg.equalsIgnoreCase("none")) Some(Nil)
+          else Some(payloadArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         val v = graft.operators.IvfIndex.rebuild(spark,
           spark.table(s"$cat.$corpus"), corpusDir, fq,
           k = input.getInt(2), iters = input.getInt(3), payload = payload)
@@ -574,7 +598,7 @@ object LogProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(
         ProcedureParameter.in("index", StringType).build(),
         ProcedureParameter.in("factor", DoubleType).defaultValue("1.5").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_stats needs the owning catalog name (procedure loaded outside a catalog?)"))
         val index = input.getUTF8String(0).toString
@@ -645,7 +669,7 @@ object LogProcedures {
           .defaultValue("4")
           .comment("quantized indexes keep top_k × this many coarse " +
             "candidates per query for the exact refine").build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_search needs the owning catalog name (procedure loaded outside a catalog?)"))
         val index = input.getUTF8String(0).toString
@@ -690,7 +714,7 @@ object LogProcedures {
       override def parameters(): Array[ProcedureParameter] = Array(tableParam,
         ProcedureParameter.in("target_bytes", LongType)
           .defaultValue((128L << 20).toString).build())
-      override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val st = Compaction.compactTable(spark,
           dirOf(warehouse, input.getUTF8String(0).toString), input.getLong(1))
         oneRow(StructType(Seq(

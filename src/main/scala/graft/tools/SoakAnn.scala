@@ -76,6 +76,8 @@ object SoakAnn {
     }.sortBy(_._1).take(nProbe).map(_._2)
 
   def main(args: Array[String]): Unit = {
+    // The f"" interpolators below emit JSON; pin the decimal separator.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val base = if (args.nonEmpty) args(0).toInt else 2000
     val delta = if (args.length > 1) args(1).toInt else 2000
     val scales = if (args.length > 2) args(2).split(",").map(_.toInt).toSeq
@@ -238,31 +240,40 @@ object SoakAnn {
 
     val lo = scales.min
     val hi = scales.max
-    def exp(m: scala.collection.mutable.Map[Int, Double]): String =
-      if (scales.size < 2 || lo == hi || !m.contains(lo) || !m.contains(hi)) "null"
+    /** Exponents stay numeric (Option[Double]) for the gates — the f""
+      * interpolator is locale-sensitive ("0,63" under de_DE), so
+      * round-tripping through a string and .toDouble would crash the
+      * soak instead of gating (ADVICE r19). Formatting to JSON pins
+      * Locale.ROOT. */
+    def expOpt(m: scala.collection.mutable.Map[Int, Double]): Option[Double] =
+      if (scales.size < 2 || lo == hi || !m.contains(lo) || !m.contains(hi)) None
       else {
         val e = math.log(m(hi) / math.max(m(lo), 1e-9)) /
           math.log(corpusN(hi) / corpusN(lo))
-        if (e.isNaN || e.isInfinite) "null" else f"$e%.2f"
+        if (e.isNaN || e.isInfinite) None else Some(e)
       }
-    val pExp = exp(probedRows)
-    val pfExp = exp(probedRowsFrozen)
-    val pqExp = exp(probedRowsQ)
-    val mExp = exp(maintWall)
-    val rExp = exp(rebuildWall)
-    require(pExp == "null" || pExp.toDouble <= 0.7,
+    def jn(o: Option[Double]): String = o.fold("null")(e =>
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(e)))
+    val pExpO = expOpt(probedRows)
+    val pfExpO = expOpt(probedRowsFrozen)
+    val pqExpO = expOpt(probedRowsQ)
+    val mExpO = expOpt(maintWall)
+    val rExpO = expOpt(rebuildWall)
+    val (pExp, pfExp, pqExp, mExp, rExp) =
+      (jn(pExpO), jn(pfExpO), jn(pqExpO), jn(mExpO), jn(rExpO))
+    require(pExpO.forall(_ <= 0.7),
       s"SCALING GATE FAILED: adaptive probed-rows exponent $pExp " +
         "(want ≈ 0.5–0.65) — search work is growing faster than the " +
         "sqrt-n path plus its size-biased sampling tax allows")
-    require(mExp == "null" || mExp.toDouble <= 0.4,
+    require(mExpO.forall(_ <= 0.4),
       s"SCALING GATE FAILED: per-batch maintenance exponent $mExp " +
         "(want ≈ 0) — the fixed-size delta's fold cost grows with the corpus")
-    require(rExp == "null" || rExp.toDouble <= 1.3,
+    require(rExpO.forall(_ <= 1.3),
       s"SCALING GATE FAILED: rebuild wall exponent $rExp (want ≤ 1)")
-    require(pfExp == "null" || pfExp.toDouble >= 0.9,
+    require(pfExpO.forall(_ >= 0.9),
       s"CONTRAST BROKEN: frozen-k probed rows exponent $pfExp should be ≈ 1 " +
         "(if this fails the soak is not measuring what it claims)")
-    require(pqExp == "null" || pqExp.toDouble <= 0.7,
+    require(pqExpO.forall(_ <= 0.7),
       s"SCALING GATE FAILED: quantized probed CODE rows exponent $pqExp " +
         "(want ≈ 0.5–0.65) — the SQ8 coarse scan is growing faster than " +
         "the sqrt-n path plus its size-biased sampling tax allows")
@@ -270,8 +281,8 @@ object SoakAnn {
       s""""scales":[${scales.mkString(",")}],""" +
       s""""probed_rows_exp":$pExp,"probed_rows_frozen_k_exp":$pfExp,""" +
       s""""probed_code_rows_quantized_exp":$pqExp,""" +
-      s""""search_wall_exp":${exp(searchWall)},""" +
-      s""""search_wall_quantized_exp":${exp(searchWallQ)},""" +
+      s""""search_wall_exp":${jn(expOpt(searchWall))},""" +
+      s""""search_wall_quantized_exp":${jn(expOpt(searchWallQ))},""" +
       s""""maint_batch_exp":$mExp,"rebuild_wall_exp":$rExp}""")
     spark.stop()
   }

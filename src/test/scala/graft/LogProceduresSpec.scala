@@ -514,5 +514,22 @@ class LogProceduresSpec extends AnyFunSuite {
     assert(graft.operators.IvfIndex.payloadColumns(spark, "graft_proc.ann.e5")
       === Seq("label"),
       "an unspecified payload must carry the current set forward")
+    // ADVICE r19: the 'none' sentinel CLEARS the payload set (the ''
+    // carry-forward sentinel could never get back to empty), and an
+    // explicit NULL fails with a named error instead of an NPE
+    val eNull = intercept[Exception] {
+      spark.sql(
+        """CALL graft_proc.system.ann_rebuild(index => 'ann.e5',
+          |  corpus => 'ann.c5', payload => NULL)""".stripMargin).head
+    }
+    val eNullMsg = Iterator.iterate(eNull: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(eNullMsg.contains("must not be NULL"), eNullMsg)
+    spark.sql(
+      """CALL graft_proc.system.ann_rebuild(index => 'ann.e5',
+        |  corpus => 'ann.c5', k => 8, payload => 'none')""".stripMargin).head
+    assert(graft.operators.IvfIndex.payloadColumns(spark, "graft_proc.ann.e5")
+      .isEmpty, "payload => 'none' must clear the payload set")
   }
 }
