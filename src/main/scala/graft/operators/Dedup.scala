@@ -814,14 +814,20 @@ object Dedup {
     * signatures; they group together in both engines and their pairs
     * die at the verify (0/0 Jaccard = NULL ≥ 0.8 = false — mirrored by
     * the LEFT-JOIN count shape below). */
-  private def minhashLshOracleSql: String = {
+  /** Shared WITH-clause body (d, t, g, h, fam, sig, bk): normalize →
+    * 3-gram → FNV-1a 64 mod P → spliced universal-hash family →
+    * MinHash-64 signature → 16 band keys, in DuckDB SQL over the
+    * documents table — the d02 oracle's sketch pipeline, factored so
+    * the s07 STREAMING oracle ([[StreamingQueries]]) can layer its
+    * batch/store semantics over the identical sketches. */
+  private[operators] def minhashSigCtesSql: String = {
     val fam = graft.functions.HashFns.hashFamily(MINHASH_N)
     val famRows = fam.zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}::BIGINT, ${b}::BIGINT)" }
       .mkString(", ")
     val P = graft.functions.HashFns.P
     val rpb = MINHASH_N / LSH_BANDS
-    s"""WITH d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+    s"""d AS (SELECT doc_id, TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
        |    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm FROM documents),
        |t AS (SELECT doc_id, norm, STRING_SPLIT(norm, ' ') AS toks FROM d WHERE norm <> ''),
        |g AS (
@@ -843,7 +849,11 @@ object Dedup {
        |  FROM h, fam GROUP BY doc_id, fam.i),
        |bk AS (SELECT doc_id, CAST(i // $rpb AS VARCHAR) || ':' ||
        |    ARRAY_TO_STRING(LIST(COALESCE(CAST(s AS VARCHAR), 'x') ORDER BY i), ',') AS key
-       |  FROM sig GROUP BY doc_id, i // $rpb),
+       |  FROM sig GROUP BY doc_id, i // $rpb)""".stripMargin
+  }
+
+  private def minhashLshOracleSql: String = {
+    s"""WITH $minhashSigCtesSql,
        |keyok AS (SELECT key FROM bk GROUP BY key HAVING COUNT(*) BETWEEN 2 AND $BUCKET_CAP),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bk x JOIN keyok USING (key) JOIN bk y USING (key) WHERE x.doc_id < y.doc_id),
@@ -861,7 +871,64 @@ object Dedup {
        |ORDER BY docs.doc_id""".stripMargin
   }
 
+  /** d05 GRADUATED from rows-only (VERDICT r19 next #2 — the v02
+    * technique on the dedup side): [[VectorFns.signBucket]]'s 12
+    * hyperplanes are deterministic (seed 7), so the oracle regenerates
+    * the identical gaussians, splices all 12 × 64 weights as DOUBLE
+    * literals (Double.toString round-trips exactly), recomputes the
+    * SAME ascending-dim double dot fold per plane, packs the same sign
+    * bits (disjoint bits — SUM = the OR pack), applies the same
+    * bucket-size pre-filter (COUNT BETWEEN 2 AND 1000, mirroring
+    * embeddingVerifiedPairs), and verifies the same bit-identical
+    * exact cosine ≥ 0.98 (the v06 fold precedent — no
+    * LIST_COSINE_SIMILARITY, whose internal order might differ at the
+    * threshold boundary). Verdict mirrors perDocVerdict. */
+  private def embeddingOracleSql: String = {
+    val nBits = 12; val dim = 64
+    val rnd = new scala.util.Random(7L)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planesLit = planes
+      .map(p => "[" + p.map(_.toString).mkString(",") + "]")
+      .mkString("[\n", ",\n", "\n]")
+    def fold(vec: String, other: String) =
+      s"""LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(
+         |      LIST_ZIP($vec, $other),
+         |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+         |      (x, y) -> x + y)""".stripMargin
+    val cos = s"""${fold("ea.embedding", "eb.embedding")}
+       |    / (SQRT(${fold("ea.embedding", "ea.embedding")})
+       |       * SQRT(${fold("eb.embedding", "eb.embedding")}))""".stripMargin
+    s"""WITH pl AS (
+       |  SELECT CAST(r.i AS INT) AS pid, pls.planes[CAST(r.i + 1 AS INT)] AS w
+       |  FROM RANGE(0, $nBits) r(i), (SELECT $planesLit AS planes) pls),
+       |d AS (
+       |  SELECT e.vec_id AS doc_id, p.pid,
+       |    ${fold("e.embedding", "p.w")} AS dot
+       |  FROM embeddings e, pl p),
+       |b AS (
+       |  SELECT doc_id,
+       |    SUM(CASE WHEN dot >= 0 THEN 1 << pid ELSE 0 END) AS bucket
+       |  FROM d GROUP BY doc_id),
+       |ok AS (SELECT bucket FROM b
+       |  GROUP BY bucket HAVING COUNT(*) BETWEEN 2 AND 1000),
+       |cand AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM b x JOIN ok USING (bucket) JOIN b y USING (bucket)
+       |  WHERE x.doc_id < y.doc_id),
+       |dup AS (
+       |  SELECT DISTINCT c.b FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.a
+       |  JOIN embeddings eb ON eb.vec_id = c.b
+       |  WHERE $cos >= 0.98)
+       |SELECT docs.doc_id, (dup.b IS NOT NULL) AS is_dup
+       |FROM (SELECT vec_id AS doc_id FROM embeddings) docs
+       |LEFT JOIN dup ON docs.doc_id = dup.b
+       |ORDER BY docs.doc_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "d05_dedup_embedding" -> embeddingOracleSql,
     "d02_dedup_minhash_lsh" -> minhashLshOracleSql,
     /** d03 oracle (VERDICT r18 missing #4): DuckDB recomputes the
       * SAME per-token FNV-1a 64 fold (u02's HUGEINT technique), the

@@ -147,14 +147,22 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     try {
       val dir = new org.apache.hadoop.fs.Path(metaDir(spark, fq))
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // ADVICE r19: a 32-bit Objects.hash XOR-fold lets two changed
+      // files cancel. Per-file 64-bit FNV digest over path⊕len⊕mtime,
+      // XOR-combined, with the file COUNT mixed in so additions /
+      // removals that collide pairwise still move the signature.
       var sig = 0L
+      var count = 0L
       val it = fs.listFiles(dir, true)
       while (it.hasNext) {
         val st = it.next()
-        sig ^= java.util.Objects.hash(st.getPath.toString, st.getLen,
-          st.getModificationTime).toLong * 0x9e3779b97f4a7c15L
+        val entry = st.getPath.toString + " " + st.getLen +
+          " " + st.getModificationTime
+        sig ^= graft.functions.Udx.fnv64(
+          entry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        count += 1
       }
-      Some(sig)
+      Some(sig * 0x9e3779b97f4a7c15L + count)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private[graft] def metaOf(spark: SparkSession, fq: String): IndexMeta =
@@ -440,6 +448,70 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
     pairs.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= topK)
+      .select(col("qid"), col("rn"), col("nid"), col("cos"))
+  }
+
+  /** Table-scale indexed ANN similarity JOIN (VERDICT r19 next #1):
+    * top-k in the indexed corpus for EVERY row of `queries`, at ANY
+    * query cardinality — the "score a whole ingest batch against the
+    * corpus" pipeline shape. Same answer as [[search]] on the same
+    * inputs, but with the bounded-batch contract DELETED: no size
+    * probe, no driver-collected probed-cell list, no broadcast
+    * decision. The ONLY driver work is the k-row centroid/meta
+    * snapshot (index metadata scale, ≤ [[KMax]] rows) — constant in
+    * query cardinality, pinned by IvfIndexSpec's job-count leg.
+    *
+    * Shape: each query row is assigned its nProbe nearest cells
+    * MAP-SIDE against the centroids as plan literals (the same
+    * [[VectorFns.nearestCells]] arithmetic data rows use — k ≤ [[KMax]]
+    * rows of index metadata, never corpus scale), equi-joined on `cell`
+    * against the cell-partitioned inverted lists, exact-cosine ranked,
+    * and cut per-qid with the native [[graft.plans.TopKPerGroup]] heap
+    * (map-side partial cut, never a corpus-wide window). Catalyst
+    * picks the
+    * join strategy: a small query side auto-broadcasts (the serving
+    * case degenerates gracefully), a table-scale side shuffles on
+    * `cell` — and AQE's skew handling splits oversized cells at
+    * runtime. Per-query work is Σ probed-cell sizes — O(nProbe·n/k) =
+    * O(√n) rows under the [[adaptiveCellCount]] policy (soaked in
+    * tools/SoakAnn's joined leg).
+    *
+    * Unlike [[search]] there is no probed-cell partition pruning: a
+    * table-scale query side touches every cell anyway, and deriving
+    * the probed set from the data would cost either a driver collect
+    * (the contract this form exists to delete) or an extra pass over
+    * the query table. For bounded online batches where pruning wins,
+    * [[search]] remains the fast path.
+    *
+    * FILTERED form (`where` over payload columns / vec_id): the same
+    * pre-filter semantics as [[search]] — the predicate prunes INSIDE
+    * the probed-cell scan before the top-k cut, with nProbe × overProbe
+    * over-probing. `queries` needs (qid, qe); returns
+    * (qid, rn, nid, cos). */
+  def searchJoin(spark: SparkSession, queries: DataFrame, fq: String,
+      nProbe: Int, topK: Int, where: Option[org.apache.spark.sql.Column] = None,
+      overProbe: Int = 4): DataFrame = {
+    val m = metaOf(spark, fq)
+    val sfx = m.suffix
+    val centroids = centroidsAt(spark, fq, sfx)
+    val effProbe =
+      if (where.isEmpty) nProbe
+      else math.min(centroids.length, math.max(1, nProbe * overProbe))
+    val qcells = queries.select(col("qid"), col("qe"),
+      explode(VectorFns.nearestCells(col("qe"), centroids, effProbe)).as("cell"))
+      .withColumn("cell", col("cell").cast("int"))
+    val lists = where.foldLeft(spark.table(s"$fq${sfx}_assign"))(_.filter(_))
+    // each vector lives in exactly one cell and (qid, cell) pairs are
+    // distinct, so (qid, nid) pairs are unique — no dedup shuffle
+    val pairs = qcells.join(lists, Seq("cell"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        VectorFns.cosine(col("qe"), col("embedding")).as("cos"))
+    // native heap cut first (partial per-partition cut — never a
+    // corpus-wide window), then rank the ≤ topK survivors per qid
+    val cut = graft.plans.TopKPerGroup.topKPerGroup(pairs,
+      Seq(col("qid")), Seq(col("cos").desc, col("nid")), topK)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    cut.withColumn("rn", row_number().over(w))
       .select(col("qid"), col("rn"), col("nid"), col("cos"))
   }
 

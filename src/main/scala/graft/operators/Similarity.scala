@@ -47,8 +47,11 @@ object Similarity {
     * union of bucketmates is the candidate set, exact cosine re-ranks.
     * Candidate generation is an equi-join on (table, bucket) — at 100 TB
     * this is one shuffle of (bucket → ids), never an n² cross join.
-    * Output shape matches v01 (rows-only check; OperatorsSpec measures
-    * recall against the brute-force baseline). */
+    * Output shape matches v01. FULL DuckDB oracle since r20 (was
+    * rows-only r3–r19): see [[lshOracleSql]] — the seeded hyperplanes
+    * are spliced as literals and the whole sketch → bucket → candidate
+    * → re-rank pipeline is recomputed bit-identically; OperatorsSpec
+    * additionally measures recall against the brute-force baseline. */
   def v02_sim_lsh_topk(spark: SparkSession, dir: String): DataFrame = {
     // 5 bits × 16 tables: tuned for weakly-correlated neighbors (recall
     // ≈ 1-(1-p^5)^16 ≈ 0.77 at cosine 0.35); clustered corpora can use
@@ -339,7 +342,32 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** The indexed ANN similarity JOIN made ORACLE-CHECKABLE (VERDICT
+    * r19 next #1 — [[IvfIndex.searchJoin]]): the query side is the
+    * WHOLE embeddings table (every row a +100000-shifted exact copy of
+    * a corpus vector — planted copies on BOTH sides, at table scale
+    * relative to the corpus, not a bounded batch), and each copy's
+    * unique top-1 is its original: its own cell is always among the
+    * probed cells (identical embedding → identical nearest-cell
+    * arithmetic) and self-cosine ≈ 1.0 clears the ≈ 0.5 natural
+    * ceiling. DuckDB brute-forces every query's top-1 under the same
+    * (cos DESC, nid) order. Pins map-side cell assignment, the cell
+    * equi-join, the native per-qid heap cut, and exact re-rank —
+    * with zero driver jobs while planning (IvfIndexSpec). */
+  def v15_ann_search_join(spark: SparkSession, dir: String): DataFrame = {
+    Pipeline.catalogFor(spark, "v15", "ann")
+    val emb = Tables.embeddings(spark, dir)
+    IvfIndex.build(spark, emb, "graft_v15.ann.emb", k = 16)
+    val queries = emb
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    IvfIndex.searchJoin(spark, queries, "graft_v15.ann.emb",
+      nProbe = 3, topK = 1)
+      .select(col("qid"), col("nid"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v15_ann_search_join" -> (v15_ann_search_join _),
     "v14_ann_filtered" -> (v14_ann_filtered _),
     "v13_ivf_quantized" -> (v13_ivf_quantized _),
     "v12_ann_sql" -> (v12_ann_sql _),
@@ -358,6 +386,62 @@ object Similarity {
   /** DuckDB mirror of the fold-based cosine: LIST_ZIP + LIST_REDUCE fold
     * left-to-right in double — bit-identical to Spark's zip_with +
     * aggregate (verified in tools/check.py). */
+  /** v02 GRADUATED from rows-only (VERDICT r19 next #2 — the d02
+    * generated-literal technique scaled to doubles): the 16 × 5
+    * hyperplanes are DETERMINISTIC (seed 7+t, [[VectorFns.signBucket]]),
+    * so the oracle regenerates the identical gaussians and splices all
+    * 16×5×64 weights as DOUBLE literals (Double.toString round-trips
+    * exactly; DuckDB parses to the same bits), then recomputes the SAME
+    * ascending-dim double dot fold ([[graft.functions.PlaneDotExpr]]'s
+    * accumulation order — the LIST_REDUCE prepend-0 idiom v06 proved
+    * bit-identical for cosine), the same `dot >= 0` sign bits (disjoint
+    * bits, so SUM = the bitwise-OR pack), the same `(t << 48) + bits`
+    * bucket ids, the same bucket-equality candidate join with qid ≠
+    * nid + distinct, and the same exact-cosine (cos DESC, nid) top-5.
+    * Nothing in the pipeline is engine-private anymore — rows-only
+    * 5 → 4. */
+  private def lshOracleSql: String = {
+    val nBits = 5; val tables = 16; val dim = 64
+    val planes: Seq[Seq[Double]] = (0 until tables).flatMap { t =>
+      val rnd = new scala.util.Random(7L + t)
+      Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    }
+    val planesLit = planes
+      .map(p => "[" + p.map(_.toString).mkString(",") + "]")
+      .mkString("[\n", ",\n", "\n]")
+    val nPlanes = tables * nBits
+    s"""WITH pl AS (
+       |  SELECT CAST(r.i AS INT) AS pid, pls.planes[CAST(r.i + 1 AS INT)] AS w
+       |  FROM RANGE(0, $nPlanes) r(i), (SELECT $planesLit AS planes) pls),
+       |d AS (
+       |  SELECT e.vec_id, p.pid,
+       |    LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE),
+       |      LIST_TRANSFORM(LIST_ZIP(e.embedding, p.w),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))),
+       |      (x, y) -> x + y) AS dot
+       |  FROM embeddings e, pl p),
+       |b AS (
+       |  SELECT vec_id, pid // $nBits AS t,
+       |    SUM(CASE WHEN dot >= 0 THEN 1 << (pid % $nBits) ELSE 0 END) AS low
+       |  FROM d GROUP BY vec_id, pid // $nBits),
+       |post AS (SELECT vec_id,
+       |  (CAST(t AS BIGINT) << 48) + CAST(low AS BIGINT) AS bucket FROM b),
+       |cand AS (
+       |  SELECT DISTINCT qp.vec_id AS qid, p.vec_id AS nid
+       |  FROM post qp JOIN post p USING (bucket)
+       |  WHERE qp.vec_id < 10 AND p.vec_id <> qp.vec_id),
+       |pairs AS (
+       |  SELECT c.qid, c.nid, $cosSql AS cos
+       |  FROM cand c
+       |  JOIN (SELECT vec_id, embedding AS qe FROM embeddings) q ON q.vec_id = c.qid
+       |  JOIN embeddings e ON e.vec_id = c.nid)
+       |SELECT qid, rn, nid, cos FROM (
+       |  SELECT qid, nid, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rn
+       |  FROM pairs)
+       |WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+  }
+
   private val cosSql =
     """LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), LIST_TRANSFORM(LIST_ZIP(q.qe, e.embedding),
       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
@@ -455,6 +539,7 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "v02_sim_lsh_topk" -> lshOracleSql,
     "v14_ann_filtered" ->
       """WITH corpus AS (
         |  SELECT vec_id, embedding, label FROM embeddings
@@ -481,6 +566,15 @@ object Similarity {
     "v12_ann_sql" ->
       """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
         |           FROM embeddings WHERE vec_id < 15),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY LIST_COSINE_SIMILARITY(q.qe, e.embedding) DESC, e.vec_id) AS rn
+        |  FROM q, embeddings e)
+        |SELECT qid, nid FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "v15_ann_search_join" ->
+      """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
+        |           FROM embeddings),
         |ranked AS (
         |  SELECT q.qid, e.vec_id AS nid,
         |    ROW_NUMBER() OVER (PARTITION BY q.qid

@@ -166,8 +166,11 @@ object StreamingQueries {
     * micro-batches through [[DedupStream]] — per-batch MinHash/LSH
     * sketching, candidate match against the persisted signature store
     * (batch 2 sees batch 1's store), signature-agreement verify, novel
-    * sigs appended. Rows-only check (LSH is not SQL-expressible);
-    * DedupStreamSpec plants cross-batch and within-batch near-dups. */
+    * sigs appended. FULL DuckDB oracle since r20 (was rows-only
+    * r3–r19): [[s07OracleSql]] replays both micro-batches and the
+    * store's novel-only append in SQL over the identical FNV sketches.
+    * DedupStreamSpec additionally plants cross-batch and within-batch
+    * near-dups. */
   def s07_stream_near_dedup(spark: SparkSession, dir: String): DataFrame = withStatePartitions(spark) {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
@@ -858,7 +861,48 @@ object StreamingQueries {
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin
 
+  /** s07 GRADUATED from rows-only (VERDICT r19 next #2, the last of
+    * the MinHash family): [[graft.streaming.DedupStream]] now sketches
+    * with the d02 FNV construction, so DuckDB recomputes the identical
+    * per-doc signatures and band keys ([[Dedup.minhashSigCtesSql]], the
+    * factored d02 oracle body) and then replays the STREAM semantics in
+    * plain SQL: the id-sorted corpus splits at floor(n/2) into the two
+    * AvailableNow micro-batches; within a batch every real smaller-id
+    * doc is a potential match (keep-first); across batches only batch-1
+    * docs that survived as NOVEL are in the persisted store (a batch-1
+    * dup's signature is never appended, so it can never convict a
+    * batch-2 doc); candidates must share a band key; the verify is the
+    * signature-agreement estimator (matching components / 64 ≥ 0.75 —
+    * exact in binary: any count/64 is representable). Degenerate docs
+    * (no grams → all-null sig) are never in `fresh`, so they are never
+    * flagged — mirrored by sig/bk simply having no rows for them. */
+  private def s07OracleSql: String =
+    s"""WITH ${Dedup.minhashSigCtesSql},
+       |rk AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn,
+       |       COUNT(*) OVER () AS n FROM documents),
+       |bat AS (SELECT doc_id, CASE WHEN rn <= n // 2 THEN 0 ELSE 1 END AS batch FROM rk),
+       |cand0 AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bk x JOIN bk y USING (key) WHERE x.doc_id < y.doc_id),
+       |agr AS (SELECT c.a, c.b,
+       |    (SELECT COUNT(*) FROM sig sa JOIN sig sb ON sa.i = sb.i
+       |      WHERE sa.doc_id = c.a AND sb.doc_id = c.b AND sa.s = sb.s) / 64.0 AS agree
+       |  FROM cand0 c),
+       |b1dup AS (SELECT DISTINCT c.b FROM agr c
+       |  JOIN bat ba ON ba.doc_id = c.a JOIN bat bb ON bb.doc_id = c.b
+       |  WHERE ba.batch = 0 AND bb.batch = 0 AND c.agree >= 0.75),
+       |b2dup AS (SELECT DISTINCT c.b FROM agr c
+       |  JOIN bat ba ON ba.doc_id = c.a JOIN bat bb ON bb.doc_id = c.b
+       |  WHERE bb.batch = 1 AND c.agree >= 0.75
+       |    AND (ba.batch = 1
+       |         OR (ba.batch = 0 AND c.a NOT IN (SELECT b FROM b1dup)))),
+       |dup AS (SELECT b FROM b1dup UNION SELECT b FROM b2dup)
+       |SELECT docs.doc_id, (dup.b IS NOT NULL) AS is_dup
+       |FROM (SELECT doc_id FROM documents) docs
+       |LEFT JOIN dup ON docs.doc_id = dup.b
+       |ORDER BY docs.doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "s07_stream_near_dedup" -> s07OracleSql,
     // the CDC-maintained view == the straight batch aggregate of the
     // table's final state (all orders minus the deleted user)
     "s19_stream_cdc_matview" ->

@@ -45,12 +45,21 @@ final class DedupStream(storeDir: String, verdictDir: String,
 
   private val rowsPerBand = nHashes / bands
 
-  /** Per-row sketch columns for a (doc_id, text) frame. */
+  /** Per-row sketch columns for a (doc_id, text) frame — the EXACT
+    * batch-dedup construction ([[graft.operators.Dedup]] minhashDocs):
+    * fused normalize → 3-gram windows → per-gram FNV-1a 64 (r20, the
+    * d02 graduation precedent — xxhash64 is engine-private, FNV is
+    * recomputable by the DuckDB oracle) → mod-P → 64-hash MinHash.
+    * Sharing the batch family also means a batch-built store and a
+    * streaming store are interchangeable. NOTE: stores persisted by
+    * the pre-r20 xxhash64 sketch are not comparable against this
+    * family — rebuild them (backfill through [[processBatch]]). */
   private def sketch(docs: DataFrame): DataFrame =
     docs
-      .withColumn("_toks", graft.functions.TextFns.tokens(col("text")))
-      .withColumn("_sh", graft.functions.TextFns.shinglesFromTokens(col("_toks"), 3))
-      .withColumn("sig", HashFns.minhashFromBases(HashFns.baseHashes(col("_sh")), nHashes))
+      .withColumn("_shh", transform(graft.functions.TextExprs.wordGramHashes(
+        graft.functions.TextFns.normalized(col("text")), 3,
+        distinct = false, fnv = true), h => pmod(h, lit(HashFns.P))))
+      .withColumn("sig", HashFns.minhashFromBases(col("_shh"), nHashes))
       .withColumn("bands", HashFns.lshBands(col("sig"), bands, rowsPerBand))
       .select(col("doc_id"), col("sig"), col("bands"))
 
