@@ -73,8 +73,20 @@ object Multimodal {
         col("meta.height").as("height"))
       .orderBy(col("doc_id"))
 
-  /** The decode/feature-extract pipeline (rows-only check; MultimodalSpec
-    * asserts feature shape + determinism). */
+  /** The decode/feature-extract pipeline. FULL DuckDB oracle since r20
+    * (was rows-only r3–r19, VERDICT r19 next #7): the stub decoder is
+    * deterministic byte arithmetic, so the oracle recomputes it from
+    * first principles — the byte-histogram bin as a codepoint filter
+    * (payloads are UTF-8 of ASCII text, LENGTH = OCTET_LENGTH corpus-
+    * wide, so ORD(char) IS the byte), the f0 bin share as a true
+    * float32 division (DuckDB FLOAT/FLOAT is binary32 — verified
+    * 1f/3f = 0.3333333432674408), and the ×31 polynomial checksum as
+    * the HUGEINT mod-2^64 fold (the u02/d02 precedent). A REAL codec
+    * swapped into stubDecode's body would of course not be
+    * SQL-expressible — what the oracle pins is the mapPartitions
+    * plumbing: batching, schema, row alignment, and that the decode
+    * ran exactly once per row. MultimodalSpec asserts feature shape +
+    * determinism. */
   def m02_multimodal_features(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = mediaTable(spark, dir)
@@ -135,6 +147,22 @@ object Multimodal {
     "m03_frame_sample" -> (m03_frame_sample _))
 
   val oracle: Map[String, String] = Map(
+    "m02_multimodal_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, LENGTH(text) AS n_bytes,
+        |    GREATEST(LENGTH(text), 1) AS n,
+        |    LEN(LIST_FILTER(RANGE(1, LENGTH(text) + 1),
+        |      i -> ORD(SUBSTRING(text, CAST(i AS INT), 1)) % 16 = 0)) AS h0,
+        |    LIST_REDUCE(LIST_PREPEND(1125899906842597::HUGEINT,
+        |      LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
+        |        i -> CAST(ORD(SUBSTRING(text, CAST(i AS INT), 1)) AS HUGEINT))),
+        |      (x, b) -> (x * 31 + b) % 18446744073709551616::HUGEINT) AS ck
+        |  FROM documents)
+        |SELECT doc_id, n_bytes, 'text/plain' AS format, 16 AS feature_dim,
+        |  CAST(CAST(h0 AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) AS f0,
+        |  CAST(CASE WHEN ck >= 9223372036854775808::HUGEINT
+        |    THEN ck - 18446744073709551616::HUGEINT ELSE ck END AS BIGINT) AS checksum
+        |FROM f ORDER BY doc_id""".stripMargin,
     "m04_binary_dedup" ->
       """SELECT SHA256(text) AS payload_sha,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
