@@ -156,8 +156,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       val it = fs.listFiles(dir, true)
       while (it.hasNext) {
         val st = it.next()
-        val entry = st.getPath.toString + " " + st.getLen +
-          " " + st.getModificationTime
+        val entry = st.getPath.toString + "\u0000" + st.getLen +
+          "\u0000" + st.getModificationTime
         sig ^= graft.functions.Udx.fnv64(
           entry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         count += 1
@@ -221,9 +221,11 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       catch { case scala.util.control.NonFatal(_) => None }
     listed match {
       case Some(tables) => tables.filter { t =>
-        t == s"${name}_centroids" || t == s"${name}_assign" || t == s"${name}_meta" ||
+        t == s"${name}_centroids" || t == s"${name}_assign" ||
+          t == s"${name}_codebooks" || t == s"${name}_meta" ||
           (t.startsWith(s"${name}__g") &&
-            (t.endsWith("_centroids") || t.endsWith("_assign")))
+            (t.endsWith("_centroids") || t.endsWith("_assign") ||
+              t.endsWith("_codebooks")))
       }.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $catNs.$t"))
       case None =>
         // a failed listing must not become "drop nothing" — build()'s
@@ -238,6 +240,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         ("" +: gens).distinct.foreach { sfx =>
           spark.sql(s"DROP TABLE IF EXISTS $fq${sfx}_centroids")
           spark.sql(s"DROP TABLE IF EXISTS $fq${sfx}_assign")
+          spark.sql(s"DROP TABLE IF EXISTS $fq${sfx}_codebooks")
         }
         spark.sql(s"DROP TABLE IF EXISTS ${fq}_meta")
     }
@@ -250,7 +253,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * a corpus attribute carried into the lists so filtered searches
     * prune candidates INSIDE the probed-cell scan. */
   private val ReservedListCols =
-    Set("vec_id", "cell", "embedding", "q8", "vmin", "vscale")
+    Set("vec_id", "cell", "embedding", "q8", "vmin", "vscale", "pq", "pqnorm")
 
   /** Column ALIASES the index's own verbs introduce mid-plan — a
     * payload under any of these names builds fine but breaks later:
@@ -261,19 +264,66 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * payload column turns `col("qid")` ambiguous at query time. Fail
     * LOUDLY at build instead (ADVICE r18). */
   private val InternalAliases =
-    Set("ct", "qid", "qe", "nid", "cos", "rn", "crn", "qcos")
+    Set("ct", "qid", "qe", "nid", "cos", "rn", "crn", "crk", "qcos", "qn")
 
   /** The index's payload columns, read off the CURRENT lists schema. */
   private[graft] def payloadColumns(spark: SparkSession, fq: String): Seq[String] =
     spark.table(assignTableName(spark, fq)).schema.fieldNames.toSeq
       .filterNot(ReservedListCols)
 
+  /** Physical inverted-list LAYOUTS the index supports. [[RawList]]
+    * stores the float vectors; [[Sq8List]] int8 scalar-quantized codes
+    * (+ per-vector min/scale); [[PqList]] m product-quantizer code
+    * bytes (+ per-vector ‖decoded‖²) against `m` persisted ≤`ksub`-entry
+    * codebooks — see [[graft.functions.PqVec]]. */
+  private[graft] sealed trait ListLayout
+  private[graft] case object RawList extends ListLayout
+  private[graft] case object Sq8List extends ListLayout
+  private[graft] case class PqList(m: Int, ksub: Int) extends ListLayout
+
+  /** Which layout an `_assign` schema is — detection is by the layout's
+    * own reserved columns, so every historical index resolves. */
+  private def layoutOfFields(fields: Seq[String]): ListLayout =
+    if (fields.contains("pq")) PqList(0, 0) // sizes live in _codebooks
+    else if (fields.contains("q8")) Sq8List
+    else RawList
+
+  /** The persisted PQ codebooks, (sub, code)-ordered —
+    * `cb(j)(c)` = subspace j's entry c. Index metadata scale
+    * (m × ksub rows), driver-held like the coarse centroids. */
+  private[graft] def codebooksAt(spark: SparkSession, fq: String,
+      sfx: String): Array[Array[Array[Double]]] = {
+    import spark.implicits._
+    spark.table(s"$fq${sfx}_codebooks")
+      .select(col("sub"), col("code"), col("centroid"))
+      .as[(Int, Int, Array[Double])].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+  }
+
+  /** Per-subspace Lloyd's fit on the SAME bounded sample the coarse
+    * quantizer used — m independent k-means runs over the balanced
+    * subspace slices ([[graft.functions.PqVec.subspaceBounds]]),
+    * deterministic like [[VectorFns.kmeans]]. */
+  private def fitCodebooks(sample: Array[Array[Float]], m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    val dim = sample.head.length
+    require(m >= 1 && m <= dim, s"pq subspaces m=$m must be in [1, dim=$dim]")
+    require(ksub >= 2 && ksub <= 256,
+      s"pq codebook size ksub=$ksub must fit one code byte (2..256)")
+    graft.functions.PqVec.subspaceBounds(dim, m).map { case (lo, hi) =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi))
+      VectorFns.kmeans(sub, k = ksub, iters = iters)
+    }
+  }
+
   /** Fit the quantizer on [[quantizerSample]] and write the physical
-    * centroids + inverted-list tables under the given names — the
-    * shared core of [[build]], [[buildQuantized]] and [[rebuild]].
+    * centroids + inverted-list tables (+ `_codebooks` for [[PqList]])
+    * under the given names — the shared core of [[build]],
+    * [[buildQuantized]], [[buildPq]] and [[rebuild]].
     * Returns the build-time drift baseline. */
   private def fitAndWrite(spark: SparkSession, corpus: DataFrame,
-      centroidsTbl: String, assignTbl: String, quantized: Boolean,
+      centroidsTbl: String, assignTbl: String, layout: ListLayout,
       k: Int, iters: Int, payload: Seq[String]): Double = {
     import spark.implicits._
     payload.foreach { p =>
@@ -297,13 +347,25 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .createOrReplaceTempView(centroidsView)
     spark.sql(s"""CREATE TABLE $centroidsTbl AS
                   SELECT * FROM $centroidsView""")
-    val assigned =
-      if (quantized) quantizedImages(corpus, centroids, payload)
-      else corpus.select(
+    val assigned = layout match {
+      case RawList => corpus.select(
         col("vec_id").cast("long").as("vec_id") +:
           element_at(VectorFns.nearestCells(col("embedding"), centroids, 1), 1)
             .cast("int").as("cell") +:
           col("embedding") +: payload.map(col): _*)
+      case Sq8List => quantizedImages(corpus, centroids, payload)
+      case PqList(m, ksub) =>
+        val cb = fitCodebooks(sample, m, ksub, iters)
+        val codebooksTbl = assignTbl.stripSuffix("_assign") + "_codebooks"
+        val cbView = viewName("codebooks_in", codebooksTbl)
+        cb.zipWithIndex.flatMap { case (book, j) =>
+          book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+        }.toSeq.toDF("sub", "code", "centroid")
+          .createOrReplaceTempView(cbView)
+        spark.sql(s"""CREATE TABLE $codebooksTbl AS
+                      SELECT * FROM $cbView""")
+        pqImages(corpus, centroids, cb, payload)
+    }
     assigned.createOrReplaceTempView(assignView)
     spark.sql(s"""CREATE TABLE $assignTbl PARTITIONED BY (cell) AS
                   SELECT * FROM $assignView""")
@@ -328,7 +390,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     // against ([[drift]]): mean distance of the build sample to its
     // nearest centroid, persisted alongside the indexed version
     val baseDrift = fitAndWrite(spark, corpus,
-      s"${fq}_centroids", s"${fq}_assign", quantized = false, kEff, iters, payload)
+      s"${fq}_centroids", s"${fq}_assign", RawList, kEff, iters, payload)
     spark.sql(s"""CREATE TABLE ${fq}_meta AS
                   SELECT CAST($indexedVersion AS BIGINT) AS indexed_version,
                          CAST($baseDrift AS DOUBLE) AS base_drift""")
@@ -554,7 +616,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     // one-source-row-per-target-row rule — the insert (if any) wins
     // and carries the new embedding; a bare delete stays a delete.
     // (vec_id is the index key: one vector per id by contract.)
-    val quantized = spark.table(assignTbl).schema.fieldNames.contains("q8")
+    val layout = layoutOfFields(spark.table(assignTbl).schema.fieldNames.toSeq)
     // payload columns travel with the delta: an inserted/updated row's
     // corpus attributes land in the lists next to its vector, so
     // filtered searches keep pruning inside the probed-cell scan
@@ -573,9 +635,9 @@ object IvfIndex extends org.apache.spark.internal.Logging {
           col("ins.embedding").as("embedding") +:
           when(col("ins").isNull, "delete").otherwise("insert").as("ct") +:
           payload.map(p => col(s"ins.$p").as(p)): _*)
-    val delta =
-      if (!quantized) collapsed
-      else {
+    val delta = layout match {
+      case RawList => collapsed
+      case Sq8List =>
         // quantized lists: the delta carries codes, not raw vectors
         // (deletes carry nulls through — the quantize expression is
         // null-safe and the DELETE arm never reads these columns)
@@ -590,7 +652,17 @@ object IvfIndex extends org.apache.spark.internal.Logging {
               col("embedding"), col("vmin"), col("vscale")).as("q8") +:
             col("vmin") +: col("vscale") +: col("ct") +:
             payload.map(col): _*)
-      }
+      case PqList(_, _) =>
+        // PQ lists: encode the delta against the PERSISTED codebooks
+        // (never re-fit on refresh — the IVF steady state; null-safe
+        // for deletes like the SQ8 arm)
+        val cb = codebooksAt(spark, fq, m.suffix)
+        collapsed
+          .withColumn("pq", graft.functions.PqEncodeExpr(col("embedding"), cb))
+          .withColumn("pqnorm", graft.functions.PqNormSqExpr(col("pq"), cb))
+          .select(col("vec_id") +: col("cell") +: col("pq") +:
+            col("pqnorm") +: col("ct") +: payload.map(col): _*)
+    }
     delta.createOrReplaceTempView(viewName("delta", fq))
     // merge-on-read: deletes/updates publish masks, inserts append —
     // existing inverted-list files are never rewritten by maintenance
@@ -602,23 +674,33 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       val pSet = payload.map(p => s", $p = s.$p").mkString
       val pCols = payload.map(p => s", $p").mkString
       val pVals = payload.map(p => s", s.$p").mkString
-      if (quantized) {
-        spark.sql(s"""MERGE INTO $assignTbl t USING ${viewName("delta", fq)} s
-                      ON t.vec_id = s.vec_id
-                      WHEN MATCHED AND s.ct = 'delete' THEN DELETE
-                      WHEN MATCHED THEN UPDATE SET cell = s.cell, q8 = s.q8,
-                        vmin = s.vmin, vscale = s.vscale$pSet
-                      WHEN NOT MATCHED AND s.ct = 'insert' THEN
-                        INSERT (vec_id, cell, q8, vmin, vscale$pCols)
-                        VALUES (s.vec_id, s.cell, s.q8, s.vmin, s.vscale$pVals)""")
-      } else {
-        spark.sql(s"""MERGE INTO $assignTbl t USING ${viewName("delta", fq)} s
-                      ON t.vec_id = s.vec_id
-                      WHEN MATCHED AND s.ct = 'delete' THEN DELETE
-                      WHEN MATCHED THEN UPDATE SET cell = s.cell, embedding = s.embedding$pSet
-                      WHEN NOT MATCHED AND s.ct = 'insert' THEN
-                        INSERT (vec_id, cell, embedding$pCols)
-                        VALUES (s.vec_id, s.cell, s.embedding$pVals)""")
+      layout match {
+        case Sq8List =>
+          spark.sql(s"""MERGE INTO $assignTbl t USING ${viewName("delta", fq)} s
+                        ON t.vec_id = s.vec_id
+                        WHEN MATCHED AND s.ct = 'delete' THEN DELETE
+                        WHEN MATCHED THEN UPDATE SET cell = s.cell, q8 = s.q8,
+                          vmin = s.vmin, vscale = s.vscale$pSet
+                        WHEN NOT MATCHED AND s.ct = 'insert' THEN
+                          INSERT (vec_id, cell, q8, vmin, vscale$pCols)
+                          VALUES (s.vec_id, s.cell, s.q8, s.vmin, s.vscale$pVals)""")
+        case PqList(_, _) =>
+          spark.sql(s"""MERGE INTO $assignTbl t USING ${viewName("delta", fq)} s
+                        ON t.vec_id = s.vec_id
+                        WHEN MATCHED AND s.ct = 'delete' THEN DELETE
+                        WHEN MATCHED THEN UPDATE SET cell = s.cell, pq = s.pq,
+                          pqnorm = s.pqnorm$pSet
+                        WHEN NOT MATCHED AND s.ct = 'insert' THEN
+                          INSERT (vec_id, cell, pq, pqnorm$pCols)
+                          VALUES (s.vec_id, s.cell, s.pq, s.pqnorm$pVals)""")
+        case RawList =>
+          spark.sql(s"""MERGE INTO $assignTbl t USING ${viewName("delta", fq)} s
+                        ON t.vec_id = s.vec_id
+                        WHEN MATCHED AND s.ct = 'delete' THEN DELETE
+                        WHEN MATCHED THEN UPDATE SET cell = s.cell, embedding = s.embedding$pSet
+                        WHEN NOT MATCHED AND s.ct = 'insert' THEN
+                          INSERT (vec_id, cell, embedding$pCols)
+                          VALUES (s.vec_id, s.cell, s.embedding$pVals)""")
       }
     } finally {
       modeBefore match {
@@ -684,7 +766,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     *      in-flight search that resolved it mid-swap still completes)
     *      and reclaims the generation retired by the PREVIOUS rebuild.
     *
-    * Keeps the index's layout (raw or quantized) and corpus pointer.
+    * Keeps the index's layout (raw, SQ8 or PQ — a PQ generation refits
+    * its codebooks at the current (m, ksub) sizes) and corpus pointer.
     *
     * `k`: the new generation's cell count — [[AutoK]] (the default, any
     * value ≤ 0) SIZES IT FROM THE CORPUS, `ceil(sqrt(n))` clamped
@@ -717,7 +800,17 @@ object IvfIndex extends org.apache.spark.internal.Logging {
             s"refusing to interpolate it into the ${fq}_meta swap")
       }
       val currentAssign = s"$fq${m.suffix}_assign"
-      val quantized = spark.table(currentAssign).schema.fieldNames.contains("q8")
+      val layout = layoutOfFields(
+          spark.table(currentAssign).schema.fieldNames.toSeq) match {
+        case PqList(_, _) =>
+          // the new generation refits codebooks at the CURRENT sizes,
+          // read off the persisted codebooks (m = subspace count,
+          // ksub = the largest book — books shorter than ksub happen
+          // when the fit sample was smaller than the book)
+          val cb = codebooksAt(spark, fq, m.suffix)
+          PqList(cb.length, cb.map(_.length).max)
+        case other => other
+      }
       // payload columns: carried into the new generation verbatim, or
       // replaced by the caller's set (ann_rebuild(payload => …))
       val carried = spark.table(currentAssign).schema.fieldNames.toSeq
@@ -740,18 +833,20 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       }).foreach { sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $fq${sfx}_centroids")
         spark.sql(s"DROP TABLE IF EXISTS $fq${sfx}_assign")
+        spark.sql(s"DROP TABLE IF EXISTS $fq${sfx}_codebooks")
       }
       // fit + write the NEW generation under names nothing references
       // (dropping any debris a crashed prior attempt left there)
       val ns = s"__g$newGen"
       spark.sql(s"DROP TABLE IF EXISTS $fq${ns}_centroids")
       spark.sql(s"DROP TABLE IF EXISTS $fq${ns}_assign")
+      spark.sql(s"DROP TABLE IF EXISTS $fq${ns}_codebooks")
       // AutoK: size the cell count from the corpus — the count is
       // column-pruned to nothing, so parquet serves it from footer row
       // counts (O(files) metadata, not a data scan)
       val kEff = if (k > 0) k else adaptiveCellCount(corpus.count())
       val baseDrift = fitAndWrite(spark, corpus,
-        s"$fq${ns}_centroids", s"$fq${ns}_assign", quantized, kEff, iters,
+        s"$fq${ns}_centroids", s"$fq${ns}_assign", layout, kEff, iters,
         newPayload)
       // THE SWAP — one atomic replace of the stable meta root
       val corpusCol = corpusFq.map(cf => s", '$cf' AS corpus_fq").getOrElse("")
@@ -787,13 +882,53 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     dropIndexTables(spark, fq)
     val kEff = if (k > 0) k else adaptiveCellCount(corpus.count())
     val baseDrift = fitAndWrite(spark, corpus,
-      s"${fq}_centroids", s"${fq}_assign", quantized = true, kEff, iters, payload)
+      s"${fq}_centroids", s"${fq}_assign", Sq8List, kEff, iters, payload)
     spark.sql(s"""CREATE TABLE ${fq}_meta AS
                   SELECT CAST($indexedVersion AS BIGINT) AS indexed_version,
                          CAST($baseDrift AS DOUBLE) AS base_drift,
                          '$corpusFq' AS corpus_fq""")
     ()
   }
+
+  /** [[build]]'s PRODUCT-QUANTIZED twin (FAISS IVF-PQ, `by_residual =
+    * false`, re-expressed for columnar scans — see
+    * [[graft.functions.PqVec]]): the inverted lists store `m` code
+    * bytes + one float ‖decoded‖² per vector against `m` persisted
+    * ≤`ksub`-entry codebooks (`<fq>_codebooks`) — ~dim/m× smaller than
+    * SQ8, the compression step that keeps a 100 TB corpus's serving
+    * index in cluster memory. The raw vectors stay in the corpus table,
+    * which [[searchPq]]'s exact refine reads back through the engine's
+    * skip indexes, exactly like the SQ8 path. */
+  def buildPq(spark: SparkSession, corpus: DataFrame, corpusFq: String,
+      fq: String, k: Int = 16, m: Int = 8, ksub: Int = 256, iters: Int = 8,
+      indexedVersion: Long = 0L, payload: Seq[String] = Nil): Unit = {
+    require(!corpusFq.contains('\'') &&
+        corpusFq.split("\\.", -1).forall(graft.sources.LogCatalog.validPathPart),
+      s"bad corpus identifier '$corpusFq' (want cat.ns.name; plain names only)")
+    dropIndexTables(spark, fq)
+    val kEff = if (k > 0) k else adaptiveCellCount(corpus.count())
+    val baseDrift = fitAndWrite(spark, corpus,
+      s"${fq}_centroids", s"${fq}_assign", PqList(m, ksub), kEff, iters, payload)
+    spark.sql(s"""CREATE TABLE ${fq}_meta AS
+                  SELECT CAST($indexedVersion AS BIGINT) AS indexed_version,
+                         CAST($baseDrift AS DOUBLE) AS base_drift,
+                         '$corpusFq' AS corpus_fq""")
+    ()
+  }
+
+  /** (vec_id, cell, pq, pqnorm[, payload…]) images of `rows` against
+    * literal coarse `centroids` and PQ codebooks `cb` — the PQ-list
+    * projection shared by build and refresh. */
+  private def pqImages(rows: DataFrame, centroids: Array[Array[Double]],
+      cb: Array[Array[Array[Double]]], payload: Seq[String]): DataFrame =
+    rows
+      .withColumn("pq", graft.functions.PqEncodeExpr(col("embedding"), cb))
+      .withColumn("pqnorm", graft.functions.PqNormSqExpr(col("pq"), cb))
+      .select(
+        col("vec_id").cast("long").as("vec_id") +:
+          element_at(VectorFns.nearestCells(col("embedding"), centroids, 1), 1)
+            .cast("int").as("cell") +:
+          col("pq") +: col("pqnorm") +: payload.map(col): _*)
 
   /** (vec_id, cell, q8, vmin, vscale[, payload…]) images of `rows`
     * (which must carry vec_id + embedding) against literal
@@ -874,7 +1009,6 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     // topK×refineFactor the saturated count still satisfies
     // qCount × perQuery ≤ RefineInSetLimit — sending a multi-million-
     // row batch down the driver-collect fast path (ADVICE r18).
-    val perQuery = math.max(1L, topK.toLong * refineFactor)
     val qCount = queries.limit(refineProbeRows(topK, refineFactor)).count()
     val probeSide = {
       val q = qcells.withColumn("cell", col("cell").cast("int"))
@@ -884,22 +1018,58 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .select(col("qid"), col("qe"), col("vec_id").as("nid"),
         graft.functions.QuantizedCosineExpr(
           col("q8"), col("vmin"), col("vscale"), col("qe")).as("qcos"))
-    val wc = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("nid"))
-    val candidates = coarse.withColumn("crn", row_number().over(wc))
-      .filter(col("crn") <= topK.toLong * refineFactor)
+    refineExact(spark, corpusFq, coarse, topK, refineFactor, qCount)
+  }
+
+  /** The shared coarse→refine TAIL of the compressed layouts (SQ8 and
+    * PQ): keep the top refineFactor × topK SCORE LEVELS per query by
+    * the layout's approximate score, and re-rank those candidates by
+    * EXACT cosine against the raw corpus — driver-staged vec_id-InSet
+    * pushdown while the ACTUAL candidate-id set fits
+    * [[RefineInSetLimit]], distributed join past it.
+    *
+    * The cut is TIE-INCLUSIVE (dense_rank over `qcos` alone, r20): an
+    * approximate score cannot order candidates it scores identically —
+    * PQ codes genuinely collide across different vectors, and SQ8
+    * scores tie on exact-duplicate vectors — so a row_number cut inside
+    * a tie group would drop the true neighbor on an arbitrary id
+    * tie-break and no refine could recover it (SoakAnn's 100×-scale PQ
+    * leg caught exactly this). Admitting whole levels means the refine
+    * pool is every candidate the coarse pass cannot separate from the
+    * boundary; the degenerate worst case (one giant level = codes carry
+    * no information) honestly degrades to an exact re-rank of the
+    * probed cells — still bounded by the probed-cell scan, and the
+    * InSet fast path guards DRIVER memory on the measured id count, not
+    * the per-query estimate ties can exceed. */
+  private def refineExact(spark: SparkSession, corpusFq: String,
+      coarse: DataFrame, topK: Int, refineFactor: Int,
+      qCount: Long): DataFrame = {
+    val perQuery = math.max(1L, topK.toLong * refineFactor)
+    val wr = Window.partitionBy(col("qid")).orderBy(col("qcos").desc)
+    val candidates = coarse.withColumn("crk", dense_rank().over(wr))
+      .filter(col("crk") <= perQuery)
       .select(col("qid"), col("qe"), col("nid"))
     val exact =
       if (qCount * perQuery <= RefineInSetLimit) {
-        // fast path — bounded by construction: ≤ queries × topK ×
-        // refineFactor ids ship driver-side, and the InSet reaches the
-        // corpus scan as a pushed filter where zone maps / Bloom
-        // shards skip every file that cannot hold a candidate
+        // fast path: the candidate ids ship driver-side and the InSet
+        // reaches the corpus scan as a pushed filter where zone maps /
+        // Bloom shards skip every file that cannot hold a candidate.
+        // The collect itself is BOUNDED (limit cap+1): score ties can
+        // multiply the per-query estimate, so saturation — not the
+        // estimate — decides the degradation to the distributed join
         val nids = candidates.select(col("nid")).distinct()
+          .limit((RefineInSetLimit + 1L).toInt)
           .collect().map(_.getLong(0))
-        val raw = spark.table(corpusFq)
-          .filter(col("vec_id").isin(nids.map(Long.box): _*))
-          .select(col("vec_id").as("nid"), col("embedding"))
-        candidates.join(broadcast(raw), Seq("nid"))
+        if (nids.length <= RefineInSetLimit) {
+          val raw = spark.table(corpusFq)
+            .filter(col("vec_id").isin(nids.map(Long.box): _*))
+            .select(col("vec_id").as("nid"), col("embedding"))
+          candidates.join(broadcast(raw), Seq("nid"))
+        } else {
+          val raw = spark.table(corpusFq)
+            .select(col("vec_id").as("nid"), col("embedding"))
+          candidates.join(raw, Seq("nid"))
+        }
       } else {
         // oversized batch: nothing materializes on the driver — the
         // refine becomes a shuffle join against the corpus (no file
@@ -918,6 +1088,72 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .select(col("qid"), col("rn"), col("nid"), col("cos"))
   }
 
+  /** Top-k cosine search through the PRODUCT-QUANTIZED index
+    * ([[buildPq]]): the coarse pass scans only the probed cells' m-byte
+    * PQ codes, scoring each (query, candidate) pair by ASYMMETRIC
+    * cosine in one codegen'd lookup-and-dot loop
+    * ([[graft.functions.PqAdcCosineExpr]] — dim multiply-adds per pair
+    * against the codebooks as plan reference objects, reading m + 4
+    * candidate bytes where SQ8 reads dim + 8); the stored per-vector
+    * ‖decoded‖² and a once-per-query-row query norm make the score a
+    * pure column function. The exact refine is [[searchQuantized]]'s,
+    * shared: same bounded InSet ladder, same planted-copy exactness
+    * (identical vectors take identical codes).
+    *
+    * SERVING GUIDANCE: PQ wants a WIDER refine pool than SQ8. An m-byte
+    * code reconstructs much more coarsely than per-dim SQ8, so a
+    * pattern whose sub-vectors were sparsely covered by the codebook
+    * sample can coarse-rank below other patterns; the exact refine
+    * fixes the order only for candidates that survived the cut — and
+    * the cut counts SCORE LEVELS tie-inclusively ([[refineExact]]), so
+    * same-code candidates are never split arbitrarily. The default
+    * refineFactor 4 matches [[searchQuantized]] for API symmetry;
+    * recall-sensitive PQ serving should pass 16+ (FAISS's own posture —
+    * the refine stays cheap through the InSet ladder). SoakAnn's PQ leg
+    * gates planted exactness at 100× scale under refineFactor 16. */
+  def searchPq(spark: SparkSession, queries: DataFrame, fq: String,
+      nProbe: Int, topK: Int, refineFactor: Int = 4,
+      where: Option[org.apache.spark.sql.Column] = None,
+      overProbe: Int = 4): DataFrame =
+    searchPqImpl(spark, queries, fq, nProbe, topK, refineFactor,
+      where, overProbe, metaOf(spark, fq))
+
+  private def searchPqImpl(spark: SparkSession, queries: DataFrame,
+      fq: String, nProbe: Int, topK: Int, refineFactor: Int,
+      where: Option[org.apache.spark.sql.Column], overProbe: Int,
+      m: IndexMeta): DataFrame = {
+    val corpusFq = m.corpusFq.getOrElse(throw new IllegalStateException(
+      s"$fq is not a PQ index (no corpus_fq in ${fq}_meta) — " +
+        "searchPq serves buildPq indexes; use search otherwise"))
+    val sfx = m.suffix
+    val centroids = centroidsAt(spark, fq, sfx)
+    val cb = codebooksAt(spark, fq, sfx)
+    val effProbe =
+      if (where.isEmpty) nProbe
+      else math.min(centroids.length, math.max(1, nProbe * overProbe))
+    // qn: one norm + sqrt per QUERY ROW, carried through the join so
+    // the per-pair ADC loop never recomputes the query's denominator
+    val qcells = queries.select(col("qid"), col("qe"),
+      VectorFns.norm(col("qe")).as("qn"),
+      explode(VectorFns.nearestCells(col("qe"), centroids, effProbe)).as("cell"))
+    val probed = qcells.select(col("cell").cast("int")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val lists = where.foldLeft(
+      spark.table(s"$fq${sfx}_assign")
+        .filter(col("cell").isin(probed.map(Integer.valueOf): _*)))(_.filter(_))
+    // same bounded size probe as the SQ8 path (see searchQuantized)
+    val qCount = queries.limit(refineProbeRows(topK, refineFactor)).count()
+    val probeSide = {
+      val q = qcells.withColumn("cell", col("cell").cast("int"))
+      if (qCount <= BroadcastQueryLimit) broadcast(q) else q
+    }
+    val coarse = probeSide.join(lists, Seq("cell"))
+      .select(col("qid"), col("qe"), col("vec_id").as("nid"),
+        graft.functions.PqAdcCosineExpr(
+          col("pq"), col("qe"), col("pqnorm"), col("qn"), cb).as("qcos"))
+    refineExact(spark, corpusFq, coarse, topK, refineFactor, qCount)
+  }
+
   /** Serve a top-k search through WHICHEVER layout the index has —
     * one meta snapshot resolves the generation and the layout, then
     * dispatches to the raw or quantized path (the SQL `ann_search`
@@ -929,12 +1165,17 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       where: Option[org.apache.spark.sql.Column] = None,
       overProbe: Int = 4): DataFrame = {
     val m = metaOf(spark, fq)
-    val quantized = spark.table(s"$fq${m.suffix}_assign")
-      .schema.fieldNames.contains("q8")
-    if (quantized)
-      searchQuantizedImpl(spark, queries, fq, nProbe, topK, refineFactor,
-        where, overProbe, m)
-    else searchImpl(spark, queries, fq, nProbe, topK, where, overProbe, m)
+    layoutOfFields(
+        spark.table(s"$fq${m.suffix}_assign").schema.fieldNames.toSeq) match {
+      case PqList(_, _) =>
+        searchPqImpl(spark, queries, fq, nProbe, topK, refineFactor,
+          where, overProbe, m)
+      case Sq8List =>
+        searchQuantizedImpl(spark, queries, fq, nProbe, topK, refineFactor,
+          where, overProbe, m)
+      case RawList =>
+        searchImpl(spark, queries, fq, nProbe, topK, where, overProbe, m)
+    }
   }
 
   // --- lifecycle under sustained churn (VERDICT r16 #2) -------------
@@ -965,17 +1206,24 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     // only rebuild changes k, resetting the baseline with it)
     val sampled = quantizerSample(spark.table(s"$fq${sfx}_assign"),
       sampleCapFor(centroids.length))
-    // quantized lists carry no raw vectors: gauge on the DEQUANTIZED
+    // quantized lists carry no raw vectors: gauge on the DECODED
     // sample (the quantization error is orders below any drift worth a
-    // rebuild — documented approximation)
-    val sample: Array[Array[Float]] =
-      if (spark.table(s"$fq${sfx}_assign").schema.fieldNames.contains("q8"))
+    // rebuild — documented approximation; same rule both layouts)
+    val sample: Array[Array[Float]] = layoutOfFields(
+        spark.table(s"$fq${sfx}_assign").schema.fieldNames.toSeq) match {
+      case Sq8List =>
         sampled.select(col("q8"), col("vmin"), col("vscale"))
           .as[(Array[Byte], Float, Float)].collect()
           .map { case (codes, vmin, vscale) =>
             codes.map(c => vmin + vscale * (c & 0xFF))
           }
-      else sampled.select(col("embedding")).as[Array[Float]].collect()
+      case PqList(_, _) =>
+        val cb = codebooksAt(spark, fq, sfx)
+        sampled.select(col("pq")).as[Array[Byte]].collect()
+          .map(codes => graft.functions.PqVec.decode(codes, cb).map(_.toFloat))
+      case RawList =>
+        sampled.select(col("embedding")).as[Array[Float]].collect()
+    }
     val current =
       if (sample.isEmpty) 0.0
       else VectorFns.meanNearestDist(sample, centroids)

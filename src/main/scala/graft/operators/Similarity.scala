@@ -366,7 +366,36 @@ object Similarity {
       .orderBy(col("qid"))
   }
 
+  /** The PRODUCT-QUANTIZED (IVF-PQ) index end to end (VERDICT r19 next
+    * #4 — v13's planted technique through [[IvfIndex.buildPq]]/
+    * [[IvfIndex.searchPq]]): the inverted lists store m = 8 code bytes
+    * + one float norm per vector against persisted per-subspace
+    * codebooks — ~21× smaller than raw, ~6× under SQ8 — the coarse pass
+    * ranks by ASYMMETRIC cosine (one codegen'd lookup-and-dot loop per
+    * pair, codebooks as plan reference objects), and the shared refine
+    * pass re-ranks the bounded candidate set by EXACT cosine against
+    * the raw corpus. Planted copies take their originals' exact codes,
+    * so the original tops the coarse order by a margin reconstruction
+    * error cannot close (natural cosine ceiling ≈ 0.5), and the exact
+    * refine restores brute-force order — which DuckDB recomputes. */
+  def v16_ivf_pq(spark: SparkSession, dir: String): DataFrame = {
+    Pipeline.catalogFor(spark, "v16", "ann")
+    val emb = Tables.embeddings(spark, dir)
+    spark.sql("DROP TABLE IF EXISTS graft_v16.ann.corpus")
+    emb.createOrReplaceTempView("graft_v16_corpus_in")
+    spark.sql("CREATE TABLE graft_v16.ann.corpus AS SELECT * FROM graft_v16_corpus_in")
+    IvfIndex.buildPq(spark, spark.table("graft_v16.ann.corpus"),
+      "graft_v16.ann.corpus", "graft_v16.ann.emb", k = 16, m = 8)
+    val queries = emb.filter(col("vec_id") < 15)
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    IvfIndex.searchPq(spark, queries, "graft_v16.ann.emb",
+      nProbe = 3, topK = 1)
+      .select(col("qid"), col("nid"))
+      .orderBy(col("qid"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "v16_ivf_pq" -> (v16_ivf_pq _),
     "v15_ann_search_join" -> (v15_ann_search_join _),
     "v14_ann_filtered" -> (v14_ann_filtered _),
     "v13_ivf_quantized" -> (v13_ivf_quantized _),
@@ -553,6 +582,15 @@ object Similarity {
         |    ROW_NUMBER() OVER (PARTITION BY q.qid
         |      ORDER BY LIST_COSINE_SIMILARITY(q.qe, e.embedding) DESC, e.vec_id) AS rn
         |  FROM q, corpus e WHERE e.label = 7)
+        |SELECT qid, nid FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
+    "v16_ivf_pq" ->
+      """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe
+        |           FROM embeddings WHERE vec_id < 15),
+        |ranked AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    ROW_NUMBER() OVER (PARTITION BY q.qid
+        |      ORDER BY LIST_COSINE_SIMILARITY(q.qe, e.embedding) DESC, e.vec_id) AS rn
+        |  FROM q, embeddings e)
         |SELECT qid, nid FROM ranked WHERE rn = 1 ORDER BY qid""".stripMargin,
     "v13_ivf_quantized" ->
       """WITH q AS (SELECT vec_id + 100000 AS qid, embedding AS qe

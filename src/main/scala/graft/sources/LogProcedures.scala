@@ -456,7 +456,13 @@ object LogProcedures {
           .defaultValue("''")
           .comment("comma-separated corpus columns carried into the " +
             "inverted lists so ann_search's where-predicates prune " +
-            "inside the probed-cell scan").build())
+            "inside the probed-cell scan").build(),
+        ProcedureParameter.in("pq_m", IntegerType).defaultValue("0")
+          .comment("> 0 builds the IVF-PQ layout instead: m product-" +
+            "quantizer subspaces with 256-entry codebooks — lists store " +
+            "m bytes + a norm per vector (~dim/m x smaller than SQ8); " +
+            "search refines against the corpus; mutually exclusive " +
+            "with quantized").build())
       override def run(input: InternalRow): java.util.Iterator[Scan] = {
         val cat = catalogName.getOrElse(throw new IllegalStateException(
           "ann_build needs the owning catalog name (procedure loaded outside a catalog?)"))
@@ -475,7 +481,15 @@ object LogProcedures {
         val fq = s"$cat.$index"
         val payload = input.getUTF8String(5).toString
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        if (input.getBoolean(4)) {
+        val pqM = input.getInt(6)
+        if (pqM > 0) {
+          require(!input.getBoolean(4),
+            "quantized and pq_m are mutually exclusive layouts — pick one")
+          graft.operators.IvfIndex.buildPq(spark,
+            spark.table(s"$cat.$corpus"), s"$cat.$corpus", fq,
+            k = input.getInt(2), m = pqM, iters = input.getInt(3),
+            indexedVersion = v, payload = payload)
+        } else if (input.getBoolean(4)) {
           graft.operators.IvfIndex.buildQuantized(spark,
             spark.table(s"$cat.$corpus"), s"$cat.$corpus", fq,
             k = input.getInt(2), iters = input.getInt(3), indexedVersion = v,

@@ -47,6 +47,13 @@ import graft.operators.IvfIndex
   *     and after the rebuild, on both layouts, and the rebuilt
   *     generation's cell count equals the policy value.
   *
+  * The SQ8 and IVF-PQ legs run the same planted queries and work
+  * metric over their code lists (gates: both coarse-scan exponents
+  * ≤ 0.7), and the PQ leg adds the INDEX-SIZE evidence row — physical
+  * list bytes per vector across raw/SQ8/PQ, gated at the largest scale
+  * on PQ ≤ 0.7 × SQ8 (expected ≈ 0.4–0.6: 8 + 4 payload bytes per
+  * vector vs 32 + 8 before the shared vec_id/cell overhead).
+  *
   * Usage: runMain graft.tools.SoakAnn [base] [delta] [scales]
   * (defaults 2000, 2000, 1,10,100 → 2k/20k/200k vectors). One JSON
   * line per scale, then a summary with exponents. */
@@ -107,11 +114,14 @@ object SoakAnn {
     val probedRows = scala.collection.mutable.Map[Int, Double]()
     val probedRowsFrozen = scala.collection.mutable.Map[Int, Double]()
     val probedRowsQ = scala.collection.mutable.Map[Int, Double]()
+    val probedRowsP = scala.collection.mutable.Map[Int, Double]()
     val searchWall = scala.collection.mutable.Map[Int, Double]()
     val searchWallQ = scala.collection.mutable.Map[Int, Double]()
+    val searchWallP = scala.collection.mutable.Map[Int, Double]()
     val maintWall = scala.collection.mutable.Map[Int, Double]()
     val rebuildWall = scala.collection.mutable.Map[Int, Double]()
     val corpusN = scala.collection.mutable.Map[Int, Double]()
+    val pqBytesRatio = scala.collection.mutable.Map[Int, Double]()
 
     for (scale <- scales) {
       val n = base.toLong * scale
@@ -210,6 +220,70 @@ object SoakAnn {
       val qWall = qWalls(1)
       val pRowsQ = rowsProbed(fqQ)
 
+      // --- (a'') the PRODUCT-QUANTIZED layout (IVF-PQ, m = 8 → 8 code
+      // bytes + one norm per vector vs SQ8's 32 + 8 — the compression
+      // step that keeps a 100 TB corpus's index in cluster memory):
+      // same planted queries, same work metric, plus the INDEX-BYTES
+      // evidence row comparing the three layouts' physical list sizes
+      val fqP = s"graft_ann.lake.ixp$scale"
+      IvfIndex.buildPq(spark, spark.table(corpusTbl), corpusTbl,
+        fqP, k = kPolicy, m = 8)
+      // refineFactor 16, not the default 4: PQ reconstructs from an
+      // m-byte code against sample-fit codebooks, so a sparsely-sampled
+      // pattern's own reconstruction can rank below other patterns'
+      // coarse scores — the standard IVF-PQ serving posture is a WIDER
+      // exact-refine pool than SQ8's (FAISS guidance; the refine is
+      // cheap: 16 ids per query through the InSet ladder). At scale 100
+      // this fixture fits 256-entry codebooks on a 7k-row sample of a
+      // 202k corpus — exactly the sparse regime that needs the width.
+      def runSearchP(): Map[Long, Long] =
+        IvfIndex.searchPq(spark, queries, fqP, nProbe = 2, topK = 1,
+            refineFactor = 16)
+          .select(col("qid"), col("nid"))
+          .collect().map(r => (r.getLong(0) - 1000000L) -> r.getLong(1)).toMap
+      runSearchP() // warm-up
+      val pWalls = (1 to 3).map { _ =>
+        val t = System.nanoTime()
+        val got = runSearchP()
+        val w = (System.nanoTime() - t) / 1e9
+        require(qIds.distinct.forall(id => got.get(id).contains(id % 8032L)),
+          s"CORRECTNESS GATE FAILED at scale $scale (pq): " +
+            s"${got.toSeq.sorted.take(4)}…")
+        w
+      }.sorted
+      val pWall = pWalls(1)
+      val pRowsP = rowsProbed(fqP)
+      // per-vector storage evidence, ENCODING-NEUTRAL: this fixture's
+      // vectors repeat every 8032 ids from a small per-dim value set,
+      // so parquet's dictionary encoding compresses the RAW floats in a
+      // way real (near-random-float) embeddings never enjoy — the live
+      // index files' sizes would understate raw and flatter nothing.
+      // Re-write each layout's list projection with dictionary OFF and
+      // no codec and measure THAT: the honest physical width of what a
+      // high-entropy corpus would store. (fqF is the raw baseline —
+      // same full corpus, raw layout.)
+      def evidenceBytes(f: String, tag: String): Long = {
+        val out = s"$wh/evidence_${tag}_$scale"
+        spark.table(IvfIndex.assignTableName(spark, f))
+          .write.mode("overwrite")
+          .option("compression", "uncompressed")
+          .option("parquet.enable.dictionary", "false")
+          .parquet(out)
+        val dir = new org.apache.hadoop.fs.Path(out)
+        val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = hfs.listFiles(dir, true)
+        var b = 0L
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.isFile && st.getPath.getName.endsWith(".parquet")) b += st.getLen
+        }
+        hfs.delete(dir, true)
+        b
+      }
+      val bytesRaw = evidenceBytes(fqF, "raw")
+      val bytesSq8 = evidenceBytes(fqQ, "sq8")
+      val bytesPq = evidenceBytes(fqP, "pq")
+
       // --- (c) online rebuild at AutoK: wall bounded-linear, cell
       // count lands at the policy value, recall holds through the swap
       val tR = System.nanoTime()
@@ -231,11 +305,14 @@ object SoakAnn {
       probedRows(scale) = pRows.toDouble
       probedRowsFrozen(scale) = pRowsF.toDouble
       probedRowsQ(scale) = pRowsQ.toDouble
+      probedRowsP(scale) = pRowsP.toDouble
       searchWall(scale) = sWall
       searchWallQ(scale) = qWall
+      searchWallP(scale) = pWall
       maintWall(scale) = mWall
       rebuildWall(scale) = rWall
-      println(f"""{"op":"ann_scale","scale":$scale,"n":$n,"k":$kPolicy,"probed_rows":$pRows,"probed_rows_frozen_k16":$pRowsF,"probed_code_rows_quantized":$pRowsQ,"search_wall_sec":$sWall%.3f,"search_wall_quantized_sec":$qWall%.3f,"maint_batch_sec":$mWall%.3f,"rebuild_sec":$rWall%.3f,"delta_rows":$delta}""")
+      pqBytesRatio(scale) = bytesPq.toDouble / math.max(bytesSq8, 1L)
+      println(f"""{"op":"ann_scale","scale":$scale,"n":$n,"k":$kPolicy,"probed_rows":$pRows,"probed_rows_frozen_k16":$pRowsF,"probed_code_rows_quantized":$pRowsQ,"probed_code_rows_pq":$pRowsP,"search_wall_sec":$sWall%.3f,"search_wall_quantized_sec":$qWall%.3f,"search_wall_pq_sec":$pWall%.3f,"maint_batch_sec":$mWall%.3f,"rebuild_sec":$rWall%.3f,"delta_rows":$delta,"list_bytes_raw":$bytesRaw,"list_bytes_sq8":$bytesSq8,"list_bytes_pq":$bytesPq,"bytes_per_vec_raw":${bytesRaw / (n + delta)}%d,"bytes_per_vec_sq8":${bytesSq8 / (n + delta)}%d,"bytes_per_vec_pq":${bytesPq / (n + delta)}%d}""")
     }
 
     val lo = scales.min
@@ -257,10 +334,11 @@ object SoakAnn {
     val pExpO = expOpt(probedRows)
     val pfExpO = expOpt(probedRowsFrozen)
     val pqExpO = expOpt(probedRowsQ)
+    val ppExpO = expOpt(probedRowsP)
     val mExpO = expOpt(maintWall)
     val rExpO = expOpt(rebuildWall)
-    val (pExp, pfExp, pqExp, mExp, rExp) =
-      (jn(pExpO), jn(pfExpO), jn(pqExpO), jn(mExpO), jn(rExpO))
+    val (pExp, pfExp, pqExp, ppExp, mExp, rExp) =
+      (jn(pExpO), jn(pfExpO), jn(pqExpO), jn(ppExpO), jn(mExpO), jn(rExpO))
     require(pExpO.forall(_ <= 0.7),
       s"SCALING GATE FAILED: adaptive probed-rows exponent $pExp " +
         "(want ≈ 0.5–0.65) — search work is growing faster than the " +
@@ -277,12 +355,26 @@ object SoakAnn {
       s"SCALING GATE FAILED: quantized probed CODE rows exponent $pqExp " +
         "(want ≈ 0.5–0.65) — the SQ8 coarse scan is growing faster than " +
         "the sqrt-n path plus its size-biased sampling tax allows")
+    require(ppExpO.forall(_ <= 0.7),
+      s"SCALING GATE FAILED: PQ probed CODE rows exponent $ppExp " +
+        "(want ≈ 0.5–0.65) — the IVF-PQ coarse scan is growing faster " +
+        "than the sqrt-n path plus its size-biased sampling tax allows")
+    // index-size evidence gate, at the LARGEST scale where parquet
+    // footers have amortized: the PQ lists must be materially leaner
+    // than SQ8's (8 code bytes + 4 vs 32 + 8 per vector before the
+    // shared vec_id/cell overhead → expect ≈ 0.4–0.6)
+    require(pqBytesRatio.get(hi).forall(_ <= 0.7),
+      f"STORAGE GATE FAILED: PQ lists are ${pqBytesRatio(hi)}%.2f of SQ8's " +
+        "at the largest scale — want ≤ 0.7 (the layout exists to be smaller)")
     println(s"""{"soak":"ann_serving_path","base":$base,"delta":$delta,""" +
       s""""scales":[${scales.mkString(",")}],""" +
       s""""probed_rows_exp":$pExp,"probed_rows_frozen_k_exp":$pfExp,""" +
       s""""probed_code_rows_quantized_exp":$pqExp,""" +
+      s""""probed_code_rows_pq_exp":$ppExp,""" +
       s""""search_wall_exp":${jn(expOpt(searchWall))},""" +
       s""""search_wall_quantized_exp":${jn(expOpt(searchWallQ))},""" +
+      s""""search_wall_pq_exp":${jn(expOpt(searchWallP))},""" +
+      s""""pq_to_sq8_bytes_ratio_at_max_scale":${jn(pqBytesRatio.get(hi))},""" +
       s""""maint_batch_exp":$mExp,"rebuild_wall_exp":$rExp}""")
     spark.stop()
   }

@@ -902,4 +902,77 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(hit.getLong(2) === 10003L,
       s"filtered searchJoin must find the in-slice copy, got $hit")
   }
+
+  test("IVF-PQ index: m-byte code lists + persisted codebooks, exact " +
+      "planted search through ADC coarse + exact refine, O(delta) refresh, " +
+      "online rebuild keeps the layout, drift on the decoded sample") {
+    val fq = "graft_ivf.ann.e21"
+    spark.sql("DROP TABLE IF EXISTS graft_ivf.ann.corpus21")
+    corpusDf(300).createOrReplaceTempView("ivf_c21")
+    spark.sql("CREATE TABLE graft_ivf.ann.corpus21 AS SELECT * FROM ivf_c21")
+    val corpusDir = s"$warehouse/ann/corpus21"
+    graft.sources.ParquetVersions.enable(corpusDir) // v1
+    IvfIndex.buildPq(spark, spark.table("graft_ivf.ann.corpus21"),
+      "graft_ivf.ann.corpus21", fq, k = 8, m = 4, indexedVersion = 1L)
+    // the lists hold m CODE BYTES + one norm — no raw vectors at all —
+    // and the per-subspace codebooks persist as their own table
+    assert(spark.table(s"${fq}_assign").schema.fieldNames.toSet ===
+      Set("vec_id", "cell", "pq", "pqnorm"))
+    assert(spark.table(s"${fq}_assign")
+      .select(max(length(col("pq")))).head.getInt(0) === 4,
+      "each vector's PQ image must be exactly m bytes")
+    assert(spark.table(s"${fq}_codebooks")
+      .select(countDistinct(col("sub"))).head.getLong(0) === 4L)
+    assert(IvfIndex.corpusOf(spark, fq) === Some("graft_ivf.ann.corpus21"))
+    // planted copies resolve exactly through ADC coarse + exact refine
+    val queries = spark.table("graft_ivf.ann.corpus21")
+      .filter(col("vec_id").isin(Seq(0L, 5L, 42L).map(Long.box): _*))
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    val got = IvfIndex.searchPq(spark, queries, fq, nProbe = 2, topK = 1)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0) - 100000) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 0L, 5L -> 5L, 42L -> 42L))
+    // searchAuto dispatches the PQ layout to the same answers
+    val auto = IvfIndex.searchAuto(spark, queries, fq, nProbe = 2, topK = 1)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0) - 100000) -> r.getLong(1)).toMap
+    assert(auto === got)
+    // the drift gauge reads the decoded sample
+    assert(IvfIndex.drift(spark, fq).ratio.exists(_ < 1.5))
+    assert(!IvfIndex.needsRebuild(spark, fq))
+    // O(delta) refresh: appends encode against the PERSISTED codebooks,
+    // pre-existing list files byte-identical, deletes propagate
+    val assignDir = s"$warehouse/ann/e21_assign"
+    val before = sigs(assignDir)
+    assert(before.nonEmpty)
+    corpusDf(400, from = 300).createOrReplaceTempView("ivf_c21b")
+    spark.sql("INSERT INTO graft_ivf.ann.corpus21 SELECT * FROM ivf_c21b")
+    IvfIndex.refresh(spark, corpusDir, fq)
+    assert(spark.table(s"${fq}_assign").count() === 400L)
+    val after = sigs(assignDir)
+    assert(before.forall { case (p, s) => after.get(p).contains(s) },
+      "PQ refresh rewrote a pre-existing inverted-list file")
+    val q2 = spark.table("graft_ivf.ann.corpus21").filter(col("vec_id") === 350L)
+      .select((col("vec_id") + 100000).as("qid"), col("embedding").as("qe"))
+    assert(IvfIndex.searchPq(spark, q2, fq, nProbe = 2, topK = 1)
+      .select(col("nid")).head.getLong(0) === 350L)
+    spark.sql("DELETE FROM graft_ivf.ann.corpus21 WHERE vec_id = 350")
+    IvfIndex.refresh(spark, corpusDir, fq)
+    assert(spark.table(s"${fq}_assign")
+      .filter(col("vec_id") === 350L).count() === 0L)
+    // online rebuild: the new generation keeps the PQ layout, refits
+    // codebooks under generation-suffixed names, and serves exactly
+    IvfIndex.rebuild(spark, spark.table("graft_ivf.ann.corpus21"),
+      corpusDir, fq, k = 8)
+    assert(IvfIndex.generation(spark, fq) === Some(1L))
+    assert(spark.table(s"${fq}__g1_assign").schema.fieldNames.contains("pq"),
+      "rebuild must keep the PQ layout")
+    assert(spark.table(s"${fq}__g1_codebooks")
+      .select(countDistinct(col("sub"))).head.getLong(0) === 4L,
+      "rebuild must refit generation-suffixed codebooks")
+    val got2 = IvfIndex.searchPq(spark, queries, fq, nProbe = 2, topK = 1)
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0) - 100000) -> r.getLong(1)).toMap
+    assert(got2 === Map(0L -> 0L, 5L -> 5L, 42L -> 42L))
+  }
 }
