@@ -386,22 +386,28 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "a"), "a")
         .groupBy(col("b").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
+      // the round carries each vertex's PRE-round label through as
+      // `old` (r20): the convergence probe then filters the round's own
+      // checkpointed output instead of join-shuffling it back against
+      // the previous labels — one fewer shuffle join per round, and the
+      // probe reads materialized data only
       val propagated = labels.join(nbr, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("old"))
       // pointer halving: follow the label's label (always same component,
       // labels only decrease — safe to shortcut)
       val next = propagated.as("x")
         .join(propagated.select(col("doc_id").as("pid"), col("label").as("plabel")),
           col("x.label") === col("pid"))
-        .select(col("x.doc_id").as("doc_id"), col("plabel").as("label"))
+        .select(col("x.doc_id").as("doc_id"), col("plabel").as("label"),
+          col("x.old").as("old"))
         .localCheckpoint()
       // convergence probe: any-changed-row, not a full count — take(1)
       // short-circuits the scan as soon as one changed label surfaces,
       // so a converged round is the only one that pays a full pass
-      changed = !next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      changed = !next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select(col("doc_id"), col("label"))
       iter += 1
     }
     edges.unpersist()

@@ -36,6 +36,21 @@ object StreamingQueries {
     try f finally spark.conf.set(key, old)
   }
 
+  /** Fresh (path, checkpoint) pair for an append-mode FILE sink. The
+    * row-per-event feeds used to drain into the MEMORY sink, which
+    * collects every row into the driver heap and re-ships them to the
+    * downstream aggregate as LocalTableScan task closures (Spark warns
+    * "task of very large size" at sf0.1 — guide §5: the driver should
+    * do no data work). A parquet sink keeps rows executor-side end to
+    * end; the read-back resolves through the sink's `_spark_metadata`
+    * log, so it sees exactly the committed file set. Complete/update
+    * mode sinks (small aggregate outputs) stay on the memory sink —
+    * the file sink does not support those modes, and their state is
+    * group-count-sized, not feed-sized. */
+  private def fileSinkDirs(tag: String): (String, String) =
+    (Files.createTempDirectory(s"graft_${tag}_out").toString,
+      Files.createTempDirectory(s"graft_${tag}_ck").toString)
+
   /** Stream every events row through the micro-batcher (tick 100 ms OR
     * 5 000-row write cap) into a parquet sink, read the sink back, and
     * report (row count, content checksum). Oracle: the same aggregates
@@ -110,13 +125,14 @@ object StreamingQueries {
       Event(-1L, new java.sql.Timestamp(maxTs + 2L * 3600 * 1000), uid, "__sentinel__", 0.0, "{}")
     }
     val ingest = new AsyncIngest[Event](spark.sqlContext)
-    val qname = s"graft_stream_sessions_${System.nanoTime()}"
+    val (sinkDir, sinkCk) = fileSinkDirs("s04")
     val q = EventStreams.sessions(ingest.toDS())
-      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", sinkCk).start()
     ingest.saveAllAsync(rows.toSeq ++ sentinels) // single batch => deterministic
     q.processAllAvailable()
     q.stop()
-    spark.table(qname)
+    spark.read.parquet(sinkDir)
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("start_ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("start_ts"),
         col("end_ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("end_ts"))
@@ -150,15 +166,16 @@ object StreamingQueries {
     import spark.implicits._
     val rows = Tables.events(spark, dir).as[Event].collect()
     val ingest = new AsyncIngest[Event](spark.sqlContext)
-    val qname = s"graft_stream_dedup_${System.nanoTime()}"
+    val (sinkDir, sinkCk) = fileSinkDirs("s06")
     val q = ingest.toDS()
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
-      .writeStream.outputMode("append").format("memory").queryName(qname).start()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", sinkCk).start()
     ingest.saveAllAsync(rows.toSeq ++ rows.toSeq) // duplicate delivery
     q.processAllAvailable()
     q.stop()
-    spark.table(qname)
+    spark.read.parquet(sinkDir)
       .agg(count(lit(1)).as("n_unique"), sum(col("event_id")).as("event_id_sum"))
   }
 
@@ -285,9 +302,9 @@ object StreamingQueries {
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
       "left_outer")
-    val qname = s"graft_stream_ojoin_${System.nanoTime()}"
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
+    val (sinkDir, sinkCk) = fileSinkDirs("s11")
+    val q = joined.writeStream.outputMode("append").format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", sinkCk).start()
     val rows = Tables.events(spark, dir).as[Event].collect()
     ingest.saveAllAsync(rows.toSeq)
     // sentinels: one click + one purchase far past every real event,
@@ -299,7 +316,7 @@ object StreamingQueries {
       Event(-2L, farTs, -1L, "purchase", 0.0, "{}")))
     q.processAllAvailable()
     q.stop()
-    spark.table(qname)
+    spark.read.parquet(sinkDir)
       .filter(col("c_id") >= 0) // drop the sentinel click's own row
       .select(col("c_id"), coalesce(col("p_id"), lit(-1L)).as("p_id_or_none"))
       .orderBy(col("c_id"), col("p_id_or_none"))
@@ -356,9 +373,9 @@ object StreamingQueries {
       col("user_id") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-    val qname = s"graft_stream_join_${System.nanoTime()}"
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
+    val (sinkDir, sinkCk) = fileSinkDirs("s08")
+    val q = joined.writeStream.outputMode("append").format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", sinkCk).start()
     // two halves → two micro-batches: the cross-batch join path (state
     // buffered from batch 1 matching batch 2) runs without paying
     // per-batch state-store overhead five times over
@@ -366,7 +383,7 @@ object StreamingQueries {
       .grouped(50000).foreach(chunk => ingest.saveAllAsync(chunk.toSeq))
     q.processAllAvailable()
     q.stop()
-    spark.table(qname)
+    spark.read.parquet(sinkDir)
       .select(col("c_id"), col("p_id"))
       .orderBy(col("c_id"), col("p_id"))
   }
@@ -590,15 +607,16 @@ object StreamingQueries {
     writeHalf(1)               // v2+: the odd-key appends
     LogDelete.deleteWhere(spark, logDir,
       Array(org.apache.spark.sql.sources.EqualTo("user_id", "u7")))
-    val sink = "s18_sink_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val (sinkDir, _) = fileSinkDirs("s18")
     val q = spark.readStream.format(LimitHashLog.FORMAT)
       .option("changeFeed", "true").option("startVersion", "1").load(logDir)
-      .writeStream.format("memory").queryName(sink)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
       .option("checkpointLocation", ck)
       .start()
     q.processAllAvailable()
     q.stop()
-    val signed = spark.table(sink).withColumn("w",
+    val signed = spark.read.parquet(sinkDir).withColumn("w",
       when(col(ChangeFeed.CHANGE_TYPE_COL) === "insert", lit(1L)).otherwise(lit(-1L)))
     signed
       .groupBy(col("user_id"), col("amount"), col("sha256sum"))

@@ -241,18 +241,44 @@ object ChangeFeed {
 
   /** Multiset-cancel the two pools: `ins ∖∖ del` as inserts and the
     * reverse as deletes — exactly `snapshot(to) EXCEPT ALL
-    * snapshot(from)`, computed without scanning either snapshot. */
+    * snapshot(from)`, computed without scanning either snapshot.
+    *
+    * ONE signed-count aggregate, not two `exceptAll`s (r20, guide
+    * §2.3/§2.4): Spark rewrites each `exceptAll` into its own
+    * union → count-aggregate → replicate subtree, and the two subtrees
+    * differ in tag sign and child order, so nothing is reused — both
+    * pools were scanned AND shuffled twice for what is one multiset
+    * subtraction. Here the pools are scanned once, tagged ±1, and one
+    * hash aggregate per distinct row yields both directions: net > 0 →
+    * that many `insert`s, net < 0 → that many `delete`s — the same
+    * arithmetic `RewriteExceptAll` plans, done once. Row multiplicity
+    * is restored by Spark's own [[ReplicateRows]] generator (streams N
+    * copies; never materializes an N-element array). Plan: 2 Exchange
+    * (+2 pool-scan subtrees) → 1 Exchange (+1 pool-scan subtree). */
   private def netOf(ins: DataFrame, del: DataFrame, dataCols: Seq[String],
       toVersion: Long): DataFrame = {
-    val insNet = ins.select(dataCols.map(col): _*)
-      .exceptAll(del.select(dataCols.map(col): _*))
-      .withColumn(CHANGE_TYPE_COL, lit("insert"))
+    import org.apache.spark.sql.catalyst.expressions.ReplicateRows
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Project}
+    val spark = ins.sparkSession
+    val netted = ins.select(dataCols.map(col): _*).withColumn("_gsign", lit(1L))
+      .unionByName(
+        del.select(dataCols.map(col): _*).withColumn("_gsign", lit(-1L)))
+      .groupBy(dataCols.map(col): _*)
+      .agg(sum(col("_gsign")).as("_gnet"))
+      .filter(col("_gnet") =!= 0L)
+      .withColumn(CHANGE_TYPE_COL,
+        when(col("_gnet") > 0, lit("insert")).otherwise(lit("delete")))
       .withColumn(COMMIT_VERSION_COL, lit(toVersion))
-    val delNet = del.select(dataCols.map(col): _*)
-      .exceptAll(ins.select(dataCols.map(col): _*))
-      .withColumn(CHANGE_TYPE_COL, lit("delete"))
-      .withColumn(COMMIT_VERSION_COL, lit(toVersion))
-    insNet.unionByName(delNet)
+      .withColumn("_gcopies", abs(col("_gnet")))
+    val outCols = dataCols :+ CHANGE_TYPE_COL :+ COMMIT_VERSION_COL
+    val child = netted.queryExecution.analyzed
+    val byName = child.output.map(a => a.name -> a).toMap
+    val keep = outCols.map(byName)
+    val gen = Generate(
+      ReplicateRows(byName("_gcopies") +: keep),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Nil, child = child)
+    org.apache.spark.sql.GraftShims.ofRows(spark, Project(keep, gen))
   }
 
   /** The per-commit changelog blocks of span `(from, to]` on the
