@@ -1614,10 +1614,15 @@ object Pipeline {
       col("o_orderkey").cast(LongType).as("okey"),
       sha2(col("o_orderkey").cast(StringType), 256).as("h"))
     base.createOrReplaceTempView("p46_base")
-    (0 until 8).foreach { r =>
-      spark.table("p46_base").filter(col("okey") % 8 === r)
-        .repartition(1).writeTo("graft_p46.lake.orders_h").append()
-    }
+    // ONE 8-file append, not 8 single-file appends (r20): the probe's
+    // contract needs ≥ 8 files whose h-column [min,max] spans the hex
+    // space — true of ANY 8-way split of a sha256 column — not a
+    // specific row-to-file routing. Deterministic round-robin
+    // (sort-before-repartition is on by default, SPARK-23207) writes
+    // the same rows as 8 files under ONE write job + ONE ledger
+    // commit, where the loop paid 8 of each.
+    spark.table("p46_base").repartition(8)
+      .writeTo("graft_p46.lake.orders_h").append()
     spark.sql("CALL graft_p46.system.build_bloom(" +
       "table => 'lake.orders_h', columns => 'h')")
     // 3 probe keys, derived deterministically (bounded driver collect)

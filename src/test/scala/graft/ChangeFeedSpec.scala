@@ -91,6 +91,31 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(net === expected)
   }
 
+  test("net mode preserves row MULTIPLICITY (r20 single-aggregate netOf)") {
+    // exceptAll semantics are multiset: a row appearing 3× in the TO
+    // pool and 1× in the FROM pool must net to exactly 2 insert COPIES
+    // (and the reverse to delete copies). The r20 netOf rewrite (one
+    // signed-count aggregate + ReplicateRows) must reproduce that —
+    // a set-compare cannot see a lost or doubled copy, so this test
+    // counts them.
+    val dir = Files.createTempDirectory("graft_cdc_multi").toString
+    // v1 baseline: one segment with the SAME row twice + a singleton
+    write(dir, Seq(("dup", 1L, "h"), ("dup", 1L, "h"), ("solo", 2L, "s")))
+    assert(LogVersions.enable(dir) === 1L)
+    // v2: rewrite-shaped change — whole-segment delete + re-insert with
+    // the dup row now 5× and solo gone (net: +3 dup copies, −1 solo).
+    // deleteWhere(amount >= 0) retires the segment; the fresh append
+    // lands the new content.
+    LogDelete.deleteWhere(spark, dir, Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("amount", 0L)))
+    write(dir, Seq.fill(5)(("dup", 1L, "h")))
+    val vTo = LogVersions.latest(dir).get._1
+    val net = ChangeFeed.logChanges(spark, dir, 1L, vTo, net = true)
+      .groupBy("user_id", ChangeFeed.CHANGE_TYPE_COL).count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(net === Set(("dup", "insert", 3L), ("solo", "delete", 1L)))
+  }
+
   test("segments option: planning restricted to the allowlist; unknown names fail") {
     val dir = Files.createTempDirectory("graft_cdc_seg").toString
     write(dir, Seq(("u1", 10L, "h1")))
