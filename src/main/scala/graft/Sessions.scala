@@ -53,6 +53,16 @@ object Sessions {
       // handles hundreds of dirs in single-digit ms on HDFS-likes;
       // beyond ~512 dirs the distributed listing genuinely wins
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
+      // fork-free local-FS permissions ([[graft.sources.NioLocalFileSystem]]):
+      // without libhadoop, Hadoop FORKS a `chmod` process on every local
+      // file create/mkdir — one fork per data file, ledger manifest,
+      // checkpoint entry and state-store delta. These drop-in classes
+      // apply the same bits via one NIO syscall; `file://` scheme only,
+      // both API families (FileSystem and FileContext)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.NioLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.sources.NioLocalFs")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
