@@ -144,8 +144,15 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * (path, length, mtime) — None when the dir cannot be resolved or
     * listed (fall through to an uncached read). */
   private def metaSignature(spark: SparkSession, fq: String): Option[Long] =
+    try dirSignature(spark, metaDir(spark, fq))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The signature primitive behind [[metaSignature]] (and the r21
+    * centroid cache): one recursive driver-side listing of a SMALL table
+    * dir, folded per-file. */
+  private def dirSignature(spark: SparkSession, dirStr: String): Option[Long] =
     try {
-      val dir = new org.apache.hadoop.fs.Path(metaDir(spark, fq))
+      val dir = new org.apache.hadoop.fs.Path(dirStr)
       val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // ADVICE r19: a 32-bit Objects.hash XOR-fold lets two changed
       // files cancel. Per-file 64-bit FNV digest over path⊕len⊕mtime,
@@ -164,6 +171,18 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       }
       Some(sig * 0x9e3779b97f4a7c15L + count)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Seed [[metaCache]] with a row the caller JUST WROTE (r21): the
+    * first serving call after build/refresh/rebuild otherwise pays a
+    * one-row head() job to read back values the writer held in hand.
+    * Post-write signature ⇒ row is safe here: every meta writer that
+    * could interleave is lease-serialized (refresh/rebuild), and a
+    * concurrent un-leased [[build]] on the same name is out of
+    * contract (it starts by dropping the index under the other
+    * writer). */
+  private def seedMetaCache(spark: SparkSession, fq: String,
+      m: IndexMeta): Unit =
+    metaSignature(spark, fq).foreach(sig => metaCache.put(fq, (sig, m)))
 
   private[graft] def metaOf(spark: SparkSession, fq: String): IndexMeta =
     metaSignature(spark, fq) match {
@@ -245,6 +264,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         spark.sql(s"DROP TABLE IF EXISTS ${fq}_meta")
     }
     metaCache.remove(fq)
+    centroidCache.keySet.removeIf((k: String) => k.startsWith(fq))
+    codebookCache.keySet.removeIf((k: String) => k.startsWith(fq))
     ()
   }
 
@@ -293,8 +314,33 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * (m × ksub rows), driver-held like the coarse centroids. */
   private[graft] def codebooksAt(spark: SparkSession, fq: String,
       sfx: String): Array[Array[Array[Double]]] = {
+    // same signature-validated cache as [[centroidCache]] — codebooks
+    // are per-generation write-once too, and every PQ search collects
+    // them (r21)
+    val tbl = s"$fq${sfx}_codebooks"
+    val sig =
+      try dirSignature(spark, tableDirOf(spark, fq, s"${sfx}_codebooks"))
+      catch { case scala.util.control.NonFatal(_) => None }
+    sig match {
+      case Some(s) =>
+        val cached = codebookCache.get(tbl)
+        if (cached != null && cached._1 == s) cached._2
+        else {
+          val cb = readCodebooks(spark, tbl)
+          codebookCache.put(tbl, (s, cb))
+          cb
+        }
+      case None => readCodebooks(spark, tbl)
+    }
+  }
+
+  private val codebookCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Array[Array[Array[Double]]])]()
+
+  private def readCodebooks(spark: SparkSession,
+      tbl: String): Array[Array[Array[Double]]] = {
     import spark.implicits._
-    spark.table(s"$fq${sfx}_codebooks")
+    spark.table(tbl)
       .select(col("sub"), col("code"), col("centroid"))
       .as[(Int, Int, Array[Double])].collect()
       .groupBy(_._1).toArray.sortBy(_._1)
@@ -345,8 +391,16 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .map { case (c, i) => (i, c) }.toSeq
       .toDF("cell", "centroid")
       .createOrReplaceTempView(centroidsView)
-    spark.sql(s"""CREATE TABLE $centroidsTbl AS
-                  SELECT * FROM $centroidsView""")
+    // Metadata-scale side tables (k-row centroids, m×ksub-row
+    // codebooks) are INDEPENDENT of the corpus-scale assign CTAS — they
+    // derive from the driver-fitted arrays, not from each other. Their
+    // CTAS statements run on a side thread so their jobs and ledger
+    // commits overlap the assign pass instead of serializing in front
+    // of it (guide §2.6 — overlap independent jobs; the scheduler
+    // back-fills idle cores during the big write's tail).
+    val sideStmts = scala.collection.mutable.ArrayBuffer(
+      s"CREATE TABLE $centroidsTbl AS SELECT * FROM $centroidsView")
+    var cbSeed: Option[(String, Array[Array[Array[Double]]])] = None
     val assigned = layout match {
       case RawList => corpus.select(
         col("vec_id").cast("long").as("vec_id") +:
@@ -362,13 +416,34 @@ object IvfIndex extends org.apache.spark.internal.Logging {
           book.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
         }.toSeq.toDF("sub", "code", "centroid")
           .createOrReplaceTempView(cbView)
-        spark.sql(s"""CREATE TABLE $codebooksTbl AS
-                      SELECT * FROM $cbView""")
+        sideStmts += s"CREATE TABLE $codebooksTbl AS SELECT * FROM $cbView"
+        cbSeed = Some((codebooksTbl, cb))
         pqImages(corpus, centroids, cb, payload)
     }
     assigned.createOrReplaceTempView(assignView)
+    val side = scala.concurrent.Future {
+      // thread-locals don't carry into the pool thread — re-pin the
+      // session so any SparkSession.active lookup resolves correctly
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+      sideStmts.foreach(spark.sql(_))
+    }(scala.concurrent.ExecutionContext.global)
     spark.sql(s"""CREATE TABLE $assignTbl PARTITIONED BY (cell) AS
                   SELECT * FROM $assignView""")
+    scala.concurrent.Await.result(side, scala.concurrent.duration.Duration.Inf)
+    // seed the centroid cache with the just-fitted array (same rows the
+    // CTAS persisted, same cell order) — the first search on this index
+    // then pays no centroid-collect job. Post-write signature is safe:
+    // writers that could land between the CTAS and this listing are
+    // lease-serialized (refresh/rebuild) or out of contract (concurrent
+    // build on the same name).
+    try dirSignature(spark, tableDirOfTable(spark, centroidsTbl))
+      .foreach(sig => centroidCache.put(centroidsTbl, (sig, centroids)))
+    catch { case scala.util.control.NonFatal(_) => () }
+    cbSeed.foreach { case (tbl, cb) =>
+      try dirSignature(spark, tableDirOfTable(spark, tbl))
+        .foreach(sig => codebookCache.put(tbl, (sig, cb)))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     baseDrift
   }
 
@@ -394,7 +469,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     spark.sql(s"""CREATE TABLE ${fq}_meta AS
                   SELECT CAST($indexedVersion AS BIGINT) AS indexed_version,
                          CAST($baseDrift AS DOUBLE) AS base_drift""")
-    ()
+    seedMetaCache(spark, fq,
+      IndexMeta(indexedVersion, Some(baseDrift), None, None))
   }
 
   /** The persisted quantizer, cell-ordered (k rows — index metadata
@@ -403,10 +479,46 @@ object IvfIndex extends org.apache.spark.internal.Logging {
   def centroidsOf(spark: SparkSession, fq: String): Array[Array[Double]] =
     centroidsAt(spark, fq, suffixFor(generation(spark, fq)))
 
+  /** CENTROID CACHE (r21, guide §1.2/§5 — the build→search boundary):
+    * every serving/maintenance verb starts by collecting the k-row
+    * `_centroids` table — a full Spark job (scheduling + scan) on EVERY
+    * search, while the table itself is written exactly once per
+    * generation and never modified (refresh never re-fits; rebuild
+    * writes a NEW generation under new names; build/drop recreate with
+    * fresh uniquely-named part files). Same technique as [[metaCache]]:
+    * key on the table dir's file signature, so `same signature ⇒ same
+    * rows`, and fall through to the uncached collect when the dir
+    * cannot be resolved. [[fitAndWrite]] SEEDS the cache with the
+    * just-fitted array, so the first post-build search pays no collect
+    * job at all. Bounded: k ≤ [[KMax]] rows × dim doubles per entry. */
+  private val centroidCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Array[Array[Double]])]()
+
   private def centroidsAt(spark: SparkSession, fq: String,
       sfx: String): Array[Array[Double]] = {
+    val tbl = s"$fq${sfx}_centroids"
+    centroidSignature(spark, fq, sfx) match {
+      case Some(sig) =>
+        val cached = centroidCache.get(tbl)
+        if (cached != null && cached._1 == sig) cached._2
+        else {
+          val c = readCentroids(spark, tbl)
+          centroidCache.put(tbl, (sig, c))
+          c
+        }
+      case None => readCentroids(spark, tbl)
+    }
+  }
+
+  private def centroidSignature(spark: SparkSession, fq: String,
+      sfx: String): Option[Long] =
+    try dirSignature(spark, tableDirOf(spark, fq, s"${sfx}_centroids"))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def readCentroids(spark: SparkSession,
+      tbl: String): Array[Array[Double]] = {
     import spark.implicits._
-    spark.table(s"$fq${sfx}_centroids").orderBy("cell")
+    spark.table(tbl).orderBy("cell")
       .select(col("centroid")).as[Array[Double]].collect()
   }
 
@@ -475,6 +587,24 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     searchImpl(spark, queries, fq, nProbe, topK, where, overProbe,
       metaOf(spark, fq))
 
+  /** The shared bounded size-and-cells probe (r21): one job over at
+    * most `lim` query rows returning (row count clamped at `lim`,
+    * Some(complete sorted probed-cell set) when the limit did NOT
+    * truncate — None when it did and the caller must derive the probed
+    * set from the full query set). Collecting both in one aggregate
+    * halves the serving path's driver round-trips. */
+  private def boundedProbe(queries: DataFrame,
+      centroids: Array[Array[Double]], effProbe: Int,
+      lim: Int): (Long, Option[Array[Int]]) = {
+    val row = queries.limit(lim)
+      .select(VectorFns.nearestCells(col("qe"), centroids, effProbe).as("cells"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(array_distinct(flatten(collect_list(col("cells"))))).as("cs"))
+      .head()
+    val n = row.getLong(0)
+    if (n < lim) (n, Some(row.getSeq[Int](1).toArray)) else (n, None)
+  }
+
   private def searchImpl(spark: SparkSession, queries: DataFrame, fq: String,
       nProbe: Int, topK: Int, where: Option[org.apache.spark.sql.Column],
       overProbe: Int, m: IndexMeta): DataFrame = {
@@ -488,18 +618,26 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       else math.min(centroids.length, math.max(1, nProbe * overProbe))
     val qcells = queries.select(col("qid"), col("qe"),
       explode(VectorFns.nearestCells(col("qe"), centroids, effProbe)).as("cell"))
-    val probed = qcells.select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).sorted // ≤ k values — prunes the scan
+    // ONE bounded job decides both the probed-cell set and the
+    // broadcast gate (r21; was two driver round-trips — a distinct-
+    // collect over the FULL query set plus a limit-count): scan at most
+    // BroadcastQueryLimit+1 query rows, aggregating the row count and
+    // the distinct probed cells together. A count under the limit means
+    // the scan was not truncated, so the collected cell set is the
+    // complete probed set; past it (the bulk-offline shape) fall back
+    // to the full-scan distinct — the same two jobs as before, on the
+    // rare path only.
+    val (qCount, probedFast) = boundedProbe(queries, centroids, effProbe,
+      (BroadcastQueryLimit + 1L).toInt)
+    val probed: Array[Int] = probedFast.getOrElse(
+      qcells.select(col("cell").cast("int")).distinct()
+        .collect().map(_.getInt(0)).sorted) // ≤ k values — prunes the scan
     val lists = where.foldLeft(
       spark.table(s"$fq${sfx}_assign")
         .filter(col("cell").isin(probed.map(Integer.valueOf): _*)))(_.filter(_))
     val probeSide = {
       val q = qcells.withColumn("cell", col("cell").cast("int"))
-      // limit(n+1).count() bounds the size probe itself — it never
-      // scans past the threshold on a huge query set
-      if (queries.limit((BroadcastQueryLimit + 1).toInt).count() <= BroadcastQueryLimit)
-        broadcast(q)
-      else q
+      if (qCount <= BroadcastQueryLimit) broadcast(q) else q
     }
     // each vector lives in exactly one cell and (qid, cell) pairs are
     // distinct, so (qid, nid) pairs are unique — no dedup shuffle needed
@@ -742,7 +880,17 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       }
     }
     spark.sql(s"INSERT OVERWRITE ${fq}_meta SELECT ${fields.mkString(", ")}")
-    ()
+    // seed the snapshot cache from the row in hand (version swapped in)
+    // so the next serving call skips the one-row read-back job
+    val names = meta.schema.fieldNames.toSeq
+    def get[T](n: String, f: Int => T): Option[T] = {
+      val i = names.indexOf(n)
+      if (i < 0 || row.isNullAt(i)) None else Some(f(i))
+    }
+    seedMetaCache(spark, fq, IndexMeta(version,
+      get("base_drift", row.getDouble),
+      get("corpus_fq", row.getString),
+      get("gen", row.getLong)))
   }
 
   /** STAGED re-fit with NO serving gap (VERDICT r17 missing #1): the
@@ -854,6 +1002,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
                     SELECT CAST($v AS BIGINT) AS indexed_version,
                            CAST($baseDrift AS DOUBLE) AS base_drift$corpusCol,
                            CAST($newGen AS BIGINT) AS gen""")
+      seedMetaCache(spark, fq,
+        IndexMeta(v, Some(baseDrift), corpusFq, Some(newGen)))
       v
     }
 
@@ -887,7 +1037,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
                   SELECT CAST($indexedVersion AS BIGINT) AS indexed_version,
                          CAST($baseDrift AS DOUBLE) AS base_drift,
                          '$corpusFq' AS corpus_fq""")
-    ()
+    seedMetaCache(spark, fq,
+      IndexMeta(indexedVersion, Some(baseDrift), Some(corpusFq), None))
   }
 
   /** [[build]]'s PRODUCT-QUANTIZED twin (FAISS IVF-PQ, `by_residual =
@@ -913,7 +1064,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
                   SELECT CAST($indexedVersion AS BIGINT) AS indexed_version,
                          CAST($baseDrift AS DOUBLE) AS base_drift,
                          '$corpusFq' AS corpus_fq""")
-    ()
+    seedMetaCache(spark, fq,
+      IndexMeta(indexedVersion, Some(baseDrift), Some(corpusFq), None))
   }
 
   /** (vec_id, cell, pq, pqnorm[, payload…]) images of `rows` against
@@ -996,20 +1148,23 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       else math.min(centroids.length, math.max(1, nProbe * overProbe))
     val qcells = queries.select(col("qid"), col("qe"),
       explode(VectorFns.nearestCells(col("qe"), centroids, effProbe)).as("cell"))
-    val probed = qcells.select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val lists = where.foldLeft(
-      spark.table(s"$fq${sfx}_assign")
-        .filter(col("cell").isin(probed.map(Integer.valueOf): _*)))(_.filter(_))
-    // one bounded size probe decides BOTH staging choices (broadcast
-    // probe side; driver-staged refine) — it never scans past the
-    // LARGER of the two thresholds on a huge query set. The probe must
-    // be sized to the refine gate too: a probe capped at
+    // one bounded probe job decides BOTH staging choices (broadcast
+    // probe side; driver-staged refine) AND collects the probed-cell
+    // set (r21, see [[boundedProbe]]) — it never scans past the LARGER
+    // of the two thresholds on a huge query set. The probe must be
+    // sized to the refine gate too: a probe capped at
     // BroadcastQueryLimit+1 saturates there, and with a small
     // topK×refineFactor the saturated count still satisfies
     // qCount × perQuery ≤ RefineInSetLimit — sending a multi-million-
     // row batch down the driver-collect fast path (ADVICE r18).
-    val qCount = queries.limit(refineProbeRows(topK, refineFactor)).count()
+    val (qCount, probedFast) = boundedProbe(queries, centroids, effProbe,
+      refineProbeRows(topK, refineFactor))
+    val probed: Array[Int] = probedFast.getOrElse(
+      qcells.select(col("cell").cast("int")).distinct()
+        .collect().map(_.getInt(0)).sorted)
+    val lists = where.foldLeft(
+      spark.table(s"$fq${sfx}_assign")
+        .filter(col("cell").isin(probed.map(Integer.valueOf): _*)))(_.filter(_))
     val probeSide = {
       val q = qcells.withColumn("cell", col("cell").cast("int"))
       if (qCount <= BroadcastQueryLimit) broadcast(q) else q
@@ -1136,13 +1291,15 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     val qcells = queries.select(col("qid"), col("qe"),
       VectorFns.norm(col("qe")).as("qn"),
       explode(VectorFns.nearestCells(col("qe"), centroids, effProbe)).as("cell"))
-    val probed = qcells.select(col("cell").cast("int")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    // same combined bounded probe as the SQ8 path (see searchQuantized)
+    val (qCount, probedFast) = boundedProbe(queries, centroids, effProbe,
+      refineProbeRows(topK, refineFactor))
+    val probed: Array[Int] = probedFast.getOrElse(
+      qcells.select(col("cell").cast("int")).distinct()
+        .collect().map(_.getInt(0)).sorted)
     val lists = where.foldLeft(
       spark.table(s"$fq${sfx}_assign")
         .filter(col("cell").isin(probed.map(Integer.valueOf): _*)))(_.filter(_))
-    // same bounded size probe as the SQ8 path (see searchQuantized)
-    val qCount = queries.limit(refineProbeRows(topK, refineFactor)).count()
     val probeSide = {
       val q = qcells.withColumn("cell", col("cell").cast("int"))
       if (qCount <= BroadcastQueryLimit) broadcast(q) else q
@@ -1287,6 +1444,19 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     (parts.tail.dropRight(1) :+ (parts.last + tableSuffix))
       .foldLeft(new org.apache.hadoop.fs.Path(wh))(
         new org.apache.hadoop.fs.Path(_, _)).toString
+  }
+
+  /** [[tableDirOf]] for a FULL physical table name (prefix + suffix
+    * already joined) — the shape [[fitAndWrite]] holds when it seeds
+    * the centroid cache. */
+  private def tableDirOfTable(spark: SparkSession, fqTable: String): String = {
+    val parts = fqTable.split("\\.", -1)
+    require(parts.length >= 3, s"need cat.ns.name, got '$fqTable'")
+    require(parts.tail.forall(graft.sources.LogCatalog.validPathPart),
+      s"bad table identifier '$fqTable'")
+    val wh = spark.conf.get(s"spark.sql.catalog.${parts.head}.warehouse")
+    parts.tail.foldLeft(new org.apache.hadoop.fs.Path(wh))(
+      new org.apache.hadoop.fs.Path(_, _)).toString
   }
 
   /** The CURRENT generation's `_assign` directory. */

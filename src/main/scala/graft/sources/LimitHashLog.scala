@@ -130,7 +130,7 @@ object LimitHashLog {
   /** Segment files of a log directory (sorted for determinism). */
   private[sources] def segments(dir: String): Seq[(String, Long)] = {
     val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(FsConf.get)
     if (!fs.exists(path)) return Seq.empty
     val it = fs.listStatus(path).toSeq
     // "_" = this writer's staging; "." = hidden (Hadoop .crc sidecars,
@@ -213,7 +213,7 @@ object LimitHashLog {
     import org.json4s.jackson.Serialization
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
     val path = new Path(dir)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(FsConf.get)
     if (!fs.exists(path)) return Map.empty
     manifestsOrdered(fs, path)
       .foldLeft(Map.empty[String, SegmentStats]) { (acc, p) =>
@@ -782,7 +782,7 @@ class LogStreamingWrite(path: String, queryId: String, truncate: Boolean = false
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(FsConf.get)
     val versioned = LogVersions.enabled(path)
     val old = if (truncate && !versioned) LimitHashLog.segments(path).map(_._1)
       else Seq.empty
@@ -826,7 +826,7 @@ class LogStreamingWrite(path: String, queryId: String, truncate: Boolean = false
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(FsConf.get)
     messages.foreach {
       case LogCommit(staged, _, _) if staged.nonEmpty =>
         val p = new Path(staged)
@@ -855,7 +855,7 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = new Path(path)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(FsConf.get)
     // pin (or re-validate) the layout spec BEFORE anything becomes
     // visible — a conflicting concurrent declaration aborts the commit
     bucket.foreach(s => LogBucketing.writeSpec(path, s))
@@ -995,7 +995,7 @@ class LogBatchWrite(path: String, queryId: String, truncate: Boolean,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(FsConf.get)
     messages.foreach {
       case LogCommit(staged, _, _) if staged.nonEmpty =>
         val p = new Path(staged)
@@ -1026,7 +1026,7 @@ class LogWriterFactory(path: String, queryId: String,
   * empty batch, hashes.go:55-63). */
 private[sources] final class SegmentFileWriter(path: String, stagedName: String) {
   private val staged = new Path(path, stagedName)
-  private val fs = staged.getFileSystem(new Configuration())
+  private val fs = staged.getFileSystem(FsConf.get)
   private var out: java.io.BufferedWriter = _
 
   // The line layout has no escaping (matching the reference's plain TSV
@@ -1685,7 +1685,7 @@ class LogColumnarReader(files: Seq[String], required: StructType,
         segDv = pd
         segLine = 0L
         reader = new java.io.BufferedReader(new java.io.InputStreamReader(
-          p.getFileSystem(new Configuration()).open(p),
+          p.getFileSystem(FsConf.get).open(p),
           java.nio.charset.StandardCharsets.UTF_8))
       }
       val line = reader.readLine()
@@ -1797,7 +1797,7 @@ class LogSegmentReader(file: String, required: StructType, pushed: Array[Filter]
     limit: Option[Int] = None, masks: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
   private val p = new Path(file)
-  private val in = p.getFileSystem(new Configuration()).open(p)
+  private val in = p.getFileSystem(FsConf.get).open(p)
   private val reader = new java.io.BufferedReader(
     new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
   private var row: InternalRow = _

@@ -55,7 +55,7 @@ object LogBucketing {
     import org.json4s.jackson.Serialization
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
     val p = specPath(new Path(dir))
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(FsConf.get)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
@@ -78,7 +78,7 @@ object LogBucketing {
           s"log at $dir is already bucketed as $existing; cannot re-bucket as $spec")
       case None =>
         val p = specPath(new Path(dir))
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(FsConf.get)
         fs.mkdirs(p.getParent)
         val out = try fs.create(p, false) catch {
           case _: java.io.IOException if fs.exists(p) =>

@@ -51,7 +51,7 @@ class LogCatalog extends TableCatalog with SupportsNamespaces with FunctionCatal
 
   private var catalogName: String = _
   private var warehouse: String = _
-  private def fs = new Path(warehouse).getFileSystem(new Configuration())
+  private def fs = new Path(warehouse).getFileSystem(FsConf.get)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -252,7 +252,7 @@ object LogDelete {
       priorDvs: Seq[DeletionVectors.DvRef] = Seq.empty)
       : (String, Option[(String, Option[SegmentStats])]) = {
     val old = new Path(oldPath)
-    val fs = old.getFileSystem(new Configuration())
+    val fs = old.getFileSystem(FsConf.get)
     val staged = new Path(dir, s"_staged-$delId-${old.getName}")
     val in = new java.io.BufferedReader(new java.io.InputStreamReader(
       fs.open(old), java.nio.charset.StandardCharsets.UTF_8))
@@ -586,7 +586,7 @@ object LogDelete {
     * on disk for pinned readers until vacuum. */
   def truncateAll(dir: String): Unit = {
     val base = new Path(dir)
-    val fs = base.getFileSystem(new Configuration())
+    val fs = base.getFileSystem(FsConf.get)
     if (!fs.exists(base)) return
     if (LogVersions.enabled(dir)) {
       LogVersions.commit(dir)(_ => Seq.empty)

@@ -222,7 +222,7 @@ class LogReplaceDataWrite(op: LogRowLevelOperation, path: String, queryId: Strin
           "the replaced group set is unknown")
       val replaced = scan.currentSegmentNames
       val dir = new Path(path)
-      val fs = dir.getFileSystem(new Configuration())
+      val fs = dir.getFileSystem(FsConf.get)
 
       // the version ledger IS the atomicity mechanism — upgrade an
       // un-versioned log first (v1 = the pre-operation listing; staged
@@ -290,7 +290,7 @@ class LogReplaceDataWrite(op: LogRowLevelOperation, path: String, queryId: Strin
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit = {
-      val fs = new Path(path).getFileSystem(new Configuration())
+      val fs = new Path(path).getFileSystem(FsConf.get)
       messages.foreach {
         case LogCommit(staged, _, _) if staged.nonEmpty =>
           val p = new Path(staged)

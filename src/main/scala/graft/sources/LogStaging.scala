@@ -55,7 +55,7 @@ import org.apache.spark.util.SerializableConfiguration
 object LogStaging {
 
   private def fsOf(p: Path) =
-    p.getFileSystem(new Configuration())
+    p.getFileSystem(FsConf.get)
 
   /** Entity-log shape test shared with [[LogCatalog.createTable]]:
     * same names and types, any nullability/metadata. */
@@ -130,7 +130,7 @@ object LogStaging {
 class StagedCreateTable(ident: Identifier, stagingDir: Path, targetDir: Path,
     delegate: Table) extends StagedTable with SupportsWrite {
 
-  private def fs = stagingDir.getFileSystem(new Configuration())
+  private def fs = stagingDir.getFileSystem(FsConf.get)
 
   override def name(): String = ident.toString
   override def schema(): StructType = delegate.schema()

@@ -117,7 +117,7 @@ object LogVersions {
     MaintenanceLease.withLease(dir) {
     require(retainLast >= 1, "vacuum must retain at least the latest version")
     val base = new Path(dir)
-    val fs = base.getFileSystem(new Configuration())
+    val fs = base.getFileSystem(FsConf.get)
     // membership AND the retention window from ONE listing — a commit
     // landing between two listings could put the takeRight window past
     // versions whose payloads this pass holds, marking files the
@@ -214,7 +214,7 @@ private[graft] object MaintenanceLease {
     }
 
   private[sources] def qualifiedDir(dir: Path): String = {
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(FsConf.get)
     fs.makeQualified(dir).toString
   }
 
@@ -243,7 +243,7 @@ private[graft] object MaintenanceLease {
     * resurrect one a taker-over has observed dead. Best-effort: any
     * failure is left for [[validate]] to surface loudly at publish. */
   private[sources] def renew(t: Token): Unit = t.synchronized {
-    val fs = t.dir.getFileSystem(new Configuration())
+    val fs = t.dir.getFileSystem(FsConf.get)
     val margin = math.max(1000L, t.ttlMs / 10)
     try {
       val p = fileOf(t.dir, t.ord)
@@ -274,7 +274,7 @@ private[graft] object MaintenanceLease {
     * and abort a healthy publish with a spurious "lease lost"
     * (ADVICE r12). */
   private[sources] def validate(t: Token): Unit = t.synchronized {
-    val fs = t.dir.getFileSystem(new Configuration())
+    val fs = t.dir.getFileSystem(FsConf.get)
     val p = fileOf(t.dir, t.ord)
     val txt =
       try {
@@ -342,7 +342,7 @@ private[graft] object MaintenanceLease {
   def acquire(tableDir: String, ttlMs: Long = 10 * 60 * 1000L,
       waitMs: Long = 60 * 1000L): Token = {
     val dir = new Path(tableDir)
-    val fs = dir.getFileSystem(new Configuration())
+    val fs = dir.getFileSystem(FsConf.get)
     fs.mkdirs(dir)
     val id = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
@@ -388,7 +388,7 @@ private[graft] object MaintenanceLease {
   }
 
   def release(t: Token): Unit = {
-    val fs = t.dir.getFileSystem(new Configuration())
+    val fs = t.dir.getFileSystem(FsConf.get)
     // id-verified: ordinals CAN be reused after the chain winds down
     // to empty (next restarts at max+1 of what remains), so a zombie
     // holder's blind delete could remove a later holder's recreated
@@ -547,7 +547,7 @@ private[sources] object VersionLedger {
       schema: Option[String] = None,
       masks: Map[String, Seq[String]] = Map.empty)
 
-  private def fsOf(dir: Path) = dir.getFileSystem(new Configuration())
+  private def fsOf(dir: Path) = dir.getFileSystem(FsConf.get)
 
   def pathOf(dir: Path, ordinal: Long): Path =
     new Path(dir, f"$Prefix$ordinal%020d")

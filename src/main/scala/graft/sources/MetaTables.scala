@@ -78,7 +78,7 @@ object MetaTables {
     val rows: () => Seq[Array[Any]] = () => {
       if (isParquet) {
         val data = new Path(tableDir, "data")
-        val fs = data.getFileSystem(new Configuration())
+        val fs = data.getFileSystem(FsConf.get)
         // committed-file walk ([[ParquetVersions.walkData]]): reported
         // names are data/-relative paths
         val listed: Seq[(String, Long)] =
@@ -131,7 +131,7 @@ object MetaTables {
     val rows: () => Seq[Array[Any]] = () => {
       if (isParquet) {
         val data = new Path(tableDir, "data")
-        val fs = data.getFileSystem(new Configuration())
+        val fs = data.getFileSystem(FsConf.get)
         val live: Set[String] =
           if (ParquetVersions.enabled(tableDir)) ParquetVersions.live(tableDir).toSet
           else ParquetVersions.listing(tableDir).toSet

@@ -50,7 +50,7 @@ object ParquetBucketing {
     import org.json4s.jackson.Serialization
     implicit val fmt: org.json4s.Formats = org.json4s.DefaultFormats
     val p = specPath(tableDir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(FsConf.get)
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()

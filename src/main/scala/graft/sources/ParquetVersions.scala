@@ -59,14 +59,14 @@ object SchemaManifest {
 
   def exists(tableDir: String): Boolean = {
     val p = path(tableDir)
-    p.getFileSystem(new Configuration()).exists(p)
+    p.getFileSystem(FsConf.get).exists(p)
   }
 
   /** The manifest FILE's bytes — the cache, not necessarily the truth
     * (see [[readJson]]). */
   def manifestJson(tableDir: String): String = {
     val p = path(tableDir)
-    val in = p.getFileSystem(new Configuration()).open(p)
+    val in = p.getFileSystem(FsConf.get).open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
   }
@@ -99,7 +99,7 @@ object SchemaManifest {
     * lagging the ledger. */
   def repair(tableDir: String, json: String): Unit = {
     val sf = path(tableDir)
-    val fs = sf.getFileSystem(new Configuration())
+    val fs = sf.getFileSystem(FsConf.get)
     val swap = new Path(tableDir, "_schema.json.swap")
     // CONCURRENT repairs (two loadTables both finding the cache lagging
     // the ledger) carry identical bytes and run outside any lease — the
@@ -165,7 +165,7 @@ object ParquetVersions {
       base.startsWith("stream-")
   }
 
-  private def fsOf(p: Path) = p.getFileSystem(new Configuration())
+  private def fsOf(p: Path) = p.getFileSystem(FsConf.get)
 
   private def dataDir(tableDir: String): Path = new Path(tableDir, "data")
 

@@ -69,14 +69,14 @@ object PartitionSpecs {
 
   def exists(tableDir: String): Boolean = {
     val p = specPath(tableDir)
-    specToRead(tableDir, p.getFileSystem(new Configuration())).isDefined
+    specToRead(tableDir, p.getFileSystem(FsConf.get)).isDefined
   }
 
   def read(tableDir: String): Option[Spec] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmt: Formats = DefaultFormats
-    val fs = specPath(tableDir).getFileSystem(new Configuration())
+    val fs = specPath(tableDir).getFileSystem(FsConf.get)
     specToRead(tableDir, fs).map { p =>
       val in = fs.open(p)
       val bytes = try in.readAllBytes() finally in.close()
@@ -96,7 +96,7 @@ object PartitionSpecs {
 
   def write(tableDir: String, spec: Spec): Unit = {
     val p = specPath(tableDir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(FsConf.get)
     val out = fs.create(p, false) // created once; evolution goes via replace()
     try out.write(specJson(spec).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -117,7 +117,7 @@ object PartitionSpecs {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val p = specPath(tableDir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(FsConf.get)
     val swap = swapPath(tableDir)
     // finish a crashed predecessor's swap first (we are the only
     // mutator under the lease): the swap is the newer intended spec

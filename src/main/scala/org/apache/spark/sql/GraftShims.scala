@@ -62,8 +62,21 @@ object GraftShims {
   def hadoopConf(): org.apache.hadoop.conf.Configuration = {
     val env = org.apache.spark.SparkEnv.get
     if (env == null) new org.apache.hadoop.conf.Configuration()
-    else org.apache.spark.deploy.SparkHadoopUtil.get.newConfiguration(env.conf)
+    else {
+      // Cache the parsed base and hand out copy-constructed instances:
+      // the copy constructor clones the loaded property map WITHOUT
+      // re-parsing the Hadoop default XML resources (the ~ms cost this
+      // call used to pay every time), while callers keep a private
+      // mutable Configuration exactly as before.
+      var base = cachedEnvConf
+      if (base == null) {
+        base = org.apache.spark.deploy.SparkHadoopUtil.get.newConfiguration(env.conf)
+        cachedEnvConf = base
+      }
+      new org.apache.hadoop.conf.Configuration(base)
+    }
   }
+  @volatile private var cachedEnvConf: org.apache.hadoop.conf.Configuration = null
   /** Typed twin for non-string bucket keys: hash the INTERNAL value
     * with its own Spark type (seed 42) — integral/date columns hash
     * through different byte paths than strings, and only hashing with
