@@ -44,7 +44,7 @@ object Bench {
     * (round 14: two crashed queries' elapsed-to-crash read as 2×
     * speedups and rc stayed 0; a crash is not a wall time). */
   def summaryLine(entries: Seq[(String, Option[Double])], sfName: String,
-      calibrationSec: Double): String = {
+      calibrationSec: Double, cpus: Int = 0): String = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def id(n: String): String = n.takeWhile(_ != '_')
     val results = entries.collect { case (n, Some(v)) => n -> v }
@@ -53,7 +53,7 @@ object Bench {
       .mkString("{", ",", "}")
     val errsJson = if (errNames.isEmpty) "" else errNames
       .map(n => "\"" + id(n) + "\"").mkString(""","errs":[""", ",", "]")
-    s"""{"metric":"total","value":${f3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":${errNames.size}$errsJson,"sf":"$sfName","calibration":${f3(calibrationSec)}}"""
+    s"""{"metric":"total","value":${f3(results.map(_._2).sum)},"unit":"sec","queries":$qs,"errors":${errNames.size}$errsJson,"sf":"$sfName","calibration":${f3(calibrationSec)},"cpus":$cpus}"""
   }
 
   /** The SHORT headline line — guaranteed to fit the driver's bounded
@@ -61,11 +61,11 @@ object Bench {
     * object doc): suite totals by both estimators, query/error counts,
     * and the contention sentinel. */
   def headlineLine(entries: Seq[(String, List[Double])], errCount: Int,
-      sfName: String, calibrationSec: Double): String = {
+      sfName: String, calibrationSec: Double, cpus: Int = 0): String = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val totalMin = entries.map(_._2.min).sum
     val totalMed = entries.map(e => median(e._2)).sum
-    s"""{"metric":"total","value":${f3(totalMin)},"value_med":${f3(totalMed)},"unit":"sec","queries_total":${entries.length},"errors":$errCount,"sf":"$sfName","calibration":${f3(calibrationSec)}}"""
+    s"""{"metric":"total","value":${f3(totalMin)},"value_med":${f3(totalMed)},"unit":"sec","queries_total":${entries.length},"errors":$errCount,"sf":"$sfName","calibration":${f3(calibrationSec)},"cpus":$cpus}"""
   }
 
   /** Median of a non-empty sample list (mean of the middle two on even
@@ -85,7 +85,7 @@ object Bench {
     * driver parses a bounded output tail); this file has no such
     * limit. */
   def sidecarLine(entries: Seq[(String, List[Double])], errNames: Seq[String],
-      sfName: String, calibrationSec: Double): String = {
+      sfName: String, calibrationSec: Double, cpus: Int = 0): String = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def id(n: String): String = n.takeWhile(_ != '_')
     val qs = entries.map { case (k, samples) =>
@@ -96,7 +96,7 @@ object Bench {
       .map(n => "\"" + id(n) + "\"").mkString(""","errs":[""", ",", "]")
     val totalMin = entries.map(_._2.min).sum
     val totalMed = entries.map(e => median(e._2)).sum
-    s"""{"metric":"total","value":${f3(totalMin)},"value_med":${f3(totalMed)},"unit":"sec","query_stats":$qs,"errors":${errNames.size}$errsJson,"sf":"$sfName","calibration":${f3(calibrationSec)}}"""
+    s"""{"metric":"total","value":${f3(totalMin)},"value_med":${f3(totalMed)},"unit":"sec","query_stats":$qs,"errors":${errNames.size}$errsJson,"sf":"$sfName","calibration":${f3(calibrationSec)},"cpus":$cpus}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -104,6 +104,10 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toInt
     val spark = Sessions.base()
+    // the EFFECTIVE core count (local[N] honors SPARK_GRAFT_CPUS via
+    // Sessions.base) — emitted on every JSON line so the driver's
+    // scaling probe can verify the env was honored (VERDICT r20 #2)
+    val cpus = spark.sparkContext.defaultParallelism
     // Uncounted warm-up: pay JVM/codegen/parquet-footer startup once so
     // per-query numbers measure the queries, not cold-start. Its wall
     // time doubles as a CONTENTION SENTINEL: the block is fixed work,
@@ -141,17 +145,17 @@ object Bench {
     def currentLine(): String = Bench.summaryLine(
       names.map { case (name, _) =>
         name -> samples.get(name).filter(_.nonEmpty).map(_.min) // min: contention-robust, see object doc
-      }, new java.io.File(sfDir).getName, calibrationSec)
+      }, new java.io.File(sfDir).getName, calibrationSec, cpus)
     def okEntries: Seq[(String, List[Double])] = names.flatMap { case (name, _) =>
       samples.get(name).filter(_.nonEmpty).map(name -> _)
     }
     def errNames: Seq[String] = names.collect { case (name, _)
       if samples.get(name).forall(_.isEmpty) => name }
     def shortLine(): String = Bench.headlineLine(okEntries, errNames.size,
-      new java.io.File(sfDir).getName, calibrationSec)
+      new java.io.File(sfDir).getName, calibrationSec, cpus)
     def writeSidecar(): Unit = {
       val sidecar = sidecarLine(okEntries, errNames,
-        new java.io.File(sfDir).getName, calibrationSec)
+        new java.io.File(sfDir).getName, calibrationSec, cpus)
       try java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
         (sidecar + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }

@@ -387,27 +387,41 @@ object Dedup {
         .groupBy(col("b").as("doc_id"))
         .agg(min(col("label")).as("nbr_label"))
       // the round carries each vertex's PRE-round label through as
-      // `old` (r20): the convergence probe then filters the round's own
-      // checkpointed output instead of join-shuffling it back against
-      // the previous labels — one fewer shuffle join per round, and the
-      // probe reads materialized data only
-      val propagated = labels.join(nbr, Seq("doc_id"), "left")
+      // `old` (r20), and MATERIALIZES the propagate output before the
+      // halving self-join (r21): the halving join consumes its input
+      // twice, so an unmaterialized propagate re-ran the edges join +
+      // aggregate — the round's expensive half — once per side
+      val prop = labels.join(nbr, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
           col("label").as("old"))
-      // pointer halving: follow the label's label (always same component,
-      // labels only decrease — safe to shortcut)
-      val next = propagated.as("x")
-        .join(propagated.select(col("doc_id").as("pid"), col("label").as("plabel")),
-          col("x.label") === col("pid"))
-        .select(col("x.doc_id").as("doc_id"), col("plabel").as("label"),
-          col("x.old").as("old"))
         .localCheckpoint()
-      // convergence probe: any-changed-row, not a full count — take(1)
-      // short-circuits the scan as soon as one changed label surfaces,
-      // so a converged round is the only one that pays a full pass
-      changed = !next.filter(col("label") =!= col("old")).isEmpty
-      labels = next.select(col("doc_id"), col("label"))
+      // convergence probe on the propagate output (r21; was on the
+      // halved output — same verdict, shown below): any-changed-row,
+      // not a full count — take(1) short-circuits the scan as soon as
+      // one changed label surfaces, so a converged round is the only
+      // one that pays a full pass. Halving cannot change anything when
+      // propagation didn't: propagate-fixpoint means label(u) =
+      // label(v) across every edge, i.e. labels are CONSTANT per
+      // component, so l(l(v)) = l(v) — probing prop is exact, and the
+      // converged round skips its halving jobs entirely.
+      changed = !prop.filter(col("label") =!= col("old")).isEmpty
+      // pointer halving TWICE on the materialized forest — l(v) ←
+      // l(l(l(l(v)))) (r21; guide §2.4): chains compress ~4× per round
+      // instead of ~2×, so the round count (each round = one edges-join
+      // shuffle + aggregate, the O(rounds) cost at scale) drops, for
+      // two extra self-joins of the SMALL label table per round.
+      // Safe for the same reason single halving is: labels only
+      // decrease and every label value is itself a doc_id of the
+      // edge-incident set, so l(·) is total over the label domain.
+      def halve(m: DataFrame): DataFrame = m.as("x")
+        .join(m.select(col("doc_id").as("pid"), col("label").as("plabel")),
+          col("x.label") === col("pid"))
+        .select(col("x.doc_id").as("doc_id"), col("plabel").as("label"))
+      labels =
+        if (!changed) prop.select(col("doc_id"), col("label"))
+        else halve(halve(prop.select(col("doc_id"), col("label"))))
+          .localCheckpoint()
       iter += 1
     }
     edges.unpersist()

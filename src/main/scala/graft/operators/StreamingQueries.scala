@@ -126,13 +126,16 @@ object StreamingQueries {
     }
     val ingest = new AsyncIngest[Event](spark.sqlContext)
     val (sinkDir, sinkCk) = fileSinkDirs("s04")
-    val q = EventStreams.sessions(ingest.toDS())
+    val sessions = EventStreams.sessions(ingest.toDS())
+    val q = sessions
       .writeStream.outputMode("append").format("parquet")
       .option("path", sinkDir).option("checkpointLocation", sinkCk).start()
     ingest.saveAllAsync(rows.toSeq ++ sentinels) // single batch => deterministic
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(sinkDir)
+    // explicit schema (ADVICE r20): a zero-row sink has no files to
+    // infer from — the empty case must stay well-defined
+    spark.read.schema(sessions.schema).parquet(sinkDir)
       .select(col("user_id"), col("session_id"), col("n_events"),
         col("start_ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("start_ts"),
         col("end_ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("end_ts"))
@@ -167,15 +170,16 @@ object StreamingQueries {
     val rows = Tables.events(spark, dir).as[Event].collect()
     val ingest = new AsyncIngest[Event](spark.sqlContext)
     val (sinkDir, sinkCk) = fileSinkDirs("s06")
-    val q = ingest.toDS()
+    val deduped = ingest.toDS()
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
+    val q = deduped
       .writeStream.outputMode("append").format("parquet")
       .option("path", sinkDir).option("checkpointLocation", sinkCk).start()
     ingest.saveAllAsync(rows.toSeq ++ rows.toSeq) // duplicate delivery
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(sinkDir)
+    spark.read.schema(deduped.schema).parquet(sinkDir) // empty-safe (ADVICE r20)
       .agg(count(lit(1)).as("n_unique"), sum(col("event_id")).as("event_id_sum"))
   }
 
@@ -316,7 +320,7 @@ object StreamingQueries {
       Event(-2L, farTs, -1L, "purchase", 0.0, "{}")))
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(sinkDir)
+    spark.read.schema(joined.schema).parquet(sinkDir) // empty-safe (ADVICE r20)
       .filter(col("c_id") >= 0) // drop the sentinel click's own row
       .select(col("c_id"), coalesce(col("p_id"), lit(-1L)).as("p_id_or_none"))
       .orderBy(col("c_id"), col("p_id_or_none"))
@@ -383,7 +387,7 @@ object StreamingQueries {
       .grouped(50000).foreach(chunk => ingest.saveAllAsync(chunk.toSeq))
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(sinkDir)
+    spark.read.schema(joined.schema).parquet(sinkDir) // empty-safe (ADVICE r20)
       .select(col("c_id"), col("p_id"))
       .orderBy(col("c_id"), col("p_id"))
   }
@@ -607,16 +611,20 @@ object StreamingQueries {
     writeHalf(1)               // v2+: the odd-key appends
     LogDelete.deleteWhere(spark, logDir,
       Array(org.apache.spark.sql.sources.EqualTo("user_id", "u7")))
-    val (sinkDir, _) = fileSinkDirs("s18")
-    val q = spark.readStream.format(LimitHashLog.FORMAT)
+    // just the sink dir — s18 checkpoints under its own `ck` (ADVICE
+    // r20: fileSinkDirs' checkpoint half was created and discarded)
+    val sinkDir =
+      java.nio.file.Files.createTempDirectory("graft_s18_out").toString
+    val feed = spark.readStream.format(LimitHashLog.FORMAT)
       .option("changeFeed", "true").option("startVersion", "1").load(logDir)
+    val q = feed
       .writeStream.format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", ck)
       .start()
     q.processAllAvailable()
     q.stop()
-    val signed = spark.read.parquet(sinkDir).withColumn("w",
+    val signed = spark.read.schema(feed.schema).parquet(sinkDir).withColumn("w",
       when(col(ChangeFeed.CHANGE_TYPE_COL) === "insert", lit(1L)).otherwise(lit(-1L)))
     signed
       .groupBy(col("user_id"), col("amount"), col("sha256sum"))

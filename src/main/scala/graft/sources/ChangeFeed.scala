@@ -260,6 +260,13 @@ object ChangeFeed {
     import org.apache.spark.sql.catalyst.expressions.ReplicateRows
     import org.apache.spark.sql.catalyst.plans.logical.{Generate, Project}
     val spark = ins.sparkSession
+    // the _g* temporaries must not collide with a data column —
+    // withColumn would silently REPLACE it and corrupt the net
+    // computation (ADVICE r20; same reserved-prefix convention as
+    // _gfilefull/_gpos)
+    Seq("_gsign", "_gnet", "_gcopies").foreach(t =>
+      require(!dataCols.contains(t),
+        s"column name '$t' is reserved by the change feed's net computation"))
     val netted = ins.select(dataCols.map(col): _*).withColumn("_gsign", lit(1L))
       .unionByName(
         del.select(dataCols.map(col): _*).withColumn("_gsign", lit(-1L)))
@@ -774,7 +781,7 @@ object ParquetChangesMicroBatchStream {
     val blocks = ChangeFeed.parquetSpanBlocks(tableDir, from, to)
     if (blocks.isEmpty) return Array.empty
     val data = new Path(tableDir, "data")
-    val fs = data.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = data.getFileSystem(FsConf.get)
     val distinct = blocks.map(_._1).distinct
     val statuses: Map[String, org.apache.hadoop.fs.FileStatus] =
       if (distinct.size > 8) {

@@ -101,7 +101,7 @@ object LogProcedures {
     * applies, so each verb routes to the right tier's machinery. */
   private def isParquetTable(dir: String): Boolean = {
     val p = new Path(dir, "_schema.json")
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
+    p.getFileSystem(FsConf.get).exists(p)
   }
 
   def all(warehouse: String): Map[String, UnboundProcedure] =
@@ -144,7 +144,7 @@ object LogProcedures {
             throw new IllegalArgumentException(
               s"version $target does not exist for $dir"))
         val base = if (parquetTier) new Path(dir, "data") else new Path(dir)
-        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = base.getFileSystem(FsConf.get)
         val missing = names.filterNot(n => fs.exists(new Path(base, n)))
         require(missing.isEmpty,
           s"cannot roll back to version $target: ${missing.size} of its files " +
@@ -196,7 +196,7 @@ object LogProcedures {
         val nsDir = new Path(dirOf(warehouse, input.getUTF8String(0).toString))
         val hours = input.getInt(1)
         require(hours >= 0, "older_than_hours must be non-negative")
-        val fs = nsDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = nsDir.getFileSystem(FsConf.get)
         val cutoff = System.currentTimeMillis() - hours * 3600L * 1000L
         val removed =
           if (!fs.exists(nsDir)) 0L

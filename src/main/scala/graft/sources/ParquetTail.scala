@@ -208,7 +208,7 @@ class ParquetTailMicroBatchStream(tableDir: String, dataSchema: StructType,
       } else (cur -- prev).toSeq.sorted
     }
     val data = new Path(tableDir, "data")
-    val fs = data.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = data.getFileSystem(FsConf.get)
     (snapshot ++ appended).distinct.zipWithIndex.map { case (name, i) =>
       val p = new Path(data, name)
       val st = try fs.getFileStatus(p) catch {

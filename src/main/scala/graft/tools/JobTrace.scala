@@ -16,6 +16,11 @@ object JobTrace {
 
   final class Tracer extends SparkListener {
     val jobs = mutable.LinkedHashMap.empty[Int, J]
+    // stageId → jobId from SparkListenerJobStart.stageInfos (ADVICE r20:
+    // attributing completed stages to jobs.values.lastOption
+    // misattributes task counts under concurrent jobs — AQE broadcast
+    // jobs, parallel actions)
+    private val stageJob = mutable.Map.empty[Int, Int]
     override def onJobStart(e: SparkListenerJobStart): Unit = {
       val j = J(e.jobId, Option(e.properties)
         .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse(""))
@@ -23,17 +28,15 @@ object JobTrace {
       j.site = Option(e.properties)
         .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("")
       j.stages = e.stageInfos.size
+      e.stageInfos.foreach(si => stageJob(si.stageId) = e.jobId)
       jobs(e.jobId) = j
     }
     override def onJobEnd(e: SparkListenerJobEnd): Unit =
       jobs.get(e.jobId).foreach(_.t1 = e.time)
-    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
-      // attribute by active job via stage→job is overkill; count on last job
-      ()
-    }
     override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
       // attach task counts to the job that owns the stage
-      jobs.values.lastOption.foreach(_.tasks += e.stageInfo.numTasks)
+      stageJob.get(e.stageInfo.stageId).flatMap(jobs.get)
+        .foreach(_.tasks += e.stageInfo.numTasks)
     }
   }
 
