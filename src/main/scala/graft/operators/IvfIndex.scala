@@ -357,10 +357,23 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     require(m >= 1 && m <= dim, s"pq subspaces m=$m must be in [1, dim=$dim]")
     require(ksub >= 2 && ksub <= 256,
       s"pq codebook size ksub=$ksub must fit one code byte (2..256)")
+    // the m fits are INDEPENDENT (disjoint subspace slices, no shared
+    // state) and each is O(sample × ksub × dim/m × iters) driver CPU —
+    // ~0.5 s of single-threaded Lloyd's at the default m=8/ksub=256/
+    // 4096-row sample. Fit them concurrently (r21, guide §1.2 per-task
+    // work): results are bit-identical per subspace regardless of
+    // scheduling, and awaiting in `bounds` order keeps the codebook
+    // array deterministic.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
     graft.functions.PqVec.subspaceBounds(dim, m).map { case (lo, hi) =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi))
-      VectorFns.kmeans(sub, k = ksub, iters = iters)
-    }
+      Future {
+        val sub = sample.map(v => java.util.Arrays.copyOfRange(v, lo, hi))
+        VectorFns.kmeans(sub, k = ksub, iters = iters)
+      }
+    }.map(Await.result(_, Duration.Inf))
   }
 
   /** Fit the quantizer on [[quantizerSample]] and write the physical
